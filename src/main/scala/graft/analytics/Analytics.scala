@@ -1,0 +1,446 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.Exact._
+
+/** Analytical query surface over the warehouse star schema.
+  *
+  * The reference system ships its analytical work to BigQuery as SQL
+  * strings (reference: dags/utils/common/data_helper.py:91-100,
+  * dags/utils/etl.py:535-576); here the same class of queries is
+  * declared with the DataFrame API so Catalyst owns pushdown, join
+  * strategy and codegen. Scale notes per query:
+  *   - dimension tables (region, nation, supplier, part) are broadcast
+  *     explicitly — at 100 TB the fact tables shuffle on join keys, the
+  *     dims never should;
+  *   - fact-fact joins (orders x lineitem) shuffle on the join key and
+  *     rely on AQE for skew splitting;
+  *   - aggregates are partial-aggregated map-side by Catalyst
+  *     automatically (hash aggregate with partial merge).
+  *
+  * Money aggregates go through exact decimal arithmetic (see
+  * [[graft.functions.Exact]]) so results are reproducible across
+  * partitionings and engines.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1 shape: full-scan aggregate with partial map-side combine.
+    * One shuffle (by the two low-cardinality group keys); the scan
+    * prunes to the 7 referenced columns. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        sumCharge(col("l_extendedprice"), col("l_discount"), col("l_tax")).as("sum_charge"),
+        avgMoney(col("l_quantity")).as("avg_qty"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Top-k revenue orders: fact-fact shuffle join on the key both sides
+    * already group on, then a TakeOrdered top-k (no global sort). */
+  def topRevenueOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.groupBy(col("l_orderkey"))
+      .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val topRevenueOrdersSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderstatus
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** Revenue by market segment: two fact joins; customer joins orders on
+    * custkey (shuffle), lineitem joins on orderkey (shuffle). */
+  def segmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val segmentRevenueSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders,
+      |  COUNT(DISTINCT c_custkey) AS n_customers
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Revenue per region/nation (TPC-H Q5 shape): region+nation broadcast
+    * (tiny dims), customer->orders->lineitem chain shuffles on keys. */
+  def nationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val nationRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** Order-priority check (TPC-H Q4 shape): left-semi join — lineitem
+    * never widens the orders rows, only filters them. */
+  def orderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    o.join(li, col("l_orderkey") === col("o_orderkey") &&
+               col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val orderPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** Forecast-revenue (TPC-H Q6 shape): scalar aggregate over a pushed-
+    * down range predicate — the filter reaches the parquet scan
+    * (PushedFilters), only 4 columns are read. */
+  def revenueForecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1997-01-01") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 4, 2))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  val revenueForecastSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Part catalog stats: single-table aggregate, string + numeric. */
+  def partTypeStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+           avgMoney(col("p_retailprice")).as("avg_retail"),
+           max(col("p_size")).as("max_size"),
+           min(col("p_size")).as("min_size"))
+      .orderBy("p_type", "p_brand")
+
+  val partTypeStatsSql: String =
+    """SELECT p_type, p_brand, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_retail,
+      |  MAX(p_size) AS max_size, MIN(p_size) AS min_size
+      |FROM part GROUP BY p_type, p_brand ORDER BY p_type, p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Per-customer order stats with distinct aggregation, top 20. */
+  def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("o_orderstatus")).as("n_statuses"),
+           sumMoney(col("o_totalprice")).as("total_spent"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"),
+              col("n_statuses"), col("total_spent"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val topCustomersSql: String =
+    """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Rollup over region/nation: subtotal rows use an explicit 'ALL'
+    * marker (not NULL) so sort order is engine-independent. */
+  def revenueRollup(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sumMoney(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("total"), col("n_orders"))
+      .orderBy("region", "nation")
+  }
+
+  val revenueRollupSql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Top-3 customers per nation by balance: ranking window. The window
+    * shuffle partitions by n_name — same key the final sort uses. */
+  def topCustomersPerNation(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rank_in_nation", row_number().over(w))
+      .filter(col("rank_in_nation") <= 3)
+      .select(col("n_name"), col("rank_in_nation"), col("c_custkey"),
+              col("c_name"), col("c_acctbal"))
+      .orderBy("n_name", "rank_in_nation")
+  }
+
+  val topCustomersPerNationSql: String =
+    """SELECT n_name, rank_in_nation, c_custkey, c_name, c_acctbal FROM (
+      |  SELECT n_name, c_custkey, c_name, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rank_in_nation
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |WHERE rank_in_nation <= 3 ORDER BY n_name, rank_in_nation""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Monthly revenue + running cumulative total: aggregate then an
+    * analytic window over the (tiny) month dimension. */
+  def monthlyRunningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val monthly = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(dec(col("o_totalprice"), 18, 2)).as("monthly_dec"),
+           count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cumulative_dec", sum(col("monthly_dec")).over(w))
+      .select(col("month"), col("monthly_dec").cast("double").as("monthly"),
+              col("cumulative_dec").cast("double").as("cumulative"), col("n_orders"))
+      .orderBy("month")
+  }
+
+  val monthlyRunningRevenueSql: String =
+    """SELECT month, CAST(monthly_dec AS DOUBLE) AS monthly,
+      |  CAST(SUM(monthly_dec) OVER (ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumulative,
+      |  n_orders
+      |FROM (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_dec,
+      |         COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |ORDER BY month""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Customers with no orders: left-anti join (the reference builds this
+    * as left-join + IS NULL, reference: dags/utils/etl.py:310-314 — the
+    * anti join is the fused idiomatic form). */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val jumbo = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    c.join(jumbo, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Active customers per nation: left-semi join then aggregate. */
+  def activeCustomersPerNation(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val n = t(s, dir, "nation")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_active_customers"),
+           avgMoney(col("c_acctbal")).as("avg_balance"))
+      .orderBy("n_name")
+  }
+
+  val activeCustomersPerNationSql: String =
+    """SELECT n_name, COUNT(*) AS n_active_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_balance
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Set operations: parts sold under both return flags (INTERSECT),
+    * minus low-quantity ones (EXCEPT). */
+  def setOpsParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey")).distinct()
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey")).distinct()
+    val big = li.filter(col("l_quantity") >= 45).select(col("l_partkey")).distinct()
+    r.intersect(a).except(big).orderBy("l_partkey")
+  }
+
+  val setOpsPartsSql: String =
+    """(SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      | INTERSECT
+      | SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+      |EXCEPT
+      |SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 45
+      |ORDER BY l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** CASE-WHEN bucketing of order values. */
+  def priceBuckets(s: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("o_totalprice") < 50000, "small")
+      .when(col("o_totalprice") < 150000, "medium")
+      .when(col("o_totalprice") < 300000, "large")
+      .otherwise("jumbo")
+    t(s, dir, "orders")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("total"))
+      .orderBy("bucket")
+  }
+
+  val priceBucketsSql: String =
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+      |            WHEN o_totalprice < 150000 THEN 'medium'
+      |            WHEN o_totalprice < 300000 THEN 'large'
+      |            ELSE 'jumbo' END AS bucket,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** String functions over part names: split/substring/length/upper. */
+  def partNameStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+              upper(substring(col("p_brand"), 1, 5)).as("brand_prefix"),
+              split(col("p_type"), " ").getItem(0).as("type_head"),
+              length(col("p_name")).as("name_len"))
+      .groupBy(col("brand_prefix"), col("type_head"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("name_len")).as("total_name_len"),
+           min(col("p_partkey")).as("first_part"))
+      .orderBy("brand_prefix", "type_head")
+
+  val partNameStatsSql: String =
+    """SELECT UPPER(SUBSTRING(p_brand, 1, 5)) AS brand_prefix,
+      |  string_split(p_type, ' ')[1] AS type_head,
+      |  COUNT(*) AS n, SUM(LENGTH(p_name)) AS total_name_len,
+      |  MIN(p_partkey) AS first_part
+      |FROM part GROUP BY 1, 2 ORDER BY brand_prefix, type_head""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_top_revenue_orders" -> (topRevenueOrders _),
+    "q03_segment_revenue" -> (segmentRevenue _),
+    "q04_nation_revenue" -> (nationRevenue _),
+    "q05_order_priority" -> (orderPriority _),
+    "q06_revenue_forecast" -> (revenueForecast _),
+    "q07_part_type_stats" -> (partTypeStats _),
+    "q08_top_customers" -> (topCustomers _),
+    "q09_revenue_rollup" -> (revenueRollup _),
+    "q10_top_customers_per_nation" -> (topCustomersPerNation _),
+    "q11_monthly_running_revenue" -> (monthlyRunningRevenue _),
+    "q12_customers_without_orders" -> (customersWithoutOrders _),
+    "q13_active_customers_per_nation" -> (activeCustomersPerNation _),
+    "q14_set_ops_parts" -> (setOpsParts _),
+    "q15_price_buckets" -> (priceBuckets _),
+    "q16_part_name_stats" -> (partNameStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> pricingSummarySql,
+    "q02_top_revenue_orders" -> topRevenueOrdersSql,
+    "q03_segment_revenue" -> segmentRevenueSql,
+    "q04_nation_revenue" -> nationRevenueSql,
+    "q05_order_priority" -> orderPrioritySql,
+    "q06_revenue_forecast" -> revenueForecastSql,
+    "q07_part_type_stats" -> partTypeStatsSql,
+    "q08_top_customers" -> topCustomersSql,
+    "q09_revenue_rollup" -> revenueRollupSql,
+    "q10_top_customers_per_nation" -> topCustomersPerNationSql,
+    "q11_monthly_running_revenue" -> monthlyRunningRevenueSql,
+    "q12_customers_without_orders" -> customersWithoutOrdersSql,
+    "q13_active_customers_per_nation" -> activeCustomersPerNationSql,
+    "q14_set_ops_parts" -> setOpsPartsSql,
+    "q15_price_buckets" -> priceBucketsSql,
+    "q16_part_name_stats" -> partNameStatsSql,
+  )
+}

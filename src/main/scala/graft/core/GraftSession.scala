@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory tuned for the graft engine.
+  *
+  * Local-mode defaults with cluster posture: AQE on (runtime re-plan,
+  * partition coalescing, skew-join splitting), shuffle partitions sized
+  * to the local core count (on a real cluster this would be 2-3x total
+  * executor cores, then AQE coalesces), UTC session time zone (the
+  * warehouse stores UTC at rest, mirroring the reference's
+  * `pd.to_datetime(..., utc=True)` normalization —
+  * reference: dags/utils/common/data_helper.py:131-137).
+  *
+  * ANSI mode is off: the reference's parse semantics are
+  * `errors='coerce'` (invalid input -> null, never an exception —
+  * reference: dags/utils/etl.py:637-639), which matches Spark's
+  * legacy non-ANSI behavior.
+  */
+object GraftSession {
+
+  def applyConfigs(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+
+  def builder(cores: Int): SparkSession.Builder =
+    applyConfigs(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      cores)
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
