@@ -1,0 +1,111 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.Exact._
+
+/** Event-stream analytics over the `events` table (SURVEY.md ST4 and
+  * the driver contract's streaming capability).
+  *
+  * These run as batch here; the same expressions run under Structured
+  * Streaming (see [[graft.streaming.EventPipelines]]) — `window()`
+  * aggregation and sessionization are the streaming-native shapes, the
+  * batch forms below are their deterministic oracle-checkable twins.
+  */
+object EventsQueries {
+
+  // ---------------------------------------------------------------- q20
+  /** Tumbling-window counts: 1-hour windows x event_type via the
+    * `window()` function (streaming-compatible aggregation). */
+  def hourlyEventStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sumMoney(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val hourlyEventStatsSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** JSON extraction from the props payload + per-type stats. */
+  def eventJsonStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"),
+           countDistinct(col("k")).as("distinct_k"))
+      .orderBy("event_type")
+
+  val eventJsonStatsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Sessionization: split each user's event stream at >30-minute gaps
+    * (lag + running sum of boundaries — one shuffle on user_id; the
+    * session assignment never leaves the user's partition). */
+  def userSessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_ts").isNull ||
+             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("boundary")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    e.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+             .as("duration_sec"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("n_purchases"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val userSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS boundary
+      |  FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM e)),
+      |sess AS (
+      |  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start,
+      |  CAST(epoch(MAX(ts)) - epoch(MIN(ts)) AS BIGINT) AS duration_sec,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+      |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_hourly_event_stats" -> (hourlyEventStats _),
+    "q21_event_json_stats" -> (eventJsonStats _),
+    "q22_user_sessions" -> (userSessions _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_hourly_event_stats" -> hourlyEventStatsSql,
+    "q21_event_json_stats" -> eventJsonStatsSql,
+    "q22_user_sessions" -> userSessionsSql,
+  )
+}

@@ -1,0 +1,128 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.operators.{MergeUpsert, Scd2}
+import graft.functions.LarkFunctions
+
+/** Warehouse-layer operators (SCD2, MERGE upsert, bronze normalize)
+  * exercised as oracle-checkable queries over the test star schema.
+  * The operators themselves live in [[graft.operators]]; these wrappers
+  * apply them to the driver's test tables so the DuckDB gate covers the
+  * reference's core semantics (SURVEY.md §2.8, S9, §2.2/F4).
+  */
+object WarehouseQueries {
+
+  // ---------------------------------------------------------------- q30
+  /** SCD2 dimension rebuilt from event history: each user's latest
+    * event per day is a version (the reference's one-batch-per-day
+    * shape); versions run through [[Scd2.fromHistory]] — one window
+    * pass, one shuffle on the natural key, including the reference's
+    * expire-quirks. */
+  def scd2UserDim(s: SparkSession, dir: String): DataFrame = {
+    val byUserDay = Window
+      .partitionBy(col("user_id"), date_trunc("day", col("ts")))
+      .orderBy(col("event_id").desc)
+    val versions = Tables.events(s, dir)
+      .withColumn("rn", row_number().over(byUserDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("datetime_updated"),
+              col("event_type"), col("value"))
+    Scd2.fromHistory(versions, "user_id", "datetime_updated", "user_sur_id")
+      .select(col("user_sur_id"), col("user_id"), col("event_type"), col("value"),
+              col("datetime_updated"), col("valid_from"), col("valid_to"),
+              col("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val scd2UserDimSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |         date_trunc('second', ts) AS ts, date_trunc('day', ts) AS d
+      |  FROM events),
+      |v AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, d
+      |                                 ORDER BY event_id DESC) AS rn
+      |    FROM e) WHERE rn = 1)
+      |SELECT
+      |  md5(CAST(user_id AS VARCHAR) || strftime(ts, '%Y-%m-%d %H:%M:%S')) AS user_sur_id,
+      |  user_id, event_type, value,
+      |  COALESCE(LEAD(ts) OVER w, ts) AS datetime_updated,
+      |  ts AS valid_from,
+      |  COALESCE(LEAD(ts) OVER w, TIMESTAMP '2099-01-01 12:00:00') AS valid_to,
+      |  (LEAD(ts) OVER w IS NULL) AS is_current
+      |FROM v
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |ORDER BY user_id, valid_from""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Keyed MERGE upsert: a source batch of updated + brand-new orders
+    * merged into the orders table on the primary key. */
+  def mergeUpsertOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val cols = o.columns.toSeq
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .select(cols.map(col): _*)
+    val inserts = o.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 2000000)
+      .withColumn("o_orderstatus", lit("N"))
+      .select(cols.map(col): _*)
+    MergeUpsert(o, updates.unionByName(inserts), Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  val mergeUpsertOrdersSql: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+      |         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |ins AS (
+      |  SELECT o_orderkey + 2000000 AS o_orderkey, o_custkey,
+      |         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      |SELECT * FROM (
+      |  SELECT t.* FROM orders t
+      |  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = t.o_orderkey)
+      |  UNION ALL SELECT * FROM src)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Bronze normalization semantics on the events table: epoch-millis
+    * floor-to-second conversion (F4), defensive null-fill (P6), rename +
+    * cast projection (P1-P3). */
+  def bronzeNormalizeEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(s, dir)
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"),
+              col("user_id"), col("value"))
+      .select(
+        col("event_id").as("bronze_event_id"),
+        LarkFunctions.epochMillisToTs(col("ms")).as("event_time"),
+        col("user_id").cast("string").as("user_ref"),
+        coalesce(when(col("value") > 100, col("value")), lit(0.0)).as("big_value"))
+      .orderBy("bronze_event_id")
+
+  val bronzeNormalizeEventsSql: String =
+    """SELECT event_id AS bronze_event_id,
+      |  make_timestamp(CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) * 1000000) AS event_time,
+      |  CAST(user_id AS VARCHAR) AS user_ref,
+      |  COALESCE(CASE WHEN value > 100 THEN value END, 0.0) AS big_value
+      |FROM events ORDER BY bronze_event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_scd2_user_dim" -> (scd2UserDim _),
+    "q31_merge_upsert_orders" -> (mergeUpsertOrders _),
+    "q32_bronze_normalize_events" -> (bronzeNormalizeEvents _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_scd2_user_dim" -> scd2UserDimSql,
+    "q31_merge_upsert_orders" -> mergeUpsertOrdersSql,
+    "q32_bronze_normalize_events" -> bronzeNormalizeEventsSql,
+  )
+}

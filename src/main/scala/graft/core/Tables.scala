@@ -18,14 +18,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` truncated to whole seconds.
+  /** `events` with `ts` as a microsecond TIMESTAMP.
     *
-    * The raw parquet stores nanosecond timestamps; Spark reads them at
-    * microsecond precision while other engines keep nanoseconds, so any
-    * query that surfaces or compares `ts` works on the second-truncated
-    * column for cross-engine determinism. Sub-second ordering is never
-    * semantically meaningful in the event data (tie-break on event_id).
-    */
+    * The raw parquet stores TIMESTAMP(NANOS), which Spark has no type
+    * for — the session reads it as an epoch-nanos long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and this loader truncates
+    * to microseconds, exactly what engines with native ns support do
+    * when casting down to a µs timestamp. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** `events` with `ts` truncated to whole seconds: queries that
+    * surface or compare `ts` use this for cross-engine determinism
+    * (sub-second ordering is never semantically meaningful in the event
+    * data — ties break on event_id). */
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events").withColumn("ts", date_trunc("second", col("ts")))
+    eventsRaw(spark, dir).withColumn("ts", date_trunc("second", col("ts")))
 }

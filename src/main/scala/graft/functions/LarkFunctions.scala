@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level functions reproducing the reference's scalar transforms
+  * (SURVEY.md §2.6). Everything except the Python-literal parse is a
+  * built-in Catalyst expression chain — codegen'd, no UDF in the hot
+  * path; the parse is one scalar UDF emitting JSON text that `from_json`
+  * (native) then decodes.
+  */
+object LarkFunctions {
+
+  /** F2: Python-repr literal -> JSON text (null on parse failure). */
+  val pyToJson = udf(PyLiteral.toJson _)
+
+  /** Schema of a Lark person/link cell: list of {id, name, en_name, email, text}. */
+  val larkPersonSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("en_name", StringType),
+    StructField("email", StringType),
+    StructField("text", StringType))))
+
+  /** F2+F3: parse a Lark list-of-struct cell. */
+  def parseLarkList(c: Column): Column = from_json(pyToJson(c), larkPersonSchema)
+
+  /** F3: first element's field of a Lark list cell, e.g. user -> lark_id
+    * (reference: dags/utils/etl.py:285-294). Null-safe by construction. */
+  def larkField(c: Column, field: String): Column =
+    parseLarkList(c).getItem(0).getField(field)
+
+  /** F2 dict variant (reference: `Người mua` is a bare dict, etl.py:500-505). */
+  def larkDictField(c: Column, field: String): Column =
+    from_json(pyToJson(c), larkPersonSchema.elementType).getField(field)
+
+  /** F2 list-of-string variant (e.g. department_ids). */
+  def parseStringList(c: Column): Column =
+    from_json(pyToJson(c), ArrayType(StringType))
+
+  /** F1: surrogate key — md5(naturalKey + yyyy-MM-dd HH:mm:ss of change ts)
+    * (reference: dags/utils/etl.py:282-284,368-371). */
+  def surrogateKey(naturalKey: Column, changeTs: Column): Column =
+    md5(concat(naturalKey.cast("string"),
+               date_format(changeTs, "yyyy-MM-dd HH:mm:ss")))
+
+  /** F4: epoch millis -> timestamp, truncating sub-second like the
+    * reference's `int(ms/1000)` (reference: data_helper.py:131-137). */
+  def epochMillisToTs(c: Column): Column =
+    timestamp_seconds(floor(c.cast("long") / 1000).cast("long"))
+
+  /** F8: lateness minutes — clip-upper-0 then abs, i.e. max(0, -x)
+    * (reference: dags/utils/etl.py:640-647). */
+  def clipAbs(c: Column): Column = coalesce(greatest(lit(0.0), -c), lit(0.0))
+
+  /** F7: duration between timestamps in minutes (fractional). */
+  def durationMinutes(end: Column, start: Column): Column =
+    (end.cast("double") - start.cast("double")) / 60.0
+
+  /** F6: UTC -> VN local display shift (reference: etl.py:631,640-647). */
+  def plus7h(c: Column): Column = c + expr("INTERVAL 7 HOURS")
+
+  /** F10: defensive numeric coercion (reference: data_helper.py:109-122):
+    * a numeric cell may arrive as a number, a numeric string, a Python
+    * list (take first element), or a dict (take 'text', default 0);
+    * anything else -> 0. Null passes through (the bronze fill handles it). */
+  val coerceNumeric = udf { (raw: String) =>
+    if (raw == null) null
+    else {
+      val trimmed = raw.trim
+      def toNum(t: String): Option[Double] =
+        try Some(t.toDouble) catch { case _: Exception => None }
+      toNum(trimmed).orElse {
+        Option(PyLiteral.toJson(trimmed)).flatMap { js =>
+          try {
+            val j = js.trim
+            if (j.startsWith("[")) {
+              // first element: number, or dict with "text"
+              val inner = j.substring(1, j.length - 1).trim
+              if (inner.isEmpty) Some(0.0)
+              else if (inner.startsWith("{")) extractText(inner)
+              else toNum(inner.split(",")(0).trim.stripPrefix("\"").stripSuffix("\""))
+            } else if (j.startsWith("{")) extractText(j)
+            else toNum(j.stripPrefix("\"").stripSuffix("\""))
+          } catch { case _: Exception => None }
+        }
+      }.map(d => java.lang.Double.valueOf(d)).getOrElse(java.lang.Double.valueOf(0.0))
+    }
+  }
+
+  private def extractText(jsonObj: String): Option[Double] = {
+    val m = """"text"\s*:\s*"?([-+0-9.eE]+)"?""".r.findFirstMatchIn(jsonObj)
+    m.flatMap(g => try Some(g.group(1).toDouble) catch { case _: Exception => None })
+      .orElse(Some(0.0))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.LarkFunctions.surrogateKey
+
+/** SCD2 invariants + the fold-vs-window equivalence:
+  * applying [[Scd2.delta]] batch-by-batch must produce exactly what
+  * [[Scd2.fromHistory]] computes in one pass (SURVEY.md §2.8 quirks
+  * included). */
+class Scd2Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Version history: (key, ts-seconds-offset, attribute)
+  private val history = Seq(
+    ("E1", 100, "a"), ("E1", 200, "b"), ("E1", 300, "c"),
+    ("E2", 150, "x"),
+    ("E3", 100, "p"), ("E3", 400, "q"))
+
+  private def versionsDf = history
+    .toDF("user_id", "off", "attr")
+    .withColumn("datetime_updated", timestamp_seconds(lit(1700000000) + col("off")))
+    .drop("off")
+    .select("user_id", "datetime_updated", "attr")
+
+  private def batchAt(off: Int) = versionsDf
+    .filter(unix_timestamp(col("datetime_updated")) === 1700000000L + off)
+    .withColumn("user_sur_id", surrogateKey(col("user_id"), col("datetime_updated")))
+    .select("user_sur_id", "user_id", "datetime_updated", "attr")
+
+  private lazy val folded = {
+    val empty = batchAt(-1).withColumn("valid_from", col("datetime_updated"))
+      .withColumn("valid_to", col("datetime_updated"))
+      .withColumn("is_current", lit(true))
+    Seq(100, 150, 200, 300, 400).foldLeft(empty) { (dim, off) =>
+      Scd2.applyBatch(dim, batchAt(off), "user_id", "datetime_updated", "user_sur_id")
+        .localCheckpoint()
+    }
+  }
+
+  private lazy val oneShot = Scd2
+    .fromHistory(versionsDf, "user_id", "datetime_updated", "user_sur_id")
+    .select("user_sur_id", "user_id", "datetime_updated", "attr",
+            "valid_from", "valid_to", "is_current")
+
+  test("fold over batches == one-pass window rebuild") {
+    val a = folded.select("user_sur_id", "user_id", "datetime_updated", "attr",
+                          "valid_from", "valid_to", "is_current")
+    assert(a.exceptAll(oneShot).isEmpty && oneShot.exceptAll(a).isEmpty)
+  }
+
+  test("exactly one current row per natural key") {
+    val counts = folded.filter(col("is_current"))
+      .groupBy("user_id").count().collect()
+    assert(counts.length === 3 && counts.forall(_.getLong(1) == 1))
+  }
+
+  test("version count = distinct change timestamps per key") {
+    val got = folded.groupBy("user_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("E1" -> 3, "E2" -> 1, "E3" -> 2))
+  }
+
+  test("replaying the same batch is a no-op (idempotence)") {
+    val once = folded
+    val twice = Scd2.applyBatch(once, batchAt(400), "user_id",
+                                "datetime_updated", "user_sur_id")
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("expired rows carry next version's ts but their own valid_from (branch-3 quirk)") {
+    val e1 = oneShot.filter(col("user_id") === "E1" && !col("is_current"))
+      .orderBy("valid_from")
+      .select(unix_timestamp(col("valid_from")), unix_timestamp(col("datetime_updated")),
+              unix_timestamp(col("valid_to")))
+      .collect().map(r => (r.getLong(0) - 1700000000, r.getLong(1) - 1700000000,
+                           r.getLong(2) - 1700000000))
+    assert(e1.toSeq === Seq((100L, 200L, 200L), (200L, 300L, 300L)))
+  }
+
+  test("current rows keep sentinel valid_to") {
+    val cur = oneShot.filter(col("is_current"))
+    assert(cur.filter(col("valid_to") =!= to_timestamp(lit(Scd2.Sentinel))).isEmpty)
+  }
+}
