@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.analytics.{Analytics, EventsQueries, WarehouseQueries}
+import graft.llm.LlmQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ EventsQueries.queries ++ WarehouseQueries.queries
+    Analytics.queries ++ EventsQueries.queries ++ WarehouseQueries.queries ++
+      LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ EventsQueries.oracles ++ WarehouseQueries.oracles
+    Analytics.oracles ++ EventsQueries.oracles ++ WarehouseQueries.oracles ++
+      LlmQueries.oracles
 }

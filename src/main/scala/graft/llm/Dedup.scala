@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Four tiers, cheapest first — the standard corpus-dedup ladder:
+  *   1. exact (hash group-by): one shuffle on the content hash;
+  *   2. normalized exact: same, after canonicalization;
+  *   3. MinHash + LSH banding: near-dup candidate pairs WITHOUT the
+  *      O(n²) comparison — shingle, min-hash per band, shuffle on
+  *      (band, band-signature) so only same-bucket docs ever meet;
+  *   4. exact n-gram Jaccard on a length/lang-blocked candidate set —
+  *      the verifier for tier-3 candidates (blocked so the pair join
+  *      stays near-linear; never a full cross join).
+  *
+  * All hashing is md5 over explicit strings — deterministic across
+  * engines, partitionings and runs (no seed state).
+  */
+object Dedup {
+
+  /** Tier 1: corpus-level exact-duplicate summary. */
+  def exactSummary(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_texts"),
+        sum(col("n")).as("n_docs"),
+        sum(when(col("n") > 1, lit(1)).otherwise(lit(0))).as("n_dup_groups"),
+        sum(col("n") - 1).as("n_rows_to_drop"))
+
+  /** Tier 2: normalized dedup — keep the smallest doc_id per
+    * canonical form; emits one row per kept doc with its group size. */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs
+      .groupBy(md5(canon).as("canon_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+  }
+
+  /** Word shingles of size `n` (consecutive-word n-grams). */
+  private def shingleExpr(n: Int): String =
+    s"""CASE WHEN size(split(text, ' ')) < $n THEN array(text)
+       |ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+       |       i -> array_join(slice(split(text, ' '), i, $n), ' '))
+       |END""".stripMargin
+
+  /** Tier 3a: MinHash signatures — `k` hash functions, each the
+    * lexicographic min of md5(i || '|' || shingle) over the doc's
+    * distinct shingles. One narrow map, no shuffle. */
+  def minhashSignatures(docs: DataFrame, k: Int = 8, shingle: Int = 3): DataFrame =
+    docs
+      .withColumn("shingles", array_distinct(expr(shingleExpr(shingle))))
+      .select(col("doc_id") +: (0 until k).map(i =>
+        array_min(expr(s"transform(shingles, s -> md5('$i|' || s))")).as(s"mh$i")): _*)
+
+  /** Tier 3b: LSH candidate pairs — signatures split into `bands`
+    * bands of k/bands rows each; docs sharing any band signature become
+    * a candidate pair. The only shuffle is on the band bucket key. */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                        shingle: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, k, shingle)
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+                  md5(concat_ws("|", cols: _*)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Tier 4: exact Jaccard over distinct word sets, on a blocked
+    * candidate set (same lang, |n_chars| within `lenTol`). Returns
+    * pairs with similarity >= `threshold`. */
+  def jaccardPairs(docs: DataFrame, threshold: Double, lenTol: Int = 5): DataFrame = {
+    val ws = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      array_distinct(split(col("text"), " ")).as("w"))
+    val a = ws.select(col("doc_id").as("a"), col("lang"),
+      col("n_chars").as("lena"), col("w").as("wa"))
+    val b = ws.select(col("doc_id").as("b"), col("lang"),
+      col("n_chars").as("lenb"), col("w").as("wb"))
+    a.join(b, Seq("lang"))
+      .filter(col("a") < col("b") && abs(col("lena") - col("lenb")) <= lenTol)
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("wa")) + size(col("wb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprints: 32 bit positions; bit j is the sign of the
+    * sum over the doc's distinct words of ±1 votes derived from
+    * md5(j || '|' || word). Near-dup docs agree on most bits. Emitted
+    * as a bit string (hamming-comparable, engine-portable). */
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame =
+    docs
+      .withColumn("w", array_distinct(split(col("text"), " ")))
+      .withColumn("simhash",
+        concat((0 until bits).map { j =>
+          val vote = s"aggregate(transform(w, x -> CASE WHEN substr(md5('$j|' || x), 1, 1) " +
+            s"BETWEEN '0' AND '7' THEN -1 ELSE 1 END), 0, (acc, v) -> acc + v)"
+          expr(s"CASE WHEN $vote > 0 THEN '1' ELSE '0' END")
+        }: _*))
+      .select(col("doc_id"), col("simhash"))
+}

@@ -1,0 +1,259 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Query registry for the LLM-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal) with their DuckDB
+  * oracles. The operators live in [[Dedup]], [[Similarity]],
+  * [[TextStats]], [[Multimodal]]; wrappers here bind them to the test
+  * tables and fix deterministic output orderings.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  // ---- shared SQL fragments (oracle side) ------------------------------
+
+  /** DuckDB list of word 3-gram shingles, distinct. */
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+      |  ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |         i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+      |  END)""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSummary(docs(s, dir))
+
+  val exactDedupSql: String =
+    """SELECT COUNT(*) AS n_distinct_texts, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      |  CAST(SUM(n - 1) AS BIGINT) AS n_rows_to_drop
+      |FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.normalizedDedup(docs(s, dir)).orderBy("canon_hash")
+
+  val normalizedDedupSql: String =
+    """SELECT md5(canon) AS canon_hash, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+      |FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon FROM documents)
+      |GROUP BY 1 ORDER BY canon_hash""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(docs(s, dir), k = 8, bands = 4, shingle = 3)
+      .orderBy("a", "b")
+
+  val minhashLshPairsSql: String = {
+    val sigCols = (0 until 8)
+      .map(i => s"list_min(list_transform(shingles, s -> md5('$i|' || s))) AS mh$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sh),
+       |banded AS (
+       |  $bandRows)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM banded l JOIN banded r
+       |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q43
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, dir), threshold = 0.5, lenTol = 5).orderBy("a", "b")
+
+  val jaccardPairsSql: String =
+    """WITH ws AS (SELECT doc_id, lang, n_chars,
+      |              list_distinct(string_split(text, ' ')) AS w FROM documents)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+      |    (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+      |FROM ws a JOIN ws b
+      |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+      | AND abs(a.n_chars - b.n_chars) <= 5
+      |WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+      |    (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
+      |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), bits = 32).orderBy("doc_id")
+
+  val simhashFingerprintsSql: String = {
+    val bitExprs = (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN substr(md5('$j|' || x), 1, 1) " +
+        s"BETWEEN '0' AND '7' THEN -1 ELSE 1 END)) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""SELECT doc_id, $bitExprs AS simhash
+       |FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q45
+  private val knnQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
+
+  def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(emb(s, dir), knnQueryIds, k = 10)
+      .orderBy("query_id", "rank")
+
+  val cosineTopKSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+      |scored AS (
+      |  SELECT query_id, vec_id, round(
+      |    list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * v[i])) /
+      |    sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i]))) /
+      |    sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))), 6)
+      |    AS cos_sim
+      |  FROM e CROSS JOIN q WHERE vec_id <> query_id)
+      |SELECT query_id, rank, vec_id, cos_sim FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  def annBucketTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopKInBucket(emb(s, dir), knnQueryIds, k = 5, nPlanes = 8)
+      .orderBy("query_id", "rank")
+
+  val annBucketTopKSql: String = {
+    val bucketExpr = (0 until 8).map { p =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), " +
+        s"j -> v[j] * (CASE WHEN substr(md5('$p|' || CAST(j - 1 AS VARCHAR)), 1, 1) < '8' " +
+        s"THEN -1.0 ELSE 1.0 END))) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qe, bucket FROM b
+       |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |scored AS (
+       |  SELECT query_id, vec_id, round(
+       |    list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * v[i])) /
+       |    sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i]))) /
+       |    sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))), 6)
+       |    AS cos_sim
+       |  FROM b JOIN q USING (bucket) WHERE vec_id <> query_id)
+       |SELECT query_id, rank, vec_id, cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q47
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextStats.langId(docs(s, dir)).orderBy("doc_id")
+
+  val langIdSql: String =
+    """WITH dw AS (SELECT doc_id, lang,
+      |              unnest(list_distinct(string_split(text, ' '))) AS word
+      |            FROM documents),
+      |prof AS (SELECT profile_lang, word FROM (
+      |  SELECT lang AS profile_lang, word, COUNT(*) AS freq,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rk
+      |  FROM dw GROUP BY lang, word) WHERE rk <= 10),
+      |ov AS (SELECT doc_id, lang, profile_lang, COUNT(*) AS overlap
+      |       FROM dw JOIN prof USING (word) GROUP BY 1, 2, 3)
+      |SELECT doc_id, lang, profile_lang AS predicted_lang, overlap,
+      |       lang = profile_lang AS correct
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY overlap DESC, profile_lang) AS rk FROM ov)
+      |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  def qualityMetrics(s: SparkSession, dir: String): DataFrame =
+    TextStats.qualityMetrics(docs(s, dir)).orderBy("doc_id")
+
+  val qualityMetricsSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS avg_word_len,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stopword_ratio,
+      |  (len(string_split(text, ' ')) BETWEEN 20 AND 200
+      |   AND CAST(len(list_filter(string_split(text, ' '),
+      |     w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+      |     / len(string_split(text, ' ')) < 0.5) AS passes_quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenCounts(docs(s, dir)).orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS regex_tokens,
+      |  length(text) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprints(docs(s, dir)).orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    """SELECT doc_id, len(fps) AS n_fingerprints,
+      |  list_min(fps) AS min_fingerprint, list_max(fps) AS max_fingerprint
+      |FROM (SELECT doc_id,
+      |  CASE WHEN length(text) < 8 THEN CAST([] AS VARCHAR[])
+      |  ELSE list_filter(list_transform(generate_series(1, length(text) - 7),
+      |         i -> md5(substr(text, i, 8))), h -> substr(h, 1, 1) = '0')
+      |  END AS fps FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s, Multimodal.asMediaTable(docs(s, dir)))
+      .toDF().orderBy("doc_id")
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id, 'image/png' AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum,
+      |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+      |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_exact_dedup" -> (exactDedup _),
+    "q41_normalized_dedup" -> (normalizedDedup _),
+    "q42_minhash_lsh_pairs" -> (minhashLshPairs _),
+    "q43_jaccard_pairs" -> (jaccardPairs _),
+    "q44_simhash" -> (simhashFingerprints _),
+    "q45_cosine_topk" -> (cosineTopK _),
+    "q46_ann_bucket_topk" -> (annBucketTopK _),
+    "q47_lang_id" -> (langId _),
+    "q48_quality_metrics" -> (qualityMetrics _),
+    "q49_token_counts" -> (tokenCounts _),
+    "q50_fingerprints" -> (fingerprints _),
+    "q51_multimodal_features" -> (multimodalFeatures _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_exact_dedup" -> exactDedupSql,
+    "q41_normalized_dedup" -> normalizedDedupSql,
+    "q42_minhash_lsh_pairs" -> minhashLshPairsSql,
+    "q43_jaccard_pairs" -> jaccardPairsSql,
+    "q44_simhash" -> simhashFingerprintsSql,
+    "q45_cosine_topk" -> cosineTopKSql,
+    "q46_ann_bucket_topk" -> annBucketTopKSql,
+    "q47_lang_id" -> langIdSql,
+    "q48_quality_metrics" -> qualityMetricsSql,
+    "q49_token_counts" -> tokenCountsSql,
+    "q50_fingerprints" -> fingerprintsSql,
+    "q51_multimodal_features" -> multimodalFeaturesSql,
+  )
+}

@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque binary
+  * payloads with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side machinery is real — schema (`binary` payload +
+  * metadata struct), partition-friendly batch processing via
+  * `mapPartitions` over a typed Dataset (the JVM analogue of
+  * Python's `mapInPandas` batch UDF shape: one iterator in, one
+  * iterator out, amortizing per-batch setup like a decoder handle),
+  * and deterministic feature extraction downstream.
+  *
+  * The actual media decode is STUBBED (no image/audio codecs in this
+  * environment): `decodeStub` derives deterministic fake features from
+  * the payload bytes. Swapping in a real decoder changes only the body
+  * of that one function — the schema, batching, and partitioning
+  * contracts stay as tested.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                                 checksum: String, width: Int, height: Int)
+
+  /** Wrap the documents table as a media table: payload = UTF-8 bytes
+    * of the text (the deterministic stand-in for real image bytes). */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("image/png").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(col("source").as("origin"), col("n_chars").as("raw_size"))
+        .as("meta"))
+
+  /** STUB decoder: deterministic pseudo-features from payload bytes.
+    * A real implementation would open a codec per partition and decode
+    * each payload; the iterator-in/iterator-out shape below is exactly
+    * where that goes. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length.toLong
+    MediaFeatures(r.doc_id, r.media_type, n,
+      checksum = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.payload).map("%02x".format(_)).mkString,
+      width = (n % 640).toInt,
+      height = (n % 480).toInt)
+  }
+
+  /** Batch feature extraction: one decoder per partition, streamed. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition setup (decoder/codec handle) would open here
+        it.map(decodeStub)
+      }
+  }
+}
