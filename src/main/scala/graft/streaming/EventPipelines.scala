@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.functions.Exact.dec
+
+/** Structured Streaming pipelines over the events stream (SURVEY.md
+  * ST1-ST4).
+  *
+  * The reference's "streaming" is a 5-minute cron micro-batch
+  * (reference: dags/etl/run_etl.py:28, dags/ingestion/lark_to_gcs.py:101);
+  * here the same workloads are real streams: file-source micro-batches,
+  * event-time watermarks for late data, windowed aggregation, and
+  * stateful sessionization via flatMapGroupsWithState. The aggregation
+  * bodies are IDENTICAL expressions to the batch queries
+  * ([[graft.analytics.EventsQueries]]) — batch output is the oracle for
+  * the streaming path (tested in EventPipelinesSpec).
+  */
+object EventPipelines {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(startSec: Long, lastSec: Long, nEvents: Int,
+                                nPurchases: Int)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           duration_sec: Long, n_events: Long, n_purchases: Long)
+
+  /** The events parquet schema as the file source needs it declared
+    * (ts is TIMESTAMP(NANOS) at rest -> read as epoch-nanos long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream of events with `ts` as a second-truncated
+    * timestamp (matching [[graft.core.Tables.events]]). Accepts either
+    * a directory of parquet files or a single `.parquet` file. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    val reader = spark.readStream.schema(rawSchema)
+    val src =
+      if (path.endsWith(".parquet")) {
+        val i = path.lastIndexOf('/')
+        reader.option("pathGlobFilter", path.substring(i + 1))
+          .parquet(path.substring(0, i))
+      } else reader.parquet(path)
+    src.withColumn("ts", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+  }
+
+  /** Streaming twin of q20: 1-hour tumbling windows x event_type,
+    * 2-hour event-time watermark bounds state. */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(dec(col("value"), 18, 2)).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** Streaming sessionization (twin of q22): >30-minute event-time gap
+    * closes a session. State per user; sessions emit when the watermark
+    * passes their gap timeout — late events within the watermark still
+    * join their session. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapSec: Long = 1800): Dataset[Session] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+                  col("event_type"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (events.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap: close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId,
+              new java.sql.Timestamp(s.startSec * 1000),
+              s.lastSec - s.startSec, s.nEvents, s.nPurchases))
+          } else {
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            events.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              val purchase = if (e.event_type == "purchase") 1 else 0
+              cur match {
+                case Some(s) if sec - s.lastSec <= gapSec =>
+                  cur = Some(s.copy(lastSec = sec, nEvents = s.nEvents + 1,
+                                    nPurchases = s.nPurchases + purchase))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.startSec * 1000),
+                    s.lastSec - s.startSec, s.nEvents, s.nPurchases)
+                  cur = Some(SessionState(sec, sec, 1, purchase))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1, purchase))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSec * 1000 + gapSec * 1000 + 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

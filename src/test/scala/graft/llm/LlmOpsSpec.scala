@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class LlmOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (1L, "the cat sat on the mat", "en", "s1"),
+    (2L, "the cat sat on the mat", "en", "s2"),          // exact dup of 1
+    (3L, "The cat, sat on the MAT!", "en", "s3"),        // normalized dup of 1
+    (4L, "completely different words here entirely", "en", "s4"),
+    (5L, "the cat sat on the hat", "en", "s5"))          // near dup of 1
+    .toDF("doc_id", "text", "lang", "source")
+    .withColumn("n_chars", length(col("text")))
+
+  test("exact dedup finds the identical pair only") {
+    val r = Dedup.exactSummary(docsDf).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_distinct_texts") === 4L)
+    assert(r.getAs[Long]("n_dup_groups") === 1L)
+    assert(r.getAs[Long]("n_rows_to_drop") === 1L)
+  }
+
+  test("normalized dedup also collapses case/punctuation variants") {
+    val groups = Dedup.normalizedDedup(docsDf).collect()
+    assert(groups.length === 3) // {1,2,3}, {4}, {5}
+    val big = groups.filter(_.getAs[Long]("group_size") == 3L)
+    assert(big.length === 1 && big(0).getAs[Long]("keep_id") === 1L)
+  }
+
+  test("jaccard pairs rank near-dups above unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docsDf, threshold = 0.5, lenTol = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0) // identical
+    assert(pairs((1L, 5L)) > 0.5 && pairs((1L, 5L)) < 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash: identical docs share all signatures, near-dups most") {
+    val sigs = Dedup.minhashSignatures(docsDf, k = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i))).toMap
+    assert(sigs(1L) === sigs(2L))
+    val matches15 = sigs(1L).zip(sigs(5L)).count { case (a, b) => a == b }
+    val matches14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(matches15 > matches14)
+  }
+
+  test("lsh candidates include the exact pair") {
+    val pairs = Dedup.lshCandidatePairs(docsDf, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs equal, near-dups close in hamming") {
+    val sh = Dedup.simhash(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(sh(1L) === sh(2L))
+    assert(hamming(sh(1L), sh(5L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("cosine top-k: orthogonal vs parallel vectors") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f, 0.0f), 0),   // parallel to 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),   // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f), 2))  // opposite
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.cosineTopK(e, Seq(0L), k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(top(0).getAs[Double]("cos_sim") === 1.0)
+    assert(top(1).getAs[Double]("cos_sim") === 0.0)
+    assert(top(2).getAs[Double]("cos_sim") === -1.0)
+  }
+
+  test("lsh buckets put identical-direction vectors together") {
+    val e = Seq(
+      (0L, Array.fill(8)(0.5f), 0),
+      (1L, Array.fill(8)(1.0f), 0),
+      (2L, Array.fill(8)(-0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val b = Similarity.lshBuckets(e, nPlanes = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket")).toMap
+    assert(b(0L) === b(1L))
+    assert(b(0L) !== b(2L))
+  }
+
+  test("multimodal: schema, batch extraction, deterministic stub") {
+    val media = Multimodal.asMediaTable(docsDf)
+    assert(media.schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).checksum === feats(2L).checksum) // same payload
+    assert(feats(1L).n_bytes === 22L)
+    assert(feats(1L).width === 22 && feats(1L).height === 22)
+  }
+
+  test("language id is deterministic and self-consistent on one-lang corpus") {
+    val out = TextStats.langId(docsDf).collect()
+    assert(out.length === 5)
+    assert(out.forall(_.getAs[String]("predicted_lang") === "en"))
+    assert(out.forall(_.getAs[Boolean]("correct")))
+  }
+}
