@@ -46,9 +46,13 @@ object LarkFunctions {
                date_format(changeTs, "yyyy-MM-dd HH:mm:ss")))
 
   /** F4: epoch millis -> timestamp, truncating sub-second like the
-    * reference's `int(ms/1000)` (reference: data_helper.py:131-137). */
+    * reference's `int(ms/1000)` (reference: data_helper.py:131-137).
+    * Goes through double: CSV-landed epoch columns arrive as "1234.0"
+    * strings when the source had nulls (pandas float64 columns), which
+    * a direct long cast would null out. Epoch-ms values are far below
+    * 2^53, so the double path is exact. */
   def epochMillisToTs(c: Column): Column =
-    timestamp_seconds(floor(c.cast("long") / 1000).cast("long"))
+    timestamp_seconds(floor(c.cast("double") / 1000.0).cast("long"))
 
   /** F8: lateness minutes — clip-upper-0 then abs, i.e. max(0, -x)
     * (reference: dags/utils/etl.py:640-647). */
