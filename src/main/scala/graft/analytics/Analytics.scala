@@ -400,7 +400,7 @@ object Analytics {
   val partNameStatsSql: String =
     """SELECT UPPER(SUBSTRING(p_brand, 1, 5)) AS brand_prefix,
       |  string_split(p_type, ' ')[1] AS type_head,
-      |  COUNT(*) AS n, SUM(LENGTH(p_name)) AS total_name_len,
+      |  COUNT(*) AS n, CAST(SUM(LENGTH(p_name)) AS BIGINT) AS total_name_len,
       |  MIN(p_partkey) AS first_part
       |FROM part GROUP BY 1, 2 ORDER BY brand_prefix, type_head""".stripMargin
 

@@ -24,8 +24,10 @@ object EventsQueries {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            sumMoney(col("value")).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-              col("n_events"), col("total_value"))
+      // timestamp_ntz: session TZ is pinned UTC, so values are unchanged but
+      // the parquet schema matches the oracle's naive timestamp[us].
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+              col("event_type"), col("n_events"), col("total_value"))
       .orderBy("window_start", "event_type")
 
   val hourlyEventStatsSql: String =
@@ -70,7 +72,7 @@ object EventsQueries {
         sum(col("boundary")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
     e.groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-           min(col("ts")).as("session_start"),
+           min(col("ts")).cast("timestamp_ntz").as("session_start"),
            (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
              .as("duration_sec"),
            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))

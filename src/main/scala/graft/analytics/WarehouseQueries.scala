@@ -31,8 +31,12 @@ object WarehouseQueries {
       .select(col("user_id"), col("ts").as("datetime_updated"),
               col("event_type"), col("value"))
     Scd2.fromHistory(versions, "user_id", "datetime_updated", "user_sur_id")
+      // timestamp_ntz on surfaced timestamps: session TZ is pinned UTC, so
+      // values are unchanged but the schema matches the oracle's naive ts.
       .select(col("user_sur_id"), col("user_id"), col("event_type"), col("value"),
-              col("datetime_updated"), col("valid_from"), col("valid_to"),
+              col("datetime_updated").cast("timestamp_ntz").as("datetime_updated"),
+              col("valid_from").cast("timestamp_ntz").as("valid_from"),
+              col("valid_to").cast("timestamp_ntz").as("valid_to"),
               col("is_current"))
       .orderBy("user_id", "valid_from")
   }
@@ -102,7 +106,7 @@ object WarehouseQueries {
               col("user_id"), col("value"))
       .select(
         col("event_id").as("bronze_event_id"),
-        LarkFunctions.epochMillisToTs(col("ms")).as("event_time"),
+        LarkFunctions.epochMillisToTs(col("ms")).cast("timestamp_ntz").as("event_time"),
         col("user_id").cast("string").as("user_ref"),
         coalesce(when(col("value") > 100, col("value")), lit(0.0)).as("big_value"))
       .orderBy("bronze_event_id")

@@ -59,34 +59,62 @@ object Dedup {
 
   /** Tier 3b: LSH candidate pairs — signatures split into `bands`
     * bands of k/bands rows each; docs sharing any band signature become
-    * a candidate pair. The only shuffle is on the band bucket key. */
+    * a candidate pair.
+    *
+    * Plan shape: ONE scan of `docs` (signatures computed once), one
+    * `posexplode` projection emitting the `bands` bucket keys per doc,
+    * one shuffle on (band, bucket), then pairs generated inside each
+    * bucket from the sorted doc_id set — no self-join, no re-scan.
+    * Bucket width is bounded by the band-signature collision rate (the
+    * LSH guarantee); exact duplicates should be removed by tiers 1-2
+    * first so no degenerate all-identical bucket survives to this tier. */
   def lshCandidatePairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
                         shingle: Int = 3): DataFrame = {
     val rows = k / bands
     val sigs = minhashSignatures(docs, k, shingle)
-    val banded = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-                  md5(concat_ws("|", cols: _*)).as("bucket"))
-    }.reduce(_ unionByName _)
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val bucketCols = (0 until bands).map { b =>
+      val cs = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      md5(concat_ws("|", cs: _*))
+    }
+    sigs
+      .select(col("doc_id"), posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      // all (x, y) with x before y in the sorted bucket => x < y, so the
+      // previous a < b semantics are preserved exactly.
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
   }
 
   /** Tier 4: exact Jaccard over distinct word sets, on a blocked
     * candidate set (same lang, |n_chars| within `lenTol`). Returns
-    * pairs with similarity >= `threshold`. */
+    * pairs with similarity >= `threshold`.
+    *
+    * Blocking key is (lang, floor(n_chars / lenTol)): if two lengths are
+    * within `lenTol` their buckets differ by at most 1, so side b emits
+    * buckets {lb-1, lb, lb+1} and the equi-join on (lang, length-bucket)
+    * finds every qualifying pair exactly once — the join key cardinality
+    * scales with the corpus length distribution, never an all-pairs join
+    * within a language. The exact |lena-lenb| <= lenTol predicate is
+    * re-applied post-join to trim bucket-edge false candidates. */
   def jaccardPairs(docs: DataFrame, threshold: Double, lenTol: Int = 5): DataFrame = {
     val ws = docs.select(col("doc_id"), col("lang"), col("n_chars"),
       array_distinct(split(col("text"), " ")).as("w"))
     val a = ws.select(col("doc_id").as("a"), col("lang"),
-      col("n_chars").as("lena"), col("w").as("wa"))
+        col("n_chars").as("lena"), col("w").as("wa"))
+      .withColumn("lb", floor(col("lena") / lenTol))
     val b = ws.select(col("doc_id").as("b"), col("lang"),
-      col("n_chars").as("lenb"), col("w").as("wb"))
-    a.join(b, Seq("lang"))
+        col("n_chars").as("lenb"), col("w").as("wb"))
+      .withColumn("lb", explode(array(
+        floor(col("lenb") / lenTol) - 1,
+        floor(col("lenb") / lenTol),
+        floor(col("lenb") / lenTol) + 1)))
+    a.join(b, Seq("lang", "lb"))
       .filter(col("a") < col("b") && abs(col("lena") - col("lenb")) <= lenTol)
       .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
       .withColumn("jaccard", col("inter").cast("double") /
