@@ -118,15 +118,110 @@ object WarehouseQueries {
       |  COALESCE(CASE WHEN value > 100 THEN value END, 0.0) AS big_value
       |FROM events ORDER BY bronze_event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** Gold cube derivation over the test star schema: per-user-day
+    * check-in/out (min/max event ts) run through the reference's
+    * attendance-report math — +7h display shift (F6), fractional
+    * duration minutes/hours (F7), clip-upper-0 + abs lateness (F8),
+    * truncating int64 casts — the exact Gold.cubeAttendanceReport
+    * expression shapes with a DuckDB oracle (etl.py:631-653). */
+  def attendanceCube(s: SparkSession, dir: String): DataFrame = {
+    import LarkFunctions.{clipAbs, durationMinutes, plus7h}
+    val day = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(min(col("ts")).as("check_in"), max(col("ts")).as("check_out"),
+           count(lit(1)).as("n_events"))
+    val shiftIn = col("d") + expr("INTERVAL 8 HOURS")
+    val shiftOut = col("d") + expr("INTERVAL 17 HOURS 30 MINUTES")
+    day.select(
+      date_format(plus7h(col("d")), "yyyy-MM").as("attendance_month"),
+      to_date(plus7h(col("d"))).as("attendance_date"),
+      col("user_id"),
+      clipAbs(durationMinutes(plus7h(col("check_in")), shiftIn))
+        .cast("long").as("late_time_minute"),
+      clipAbs(durationMinutes(plus7h(col("check_out")), shiftOut))
+        .cast("long").as("early_time_minute"),
+      ((col("check_out").cast("double") - col("check_in").cast("double")) / 3600.0)
+        .cast("long").as("working_duration_hours"),
+      col("n_events"))
+      .orderBy("user_id", "attendance_date")
+  }
+
+  val attendanceCubeSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts,
+      |                  date_trunc('day', date_trunc('second', ts)) AS d
+      |           FROM events),
+      |day AS (SELECT user_id, d, MIN(ts) AS ci, MAX(ts) AS co,
+      |               COUNT(*) AS n_events
+      |        FROM e GROUP BY 1, 2)
+      |SELECT strftime(d + INTERVAL 7 HOUR, '%Y-%m') AS attendance_month,
+      |  CAST(d + INTERVAL 7 HOUR AS DATE) AS attendance_date,
+      |  user_id,
+      |  CAST(floor(GREATEST(0.0, -(epoch(ci + INTERVAL 7 HOUR)
+      |    - epoch(d + INTERVAL 8 HOUR)) / 60.0)) AS BIGINT) AS late_time_minute,
+      |  CAST(floor(GREATEST(0.0, -(epoch(co + INTERVAL 7 HOUR)
+      |    - epoch(d + INTERVAL 17 HOUR + INTERVAL 30 MINUTE)) / 60.0)) AS BIGINT)
+      |    AS early_time_minute,
+      |  CAST(floor((epoch(co) - epoch(ci)) / 3600.0) AS BIGINT)
+      |    AS working_duration_hours,
+      |  n_events
+      |FROM day ORDER BY user_id, attendance_date""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Per-event lateness deltas: raw fractional duration minutes (F7)
+    * and the clipAbs lateness transform (F8), double-exact across
+    * engines (integer-second epochs over 60.0). */
+  def eventLateness(s: SparkSession, dir: String): DataFrame = {
+    import LarkFunctions.{clipAbs, durationMinutes, plus7h}
+    val shiftIn = date_trunc("day", col("ts")) + expr("INTERVAL 8 HOURS")
+    Tables.events(s, dir).select(
+      col("event_id"),
+      durationMinutes(plus7h(col("ts")), shiftIn).as("delta_minute"),
+      clipAbs(durationMinutes(plus7h(col("ts")), shiftIn)).as("late_minute"))
+      .orderBy("event_id")
+  }
+
+  val eventLatenessSql: String =
+    """SELECT event_id, delta_minute, GREATEST(0.0, -delta_minute) AS late_minute
+      |FROM (
+      |  SELECT event_id,
+      |    (epoch(date_trunc('second', ts) + INTERVAL 7 HOUR)
+      |     - epoch(date_trunc('day', date_trunc('second', ts)) + INTERVAL 8 HOUR))
+      |    / 60.0 AS delta_minute
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Activity by VN-local display day: the +7h shift (F6) moves late-UTC
+    * events into the next local day, so the grouping differs from a UTC
+    * day cut — exercising the display-shift semantics end to end. */
+  def localDayActivity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(LarkFunctions.plus7h(col("ts"))).as("local_date"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy("local_date")
+
+  val localDayActivitySql: String =
+    """SELECT CAST(date_trunc('second', ts) + INTERVAL 7 HOUR AS DATE) AS local_date,
+      |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY local_date""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_scd2_user_dim" -> (scd2UserDim _),
     "q31_merge_upsert_orders" -> (mergeUpsertOrders _),
     "q32_bronze_normalize_events" -> (bronzeNormalizeEvents _),
+    "q33_attendance_cube" -> (attendanceCube _),
+    "q34_event_lateness" -> (eventLateness _),
+    "q35_local_day_activity" -> (localDayActivity _),
   )
 
   val oracles: Map[String, String] = Map(
     "q30_scd2_user_dim" -> scd2UserDimSql,
     "q31_merge_upsert_orders" -> mergeUpsertOrdersSql,
     "q32_bronze_normalize_events" -> bronzeNormalizeEventsSql,
+    "q33_attendance_cube" -> attendanceCubeSql,
+    "q34_event_lateness" -> eventLatenessSql,
+    "q35_local_day_activity" -> localDayActivitySql,
   )
 }
