@@ -54,6 +54,14 @@ object LarkFunctions {
   def epochMillisToTs(c: Column): Column =
     timestamp_seconds(floor(c.cast("double") / 1000.0).cast("long"))
 
+  /** F5: coerce-parse a 'dd/MM/yyyy HH:mm' string to timestamp, null on
+    * any parse failure — the reference's `pd.to_datetime(x,
+    * format='%d/%m/%Y %H:%M', errors='coerce')` (reference:
+    * dags/utils/etl.py:637-639). `try_to_timestamp` nulls-on-failure
+    * regardless of the session's ANSI setting. */
+  def coerceTimestamp(c: Column, fmt: String = "dd/MM/yyyy HH:mm"): Column =
+    try_to_timestamp(c, lit(fmt))
+
   /** F8: lateness minutes — clip-upper-0 then abs, i.e. max(0, -x)
     * (reference: dags/utils/etl.py:640-647). */
   def clipAbs(c: Column): Column = coalesce(greatest(lit(0.0), -c), lit(0.0))

@@ -2,7 +2,8 @@ package graft.warehouse
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.LarkFunctions.{clipAbs, durationMinutes, plus7h}
+import org.apache.spark.sql.types.StringType
+import graft.functions.LarkFunctions.{clipAbs, coerceTimestamp, durationMinutes, plus7h}
 
 /** Gold layer: cube_attendance_report (reference: dags/utils/etl.py:
   * 616-677; DDL: dwh/gold/cube_attendance_report.py).
@@ -18,10 +19,24 @@ import graft.functions.LarkFunctions.{clipAbs, durationMinutes, plus7h}
   */
 object Gold {
 
+  /** The reference re-parses the four check/shift datetime columns from
+    * '%d/%m/%Y %H:%M' strings with errors='coerce' before the metric
+    * math (etl.py:637-639); on already-datetime input pandas ignores the
+    * format and passes through. Mirrored here per column type (F5). */
+  private val coercedCols = Seq("check_in_datetime", "check_out_datetime",
+    "check_out_shift_time", "check_in_shift_time")
+
+  private def coerceDatetimes(fact: DataFrame): DataFrame =
+    coercedCols.foldLeft(fact) { (df, c) =>
+      if (df.schema(c).dataType == StringType)
+        df.withColumn(c, coerceTimestamp(col(c)))
+      else df
+    }
+
   def cubeAttendanceReport(factAttendance: DataFrame,
                            dimEmployeeCurrent: DataFrame): DataFrame = {
     val dim = dimEmployeeCurrent.select(col("user_id"), col("name"), col("job_title"))
-    val m = factAttendance.join(broadcast(dim), Seq("user_id"), "left")
+    val m = coerceDatetimes(factAttendance).join(broadcast(dim), Seq("user_id"), "left")
       .withColumn("attendance_date_local", plus7h(col("attendance_date")))
     val cube = m.select(
       date_format(col("attendance_date_local"), "yyyy-MM").as("attendance_month"),
