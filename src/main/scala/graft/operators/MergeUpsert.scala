@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.hadoop.fs.Path
 
 /** Keyed MERGE upsert (SURVEY.md S9).
   *
@@ -27,20 +28,82 @@ object MergeUpsert {
       .unionByName(source.select(cols.map(col): _*))
   }
 
-  /** Upsert into a parquet path with staged write + swap. */
+  /** Upsert into a parquet path with staged write + swap.
+    *
+    * Rewrites the WHOLE table — fine for small dims, a scale-killer for
+    * big partitioned ones; prefer [[intoPartitionedPath]] there. */
   def intoPath(spark: SparkSession, path: String, source: DataFrame,
                pks: Seq[String]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
+    val target = new Path(path)
     val staged =
       if (fs.exists(target)) apply(spark.read.parquet(path), source, pks)
       else source
-    val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
+    val tmp = new Path(path + "__staging")
     staged.write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val old = new Path(path + "__old")
     if (fs.exists(target)) fs.rename(target, old)
     fs.rename(tmp, target)
     fs.delete(old, true)
+  }
+
+  /** Partition-scoped upsert into a table laid out
+    * `partitionBy(partitionCol)`: only partitions that contain matched
+    * keys (rows being replaced) or receive source rows are rewritten;
+    * every other partition directory is left byte-identical.
+    *
+    * At 100 TB this is the difference between rewriting a day slice and
+    * rewriting the table: the semi join that finds touched partitions
+    * prunes to partition-count cardinality (metadata scale — collecting
+    * the distinct partition VALUES to the driver is bounded by the
+    * partition count, never row count), and the keep-side scan reads
+    * only the touched partitions (partition filter pushed to the scan).
+    *
+    * Not transactional across partitions (each swap is an atomic
+    * rename, the sequence is not) — same single-writer batch contract
+    * as [[intoPath]]; a Delta-style log would add multi-partition
+    * atomicity. */
+  def intoPartitionedPath(spark: SparkSession, path: String, source: DataFrame,
+                          pks: Seq[String],
+                          partitionCol: String = "partition_value"): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    if (!fs.exists(target)) {
+      source.write.partitionBy(partitionCol).parquet(path)
+      return
+    }
+    val t = spark.read.parquet(path)
+    val srcKeys = source.select(pks.map(col): _*)
+    // partitions holding rows the source replaces (semi join, then a
+    // partition-count-sized distinct)
+    val touchedRaw = t.join(srcKeys, pks, "left_semi")
+      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+    val touched = touchedRaw.map(String.valueOf(_))
+    // survivors inside touched partitions + all source rows; the typed
+    // isin on partitionCol prunes the keep-side scan to touched partitions
+    val keep = t
+      .filter(col(partitionCol).isin(touchedRaw.toSeq: _*))
+      .join(srcKeys, pks, "left_anti")
+    val out = keep.unionByName(source.select(t.columns.map(col): _*))
+    // stage fully (materializes out BEFORE any target mutation)...
+    val tmp = new Path(path + "__merge_staging")
+    out.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    // ...then swap exactly the staged partitions
+    val stagedDirs = fs.listStatus(tmp)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+    val stagedNames = stagedDirs.map(_.getPath.getName).toSet
+    stagedDirs.foreach { s =>
+      val dest = new Path(target, s.getPath.getName)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      fs.rename(s.getPath, dest)
+    }
+    // a touched partition whose rows ALL matched and got no replacements
+    // stages nothing — drop its stale directory explicitly
+    touched.map(v => s"$partitionCol=$v").filterNot(stagedNames).foreach { name =>
+      fs.delete(new Path(target, name), true)
+    }
+    fs.delete(tmp, true)
   }
 }

@@ -34,10 +34,15 @@ final class WarehouseWriter(spark: SparkSession, lakeDir: String) {
       .partitionBy("partition_value")
       .parquet(path(layer, table))
 
-  /** Keyed upsert into a (non-day-sliced) dim table. */
+  /** Keyed upsert into a dim table. The table is laid out partitioned
+    * on `partition_value` (the day each row version last landed) so the
+    * merge rewrites only partitions containing matched keys — an
+    * incremental dim merge touches the few days its keys last changed
+    * on, never the whole table. */
   def mergeUpsert(df: DataFrame, layer: String, table: String,
                   partition: String, pks: Seq[String]): Unit =
-    MergeUpsert.intoPath(spark, path(layer, table), stamp(df, partition), pks)
+    MergeUpsert.intoPartitionedPath(spark, path(layer, table),
+      stamp(df, partition), pks, "partition_value")
 
   def exists(layer: String, table: String): Boolean =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -36,4 +36,55 @@ class MergeUpsertSpec extends AnyFunSuite {
     val parent = new java.io.File(dir).getParentFile.list().toSeq
     assert(parent === Seq("t"))
   }
+
+  /** md5 of every data file under a partition dir, by relative name. */
+  private def files(dir: String, part: String): Map[String, String] = {
+    val d = new java.io.File(s"$dir/$part")
+    d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getName -> java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("intoPartitionedPath rewrites only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("pmerge").toString + "/t"
+    val t0 = Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3"))
+      .toDF("id", "v", "partition_value")
+    MergeUpsert.intoPartitionedPath(spark, dir, t0, Seq("id"))
+    val p1Before = files(dir, "partition_value=p1")
+    val p3Before = files(dir, "partition_value=p3")
+    assert(p1Before.nonEmpty && p3Before.nonEmpty)
+
+    // source replaces id=2 (lives in p2, lands in p4) and inserts id=4 (p4)
+    val src = Seq((2, "B", "p4"), (4, "D", "p4")).toDF("id", "v", "partition_value")
+    MergeUpsert.intoPartitionedPath(spark, dir, src, Seq("id"))
+
+    val got = spark.read.parquet(dir).orderBy("id")
+      .as[(Int, String, String)].collect().toSeq
+    assert(got === Seq((1, "a", "p1"), (2, "B", "p4"), (3, "c", "p3"), (4, "D", "p4")))
+    // untouched partitions: files byte-identical (same names, same md5)
+    assert(files(dir, "partition_value=p1") === p1Before)
+    assert(files(dir, "partition_value=p3") === p3Before)
+    // p2 lost its only row to the merge -> the stale partition dir is gone
+    assert(!new java.io.File(s"$dir/partition_value=p2").exists())
+    // no staging leftovers
+    assert(new java.io.File(dir).getParentFile.list().toSeq === Seq("t"))
+  }
+
+  test("intoPartitionedPath keeps survivors inside a touched partition") {
+    val dir = java.nio.file.Files.createTempDirectory("pmerge2").toString + "/t"
+    val t0 = Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))
+      .toDF("id", "v", "partition_value")
+    MergeUpsert.intoPartitionedPath(spark, dir, t0, Seq("id"))
+    val p2Before = files(dir, "partition_value=p2")
+    // replace id=2 in place (stays in p1); id=1 must survive in p1
+    val src = Seq((2, "B", "p1")).toDF("id", "v", "partition_value")
+    MergeUpsert.intoPartitionedPath(spark, dir, src, Seq("id"))
+    val got = spark.read.parquet(dir).orderBy("id")
+      .as[(Int, String, String)].collect().toSeq
+    assert(got === Seq((1, "a", "p1"), (2, "B", "p1"), (3, "c", "p2")))
+    assert(files(dir, "partition_value=p2") === p2Before)
+  }
 }
