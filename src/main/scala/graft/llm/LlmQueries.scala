@@ -225,6 +225,64 @@ object LlmQueries {
       |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** DuckDB cosine between two DOUBLE[] expressions, rounded like the
+    * Spark side. */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))" +
+      s" / sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i])))" +
+      s" / sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i]))), 6)"
+
+  /** The q46 random-hyperplane bucket expression over a DOUBLE[] `v`. */
+  private val bucketSql: String = (0 until 8).map { p =>
+    s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), " +
+      s"j -> v[j] * (CASE WHEN substr(md5('$p|' || CAST(j - 1 AS VARCHAR)), 1, 1) < '8' " +
+      s"THEN -1.0 ELSE 1.0 END))) > 0 THEN '1' ELSE '0' END)"
+  }.mkString(" || ")
+
+  // ---------------------------------------------------------------- q52
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    // 0.35 sits in the upper tail of the synthetic embeddings' cosine
+    // distribution (within-bucket max ~0.44) — high enough to mean
+    // "near-dup", low enough to yield pairs at every SF
+    Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.35, nPlanes = 8)
+      .orderBy("a", "b")
+
+  val embeddingNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+       |pairs AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b, ${cosSql("l.v", "r.v")} AS cos_sim
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.35 ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(s, dir), knnQueryIds, k = 5, nprobe = 2, centStride = 100)
+      .orderBy("query_id", "rank")
+
+  val ivfTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS ce FROM e WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.ce")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qe, cent_id FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qe, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "c.ce")} DESC, c.cent_id) AS rn
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, ${cosSql("p.qe", "a.v")} AS cos_sim
+       |  FROM assigned a JOIN probes p USING (cent_id) WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, rank, vec_id, cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,6 +298,8 @@ object LlmQueries {
     "q49_token_counts" -> (tokenCounts _),
     "q50_fingerprints" -> (fingerprints _),
     "q51_multimodal_features" -> (multimodalFeatures _),
+    "q52_embedding_neardup" -> (embeddingNearDup _),
+    "q53_ivf_topk" -> (ivfTopK _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,5 +315,7 @@ object LlmQueries {
     "q49_token_counts" -> tokenCountsSql,
     "q50_fingerprints" -> fingerprintsSql,
     "q51_multimodal_features" -> multimodalFeaturesSql,
+    "q52_embedding_neardup" -> embeddingNearDupSql,
+    "q53_ivf_topk" -> ivfTopKSql,
   )
 }

@@ -90,4 +90,67 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
+
+  /** Embedding-cosine near-duplicate pairs (the dedup ladder's
+    * embedding tier): candidates meet only inside an LSH bucket —
+    * the equi-join on `bucket` prunes the pair space by ~2^nPlanes,
+    * never an all-pairs join — then the exact cosine filters to
+    * `threshold`. Same candidate-then-verify shape as the MinHash
+    * ladder, over vectors instead of shingles. */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
+                            nPlanes: Int = 8): DataFrame = {
+    val all = lshBuckets(embeddings, nPlanes)
+    val l = all.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = all.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a"), col("b"), col("cos_sim"))
+  }
+
+  /** IVF coarse quantization with deterministic centroids: every
+    * `centStride`-th vector is a centroid (no training pass, engine-
+    * portable); each vector is assigned to its max-cosine centroid.
+    * The centroid set broadcasts; assignment is one narrow pass. */
+  def ivfAssign(embeddings: DataFrame, centStride: Long = 100): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    embeddings.join(broadcast(cents))
+      .withColumn("cent_sim", round(cosine(col("embedding"), col("ce")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
+  /** IVF ANN: probe the `nprobe` nearest centroid cells per query and
+    * search only their members — the trained-index counterpart of
+    * [[annTopKInBucket]] (bigger cells, tunable recall via nprobe).
+    * At scale the assigned table is written bucketed by `cent_id`, so
+    * the probe join is a pruned scan of nprobe cells per query. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              nprobe: Int = 2, centStride: Long = 100): DataFrame = {
+    val assigned = ivfAssign(embeddings, centStride)
+    val cents = embeddings.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    val probes = embeddings.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .withColumn("cent_sim", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cent_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("qe"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
 }
