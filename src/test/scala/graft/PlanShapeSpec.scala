@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape guards: the properties that make these operators
+  * survive a 100x scale-up, pinned as tests so a refactor that
+  * reintroduces a scale-killer (cartesian pair join, repeated scan,
+  * lost pushdown, lost broadcast) fails CI — not just the benchmark.
+  *
+  * Runs on sf0.001 — plan shape, not data volume, is under test.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Physical plan text after AQE settles on the final plan. */
+  private def planText(df: DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }).toLowerCase
+  }
+
+  /** Number of scans of `table` in the optimized logical plan — the
+    * recompute fan-out a shared subplan would pay per branch. */
+  private def scanCount(df: DataFrame, table: String): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+    }.count(_.contains(s"$table.parquet"))
+  }
+
+  test("q42 LSH banding scans documents exactly once (no recompute fan-out)") {
+    val df = graft.llm.LlmQueries.minhashLshPairs(spark, sf)
+    assert(scanCount(df, "documents") == 1)
+    assert(!planText(df).contains("cartesianproduct"))
+  }
+
+  test("q43 Jaccard blocking joins on (lang, length-bucket) — never cartesian") {
+    val plan = planText(graft.llm.LlmQueries.jaccardPairs(spark, sf))
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+    assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
+  }
+
+  test("q52 embedding near-dup joins on bucket — never cartesian") {
+    val plan = planText(graft.llm.LlmQueries.embeddingNearDup(spark, sf))
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+    assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
+  }
+
+  test("q01 pushes the shipdate filter and prunes columns at the scan") {
+    val plan = planText(graft.analytics.Analytics.pricingSummary(spark, sf))
+    assert(plan.contains("pushedfilters: [isnotnull(l_shipdate)"), s"plan:\n$plan")
+    // 7 needed columns, not all 16
+    val readSchema = "readschema: ([^\\n]*)".r.findFirstMatchIn(plan).get.group(1)
+    assert(!readSchema.contains("l_partkey"), s"readSchema: $readSchema")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q01 aggregation is partial (map-side combine) before the shuffle") {
+    val plan = planText(graft.analytics.Analytics.pricingSummary(spark, sf))
+    assert(plan.contains("hashaggregate"), s"plan:\n$plan")
+    // partial agg appears below the exchange: two hashaggregate layers
+    assert("hashaggregate".r.findAllIn(plan).size >= 2, s"plan:\n$plan")
+  }
+
+  test("fact enrichment joins broadcast the dim side") {
+    import org.apache.spark.sql.functions._
+    val fa = spark.createDataFrame(
+      Seq(("A1", "E001"), ("A2", "E002"))).toDF("attendance_id", "user_id")
+      .withColumn("attendance_date", current_timestamp())
+      .withColumn("check_time", current_timestamp())
+      .withColumn("check_location_name", lit("HQ"))
+      .withColumn("is_offsite", lit(false))
+      .withColumnRenamed("attendance_id", "attendance_record_id")
+    val dim = spark.createDataFrame(
+      Seq(("E001", "sur1"))).toDF("user_id", "employee_sur_id")
+    val plan = planText(graft.warehouse.Silver.factAttendanceRecord(fa, dim))
+    assert(plan.contains("broadcasthashjoin"), s"plan:\n$plan")
+  }
+
+  test("q45 exact top-k broadcasts the query batch over one corpus pass") {
+    val df = graft.llm.LlmQueries.cosineTopK(spark, sf)
+    val plan = planText(df)
+    assert(plan.contains("broadcasthashjoin") || plan.contains("broadcastnestedloopjoin"),
+      s"plan:\n$plan")
+    assert(scanCount(df, "embeddings") <= 2) // corpus + query slice
+  }
+}
