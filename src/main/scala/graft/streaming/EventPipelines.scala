@@ -61,6 +61,31 @@ object EventPipelines {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop replayed event ids inside the
+    * watermark horizon — the streaming tier of the dedup ladder
+    * (at-least-once sources -> exactly-once rows downstream). State is
+    * bounded by the watermark: ids older than it age out. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  /** ST3 streaming-native: land each micro-batch into the lake by keyed
+    * merge — the streaming twin of the reference's 5-minute cron merge
+    * publish (etl.py:539-565). `foreachBatch` runs the SAME
+    * [[graft.operators.MergeUpsert.intoPartitionedPath]] the batch
+    * pipeline uses, once per epoch; replayed epochs re-merge the same
+    * keys, so the sink is idempotent (effectively exactly-once). */
+  def mergeStream(events: DataFrame, path: String,
+                  pks: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withColumn("partition_value", to_date(col("ts")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.MergeUpsert.intoPartitionedPath(
+            batch.sparkSession, path, batch, pks)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+
   /** Streaming sessionization (twin of q22): >30-minute event-time gap
     * closes a session. State per user; sessions emit when the watermark
     * passes their gap timeout — late events within the watermark still

@@ -61,4 +61,56 @@ class EventPipelinesSpec extends AnyFunSuite {
     assert(s1.n_purchases === 1L)
     q.stop()
   }
+
+  test("streaming dedup drops replayed event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventPipelines.Event]
+    val deduped = EventPipelines.dedupStream(
+      input.toDF().withColumn("ts", col("ts").cast("timestamp")))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    def ev(id: Long, sec: Long) = EventPipelines.Event(
+      id, new java.sql.Timestamp(sec * 1000), 1L, "click", 1.0)
+    val t0 = 1700000000L
+    input.addData(ev(1, t0), ev(2, t0 + 10))
+    q.processAllAvailable()
+    input.addData(ev(1, t0), ev(3, t0 + 20)) // id 1 replayed
+    q.processAllAvailable()
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+    q.stop()
+  }
+
+  test("mergeStream lands micro-batches as keyed merges into the lake") {
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("stream-lake").toString
+    val src = java.nio.file.Files.createTempDirectory("stream-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
+
+    def writeBatch(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", expr("ts * 1000000000")) // epoch sec -> ns long
+        .write.mode("append").parquet(src)
+
+    val t0 = 1700000000L
+    writeBatch(Seq((1L, t0, 7L, "click", 1.0, "{}"),
+                   (2L, t0 + 60, 8L, "view", 2.0, "{}")))
+    val run1 = EventPipelines.mergeStream(
+      EventPipelines.readEventStream(spark, src), s"$lake/events", Seq("event_id"))
+      .option("checkpointLocation", ckpt).start()
+    run1.awaitTermination(120000)
+
+    // second batch: event 2 re-delivered with a new value + a new event
+    writeBatch(Seq((2L, t0 + 60, 8L, "view", 9.0, "{}"),
+                   (3L, t0 + 120, 9L, "click", 3.0, "{}")))
+    val run2 = EventPipelines.mergeStream(
+      EventPipelines.readEventStream(spark, src), s"$lake/events", Seq("event_id"))
+      .option("checkpointLocation", ckpt).start()
+    run2.awaitTermination(120000)
+
+    val got = spark.read.parquet(s"$lake/events")
+      .select("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    assert(got === Array((1L, 1.0), (2L, 9.0), (3L, 3.0)))
+  }
 }
