@@ -57,4 +57,47 @@ object Multimodal {
         it.map(decodeStub)
       }
   }
+
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+                                payload: Array[Byte], width: Int, height: Int)
+
+  /** STUB resize: a real implementation decodes, scales and re-encodes;
+    * the stub strides the payload down to exactly `w*h` bytes (repeating
+    * when the source is smaller) so output sizes are verifiable while
+    * the batch shape stays the production one. */
+  def resizeStub(r: MediaRecord, w: Int, h: Int): ResizedMedia = {
+    val target = w * h
+    val src = if (r.payload.isEmpty) Array[Byte](0) else r.payload
+    val out = Array.tabulate(target)(i => src((i.toLong * src.length / target).toInt))
+    ResizedMedia(r.doc_id, r.media_type, out, w, h)
+  }
+
+  /** Batch resize: same iterator-in/iterator-out per-partition shape as
+    * [[extractFeatures]] — narrow, no shuffle, decoder amortized. */
+  def resizeBatch(spark: SparkSession, media: DataFrame,
+                  w: Int, h: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions(_.map(resizeStub(_, w, h)))
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Frame sampling for video-like payloads: the payload is treated as
+    * consecutive `frameBytes`-sized frames; every `stride`-th frame is
+    * emitted as its own row (one-to-many flatMap inside mapPartitions —
+    * still narrow; the row explosion happens before the next shuffle,
+    * so downstream ops repartition on (doc_id, frame_idx) as needed).
+    * A real codec would seek keyframes instead of byte-slicing. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && stride > 0)
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        r.payload.grouped(frameBytes).zipWithIndex.collect {
+          case (f, i) if i % stride == 0 => Frame(r.doc_id, i, f)
+        }
+      })
+  }
 }

@@ -102,6 +102,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats(1L).width === 22 && feats(1L).height === 22)
   }
 
+  test("multimodal resize: exact target size, deterministic, repeats short input") {
+    val media = Multimodal.asMediaTable(docsDf)
+    val out = Multimodal.resizeBatch(spark, media, 8, 4).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out.values.forall(r => r.payload.length == 32 && r.width == 8 && r.height == 4))
+    // same payload -> same resized bytes
+    assert(out(1L).payload.toSeq === out(2L).payload.toSeq)
+    // target larger than source: strided repeat still fills exactly w*h
+    assert(out(1L).payload.toSeq.distinct.nonEmpty)
+  }
+
+  test("multimodal frame sampling: every stride-th frame, correct indices") {
+    val media = Multimodal.asMediaTable(docsDf.filter(col("doc_id") === 1L))
+    // payload is 22 bytes -> 6 frames of 4 bytes (last partial); stride 2
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 4, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(frames.forall(_.doc_id == 1L))
+    assert(frames.head.payload.toSeq === "the ".getBytes("UTF-8").toSeq)
+  }
+
   test("language id is deterministic and self-consistent on one-lang corpus") {
     val out = TextStats.langId(docsDf).collect()
     assert(out.length === 5)
