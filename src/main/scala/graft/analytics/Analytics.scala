@@ -404,6 +404,72 @@ object Analytics {
       |  MIN(p_partkey) AS first_part
       |FROM part GROUP BY 1, 2 ORDER BY brand_prefix, type_head""".stripMargin
 
+  // ---------------------------------------------------------------- q17
+  /** Aggregate-filter (HAVING): suppliers whose shipped volume exceeds
+    * a threshold — groupBy + post-agg filter, one shuffle. */
+  def bigSuppliers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sumMoney(col("l_quantity")).as("total_qty"),
+           count(lit(1)).as("n_items"))
+      .filter(col("total_qty") > 10000.0)
+      .orderBy("s_suppkey")
+
+  val bigSuppliersSql: String =
+    """SELECT s_suppkey, s_name,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name
+      |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 10000.0
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Full CUBE grouping sets over order status x priority (q09 covers
+    * ROLLUP; this adds the cross-subtotal shape). */
+  def orderStatusCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sumMoney(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n_orders"), col("total"))
+      .orderBy("status", "priority")
+
+  val orderStatusCubeSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Exact percentiles per group: Spark's `percentile` and DuckDB's
+    * `quantile_cont` both linearly interpolate over the sorted values —
+    * the same PERCENTILE_CONT definition, bit-comparable on doubles
+    * after a shared round. */
+  def priceQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val priceQuantilesSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -423,6 +489,9 @@ object Analytics {
     "q14_set_ops_parts" -> (setOpsParts _),
     "q15_price_buckets" -> (priceBuckets _),
     "q16_part_name_stats" -> (partNameStats _),
+    "q17_big_suppliers" -> (bigSuppliers _),
+    "q18_order_status_cube" -> (orderStatusCube _),
+    "q19_price_quantiles" -> (priceQuantiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -442,5 +511,8 @@ object Analytics {
     "q14_set_ops_parts" -> setOpsPartsSql,
     "q15_price_buckets" -> priceBucketsSql,
     "q16_part_name_stats" -> partNameStatsSql,
+    "q17_big_suppliers" -> bigSuppliersSql,
+    "q18_order_status_cube" -> orderStatusCubeSql,
+    "q19_price_quantiles" -> priceQuantilesSql,
   )
 }

@@ -84,17 +84,17 @@ final class Pipeline(spark: SparkSession, landingDir: String, lakeDir: String) {
     }
   }
 
-  def runGold(partition: String): Unit = {
-    val dimEmp = currentDim("dim_employee").getOrElse(return)
-    writer.readIfExists("silver", "fact_attendance")
-      .map(_.filter(col("partition_value") === to_date(lit(partition))))
-      .filter(!_.isEmpty)
-      .foreach { fa =>
-        writer.overwritePartition(
-          Gold.cubeAttendanceReport(fa, dimEmp),
-          "gold", "cube_attendance_report", partition)
-      }
-  }
+  def runGold(partition: String): Unit =
+    currentDim("dim_employee").foreach { dimEmp =>
+      writer.readIfExists("silver", "fact_attendance")
+        .map(_.filter(col("partition_value") === to_date(lit(partition))))
+        .filter(!_.isEmpty)
+        .foreach { fa =>
+          writer.overwritePartition(
+            Gold.cubeAttendanceReport(fa, dimEmp),
+            "gold", "cube_attendance_report", partition)
+        }
+    }
 
   /** Full run for one partition date (bronze -> silver -> gold). */
   def run(partition: String): Unit = {
