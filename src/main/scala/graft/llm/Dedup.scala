@@ -41,21 +41,45 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
   }
 
-  /** Word shingles of size `n` (consecutive-word n-grams). */
+  /** Word shingles of size `n` over a precomputed `__words` column —
+    * the split is hoisted out of the per-index lambda (a split inside
+    * `transform` re-tokenizes the document for every shingle position:
+    * quadratic per doc). */
   private def shingleExpr(n: Int): String =
-    s"""CASE WHEN size(split(text, ' ')) < $n THEN array(text)
-       |ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-       |       i -> array_join(slice(split(text, ' '), i, $n), ' '))
+    s"""CASE WHEN size(__words) < $n THEN array(text)
+       |ELSE transform(sequence(1, size(__words) - ${n - 1}),
+       |       i -> array_join(slice(__words, i, $n), ' '))
        |END""".stripMargin
 
-  /** Tier 3a: MinHash signatures — `k` hash functions, each the
-    * lexicographic min of md5(i || '|' || shingle) over the doc's
-    * distinct shingles. One narrow map, no shuffle. */
+  /** Tier 3a: MinHash signatures — ONE md5 per distinct shingle
+    * (folded to a 48-bit integer), then `k` affine hash functions
+    * h_i(x) = (a_i x + b_i) mod (2^61 - 1) over that integer: the
+    * standard cheap min-wise family, 8x fewer digest calls than
+    * hashing per (i, shingle). One narrow map, no shuffle; every
+    * operation (md5, hex fold, affine mod) is expressible identically
+    * in other engines, keeping the operator oracle-checkable. */
   def minhashSignatures(docs: DataFrame, k: Int = 8, shingle: Int = 3): DataFrame =
     docs
+      .withColumn("__words", split(col("text"), " "))
       .withColumn("shingles", array_distinct(expr(shingleExpr(shingle))))
-      .select(col("doc_id") +: (0 until k).map(i =>
-        array_min(expr(s"transform(shingles, s -> md5('$i|' || s))")).as(s"mh$i")): _*)
+      // 12 hex chars = 48 bits: a_i * x stays below 2^63 (no int64
+      // overflow in engines that check)
+      .withColumn("xs",
+        expr("transform(shingles, s -> CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT))"))
+      .select(col("doc_id") +: (0 until k).map { i =>
+        val (a, b) = affine(i)
+        array_min(expr(s"transform(xs, x -> ($a * x + $b) % $MersennePrime)"))
+          .as(s"mh$i")
+      }: _*)
+
+  /** h_i coefficients. The modulus must be far below the 48-bit input
+    * domain so the affine map actually wraps (a modulus above 2^48
+    * would make h_i monotone in x — every h_i would pick the same
+    * min-shingle and the signatures would collapse); 2^31 - 1 wraps
+    * ~2^17 times per multiplier. a_i * x tops out near 2^62: inside
+    * int64 for engines that check overflow. */
+  private[llm] def affine(i: Int): (Int, Int) = (12289 + 2 * i, 1000003 * (i + 1))
+  private[llm] val MersennePrime = "2147483647" // 2^31 - 1
 
   /** Tier 3b: LSH candidate pairs — signatures split into `bands`
     * bands of k/bands rows each; docs sharing any band signature become

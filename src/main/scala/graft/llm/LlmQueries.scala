@@ -50,16 +50,19 @@ object LlmQueries {
       .orderBy("a", "b")
 
   val minhashLshPairsSql: String = {
-    val sigCols = (0 until 8)
-      .map(i => s"list_min(list_transform(shingles, s -> md5('$i|' || s))) AS mh$i")
-      .mkString(",\n    ")
+    val sigCols = (0 until 8).map { i =>
+      val (a, b) = Dedup.affine(i)
+      s"list_min(list_transform(xs, x -> ($a * x + $b) % ${Dedup.MersennePrime})) AS mh$i"
+    }.mkString(",\n    ")
     val bandRows = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
       .mkString("\n  UNION ALL ")
     s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |sx AS (SELECT doc_id, list_transform(shingles,
+       |         s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)) AS xs FROM sh),
        |sig AS (SELECT doc_id,
        |    $sigCols
-       |  FROM sh),
+       |  FROM sx),
        |banded AS (
        |  $bandRows)
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

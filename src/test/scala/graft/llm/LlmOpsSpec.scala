@@ -43,7 +43,7 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("minhash: identical docs share all signatures, near-dups most") {
     val sigs = Dedup.minhashSignatures(docsDf, k = 8).collect()
-      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i))).toMap
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i))).toMap
     assert(sigs(1L) === sigs(2L))
     val matches15 = sigs(1L).zip(sigs(5L)).count { case (a, b) => a == b }
     val matches14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
