@@ -99,14 +99,20 @@ object Similarity {
     * ladder, over vectors instead of shingles. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
                             nPlanes: Int = 8): DataFrame = {
+    // both join sides are the SAME projected plan (aliased, not
+    // re-selected): the two shuffle exchanges canonicalize identically,
+    // so the bucket computation runs once and the second side reads the
+    // ReusedExchange instead of recomputing nPlanes dot products per row
+    // the merge hint keeps BOTH sides as shuffle exchanges (a broadcast
+    // side would be a different exchange and defeat the reuse; it is
+    // also the wrong physical choice for a corpus-sized self-join)
     val all = lshBuckets(embeddings, nPlanes)
-    val l = all.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val r = all.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("a") < col("b"))
-      .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 6))
+      .select(col("bucket"), col("vec_id"), col("embedding")).hint("merge")
+    all.alias("l").join(all.alias("r"), Seq("bucket"))
+      .filter(col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos_sim", round(cosine(col("l.embedding"), col("r.embedding")), 6))
       .filter(col("cos_sim") >= threshold)
-      .select(col("a"), col("b"), col("cos_sim"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("cos_sim"))
   }
 
   /** IVF coarse quantization with deterministic centroids: every
