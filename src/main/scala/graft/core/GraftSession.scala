@@ -31,6 +31,9 @@ object GraftSession {
       // for; read as epoch-nanos long, converted in Tables.eventsRaw.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // catalog tables (bucketed layouts) go to tmp, not the checkout
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   def builder(cores: Int): SparkSession.Builder =

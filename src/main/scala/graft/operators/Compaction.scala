@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Small-file compaction for partitioned parquet tables.
+  *
+  * Incremental micro-batch publishing (the reference's 5-minute cron)
+  * accretes many small files per partition; at 100 TB the scan's task
+  * scheduling and footer reads start to dominate. Compaction rewrites
+  * each affected partition into ceil(bytes / targetBytes) files and
+  * swaps it atomically — content identical, file count bounded.
+  */
+object Compaction {
+
+  /** File count + bytes per partition directory (the decision input). */
+  def partitionStats(spark: SparkSession, path: String,
+                     partitionCol: String): Seq[(String, Int, Long)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        (d.getPath.getName, files.length, files.map(_.getLen).sum)
+      }
+  }
+
+  /** Compact every partition whose file count exceeds `maxFiles`.
+    * Returns the partitions rewritten. */
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+              maxFiles: Int = 8, targetBytes: Long = 128L << 20): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val todo = partitionStats(spark, path, partitionCol)
+      .filter(_._2 > maxFiles)
+    todo.map { case (dirName, _, bytes) =>
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val src = new Path(path, dirName)
+      val tmp = new Path(path, dirName + "__compact")
+      // partition dirs don't carry the partition column in the files;
+      // rewrite the directory contents only — content-identical swap
+      spark.read.parquet(src.toString)
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // drop _SUCCESS noise, then atomic-swap the directory
+      fs.listStatus(tmp).filter(_.getPath.getName.startsWith("_"))
+        .foreach(s => fs.delete(s.getPath, false))
+      fs.delete(src, true)
+      fs.rename(tmp, src)
+      dirName
+    }
+  }
+}

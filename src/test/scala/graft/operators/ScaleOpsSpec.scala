@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.TestSpark
+
+/** Scale-infrastructure operators: salted skew join, bucketed
+  * co-located join, small-file compaction.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join == plain join, hot key spread over salt partitions") {
+    // one whale key (90% of rows) + a long tail
+    val big = ((1 to 900).map(i => (42L, s"row$i")) ++
+      (1 to 100).map(i => (i.toLong + 100, s"tail$i"))).toDF("k", "payload")
+    val small = Seq((42L, "whale"), (101L, "fish"), (999L, "nobody"))
+      .toDF("k", "label")
+
+    val plain = big.join(small, Seq("k")).select("k", "payload", "label")
+    val salted = SkewJoin.saltedJoin(big, small, "k", salt = 8)
+      .select("k", "payload", "label")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    // left join keeps unmatched big rows exactly once
+    val plainL = big.join(small, Seq("k"), "left")
+    val saltedL = SkewJoin.saltedJoin(big, small, "k", salt = 8, "left")
+    assert(saltedL.count() === plainL.count())
+
+    // the whale's rows actually carry multiple salt values
+    val salts = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(8)))
+      .filter(col("k") === 42L).select("__salt").distinct().count()
+    assert(salts > 1)
+  }
+
+  test("bucketed co-located join has no shuffle exchange") {
+    val n = 1000
+    val orders = (1 to n).map(i => (i.toLong, s"o$i")).toDF("k", "o")
+    val items = (1 to n).flatMap(i => Seq((i.toLong, s"i${i}a"), (i.toLong, s"i${i}b")))
+      .toDF("k", "item")
+    Bucketing.writeBucketed(orders, "b_orders", "k", 4)
+    Bucketing.writeBucketed(items, "b_items", "k", 4)
+    try {
+      val joined = Bucketing.coLocatedJoin(spark, "b_orders", "b_items", "k")
+      assert(joined.count() === 2L * n)
+      joined.collect()
+      val plan = (joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }).toString.toLowerCase
+      assert(!plan.contains("exchange hashpartitioning"), s"plan:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_items")
+    }
+  }
+
+  test("compaction bounds file count, preserves content, skips healthy partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // p1: 20 tiny files (unhealthy); p2: 2 files (healthy)
+    (1 to 20).foreach { i =>
+      Seq((i.toLong, "p1")).toDF("id", "partition_value")
+        .write.mode("append").partitionBy("partition_value").parquet(dir)
+    }
+    Seq((100L, "p2"), (101L, "p2")).toDF("id", "partition_value")
+      .repartition(2).write.mode("append").partitionBy("partition_value").parquet(dir)
+
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val statsBefore = Compaction.partitionStats(spark, dir, "partition_value")
+      .map { case (k, n, _) => k -> n }.toMap
+    assert(statsBefore("partition_value=p1") === 20)
+
+    val rewritten = Compaction.compact(spark, dir, "partition_value", maxFiles = 8)
+    assert(rewritten === Seq("partition_value=p1"))
+
+    val statsAfter = Compaction.partitionStats(spark, dir, "partition_value")
+      .map { case (k, n, _) => k -> n }.toMap
+    assert(statsAfter("partition_value=p1") === 1)
+    assert(statsAfter("partition_value=p2") === statsBefore("partition_value=p2"))
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === before)
+  }
+}
