@@ -31,6 +31,8 @@ object GraftSession {
       // for; read as epoch-nanos long, converted in Tables.eventsRaw.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // native engine expressions (py_to_json) resolve by name
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       // catalog tables (bucketed layouts) go to tmp, not the checkout
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

@@ -12,8 +12,15 @@ import org.apache.spark.sql.types._
   */
 object LarkFunctions {
 
-  /** F2: Python-repr literal -> JSON text (null on parse failure). */
-  val pyToJson = udf(PyLiteral.toJson _)
+  /** F2: Python-repr literal -> JSON text (null on parse failure) —
+    * the native [[PyToJson]] expression (whole-stage-codegen'd, no UDF
+    * serialization hop), resolved through the session's registered
+    * function (see [[graft.sql.GraftExtensions]]). */
+  def pyToJson(c: Column): Column = call_function("py_to_json", c)
+
+  /** UDF form of the same parse, for sessions without the graft
+    * extensions installed. */
+  val pyToJsonUdf = udf(PyLiteral.toJson _)
 
   /** Schema of a Lark person/link cell: list of {id, name, en_name, email, text}. */
   val larkPersonSchema: ArrayType = ArrayType(StructType(Seq(

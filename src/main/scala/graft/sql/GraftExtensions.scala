@@ -1,0 +1,21 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.PyToJson
+
+/** Engine extensions, installed via `spark.sql.extensions` (set by
+  * [[graft.core.GraftSession]]): registers the native expressions so
+  * they resolve by name in both the DataFrame API (`call_function`)
+  * and SQL text.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("py_to_json"),
+      new ExpressionInfo(classOf[PyToJson].getName, "py_to_json"),
+      (children: Seq[Expression]) => PyToJson(children.head)))
+  }
+}
