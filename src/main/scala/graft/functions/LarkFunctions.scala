@@ -83,34 +83,12 @@ object LarkFunctions {
   /** F10: defensive numeric coercion (reference: data_helper.py:109-122):
     * a numeric cell may arrive as a number, a numeric string, a Python
     * list (take first element), or a dict (take 'text', default 0);
-    * anything else -> 0. Null passes through (the bronze fill handles it). */
-  val coerceNumeric = udf { (raw: String) =>
-    if (raw == null) null
-    else {
-      val trimmed = raw.trim
-      def toNum(t: String): Option[Double] =
-        try Some(t.toDouble) catch { case _: Exception => None }
-      toNum(trimmed).orElse {
-        Option(PyLiteral.toJson(trimmed)).flatMap { js =>
-          try {
-            val j = js.trim
-            if (j.startsWith("[")) {
-              // first element: number, or dict with "text"
-              val inner = j.substring(1, j.length - 1).trim
-              if (inner.isEmpty) Some(0.0)
-              else if (inner.startsWith("{")) extractText(inner)
-              else toNum(inner.split(",")(0).trim.stripPrefix("\"").stripSuffix("\""))
-            } else if (j.startsWith("{")) extractText(j)
-            else toNum(j.stripPrefix("\"").stripSuffix("\""))
-          } catch { case _: Exception => None }
-        }
-      }.map(d => java.lang.Double.valueOf(d)).getOrElse(java.lang.Double.valueOf(0.0))
-    }
-  }
+    * anything else -> 0. Null passes through (the bronze fill handles
+    * it). Native [[CoerceNumeric]] expression — see
+    * [[graft.sql.GraftExtensions]]. */
+  def coerceNumeric(c: Column): Column = call_function("coerce_numeric", c)
 
-  private def extractText(jsonObj: String): Option[Double] = {
-    val m = """"text"\s*:\s*"?([-+0-9.eE]+)"?""".r.findFirstMatchIn(jsonObj)
-    m.flatMap(g => try Some(g.group(1).toDouble) catch { case _: Exception => None })
-      .orElse(Some(0.0))
-  }
+  /** UDF form for sessions without the graft extensions installed. */
+  val coerceNumericUdf = udf((raw: String) =>
+    if (raw == null) null else CoerceNumeric.coerceString(raw))
 }

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.PyToJson
+import graft.functions.{CoerceNumeric, PyToJson}
 
 /** Engine extensions, installed via `spark.sql.extensions` (set by
   * [[graft.core.GraftSession]]): registers the native expressions so
@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("py_to_json"),
       new ExpressionInfo(classOf[PyToJson].getName, "py_to_json"),
       (children: Seq[Expression]) => PyToJson(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("coerce_numeric"),
+      new ExpressionInfo(classOf[CoerceNumeric].getName, "coerce_numeric"),
+      (children: Seq[Expression]) => CoerceNumeric(children.head)))
   }
 }
