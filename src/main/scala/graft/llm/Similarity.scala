@@ -49,18 +49,31 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
-  /** Deterministic hyperplane component for (plane, dim): ±1 from one
-    * md5 hex digit. Same formula is expressible in any engine with md5. */
-  private def planeComponent(plane: Int, dim: Int): Column =
-    when(expr(s"substr(md5('$plane|$dim'), 1, 1)") < "8", lit(-1.0)).otherwise(lit(1.0))
+  /** Deterministic hyperplane component for (plane, dim index): ±1 from
+    * one md5 hex digit — the same formula any engine with md5 can
+    * reproduce (the oracle computes it per row in SQL; here it is
+    * hoisted to a constant). */
+  private def planeComponent(plane: Int, j: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane|$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) < 8) -1.0 else 1.0
+  }
 
-  /** Assign each vector an LSH bucket: bit i = sign of dot(v, plane_i). */
+  /** Assign each vector an LSH bucket: bit i = sign of dot(v, plane_i).
+    *
+    * The hyperplanes are CONSTANTS: they are materialized once on the
+    * driver as literal arrays (one tiny metadata read for the vector
+    * dimension) instead of being re-derived per row per component —
+    * which would cost nPlanes x dim digest calls per vector. The
+    * per-row work is then nPlanes fused multiply-add folds. Assumes a
+    * homogeneous embedding dimension (the norm for an embedding
+    * column). */
   def lshBuckets(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val bits = (0 until nPlanes).map { p =>
+      val plane = (0 until dim).map(planeComponent(p, _)).toArray
       val dotP = aggregate(
-        zip_with(col("embedding"),
-                 expr(s"transform(sequence(0, size(embedding) - 1), " +
-                      s"j -> CASE WHEN substr(md5('$p|' || j), 1, 1) < '8' THEN -1.0 ELSE 1.0 END)"),
+        zip_with(col("embedding"), typedlit(plane),
                  (v, h) => v.cast("double") * h),
         lit(0.0), (acc, x) => acc + x)
       when(dotP > 0, lit("1")).otherwise(lit("0"))
