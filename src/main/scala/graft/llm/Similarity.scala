@@ -135,13 +135,18 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, centStride: Long = 100): DataFrame = {
     val cents = embeddings.filter(col("vec_id") % centStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_sim").desc, col("cent_id"))
+    // argmax via max_by with a deterministic tie-break (highest sim,
+    // then lowest cent_id): a partial-aggregable groupBy — map-side
+    // combine, no per-vector sort — where a row_number window would
+    // shuffle and sort every (vector, centroid) pair
     embeddings.join(broadcast(cents))
       .withColumn("cent_sim", round(cosine(col("embedding"), col("ce")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding"), col("cent_id")),
+        struct(col("cent_sim"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+              col("best.cent_id").as("cent_id"))
   }
 
   /** IVF ANN: probe the `nprobe` nearest centroid cells per query and
