@@ -99,15 +99,51 @@ object EventsQueries {
       |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** Sessionization via the BUILT-IN `session_window` (the
+    * streaming-native operator; q22 derives the same sessions manually
+    * with lag + running sum). `session_window` merges an event landing
+    * exactly on the previous session's end (inclusive boundary), so a
+    * 30-minute gap reproduces q22's `gap > 1800` split rule exactly. */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("n_purchases"))
+      .select(col("user_id"),
+              col("sw.start").cast("timestamp_ntz").as("session_start"),
+              col("n_events"), col("n_purchases"))
+      .orderBy("user_id", "session_start")
+
+  val sessionWindowsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS boundary
+      |  FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM e)),
+      |sess AS (
+      |  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+      |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hourly_event_stats" -> (hourlyEventStats _),
     "q21_event_json_stats" -> (eventJsonStats _),
     "q22_user_sessions" -> (userSessions _),
+    "q23_session_windows" -> (sessionWindows _),
   )
 
   val oracles: Map[String, String] = Map(
     "q20_hourly_event_stats" -> hourlyEventStatsSql,
     "q21_event_json_stats" -> eventJsonStatsSql,
     "q22_user_sessions" -> userSessionsSql,
+    "q23_session_windows" -> sessionWindowsSql,
   )
 }
