@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.operators.{MergeUpsert, Scd2}
+import graft.operators.{AsOfJoin, MergeUpsert, Scd2}
 import graft.functions.LarkFunctions
 
 /** Warehouse-layer operators (SCD2, MERGE upsert, bronze normalize)
@@ -207,7 +207,39 @@ object WarehouseQueries {
       |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY local_date""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** As-of join: each event looks up the dim version (per-user-per-day
+    * latest event, the q30 version stream) in effect AT its event time
+    * — [[AsOfJoin]]'s union+window encoding, checked against DuckDB's
+    * native ASOF JOIN. */
+  def asofDimLookup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val byUserDay = Window
+      .partitionBy(col("user_id"), date_trunc("day", col("ts")))
+      .orderBy(col("event_id").desc)
+    val versions = Tables.events(s, dir)
+      .withColumn("rn", row_number().over(byUserDay)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("vts"), col("value").as("version_value"))
+    AsOfJoin.asOf(e, versions, "user_id", "ts", "vts", Seq("version_value"))
+      .select(col("event_id"), col("user_id"),
+              col("ts").cast("timestamp_ntz").as("ts"), col("version_value"))
+      .orderBy("event_id")
+  }
+
+  val asofDimLookupSql: String =
+    """WITH e AS (SELECT event_id, user_id, value, date_trunc('second', ts) AS ts,
+      |                  date_trunc('day', date_trunc('second', ts)) AS d
+      |           FROM events),
+      |v AS (SELECT user_id, ts AS vts, value AS version_value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, d
+      |                               ORDER BY event_id DESC) AS rn
+      |  FROM e) WHERE rn = 1)
+      |SELECT e.event_id, e.user_id, e.ts, v.version_value
+      |FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.vts
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_asof_dim_lookup" -> (asofDimLookup _),
     "q30_scd2_user_dim" -> (scd2UserDim _),
     "q31_merge_upsert_orders" -> (mergeUpsertOrders _),
     "q32_bronze_normalize_events" -> (bronzeNormalizeEvents _),
@@ -217,6 +249,7 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q36_asof_dim_lookup" -> asofDimLookupSql,
     "q30_scd2_user_dim" -> scd2UserDimSql,
     "q31_merge_upsert_orders" -> mergeUpsertOrdersSql,
     "q32_bronze_normalize_events" -> bronzeNormalizeEventsSql,

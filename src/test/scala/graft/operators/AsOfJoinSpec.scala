@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("picks the latest version at or before each event, null before any") {
+    val events = Seq(
+      (1L, "u1", ts("2024-06-01 08:00:00")), // before any version -> null
+      (2L, "u1", ts("2024-06-01 10:00:00")), // after v1
+      (3L, "u1", ts("2024-06-01 12:00:00")), // exactly at v2 -> sees v2
+      (4L, "u1", ts("2024-06-02 00:00:00")), // after v2
+      (5L, "u2", ts("2024-06-01 10:00:00"))  // other key, only v3
+    ).toDF("event_id", "user_id", "ts")
+    val versions = Seq(
+      ("u1", ts("2024-06-01 09:00:00"), "v1"),
+      ("u1", ts("2024-06-01 12:00:00"), "v2"),
+      ("u2", ts("2024-06-01 09:30:00"), "v3")
+    ).toDF("user_id", "vts", "label")
+
+    val got = AsOfJoin.asOf(events, versions, "user_id", "ts", "vts", Seq("label"))
+      .orderBy("event_id")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("label"))).toMap
+    assert(got === Map(1L -> None, 2L -> Some("v1"), 3L -> Some("v2"),
+                       4L -> Some("v2"), 5L -> Some("v3")))
+  }
+
+  test("left columns survive untouched; multiple value columns carried") {
+    val events = Seq((1L, "k", ts("2024-06-01 10:00:00"), 7.5))
+      .toDF("event_id", "user_id", "ts", "amount")
+    val versions = Seq(("k", ts("2024-06-01 09:00:00"), "a", 42L))
+      .toDF("user_id", "vts", "label", "score")
+    val out = AsOfJoin.asOf(events, versions, "user_id", "ts", "vts",
+      Seq("label", "score"))
+    assert(out.columns.toSeq === Seq("event_id", "user_id", "ts", "amount",
+      "label", "score"))
+    val r = out.head()
+    assert(r.getAs[Double]("amount") === 7.5)
+    assert(r.getAs[String]("label") === "a")
+    assert(r.getAs[Long]("score") === 42L)
+  }
+}
