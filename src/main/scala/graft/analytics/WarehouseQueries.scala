@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.operators.{AsOfJoin, MergeUpsert, Scd2}
+import graft.operators.{AsOfJoin, MergeUpsert, Scd2, SkewJoin}
 import graft.functions.LarkFunctions
 
 /** Warehouse-layer operators (SCD2, MERGE upsert, bronze normalize)
@@ -238,8 +238,31 @@ object WarehouseQueries {
       |FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.vts
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Salted skew join: customer enrichment of orders through
+    * [[SkewJoin.saltedJoin]] — the salt must be invisible in the
+    * result, so the oracle is the PLAIN join (same rows, aggregated
+    * for a stable compare). */
+  def saltedEnrich(s: SparkSession, dir: String): DataFrame =
+    SkewJoin.saltedJoin(
+      Tables.load(s, dir, "orders"),
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "o_custkey", salt = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           graft.functions.Exact.sumMoney(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+
+  val saltedEnrichSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_asof_dim_lookup" -> (asofDimLookup _),
+    "q37_salted_enrich" -> (saltedEnrich _),
     "q30_scd2_user_dim" -> (scd2UserDim _),
     "q31_merge_upsert_orders" -> (mergeUpsertOrders _),
     "q32_bronze_normalize_events" -> (bronzeNormalizeEvents _),
@@ -250,6 +273,7 @@ object WarehouseQueries {
 
   val oracles: Map[String, String] = Map(
     "q36_asof_dim_lookup" -> asofDimLookupSql,
+    "q37_salted_enrich" -> saltedEnrichSql,
     "q30_scd2_user_dim" -> scd2UserDimSql,
     "q31_merge_upsert_orders" -> mergeUpsertOrdersSql,
     "q32_bronze_normalize_events" -> bronzeNormalizeEventsSql,

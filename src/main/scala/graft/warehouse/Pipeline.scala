@@ -68,19 +68,22 @@ final class Pipeline(spark: SparkSession, landingDir: String, lakeDir: String) {
     // re-read POST-MERGE dim state before the fact joins (etl.py:568-578)
     val dimEmp = currentDim("dim_employee").getOrElse(spark.emptyDataFrame)
     val dimVen = currentDim("dim_vendor").getOrElse(spark.emptyDataFrame)
+    // facts sort within files by their common filter/join key so
+    // parquet row-group stats prune scans at scale
     bronzeSlice("attendance_record", partition).foreach { ar =>
       writer.overwritePartition(
         Silver.factAttendanceRecord(ar, dimEmp),
-        "silver", "fact_attendance_record", partition)
+        "silver", "fact_attendance_record", partition, Seq("user_id"))
     }
     bronzeSlice("attendance", partition).foreach { a =>
       writer.overwritePartition(
-        Silver.factAttendance(a, dimEmp), "silver", "fact_attendance", partition)
+        Silver.factAttendance(a, dimEmp), "silver", "fact_attendance",
+        partition, Seq("user_id"))
     }
     bronzeSlice("payment", partition).foreach { p =>
       writer.overwritePartition(
         Silver.factPayment(p, dimVen, dimEmp),
-        "silver", "fact_payment", partition)
+        "silver", "fact_payment", partition, Seq("payment_id"))
     }
   }
 

@@ -27,12 +27,23 @@ final class WarehouseWriter(spark: SparkSession, lakeDir: String) {
       .withColumn("partition_value", to_date(lit(partition)))
 
   /** Replace one day partition (partitionOverwriteMode=dynamic is set
-    * session-wide by GraftSession). */
+    * session-wide by GraftSession).
+    *
+    * `sortCols` orders rows within each written file so parquet
+    * row-group min/max statistics become selective for predicates on
+    * those columns — at 100 TB, sorting a fact partition by its common
+    * filter key (e.g. user_id) lets scans skip most row groups. */
   def overwritePartition(df: DataFrame, layer: String, table: String,
-                         partition: String): Unit =
-    stamp(df, partition).write.mode("overwrite")
+                         partition: String,
+                         sortCols: Seq[String] = Nil): Unit = {
+    val stamped = stamp(df, partition)
+    val sorted =
+      if (sortCols.isEmpty) stamped
+      else stamped.sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write.mode("overwrite")
       .partitionBy("partition_value")
       .parquet(path(layer, table))
+  }
 
   /** Keyed upsert into a dim table. The table is laid out partitioned
     * on `partition_value` (the day each row version last landed) so the
