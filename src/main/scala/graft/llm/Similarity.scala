@@ -25,22 +25,35 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** dot(x, y) as a fold in index order (deterministic). */
+  def dot(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** ||v|| — precompute ONCE per row and thread through joins: inside
+    * a pairwise score it would otherwise be refolded per candidate
+    * pair (e.g. 50x per vector in the IVF assignment). */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** cosine(a, b) with precomputed norms; the division order matches
+    * [[cosine]] exactly so values stay bit-identical. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / na / nb
+
   /** cosine(a, b) as a fold in index order (deterministic). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, norm(a), norm(b))
 
   /** Exact top-k cosine neighbors for each query vector (queries =
     * rows of `embeddings` whose vec_id is in `queryIds`). */
   def cosineTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val q = embeddings
-      .filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = embeddings.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("qe"), col("embedding")), 6))
+    val e = embeddings.withColumn("nv", norm(col("embedding")))
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("nv").as("nq"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosineWithNorms(col("qe"), col("embedding"),
+        col("nq"), col("nv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored
@@ -91,12 +104,14 @@ object Similarity {
   /** ANN: top-k within the query's bucket only (the pruned search). */
   def annTopKInBucket(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
                       nPlanes: Int = 8): DataFrame = {
-    val all = lshBuckets(embeddings, nPlanes)
+    val all = lshBuckets(embeddings, nPlanes).withColumn("nv", norm(col("embedding")))
     val q = all.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("nv").as("nq"), col("bucket"))
     val scored = all.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("qe"), col("embedding")), 6))
+      .withColumn("cos_sim", round(cosineWithNorms(col("qe"), col("embedding"),
+        col("nq"), col("nv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -120,10 +135,13 @@ object Similarity {
     // side would be a different exchange and defeat the reuse; it is
     // also the wrong physical choice for a corpus-sized self-join)
     val all = lshBuckets(embeddings, nPlanes)
-      .select(col("bucket"), col("vec_id"), col("embedding")).hint("merge")
+      .withColumn("nv", norm(col("embedding")))
+      .select(col("bucket"), col("vec_id"), col("embedding"), col("nv"))
+      .hint("merge")
     all.alias("l").join(all.alias("r"), Seq("bucket"))
       .filter(col("l.vec_id") < col("r.vec_id"))
-      .withColumn("cos_sim", round(cosine(col("l.embedding"), col("r.embedding")), 6))
+      .withColumn("cos_sim", round(cosineWithNorms(col("l.embedding"),
+        col("r.embedding"), col("l.nv"), col("r.nv")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("cos_sim"))
   }
@@ -133,14 +151,17 @@ object Similarity {
     * portable); each vector is assigned to its max-cosine centroid.
     * The centroid set broadcasts; assignment is one narrow pass. */
   def ivfAssign(embeddings: DataFrame, centStride: Long = 100): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") % centStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val e = embeddings.withColumn("nv", norm(col("embedding")))
+    val cents = e.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+              col("nv").as("nc"))
     // argmax via max_by with a deterministic tie-break (highest sim,
     // then lowest cent_id): a partial-aggregable groupBy — map-side
     // combine, no per-vector sort — where a row_number window would
     // shuffle and sort every (vector, centroid) pair
-    embeddings.join(broadcast(cents))
-      .withColumn("cent_sim", round(cosine(col("embedding"), col("ce")), 6))
+    e.join(broadcast(cents))
+      .withColumn("cent_sim", round(cosineWithNorms(col("embedding"), col("ce"),
+        col("nv"), col("nc")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("embedding"), col("cent_id")),
@@ -157,6 +178,7 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
               nprobe: Int = 2, centStride: Long = 100): DataFrame = {
     val assigned = ivfAssign(embeddings, centStride)
+      .withColumn("nv", norm(col("embedding")))
     val cents = embeddings.filter(col("vec_id") % centStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
     val wProbe = Window.partitionBy(col("query_id"))
@@ -167,12 +189,13 @@ object Similarity {
       .withColumn("cent_sim", round(cosine(col("qe"), col("ce")), 6))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qe"), col("cent_id"))
+      .select(col("query_id"), col("qe"), norm(col("qe")).as("nq"), col("cent_id"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("qe"), col("embedding")), 6))
+      .withColumn("cos_sim", round(cosineWithNorms(col("qe"), col("embedding"),
+        col("nq"), col("nv")), 6))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
