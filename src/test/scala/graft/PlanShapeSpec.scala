@@ -87,6 +87,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("broadcasthashjoin"), s"plan:\n$plan")
   }
 
+  test("q36 as-of join compiles to union+window — no join operator at all") {
+    val df = graft.analytics.WarehouseQueries.asofDimLookup(spark, sf)
+    val plan = planText(df)
+    assert(!plan.contains("join"), s"plan:\n$plan")
+    assert(plan.contains("window"), s"plan:\n$plan")
+  }
+
+  test("q37 salted join stays an equi-join (no cartesian from the salt)") {
+    val plan = planText(graft.analytics.WarehouseQueries.saltedEnrich(spark, sf))
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+    assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
+  }
+
   test("q45 exact top-k broadcasts the query batch over one corpus pass") {
     val df = graft.llm.LlmQueries.cosineTopK(spark, sf)
     val plan = planText(df)
