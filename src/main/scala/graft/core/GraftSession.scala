@@ -19,6 +19,9 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+
   def applyConfigs(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -33,9 +36,10 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // native engine expressions (py_to_json) resolve by name
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
-      // catalog tables (bucketed layouts) go to tmp, not the checkout
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // catalog tables (bucketed layouts) go to a per-process tmp dir —
+      // not the checkout, and not a fixed path two concurrent JVMs
+      // would clobber
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
 
   def builder(cores: Int): SparkSession.Builder =

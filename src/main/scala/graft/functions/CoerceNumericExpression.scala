@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the defensive numeric coercion (F10,
@@ -12,8 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * through. Same doGenCode static-call shape as [[PyToJson]] — the
   * bronze normalization stage stays inside one codegen span.
   */
-case class CoerceNumeric(child: Expression) extends UnaryExpression {
+case class CoerceNumeric(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "coerce_numeric"

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,8 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * so the surrounding `from_json(...)` pipeline stays in one codegen
   * span. Null in, null out; unparseable in, null out.
   */
-case class PyToJson(child: Expression) extends UnaryExpression {
+case class PyToJson(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "py_to_json"

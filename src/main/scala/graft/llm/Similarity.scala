@@ -82,7 +82,8 @@ object Similarity {
     * homogeneous embedding dimension (the norm for an embedding
     * column). */
   def lshBuckets(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val dim = embeddings.select(size(col("embedding"))).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0) // empty corpus: 0 rows out anyway
     val bits = (0 until nPlanes).map { p =>
       val plane = (0 until dim).map(planeComponent(p, _)).toArray
       val dotP = aggregate(

@@ -31,14 +31,19 @@ object AsOfJoin {
       "valueCols must be disjoint from left's columns")
     val leftCols = left.columns.toSeq
 
-    // unified shape: leftCols ++ __v_<valueCols> ++ __ts ++ __src
-    val lSide = valueCols.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__src", lit(1))) {
-      (d, c) => d.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType))
-    }
+    // unified shape: leftCols ++ __v (struct of valueCols) ++ __ts ++
+    // __src. The values travel as ONE struct: `last(ignoreNulls)` then
+    // skips only left rows (whole struct null), never a right row that
+    // legitimately carries a null FIELD — and all carried columns come
+    // from the same right row.
+    val vStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(name = c)))
+    val lSide = left
+      .withColumn("__ts", col(leftTs)).withColumn("__src", lit(1))
+      .withColumn("__v", lit(null).cast(vStructType))
     val rBase = right.select(
       col(key) +: col(rightTs).as("__ts") +:
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        struct(valueCols.map(col): _*).as("__v") +: Nil: _*)
       .withColumn("__src", lit(0))
     val rSide = leftCols.filterNot(_ == key).foldLeft(rBase) { (d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -47,11 +52,10 @@ object AsOfJoin {
     // right rows sort before left rows at equal ts: __src 0 < 1
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(lSide.unionByName(rSide)) { (d, c) =>
-      d.withColumn(s"__asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__src") === 1)
+    lSide.unionByName(rSide)
+      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"__asof_$c").as(c)): _*)
+        valueCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 }

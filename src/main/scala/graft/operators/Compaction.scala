@@ -17,7 +17,7 @@ object Compaction {
   /** File count + bytes per partition directory (the decision input). */
   def partitionStats(spark: SparkSession, path: String,
                      partitionCol: String): Seq[(String, Int, Long)] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new Path(path)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
@@ -32,25 +32,29 @@ object Compaction {
     * Returns the partitions rewritten. */
   def compact(spark: SparkSession, path: String, partitionCol: String,
               maxFiles: Int = 8, targetBytes: Long = 128L << 20): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val todo = partitionStats(spark, path, partitionCol)
       .filter(_._2 > maxFiles)
-    todo.map { case (dirName, _, bytes) =>
+    todo.foreach { case (dirName, _, bytes) =>
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       val src = new Path(path, dirName)
-      val tmp = new Path(path, dirName + "__compact")
+      // staging lives OUTSIDE the table root: a reader scanning the
+      // table mid-compaction must never discover the staged copy as an
+      // extra partition
+      val tmp = new Path(path + "__compact_staging", dirName)
       // partition dirs don't carry the partition column in the files;
       // rewrite the directory contents only — content-identical swap
       spark.read.parquet(src.toString)
         .repartition(nOut)
         .write.mode("overwrite").parquet(tmp.toString)
-      // drop _SUCCESS noise, then atomic-swap the directory
+      // drop _SUCCESS noise, then swap the directory
       fs.listStatus(tmp).filter(_.getPath.getName.startsWith("_"))
         .foreach(s => fs.delete(s.getPath, false))
       fs.delete(src, true)
       fs.rename(tmp, src)
-      dirName
     }
+    fs.delete(new Path(path + "__compact_staging"), true)
+    todo.map(_._1)
   }
 }

@@ -34,9 +34,8 @@ object MergeUpsert {
     * big partitioned ones; prefer [[intoPartitionedPath]] there. */
   def intoPath(spark: SparkSession, path: String, source: DataFrame,
                pks: Seq[String]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged =
       if (fs.exists(target)) apply(spark.read.parquet(path), source, pks)
       else source
@@ -67,19 +66,22 @@ object MergeUpsert {
   def intoPartitionedPath(spark: SparkSession, path: String, source: DataFrame,
                           pks: Seq[String],
                           partitionCol: String = "partition_value"): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) {
       source.write.partitionBy(partitionCol).parquet(path)
       return
     }
     val t = spark.read.parquet(path)
     val srcKeys = source.select(pks.map(col): _*)
-    // partitions holding rows the source replaces (semi join, then a
-    // partition-count-sized distinct)
-    val touchedRaw = t.join(srcKeys, pks, "left_semi")
-      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+    // touched = partitions holding rows the source replaces PLUS
+    // partitions the source writes into (an insert landing in an
+    // existing partition must not clobber its resident rows) — a
+    // partition-count-sized distinct either way
+    val touchedRaw = (t.join(srcKeys, pks, "left_semi")
+        .select(col(partitionCol))
+      unionByName source.select(col(partitionCol)))
+      .distinct().collect().map(_.get(0))
     val touched = touchedRaw.map(String.valueOf(_))
     // survivors inside touched partitions + all source rows; the typed
     // isin on partitionCol prunes the keep-side scan to touched partitions

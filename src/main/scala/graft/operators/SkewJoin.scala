@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * key or one whale customer — and the plan should never build the hot
   * partition in the first place).
   *
-  * The big side spreads each key over `salt` sub-keys (deterministic:
-  * a hash of the whole row, no RNG state, so retries and speculative
-  * tasks agree); the small side replicates each row `salt` times via
-  * one `explode` of a literal range. Join runs on (key, salt): the hot
+  * The big side spreads each key over `salt` sub-keys round-robin
+  * within each input partition (monotonically_increasing_id is stable
+  * for a given scan order, so retries of a task agree, and BYTE-
+  * IDENTICAL duplicate rows of the hot key still spread — a row-content
+  * hash would send them all to one sub-key and keep the hot
+  * partition); the small side replicates each row `salt` times via one
+  * `explode` of a literal range. Join runs on (key, salt): the hot
   * key's rows land in `salt` partitions instead of one.
   *
   * Cost model: replicates the small side salt-fold — right when
@@ -26,7 +29,7 @@ object SkewJoin {
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0)
     val bigS = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val smallS = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")

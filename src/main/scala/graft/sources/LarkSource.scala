@@ -88,9 +88,8 @@ object LarkSource {
   def writeLandingCsv(df: DataFrame, landingDir: String, tableId: String,
                       partition: String): String = {
     val spark = df.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val destDir = new Path(s"$landingDir/lark/$tableId/$partition")
+    val fs = destDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(destDir, "__csv_staging")
     val indexed = df.select((monotonically_increasing_id().as("") +:
       df.columns.map(col).toSeq): _*)

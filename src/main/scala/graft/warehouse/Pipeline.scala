@@ -27,7 +27,8 @@ final class Pipeline(spark: SparkSession, landingDir: String, lakeDir: String) {
     * data_helper.py:33) — dropped here. Returns None when absent. */
   def readLanding(table: String, partition: String): Option[DataFrame] = {
     val p = s"$landingDir/lark/${BronzeSchemas.tableIds(table)}/$partition/data.csv"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
     else {
       val raw = spark.read.option("header", "true").csv(p)

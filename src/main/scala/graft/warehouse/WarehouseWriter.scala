@@ -56,7 +56,8 @@ final class WarehouseWriter(spark: SparkSession, lakeDir: String) {
       stamp(df, partition), pks, "partition_value")
 
   def exists(layer: String, table: String): Boolean =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    new org.apache.hadoop.fs.Path(path(layer, table))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path(layer, table)))
 
   def read(layer: String, table: String): DataFrame =

@@ -31,6 +31,20 @@ class AsOfJoinSpec extends AnyFunSuite {
                        4L -> Some("v2"), 5L -> Some("v3")))
   }
 
+  test("a version whose value is null is still the one in effect") {
+    val events = Seq((1L, "k", ts("2024-06-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val versions = Seq(
+      ("k", ts("2024-06-01 09:00:00"), Some("v1")),
+      ("k", ts("2024-06-01 10:00:00"), None) // later version, null value
+    ).toDF("user_id", "vts", "label")
+    val got = AsOfJoin.asOf(events, versions, "user_id", "ts", "vts", Seq("label"))
+      .head()
+    // the in-effect version is the 10:00 one — its null must NOT be
+    // skipped in favor of the older v1
+    assert(got.isNullAt(got.fieldIndex("label")))
+  }
+
   test("left columns survive untouched; multiple value columns carried") {
     val events = Seq((1L, "k", ts("2024-06-01 10:00:00"), 7.5))
       .toDF("event_id", "user_id", "ts", "amount")

@@ -73,6 +73,18 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(new java.io.File(dir).getParentFile.list().toSeq === Seq("t"))
   }
 
+  test("insert-only source into an existing partition keeps resident rows") {
+    val dir = java.nio.file.Files.createTempDirectory("pmerge3").toString + "/t"
+    val t0 = Seq((1, "a", "p1"), (2, "b", "p1")).toDF("id", "v", "partition_value")
+    MergeUpsert.intoPartitionedPath(spark, dir, t0, Seq("id"))
+    // source has NO matched keys but lands in the existing p1
+    val src = Seq((9, "Z", "p1")).toDF("id", "v", "partition_value")
+    MergeUpsert.intoPartitionedPath(spark, dir, src, Seq("id"))
+    val got = spark.read.parquet(dir).orderBy("id")
+      .as[(Int, String, String)].collect().toSeq
+    assert(got === Seq((1, "a", "p1"), (2, "b", "p1"), (9, "Z", "p1")))
+  }
+
   test("intoPartitionedPath keeps survivors inside a touched partition") {
     val dir = java.nio.file.Files.createTempDirectory("pmerge2").toString + "/t"
     val t0 = Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))

@@ -30,11 +30,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     val saltedL = SkewJoin.saltedJoin(big, small, "k", salt = 8, "left")
     assert(saltedL.count() === plainL.count())
 
-    // the whale's rows actually carry multiple salt values
-    val salts = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(8)))
-      .filter(col("k") === 42L).select("__salt").distinct().count()
-    assert(salts > 1)
+    // the whale's rows actually carry multiple salt values — even when
+    // the rows are BYTE-IDENTICAL duplicates (a content hash would
+    // collapse them onto one salt and keep the hot partition)
+    val dupWhale = (1 to 800).map(_ => (42L, "same")).toDF("k", "payload")
+    val salts = dupWhale.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(salts == 8)
+    val dupJoined = SkewJoin.saltedJoin(dupWhale, small, "k", salt = 8)
+    assert(dupJoined.count() === 800)
   }
 
   test("bucketed co-located join has no shuffle exchange") {
