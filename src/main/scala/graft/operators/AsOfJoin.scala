@@ -23,7 +23,9 @@ object AsOfJoin {
   /** `left` joined as-of: every column of `left`, plus `valueCols` of
     * `right` carried from the key's latest right row with
     * `rightTs <= leftTs` (null when no such row precedes).
-    * `valueCols` must not collide with `left`'s column names. */
+    * `valueCols` must not collide with `left`'s column names; `right`
+    * must be unique per (key, rightTs) — two versions at the same
+    * instant have no defined winner. */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
            valueCols: Seq[String]): DataFrame = {

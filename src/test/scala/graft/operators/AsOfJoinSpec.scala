@@ -45,6 +45,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.isNullAt(got.fieldIndex("label")))
   }
 
+  test("matches a brute-force as-of on randomized input (fixed seed)") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "b", "c")
+    val events = (1 to 120).map(i =>
+      (i.toLong, keys(rnd.nextInt(3)), ts(f"2024-06-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+    val versions = (1 to 30).map { i =>
+      (keys(rnd.nextInt(3)), ts(f"2024-06-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), s"v$i")
+    } // duplicate (key, ts) possible: keep the lexicographically-last label
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+    val eDf = events.toDF("event_id", "user_id", "ts")
+    val vDf = versions.toDF("user_id", "vts", "label")
+
+    val got = AsOfJoin.asOf(eDf, vDf, "user_id", "ts", "vts", Seq("label"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("label"))).toMap
+
+    val expect = events.map { case (id, k, t) =>
+      val candidates = versions.filter(v => v._1 == k && !v._2.after(t))
+      id -> candidates.sortBy(v => (v._2.getTime, v._3)).lastOption.map(_._3)
+    }.toMap
+    assert(got === expect)
+  }
+
   test("left columns survive untouched; multiple value columns carried") {
     val events = Seq((1L, "k", ts("2024-06-01 10:00:00"), 7.5))
       .toDF("event_id", "user_id", "ts", "amount")
