@@ -44,8 +44,9 @@ object EventPipelines {
     val src =
       if (path.endsWith(".parquet")) {
         val i = path.lastIndexOf('/')
-        reader.option("pathGlobFilter", path.substring(i + 1))
-          .parquet(path.substring(0, i))
+        val (dir, file) =
+          if (i < 0) (".", path) else (path.substring(0, i), path.substring(i + 1))
+        reader.option("pathGlobFilter", file).parquet(dir)
       } else reader.parquet(path)
     src.withColumn("ts", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
   }
@@ -80,9 +81,13 @@ object EventPipelines {
       .withColumn("partition_value", to_date(col("ts")))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        // one epoch can carry the same pk twice (at-least-once upstream
+        // redelivery within a batch) — merge must see each pk once or
+        // the anti-join + union lands duplicate rows
+        val deduped = batch.dropDuplicates(pks)
+        if (!deduped.isEmpty)
           graft.operators.MergeUpsert.intoPartitionedPath(
-            batch.sparkSession, path, batch, pks)
+            batch.sparkSession, path, deduped, pks)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
 
@@ -117,8 +122,15 @@ object EventPipelines {
               val purchase = if (e.event_type == "purchase") 1 else 0
               cur match {
                 case Some(s) if sec - s.lastSec <= gapSec =>
-                  cur = Some(s.copy(lastSec = sec, nEvents = s.nEvents + 1,
-                                    nPurchases = s.nPurchases + purchase))
+                  // merge; a late event above the watermark may land
+                  // BEFORE the session's current bounds — extend, never
+                  // regress them (a regressed lastSec would wrongly
+                  // split the session on the next on-time event)
+                  cur = Some(s.copy(
+                    startSec = math.min(s.startSec, sec),
+                    lastSec = math.max(s.lastSec, sec),
+                    nEvents = s.nEvents + 1,
+                    nPurchases = s.nPurchases + purchase))
                 case Some(s) =>
                   closed ::= Session(userId, new java.sql.Timestamp(s.startSec * 1000),
                     s.lastSec - s.startSec, s.nEvents, s.nPurchases)

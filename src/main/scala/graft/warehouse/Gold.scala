@@ -55,7 +55,10 @@ object Gold {
         col("check_in_shift_time").cast("double")) / 3600.0, lit(0.0))
         .cast("long").as("working_duration_benchmark"),
       col("penalty").as("penalty_amount"))
-    // P5: drop rows with every column null (etl.py:655)
-    cube.filter(cube.columns.map(col(_).isNotNull).reduce(_ || _))
+    // P5 (etl.py:655, dropna(how='all')) is a REFERENCE NO-OP: the
+    // metric fillna(0) runs before it, so no cube row is ever all-null
+    // — an all-null source row survives with zeroed metrics (asserted
+    // by GoldenPipelineSpec). Reproduced faithfully by not filtering.
+    cube
   }
 }

@@ -31,7 +31,12 @@ final class Pipeline(spark: SparkSession, landingDir: String, lakeDir: String) {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
     else {
-      val raw = spark.read.option("header", "true").csv(p)
+      // multiLine + quote-escape: Lark free-text fields (notes, reasons)
+      // carry embedded newlines; pandas quotes them on write and reads
+      // them back — without multiLine Spark would split the quoted field
+      // into misaligned fragment rows
+      val raw = spark.read.option("header", "true")
+        .option("multiLine", "true").option("escape", "\"").csv(p)
       Some(raw.drop(raw.columns.head))
     }
   }
@@ -66,9 +71,14 @@ final class Pipeline(spark: SparkSession, landingDir: String, lakeDir: String) {
       writer.mergeUpsert(delta, "silver", "dim_vendor", partition,
         Seq("vendor_sur_id"))
     }
-    // re-read POST-MERGE dim state before the fact joins (etl.py:568-578)
-    val dimEmp = currentDim("dim_employee").getOrElse(spark.emptyDataFrame)
-    val dimVen = currentDim("dim_vendor").getOrElse(spark.emptyDataFrame)
+    // re-read POST-MERGE dim state before the fact joins (etl.py:568-578);
+    // a dim that doesn't exist yet joins as a TYPED empty slice (the
+    // schemaless emptyDataFrame would fail column resolution in the
+    // fact builders and abort the read-or-skip run)
+    val dimEmp = currentDim("dim_employee")
+      .getOrElse(Silver.emptyDimEmployeeSlice(spark))
+    val dimVen = currentDim("dim_vendor")
+      .getOrElse(Silver.emptyDimVendorSlice(spark))
     // facts sort within files by their common filter/join key so
     // parquet row-group stats prune scans at scale
     bronzeSlice("attendance_record", partition).foreach { ar =>

@@ -71,9 +71,22 @@ object Silver {
   /** Empty lark_id -> employee_sur_id lookup (first-run leader
     * resolution source). */
   private def emptyEmployeeLookup(spark: SparkSession): DataFrame =
+    emptyStrings(spark, Seq("lark_id", "employee_sur_id"))
+
+  /** Typed empty current-dim slices for first runs where the dim table
+    * doesn't exist yet but facts do land: the fact builders select by
+    * name, so the stand-in must carry the joined columns (a schemaless
+    * empty frame would fail resolution and abort the run). */
+  def emptyDimEmployeeSlice(spark: SparkSession): DataFrame =
+    emptyStrings(spark, Seq("user_id", "lark_id", "employee_sur_id",
+      "name", "job_title"))
+
+  def emptyDimVendorSlice(spark: SparkSession): DataFrame =
+    emptyStrings(spark, Seq("vendor_id", "vendor_sur_id"))
+
+  private def emptyStrings(spark: SparkSession, names: Seq[String]): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-      StructType(Seq(StructField("lark_id", StringType),
-                     StructField("employee_sur_id", StringType))))
+      StructType(names.map(StructField(_, StringType))))
 
   /** SCD2 delta for dim_employee; `dimCurrent` = None on the first run. */
   def dimEmployeeDelta(bronze: DataFrame, dimCurrent: Option[DataFrame]): DataFrame = {
@@ -94,13 +107,16 @@ object Silver {
 
   private val Scd2Meta = Seq("valid_from", "valid_to", "is_current")
 
-  /** fact_attendance_record (reference: etl.py:424-447): enrich-join
-    * against the current dim — the fact's declared schema keeps only
-    * the record's own columns (DDL: dwh/silver/fact_attendance_record.py). */
+  /** fact_attendance_record (reference: etl.py:424-447): the reference
+    * merges the FULL dim then apply_schema drops every dim column (the
+    * DDL keeps only the record's own fields) — the join is retained for
+    * semantic parity (it would duplicate fact rows if the dim ever held
+    * two current rows per user_id, exactly as the reference would), but
+    * builds its broadcast from the key column alone. */
   def factAttendanceRecord(bronze: DataFrame, dimEmployeeCurrent: DataFrame): DataFrame =
     bronze
-      .join(broadcast(dimEmployeeCurrent.select(col("user_id"),
-        col("employee_sur_id"))), Seq("user_id"), "left")
+      .join(broadcast(dimEmployeeCurrent.select(col("user_id"))),
+        Seq("user_id"), "left")
       .select("user_id", "attendance_record_id", "check_time",
               "check_location_name", "is_offsite", "attendance_date")
 
