@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 import scala.collection.mutable.LinkedHashMap
 
 /** Benchmark main: times each registered query at SPARK_GRAFT_SF_DIR.
@@ -9,6 +10,11 @@ import scala.collection.mutable.LinkedHashMap
   * 1's numbers), then `SPARK_GRAFT_BENCH_REPS` timed runs per query
   * (default 3) reporting the per-query median. A failing query is
   * reported explicitly under "errors" — never folded into a timing.
+  *
+  * The sink hashes EVERY output column (`xxhash64` over all columns,
+  * summed): a bare `count()` would let Catalyst prune the projection-
+  * only operators being benchmarked (simhash, token counts,
+  * fingerprints would degenerate to zero-column row counts).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,9 +29,12 @@ object Bench {
     val errors = LinkedHashMap[String, String]()
     def timeOne(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+          .agg(sum("__h")).head()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .replaceAll("\\s+", " ").take(200)
         None }
@@ -38,13 +47,23 @@ object Bench {
       n -> (if (runs.isEmpty) None else Some(runs.sorted.apply(runs.size / 2)))
     }
 
-    val qs = timings.collect { case (k, Some(v)) => s"\"" + k + "\":" + f"$v%.3f" }
+    // locale-safe number text + full control-char escaping (same
+    // contract as Verify's oracle_sql.json writer: a stray control
+    // char or comma-decimal would break the driver's json.load)
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = timings.collect { case (k, Some(v)) => q(k) + ":" + num(v) }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
-    val total = f"${timings.flatMap(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }
+      .mkString("{", ",", "}")
+    val total = num(timings.flatMap(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -53,7 +53,7 @@ object Dedup {
 
   /** Tier 3a: MinHash signatures — ONE md5 per distinct shingle
     * (folded to a 48-bit integer), then `k` affine hash functions
-    * h_i(x) = (a_i x + b_i) mod (2^61 - 1) over that integer: the
+    * h_i(x) = (a_i x + b_i) mod (2^31 - 1) over that integer: the
     * standard cheap min-wise family, 8x fewer digest calls than
     * hashing per (i, shingle). One narrow map, no shuffle; every
     * operation (md5, hex fold, affine mod) is expressible identically
@@ -94,6 +94,10 @@ object Dedup {
     * first so no degenerate all-identical bucket survives to this tier. */
   def lshCandidatePairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
                         shingle: Int = 3): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k ($k) must divide evenly into bands ($bands): a remainder " +
+        "silently drops signatures, and bands > k makes every bucket a " +
+        "constant (one all-corpus bucket per band)")
     val rows = k / bands
     val sigs = minhashSignatures(docs, k, shingle)
     val bucketCols = (0 until bands).map { b =>

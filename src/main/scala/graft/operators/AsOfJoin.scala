@@ -31,6 +31,9 @@ object AsOfJoin {
            valueCols: Seq[String]): DataFrame = {
     require(valueCols.forall(!left.columns.contains(_)),
       "valueCols must be disjoint from left's columns")
+    val reserved = Seq("__ts", "__src", "__v", "__asof")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"columns named ${reserved.mkString("/")} are reserved by asOf")
     val leftCols = left.columns.toSeq
 
     // unified shape: leftCols ++ __v (struct of valueCols) ++ __ts ++

@@ -36,25 +36,32 @@ object Compaction {
       spark.sparkContext.hadoopConfiguration)
     val todo = partitionStats(spark, path, partitionCol)
       .filter(_._2 > maxFiles)
+    val staging = new Path(path + "__compact_staging")
+    val trash = new Path(path + "__compact_trash")
     todo.foreach { case (dirName, _, bytes) =>
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       val src = new Path(path, dirName)
       // staging lives OUTSIDE the table root: a reader scanning the
       // table mid-compaction must never discover the staged copy as an
       // extra partition
-      val tmp = new Path(path + "__compact_staging", dirName)
+      val tmp = new Path(staging, dirName)
       // partition dirs don't carry the partition column in the files;
       // rewrite the directory contents only — content-identical swap
       spark.read.parquet(src.toString)
         .repartition(nOut)
         .write.mode("overwrite").parquet(tmp.toString)
-      // drop _SUCCESS noise, then swap the directory
       fs.listStatus(tmp).filter(_.getPath.getName.startsWith("_"))
         .foreach(s => fs.delete(s.getPath, false))
-      fs.delete(src, true)
+      // swap = two renames, never a delete of live data: a crash
+      // between them leaves the original recoverable under
+      // __compact_trash (and the staged copy under __compact_staging —
+      // both cleaned only at the END of a SUCCESSFUL run)
+      fs.mkdirs(trash)
+      fs.rename(src, new Path(trash, dirName))
       fs.rename(tmp, src)
     }
-    fs.delete(new Path(path + "__compact_staging"), true)
+    fs.delete(staging, true)
+    fs.delete(trash, true)
     todo.map(_._1)
   }
 }

@@ -78,16 +78,30 @@ object MergeUpsert {
     // partitions the source writes into (an insert landing in an
     // existing partition must not clobber its resident rows) — a
     // partition-count-sized distinct either way
-    val touchedRaw = (t.join(srcKeys, pks, "left_semi")
+    val touchedAll = (t.join(srcKeys, pks, "left_semi")
         .select(col(partitionCol))
       unionByName source.select(col(partitionCol)))
       .distinct().collect().map(_.get(0))
-    val touched = touchedRaw.map(String.valueOf(_))
+    val touchedRaw = touchedAll.filter(_ != null)
+    val touchedHasNull = touchedAll.exists(_ == null)
+    // directory names use Spark's own escaping (special chars, and the
+    // __HIVE_DEFAULT_PARTITION__ null sentinel) so the swap and the
+    // stale-dir cleanup match what the writer actually produced
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName _
+    val touched = touchedRaw.map(v =>
+      s"${esc(partitionCol)}=${esc(String.valueOf(v))}") ++
+      (if (touchedHasNull) Seq(s"${esc(partitionCol)}=__HIVE_DEFAULT_PARTITION__")
+       else Nil)
     // survivors inside touched partitions + all source rows; the typed
-    // isin on partitionCol prunes the keep-side scan to touched partitions
-    val keep = t
-      .filter(col(partitionCol).isin(touchedRaw.toSeq: _*))
-      .join(srcKeys, pks, "left_anti")
+    // isin on partitionCol prunes the keep-side scan to touched
+    // partitions (null partition handled explicitly — isin is never
+    // true for null)
+    val touchedPred =
+      if (touchedHasNull)
+        col(partitionCol).isin(touchedRaw.toSeq: _*) || col(partitionCol).isNull
+      else col(partitionCol).isin(touchedRaw.toSeq: _*)
+    val keep = t.filter(touchedPred).join(srcKeys, pks, "left_anti")
     val out = keep.unionByName(source.select(t.columns.map(col): _*))
     // stage fully (materializes out BEFORE any target mutation)...
     val tmp = new Path(path + "__merge_staging")
@@ -103,7 +117,7 @@ object MergeUpsert {
     }
     // a touched partition whose rows ALL matched and got no replacements
     // stages nothing — drop its stale directory explicitly
-    touched.map(v => s"$partitionCol=$v").filterNot(stagedNames).foreach { name =>
+    touched.filterNot(stagedNames).foreach { name =>
       fs.delete(new Path(target, name), true)
     }
     fs.delete(tmp, true)

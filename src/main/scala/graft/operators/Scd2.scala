@@ -44,6 +44,17 @@ object Scd2 {
     val sentinelTs = to_timestamp(lit(Sentinel))
     val attrCols = batch.columns.toSeq
 
+    // a batch may carry several versions of one key (two edits inside
+    // one micro-batch); keep the LATEST per key — without this, every
+    // intra-batch version opens as current and the dim ends with
+    // duplicate surrogate keys and two is_current rows (the batch is a
+    // snapshot delta, not an ordered history; replay history through
+    // fromHistory or per-version applyBatch folds instead)
+    val batchLatest = batch
+      .groupBy(col(naturalKey))
+      .agg(max_by(struct(attrCols.map(col): _*), col(tsCol)).as("__r"))
+      .select(attrCols.map(c => col(s"__r.$c").as(c)): _*)
+
     // One join, reused by all three branches (Catalyst caches the
     // common subplan per-branch; at scale the dim side is the smaller
     // current-slice and broadcasts).
@@ -52,10 +63,10 @@ object Scd2 {
       col(tsCol).as(s"${tsCol}_latest"))
 
     // Branch 1 — net-new natural keys (reference: etl.py:310-317).
-    val netNew = batch.join(latest, Seq(naturalKey), "left_anti")
+    val netNew = batchLatest.join(latest, Seq(naturalKey), "left_anti")
 
     // Branch 2 — new version of changed keys (reference: etl.py:320-329).
-    val changed = batch.join(latest, Seq(naturalKey))
+    val changed = batchLatest.join(latest, Seq(naturalKey))
       .filter(col(s"${tsCol}_latest") < col(tsCol))
       .select(attrCols.map(col): _*)
 
@@ -67,7 +78,7 @@ object Scd2 {
     // Branch 3 — expire the old version (reference: etl.py:332-340):
     // old row's attributes survive; change ts is OVERWRITTEN to the new
     // version's ts; valid_from untouched; old surrogate key carried.
-    val newTs = batch.select(col(naturalKey), col(tsCol).as(s"${tsCol}_new"))
+    val newTs = batchLatest.select(col(naturalKey), col(tsCol).as(s"${tsCol}_new"))
     val expired = dimCurrent.join(newTs, Seq(naturalKey))
       .filter(col(tsCol) < col(s"${tsCol}_new"))
       .withColumn(tsCol, col(s"${tsCol}_new"))
