@@ -152,17 +152,24 @@ object Dedup {
   }
 
   /** SimHash fingerprints: 32 bit positions; bit j is the sign of the
-    * sum over the doc's distinct words of ±1 votes derived from
-    * md5(j || '|' || word). Near-dup docs agree on most bits. Emitted
-    * as a bit string (hamming-comparable, engine-portable). */
-  def simhash(docs: DataFrame, bits: Int = 32): DataFrame =
+    * sum over the doc's distinct words of ±1 votes — vote j is BIT j of
+    * ONE md5-derived 48-bit integer per word (md5 bits are uniform and
+    * independent), not a separate digest per (j, word): one digest per
+    * word instead of `bits`, the same one-digest trick as tier 3a.
+    * Near-dup docs agree on most bits; emitted as a bit string
+    * (hamming-comparable, engine-portable). */
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits <= 48, "votes are drawn from a 48-bit word hash")
     docs
       .withColumn("w", array_distinct(split(col("text"), " ")))
+      .withColumn("xs",
+        expr("transform(w, x -> CAST(conv(substr(md5(x), 1, 12), 16, 10) AS BIGINT))"))
       .withColumn("simhash",
         concat((0 until bits).map { j =>
-          val vote = s"aggregate(transform(w, x -> CASE WHEN substr(md5('$j|' || x), 1, 1) " +
-            s"BETWEEN '0' AND '7' THEN -1 ELSE 1 END), 0, (acc, v) -> acc + v)"
+          val vote = s"aggregate(transform(xs, x -> CASE WHEN (shiftright(x, $j) & 1) = 1 " +
+            s"THEN 1 ELSE -1 END), 0, (acc, v) -> acc + v)"
           expr(s"CASE WHEN $vote > 0 THEN '1' ELSE '0' END")
         }: _*))
       .select(col("doc_id"), col("simhash"))
+  }
 }

@@ -94,11 +94,13 @@ object LlmQueries {
 
   val simhashFingerprintsSql: String = {
     val bitExprs = (0 until 32).map { j =>
-      s"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN substr(md5('$j|' || x), 1, 1) " +
-        s"BETWEEN '0' AND '7' THEN -1 ELSE 1 END)) > 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN list_sum(list_transform(xs, x -> CASE WHEN (x >> $j) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
     s"""SELECT doc_id, $bitExprs AS simhash
-       |FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents)
+       |FROM (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+       |        x -> CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)) AS xs
+       |      FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -205,15 +207,18 @@ object LlmQueries {
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprints(docs(s, dir)).orderBy("doc_id")
 
-  val fingerprintsSql: String =
-    """SELECT doc_id, len(fps) AS n_fingerprints,
-      |  list_min(fps) AS min_fingerprint, list_max(fps) AS max_fingerprint
-      |FROM (SELECT doc_id,
-      |  CASE WHEN length(text) < 8 THEN CAST([] AS VARCHAR[])
-      |  ELSE list_filter(list_transform(generate_series(1, length(text) - 7),
-      |         i -> md5(substr(text, i, 8))), h -> substr(h, 1, 1) = '0')
-      |  END AS fps FROM documents)
-      |ORDER BY doc_id""".stripMargin
+  val fingerprintsSql: String = {
+    // identical expression text in both engines (substr/ascii shared)
+    val h = TextStats.polyHash(k => s"substr(text, i + $k, 1)")
+    s"""SELECT doc_id, len(fps) AS n_fingerprints,
+       |  list_min(fps) AS min_fingerprint, list_max(fps) AS max_fingerprint
+       |FROM (SELECT doc_id,
+       |  CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
+       |  ELSE list_filter(list_transform(generate_series(1, length(text) - 7),
+       |         i -> $h), x -> x % 16 = 0)
+       |  END AS fps FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q51
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =

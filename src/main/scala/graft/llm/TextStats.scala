@@ -43,16 +43,34 @@ object TextStats {
         .as("regex_tokens"),
       length(col("text")).as("n_bytes"))
 
-  /** Content-defined fingerprints: all char 8-gram shingles hashed,
-    * keep the 1/16 sample where md5 starts with '0' (winnowing-style
-    * selection) — a compact sketch for containment/overlap checks. */
+  /** Powers of 31 mod 2^31-1 for the 8-char polynomial hash — shared
+    * with the DuckDB oracle so both engines unroll the same terms. */
+  private[llm] val Pow31: Seq[Long] = {
+    val p = 2147483647L
+    Iterator.iterate(1L)(x => x * 31 % p).take(8).toSeq
+  }
+
+  /** The unrolled polynomial: sum_k ascii(char at i+k) * 31^k mod
+    * 2^31-1 — integer ops only, ~50x cheaper per position than a
+    * digest, and expressible verbatim in any engine with ascii(). */
+  private[llm] def polyHash(substrFn: (Int) => String): String =
+    (0 until 8).map(k =>
+      s"CAST(ascii(${substrFn(k)}) AS BIGINT) * ${Pow31(k)}")
+      .mkString("(", " + ", ") % 2147483647")
+
+  /** Content-defined fingerprints: every char 8-gram hashed with a
+    * polynomial over its code points (a digest per position made this
+    * the 2nd-slowest operator in the suite), keep the 1/16 sample where
+    * hash % 16 == 0 (winnowing-style selection) — a compact sketch for
+    * containment/overlap checks. */
   def fingerprints(docs: DataFrame): DataFrame = {
+    val h = polyHash(k => s"substr(text, i + $k, 1)")
     docs
       .withColumn("fps", expr(
-        """CASE WHEN length(text) < 8 THEN array()
-          |ELSE filter(transform(sequence(1, length(text) - 7),
-          |            i -> md5(substr(text, i, 8))), h -> substr(h, 1, 1) = '0')
-          |END""".stripMargin))
+        s"""CASE WHEN length(text) < 8 THEN array()
+           |ELSE filter(transform(sequence(1, length(text) - 7),
+           |            i -> $h), x -> x % 16 = 0)
+           |END""".stripMargin))
       .select(
         col("doc_id"),
         size(col("fps")).as("n_fingerprints"),
