@@ -208,15 +208,17 @@ object LlmQueries {
     TextStats.fingerprints(docs(s, dir)).orderBy("doc_id")
 
   val fingerprintsSql: String = {
-    // identical expression text in both engines (substr/ascii shared)
-    val h = TextStats.polyHash(k => s"substr(text, i + $k, 1)")
+    val h = TextStats.polyHash(k => s"cps[i + $k]")
     s"""SELECT doc_id, len(fps) AS n_fingerprints,
        |  list_min(fps) AS min_fingerprint, list_max(fps) AS max_fingerprint
        |FROM (SELECT doc_id,
-       |  CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
-       |  ELSE list_filter(list_transform(generate_series(1, length(text) - 7),
+       |  CASE WHEN len(cps) < 8 THEN CAST([] AS BIGINT[])
+       |  ELSE list_filter(list_transform(generate_series(1, len(cps) - 7),
        |         i -> $h), x -> x % 16 = 0)
-       |  END AS fps FROM documents)
+       |  END AS fps FROM (
+       |    SELECT doc_id,
+       |      list_transform(string_split(text, ''), c -> ascii(c)) AS cps
+       |    FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -50,12 +50,14 @@ object TextStats {
     Iterator.iterate(1L)(x => x * 31 % p).take(8).toSeq
   }
 
-  /** The unrolled polynomial: sum_k ascii(char at i+k) * 31^k mod
-    * 2^31-1 — integer ops only, ~50x cheaper per position than a
-    * digest, and expressible verbatim in any engine with ascii(). */
-  private[llm] def polyHash(substrFn: (Int) => String): String =
+  /** The unrolled polynomial over a precomputed code-point array `cps`:
+    * sum_k cps[i+k] * 31^k mod 2^31-1 — integer ops with O(1) array
+    * indexing. The code points MUST be materialized once per doc first:
+    * per-position `substr(text, i, 1)` seeks from the string start in
+    * UTF8-aware engines, turning the scan quadratic per document. */
+  private[llm] def polyHash(elemFn: (Int) => String): String =
     (0 until 8).map(k =>
-      s"CAST(ascii(${substrFn(k)}) AS BIGINT) * ${Pow31(k)}")
+      s"CAST(${elemFn(k)} AS BIGINT) * ${Pow31(k)}")
       .mkString("(", " + ", ") % 2147483647")
 
   /** Content-defined fingerprints: every char 8-gram hashed with a
@@ -64,11 +66,13 @@ object TextStats {
     * hash % 16 == 0 (winnowing-style selection) — a compact sketch for
     * containment/overlap checks. */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val h = polyHash(k => s"substr(text, i + $k, 1)")
+    val h = polyHash(k => s"element_at(cps, i + $k)")
     docs
+      // one O(n) pass builds the code points; everything after is O(1)
+      .withColumn("cps", expr("transform(split(text, ''), c -> ascii(c))"))
       .withColumn("fps", expr(
-        s"""CASE WHEN length(text) < 8 THEN array()
-           |ELSE filter(transform(sequence(1, length(text) - 7),
+        s"""CASE WHEN size(cps) < 8 THEN array()
+           |ELSE filter(transform(sequence(1, size(cps) - 7),
            |            i -> $h), x -> x % 16 = 0)
            |END""".stripMargin))
       .select(
