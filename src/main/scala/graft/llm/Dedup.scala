@@ -151,6 +151,56 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Exact Jaccard verification of a given candidate pair list:
+    * attaches similarity to each (a, b) pair — two hash joins against
+    * the docs' distinct word sets, linear in candidates. */
+  def verifyPairs(docs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("w"))
+    pairs
+      .join(ws.select(col("doc_id").as("a"), col("w").as("wa")), Seq("a"))
+      .join(ws.select(col("doc_id").as("b"), col("w").as("wb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("wa")) + size(col("wb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** The whole ladder as ONE operator — what a training-data pipeline
+    * actually calls. Returns every doc with (keep, drop_reason):
+    *   1+2. normalized/exact duplicates collapse to the smallest doc_id
+    *        per canonical form ("normalized_dup");
+    *   3.   MinHash-LSH proposes candidate near-dup pairs over the
+    *        survivors (bucketed, never all-pairs);
+    *   4.   exact Jaccard verifies candidates; of each verified pair
+    *        the larger doc_id drops ("near_dup" — greedy keep-smallest,
+    *        the standard corpus-dedup rule).
+    * Every stage is a bounded join or aggregation — no iteration, no
+    * driver state; the plan is a DAG of shuffles on md5/bucket keys. */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.8,
+                  k: Int = 8, bands: Int = 4, shingle: Int = 3): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val withCanon = docs.withColumn("canon_hash", md5(canon))
+    val keepPerCanon = withCanon.groupBy(col("canon_hash"))
+      .agg(min(col("doc_id")).as("canon_keep_id"))
+    val t12 = withCanon.join(keepPerCanon, Seq("canon_hash"))
+      .withColumn("normalized_dup", col("doc_id") =!= col("canon_keep_id"))
+    val survivors = t12.filter(!col("normalized_dup"))
+      .select(docs.columns.map(col): _*)
+    val candidates = lshCandidatePairs(survivors, k, bands, shingle)
+    val nearDupIds = verifyPairs(survivors, candidates, threshold)
+      .select(col("b").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    t12.join(nearDupIds, Seq("doc_id"), "left")
+      .select(docs.columns.map(col) :+
+        (!col("normalized_dup") && col("near_dup").isNull).as("keep") :+
+        when(col("normalized_dup"), lit("normalized_dup"))
+          .when(col("near_dup").isNotNull, lit("near_dup"))
+          .as("drop_reason"): _*)
+  }
+
   /** SimHash fingerprints: 32 bit positions; bit j is the sign of the
     * sum over the doc's distinct words of ±1 votes — vote j is BIT j of
     * ONE md5-derived 48-bit integer per word (md5 bits are uniform and

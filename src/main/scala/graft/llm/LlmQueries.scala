@@ -49,7 +49,9 @@ object LlmQueries {
     Dedup.lshCandidatePairs(docs(s, dir), k = 8, bands = 4, shingle = 3)
       .orderBy("a", "b")
 
-  val minhashLshPairsSql: String = {
+  /** sh -> sx -> sig -> banded -> cand CTE chain over a `docsRel`
+    * relation with (doc_id, text) — shared by q42 and q54. */
+  private def lshCandidateCtes(docsRel: String): String = {
     val sigCols = (0 until 8).map { i =>
       val (a, b) = Dedup.affine(i)
       s"list_min(list_transform(xs, x -> ($a * x + $b) % ${Dedup.MersennePrime})) AS mh$i"
@@ -57,19 +59,23 @@ object LlmQueries {
     val bandRows = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+    s"""sh AS (SELECT doc_id, $shinglesSql AS shingles FROM $docsRel),
        |sx AS (SELECT doc_id, list_transform(shingles,
        |         s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)) AS xs FROM sh),
        |sig AS (SELECT doc_id,
        |    $sigCols
        |  FROM sx),
        |banded AS (
-       |  $bandRows)
-       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |FROM banded l JOIN banded r
-       |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-       |ORDER BY a, b""".stripMargin
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
   }
+
+  val minhashLshPairsSql: String =
+    s"""WITH ${lshCandidateCtes("documents")}
+       |SELECT a, b FROM cand ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------- q43
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
@@ -293,6 +299,39 @@ object LlmQueries {
        |    ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** The whole dedup ladder as one call: per-doc keep/drop verdicts
+    * (normalized collapse -> LSH candidates -> Jaccard verify). */
+  def dedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(docs(s, dir), threshold = 0.5)
+      .select(col("doc_id"), col("keep"), col("drop_reason"))
+      .orderBy("doc_id")
+
+  val dedupCorpusSql: String =
+    s"""WITH canon AS (
+       |  SELECT doc_id, text, md5(trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_hash
+       |  FROM documents),
+       |keepc AS (SELECT canon_hash, MIN(doc_id) AS canon_keep_id
+       |          FROM canon GROUP BY 1),
+       |t12 AS (SELECT c.doc_id, c.text, c.doc_id <> k.canon_keep_id AS normalized_dup
+       |        FROM canon c JOIN keepc k USING (canon_hash)),
+       |surv AS (SELECT doc_id, text FROM t12 WHERE NOT normalized_dup),
+       |${lshCandidateCtes("surv")},
+       |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM surv),
+       |nd AS (
+       |  SELECT DISTINCT cand.b AS doc_id
+       |  FROM cand
+       |  JOIN ws wa ON wa.doc_id = cand.a
+       |  JOIN ws wb ON wb.doc_id = cand.b
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |    (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.5)
+       |SELECT t12.doc_id,
+       |  (NOT normalized_dup AND nd.doc_id IS NULL) AS keep,
+       |  CASE WHEN normalized_dup THEN 'normalized_dup'
+       |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END AS drop_reason
+       |FROM t12 LEFT JOIN nd USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -310,6 +349,7 @@ object LlmQueries {
     "q51_multimodal_features" -> (multimodalFeatures _),
     "q52_embedding_neardup" -> (embeddingNearDup _),
     "q53_ivf_topk" -> (ivfTopK _),
+    "q54_dedup_corpus" -> (dedupCorpus _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,5 +367,6 @@ object LlmQueries {
     "q51_multimodal_features" -> multimodalFeaturesSql,
     "q52_embedding_neardup" -> embeddingNearDupSql,
     "q53_ivf_topk" -> ivfTopKSql,
+    "q54_dedup_corpus" -> dedupCorpusSql,
   )
 }

@@ -102,6 +102,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats(1L).width === 22 && feats(1L).height === 22)
   }
 
+  test("dedupCorpus: ladder drops exact, normalized, and near dups with reasons") {
+    val out = Dedup.dedupCorpus(docsDf, threshold = 0.5, k = 8, bands = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), Option(r.getAs[String]("drop_reason")))).toMap
+    assert(out(1L) == (true, None))                       // canonical survivor
+    assert(out(2L) == (false, Some("normalized_dup")))    // exact dup of 1
+    assert(out(3L) == (false, Some("normalized_dup")))    // case/punct dup of 1
+    assert(out(4L) == (true, None))                       // unrelated
+    assert(out(5L) == (false, Some("near_dup")))          // near dup of 1
+  }
+
   test("multimodal resize: exact target size, deterministic, repeats short input") {
     val media = Multimodal.asMediaTable(docsDf)
     val out = Multimodal.resizeBatch(spark, media, 8, 4).collect()
