@@ -177,7 +177,13 @@ object Dedup {
     *        the larger doc_id drops ("near_dup" — greedy keep-smallest,
     *        the standard corpus-dedup rule).
     * Every stage is a bounded join or aggregation — no iteration, no
-    * driver state; the plan is a DAG of shuffles on md5/bucket keys. */
+    * driver state; the plan is a DAG of shuffles on md5/bucket keys.
+    * The survivors slice feeds three branches (candidates, verify,
+    * final verdict join) and Catalyst recomputes the canonicalization
+    * regex per branch — at corpus scale, persist() or checkpoint the
+    * survivors DataFrame between stages (deliberately not done inside
+    * this operator: it returns a lazy plan and must not leak cached
+    * state). */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.8,
                   k: Int = 8, bands: Int = 4, shingle: Int = 3): DataFrame = {
     val canon = trim(regexp_replace(
