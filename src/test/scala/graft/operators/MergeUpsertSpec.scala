@@ -85,6 +85,19 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(got === Seq((1, "a", "p1"), (2, "b", "p1"), (9, "Z", "p1")))
   }
 
+  test("null partition values merge without losing resident rows") {
+    val dir = java.nio.file.Files.createTempDirectory("pmerge4").toString + "/t"
+    val t0 = Seq((1, "a", Some("p1")), (2, "b", None), (3, "c", None))
+      .toDF("id", "v", "partition_value")
+    MergeUpsert.intoPartitionedPath(spark, dir, t0, Seq("id"))
+    // replace id=2 inside the null partition; id=3 must survive there
+    val src = Seq((2, "B", Option.empty[String])).toDF("id", "v", "partition_value")
+    MergeUpsert.intoPartitionedPath(spark, dir, src, Seq("id"))
+    val got = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(got === Seq((1, "a", Some("p1")), (2, "B", None), (3, "c", None)))
+  }
+
   test("intoPartitionedPath keeps survivors inside a touched partition") {
     val dir = java.nio.file.Files.createTempDirectory("pmerge2").toString + "/t"
     val t0 = Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))

@@ -81,6 +81,25 @@ class Scd2Spec extends AnyFunSuite {
     assert(e1.toSeq === Seq((100L, 200L, 200L), (200L, 300L, 300L)))
   }
 
+  test("a batch with two versions of one key opens ONE current row (the latest)") {
+    // both E1 versions arrive in a single micro-batch against a dim
+    // holding E1@100 — without latest-per-key collapse the delta would
+    // open both as current and expire the old row twice
+    val dim = Scd2.fromHistory(
+      versionsDf.filter(col("attr") === "a"),
+      "user_id", "datetime_updated", "user_sur_id")
+      .select("user_sur_id", "user_id", "datetime_updated", "attr",
+        "valid_from", "valid_to", "is_current")
+    val batch = versionsDf.filter(col("attr").isin("b", "c")) // E1@200, E1@300
+      .withColumn("user_sur_id", surrogateKey(col("user_id"), col("datetime_updated")))
+      .select("user_sur_id", "user_id", "datetime_updated", "attr")
+    val after = Scd2.applyBatch(dim, batch, "user_id", "datetime_updated", "user_sur_id")
+    assert(after.filter(col("is_current")).count() == 1)
+    assert(after.filter(col("is_current")).select("attr").head().getString(0) == "c")
+    // no duplicate surrogate keys
+    assert(after.count() == after.select("user_sur_id").distinct().count())
+  }
+
   test("current rows keep sentinel valid_to") {
     val cur = oneShot.filter(col("is_current"))
     assert(cur.filter(col("valid_to") =!= to_timestamp(lit(Scd2.Sentinel))).isEmpty)
