@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.operators.{AsOfJoin, MergeUpsert, Scd2, SkewJoin}
+import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, Scd2, SkewJoin}
 import graft.functions.LarkFunctions
 
 /** Warehouse-layer operators (SCD2, MERGE upsert, bronze normalize)
@@ -260,9 +260,42 @@ object WarehouseQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Overlapping price bands for q38 — overlap makes it a genuine
+    * interval join (several bands can claim one order), not a binning. */
+  private val priceBands: Seq[(String, Long, Long)] =
+    (0 until 20).map(i => (f"band_$i%02d", i * 15000L, i * 15000L + 29999L))
+
+  // ---------------------------------------------------------------- q38
+  /** Interval (band) join via [[RangeJoin.bucketed]]: every order
+    * matched to every overlapping price band as a bucketized equi-join
+    * — Spark's own plan for the BETWEEN predicate would be a
+    * nested-loop; the oracle runs the plain BETWEEN join. */
+  def priceBandJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = priceBands.toDF("band", "lo", "hi")
+    RangeJoin.bucketed(
+      Tables.load(s, dir, "orders"), bands, "o_totalprice", "lo", "hi",
+      bucketWidth = 15000L)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+           graft.functions.Exact.sumMoney(col("o_totalprice")).as("total"))
+      .orderBy("band")
+  }
+
+  val priceBandJoinSql: String = {
+    val values = priceBands
+      .map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+    s"""WITH bands(band, lo, hi) AS (VALUES $values)
+       |SELECT band, COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+       |GROUP BY band ORDER BY band""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_asof_dim_lookup" -> (asofDimLookup _),
     "q37_salted_enrich" -> (saltedEnrich _),
+    "q38_price_band_join" -> (priceBandJoin _),
     "q30_scd2_user_dim" -> (scd2UserDim _),
     "q31_merge_upsert_orders" -> (mergeUpsertOrders _),
     "q32_bronze_normalize_events" -> (bronzeNormalizeEvents _),
@@ -274,6 +307,7 @@ object WarehouseQueries {
   val oracles: Map[String, String] = Map(
     "q36_asof_dim_lookup" -> asofDimLookupSql,
     "q37_salted_enrich" -> saltedEnrichSql,
+    "q38_price_band_join" -> priceBandJoinSql,
     "q30_scd2_user_dim" -> scd2UserDimSql,
     "q31_merge_upsert_orders" -> mergeUpsertOrdersSql,
     "q32_bronze_normalize_events" -> bronzeNormalizeEventsSql,

@@ -100,6 +100,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
   }
 
+  test("q38 interval join is a bucketized equi-join — no nested loop") {
+    val plan = planText(graft.analytics.WarehouseQueries.priceBandJoin(spark, sf))
+    assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+  }
+
   test("q45 exact top-k broadcasts the query batch over one corpus pass") {
     val df = graft.llm.LlmQueries.cosineTopK(spark, sf)
     val plan = planText(df)
