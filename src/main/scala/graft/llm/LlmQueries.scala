@@ -118,47 +118,33 @@ object LlmQueries {
       .orderBy("query_id", "rank")
 
   val cosineTopKSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
-      |scored AS (
-      |  SELECT query_id, vec_id, round(
-      |    list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * v[i])) /
-      |    sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i]))) /
-      |    sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))), 6)
-      |    AS cos_sim
-      |  FROM e CROSS JOIN q WHERE vec_id <> query_id)
-      |SELECT query_id, rank, vec_id, cos_sim FROM (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |    ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
-      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |scored AS (
+       |  SELECT query_id, vec_id, ${cosSql("qe", "v")} AS cos_sim
+       |  FROM e CROSS JOIN q WHERE vec_id <> query_id)
+       |SELECT query_id, rank, vec_id, cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q46
   def annBucketTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopKInBucket(emb(s, dir), knnQueryIds, k = 5, nPlanes = 8)
       .orderBy("query_id", "rank")
 
-  val annBucketTopKSql: String = {
-    val bucketExpr = (0 until 8).map { p =>
-      s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), " +
-        s"j -> v[j] * (CASE WHEN substr(md5('$p|' || CAST(j - 1 AS VARCHAR)), 1, 1) < '8' " +
-        s"THEN -1.0 ELSE 1.0 END))) > 0 THEN '1' ELSE '0' END)"
-    }.mkString(" || ")
+  val annBucketTopKSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
        |q AS (SELECT vec_id AS query_id, v AS qe, bucket FROM b
        |      WHERE vec_id IN (0, 1, 2, 3, 4)),
        |scored AS (
-       |  SELECT query_id, vec_id, round(
-       |    list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * v[i])) /
-       |    sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i]))) /
-       |    sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))), 6)
-       |    AS cos_sim
+       |  SELECT query_id, vec_id, ${cosSql("qe", "v")} AS cos_sim
        |  FROM b JOIN q USING (bucket) WHERE vec_id <> query_id)
        |SELECT query_id, rank, vec_id, cos_sim FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q47
   def langId(s: SparkSession, dir: String): DataFrame =
@@ -248,8 +234,10 @@ object LlmQueries {
       s" / sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i])))" +
       s" / sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i]))), 6)"
 
-  /** The q46 random-hyperplane bucket expression over a DOUBLE[] `v`. */
-  private val bucketSql: String = (0 until 8).map { p =>
+  /** The q46 random-hyperplane bucket expression over a DOUBLE[] `v`
+    * (def, not val: referenced by oracle strings declared earlier in
+    * the object — a val would still be null during their init). */
+  private def bucketSql: String = (0 until 8).map { p =>
     s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), " +
       s"j -> v[j] * (CASE WHEN substr(md5('$p|' || CAST(j - 1 AS VARCHAR)), 1, 1) < '8' " +
       s"THEN -1.0 ELSE 1.0 END))) > 0 THEN '1' ELSE '0' END)"

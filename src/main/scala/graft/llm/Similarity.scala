@@ -181,16 +181,19 @@ object Similarity {
     val assigned = ivfAssign(embeddings, centStride)
       .withColumn("nv", norm(col("embedding")))
     val cents = embeddings.filter(col("vec_id") % centStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+              norm(col("embedding")).as("nc"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_sim").desc, col("cent_id"))
     val probes = embeddings.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              norm(col("embedding")).as("nq"))
       .join(broadcast(cents))
-      .withColumn("cent_sim", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("cent_sim", round(cosineWithNorms(col("qe"), col("ce"),
+        col("nq"), col("nc")), 6))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qe"), norm(col("qe")).as("nq"), col("cent_id"))
+      .select(col("query_id"), col("qe"), col("nq"), col("cent_id"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cent_id"))

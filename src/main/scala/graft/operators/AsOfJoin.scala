@@ -46,7 +46,10 @@ object AsOfJoin {
     val lSide = left
       .withColumn("__ts", col(leftTs)).withColumn("__src", lit(1))
       .withColumn("__v", lit(null).cast(vStructType))
-    val rBase = right.select(
+    // join semantics: a null key matches nothing — drop null-key right
+    // rows (null-key LEFT rows share a window partition with no right
+    // rows in it and correctly carry null values)
+    val rBase = right.filter(col(key).isNotNull).select(
       col(key) +: col(rightTs).as("__ts") +:
         struct(valueCols.map(col): _*).as("__v") +: Nil: _*)
       .withColumn("__src", lit(0))

@@ -38,6 +38,14 @@ object Compaction {
       .filter(_._2 > maxFiles)
     val staging = new Path(path + "__compact_staging")
     val trash = new Path(path + "__compact_trash")
+    // leftovers mean a previous run crashed mid-swap and the trash may
+    // hold the ONLY copy of a partition — never auto-delete; demand
+    // manual recovery first
+    require(!fs.exists(trash) && !fs.exists(staging),
+      s"$trash or $staging exists: a previous compaction crashed mid-swap; " +
+        "recover (move trash contents back) before compacting again")
+    def renameOrFail(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"rename $from -> $to failed")
     todo.foreach { case (dirName, _, bytes) =>
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       val src = new Path(path, dirName)
@@ -57,8 +65,8 @@ object Compaction {
       // __compact_trash (and the staged copy under __compact_staging —
       // both cleaned only at the END of a SUCCESSFUL run)
       fs.mkdirs(trash)
-      fs.rename(src, new Path(trash, dirName))
-      fs.rename(tmp, src)
+      renameOrFail(src, new Path(trash, dirName))
+      renameOrFail(tmp, src)
     }
     fs.delete(staging, true)
     fs.delete(trash, true)

@@ -28,6 +28,11 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0)
+    // right/full would emit each unmatched replicated small-side row
+    // `salt` times — silently wrong; only the big-side-preserving
+    // types are expressible with this encoding
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins, not $joinType")
     val bigS = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val smallS = small.withColumn("__salt",

@@ -93,8 +93,12 @@ object LarkSource {
     val tmp = new Path(destDir, "__csv_staging")
     val indexed = df.select((monotonically_increasing_id().as("") +:
       df.columns.map(col).toSeq): _*)
+    // escape=\" writes embedded quotes DOUBLED (standard CSV, what
+    // pandas emits and what the pipeline's reader expects) — Spark's
+    // default backslash escaping would corrupt quote-bearing text on
+    // the round-trip
     indexed.coalesce(1).write.mode("overwrite").option("header", "true")
-      .csv(tmp.toString)
+      .option("escape", "\"").csv(tmp.toString)
     val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
     val dest = new Path(destDir, "data.csv")
     if (fs.exists(dest)) fs.delete(dest, false)

@@ -75,16 +75,21 @@ object EventPipelines {
     * [[graft.operators.MergeUpsert.intoPartitionedPath]] the batch
     * pipeline uses, once per epoch; replayed epochs re-merge the same
     * keys, so the sink is idempotent (effectively exactly-once). */
-  def mergeStream(events: DataFrame, path: String,
-                  pks: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def mergeStream(events: DataFrame, path: String, pks: Seq[String],
+                  orderCol: String = "ts"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events
       .withColumn("partition_value", to_date(col("ts")))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // one epoch can carry the same pk twice (at-least-once upstream
-        // redelivery within a batch) — merge must see each pk once or
-        // the anti-join + union lands duplicate rows
-        val deduped = batch.dropDuplicates(pks)
+        // one epoch can carry the same pk twice — redelivery, or a
+        // catch-up batch folding an original AND its update. The merge
+        // must see each pk once, and the winner must be deterministic:
+        // max_by on `orderCol` keeps the LATEST version (dropDuplicates
+        // would keep an arbitrary row and could land the stale one)
+        val cols = batch.columns.toSeq
+        val deduped = batch.groupBy(pks.map(col): _*)
+          .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("__r"))
+          .select(cols.map(c => col(s"__r.$c").as(c)): _*)
         if (!deduped.isEmpty)
           graft.operators.MergeUpsert.intoPartitionedPath(
             batch.sparkSession, path, deduped, pks)

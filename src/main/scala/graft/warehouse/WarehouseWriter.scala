@@ -37,9 +37,13 @@ final class WarehouseWriter(spark: SparkSession, lakeDir: String) {
                          partition: String,
                          sortCols: Seq[String] = Nil): Unit = {
     val stamped = stamp(df, partition)
+    // partition_value leads the sort: the parquet writer REQUIRES its
+    // output ordered by the partition column and would otherwise insert
+    // a second full sort on top of ours
     val sorted =
       if (sortCols.isEmpty) stamped
-      else stamped.sortWithinPartitions(sortCols.map(col): _*)
+      else stamped.sortWithinPartitions(
+        (col("partition_value") +: sortCols.map(col)): _*)
     sorted.write.mode("overwrite")
       .partitionBy("partition_value")
       .parquet(path(layer, table))

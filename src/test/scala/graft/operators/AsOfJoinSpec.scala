@@ -31,6 +31,17 @@ class AsOfJoinSpec extends AnyFunSuite {
                        4L -> Some("v2"), 5L -> Some("v3")))
   }
 
+  test("null keys never match (join semantics, matching the ASOF oracle)") {
+    val events = Seq((1L, Option.empty[String], ts("2024-06-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val versions = Seq(
+      (Option.empty[String], ts("2024-06-01 09:00:00"), "ghost"))
+      .toDF("user_id", "vts", "label")
+    val got = AsOfJoin.asOf(events, versions, "user_id", "ts", "vts", Seq("label"))
+      .head()
+    assert(got.isNullAt(got.fieldIndex("label")))
+  }
+
   test("a version whose value is null is still the one in effect") {
     val events = Seq((1L, "k", ts("2024-06-01 12:00:00")))
       .toDF("event_id", "user_id", "ts")

@@ -33,7 +33,7 @@ class PipelineEdgeSpec extends AnyFunSuite {
 
   test("free-text field with embedded newline survives the landing round-trip") {
     val root = java.nio.file.Files.createTempDirectory("edge2").toString
-    val note = "line one\nline two, with comma"
+    val note = "line one\nhe said \"hi, there\"\nline three"
     val rec = Seq(("E001", "R9", "1717200000000", "A", "1717203000000", note, "True"))
       .toDF("User id", "Record id", "Date", "Employee", "Check time",
         "Check location name", "Is offsite")
