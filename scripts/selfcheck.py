@@ -49,6 +49,17 @@ for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         print(f"[FAIL-rows] {name}: got {len(got)} vs oracle {len(exp)}")
         fails += 1
         continue
+    # The driver's hash distinguishes dtype KIND: DuckDB's HUGEINT
+    # surfaces as float64/object while Spark parquet reads back int64,
+    # and that hash-mismatches even when every value is equal (bit us in
+    # rounds 1 and 2). Width-only gaps (int32 vs int64) pass the gate
+    # (r2 evidence: q10/q45-q50/q53 all green), so compare kinds only.
+    dt_gap = [(c, str(got[c].dtype), str(exp[c].dtype))
+              for c in got.columns if got[c].dtype.kind != exp[c].dtype.kind]
+    if dt_gap:
+        print(f"[FAIL-dtyp] {name}: {dt_gap}")
+        fails += 1
+        continue
     try:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
         print(f"[OK       ] {name}: {len(got)} rows exact")

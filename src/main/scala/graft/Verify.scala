@@ -10,6 +10,9 @@ object Verify {
     val spark = graft.core.GraftSession.applyConfigs(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail fast on HUGEINT-prone oracle SQL before dumping anything —
+    // see OracleLint (this class of bug cost gate rows in rounds 1 and 2).
+    OracleLint.check(SparkEntry.oracleSql)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

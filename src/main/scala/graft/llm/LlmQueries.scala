@@ -100,8 +100,8 @@ object LlmQueries {
 
   val simhashFingerprintsSql: String = {
     val bitExprs = (0 until 32).map { j =>
-      s"(CASE WHEN list_sum(list_transform(xs, x -> CASE WHEN (x >> $j) & 1 = 1 " +
-        s"THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN CAST(list_sum(list_transform(xs, x -> CASE WHEN (x >> $j) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END)) AS BIGINT) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
     s"""SELECT doc_id, $bitExprs AS simhash
        |FROM (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
@@ -230,17 +230,17 @@ object LlmQueries {
   /** DuckDB cosine between two DOUBLE[] expressions, rounded like the
     * Spark side. */
   private def cosSql(a: String, b: String): String =
-    s"round(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))" +
-      s" / sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i])))" +
-      s" / sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i]))), 6)"
+    s"round(CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS DOUBLE)" +
+      s" / sqrt(CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i])) AS DOUBLE))" +
+      s" / sqrt(CAST(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i])) AS DOUBLE)), 6)"
 
   /** The q46 random-hyperplane bucket expression over a DOUBLE[] `v`
     * (def, not val: referenced by oracle strings declared earlier in
     * the object — a val would still be null during their init). */
   private def bucketSql: String = (0 until 8).map { p =>
-    s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), " +
+    s"(CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(v)), " +
       s"j -> v[j] * (CASE WHEN substr(md5('$p|' || CAST(j - 1 AS VARCHAR)), 1, 1) < '8' " +
-      s"THEN -1.0 ELSE 1.0 END))) > 0 THEN '1' ELSE '0' END)"
+      s"THEN -1.0 ELSE 1.0 END))) AS DOUBLE) > 0 THEN '1' ELSE '0' END)"
   }.mkString(" || ")
 
   // ---------------------------------------------------------------- q52
