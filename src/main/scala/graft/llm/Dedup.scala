@@ -81,19 +81,11 @@ object Dedup {
   private[llm] def affine(i: Int): (Int, Int) = (12289 + 2 * i, 1000003 * (i + 1))
   private[llm] val MersennePrime = "2147483647" // 2^31 - 1
 
-  /** Tier 3b: LSH candidate pairs — signatures split into `bands`
-    * bands of k/bands rows each; docs sharing any band signature become
-    * a candidate pair.
-    *
-    * Plan shape: ONE scan of `docs` (signatures computed once), one
-    * `posexplode` projection emitting the `bands` bucket keys per doc,
-    * one shuffle on (band, bucket), then pairs generated inside each
-    * bucket from the sorted doc_id set — no self-join, no re-scan.
-    * Bucket width is bounded by the band-signature collision rate (the
-    * LSH guarantee); exact duplicates should be removed by tiers 1-2
-    * first so no degenerate all-identical bucket survives to this tier. */
-  def lshCandidatePairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
-                        shingle: Int = 3): DataFrame = {
+  /** Shared tier-3b bucket aggregation: one scan of `docs`, one
+    * `posexplode` emitting the `bands` bucket keys per doc, one shuffle
+    * on (band, bucket) → (band, bucket, sorted doc_id set). */
+  private def lshBuckets(docs: DataFrame, k: Int, bands: Int,
+                         shingle: Int): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k ($k) must divide evenly into bands ($bands): a remainder " +
         "silently drops signatures, and bands > k makes every bucket a " +
@@ -109,6 +101,29 @@ object Dedup {
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+  }
+
+  /** Tier 3b: LSH candidate pairs — signatures split into `bands`
+    * bands of k/bands rows each; docs sharing any band signature become
+    * a candidate pair.
+    *
+    * Plan shape: see [[lshBuckets]]; pairs are generated inside each
+    * bucket from the sorted doc_id set — no self-join, no re-scan.
+    * Bucket width is bounded by the band-signature collision rate (the
+    * LSH guarantee) ONLY if exact duplicates were removed by tiers 1-2
+    * first; because real corpora still grow degenerate buckets
+    * (boilerplate that survives canonicalization), any bucket wider
+    * than `maxBucket` is excluded here rather than materialized as one
+    * unbounded `collect_set` row with a quadratic pair explode. The
+    * exclusion is NOT silent: [[lshSkippedBuckets]] (same plan prefix)
+    * reports every skipped bucket and its width — a pipeline should
+    * alert on it, and either raise tiers 1-2 aggressiveness or treat
+    * whole skipped buckets as duplicate clusters. */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                        shingle: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least a pair")
+    lshBuckets(docs, k, bands, shingle)
+      .filter(size(col("ids")) <= maxBucket)
       // all (x, y) with x before y in the sorted bucket => x < y, so the
       // previous a < b semantics are preserved exactly.
       .select(explode(expr(
@@ -118,6 +133,16 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
+
+  /** The buckets [[lshCandidatePairs]] refused to expand: (band, bucket,
+    * n_ids) for every bucket wider than `maxBucket`. Same arguments →
+    * same plan prefix (Catalyst reuses the aggregation when both sides
+    * are materialized in one action). Empty = the cap never bit. */
+  def lshSkippedBuckets(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                        shingle: Int = 3, maxBucket: Int = 1000): DataFrame =
+    lshBuckets(docs, k, bands, shingle)
+      .filter(size(col("ids")) > maxBucket)
+      .select(col("band"), col("bucket"), size(col("ids")).as("n_ids"))
 
   /** Tier 4: exact Jaccard over distinct word sets, on a blocked
     * candidate set (same lang, |n_chars| within `lenTol`). Returns
@@ -178,24 +203,29 @@ object Dedup {
     *        the standard corpus-dedup rule).
     * Every stage is a bounded join or aggregation — no iteration, no
     * driver state; the plan is a DAG of shuffles on md5/bucket keys.
+    *
     * The survivors slice feeds three branches (candidates, verify,
     * final verdict join) and Catalyst recomputes the canonicalization
-    * regex per branch — at corpus scale, persist() or checkpoint the
-    * survivors DataFrame between stages (deliberately not done inside
-    * this operator: it returns a lazy plan and must not leak cached
-    * state). */
+    * regex per branch. `materialize` is the scale hook: the default
+    * `identity` keeps the operator a pure lazy plan (no leaked cached
+    * state); at corpus scale pass `_.localCheckpoint()` (or
+    * `_.persist(...)`) and each shared slice (`t12`, `survivors`) is
+    * computed once instead of per branch — the dominant scan runs 1x,
+    * not 3x. */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.8,
-                  k: Int = 8, bands: Int = 4, shingle: Int = 3): DataFrame = {
+                  k: Int = 8, bands: Int = 4, shingle: Int = 3,
+                  maxBucket: Int = 1000,
+                  materialize: DataFrame => DataFrame = identity): DataFrame = {
     val canon = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     val withCanon = docs.withColumn("canon_hash", md5(canon))
     val keepPerCanon = withCanon.groupBy(col("canon_hash"))
       .agg(min(col("doc_id")).as("canon_keep_id"))
-    val t12 = withCanon.join(keepPerCanon, Seq("canon_hash"))
-      .withColumn("normalized_dup", col("doc_id") =!= col("canon_keep_id"))
-    val survivors = t12.filter(!col("normalized_dup"))
-      .select(docs.columns.map(col): _*)
-    val candidates = lshCandidatePairs(survivors, k, bands, shingle)
+    val t12 = materialize(withCanon.join(keepPerCanon, Seq("canon_hash"))
+      .withColumn("normalized_dup", col("doc_id") =!= col("canon_keep_id")))
+    val survivors = materialize(t12.filter(!col("normalized_dup"))
+      .select(docs.columns.map(col): _*))
+    val candidates = lshCandidatePairs(survivors, k, bands, shingle, maxBucket)
     val nearDupIds = verifyPairs(survivors, candidates, threshold)
       .select(col("b").as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))

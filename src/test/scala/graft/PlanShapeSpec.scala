@@ -106,6 +106,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
   }
 
+  test("dedupCorpus materialize hook cuts the documents rescan to zero") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // Lazy default: the survivors slice feeds three branches, each
+    // recomputing the scan + canonicalization.
+    val lazyPlan = graft.llm.Dedup.dedupCorpus(docs)
+    assert(scanCount(lazyPlan, "documents") >= 3)
+    // With the hook, every shared slice is a checkpointed RDD: the final
+    // plan re-reads NOTHING from the source.
+    val hooked = graft.llm.Dedup.dedupCorpus(docs, materialize = _.localCheckpoint())
+    assert(scanCount(hooked, "documents") == 0)
+    assert(hooked.filter(col("keep")).count() > 0)
+  }
+
   test("q45 exact top-k broadcasts the query batch over one corpus pass") {
     val df = graft.llm.LlmQueries.cosineTopK(spark, sf)
     val plan = planText(df)

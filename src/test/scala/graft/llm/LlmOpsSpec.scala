@@ -56,6 +56,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("lsh bucket cap: degenerate bucket is skipped and surfaced, not expanded") {
+    // 200 identical texts (tiers 1-2 NOT run first): every band collapses
+    // them into one 200-wide bucket — exactly the shape that OOMs an
+    // uncapped collect_set + quadratic pair explode at corpus scale.
+    val degenerate = (1L to 200L).map(i => (i, "exact same boilerplate text", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = Dedup.lshCandidatePairs(degenerate, k = 8, bands = 4, maxBucket = 50)
+    assert(pairs.count() === 0L)
+    val skipped = Dedup.lshSkippedBuckets(degenerate, k = 8, bands = 4, maxBucket = 50)
+      .collect()
+    assert(skipped.length === 4) // one 200-wide bucket per band
+    assert(skipped.forall(_.getAs[Int]("n_ids") === 200))
+    // with the cap above the bucket width the pairs come back
+    assert(Dedup.lshCandidatePairs(degenerate, k = 8, bands = 4, maxBucket = 200)
+      .count() === 200L * 199 / 2)
+  }
+
+  test("lsh bucket cap: 10k near-identical docs that survive tier 2 stay bounded") {
+    // Adversarial corpus: shared boilerplate + a unique trailing token, so
+    // canonicalization does NOT collapse them (distinct alnum content) but
+    // minhash puts most docs in the same band buckets.
+    val adversarial = (1L to 10000L).map(i =>
+      (i, s"this cookie banner asks you to accept all cookies before reading variant$i",
+        "en", "s")).toDF("doc_id", "text", "lang", "source")
+    assert(Dedup.normalizedDedup(adversarial).count() === 10000L) // tier 2 can't help
+    val skipped = Dedup.lshSkippedBuckets(adversarial, k = 8, bands = 4, maxBucket = 100)
+      .collect()
+    assert(skipped.nonEmpty, "expected at least one degenerate bucket")
+    assert(skipped.map(_.getAs[Int]("n_ids")).max > 5000, "corpus should be degenerate")
+    // capped pair generation is bounded by bands * C(maxBucket, 2), nowhere
+    // near the C(10k, 2) = 50M an uncapped expand would emit
+    val nPairs = Dedup.lshCandidatePairs(adversarial, k = 8, bands = 4, maxBucket = 100)
+      .count()
+    assert(nPairs <= 4L * 100 * 99 / 2, s"pairs not bounded by the cap: $nPairs")
+  }
+
+  test("dedupCorpus: materialize hook preserves results exactly") {
+    val lazyOut = Dedup.dedupCorpus(docsDf, threshold = 0.5, k = 8, bands = 4)
+      .orderBy("doc_id").collect().toSeq
+    val hooked = Dedup.dedupCorpus(docsDf, threshold = 0.5, k = 8, bands = 4,
+        materialize = _.localCheckpoint())
+      .orderBy("doc_id").collect().toSeq
+    assert(hooked === lazyOut)
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val sh = Dedup.simhash(docsDf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
