@@ -31,19 +31,37 @@ object MergeUpsert {
   /** Upsert into a parquet path with staged write + swap.
     *
     * Rewrites the WHOLE table — fine for small dims, a scale-killer for
-    * big partitioned ones; prefer [[intoPartitionedPath]] there. */
+    * big partitioned ones; prefer [[intoPartitionedPath]] there.
+    *
+    * Crash-safe: the swap is target→__old then __staging→target, and
+    * entry recovery rolls a torn swap forward (`__old` present means
+    * the staged write had completed, so finishing the swap is correct;
+    * `__staging` without `__old` is a dead partial write and is
+    * discarded). Live data is never deleted before its replacement is
+    * in place. */
   def intoPath(spark: SparkSession, path: String, source: DataFrame,
                pks: Seq[String]): Unit = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__staging")
+    val old = new Path(path + "__old")
+    // recovery: __old only ever exists after a COMPLETE staged write
+    // (the rename below is the first target mutation), so roll forward
+    if (fs.exists(old)) {
+      if (!fs.exists(target)) {
+        require(fs.exists(tmp), s"$old exists but neither $path nor $tmp does")
+        require(fs.rename(tmp, target), s"recovery rename $tmp -> $path failed")
+      }
+      fs.delete(old, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // dead partial write
     val staged =
       if (fs.exists(target)) apply(spark.read.parquet(path), source, pks)
       else source
-    val tmp = new Path(path + "__staging")
     staged.write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(path + "__old")
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"rename $path -> $old failed")
+    require(fs.rename(tmp, target), s"rename $tmp -> $path failed")
     fs.delete(old, true)
   }
 
@@ -59,15 +77,35 @@ object MergeUpsert {
     * partition count, never row count), and the keep-side scan reads
     * only the touched partitions (partition filter pushed to the scan).
     *
-    * Not transactional across partitions (each swap is an atomic
-    * rename, the sequence is not) — same single-writer batch contract
-    * as [[intoPath]]; a Delta-style log would add multi-partition
-    * atomicity. */
+    * Multi-partition atomicity comes from a manifest commit log (the
+    * same idea as a Delta commit, reduced to one file): the staged
+    * partitions land under `__merge_staging`, then a `_MERGE_MANIFEST`
+    * listing every swap and stale-drop is renamed into place — THE
+    * commit point — and only then does any target partition move. Every
+    * post-manifest step renames live data aside into `__merge_trash`
+    * (never deletes it) and is idempotent, so a crash anywhere leaves
+    * one of two recoverable states: manifest absent → the target is
+    * untouched and the leftovers are garbage; manifest present → the
+    * merge is committed and [[recoverTornMerge]] (run automatically on
+    * the next merge) rolls it FORWARD to completion. Single writer at a
+    * time, as with [[intoPath]]. */
   def intoPartitionedPath(spark: SparkSession, path: String, source: DataFrame,
                           pks: Seq[String],
-                          partitionCol: String = "partition_value"): Unit = {
+                          partitionCol: String = "partition_value"): Unit =
+    intoPartitionedPath(spark, path, source, pks, partitionCol, noHook)
+
+  /** Test seam: `beforeRename(kind, name)` fires before each commit
+    * rename (kinds: manifest, swap-aside, swap-in, drop-aside) — a
+    * throwing hook simulates a crash at that exact point. */
+  private[operators] def intoPartitionedPath(spark: SparkSession, path: String,
+                                             source: DataFrame, pks: Seq[String],
+                                             partitionCol: String,
+                                             beforeRename: (String, String) => Unit): Unit = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // complete a torn prior commit / clear dead leftovers BEFORE reading
+    // the target (a torn target would feed the merge stale rows)
+    recoverTornMerge(spark, path)
     if (!fs.exists(target)) {
       source.write.partitionBy(partitionCol).parquet(path)
       return
@@ -104,22 +142,101 @@ object MergeUpsert {
     val keep = t.filter(touchedPred).join(srcKeys, pks, "left_anti")
     val out = keep.unionByName(source.select(t.columns.map(col): _*))
     // stage fully (materializes out BEFORE any target mutation)...
-    val tmp = new Path(path + "__merge_staging")
+    val tmp = stagingDir(path)
     out.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
-    // ...then swap exactly the staged partitions
-    val stagedDirs = fs.listStatus(tmp)
+    val stagedNames = fs.listStatus(tmp)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
-    val stagedNames = stagedDirs.map(_.getPath.getName).toSet
-    stagedDirs.foreach { s =>
-      val dest = new Path(target, s.getPath.getName)
-      if (fs.exists(dest)) fs.delete(dest, true)
-      fs.rename(s.getPath, dest)
-    }
+      .map(_.getPath.getName).toSeq.sorted
     // a touched partition whose rows ALL matched and got no replacements
-    // stages nothing — drop its stale directory explicitly
-    touched.filterNot(stagedNames).foreach { name =>
-      fs.delete(new Path(target, name), true)
-    }
-    fs.delete(tmp, true)
+    // stages nothing — its stale live directory is dropped by the commit
+    val dropNames = touched.filterNot(stagedNames.toSet).toSeq.sorted
+    // ...write + rename the manifest (THE commit point)...
+    val body = (stagedNames.map("swap\t" + _) ++ dropNames.map("drop\t" + _))
+      .mkString("\n")
+    val mTmp = new Path(tmp, ManifestName + ".tmp")
+    val os = fs.create(mTmp, true)
+    try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    beforeRename("manifest", ManifestName)
+    require(fs.rename(mTmp, new Path(tmp, ManifestName)),
+      s"manifest rename failed under $tmp")
+    // ...then apply it
+    commit(fs, path, stagedNames, dropNames, beforeRename)
   }
+
+  /** Complete (roll forward) a merge that crashed mid-commit, or clear
+    * dead pre-commit leftovers. Safe to call on a clean table (no-op);
+    * called automatically at the top of [[intoPartitionedPath]]. */
+  def recoverTornMerge(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = stagingDir(path)
+    val manifest = new Path(tmp, ManifestName)
+    if (fs.exists(manifest)) {
+      // committed but incomplete: replay the manifest (idempotent)
+      val in = fs.open(manifest)
+      val body = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val entries = body.split("\n").filter(_.nonEmpty).map(_.split("\t", 2))
+      commit(fs, path,
+        entries.collect { case Array("swap", n) => n }.toSeq,
+        entries.collect { case Array("drop", n) => n }.toSeq, noHook)
+    } else {
+      // no manifest = the commit point was never reached: the target is
+      // untouched and staging holds a dead partial write; trash without
+      // a manifest only remains when a crash hit between the two final
+      // cleanup deletes of a FULLY committed merge — pure garbage either
+      // way (stale staging otherwise poisons the next dynamic-overwrite
+      // staging write with leftover partitions)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val trash = trashDir(path)
+      if (fs.exists(trash)) fs.delete(trash, true)
+    }
+  }
+
+  /** Apply a committed manifest: swap staged partitions in and drop
+    * stale ones, moving every displaced live directory aside into the
+    * trash first. Idempotent — recovery replays it from any crash
+    * point. */
+  private def commit(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                     swaps: Seq[String], drops: Seq[String],
+                     beforeRename: (String, String) => Unit): Unit = {
+    val target = new Path(path)
+    val tmp = stagingDir(path)
+    val trash = trashDir(path)
+    fs.mkdirs(trash)
+    swaps.foreach { name =>
+      val staged = new Path(tmp, name)
+      if (fs.exists(staged)) { // already-swapped partitions skip (replay)
+        val live = new Path(target, name)
+        if (fs.exists(live)) {
+          beforeRename("swap-aside", name)
+          require(fs.rename(live, new Path(trash, name)),
+            s"rename $live -> trash failed")
+        }
+        beforeRename("swap-in", name)
+        require(fs.rename(staged, live), s"rename $staged -> $live failed")
+      }
+    }
+    drops.foreach { name =>
+      val live = new Path(target, name)
+      if (fs.exists(live)) {
+        beforeRename("drop-aside", name)
+        require(fs.rename(live, new Path(trash, name)),
+          s"rename $live -> trash failed")
+      }
+    }
+    // deleting the manifest (with its staging dir) marks the commit
+    // complete; the trash goes last — it only ever holds displaced
+    // copies of data whose replacement is already live
+    fs.delete(tmp, true)
+    fs.delete(trash, true)
+  }
+
+  private def stagingDir(path: String) = new Path(path + "__merge_staging")
+  private def trashDir(path: String) = new Path(path + "__merge_trash")
+  private val ManifestName = "_MERGE_MANIFEST"
+  private val noHook: (String, String) => Unit = (_, _) => ()
 }

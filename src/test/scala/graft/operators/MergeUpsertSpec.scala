@@ -98,6 +98,109 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(got === Seq((1, "a", Some("p1")), (2, "B", None), (3, "c", None)))
   }
 
+  // ----------------------------------------------------- crash recovery
+
+  private case class SimulatedCrash(at: String) extends RuntimeException(at)
+
+  /** Hook that dies the first time it sees rename kind `kind`. */
+  private def crashOn(kind: String): (String, String) => Unit =
+    (k, name) => if (k == kind) throw SimulatedCrash(s"$k $name")
+
+  private def seed(dir: String): Unit =
+    MergeUpsert.intoPartitionedPath(spark, dir,
+      Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3"))
+        .toDF("id", "v", "partition_value"), Seq("id"))
+
+  private def merged = Seq((1, "a", "p1"), (2, "B", "p4"), (3, "c", "p3"),
+    (4, "D", "p4"))
+
+  private def src = Seq((2, "B", "p4"), (4, "D", "p4"))
+    .toDF("id", "v", "partition_value")
+
+  private def readAll(dir: String) = spark.read.parquet(dir).orderBy("id")
+    .as[(Int, String, String)].collect().toSeq
+
+  test("crash BEFORE the manifest commit leaves the target untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("crash1").toString + "/t"
+    seed(dir)
+    intercept[SimulatedCrash] {
+      MergeUpsert.intoPartitionedPath(spark, dir, src, Seq("id"),
+        "partition_value", crashOn("manifest"))
+    }
+    // torn state on disk: staging exists, no manifest -> uncommitted
+    MergeUpsert.recoverTornMerge(spark, dir)
+    assert(readAll(dir) === Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")))
+    assert(new java.io.File(dir).getParentFile.list().toSeq === Seq("t"))
+  }
+
+  test("crash between the aside and swap-in renames loses nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("crash2").toString + "/t"
+    seed(dir)
+    // p2's only row is replaced into p4: p2 is a drop, p4 a fresh swap.
+    // Add a same-partition replace so a swap has a live predecessor to
+    // move aside: id=1 rewritten in p1.
+    val s = Seq((1, "A", "p1"), (2, "B", "p4"), (4, "D", "p4"))
+      .toDF("id", "v", "partition_value")
+    intercept[SimulatedCrash] {
+      MergeUpsert.intoPartitionedPath(spark, dir, s, Seq("id"),
+        "partition_value", crashOn("swap-in"))
+    }
+    // p1 is mid-swap: live copy in trash, replacement still staged.
+    // Recovery must roll the COMMITTED merge forward, not lose p1.
+    MergeUpsert.recoverTornMerge(spark, dir)
+    assert(readAll(dir) ===
+      Seq((1, "A", "p1"), (2, "B", "p4"), (3, "c", "p3"), (4, "D", "p4")))
+    assert(new java.io.File(dir).getParentFile.list().toSeq === Seq("t"))
+  }
+
+  test("crash during the stale-partition drop rolls forward on the next merge") {
+    val dir = java.nio.file.Files.createTempDirectory("crash3").toString + "/t"
+    seed(dir)
+    intercept[SimulatedCrash] {
+      MergeUpsert.intoPartitionedPath(spark, dir, src, Seq("id"),
+        "partition_value", crashOn("drop-aside"))
+    }
+    // NO manual recovery: the next merge call must self-heal first.
+    // id=3 moves p3 -> p1 in this second merge.
+    MergeUpsert.intoPartitionedPath(spark, dir,
+      Seq((3, "C", "p1")).toDF("id", "v", "partition_value"), Seq("id"))
+    assert(readAll(dir) ===
+      Seq((1, "a", "p1"), (2, "B", "p4"), (3, "C", "p1"), (4, "D", "p4")))
+    assert(!new java.io.File(s"$dir/partition_value=p2").exists())
+    assert(new java.io.File(dir).getParentFile.list().toSeq === Seq("t"))
+  }
+
+  test("stale pre-crash staging dirs never leak into a later merge") {
+    val dir = java.nio.file.Files.createTempDirectory("crash4").toString + "/t"
+    seed(dir)
+    // leftover staging from a crashed run of some OTHER source: a bogus
+    // partition that must never be swapped into the target (the dynamic
+    // partition-overwrite staging write would otherwise keep it)
+    val bogus = new java.io.File(s"${dir}__merge_staging/partition_value=poison")
+    assert(bogus.mkdirs())
+    MergeUpsert.intoPartitionedPath(spark, dir, src, Seq("id"))
+    assert(readAll(dir) === merged)
+    assert(!new java.io.File(s"$dir/partition_value=poison").exists())
+    assert(new java.io.File(dir).getParentFile.list().toSeq === Seq("t"))
+  }
+
+  test("intoPath recovers a swap torn between its two renames") {
+    val dir = java.nio.file.Files.createTempDirectory("crash5").toString + "/t"
+    MergeUpsert.intoPath(spark, dir, target, Seq("id"))
+    // simulate the torn state: staged write complete, target renamed
+    // aside, crash before staging renamed in
+    val f = new java.io.File(dir)
+    val staged = MergeUpsert(spark.read.parquet(dir), source, Seq("id"))
+    staged.write.parquet(dir + "__staging")
+    assert(f.renameTo(new java.io.File(dir + "__old")))
+    // next merge self-heals: rolls the staged swap forward, then applies
+    MergeUpsert.intoPath(spark, dir,
+      Seq((5, "e")).toDF("id", "v"), Seq("id"))
+    val got = spark.read.parquet(dir).orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got === Seq((1, "a"), (2, "B"), (3, "c"), (4, "D"), (5, "e")))
+    assert(new java.io.File(dir).getParentFile.list().toSeq === Seq("t"))
+  }
+
   test("intoPartitionedPath keeps survivors inside a touched partition") {
     val dir = java.nio.file.Files.createTempDirectory("pmerge2").toString + "/t"
     val t0 = Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))

@@ -36,6 +36,57 @@ class IngestJobSpec extends AnyFunSuite {
     }
   }
 
+  /** Client whose record fetch throws `failures` times before working. */
+  private class FlakyClient(records: Seq[LarkRecord], failures: Int)
+      extends OneTableClient(records) {
+    var fetchAttempts = 0
+    override def recordsPage(tableId: String, pageToken: Option[String]) = {
+      if (pageToken.isEmpty) { // count per-table fetch attempts, not pages
+        fetchAttempts += 1
+        if (fetchAttempts <= failures)
+          throw new RuntimeException(s"transient fetch error $fetchAttempts")
+      }
+      super.recordsPage(tableId, pageToken)
+    }
+  }
+
+  private class RecordingNotifier extends IngestNotifier {
+    val messages = scala.collection.mutable.ArrayBuffer.empty[String]
+    def notify(message: String): Unit = messages += message
+  }
+
+  test("transient fetch failures retry with backoff and the run succeeds") {
+    val root = java.nio.file.Files.createTempDirectory("ingest-retry").toString
+    val client = new FlakyClient(Seq(employeeRec("E001", "An", 1717218000000L)),
+      failures = 2)
+    val notifier = new RecordingNotifier
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    IngestJob.run(spark, client, s"$root/landing", s"$root/lake",
+      s"$root/state.json", LocalDate.parse("2024-06-01"), notifier,
+      retries = 2, retryDelayMs = 300000L, sleep = sleeps += _)
+    assert(client.fetchAttempts === 3)
+    assert(sleeps.toSeq === Seq(300000L, 600000L))
+    assert(notifier.messages.count(_.contains("retrying")) === 2)
+    assert(notifier.messages.last.contains("succeeded"))
+    assert(spark.read.parquet(s"$root/lake/silver/dim_employee").count() === 1)
+  }
+
+  test("exhausted retries notify the failure and skip the warehouse build") {
+    val root = java.nio.file.Files.createTempDirectory("ingest-fail").toString
+    val client = new FlakyClient(Seq(employeeRec("E001", "An", 1717218000000L)),
+      failures = 99)
+    val notifier = new RecordingNotifier
+    intercept[IllegalStateException] {
+      IngestJob.run(spark, client, s"$root/landing", s"$root/lake",
+        s"$root/state.json", LocalDate.parse("2024-06-01"), notifier,
+        retries = 1, retryDelayMs = 1L, sleep = _ => ())
+    }
+    assert(client.fetchAttempts === 2) // attempt + 1 retry
+    assert(notifier.messages.exists(_.contains("FAILED after 1 retries")))
+    assert(notifier.messages.last.contains("FAILED")) // job-level callback
+    assert(!new java.io.File(s"$root/lake/silver/dim_employee").exists())
+  }
+
   test("discovered table lands, normalizes, and builds the SCD2 dim") {
     val root = java.nio.file.Files.createTempDirectory("ingest-job").toString
     val client = new OneTableClient(Seq(
