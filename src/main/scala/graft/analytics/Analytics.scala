@@ -282,6 +282,10 @@ object Analytics {
     val monthly = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(sum(dec(col("o_totalprice"), 18, 2)).as("monthly_dec"),
            count(lit(1)).as("n_orders"))
+    // Unpartitioned window BY DESIGN (the WindowExec single-partition
+    // warning in bench logs is this, and it's benign): it runs above a
+    // month-granularity aggregate, so the single partition holds ~#months
+    // rows — bounded at ANY corpus scale, not a data-volume hazard.
     val w = Window.orderBy(col("month"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -194,6 +194,15 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qe"), col("nq"), col("cent_id"))
+    searchCells(assigned, probes, k)
+  }
+
+  /** Search the probed cells: equi-join cell members to the (small,
+    * broadcast) probe set, cosine, per-query top-k. `assigned` carries
+    * (vec_id, embedding, nv, cent_id); `probes` (query_id, qe, nq,
+    * cent_id). */
+  private def searchCells(assigned: DataFrame, probes: DataFrame,
+                          k: Int): DataFrame = {
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cent_id"))
@@ -203,5 +212,50 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Persist the IVF index as a `cent_id`-bucketed (and sorted) catalog
+    * table. Bucketing puts each cell's members in known files at rest,
+    * so an indexed search ([[ivfTopKIndexed]]) reads ONLY the probed
+    * buckets — at 100 TB the probe touches nprobe cells' worth of
+    * data, not the corpus. Pick `nBuckets` ~2-4x cluster cores. */
+  def writeIvfIndex(embeddings: DataFrame, table: String, nBuckets: Int,
+                    centStride: Long = 100): Unit = {
+    val assigned = ivfAssign(embeddings, centStride)
+      .withColumn("nv", norm(col("embedding")))
+    graft.operators.Bucketing.writeBucketed(assigned, table, "cent_id", nBuckets)
+  }
+
+  /** IVF ANN over a [[writeIvfIndex]] table. The probe set (query x
+    * nprobe cells) is resolved ON THE DRIVER — it is |queries|*nprobe
+    * rows, scalar by contract — so the cell filter is a LITERAL `IN`
+    * predicate the scan can bucket-prune, and the probe join is a
+    * broadcast hash join with NO shuffle on the index side. This is
+    * the 100 TB read path: open nprobe buckets, skip the rest. */
+  def ivfTopKIndexed(spark: SparkSession, table: String,
+                     embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                     nprobe: Int = 2, centStride: Long = 100): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+              norm(col("embedding")).as("nc"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    val probes = embeddings.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              norm(col("embedding")).as("nq"))
+      .join(broadcast(cents))
+      .withColumn("cent_sim", round(cosineWithNorms(col("qe"), col("ce"),
+        col("nq"), col("nc")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("nq"), col("cent_id"))
+    // one computation of the (scalar-sized) probe set, reused both as
+    // the literal pruning predicate and as the broadcast join side
+    val probeRows = probes.collect().toSeq
+    val cells = probeRows.map(_.getAs[Long]("cent_id")).distinct
+    val probesLocal = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows, 1), probes.schema)
+    val assigned = spark.table(table).filter(col("cent_id").isInCollection(cells))
+    searchCells(assigned, probesLocal, k)
   }
 }

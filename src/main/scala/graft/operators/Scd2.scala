@@ -50,9 +50,13 @@ object Scd2 {
     // duplicate surrogate keys and two is_current rows (the batch is a
     // snapshot delta, not an ordered history; replay history through
     // fromHistory or per-version applyBatch folds instead)
+    // ordering = (ts, attrs...) so two versions with IDENTICAL ts pick
+    // a deterministic winner (lexicographic on attribute values) — with
+    // ts alone the kept row would vary run-to-run and engine-to-engine
     val batchLatest = batch
       .groupBy(col(naturalKey))
-      .agg(max_by(struct(attrCols.map(col): _*), col(tsCol)).as("__r"))
+      .agg(max_by(struct(attrCols.map(col): _*),
+                  struct((col(tsCol) +: attrCols.map(col)): _*)).as("__r"))
       .select(attrCols.map(c => col(s"__r.$c").as(c)): _*)
 
     // One join, reused by all three branches (Catalyst caches the

@@ -91,13 +91,17 @@ object LarkSource {
     val destDir = new Path(s"$landingDir/lark/$tableId/$partition")
     val fs = destDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(destDir, "__csv_staging")
-    val indexed = df.select((monotonically_increasing_id().as("") +:
+    // coalesce BEFORE indexing: with one partition the ids are the
+    // contiguous 0..n-1 pandas writes; indexed-then-coalesced they'd
+    // jump by 2^33 per input partition and break byte-parity with the
+    // reference's to_csv landing files
+    val indexed = df.coalesce(1).select((monotonically_increasing_id().as("") +:
       df.columns.map(col).toSeq): _*)
     // escape=\" writes embedded quotes DOUBLED (standard CSV, what
     // pandas emits and what the pipeline's reader expects) — Spark's
     // default backslash escaping would corrupt quote-bearing text on
     // the round-trip
-    indexed.coalesce(1).write.mode("overwrite").option("header", "true")
+    indexed.write.mode("overwrite").option("header", "true")
       .option("escape", "\"").csv(tmp.toString)
     val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
     val dest = new Path(destDir, "data.csv")

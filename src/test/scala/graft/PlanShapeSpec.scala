@@ -120,6 +120,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hooked.filter(col("keep")).count() > 0)
   }
 
+  test("indexed IVF probe is bucket-pruned and exchange-free on the index side") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.llm.Similarity.writeIvfIndex(emb, "ivf_index_guard", nBuckets = 8,
+      centStride = 20)
+    val queries = Seq(1L, 7L, 13L)
+    val df = graft.llm.Similarity.ivfTopKIndexed(spark, "ivf_index_guard",
+      emb, queries, k = 5, nprobe = 2, centStride = 20)
+    val plan = planText(df)
+    // the literal cell predicate prunes buckets at the scan...
+    assert(plan.contains("selectedbucketscount"), s"plan:\n$plan")
+    // ...and the probe join shuffles NOTHING on the join key: the only
+    // exchanges allowed are the broadcast and the per-query rank window
+    assert(!plan.contains("hashpartitioning(cent_id"), s"plan:\n$plan")
+    // indexed search returns exactly what the unindexed path computes
+    val direct = graft.llm.Similarity.ivfTopK(emb, queries, k = 5,
+      nprobe = 2, centStride = 20)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val indexed = df.orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(indexed == direct)
+    spark.sql("DROP TABLE IF EXISTS ivf_index_guard")
+  }
+
   test("q45 exact top-k broadcasts the query batch over one corpus pass") {
     val df = graft.llm.LlmQueries.cosineTopK(spark, sf)
     val plan = planText(df)

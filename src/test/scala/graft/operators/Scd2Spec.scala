@@ -100,6 +100,26 @@ class Scd2Spec extends AnyFunSuite {
     assert(after.count() == after.select("user_sur_id").distinct().count())
   }
 
+  test("identical-ts intra-batch versions pick a deterministic winner") {
+    // two E9 versions share one change ts; the kept attributes must be
+    // the same on every run/engine (ordering ties break on attr values:
+    // "z2" > "z1" lexicographically)
+    val batch = Seq(("E9", "z1"), ("E9", "z2")).toDF("user_id", "attr")
+      .withColumn("datetime_updated", timestamp_seconds(lit(1700000500L)))
+      .withColumn("user_sur_id", surrogateKey(col("user_id"), col("datetime_updated")))
+      .select("user_sur_id", "user_id", "datetime_updated", "attr")
+    val empty = batch.limit(0)
+      .withColumn("valid_from", col("datetime_updated"))
+      .withColumn("valid_to", col("datetime_updated"))
+      .withColumn("is_current", lit(true))
+    (1 to 3).foreach { _ =>
+      val dim = Scd2.applyBatch(empty, batch.repartition(8),
+        "user_id", "datetime_updated", "user_sur_id")
+      assert(dim.count() == 1)
+      assert(dim.select("attr").head().getString(0) == "z2")
+    }
+  }
+
   test("current rows keep sentinel valid_to") {
     val cur = oneShot.filter(col("is_current"))
     assert(cur.filter(col("valid_to") =!= to_timestamp(lit(Scd2.Sentinel))).isEmpty)

@@ -99,6 +99,16 @@ class LarkSourceSpec extends AnyFunSuite {
     assert(state.offsetFor("tblA", d2) == 1717221600000L)
   }
 
+  test("landing CSV index is contiguous 0..n-1 for multi-partition input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val df = spark.range(10).selectExpr("CAST(id AS STRING) AS v").repartition(4)
+    LarkSource.writeLandingCsv(df, dir, "tblIdx", "2024-06-01")
+    val raw = spark.read.option("header", "true")
+      .csv(s"$dir/lark/tblIdx/2024-06-01/data.csv")
+    val idx = raw.select(raw.columns.head).collect().map(_.getString(0).toLong).sorted
+    assert(idx.toSeq == (0L until 10L), "pandas-parity index must be 0..n-1")
+  }
+
   test("notifier hook fires on success and failure") {
     val seen = scala.collection.mutable.Buffer[String]()
     val n = new IngestNotifier { def notify(m: String): Unit = seen += m }
