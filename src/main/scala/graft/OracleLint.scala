@@ -26,7 +26,10 @@ object OracleLint {
   /** Violations in one SQL string: the offending snippet around each
     * unsafely-typed aggregate. Empty = clean. */
   def violations(sql: String): Seq[String] = {
-    val lower = sql.toLowerCase
+    // Locale.ROOT: the default locale's toLowerCase can break ASCII
+    // matching (e.g. tr-TR dots "LIST_SUM" to "lıst_sum") and silently
+    // disable the lint — the worst failure direction for a guard
+    val lower = sql.toLowerCase(java.util.Locale.ROOT)
     aggHeads.flatMap { head =>
       headOffsets(lower, head).collect {
         case i if !castWrapped(lower, i) && !argStartsWithSafeCast(lower, i + head.length) =>
@@ -91,7 +94,37 @@ object OracleLint {
     val close = matchParen(lower, j)
     if (close < 0) return false
     val inner = lower.substring(j + 1, close)
-    safeCastTypes.exists(t => inner.matches(s"(?s).*\\bas\\s+$t\\b.*"))
+    // only the cast's OWN `AS <type>` counts — that is the last `as` at
+    // paren depth 0 inside its parens; a nested safe cast deeper in the
+    // argument (e.g. CAST(CASE WHEN f THEN CAST(x AS DOUBLE) END AS
+    // BIGINT)) must NOT pass the lint
+    topLevelCastType(inner).exists(t => safeCastTypes.exists(t.startsWith))
+  }
+
+  /** The type name following the last depth-0 `AS` in a cast body. */
+  private def topLevelCastType(inner: String): Option[String] = {
+    var depth = 0
+    var j = 0
+    var last = -1
+    while (j < inner.length - 1) {
+      inner.charAt(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'a' if depth == 0 && inner.charAt(j + 1) == 's' &&
+          (j == 0 || !isIdentChar(inner.charAt(j - 1))) &&
+          (j + 2 >= inner.length || !isIdentChar(inner.charAt(j + 2))) =>
+          last = j
+        case _ =>
+      }
+      j += 1
+    }
+    if (last < 0) None
+    else {
+      val start = skipWs(inner, last + 2)
+      var end = start
+      while (end < inner.length && isIdentChar(inner.charAt(end))) end += 1
+      if (end > start) Some(inner.substring(start, end)) else None
+    }
   }
 
   private def matchParen(s: String, open: Int): Int = {

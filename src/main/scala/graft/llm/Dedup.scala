@@ -120,9 +120,15 @@ object Dedup {
     * alert on it, and either raise tiers 1-2 aggressiveness or treat
     * whole skipped buckets as duplicate clusters. */
   def lshCandidatePairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
-                        shingle: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                        shingle: Int = 3, maxBucket: Int = 1000): DataFrame =
+    pairsFromBuckets(lshBuckets(docs, k, bands, shingle), maxBucket)
+
+  /** Expand capped buckets into candidate pairs (tail of
+    * [[lshCandidatePairs]], split out so [[dedupCorpus]] can share ONE
+    * bucket aggregation between the pairs and the overflow branch). */
+  private def pairsFromBuckets(buckets: DataFrame, maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least a pair")
-    lshBuckets(docs, k, bands, shingle)
+    buckets
       .filter(size(col("ids")) <= maxBucket)
       // all (x, y) with x before y in the sorted bucket => x < y, so the
       // previous a < b semantics are preserved exactly.
@@ -135,9 +141,12 @@ object Dedup {
   }
 
   /** The buckets [[lshCandidatePairs]] refused to expand: (band, bucket,
-    * n_ids) for every bucket wider than `maxBucket`. Same arguments →
-    * same plan prefix (Catalyst reuses the aggregation when both sides
-    * are materialized in one action). Empty = the cap never bit. */
+    * n_ids) for every bucket wider than `maxBucket`. NOTE this is a
+    * separate DataFrame from the pairs — materializing both is two
+    * actions and the bucket aggregation (the dominant corpus scan) runs
+    * twice; a pipeline that wants both in one pass should use
+    * [[dedupCorpus]], whose per-doc `lsh_overflow` flag rides the same
+    * plan. Empty = the cap never bit. */
   def lshSkippedBuckets(docs: DataFrame, k: Int = 8, bands: Int = 4,
                         shingle: Int = 3, maxBucket: Int = 1000): DataFrame =
     lshBuckets(docs, k, bands, shingle)
@@ -193,7 +202,8 @@ object Dedup {
   }
 
   /** The whole ladder as ONE operator — what a training-data pipeline
-    * actually calls. Returns every doc with (keep, drop_reason):
+    * actually calls. Returns every doc with (keep, drop_reason,
+    * lsh_overflow):
     *   1+2. normalized/exact duplicates collapse to the smallest doc_id
     *        per canonical form ("normalized_dup");
     *   3.   MinHash-LSH proposes candidate near-dup pairs over the
@@ -203,6 +213,13 @@ object Dedup {
     *        the standard corpus-dedup rule).
     * Every stage is a bounded join or aggregation — no iteration, no
     * driver state; the plan is a DAG of shuffles on md5/bucket keys.
+    *
+    * `lsh_overflow = true` marks a survivor whose LSH bucket exceeded
+    * `maxBucket`: near-dup detection was NOT attempted for it (it keeps
+    * by default). The cap is thus observable per-doc in the verdict
+    * itself — a pipeline alerts on `count(lsh_overflow)` and either
+    * tightens tiers 1-2 or treats whole overflow buckets as duplicate
+    * clusters; nothing is silently capped.
     *
     * The survivors slice feeds three branches (candidates, verify,
     * final verdict join) and Catalyst recomputes the canonicalization
@@ -225,16 +242,24 @@ object Dedup {
       .withColumn("normalized_dup", col("doc_id") =!= col("canon_keep_id")))
     val survivors = materialize(t12.filter(!col("normalized_dup"))
       .select(docs.columns.map(col): _*))
-    val candidates = lshCandidatePairs(survivors, k, bands, shingle, maxBucket)
+    // ONE bucket aggregation feeds both the pairs and the overflow
+    // branch (the hook materializes it once at scale)
+    val buckets = materialize(lshBuckets(survivors, k, bands, shingle))
+    val candidates = pairsFromBuckets(buckets, maxBucket)
+    val overflowIds = buckets.filter(size(col("ids")) > maxBucket)
+      .select(explode(col("ids")).as("doc_id")).distinct()
+      .withColumn("overflow", lit(true))
     val nearDupIds = verifyPairs(survivors, candidates, threshold)
       .select(col("b").as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
     t12.join(nearDupIds, Seq("doc_id"), "left")
+      .join(overflowIds, Seq("doc_id"), "left")
       .select(docs.columns.map(col) :+
         (!col("normalized_dup") && col("near_dup").isNull).as("keep") :+
         when(col("normalized_dup"), lit("normalized_dup"))
           .when(col("near_dup").isNotNull, lit("near_dup"))
-          .as("drop_reason"): _*)
+          .as("drop_reason") :+
+        coalesce(col("overflow"), lit(false)).as("lsh_overflow"): _*)
   }
 
   /** SimHash fingerprints: 32 bit positions; bit j is the sign of the

@@ -46,12 +46,17 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q42
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshCandidatePairs(docs(s, dir), k = 8, bands = 4, shingle = 3)
+    Dedup.lshCandidatePairs(docs(s, dir), k = 8, bands = 4, shingle = 3,
+      maxBucket = 1000)
       .orderBy("a", "b")
 
-  /** sh -> sx -> sig -> banded -> cand CTE chain over a `docsRel`
-    * relation with (doc_id, text) — shared by q42 and q54. */
-  private def lshCandidateCtes(docsRel: String): String = {
+  /** sh -> sx -> sig -> banded -> wide -> cand CTE chain over a
+    * `docsRel` relation with (doc_id, text) — shared by q42 and q54.
+    * `wide` mirrors the engine's maxBucket cap: buckets wider than the
+    * cap produce no candidate pairs (so the gate verifies the CAP
+    * SEMANTICS too, not just the uncapped path — a fixture corpus with
+    * a degenerate bucket would diverge otherwise). */
+  private def lshCandidateCtes(docsRel: String, maxBucket: Int = 1000): String = {
     val sigCols = (0 until 8).map { i =>
       val (a, b) = Dedup.affine(i)
       s"list_min(list_transform(xs, x -> ($a * x + $b) % ${Dedup.MersennePrime})) AS mh$i"
@@ -67,10 +72,14 @@ object LlmQueries {
        |  FROM sx),
        |banded AS (
        |  $bandRows),
+       |wide AS (SELECT band, bucket FROM banded
+       |         GROUP BY 1, 2 HAVING COUNT(*) > $maxBucket),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM banded l JOIN banded r
-       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM wide w
+       |    WHERE w.band = l.band AND w.bucket = l.bucket))""".stripMargin
   }
 
   val minhashLshPairsSql: String =
@@ -291,8 +300,8 @@ object LlmQueries {
   /** The whole dedup ladder as one call: per-doc keep/drop verdicts
     * (normalized collapse -> LSH candidates -> Jaccard verify). */
   def dedupCorpus(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupCorpus(docs(s, dir), threshold = 0.5)
-      .select(col("doc_id"), col("keep"), col("drop_reason"))
+    Dedup.dedupCorpus(docs(s, dir), threshold = 0.5, maxBucket = 1000)
+      .select(col("doc_id"), col("keep"), col("drop_reason"), col("lsh_overflow"))
       .orderBy("doc_id")
 
   val dedupCorpusSql: String =
@@ -313,12 +322,16 @@ object LlmQueries {
        |  JOIN ws wa ON wa.doc_id = cand.a
        |  JOIN ws wb ON wb.doc_id = cand.b
        |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
-       |    (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.5)
+       |    (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.5),
+       |ovf AS (SELECT DISTINCT doc_id FROM banded
+       |        JOIN wide USING (band, bucket))
        |SELECT t12.doc_id,
        |  (NOT normalized_dup AND nd.doc_id IS NULL) AS keep,
        |  CASE WHEN normalized_dup THEN 'normalized_dup'
-       |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END AS drop_reason
-       |FROM t12 LEFT JOIN nd USING (doc_id) ORDER BY doc_id""".stripMargin
+       |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END AS drop_reason,
+       |  (o.doc_id IS NOT NULL) AS lsh_overflow
+       |FROM t12 LEFT JOIN nd USING (doc_id)
+       |LEFT JOIN ovf o USING (doc_id) ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
 

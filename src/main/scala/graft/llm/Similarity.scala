@@ -180,12 +180,20 @@ object Similarity {
               nprobe: Int = 2, centStride: Long = 100): DataFrame = {
     val assigned = ivfAssign(embeddings, centStride)
       .withColumn("nv", norm(col("embedding")))
+    searchCells(assigned, probeSet(embeddings, queryIds, nprobe, centStride), k)
+  }
+
+  /** (query_id, qe, nq, cent_id): each query's `nprobe` max-cosine
+    * centroid cells, ties to the lower cent_id — shared by the direct
+    * and the indexed search so their probe semantics can never drift. */
+  private def probeSet(embeddings: DataFrame, queryIds: Seq[Long],
+                       nprobe: Int, centStride: Long): DataFrame = {
     val cents = embeddings.filter(col("vec_id") % centStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
               norm(col("embedding")).as("nc"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_sim").desc, col("cent_id"))
-    val probes = embeddings.filter(col("vec_id").isInCollection(queryIds))
+    embeddings.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
               norm(col("embedding")).as("nq"))
       .join(broadcast(cents))
@@ -194,7 +202,6 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qe"), col("nq"), col("cent_id"))
-    searchCells(assigned, probes, k)
   }
 
   /** Search the probed cells: equi-join cell members to the (small,
@@ -235,20 +242,7 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, table: String,
                      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
                      nprobe: Int = 2, centStride: Long = 100): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") % centStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-              norm(col("embedding")).as("nc"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim").desc, col("cent_id"))
-    val probes = embeddings.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-              norm(col("embedding")).as("nq"))
-      .join(broadcast(cents))
-      .withColumn("cent_sim", round(cosineWithNorms(col("qe"), col("ce"),
-        col("nq"), col("nc")), 6))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qe"), col("nq"), col("cent_id"))
+    val probes = probeSet(embeddings, queryIds, nprobe, centStride)
     // one computation of the (scalar-sized) probe set, reused both as
     // the literal pruning predicate and as the broadcast join side
     val probeRows = probes.collect().toSeq

@@ -88,7 +88,15 @@ object MergeUpsert {
     * untouched and the leftovers are garbage; manifest present → the
     * merge is committed and [[recoverTornMerge]] (run automatically on
     * the next merge) rolls it FORWARD to completion. Single writer at a
-    * time, as with [[intoPath]]. */
+    * time, as with [[intoPath]].
+    *
+    * The no-data-loss argument needs directory rename to be atomic —
+    * true on HDFS and local filesystems, NOT on raw object stores
+    * (S3A/GCS rename is copy-then-delete). Replay tolerates a torn
+    * aside-rename (see `commit`), but a crash mid-copy of the swap-in
+    * rename itself can expose a partial partition to readers until the
+    * next recovery; on object stores front this with an atomic-commit
+    * layer (e.g. a Delta/Iceberg-style metadata pointer). */
   def intoPartitionedPath(spark: SparkSession, path: String, source: DataFrame,
                           pks: Seq[String],
                           partitionCol: String = "partition_value"): Unit =
@@ -207,26 +215,29 @@ object MergeUpsert {
     val tmp = stagingDir(path)
     val trash = trashDir(path)
     fs.mkdirs(trash)
+    // aside() tolerates a half-copied trash entry from a crashed NON-
+    // atomic rename (object stores copy-then-delete): trash is write-
+    // only garbage until the final delete, so clearing a leftover and
+    // redoing the aside is always safe — without it, replay's rename
+    // would fail on the existing destination and wedge the table.
+    def aside(kind: String, name: String, live: Path): Unit = {
+      beforeRename(kind, name)
+      val dest = new Path(trash, name)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      require(fs.rename(live, dest), s"rename $live -> trash failed")
+    }
     swaps.foreach { name =>
       val staged = new Path(tmp, name)
       if (fs.exists(staged)) { // already-swapped partitions skip (replay)
         val live = new Path(target, name)
-        if (fs.exists(live)) {
-          beforeRename("swap-aside", name)
-          require(fs.rename(live, new Path(trash, name)),
-            s"rename $live -> trash failed")
-        }
+        if (fs.exists(live)) aside("swap-aside", name, live)
         beforeRename("swap-in", name)
         require(fs.rename(staged, live), s"rename $staged -> $live failed")
       }
     }
     drops.foreach { name =>
       val live = new Path(target, name)
-      if (fs.exists(live)) {
-        beforeRename("drop-aside", name)
-        require(fs.rename(live, new Path(trash, name)),
-          s"rename $live -> trash failed")
-      }
+      if (fs.exists(live)) aside("drop-aside", name, live)
     }
     // deleting the manifest (with its staging dir) marks the commit
     // complete; the trash goes last — it only ever holds displaced

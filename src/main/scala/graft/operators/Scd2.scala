@@ -52,11 +52,17 @@ object Scd2 {
     // fromHistory or per-version applyBatch folds instead)
     // ordering = (ts, attrs...) so two versions with IDENTICAL ts pick
     // a deterministic winner (lexicographic on attribute values) — with
-    // ts alone the kept row would vary run-to-run and engine-to-engine
+    // ts alone the kept row would vary run-to-run and engine-to-engine.
+    // Only orderable attr types join the tie-break (a map column would
+    // fail analysis inside max_by's ordering struct).
+    val orderableAttrs = batch.schema.fields.collect {
+      case f if org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType) => f.name
+    }.toSeq
     val batchLatest = batch
       .groupBy(col(naturalKey))
       .agg(max_by(struct(attrCols.map(col): _*),
-                  struct((col(tsCol) +: attrCols.map(col)): _*)).as("__r"))
+                  struct((col(tsCol) +: orderableAttrs.map(col)): _*)).as("__r"))
       .select(attrCols.map(c => col(s"__r.$c").as(c)): _*)
 
     // One join, reused by all three branches (Catalyst caches the

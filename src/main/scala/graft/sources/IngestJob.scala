@@ -30,9 +30,14 @@ object IngestJob {
     val jobName = s"lark-ingest-$runDate"
     IngestNotifier.notifying(notifier, jobName) {
       val state = new IngestionState(statePath)
+      // a broken notifier must never change the ingestion outcome: the
+      // retry loop and the remaining-tables policy answer to the DATA
+      // errors; notification failures are best-effort
+      def tell(msg: String): Unit =
+        try notifier.notify(msg) catch { case NonFatal(_) => }
       def retrying[T](what: String)(body: => T): T =
         Retry.withBackoff(retries, retryDelayMs, sleep,
-          onRetry = (n, e) => notifier.notify(
+          onRetry = (n, e) => tell(
             s"[$jobName] $what attempt $n failed, retrying: ${e.getMessage}"))(body)
       val tables = retrying("table discovery")(LarkSource.discoverTables(client))
       val failed = tables.flatMap { t =>
@@ -44,7 +49,7 @@ object IngestJob {
           None
         } catch {
           case NonFatal(e) =>
-            notifier.notify(
+            tell(
               s"[$jobName] table ${t.tableId} FAILED after $retries retries: ${e.getMessage}")
             Some(t.tableId -> e)
         }

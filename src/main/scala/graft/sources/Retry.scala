@@ -12,13 +12,18 @@ import scala.util.control.NonFatal
 object Retry {
 
   /** Run `body`, retrying up to `retries` times on non-fatal failure.
-    * Attempt n sleeps `delayMs * 2^(n-1)` first (n=1 sleeps `delayMs`,
-    * matching the reference's fixed retry_delay for the single-retry
-    * default, and backing off under repeated flake). `onRetry` fires
-    * before each sleep with (attempt, failure) — the notifier seam. */
+    * Attempt n sleeps `min(delayMs * 2^(n-1), maxDelayMs)` first (n=1
+    * sleeps `delayMs`, matching the reference's fixed retry_delay for
+    * the single-retry default, and backing off under repeated flake;
+    * the cap keeps the doubling from overflowing Long on high attempt
+    * counts). `onRetry` fires before each sleep with (attempt,
+    * failure) — the notifier seam; a THROWING hook must not eat the
+    * remaining attempts, so its failure is swallowed (the retry policy
+    * answers to the body's errors, not the observer's). */
   def withBackoff[T](retries: Int, delayMs: Long,
                      sleep: Long => Unit = Thread.sleep,
-                     onRetry: (Int, Throwable) => Unit = (_, _) => ())
+                     onRetry: (Int, Throwable) => Unit = (_, _) => (),
+                     maxDelayMs: Long = 60L * 60 * 1000)
                     (body: => T): T = {
     var attempt = 0
     while (true) {
@@ -26,8 +31,12 @@ object Retry {
       catch {
         case NonFatal(e) if attempt < retries =>
           attempt += 1
-          onRetry(attempt, e)
-          sleep(delayMs << (attempt - 1))
+          try onRetry(attempt, e) catch { case NonFatal(_) => }
+          val exp = math.min(attempt - 1, 62)
+          val backoff =
+            if (exp >= 62 || delayMs > (maxDelayMs >> exp)) maxDelayMs
+            else delayMs << exp
+          sleep(math.min(backoff, maxDelayMs))
       }
     }
     throw new IllegalStateException("unreachable")

@@ -40,6 +40,17 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.violations("SELECT SUM(CAST(v AS BIGINT)) FROM t").nonEmpty)
   }
 
+  test("a nested safe cast inside an outer integer cast does not fool the lint") {
+    // the cast that types the SUM is the OUTER one (BIGINT -> HUGEINT sum);
+    // the inner AS DOUBLE must not make this pass
+    assert(OracleLint.violations(
+      "SELECT SUM(CAST(CASE WHEN f THEN CAST(x AS DOUBLE) ELSE 0 END AS BIGINT)) FROM t")
+      .nonEmpty)
+    // and depth-0 safe cast still passes even with a nested int cast
+    assert(OracleLint.violations(
+      "SELECT SUM(CAST(CAST(x AS BIGINT) AS DOUBLE)) FROM t").isEmpty)
+  }
+
   test("identifiers merely containing 'sum' are not flagged") {
     assert(OracleLint.violations("SELECT checksum(x), sum_k, total_sum FROM t").isEmpty)
   }

@@ -92,6 +92,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nPairs <= 4L * 100 * 99 / 2, s"pairs not bounded by the cap: $nPairs")
   }
 
+  test("dedupCorpus: over-cap buckets surface per-doc as lsh_overflow, never silently") {
+    val adversarial = (1L to 500L).map(i =>
+      (i, s"this cookie banner asks you to accept all cookies before reading variant$i",
+        "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.dedupCorpus(adversarial, threshold = 0.5, k = 8, bands = 4,
+      maxBucket = 100).collect()
+    assert(out.length === 500) // verdict covers every doc
+    val overflow = out.filter(_.getAs[Boolean]("lsh_overflow"))
+    assert(overflow.nonEmpty, "degenerate corpus should overflow the cap")
+    // overflowed docs keep by default: dedup was NOT attempted, and the
+    // flag says so — the observable contract replacing a silent cap
+    assert(overflow.forall(_.getAs[Boolean]("keep")))
+    // a doc with a flag is always a tier-3 survivor, never a tier-1/2 drop
+    assert(overflow.forall(r => r.getAs[String]("drop_reason") == null))
+  }
+
   test("dedupCorpus: materialize hook preserves results exactly") {
     val lazyOut = Dedup.dedupCorpus(docsDf, threshold = 0.5, k = 8, bands = 4)
       .orderBy("doc_id").collect().toSeq

@@ -153,6 +153,28 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(new java.io.File(dir).getParentFile.list().toSeq === Seq("t"))
   }
 
+  test("a torn non-atomic aside rename (live AND trash both present) replays clean") {
+    val dir = java.nio.file.Files.createTempDirectory("crash4").toString + "/t"
+    seed(dir)
+    val s = Seq((1, "A", "p1")).toDF("id", "v", "partition_value")
+    intercept[SimulatedCrash] {
+      MergeUpsert.intoPartitionedPath(spark, dir, s, Seq("id"),
+        "partition_value", crashOn("swap-in"))
+    }
+    // simulate an object-store copy-then-delete rename dying after the
+    // copy: the live dir reappears while its trash copy also exists
+    val live = new java.io.File(s"$dir/partition_value=p1")
+    val trashed = new java.io.File(s"${dir}__merge_trash/partition_value=p1")
+    assert(trashed.exists() && !live.exists())
+    org.apache.commons.io.FileUtils.copyDirectory(trashed, live)
+    assert(trashed.exists() && live.exists())
+    // replay must clear the trash leftover and finish, not wedge on the
+    // existing rename destination
+    MergeUpsert.recoverTornMerge(spark, dir)
+    assert(readAll(dir) === Seq((1, "A", "p1"), (2, "b", "p2"), (3, "c", "p3")))
+    assert(new java.io.File(dir).getParentFile.list().toSeq === Seq("t"))
+  }
+
   test("crash during the stale-partition drop rolls forward on the next merge") {
     val dir = java.nio.file.Files.createTempDirectory("crash3").toString + "/t"
     seed(dir)

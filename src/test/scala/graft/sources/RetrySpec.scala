@@ -41,6 +41,30 @@ class RetrySpec extends AnyFunSuite {
     assert(seen.toSeq === Seq(1 -> "boom", 2 -> "boom"))
   }
 
+  test("a throwing onRetry hook does not eat the remaining attempts") {
+    var calls = 0
+    val r = Retry.withBackoff(retries = 2, delayMs = 1, sleep = _ => (),
+      onRetry = (_, _) => throw new RuntimeException("notifier down")) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("flake")
+      "ok"
+    }
+    assert(r === "ok") // body still got all its retries
+  }
+
+  test("backoff doubling clamps at maxDelayMs instead of overflowing") {
+    val sleeps = ArrayBuffer.empty[Long]
+    intercept[RuntimeException] {
+      Retry.withBackoff(retries = 80, delayMs = 300000L, sleep = sleeps += _,
+        maxDelayMs = 900000L) {
+        throw new RuntimeException("always")
+      }
+    }
+    assert(sleeps.length === 80)
+    assert(sleeps.forall(s => s > 0 && s <= 900000L), s"sleeps: ${sleeps.distinct}")
+    assert(sleeps.take(3).toSeq === Seq(300000L, 600000L, 900000L))
+  }
+
   test("fatal errors are not retried") {
     var calls = 0
     intercept[OutOfMemoryError] {
