@@ -300,7 +300,12 @@ object LlmQueries {
   /** The whole dedup ladder as one call: per-doc keep/drop verdicts
     * (normalized collapse -> LSH candidates -> Jaccard verify). */
   def dedupCorpus(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupCorpus(docs(s, dir), threshold = 0.5, maxBucket = 1000)
+    // the scale-correct call shape: the hook materializes each shared
+    // slice once (t12, survivors, buckets) so the dominant scan runs 1x,
+    // not per branch; results are bit-identical to the lazy path
+    // (pinned by LlmOpsSpec "materialize hook preserves results")
+    Dedup.dedupCorpus(docs(s, dir), threshold = 0.5, maxBucket = 1000,
+        materialize = _.localCheckpoint())
       .select(col("doc_id"), col("keep"), col("drop_reason"), col("lsh_overflow"))
       .orderBy("doc_id")
 
