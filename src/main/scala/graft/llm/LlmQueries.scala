@@ -107,16 +107,60 @@ object LlmQueries {
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), bits = 32).orderBy("doc_id")
 
-  val simhashFingerprintsSql: String = {
-    val bitExprs = (0 until 32).map { j =>
+  /** `sh(doc_id, simhash)` CTE chain — shared by q44 (32-bit) and q55
+    * (48-bit: wider fingerprints keep band buckets selective on a
+    * near-dup-rich corpus, the Manku-et-al web-dedup sizing). */
+  private def simhashCtes(bits: Int): String = {
+    val bitExprs = (0 until bits).map { j =>
       s"(CASE WHEN CAST(list_sum(list_transform(xs, x -> CASE WHEN (x >> $j) & 1 = 1 " +
         s"THEN 1 ELSE -1 END)) AS BIGINT) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
-    s"""SELECT doc_id, $bitExprs AS simhash
-       |FROM (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+    s"""shx AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
        |        x -> CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)) AS xs
-       |      FROM documents)
-       |ORDER BY doc_id""".stripMargin
+       |      FROM documents),
+       |sh AS (SELECT doc_id, $bitExprs AS simhash FROM shx)""".stripMargin
+  }
+
+  val simhashFingerprintsSql: String =
+    s"""WITH ${simhashCtes(32)}
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  // maxBucket=100: the synthetic corpus is near-dup-RICH (template
+  // docs), so band buckets routinely hold hundreds of genuinely
+  // similar docs; a pair-shaped output over those is quadratic in
+  // cluster size. The cap excludes-and-surfaces degenerate clusters
+  // (treat the whole bucket as one dup cluster downstream) and keeps
+  // the pair list linear-ish — the same discipline as q42's LSH cap,
+  // mirrored in the oracle's HAVING clause.
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(docs(s, dir), bits = 48, bands = 4,
+      maxHamming = 3, maxBucket = 100)
+      .orderBy("a", "b")
+
+  val simhashNearDupSql: String = {
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, substr(simhash, ${b * 12 + 1}, 12) AS bucket FROM sh")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${simhashCtes(48)},
+       |sbanded AS (
+       |  $bandRows),
+       |swide AS (SELECT band, bucket FROM sbanded
+       |          GROUP BY 1, 2 HAVING COUNT(*) > 100),
+       |scand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM sbanded l JOIN sbanded r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM swide w
+       |    WHERE w.band = l.band AND w.bucket = l.bucket)),
+       |ham AS (
+       |  SELECT a, b, CAST(list_sum(list_transform(range(1, 49),
+       |    i -> CASE WHEN substr(sa.simhash, CAST(i AS INT), 1) <>
+       |         substr(sb.simhash, CAST(i AS INT), 1) THEN 1 ELSE 0 END)) AS INT)
+       |    AS hamming
+       |  FROM scand JOIN sh sa ON sa.doc_id = scand.a
+       |  JOIN sh sb ON sb.doc_id = scand.b)
+       |SELECT a, b, hamming FROM ham WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   }
 
   // ---------------------------------------------------------------- q45
@@ -192,6 +236,30 @@ object LlmQueries {
       |     w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
       |     / len(string_split(text, ' ')) < 0.5) AS passes_quality
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  def heuristicFilter(s: SparkSession, dir: String): DataFrame =
+    TextStats.heuristicFilter(docs(s, dir)).orderBy("doc_id")
+
+  val heuristicFilterSql: String =
+    """SELECT doc_id, n_words, word_count_ok, mean_word_len_ok, alpha_ratio_ok,
+      |  stopword_ok, repetition_ok, terminal_punct_ok,
+      |  (word_count_ok AND mean_word_len_ok AND alpha_ratio_ok AND stopword_ok
+      |   AND repetition_ok AND terminal_punct_ok) AS keep
+      |FROM (
+      |  SELECT doc_id,
+      |    len(w) AS n_words,
+      |    len(w) BETWEEN 5 AND 10000 AS word_count_ok,
+      |    CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) BETWEEN 2.0 AND 12.0
+      |      AS mean_word_len_ok,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      |      / len(w) >= 0.8 AS alpha_ratio_ok,
+      |    len(list_filter(w, x -> list_contains(
+      |      ['the','a','of','and','to','in','is'], x))) >= 1 AS stopword_ok,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3 AS repetition_ok,
+      |    regexp_matches(text, '[.!?]$') AS terminal_punct_ok
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q49
   def tokenCounts(s: SparkSession, dir: String): DataFrame =
@@ -356,6 +424,8 @@ object LlmQueries {
     "q52_embedding_neardup" -> (embeddingNearDup _),
     "q53_ivf_topk" -> (ivfTopK _),
     "q54_dedup_corpus" -> (dedupCorpus _),
+    "q55_simhash_neardup" -> (simhashNearDup _),
+    "q56_heuristic_filter" -> (heuristicFilter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -374,5 +444,7 @@ object LlmQueries {
     "q52_embedding_neardup" -> embeddingNearDupSql,
     "q53_ivf_topk" -> ivfTopKSql,
     "q54_dedup_corpus" -> dedupCorpusSql,
+    "q55_simhash_neardup" -> simhashNearDupSql,
+    "q56_heuristic_filter" -> heuristicFilterSql,
   )
 }

@@ -33,6 +33,38 @@ object TextStats {
         (stopHits.cast("double") / nWords) < lit(0.5)).as("passes_quality"))
   }
 
+  /** C4/Gopher-style heuristic corpus filter: the published
+    * pre-training cleaning rules (C4: Raffel et al. 2020 §2.2; Gopher:
+    * Rae et al. 2021 appendix A1.1), reduced to what a single-line doc
+    * supports — word-count bounds, mean-word-length bounds, alpha-word
+    * ratio, stopword evidence, distinct-word (repetition) ratio,
+    * terminal punctuation. Each rule surfaces as its OWN flag so a
+    * pipeline can ablate/tune thresholds without re-reading the corpus;
+    * `keep` is their conjunction. One narrow codegen'd pass, no
+    * shuffle, no UDF — at 100 TB this is scan-bound. */
+  def heuristicFilter(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val meanLen = (length(col("text")) - n + 1).cast("double") / n
+    val alphaRatio =
+      size(filter(words, w => w.rlike("[a-z]"))).cast("double") / n
+    val stopHits = size(filter(words, w => w.isin(stopwords: _*)))
+    val distinctRatio = size(array_distinct(words)).cast("double") / n
+    docs.select(
+      col("doc_id"),
+      n.as("n_words"),
+      (n >= 5 && n <= 10000).as("word_count_ok"),
+      (meanLen >= 2.0 && meanLen <= 12.0).as("mean_word_len_ok"),
+      (alphaRatio >= 0.8).as("alpha_ratio_ok"),
+      (stopHits >= 1).as("stopword_ok"),
+      (distinctRatio >= 0.3).as("repetition_ok"),
+      col("text").rlike("[.!?]$").as("terminal_punct_ok"))
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_word_len_ok") &&
+          col("alpha_ratio_ok") && col("stopword_ok") &&
+          col("repetition_ok") && col("terminal_punct_ok"))
+  }
+
   /** Token counts: whitespace tokens plus a BPE-ish regex token count
     * (letter runs / digit runs / single non-alphanumeric). */
   def tokenCounts(docs: DataFrame): DataFrame =

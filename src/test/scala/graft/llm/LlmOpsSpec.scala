@@ -92,6 +92,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nPairs <= 4L * 100 * 99 / 2, s"pairs not bounded by the cap: $nPairs")
   }
 
+  test("simhash near-dup pairs: identical docs at hamming 0, unrelated absent") {
+    val got = Dedup.simhashNearDupPairs(docsDf, bits = 32, bands = 4,
+      maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) === 0) // identical texts -> identical fingerprints
+    assert(!got.keySet.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
+    // every emitted pair respects the hamming bound
+    assert(got.values.forall(_ <= 3))
+  }
+
+  test("simhash near-dup pairs: pigeonhole precondition is enforced") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docsDf, bits = 32, bands = 4, maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docsDf, bits = 32, bands = 5)
+    }
+  }
+
+  test("heuristic filter: each rule trips on its designed offender") {
+    val tricky = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog today.", "en", "s"), // clean
+      (2L, "too short.", "en", "s"),                          // word_count
+      (3L, "the aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbbbbbbbbbbbb " +
+        "cccccccccccccccccccccccccccccc dddddddddddddddddddddddddddddd.", "en", "s"), // mean_word_len
+      (4L, "the 1 2 3 4 5 6 7 8 9.", "en", "s"),              // alpha_ratio
+      (5L, "quick brown foxes jump over lazy dogs daily without fail.", "en", "s"), // no stopword
+      (6L, "the word word word word word word word word word word word word.", "en", "s"), // repetition
+      (7L, "the quick brown fox jumps over a lazy dog today", "en", "s")) // no terminal punct
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextStats.heuristicFilter(tricky).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("word_count_ok"))
+    assert(!out(3L).getAs[Boolean]("mean_word_len_ok"))
+    assert(!out(4L).getAs[Boolean]("alpha_ratio_ok"))
+    assert(!out(5L).getAs[Boolean]("stopword_ok"))
+    assert(!out(6L).getAs[Boolean]("repetition_ok"))
+    assert(!out(7L).getAs[Boolean]("terminal_punct_ok"))
+    assert((2L to 7L).forall(i => !out(i).getAs[Boolean]("keep")))
+  }
+
   test("dedupCorpus: over-cap buckets surface per-doc as lsh_overflow, never silently") {
     val adversarial = (1L to 500L).map(i =>
       (i, s"this cookie banner asks you to accept all cookies before reading variant$i",
