@@ -364,6 +364,22 @@ object LlmQueries {
        |    ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** The bucketed-index IVF read path under the same oracle as q53:
+    * build the cent_id-bucketed index table, then probe it. The
+    * per-query cost is an index WRITE plus a bucket-pruned scan of
+    * nprobe cells — at 100 TB the write amortizes over every probe
+    * batch while q53 recomputes the assignment per call. Results are
+    * pinned equal to the direct path (PlanShapeSpec), so the oracle SQL
+    * is identical. */
+  def ivfTopKIndexed(s: SparkSession, dir: String): DataFrame = {
+    Similarity.writeIvfIndex(emb(s, dir), "graft_ivf_index", nBuckets = 8,
+      centStride = 100)
+    Similarity.ivfTopKIndexed(s, "graft_ivf_index", emb(s, dir), knnQueryIds,
+      k = 5, nprobe = 2, centStride = 100)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- q54
   /** The whole dedup ladder as one call: per-doc keep/drop verdicts
     * (normalized collapse -> LSH candidates -> Jaccard verify). */
@@ -426,6 +442,7 @@ object LlmQueries {
     "q54_dedup_corpus" -> (dedupCorpus _),
     "q55_simhash_neardup" -> (simhashNearDup _),
     "q56_heuristic_filter" -> (heuristicFilter _),
+    "q57_ivf_topk_indexed" -> (ivfTopKIndexed _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -446,5 +463,6 @@ object LlmQueries {
     "q54_dedup_corpus" -> dedupCorpusSql,
     "q55_simhash_neardup" -> simhashNearDupSql,
     "q56_heuristic_filter" -> heuristicFilterSql,
+    "q57_ivf_topk_indexed" -> ivfTopKSql,
   )
 }

@@ -120,6 +120,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hooked.filter(col("keep")).count() > 0)
   }
 
+  test("q55 simhash near-dup is a banded equi-join — never cartesian") {
+    val plan = planText(graft.llm.LlmQueries.simhashNearDup(spark, sf))
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+    assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
+  }
+
   test("indexed IVF probe is bucket-pruned and exchange-free on the index side") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
