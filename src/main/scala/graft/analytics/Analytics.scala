@@ -89,12 +89,24 @@ object Analytics {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
+    // lineitem's only contribution is revenue at ORDER grain: pre-
+    // aggregate it first (exact decimal partials — associative, so the
+    // total is bit-identical to the flat sum) so the distinct expansion
+    // runs over ~1/4 the rows, and n_orders collapses to a plain count
+    // (o_orderkey is unique after the pre-agg + 1:1 joins) — one
+    // countDistinct instead of two, expand x2 instead of x3.
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2) *
+        dec(lit(1.0) - col("l_discount"), 4, 2)).as("rev_dec"))
+    perOrder
+      .join(o.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(c.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("rev_dec")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_customers"))
       .orderBy("c_mktsegment")
   }
