@@ -380,6 +380,35 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q58
+  /** int8 quantization summarized to scalars per vector (driver-hash
+    * convention, as q50: list columns stay out of the gate output; the
+    * l1/min/max triple pins every element's value through the sum). */
+  def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(emb(s, dir))
+      .select(col("vec_id"), col("n_dims"), col("scale"),
+        expr("CAST(aggregate(qvec, 0L, (acc, q) -> acc + abs(q)) AS BIGINT)")
+          .as("q_l1"),
+        expr("array_min(qvec)").as("q_min"),
+        expr("array_max(qvec)").as("q_max"),
+        col("max_abs_err"))
+      .orderBy("vec_id")
+
+  val quantizeEmbeddingsSql: String =
+    """SELECT vec_id, len(qvec) AS n_dims, scale,
+      |  CAST(list_sum(list_transform(qvec, q -> abs(q))) AS BIGINT) AS q_l1,
+      |  list_min(qvec) AS q_min, list_max(qvec) AS q_max,
+      |  list_max(list_transform(range(1, len(v) + 1),
+      |    i -> abs(v[CAST(i AS INT)] - qvec[CAST(i AS INT)] * scale))) AS max_abs_err
+      |FROM (
+      |  SELECT vec_id, v, scale,
+      |    list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0
+      |      ELSE CAST(round(x / scale) AS INT) END) AS qvec
+      |  FROM (
+      |    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)))
+      |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q54
   /** The whole dedup ladder as one call: per-doc keep/drop verdicts
     * (normalized collapse -> LSH candidates -> Jaccard verify). */
@@ -443,6 +472,7 @@ object LlmQueries {
     "q55_simhash_neardup" -> (simhashNearDup _),
     "q56_heuristic_filter" -> (heuristicFilter _),
     "q57_ivf_topk_indexed" -> (ivfTopKIndexed _),
+    "q58_quantize_embeddings" -> (quantizeEmbeddings _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -464,5 +494,6 @@ object LlmQueries {
     "q55_simhash_neardup" -> simhashNearDupSql,
     "q56_heuristic_filter" -> heuristicFilterSql,
     "q57_ivf_topk_indexed" -> ivfTopKSql,
+    "q58_quantize_embeddings" -> quantizeEmbeddingsSql,
   )
 }

@@ -221,6 +221,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
+    * `q_i = round(x_i / scale)` — the standard 4x storage/bandwidth cut
+    * for an embedding corpus (at 100 TB of float32 vectors the scan is
+    * bandwidth-bound, so int8 is ~4x faster too). Max reconstruction
+    * error is `scale / 2`, surfaced per vector as `max_abs_err` so a
+    * pipeline can gate on quantization loss. Zero vectors quantize to
+    * zeros (scale 0 guard). One narrow codegen'd pass, no shuffle.
+    * Returns (vec_id, n_dims, scale, qvec, max_abs_err). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0"))
+      .withColumn("qvec", expr(
+        "transform(v, x -> CASE WHEN scale = 0.0 THEN 0 " +
+          "ELSE CAST(round(x / scale) AS INT) END)"))
+      .withColumn("max_abs_err",
+        expr("array_max(zip_with(v, qvec, (x, q) -> abs(x - q * scale)))"))
+      .select(col("vec_id"), size(col("qvec")).as("n_dims"), col("scale"),
+              col("qvec"), col("max_abs_err"))
+
   /** Persist the IVF index as a `cent_id`-bucketed (and sorted) catalog
     * table. Bucketing puts each cell's members in known files at rest,
     * so an indexed search ([[ivfTopKIndexed]]) reads ONLY the probed

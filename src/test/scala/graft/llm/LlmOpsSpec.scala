@@ -167,6 +167,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hamming(sh(1L), sh(5L)) < hamming(sh(1L), sh(4L)))
   }
 
+  test("int8 quantization: bounds, zero guard, error within scale/2") {
+    val e = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),       // zero vector
+      (2L, Array(127.0f, -127.0f, 63.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(e).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val q0 = out(0L).getAs[scala.collection.Seq[Int]]("qvec")
+    assert(q0 === Seq(127, -64, 32)) // scale = 1/127; -63.5 rounds away from zero
+    assert(out(1L).getAs[scala.collection.Seq[Int]]("qvec") === Seq(0, 0, 0))
+    assert(out(1L).getAs[Double]("max_abs_err") === 0.0)
+    out.values.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(r.getAs[scala.collection.Seq[Int]]("qvec").forall(q => q >= -127 && q <= 127))
+      assert(r.getAs[Double]("max_abs_err") <= scale / 2 + 1e-12)
+    }
+  }
+
   test("cosine top-k: orthogonal vs parallel vectors") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
