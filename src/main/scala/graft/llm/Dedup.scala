@@ -214,12 +214,14 @@ object Dedup {
     * Every stage is a bounded join or aggregation — no iteration, no
     * driver state; the plan is a DAG of shuffles on md5/bucket keys.
     *
-    * `lsh_overflow = true` marks a survivor whose LSH bucket exceeded
-    * `maxBucket`: near-dup detection was NOT attempted for it (it keeps
-    * by default). The cap is thus observable per-doc in the verdict
-    * itself — a pipeline alerts on `count(lsh_overflow)` and either
-    * tightens tiers 1-2 or treats whole overflow buckets as duplicate
-    * clusters; nothing is silently capped.
+    * `lsh_overflow = true` marks a survivor with at least one over-cap
+    * band bucket: near-dup detection was PARTIAL for it — candidates
+    * from the overflowed band(s) were not generated, though the doc can
+    * still match (and drop) through another, narrower band. The cap is
+    * thus observable per-doc in the verdict itself — a pipeline alerts
+    * on `count(lsh_overflow)` and either tightens tiers 1-2 or treats
+    * whole overflow buckets as duplicate clusters; nothing is silently
+    * capped.
     *
     * The survivors slice feeds three branches (candidates, verify,
     * final verdict join) and Catalyst recomputes the canonicalization
@@ -302,16 +304,21 @@ object Dedup {
     * Same bucket discipline as MinHash-LSH ([[lshCandidatePairs]]):
     * per-(band, bits) sorted-set buckets, pair explode inside the
     * bucket, degenerate buckets excluded by `maxBucket` — never
-    * all-pairs, bounded row width. Returns (a, b, hamming), a < b. */
+    * all-pairs, bounded row width. Returns (a, b, hamming), a < b.
+    *
+    * The fingerprint slice feeds three branches (bucket aggregation +
+    * both verify-join sides); `materialize` is the same scale hook as
+    * [[dedupCorpus]]'s — pass `_.localCheckpoint()` at corpus scale so
+    * the dominant fingerprint scan runs once, not 3x. */
   def simhashNearDupPairs(docs: DataFrame, bits: Int = 32, bands: Int = 4,
-                          maxHamming: Int = 3,
-                          maxBucket: Int = 1000): DataFrame = {
+                          maxHamming: Int = 3, maxBucket: Int = 1000,
+                          materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
     require(bands >= maxHamming + 1,
       s"pigeonhole: bands ($bands) must exceed maxHamming ($maxHamming) " +
         "or the band join misses qualifying pairs")
     val width = bits / bands
-    val sh = simhash(docs, bits)
+    val sh = materialize(simhash(docs, bits))
     val bandCols = (0 until bands).map(b =>
       substring(col("simhash"), b * width + 1, width))
     val buckets = sh

@@ -135,7 +135,7 @@ object LlmQueries {
   // mirrored in the oracle's HAVING clause.
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(docs(s, dir), bits = 48, bands = 4,
-      maxHamming = 3, maxBucket = 100)
+      maxHamming = 3, maxBucket = 100, materialize = _.localCheckpoint())
       .orderBy("a", "b")
 
   val simhashNearDupSql: String = {
@@ -257,7 +257,7 @@ object LlmQueries {
       |    len(list_filter(w, x -> list_contains(
       |      ['the','a','of','and','to','in','is'], x))) >= 1 AS stopword_ok,
       |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3 AS repetition_ok,
-      |    regexp_matches(text, '[.!?]$') AS terminal_punct_ok
+      |    right(text, 1) IN ('.', '!', '?') AS terminal_punct_ok
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
       |ORDER BY doc_id""".stripMargin
 

@@ -58,7 +58,10 @@ object TextStats {
       (alphaRatio >= 0.8).as("alpha_ratio_ok"),
       (stopHits >= 1).as("stopword_ok"),
       (distinctRatio >= 0.3).as("repetition_ok"),
-      col("text").rlike("[.!?]$").as("terminal_punct_ok"))
+      // last-char test, NOT a regex '$' anchor: Java's '$' matches
+      // before a trailing newline while RE2's (the oracle's) does not —
+      // right(text, 1) has one semantics in both engines
+      expr("right(text, 1)").isin(".", "!", "?").as("terminal_punct_ok"))
       .withColumn("keep",
         col("word_count_ok") && col("mean_word_len_ok") &&
           col("alpha_ratio_ok") && col("stopword_ok") &&

@@ -53,16 +53,19 @@ object Scd2 {
     // ordering = (ts, attrs...) so two versions with IDENTICAL ts pick
     // a deterministic winner (lexicographic on attribute values) — with
     // ts alone the kept row would vary run-to-run and engine-to-engine.
-    // Only orderable attr types join the tie-break (a map column would
-    // fail analysis inside max_by's ordering struct).
-    val orderableAttrs = batch.schema.fields.collect {
-      case f if org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .isOrderable(f.dataType) => f.name
-    }.toSeq
+    // Non-orderable attr types (maps) would fail analysis inside
+    // max_by's ordering struct, so they join the tie-break through
+    // their JSON text instead — every column still participates and the
+    // winner stays deterministic for ANY schema.
+    val tieBreak = batch.schema.fields.toSeq.map { f =>
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType)) col(f.name)
+      else to_json(struct(col(f.name)))
+    }
     val batchLatest = batch
       .groupBy(col(naturalKey))
       .agg(max_by(struct(attrCols.map(col): _*),
-                  struct((col(tsCol) +: orderableAttrs.map(col)): _*)).as("__r"))
+                  struct((col(tsCol) +: tieBreak): _*)).as("__r"))
       .select(attrCols.map(c => col(s"__r.$c").as(c)): _*)
 
     // One join, reused by all three branches (Catalyst caches the

@@ -32,12 +32,13 @@ object IngestJob {
       val state = new IngestionState(statePath)
       // a broken notifier must never change the ingestion outcome: the
       // retry loop and the remaining-tables policy answer to the DATA
-      // errors; notification failures are best-effort
+      // errors; notification failures are best-effort. Retry.withBackoff
+      // already guards its onRetry hook; tell() covers the direct sends.
       def tell(msg: String): Unit =
         try notifier.notify(msg) catch { case NonFatal(_) => }
       def retrying[T](what: String)(body: => T): T =
         Retry.withBackoff(retries, retryDelayMs, sleep,
-          onRetry = (n, e) => tell(
+          onRetry = (n, e) => notifier.notify(
             s"[$jobName] $what attempt $n failed, retrying: ${e.getMessage}"))(body)
       val tables = retrying("table discovery")(LarkSource.discoverTables(client))
       val failed = tables.flatMap { t =>

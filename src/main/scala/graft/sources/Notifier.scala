@@ -17,15 +17,23 @@ object LogNotifier extends IngestNotifier {
 
 object IngestNotifier {
   /** Run `body`, notifying success or failure like the reference's
-    * on_success/on_failure callbacks (lark_to_gcs.py DAG args). */
-  def notifying[T](notifier: IngestNotifier, jobName: String)(body: => T): T =
+    * on_success/on_failure callbacks (lark_to_gcs.py DAG args).
+    *
+    * Notification is best-effort: a throwing notifier must never turn
+    * a successful run into a failure, nor replace the real failure
+    * with its own (the chat API being down is not a data error). */
+  def notifying[T](notifier: IngestNotifier, jobName: String)(body: => T): T = {
+    def tell(msg: String): Unit =
+      try notifier.notify(msg)
+      catch { case scala.util.control.NonFatal(_) => }
     try {
       val r = body
-      notifier.notify(s"[$jobName] succeeded")
+      tell(s"[$jobName] succeeded")
       r
     } catch {
       case e: Throwable =>
-        notifier.notify(s"[$jobName] FAILED: ${e.getMessage}")
+        tell(s"[$jobName] FAILED: ${e.getMessage}")
         throw e
     }
+  }
 }

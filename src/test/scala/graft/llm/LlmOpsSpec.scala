@@ -143,11 +143,13 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.length === 500) // verdict covers every doc
     val overflow = out.filter(_.getAs[Boolean]("lsh_overflow"))
     assert(overflow.nonEmpty, "degenerate corpus should overflow the cap")
-    // overflowed docs keep by default: dedup was NOT attempted, and the
-    // flag says so — the observable contract replacing a silent cap
-    assert(overflow.forall(_.getAs[Boolean]("keep")))
-    // a doc with a flag is always a tier-3 survivor, never a tier-1/2 drop
-    assert(overflow.forall(r => r.getAs[String]("drop_reason") == null))
+    // the flag marks PARTIAL near-dup coverage (an overflowed band),
+    // never a tier-1/2 drop: a flagged doc is always a tier-3 survivor,
+    // and if it dropped anyway (matched via a narrower band) the
+    // verdict stays consistent (keep=false implies a reason)
+    assert(overflow.forall(r => r.getAs[String]("drop_reason") != "normalized_dup"))
+    assert(out.forall(r =>
+      r.getAs[Boolean]("keep") == (r.getAs[String]("drop_reason") == null)))
   }
 
   test("dedupCorpus: materialize hook preserves results exactly") {

@@ -120,6 +120,25 @@ class Scd2Spec extends AnyFunSuite {
     }
   }
 
+  test("map-typed attrs still get a deterministic identical-ts winner (via JSON)") {
+    val batch = Seq(("E9", Map("k" -> "v1")), ("E9", Map("k" -> "v2")))
+      .toDF("user_id", "attrs")
+      .withColumn("datetime_updated", timestamp_seconds(lit(1700000500L)))
+      .withColumn("user_sur_id", surrogateKey(col("user_id"), col("datetime_updated")))
+      .select("user_sur_id", "user_id", "datetime_updated", "attrs")
+    val empty = batch.limit(0)
+      .withColumn("valid_from", col("datetime_updated"))
+      .withColumn("valid_to", col("datetime_updated"))
+      .withColumn("is_current", lit(true))
+    (1 to 3).foreach { _ =>
+      val dim = Scd2.applyBatch(empty, batch.repartition(8),
+        "user_id", "datetime_updated", "user_sur_id")
+      assert(dim.count() == 1)
+      // JSON tie-break: {"k":"v2"} > {"k":"v1"} lexicographically
+      assert(dim.select(col("attrs")("k")).head().getString(0) == "v2")
+    }
+  }
+
   test("current rows keep sentinel valid_to") {
     val cur = oneShot.filter(col("is_current"))
     assert(cur.filter(col("valid_to") =!= to_timestamp(lit(Scd2.Sentinel))).isEmpty)

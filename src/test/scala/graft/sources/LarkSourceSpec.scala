@@ -109,6 +109,21 @@ class LarkSourceSpec extends AnyFunSuite {
     assert(idx.toSeq == (0L until 10L), "pandas-parity index must be 0..n-1")
   }
 
+  test("a throwing notifier neither fails a good run nor masks a real failure") {
+    object BrokenNotifier extends IngestNotifier {
+      def notify(message: String): Unit = throw new RuntimeException("chat down")
+    }
+    // success path: result comes back even though both notifies throw
+    assert(IngestNotifier.notifying(BrokenNotifier, "job")(42) === 42)
+    // failure path: the ORIGINAL error propagates, not the notifier's
+    val e = intercept[RuntimeException] {
+      IngestNotifier.notifying(BrokenNotifier, "job") {
+        throw new RuntimeException("real data error")
+      }
+    }
+    assert(e.getMessage === "real data error")
+  }
+
   test("notifier hook fires on success and failure") {
     val seen = scala.collection.mutable.Buffer[String]()
     val n = new IngestNotifier { def notify(m: String): Unit = seen += m }
