@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.net.URI
+import java.net.URLEncoder
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Real HTTP transport for the Lark Open API behind the [[LarkClient]]
+  * seam (reference: dags/utils/lark.py:17-37 token flow, 39-69 records,
+  * 72-112 tables, 114-134 chat message). Uses the JDK's own
+  * `java.net.http` client and the Jackson already on the Spark
+  * classpath — no new dependencies — and is tested against an
+  * in-process `com.sun.net.httpserver` fake (no egress in CI); point
+  * `baseUrl` at `https://open.larksuite.com` in production.
+  *
+  * Deliberate deviations from the reference, both documented here
+  * because they change failure behavior, not data:
+  *   - a non-2xx status or Lark `code != 0` THROWS instead of logging
+  *     and returning the partial page list (lark.py:60-66): a partial
+  *     fetch would land a torn CSV and the watermark would advance past
+  *     unread rows — the ingestion edge's [[Retry]] + notifier own the
+  *     failure policy instead;
+  *   - non-string field values render as compact JSON text (the
+  *     reference lands pandas `str()` Python reprs; the bronze
+  *     `py_to_json` parser accepts both forms).
+  */
+final class HttpLarkClient(baseUrl: String, appId: String, appSecret: String,
+                           appToken: String, pageSize: Int = 20,
+                           http: HttpClient = HttpClient.newHttpClient())
+    extends LarkClient {
+
+  private val mapper = new ObjectMapper()
+  @volatile private var cachedToken: Option[String] = None
+
+  /** POST /auth/v3/tenant_access_token/internal/ — fetched lazily on
+    * first authorized call, then cached (the reference fetches in the
+    * constructor; lazy keeps construction side-effect free). */
+  def tenantToken: String = cachedToken.getOrElse {
+    val body = mapper.createObjectNode()
+      .put("app_id", appId).put("app_secret", appSecret).toString
+    val node = send(request("/open-apis/auth/v3/tenant_access_token/internal/")
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build())
+    val t = node.path("tenant_access_token").asText("")
+    require(t.nonEmpty, "tenant_access_token missing from auth response")
+    cachedToken = Some(t)
+    t
+  }
+
+  override def tablesPage(pageToken: Option[String]): LarkPage[LarkTableInfo] = {
+    val d = authGet(paged(s"/open-apis/bitable/v1/apps/$appToken/tables", pageToken))
+      .path("data")
+    page(d, _.elements.asScala.map(i =>
+      LarkTableInfo(i.path("table_id").asText(""), i.path("name").asText(""))).toSeq)
+  }
+
+  override def recordsPage(tableId: String,
+                           pageToken: Option[String]): LarkPage[LarkSource.LarkRecord] = {
+    val d = authGet(paged(
+      s"/open-apis/bitable/v1/apps/$appToken/tables/$tableId/records", pageToken))
+      .path("data")
+    page(d, _.elements.asScala.map { item =>
+      val fields = item.path("fields")
+      // Jackson preserves JSON object insertion order — the same
+      // first-seen column order recordsToDf builds on
+      fields.fieldNames.asScala.map { name =>
+        val v = fields.get(name)
+        name -> (if (v.isTextual) v.asText else v.toString)
+      }.toSeq: LarkSource.LarkRecord
+    }.toSeq)
+  }
+
+  /** POST /im/v1/messages — the chat transport behind
+    * [[LarkChatNotifier]] (reference: lark.py:114-134). */
+  def sendMessage(chatId: String, text: String): Unit = {
+    val content = mapper.createObjectNode().put("text", text).toString
+    val body = mapper.createObjectNode()
+      .put("receive_id", chatId).put("msg_type", "text")
+      .put("content", content).toString
+    send(request("/open-apis/im/v1/messages?receive_id_type=chat_id")
+      .header("Authorization", s"Bearer $tenantToken")
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build())
+    ()
+  }
+
+  // ------------------------------------------------------------- plumbing
+
+  private def paged(path: String, pageToken: Option[String]): String =
+    s"$path?page_size=$pageSize" + pageToken.fold("")(t =>
+      "&page_token=" + URLEncoder.encode(t, StandardCharsets.UTF_8))
+
+  private def page[T](d: JsonNode, items: JsonNode => Seq[T]): LarkPage[T] =
+    LarkPage(
+      items = items(d.path("items")),
+      pageToken = Option(d.path("page_token").asText(null)).filter(_.nonEmpty),
+      hasMore = d.path("has_more").asBoolean(false))
+
+  private def request(pathAndQuery: String): HttpRequest.Builder =
+    HttpRequest.newBuilder(URI.create(baseUrl + pathAndQuery))
+
+  private def authGet(pathAndQuery: String): JsonNode =
+    send(request(pathAndQuery)
+      .header("Authorization", s"Bearer $tenantToken").GET().build())
+
+  private def send(req: HttpRequest): JsonNode = {
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    require(resp.statusCode() / 100 == 2,
+      s"HTTP ${resp.statusCode()} from ${req.uri()}: ${resp.body().take(200)}")
+    val node = mapper.readTree(resp.body())
+    require(node.path("code").asInt(0) == 0,
+      s"Lark error code ${node.path("code").asInt()} from ${req.uri()}: " +
+        node.path("msg").asText(""))
+    node
+  }
+}
+
+/** Route run notifications to a Lark group chat — the reference's
+  * on_success/on_failure callback target (dags/utils/notifier.py:6-18).
+  * [[IngestNotifier.notifying]] and [[IngestJob]] already treat
+  * notification as best-effort, so a down chat API cannot fail a run. */
+final class LarkChatNotifier(client: HttpLarkClient, chatId: String)
+    extends IngestNotifier {
+  override def notify(message: String): Unit = client.sendMessage(chatId, message)
+}
