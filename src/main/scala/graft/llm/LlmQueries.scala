@@ -261,6 +261,26 @@ object LlmQueries {
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  def repetitionMetrics(s: SparkSession, dir: String): DataFrame =
+    TextStats.repetitionMetrics(docs(s, dir)).orderBy("doc_id")
+
+  val repetitionMetricsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |n AS (SELECT doc_id, len(w) AS n_words FROM w),
+      |wc AS (SELECT doc_id, g, COUNT(*) AS c
+      |       FROM (SELECT doc_id, unnest(w) AS g FROM w) GROUP BY 1, 2),
+      |mw AS (SELECT doc_id, MAX(c) AS mc FROM wc GROUP BY 1),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |         i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])) AS g FROM w),
+      |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |mb AS (SELECT doc_id, MAX(c) AS mc2 FROM bc GROUP BY 1)
+      |SELECT n.doc_id, n_words,
+      |  CAST(mc AS DOUBLE) / n_words AS frac_top_word,
+      |  COALESCE(CAST(mc2 AS DOUBLE) / GREATEST(n_words - 1, 1), 0.0) AS frac_top_bigram
+      |FROM n JOIN mw USING (doc_id) LEFT JOIN mb USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q49
   def tokenCounts(s: SparkSession, dir: String): DataFrame =
     TextStats.tokenCounts(docs(s, dir)).orderBy("doc_id")
@@ -473,6 +493,7 @@ object LlmQueries {
     "q56_heuristic_filter" -> (heuristicFilter _),
     "q57_ivf_topk_indexed" -> (ivfTopKIndexed _),
     "q58_quantize_embeddings" -> (quantizeEmbeddings _),
+    "q59_repetition_metrics" -> (repetitionMetrics _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -495,5 +516,6 @@ object LlmQueries {
     "q56_heuristic_filter" -> heuristicFilterSql,
     "q57_ivf_topk_indexed" -> ivfTopKSql,
     "q58_quantize_embeddings" -> quantizeEmbeddingsSql,
+    "q59_repetition_metrics" -> repetitionMetricsSql,
   )
 }

@@ -68,6 +68,32 @@ object TextStats {
           col("repetition_ok") && col("terminal_punct_ok"))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021 A1.1): the
+    * fraction of the document taken by its most frequent word and by
+    * its most frequent word bigram — the standard screens for looping /
+    * boilerplate text. Two keyed (doc_id, gram) aggregations, both
+    * partial-aggregable (map-side combine), so the shuffle carries
+    * distinct grams, not positions; a doc too short for bigrams scores
+    * 0.0. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val n = docs.select(col("doc_id"), size(w).as("n_words"))
+    def maxGramCount(grams: DataFrame, out: String): DataFrame =
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as(out))
+    val words = docs.select(col("doc_id"), explode(w).as("g"))
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+      """transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),
+        |  (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"""
+        .stripMargin)).as("g"))
+    n.join(maxGramCount(words, "mc"), Seq("doc_id"))
+      .join(maxGramCount(bigrams, "mc2"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("mc").cast("double") / col("n_words")).as("frac_top_word"),
+        coalesce(col("mc2").cast("double") /
+          greatest(col("n_words") - 1, lit(1)), lit(0.0)).as("frac_top_bigram"))
+  }
+
   /** Token counts: whitespace tokens plus a BPE-ish regex token count
     * (letter runs / digit runs / single non-alphanumeric). */
   def tokenCounts(docs: DataFrame): DataFrame =

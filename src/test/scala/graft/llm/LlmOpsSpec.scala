@@ -169,6 +169,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hamming(sh(1L), sh(5L)) < hamming(sh(1L), sh(4L)))
   }
 
+  test("repetition metrics: looping text scores high, varied text low") {
+    val t = Seq(
+      (1L, "spam spam spam spam"),                 // one word repeated
+      (2L, "all words here are unique tokens"),    // no repetition
+      (3L, "solo"))                                // too short for bigrams
+      .toDF("doc_id", "text")
+    val out = TextStats.repetitionMetrics(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("frac_top_word") === 1.0)
+    assert(out(1L).getAs[Double]("frac_top_bigram") === 1.0) // 3 of 3 bigrams
+    assert(out(2L).getAs[Double]("frac_top_word") === 1.0 / 6)
+    assert(out(3L).getAs[Int]("n_words") === 1)
+    assert(out(3L).getAs[Double]("frac_top_bigram") === 0.0)
+  }
+
   test("int8 quantization: bounds, zero guard, error within scale/2") {
     val e = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f)),
