@@ -113,15 +113,14 @@ object TextStats {
     * codegen'd pass, no UDF, no shuffle. */
   def redactPii(docs: DataFrame): DataFrame = {
     val counted = PiiPatterns.foldLeft(docs.withColumn("redacted", col("text"))) {
-      case (df, (name, pat, _)) =>
+      case (df, (name, pat, repl)) =>
         // count on the PRE-replacement text of this stage (the running
         // `redacted` column), so earlier placeholders can't be re-counted
         // typed-Column regex args: an expr() string would SQL-unescape
         // the pattern's backslashes
         df.withColumn(s"n_$name",
           size(regexp_extract_all(col("redacted"), lit(pat), lit(0))))
-          .withColumn("redacted", regexp_replace(col("redacted"), pat,
-            PiiPatterns.find(_._1 == name).get._3))
+          .withColumn("redacted", regexp_replace(col("redacted"), pat, repl))
     }
     counted.select(col("doc_id") +:
       PiiPatterns.map { case (name, _, _) => col(s"n_$name") } :+

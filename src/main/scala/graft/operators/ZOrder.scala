@@ -53,10 +53,14 @@ object ZOrder {
         Option(bounds.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double]))
     }
     val z = zValue(cols.zip(ranges).map { case (c, r) => (col(c), r) }, bitsPerCol)
-    df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    // a temp name no input column can collide with — withColumn on an
+    // existing name would silently REPLACE (then drop) the user's data
+    val zCol = Iterator.from(0).map(i => s"__z$i")
+      .find(!df.columns.contains(_)).get
+    df.withColumn(zCol, z)
+      .repartitionByRange(nFiles, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -28,26 +28,36 @@ import scala.jdk.CollectionConverters._
   */
 final class HttpLarkClient(baseUrl: String, appId: String, appSecret: String,
                            appToken: String, pageSize: Int = 20,
-                           http: HttpClient = HttpClient.newHttpClient())
+                           http: HttpClient = HttpClient.newBuilder()
+                             .connectTimeout(java.time.Duration.ofSeconds(10)).build(),
+                           requestTimeout: java.time.Duration =
+                             java.time.Duration.ofSeconds(60),
+                           now: () => Long = System.currentTimeMillis)
     extends LarkClient {
 
   private val mapper = new ObjectMapper()
-  @volatile private var cachedToken: Option[String] = None
+  // (token, refresh-after epoch millis) — refreshed early so a token
+  // never expires mid-page-loop on a long multi-table run
+  @volatile private var cachedToken: Option[(String, Long)] = None
 
   /** POST /auth/v3/tenant_access_token/internal/ — fetched lazily on
-    * first authorized call, then cached (the reference fetches in the
-    * constructor; lazy keeps construction side-effect free). */
-  def tenantToken: String = cachedToken.getOrElse {
-    val body = mapper.createObjectNode()
-      .put("app_id", appId).put("app_secret", appSecret).toString
-    val node = send(request("/open-apis/auth/v3/tenant_access_token/internal/")
-      .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-      .build())
-    val t = node.path("tenant_access_token").asText("")
-    require(t.nonEmpty, "tenant_access_token missing from auth response")
-    cachedToken = Some(t)
-    t
+    * first authorized call, cached until ~10 min before the server's
+    * `expire`, and invalidated on any API error (see [[send]]) so a
+    * [[Retry]] attempt always starts from a fresh token. */
+  def tenantToken: String = cachedToken match {
+    case Some((t, refreshAfter)) if now() < refreshAfter => t
+    case _ =>
+      val body = mapper.createObjectNode()
+        .put("app_id", appId).put("app_secret", appSecret).toString
+      val node = send(request("/open-apis/auth/v3/tenant_access_token/internal/")
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+        .build())
+      val t = node.path("tenant_access_token").asText("")
+      require(t.nonEmpty, "tenant_access_token missing from auth response")
+      val expireMs = math.max(node.path("expire").asLong(7200L), 700L) * 1000
+      cachedToken = Some((t, now() + expireMs - 600_000L))
+      t
   }
 
   override def tablesPage(pageToken: Option[String]): LarkPage[LarkTableInfo] = {
@@ -94,26 +104,40 @@ final class HttpLarkClient(baseUrl: String, appId: String, appSecret: String,
     s"$path?page_size=$pageSize" + pageToken.fold("")(t =>
       "&page_token=" + URLEncoder.encode(t, StandardCharsets.UTF_8))
 
-  private def page[T](d: JsonNode, items: JsonNode => Seq[T]): LarkPage[T] =
-    LarkPage(
+  private def page[T](d: JsonNode, items: JsonNode => Seq[T]): LarkPage[T] = {
+    val p = LarkPage(
       items = items(d.path("items")),
       pageToken = Option(d.path("page_token").asText(null)).filter(_.nonEmpty),
       hasMore = d.path("has_more").asBoolean(false))
+    // has_more without a token would send the drain loop back to page 1
+    // forever — a malformed response must throw, not livelock
+    require(!(p.hasMore && p.pageToken.isEmpty),
+      "malformed page: has_more=true with no page_token")
+    p
+  }
 
   private def request(pathAndQuery: String): HttpRequest.Builder =
     HttpRequest.newBuilder(URI.create(baseUrl + pathAndQuery))
+      .timeout(requestTimeout)
 
   private def authGet(pathAndQuery: String): JsonNode =
     send(request(pathAndQuery)
       .header("Authorization", s"Bearer $tenantToken").GET().build())
 
   private def send(req: HttpRequest): JsonNode = {
+    // any failure invalidates the cached token: the dominant recoverable
+    // cause is expiry/revocation, and a Retry attempt must re-auth
+    // rather than replay a dead bearer to guaranteed failure
+    def fail(msg: String): Nothing = {
+      cachedToken = None
+      throw new IllegalArgumentException(msg)
+    }
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
-    require(resp.statusCode() / 100 == 2,
-      s"HTTP ${resp.statusCode()} from ${req.uri()}: ${resp.body().take(200)}")
+    if (resp.statusCode() / 100 != 2)
+      fail(s"HTTP ${resp.statusCode()} from ${req.uri()}: ${resp.body().take(200)}")
     val node = mapper.readTree(resp.body())
-    require(node.path("code").asInt(0) == 0,
-      s"Lark error code ${node.path("code").asInt()} from ${req.uri()}: " +
+    if (node.path("code").asInt(0) != 0)
+      fail(s"Lark error code ${node.path("code").asInt()} from ${req.uri()}: " +
         node.path("msg").asText(""))
     node
   }

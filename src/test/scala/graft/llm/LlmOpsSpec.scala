@@ -187,9 +187,16 @@ class LlmOpsSpec extends AnyFunSuite {
     val cleanMd5 = t.filter(col("doc_id") === 4L)
       .select(md5(col("text"))).head().getString(0)
     assert(out(4L).getAs[String]("redacted_md5") === cleanMd5)
-    // redacted text contains the placeholder, not the original
-    val redacted = TextStats.PiiPatterns // order check: email host dots survive as <EMAIL>
-    assert(redacted.head._1 === "email")
+    // redaction output is EXACTLY the typed placeholders in place —
+    // including the ordering property (email host dots become <EMAIL>,
+    // never claimed by the IP pattern)
+    def md5Of(s: String) = t.sparkSession.range(1)
+      .select(md5(lit(s))).head().getString(0)
+    assert(out(1L).getAs[String]("redacted_md5") ===
+      md5Of("contact <EMAIL> or <EMAIL> today"))
+    assert(out(2L).getAs[String]("redacted_md5") ===
+      md5Of("server at <IP> and <IP> port 8080"))
+    assert(out(3L).getAs[String]("redacted_md5") === md5Of("call <PHONE> now"))
   }
 
   test("repetition metrics: looping text scores high, varied text low") {

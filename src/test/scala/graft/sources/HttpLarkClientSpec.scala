@@ -105,6 +105,63 @@ class HttpLarkClientSpec extends AnyFunSuite {
     }
   }
 
+  test("API error invalidates the cached token so a retry re-authenticates") {
+    val tokenCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer(
+      "/open-apis/auth/v3/tenant_access_token/internal/" -> { ex =>
+        val n = tokenCalls.incrementAndGet()
+        respond(ex, 200, s"""{"code":0,"tenant_access_token":"tok$n","expire":7200}""")
+      },
+      "/open-apis/bitable/v1/apps/base1/tables/tblY/records" -> { ex =>
+        // tok1 is treated as expired; tok2 works
+        if (ex.getRequestHeaders.getFirst("Authorization") == "Bearer tok1")
+          respond(ex, 200, """{"code":99991663,"msg":"token expired"}""")
+        else respond(ex, 200, """{"code":0,"data":{"items":[],"has_more":false}}""")
+      }
+    ) { base =>
+      val c = new HttpLarkClient(base, "app", "secret", "base1")
+      intercept[IllegalArgumentException](LarkSource.fetchRecords(c, "tblY"))
+      // the failure dropped tok1: the retry path re-auths and succeeds
+      assert(LarkSource.fetchRecords(c, "tblY") === Seq.empty)
+      assert(tokenCalls.get() === 2)
+    }
+  }
+
+  test("token refreshes before the server-reported expiry on long runs") {
+    val tokenCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    var clock = 0L
+    withServer(
+      "/open-apis/auth/v3/tenant_access_token/internal/" -> { ex =>
+        val n = tokenCalls.incrementAndGet()
+        respond(ex, 200, s"""{"code":0,"tenant_access_token":"tok$n","expire":7200}""")
+      },
+      "/open-apis/bitable/v1/apps/base1/tables" -> { ex =>
+        respond(ex, 200, """{"code":0,"data":{"items":[],"has_more":false}}""")
+      }
+    ) { base =>
+      val c = new HttpLarkClient(base, "app", "secret", "base1", now = () => clock)
+      LarkSource.discoverTables(c)
+      LarkSource.discoverTables(c)
+      assert(tokenCalls.get() === 1) // fresh token reused
+      clock = 7000L * 1000           // inside the 10-min refresh margin
+      LarkSource.discoverTables(c)
+      assert(tokenCalls.get() === 2) // refreshed BEFORE hard expiry
+    }
+  }
+
+  test("a page claiming has_more without a page_token throws instead of livelocking") {
+    withServer(
+      "/open-apis/auth/v3/tenant_access_token/internal/" -> (respond(_, 200, tokenJson)),
+      "/open-apis/bitable/v1/apps/base1/tables" -> { ex =>
+        respond(ex, 200, """{"code":0,"data":{"items":[],"has_more":true}}""")
+      }
+    ) { base =>
+      val c = new HttpLarkClient(base, "app", "secret", "base1")
+      val e = intercept[IllegalArgumentException](LarkSource.discoverTables(c))
+      assert(e.getMessage.contains("page_token"))
+    }
+  }
+
   test("chat notifier posts the reference's message body shape") {
     val bodies = ArrayBuffer.empty[String]
     withServer(
