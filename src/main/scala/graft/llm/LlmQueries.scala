@@ -103,6 +103,35 @@ object LlmQueries {
       |    (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
       |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Near-dup pairs folded into duplicate clusters: connected
+    * components over the q43 Jaccard edges, each doc labeled with its
+    * cluster's min doc_id (the canonical survivor). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents(
+      Dedup.jaccardPairs(docs(s, dir), threshold = 0.5, lenTol = 5)
+        .select(col("a"), col("b")))
+      .orderBy("id")
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE ws AS (SELECT doc_id, lang, n_chars,
+      |    list_distinct(string_split(text, ' ')) AS w FROM documents),
+      |pr AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM ws a JOIN ws b
+      |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |   AND abs(a.n_chars - b.n_chars) <= 5
+      |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+      |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5),
+      |sym AS (SELECT a AS src, b AS dst FROM pr
+      |        UNION SELECT b, a FROM pr),
+      |walk(id, label) AS (
+      |  SELECT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.id)
+      |SELECT id, MIN(label) AS component FROM walk GROUP BY id
+      |ORDER BY id""".stripMargin
+
   // ---------------------------------------------------------------- q44
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), bits = 32).orderBy("doc_id")
@@ -516,6 +545,7 @@ object LlmQueries {
     "q58_quantize_embeddings" -> (quantizeEmbeddings _),
     "q59_repetition_metrics" -> (repetitionMetrics _),
     "q60_redact_pii" -> (redactPii _),
+    "q61_dedup_clusters" -> (dedupClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -540,5 +570,6 @@ object LlmQueries {
     "q58_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q59_repetition_metrics" -> repetitionMetricsSql,
     "q60_redact_pii" -> redactPiiSql,
+    "q61_dedup_clusters" -> dedupClustersSql,
   )
 }

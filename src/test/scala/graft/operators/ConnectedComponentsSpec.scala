@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chains, cliques, and singletons-by-edge resolve to min-id components") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L))
+      .toDF("a", "b")
+    val got = ConnectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("a long path needs diameter rounds; insufficient maxIter fails loudly") {
+    val path = (1L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents(path).collect()
+    assert(got.length === 20 && got.forall(_.getLong(1) === 1L))
+    intercept[IllegalArgumentException] {
+      ConnectedComponents(path, maxIter = 2)
+    }
+  }
+}
