@@ -108,9 +108,13 @@ object LlmQueries {
     * components over the q43 Jaccard edges, each doc labeled with its
     * cluster's min doc_id (the canonical survivor). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // near-dup graphs are metadata-scale next to the corpus: a few
+    // loop partitions keep per-round launch overhead, the dominant
+    // cost, proportionate
     graft.operators.ConnectedComponents(
       Dedup.jaccardPairs(docs(s, dir), threshold = 0.5, lenTol = 5)
-        .select(col("a"), col("b")))
+        .select(col("a"), col("b")),
+      numPartitions = 8)
       .orderBy("id")
 
   val dedupClustersSql: String =

@@ -20,12 +20,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("a long path needs diameter rounds; insufficient maxIter fails loudly") {
-    val path = (1L until 20L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = ConnectedComponents(path).collect()
-    assert(got.length === 20 && got.forall(_.getLong(1) === 1L))
+  test("a long path converges via pointer jumps; insufficient maxIter fails loudly") {
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents(path, numPartitions = 4).collect()
+    assert(got.length === 200 && got.forall(_.getLong(1) === 1L))
     intercept[IllegalArgumentException] {
-      ConnectedComponents(path, maxIter = 2)
+      ConnectedComponents(path, maxIter = 1, numPartitions = 4)
     }
   }
 }
