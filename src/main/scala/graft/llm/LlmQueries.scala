@@ -90,18 +90,25 @@ object LlmQueries {
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(docs(s, dir), threshold = 0.5, lenTol = 5).orderBy("a", "b")
 
+  /** `ws` + `pr` CTEs — the blocked-and-verified Jaccard pair predicate,
+    * shared by q43 and q61 so their edge sets can never silently
+    * diverge if threshold/blocking/tokenization is ever tuned. */
+  private val jaccardPairCtes: String =
+    """ws AS (SELECT doc_id, lang, n_chars,
+      |         list_distinct(string_split(text, ' ')) AS w FROM documents),
+      |pr AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+      |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+      |  FROM ws a JOIN ws b
+      |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |   AND abs(a.n_chars - b.n_chars) <= 5
+      |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+      |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5)""".stripMargin
+
   val jaccardPairsSql: String =
-    """WITH ws AS (SELECT doc_id, lang, n_chars,
-      |              list_distinct(string_split(text, ' ')) AS w FROM documents)
-      |SELECT a.doc_id AS a, b.doc_id AS b,
-      |  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
-      |    (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
-      |FROM ws a JOIN ws b
-      |  ON a.lang = b.lang AND a.doc_id < b.doc_id
-      | AND abs(a.n_chars - b.n_chars) <= 5
-      |WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
-      |    (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
-      |ORDER BY a, b""".stripMargin
+    s"""WITH $jaccardPairCtes
+       |SELECT a, b, jaccard FROM pr ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------- q61
   /** Near-dup pairs folded into duplicate clusters: connected
@@ -118,15 +125,7 @@ object LlmQueries {
       .orderBy("id")
 
   val dedupClustersSql: String =
-    """WITH RECURSIVE ws AS (SELECT doc_id, lang, n_chars,
-      |    list_distinct(string_split(text, ' ')) AS w FROM documents),
-      |pr AS (
-      |  SELECT a.doc_id AS a, b.doc_id AS b
-      |  FROM ws a JOIN ws b
-      |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |   AND abs(a.n_chars - b.n_chars) <= 5
-      |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
-      |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5),
+    s"""WITH RECURSIVE $jaccardPairCtes,
       |sym AS (SELECT a AS src, b AS dst FROM pr
       |        UNION SELECT b, a FROM pr),
       |walk(id, label) AS (

@@ -20,12 +20,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("a long path converges via pointer jumps; insufficient maxIter fails loudly") {
+  test("a long path converges via closure jumping; insufficient maxIter fails loudly") {
+    // ordered ids: neighbor-min forms ONE tree per component, so the
+    // in-round jump closure collapses the whole 200-chain in round 1
     val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
     val got = ConnectedComponents(path, numPartitions = 4).collect()
     assert(got.length === 200 && got.forall(_.getLong(1) === 1L))
+    // zigzag ids (adjacent pairs swapped along the chain) split every
+    // round's labels into many small trees -> ~log2(n) contraction
+    // rounds, so a 64-chain still converges by default but maxIter=1
+    // must fail loudly instead of returning partial clusters
+    val zig = (0L until 63L).map { p =>
+      def id(pos: Long) = if (pos % 2 == 0) pos + 2 else pos // 2,1,4,3,6,5...
+      (id(p), id(p + 1))
+    }.toDF("a", "b")
+    val zgot = ConnectedComponents(zig, numPartitions = 4).collect()
+    assert(zgot.length === 64 && zgot.forall(_.getLong(1) === 1L))
     intercept[IllegalArgumentException] {
-      ConnectedComponents(path, maxIter = 1, numPartitions = 4)
+      ConnectedComponents(zig, maxIter = 1, numPartitions = 4)
     }
   }
 }
