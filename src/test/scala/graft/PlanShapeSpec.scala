@@ -149,6 +149,22 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ivf_index_guard")
   }
 
+  test("narrow text/embedding ops are single-pass: zero shuffle exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val narrowOps = Seq(
+      "heuristicFilter" -> graft.llm.TextStats.heuristicFilter(docs),
+      "redactPii" -> graft.llm.TextStats.redactPii(docs),
+      "qualityMetrics" -> graft.llm.TextStats.qualityMetrics(docs),
+      "tokenCounts" -> graft.llm.TextStats.tokenCounts(docs),
+      "quantizeInt8" -> graft.llm.Similarity.quantizeInt8(emb))
+    narrowOps.foreach { case (name, df) =>
+      val plan = planText(df)
+      assert(!plan.contains("exchange"),
+        s"$name should be a narrow map — at 100 TB any shuffle here is pure waste:\n$plan")
+    }
+  }
+
   test("q45 exact top-k broadcasts the query batch over one corpus pass") {
     val df = graft.llm.LlmQueries.cosineTopK(spark, sf)
     val plan = planText(df)
