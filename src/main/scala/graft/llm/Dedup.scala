@@ -103,7 +103,14 @@ object Dedup {
       .filter(size(col("ids")) > 1)
   }
 
-  /** Tier 3b: LSH candidate pairs — signatures split into `bands`
+  /** Tier 3b result: candidate `pairs` (a, b) PLUS the `skippedBuckets`
+    * (band, bucket, n_ids) the cap refused to expand — both views of
+    * the SAME bucket aggregation, so the overflow signal cannot be
+    * missed and costs no second corpus scan. `skippedBuckets` empty =
+    * the cap never bit = `pairs` is complete. */
+  final case class LshCandidates(pairs: DataFrame, skippedBuckets: DataFrame)
+
+  /** Tier 3b: MinHash-LSH candidates — signatures split into `bands`
     * bands of k/bands rows each; docs sharing any band signature become
     * a candidate pair.
     *
@@ -113,15 +120,31 @@ object Dedup {
     * LSH guarantee) ONLY if exact duplicates were removed by tiers 1-2
     * first; because real corpora still grow degenerate buckets
     * (boilerplate that survives canonicalization), any bucket wider
-    * than `maxBucket` is excluded here rather than materialized as one
-    * unbounded `collect_set` row with a quadratic pair explode. The
-    * exclusion is NOT silent: [[lshSkippedBuckets]] (same plan prefix)
-    * reports every skipped bucket and its width — a pipeline should
-    * alert on it, and either raise tiers 1-2 aggressiveness or treat
-    * whole skipped buckets as duplicate clusters. */
+    * than `maxBucket` is excluded from the pair explode rather than
+    * materialized as one unbounded `collect_set` row with a quadratic
+    * pair explode — and reported IN-BAND via `skippedBuckets`, which
+    * shares this call's bucket plan (materialized once under the
+    * `materialize` hook at scale). A pipeline should alert on it, and
+    * either raise tiers 1-2 aggressiveness or treat whole skipped
+    * buckets as duplicate clusters. */
+  def lshCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                    shingle: Int = 3, maxBucket: Int = 1000,
+                    materialize: DataFrame => DataFrame = identity): LshCandidates = {
+    val buckets = materialize(lshBuckets(docs, k, bands, shingle))
+    LshCandidates(
+      pairs = pairsFromBuckets(buckets, maxBucket),
+      skippedBuckets = buckets.filter(size(col("ids")) > maxBucket)
+        .select(col("band"), col("bucket"), size(col("ids")).as("n_ids")))
+  }
+
+  /** Pairs-only view of [[lshCandidates]] — prefer the full result: a
+    * caller consuming only this frame under a finite `maxBucket` cannot
+    * see whether recall was reduced. Kept as the oracle-gate entry
+    * point (the gate fixture has no over-cap buckets, asserted by its
+    * spec). */
   def lshCandidatePairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
                         shingle: Int = 3, maxBucket: Int = 1000): DataFrame =
-    pairsFromBuckets(lshBuckets(docs, k, bands, shingle), maxBucket)
+    lshCandidates(docs, k, bands, shingle, maxBucket).pairs
 
   /** Expand capped buckets into candidate pairs (tail of
     * [[lshCandidatePairs]], split out so [[dedupCorpus]] can share ONE
@@ -140,18 +163,12 @@ object Dedup {
       .distinct()
   }
 
-  /** The buckets [[lshCandidatePairs]] refused to expand: (band, bucket,
-    * n_ids) for every bucket wider than `maxBucket`. NOTE this is a
-    * separate DataFrame from the pairs — materializing both is two
-    * actions and the bucket aggregation (the dominant corpus scan) runs
-    * twice; a pipeline that wants both in one pass should use
-    * [[dedupCorpus]], whose per-doc `lsh_overflow` flag rides the same
-    * plan. Empty = the cap never bit. */
+  /** Overflow-only view of [[lshCandidates]] — prefer the full result
+    * (one shared bucket plan; consuming the two views from separate
+    * calls runs the dominant corpus scan twice). */
   def lshSkippedBuckets(docs: DataFrame, k: Int = 8, bands: Int = 4,
                         shingle: Int = 3, maxBucket: Int = 1000): DataFrame =
-    lshBuckets(docs, k, bands, shingle)
-      .filter(size(col("ids")) > maxBucket)
-      .select(col("band"), col("bucket"), size(col("ids")).as("n_ids"))
+    lshCandidates(docs, k, bands, shingle, maxBucket).skippedBuckets
 
   /** Tier 4: exact Jaccard over distinct word sets, on a blocked
     * candidate set (same lang, |n_chars| within `lenTol`). Returns

@@ -72,9 +72,15 @@ object ConnectedComponents {
         .distinct()), pin = true)
     // mapping rows still attached to a live super-node; finished rows
     // move to `done` and are never shuffled again (their checkpoints
-    // stay pinned — the returned plan reads them)
+    // stay pinned — the returned plan reads them). Seeded from the RAW
+    // edge list, not g: a node whose only edges are self-loops (a,a)
+    // has no row in g, but the contract promises every id appearing in
+    // an edge — such nodes carry label=id and retire as singletons in
+    // round 1 (their label joins nothing live).
     var (mapping, mappingCk) = materialize(
-      g.select(col("src").as("id")).distinct().withColumn("label", col("id")),
+      edges.select(col("a").cast("long").as("id"))
+        .unionByName(edges.select(col("b").cast("long").as("id")))
+        .distinct().withColumn("label", col("id")),
       pin = true)
     var done = List.empty[DataFrame]
     var round = 0

@@ -39,25 +39,35 @@ final class HttpLarkClient(baseUrl: String, appId: String, appSecret: String,
   // (token, refresh-after epoch millis) — refreshed early so a token
   // never expires mid-page-loop on a long multi-table run
   @volatile private var cachedToken: Option[(String, Long)] = None
+  private val refreshLock = new Object
 
   /** POST /auth/v3/tenant_access_token/internal/ — fetched lazily on
     * first authorized call, cached until ~10 min before the server's
     * `expire`, and invalidated on any API error (see [[send]]) so a
-    * [[Retry]] attempt always starts from a fresh token. */
+    * [[Retry]] attempt always starts from a fresh token. Refresh is
+    * serialized under [[refreshLock]] with a double-check so concurrent
+    * callers (IngestJob may run tables in parallel) never race N token
+    * fetches, and a refresher can only ever store the token it just
+    * fetched from the server — never a stale one over an invalidation. */
   def tenantToken: String = cachedToken match {
     case Some((t, refreshAfter)) if now() < refreshAfter => t
-    case _ =>
-      val body = mapper.createObjectNode()
-        .put("app_id", appId).put("app_secret", appSecret).toString
-      val node = send(request("/open-apis/auth/v3/tenant_access_token/internal/")
-        .header("Content-Type", "application/json")
-        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-        .build())
-      val t = node.path("tenant_access_token").asText("")
-      require(t.nonEmpty, "tenant_access_token missing from auth response")
-      val expireMs = math.max(node.path("expire").asLong(7200L), 700L) * 1000
-      cachedToken = Some((t, now() + expireMs - 600_000L))
-      t
+    case _ => refreshLock.synchronized {
+      cachedToken match {
+        case Some((t, refreshAfter)) if now() < refreshAfter => t
+        case _ =>
+          val body = mapper.createObjectNode()
+            .put("app_id", appId).put("app_secret", appSecret).toString
+          val node = send(request("/open-apis/auth/v3/tenant_access_token/internal/")
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+            .build())
+          val t = node.path("tenant_access_token").asText("")
+          require(t.nonEmpty, "tenant_access_token missing from auth response")
+          val expireMs = math.max(node.path("expire").asLong(7200L), 700L) * 1000
+          cachedToken = Some((t, now() + expireMs - 600_000L))
+          t
+      }
+    }
   }
 
   override def tablesPage(pageToken: Option[String]): LarkPage[LarkTableInfo] = {
@@ -100,9 +110,12 @@ final class HttpLarkClient(baseUrl: String, appId: String, appSecret: String,
 
   // ------------------------------------------------------------- plumbing
 
+  // URLEncoder is form encoding (space -> '+'); a query component per
+  // RFC 3986 needs %20, or a server that percent-decodes without form
+  // semantics round-trips a space in the token as a literal '+'
   private def paged(path: String, pageToken: Option[String]): String =
     s"$path?page_size=$pageSize" + pageToken.fold("")(t =>
-      "&page_token=" + URLEncoder.encode(t, StandardCharsets.UTF_8))
+      "&page_token=" + URLEncoder.encode(t, StandardCharsets.UTF_8).replace("+", "%20"))
 
   private def page[T](d: JsonNode, items: JsonNode => Seq[T]): LarkPage[T] = {
     val p = LarkPage(

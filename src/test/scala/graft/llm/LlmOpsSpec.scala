@@ -92,6 +92,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nPairs <= 4L * 100 * 99 / 2, s"pairs not bounded by the cap: $nPairs")
   }
 
+  test("lshCandidates: pairs and overflow are consistent views of one call") {
+    val degenerate = (1L to 200L).map(i => (i, "exact same boilerplate text", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    // the materialize hook sees the shared bucket aggregation exactly once
+    var hookCalls = 0
+    val cands = Dedup.lshCandidates(degenerate, k = 8, bands = 4, maxBucket = 50,
+      materialize = { df => hookCalls += 1; df.localCheckpoint() })
+    assert(hookCalls === 1, "both views must share ONE bucket aggregation")
+    assert(cands.pairs.count() === 0L)
+    val skipped = cands.skippedBuckets.collect()
+    assert(skipped.length === 4 && skipped.forall(_.getAs[Int]("n_ids") === 200))
+  }
+
   test("simhash near-dup pairs: identical docs at hamming 0, unrelated absent") {
     val got = Dedup.simhashNearDupPairs(docsDf, bits = 32, bands = 4,
       maxHamming = 3).collect()

@@ -20,6 +20,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("self-loop-only nodes appear in the output as singletons") {
+    // 5 only ever appears as (5,5); 1-2 is a real component; 2 also
+    // carries a self-loop that must not perturb its label
+    val edges = Seq((1L, 2L), (5L, 5L), (2L, 2L)).toDF("a", "b")
+    val got = ConnectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    // degenerate graph: ONLY self-loops — no contraction round runs,
+    // but every id still comes back mapped to itself
+    val loops = Seq((7L, 7L), (8L, 8L)).toDF("a", "b")
+    val lgot = ConnectedComponents(loops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lgot === Map(7L -> 7L, 8L -> 8L))
+  }
+
   test("a long path converges via closure jumping; insufficient maxIter fails loudly") {
     // ordered ids: neighbor-min forms ONE tree per component, so the
     // in-round jump closure collapses the whole 200-chain in round 1

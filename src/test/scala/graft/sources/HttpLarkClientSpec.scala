@@ -149,6 +149,50 @@ class HttpLarkClientSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent first calls fetch the tenant token exactly once") {
+    val tokenCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer(
+      "/open-apis/auth/v3/tenant_access_token/internal/" -> { ex =>
+        tokenCalls.incrementAndGet()
+        Thread.sleep(100) // widen the race window
+        respond(ex, 200, tokenJson)
+      }
+    ) { base =>
+      val c = new HttpLarkClient(base, "app", "secret", "base1")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futures = (1 to 8).map(_ => pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = c.tenantToken
+        }))
+        assert(futures.map(_.get()).toSet === Set("tok123"))
+        assert(tokenCalls.get() === 1,
+          "racing callers must coalesce onto a single token fetch")
+      } finally pool.shutdown()
+    }
+  }
+
+  test("page tokens are RFC 3986 percent-encoded (space -> %20, not '+')") {
+    val rawQueries = ArrayBuffer.empty[String]
+    withServer(
+      "/open-apis/auth/v3/tenant_access_token/internal/" -> (respond(_, 200, tokenJson)),
+      "/open-apis/bitable/v1/apps/base1/tables" -> { ex =>
+        rawQueries += ex.getRequestURI.getRawQuery
+        respond(ex, 200, query(ex).get("page_token") match {
+          case None =>
+            """{"code":0,"data":{"items":[],"has_more":true,"page_token":"a +b"}}"""
+          case Some(_) =>
+            """{"code":0,"data":{"items":[],"has_more":false}}"""
+        })
+      }
+    ) { base =>
+      val c = new HttpLarkClient(base, "app", "secret", "base1")
+      LarkSource.discoverTables(c)
+      // form encoding would send "a+%2Bb": a strict RFC 3986 server
+      // decodes that to "a+ b" — the space and plus swap places
+      assert(rawQueries.exists(_.contains("page_token=a%20%2Bb")))
+    }
+  }
+
   test("a page claiming has_more without a page_token throws instead of livelocking") {
     withServer(
       "/open-apis/auth/v3/tenant_access_token/internal/" -> (respond(_, 200, tokenJson)),
