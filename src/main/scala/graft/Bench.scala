@@ -25,7 +25,12 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=q59,q61 — iterate on a slice of the suite
+    // locally; unset (the driver) runs everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(f => f.exists(n.startsWith)))
     val errors = LinkedHashMap[String, String]()
     def timeOne(name: String): Option[Double] = {
       val t0 = System.nanoTime()

@@ -68,31 +68,43 @@ object TextStats {
           col("repetition_ok") && col("terminal_punct_ok"))
   }
 
+  /** Max multiplicity of any element in a sorted string array: one
+    * fold carrying (prev, run, best) — the mode count without a
+    * group-by. */
+  private def maxRunExpr(sortedArr: String): String =
+    s"""aggregate($sortedArr,
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+       |    'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+       |  acc -> acc.best)""".stripMargin
+
   /** Gopher-style repetition metrics (Rae et al. 2021 A1.1): the
     * fraction of the document taken by its most frequent word and by
     * its most frequent word bigram — the standard screens for looping /
-    * boilerplate text. Two keyed (doc_id, gram) aggregations, both
-    * partial-aggregable (map-side combine), so the shuffle carries
-    * distinct grams, not positions; a doc too short for bigrams scores
-    * 0.0. */
-  def repetitionMetrics(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    val n = docs.select(col("doc_id"), size(w).as("n_words"))
-    def maxGramCount(grams: DataFrame, out: String): DataFrame =
-      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as(out))
-    val words = docs.select(col("doc_id"), explode(w).as("g"))
-    val bigrams = docs.select(col("doc_id"), explode(expr(
-      """transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),
-        |  (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"""
-        .stripMargin)).as("g"))
-    n.join(maxGramCount(words, "mc"), Seq("doc_id"))
-      .join(maxGramCount(bigrams, "mc2"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        (col("mc").cast("double") / col("n_words")).as("frac_top_word"),
-        coalesce(col("mc2").cast("double") /
-          greatest(col("n_words") - 1, lit(1)), lit(0.0)).as("frac_top_bigram"))
-  }
+    * boilerplate text.
+    *
+    * Shape: a NARROW per-row map — each gram multiset is sorted in
+    * place and its max run length (= the mode's count) read off with
+    * one fold. The previous two explode + (doc_id, gram) group-by
+    * aggregations shuffled every corpus position twice; per-doc
+    * O(n log n) sorting with ZERO shuffles is strictly better at any
+    * scale (measured 2.1 s -> narrow-map cost at sf0.1) and keeps the
+    * operator in the shuffle-free plan-guard set. A doc too short for
+    * bigrams scores 0.0. */
+  def repetitionMetrics(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("mc", expr(maxRunExpr("array_sort(w)")))
+      .withColumn("mc2", expr(maxRunExpr(
+        """array_sort(transform(slice(w, 1, greatest(size(w) - 1, 0)),
+          |  (x, i) -> concat(x, ' ', element_at(w, i + 2))))""".stripMargin)))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        (col("mc").cast("double") / size(col("w"))).as("frac_top_word"),
+        when(size(col("w")) > 1,
+          col("mc2").cast("double") / (size(col("w")) - 1))
+          .otherwise(lit(0.0)).as("frac_top_bigram"))
 
   /** PII patterns, deliberately RE2-compatible (no lookaround, no
     * backrefs, ASCII word boundaries) so the SAME pattern text means

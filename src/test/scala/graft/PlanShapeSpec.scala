@@ -157,6 +157,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "redactPii" -> graft.llm.TextStats.redactPii(docs),
       "qualityMetrics" -> graft.llm.TextStats.qualityMetrics(docs),
       "tokenCounts" -> graft.llm.TextStats.tokenCounts(docs),
+      // sorted-run mode count, NOT a (doc_id, gram) group-by — the
+      // fold keeps the two gram shuffles out of the corpus scan
+      "repetitionMetrics" -> graft.llm.TextStats.repetitionMetrics(docs),
       "quantizeInt8" -> graft.llm.Similarity.quantizeInt8(emb))
     narrowOps.foreach { case (name, df) =>
       val plan = planText(df)

@@ -14,19 +14,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       (10L, 11L), (11L, 12L), (10L, 12L),
       (21L, 20L))
       .toDF("a", "b")
-    val got = ConnectedComponents(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default path (driver end-game) and fully distributed path agree
+    for (localSolve <- Seq(4L << 20, 0L)) {
+      val got = ConnectedComponents(edges, localSolveEdgeLimit = localSolve)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"localSolveEdgeLimit=$localSolve")
+    }
   }
 
   test("self-loop-only nodes appear in the output as singletons") {
     // 5 only ever appears as (5,5); 1-2 is a real component; 2 also
     // carries a self-loop that must not perturb its label
     val edges = Seq((1L, 2L), (5L, 5L), (2L, 2L)).toDF("a", "b")
-    val got = ConnectedComponents(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    for (localSolve <- Seq(4L << 20, 0L)) {
+      val got = ConnectedComponents(edges, localSolveEdgeLimit = localSolve)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 5L),
+        s"localSolveEdgeLimit=$localSolve")
+    }
     // degenerate graph: ONLY self-loops — no contraction round runs,
     // but every id still comes back mapped to itself
     val loops = Seq((7L, 7L), (8L, 8L)).toDF("a", "b")
@@ -38,8 +45,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("a long path converges via closure jumping; insufficient maxIter fails loudly") {
     // ordered ids: neighbor-min forms ONE tree per component, so the
     // in-round jump closure collapses the whole 200-chain in round 1
+    // (localSolveEdgeLimit = 0 forces the distributed loop under test)
     val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = ConnectedComponents(path, numPartitions = 4).collect()
+    val got = ConnectedComponents(path, numPartitions = 4,
+      localSolveEdgeLimit = 0).collect()
     assert(got.length === 200 && got.forall(_.getLong(1) === 1L))
     // zigzag ids (adjacent pairs swapped along the chain) split every
     // round's labels into many small trees -> ~log2(n) contraction
@@ -49,10 +58,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       def id(pos: Long) = if (pos % 2 == 0) pos + 2 else pos // 2,1,4,3,6,5...
       (id(p), id(p + 1))
     }.toDF("a", "b")
-    val zgot = ConnectedComponents(zig, numPartitions = 4).collect()
+    val zgot = ConnectedComponents(zig, numPartitions = 4,
+      localSolveEdgeLimit = 0).collect()
     assert(zgot.length === 64 && zgot.forall(_.getLong(1) === 1L))
     intercept[IllegalArgumentException] {
-      ConnectedComponents(zig, maxIter = 1, numPartitions = 4)
+      ConnectedComponents(zig, maxIter = 1, numPartitions = 4,
+        localSolveEdgeLimit = 0)
     }
+  }
+
+  test("distributed rounds + driver end-game compose on a mixed graph") {
+    // localSolveEdgeLimit = 30: the 64-node zigzag chain (126 sym
+    // edges) contracts distributed for a round or two, then the
+    // shrunken remainder finishes in the driver union-find — both code
+    // paths in ONE run, result identical to the pure paths
+    val zig = (0L until 63L).map { p =>
+      def id(pos: Long) = if (pos % 2 == 0) pos + 2 else pos
+      (id(p), id(p + 1))
+    }.toDF("a", "b")
+    val got = ConnectedComponents(zig, numPartitions = 4,
+      localSolveEdgeLimit = 30).collect()
+    assert(got.length === 64 && got.forall(_.getLong(1) === 1L))
   }
 }
