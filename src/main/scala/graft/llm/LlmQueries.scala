@@ -524,6 +524,108 @@ object LlmQueries {
        |FROM t12 LEFT JOIN nd USING (doc_id)
        |LEFT JOIN ovf o USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Test-set decontamination: eval slice = every 50th doc; training
+    * docs flagged when they share any word 5-gram with the eval set. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    CorpusOps.decontaminate(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0), n = 5)
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH g AS (SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 5 THEN [text]
+      |    ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+      |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))
+      |    END)) AS g FROM documents),
+      |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+      |hits AS (SELECT doc_id, COUNT(*) AS c FROM g JOIN eg USING (g)
+      |         WHERE doc_id % 50 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, CAST(COALESCE(c, 0) AS BIGINT) AS n_shared_ngrams,
+      |  COALESCE(c, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits USING (doc_id)
+      |WHERE d.doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.hashSplit(docs(s, dir), trainPct = 96, valPct = 2).orderBy("doc_id")
+
+  val hashSplitSql: String =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 96 THEN 'train' WHEN bucket < 98 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100
+      |    AS bucket FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  def topTerms(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.topTerms(docs(s, dir), k = 10).orderBy("source", "rank")
+
+  val topTermsSql: String =
+    """WITH tfc AS (SELECT source, term, COUNT(*) AS tf
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents) GROUP BY 1, 2),
+      |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+      |ns AS (SELECT COUNT(DISTINCT source) AS ns FROM documents)
+      |SELECT source, rank, term, tf, df, score FROM (
+      |  SELECT source, term, tf, df, CAST(tf * ns AS DOUBLE) / df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY CAST(tf * ns AS DOUBLE) / df DESC, term) AS rank
+      |  FROM tfc JOIN dfc USING (term) CROSS JOIN ns)
+      |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.packSequences(docs(s, dir), capacity = 512, shards = 8)
+      .orderBy("doc_id")
+
+  val packSequencesSql: String =
+    """SELECT doc_id, lang, shard, n_tokens,
+      |  CAST(floor((running - n_tokens) / 512.0) AS BIGINT) AS bin,
+      |  (running - n_tokens) % 512 AS start_offset
+      |FROM (
+      |  SELECT doc_id, lang, doc_id % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    CAST(SUM(len(string_split(text, ' '))) OVER (
+      |      PARTITION BY lang, doc_id % 8 ORDER BY doc_id) AS BIGINT) AS running
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** Two Lloyd iterations from the stride init; see
+    * [[Similarity.kmeansAssign]] for the determinism contract (6 dp
+    * rounding, decimal component sums, unnormalized centroids). */
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(emb(s, dir), iters = 2, centStride = 100,
+        materialize = _.localCheckpoint())
+      .orderBy("vec_id")
+
+  val kmeansClustersSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, v AS ce FROM e WHERE vec_id % 100 = 0),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |  SELECT e.vec_id, e.v, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+       |s1 AS (SELECT cent_id, i AS pos, SUM(CAST(v[i] AS DECIMAL(18,6))) AS s
+       |       FROM a1, unnest(generate_series(1, len(v))) AS t(i) GROUP BY 1, 2),
+       |c1 AS (SELECT cent_id, list(CAST(s AS DOUBLE) ORDER BY pos) AS ce
+       |       FROM s1 GROUP BY 1)
+       |SELECT vec_id, cent_id, cent_sim FROM (
+       |  SELECT e.vec_id, c.cent_id, ${cosSql("e.v", "c.ce")} AS cent_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM e CROSS JOIN c1 c) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -549,6 +651,11 @@ object LlmQueries {
     "q59_repetition_metrics" -> (repetitionMetrics _),
     "q60_redact_pii" -> (redactPii _),
     "q61_dedup_clusters" -> (dedupClusters _),
+    "q62_decontaminate" -> (decontaminate _),
+    "q63_hash_split" -> (hashSplit _),
+    "q64_top_terms" -> (topTerms _),
+    "q65_pack_sequences" -> (packSequences _),
+    "q66_kmeans_clusters" -> (kmeansClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -574,5 +681,10 @@ object LlmQueries {
     "q59_repetition_metrics" -> repetitionMetricsSql,
     "q60_redact_pii" -> redactPiiSql,
     "q61_dedup_clusters" -> dedupClustersSql,
+    "q62_decontaminate" -> decontaminateSql,
+    "q63_hash_split" -> hashSplitSql,
+    "q64_top_terms" -> topTermsSql,
+    "q65_pack_sequences" -> packSequencesSql,
+    "q66_kmeans_clusters" -> kmeansClustersSql,
   )
 }

@@ -272,4 +272,68 @@ object Similarity {
     val assigned = spark.table(table).filter(col("cent_id").isInCollection(cells))
     searchCells(assigned, probesLocal, k)
   }
+
+  /** Distributed Lloyd's k-means over the embedding corpus — the
+    * training pass [[ivfAssign]]'s stride centroids skip: `iters`
+    * assignment rounds with a centroid update between each, returning
+    * the final (vec_id, cent_id, cent_sim) assignment.
+    *
+    * Engine-portable determinism, the hard part of distributed
+    * k-means, comes from three choices:
+    *   - init is the deterministic stride sample (every `centStride`-th
+    *     vector), no RNG;
+    *   - components are rounded to 6 dp once up front, and centroid
+    *     updates are component sums in DECIMAL(18,6) — exact, so the
+    *     result cannot depend on Spark's partition-order float
+    *     summation (the classic irreproducibility of distributed
+    *     k-means);
+    *   - centroids stay UNNORMALIZED sums, never divided by the
+    *     cluster size: cosine is scale-invariant, so sum and mean
+    *     assign identically and the division (whose decimal precision
+    *     rules differ across engines) never happens.
+    *
+    * Shape per iteration: assignment is a broadcast join + one
+    * partial-aggregable max_by groupBy (no per-vector sort); the
+    * update is one posexplode + (cent_id, pos) sum — rows = corpus x
+    * dims, the unavoidable k-means volume, shuffled as compact
+    * numeric triples, never the text. `materialize` is the same scale
+    * hook as [[Dedup.dedupCorpus]]'s: the corpus slice feeds every
+    * iteration, so pass `_.localCheckpoint()` to scan it once. */
+  def kmeansAssign(embeddings: DataFrame, iters: Int = 2,
+                   centStride: Long = 100,
+                   materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be at least 1")
+    val e = materialize(embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))").as("v"))
+      .withColumn("nv", norm(col("v"))))
+
+    def assignTo(cents: DataFrame): DataFrame =
+      e.join(broadcast(cents))
+        .withColumn("cent_sim", round(cosineWithNorms(col("v"), col("ce"),
+          col("nv"), col("nc")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("v"), col("cent_id"), col("cent_sim")),
+          struct(col("cent_sim"), (-col("cent_id")).as("tie"))).as("best"))
+        .select(col("vec_id"), col("best.v").as("v"),
+          col("best.cent_id").as("cent_id"), col("best.cent_sim").as("cent_sim"))
+
+    var cents = e.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("ce"), col("nv").as("nc"))
+    var assigned = assignTo(cents)
+    for (_ <- 2 to iters) {
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(col("x").cast("decimal(18,6)")).as("s"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+        .select(col("cent_id"),
+          expr("transform(ps, p -> CAST(p.s AS DOUBLE))").as("ce"))
+        .withColumn("nc", norm(col("ce")))
+      assigned = assignTo(cents)
+    }
+    assigned.select(col("vec_id"), col("cent_id"), col("cent_sim"))
+  }
 }

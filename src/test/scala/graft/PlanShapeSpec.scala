@@ -160,12 +160,21 @@ class PlanShapeSpec extends AnyFunSuite {
       // sorted-run mode count, NOT a (doc_id, gram) group-by — the
       // fold keeps the two gram shuffles out of the corpus scan
       "repetitionMetrics" -> graft.llm.TextStats.repetitionMetrics(docs),
+      "hashSplit" -> graft.llm.CorpusOps.hashSplit(docs),
       "quantizeInt8" -> graft.llm.Similarity.quantizeInt8(emb))
     narrowOps.foreach { case (name, df) =>
       val plan = planText(df)
       assert(!plan.contains("exchange"),
         s"$name should be a narrow map — at 100 TB any shuffle here is pure waste:\n$plan")
     }
+  }
+
+  test("q62 decontamination broadcasts the eval grams — corpus text never shuffles") {
+    val plan = planText(graft.llm.LlmQueries.decontaminate(spark, sf))
+    assert(plan.contains("broadcast"),
+      s"eval n-gram set must broadcast (it is benchmark-scale):\n$plan")
+    assert(!plan.contains("sortmergejoin"),
+      s"a shuffle join here would move the whole corpus' n-grams:\n$plan")
   }
 
   test("q45 exact top-k broadcasts the query batch over one corpus pass") {

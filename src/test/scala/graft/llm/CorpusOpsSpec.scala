@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing an eval 5-gram") {
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val train = Seq(
+      // contains "the quick brown fox jumps" (and more) verbatim
+      (1L, "prefix words the quick brown fox jumps over something", "en", "s"),
+      // same words, different order: no shared 5-gram
+      (2L, "fox brown quick the jumps dog lazy the over", "en", "s"),
+      (3L, "completely unrelated text about spark catalyst plans", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.decontaminate(train, evalDocs, n = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L)._2 && got(1L)._1 === 2) // "the quick..jumps", "quick..jumps over"
+    assert(got(2L) === ((0L, false)))
+    assert(got(3L) === ((0L, false)))
+  }
+
+  test("decontaminate: short eval doc contaminates its exact duplicate only") {
+    val evalDocs = Seq((9L, "tiny doc", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val train = Seq(
+      (1L, "tiny doc", "en", "s"),            // whole-text gram matches
+      (2L, "tiny doc extended with words", "en", "s")) // 5-grams differ
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.decontaminate(train, evalDocs, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
+
+  test("hash split is a pure function of doc_id with consistent buckets") {
+    val docs = (0L until 1000L).map(i => (i, s"text $i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.hashSplit(docs, trainPct = 96, valPct = 2).collect()
+    assert(got.length === 1000)
+    got.foreach { r =>
+      val (b, s) = (r.getLong(1), r.getString(2))
+      assert(b >= 0 && b < 100)
+      assert(s === (if (b < 96) "train" else if (b < 98) "val" else "test"))
+    }
+    // deterministic across runs/orderings
+    val again = CorpusOps.hashSplit(docs.orderBy(rand(7)), 96, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.map(r => r.getLong(0) -> r.getString(2)).toMap === again)
+    // md5 spreads: every split nonempty at 1000 docs
+    assert(got.map(_.getString(2)).toSet === Set("train", "val", "test"))
+  }
+
+  test("top terms rank slice-characteristic words above shared ones") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha shared shared", "en", "web"),
+      (2L, "beta beta beta shared shared", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.topTerms(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    // "alpha" tf=3 df=1 -> 6.0 beats "shared" tf=2 df=2 -> 2.0
+    assert(got(("web", 1)) === "alpha" && got(("books", 1)) === "beta")
+    assert(got(("web", 2)) === "shared" && got(("books", 2)) === "shared")
+  }
+
+  test("sequence packing fills contiguous bins with exact offsets") {
+    // one lang, shards=1: doc_ids in order, 300 tokens each, capacity 512
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val docs = (1L to 4L).map(i => (i, words(300), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.packSequences(docs, capacity = 512, shards = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    // running starts: 0, 300, 600, 900 -> bins 0,0,1,1; offsets 0,300,88,388
+    assert(got === Map(1L -> ((0L, 0L)), 2L -> ((0L, 300L)),
+      3L -> ((1L, 88L)), 4L -> ((1L, 388L)))) // 600-512=88, 900-512=388
+  }
+
+  test("kmeans assigns to the nearest centroid and refines it") {
+    // two tight direction-clusters around (1,0) and (0,1); stride 3
+    // seeds centroids at vec_ids 0 (cluster A) and 3 (cluster B)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f)), (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.0f)),
+      (3L, Array(0.05f, 1.0f)), (4L, Array(0.1f, 1.0f)), (5L, Array(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val got = Similarity.kmeansAssign(vecs, iters = 2, centStride = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    // sims are high within tight clusters
+    val sims = Similarity.kmeansAssign(vecs, iters = 2, centStride = 3).collect()
+      .map(_.getDouble(2))
+    assert(sims.forall(_ > 0.99))
+  }
+
+  test("kmeans iteration moves a boundary vector to the refined centroid") {
+    // seed centroids: 0 -> (1, 0), 4 -> (0, 1). Vector 6 at (0.72, 0.69)
+    // leans to the seed (1,0) on iteration 1; cluster 4's centroid pulls
+    // toward (0.3, 1) members, while cluster 0's pulls toward (1, 0.3)
+    // members — after the update 6 stays with the cluster whose SUM
+    // centroid it is closest to, exercising the unnormalized-sum path
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.3f)), (2L, Array(1.0f, 0.25f)),
+      (3L, Array(1.0f, 0.28f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.3f, 1.0f)), (6L, Array(0.72f, 0.69f)),
+      (7L, Array(0.25f, 1.0f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val one = Similarity.kmeansAssign(vecs, iters = 1, centStride = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Similarity.kmeansAssign(vecs, iters = 2, centStride = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(6L) === 0L) // vs raw seeds: cos to (1,0) wins at iter 1
+    // all non-boundary vectors keep their cluster through refinement
+    Seq(0L, 1L, 2L, 3L).foreach(i => assert(two(i) === 0L))
+    Seq(4L, 5L, 7L).foreach(i => assert(two(i) === 4L))
+  }
+
+  test("kmeans is deterministic under input reordering") {
+    val vecs = (0L until 50L).map(i =>
+      (i, Array((i % 7).toFloat + 0.1f, (i % 3).toFloat + 0.2f, 1.0f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val a = Similarity.kmeansAssign(vecs, iters = 2, centStride = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.kmeansAssign(vecs.repartition(7).orderBy(rand(3)),
+      iters = 2, centStride = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b)
+  }
+}
