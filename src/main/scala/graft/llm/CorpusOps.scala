@@ -123,4 +123,164 @@ object CorpusOps {
         floor((col("running") - col("n_tokens")) / capacity).as("bin"),
         ((col("running") - col("n_tokens")) % capacity).as("start_offset"))
   }
+
+  /** Duplicated-n-gram statistics (the RefinedWeb/C4 screen for
+    * boilerplate that exact and near dedup both miss): for each doc,
+    * the fraction of its DISTINCT word `n`-grams that occur in at
+    * least one other document. Docs above `maxDupFrac` are flagged —
+    * they are mostly assembled from text that exists elsewhere even
+    * when no single whole document matches.
+    *
+    * Shape at 100 TB: explode → ONE partial-aggregable (gram →
+    * distinct-doc count ≥ 2?) aggregation → join the exploded grams
+    * back on the gram key → per-doc count. The gram table is
+    * corpus-scale, so the gram-key shuffle is the honest lower bound
+    * for any cross-document statistic; everything per-doc after the
+    * join is partial-aggregable (no wide rows, no collect_set). The
+    * raw text never shuffles — only (doc_id, gram-hash-sized keys). */
+  def dupNgramStats(docs: DataFrame, n: Int = 8, maxDupFrac: Double = 0.3,
+                    materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // the gram table feeds both the df aggregation and the join probe:
+    // `materialize` (e.g. _.localCheckpoint()) runs the dominant
+    // explode once at scale; the default keeps the plan pure-lazy
+    val grams = materialize(docGrams(docs, n))
+    // df>1 test via two distinct doc_ids, kept partial-aggregable:
+    // min != max over doc_id is cheaper than countDistinct and enough
+    // for the ≥2-docs predicate
+    val shared = grams.groupBy(col("g"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("shared"))
+    grams.join(shared, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("dup_frac"),
+        (col("n_shared").cast("double") / col("n_grams") <= maxDupFrac)
+          .as("keep"))
+  }
+
+  /** Model-based quality scoring with a fixed linear model (the
+    * FineWeb-Edu-shaped classifier step, weights frozen here instead
+    * of loaded from a trained artifact): score = w·x over per-doc
+    * features, `keep` = score ≥ `threshold`.
+    *
+    * Determinism contract: features and the dot product use only IEEE
+    * double +,*,/ — each individually exactly rounded — evaluated in
+    * one fixed left-to-right order, so any engine computing the same
+    * expression tree produces bit-identical scores (no exp/log/sigmoid:
+    * libm transcendentals differ in final ulps across engines; a
+    * monotone logit ranks and thresholds identically to the sigmoid).
+    * One narrow codegen'd pass, zero shuffles at any corpus scale. */
+  def qualityScore(docs: DataFrame, threshold: Double = 1.0): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words).cast("double")
+    val meanLen = (length(col("text")).cast("double") - n + 1.0) / n
+    val stopRatio = size(filter(words,
+      w => w.isin("the", "a", "of", "and", "to", "in", "is"))).cast("double") / n
+    val distinctRatio = size(array_distinct(words)).cast("double") / n
+    // frozen weights: reward moderate length + lexical diversity +
+    // stopword evidence, penalize very long mean word length
+    val score = lit(0.002) * n + lit(2.0) * stopRatio +
+      lit(1.5) * distinctRatio - lit(0.1) * meanLen
+    docs.select(col("doc_id"),
+      n.cast("int").as("n_words"),
+      meanLen.as("mean_word_len"),
+      stopRatio.as("stopword_ratio"),
+      distinctRatio.as("distinct_ratio"),
+      score.as("quality_score"),
+      (score >= threshold).as("keep"))
+  }
+
+  /** Deterministic token-budget sampling: keep documents per
+    * (source, shard) stream in md5-priority order until the stream's
+    * token budget is exhausted — the corpus-mixing step that samples
+    * each source down to a target token share. Hash priority makes
+    * the sample a pure function of doc ids (stable across runs and
+    * engines, docs keep their fate as the corpus grows, unlike RNG
+    * sampling); partial documents are not taken (a doc is in or out).
+    *
+    * Shape: ONE shuffle (the per-stream ordering window). Budgets are
+    * enforced per (source, doc_id % shards) shard at budget/shards
+    * each, same skew rule as [[packSequences]]: one window partition
+    * per source is the classic window skew at corpus scale, while
+    * hash shards keep every stream task-sized, deterministic, and
+    * within (budget/shards)·shards = budget total per source. */
+  def tokenBudgetSample(docs: DataFrame, budgetPerSource: Int,
+                        shards: Int = 8): DataFrame = {
+    require(budgetPerSource > 0 && shards > 0 && budgetPerSource % shards == 0,
+      s"budgetPerSource ($budgetPerSource) must be a positive multiple of shards ($shards)")
+    val perShard = budgetPerSource / shards
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("priority"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % shards).as("shard"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("priority"))
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        col("priority"), col("running"),
+        (col("running") <= perShard).as("sampled"))
+  }
+
+  /** Incremental snapshot dedup — the corpus-update step: given the
+    * previous corpus `snapshot` and a `newBatch` of candidate docs,
+    * keep only batch docs whose content is new, with the drop reason
+    * split into `in_snapshot` (content already shipped in a prior
+    * snapshot) vs `batch_dup` (duplicated within this batch; the
+    * min-doc_id copy survives). Running this per increment keeps full
+    * corpus dedup O(batch) instead of O(corpus) per update.
+    *
+    * Shape at 100 TB: both sides reduce to 16-byte md5 keys before
+    * anything moves — the snapshot side aggregates to distinct hashes
+    * (partial-aggregable), then a LEFT SEMI join on the hash and one
+    * batch-side group-by. The snapshot's text never shuffles; for
+    * repeated increments, persist the distinct-hash table bucketed on
+    * the hash ([[graft.operators.Bucketing]]) and the semi join is
+    * exchange-free on the snapshot side. */
+  def snapshotDelta(newBatch: DataFrame, snapshot: DataFrame): DataFrame = {
+    val h = md5(col("text"))
+    val snapHashes = snapshot.select(h.as("content_hash")).distinct()
+    val inSnap = newBatch.select(col("doc_id"), h.as("content_hash"))
+      .join(snapHashes, Seq("content_hash"), "left_semi")
+      .select(col("doc_id")).withColumn("in_snapshot", lit(true))
+    val batchKeep = newBatch.groupBy(h.as("content_hash"))
+      .agg(min(col("doc_id")).as("batch_keep_id"))
+    newBatch.select(col("doc_id"), h.as("content_hash"))
+      .join(batchKeep, Seq("content_hash"))
+      .join(inSnap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        (col("in_snapshot").isNull && col("doc_id") === col("batch_keep_id"))
+          .as("keep"),
+        when(col("in_snapshot").isNotNull, lit("in_snapshot"))
+          .when(col("doc_id") =!= col("batch_keep_id"), lit("batch_dup"))
+          .as("drop_reason"))
+  }
+
+  /** Word-rarity scoring: for each doc, the mean document frequency of
+    * its distinct words, normalized by corpus size — a cheap fluency /
+    * domain-shift signal (boilerplate and template text score common;
+    * gibberish and OCR noise score rare) used to bucket corpora before
+    * expensive model-based scoring. `mean_df` and `commonness` are an
+    * integer-sum ratio — exact across engines, no log.
+    *
+    * Shape: same honest two-shuffle skeleton as [[dupNgramStats]] —
+    * the word→df table is vocabulary-scale (small next to the corpus),
+    * the join key is the word, and the per-doc re-aggregation is
+    * partial-aggregable. */
+  def wordRarity(docs: DataFrame,
+                 materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val words = materialize(docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w")))
+    val df = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    words.join(df, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_words"), sum(col("df")).as("sum_df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("n_distinct_words"),
+        (col("sum_df").cast("double") / col("n_distinct_words")).as("mean_df"),
+        (col("sum_df").cast("double") / col("n_distinct_words") / col("n_docs"))
+          .as("commonness"))
+  }
 }

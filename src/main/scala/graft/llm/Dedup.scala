@@ -163,6 +163,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Sketch-based Jaccard ESTIMATION for the LSH candidate pairs: the
+    * fraction of the `k` minhash components two docs agree on is an
+    * unbiased estimate of their Jaccard similarity (the min-wise
+    * hashing guarantee) — the cheap middle tier between banding
+    * (boolean, coarse) and exact verification (needs both word sets):
+    * rank or pre-filter candidates WITHOUT ever moving document text.
+    *
+    * Shape at 100 TB: signatures are k longs per doc (metadata-scale
+    * next to the corpus); the candidate pairs join the signature table
+    * twice on doc_id — two hash joins over narrow rows. With the
+    * signature table persisted bucketed on doc_id
+    * ([[graft.operators.Bucketing]]) both probes are exchange-free.
+    * The estimate (`k_agree / k`) is integer arithmetic over a ratio
+    * of small ints — exact in any engine. */
+  def estimatedJaccardPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                            shingle: Int = 3,
+                            maxBucket: Int = 1000): DataFrame = {
+    val sigs = minhashSignatures(docs, k, shingle)
+    val sigCols = (0 until k).map(i => col(s"mh$i"))
+    val sigArr = sigs.select(col("doc_id"), array(sigCols: _*).as("sig"))
+    lshCandidatePairs(docs, k, bands, shingle, maxBucket)
+      .join(sigArr.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sigArr.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .select(col("a"), col("b"),
+        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")
+          .as("k_agree"))
+      .select(col("a"), col("b"), col("k_agree"),
+        (col("k_agree").cast("double") / k).as("est_jaccard"))
+  }
+
   /** Overflow-only view of [[lshCandidates]] — prefer the full result
     * (one shared bucket plan; consuming the two views from separate
     * calls runs the dominant corpus scan twice). */

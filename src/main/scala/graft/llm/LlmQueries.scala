@@ -626,6 +626,130 @@ object LlmQueries {
        |  FROM e CROSS JOIN c1 c) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Duplicated 8-gram fraction per doc (RefinedWeb-style boilerplate
+    * screen): a gram is "shared" when ≥ 2 docs contain it. */
+  def dupNgrams(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.dupNgramStats(docs(s, dir), n = 8, maxDupFrac = 0.3)
+      .orderBy("doc_id")
+
+  val dupNgramsSql: String =
+    """WITH g AS (SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 8 THEN [text]
+      |    ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 7),
+      |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))
+      |    END)) AS g FROM documents),
+      |sh AS (SELECT g, MIN(doc_id) <> MAX(doc_id) AS shared FROM g GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  CAST(SUM(CASE WHEN shared THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS dup_frac,
+      |  CAST(SUM(CASE WHEN shared THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    <= 0.3 AS keep
+      |FROM g JOIN sh USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** Fixed-weight linear quality model; see
+    * [[CorpusOps.qualityScore]] for the bit-exactness contract (IEEE
+    * +,*,/ only, fixed evaluation order, no transcendentals). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.qualityScore(docs(s, dir), threshold = 1.0).orderBy("doc_id")
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+      |  ml AS mean_word_len, sr AS stopword_ratio, dr AS distinct_ratio,
+      |  2e-3 * n + 2e0 * sr + 1.5e0 * dr - 1e-1 * ml AS quality_score,
+      |  2e-3 * n + 2e0 * sr + 1.5e0 * dr - 1e-1 * ml >= 1e0 AS keep
+      |FROM (SELECT doc_id, n,
+      |    (CAST(length(text) AS DOUBLE) - n + 1e0) / n AS ml,
+      |    CAST(len(list_filter(ws, w -> list_contains(
+      |      ['the','a','of','and','to','in','is'], w))) AS DOUBLE) / n AS sr,
+      |    CAST(len(list_distinct(ws)) AS DOUBLE) / n AS dr
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws,
+      |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Token-budget corpus mixing: 800 tokens per source over 8 hash
+    * shards (100/shard), md5-priority order. */
+  def tokenBudgetSample(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.tokenBudgetSample(docs(s, dir), budgetPerSource = 800,
+      shards = 8).orderBy("doc_id")
+
+  val tokenBudgetSampleSql: String =
+    """SELECT doc_id, source, shard, n_tokens, priority,
+      |  running, running <= 100 AS sampled
+      |FROM (SELECT *, CAST(SUM(n_tokens) OVER (
+      |    PARTITION BY source, shard ORDER BY priority, doc_id) AS BIGINT)
+      |    AS running
+      |  FROM (SELECT doc_id, source, doc_id % 8 AS shard,
+      |      len(string_split(text, ' ')) AS n_tokens,
+      |      md5(CAST(doc_id AS VARCHAR)) AS priority FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Incremental corpus update: docs with doc_id % 10 ∈ {8, 9} arrive
+    * as the new batch, the rest are the prior snapshot. */
+  def snapshotDelta(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    CorpusOps.snapshotDelta(
+      d.filter(col("doc_id") % 10 >= 8),
+      d.filter(col("doc_id") % 10 < 8))
+      .orderBy("doc_id")
+  }
+
+  val snapshotDeltaSql: String =
+    """WITH nb AS (SELECT doc_id, md5(text) AS content_hash
+      |            FROM documents WHERE doc_id % 10 >= 8),
+      |snap AS (SELECT DISTINCT md5(text) AS content_hash
+      |         FROM documents WHERE doc_id % 10 < 8),
+      |bk AS (SELECT content_hash, MIN(doc_id) AS batch_keep_id
+      |       FROM nb GROUP BY 1)
+      |SELECT nb.doc_id, nb.content_hash,
+      |  (snap.content_hash IS NULL AND nb.doc_id = bk.batch_keep_id) AS keep,
+      |  CASE WHEN snap.content_hash IS NOT NULL THEN 'in_snapshot'
+      |       WHEN nb.doc_id <> bk.batch_keep_id THEN 'batch_dup' END
+      |    AS drop_reason
+      |FROM nb JOIN bk USING (content_hash) LEFT JOIN snap USING (content_hash)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Minhash Jaccard ESTIMATES for the q42 candidate pairs — the
+    * sketch tier between banding and exact verification. */
+  def minhashJaccardEst(s: SparkSession, dir: String): DataFrame =
+    Dedup.estimatedJaccardPairs(docs(s, dir), k = 8, bands = 4,
+      shingle = 3, maxBucket = 1000).orderBy("a", "b")
+
+  val minhashJaccardEstSql: String = {
+    val agree = (0 until 8)
+      .map(i => s"(CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${lshCandidateCtes("documents")}
+       |SELECT a, b, k_agree, CAST(k_agree AS DOUBLE) / 8 AS est_jaccard
+       |FROM (SELECT c.a, c.b, $agree AS k_agree
+       |      FROM cand c JOIN sig l ON c.a = l.doc_id
+       |      JOIN sig r ON c.b = r.doc_id)
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q72
+  def wordRarity(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.wordRarity(docs(s, dir)).orderBy("doc_id")
+
+  val wordRaritySql: String =
+    """WITH wx AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+      |            AS w FROM documents),
+      |dfc AS (SELECT w, COUNT(*) AS df FROM wx GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_distinct_words,
+      |          CAST(SUM(df) AS BIGINT) AS sum_df
+      |        FROM wx JOIN dfc USING (w) GROUP BY 1)
+      |SELECT doc_id, n_distinct_words,
+      |  CAST(sum_df AS DOUBLE) / n_distinct_words AS mean_df,
+      |  CAST(sum_df AS DOUBLE) / n_distinct_words / n_docs AS commonness
+      |FROM agg CROSS JOIN nd ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -656,6 +780,12 @@ object LlmQueries {
     "q64_top_terms" -> (topTerms _),
     "q65_pack_sequences" -> (packSequences _),
     "q66_kmeans_clusters" -> (kmeansClusters _),
+    "q67_dup_ngrams" -> (dupNgrams _),
+    "q68_quality_score" -> (qualityScore _),
+    "q69_token_budget_sample" -> (tokenBudgetSample _),
+    "q70_snapshot_delta" -> (snapshotDelta _),
+    "q71_minhash_jaccard_est" -> (minhashJaccardEst _),
+    "q72_word_rarity" -> (wordRarity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -686,5 +816,11 @@ object LlmQueries {
     "q64_top_terms" -> topTermsSql,
     "q65_pack_sequences" -> packSequencesSql,
     "q66_kmeans_clusters" -> kmeansClustersSql,
+    "q67_dup_ngrams" -> dupNgramsSql,
+    "q68_quality_score" -> qualityScoreSql,
+    "q69_token_budget_sample" -> tokenBudgetSampleSql,
+    "q70_snapshot_delta" -> snapshotDeltaSql,
+    "q71_minhash_jaccard_est" -> minhashJaccardEstSql,
+    "q72_word_rarity" -> wordRaritySql,
   )
 }

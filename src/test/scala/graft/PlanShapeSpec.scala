@@ -184,4 +184,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"plan:\n$plan")
     assert(scanCount(df, "embeddings") <= 2) // corpus + query slice
   }
+
+  test("q68 quality score is a narrow map: zero shuffle exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planText(graft.llm.CorpusOps.qualityScore(docs))
+    assert(!plan.contains("exchange"),
+      s"model scoring must ride the corpus scan — any shuffle is pure waste:\n$plan")
+  }
+
+  test("q69 token-budget window partitions by (source, shard) — never a single partition") {
+    val plan = planText(graft.llm.LlmQueries.tokenBudgetSample(spark, sf))
+    assert(!plan.contains("singlepartition"),
+      s"an unsharded sampling window serializes the corpus through one task:\n$plan")
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+  }
+
+  test("q70 snapshot delta joins on content hash — hash-sized rows, no cartesian") {
+    val df = graft.llm.LlmQueries.snapshotDelta(spark, sf)
+    // static plan: AQE's empty-relation propagation elides the semi join
+    // when the sf0.001 fixture happens to have no snapshot hit, so the
+    // join CHOICE is asserted pre-runtime
+    val logical = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(logical.contains("leftsemi"),
+      s"snapshot membership must be a semi join (snapshot text never surfaces):\n$logical")
+    val plan = planText(df)
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+    assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
+  }
+
+  test("q67/q71/q72 join-back statistics stay equi-join (never cartesian)") {
+    Seq(
+      "q67" -> graft.llm.LlmQueries.dupNgrams(spark, sf),
+      "q71" -> graft.llm.LlmQueries.minhashJaccardEst(spark, sf),
+      "q72" -> graft.llm.LlmQueries.wordRarity(spark, sf)).foreach {
+      case (name, df) =>
+        val plan = planText(df)
+        assert(!plan.contains("cartesianproduct"), s"$name plan:\n$plan")
+    }
+  }
 }

@@ -129,4 +129,128 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(a === b)
   }
+
+  test("dup-ngram stats: shared grams counted per doc, unique docs keep") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s"),
+      // shares the two 3-grams "alpha beta gamma", "beta gamma delta"
+      (2L, "alpha beta gamma delta zeta", "en", "s"),
+      (3L, "totally unrelated words right here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.dupNgramStats(docs, n = 3, maxDupFrac = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    // 5 words → 3 distinct 3-grams each
+    assert(got(1L) === ((3L, 2L, 2.0 / 3, false)))
+    assert(got(2L) === ((3L, 2L, 2.0 / 3, false)))
+    assert(got(3L) === ((3L, 0L, 0.0, true)))
+  }
+
+  test("dup-ngram stats: degenerate short docs compare whole text") {
+    val docs = Seq(
+      (1L, "tiny", "en", "s"), (2L, "tiny", "en", "s"),
+      (3L, "other", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.dupNgramStats(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got === Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("quality score: fixed weights, fixed order, keep at threshold") {
+    val text = "the cat sat on the mat with a hat and a bat"
+    val docs = Seq((1L, text, "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val r = CorpusOps.qualityScore(docs, threshold = 1.0).collect()(0)
+    val words = text.split(" ")
+    val n = words.length.toDouble
+    val ml = (text.length.toDouble - n + 1.0) / n
+    val sr = words.count(Set("the", "a", "of", "and", "to", "in", "is")).toDouble / n
+    val dr = words.distinct.length.toDouble / n
+    val expect = 0.002 * n + 2.0 * sr + 1.5 * dr - 0.1 * ml
+    assert(r.getAs[Double]("quality_score") === expect) // bit-exact
+    assert(r.getAs[Boolean]("keep") === (expect >= 1.0))
+    assert(r.getAs[Int]("n_words") === words.length)
+  }
+
+  test("token budget sample: per-shard budget enforced, deterministic") {
+    // source by id block so every source sees all 4 shard residues
+    val docs = (0L until 200L).map(i =>
+      (i, Seq.fill(30)("w").mkString(" "), "en", s"src${i / 100}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.tokenBudgetSample(docs, budgetPerSource = 240, shards = 4)
+    val rows = got.collect()
+    assert(rows.length === 200)
+    // every (source, shard) stream keeps exactly 60/30 = 2 docs
+    val kept = rows.filter(_.getAs[Boolean]("sampled"))
+    val bySourceShard = kept.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("shard")))
+    assert(bySourceShard.size === 8)
+    bySourceShard.values.foreach { g =>
+      assert(g.length === 2)
+      assert(g.map(_.getAs[Int]("n_tokens")).sum <= 60)
+    }
+    // pure function of ids: reordering input changes nothing
+    val again = CorpusOps.tokenBudgetSample(
+      docs.repartition(7).orderBy(rand(11)), 240, 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("sampled")).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getAs[Boolean]("sampled")).toMap === again)
+  }
+
+  test("token budget sample: budget must divide into shards") {
+    val docs = Seq((1L, "a b", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    intercept[IllegalArgumentException] {
+      CorpusOps.tokenBudgetSample(docs, budgetPerSource = 10, shards = 3)
+    }
+  }
+
+  test("snapshot delta: in-snapshot, batch-dup, and fresh docs split correctly") {
+    val snapshot = Seq(
+      (1L, "previously shipped content", "en", "s"),
+      (2L, "more old content", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val batch = Seq(
+      (10L, "previously shipped content", "en", "s"), // already in snapshot
+      (11L, "brand new content", "en", "s"),          // fresh, min of its pair
+      (12L, "brand new content", "en", "s"),          // batch dup of 11
+      (13L, "also new and unique", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.snapshotDelta(batch, snapshot).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(got(10L) === ((false, Some("in_snapshot"))))
+    assert(got(11L) === ((true, None)))
+    assert(got(12L) === ((false, Some("batch_dup"))))
+    assert(got(13L) === ((true, None)))
+  }
+
+  test("snapshot delta: batch doc both in snapshot and batch-duped → in_snapshot wins") {
+    val snapshot = Seq((1L, "x y z", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val batch = Seq((10L, "x y z", "en", "s"), (11L, "x y z", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.snapshotDelta(batch, snapshot).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getString(3)))).toMap
+    assert(got === Map(10L -> ((false, "in_snapshot")),
+      11L -> ((false, "in_snapshot"))))
+  }
+
+  test("word rarity: hand-computed df ratios on a 3-doc corpus") {
+    val docs = Seq(
+      (1L, "common words here", "en", "s"),   // common df=3, words df=2, here df=1
+      (2L, "common words", "en", "s"),
+      (3L, "common alone", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.wordRarity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, (3.0 + 2.0 + 1.0) / 3, (3.0 + 2.0 + 1.0) / 3 / 3)))
+    assert(got(2L) === ((2L, (3.0 + 2.0) / 2, (3.0 + 2.0) / 2 / 3)))
+    assert(got(3L) === ((2L, (3.0 + 1.0) / 2, (3.0 + 1.0) / 2 / 3)))
+  }
+
+  test("word rarity: repeated words in a doc count once (distinct words)") {
+    val docs = Seq(
+      (1L, "dup dup dup rare", "en", "s"),
+      (2L, "dup other", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.wordRarity(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L))
+  }
 }

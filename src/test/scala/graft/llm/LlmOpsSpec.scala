@@ -105,6 +105,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(skipped.length === 4 && skipped.forall(_.getAs[Int]("n_ids") === 200))
   }
 
+  test("estimated jaccard: identical docs agree on all k components") {
+    val est = Dedup.estimatedJaccardPairs(docsDf, k = 8, bands = 4, shingle = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getAs[Int]("k_agree"),
+        r.getAs[Double]("est_jaccard")))).toMap
+    assert(est((1L, 2L)) === ((8, 1.0))) // exact dup: every minhash equal
+    est.values.foreach { case (k, e) =>
+      assert(k >= 0 && k <= 8 && e === k / 8.0)
+    }
+    // estimates cover exactly the LSH candidate set
+    val cand = Dedup.lshCandidatePairs(docsDf, k = 8, bands = 4, shingle = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.keySet === cand)
+  }
+
   test("simhash near-dup pairs: identical docs at hamming 0, unrelated absent") {
     val got = Dedup.simhashNearDupPairs(docsDf, bits = 32, bands = 4,
       maxHamming = 3).collect()
