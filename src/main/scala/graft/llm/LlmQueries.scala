@@ -630,7 +630,8 @@ object LlmQueries {
   /** Duplicated 8-gram fraction per doc (RefinedWeb-style boilerplate
     * screen): a gram is "shared" when ≥ 2 docs contain it. */
   def dupNgrams(s: SparkSession, dir: String): DataFrame =
-    CorpusOps.dupNgramStats(docs(s, dir), n = 8, maxDupFrac = 0.3)
+    CorpusOps.dupNgramStats(docs(s, dir), n = 8, maxDupFrac = 0.3,
+        materialize = _.localCheckpoint())
       .orderBy("doc_id")
 
   val dupNgramsSql: String =

@@ -170,8 +170,27 @@ object TextStats {
     * polynomial over its code points (a digest per position made this
     * the 2nd-slowest operator in the suite), keep the 1/16 sample where
     * hash % 16 == 0 (winnowing-style selection) — a compact sketch for
-    * containment/overlap checks. */
-  def fingerprints(docs: DataFrame): DataFrame = {
+    * containment/overlap checks.
+    *
+    * Runs on the native codegen'd
+    * [[graft.functions.WinnowFingerprints]] expression: the previous
+    * higher-order-function formulation (kept as [[fingerprintsHof]]
+    * and pinned bit-identical by `WinnowFingerprintsSpec`) evaluated a
+    * boxed lambda per window position — CodegenFallback, the dominant
+    * cost of this operator at any scale. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fps", call_function("winnow_fingerprints", col("text")))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fingerprint"),
+        array_max(col("fps")).as("max_fingerprint"))
+
+  /** Reference higher-order-function formulation of [[fingerprints]] —
+    * the cross-engine-portable SQL shape (mirrors the DuckDB oracle
+    * text). Retained as the parity witness for the native expression. */
+  private[graft] def fingerprintsHof(docs: DataFrame): DataFrame = {
     val h = polyHash(k => s"element_at(cps, i + $k)")
     docs
       // one O(n) pass builds the code points; everything after is O(1)

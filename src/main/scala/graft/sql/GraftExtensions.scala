@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CoerceNumeric, PyToJson}
+import graft.functions.{CoerceNumeric, PyToJson, WinnowFingerprints}
 
 /** Engine extensions, installed via `spark.sql.extensions` (set by
   * [[graft.core.GraftSession]]): registers the native expressions so
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("coerce_numeric"),
       new ExpressionInfo(classOf[CoerceNumeric].getName, "coerce_numeric"),
       (children: Seq[Expression]) => CoerceNumeric(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => WinnowFingerprints(children.head)))
   }
 }
