@@ -486,6 +486,34 @@ object Analytics {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** The SQL-text entry path: ONE portable ANSI string (TPC-H Q7-style
+    * nation-pair trade volume) executed verbatim by `spark.sql` over
+    * temp views AND by the DuckDB oracle — pinning that the engine's
+    * SQL surface, not just its DataFrame surface, matches the oracle
+    * engine. Catalyst plans it like any DataFrame query (same join
+    * reorder / broadcast / pushdown), so no separate scale analysis. */
+  val nationPairVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name < n2.n_name
+      |GROUP BY supp_nation, cust_nation
+      |ORDER BY supp_nation, cust_nation""".stripMargin
+
+  def nationPairVolume(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier", "orders", "customer", "nation")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(nationPairVolumeSql)
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -508,6 +536,7 @@ object Analytics {
     "q17_big_suppliers" -> (bigSuppliers _),
     "q18_order_status_cube" -> (orderStatusCube _),
     "q19_price_quantiles" -> (priceQuantiles _),
+    "q73_nation_pair_volume" -> (nationPairVolume _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -530,5 +559,6 @@ object Analytics {
     "q17_big_suppliers" -> bigSuppliersSql,
     "q18_order_status_cube" -> orderStatusCubeSql,
     "q19_price_quantiles" -> priceQuantilesSql,
+    "q73_nation_pair_volume" -> nationPairVolumeSql,
   )
 }
