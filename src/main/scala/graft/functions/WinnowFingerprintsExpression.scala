@@ -69,7 +69,8 @@ object WinnowFingerprints {
       i += 1
       ci += Character.charCount(cp)
     }
-    val kept = new java.util.ArrayList[java.lang.Long]()
+    var kept = new Array[Long](math.max(8, (n - Width + 1) / (Sample / 2)))
+    var nKept = 0
     var pos = 0
     val last = n - Width
     while (pos <= last) {
@@ -77,12 +78,14 @@ object WinnowFingerprints {
       var k = 0
       while (k < Width) { h += cps(pos + k) * Pow(k); k += 1 }
       h %= Mod
-      if (h % Sample == 0) kept.add(h)
+      if (h % Sample == 0) {
+        if (nKept == kept.length)
+          kept = java.util.Arrays.copyOf(kept, kept.length * 2)
+        kept(nKept) = h
+        nKept += 1
+      }
       pos += 1
     }
-    val out = new Array[Long](kept.size())
-    var j = 0
-    while (j < out.length) { out(j) = kept.get(j).longValue(); j += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(java.util.Arrays.copyOf(kept, nKept))
   }
 }

@@ -15,18 +15,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object CorpusOps {
 
-  /** Distinct word n-grams over a precomputed `__words` column; a doc
-    * shorter than `n` words contributes its whole text as one gram
-    * (same degenerate-doc rule as [[Dedup]]'s shingles). */
-  private def gramExpr(n: Int): String =
-    s"""array_distinct(CASE WHEN size(__words) < $n THEN array(text)
-       |ELSE transform(sequence(1, size(__words) - ${n - 1}),
-       |       i -> array_join(slice(__words, i, $n), ' '))
-       |END)""".stripMargin
-
+  /** Distinct word n-grams per doc — [[Dedup.shingleExpr]] IS the gram
+    * rule (one shared fragment, so the degenerate-short-doc handling
+    * and tokenization can never drift between decontamination /
+    * dup-ngram stats and the dedup ladder). */
   private def docGrams(docs: DataFrame, n: Int): DataFrame =
     docs.withColumn("__words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(gramExpr(n))).as("g"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(Dedup.shingleExpr(n)))).as("g"))
 
   /** Test-set decontamination (the GPT-3/PaLM n-gram overlap rule):
     * for every training doc, count its distinct word `n`-grams that
@@ -83,7 +79,9 @@ object CorpusOps {
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val ns = docs.agg(countDistinct(col("source")).as("ns"))
+    // ns from the vocab-scale tf table, not a second corpus scan:
+    // split() yields ≥1 term per doc, so every source reaches tf
+    val ns = tf.agg(countDistinct(col("source")).as("ns"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("term"))
     tf.join(df, Seq("term"))

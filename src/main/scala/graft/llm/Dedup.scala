@@ -45,7 +45,7 @@ object Dedup {
     * the split is hoisted out of the per-index lambda (a split inside
     * `transform` re-tokenizes the document for every shingle position:
     * quadratic per doc). */
-  private def shingleExpr(n: Int): String =
+  private[llm] def shingleExpr(n: Int): String =
     s"""CASE WHEN size(__words) < $n THEN array(text)
        |ELSE transform(sequence(1, size(__words) - ${n - 1}),
        |       i -> array_join(slice(__words, i, $n), ' '))
@@ -85,13 +85,18 @@ object Dedup {
     * `posexplode` emitting the `bands` bucket keys per doc, one shuffle
     * on (band, bucket) → (band, bucket, sorted doc_id set). */
   private def lshBuckets(docs: DataFrame, k: Int, bands: Int,
-                         shingle: Int): DataFrame = {
+                         shingle: Int): DataFrame =
+    bucketsFromSigs(minhashSignatures(docs, k, shingle), k, bands)
+
+  /** Band-bucket aggregation over an existing signature table — split
+    * from [[lshBuckets]] so callers that also consume the signatures
+    * ([[estimatedJaccardPairs]]) share ONE signature computation. */
+  private def bucketsFromSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k ($k) must divide evenly into bands ($bands): a remainder " +
         "silently drops signatures, and bands > k makes every bucket a " +
         "constant (one all-corpus bucket per band)")
     val rows = k / bands
-    val sigs = minhashSignatures(docs, k, shingle)
     val bucketCols = (0 until bands).map { b =>
       val cs = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
       md5(concat_ws("|", cs: _*))
@@ -176,14 +181,19 @@ object Dedup {
     * signature table persisted bucketed on doc_id
     * ([[graft.operators.Bucketing]]) both probes are exchange-free.
     * The estimate (`k_agree / k`) is integer arithmetic over a ratio
-    * of small ints — exact in any engine. */
+    * of small ints — exact in any engine.
+    *
+    * The signature table feeds three consumers (the band buckets and
+    * both pair-side probes): `materialize` (e.g. `_.localCheckpoint()`)
+    * runs the dominant shingle+digest scan ONCE at scale — the same
+    * hook contract as [[lshCandidates]] and [[dedupCorpus]]. */
   def estimatedJaccardPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
-                            shingle: Int = 3,
-                            maxBucket: Int = 1000): DataFrame = {
-    val sigs = minhashSignatures(docs, k, shingle)
+                            shingle: Int = 3, maxBucket: Int = 1000,
+                            materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val sigs = materialize(minhashSignatures(docs, k, shingle))
     val sigCols = (0 until k).map(i => col(s"mh$i"))
     val sigArr = sigs.select(col("doc_id"), array(sigCols: _*).as("sig"))
-    lshCandidatePairs(docs, k, bands, shingle, maxBucket)
+    pairsFromBuckets(bucketsFromSigs(sigs, k, bands), maxBucket)
       .join(sigArr.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
       .join(sigArr.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
       .select(col("a"), col("b"),

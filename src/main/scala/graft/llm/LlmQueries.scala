@@ -720,7 +720,8 @@ object LlmQueries {
     * sketch tier between banding and exact verification. */
   def minhashJaccardEst(s: SparkSession, dir: String): DataFrame =
     Dedup.estimatedJaccardPairs(docs(s, dir), k = 8, bands = 4,
-      shingle = 3, maxBucket = 1000).orderBy("a", "b")
+      shingle = 3, maxBucket = 1000,
+      materialize = _.localCheckpoint()).orderBy("a", "b")
 
   val minhashJaccardEstSql: String = {
     val agree = (0 until 8)
@@ -736,7 +737,8 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q72
   def wordRarity(s: SparkSession, dir: String): DataFrame =
-    CorpusOps.wordRarity(docs(s, dir)).orderBy("doc_id")
+    CorpusOps.wordRarity(docs(s, dir), materialize = _.localCheckpoint())
+      .orderBy("doc_id")
 
   val wordRaritySql: String =
     """WITH wx AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))

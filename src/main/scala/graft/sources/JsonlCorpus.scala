@@ -33,7 +33,7 @@ object JsonlCorpus {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private val CorruptCol = "_corrupt"
+  private[graft] val CorruptCol = "_corrupt"
 
   /** Read a JSONL corpus with the declared schema; rows that fail to
     * parse keep their raw line in `_corrupt` and null elsewhere. */
@@ -46,6 +46,23 @@ object JsonlCorpus {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
   }
+
+  /** Streaming twin of [[readClean]]: a file-source stream over a
+    * JSONL drop directory, clean rows only, same declared-schema
+    * contract (PERMISSIVE + corrupt-column here rather than
+    * DROPMALFORMED: the streaming source rejects parser-dropped rows
+    * counting against the declared schema, and downstream consumers
+    * reference data columns so the corrupt-only-scan restriction never
+    * applies). */
+  def readStream(spark: SparkSession, path: String,
+                 schema: StructType = docSchema): DataFrame =
+    spark.readStream
+      .schema(schema.add(StructField(CorruptCol, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .filter(col(CorruptCol).isNull)
+      .drop(CorruptCol)
 
   /** Clean rows only (the ingest contract: a malformed line must never
     * surface as a null-text "document"). DROPMALFORMED rather than a

@@ -29,29 +29,36 @@ import graft.sources.JsonlCorpus
   */
 object CorpusStream {
 
-  /** File-source stream of JSONL documents (same declared-schema,
-    * corrupt-line-tolerant contract as the batch [[JsonlCorpus]]):
-    * malformed lines are counted upstream, never ingested. */
-  def readCorpusStream(spark: SparkSession, inPath: String): DataFrame = {
-    val withCorrupt = JsonlCorpus.docSchema
-      .add(org.apache.spark.sql.types.StructField("_corrupt",
-        org.apache.spark.sql.types.StringType))
-    spark.readStream
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(inPath)
-      .filter(col("_corrupt").isNull)
-      .drop("_corrupt")
-  }
+  /** File-source stream of JSONL documents — the streaming twin of
+    * [[JsonlCorpus.readStream]]: malformed lines are counted upstream,
+    * never ingested. */
+  def readCorpusStream(spark: SparkSession, inPath: String): DataFrame =
+    JsonlCorpus.readStream(spark, inPath)
 
-  /** The corpus already on disk, or an empty frame with the document
-    * schema before the first epoch lands. */
-  private def readSnapshot(spark: SparkSession, corpusPath: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(corpusPath)))
-      spark.read.parquet(corpusPath).drop("ingest_batch")
+  /** The committed corpus EXCLUDING the replaying epoch's own
+    * partition, or an empty frame before the first epoch lands.
+    *
+    * Two replay hazards live here. (1) A crash mid-commit can leave a
+    * PARTIAL `ingest_batch=<id>` partition on disk; if the replay
+    * deduped against it, its docs would read as `in_snapshot`, be
+    * excluded from the rewrite, and then be DELETED by the dynamic
+    * overwrite of that same partition — silent data loss. The current
+    * epoch's partition is therefore never part of the snapshot. (2) A
+    * crash before any file committed leaves the directory with no
+    * readable footer — the schema is declared, never inferred, so the
+    * replay proceeds instead of crash-looping on schema inference. */
+  private def readSnapshot(spark: SparkSession, corpusPath: String,
+                           batchId: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read
+        .schema(JsonlCorpus.docSchema.add(
+          org.apache.spark.sql.types.StructField("ingest_batch",
+            org.apache.spark.sql.types.LongType)))
+        .parquet(corpusPath)
+        .filter(col("ingest_batch") =!= batchId)
+        .drop("ingest_batch")
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         JsonlCorpus.docSchema)
@@ -66,12 +73,20 @@ object CorpusStream {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // checkpoint once: `good` is referenced by the emptiness probe,
+        // three times inside snapshotDelta, and by the final write —
+        // without it every reference re-reads the JSONL source and
+        // re-runs the quality pass
         val good = batch.join(
           quality(batch).filter(col("keep")).select("doc_id"), Seq("doc_id"))
+          .localCheckpoint()
+        // checkpointed too: the emptiness probe and the write would
+        // otherwise each run the snapshot's corpus scan
         val fresh = good.join(
-          CorpusOps.snapshotDelta(good, readSnapshot(spark, corpusPath))
+          CorpusOps.snapshotDelta(good, readSnapshot(spark, corpusPath, batchId))
             .filter(col("keep")).select("doc_id"),
           Seq("doc_id"))
+          .localCheckpoint()
         if (!fresh.isEmpty)
           fresh.withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")

@@ -220,6 +220,10 @@ class PlanShapeSpec extends AnyFunSuite {
       case (name, df) =>
         val plan = planText(df)
         assert(!plan.contains("cartesianproduct"), s"$name plan:\n$plan")
+        // the materialize hook must collapse the shared gram/signature
+        // subplan to one corpus scan (0 = checkpoint leaf replaced it)
+        assert(scanCount(df, "documents") <= 1,
+          s"$name recomputes the dominant corpus scan per branch")
     }
   }
 }
