@@ -514,6 +514,101 @@ object Analytics {
     s.sql(nationPairVolumeSql)
   }
 
+  // ---------------------------------------------------------------- q74
+  /** TPC-H Q17 pattern — small-quantity revenue for one brand: items
+    * ordered below 20% of their part's average order quantity.
+    *
+    * The correlated `avg` is DIVISION-FREE: `qty < 0.2 * sum/cnt` is
+    * compared as `5 * qty * cnt < sum` in exact decimals — a float
+    * division there would make the boundary rows engine-dependent.
+    * Shape: the brand slice filters lineitem to ~1/|brands| before the
+    * per-part aggregate, the part list broadcasts, and the agg join
+    * back is per-part (equi, partial-aggregable). */
+  def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+      .select("p_partkey")
+    val lp = t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val stats = lp.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"), 12, 2)).as("qty_sum"),
+        count(lit(1)).as("qty_cnt"))
+    lp.join(stats, Seq("l_partkey"))
+      .filter(dec(col("l_quantity"), 12, 2) * 5 * col("qty_cnt") < col("qty_sum"))
+      .agg((sumMoney(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val smallQuantityRevenueSql: String =
+    """WITH lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#23'),
+      |st AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+      |         COUNT(*) AS qty_cnt FROM lp GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  COUNT(*) AS n_items
+      |FROM lp JOIN st USING (l_partkey)
+      |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * qty_cnt < qty_sum""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  /** TPC-H Q15 pattern — the supplier(s) with maximum revenue: a
+    * correlated scalar-max subquery against a shared aggregate. The
+    * revenue stays an exact DECIMAL through the max comparison (a
+    * double `=` on an aggregate is engine-dependent at the boundary);
+    * the scalar max broadcasts. The revenue table is computed twice
+    * lazily (supplier-cardinality rows — metadata-scale; not worth a
+    * checkpoint). */
+  def topSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2) *
+        dec(lit(1.0) - col("l_discount"), 4, 2)).as("rev"))
+    rev.join(broadcast(rev.agg(max(col("rev")).as("mx"))))
+      .filter(col("rev") === col("mx"))
+      .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierRevenueSql: String =
+    """WITH sr AS (SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        CAST(1.0 - l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN sr ON s_suppkey = l_suppkey
+      |WHERE rev = (SELECT MAX(rev) FROM sr)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+  /** TPC-H Q18 pattern — large-volume orders: per-order quantity
+    * HAVING above a threshold, joined back to order + customer detail.
+    * The heavy side aggregates BEFORE any join (the order-grain rows
+    * that survive the HAVING are a sliver), then joins are key-equi
+    * with the customer side broadcastable. */
+  def largeVolumeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"), 12, 2)).as("tq"))
+      .filter(col("tq") > 300)
+    big.join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("tq").cast("double").as("total_qty"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val largeVolumeOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(tq AS DOUBLE) AS total_qty, o_totalprice
+      |FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tq
+      |      FROM lineitem GROUP BY 1
+      |      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -537,6 +632,9 @@ object Analytics {
     "q18_order_status_cube" -> (orderStatusCube _),
     "q19_price_quantiles" -> (priceQuantiles _),
     "q73_nation_pair_volume" -> (nationPairVolume _),
+    "q74_small_quantity_revenue" -> (smallQuantityRevenue _),
+    "q75_top_supplier_revenue" -> (topSupplierRevenue _),
+    "q76_large_volume_orders" -> (largeVolumeOrders _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -560,5 +658,8 @@ object Analytics {
     "q18_order_status_cube" -> orderStatusCubeSql,
     "q19_price_quantiles" -> priceQuantilesSql,
     "q73_nation_pair_volume" -> nationPairVolumeSql,
+    "q74_small_quantity_revenue" -> smallQuantityRevenueSql,
+    "q75_top_supplier_revenue" -> topSupplierRevenueSql,
+    "q76_large_volume_orders" -> largeVolumeOrdersSql,
   )
 }
