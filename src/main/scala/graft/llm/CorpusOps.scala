@@ -255,6 +255,98 @@ object CorpusOps {
           .as("drop_reason"))
   }
 
+  /** Duplicate-SPAN removal (the substring-dedup semantics of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", at word-n-gram granularity): an n-gram occurrence is
+    * REMOVABLE when the gram appears in at least one other document
+    * and this doc is not the gram's canonical keeper (min doc_id) —
+    * every word covered by a removable occurrence is dropped and the
+    * doc is reassembled from the surviving words, so exactly one copy
+    * of every cross-document span survives corpus-wide. Within-doc
+    * repetition is deliberately untouched (that is [[TextStats.
+    * repetitionMetrics]]' screen, not dedup).
+    *
+    * Shape at 100 TB: the same honest gram-key shuffle as
+    * [[dupNgramStats]] (per-gram min/max doc over POSITIONED grams,
+    * partial-aggregable), a coverage explode bounded by 8x the
+    * removable occurrences, and a per-doc reassembly whose window is
+    * bounded by document length. `materialize` runs the positioned-
+    * gram explode once across its three consumers. */
+  def trimSharedSpans(docs: DataFrame, n: Int = 8,
+                      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // positioned grams: (doc_id, pos, g), pos 1-based; short docs have
+    // no n-window and are passed through untouched
+    val grams = materialize(
+      docs.withColumn("__words", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN size(__words) < $n THEN array()
+             |ELSE transform(sequence(1, size(__words) - ${n - 1}),
+             |       i -> array_join(slice(__words, i, $n), ' '))
+             |END""".stripMargin)).as(Seq("pos0", "g")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g")))
+    val keeper = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("keep_doc"),
+        (min(col("doc_id")) =!= max(col("doc_id"))).as("shared"))
+    val covered = grams.join(keeper, Seq("g"))
+      .filter(col("shared") && col("doc_id") =!= col("keep_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+      .distinct()
+    val words = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos0", "w")))
+      .select(col("doc_id"), (col("wpos0") + 1).as("wpos"), col("w"))
+    val rebuilt = words.join(covered, Seq("doc_id", "wpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("wpos"), col("w")))).as("kept"))
+      .select(col("doc_id"),
+        expr("array_join(transform(kept, x -> x.w), ' ')").as("trimmed_text"),
+        size(col("kept")).as("n_kept"))
+    // LEFT from docs: a fully-covered doc has no surviving words and
+    // must surface as n_kept = 0, not silently vanish
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0))).as("n_removed"),
+        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+  }
+
+  /** Per-source corpus health dashboard: every quality signal the
+    * narrow operators compute, folded to source grain in ONE pass —
+    * the report a curation team watches per crawl/source. All
+    * surfaced numbers are integer counts/sums or single divisions of
+    * exact integer sums (no double accumulation, whose order-dependence
+    * would make the report engine- and partitioning-dependent).
+    *
+    * Shape: narrow per-doc metrics ride the corpus scan; ONE
+    * partial-aggregable groupBy(source) shuffles only (source, counts)
+    * rows. */
+  def sourceHealth(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val nw = size(words)
+    val stopHits = size(filter(words,
+      w => w.isin("the", "a", "of", "and", "to", "in", "is")))
+    val distinctRatioNum = size(array_distinct(words)) // distinct words
+    val perDoc = docs.select(
+      col("source"), col("n_chars"), nw.as("nw"),
+      (nw >= 20 && nw <= 200 && stopHits.cast("double") / nw < 0.5)
+        .as("passes_quality"),
+      (distinctRatioNum.cast("double") / nw < 0.3).as("high_repetition"),
+      (stopHits === 0).as("no_stopwords"))
+    perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nw")).as("total_words"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(when(col("passes_quality"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("high_repetition"), 1L).otherwise(0L)).as("n_repetitive"),
+      sum(when(col("no_stopwords"), 1L).otherwise(0L)).as("n_no_stopwords"))
+      .select(col("source"), col("n_docs"), col("total_words"),
+        col("total_chars"),
+        (col("n_quality").cast("double") / col("n_docs")).as("quality_rate"),
+        col("n_repetitive"), col("n_no_stopwords"),
+        (col("total_words").cast("double") / col("n_docs")).as("avg_words"))
+  }
+
   /** Word-rarity scoring: for each doc, the mean document frequency of
     * its distinct words, normalized by corpus size — a cheap fluency /
     * domain-shift signal (boilerplate and template text score common;

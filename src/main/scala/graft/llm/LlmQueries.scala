@@ -753,6 +753,65 @@ object LlmQueries {
       |  CAST(sum_df AS DOUBLE) / n_distinct_words / n_docs AS commonness
       |FROM agg CROSS JOIN nd ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Duplicate-span removal at word-8-gram granularity; one canonical
+    * copy of every cross-document span survives. */
+  def trimSharedSpans(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.trimSharedSpans(docs(s, dir), n = 8,
+        materialize = _.localCheckpoint())
+      .orderBy("doc_id")
+
+  val trimSharedSpansSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |        array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+      |      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      |      WHERE len(ws) >= 8),
+      |k AS (SELECT g, MIN(doc_id) AS keep_doc,
+      |        MIN(doc_id) <> MAX(doc_id) AS shared FROM g GROUP BY 1),
+      |cov AS (SELECT DISTINCT doc_id, pos + j AS wpos
+      |        FROM g JOIN k USING (g),
+      |             unnest(generate_series(0, 7)) AS t(j)
+      |        WHERE shared AND doc_id <> keep_doc),
+      |wp AS (SELECT doc_id, i AS wpos, ws[i] AS w
+      |       FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+      |kept AS (SELECT wp.doc_id, wp.wpos, wp.w FROM wp
+      |         LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.wpos = wp.wpos
+      |         WHERE cov.doc_id IS NULL),
+      |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY wpos) AS trimmed_text,
+      |          COUNT(*) AS n_kept FROM kept GROUP BY 1)
+      |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_words,
+      |  CAST(COALESCE(n_kept, 0) AS INTEGER) AS n_kept,
+      |  CAST(len(string_split(d.text, ' ')) - COALESCE(n_kept, 0) AS INTEGER)
+      |    AS n_removed,
+      |  COALESCE(trimmed_text, '') AS trimmed_text
+      |FROM documents d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  def sourceHealth(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.sourceHealth(docs(s, dir)).orderBy("source")
+
+  val sourceHealthSql: String =
+    """WITH m AS (SELECT source, n_chars,
+      |    len(string_split(text, ' ')) AS nw,
+      |    len(list_filter(string_split(text, ' '), w -> list_contains(
+      |      ['the','a','of','and','to','in','is'], w))) AS stop_hits,
+      |    len(list_distinct(string_split(text, ' '))) AS dw
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(nw) AS BIGINT) AS total_words,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(CAST(SUM(CASE WHEN nw >= 20 AND nw <= 200
+      |        AND CAST(stop_hits AS DOUBLE) / nw < 0.5 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS DOUBLE) / COUNT(*) AS quality_rate,
+      |  CAST(SUM(CASE WHEN CAST(dw AS DOUBLE) / nw < 0.3 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_repetitive,
+      |  CAST(SUM(CASE WHEN stop_hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_no_stopwords,
+      |  CAST(CAST(SUM(nw) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_words
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -789,6 +848,8 @@ object LlmQueries {
     "q70_snapshot_delta" -> (snapshotDelta _),
     "q71_minhash_jaccard_est" -> (minhashJaccardEst _),
     "q72_word_rarity" -> (wordRarity _),
+    "q77_trim_shared_spans" -> (trimSharedSpans _),
+    "q78_source_health" -> (sourceHealth _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -825,5 +886,7 @@ object LlmQueries {
     "q70_snapshot_delta" -> snapshotDeltaSql,
     "q71_minhash_jaccard_est" -> minhashJaccardEstSql,
     "q72_word_rarity" -> wordRaritySql,
+    "q77_trim_shared_spans" -> trimSharedSpansSql,
+    "q78_source_health" -> sourceHealthSql,
   )
 }

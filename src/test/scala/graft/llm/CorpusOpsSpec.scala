@@ -231,6 +231,55 @@ class CorpusOpsSpec extends AnyFunSuite {
       11L -> ((false, "in_snapshot"))))
   }
 
+  test("trim shared spans: keeper keeps text, copier loses the span, full dup empties") {
+    val a = (1 to 12).map(i => s"a$i").mkString(" ") // doc 1: keeper
+    val b = "x1 x2 " + (1 to 8).map(i => s"a$i").mkString(" ") + " y1"
+    val docs = Seq(
+      (1L, a, "en", "s"),
+      (2L, b, "en", "s"),                  // contains a1..a8 = doc 1's first gram
+      (3L, "totally unrelated words here live happily and freely", "en", "s"),
+      (4L, a, "en", "s"))                  // exact dup of 1 → fully covered
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.trimSharedSpans(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))).toMap
+    assert(got(1L) === ((12, 12, 0, a)))   // keeper: untouched
+    assert(got(2L) === ((11, 3, 8, "x1 x2 y1")))
+    assert(got(3L)._3 === 0)               // unrelated: nothing removed
+    assert(got(4L) === ((12, 0, 12, "")))  // full dup: vanishes
+  }
+
+  test("trim shared spans: docs shorter than the gram width pass through") {
+    val docs = Seq((1L, "tiny doc", "en", "s"), (2L, "tiny doc", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.trimSharedSpans(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got === Map(1L -> "tiny doc", 2L -> "tiny doc"))
+  }
+
+  test("source health: hand-computed per-source counts and rates") {
+    val good = (1 to 20).map(i => s"w$i").mkString(" ") + " the end" // 22 words, 1 stopword
+    val repetitive = Seq.fill(30)("loop").mkString(" ")              // distinct ratio 1/30
+    val docs = Seq(
+      (1L, good, "en", "sA"),
+      (2L, repetitive, "en", "sA"),
+      (3L, "short one", "en", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = CorpusOps.sourceHealth(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sA = got("sA")
+    assert(sA.getAs[Long]("n_docs") === 2L)
+    assert(sA.getAs[Long]("total_words") === 52L)
+    // both pass the quality gate (word count in range, stopword ratio < 0.5)
+    assert(sA.getAs[Double]("quality_rate") === 1.0)
+    assert(sA.getAs[Long]("n_repetitive") === 1L)
+    assert(sA.getAs[Long]("n_no_stopwords") === 1L)
+    assert(sA.getAs[Double]("avg_words") === 26.0)
+    val sB = got("sB")
+    assert(sB.getAs[Double]("quality_rate") === 0.0) // 2 words < 20
+  }
+
   test("word rarity: hand-computed df ratios on a 3-doc corpus") {
     val docs = Seq(
       (1L, "common words here", "en", "s"),   // common df=3, words df=2, here df=1
