@@ -133,7 +133,90 @@ object EventsQueries {
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Ordered funnel conversion (view → click → purchase): each stage's
+    * timestamp is the user's first qualifying event STRICTLY AFTER the
+    * previous stage — the standard product-analytics funnel, which a
+    * naive per-type min() gets wrong (a click before the first view
+    * must not count).
+    *
+    * Shape: ONE shuffle — three window passes over the same
+    * (user_id) partitioning (Catalyst plans one exchange, three
+    * in-partition WindowExecs), then a user-grain distinct and a
+    * global count roll-up. Surfaced rates are single divisions of
+    * exact counts. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = Tables.events(s, dir)
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3")).distinct()
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t1")).as("n_viewed"),
+      count(col("t2")).as("n_clicked"),
+      count(col("t3")).as("n_purchased"))
+      .select(col("n_users"), col("n_viewed"), col("n_clicked"),
+        col("n_purchased"),
+        (col("n_clicked").cast("double") / col("n_viewed")).as("view_to_click"),
+        (col("n_purchased").cast("double") / col("n_clicked")).as("click_to_purchase"))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |             date_trunc('second', ts) AS ts FROM events),
+      |staged AS (SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1, ts, event_type
+      |  FROM ev),
+      |s2 AS (SELECT user_id, t1,
+      |    MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t2, ts, event_type
+      |  FROM staged),
+      |s3 AS (SELECT DISTINCT user_id, t1, t2,
+      |    MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t3
+      |  FROM s2),
+      |agg AS (SELECT COUNT(*) AS n_users, COUNT(t1) AS n_viewed,
+      |          COUNT(t2) AS n_clicked, COUNT(t3) AS n_purchased FROM s3)
+      |SELECT n_users, n_viewed, n_clicked, n_purchased,
+      |  CAST(n_clicked AS DOUBLE) / n_viewed AS view_to_click,
+      |  CAST(n_purchased AS DOUBLE) / n_clicked AS click_to_purchase
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** Cohort retention: users grouped by first-activity day, counted
+    * on each later active day as (cohort, day offset) — the classic
+    * retention triangle. All counts exact; one user-grain aggregate +
+    * one (user, day) distinct + one roll-up. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohorts = userDays.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_date"))
+    userDays.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, MIN(d) AS cohort_date FROM ud GROUP BY 1)
+      |SELECT cohort_date, date_diff('day', cohort_date, d) AS day_offset,
+      |  COUNT(DISTINCT user_id) AS n_active
+      |FROM ud JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_funnel" -> (funnel _),
+    "q80_cohort_retention" -> (cohortRetention _),
     "q20_hourly_event_stats" -> (hourlyEventStats _),
     "q21_event_json_stats" -> (eventJsonStats _),
     "q22_user_sessions" -> (userSessions _),
@@ -141,6 +224,8 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q79_funnel" -> funnelSql,
+    "q80_cohort_retention" -> cohortRetentionSql,
     "q20_hourly_event_stats" -> hourlyEventStatsSql,
     "q21_event_json_stats" -> eventJsonStatsSql,
     "q22_user_sessions" -> userSessionsSql,
