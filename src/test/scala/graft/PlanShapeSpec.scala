@@ -212,6 +212,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
   }
 
+  test("q74 broadcasts the brand part list (never shuffles lineitem against it)") {
+    val plan = planText(graft.analytics.Analytics.smallQuantityRevenue(spark, sf))
+    assert(plan.contains("broadcasthashjoin"), s"plan:\n$plan")
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+  }
+
+  test("q79 funnel: all three stage windows share ONE user_id exchange") {
+    // the final 4-count rollup's singlepartition exchange is bounded
+    // (one row after partial agg) — only the corpus-scale window
+    // partitioning is under test
+    val plan = planText(graft.analytics.EventsQueries.funnel(spark, sf))
+    val userExchanges =
+      "exchange hashpartitioning\\(user_id#\\d+l?, \\d+\\)".r
+        .findAllIn(plan).size
+    assert(userExchanges <= 1,
+      s"stage windows must reuse one (user_id) partitioning:\n$plan")
+  }
+
   test("q67/q71/q72 join-back statistics stay equi-join (never cartesian)") {
     Seq(
       "q67" -> graft.llm.LlmQueries.dupNgrams(spark, sf),
