@@ -212,11 +212,61 @@ object EventsQueries {
       |FROM ud JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Hourly volume anomalies per event type: hours whose event count
+    * sits more than 2 sample standard deviations from the type's mean
+    * — the monitoring screen over the warehouse's event firehose.
+    *
+    * Deterministic numerics: mean and variance come from INTEGER sums
+    * (count, sum, sum-of-squares), combined with one fixed expression
+    * order, and sqrt is IEEE-exactly-rounded — so the flag is
+    * bit-identical across engines without any float accumulation.
+    * Shape: the corpus-scale hourly aggregate is one partial-aggregable
+    * shuffle; the per-type moment table is ~|types| rows and
+    * broadcasts back. */
+  def hourlyAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .select(col("h").cast("timestamp_ntz").as("hour"), col("event_type"),
+        col("n_events"),
+        (col("s1").cast("double") / col("n_hours")).as("mean_events"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n_hours"))
+          / (col("n_hours") - 1)).as("sd_events"))
+      .withColumn("is_anomaly",
+        abs(col("n_events") - col("mean_events")) > lit(2.0) * col("sd_events"))
+      .orderBy("hour", "event_type")
+  }
+
+  val hourlyAnomaliesSql: String =
+    """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, event_type,
+      |    COUNT(*) AS n_events FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, COUNT(*) AS n_hours,
+      |    CAST(SUM(n_events) AS BIGINT) AS s1,
+      |    CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+      |  FROM hourly GROUP BY 1)
+      |SELECT h AS hour, event_type, n_events,
+      |  CAST(s1 AS DOUBLE) / n_hours AS mean_events,
+      |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |    / n_hours) / (n_hours - 1)) AS sd_events,
+      |  abs(n_events - CAST(s1 AS DOUBLE) / n_hours) >
+      |    2.0 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / n_hours) / (n_hours - 1)) AS is_anomaly
+      |FROM hourly JOIN st USING (event_type)
+      |ORDER BY hour, event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_funnel" -> (funnel _),
     "q80_cohort_retention" -> (cohortRetention _),
+    "q81_hourly_anomalies" -> (hourlyAnomalies _),
     "q20_hourly_event_stats" -> (hourlyEventStats _),
     "q21_event_json_stats" -> (eventJsonStats _),
     "q22_user_sessions" -> (userSessions _),
@@ -226,6 +276,7 @@ object EventsQueries {
   val oracles: Map[String, String] = Map(
     "q79_funnel" -> funnelSql,
     "q80_cohort_retention" -> cohortRetentionSql,
+    "q81_hourly_anomalies" -> hourlyAnomaliesSql,
     "q20_hourly_event_stats" -> hourlyEventStatsSql,
     "q21_event_json_stats" -> eventJsonStatsSql,
     "q22_user_sessions" -> userSessionsSql,
