@@ -330,11 +330,23 @@ object Dedup {
     * (hamming-comparable, engine-portable). */
   def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
     require(bits <= 48, "votes are drawn from a 48-bit word hash")
-    // ONE fold over the word array carrying a bits-wide vote vector
-    // (transform's (elem, idx) lambda indexes the bit) — NOT one
-    // aggregate expression per bit: `bits` separate aggregates re-walk
-    // the array per bit and blow the codegen method limit (measured
-    // 5.9s vs 0.6s for 48 bits at sf0.1)
+    // native codegen'd expression (graft.functions.SimHashFingerprint):
+    // the HOF fold below ([[simhashHof]], the parity witness) rebuilds
+    // a bits-wide boxed vote array per word under CodegenFallback —
+    // the dominant cost of q44/q55 before the native path
+    docs.select(col("doc_id"),
+      call_function("simhash_fingerprint", col("text"), lit(bits)).as("simhash"))
+  }
+
+  /** Reference higher-order-function formulation of [[simhash]] — the
+    * cross-engine-portable SQL shape (mirrors the DuckDB oracle text).
+    * Retained as the bit-parity witness for the native expression.
+    * ONE fold carrying a bits-wide vote vector, NOT one aggregate per
+    * bit: `bits` separate aggregates re-walk the array per bit and
+    * blow the codegen method limit (measured 5.9s vs 0.6s, 48 bits,
+    * sf0.1). */
+  private[graft] def simhashHof(docs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits <= 48, "votes are drawn from a 48-bit word hash")
     docs
       .withColumn("w", array_distinct(split(col("text"), " ")))
       .withColumn("xs",

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CoerceNumeric, PyToJson, WinnowFingerprints}
+import graft.functions.{CoerceNumeric, PyToJson, SimHashFingerprint, WinnowFingerprints}
 
 /** Engine extensions, installed via `spark.sql.extensions` (set by
   * [[graft.core.GraftSession]]): registers the native expressions so
@@ -25,5 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       (children: Seq[Expression]) => WinnowFingerprints(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_fingerprint"),
+      new ExpressionInfo(classOf[SimHashFingerprint].getName, "simhash_fingerprint"),
+      (children: Seq[Expression]) =>
+        SimHashFingerprint(children.head, children(1))))
   }
 }
