@@ -58,7 +58,25 @@ object Dedup {
     * hashing per (i, shingle). One narrow map, no shuffle; every
     * operation (md5, hex fold, affine mod) is expressible identically
     * in other engines, keeping the operator oracle-checkable. */
-  def minhashSignatures(docs: DataFrame, k: Int = 8, shingle: Int = 3): DataFrame =
+  def minhashSignatures(docs: DataFrame, k: Int = 8, shingle: Int = 3): DataFrame = {
+    // native codegen'd expression (graft.functions.MinHashSignatures):
+    // the HOF chain below ([[minhashSignaturesHof]], the parity
+    // witness) runs one interpreted lambda per shingle per hash under
+    // CodegenFallback — the dominant cost of every minhash consumer
+    // (q42/q54/q67/q71) before the native path. Codegen CSE evaluates
+    // the array expression once across the k projections.
+    val arr = call_function("minhash_signatures",
+      col("text"), lit(shingle), lit(k))
+    docs.select(col("doc_id") +:
+      (0 until k).map(i => element_at(arr, i + 1).as(s"mh$i")): _*)
+  }
+
+  /** Reference higher-order-function formulation of
+    * [[minhashSignatures]] — the cross-engine-portable SQL shape
+    * (mirrors the DuckDB oracle text). Retained as the bit-parity
+    * witness for the native expression. */
+  private[graft] def minhashSignaturesHof(docs: DataFrame, k: Int = 8,
+                                          shingle: Int = 3): DataFrame =
     docs
       .withColumn("__words", split(col("text"), " "))
       .withColumn("shingles", array_distinct(expr(shingleExpr(shingle))))
@@ -78,8 +96,10 @@ object Dedup {
     * min-shingle and the signatures would collapse); 2^31 - 1 wraps
     * ~2^17 times per multiplier. a_i * x tops out near 2^62: inside
     * int64 for engines that check overflow. */
-  private[llm] def affine(i: Int): (Int, Int) = (12289 + 2 * i, 1000003 * (i + 1))
-  private[llm] val MersennePrime = "2147483647" // 2^31 - 1
+  private[llm] def affine(i: Int): (Int, Int) =
+    graft.functions.MinHashSignatures.affine(i)
+  private[llm] val MersennePrime: String =
+    graft.functions.MinHashSignatures.MersennePrime.toString // 2^31 - 1
 
   /** Shared tier-3b bucket aggregation: one scan of `docs`, one
     * `posexplode` emitting the `bands` bucket keys per doc, one shuffle

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CoerceNumeric, PyToJson, SimHashFingerprint, WinnowFingerprints}
+import graft.functions.{CoerceNumeric, MinHashSignatures, PyToJson, SimHashFingerprint, WinnowFingerprints}
 
 /** Engine extensions, installed via `spark.sql.extensions` (set by
   * [[graft.core.GraftSession]]): registers the native expressions so
@@ -30,5 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashFingerprint].getName, "simhash_fingerprint"),
       (children: Seq[Expression]) =>
         SimHashFingerprint(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signatures"),
+      new ExpressionInfo(classOf[MinHashSignatures].getName, "minhash_signatures"),
+      (children: Seq[Expression]) =>
+        MinHashSignatures(children.head, children(1), children(2))))
   }
 }
