@@ -15,14 +15,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object CorpusOps {
 
-  /** Distinct word n-grams per doc — [[Dedup.shingleExpr]] IS the gram
-    * rule (one shared fragment, so the degenerate-short-doc handling
-    * and tokenization can never drift between decontamination /
-    * dup-ngram stats and the dedup ladder). */
+  /** Distinct word n-grams per doc. The windows come from the native
+    * codegen'd `word_ngrams` expression
+    * ([[graft.functions.WordNgrams]], bit-parity with the HOF SQL
+    * shape pinned by its spec); the degenerate-short-doc rule (whole
+    * text as one gram — same rule as [[Dedup]]'s shingles) rides the
+    * codegen'd CASE around it. */
   private def docGrams(docs: DataFrame, n: Int): DataFrame =
-    docs.withColumn("__words", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(array_distinct(expr(Dedup.shingleExpr(n)))).as("g"))
+    docs.select(col("doc_id"), explode(array_distinct(
+      when(size(split(col("text"), " ")) < n, array(col("text")))
+        .otherwise(call_function("word_ngrams", col("text"), lit(n)))))
+      .as("g"))
 
   /** Test-set decontamination (the GPT-3/PaLM n-gram overlap rule):
     * for every training doc, count its distinct word `n`-grams that
@@ -274,15 +277,13 @@ object CorpusOps {
     * gram explode once across its three consumers. */
   def trimSharedSpans(docs: DataFrame, n: Int = 8,
                       materialize: DataFrame => DataFrame = identity): DataFrame = {
-    // positioned grams: (doc_id, pos, g), pos 1-based; short docs have
-    // no n-window and are passed through untouched
+    // positioned grams: (doc_id, pos, g), pos 1-based, via the native
+    // codegen'd word_ngrams expression; short docs have no n-window
+    // and are passed through untouched
     val grams = materialize(
-      docs.withColumn("__words", split(col("text"), " "))
-        .select(col("doc_id"), posexplode(expr(
-          s"""CASE WHEN size(__words) < $n THEN array()
-             |ELSE transform(sequence(1, size(__words) - ${n - 1}),
-             |       i -> array_join(slice(__words, i, $n), ' '))
-             |END""".stripMargin)).as(Seq("pos0", "g")))
+      docs.select(col("doc_id"),
+        posexplode(call_function("word_ngrams", col("text"), lit(n)))
+          .as(Seq("pos0", "g")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g")))
     val keeper = grams.groupBy(col("g"))
       .agg(min(col("doc_id")).as("keep_doc"),
