@@ -217,28 +217,34 @@ object EventsQueries {
     * sits more than 2 sample standard deviations from the type's mean
     * — the monitoring screen over the warehouse's event firehose.
     *
-    * Deterministic numerics: mean and variance come from INTEGER sums
-    * (count, sum, sum-of-squares), combined with one fixed expression
-    * order, and sqrt is IEEE-exactly-rounded — so the flag is
-    * bit-identical across engines without any float accumulation.
-    * Shape: the corpus-scale hourly aggregate is one partial-aggregable
-    * shuffle; the per-type moment table is ~|types| rows and
-    * broadcasts back. */
+    * Deterministic numerics: mean and variance come from EXACT sums
+    * (count, bigint sum, DECIMAL sum-of-squares — a bigint
+    * sum-of-squares would silently wrap under Spark's non-ANSI
+    * arithmetic where DuckDB errors), combined with one fixed
+    * expression order, and sqrt is IEEE-exactly-rounded — so the flag
+    * is bit-identical across engines without any float accumulation.
+    * A type with a single active hour has no sample variance: sd is
+    * explicitly NULL there (not Spark-NULL-vs-DuckDB-Inf from a 0
+    * divisor). Shape: the corpus-scale hourly aggregate is one
+    * partial-aggregable shuffle; the per-type moment table is ~|types|
+    * rows and broadcasts back. */
   def hourlyAnomalies(s: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+    val nDec = col("n_events").cast("decimal(19,0)")
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
         sum(col("n_events")).as("s1"),
-        sum(col("n_events") * col("n_events")).as("s2"))
+        sum(nDec * nDec).as("s2"))
     hourly.join(broadcast(stats), Seq("event_type"))
       .select(col("h").cast("timestamp_ntz").as("hour"), col("event_type"),
         col("n_events"),
         (col("s1").cast("double") / col("n_hours")).as("mean_events"),
-        sqrt((col("s2").cast("double") -
-          col("s1").cast("double") * col("s1").cast("double") / col("n_hours"))
-          / (col("n_hours") - 1)).as("sd_events"))
+        when(col("n_hours") > 1,
+          sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n_hours"))
+            / (col("n_hours") - 1))).as("sd_events"))
       .withColumn("is_anomaly",
         abs(col("n_events") - col("mean_events")) > lit(2.0) * col("sd_events"))
       .orderBy("hour", "event_type")
@@ -249,15 +255,17 @@ object EventsQueries {
       |    COUNT(*) AS n_events FROM events GROUP BY 1, 2),
       |st AS (SELECT event_type, COUNT(*) AS n_hours,
       |    CAST(SUM(n_events) AS BIGINT) AS s1,
-      |    CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+      |    SUM(CAST(n_events AS DECIMAL(19,0)) * CAST(n_events AS DECIMAL(19,0))) AS s2
       |  FROM hourly GROUP BY 1)
       |SELECT h AS hour, event_type, n_events,
       |  CAST(s1 AS DOUBLE) / n_hours AS mean_events,
-      |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-      |    / n_hours) / (n_hours - 1)) AS sd_events,
+      |  CASE WHEN n_hours > 1 THEN
+      |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / n_hours) / (n_hours - 1)) END AS sd_events,
       |  abs(n_events - CAST(s1 AS DOUBLE) / n_hours) >
-      |    2.0 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-      |      / n_hours) / (n_hours - 1)) AS is_anomaly
+      |    2.0 * CASE WHEN n_hours > 1 THEN
+      |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |        / n_hours) / (n_hours - 1)) END AS is_anomaly
       |FROM hourly JOIN st USING (event_type)
       |ORDER BY hour, event_type""".stripMargin
 

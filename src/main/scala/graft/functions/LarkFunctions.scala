@@ -14,9 +14,10 @@ object LarkFunctions {
 
   /** F2: Python-repr literal -> JSON text (null on parse failure) —
     * the native [[PyToJson]] expression (whole-stage-codegen'd, no UDF
-    * serialization hop), resolved through the session's registered
-    * function (see [[graft.sql.GraftExtensions]]). */
-  def pyToJson(c: Column): Column = call_function("py_to_json", c)
+    * serialization hop), constructed directly so it works on a vanilla
+    * session ([[graft.sql.GraftExtensions]] registers the same
+    * expression by name for SQL text). */
+  def pyToJson(c: Column): Column = Native.pyToJson(c)
 
   /** UDF form of the same parse, for sessions without the graft
     * extensions installed. */
@@ -84,9 +85,9 @@ object LarkFunctions {
     * a numeric cell may arrive as a number, a numeric string, a Python
     * list (take first element), or a dict (take 'text', default 0);
     * anything else -> 0. Null passes through (the bronze fill handles
-    * it). Native [[CoerceNumeric]] expression — see
-    * [[graft.sql.GraftExtensions]]. */
-  def coerceNumeric(c: Column): Column = call_function("coerce_numeric", c)
+    * it). Native [[CoerceNumeric]] expression, constructed directly
+    * (no session-extension requirement; see [[Native]]). */
+  def coerceNumeric(c: Column): Column = Native.coerceNumeric(c)
 
   /** UDF form for sessions without the graft extensions installed. */
   val coerceNumericUdf = udf((raw: String) =>

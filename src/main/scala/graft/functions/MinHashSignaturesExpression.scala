@@ -32,13 +32,23 @@ case class MinHashSignatures(first: Expression, second: Expression,
   override def nullable: Boolean = first.nullable
   override def prettyName: String = "minhash_signatures"
 
-  private def literalInt(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, IntegerType) if v > 0 => v
-    case other => throw new IllegalArgumentException(
-      s"minhash_signatures $what must be a positive literal INT, got $other")
+  /** Bad arguments fail as a clean ANALYSIS error (same contract as
+    * [[SimHashFingerprint]]), never an executor-side throw at
+    * codegen/eval time. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure("shingle and k must be literals")
+    else if (Seq(second, third).exists(e =>
+        Option(e.eval(null)).forall(_.asInstanceOf[Int] <= 0)))
+      TypeCheckResult.TypeCheckFailure("shingle and k must be positive INTs")
+    else TypeCheckResult.TypeCheckSuccess
   }
-  private lazy val shingle: Int = literalInt(second, "shingle")
-  private lazy val k: Int = literalInt(third, "k")
+  private lazy val shingle: Int = second.eval(null).asInstanceOf[Int]
+  private lazy val k: Int = third.eval(null).asInstanceOf[Int]
 
   override protected def nullSafeEval(text: Any, s: Any, kk: Any): Any =
     MinHashSignatures.compute(text.asInstanceOf[UTF8String], shingle, k)

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Direct `Column` constructors for the native graft expressions.
+  *
+  * The `graft.llm` / `graft.functions` operators build their columns
+  * HERE — a plain expression wrap that works on any SparkSession —
+  * rather than through `call_function("...")`, which resolves by name
+  * and therefore requires [[graft.sql.GraftExtensions]] to be
+  * installed (a vanilla session would throw UNRESOLVED_ROUTINE).
+  * [[graft.sql.GraftExtensions]] still registers the same expressions
+  * by name for the `spark.sql(...)` text surface.
+  */
+object Native {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def e(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(col)
+
+  def minhashSignatures(text: Column, shingle: Int, k: Int): Column =
+    c(MinHashSignatures(e(text), Literal(shingle), Literal(k)))
+
+  def simhashFingerprint(text: Column, bits: Int): Column =
+    c(SimHashFingerprint(e(text), Literal(bits)))
+
+  def wordNgrams(text: Column, n: Int): Column =
+    c(WordNgrams(e(text), Literal(n)))
+
+  def winnowFingerprints(text: Column): Column =
+    c(WinnowFingerprints(e(text)))
+
+  def pyToJson(col: Column): Column = c(PyToJson(e(col)))
+
+  def coerceNumeric(col: Column): Column = c(CoerceNumeric(e(col)))
+}

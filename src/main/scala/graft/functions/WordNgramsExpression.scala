@@ -28,11 +28,21 @@ case class WordNgrams(left: Expression, right: Expression)
   override def nullable: Boolean = left.nullable
   override def prettyName: String = "word_ngrams"
 
-  private lazy val n: Int = right match {
-    case Literal(v: Int, IntegerType) if v > 0 => v
-    case other => throw new IllegalArgumentException(
-      s"word_ngrams n must be a positive literal INT, got $other")
+  /** Bad arguments fail as a clean ANALYSIS error (same contract as
+    * [[SimHashFingerprint]]), never an executor-side throw at
+    * codegen/eval time. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure("n must be a literal")
+    else if (Option(right.eval(null)).forall(_.asInstanceOf[Int] <= 0))
+      TypeCheckResult.TypeCheckFailure("n must be a positive INT")
+    else TypeCheckResult.TypeCheckSuccess
   }
+  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
 
   override protected def nullSafeEval(text: Any, nn: Any): Any =
     WordNgrams.compute(text.asInstanceOf[UTF8String], n)

@@ -24,7 +24,7 @@ object CorpusOps {
   private def docGrams(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(array_distinct(
       when(size(split(col("text"), " ")) < n, array(col("text")))
-        .otherwise(call_function("word_ngrams", col("text"), lit(n)))))
+        .otherwise(graft.functions.Native.wordNgrams(col("text"), n))))
       .as("g"))
 
   /** Test-set decontamination (the GPT-3/PaLM n-gram overlap rule):
@@ -282,7 +282,7 @@ object CorpusOps {
     // and are passed through untouched
     val grams = materialize(
       docs.select(col("doc_id"),
-        posexplode(call_function("word_ngrams", col("text"), lit(n)))
+        posexplode(graft.functions.Native.wordNgrams(col("text"), n))
           .as(Seq("pos0", "g")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g")))
     val keeper = grams.groupBy(col("g"))

@@ -65,8 +65,7 @@ object Dedup {
     // CodegenFallback — the dominant cost of every minhash consumer
     // (q42/q54/q67/q71) before the native path. Codegen CSE evaluates
     // the array expression once across the k projections.
-    val arr = call_function("minhash_signatures",
-      col("text"), lit(shingle), lit(k))
+    val arr = graft.functions.Native.minhashSignatures(col("text"), shingle, k)
     docs.select(col("doc_id") +:
       (0 until k).map(i => element_at(arr, i + 1).as(s"mh$i")): _*)
   }
@@ -207,13 +206,14 @@ object Dedup {
     * both pair-side probes): `materialize` (e.g. `_.localCheckpoint()`)
     * runs the dominant shingle+digest scan ONCE at scale — the same
     * hook contract as [[lshCandidates]] and [[dedupCorpus]]. */
-  def estimatedJaccardPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
-                            shingle: Int = 3, maxBucket: Int = 1000,
-                            materialize: DataFrame => DataFrame = identity): DataFrame = {
+  def estimatedJaccard(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                       shingle: Int = 3, maxBucket: Int = 1000,
+                       materialize: DataFrame => DataFrame = identity): LshCandidates = {
     val sigs = materialize(minhashSignatures(docs, k, shingle))
     val sigCols = (0 until k).map(i => col(s"mh$i"))
     val sigArr = sigs.select(col("doc_id"), array(sigCols: _*).as("sig"))
-    pairsFromBuckets(bucketsFromSigs(sigs, k, bands), maxBucket)
+    val buckets = bucketsFromSigs(sigs, k, bands)
+    val pairs = pairsFromBuckets(buckets, maxBucket)
       .join(sigArr.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
       .join(sigArr.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
       .select(col("a"), col("b"),
@@ -221,7 +221,20 @@ object Dedup {
           .as("k_agree"))
       .select(col("a"), col("b"), col("k_agree"),
         (col("k_agree").cast("double") / k).as("est_jaccard"))
+    LshCandidates(pairs = pairs,
+      skippedBuckets = buckets.filter(size(col("ids")) > maxBucket)
+        .select(col("band"), col("bucket"), size(col("ids")).as("n_ids")))
   }
+
+  /** Pairs-only view of [[estimatedJaccard]] — prefer the full result:
+    * under a finite `maxBucket`, over-wide buckets are dropped and a
+    * caller consuming only this frame cannot tell whether recall was
+    * reduced (same contract as [[lshCandidatePairs]]). Kept as the
+    * oracle-gate entry. */
+  def estimatedJaccardPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                            shingle: Int = 3, maxBucket: Int = 1000,
+                            materialize: DataFrame => DataFrame = identity): DataFrame =
+    estimatedJaccard(docs, k, bands, shingle, maxBucket, materialize).pairs
 
   /** Overflow-only view of [[lshCandidates]] — prefer the full result
     * (one shared bucket plan; consuming the two views from separate
@@ -355,7 +368,7 @@ object Dedup {
     // a bits-wide boxed vote array per word under CodegenFallback —
     // the dominant cost of q44/q55 before the native path
     docs.select(col("doc_id"),
-      call_function("simhash_fingerprint", col("text"), lit(bits)).as("simhash"))
+      graft.functions.Native.simhashFingerprint(col("text"), bits).as("simhash"))
   }
 
   /** Reference higher-order-function formulation of [[simhash]] — the

@@ -180,7 +180,7 @@ object TextStats {
     * cost of this operator at any scale. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs
-      .withColumn("fps", call_function("winnow_fingerprints", col("text")))
+      .withColumn("fps", graft.functions.Native.winnowFingerprints(col("text")))
       .select(
         col("doc_id"),
         size(col("fps")).as("n_fingerprints"),

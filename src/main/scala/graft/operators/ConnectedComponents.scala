@@ -60,11 +60,13 @@ object ConnectedComponents {
     * under it, the run finishes with a driver-side union-find (one
     * collect — the same volume a single broadcast ships — instead of
     * more rounds of job latency); 0 forces the fully distributed path
-    * (the specs use it to exercise the loop). */
+    * (the specs use it to exercise the loop). The default (1M edges)
+    * collects ~1M Rows plus an endpoint map on the driver — order
+    * 100 MB; raise it only with driver memory to match. */
   def apply(edges: DataFrame, maxIter: Int = 50,
             numPartitions: Int = 0,
             broadcastNodeLimit: Long = 4L << 20,
-            localSolveEdgeLimit: Long = 4L << 20): DataFrame = {
+            localSolveEdgeLimit: Long = 1L << 20): DataFrame = {
     val part: DataFrame => DataFrame =
       if (numPartitions > 0) _.repartition(numPartitions) else identity
     // tuned child session for the loop body (see scaladoc)
