@@ -269,12 +269,107 @@ object EventsQueries {
       |FROM hourly JOIN st USING (event_type)
       |ORDER BY hour, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Distinct users per event type, twice: the exact count (state ∝
+    * cardinality — the thing that stops scaling) next to the KMV
+    * sketch estimate ([[graft.functions.KmvSketch]], fixed k-longs
+    * state per group, map-side combinable — the 100 TB path). The
+    * estimator `(k-1)·H/h_k` is a pure function of the input set over
+    * a 48-bit md5-prefix hash, so DuckDB reproduces it bit-for-bit
+    * from a sort — which makes an APPROXIMATE operator
+    * oracle-checkable (HLL-based approx_count_distinct is not).
+    * One shuffle on event_type; both aggregates share it. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.Native.kmvSketch(h, k).as("kmv"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      .select(col("event_type"),
+        size(col("kmv")).cast("bigint").as("n_hashes"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(graft.llm.CorpusOps.HashSpace) /
+            element_at(col("kmv"), k).cast("double")).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  val kmvDistinctSql: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |      AS hv
+      |  FROM events),
+      |r AS (SELECT event_type, hv,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM h)
+      |SELECT event_type, CAST(LEAST(nd, 32) AS BIGINT) AS n_hashes,
+      |  CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+      |       ELSE 31.0 * 281474976710656 / CAST(hv AS DOUBLE) END
+      |    AS est_distinct,
+      |  CAST(nd AS BIGINT) AS exact_distinct
+      |FROM r WHERE rn = LEAST(nd, 32)
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Click->purchase attribution (batch twin of the streaming
+    * interval join [[graft.streaming.EventPipelines.purchaseAttribution]]):
+    * every purchase with the count and latest timestamp of same-user
+    * clicks in the preceding 30 minutes. Left join — unattributed
+    * purchases surface with n_clicks = 0, not silently vanish.
+    *
+    * Shape at 100 TB: both sides prune to one event_type at the scan
+    * (pushed filters), then ONE equi-shuffle on user_id with the
+    * interval predicate evaluated inside the join — never a cartesian.
+    * A bot-grade hot user key is the skew risk; route through
+    * [[graft.operators.SkewJoin]] salting when a key exceeds the AQE
+    * skew threshold. */
+  def clickAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+        col("c_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") > col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+        "left")
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"))
+      .agg(count(col("click_ts")).as("n_clicks"),
+        max(col("click_ts")).as("last_click_ts"))
+      .select(col("purchase_id"), col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("n_clicks"),
+        col("last_click_ts").cast("timestamp_ntz").as("last_click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  val clickAttributionSql: String =
+    """WITH c AS (SELECT user_id, date_trunc('second', ts) AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id,
+      |        date_trunc('second', ts) AS purchase_ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+      |  CAST(COUNT(c.click_ts) AS BIGINT) AS n_clicks,
+      |  MAX(c.click_ts) AS last_click_ts
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |  AND c.click_ts <= p.purchase_ts
+      |  AND c.click_ts > p.purchase_ts - INTERVAL 30 MINUTE
+      |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_funnel" -> (funnel _),
     "q80_cohort_retention" -> (cohortRetention _),
     "q81_hourly_anomalies" -> (hourlyAnomalies _),
+    "q83_kmv_distinct" -> (kmvDistinct _),
+    "q84_click_attribution" -> (clickAttribution _),
     "q20_hourly_event_stats" -> (hourlyEventStats _),
     "q21_event_json_stats" -> (eventJsonStats _),
     "q22_user_sessions" -> (userSessions _),
@@ -285,6 +380,8 @@ object EventsQueries {
     "q79_funnel" -> funnelSql,
     "q80_cohort_retention" -> cohortRetentionSql,
     "q81_hourly_anomalies" -> hourlyAnomaliesSql,
+    "q83_kmv_distinct" -> kmvDistinctSql,
+    "q84_click_attribution" -> clickAttributionSql,
     "q20_hourly_event_stats" -> hourlyEventStatsSql,
     "q21_event_json_stats" -> eventJsonStatsSql,
     "q22_user_sessions" -> userSessionsSql,

@@ -33,6 +33,10 @@ object Native {
   def winnowFingerprints(text: Column): Column =
     c(WinnowFingerprints(e(text)))
 
+  /** KMV distinct sketch as an aggregate column (see [[KmvSketch]]). */
+  def kmvSketch(hash: Column, k: Int): Column =
+    c(KmvSketch(e(hash), k).toAggregateExpression())
+
   def pyToJson(col: Column): Column = c(PyToJson(e(col)))
 
   def coerceNumeric(col: Column): Column = c(CoerceNumeric(e(col)))

@@ -66,6 +66,50 @@ object CorpusOps {
         .otherwise(lit("test")).as("split"))
   }
 
+  /** 48-bit hash space of [[hexThreshold]] / [[stratifiedSample]]:
+    * 16^12, the largest md5-prefix width whose values stay exact in
+    * both an int64 and a double. */
+  val HashSpace: Long = 1L << 48
+
+  /** Per-stratum Bernoulli threshold as a 12-hex-char lower-case
+    * string: a doc is kept iff the first 12 hex chars of its salted
+    * md5 compare lexicographically below it ([0-9a-f] is
+    * ASCII-ordered, so string compare == numeric compare on the
+    * 48-bit value — no hex parse needed in the hot filter). `"g"`
+    * (> every hex char) is the keep-everything sentinel for rate 1. */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, s"sample rate $rate outside [0, 1]")
+    val t = math.round(rate * HashSpace)
+    if (t >= HashSpace) "g" else f"$t%012x"
+  }
+
+  /** Deterministic stratified corpus sample: per-`lang` Bernoulli
+    * rates (default `defaultRate` for unlisted strata) decided by a
+    * salted md5 of the doc id — a pure function of (id, salt), so the
+    * sample is stable across runs, engines, partitionings, and corpus
+    * growth, and changing `salt` draws an independent sample (the
+    * properties RNG-based `df.sample` lacks; Spark's `sampleBy` is
+    * seed-stable but partition-ordering-sensitive and not
+    * cross-engine). The rate config is a driver-side literal CASE over
+    * |strata| entries — metadata, not data.
+    *
+    * Shape at 100 TB: a narrow codegen'd filter — ZERO shuffles, and
+    * the md5 + string compare pushes no text anywhere. Exact per-
+    * stratum quotas would need a per-stratum window sort (corpus-scale
+    * shuffle + skew on big strata); threshold sampling trades ±√n
+    * binomial jitter for a shuffle-free plan, the right trade at
+    * scale. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double = 0.0,
+                       salt: String = "graft"): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1)
+      .map { case (l, r) => when(col("lang") === l, lit(hexThreshold(r))) }
+      .foldLeft(lit(null).cast("string")) { (acc, w) => coalesce(acc, w) }
+    val h = substring(
+      md5(concat_ws(":", col("doc_id").cast("string"), lit(salt))), 1, 12)
+    docs.filter(h < coalesce(thr, lit(hexThreshold(defaultRate))))
+  }
+
   /** Top-`k` characteristic terms per source slice, scored by
     * tf * (n_sources / df) — a TF-IDF variant with a rational idf
     * (integer ratio instead of a log: same ranking for fixed

@@ -788,6 +788,26 @@ object LlmQueries {
       |  COALESCE(trimmed_text, '') AS trimmed_text
       |FROM documents d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Deterministic stratified sample: 50% of English, 30% of Chinese,
+    * 10% of everything else, decided per-doc by salted md5 — see
+    * [[CorpusOps.stratifiedSample]] (zero-shuffle filter). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.stratifiedSample(docs(s, dir),
+        rates = Map("en" -> 0.5, "zh" -> 0.3), defaultRate = 0.1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val stratifiedSampleSql: String = {
+    val (en, zh, other) = (CorpusOps.hexThreshold(0.5),
+      CorpusOps.hexThreshold(0.3), CorpusOps.hexThreshold(0.1))
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 12) <
+       |  CASE lang WHEN 'en' THEN '$en' WHEN 'zh' THEN '$zh'
+       |       ELSE '$other' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q78
   def sourceHealth(s: SparkSession, dir: String): DataFrame =
     CorpusOps.sourceHealth(docs(s, dir)).orderBy("source")
@@ -850,6 +870,7 @@ object LlmQueries {
     "q72_word_rarity" -> (wordRarity _),
     "q77_trim_shared_spans" -> (trimSharedSpans _),
     "q78_source_health" -> (sourceHealth _),
+    "q82_stratified_sample" -> (stratifiedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -888,5 +909,6 @@ object LlmQueries {
     "q72_word_rarity" -> wordRaritySql,
     "q77_trim_shared_spans" -> trimSharedSpansSql,
     "q78_source_health" -> sourceHealthSql,
+    "q82_stratified_sample" -> stratifiedSampleSql,
   )
 }

@@ -96,6 +96,35 @@ object EventPipelines {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
 
+  /** ST4 stream-stream interval join: attribute each purchase to the
+    * clicks by the same user in the `windowMin` minutes before it.
+    * Both sides carry event-time watermarks and the join condition
+    * time-bounds each side against the other, so Spark derives a state
+    * eviction horizon — buffered clicks age out `windowMin` + watermark
+    * behind the purchase stream instead of accumulating forever (the
+    * defining requirement of a stream-stream join; without the time
+    * bound the state is unbounded and the job dies at scale). Inner
+    * join: Append-mode output, one row per (click, purchase) pair.
+    * Batch twin (the oracle-checked aggregate view): q84
+    * [[graft.analytics.EventsQueries.clickAttribution]]. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                          windowMin: Int = 30,
+                          watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+        col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr(s"INTERVAL $windowMin MINUTES"))
+      .select(col("p_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming sessionization (twin of q22): >30-minute event-time gap
     * closes a session. State per user; sessions emit when the watermark
     * passes their gap timeout — late events within the watermark still

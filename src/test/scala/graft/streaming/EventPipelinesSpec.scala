@@ -113,4 +113,45 @@ class EventPipelinesSpec extends AnyFunSuite {
       .select("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
     assert(got === Array((1L, 1.0), (2L, 9.0), (3L, 3.0)))
   }
+
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventPipelines.Event]
+    val purchases = MemoryStream[EventPipelines.Event]
+    val joined = EventPipelines.purchaseAttribution(
+      clicks.toDF(), purchases.toDF(), windowMin = 30, watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+
+    def ev(id: Long, sec: Long, user: Long, typ: String) =
+      EventPipelines.Event(id, new java.sql.Timestamp(sec * 1000), user, typ, 5.0)
+
+    val t0 = 1700000000L
+    // user 7: click at t0 and t0+600; purchase at t0+900 -> both clicks
+    // in window. user 8: click 40 min before purchase -> out of window.
+    clicks.addData(ev(1, t0, 7, "click"), ev(2, t0 + 600, 7, "click"),
+      ev(3, t0, 8, "click"))
+    purchases.addData(ev(10, t0 + 900, 7, "purchase"),
+      ev(11, t0 + 2400, 8, "purchase"))
+    q.processAllAvailable()
+    // advance both watermarks so buffered state flushes and ages out
+    clicks.addData(ev(4, t0 + 7200, 99, "click"))
+    purchases.addData(ev(12, t0 + 7200, 99, "purchase"))
+    q.processAllAvailable()
+
+    val got = spark.table("attrib")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().sorted
+    // purchase 10 pairs with clicks 1 and 2; purchase 11 matches
+    // nothing (inner join); the flush pair (12, 4) is same-instant
+    assert(got.toSeq == Seq((10L, 1L), (10L, 2L), (12L, 4L)))
+
+    // state bound: a click older than window+watermark behind the
+    // purchase watermark must have been evicted -> replaying it
+    // produces no new pairs
+    clicks.addData(ev(1, t0, 7, "click"))
+    q.processAllAvailable()
+    assert(spark.table("attrib").count() == 3)
+    q.stop()
+  }
 }
