@@ -609,6 +609,53 @@ object Analytics {
       |JOIN customer ON c_custkey = o_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Top-5 revenue customers per nation via the bounded top-k
+    * aggregate ([[graft.functions.TopKBy]]) instead of a
+    * `row_number` window: the window shuffles and SORTS every
+    * customer row per nation and keeps 5; the aggregate carries ≤5
+    * (ord, payload) pairs of partial state per nation — map-side
+    * combinable, merge is a bounded union, so at 100 TB only
+    * |nations|·5 pairs cross the wire after the per-customer rollup.
+    * Revenue rides the aggregate as exact unscaled cents (decimal
+    * scale 4 → int64), re-scaled to double only at the surface; ties
+    * break on the smaller custkey — a total order, so the result is
+    * deterministic and the DuckDB window formulation reproduces it
+    * exactly. */
+  def topkCustomersPerNation(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2) *
+        dec(lit(1.0) - col("l_discount"), 4, 2)).as("rev"))
+    rev
+      .select(col("c_nationkey"), (col("rev") * 10000).cast("long").as("cents"),
+        col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(graft.functions.Native.topKBy(col("cents"), col("c_custkey"), 5).as("tk"))
+      .select(col("c_nationkey"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.payload").as("c_custkey"),
+        (col("p.ord").cast("double") / 10000.0).as("revenue"))
+      .orderBy("c_nationkey", "rank")
+  }
+
+  val topkCustomersPerNationSql: String =
+    """WITH cr AS (SELECT c_nationkey, c_custkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        CAST(1.0 - l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |    JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT c_nationkey, c_custkey, rev,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY rev DESC, c_custkey) AS rank
+      |  FROM cr)
+      |SELECT c_nationkey, CAST(rank AS INT) AS rank, c_custkey,
+      |  CAST(rev AS DOUBLE) AS revenue
+      |FROM r WHERE rank <= 5 ORDER BY c_nationkey, rank""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -635,6 +682,7 @@ object Analytics {
     "q74_small_quantity_revenue" -> (smallQuantityRevenue _),
     "q75_top_supplier_revenue" -> (topSupplierRevenue _),
     "q76_large_volume_orders" -> (largeVolumeOrders _),
+    "q85_topk_customers_per_nation" -> (topkCustomersPerNation _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -661,5 +709,6 @@ object Analytics {
     "q74_small_quantity_revenue" -> smallQuantityRevenueSql,
     "q75_top_supplier_revenue" -> topSupplierRevenueSql,
     "q76_large_volume_orders" -> largeVolumeOrdersSql,
+    "q85_topk_customers_per_nation" -> topkCustomersPerNationSql,
   )
 }

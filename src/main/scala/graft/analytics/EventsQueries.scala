@@ -362,6 +362,42 @@ object EventsQueries {
       |  AND c.click_ts > p.purchase_ts - INTERVAL 30 MINUTE
       |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Incremental gold-cube refresh ([[graft.operators.IncrementalAgg]]):
+    * the daily (date × event_type) cube is maintained by merging the
+    * stored aggregate of history-before-cutoff with the aggregate of
+    * ONLY the new slice — history is never rescanned. The cutoff falls
+    * mid-day so the boundary day exists in BOTH sides and the merge
+    * genuinely folds partial states (not a disjoint union). The oracle
+    * is the FULL recompute: passing proves merge(prev, delta) ==
+    * full(all) bit-for-bit (decimal sums stay decimal through both
+    * levels). */
+  def incrementalCube(s: SparkSession, dir: String): DataFrame = {
+    val measures = Map("n_events" -> "sum", "total_value" -> "sum",
+      "max_value" -> "max")
+    val keys = Seq("d", "event_type")
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), to_date(col("ts")).as("d"), col("event_type"),
+        lit(1L).as("n_events"), dec(col("value"), 18, 2).as("total_value"),
+        col("value").as("max_value"))
+    val cutoff = lit("2024-01-24 12:00:00").cast("timestamp")
+    import graft.operators.IncrementalAgg
+    val prev = IncrementalAgg.aggregate(ev.filter(col("ts") < cutoff), keys, measures)
+    val delta = IncrementalAgg.aggregate(ev.filter(col("ts") >= cutoff), keys, measures)
+    IncrementalAgg.merge(prev, delta, keys, measures)
+      .select(col("d").cast("date").as("event_date"), col("event_type"),
+        col("n_events"), col("total_value").cast("double").as("total_value"),
+        col("max_value"))
+      .orderBy("event_date", "event_type")
+  }
+
+  val incrementalCubeSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  MAX(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -370,6 +406,7 @@ object EventsQueries {
     "q81_hourly_anomalies" -> (hourlyAnomalies _),
     "q83_kmv_distinct" -> (kmvDistinct _),
     "q84_click_attribution" -> (clickAttribution _),
+    "q86_incremental_cube" -> (incrementalCube _),
     "q20_hourly_event_stats" -> (hourlyEventStats _),
     "q21_event_json_stats" -> (eventJsonStats _),
     "q22_user_sessions" -> (userSessions _),
@@ -382,6 +419,7 @@ object EventsQueries {
     "q81_hourly_anomalies" -> hourlyAnomaliesSql,
     "q83_kmv_distinct" -> kmvDistinctSql,
     "q84_click_attribution" -> clickAttributionSql,
+    "q86_incremental_cube" -> incrementalCubeSql,
     "q20_hourly_event_stats" -> hourlyEventStatsSql,
     "q21_event_json_stats" -> eventJsonStatsSql,
     "q22_user_sessions" -> userSessionsSql,

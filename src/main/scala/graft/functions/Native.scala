@@ -37,6 +37,10 @@ object Native {
   def kmvSketch(hash: Column, k: Int): Column =
     c(KmvSketch(e(hash), k).toAggregateExpression())
 
+  /** Bounded top-k-per-group aggregate (see [[TopKBy]]). */
+  def topKBy(ord: Column, payload: Column, k: Int): Column =
+    c(TopKBy(e(ord), e(payload), k).toAggregateExpression())
+
   def pyToJson(col: Column): Column = c(PyToJson(e(col)))
 
   def coerceNumeric(col: Column): Column = c(CoerceNumeric(e(col)))

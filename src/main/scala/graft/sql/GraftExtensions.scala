@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CoerceNumeric, KmvSketch, MinHashSignatures, PyToJson, SimHashFingerprint, WinnowFingerprints, WordNgrams}
+import graft.functions.{CoerceNumeric, KmvSketch, MinHashSignatures, PyToJson, SimHashFingerprint, TopKBy, WinnowFingerprints, WordNgrams}
 
 /** Engine extensions, installed via `spark.sql.extensions` (set by
   * [[graft.core.GraftSession]]): registers the native expressions so
@@ -39,13 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (children: Seq[Expression]) => WordNgrams(children.head, children(1))))
+    def intLit(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn k must be an INT literal, got $other")
+    }
     ext.injectFunction((
       new FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
-      (children: Seq[Expression]) => KmvSketch(children.head, children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"kmv_sketch k must be an INT literal, got $other")
-      })))
+      (children: Seq[Expression]) =>
+        KmvSketch(children.head, intLit(children(1), "kmv_sketch"))))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (children: Seq[Expression]) =>
+        TopKBy(children.head, children(1), intLit(children(2), "topk_by"))))
   }
 }
