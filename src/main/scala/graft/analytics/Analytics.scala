@@ -656,6 +656,126 @@ object Analytics {
       |  CAST(rev AS DOUBLE) AS revenue
       |FROM r WHERE rank <= 5 ORDER BY c_nationkey, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** TPC-H Q21 pattern adapted to this schema (no receipt/commit
+    * dates): for orders served by 2+ distinct suppliers, the supplier
+    * who ALONE shipped the order's last line — i.e. was the sole
+    * bottleneck of the order. Two shuffles, both on order-grain keys:
+    * a (orderkey, suppkey) partial max, then an orderkey window over
+    * supplier-grain rows (orders x avg-suppliers-per-order — far
+    * smaller than lineitem). The supplier dim joins broadcast. No
+    * correlated subquery survives to the plan: the EXISTS/NOT-EXISTS
+    * pair of the classic formulation is one window over the
+    * per-supplier maxima. */
+  def soleLastShipper(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("smax"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val marked = perSupp
+      .withColumn("mx", max(col("smax")).over(w))
+      .withColumn("nsupp", count(lit(1)).over(w))
+    val sole = marked
+      .filter(col("nsupp") >= 2 && col("smax") === col("mx"))
+      .withColumn("n_at_max", count(lit(1)).over(w))
+      .filter(col("n_at_max") === 1)
+    sole.groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("numwait").cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val soleLastShipperSql: String =
+    """WITH ps AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS smax
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (SELECT l_orderkey, l_suppkey, smax,
+      |    MAX(smax) OVER (PARTITION BY l_orderkey) AS mx,
+      |    COUNT(*) OVER (PARTITION BY l_orderkey) AS nsupp
+      |  FROM ps),
+      |sole AS (SELECT l_orderkey, l_suppkey FROM (
+      |    SELECT l_orderkey, l_suppkey,
+      |      COUNT(*) OVER (PARTITION BY l_orderkey) AS n_at_max
+      |    FROM m WHERE nsupp >= 2 AND smax = mx)
+      |  WHERE n_at_max = 1)
+      |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      |FROM sole JOIN supplier ON s_suppkey = l_suppkey
+      |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** TPC-H Q22 pattern adapted (no phone column): market segments of
+    * "dormant value" customers — balance above the average POSITIVE
+    * balance, and no high-value (>300k) order on file (every customer
+    * in this corpus has SOME order, so the unconditioned variant is
+    * vacuous). The global average is a scalar broadcast (one row
+    * crossed in, never a shuffle); the no-big-orders test is a
+    * left_anti against the filtered o_custkey column (filter + 1-col
+    * projection pushed to the scan; at 100 TB the anti join shuffles
+    * customer vs matching custkeys, both customer-grain). */
+  def dormantValueCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val avgPos = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    cust.join(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(dec(col("c_acctbal"), 12, 2)).cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val dormantValueCustomersSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_custs,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+      |                   WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_totalprice > 300000)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  /** TPC-H Q19 pattern — discount revenue under a DISJUNCTION of
+    * brand/size/quantity conjunctions. The point at scale is pushdown
+    * of an OR: Catalyst extracts the part-only sub-disjunction
+    * ((brand=1 AND size<=15) OR (brand=2 AND size<=25) OR ...) below
+    * the join into the part scan, and the lineitem-only quantity
+    * bounds (qty between 1 and 40) into the lineitem scan, so the
+    * join sees pre-filtered sides even though no single conjunct
+    * applies to every row (guarded by `PlanShapeSpec`). Part side
+    * broadcasts; one row out. */
+  def promoDisjunctionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val joined = li.join(broadcast(t(s, dir, "part")),
+      col("l_partkey") === col("p_partkey"))
+    joined.filter(
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 21)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 40)))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2) *
+        dec(lit(1.0) - col("l_discount"), 4, 2))
+        .cast("double").as("promo_revenue"))
+  }
+
+  val promoDisjunctionRevenueSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |  CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 21)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -683,6 +803,9 @@ object Analytics {
     "q75_top_supplier_revenue" -> (topSupplierRevenue _),
     "q76_large_volume_orders" -> (largeVolumeOrders _),
     "q85_topk_customers_per_nation" -> (topkCustomersPerNation _),
+    "q87_sole_last_shipper" -> (soleLastShipper _),
+    "q88_dormant_value_customers" -> (dormantValueCustomers _),
+    "q89_promo_disjunction_revenue" -> (promoDisjunctionRevenue _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -710,5 +833,8 @@ object Analytics {
     "q75_top_supplier_revenue" -> topSupplierRevenueSql,
     "q76_large_volume_orders" -> largeVolumeOrdersSql,
     "q85_topk_customers_per_nation" -> topkCustomersPerNationSql,
+    "q87_sole_last_shipper" -> soleLastShipperSql,
+    "q88_dormant_value_customers" -> dormantValueCustomersSql,
+    "q89_promo_disjunction_revenue" -> promoDisjunctionRevenueSql,
   )
 }

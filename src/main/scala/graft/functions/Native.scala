@@ -41,6 +41,10 @@ object Native {
   def topKBy(ord: Column, payload: Column, k: Int): Column =
     c(TopKBy(e(ord), e(payload), k).toAggregateExpression())
 
+  /** Misra–Gries frequent-items sketch aggregate (see [[MisraGries]]). */
+  def misraGries(item: Column, k: Int): Column =
+    c(MisraGries(e(item), k).toAggregateExpression())
+
   def pyToJson(col: Column): Column = c(PyToJson(e(col)))
 
   def coerceNumeric(col: Column): Column = c(CoerceNumeric(e(col)))

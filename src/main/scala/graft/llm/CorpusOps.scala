@@ -403,6 +403,86 @@ object CorpusOps {
     * the word→df table is vocabulary-scale (small next to the corpus),
     * the join key is the word, and the per-doc re-aggregation is
     * partial-aggregable. */
+  /** Exact heavy hitters in two phases: a Misra–Gries candidate
+    * screen, then an exact count of candidates only.
+    *
+    * Phase 1 ([[graft.functions.MisraGries]]) carries ≤`sketchK`
+    * counters of partial state per partition and collapses to ONE
+    * summary row — the full-vocabulary `groupBy(word)` shuffle (the
+    * scale killer on web corpora, where token types run to billions)
+    * never happens for the screen, and the token count rides the same
+    * single scan. Phase 2 re-scans, keeps only tokens in the ≤k
+    * candidate set (broadcast semi join — map-side partial agg then
+    * reduces the shuffle to ≤k rows per partition) and counts them
+    * exactly.
+    *
+    * The sketch guarantees every item with true frequency > N/(k+1)
+    * survives phase 1, so with `frac > 1/(sketchK+1)` the final
+    * filter `n >= ceil(frac·N)` returns EXACTLY the true heavy-hitter
+    * set — deterministic across partitionings even though the
+    * intermediate summary is not, and therefore oracle-checkable
+    * against a plain exact GROUP BY. */
+  def heavyHitters(docs: DataFrame, frac: Double = 0.01,
+                   sketchK: Int = 199): DataFrame = {
+    require(frac > 1.0 / (sketchK + 1),
+      s"frac ($frac) must exceed 1/(sketchK+1) or the sketch may miss true heavy hitters")
+    val tokens = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val screen = tokens.agg(
+      graft.functions.Native.misraGries(col("word"), sketchK).as("mg"),
+      count(lit(1)).as("n_tokens"))
+    val cand = screen.select(explode(col("mg")).as("c"), col("n_tokens"))
+      .select(col("c.item").as("word"), col("n_tokens"))
+    tokens.join(broadcast(cand), Seq("word"), "inner")
+      .groupBy(col("word"), col("n_tokens")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= ceil(col("n_tokens") * frac))
+      .select(col("word"), col("n"),
+        (col("n").cast("double") / col("n_tokens")).as("freq"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
+  /** Training-mixture allocation: split an integer token `budget`
+    * across sources proportionally to their token mass, exactly —
+    * the largest-remainder (Hamilton) method. Every arithmetic step
+    * is integer (unscaled products, floor division, remainder
+    * ranking with source-name tie-break), so the allocation is a
+    * pure function of the token histogram: reproducible across
+    * engines, partitionings and runs, and `sum(alloc) == budget`
+    * exactly.
+    *
+    * Scale: the corpus scan collapses to source grain (one narrow
+    * shuffle); the window ranking runs over |sources| rows —
+    * metadata scale, same posture as q37's dim-side work. Products
+    * ride DECIMAL(38,0): budget·tokens overflows int64 once a
+    * source holds >~90T tokens against a 100k budget. */
+  def mixtureWeights(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget ($budget) must be non-negative")
+    val bySource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("n_tokens"))
+    val total = bySource.agg(sum(col("n_tokens")).as("t"))
+    val d38 = "decimal(38,0)"
+    val scaled = bySource.join(broadcast(total))
+      .withColumn("prod", col("n_tokens").cast(d38) * lit(budget).cast(d38))
+      // % is exact on decimals; division is NOT (Spark rounds HALF_UP
+      // at the result scale, so floor(prod/t) could cross an integer
+      // boundary) — divide only the exactly-divisible numerator
+      .withColumn("rem", col("prod") % col("t").cast(d38))
+      .withColumn("base",
+        ((col("prod") - col("rem")) / col("t").cast(d38)).cast(d38))
+    val wAll = Window.orderBy(col("rem").desc, col("source"))
+    scaled
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(
+        Window.partitionBy()))
+      .withColumn("rk", row_number().over(wAll))
+      .select(col("source"), col("n_tokens"),
+        (col("base") + when(col("rk") <= col("leftover"), 1).otherwise(0))
+          .cast("long").as("alloc"),
+        (col("n_tokens").cast("double") / col("t")).as("share"))
+      .orderBy("source")
+  }
+
   def wordRarity(docs: DataFrame,
                  materialize: DataFrame => DataFrame = identity): DataFrame = {
     val words = materialize(docs.select(col("doc_id"),

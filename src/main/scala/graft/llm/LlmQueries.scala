@@ -832,6 +832,144 @@ object LlmQueries {
       |  CAST(CAST(SUM(nw) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_words
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Index-quality evaluation: recall@10 of the two ANN paths (IVF
+    * cell probe, hyperplane-LSH bucket) against the exact cosine
+    * top-10 — the eval loop every production ANN deployment runs
+    * before trusting an index. All three searches share one corpus;
+    * the recall join runs at (queries x k) scale — driver-free,
+    * metadata-sized. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val exact = Similarity.cosineTopK(e, knnQueryIds, k = 10)
+      .select(col("query_id"), col("vec_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame = {
+      val nex = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      val hits = exact
+        .join(approx.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      nex.join(hits, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+            .as("recall"))
+    }
+    recallOf("ivf",
+        Similarity.ivfTopK(e, knnQueryIds, k = 10, nprobe = 2, centStride = 100))
+      .unionByName(recallOf("lsh_bucket",
+        Similarity.annTopKInBucket(e, knnQueryIds, k = 10, nPlanes = 8)))
+      .orderBy("method", "query_id")
+  }
+
+  val annRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qe FROM e
+       |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, vec_id) AS rank
+       |    FROM (SELECT query_id, vec_id, ${cosSql("qe", "v")} AS cs
+       |          FROM e CROSS JOIN q WHERE vec_id <> query_id))
+       |  WHERE rank <= 10),
+       |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+       |qb AS (SELECT vec_id AS query_id, v AS qe, bucket FROM b
+       |       WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |lsh AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, vec_id) AS rank
+       |    FROM (SELECT query_id, b.vec_id AS vec_id,
+       |            ${cosSql("qe", "b.v")} AS cs
+       |          FROM b JOIN qb USING (bucket) WHERE b.vec_id <> query_id))
+       |  WHERE rank <= 10),
+       |cents AS (SELECT vec_id AS cent_id, v AS ce FROM e WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.ce")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qe, cent_id FROM (
+       |    SELECT q.query_id, q.qe, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qe", "c.ce")} DESC, c.cent_id) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= 2),
+       |ivf AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, vec_id) AS rank
+       |    FROM (SELECT p.query_id, a.vec_id, ${cosSql("p.qe", "a.v")} AS cs
+       |          FROM assigned a JOIN probes p USING (cent_id)
+       |          WHERE a.vec_id <> p.query_id))
+       |  WHERE rank <= 10),
+       |nex AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+       |res AS (
+       |  SELECT 'ivf' AS method, n.query_id, n.n_exact,
+       |    COALESCE(h.n_hit, 0) AS n_hit
+       |  FROM nex n LEFT JOIN (SELECT query_id, COUNT(*) AS n_hit
+       |    FROM ex JOIN ivf USING (query_id, vec_id) GROUP BY 1) h
+       |    USING (query_id)
+       |  UNION ALL
+       |  SELECT 'lsh_bucket' AS method, n.query_id, n.n_exact,
+       |    COALESCE(h.n_hit, 0) AS n_hit
+       |  FROM nex n LEFT JOIN (SELECT query_id, COUNT(*) AS n_hit
+       |    FROM ex JOIN lsh USING (query_id, vec_id) GROUP BY 1) h
+       |    USING (query_id))
+       |SELECT method, query_id, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(n_hit AS DOUBLE) / n_exact AS recall
+       |FROM res ORDER BY method, query_id""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** Exact heavy hitters via the Misra–Gries screen + exact verify —
+    * see [[CorpusOps.heavyHitters]]. The oracle is the plain exact
+    * GROUP BY: the sketch guarantee (no false negatives above
+    * N/(k+1)) + the exact second pass make the two-phase pipeline
+    * bit-identical to it. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.heavyHitters(docs(s, dir), frac = 0.01, sketchK = 199)
+
+  val heavyHittersSql: String =
+    """WITH tok AS (SELECT word FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> ''),
+      |tot AS (SELECT COUNT(*) AS n_tokens FROM tok),
+      |cnt AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY 1)
+      |SELECT word, CAST(n AS BIGINT) AS n,
+      |  CAST(n AS DOUBLE) / n_tokens AS freq
+      |FROM cnt CROSS JOIN tot
+      |WHERE n >= CEIL(n_tokens * 0.01)
+      |ORDER BY n DESC, word""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** Largest-remainder mixture allocation of a 100k-token budget
+    * across sources — see [[CorpusOps.mixtureWeights]] (integer-exact,
+    * sums to the budget bit-for-bit). */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.mixtureWeights(docs(s, dir), budget = 100000L)
+
+  val mixtureWeightsSql: String =
+    """WITH st AS (SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM st),
+      |sc AS (SELECT source, n_tokens, t,
+      |    CAST(n_tokens AS HUGEINT) * 100000 AS prod
+      |  FROM st CROSS JOIN tot),
+      |b AS (SELECT source, n_tokens, t,
+      |    prod % CAST(t AS HUGEINT) AS rem,
+      |    prod // CAST(t AS HUGEINT) AS base
+      |  FROM sc),
+      |r AS (SELECT source, n_tokens, t, base,
+      |    100000 - CAST(SUM(base) OVER () AS BIGINT) AS leftover,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM b)
+      |SELECT source, n_tokens,
+      |  CAST(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS alloc,
+      |  CAST(n_tokens AS DOUBLE) / t AS share
+      |FROM r ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -871,6 +1009,9 @@ object LlmQueries {
     "q77_trim_shared_spans" -> (trimSharedSpans _),
     "q78_source_health" -> (sourceHealth _),
     "q82_stratified_sample" -> (stratifiedSample _),
+    "q90_ann_recall" -> (annRecall _),
+    "q91_heavy_hitters" -> (heavyHitters _),
+    "q92_mixture_weights" -> (mixtureWeights _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -910,5 +1051,8 @@ object LlmQueries {
     "q77_trim_shared_spans" -> trimSharedSpansSql,
     "q78_source_health" -> sourceHealthSql,
     "q82_stratified_sample" -> stratifiedSampleSql,
+    "q90_ann_recall" -> annRecallSql,
+    "q91_heavy_hitters" -> heavyHittersSql,
+    "q92_mixture_weights" -> mixtureWeightsSql,
   )
 }

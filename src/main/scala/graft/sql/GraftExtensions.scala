@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CoerceNumeric, KmvSketch, MinHashSignatures, PyToJson, SimHashFingerprint, TopKBy, WinnowFingerprints, WordNgrams}
+import graft.functions.{CoerceNumeric, KmvSketch, MinHashSignatures, MisraGries, PyToJson, SimHashFingerprint, TopKBy, WinnowFingerprints, WordNgrams}
 
 /** Engine extensions, installed via `spark.sql.extensions` (set by
   * [[graft.core.GraftSession]]): registers the native expressions so
@@ -54,5 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
       (children: Seq[Expression]) =>
         TopKBy(children.head, children(1), intLit(children(2), "topk_by"))))
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (children: Seq[Expression]) =>
+        MisraGries(children.head, intLit(children(1), "misra_gries"))))
   }
 }

@@ -230,6 +230,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"stage windows must reuse one (user_id) partitioning:\n$plan")
   }
 
+  test("q89 pushes each side's sub-disjunction below the join into its scan") {
+    val df = graft.analytics.Analytics.promoDisjunctionRevenue(spark, sf)
+    val plan = planText(df)
+    // the part side must scan with the brand/size OR already applied
+    // (extracted from the cross-side disjunction), lineitem with the
+    // derived quantity bounds — not post-join filtering of full scans
+    val pushed = "pushedfilters: \\[[^\\]]*".r.findAllIn(plan).toSeq
+    assert(pushed.exists(p => p.contains("or(") && p.contains("p_brand")),
+      s"part scan lost the OR pushdown:\n$plan")
+    assert(pushed.exists(p => p.contains("or(") && p.contains("l_quantity")),
+      s"lineitem scan lost the derived quantity pushdown:\n$plan")
+    assert(plan.contains("broadcasthashjoin"), s"plan:\n$plan")
+  }
+
+  test("q91 heavy hitters: candidate screen collapses to one summary row, " +
+      "exact pass joins broadcast") {
+    val df = graft.llm.LlmQueries.heavyHitters(spark, sf)
+    val plan = planText(df)
+    assert(plan.contains("misra_gries"), s"native sketch missing:\n$plan")
+    assert(plan.contains("broadcasthashjoin"),
+      s"candidate set must broadcast into the exact pass:\n$plan")
+  }
+
   test("q67/q71/q72 join-back statistics stay equi-join (never cartesian)") {
     Seq(
       "q67" -> graft.llm.LlmQueries.dupNgrams(spark, sf),

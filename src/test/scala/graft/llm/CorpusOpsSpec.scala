@@ -302,4 +302,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 2L -> 2L))
   }
+
+  test("mixture weights: allocations sum to the budget exactly") {
+    // 7 tokens : 5 : 3 over budget 100 — floor gives 46+33+20=99,
+    // the leftover unit goes to the largest remainder (a: 100*7/15
+    // rem 10/15; c: rem 0; b: 100*5/15 rem 5/15 → a wins)
+    val docs = Seq(
+      (1L, "w w w w w w w", "en", "a"),
+      (2L, "w w w w w", "en", "b"),
+      (3L, "w w w", "en", "c"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.mixtureWeights(docs, budget = 100L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("a" -> ((7L, 47L)), "b" -> ((5L, 33L)), "c" -> ((3L, 20L))))
+    assert(got.values.map(_._2).sum == 100L)
+  }
+
+  test("mixture weights: remainder ties break by source name") {
+    // equal masses, budget not divisible: 100/3 → base 33 each,
+    // leftover 1 goes to the lexicographically first source
+    val docs = Seq(
+      (1L, "x x", "en", "sB"), (2L, "x x", "en", "sA"), (3L, "x x", "en", "sC"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.mixtureWeights(docs, budget = 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("sA" -> 34L, "sB" -> 33L, "sC" -> 33L))
+  }
+
+  test("mixture weights: stable across partitionings") {
+    val docs = (0 until 200)
+      .map(i => (i.toLong, ("t " * (i % 9 + 1)).trim, "en", s"src${i % 7}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val a = CorpusOps.mixtureWeights(docs.repartition(1), 12345L).collect().toSeq
+    val b = CorpusOps.mixtureWeights(docs.repartition(17), 12345L).collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getLong(2)).sum == 12345L)
+  }
 }
