@@ -96,7 +96,8 @@ object MergeUpsert {
     * aside-rename (see `commit`), but a crash mid-copy of the swap-in
     * rename itself can expose a partial partition to readers until the
     * next recovery; on object stores front this with an atomic-commit
-    * layer (e.g. a Delta/Iceberg-style metadata pointer). */
+    * layer — [[graft.warehouse.VersionedTable]] is that layer here
+    * (pointer-file commit, no data renames). */
   def intoPartitionedPath(spark: SparkSession, path: String, source: DataFrame,
                           pks: Seq[String],
                           partitionCol: String = "partition_value"): Unit =
