@@ -970,6 +970,50 @@ object LlmQueries {
       |  CAST(n_tokens AS DOUBLE) / t AS share
       |FROM r ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** PQ/ADC approximate search — see [[Similarity.pqTopK]] (integer
+    * micro-unit distances end-to-end: order-free sums, exact rank
+    * parity with the oracle's window formulation). */
+  def pqTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(emb(s, dir), knnQueryIds, k = 10, m = 8,
+      centStride = 100)
+
+  /** Squared-L2 of subspace `sub` between DOUBLE[] aliases, in integer
+    * micro-units — the DuckDB mirror of pqTopK's fixed-order fold. */
+  private def pqDUsSql(a: String, b: String): String =
+    s"CAST(floor(round(CAST(list_sum(list_transform(generate_series(1, 8), " +
+      s"i -> ($a[s.sub*8+i] - $b[s.sub*8+i]) * ($a[s.sub*8+i] - $b[s.sub*8+i])" +
+      s")) AS DOUBLE), 6) * 1000000.0 + 0.5) AS BIGINT)"
+
+  val pqTopKSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+       |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       |encd AS (
+       |  SELECT e.vec_id, s.sub, c.cent_id, ${pqDUsSql("e.v", "c.cv")} AS d_us
+       |  FROM e CROSS JOIN subs s CROSS JOIN cents c),
+       |enc AS (SELECT vec_id, sub, cent_id FROM (
+       |    SELECT vec_id, sub, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY d_us, cent_id) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |qd AS (
+       |  SELECT e.vec_id AS query_id, s.sub, c.cent_id,
+       |    ${pqDUsSql("e.v", "c.cv")} AS d_us
+       |  FROM e CROSS JOIN subs s CROSS JOIN cents c
+       |  WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+       |adc AS (
+       |  SELECT q.query_id, enc.vec_id, CAST(SUM(q.d_us) AS BIGINT) AS approx_us
+       |  FROM enc JOIN qd q USING (sub, cent_id)
+       |  WHERE enc.vec_id <> q.query_id GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       |  CAST(approx_us AS DOUBLE) / 1000000.0 AS approx_dist
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx_us, vec_id) AS rank FROM adc)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1012,6 +1056,7 @@ object LlmQueries {
     "q90_ann_recall" -> (annRecall _),
     "q91_heavy_hitters" -> (heavyHitters _),
     "q92_mixture_weights" -> (mixtureWeights _),
+    "q93_pq_topk" -> (pqTopK _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1054,5 +1099,6 @@ object LlmQueries {
     "q90_ann_recall" -> annRecallSql,
     "q91_heavy_hitters" -> heavyHittersSql,
     "q92_mixture_weights" -> mixtureWeightsSql,
+    "q93_pq_topk" -> pqTopKSql,
   )
 }

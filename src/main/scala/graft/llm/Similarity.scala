@@ -241,6 +241,77 @@ object Similarity {
       .select(col("vec_id"), size(col("qvec")).as("n_dims"), col("scale"),
               col("qvec"), col("max_abs_err"))
 
+  /** Product-quantization ANN: encode the corpus as `m` sub-codes
+    * (nearest strided-seed centroid per subspace, squared-L2), then
+    * answer queries by asymmetric distance computation — a per-query
+    * lookup table of (subspace, centroid) partial distances, summed
+    * over the stored codes. The PQ trade at 100 TB: the corpus is
+    * touched only through its `m`-byte codes (here `m` smallints) —
+    * the ADC search never reads a float vector, so the scan is
+    * codes-sized, ~32x smaller than the float corpus; encode is the
+    * one N×K×m pass and is write-once (persist `codes` like
+    * [[writeIvfIndex]] does cells).
+    *
+    * Determinism across engines: elements round to 6dp; each
+    * subspace distance is a FIXED-ORDER sequential fold (`aggregate`
+    * / DuckDB `list_sum`, same left-to-right order), rounded to 6dp
+    * and scaled to integer micro-units (`floor(x·1e6 + 0.5)` — both
+    * engines floor the same double); the ADC sum is then an INTEGER
+    * sum — order-free — and ranking compares (long, vec_id): bit-
+    * reproducible under any partitioning. Top-k rides the bounded
+    * [[graft.functions.TopKBy]] aggregate, not a window sort.
+    *
+    * Codebook = subspace slices of every `centStride`-th vector (the
+    * same deterministic seeding as [[ivfAssign]]); production PQ
+    * trains 256 centroids/subspace with k-means
+    * ([[kmeansAssign]] is the trainer shape) — the plan is identical,
+    * only the codebook content changes. */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+             m: Int = 8, centStride: Long = 100): DataFrame = {
+    require(m >= 1, s"m ($m) must be >= 1")
+    // metadata-scale collect: one row, the dimensionality
+    val d = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val sub = d / m
+    val e = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))").as("v"))
+    val cents = e.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val subs = sequence(lit(0), lit(m - 1))
+    // squared-L2 of one subspace slice, in integer micro-units
+    def dUs(a: Column, b: Column): Column = {
+      val sa = slice(a, col("sub") * sub + 1, lit(sub))
+      val sb = slice(b, col("sub") * sub + 1, lit(sub))
+      val sq = aggregate(zip_with(sa, sb, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      floor(round(sq, 6) * 1e6 + 0.5).cast("long")
+    }
+    val codes = e.select(col("vec_id"), col("v"), explode(subs).as("sub"))
+      .join(broadcast(cents))
+      .withColumn("d_us", dUs(col("v"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cent_id"), struct(col("d_us"), col("cent_id")))
+        .as("cent_id"))
+    val dtable = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(subs).as("sub"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        dUs(col("qv"), col("cv")).as("d_us"))
+    codes.join(broadcast(dtable), Seq("sub", "cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d_us")).as("approx_us"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.Native.topKBy(-col("approx_us"), col("vec_id"), k)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.payload").as("vec_id"),
+        ((-col("p.ord")).cast("double") / 1e6).as("approx_dist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Persist the IVF index as a `cent_id`-bucketed (and sorted) catalog
     * table. Bucketing puts each cell's members in known files at rest,
     * so an indexed search ([[ivfTopKIndexed]]) reads ONLY the probed
