@@ -292,7 +292,31 @@ object WarehouseQueries {
        |GROUP BY band ORDER BY band""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q94
+  /** One-pass column profile of `orders` — see
+    * [[graft.operators.TableProfile]]. */
+  def profileOrders(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TableProfile.profile(
+      graft.core.Tables.load(s, dir, "orders"))
+
+  val profileOrdersSql: String = {
+    def row(c: String, num: Boolean): String = {
+      val minMax =
+        if (num) s"CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num"
+        else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, $minMax
+         |FROM orders""".stripMargin
+    }
+    Seq(row("o_orderkey", num = true), row("o_custkey", num = true),
+      row("o_orderstatus", num = false), row("o_totalprice", num = true),
+      row("o_orderdate", num = false), row("o_orderpriority", num = false))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_profile_orders" -> (profileOrders _),
     "q36_asof_dim_lookup" -> (asofDimLookup _),
     "q37_salted_enrich" -> (saltedEnrich _),
     "q38_price_band_join" -> (priceBandJoin _),
@@ -305,6 +329,7 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q94_profile_orders" -> profileOrdersSql,
     "q36_asof_dim_lookup" -> asofDimLookupSql,
     "q37_salted_enrich" -> saltedEnrichSql,
     "q38_price_band_join" -> priceBandJoinSql,
