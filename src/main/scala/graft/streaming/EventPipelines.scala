@@ -62,6 +62,27 @@ object EventPipelines {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("total_value"))
 
+  /** Streaming frequent items per event-time window: the Misra–Gries
+    * sketch ([[graft.functions.MisraGries]]) as the aggregate of a
+    * watermarked windowed group-by. The sketch's serialized buffer IS
+    * the state-store value, so state per open window is ≤k counters —
+    * fixed — no matter how many distinct items stream through (a
+    * `groupBy(window, item)` count would grow state with the live
+    * vocabulary until the watermark closes the window). Same
+    * guarantee as batch: any item above N/(k+1) of the window's
+    * traffic is present; estimates undercount by ≤ N/(k+1). */
+  def windowedHeavyHitters(events: DataFrame, k: Int = 8,
+                           win: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win))
+      .agg(graft.functions.Native.misraGries(col("event_type"), k).as("mg"))
+      .select(col("window.start").as("window_start"),
+        explode(col("mg")).as("c"))
+      .select(col("window_start"), col("c.item").as("item"),
+        col("c.est").as("est"))
+
   /** Streaming exact dedup: drop replayed event ids inside the
     * watermark horizon — the streaming tier of the dedup ladder
     * (at-least-once sources -> exactly-once rows downstream). State is

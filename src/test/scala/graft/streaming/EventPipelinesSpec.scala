@@ -82,6 +82,37 @@ class EventPipelinesSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("windowed heavy hitters: sketch state merges across micro-batches " +
+      "and keeps every item above the guarantee") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventPipelines.Event]
+    // k=3 with 5 distinct types forces the decrement path in-stream
+    val hh = EventPipelines.windowedHeavyHitters(input.toDF(), k = 3)
+    val q = hh.writeStream.format("memory").queryName("hh")
+      .outputMode("complete").start()
+    def ev(id: Long, sec: Long, typ: String) = EventPipelines.Event(
+      id, new java.sql.Timestamp(sec * 1000), 1L, typ, 1.0)
+    val t0 = 1700000000L // mid-window offsets stay inside one hour
+    // 60 events in one window over two epochs: view 30, click 20,
+    // purchase 4, plus 6 singleton types as noise
+    val types = Seq.fill(15)("view") ++ Seq.fill(10)("click") ++
+      Seq("purchase", "purchase", "n1", "n2", "n3")
+    input.addData(types.zipWithIndex.map { case (t, i) => ev(i, t0 + i, t) }: _*)
+    q.processAllAvailable()
+    input.addData(types.zipWithIndex.map { case (t, i) =>
+      ev(100 + i, t0 + 60 + i, t.replace("n", "m")) }: _*)
+    q.processAllAvailable()
+    val got = spark.table("hh").as[(java.sql.Timestamp, String, Long)]
+      .collect().map(r => r._2 -> r._3).toMap
+    // N=60, k=3: anything above 60/4=15 must be present — view (30)
+    // and click (20); estimates never exceed truth
+    assert(got.contains("view") && got("view") <= 30L)
+    assert(got.contains("click") && got("click") <= 20L)
+    assert(got.size <= 3)
+    q.stop()
+  }
+
   test("mergeStream lands micro-batches as keyed merges into the lake") {
     import spark.implicits._
     val lake = java.nio.file.Files.createTempDirectory("stream-lake").toString
