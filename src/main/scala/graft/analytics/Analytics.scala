@@ -122,20 +122,31 @@ object Analytics {
 
   // ---------------------------------------------------------------- q04
   /** Revenue per region/nation (TPC-H Q5 shape): region+nation broadcast
-    * (tiny dims), customer->orders->lineitem chain shuffles on keys. */
+    * (tiny dims), customer->orders->lineitem chain shuffles on keys.
+    * Lineitem pre-aggregates to order grain BEFORE the join (Catalyst
+    * does not push aggregates through joins itself) — the orders join
+    * sees ~1/4 the rows and the revenue decimal sum is associative,
+    * so the regrouped result is bit-identical. */
   def nationRevenue(s: SparkSession, dir: String): DataFrame = {
     val r = t(s, dir, "region")
     val n = t(s, dir, "nation")
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2) *
+        dec(lit(1.0) - col("l_discount"), 4, 2)).as("rev_dec"),
+        count(lit(1)).as("n_li"))
+    perOrder
+      .join(o.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(c.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-           count(lit(1)).as("n_lineitems"))
+      .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+           sum(col("n_li")).as("n_lineitems"))
       .orderBy("r_name", "n_name")
   }
 
