@@ -566,15 +566,16 @@ object Analytics {
   /** TPC-H Q15 pattern — the supplier(s) with maximum revenue: a
     * correlated scalar-max subquery against a shared aggregate. The
     * revenue stays an exact DECIMAL through the max comparison (a
-    * double `=` on an aggregate is engine-dependent at the boundary);
-    * the scalar max broadcasts. The revenue table is computed twice
-    * lazily (supplier-cardinality rows — metadata-scale; not worth a
-    * checkpoint). */
+    * double `=` on an aggregate is engine-dependent at the boundary).
+    * The scalar max rides a global window over the SUPPLIER-GRAIN
+    * aggregate (metadata scale — one tiny single-partition exchange),
+    * so lineitem is scanned and aggregated ONCE; the previous
+    * self-join formulation re-ran the dominant scan for the max. */
   def topSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
       .agg(sum(dec(col("l_extendedprice"), 12, 2) *
         dec(lit(1.0) - col("l_discount"), 4, 2)).as("rev"))
-    rev.join(broadcast(rev.agg(max(col("rev")).as("mx"))))
+    rev.withColumn("mx", max(col("rev")).over(Window.partitionBy()))
       .filter(col("rev") === col("mx"))
       .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"),

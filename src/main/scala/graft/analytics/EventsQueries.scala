@@ -400,7 +400,63 @@ object EventsQueries {
 
   // ------------------------------------------------------------ registry
 
+  // ---------------------------------------------------------------- q95
+  /** Robust per-type outlier screen: exact median + MAD (median
+    * absolute deviation), flagging |value − median| > 3·1.4826·MAD —
+    * the standard robust z-score with the Gaussian consistency
+    * constant. Median/MAD are ORDER STATISTICS (selection, not
+    * summation), so with 6dp rounding at each derived column the
+    * whole screen is bit-reproducible across engines (same parity as
+    * q19's `percentile` ↔ `quantile_cont`).
+    *
+    * Exact two-pass MAD costs a per-group sort per pass — the honest
+    * price of exactness, same posture as q94's exact distincts; at
+    * 100 TB swap `percentile` for `approx_percentile` (one pass, no
+    * sort) when tolerance allows. The deviations slice feeds both the
+    * MAD aggregate and the outlier count; `materialize` (the
+    * [[graft.llm.Dedup.dedupCorpus]] hook pattern) pins it so the
+    * events scan runs twice, not three times. */
+  def valueOutliers(s: SparkSession, dir: String,
+                    materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"),
+        count(lit(1)).as("n"))
+    val dev = materialize(ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", round(abs(col("value") - col("med")), 6)))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val valueOutliersSql: String =
+    """WITH ev AS (SELECT event_type, value FROM events),
+      |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ev GROUP BY 1),
+      |dev AS (SELECT e.event_type, m.n, m.med,
+      |    round(abs(e.value - m.med), 6) AS adev
+      |  FROM ev e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, d.n, d.med, a.mad,
+      |  -- CASTs pin double arithmetic: bare 3.0*1.4826 would be DuckDB
+      |  -- DECIMAL-exact while Spark folds IEEE doubles
+      |  CAST(SUM(CASE WHEN d.adev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)
+      |      * a.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_value_outliers" -> ((s: SparkSession, dir: String) =>
+      valueOutliers(s, dir, materialize = _.localCheckpoint())),
     "q79_funnel" -> (funnel _),
     "q80_cohort_retention" -> (cohortRetention _),
     "q81_hourly_anomalies" -> (hourlyAnomalies _),
@@ -414,6 +470,7 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_value_outliers" -> valueOutliersSql,
     "q79_funnel" -> funnelSql,
     "q80_cohort_retention" -> cohortRetentionSql,
     "q81_hourly_anomalies" -> hourlyAnomaliesSql,
