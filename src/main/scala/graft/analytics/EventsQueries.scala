@@ -454,7 +454,44 @@ object EventsQueries {
       |FROM dev d JOIN mad a USING (event_type)
       |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Platform-wide click pressure before each purchase — a GLOBAL
+    * interval join (no user equality, unlike q84): every click within
+    * the 30 minutes preceding any purchase. Written NAIVELY as a
+    * BETWEEN join — the formulation Spark plans as a broadcast
+    * nested-loop, O(|clicks|·|purchases|) — and rescued by
+    * [[graft.plans.RangeJoinRule]], which rewrites it to the bucketed
+    * equi join automatically (plan-guarded in `RangeJoinRuleSpec` /
+    * `PlanShapeSpec`). Runs on a child session so the bucket-width
+    * conf (1800 s = the interval width → ≤2 buckets per interval)
+    * scopes to this query alone. */
+  def platformClickPressure(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.graft.rangeJoin.bucketWidth", "1800")
+    val ev = Tables.events(s2, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(unix_timestamp(col("ts")).as("cs"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        unix_timestamp(col("ts")).as("ps"))
+    p.join(c, col("cs") >= col("ps") - 1800 && col("cs") <= col("ps"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("purchase_id")
+  }
+
+  val platformClickPressureSql: String =
+    """WITH c AS (SELECT epoch(date_trunc('second', ts)) AS cs
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id,
+      |    epoch(date_trunc('second', ts)) AS ps
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      |FROM p JOIN c ON cs >= ps - 1800 AND cs <= ps
+      |GROUP BY 1 ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_platform_click_pressure" -> (platformClickPressure _),
     "q95_value_outliers" -> ((s: SparkSession, dir: String) =>
       valueOutliers(s, dir, materialize = _.localCheckpoint())),
     "q79_funnel" -> (funnel _),
@@ -470,6 +507,7 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_platform_click_pressure" -> platformClickPressureSql,
     "q95_value_outliers" -> valueOutliersSql,
     "q79_funnel" -> funnelSql,
     "q80_cohort_retention" -> cohortRetentionSql,

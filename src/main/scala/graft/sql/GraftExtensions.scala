@@ -59,5 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
       (children: Seq[Expression]) =>
         MisraGries(children.head, intLit(children(1), "misra_gries"))))
+    // conf-gated (spark.graft.rangeJoin.bucketWidth): rewrites non-equi
+    // interval joins to bucketed equi joins — see RangeJoinRule
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))
   }
 }

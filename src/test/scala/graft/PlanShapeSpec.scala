@@ -253,6 +253,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate set must broadcast into the exact pass:\n$plan")
   }
 
+  test("q96 naive BETWEEN join is auto-rewritten: no nested-loop, no cartesian") {
+    val df = graft.analytics.EventsQueries.platformClickPressure(spark, sf)
+    val plan = planText(df)
+    assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+    assert(plan.contains("explode"), s"bucketization missing:\n$plan")
+  }
+
   test("q67/q71/q72 join-back statistics stay equi-join (never cartesian)") {
     Seq(
       "q67" -> graft.llm.LlmQueries.dupNgrams(spark, sf),
