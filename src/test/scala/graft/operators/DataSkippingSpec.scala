@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import java.nio.file.Files
+
+/** File-level min/max skipping: pruned read touches strictly fewer
+  * files on a clustered layout, results equal the full filtered scan,
+  * and stale-index additions stay correct (read unconditionally).
+  */
+class DataSkippingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pruned probe reads fewer files, same rows, on a sorted layout") {
+    val path = Files.createTempDirectory("skip").resolve("t").toString
+    // 10 files, each covering a disjoint 100-value range of k
+    (0L until 1000L).map(i => (i, s"r$i")).toDF("k", "s")
+      .repartitionByRange(10, col("k")).sortWithinPartitions("k")
+      .write.parquet(path)
+    DataSkipping.writeIndex(spark, path, Seq("k"))
+
+    val pruned = DataSkipping.readPruned(spark, path, "k", 250L, 260L)
+    val full = spark.read.parquet(path).filter(col("k").between(250, 260))
+    assert(pruned.inputFiles.length < spark.read.parquet(path).inputFiles.length,
+      "probe must not open every file")
+    assert(pruned.inputFiles.length <= 2)
+    assert(pruned.orderBy("k").collect().toSeq ==
+      full.orderBy("k").collect().toSeq)
+  }
+
+  test("files appended after indexing are read unconditionally (stale-safe)") {
+    val path = Files.createTempDirectory("skip2").resolve("t").toString
+    (0L until 100L).map(i => (i, "old")).toDF("k", "s").coalesce(1)
+      .write.parquet(path)
+    DataSkipping.writeIndex(spark, path, Seq("k"))
+    // append a file the index has never seen, holding in-range rows
+    Seq((50L, "new")).toDF("k", "s").coalesce(1)
+      .write.mode("append").parquet(path)
+    val got = DataSkipping.readPruned(spark, path, "k", 50L, 50L)
+      .select("s").as[String].collect().sorted.toSeq
+    assert(got == Seq("new", "old"))
+  }
+
+  test("fully out-of-range probe returns an empty frame with the schema") {
+    val path = Files.createTempDirectory("skip3").resolve("t").toString
+    (0L until 100L).map(i => (i, "x")).toDF("k", "s").coalesce(1)
+      .write.parquet(path)
+    DataSkipping.writeIndex(spark, path, Seq("k"))
+    val got = DataSkipping.readPruned(spark, path, "k", 5000L, 6000L)
+    assert(got.columns.toSeq == Seq("k", "s"))
+    assert(got.count() == 0)
+  }
+
+  test("index rebuild via versioned publish is atomic history") {
+    val path = Files.createTempDirectory("skip4").resolve("t").toString
+    (0L until 10L).map(i => (i, "x")).toDF("k", "s").coalesce(1)
+      .write.parquet(path)
+    DataSkipping.writeIndex(spark, path, Seq("k"))
+    DataSkipping.writeIndex(spark, path, Seq("k"))
+    assert(graft.warehouse.VersionedTable
+      .currentVersion(spark, path + "__stats").contains(1L))
+  }
+}
