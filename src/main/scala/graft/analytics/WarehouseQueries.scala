@@ -292,6 +292,53 @@ object WarehouseQueries {
        |GROUP BY band ORDER BY band""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q97
+  /** The full lake read path under the oracle gate: lineitem rewritten
+    * Z-ORDERED by (ship day, price) into 16 files, a per-file min/max
+    * stats index published beside it ([[graft.operators.DataSkipping]]),
+    * then a one-month probe that reads ONLY the files whose ship-day
+    * range overlaps — and must still produce values bit-identical to
+    * DuckDB's filtered scan of the ORIGINAL table. Layout + index
+    * build once per (JVM, sf) and amortize over probes, mirroring how
+    * OPTIMIZE amortizes over queries at 100 TB. */
+  private val prunedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def prunedShipdateProbe(s: SparkSession, dir: String): DataFrame = {
+    val layout = prunedLayouts.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-zorder")
+        .resolve("lineitem").toString
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("ship_days",
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01")))
+      graft.operators.ZOrder.writeZOrdered(li, p,
+        Seq("ship_days", "l_extendedprice"), nFiles = 16)
+      graft.operators.DataSkipping.writeIndex(s, p, Seq("ship_days"))
+      p
+    })
+    val lo = java.time.LocalDate.of(1995, 3, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1995, 3, 31).toEpochDay
+    graft.operators.DataSkipping.readPruned(s, layout, "ship_days", lo, hi)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(graft.functions.Exact.dec(col("l_quantity"), 12, 2))
+          .cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        sum(graft.functions.Exact.dec(col("l_extendedprice"), 12, 2))
+          .cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val prunedShipdateProbeSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q94
   /** One-pass column profile of `orders` — see
     * [[graft.operators.TableProfile]]. */
@@ -317,6 +364,7 @@ object WarehouseQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_profile_orders" -> (profileOrders _),
+    "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q36_asof_dim_lookup" -> (asofDimLookup _),
     "q37_salted_enrich" -> (saltedEnrich _),
     "q38_price_band_join" -> (priceBandJoin _),
@@ -330,6 +378,7 @@ object WarehouseQueries {
 
   val oracles: Map[String, String] = Map(
     "q94_profile_orders" -> profileOrdersSql,
+    "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,
     "q36_asof_dim_lookup" -> asofDimLookupSql,
     "q37_salted_enrich" -> saltedEnrichSql,
     "q38_price_band_join" -> priceBandJoinSql,
