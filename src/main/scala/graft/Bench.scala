@@ -38,20 +38,23 @@ object Bench {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
           .agg(sum("__h")).head()
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop blocks the query materialized (localCheckpoint/persist
-        // hooks) OUTSIDE the timed region: left to the weak-ref
-        // ContextCleaner they pile up across the 4-pass suite until one
-        // arbitrary query absorbs the resulting full-GC + cleaner flush
-        // (q76 6.3s in r4 at 8g, q66 6.5s at 16g — roving with heap
-        // size; both ~1s in isolation)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        Some(dt)
+        Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .replaceAll("\\s+", " ").take(200)
-        None }
+        None
+      } finally {
+        // drop blocks the query materialized (localCheckpoint/persist
+        // hooks) OUTSIDE the timed region — and on the FAILURE path
+        // too (a query that checkpoints then throws would otherwise
+        // pin its blocks for the rest of the suite): left to the
+        // weak-ref ContextCleaner they pile up across the 4-pass suite
+        // until one arbitrary query absorbs the resulting full-GC +
+        // cleaner flush (q76 6.3s in r4 at 8g, q66 6.5s at 16g —
+        // roving with heap size; both ~1s in isolation)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
 
     names.foreach(timeOne(_)) // warmup pass, discarded

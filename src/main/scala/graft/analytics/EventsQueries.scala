@@ -304,14 +304,21 @@ object EventsQueries {
       |r AS (SELECT event_type, hv,
       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
       |    COUNT(*) OVER (PARTITION BY event_type) AS nd
-      |  FROM h)
-      |SELECT event_type, CAST(LEAST(nd, 32) AS BIGINT) AS n_hashes,
+      |  FROM h),
+      |-- exact_distinct counts USERS, not hashes: the Spark side is
+      |-- countDistinct(user_id), and a latent 48-bit prefix collision
+      |-- must not make the 'exact' column diverge between engines
+      |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+      |    AS exact_distinct
+      |  FROM events GROUP BY 1)
+      |SELECT r.event_type, CAST(LEAST(nd, 32) AS BIGINT) AS n_hashes,
       |  CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
       |       ELSE 31.0 * 281474976710656 / CAST(hv AS DOUBLE) END
       |    AS est_distinct,
-      |  CAST(nd AS BIGINT) AS exact_distinct
-      |FROM r WHERE rn = LEAST(nd, 32)
-      |ORDER BY event_type""".stripMargin
+      |  x.exact_distinct
+      |FROM r JOIN x ON r.event_type = x.event_type
+      |WHERE rn = LEAST(nd, 32)
+      |ORDER BY r.event_type""".stripMargin
 
   // ---------------------------------------------------------------- q84
   /** Click->purchase attribution (batch twin of the streaming

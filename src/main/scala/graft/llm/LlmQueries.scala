@@ -841,8 +841,12 @@ object LlmQueries {
     * metadata-sized. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // the exact ranking is the DOMINANT brute-force scan and feeds four
+    // branches (nex + hits, per method) — checkpoint its queries×k-row
+    // output so the scan runs once (the Dedup.dedupCorpus hook pattern)
     val exact = Similarity.cosineTopK(e, knnQueryIds, k = 10)
       .select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
     def recallOf(method: String, approx: DataFrame): DataFrame = {
       val nex = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
       val hits = exact

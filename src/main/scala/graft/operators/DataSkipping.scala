@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
 /** File-level min/max data skipping — the metadata half of the
   * [[ZOrder]] story (Delta calls the pair OPTIMIZE ZORDER + data
@@ -57,13 +58,24 @@ object DataSkipping {
                  lo: Any, hi: Any): DataFrame = {
     val idx = graft.warehouse.VersionedTable.read(spark, indexPath(path))
     val all = spark.read.parquet(path)
-    val current = all.select(col("_metadata.file_path").as("file"))
-      .distinct().collect().map(_.getString(0))
-    val indexed = idx.select(col("file")).collect().map(_.getString(0)).toSet
+    // live file set from the DRIVER-side file index (no Spark job, no
+    // footer opens — enumerating via a _metadata scan would cost the
+    // very footer round-trips this operator exists to skip); index
+    // entries came from _metadata.file_path which spells an empty
+    // authority as "file:/x" while inputFiles spells it "file:///x" —
+    // compare on (scheme, authority, path), not the raw string
+    def norm(s: String): String = {
+      val u = new Path(s).toUri
+      Seq(Option(u.getScheme).getOrElse(""),
+        Option(u.getAuthority).getOrElse(""), u.getPath).mkString("|")
+    }
+    val current = all.inputFiles.toSeq
+    val indexed = idx.select(col("file")).collect()
+      .map(r => norm(r.getString(0))).toSet
     val matching = idx
       .filter(col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi))
-      .select(col("file")).collect().map(_.getString(0)).toSet
-    val files = current.filter(f => !indexed.contains(f) || matching.contains(f))
+      .select(col("file")).collect().map(r => norm(r.getString(0))).toSet
+    val files = current.filter(f => !indexed.contains(norm(f)) || matching.contains(norm(f)))
     val pruned =
       if (files.isEmpty)
         // empty relation with the right schema

@@ -35,28 +35,36 @@ object TableProfile {
       case _: NumericType => true
       case _ => false
     }
-    def q(n: String) = s"`$n`"
+    // user column names never enter a parsed context: the frame is
+    // positionally renamed to namespaced index names first (a legal
+    // name may contain quotes/backticks/dots), and internal aliases
+    // are index-based so no user column can collide with an alias
+    // another column produces; original names survive only as output
+    // LITERALS
+    val P = "__graft_profile_"
+    val safe = df.toDF(fields.indices.map(i => s"${P}c$i"): _*)
     val aggs =
-      count(lit(1)).as("__n") +: fields.flatMap { f =>
-        val c = col(q(f.name))
-        Seq(count(c).as(s"__cnt_${f.name}"),
-          countDistinct(c).as(s"__nd_${f.name}")) ++
+      count(lit(1)).as(s"${P}n") +: fields.zipWithIndex.flatMap { case (f, i) =>
+        val c = col(s"${P}c$i")
+        Seq(count(c).as(s"${P}cnt_$i"),
+          countDistinct(c).as(s"${P}nd_$i")) ++
           (if (isNum(f.dataType))
-            Seq(min(c).cast("double").as(s"__min_${f.name}"),
-              max(c).cast("double").as(s"__max_${f.name}"))
+            Seq(min(c).cast("double").as(s"${P}min_$i"),
+              max(c).cast("double").as(s"${P}max_$i"))
           else Nil)
       }
-    val agged = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = fields.map { f =>
-      val minMax =
-        if (isNum(f.dataType)) s"${q("__min_" + f.name)}, ${q("__max_" + f.name)}"
-        else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
-      s"'${f.name}', __n - ${q("__cnt_" + f.name)}, ${q("__nd_" + f.name)}, $minMax"
-    }.mkString(", ")
-    agged.select(col("__n"), expr(
-        s"stack(${fields.length}, $stackArgs) " +
-          "AS (col_name, n_nulls, n_distinct, min_num, max_num)"))
-      .select(col("col_name"), col("__n").as("n_rows"), col("n_nulls"),
+    val agged = safe.agg(aggs.head, aggs.tail: _*)
+    val nullD = lit(null).cast("double")
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      struct(
+        lit(f.name).as("col_name"),
+        (col(s"${P}n") - col(s"${P}cnt_$i")).as("n_nulls"),
+        col(s"${P}nd_$i").as("n_distinct"),
+        (if (isNum(f.dataType)) col(s"${P}min_$i") else nullD).as("min_num"),
+        (if (isNum(f.dataType)) col(s"${P}max_$i") else nullD).as("max_num"))
+    }
+    agged.select(col(s"${P}n").as("n_rows"), inline(array(rows: _*)))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_num"), col("max_num"))
       .orderBy("col_name")
   }

@@ -27,12 +27,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * to the nested-loop plan.
   *
   * Opt-in via `spark.graft.rangeJoin.bucketWidth` (value units of the
-  * join bounds; unset/<=0 disables). Width trades interval-side
-  * replication (⌈interval/width⌉ + 1 rows) against bucket
-  * selectivity — set it near the typical interval width. The rewrite
-  * is correct for ANY positive width: null or inverted bounds
-  * generate buckets that the exact predicate then empties, matching
-  * the nested-loop result. Fires only on INNER joins with deterministic
+  * join bounds; unset/unparsable/<=0 disables). Width trades
+  * interval-side replication (⌈interval/width⌉ + 1 rows) against
+  * bucket selectivity — set it near the typical interval width. The
+  * rewrite is row-correct for any positive width: null or inverted
+  * bounds generate buckets that the exact predicate then empties,
+  * matching the nested-loop result; a width so far below an
+  * interval's span that one row would explode into more than
+  * `spark.graft.rangeJoin.maxBucketsPerRow` (default 100k) buckets
+  * fails fast with the knob named rather than materializing the
+  * degenerate array. Fires only on INNER joins with deterministic
   * conditions and numeric bounds, and never on a join that already
   * has a cross-side equality (those hash-partition fine as-is, with
   * the range predicate evaluated inside the equi join); it inserts an
@@ -42,15 +46,22 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
   private val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+  private val MaxBucketsConf = "spark.graft.rangeJoin.maxBucketsPerRow"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    spark.conf.getOption(WidthConf).map(_.toDouble).filter(_ > 0) match {
+    // toDoubleOption: a malformed width must read as "disabled", not
+    // poison every query on the session from inside the optimizer
+    spark.conf.getOption(WidthConf).flatMap(_.toDoubleOption).filter(_ > 0) match {
       case None => plan
       case Some(w) => plan.transformUp {
         case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>
           rewrite(j, w).getOrElse(j)
       }
     }
+
+  private def maxBuckets: Long =
+    spark.conf.getOption(MaxBucketsConf).flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(100000L)
 
   /** (point value, lower bound, upper bound, pointIsLeft) if the join
     * condition is range-shaped: bounds conjuncts across sides, no
@@ -102,10 +113,24 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       val pointProj = Project(point.output :+ pBk, point)
       val genOut = AttributeReference("__graft_range_bk_i", LongType)()
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
-      // stays unresolved post-analysis (ResolveTimeZone already ran)
+      // stays unresolved post-analysis (ResolveTimeZone already ran).
+      // The bucket count per interval row is bounded: a width far below
+      // the interval span (or an infinite bound) would otherwise
+      // materialize a degenerate per-row array where the original
+      // nested-loop plan would have completed — fail fast with the
+      // offending knob named instead of OOMing mid-stage.
+      val bLo = bucketOf(lo)
+      val bHi = bucketOf(hi)
+      val seq = Sequence(bLo, bHi, None, Some(conf.sessionLocalTimeZone))
+      val guarded = If(
+        LessThanOrEqual(Subtract(bHi, bLo), Literal(maxBuckets)),
+        seq,
+        Cast(new RaiseError(Literal(
+          s"range-join bucketization would explode an interval into more " +
+            s"than $maxBuckets buckets; raise $WidthConf (or " +
+            s"$MaxBucketsConf) or disable the rule")), seq.dataType))
       val intervalGen = Generate(
-        Explode(Sequence(bucketOf(lo), bucketOf(hi), None,
-          Some(conf.sessionLocalTimeZone))),
+        Explode(guarded),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(genOut), child = interval)
       val newCond = And(EqualTo(pBk.toAttribute, genOut), j.condition.get)

@@ -103,6 +103,26 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("an interval exploding past maxBucketsPerRow fails fast, named knob") {
+    val wide = Seq((1L, 0L, 10_000_000L)).toDF("iid", "lo", "hi")
+    withWidth("1") {
+      val e = intercept[Exception] {
+        points.join(wide, naiveCond(points, wide)).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("rangeJoin")), s"got: $e")
+    }
+  }
+
+  test("a malformed width conf disables the rule instead of poisoning queries") {
+    withWidth("30s") {
+      val df = points.join(intervals, naiveCond(points, intervals))
+      assert(planOf(df).contains("nestedloop") || planOf(df).contains("cartesian"))
+      assert(pairs(df).nonEmpty)
+    }
+  }
+
   test("disabled (conf unset) leaves the nested-loop plan alone") {
     val df = points.join(intervals, naiveCond(points, intervals))
     assert(planOf(df).contains("nestedloop") || planOf(df).contains("cartesian"))
