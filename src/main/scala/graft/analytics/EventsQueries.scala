@@ -475,6 +475,25 @@ object EventsQueries {
   def platformClickPressure(s: SparkSession, dir: String): DataFrame = {
     val s2 = s.newSession()
     s2.conf.set("spark.graft.rangeJoin.bucketWidth", "1800")
+    clickPressureNaive(s2, dir)
+  }
+
+  // ---------------------------------------------------------------- q98
+  /** The SAME naive interval join planned through the OTHER range-join
+    * path: [[graft.plans.BroadcastRangeJoinStrategy]] — the purchase
+    * (interval) side is dimension-small here, so it broadcasts sorted
+    * and each click probes by binary search; no shuffle, no bucket
+    * replication. Same oracle text as q96: the two optimizations must
+    * agree bit-for-bit with each other AND with DuckDB. */
+  def platformClickPressureBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.graft.rangeJoin.broadcast", "true")
+    clickPressureNaive(s2, dir)
+  }
+
+  /** The naive BETWEEN formulation q96 and q98 both feed their
+    * configured sessions. */
+  private def clickPressureNaive(s2: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s2, dir)
     val c = ev.filter(col("event_type") === "click")
       .select(unix_timestamp(col("ts")).as("cs"))
@@ -499,6 +518,7 @@ object EventsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_platform_click_pressure" -> (platformClickPressure _),
+    "q98_click_pressure_broadcast" -> (platformClickPressureBroadcast _),
     "q95_value_outliers" -> ((s: SparkSession, dir: String) =>
       valueOutliers(s, dir, materialize = _.localCheckpoint())),
     "q79_funnel" -> (funnel _),
@@ -515,6 +535,7 @@ object EventsQueries {
 
   val oracles: Map[String, String] = Map(
     "q96_platform_click_pressure" -> platformClickPressureSql,
+    "q98_click_pressure_broadcast" -> platformClickPressureSql,
     "q95_value_outliers" -> valueOutliersSql,
     "q79_funnel" -> funnelSql,
     "q80_cohort_retention" -> cohortRetentionSql,

@@ -42,31 +42,21 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * the range predicate evaluated inside the equi join); it inserts an
   * equality conjunct, so it cannot re-fire on its own output.
   */
-case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
-    with PredicateHelper {
+/** The shared shape detector for the range-join optimizations: the
+  * rule ([[RangeJoinRule]]) and the broadcast strategy
+  * ([[BroadcastRangeJoinStrategy]]) both recognize exactly this
+  * pattern, so whichever is enabled claims the same class of joins.
+  *
+  * Matches an INNER join whose condition contains a lower and an
+  * upper bound on the same point expression, bounds from the other
+  * side, all numeric — and NO cross-side equality conjunct (an equi
+  * join hash-partitions fine as-is). Returns
+  * (point value, lower bound, upper bound, pointIsLeft). */
+object RangeJoinPattern extends PredicateHelper {
 
-  private val WidthConf = "spark.graft.rangeJoin.bucketWidth"
-  private val MaxBucketsConf = "spark.graft.rangeJoin.maxBucketsPerRow"
-
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    // toDoubleOption: a malformed width must read as "disabled", not
-    // poison every query on the session from inside the optimizer
-    spark.conf.getOption(WidthConf).flatMap(_.toDoubleOption).filter(_ > 0) match {
-      case None => plan
-      case Some(w) => plan.transformUp {
-        case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>
-          rewrite(j, w).getOrElse(j)
-      }
-    }
-
-  private def maxBuckets: Long =
-    spark.conf.getOption(MaxBucketsConf).flatMap(_.toLongOption)
-      .filter(_ > 0).getOrElse(100000L)
-
-  /** (point value, lower bound, upper bound, pointIsLeft) if the join
-    * condition is range-shaped: bounds conjuncts across sides, no
-    * cross-side equality, numeric types. */
-  private def rangePattern(j: Join): Option[(Expression, Expression, Expression, Boolean)] = {
+  def unapply(j: Join): Option[(Expression, Expression, Expression, Boolean)] = {
+    if (j.joinType != Inner || j.condition.isEmpty ||
+      !j.condition.get.deterministic) return None
     val conjuncts = splitConjunctivePredicates(j.condition.get)
     def fromLeft(e: Expression) = e.references.subsetOf(j.left.outputSet)
     def fromRight(e: Expression) = e.references.subsetOf(j.right.outputSet)
@@ -102,9 +92,31 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     } yield (v, lo, hi, pointIsLeft)
     candidates.headOption
   }
+}
+
+case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  private val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+  private val MaxBucketsConf = "spark.graft.rangeJoin.maxBucketsPerRow"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // toDoubleOption: a malformed width must read as "disabled", not
+    // poison every query on the session from inside the optimizer
+    spark.conf.getOption(WidthConf).flatMap(_.toDoubleOption).filter(_ > 0) match {
+      case None => plan
+      case Some(w) => plan.transformUp {
+        case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>
+          rewrite(j, w).getOrElse(j)
+      }
+    }
+
+  private def maxBuckets: Long =
+    spark.conf.getOption(MaxBucketsConf).flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(100000L)
 
   private def rewrite(j: Join, w: Double): Option[LogicalPlan] =
-    rangePattern(j).map { case (v, lo, hi, pointIsLeft) =>
+    RangeJoinPattern.unapply(j).map { case (v, lo, hi, pointIsLeft) =>
       val wLit = Literal(w, DoubleType)
       def bucketOf(e: Expression): Expression =
         Floor(Divide(Cast(e, DoubleType), wLit)) // LongType out

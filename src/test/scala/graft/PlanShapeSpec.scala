@@ -261,6 +261,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("explode"), s"bucketization missing:\n$plan")
   }
 
+  test("q98 same join plans as the physical broadcast range join") {
+    val df = graft.analytics.EventsQueries
+      .platformClickPressureBroadcast(spark, sf)
+    val plan = planText(df)
+    assert(plan.contains("broadcastrangejoin"), s"plan:\n$plan")
+    assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
+  }
+
   test("q67/q71/q72 join-back statistics stay equi-join (never cartesian)") {
     Seq(
       "q67" -> graft.llm.LlmQueries.dupNgrams(spark, sf),
