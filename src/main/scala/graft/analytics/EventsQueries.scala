@@ -516,7 +516,39 @@ object EventsQueries {
       |FROM p JOIN c ON cs >= ps - 1800 AND cs <= ps
       |GROUP BY 1 ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** SLIDING-window rates: 1-hour windows advancing every 15 minutes
+    * (q20's tumbling twin — the other streaming-native window shape).
+    * Spark expands each event into hour/slide = 4 window copies before
+    * the aggregate; the oracle mirrors that expansion with an explicit
+    * k ∈ 0..3 series. Every event lands in exactly 4 windows (slide
+    * divides the length), so the expansion factor — the real cost of
+    * sliding windows at 100 TB — is visible and bounded in both
+    * engines. */
+  def slidingEventRates(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney(col("value")).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val slidingEventRatesSql: String =
+    """WITH e AS (SELECT event_type, value,
+      |    CAST(floor(epoch(date_trunc('second', ts)) / 900) AS BIGINT) * 900
+      |      AS floor15
+      |  FROM events),
+      |x AS (SELECT event_type, value,
+      |    make_timestamp((floor15 - k * 900) * 1000000) AS window_start
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+      |SELECT window_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_sliding_event_rates" -> (slidingEventRates _),
     "q96_platform_click_pressure" -> (platformClickPressure _),
     "q98_click_pressure_broadcast" -> (platformClickPressureBroadcast _),
     "q95_value_outliers" -> ((s: SparkSession, dir: String) =>
@@ -534,6 +566,7 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q99_sliding_event_rates" -> slidingEventRatesSql,
     "q96_platform_click_pressure" -> platformClickPressureSql,
     "q98_click_pressure_broadcast" -> platformClickPressureSql,
     "q95_value_outliers" -> valueOutliersSql,
