@@ -788,6 +788,48 @@ object Analytics {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
       |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  /** TPC-H Q14 pattern — promo revenue share per ship month: the
+    * conditional-sum / total-sum ratio computed in ONE aggregation
+    * pass (two decimal sums share the shuffle; no second scan, no
+    * join back). Both sums stay exact decimal to the end; the ratio
+    * is formed identically in both engines (CAST to double, *100,
+    * divide — left-associative), so the surfaced doubles are
+    * bit-equal. Part side broadcasts. */
+  def promoRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice"), 12, 2) *
+      dec(lit(1.0) - col("l_discount"), 4, 2)
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(17,4)"))).as("promo"),
+        sum(rev).as("total"))
+      .select(col("ship_month"),
+        (col("promo").cast("double") * 100.0 / col("total").cast("double"))
+          .as("promo_share_pct"),
+        col("promo").cast("double").as("promo_revenue"))
+      .orderBy("ship_month")
+  }
+
+  val promoRevenueShareSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           CAST(1.0 - l_discount AS DECIMAL(4,2))
+      |      ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE) * 100.0 /
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |    AS promo_share_pct,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           CAST(1.0 - l_discount AS DECIMAL(4,2))
+      |      ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -818,6 +860,7 @@ object Analytics {
     "q87_sole_last_shipper" -> (soleLastShipper _),
     "q88_dormant_value_customers" -> (dormantValueCustomers _),
     "q89_promo_disjunction_revenue" -> (promoDisjunctionRevenue _),
+    "q100_promo_revenue_share" -> (promoRevenueShare _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -848,5 +891,6 @@ object Analytics {
     "q87_sole_last_shipper" -> soleLastShipperSql,
     "q88_dormant_value_customers" -> dormantValueCustomersSql,
     "q89_promo_disjunction_revenue" -> promoDisjunctionRevenueSql,
+    "q100_promo_revenue_share" -> promoRevenueShareSql,
   )
 }
