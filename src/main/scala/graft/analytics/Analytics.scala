@@ -830,6 +830,37 @@ object Analytics {
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |GROUP BY 1 ORDER BY ship_month""".stripMargin
 
+  // --------------------------------------------------------------- q101
+  /** Explicit GROUPING SETS (the general form behind q09's ROLLUP and
+    * q18's CUBE): a hand-picked lattice — both keys, each key alone,
+    * grand total — via the Spark 4 `Dataset.groupingSets` API. One
+    * Expand (x4) + one aggregate; keys COALESCE to 'ALL' before the
+    * sort, the cross-engine null-ordering dodge all the lattice
+    * queries share (Spark sorts NULLS FIRST, DuckDB NULLS LAST). */
+  def returnStatusGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("total_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n_items"), col("total_qty"))
+      .orderBy("rflag", "lstatus")
+  }
+
+  val returnStatusGroupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus), ())
+      |ORDER BY rflag, lstatus""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -861,6 +892,7 @@ object Analytics {
     "q88_dormant_value_customers" -> (dormantValueCustomers _),
     "q89_promo_disjunction_revenue" -> (promoDisjunctionRevenue _),
     "q100_promo_revenue_share" -> (promoRevenueShare _),
+    "q101_grouping_sets" -> (returnStatusGroupingSets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -892,5 +924,6 @@ object Analytics {
     "q88_dormant_value_customers" -> dormantValueCustomersSql,
     "q89_promo_disjunction_revenue" -> promoDisjunctionRevenueSql,
     "q100_promo_revenue_share" -> promoRevenueShareSql,
+    "q101_grouping_sets" -> returnStatusGroupingSetsSql,
   )
 }
