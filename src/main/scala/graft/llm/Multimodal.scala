@@ -81,6 +81,46 @@ object Multimodal {
       .mapPartitions(_.map(resizeStub(_, w, h)))
   }
 
+  /** Average-hash perceptual fingerprint over the (stub-)decoded
+    * pixels: resize to 8x8 "pixels", threshold each against the mean,
+    * pack to a 64-bit hash. Visually-near-identical media differ in
+    * few bits even when bytes differ — the media tier of the dedup
+    * ladder (simhash is the text analogue). Narrow per-partition
+    * map, no shuffle; a real pHash (DCT low-frequency) swaps in at
+    * the same seam as the decoder. */
+  def perceptualHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val px = resizeStub(r, 8, 8).payload.map(_ & 0xff)
+        val mean = px.sum.toDouble / px.length
+        val bits = px.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+          if (p >= mean) acc | (1L << i) else acc
+        }
+        (r.doc_id, bits)
+      }).toDF("doc_id", "phash")
+  }
+
+  /** Media near-dup pairs: hash pairs within `maxHamming` bits. The
+    * pair search buckets on the TOP 16 hash bits before comparing —
+    * visually-close stubs agree on high bits far more often than
+    * random — so the join is a bucketed equi join plus an exact
+    * popcount trim, never all-pairs (same posture as the text LSH
+    * tiers; recall beyond the bucket is traded for the bound, as with
+    * any banding scheme). */
+  def phashNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 6): DataFrame = {
+    val h = perceptualHash(spark, media)
+      .withColumn("band", shiftright(col("phash"), 48))
+    val l = h.select(col("band"), col("doc_id").as("a"), col("phash").as("ha"))
+    val r = h.select(col("band"), col("doc_id").as("b"), col("phash").as("hb"))
+    l.join(r, Seq("band"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
   /** Frame sampling for video-like payloads: the payload is treated as

@@ -331,6 +331,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(frames.head.payload.toSeq === "the ".getBytes("UTF-8").toSeq)
   }
 
+  test("multimodal perceptual hash: identical payloads collide, near pairs found, no cartesian") {
+    val media = Multimodal.asMediaTable(docsDf)
+    val hashes = Multimodal.perceptualHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L)) // byte-identical payloads
+    val pairs = Multimodal.phashNearDupPairs(spark, media, maxHamming = 0)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((1L, 2L)))
+    val plan = pairs.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+    // hamming radius widens monotonically
+    val n0 = pairs.count()
+    val n6 = Multimodal.phashNearDupPairs(spark, media, maxHamming = 6).count()
+    assert(n6 >= n0)
+  }
+
   test("language id is deterministic and self-consistent on one-lang corpus") {
     val out = TextStats.langId(docsDf).collect()
     assert(out.length === 5)
