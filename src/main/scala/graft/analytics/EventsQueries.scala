@@ -488,6 +488,11 @@ object EventsQueries {
   def platformClickPressureBroadcast(s: SparkSession, dir: String): DataFrame = {
     val s2 = s.newSession()
     s2.conf.set("spark.graft.rangeJoin.broadcast", "true")
+    // without CBO the purchase side inherits the FULL events file size
+    // through Filter/Project, so at bench scale the default 10MB
+    // threshold would silently fall back to the nested-loop plan this
+    // query exists to avoid; the child session scopes the raise
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
     clickPressureNaive(s2, dir)
   }
 

@@ -73,9 +73,13 @@ object CorpusPipeline {
       .join(splits, Seq("doc_id"), "left")
       .join(packed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"), col("quality_score"),
-        when(!col("q_keep"), lit("dropped:quality"))
+        // coalesce: a null quality verdict (null text null-propagates
+        // through the score arithmetic) must read as a quality DROP,
+        // not a null status that vanishes from every accounting slice
+        when(!coalesce(col("q_keep"), lit(false)), lit("dropped:quality"))
           .when(!col("d_keep"), concat(lit("dropped:"), col("drop_reason")))
           .when(col("contaminated"), lit("dropped:contaminated"))
+          .when(col("split").isNull, lit("error:unaccounted"))
           .otherwise(concat(lit("kept:"), col("split"))).as("status"),
         col("split"), col("bin"), col("start_offset"))
   }

@@ -101,21 +101,42 @@ object Multimodal {
       }).toDF("doc_id", "phash")
   }
 
-  /** Media near-dup pairs: hash pairs within `maxHamming` bits. The
-    * pair search buckets on the TOP 16 hash bits before comparing —
-    * visually-close stubs agree on high bits far more often than
-    * random — so the join is a bucketed equi join plus an exact
-    * popcount trim, never all-pairs (same posture as the text LSH
-    * tiers; recall beyond the bucket is traded for the bound, as with
-    * any banding scheme). */
+  /** Media near-dup pairs: hash pairs within `maxHamming` bits, with
+    * GUARANTEED recall — the 64 hash bits split into `maxHamming + 1`
+    * bands, pairs agreeing on ANY whole band become candidates
+    * (pigeonhole: ≤ maxHamming differing bits cannot touch all
+    * maxHamming+1 bands, so every true pair shares at least one), and
+    * the exact popcount trims the rest. Each band join is a bucketed
+    * equi join — never all-pairs — and the hash frame feeds both
+    * sides of the self-join, so `materialize` (the shared scale-hook
+    * pattern) pins the decode+hash stage to ONE corpus pass. */
   def phashNearDupPairs(spark: SparkSession, media: DataFrame,
-                        maxHamming: Int = 6): DataFrame = {
-    val h = perceptualHash(spark, media)
-      .withColumn("band", shiftright(col("phash"), 48))
-    val l = h.select(col("band"), col("doc_id").as("a"), col("phash").as("ha"))
-    val r = h.select(col("band"), col("doc_id").as("b"), col("phash").as("hb"))
-    l.join(r, Seq("band"))
+                        maxHamming: Int = 6,
+                        materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming ($maxHamming)")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val bandVals = array((0 until nBands).map { b =>
+      val lowBit = b * width
+      // the last band absorbs the 64 % nBands remainder bits
+      val w = if (b == nBands - 1) 64 - lowBit else width
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      struct(lit(b).as("band"),
+        shiftright(col("phash"), lowBit).bitwiseAND(lit(mask)).as("bv"))
+    }: _*)
+    val h = materialize(perceptualHash(spark, media))
+    val banded = h.select(col("doc_id"), col("phash"),
+        explode(bandVals).as("bs"))
+      .select(col("doc_id"), col("phash"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val l = banded.select(col("band"), col("bv"),
+      col("doc_id").as("a"), col("phash").as("ha"))
+    val r = banded.select(col("band"), col("bv"),
+      col("doc_id").as("b"), col("phash").as("hb"))
+    l.join(r, Seq("band", "bv"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb"))
+      .distinct() // a pair can agree on several bands
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))

@@ -44,11 +44,11 @@ case class BroadcastRangeJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
     copy(left = newLeft, right = newRight)
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val (pointPlan, intervalPlan) =
-      if (pointIsLeft) (left, right) else (right, left)
-    // build (driver-side; the strategy only fires under the broadcast
-    // size threshold): intervals sorted by lo with a prefix-max of hi
+  /** Driver-side build, computed ONCE per plan node no matter how many
+    * times the frame executes (count then collect, AQE stage retries):
+    * intervals sorted by lo with a prefix-max of hi, broadcast. */
+  private lazy val builtBroadcast = {
+    val intervalPlan = if (pointIsLeft) right else left
     val loEval = BindReferences.bindReference(
       Cast(lo, DoubleType), intervalPlan.output)
     val hiEval = BindReferences.bindReference(
@@ -74,9 +74,12 @@ case class BroadcastRangeJoinExec(
     while (i < built.length) {
       runMax = math.max(runMax, his(i)); prefixMaxHi(i) = runMax; i += 1
     }
-    val rows = built.map(_._3)
-    val bc = sparkContext.broadcast((lows, his, prefixMaxHi, rows))
+    sparkContext.broadcast((lows, his, prefixMaxHi, built.map(_._3)))
+  }
 
+  override protected def doExecute(): RDD[InternalRow] = {
+    val pointPlan = if (pointIsLeft) left else right
+    val bc = builtBroadcast
     val vExpr = Cast(v, DoubleType)
     val pointOutput = pointPlan.output
     val out = output
@@ -148,7 +151,8 @@ class BroadcastRangeJoinStrategy(spark: SparkSession) extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j @ Join(l, r, _, _, _)
-        if spark.conf.getOption(EnabledConf).contains("true") =>
+        // case-insensitive like every built-in Spark boolean conf
+        if spark.conf.getOption(EnabledConf).exists(_.equalsIgnoreCase("true")) =>
       RangeJoinPattern.unapply(j) match {
         case Some((v, lo, hi, pointIsLeft)) =>
           val interval = if (pointIsLeft) r else l

@@ -51,6 +51,16 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out(6L).startsWith("kept:"))
   }
 
+  test("null text reads as a quality drop, never a null status") {
+    val withNull = docs.unionByName(
+      Seq[(Long, String, String, String, Long)]((7L, null, "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = CorpusPipeline.curate(withNull, evalDocs).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out(7L) == "dropped:quality")
+    assert(out.values.forall(s => s != null))
+  }
+
   test("bins/offsets only for kept train docs, within capacity") {
     val rows = CorpusPipeline.curate(docs, evalDocs, capacity = 64)
       .collect()

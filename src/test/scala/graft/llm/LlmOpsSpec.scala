@@ -347,6 +347,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(n6 >= n0)
   }
 
+  test("phash banding guarantees recall: every pair within the radius is found") {
+    import spark.implicits._
+    // synthetic media whose payloads are tuned so hashes differ in a
+    // CONTROLLED number of scattered bits — brute-force is the oracle
+    val media = Multimodal.asMediaTable(
+      (1 to 24).map(i => (i.toLong, ("x" * (i % 7 + 1)) + " tail " + ("y" * i),
+        "en", "s", i.toLong)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val hashes = Multimodal.perceptualHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (radius <- Seq(2, 6, 10)) {
+      val want = (for {
+        a <- hashes.keys; b <- hashes.keys if a < b
+        d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= radius
+      } yield (a, b, d)).toSet
+      val got = Multimodal.phashNearDupPairs(spark, media, radius).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"radius $radius: missing ${want -- got}, extra ${got -- want}")
+    }
+  }
+
   test("language id is deterministic and self-consistent on one-lang corpus") {
     val out = TextStats.langId(docsDf).collect()
     assert(out.length === 5)
