@@ -549,6 +549,36 @@ object LlmQueries {
       |FROM documents d LEFT JOIN hits USING (doc_id)
       |WHERE d.doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Bloom-prefiltered decontamination: same flag semantics as q62 but
+    * through [[CorpusOps.decontaminateBloom]] — sketch probe first,
+    * exact verify join over only the bloom hits. Different slice
+    * (every 37th doc is eval) and gram width (7) so the two queries
+    * exercise the operator on distinct inputs. Output is EXACT (the
+    * verify join strips bloom false positives), so the oracle is the
+    * plain n-gram-join SQL with no bloom anywhere. */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    CorpusOps.decontaminateBloom(
+      d.filter(col("doc_id") % 37 =!= 0),
+      d.filter(col("doc_id") % 37 === 0), n = 7)
+      .orderBy("doc_id")
+  }
+
+  val bloomDecontaminateSql: String =
+    """WITH g AS (SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 7 THEN [text]
+      |    ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 6),
+      |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 6), ' '))
+      |    END)) AS g FROM documents),
+      |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 37 = 0),
+      |hits AS (SELECT doc_id, COUNT(*) AS c FROM g JOIN eg USING (g)
+      |         WHERE doc_id % 37 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, CAST(COALESCE(c, 0) AS BIGINT) AS n_shared_ngrams,
+      |  COALESCE(c, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits USING (doc_id)
+      |WHERE d.doc_id % 37 <> 0 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q63
   def hashSplit(s: SparkSession, dir: String): DataFrame =
     CorpusOps.hashSplit(docs(s, dir), trainPct = 96, valPct = 2).orderBy("doc_id")
@@ -1044,6 +1074,7 @@ object LlmQueries {
     "q60_redact_pii" -> (redactPii _),
     "q61_dedup_clusters" -> (dedupClusters _),
     "q62_decontaminate" -> (decontaminate _),
+    "q104_bloom_decontaminate" -> (bloomDecontaminate _),
     "q63_hash_split" -> (hashSplit _),
     "q64_top_terms" -> (topTerms _),
     "q65_pack_sequences" -> (packSequences _),
@@ -1087,6 +1118,7 @@ object LlmQueries {
     "q60_redact_pii" -> redactPiiSql,
     "q61_dedup_clusters" -> dedupClustersSql,
     "q62_decontaminate" -> decontaminateSql,
+    "q104_bloom_decontaminate" -> bloomDecontaminateSql,
     "q63_hash_split" -> hashSplitSql,
     "q64_top_terms" -> topTermsSql,
     "q65_pack_sequences" -> packSequencesSql,

@@ -38,6 +38,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> true, 2L -> false))
   }
 
+  test("decontaminateBloom is bit-identical to the exact path, even at fpp=0.5") {
+    // 200 train docs, 17 of them sharing a 5-gram with the eval set;
+    // fpp=0.5 forces heavy bloom false positives so the exact verify
+    // join must strip them for parity to hold.
+    val evalDocs = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta", "en", "s"),
+      (1001L, "one two three four five six seven", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val train = (0L until 200L).map { i =>
+      val text =
+        if (i % 12 == 0) s"noise $i alpha beta gamma delta epsilon trailing"
+        else s"doc $i filler words nothing shared here at all ${i * 7}"
+      (i, text, "en", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    val exact = CorpusOps.decontaminate(train, evalDocs, n = 5)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = CorpusOps.decontaminateBloom(train, evalDocs, n = 5, fpp = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom === exact)
+    assert(exact.count(_.getBoolean(2)) === 17)
+  }
+
+  test("decontaminateBloom: clean corpus yields zero contamination") {
+    val evalDocs = Seq((9L, "totally separate benchmark prompt text here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val train = (0L until 50L)
+      .map(i => (i, s"unrelated training document number $i with words", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.decontaminateBloom(train, evalDocs, n = 5, fpp = 0.01)
+      .collect()
+    assert(got.length === 50 && got.forall(!_.getBoolean(2)))
+  }
+
   test("hash split is a pure function of doc_id with consistent buckets") {
     val docs = (0L until 1000L).map(i => (i, s"text $i", "en", "s"))
       .toDF("doc_id", "text", "lang", "source")
