@@ -90,6 +90,20 @@ object EventPipelines {
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Streaming dedup on the ID ALONE, tolerating re-stamped replays:
+    * at-least-once sources often re-emit an event with a fresh
+    * timestamp, which `dropDuplicates(id, ts)` cannot catch (the key
+    * differs) and `dropDuplicates(id)` alone would catch only with
+    * unbounded state. `dropDuplicatesWithinWatermark` is the bounded
+    * middle: one state row per id, evicted once the watermark passes
+    * `ts + delay`, so a replay inside the delay window dedups even
+    * when its `ts` moved, and state stays O(ids per delay window) —
+    * the guarantee that makes the operator safe on an infinite
+    * stream. First arrival wins; output carries the winner's row. */
+  def dedupStreamWithinWatermark(events: DataFrame,
+                                 delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** ST3 streaming-native: land each micro-batch into the lake by keyed
     * merge — the streaming twin of the reference's 5-minute cron merge
     * publish (etl.py:539-565). `foreachBatch` runs the SAME

@@ -82,6 +82,36 @@ class EventPipelinesSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups re-stamped replays; state ages out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventPipelines.Event]
+    val deduped = EventPipelines.dedupStreamWithinWatermark(
+      input.toDF().withColumn("ts", col("ts").cast("timestamp")), delay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    def ev(id: Long, sec: Long) = EventPipelines.Event(
+      id, new java.sql.Timestamp(sec * 1000), 1L, "click", 1.0)
+    val t0 = 1700000000L
+    input.addData(ev(1, t0), ev(2, t0 + 10))
+    q.processAllAvailable()
+    // id 1 replayed with a DIFFERENT (later) ts, still inside the delay:
+    // dropDuplicates("event_id","ts") would pass it; this drops it
+    input.addData(ev(1, t0 + 60), ev(3, t0 + 20))
+    q.processAllAvailable()
+    assert(spark.table("dedup_wm").select("event_id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+    // push the watermark far past t0 + delay, then re-emit id 1: its
+    // state row has aged out, so the id legitimately re-appears
+    input.addData(ev(99, t0 + 7200))
+    q.processAllAvailable()
+    input.addData(ev(1, t0 + 7210))
+    q.processAllAvailable()
+    assert(spark.table("dedup_wm").select("event_id").as[Long].collect().sorted
+      === Array(1L, 1L, 2L, 3L, 99L))
+    q.stop()
+  }
+
   test("windowed heavy hitters: sketch state merges across micro-batches " +
       "and keeps every item above the guarantee") {
     import spark.implicits._
