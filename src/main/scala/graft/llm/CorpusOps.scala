@@ -399,6 +399,58 @@ object CorpusOps {
         coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
   }
 
+  /** Exact longest-shared-span per document pair — the substring-dedup
+    * measurement (the suffix-array "repeated substrings >= L tokens"
+    * rule of Lee et al. 2021, re-expressed relationally): for every
+    * pair of docs sharing at least one word `n`-gram, the length in
+    * words of their longest CONTIGUOUS common span, computed exactly.
+    *
+    * How: positioned `n`-grams (the q77 representation) equi-join on
+    * gram text; a matching gram at positions `(pa, pb)` lies on
+    * diagonal `pa - pb`, and a common span of `k >= n` words is
+    * exactly a run of `k - n + 1` consecutive matches on one diagonal
+    * — so islands-by-diagonal (`pa - row_number`) recovers every
+    * maximal span and `run + n - 1` its exact word length. No suffix
+    * structure is ever built: three partial-aggregable shuffles (gram
+    * df, gram join, pair window) replace a corpus-wide suffix array,
+    * which has no distributed incremental form.
+    *
+    * `maxDf` bounds the gram join fan-out (a gram in `d` docs yields
+    * <= `d^2/2` match rows): grams shared by more than `maxDf` docs —
+    * boilerplate by definition — are excluded, so a span crossing an
+    * excluded gram reports as its two halves (a documented recall
+    * bound, identical in the oracle; same cap discipline as the LSH
+    * bucket cap). Spans shorter than `minSpan` words are dropped from
+    * the result. */
+  def longestSharedSpans(docs: DataFrame, n: Int = 8, minSpan: Int = 12,
+                         maxDf: Int = 50,
+                         materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val grams = materialize(
+      docs.select(col("doc_id"),
+        posexplode(graft.functions.Native.wordNgrams(col("text"), n))
+          .as(Seq("pos0", "g")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g")))
+    val eligible = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("g"))
+    val g2 = grams.join(eligible, Seq("g"))
+    val matches = g2.select(col("g"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(g2.select(col("g"), col("doc_id").as("b"), col("pos").as("pb")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), (col("pa") - col("pb")).as("diag"), col("pa"))
+      .distinct()
+    val w = Window.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+    val runs = matches
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("diag"), col("island"))
+      .agg((count(lit(1)) + (n - 1)).as("span_words"))
+    runs.groupBy(col("a"), col("b"))
+      .agg(max(col("span_words")).as("longest_span"),
+        sum(when(col("span_words") >= minSpan, 1L).otherwise(0L)).as("n_spans"))
+      .filter(col("longest_span") >= minSpan)
+  }
+
   /** Per-source corpus health dashboard: every quality signal the
     * narrow operators compute, folded to source grain in ONE pass —
     * the report a curation team watches per crawl/source. All

@@ -818,6 +818,38 @@ object LlmQueries {
       |  COALESCE(trimmed_text, '') AS trimmed_text
       |FROM documents d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** Exact longest shared word-span per doc pair (suffix-array dedup
+    * metric, relational form) — see [[CorpusOps.longestSharedSpans]].
+    * n=8 grams, spans >= 12 words reported, boilerplate grams (df>50)
+    * excluded on both engines. */
+  def longestSharedSpans(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.longestSharedSpans(docs(s, dir), n = 8, minSpan = 12,
+        maxDf = 50, materialize = _.localCheckpoint())
+      .orderBy("a", "b")
+
+  val longestSharedSpansSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |        array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+      |      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      |      WHERE len(ws) >= 8),
+      |el AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df
+      |                      FROM g GROUP BY 1) WHERE df BETWEEN 2 AND 50),
+      |m AS (SELECT DISTINCT ga.doc_id AS a, gb.doc_id AS b,
+      |        ga.pos - gb.pos AS diag, ga.pos AS pa
+      |      FROM g ga JOIN el ON ga.g = el.g
+      |      JOIN g gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id),
+      |r AS (SELECT a, b, diag, pa,
+      |        pa - ROW_NUMBER() OVER (PARTITION BY a, b, diag ORDER BY pa)
+      |          AS island FROM m),
+      |runs AS (SELECT a, b, COUNT(*) + 7 AS span FROM r
+      |         GROUP BY a, b, diag, island)
+      |SELECT a, b, CAST(MAX(span) AS BIGINT) AS longest_span,
+      |  CAST(SUM(CASE WHEN span >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+      |FROM runs GROUP BY a, b HAVING MAX(span) >= 12
+      |ORDER BY a, b""".stripMargin
+
   // ---------------------------------------------------------------- q82
   /** Deterministic stratified sample: 50% of English, 30% of Chinese,
     * 10% of everything else, decided per-doc by salted md5 — see
@@ -1086,6 +1118,7 @@ object LlmQueries {
     "q71_minhash_jaccard_est" -> (minhashJaccardEst _),
     "q72_word_rarity" -> (wordRarity _),
     "q77_trim_shared_spans" -> (trimSharedSpans _),
+    "q105_longest_shared_spans" -> (longestSharedSpans _),
     "q78_source_health" -> (sourceHealth _),
     "q82_stratified_sample" -> (stratifiedSample _),
     "q90_ann_recall" -> (annRecall _),
@@ -1130,6 +1163,7 @@ object LlmQueries {
     "q71_minhash_jaccard_est" -> minhashJaccardEstSql,
     "q72_word_rarity" -> wordRaritySql,
     "q77_trim_shared_spans" -> trimSharedSpansSql,
+    "q105_longest_shared_spans" -> longestSharedSpansSql,
     "q78_source_health" -> sourceHealthSql,
     "q82_stratified_sample" -> stratifiedSampleSql,
     "q90_ann_recall" -> annRecallSql,

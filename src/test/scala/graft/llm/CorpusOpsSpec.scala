@@ -71,6 +71,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.length === 50 && got.forall(!_.getBoolean(2)))
   }
 
+  test("longestSharedSpans measures the exact longest common word span") {
+    def words(prefix: String, k: Int): String =
+      (0 until k).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("s", 15) // 15-word span shared verbatim
+    val docsDf = Seq(
+      (1L, s"${words("a", 5)} $shared ${words("z", 4)}", "en", "s"),
+      (2L, s"${words("b", 9)} $shared", "en", "s"),
+      // shares only a 10-word span with doc 1 (below minSpan=12)
+      (3L, s"${words("c", 3)} ${words("a", 5)} ${words("s", 5)}", "en", "s"),
+      (4L, words("q", 30), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.longestSharedSpans(docsDf, n = 8, minSpan = 12, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // docs 1 and 2: exactly the 15 shared words, once
+    assert(got((1L, 2L)) === ((15L, 1L)))
+    // docs 1 and 3 share "a0..a4 s0..s4" = 10 words < 12: filtered out
+    assert(!got.contains((1L, 3L)))
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("longestSharedSpans: a span crossing a df-capped gram splits in two") {
+    // the same 30-word span in 60 docs: every gram has df=60 > maxDf=4
+    // -> no pairs at all (boilerplate exclusion)
+    val span = (0 until 30).map(i => s"w$i").mkString(" ")
+    val many = (0L until 60L).map(i => (i, s"unique$i $span", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(CorpusOps.longestSharedSpans(many, n = 8, minSpan = 8, maxDf = 4)
+      .count() === 0L)
+  }
+
   test("hash split is a pure function of doc_id with consistent buckets") {
     val docs = (0L until 1000L).map(i => (i, s"text $i", "en", "s"))
       .toDF("doc_id", "text", "lang", "source")
