@@ -70,11 +70,53 @@ object TypedQueries {
       |  COALESCE(CAST(SUM(length(regexp_replace(text, '[^ \t\n\r]', '', 'g'))) AS BIGINT), 0) AS n_space
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Region/nation order totals planned by the COST-BASED optimizer
+    * over ANALYZEd catalog tables ([[graft.operators.CatalogStats]]):
+    * the four relations are registered as external parquet tables,
+    * ANALYZE computes row counts + join-column NDVs, and the query
+    * runs on a CBO child session (join reorder on) — so Catalyst
+    * orders the dim chain from real cardinalities (25 nations, 5
+    * regions) instead of file-size guesses. Results are identical to
+    * the non-CBO plan; what changes is the plan's provenance, pinned
+    * by [[graft.operators.CatalogStats.plannedRowCount]] in the spec. */
+  def cboRegionOrderTotals(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CatalogStats
+    val db = CatalogStats.registerAndAnalyze(s, dir,
+      Seq("orders", "customer", "nation", "region"),
+      statCols = Map(
+        "orders" -> Seq("o_custkey"), "customer" -> Seq("c_custkey", "c_nationkey"),
+        "nation" -> Seq("n_nationkey", "n_regionkey"), "region" -> Seq("r_regionkey")))
+    CatalogStats.cboSession(s).sql(
+      s"""SELECT r_name, n_name,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         |  COUNT(*) AS n_orders
+         |FROM $db.orders
+         |JOIN $db.customer ON o_custkey = c_custkey
+         |JOIN $db.nation ON c_nationkey = n_nationkey
+         |JOIN $db.region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin)
+  }
+
+  val cboRegionOrderTotalsSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_typed_weighted_discount" -> (weightedDiscount _),
-    "q103_udaf_char_profile" -> (charProfileByLang _))
+    "q103_udaf_char_profile" -> (charProfileByLang _),
+    "q106_cbo_region_order_totals" -> (cboRegionOrderTotals _))
 
   val oracles: Map[String, String] = Map(
     "q102_typed_weighted_discount" -> weightedDiscountSql,
-    "q103_udaf_char_profile" -> charProfileByLangSql)
+    "q103_udaf_char_profile" -> charProfileByLangSql,
+    "q106_cbo_region_order_totals" -> cboRegionOrderTotalsSql)
 }
