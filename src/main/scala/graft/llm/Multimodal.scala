@@ -81,14 +81,10 @@ object Multimodal {
       .mapPartitions(_.map(resizeStub(_, w, h)))
   }
 
-  /** Average-hash perceptual fingerprint over the (stub-)decoded
-    * pixels: resize to 8x8 "pixels", threshold each against the mean,
-    * pack to a 64-bit hash. Visually-near-identical media differ in
-    * few bits even when bytes differ — the media tier of the dedup
-    * ladder (simhash is the text analogue). Narrow per-partition
-    * map, no shuffle; a real pHash (DCT low-frequency) swaps in at
-    * the same seam as the decoder. */
-  def perceptualHash(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** Average-hash tier: resize to 8x8 "pixels", threshold each against
+    * the mean, pack to a 64-bit hash — the cheap coarse screen ahead
+    * of [[dctHash]] (aHash vs pHash, the standard ladder). */
+  def averageHash(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "media_type", "payload").as[MediaRecord]
       .mapPartitions(_.map { r =>
@@ -98,6 +94,74 @@ object Multimodal {
           if (p >= mean) acc | (1L << i) else acc
         }
         (r.doc_id, bits)
+      }).toDF("doc_id", "phash")
+  }
+
+  /** pHash DCT grid width: 32x32 luminance in, 8x8 low-frequency out. */
+  private val DctN = 32
+
+  /** DCT-II basis, precomputed once per JVM: `cos((2x+1) k pi / 2N)`.
+    * `StrictMath` (fdlibm) rather than `Math` so every executor on any
+    * JVM/platform computes bit-identical coefficients — hash stability
+    * across a heterogeneous cluster is part of the contract. */
+  private lazy val dctBasis: Array[Array[Double]] =
+    Array.tabulate(DctN, DctN)((k, x) =>
+      StrictMath.cos((2 * x + 1) * k * StrictMath.PI / (2.0 * DctN)))
+
+  /** REAL pHash transform (the production algorithm — only pixel
+    * acquisition upstream is stubbed): 2D DCT-II of a 32x32 grayscale
+    * grid (separable, fixed row-then-column summation order, so the
+    * result is deterministic), keep the top-left 8x8 low-frequency
+    * block, threshold each coefficient against the block mean
+    * EXCLUDING the DC term, pack to 64 bits. Near-identical images —
+    * recompressed, lightly cropped, brightness-shifted — agree in most
+    * low-frequency signs, so their hashes sit within a small Hamming
+    * radius. */
+  private[llm] def dctHash(px: Array[Int]): Long = {
+    require(px.length == DctN * DctN, s"expected ${DctN * DctN} pixels, got ${px.length}")
+    // rows: tmp(r)(k) = sum_x px(r)(x) * basis(k)(x)
+    val tmp = Array.ofDim[Double](DctN, DctN)
+    var r = 0
+    while (r < DctN) {
+      var k = 0
+      while (k < DctN) {
+        var s = 0.0; var x = 0
+        while (x < DctN) { s += px(r * DctN + x) * dctBasis(k)(x); x += 1 }
+        tmp(r)(k) = s; k += 1
+      }
+      r += 1
+    }
+    // cols over the 8 needed output rows only: F(u)(v) = sum_r tmp(r)(v) * basis(u)(r)
+    val block = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0; var rr = 0
+        while (rr < DctN) { s += tmp(rr)(v) * dctBasis(u)(rr); rr += 1 }
+        block(u * 8 + v) = s; v += 1
+      }
+      u += 1
+    }
+    var sum = 0.0
+    var i = 1
+    while (i < 64) { sum += block(i); i += 1 }
+    val mean = sum / 63.0
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (block(i) > mean) bits |= 1L << i; i += 1 }
+    bits
+  }
+
+  /** DCT perceptual fingerprint over the (stub-)decoded pixels —
+    * the media tier of the dedup ladder (simhash is the text
+    * analogue). Narrow per-partition map, no shuffle; the decoder
+    * seam supplies the 32x32 grid, [[dctHash]] is the real transform. */
+  def perceptualHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        (r.doc_id, dctHash(resizeStub(r, DctN, DctN).payload.map(_ & 0xff)))
       }).toDF("doc_id", "phash")
   }
 

@@ -331,6 +331,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(frames.head.payload.toSeq === "the ".getBytes("UTF-8").toSeq)
   }
 
+  test("dctHash: real pHash invariances — brightness shifts at most the DC bit, contrast none") {
+    val base = Array.tabulate(32 * 32)(i => (i * 37 + i * i % 91) % 200)
+    val h0 = Multimodal.dctHash(base)
+    assert(h0 === Multimodal.dctHash(base.clone())) // deterministic
+    // uniform brightness shift: AC coefficients are shift-invariant
+    // (every k>=1 basis row sums to 0), so only the DC bit may differ
+    val brighter = base.map(_ + 40)
+    assert(java.lang.Long.bitCount(h0 ^ Multimodal.dctHash(brighter)) <= 1)
+    // contrast scaling: all coefficients AND the mean scale together -> no bit moves
+    val scaled = base.map(_ * 5)
+    assert(Multimodal.dctHash(scaled) === h0)
+    // a single-pixel corruption moves few low-frequency signs
+    val corrupted = base.clone(); corrupted(500) = 255
+    assert(java.lang.Long.bitCount(h0 ^ Multimodal.dctHash(corrupted)) < 16)
+  }
+
   test("multimodal perceptual hash: identical payloads collide, near pairs found, no cartesian") {
     val media = Multimodal.asMediaTable(docsDf)
     val hashes = Multimodal.perceptualHash(spark, media).collect()
