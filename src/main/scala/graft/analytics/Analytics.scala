@@ -863,7 +863,62 @@ object Analytics {
 
   // ------------------------------------------------------------ registry
 
+  // ---------------------------------------------------------------- q108
+  /** Pivot: order-status totals spread to columns per order year —
+    * the wide-format report shape. The value list is EXPLICIT
+    * (`Seq("O","F","P")`): with it, Catalyst plans ONE pass (pivot
+    * compiles to conditional aggregates, exactly the oracle's CASE
+    * form); without it, Spark runs a distinct-scan first — never do
+    * that at corpus scale. Decimal-exact sums, one shuffle on the
+    * 7-value year key. */
+  def pivotStatusTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sumMoney(col("o_totalprice")))
+      .orderBy("order_year")
+
+  val pivotStatusTotalsSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+      |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+
+  // ---------------------------------------------------------------- q109
+  /** HLL++ sketch vs exact distinct, self-validating: per event type,
+    * the EXACT distinct-user count (oracle-checked) alongside an
+    * in-query assertion that `approx_count_distinct` (rsd 2%) lands
+    * within 5% of it. The sketch itself is not cross-engine
+    * reproducible (DuckDB's approx_distinct uses different hashing),
+    * so the gate checks the CONTRACT — `approx_ok` must be TRUE row
+    * for row — rather than the estimate: if Spark's HLL ever drifts
+    * out of tolerance the hash gate fails loudly. At 100 TB the
+    * sketch side is the one you run (constant state per group vs
+    * countDistinct's expand); this query is the standing proof it
+    * stays honest. */
+  def hllVsExact(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("approx") - col("n_users_exact"))
+          <= col("n_users_exact") * 0.05).as("approx_ok"))
+      .orderBy("event_type")
+
+  val hllVsExactSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      |  TRUE AS approx_ok
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_pivot_status_totals" -> (pivotStatusTotals _),
+    "q109_hll_vs_exact" -> (hllVsExact _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_top_revenue_orders" -> (topRevenueOrders _),
     "q03_segment_revenue" -> (segmentRevenue _),
@@ -896,6 +951,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q108_pivot_status_totals" -> pivotStatusTotalsSql,
+    "q109_hll_vs_exact" -> hllVsExactSql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_top_revenue_orders" -> topRevenueOrdersSql,
     "q03_segment_revenue" -> segmentRevenueSql,

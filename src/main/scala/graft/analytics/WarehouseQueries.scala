@@ -362,7 +362,49 @@ object WarehouseQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---------------------------------------------------------------- q107
+  /** Declarative constraint audit over `orders` — four row rules in
+    * ONE scan (shared aggregate, `stack`-unpivoted to per-rule rows)
+    * plus a broadcast-anti-join FK check against `customer`; the
+    * validation report a warehouse runs before publish. NOT-TRUE
+    * violation semantics: a NULL predicate result is a violation. */
+  def constraintAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ConstraintAudit
+    import graft.operators.ConstraintAudit.Rule
+    val o = Tables.load(s, dir, "orders")
+    val rows = ConstraintAudit.audit(o, Seq(
+      Rule("totalprice_positive", col("o_totalprice") > 0),
+      Rule("orderdate_present", col("o_orderdate").isNotNull),
+      Rule("status_in_domain", col("o_orderstatus").isin("O", "F", "P")),
+      Rule("priority_wellformed", col("o_orderpriority").rlike("^[1-5]-"))))
+    val fk = ConstraintAudit.fkAudit("fk_custkey_in_customer",
+      o, "o_custkey", Tables.load(s, dir, "customer"), "c_custkey")
+    rows.unionByName(fk).orderBy("rule")
+  }
+
+  val constraintAuditSql: String = {
+    def row(name: String, violation: String): String =
+      s"""SELECT '$name' AS rule, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $violation THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         |  CAST(SUM(CASE WHEN $violation THEN 1 ELSE 0 END) AS BIGINT) = 0 AS pass
+         |FROM orders""".stripMargin
+    Seq(
+      row("totalprice_positive", "NOT COALESCE(o_totalprice > 0, FALSE)"),
+      row("orderdate_present", "o_orderdate IS NULL"),
+      row("status_in_domain", "NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)"),
+      row("priority_wellformed", "NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)"),
+      """SELECT 'fk_custkey_in_customer' AS rule,
+        |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+        |  CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        |        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT)
+        |    AS n_violations,
+        |  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        |   ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0 AS pass""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_constraint_audit" -> (constraintAudit _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q36_asof_dim_lookup" -> (asofDimLookup _),
@@ -377,6 +419,7 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q107_constraint_audit" -> constraintAuditSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,
     "q36_asof_dim_lookup" -> asofDimLookupSql,
