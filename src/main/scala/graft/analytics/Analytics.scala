@@ -916,9 +916,37 @@ object Analytics {
       |  TRUE AS approx_ok
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  /** `approx_percentile` kept honest (q109's pattern for quantiles):
+    * per order priority, the EXACT interpolated median of
+    * `o_totalprice` (oracle-checked, 6 dp) alongside an in-query
+    * contract that the approximate median (accuracy 10000, so rank
+    * error <= n/10000) lies within the exact p40–p60 band. The
+    * estimate itself is engine-specific (it returns a data element,
+    * not an interpolation), so the gate pins the CONTRACT, which is
+    * what a 100 TB caller — where the exact expand is the thing you
+    * are avoiding — actually relies on. */
+  def approxQuantileContract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+        expr("percentile(o_totalprice, 0.4)").as("p40"),
+        expr("percentile(o_totalprice, 0.6)").as("p60"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("apx"))
+      .select(col("o_orderpriority"), col("median_price"),
+        (col("apx") >= col("p40") && col("apx") <= col("p60")).as("approx_ok"))
+      .orderBy("o_orderpriority")
+
+  val approxQuantileContractSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+      |  TRUE AS approx_ok
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_pivot_status_totals" -> (pivotStatusTotals _),
     "q109_hll_vs_exact" -> (hllVsExact _),
+    "q111_approx_quantile_contract" -> (approxQuantileContract _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_top_revenue_orders" -> (topRevenueOrders _),
     "q03_segment_revenue" -> (segmentRevenue _),
@@ -953,6 +981,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q108_pivot_status_totals" -> pivotStatusTotalsSql,
     "q109_hll_vs_exact" -> hllVsExactSql,
+    "q111_approx_quantile_contract" -> approxQuantileContractSql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_top_revenue_orders" -> topRevenueOrdersSql,
     "q03_segment_revenue" -> segmentRevenueSql,

@@ -1036,6 +1036,35 @@ object LlmQueries {
       |  CAST(n_tokens AS DOUBLE) / t AS share
       |FROM r ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** Per-label embedding centroids (class prototypes) in long format —
+    * the dataset-cartography primitive (prototype filtering, slice
+    * drift monitoring, nearest-class-mean classifiers). Exactness via
+    * the q66 recipe: components rounded to 6 dp once (identical in
+    * both engines), summed in DECIMAL(18,6) — order-independent — and
+    * divided by the exact count ONCE into a double. Shape: one
+    * posexplode shuffle on (label, pos) — rows = corpus x dims as
+    * compact numeric triples, partial-aggregated map-side. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"))
+          .as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("c"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label", "pos")
+
+  val labelCentroidsSql: String =
+    """SELECT label, i - 1 AS pos,
+      |  CAST(SUM(CAST(round(CAST(e AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |    / COUNT(*) AS c,
+      |  COUNT(*) AS n_vecs
+      |FROM (SELECT label, unnest(embedding) AS e,
+      |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+      |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
+
   // ---------------------------------------------------------------- q93
   /** PQ/ADC approximate search — see [[Similarity.pqTopK]] (integer
     * micro-unit distances end-to-end: order-free sums, exact rank
@@ -1125,6 +1154,7 @@ object LlmQueries {
     "q91_heavy_hitters" -> (heavyHitters _),
     "q92_mixture_weights" -> (mixtureWeights _),
     "q93_pq_topk" -> (pqTopK _),
+    "q110_label_centroids" -> (labelCentroids _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1170,5 +1200,6 @@ object LlmQueries {
     "q91_heavy_hitters" -> heavyHittersSql,
     "q92_mixture_weights" -> mixtureWeightsSql,
     "q93_pq_topk" -> pqTopKSql,
+    "q110_label_centroids" -> labelCentroidsSql,
   )
 }
