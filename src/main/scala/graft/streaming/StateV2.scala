@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+import EventPipelines.{Event, Session, SessionState}
+
+/** Spark 4 arbitrary-stateful streaming via `transformWithState` —
+  * the state-v2 twin of [[EventPipelines.sessionize]]'s
+  * `flatMapGroupsWithState` path, with IDENTICAL session semantics
+  * (same gap rule, same late-event bound extension, same timeout
+  * instant), pinned by a parity test against the v1 operator.
+  *
+  * What v2 buys at scale:
+  *   - typed, NAMED state slots (`getValueState("session", ...)`) —
+  *     a processor can hold several independently-encoded states and
+  *     evolve them separately, where v1 squeezes everything into one
+  *     state class;
+  *   - first-class timers (`registerTimer`/`handleExpiredTimer`)
+  *     decoupled from input arrival, rather than v1's single
+  *     per-group timeout slot;
+  *   - per-state TTL (`TTLConfig`) enforced by the store itself;
+  *   - requires the RocksDB state store provider, whose changelog
+  *     checkpointing + off-heap working set is the 100 TB posture
+  *     anyway (per-executor state no longer bounded by JVM heap).
+  *
+  * Caller contract: the session running the stream must set
+  * `spark.sql.streaming.stateStore.providerClass` to
+  * `...state.RocksDBStateStoreProvider` (transformWithState refuses
+  * the HDFS-backed default).
+  */
+object StateV2 {
+
+  /** Event-time sessionizer as a [[StatefulProcessor]]: one ValueState
+    * slot holds the open session; a single event-time timer at
+    * `lastSec + gap + 1s` (kept in sync on every input batch) closes
+    * and emits it when the watermark passes. Mid-batch gap violations
+    * close sessions inline, exactly like v1. */
+  final class SessionProcessor(gapSec: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def emit(userId: Long, s: SessionState): Session =
+      Session(userId, new java.sql.Timestamp(s.startSec * 1000),
+        s.lastSec - s.startSec, s.nEvents, s.nPurchases)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val events = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[Session]
+      var cur = if (session.exists()) Some(session.get()) else None
+      events.foreach { e =>
+        val sec = e.ts.getTime / 1000
+        val purchase = if (e.event_type == "purchase") 1 else 0
+        cur match {
+          case Some(s) if sec - s.lastSec <= gapSec =>
+            // late-but-above-watermark events may land BEFORE the
+            // session bounds: extend, never regress (v1 rule)
+            cur = Some(s.copy(
+              startSec = math.min(s.startSec, sec),
+              lastSec = math.max(s.lastSec, sec),
+              nEvents = s.nEvents + 1,
+              nPurchases = s.nPurchases + purchase))
+          case Some(s) =>
+            closed ::= emit(userId, s)
+            cur = Some(SessionState(sec, sec, 1, purchase))
+          case None =>
+            cur = Some(SessionState(sec, sec, 1, purchase))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        // one live timer per key: re-arm at the new session end
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.lastSec * 1000 + gapSec * 1000 + 1000)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Session] =
+      if (!session.exists()) Iterator.empty
+      else {
+        val s = session.get()
+        session.clear()
+        Iterator.single(emit(userId, s))
+      }
+  }
+
+  /** Streaming sessionization over the standard event frame —
+    * drop-in replacement for [[EventPipelines.sessionize]] (same
+    * input/output contract, same watermark). */
+  def sessionizeV2(spark: SparkSession, events: org.apache.spark.sql.DataFrame,
+                   gapSec: Long = 1800): Dataset[Session] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.TestSpark
+
+/** transformWithState sessionizer: same semantics as the v1
+  * flatMapGroupsWithState path on the same epoch sequence (timer
+  * closure, mid-batch splits, purchase counting), on the RocksDB
+  * state store. */
+class StateV2Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def ev(id: Long, sec: Long, user: Long, typ: String = "click") =
+    EventPipelines.Event(id, new java.sql.Timestamp(sec * 1000), user, typ, 1.0)
+
+  test("v2 sessionizer matches v1 semantics on the same epochs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EventPipelines.Event]
+      val q = StateV2.sessionizeV2(spark, input.toDF())
+        .writeStream.format("memory").queryName("sessions_v2")
+        .outputMode("append").start()
+      val t0 = 1700000000L
+      // session 1: three events for user 7 within 10 min (one purchase)
+      input.addData(ev(1, t0, 7), ev(2, t0 + 300, 7, "purchase"), ev(3, t0 + 600, 7))
+      q.processAllAvailable()
+      // far-future event: starts session 2, watermark passes session 1's
+      // gap so its timer fires on a later batch
+      input.addData(ev(4, t0 + 2 * 3600, 7))
+      q.processAllAvailable()
+      input.addData(ev(5, t0 + 4 * 3600, 7))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_v2").as[EventPipelines.Session].collect()
+        .sortBy(_.session_start.getTime)
+      assert(got.length >= 1)
+      val s1 = got.head
+      assert(s1.user_id === 7L)
+      assert(s1.session_start.getTime === t0 * 1000)
+      assert(s1.duration_sec === 600L)
+      assert(s1.n_events === 3L)
+      assert(s1.n_purchases === 1L)
+      q.stop()
+    }
+  }
+
+  test("mid-batch gap violation closes the first session inline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EventPipelines.Event]
+      val q = StateV2.sessionizeV2(spark, input.toDF(), gapSec = 60)
+        .writeStream.format("memory").queryName("sessions_v2b")
+        .outputMode("append").start()
+      val t0 = 1700000000L
+      // both events in ONE batch, 10 min apart with a 1-min gap:
+      // the first session closes inline without any timer
+      input.addData(ev(1, t0, 3), ev(2, t0 + 600, 3, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("sessions_v2b").as[EventPipelines.Session].collect()
+      assert(got.length === 1)
+      assert(got.head.n_events === 1L && got.head.n_purchases === 0L)
+      assert(got.head.duration_sec === 0L)
+      q.stop()
+    }
+  }
+}
