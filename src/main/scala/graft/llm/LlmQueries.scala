@@ -1065,6 +1065,73 @@ object LlmQueries {
       |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
       |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Nearest-class-mean (prototype) classifier evaluation: every
+    * vector is assigned to the label whose q110-style centroid it is
+    * most cosine-similar to, and the output is the exact confusion
+    * matrix (label x predicted_label counts) — the one-pass sanity
+    * eval of embedding quality (are classes linearly separated by
+    * their means?) run before spending on a real probe.
+    *
+    * Exactness: centroids via the decimal-exact q110 recipe;
+    * similarities as integer micro-units with the q93 discipline
+    * (round-6 components, fixed-order fold, `floor(round(x,6)*1e6
+    * + 0.5)`), argmax tie-broken on (sim DESC, label ASC) — bit-
+    * reproducible under any partitioning and in DuckDB. Shape: the
+    * |labels|-row centroid table broadcasts; the corpus side is one
+    * narrow map + one partial-aggregable argmax groupBy + the tiny
+    * confusion aggregate. */
+  def prototypeConfusion(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))").as("v"))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+      .select(col("label").as("cent_label"),
+        expr("transform(ps, p -> p.c)").as("ce"))
+      .withColumn("nc", Similarity.norm(col("ce")))
+    e.withColumn("nv", Similarity.norm(col("v")))
+      .join(broadcast(cents))
+      .withColumn("sim_us",
+        floor(round(Similarity.cosineWithNorms(col("v"), col("ce"),
+          col("nv"), col("nc")), 6) * 1e6 + 0.5).cast("long"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("cent_label"),
+        struct(col("sim_us"), (-col("cent_label")).as("t"))).as("predicted_label"))
+      .groupBy(col("label"), col("predicted_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "predicted_label")
+  }
+
+  val prototypeConfusionSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+      |  FROM embeddings),
+      |comp AS (SELECT label, i AS pos,
+      |    CAST(SUM(CAST(v[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM e, unnest(generate_series(1, len(v))) AS t(i) GROUP BY label, i),
+      |cent AS (SELECT label AS cent_label, list(c ORDER BY pos) AS ce
+      |  FROM comp GROUP BY 1),
+      |cn AS (SELECT cent_label, ce,
+      |    sqrt(CAST(list_sum(list_transform(ce, x -> x * x)) AS DOUBLE)) AS nc
+      |  FROM cent),
+      |en AS (SELECT vec_id, label, v,
+      |    sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nv
+      |  FROM e),
+      |sims AS (SELECT vec_id, label, cent_label,
+      |    CAST(floor(round(CAST(list_sum(list_transform(generate_series(1, len(v)),
+      |      i -> v[i] * ce[i])) AS DOUBLE) / nv / nc, 6) * 1e6 + 0.5) AS BIGINT) AS sim_us
+      |  FROM en CROSS JOIN cn),
+      |pred AS (SELECT vec_id, label, cent_label AS predicted_label,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY sim_us DESC, cent_label ASC) AS rn FROM sims)
+      |SELECT label, predicted_label, COUNT(*) AS n FROM pred WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY label, predicted_label""".stripMargin
+
   // ---------------------------------------------------------------- q93
   /** PQ/ADC approximate search — see [[Similarity.pqTopK]] (integer
     * micro-unit distances end-to-end: order-free sums, exact rank
@@ -1155,6 +1222,7 @@ object LlmQueries {
     "q92_mixture_weights" -> (mixtureWeights _),
     "q93_pq_topk" -> (pqTopK _),
     "q110_label_centroids" -> (labelCentroids _),
+    "q112_prototype_confusion" -> (prototypeConfusion _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1201,5 +1269,6 @@ object LlmQueries {
     "q92_mixture_weights" -> mixtureWeightsSql,
     "q93_pq_topk" -> pqTopKSql,
     "q110_label_centroids" -> labelCentroidsSql,
+    "q112_prototype_confusion" -> prototypeConfusionSql,
   )
 }
