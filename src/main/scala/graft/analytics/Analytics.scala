@@ -943,7 +943,45 @@ object Analytics {
       |  TRUE AS approx_ok
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Analytic-window toolkit over monthly revenue: LAG month-over-month
+    * delta, a 3-row frame moving average, and NTILE quartiles in one
+    * pass — the W1 breadth row (ranking q10, running q11, frames/lag/
+    * ntile here). The windows are unpartitioned BY DESIGN and bounded
+    * by month cardinality (the q11 rule: they sit above a month-grain
+    * aggregate, so the single partition holds ~#months rows at any
+    * corpus scale). Exactness: deltas subtract exact decimals; the
+    * moving average divides an exact frame-sum by the frame count
+    * once, in double. */
+  def monthlyWindowToolkit(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum(dec(col("l_extendedprice"), 18, 2)).as("rev"))
+    val w = Window.orderBy("month")
+    val frame = w.rowsBetween(-2, Window.currentRow)
+    monthly.select(
+        col("month").cast("timestamp_ntz").as("month"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev") - lag(col("rev"), 1).over(w)).cast("double").as("mom_delta"),
+        (sum(col("rev")).over(frame).cast("double")
+          / count(lit(1)).over(frame)).as("ma3"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("month")
+  }
+
+  val monthlyWindowToolkitSql: String =
+    """WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY 1)
+      |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(rev - LAG(rev, 1) OVER (ORDER BY month) AS DOUBLE) AS mom_delta,
+      |  CAST(SUM(rev) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+      |  CAST(NTILE(4) OVER (ORDER BY month) AS INTEGER) AS quartile
+      |FROM m ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_monthly_window_toolkit" -> (monthlyWindowToolkit _),
     "q108_pivot_status_totals" -> (pivotStatusTotals _),
     "q109_hll_vs_exact" -> (hllVsExact _),
     "q111_approx_quantile_contract" -> (approxQuantileContract _),
@@ -979,6 +1017,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_monthly_window_toolkit" -> monthlyWindowToolkitSql,
     "q108_pivot_status_totals" -> pivotStatusTotalsSql,
     "q109_hll_vs_exact" -> hllVsExactSql,
     "q111_approx_quantile_contract" -> approxQuantileContractSql,
