@@ -403,8 +403,45 @@ object WarehouseQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
   }
 
+  // ---------------------------------------------------------------- q114
+  /** The DSv2 connector under the oracle gate: documents exported once
+    * per (JVM, sf) as gzip JSONL shards, scanned back through
+    * `format("graft-jsonl")` ([[graft.sources.dsv2.JsonlDataSource]])
+    * with the lang filter PUSHED INTO the reader and columns pruned to
+    * the three referenced fields, aggregated per source — and the
+    * result must be bit-identical to DuckDB reading the ORIGINAL
+    * parquet. Round-trips JSON escaping (newlines, quotes, unicode)
+    * through a real connector, not just the built-in reader. */
+  private val jsonlExports =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def dsv2JsonlScan(s: SparkSession, dir: String): DataFrame = {
+    val path = jsonlExports.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-jsonl-export")
+        .resolve("documents").toString
+      graft.sources.JsonlCorpus.write(Tables.load(s, dir, "documents"), p,
+        partitionCol = None)
+      p
+    })
+    s.read.format("graft-jsonl").load(path)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        countDistinct(col("doc_id")).as("n_distinct_ids"))
+      .orderBy("source")
+  }
+
+  val dsv2JsonlScanSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  COUNT(DISTINCT doc_id) AS n_distinct_ids
+      |FROM documents WHERE lang IN ('en', 'de')
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_constraint_audit" -> (constraintAudit _),
+    "q114_dsv2_jsonl_scan" -> (dsv2JsonlScan _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q36_asof_dim_lookup" -> (asofDimLookup _),
@@ -420,6 +457,7 @@ object WarehouseQueries {
 
   val oracles: Map[String, String] = Map(
     "q107_constraint_audit" -> constraintAuditSql,
+    "q114_dsv2_jsonl_scan" -> dsv2JsonlScanSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,
     "q36_asof_dim_lookup" -> asofDimLookupSql,
