@@ -54,14 +54,20 @@ class JsonlDataSource extends TableProvider with DataSourceRegister {
 }
 
 final class JsonlTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead {
-  require(path != null, "graft-jsonl requires a path (use .load(path))")
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  require(path != null, "graft-jsonl requires a path (use .load/.save(path))")
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(tableSchema, path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new JsonlWriteBuilder(info.schema(), path, info.queryId())
 }
 
 final class JsonlScanBuilder(dataSchema: StructType, path: String)
@@ -131,6 +137,136 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
 }
 
 final case class JsonlInputPartition(file: String) extends InputPartition
+
+// --------------------------------------------------------------------
+// Write path: the DSv2 staged-commit protocol, honestly implemented.
+// --------------------------------------------------------------------
+
+/** Write side of [[JsonlTable]]. Commit protocol:
+  *   - every TASK (incl. retries/speculative attempts) writes to a
+  *     unique file under `<path>/_staging/<queryId>/` — attempts never
+  *     collide, and a failed attempt's partial file is unreferenced by
+  *     construction (its name is keyed by partition+task id);
+  *   - task `commit()` reports the staged file; task `abort()` deletes
+  *     it;
+  *   - JOB `commit()` moves every reported file into the table dir
+  *     (truncate mode clears previous data files first, after all
+  *     staging succeeded — so a crash before commit leaves the old
+  *     table fully intact) and removes the staging dir; job `abort()`
+  *     removes staging wholesale.
+  *
+  * The publish itself is per-file rename, not one atomic swap: a
+  * reader racing the commit can observe a partial file SET (never a
+  * partial file — renames are atomic per file on HDFS-like stores).
+  * That is the same contract as Spark's built-in file committers;
+  * callers needing snapshot-atomic publish layer
+  * [[graft.warehouse.VersionedTable]] on top, exactly as with parquet. */
+final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new JsonlBatchWrite(schema, path, queryId, doTruncate)
+    }
+}
+
+final case class JsonlCommitMessage(stagedFile: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
+                            truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private def fs = new Path(path).getFileSystem(new Configuration())
+  private def stagingDir = new Path(path, s"_staging/$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(schema, path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    val dest = new Path(path)
+    f.mkdirs(dest)
+    if (truncate)
+      f.listStatus(dest).map(_.getPath).filter { p =>
+        val n = p.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.foreach(f.delete(_, false))
+    messages.foreach { case JsonlCommitMessage(staged) =>
+      val s = new Path(staged)
+      if (!f.rename(s, new Path(dest, s.getName)))
+        throw new java.io.IOException(s"commit rename failed for $s")
+    }
+    f.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    fs.delete(stagingDir, true)
+}
+
+final class JsonlWriterFactory(schema: StructType, path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new JsonlDataWriter(schema, path, queryId, partitionId, taskId)
+}
+
+/** Streams rows as gzip JSON lines into the attempt-unique staged
+  * file. Field order follows the write schema; nulls are emitted as
+  * JSON nulls (round-trips through the reader's null semantics). */
+final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
+                            partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val staged =
+    new Path(path, f"_staging/$queryId/part-$partitionId%05d-$taskId.jsonl.gz")
+  private val out = {
+    val f = staged.getFileSystem(new Configuration())
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.util.zip.GZIPOutputStream(f.create(staged, true)),
+      StandardCharsets.UTF_8))
+  }
+  private val mapper = new ObjectMapper()
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType => node.put(f.name, row.getLong(i))
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case dt => throw new UnsupportedOperationException(
+          s"graft-jsonl write: unsupported type $dt for field ${f.name}")
+      }
+      i += 1
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.write("\n")
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    JsonlCommitMessage(staged.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    staged.getFileSystem(new Configuration()).delete(staged, false)
+  }
+
+  override def close(): Unit = ()
+}
 
 final class JsonlReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
