@@ -980,7 +980,53 @@ object Analytics {
       |  CAST(NTILE(4) OVER (ORDER BY month) AS INTEGER) AS quartile
       |FROM m ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** TPC-H Q10 pattern (returned-item reporting): top 20 customers by
+    * revenue lost to returns in 1996Q1. Shape: the lineitem scan
+    * prunes to returnflag='R' rows BEFORE the orders join (predicate
+    * below the join), orders prune to the quarter window at the scan,
+    * revenue pre-aggregates to order grain before the small customer/
+    * nation joins (both broadcast-eligible dims at any scale), top-20
+    * as TakeOrdered. Exact-decimal revenue. */
+  def returnedItemRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2) *
+        dec(lit(1.0) - col("l_discount"), 4, 2)).as("rev_dec"))
+    perOrder
+      .join(o.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("rev_dec")).as("rev_dec"))
+      .join(broadcast(c.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemRevenueSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_returned_item_revenue" -> (returnedItemRevenue _),
     "q113_monthly_window_toolkit" -> (monthlyWindowToolkit _),
     "q108_pivot_status_totals" -> (pivotStatusTotals _),
     "q109_hll_vs_exact" -> (hllVsExact _),
@@ -1017,6 +1063,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q115_returned_item_revenue" -> returnedItemRevenueSql,
     "q113_monthly_window_toolkit" -> monthlyWindowToolkitSql,
     "q108_pivot_status_totals" -> pivotStatusTotalsSql,
     "q109_hll_vs_exact" -> hllVsExactSql,
