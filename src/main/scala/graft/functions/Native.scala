@@ -37,6 +37,10 @@ object Native {
   def kmvSketch(hash: Column, k: Int): Column =
     c(KmvSketch(e(hash), k).toAggregateExpression())
 
+  /** Codegen'd float/double-array dot product (see [[DotProduct]]). */
+  def dotProduct(x: Column, y: Column): Column =
+    c(DotProduct(e(x), e(y)))
+
   /** Bounded top-k-per-group aggregate (see [[TopKBy]]). */
   def topKBy(ord: Column, payload: Column, k: Int): Column =
     c(TopKBy(e(ord), e(payload), k).toAggregateExpression())

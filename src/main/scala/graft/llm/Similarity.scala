@@ -25,8 +25,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** dot(x, y) as a fold in index order (deterministic). */
-  def dot(x: Column, y: Column): Column = aggregate(
+  /** dot(x, y) as a fold in index order (deterministic) — the native
+    * codegen'd [[graft.functions.DotProduct]] (same left-to-right IEEE
+    * fold as [[dotHof]], pinned bit-identical by its spec; the HOF
+    * chain ran interpreted under CodegenFallback per element). */
+  def dot(x: Column, y: Column): Column =
+    graft.functions.Native.dotProduct(x, y)
+
+  /** The higher-order-function formulation [[dot]] replaced — kept as
+    * the executable parity witness (same role as `simhashHof`). */
+  private[graft] def dotHof(x: Column, y: Column): Column = aggregate(
     zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
     lit(0.0), (acc, v) => acc + v)
 
