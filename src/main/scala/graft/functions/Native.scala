@@ -41,6 +41,10 @@ object Native {
   def dotProduct(x: Column, y: Column): Column =
     c(DotProduct(e(x), e(y)))
 
+  /** Codegen'd squared-L2 distance (see [[SquaredL2]]). */
+  def squaredL2(x: Column, y: Column): Column =
+    c(SquaredL2(e(x), e(y)))
+
   /** Bounded top-k-per-group aggregate (see [[TopKBy]]). */
   def topKBy(ord: Column, payload: Column, k: Int): Column =
     c(TopKBy(e(ord), e(payload), k).toAggregateExpression())

@@ -286,12 +286,12 @@ object Similarity {
     val cents = e.filter(col("vec_id") % centStride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val subs = sequence(lit(0), lit(m - 1))
-    // squared-L2 of one subspace slice, in integer micro-units
+    // squared-L2 of one subspace slice, in integer micro-units (native
+    // codegen'd fold — bit-identical to the HOF form, see SquaredL2)
     def dUs(a: Column, b: Column): Column = {
       val sa = slice(a, col("sub") * sub + 1, lit(sub))
       val sb = slice(b, col("sub") * sub + 1, lit(sub))
-      val sq = aggregate(zip_with(sa, sb, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      val sq = graft.functions.Native.squaredL2(sa, sb)
       floor(round(sq, 6) * 1e6 + 0.5).cast("long")
     }
     val codes = e.select(col("vec_id"), col("v"), explode(subs).as("sub"))

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CoerceNumeric, DotProduct, KmvSketch, MinHashSignatures, MisraGries, PyToJson, SimHashFingerprint, TopKBy, WinnowFingerprints, WordNgrams}
+import graft.functions.{CoerceNumeric, DotProduct, KmvSketch, MinHashSignatures, MisraGries, PyToJson, SimHashFingerprint, SquaredL2, TopKBy, WinnowFingerprints, WordNgrams}
 
 /** Engine extensions, installed via `spark.sql.extensions` (set by
   * [[graft.core.GraftSession]]): registers the native expressions so
@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "squared_l2"),
+      (children: Seq[Expression]) => SquaredL2(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
