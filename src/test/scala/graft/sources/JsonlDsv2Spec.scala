@@ -106,6 +106,32 @@ class JsonlDsv2Spec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("micro-batch stream: each batch reads exactly the newly-arrived shards") {
+    val dir = Files.createTempDirectory("graft_dsv2_stream").toString
+    writeShard(dir, "s1.jsonl", Seq(
+      """{"doc_id": 1, "text": "a", "lang": "en", "source": "s", "n_chars": 1}"""))
+    val stream = spark.readStream.format("graft-jsonl").load(dir)
+      .filter(col("lang") === "en") // pushdown applies to streaming too
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("jsonl_stream").count() === 1L)
+    writeShard(dir, "s2.jsonl", Seq(
+      """{"doc_id": 2, "text": "b", "lang": "en", "source": "s", "n_chars": 1}""",
+      """{"doc_id": 3, "text": "c", "lang": "fr", "source": "s", "n_chars": 1}"""))
+    q.processAllAvailable()
+    // shard 2 contributed only its en row; shard 1 not re-read
+    assert(spark.table("jsonl_stream").select("doc_id").as[Long]
+      .collect().sorted === Array(1L, 2L))
+    q.stop()
+  }
+
+  test("stream offsets round-trip through their JSON form") {
+    val off = graft.sources.dsv2.JsonlFilesOffset(Seq("/a/x.jsonl", "/a/y.jsonl"))
+    assert(graft.sources.dsv2.JsonlFilesOffset.fromJson(off.json()) === off)
+  }
+
   test("write/read round-trip preserves escapes, unicode, and nulls") {
     val out = Files.createTempDirectory("graft_dsv2_rt").toString
     val tricky = Seq(
