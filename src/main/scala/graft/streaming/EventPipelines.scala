@@ -160,6 +160,35 @@ object EventPipelines {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** LEFT OUTER tier of [[purchaseAttribution]]: every purchase emits —
+    * attributed rows as they match, UNMATCHED purchases (null click
+    * columns) once the watermark proves no in-window click can still
+    * arrive. The outer side is the semantically harder stream-stream
+    * regime: the engine must hold each purchase in state until the
+    * click-side watermark passes its join window before it may emit
+    * the null row, which is exactly why BOTH sides carry watermarks
+    * and the join condition is time-bounded on both ends — without
+    * them the null rows could never be proven final (Spark rejects
+    * the query). Same state-eviction horizon as the inner tier. */
+  def purchaseAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                               windowMin: Int = 30,
+                               watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+        col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr(s"INTERVAL $windowMin MINUTES"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming sessionization (twin of q22): >30-minute event-time gap
     * closes a session. State per user; sessions emit when the watermark
     * passes their gap timeout — late events within the watermark still

@@ -175,6 +175,44 @@ class EventPipelinesSpec extends AnyFunSuite {
     assert(got === Array((1L, 1.0), (2L, 9.0), (3L, 3.0)))
   }
 
+  test("outer stream-stream join: unmatched purchases emit null clicks after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventPipelines.Event]
+    val purchases = MemoryStream[EventPipelines.Event]
+    val joined = EventPipelines.purchaseAttributionOuter(
+      clicks.toDF(), purchases.toDF(), windowMin = 30, watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+
+    def ev(id: Long, sec: Long, user: Long, typ: String) =
+      EventPipelines.Event(id, new java.sql.Timestamp(sec * 1000), user, typ, 5.0)
+
+    val t0 = 1700000000L
+    // user 7 purchase has an in-window click; user 8's click is 40 min
+    // stale -> its purchase must surface as UNMATCHED, not vanish
+    clicks.addData(ev(1, t0 + 600, 7, "click"), ev(3, t0, 8, "click"))
+    purchases.addData(ev(10, t0 + 900, 7, "purchase"),
+      ev(11, t0 + 2400, 8, "purchase"))
+    q.processAllAvailable()
+    // push both watermarks far past purchase 11's join window so the
+    // engine can PROVE no matching click can still arrive
+    clicks.addData(ev(4, t0 + 9000, 99, "click"))
+    purchases.addData(ev(12, t0 + 9000, 99, "purchase"))
+    q.processAllAvailable()
+    clicks.addData(ev(5, t0 + 14000, 98, "click"))
+    purchases.addData(ev(13, t0 + 14000, 98, "purchase"))
+    q.processAllAvailable()
+
+    val got = spark.table("attrib_outer")
+      .select("purchase_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(10L) === Some(1L))   // attributed
+    assert(got.contains(11L) && got(11L).isEmpty) // unmatched, null click
+    q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
