@@ -116,24 +116,47 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     s"graft-jsonl $path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
+  /** Hive-style one-level partition layout (`lang=en/part-*.jsonl.gz`,
+    * the shape [[graft.sources.JsonlCorpus.write]] produces with a
+    * `partitionCol`): partition directories whose value fails a pushed
+    * filter on the partition column are pruned AT PLANNING TIME —
+    * their files are never listed into partitions, the file-open-level
+    * skip that dwarfs row-level filtering at 100 TB. The partition
+    * value is injected into rows by the reader (it is not stored in
+    * the JSON lines). Flat directories keep the original behavior. */
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    val files =
-      if (fs.getFileStatus(p).isFile) Array(p)
-      else fs.listStatus(p).map(_.getPath)
-        .filter { f =>
-          val n = f.getName
-          !n.startsWith("_") && !n.startsWith(".") &&
-            (n.endsWith(".json") || n.endsWith(".jsonl") ||
-              n.endsWith(".json.gz") || n.endsWith(".jsonl.gz"))
-        }
-        .sortBy(_.getName)
-    files.map(f => JsonlInputPartition(f.toString): InputPartition)
+
+    def shardFiles(dir: Path): Array[Path] =
+      fs.listStatus(dir).map(_.getPath).filter { f =>
+        val n = f.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (n.endsWith(".json") || n.endsWith(".jsonl") ||
+            n.endsWith(".json.gz") || n.endsWith(".jsonl.gz"))
+      }.sortBy(_.getName)
+
+    if (fs.getFileStatus(p).isFile)
+      return Array(JsonlInputPartition(p.toString, Map.empty))
+    val partDirs = fs.listStatus(p).map(_.getPath)
+      .filter(d => fs.getFileStatus(d).isDirectory && d.getName.contains("="))
+      .sortBy(_.getName)
+    if (partDirs.isEmpty)
+      shardFiles(p).map(f => JsonlInputPartition(f.toString, Map.empty): InputPartition)
+    else
+      partDirs.flatMap { d =>
+        val Array(k, v) = d.getName.split("=", 2)
+        val value = java.net.URLDecoder.decode(v, "UTF-8")
+        val keep = pushed.forall(JsonlPartitionPruning.admits(_, k, value,
+          dataSchema))
+        if (!keep) Seq.empty[InputPartition]
+        else shardFiles(d).toSeq.map(f =>
+          JsonlInputPartition(f.toString, Map(k -> value)): InputPartition)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed)
+    new JsonlReaderFactory(required, pushed, dataSchema)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -202,7 +225,47 @@ object JsonlFilesOffset {
   }
 }
 
-final case class JsonlInputPartition(file: String) extends InputPartition
+final case class JsonlInputPartition(file: String,
+                                     partValues: Map[String, String] = Map.empty)
+    extends InputPartition
+
+/** Planning-time partition pruning: can a partition with `col = value`
+  * contain rows satisfying `f`? Conservative — filters on other
+  * columns (or shapes we can't decide) admit the partition. */
+object JsonlPartitionPruning {
+  private def typed(value: String, dt: DataType): Any = dt match {
+    case LongType => value.toLong
+    case IntegerType => value.toInt
+    case DoubleType => value.toDouble
+    case BooleanType => value.toBoolean
+    case _ => value
+  }
+  private def cmp(value: String, dt: DataType, other: Any): Option[Int] =
+    try (typed(value, dt), other) match {
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case (a: Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue))
+      case (a: Int, b: Number) => Some(java.lang.Long.compare(a.toLong, b.longValue))
+      case (a: Double, b: Number) => Some(java.lang.Double.compare(a, b.doubleValue))
+      case (a: Boolean, b: java.lang.Boolean) => Some(java.lang.Boolean.compare(a, b))
+      case _ => None
+    } catch { case _: Exception => None }
+
+  def admits(f: Filter, col: String, value: String, schema: StructType): Boolean = {
+    val dt = schema.fields.find(_.name == col).map(_.dataType)
+      .getOrElse(return true)
+    f match {
+      case EqualTo(a, v) if a == col => cmp(value, dt, v).forall(_ == 0)
+      case In(a, vs) if a == col => vs.exists(v => cmp(value, dt, v).forall(_ == 0))
+      case IsNull(a) if a == col => false // a present partition value is never null
+      case IsNotNull(a) if a == col => true
+      case GreaterThan(a, v) if a == col => cmp(value, dt, v).forall(_ > 0)
+      case GreaterThanOrEqual(a, v) if a == col => cmp(value, dt, v).forall(_ >= 0)
+      case LessThan(a, v) if a == col => cmp(value, dt, v).forall(_ < 0)
+      case LessThanOrEqual(a, v) if a == col => cmp(value, dt, v).forall(_ <= 0)
+      case _ => true
+    }
+  }
+}
 
 // --------------------------------------------------------------------
 // Write path: the DSv2 staged-commit protocol, honestly implemented.
@@ -334,19 +397,26 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
   override def close(): Unit = ()
 }
 
-final class JsonlReaderFactory(required: StructType, pushed: Array[Filter])
+final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
+                               dataSchema: StructType = null)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonlPartitionReader(
-      partition.asInstanceOf[JsonlInputPartition].file, required, pushed)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JsonlInputPartition]
+    new JsonlPartitionReader(p.file, required, pushed,
+      p.partValues, if (dataSchema == null) required else dataSchema)
+  }
 }
 
 /** Streams one shard line by line: parse (Jackson), evaluate pushed
   * filters on the parsed tree (SQL semantics: a comparison against a
   * missing/null field never matches; IsNull does), then materialize
-  * ONLY the required columns into an InternalRow. */
+  * ONLY the required columns into an InternalRow. Partition-directory
+  * values (absent from the JSON lines) are injected as typed virtual
+  * fields, visible to both filters and materialization. */
 final class JsonlPartitionReader(file: String, required: StructType,
-                                 pushed: Array[Filter])
+                                 pushed: Array[Filter],
+                                 partValues: Map[String, String],
+                                 dataSchema: StructType)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -358,7 +428,24 @@ final class JsonlPartitionReader(file: String, required: StructType,
   }
   private var row: InternalRow = _
 
+  // partition-directory values as typed virtual JSON fields
+  private val partNode: com.fasterxml.jackson.databind.node.ObjectNode = {
+    val n = mapper.createObjectNode()
+    partValues.foreach { case (k, v) =>
+      dataSchema.fields.find(_.name == k).map(_.dataType) match {
+        case Some(LongType) => n.put(k, v.toLong)
+        case Some(IntegerType) => n.put(k, v.toInt)
+        case Some(DoubleType) => n.put(k, v.toDouble)
+        case Some(BooleanType) => n.put(k, v.toBoolean)
+        case _ => n.put(k, v)
+      }
+    }
+    n
+  }
+
   private def field(node: JsonNode, name: String): JsonNode = {
+    val p = partNode.get(name)
+    if (p != null) return p
     val v = node.get(name)
     if (v == null || v.isNull) null else v
   }

@@ -106,6 +106,28 @@ class JsonlDsv2Spec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("partitioned layout: values injected from dirs, partitions pruned at planning") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("graft_dsv2_part").toString
+    JsonlCorpus.write(docs, dir, partitionCol = Some("lang")) // lang=*/ dirs
+    val part = spark.read.format("graft-jsonl").load(dir)
+    // full read: lang restored from directory names, full parity
+    val wantAll = docs.collect().length
+    assert(part.count() === wantAll.toLong)
+    assert(part.filter(col("lang").isNull).count() === 0L)
+    // pushed filter on the partition col prunes whole directories:
+    // task count == shard count under lang=en only
+    val en = part.filter(col("lang") === "en")
+    val enFiles = Files.list(Paths.get(dir, "lang=en")).filter(p =>
+      p.getFileName.toString.endsWith(".json.gz")).count()
+    assert(en.rdd.getNumPartitions === enFiles.toInt)
+    val wantEn = docs.filter(col("lang") === "en")
+    assert(en.exceptAll(wantEn).isEmpty && wantEn.exceptAll(en).isEmpty)
+    // range pruning on a partition value and non-partition filters compose
+    assert(part.filter(col("lang") >= "fr" && col("n_chars") > 0).count()
+      === docs.filter(col("lang") >= "fr" && col("n_chars") > 0).count())
+  }
+
   test("micro-batch stream: each batch reads exactly the newly-arrived shards") {
     val dir = Files.createTempDirectory("graft_dsv2_stream").toString
     writeShard(dir, "s1.jsonl", Seq(
