@@ -439,8 +439,42 @@ object WarehouseQueries {
       |FROM documents WHERE lang IN ('en', 'de')
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** q94's profile at 100 TB cost: KMV-sketch distinct estimates in
+    * ONE plain aggregate — no Expand, no ×(columns+1) row replication
+    * (plan-guarded in `TableProfileSpec`) — and still fully under the
+    * oracle gate because the KMV estimator is a pure function of each
+    * column's value set (DuckDB reproduces it from a window sort). */
+  def profileOrdersApprox(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TableProfile.profileApprox(
+      graft.core.Tables.load(s, dir, "orders"), k = 64)
+
+  val profileOrdersApproxSql: String = {
+    def row(c: String, render: String): String =
+      s"""SELECT '$c' AS col_name,
+         |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+         |  CAST((SELECT COUNT(*) - COUNT($c) FROM orders) AS BIGINT) AS n_nulls,
+         |  (SELECT CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |     ELSE 63.0 * 281474976710656 / CAST(hv AS DOUBLE) END
+         |   FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn,
+         |           COUNT(*) OVER () AS nd
+         |         FROM (SELECT DISTINCT
+         |             CAST('0x' || substr(md5($render), 1, 12) AS BIGINT) AS hv
+         |           FROM orders WHERE $c IS NOT NULL))
+         |   WHERE rn = LEAST(nd, 64)) AS est_distinct""".stripMargin
+    Seq(
+      row("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+      row("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+      row("o_orderstatus", "o_orderstatus"),
+      row("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+      row("o_orderdate", "CAST(o_orderdate AS VARCHAR)"),
+      row("o_orderpriority", "o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_constraint_audit" -> (constraintAudit _),
+    "q116_profile_orders_approx" -> (profileOrdersApprox _),
     "q114_dsv2_jsonl_scan" -> (dsv2JsonlScan _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
@@ -458,6 +492,7 @@ object WarehouseQueries {
   val oracles: Map[String, String] = Map(
     "q107_constraint_audit" -> constraintAuditSql,
     "q114_dsv2_jsonl_scan" -> dsv2JsonlScanSql,
+    "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,
     "q36_asof_dim_lookup" -> asofDimLookupSql,

@@ -22,6 +22,24 @@ class TableProfileSpec extends AnyFunSuite {
     assert(got("x") === ((4L, 1L, 3L, Some(-1.0), Some(4.0))))
   }
 
+  test("profileApprox: no Expand in the plan, estimates near truth, exact below k") {
+    val df = (1L to 5000L).map(i => (i, s"v${i % 37}", i * 1.01))
+      .toDF("id", "s", "x")
+    val prof = TableProfile.profileApprox(df, k = 64)
+    // the whole point: a plain aggregate, never the x(columns+1) Expand
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"plan:\n$plan")
+    val got = prof.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // s has 37 < k distincts: the sketch degenerates to the EXACT count
+    assert(got("s") === ((5000L, 0L, 37.0)))
+    // id has 5000 distincts: KMV estimate within 35% at k=64 (rel err
+    // ~ 1/sqrt(k-2) ≈ 13%; 35% bounds the tail deterministically for
+    // this fixed input)
+    val est = got("id")._3
+    assert(est > 5000 * 0.65 && est < 5000 * 1.35, s"est=$est")
+  }
+
   test("reads the table exactly once (single scan under the Expand)") {
     val df = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val profiled = TableProfile.profile(df)
