@@ -72,7 +72,13 @@ object CatalogStats {
     val prev = SparkSession.getActiveSession
     SparkSession.setActiveSession(child)
     try child.table(s"$db.$table").queryExecution.optimizedPlan.stats.rowCount
-    finally prev.foreach(SparkSession.setActiveSession)
+    finally prev match {
+      // restore OR clear: leaving the CBO child thread-active on a
+      // previously-sessionless thread would be exactly the planner
+      // contamination this class promises to avoid
+      case Some(s) => SparkSession.setActiveSession(s)
+      case None => SparkSession.clearActiveSession()
+    }
   }
 
   /** Child session with the cost-based optimizer and stats-driven

@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
   * the parent is a dim. Nothing collects. */
 object ConstraintAudit {
 
-  final case class Rule(name: String, predicate: Column)
+  /** `name` must be a bare identifier (`[A-Za-z0-9_]+`): it becomes a
+    * column alias and a SQL literal inside the generated `stack`
+    * expression, and anything else would break parsing there. Checked
+    * at construction so the error names the rule, not the parser. */
+  final case class Rule(name: String, predicate: Column) {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"rule name must match [A-Za-z0-9_]+: '$name'")
+  }
 
   /** Per-rule `(rule, n_rows, n_violations, pass)` — one scan for the
     * whole rule set. */

@@ -107,6 +107,91 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String)
   override def build(): Scan = new JsonlScan(dataSchema, required, pushed, path)
 }
 
+/** Serializable carrier for the SESSION's Hadoop configuration —
+  * `new Configuration()` only sees classpath XML and silently drops
+  * every `spark.hadoop.*` setting (object-store credentials, custom
+  * default FS, …). Built on the driver from
+  * `sessionState.newHadoopConf()`, shipped to executors as the
+  * effective key/value set. */
+final class JsonlHadoopConf(props: Array[(String, String)]) extends Serializable {
+  @transient private lazy val conf: Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  def value: Configuration = conf
+}
+
+object JsonlHadoopConf {
+  /** Snapshot the active session's Hadoop conf (falls back to a plain
+    * Configuration outside any session — tests constructing readers
+    * directly). */
+  def fromSession(): JsonlHadoopConf = {
+    import scala.jdk.CollectionConverters._
+    val c = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+    new JsonlHadoopConf(c.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray)
+  }
+}
+
+/** Path-layout helpers shared by the batch scan, the stream, and the
+  * commit protocol. */
+object JsonlLayout {
+  /** Spark's directory name for a null partition value. */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  def isShard(n: String): Boolean =
+    !n.startsWith("_") && !n.startsWith(".") &&
+      (n.endsWith(".json") || n.endsWith(".jsonl") ||
+        n.endsWith(".json.gz") || n.endsWith(".jsonl.gz"))
+
+  /** Inverse of Spark's `escapePathName`: decodes `%xx` sequences
+    * ONLY — unlike URLDecoder, '+' is a literal plus and a stray '%'
+    * stays literal instead of throwing. */
+  def unescapePathName(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Shards of a table directory with their partition values: a flat
+    * dir or single file yields empty values; one-level `k=v` subdirs
+    * yield `k -> Some(value)` (`k -> None` for the null-partition
+    * sentinel). Uses the FileStatus from listing — no per-entry
+    * re-stat. */
+  def discover(fs: org.apache.hadoop.fs.FileSystem, root: Path)
+      : Seq[(Path, Map[String, Option[String]])] = {
+    if (!fs.exists(root)) return Seq.empty
+    def shards(dir: Path): Seq[Path] =
+      fs.listStatus(dir).filter(st => st.isFile && isShard(st.getPath.getName))
+        .map(_.getPath).sortBy(_.getName).toSeq
+    if (fs.getFileStatus(root).isFile) return Seq(root -> Map.empty)
+    val entries = fs.listStatus(root)
+    val partDirs = entries
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath).sortBy(_.getName)
+    if (partDirs.isEmpty) shards(root).map(_ -> Map.empty[String, Option[String]])
+    else partDirs.toSeq.flatMap { d =>
+      val Array(k, v) = d.getName.split("=", 2)
+      val value =
+        if (v == NullPartition) None else Some(unescapePathName(v))
+      shards(d).map(_ -> Map(k -> value))
+    }
+  }
+}
+
 final class JsonlScan(dataSchema: StructType, required: StructType,
                       pushed: Array[Filter], path: String)
     extends Scan with Batch {
@@ -123,44 +208,28 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * their files are never listed into partitions, the file-open-level
     * skip that dwarfs row-level filtering at 100 TB. The partition
     * value is injected into rows by the reader (it is not stored in
-    * the JSON lines). Flat directories keep the original behavior. */
+    * the JSON lines; the `__HIVE_DEFAULT_PARTITION__` sentinel maps
+    * back to null). Flat directories keep the original behavior. */
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-
-    def shardFiles(dir: Path): Array[Path] =
-      fs.listStatus(dir).map(_.getPath).filter { f =>
-        val n = f.getName
-        !n.startsWith("_") && !n.startsWith(".") &&
-          (n.endsWith(".json") || n.endsWith(".jsonl") ||
-            n.endsWith(".json.gz") || n.endsWith(".jsonl.gz"))
-      }.sortBy(_.getName)
-
-    if (fs.getFileStatus(p).isFile)
-      return Array(JsonlInputPartition(p.toString, Map.empty))
-    val partDirs = fs.listStatus(p).map(_.getPath)
-      .filter(d => fs.getFileStatus(d).isDirectory && d.getName.contains("="))
-      .sortBy(_.getName)
-    if (partDirs.isEmpty)
-      shardFiles(p).map(f => JsonlInputPartition(f.toString, Map.empty): InputPartition)
-    else
-      partDirs.flatMap { d =>
-        val Array(k, v) = d.getName.split("=", 2)
-        val value = java.net.URLDecoder.decode(v, "UTF-8")
-        val keep = pushed.forall(JsonlPartitionPruning.admits(_, k, value,
-          dataSchema))
-        if (!keep) Seq.empty[InputPartition]
-        else shardFiles(d).toSeq.map(f =>
-          JsonlInputPartition(f.toString, Map(k -> value)): InputPartition)
-      }.toArray
+    val conf = JsonlHadoopConf.fromSession()
+    val fs = p.getFileSystem(conf.value)
+    JsonlLayout.discover(fs, p)
+      .filter { case (_, pv) =>
+        pv.forall { case (k, v) =>
+          pushed.forall(JsonlPartitionPruning.admits(_, k, v, dataSchema))
+        }
+      }
+      .map { case (f, pv) => JsonlInputPartition(f.toString, pv): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed, dataSchema)
+    new JsonlReaderFactory(required, pushed, dataSchema, JsonlHadoopConf.fromSession())
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new JsonlMicroBatchStream(path, required, pushed)
+    new JsonlMicroBatchStream(path, dataSchema, required, pushed)
 }
 
 /** Micro-batch streaming over a JSONL drop directory: the offset is
@@ -174,24 +243,37 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   * ordering guarantee; a name-watermark offset (O(1)) works when
   * shard names are monotonic, and the built-in file source's
   * compacting seen-log is the production pattern past ~100k shards. */
-final class JsonlMicroBatchStream(path: String, required: StructType,
-                                  pushed: Array[Filter])
+final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
+                                  required: StructType, pushed: Array[Filter])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  private val conf = JsonlHadoopConf.fromSession()
+
+  // file path -> partition values, refreshed at each latestOffset();
+  // offsets stay a plain file list (partition values re-derive from
+  // the path on restart, so old checkpoints remain readable)
+  @transient private var partsByFile =
+    Map.empty[String, Map[String, Option[String]]]
+
   private def currentFiles(): Seq[String] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).map(_.getPath)
-      .filter { f =>
-        val n = f.getName
-        !n.startsWith("_") && !n.startsWith(".") &&
-          (n.endsWith(".json") || n.endsWith(".jsonl") ||
-            n.endsWith(".json.gz") || n.endsWith(".jsonl.gz"))
-      }
-      .map(_.toString).sorted.toSeq
+    val fs = p.getFileSystem(conf.value)
+    val discovered = JsonlLayout.discover(fs, p)
+    partsByFile = discovered.map { case (f, pv) => f.toString -> pv }.toMap
+    discovered.map(_._1.toString).sorted
   }
+
+  private def partValuesOf(file: String): Map[String, Option[String]] =
+    partsByFile.getOrElse(file, {
+      // restart path: derive from the parent directory name
+      val parent = new Path(file).getParent.getName
+      if (parent.contains("=")) {
+        val Array(k, v) = parent.split("=", 2)
+        Map(k -> (if (v == JsonlLayout.NullPartition) None
+                  else Some(JsonlLayout.unescapePathName(v))))
+      } else Map.empty
+    })
 
   override def initialOffset(): Offset = JsonlFilesOffset(Seq.empty)
   override def latestOffset(): Offset = JsonlFilesOffset(currentFiles())
@@ -200,10 +282,10 @@ final class JsonlMicroBatchStream(path: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[JsonlFilesOffset].files.toSet
     end.asInstanceOf[JsonlFilesOffset].files.filterNot(seen)
-      .map(f => JsonlInputPartition(f): InputPartition).toArray
+      .map(f => JsonlInputPartition(f, partValuesOf(f)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed)
+    new JsonlReaderFactory(required, pushed, dataSchema, conf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -225,13 +307,15 @@ object JsonlFilesOffset {
   }
 }
 
-final case class JsonlInputPartition(file: String,
-                                     partValues: Map[String, String] = Map.empty)
+final case class JsonlInputPartition(
+    file: String,
+    partValues: Map[String, Option[String]] = Map.empty)
     extends InputPartition
 
 /** Planning-time partition pruning: can a partition with `col = value`
-  * contain rows satisfying `f`? Conservative — filters on other
-  * columns (or shapes we can't decide) admit the partition. */
+  * (None = the null partition) contain rows satisfying `f`?
+  * Conservative — filters on other columns (or shapes we can't
+  * decide) admit the partition. */
 object JsonlPartitionPruning {
   private def typed(value: String, dt: DataType): Any = dt match {
     case LongType => value.toLong
@@ -250,18 +334,32 @@ object JsonlPartitionPruning {
       case _ => None
     } catch { case _: Exception => None }
 
-  def admits(f: Filter, col: String, value: String, schema: StructType): Boolean = {
+  def admits(f: Filter, col: String, value: Option[String],
+             schema: StructType): Boolean = {
     val dt = schema.fields.find(_.name == col).map(_.dataType)
       .getOrElse(return true)
-    f match {
-      case EqualTo(a, v) if a == col => cmp(value, dt, v).forall(_ == 0)
-      case In(a, vs) if a == col => vs.exists(v => cmp(value, dt, v).forall(_ == 0))
-      case IsNull(a) if a == col => false // a present partition value is never null
-      case IsNotNull(a) if a == col => true
-      case GreaterThan(a, v) if a == col => cmp(value, dt, v).forall(_ > 0)
-      case GreaterThanOrEqual(a, v) if a == col => cmp(value, dt, v).forall(_ >= 0)
-      case LessThan(a, v) if a == col => cmp(value, dt, v).forall(_ < 0)
-      case LessThanOrEqual(a, v) if a == col => cmp(value, dt, v).forall(_ <= 0)
+    (f, value) match {
+      case (IsNull(a), v) if a == col => v.isEmpty
+      case (IsNotNull(a), v) if a == col => v.isDefined
+      case (_, None) => f match {
+        // a null partition value fails every comparison filter on col
+        case EqualTo(a, _) if a == col => false
+        case In(a, _) if a == col => false
+        case GreaterThan(a, _) if a == col => false
+        case GreaterThanOrEqual(a, _) if a == col => false
+        case LessThan(a, _) if a == col => false
+        case LessThanOrEqual(a, _) if a == col => false
+        case _ => true
+      }
+      case (EqualTo(a, v), Some(pv)) if a == col => cmp(pv, dt, v).forall(_ == 0)
+      case (In(a, vs), Some(pv)) if a == col =>
+        vs.exists(v => cmp(pv, dt, v).forall(_ == 0))
+      case (GreaterThan(a, v), Some(pv)) if a == col => cmp(pv, dt, v).forall(_ > 0)
+      case (GreaterThanOrEqual(a, v), Some(pv)) if a == col =>
+        cmp(pv, dt, v).forall(_ >= 0)
+      case (LessThan(a, v), Some(pv)) if a == col => cmp(pv, dt, v).forall(_ < 0)
+      case (LessThanOrEqual(a, v), Some(pv)) if a == col =>
+        cmp(pv, dt, v).forall(_ <= 0)
       case _ => true
     }
   }
@@ -312,21 +410,24 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
-  private def fs = new Path(path).getFileSystem(new Configuration())
+  private val conf = JsonlHadoopConf.fromSession()
+  private def fs = new Path(path).getFileSystem(conf.value)
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(schema, path, queryId)
+    new JsonlWriterFactory(schema, path, queryId, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
     val dest = new Path(path)
     f.mkdirs(dest)
     if (truncate)
-      f.listStatus(dest).map(_.getPath).filter { p =>
-        val n = p.getName
+      // recursive: a previously PARTITIONED table (lang=*/ dirs) must
+      // truncate too, not throw or silently survive beside new shards
+      f.listStatus(dest).filter { st =>
+        val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
-      }.foreach(f.delete(_, false))
+      }.foreach(st => f.delete(st.getPath, true))
     messages.foreach { case JsonlCommitMessage(staged) =>
       val s = new Path(staged)
       if (!f.rename(s, new Path(dest, s.getName)))
@@ -339,24 +440,31 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     fs.delete(stagingDir, true)
 }
 
-final class JsonlWriterFactory(schema: StructType, path: String, queryId: String)
+final class JsonlWriterFactory(schema: StructType, path: String,
+                               queryId: String, conf: JsonlHadoopConf)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new JsonlDataWriter(schema, path, queryId, partitionId, taskId)
+    new JsonlDataWriter(schema, path, queryId, partitionId, taskId, conf)
 }
 
 /** Streams rows as gzip JSON lines into the attempt-unique staged
   * file. Field order follows the write schema; nulls are emitted as
-  * JSON nulls (round-trips through the reader's null semantics). */
+  * JSON nulls (round-trips through the reader's null semantics).
+  * The PUBLISHED name embeds the write's queryId (a UUID): task ids
+  * are only unique within one SparkContext, and append mode from a
+  * fresh application would otherwise stage `part-00000-0` again and
+  * rename-overwrite an existing shard — the same reason Spark's file
+  * committers put a job UUID in every part file name. */
 final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
-                            partitionId: Int, taskId: Long)
+                            partitionId: Int, taskId: Long,
+                            conf: JsonlHadoopConf)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
-  private val staged =
-    new Path(path, f"_staging/$queryId/part-$partitionId%05d-$taskId.jsonl.gz")
+  private val staged = new Path(path,
+    f"_staging/$queryId/part-$partitionId%05d-$taskId-$queryId.jsonl.gz")
   private val out = {
-    val f = staged.getFileSystem(new Configuration())
+    val f = staged.getFileSystem(conf.value)
     new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new java.util.zip.GZIPOutputStream(f.create(staged, true)),
       StandardCharsets.UTF_8))
@@ -391,19 +499,20 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
 
   override def abort(): Unit = {
     out.close()
-    staged.getFileSystem(new Configuration()).delete(staged, false)
+    staged.getFileSystem(conf.value).delete(staged, false)
   }
 
   override def close(): Unit = ()
 }
 
 final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
-                               dataSchema: StructType = null)
+                               dataSchema: StructType,
+                               conf: JsonlHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
-    new JsonlPartitionReader(p.file, required, pushed,
-      p.partValues, if (dataSchema == null) required else dataSchema)
+    new JsonlPartitionReader(p.file, required, pushed, p.partValues,
+      dataSchema, conf)
   }
 }
 
@@ -415,35 +524,43 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
   * fields, visible to both filters and materialization. */
 final class JsonlPartitionReader(file: String, required: StructType,
                                  pushed: Array[Filter],
-                                 partValues: Map[String, String],
-                                 dataSchema: StructType)
+                                 partValues: Map[String, Option[String]],
+                                 dataSchema: StructType,
+                                 conf: JsonlHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val reader: BufferedReader = {
     val p = new Path(file)
-    val in = p.getFileSystem(new Configuration()).open(p)
+    val in = p.getFileSystem(conf.value).open(p)
     val stream = if (file.endsWith(".gz")) new GZIPInputStream(in) else in
     new BufferedReader(new InputStreamReader(stream, StandardCharsets.UTF_8))
   }
   private var row: InternalRow = _
 
-  // partition-directory values as typed virtual JSON fields
+  // partition-directory values as typed virtual JSON fields; a null
+  // partition (the __HIVE_DEFAULT_PARTITION__ dir) masks the column
+  // to SQL null — it must not fall through to the JSON line
+  private val nullPartCols: Set[String] =
+    partValues.collect { case (k, None) => k }.toSet
   private val partNode: com.fasterxml.jackson.databind.node.ObjectNode = {
     val n = mapper.createObjectNode()
-    partValues.foreach { case (k, v) =>
-      dataSchema.fields.find(_.name == k).map(_.dataType) match {
-        case Some(LongType) => n.put(k, v.toLong)
-        case Some(IntegerType) => n.put(k, v.toInt)
-        case Some(DoubleType) => n.put(k, v.toDouble)
-        case Some(BooleanType) => n.put(k, v.toBoolean)
-        case _ => n.put(k, v)
-      }
+    partValues.foreach {
+      case (k, Some(v)) =>
+        dataSchema.fields.find(_.name == k).map(_.dataType) match {
+          case Some(LongType) => n.put(k, v.toLong)
+          case Some(IntegerType) => n.put(k, v.toInt)
+          case Some(DoubleType) => n.put(k, v.toDouble)
+          case Some(BooleanType) => n.put(k, v.toBoolean)
+          case _ => n.put(k, v)
+        }
+      case _ => ()
     }
     n
   }
 
   private def field(node: JsonNode, name: String): JsonNode = {
+    if (nullPartCols.contains(name)) return null
     val p = partNode.get(name)
     if (p != null) return p
     val v = node.get(name)

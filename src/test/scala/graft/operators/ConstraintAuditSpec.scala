@@ -50,6 +50,15 @@ class ConstraintAuditSpec extends AnyFunSuite {
     assert(scans == 1)
   }
 
+  test("rule names must be bare identifiers (they enter a parsed stack expr)") {
+    intercept[IllegalArgumentException] {
+      Rule("price > 0", col("id") > 0)
+    }
+    intercept[IllegalArgumentException] {
+      Rule("o'brien check", col("id") > 0)
+    }
+  }
+
   test("fkAudit counts orphans, including null child keys") {
     val child = Seq[(java.lang.Long, String)](
       (1L, "a"), (2L, "b"), (9L, "orphan"), (null, "null-key"))

@@ -128,6 +128,75 @@ class JsonlDsv2Spec extends AnyFunSuite {
       === docs.filter(col("lang") >= "fr" && col("n_chars") > 0).count())
   }
 
+  test("null partitions round-trip: sentinel dir reads back as SQL null") {
+    val dir = Files.createTempDirectory("graft_dsv2_nullpart").toString
+    val docs = Seq(
+      (1L, "a", "en", "s", 1L),
+      (2L, "b", null.asInstanceOf[String], "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    JsonlCorpus.write(docs, dir, partitionCol = Some("lang")) // lang=__HIVE_DEFAULT_PARTITION__/
+    val back = spark.read.format("graft-jsonl").load(dir)
+    assert(back.count() === 2L)
+    // IsNull must NOT be pruned away, and the sentinel never leaks as a string
+    assert(back.filter(col("lang").isNull).select("doc_id")
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(back.filter(col("lang") === "__HIVE_DEFAULT_PARTITION__").count() === 0L)
+    assert(back.filter(col("lang") === "en").select("doc_id")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("partition values with '+' and escaped chars survive (no URLDecoder plus-to-space)") {
+    val dir = Files.createTempDirectory("graft_dsv2_plus").toString
+    val docs = Seq((1L, "x", "c++", "s", 1L), (2L, "y", "a b", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    JsonlCorpus.write(docs, dir, partitionCol = Some("lang"))
+    val back = spark.read.format("graft-jsonl").load(dir)
+    assert(back.select("lang").as[String].collect().sorted.toSeq === Seq("a b", "c++"))
+    assert(back.filter(col("lang") === "c++").select("doc_id")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("micro-batch stream works over a partitioned layout") {
+    val dir = Files.createTempDirectory("graft_dsv2_partstream").toString
+    Seq((1L, "a", "en", "s", 1L), (2L, "b", "fr", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").option("compression", "gzip")
+      .partitionBy("lang").json(dir)
+    val q = spark.readStream.format("graft-jsonl").load(dir)
+      .writeStream.format("memory").queryName("jsonl_part_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("jsonl_part_stream")
+      .select("doc_id", "lang").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "en"), (2L, "fr"))) // lang injected from dirs
+    q.stop()
+  }
+
+  test("published shard names embed the write's queryId (cross-application append safety)") {
+    val out = Files.createTempDirectory("graft_dsv2_names").toString
+    val df = Seq((1L, "a", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.write.format("graft-jsonl").mode("append").save(out)
+    df.write.format("graft-jsonl").mode("append").save(out)
+    val names = Files.list(Paths.get(out)).map(_.getFileName.toString)
+      .filter(_.endsWith(".jsonl.gz")).toArray.map(_.toString)
+    assert(names.length === 2)
+    // each name carries its job's UUID -> two apps can never collide
+    assert(names.forall(_.matches("part-\\d{5}-\\d+-[0-9a-f-]{36}\\.jsonl\\.gz")),
+      names.mkString(", "))
+  }
+
+  test("overwrite truncates a previously PARTITIONED table recursively") {
+    val dir = Files.createTempDirectory("graft_dsv2_truncpart").toString
+    Seq((1L, "a", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").option("compression", "gzip")
+      .partitionBy("lang").json(dir)
+    Seq((9L, "z", "de", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.format("graft-jsonl").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-jsonl").load(dir)
+    assert(back.select("doc_id").as[Long].collect().toSeq === Seq(9L))
+    assert(!Files.exists(Paths.get(dir, "lang=en")))
+  }
+
   test("micro-batch stream: each batch reads exactly the newly-arrived shards") {
     val dir = Files.createTempDirectory("graft_dsv2_stream").toString
     writeShard(dir, "s1.jsonl", Seq(
