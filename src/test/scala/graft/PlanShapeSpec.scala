@@ -269,6 +269,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
   }
 
+  test("q104 bloom decontamination: corpus probe is filtered BEFORE the verify join") {
+    val df = graft.llm.LlmQueries.bloomDecontaminate(spark, sf)
+    val plan = planText(df)
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+    // the bloom UDF probe must sit below the join (prefilter, not postfilter)
+    assert(plan.contains("udf"), s"bloom probe missing:\n$plan")
+  }
+
+  test("q105 shared-span search joins on gram text — never cartesian") {
+    val plan = planText(graft.llm.LlmQueries.longestSharedSpans(spark, sf))
+    assert(!plan.contains("cartesianproduct"), s"plan:\n$plan")
+    assert(!plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
+  }
+
+  test("q112 prototype eval broadcasts the centroid table; one embeddings scan per stage") {
+    val df = graft.llm.LlmQueries.prototypeConfusion(spark, sf)
+    val plan = planText(df)
+    assert(plan.contains("broadcast"), s"centroids not broadcast:\n$plan")
+    assert(!plan.contains("cartesianproduct") ||
+      plan.contains("broadcastnestedloopjoin"), s"plan:\n$plan")
+    // corpus side scans embeddings at most twice (centroid build + assign)
+    assert(scanCount(df, "embeddings") <= 2, "embeddings scan fan-out")
+  }
+
+  test("q116 approx profile plans WITHOUT the Expand the exact profile pays") {
+    val approx = graft.analytics.WarehouseQueries.profileOrdersApprox(spark, sf)
+    assert(!planText(approx).contains("expand"))
+    val exact = graft.analytics.WarehouseQueries.profileOrders(spark, sf)
+    assert(planText(exact).contains("expand")) // the contrast that motivates q116
+  }
+
   test("q67/q71/q72 join-back statistics stay equi-join (never cartesian)") {
     Seq(
       "q67" -> graft.llm.LlmQueries.dupNgrams(spark, sf),
