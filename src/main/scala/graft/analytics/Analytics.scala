@@ -1025,7 +1025,69 @@ object Analytics {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** TPC-H Q8 pattern (national market share): the share of AMERICA-
+    * region customer revenue supplied by GERMANY-based suppliers, per
+    * order year. Shape: the supplier→nation side resolves to a
+    * broadcast boolean (is-Germany) BEFORE the fact join; the customer
+    * →nation→region chain prunes to one region at the scan side of
+    * the orders join; the share is a conditional-sum / total-sum
+    * ratio in ONE aggregation pass (q100's discipline — both decimal
+    * sums ride the same shuffle), divided once into a double. */
+  def nationalMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val sup = t(s, dir, "supplier")
+    val amerCust = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AMERICA").select("c_custkey")
+    val supDe = sup.join(broadcast(n.filter(col("n_name") === "GERMANY")),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"))
+    val rev = dec(col("l_extendedprice"), 12, 2) *
+      dec(lit(1.0) - col("l_discount"), 4, 2)
+    li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supDe.withColumn("is_de", lit(true))),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(sum(when(col("is_de"), rev)).as("de_dec"),
+        sum(rev).as("all_dec"))
+      .select(col("order_year").cast("bigint").as("order_year"),
+        coalesce(col("de_dec"), lit(0).cast("decimal(38,4)")).cast("double")
+          .as("de_revenue"),
+        col("all_dec").cast("double").as("total_revenue"),
+        (coalesce(col("de_dec"), lit(0).cast("decimal(38,4)")).cast("double")
+          / col("all_dec").cast("double")).as("mkt_share"))
+      .orderBy("order_year")
+  }
+
+  val nationalMarketShareSql: String =
+    """WITH amer AS (SELECT c_custkey FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'),
+      |de AS (SELECT s_suppkey FROM supplier JOIN nation
+      |  ON s_nationkey = n_nationkey WHERE n_name = 'GERMANY')
+      |SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  COALESCE(CAST(SUM(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM de)
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) END) AS DOUBLE), 0)
+      |    AS de_revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |    AS total_revenue,
+      |  COALESCE(CAST(SUM(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM de)
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) END) AS DOUBLE), 0)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |    AS mkt_share
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey IN (SELECT c_custkey FROM amer)
+      |GROUP BY 1 ORDER BY order_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_national_market_share" -> (nationalMarketShare _),
     "q115_returned_item_revenue" -> (returnedItemRevenue _),
     "q113_monthly_window_toolkit" -> (monthlyWindowToolkit _),
     "q108_pivot_status_totals" -> (pivotStatusTotals _),
@@ -1063,6 +1125,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q117_national_market_share" -> nationalMarketShareSql,
     "q115_returned_item_revenue" -> returnedItemRevenueSql,
     "q113_monthly_window_toolkit" -> monthlyWindowToolkitSql,
     "q108_pivot_status_totals" -> pivotStatusTotalsSql,
