@@ -40,7 +40,8 @@ object CorpusPipeline {
              contamN: Int = 5,
              trainPct: Int = 96, valPct: Int = 2,
              capacity: Int = 512, shards: Int = 8,
-             materialize: DataFrame => DataFrame = identity): DataFrame = {
+             materialize: DataFrame => DataFrame = identity,
+             bloomDecontam: Boolean = false): DataFrame = {
     val quality = CorpusOps.qualityScore(docs, qualityThreshold)
       .select(col("doc_id"), col("quality_score"), col("keep").as("q_keep"))
     val afterQ = materialize(
@@ -52,7 +53,13 @@ object CorpusPipeline {
     val afterD = materialize(
       afterQ.join(verdicts.filter(col("d_keep")).select("doc_id"), Seq("doc_id")))
 
-    val contam = CorpusOps.decontaminate(afterD, evalDocs, contamN)
+    // bloomDecontam swaps in the sketch-prefiltered variant — same
+    // rows bit for bit (the verify join strips false positives), but
+    // executors hold a ~MB bloom instead of the gram-string broadcast
+    val contam = (if (bloomDecontam)
+        CorpusOps.decontaminateBloom(afterD, evalDocs, contamN,
+          materialize = materialize)
+      else CorpusOps.decontaminate(afterD, evalDocs, contamN))
       .select(col("doc_id"), col("contaminated"))
     val afterC = materialize(
       afterD.join(contam.filter(!col("contaminated")).select("doc_id"),

@@ -151,6 +151,30 @@ object Dedup {
     * `materialize` hook at scale). A pipeline should alert on it, and
     * either raise tiers 1-2 aggressiveness or treat whole skipped
     * buckets as duplicate clusters. */
+  /** LSH parameter planning: probability that a pair with Jaccard `s`
+    * becomes a candidate under `bands` bands of `rows` minhash rows
+    * each — the standard s-curve `1 - (1 - s^rows)^bands`. */
+  def lshCollisionProb(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Pick `(bands, rows)` for a signature budget of `k` minhashes and
+    * a target similarity `threshold`: among the factorizations
+    * `bands * rows = k`, the one whose s-curve inflection
+    * `(1/bands)^(1/rows)` lands closest to the threshold — fewer
+    * bands → fewer false positives below it, more bands → better
+    * recall above it, and the inflection is where the curve is
+    * steepest. Driver-side arithmetic over the divisors of `k`;
+    * feed the result straight into [[lshCandidates]]'s `k`/`bands`. */
+  def lshPlan(threshold: Double, k: Int = 8): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold $threshold outside (0,1)")
+    require(k >= 2, s"k ($k) must be at least 2")
+    val options = (1 to k).filter(k % _ == 0)
+      .map(b => (b, k / b))
+    options.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   def lshCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4,
                     shingle: Int = 3, maxBucket: Int = 1000,
                     materialize: DataFrame => DataFrame = identity): LshCandidates = {

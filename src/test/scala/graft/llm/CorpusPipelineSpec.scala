@@ -98,4 +98,16 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(lazyRes == pinned)
     assert(lazyRes.nonEmpty)
   }
+
+  test("bloomDecontam variant is bit-identical to the exact pipeline") {
+    val dir = "/root/testdata/sf0.001"
+    val real = graft.core.Tables.load(spark, dir, "documents")
+    val eval = real.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text"))
+    val exact = CorpusPipeline.curate(real, eval)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = CorpusPipeline.curate(real, eval, bloomDecontam = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+  }
 }

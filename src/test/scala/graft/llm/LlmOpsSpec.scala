@@ -162,6 +162,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((2L to 7L).forall(i => !out(i).getAs[Boolean]("keep")))
   }
 
+  test("lshPlan picks the factorization whose s-curve inflection hits the threshold") {
+    // k=16, threshold 0.5: inflections are (1/b)^(1/r) over b*r=16 —
+    // b=4,r=4 gives 0.707; b=8,r=2 gives 0.354; b=16,r=1 gives 0.0625;
+    // b=2,r=8 gives 0.917. Closest to 0.5 is (8,2)? |0.354-0.5|=0.146
+    // vs (4,4) |0.207|. So (8,2).
+    assert(Dedup.lshPlan(0.5, 16) === ((8, 2)))
+    // high threshold wants few bands of many rows
+    val (bHi, rHi) = Dedup.lshPlan(0.9, 16)
+    assert(bHi <= 2 && bHi * rHi == 16)
+    // the plan's collision prob is monotone in s and high at the target
+    val (b, r) = Dedup.lshPlan(0.7, 16)
+    val p = Dedup.lshCollisionProb(0.85, b, r)
+    assert(p > Dedup.lshCollisionProb(0.5, b, r))
+    assert(p > 0.5)
+  }
+
   test("dedupCorpus: over-cap buckets surface per-doc as lsh_overflow, never silently") {
     val adversarial = (1L to 500L).map(i =>
       (i, s"this cookie banner asks you to accept all cookies before reading variant$i",
