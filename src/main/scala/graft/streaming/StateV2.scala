@@ -93,6 +93,78 @@ object StateV2 {
       }
   }
 
+  final case class VelocityAlert(user_id: Long, window_start: java.sql.Timestamp,
+                                 window_end: java.sql.Timestamp, n_purchases: Long)
+
+  /** Purchase-velocity monitor — the ListState face of the state-v2
+    * API: per user, a bounded list of recent purchase times; when
+    * `minPurchases` land inside `windowSec`, ONE alert emits for that
+    * burst (the burst's times are consumed, so a sustained burst
+    * alerts once per `minPurchases` arrivals, not per event). The
+    * list is trimmed to the window on every arrival, so live state is
+    * O(minPurchases) per ACTIVE user by construction. A user who goes
+    * silent keeps their last trimmed list until eviction: in
+    * production pass `TimeMode.ProcessingTime` and swap
+    * `TTLConfig.NONE` for `TTLConfig(Duration.ofSeconds(windowSec*2))`
+    * — the store then evicts idle users itself (TTL requires the
+    * processing-time mode; it bounds state SIZE, not semantics). The
+    * spec pins `TimeMode.None` because processing-time no-data-batch
+    * scheduling does not settle under `processAllAvailable` here. */
+  final class VelocityProcessor(windowSec: Long, minPurchases: Int)
+      extends StatefulProcessor[Long, Event, VelocityAlert] {
+
+    @transient private var times: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      times = getHandle.getListState[Long]("purchase_times",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[VelocityAlert] = {
+      val incoming = rows.filter(_.event_type == "purchase")
+        .map(_.ts.getTime / 1000).toSeq.sorted
+      if (incoming.isEmpty) return Iterator.empty
+      var held = (times.get().toSeq ++ incoming).sorted
+      val alerts = scala.collection.mutable.ListBuffer.empty[VelocityAlert]
+      var continue = true
+      while (continue && held.length >= minPurchases) {
+        // earliest window of minPurchases events that fits in windowSec
+        val i = held.indices.find(i => i + minPurchases - 1 < held.length &&
+          held(i + minPurchases - 1) - held(i) <= windowSec)
+        i match {
+          case Some(start) =>
+            val burst = held.slice(start, start + minPurchases)
+            alerts += VelocityAlert(userId,
+              new java.sql.Timestamp(burst.head * 1000),
+              new java.sql.Timestamp(burst.last * 1000), minPurchases.toLong)
+            held = held.drop(start + minPurchases) // burst consumed
+          case None => continue = false
+        }
+      }
+      // keep only times still inside the window of the newest event
+      val horizon = held.lastOption.getOrElse(incoming.last) - windowSec
+      val kept = held.filter(_ >= horizon)
+      times.clear()
+      if (kept.nonEmpty) times.appendList(kept.toArray)
+      alerts.iterator
+    }
+  }
+
+  /** Velocity alerts over the standard event frame. */
+  def purchaseVelocityAlerts(spark: SparkSession,
+                             events: org.apache.spark.sql.DataFrame,
+                             windowSec: Long = 600,
+                             minPurchases: Int = 3): Dataset[VelocityAlert] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new VelocityProcessor(windowSec, minPurchases),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming sessionization over the standard event frame —
     * drop-in replacement for [[EventPipelines.sessionize]] (same
     * input/output contract, same watermark). */

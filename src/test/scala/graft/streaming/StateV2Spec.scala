@@ -59,6 +59,44 @@ class StateV2Spec extends AnyFunSuite {
     }
   }
 
+  test("velocity alerts: ListState accumulates across epochs, bursts alert once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EventPipelines.Event]
+      def evT(id: Long, sec: Long, user: Long, typ: String) =
+        EventPipelines.Event(id, new java.sql.Timestamp(sec * 1000), user, typ, 1.0)
+      val q = StateV2.purchaseVelocityAlerts(spark, input.toDF(),
+          windowSec = 600, minPurchases = 3)
+        .writeStream.format("memory").queryName("velocity")
+        .outputMode("append").start()
+      val t0 = 1700000000L
+      // two purchases in epoch 1 (below threshold), third in epoch 2
+      // inside the window -> exactly one alert, state carried across
+      input.addData(evT(1, t0, 7, "purchase"), evT(2, t0 + 100, 7, "purchase"),
+        evT(3, t0 + 100, 8, "click"))
+      q.processAllAvailable()
+      assert(spark.table("velocity").count() === 0L)
+      input.addData(evT(4, t0 + 200, 7, "purchase"))
+      q.processAllAvailable()
+      val alerts = spark.table("velocity").as[StateV2.VelocityAlert].collect()
+      assert(alerts.length === 1)
+      assert(alerts.head.user_id === 7L && alerts.head.n_purchases === 3L)
+      assert(alerts.head.window_start.getTime === t0 * 1000)
+      assert(alerts.head.window_end.getTime === (t0 + 200) * 1000)
+      // burst consumed: a single further purchase does NOT re-alert
+      input.addData(evT(5, t0 + 300, 7, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("velocity").count() === 1L)
+      // purchases spread wider than the window never alert
+      input.addData(evT(6, t0 + 5000, 9, "purchase"),
+        evT(7, t0 + 6000, 9, "purchase"), evT(8, t0 + 7000, 9, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("velocity").count() === 1L)
+      q.stop()
+    }
+  }
+
   test("mid-batch gap violation closes the first session inline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
