@@ -37,23 +37,33 @@ object CatalogStats {
     s"graft_cbo_$h"
   }
 
+  // per-JVM memo of already-ANALYZEd tables: stats live in the shared
+  // external catalog, so re-ANALYZE per call would re-scan every table
+  // on every invocation (ANALYZE is an ingest-wave cadence action, not
+  // a per-query one — the same amortization as the q97 layout cache)
+  private val analyzed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Idempotently register `tables` under [[dbFor]] as external
-    * parquet tables over `dir`, and ANALYZE each (table stats always;
-    * column stats for `statCols(table)` when given). Returns the
+    * parquet tables over `dir`, and ANALYZE each ONCE per JVM (table
+    * stats always; column stats for `statCols(table)` when given;
+    * `force` re-analyzes, the post-ingest refresh path). Returns the
     * database name. */
   def registerAndAnalyze(spark: SparkSession, dir: String,
                          tables: Seq[String],
-                         statCols: Map[String, Seq[String]] = Map.empty): String = {
+                         statCols: Map[String, Seq[String]] = Map.empty,
+                         force: Boolean = false): String = {
     val db = dbFor(dir)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     tables.foreach { tbl =>
       spark.sql(s"CREATE TABLE IF NOT EXISTS $db.$tbl USING parquet " +
         s"LOCATION '$dir/$tbl.parquet'")
-      spark.sql(s"ANALYZE TABLE $db.$tbl COMPUTE STATISTICS")
-      val cols = statCols.getOrElse(tbl, Nil)
-      if (cols.nonEmpty)
-        spark.sql(s"ANALYZE TABLE $db.$tbl COMPUTE STATISTICS " +
-          s"FOR COLUMNS ${cols.mkString(", ")}")
+      if (force || analyzed.add(s"$db.$tbl")) {
+        spark.sql(s"ANALYZE TABLE $db.$tbl COMPUTE STATISTICS")
+        val cols = statCols.getOrElse(tbl, Nil)
+        if (cols.nonEmpty)
+          spark.sql(s"ANALYZE TABLE $db.$tbl COMPUTE STATISTICS " +
+            s"FOR COLUMNS ${cols.mkString(", ")}")
+      }
     }
     db
   }
