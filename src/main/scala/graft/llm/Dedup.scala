@@ -134,23 +134,6 @@ object Dedup {
     * the cap never bit = `pairs` is complete. */
   final case class LshCandidates(pairs: DataFrame, skippedBuckets: DataFrame)
 
-  /** Tier 3b: MinHash-LSH candidates — signatures split into `bands`
-    * bands of k/bands rows each; docs sharing any band signature become
-    * a candidate pair.
-    *
-    * Plan shape: see [[lshBuckets]]; pairs are generated inside each
-    * bucket from the sorted doc_id set — no self-join, no re-scan.
-    * Bucket width is bounded by the band-signature collision rate (the
-    * LSH guarantee) ONLY if exact duplicates were removed by tiers 1-2
-    * first; because real corpora still grow degenerate buckets
-    * (boilerplate that survives canonicalization), any bucket wider
-    * than `maxBucket` is excluded from the pair explode rather than
-    * materialized as one unbounded `collect_set` row with a quadratic
-    * pair explode — and reported IN-BAND via `skippedBuckets`, which
-    * shares this call's bucket plan (materialized once under the
-    * `materialize` hook at scale). A pipeline should alert on it, and
-    * either raise tiers 1-2 aggressiveness or treat whole skipped
-    * buckets as duplicate clusters. */
   /** LSH parameter planning: probability that a pair with Jaccard `s`
     * becomes a candidate under `bands` bands of `rows` minhash rows
     * each — the standard s-curve `1 - (1 - s^rows)^bands`. */
@@ -175,6 +158,23 @@ object Dedup {
     }
   }
 
+  /** Tier 3b: MinHash-LSH candidates — signatures split into `bands`
+    * bands of k/bands rows each; docs sharing any band signature become
+    * a candidate pair.
+    *
+    * Plan shape: see [[lshBuckets]]; pairs are generated inside each
+    * bucket from the sorted doc_id set — no self-join, no re-scan.
+    * Bucket width is bounded by the band-signature collision rate (the
+    * LSH guarantee) ONLY if exact duplicates were removed by tiers 1-2
+    * first; because real corpora still grow degenerate buckets
+    * (boilerplate that survives canonicalization), any bucket wider
+    * than `maxBucket` is excluded from the pair explode rather than
+    * materialized as one unbounded `collect_set` row with a quadratic
+    * pair explode — and reported IN-BAND via `skippedBuckets`, which
+    * shares this call's bucket plan (materialized once under the
+    * `materialize` hook at scale). A pipeline should alert on it, and
+    * either raise tiers 1-2 aggressiveness or treat whole skipped
+    * buckets as duplicate clusters. */
   def lshCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4,
                     shingle: Int = 3, maxBucket: Int = 1000,
                     materialize: DataFrame => DataFrame = identity): LshCandidates = {

@@ -37,17 +37,23 @@ object CatalogStats {
     s"graft_cbo_$h"
   }
 
-  // per-JVM memo of already-ANALYZEd tables: stats live in the shared
-  // external catalog, so re-ANALYZE per call would re-scan every table
-  // on every invocation (ANALYZE is an ingest-wave cadence action, not
-  // a per-query one — the same amortization as the q97 layout cache)
-  private val analyzed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // per-JVM memo of ANALYZE work already done: table key -> column
+  // stats computed so far (empty set = table stats only). Stats live
+  // in the shared external catalog, so re-ANALYZE per call would
+  // re-scan every table on every invocation (ANALYZE is an
+  // ingest-wave cadence action, not a per-query one — the same
+  // amortization as the q97 layout cache). Keyed per column set so a
+  // no-columns caller can never suppress a later caller's column
+  // stats — only genuinely-new columns trigger a scan.
+  private val analyzed =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   /** Idempotently register `tables` under [[dbFor]] as external
-    * parquet tables over `dir`, and ANALYZE each ONCE per JVM (table
-    * stats always; column stats for `statCols(table)` when given;
-    * `force` re-analyzes, the post-ingest refresh path). Returns the
-    * database name. */
+    * parquet tables over `dir`, and ANALYZE each ONCE per JVM per
+    * requested stat (table stats on first sight; column stats for
+    * whatever of `statCols(table)` has not been computed yet;
+    * `force = true` recomputes everything — the post-ingest refresh
+    * path — and still updates the memo). Returns the database name. */
   def registerAndAnalyze(spark: SparkSession, dir: String,
                          tables: Seq[String],
                          statCols: Map[String, Seq[String]] = Map.empty,
@@ -57,13 +63,18 @@ object CatalogStats {
     tables.foreach { tbl =>
       spark.sql(s"CREATE TABLE IF NOT EXISTS $db.$tbl USING parquet " +
         s"LOCATION '$dir/$tbl.parquet'")
-      if (force || analyzed.add(s"$db.$tbl")) {
+      val key = s"$db.$tbl"
+      val wanted = statCols.getOrElse(tbl, Nil).toSet
+      val covered = Option(analyzed.get(key))
+      val tableStatsNeeded = force || covered.isEmpty
+      val colsNeeded =
+        if (force) wanted else wanted -- covered.getOrElse(Set.empty)
+      if (tableStatsNeeded)
         spark.sql(s"ANALYZE TABLE $db.$tbl COMPUTE STATISTICS")
-        val cols = statCols.getOrElse(tbl, Nil)
-        if (cols.nonEmpty)
-          spark.sql(s"ANALYZE TABLE $db.$tbl COMPUTE STATISTICS " +
-            s"FOR COLUMNS ${cols.mkString(", ")}")
-      }
+      if (colsNeeded.nonEmpty)
+        spark.sql(s"ANALYZE TABLE $db.$tbl COMPUTE STATISTICS " +
+          s"FOR COLUMNS ${colsNeeded.toSeq.sorted.mkString(", ")}")
+      analyzed.merge(key, wanted, (a, b) => a ++ b)
     }
     db
   }

@@ -101,16 +101,21 @@ object StateV2 {
     * `minPurchases` land inside `windowSec`, ONE alert emits for that
     * burst (the burst's times are consumed, so a sustained burst
     * alerts once per `minPurchases` arrivals, not per event). The
-    * list is trimmed to the window on every arrival, so live state is
-    * O(minPurchases) per ACTIVE user by construction. A user who goes
-    * silent keeps their last trimmed list until eviction: in
+    * list is trimmed to `retainSec` behind the newest seen time —
+    * `retainSec` must be >= the source watermark delay, because a
+    * LATE purchase inside the watermark may complete a burst with
+    * times older than `windowSec` (trimming at the window width
+    * would silently drop them and miss genuine bursts); live state is
+    * therefore O(purchases per retainSec) per ACTIVE user. A user who
+    * goes silent keeps their last trimmed list until eviction: in
     * production pass `TimeMode.ProcessingTime` and swap
     * `TTLConfig.NONE` for `TTLConfig(Duration.ofSeconds(windowSec*2))`
     * — the store then evicts idle users itself (TTL requires the
     * processing-time mode; it bounds state SIZE, not semantics). The
     * spec pins `TimeMode.None` because processing-time no-data-batch
     * scheduling does not settle under `processAllAvailable` here. */
-  final class VelocityProcessor(windowSec: Long, minPurchases: Int)
+  final class VelocityProcessor(windowSec: Long, minPurchases: Int,
+                                retainSec: Long)
       extends StatefulProcessor[Long, Event, VelocityAlert] {
 
     @transient private var times: org.apache.spark.sql.streaming.ListState[Long] = _
@@ -141,8 +146,9 @@ object StateV2 {
           case None => continue = false
         }
       }
-      // keep only times still inside the window of the newest event
-      val horizon = held.lastOption.getOrElse(incoming.last) - windowSec
+      // retain the full late-data horizon, not just the window (a
+      // late purchase may yet complete a burst with these times)
+      val horizon = held.lastOption.getOrElse(incoming.last) - retainSec
       val kept = held.filter(_ >= horizon)
       times.clear()
       if (kept.nonEmpty) times.appendList(kept.toArray)
@@ -154,14 +160,17 @@ object StateV2 {
   def purchaseVelocityAlerts(spark: SparkSession,
                              events: org.apache.spark.sql.DataFrame,
                              windowSec: Long = 600,
-                             minPurchases: Int = 3): Dataset[VelocityAlert] = {
+                             minPurchases: Int = 3,
+                             retainSec: Long = 3600): Dataset[VelocityAlert] = {
+    require(retainSec >= windowSec,
+      s"retainSec ($retainSec) must cover windowSec ($windowSec)")
     import spark.implicits._
     events.select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "1 hour") // matches the default retainSec
       .as[Event]
       .groupByKey(_.user_id)
-      .transformWithState(new VelocityProcessor(windowSec, minPurchases),
+      .transformWithState(new VelocityProcessor(windowSec, minPurchases, retainSec),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -93,6 +93,22 @@ class StateV2Spec extends AnyFunSuite {
         evT(7, t0 + 6000, 9, "purchase"), evT(8, t0 + 7000, 9, "purchase"))
       q.processAllAvailable()
       assert(spark.table("velocity").count() === 1L)
+      // LATE purchases inside the retention horizon complete a burst:
+      // user 5 sees 1600s/1650s, then late 1000s and 1040s arrive —
+      // {1000, 1040, 1600} spans exactly the 600s window and must
+      // alert (a window-width trim would have dropped the early times)
+      input.addData(evT(9, t0 + 1600, 5, "purchase"),
+        evT(10, t0 + 1650, 5, "purchase"))
+      q.processAllAvailable()
+      input.addData(evT(11, t0 + 1000, 5, "purchase"))
+      q.processAllAvailable()
+      input.addData(evT(12, t0 + 1040, 5, "purchase"))
+      q.processAllAvailable()
+      val late = spark.table("velocity").as[StateV2.VelocityAlert].collect()
+        .filter(_.user_id == 5L)
+      assert(late.length === 1)
+      assert(late.head.window_start.getTime === (t0 + 1000) * 1000)
+      assert(late.head.window_end.getTime === (t0 + 1600) * 1000)
       q.stop()
     }
   }
