@@ -1086,7 +1086,47 @@ object Analytics {
       |WHERE o_custkey IN (SELECT c_custkey FROM amer)
       |GROUP BY 1 ORDER BY order_year""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** BAG-semantics set operations (`exceptAll` / `intersectAll`) —
+    * the multiplicity-preserving duals of q14's set INTERSECT/EXCEPT:
+    * per part, 1996 shipment rows surviving EXCEPT ALL against 1997
+    * (a part shipped 5x in '96 and 2x in '97 keeps 3 rows — demand
+    * SHRINKAGE, not mere membership) next to INTERSECT ALL (min of
+    * the two multiplicities — sustained demand). Both plan as a
+    * single shuffle on the compared row (Spark rewrites them to
+    * count-compare generators, no join explosion). */
+  def bagSetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def shipped(yr: Int) =
+      li.filter(year(col("l_shipdate")) === yr).select(col("l_partkey"))
+    val except = shipped(1996).exceptAll(shipped(1997))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_excess_96"))
+    val intersect = shipped(1996).intersectAll(shipped(1997))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_sustained"))
+    except.join(intersect, Seq("l_partkey"), "full_outer")
+      .select(col("l_partkey"),
+        coalesce(col("n_excess_96"), lit(0L)).as("n_excess_96"),
+        coalesce(col("n_sustained"), lit(0L)).as("n_sustained"))
+      .orderBy("l_partkey")
+  }
+
+  val bagSetOpsSql: String =
+    """WITH s96 AS (SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996),
+      |s97 AS (SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997),
+      |ex AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_excess_96
+      |       FROM (SELECT l_partkey FROM s96 EXCEPT ALL SELECT l_partkey FROM s97)
+      |       GROUP BY 1),
+      |init AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_sustained
+      |       FROM (SELECT l_partkey FROM s96 INTERSECT ALL SELECT l_partkey FROM s97)
+      |       GROUP BY 1)
+      |SELECT l_partkey,
+      |  COALESCE(n_excess_96, 0) AS n_excess_96,
+      |  COALESCE(n_sustained, 0) AS n_sustained
+      |FROM ex FULL OUTER JOIN init USING (l_partkey)
+      |ORDER BY l_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_bag_set_ops" -> (bagSetOps _),
     "q117_national_market_share" -> (nationalMarketShare _),
     "q115_returned_item_revenue" -> (returnedItemRevenue _),
     "q113_monthly_window_toolkit" -> (monthlyWindowToolkit _),
@@ -1125,6 +1165,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q118_bag_set_ops" -> bagSetOpsSql,
     "q117_national_market_share" -> nationalMarketShareSql,
     "q115_returned_item_revenue" -> returnedItemRevenueSql,
     "q113_monthly_window_toolkit" -> monthlyWindowToolkitSql,
