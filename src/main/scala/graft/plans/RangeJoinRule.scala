@@ -134,13 +134,22 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       val bLo = bucketOf(lo)
       val bHi = bucketOf(hi)
       val seq = Sequence(bLo, bHi, None, Some(conf.sessionLocalTimeZone))
+      // Inverted intervals (hi < lo) match nothing (the retained
+      // original condition rejects every candidate) — emit an empty
+      // bucket array rather than letting Sequence's default step -1
+      // materialize |bLo-bHi| descending buckets, which dodges the
+      // explosion guard below (its width is negative for inverted
+      // bounds) and can OOM on a degenerate row.
       val guarded = If(
-        LessThanOrEqual(Subtract(bHi, bLo), Literal(maxBuckets)),
-        seq,
-        Cast(new RaiseError(Literal(
-          s"range-join bucketization would explode an interval into more " +
-            s"than $maxBuckets buckets; raise $WidthConf (or " +
-            s"$MaxBucketsConf) or disable the rule")), seq.dataType))
+        LessThan(bHi, bLo),
+        Literal.create(Array.empty[Long], seq.dataType),
+        If(
+          LessThanOrEqual(Subtract(bHi, bLo), Literal(maxBuckets)),
+          seq,
+          Cast(new RaiseError(Literal(
+            s"range-join bucketization would explode an interval into more " +
+              s"than $maxBuckets buckets; raise $WidthConf (or " +
+              s"$MaxBucketsConf) or disable the rule")), seq.dataType)))
       val intervalGen = Generate(
         Explode(guarded),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,

@@ -169,8 +169,12 @@ object JsonlLayout {
   /** Shards of a table directory with their partition values: a flat
     * dir or single file yields empty values; one-level `k=v` subdirs
     * yield `k -> Some(value)` (`k -> None` for the null-partition
-    * sentinel). Uses the FileStatus from listing — no per-entry
-    * re-stat. */
+    * sentinel). Root-level shards are ALWAYS emitted, even beside
+    * partition directories — the DSv2 append path publishes into the
+    * table root, and a mixed layout must surface both populations
+    * (root shards carry their values in the JSON lines themselves, so
+    * empty partition values are correct for them). Uses the
+    * FileStatus from listing — no per-entry re-stat. */
   def discover(fs: org.apache.hadoop.fs.FileSystem, root: Path)
       : Seq[(Path, Map[String, Option[String]])] = {
     if (!fs.exists(root)) return Seq.empty
@@ -182,8 +186,8 @@ object JsonlLayout {
     val partDirs = entries
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map(_.getPath).sortBy(_.getName)
-    if (partDirs.isEmpty) shards(root).map(_ -> Map.empty[String, Option[String]])
-    else partDirs.toSeq.flatMap { d =>
+    val rootShards = shards(root).map(_ -> Map.empty[String, Option[String]])
+    rootShards ++ partDirs.toSeq.flatMap { d =>
       val Array(k, v) = d.getName.split("=", 2)
       val value =
         if (v == NullPartition) None else Some(unescapePathName(v))
@@ -559,29 +563,67 @@ final class JsonlPartitionReader(file: String, required: StructType,
     n
   }
 
+  // A value that fails the declared-type check is null HERE, not just
+  // at materialize: pushed IsNull/IsNotNull/comparisons claim full
+  // evaluation (they are not re-checked post-scan), so the filter view
+  // of a field and its materialized value must never disagree.
   private def field(node: JsonNode, name: String): JsonNode = {
     if (nullPartCols.contains(name)) return null
     val p = partNode.get(name)
-    if (p != null) return p
-    val v = node.get(name)
-    if (v == null || v.isNull) null else v
+    val v = if (p != null) p else node.get(name)
+    if (v == null || v.isNull) return null
+    declaredType.get(name) match {
+      case Some(LongType | IntegerType | DoubleType) => if (v.isNumber) v else null
+      case Some(BooleanType) => if (v.isBoolean) v else null
+      case Some(StringType) => if (v.isTextual) v else null
+      case _ => v
+    }
   }
 
-  // three-valued compare collapsed to match/no-match (null never matches)
+  private val declaredType: Map[String, DataType] =
+    dataSchema.fields.map(f => f.name -> f.dataType).toMap
+
+  // three-valued compare collapsed to match/no-match (null never matches).
+  // The DECLARED column type drives coercion so a pushed filter sees
+  // exactly the value materialize() would produce: a fractional JSON
+  // value in a LongType column truncates via asLong BEFORE comparing,
+  // and a type-mismatched value (textual in a numeric column) compares
+  // as null — otherwise the same predicate gives different answers
+  // pushed vs residual, and pushdown must only change row counts,
+  // never results.
   private def cmp(node: JsonNode, attr: String, value: Any): Option[Int] = {
     val v = field(node, attr)
     if (v == null || value == null) None
-    else value match {
-      case s: String => if (v.isTextual) Some(v.asText.compareTo(s)) else None
-      case b: java.lang.Boolean =>
-        if (v.isBoolean) Some(java.lang.Boolean.compare(v.asBoolean, b)) else None
-      case n: Number =>
-        if (!v.isNumber) None
-        else if (v.isIntegralNumber && (n.isInstanceOf[java.lang.Long] ||
-          n.isInstanceOf[java.lang.Integer] || n.isInstanceOf[java.lang.Short]))
-          Some(java.lang.Long.compare(v.asLong, n.longValue))
-        else Some(java.lang.Double.compare(v.asDouble, n.doubleValue))
-      case _ => None
+    else {
+      val dt = declaredType.get(attr)
+      value match {
+        case s: String =>
+          if (v.isTextual && dt.forall(_ == StringType))
+            Some(v.asText.compareTo(s))
+          else None
+        case b: java.lang.Boolean =>
+          if (v.isBoolean && dt.forall(_ == BooleanType))
+            Some(java.lang.Boolean.compare(v.asBoolean, b))
+          else None
+        case n: Number =>
+          if (!v.isNumber) None
+          else {
+            val integralCol = dt match {
+              case Some(LongType) | Some(IntegerType) => true
+              case Some(DoubleType) => false
+              case _ => v.isIntegralNumber
+            }
+            val rhsIntegral = n.isInstanceOf[java.lang.Long] ||
+              n.isInstanceOf[java.lang.Integer] || n.isInstanceOf[java.lang.Short]
+            if (integralCol && rhsIntegral)
+              Some(java.lang.Long.compare(v.asLong, n.longValue))
+            else {
+              val lhs = if (integralCol) v.asLong.toDouble else v.asDouble
+              Some(java.lang.Double.compare(lhs, n.doubleValue))
+            }
+          }
+        case _ => None
+      }
     }
   }
 

@@ -142,7 +142,11 @@ object StateV2 {
             alerts += VelocityAlert(userId,
               new java.sql.Timestamp(burst.head * 1000),
               new java.sql.Timestamp(burst.last * 1000), minPurchases.toLong)
-            held = held.drop(start + minPurchases) // burst consumed
+            // consume ONLY the burst slice: times before the burst
+            // stay held — a late purchase inside the watermark may
+            // yet complete a window with them (the retainSec horizon
+            // below, not burst consumption, ages them out)
+            held = held.take(start) ++ held.drop(start + minPurchases)
           case None => continue = false
         }
       }

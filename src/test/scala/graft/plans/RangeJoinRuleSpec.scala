@@ -115,6 +115,20 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("a severely inverted interval yields no buckets, not a descending sequence") {
+    // hi << lo: Sequence's default step would be -1, materializing
+    // ~1e18 descending buckets — past Spark's array limit, an error
+    // the one-sided width guard never saw (its width is negative).
+    // The rewrite must emit an empty bucket array instead: inverted
+    // intervals match nothing.
+    val inv = Seq((1L, 1_000_000_000_000_000_000L, 0L)).toDF("iid", "lo", "hi")
+    withWidth("1") {
+      val df = points.join(inv, naiveCond(points, inv))
+      assert(!planOf(df).contains("nestedloop"))
+      assert(df.count() === 0L)
+    }
+  }
+
   test("a malformed width conf disables the rule instead of poisoning queries") {
     withWidth("30s") {
       val df = points.join(intervals, naiveCond(points, intervals))

@@ -218,6 +218,46 @@ class JsonlDsv2Spec extends AnyFunSuite {
     q.stop()
   }
 
+  test("append into a partitioned table stays visible (root shards beside partition dirs)") {
+    val dir = Files.createTempDirectory("graft_dsv2_mixed").toString
+    val base = Seq((1L, "a", "en", "s", 1L), (2L, "b", "fr", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    JsonlCorpus.write(base, dir, partitionCol = Some("lang")) // lang=*/ dirs
+    val extra = Seq((3L, "c", "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    extra.write.format("graft-jsonl").mode("append").save(dir) // publishes into the root
+    val back = spark.read.format("graft-jsonl").load(dir)
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // the appended row's lang comes from its JSON line, not a dir name
+    assert(back.filter(col("lang") === "de").select("doc_id")
+      .as[Long].collect().toSeq === Seq(3L))
+    // partition pruning on the k=v dirs composes with the root shard
+    assert(back.filter(col("lang") === "en").select("doc_id")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("pushed numeric filters coerce to the declared column type (pushdown == residual)") {
+    val dir = Files.createTempDirectory("graft_dsv2_coerce").toString
+    writeShard(dir, "c.jsonl", Seq(
+      """{"doc_id": 1, "text": "frac", "lang": "en", "source": "s", "n_chars": 2.7}""",
+      """{"doc_id": 2, "text": "int", "lang": "en", "source": "s", "n_chars": 3}""",
+      """{"doc_id": 3, "text": "str", "lang": "en", "source": "s", "n_chars": "9"}"""))
+    val df = spark.read.format("graft-jsonl").load(dir)
+    // n_chars is LongType: 2.7 materializes as 2 (asLong), so the
+    // pushed filter must compare 2 as well — doc 1 fails > 2 and
+    // matches === 2, exactly as the residual path would decide
+    assert(df.filter(col("n_chars") > 2).select("doc_id")
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(df.filter(col("n_chars") === 2).select("doc_id")
+      .as[Long].collect().toSeq === Seq(1L))
+    // a textual value in a numeric column materializes as null ->
+    // pushed comparisons and IsNotNull must agree
+    assert(df.filter(col("n_chars").isNotNull).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(df.filter(col("n_chars") <= 100).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("stream offsets round-trip through their JSON form") {
     val off = graft.sources.dsv2.JsonlFilesOffset(Seq("/a/x.jsonl", "/a/y.jsonl"))
     assert(graft.sources.dsv2.JsonlFilesOffset.fromJson(off.json()) === off)

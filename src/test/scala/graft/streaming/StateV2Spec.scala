@@ -113,6 +113,43 @@ class StateV2Spec extends AnyFunSuite {
     }
   }
 
+  test("burst consumption keeps PRE-burst times for late completions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EventPipelines.Event]
+      def evT(id: Long, sec: Long, user: Long) =
+        EventPipelines.Event(id, new java.sql.Timestamp(sec * 1000), user, "purchase", 1.0)
+      val q = StateV2.purchaseVelocityAlerts(spark, input.toDF(),
+          windowSec = 600, minPurchases = 3)
+        .writeStream.format("memory").queryName("velocity_preburst")
+        .outputMode("append").start()
+      val t0 = 1700000000L
+      // a lone early purchase, then a burst strictly after it: the
+      // burst consumes ONLY its own slice — the early time must stay
+      // held (a late purchase may yet complete a window with it)
+      input.addData(evT(1, t0 + 100, 6))
+      q.processAllAvailable()
+      input.addData(evT(2, t0 + 800, 6), evT(3, t0 + 850, 6), evT(4, t0 + 900, 6))
+      q.processAllAvailable()
+      val first = spark.table("velocity_preburst").as[StateV2.VelocityAlert].collect()
+      assert(first.length === 1)
+      assert(first.head.window_start.getTime === (t0 + 800) * 1000)
+      // late arrivals inside the retention horizon join the HELD
+      // pre-burst time: {100, 150, 200} spans 100s and must alert
+      input.addData(evT(5, t0 + 150, 6))
+      q.processAllAvailable()
+      input.addData(evT(6, t0 + 200, 6))
+      q.processAllAvailable()
+      val all = spark.table("velocity_preburst").as[StateV2.VelocityAlert]
+        .collect().sortBy(_.window_start.getTime)
+      assert(all.length === 2)
+      assert(all.head.window_start.getTime === (t0 + 100) * 1000)
+      assert(all.head.window_end.getTime === (t0 + 200) * 1000)
+      q.stop()
+    }
+  }
+
   test("mid-batch gap violation closes the first session inline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
