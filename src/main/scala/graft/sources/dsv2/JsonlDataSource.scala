@@ -63,14 +63,16 @@ final class JsonlTable(tableSchema: StructType, path: String)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlScanBuilder(tableSchema, path)
+    new JsonlScanBuilder(tableSchema, path,
+      options.getLong("maxFileAgeMs", JsonlMicroBatchStream.DefaultMaxFileAgeMs))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new JsonlWriteBuilder(info.schema(), path, info.queryId())
 }
 
-final class JsonlScanBuilder(dataSchema: StructType, path: String)
+final class JsonlScanBuilder(dataSchema: StructType, path: String,
+                             maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -104,7 +106,8 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new JsonlScan(dataSchema, required, pushed, path)
+  override def build(): Scan =
+    new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -176,28 +179,40 @@ object JsonlLayout {
     * empty partition values are correct for them). Uses the
     * FileStatus from listing — no per-entry re-stat. */
   def discover(fs: org.apache.hadoop.fs.FileSystem, root: Path)
-      : Seq[(Path, Map[String, Option[String]])] = {
+      : Seq[(Path, Map[String, Option[String]])] =
+    discoverStatus(fs, root).map { case (p, _, pv) => (p, pv) }
+
+  /** [[discover]] plus each shard's modification time — the streaming
+    * source's watermark input. One value per listing entry; no
+    * per-file re-stat. */
+  def discoverStatus(fs: org.apache.hadoop.fs.FileSystem, root: Path)
+      : Seq[(Path, Long, Map[String, Option[String]])] = {
     if (!fs.exists(root)) return Seq.empty
-    def shards(dir: Path): Seq[Path] =
+    def shards(dir: Path): Seq[(Path, Long)] =
       fs.listStatus(dir).filter(st => st.isFile && isShard(st.getPath.getName))
-        .map(_.getPath).sortBy(_.getName).toSeq
-    if (fs.getFileStatus(root).isFile) return Seq(root -> Map.empty)
+        .map(st => (st.getPath, st.getModificationTime))
+        .sortBy(_._1.getName).toSeq
+    val rootStatus = fs.getFileStatus(root)
+    if (rootStatus.isFile)
+      return Seq((root, rootStatus.getModificationTime, Map.empty))
     val entries = fs.listStatus(root)
     val partDirs = entries
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map(_.getPath).sortBy(_.getName)
-    val rootShards = shards(root).map(_ -> Map.empty[String, Option[String]])
+    val rootShards = shards(root)
+      .map { case (p, m) => (p, m, Map.empty[String, Option[String]]) }
     rootShards ++ partDirs.toSeq.flatMap { d =>
       val Array(k, v) = d.getName.split("=", 2)
       val value =
         if (v == NullPartition) None else Some(unescapePathName(v))
-      shards(d).map(_ -> Map(k -> value))
+      shards(d).map { case (p, m) => (p, m, Map(k -> value)) }
     }
   }
 }
 
 final class JsonlScan(dataSchema: StructType, required: StructType,
-                      pushed: Array[Filter], path: String)
+                      pushed: Array[Filter], path: String,
+                      maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -233,39 +248,48 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new JsonlMicroBatchStream(path, dataSchema, required, pushed)
+    new JsonlMicroBatchStream(path, dataSchema, required, pushed, maxFileAgeMs)
 }
 
-/** Micro-batch streaming over a JSONL drop directory: the offset is
-  * the SET of shard files already processed (serialized as a sorted
-  * JSON array — files are immutable once placed, the file-drop
-  * contract), so each batch reads exactly the newly-arrived shards.
-  * Reader-level filter pushdown and column pruning apply to streaming
-  * batches identically to batch scans (same
-  * [[JsonlReaderFactory]]). Offset size grows with total shard count
-  * — the right trade for a corpus drop box where names carry no
-  * ordering guarantee; a name-watermark offset (O(1)) works when
-  * shard names are monotonic, and the built-in file source's
-  * compacting seen-log is the production pattern past ~100k shards. */
+/** Micro-batch streaming over a JSONL drop directory with O(1)-class
+  * offsets: an mtime WATERMARK plus only the paths inside the trailing
+  * `maxFileAgeMs` window (`{"watermarkMs": W, "recent": [...]}`). A
+  * file is seen iff `mtime < W` or it is listed in `recent` — so the
+  * offset stops remembering a shard the moment it ages `maxFileAgeMs`
+  * behind the newest shard, and checkpoint state is bounded by the
+  * arrival rate times the age window instead of growing with every
+  * shard the stream has ever read (the same `maxFileAge` contract as
+  * Spark's built-in file source: a shard must become visible within
+  * `maxFileAgeMs` of the newest shard's mtime, or it is treated as
+  * already seen — covers publish latency and clock skew at the 7-day
+  * default, reference watermark: dags/ingestion/lark_to_gcs.py:55-70).
+  * `maxFileAgeMs=0` degenerates to a strict mtime high-water mark
+  * (offset = newest mtime + the files carrying it) for producers whose
+  * drops are time-ordered. Legacy file-set array offsets from old
+  * checkpoints still deserialize and compose with watermark offsets,
+  * so an in-flight stream upgrades on its next batch. Reader-level
+  * filter pushdown and column pruning apply to streaming batches
+  * identically to batch scans (same [[JsonlReaderFactory]]). */
 final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
-                                  required: StructType, pushed: Array[Filter])
+                                  required: StructType, pushed: Array[Filter],
+                                  maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private val conf = JsonlHadoopConf.fromSession()
 
-  // file path -> partition values, refreshed at each latestOffset();
-  // offsets stay a plain file list (partition values re-derive from
-  // the path on restart, so old checkpoints remain readable)
+  // file path -> partition values, refreshed at each listing; offsets
+  // carry no partition values (they re-derive from the path on
+  // restart, so old checkpoints remain readable)
   @transient private var partsByFile =
     Map.empty[String, Map[String, Option[String]]]
 
-  private def currentFiles(): Seq[String] = {
+  private def listing(): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
-    val discovered = JsonlLayout.discover(fs, p)
-    partsByFile = discovered.map { case (f, pv) => f.toString -> pv }.toMap
-    discovered.map(_._1.toString).sorted
+    val discovered = JsonlLayout.discoverStatus(fs, p)
+    partsByFile = discovered.map { case (f, _, pv) => f.toString -> pv }.toMap
+    discovered.map { case (f, m, _) => (f.toString, m) }.sortBy(_._1)
   }
 
   private def partValuesOf(file: String): Map[String, Option[String]] =
@@ -279,21 +303,88 @@ final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
       } else Map.empty
     })
 
-  override def initialOffset(): Offset = JsonlFilesOffset(Seq.empty)
-  override def latestOffset(): Offset = JsonlFilesOffset(currentFiles())
-  override def deserializeOffset(json: String): Offset =
-    JsonlFilesOffset.fromJson(json)
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[JsonlFilesOffset].files.toSet
-    end.asInstanceOf[JsonlFilesOffset].files.filterNot(seen)
-      .map(f => JsonlInputPartition(f, partValuesOf(f)): InputPartition).toArray
+  private def seen(off: Offset, file: String, mtime: Long): Boolean = off match {
+    case JsonlWatermarkOffset(w, recent) => mtime < w || recent.contains(file)
+    case JsonlFilesOffset(files) => files.contains(file)
   }
+
+  override def initialOffset(): Offset = JsonlWatermarkOffset(0L, Seq.empty)
+
+  // last offset handed out: an empty listing (dir unreadable or not
+  // yet created) must not rewind the watermark — files are immutable
+  // once placed, so offsets only move forward
+  @transient private var lastOff: Offset = JsonlWatermarkOffset(0L, Seq.empty)
+
+  override def latestOffset(): Offset = {
+    val files = listing()
+    if (files.isEmpty) return lastOff
+    val maxM = files.map(_._2).max
+    val w = math.max(0L, maxM - maxFileAgeMs)
+    val off = JsonlWatermarkOffset(w,
+      files.collect { case (f, m) if m >= w => f }.sorted)
+    lastOff = off
+    off
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    JsonlWatermarkOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // membership is evaluated against a FRESH listing: the offsets
+    // define seen-ness, the directory defines existence (replay after
+    // restart re-lists, so a batch is always reproducible from its
+    // two offsets plus the immutable-files contract)
+    listing()
+      .filter { case (f, m) => seen(end, f, m) && !seen(start, f, m) }
+      .map { case (f, _) => JsonlInputPartition(f, partValuesOf(f)): InputPartition }
+      .toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlReaderFactory(required, pushed, dataSchema, conf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
+object JsonlMicroBatchStream {
+  /** Default seen-state horizon, matching the built-in file source's
+    * `maxFileAge` default (7 days). */
+  val DefaultMaxFileAgeMs: Long = 7L * 24 * 60 * 60 * 1000
+}
+
+/** Watermark offset: everything with `mtime < watermarkMs` is seen,
+  * plus the explicit `recent` paths at/above the watermark. */
+final case class JsonlWatermarkOffset(watermarkMs: Long, recent: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("watermarkMs", watermarkMs)
+    val arr = node.putArray("recent")
+    recent.sorted.foreach(arr.add)
+    m.writeValueAsString(node)
+  }
+}
+
+object JsonlWatermarkOffset {
+  /** Parses both offset generations: the watermark object and the
+    * legacy round's plain JSON array of every file ever seen. */
+  def fromJson(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val node = new ObjectMapper().readTree(json)
+    if (node.isArray)
+      JsonlFilesOffset((0 until node.size()).map(node.get(_).asText))
+    else {
+      val arr = node.get("recent")
+      JsonlWatermarkOffset(node.get("watermarkMs").asLong,
+        (0 until arr.size()).map(arr.get(_).asText))
+    }
+  }
+}
+
+/** Legacy (pre-watermark) offset: the full set of files ever seen.
+  * Still deserializable so old checkpoints restart cleanly; never
+  * produced as a new offset. */
 final case class JsonlFilesOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
@@ -305,10 +396,12 @@ final case class JsonlFilesOffset(files: Seq[String])
 }
 
 object JsonlFilesOffset {
-  def fromJson(json: String): JsonlFilesOffset = {
-    val node = new ObjectMapper().readTree(json)
-    JsonlFilesOffset((0 until node.size()).map(node.get(_).asText))
-  }
+  def fromJson(json: String): JsonlFilesOffset =
+    JsonlWatermarkOffset.fromJson(json) match {
+      case f: JsonlFilesOffset => f
+      case _ => throw new IllegalArgumentException(
+        s"not a legacy file-set offset: $json")
+    }
 }
 
 final case class JsonlInputPartition(

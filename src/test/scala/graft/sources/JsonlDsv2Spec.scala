@@ -259,8 +259,64 @@ class JsonlDsv2Spec extends AnyFunSuite {
   }
 
   test("stream offsets round-trip through their JSON form") {
-    val off = graft.sources.dsv2.JsonlFilesOffset(Seq("/a/x.jsonl", "/a/y.jsonl"))
-    assert(graft.sources.dsv2.JsonlFilesOffset.fromJson(off.json()) === off)
+    val off = graft.sources.dsv2.JsonlWatermarkOffset(1700000000123L,
+      Seq("/a/x.jsonl", "/a/y.jsonl"))
+    assert(graft.sources.dsv2.JsonlWatermarkOffset.fromJson(off.json()) === off)
+    // legacy (pre-watermark) checkpoint offsets still deserialize
+    val legacy = graft.sources.dsv2.JsonlFilesOffset(Seq("/a/x.jsonl", "/a/y.jsonl"))
+    assert(graft.sources.dsv2.JsonlFilesOffset.fromJson(legacy.json()) === legacy)
+    assert(graft.sources.dsv2.JsonlWatermarkOffset.fromJson(legacy.json()) === legacy)
+  }
+
+  test("watermark offsets stay O(1): size does not grow with batch count") {
+    val dir = Files.createTempDirectory("graft_dsv2_o1").toString
+    def doc(i: Int) =
+      s"""{"doc_id": $i, "text": "t", "lang": "en", "source": "s", "n_chars": 1}"""
+    writeShard(dir, "w0.jsonl", Seq(doc(0)))
+    // maxFileAgeMs=0: strict mtime high-water mark — `recent` holds
+    // only the newest file(s), never the history
+    val q = spark.readStream.format("graft-jsonl")
+      .option("maxFileAgeMs", "0").load(dir)
+      .writeStream.format("memory").queryName("jsonl_o1")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val sizes = (1 to 6).map { i =>
+      Thread.sleep(5) // strictly newer mtime than the previous max
+      writeShard(dir, s"w$i.jsonl", Seq(doc(i)))
+      q.processAllAvailable()
+      q.lastProgress.sources(0).endOffset.length
+    }
+    // every shard read exactly once across the 7 batches
+    assert(spark.table("jsonl_o1").select("doc_id").as[Long]
+      .collect().sorted.toSeq === (0L to 6L))
+    // the offset stopped remembering old shards: its JSON is the same
+    // size after 6 more batches (same-length names by construction)
+    assert(sizes.last === sizes.head, sizes.mkString(","))
+    q.stop()
+  }
+
+  test("stream restart resumes from the checkpointed watermark, no re-read") {
+    val dir = Files.createTempDirectory("graft_dsv2_restart").toString
+    val ckpt = Files.createTempDirectory("graft_dsv2_restart_ckpt").toString
+    def doc(i: Int) =
+      s"""{"doc_id": $i, "text": "t", "lang": "en", "source": "s", "n_chars": 1}"""
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-jsonl").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("doc_id").collect().map(_.getLong(0))
+          got.synchronized { got ++= ids }; ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeShard(dir, "r1.jsonl", Seq(doc(1)))
+    run()
+    assert(got.toSeq === Seq(1L))
+    writeShard(dir, "r2.jsonl", Seq(doc(2)))
+    run() // fresh query, offsets restored via deserializeOffset
+    assert(got.sorted.toSeq === Seq(1L, 2L)) // r1 NOT re-read
   }
 
   test("write/read round-trip preserves escapes, unicode, and nulls") {
