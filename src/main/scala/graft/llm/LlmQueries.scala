@@ -1178,6 +1178,47 @@ object LlmQueries {
 
   // ------------------------------------------------------------ registry
 
+  // ---------------------------------------------------------------- q119
+  /** End-to-end REAL image pipeline: deterministic PPM images seeded
+    * per doc_id ([[SyntheticImages]]), decoded to pixels by
+    * [[ImageCodec]], DCT-hashed by [[Multimodal.perceptualHash]] —
+    * each doc's original vs its re-exposed (brightness +12) variant,
+    * reduced to one golden aggregate row. A brightness shift moves
+    * only the DC coefficient (plus clamp noise), so hamming distances
+    * sit near zero — the invariance pHash exists to provide, proven
+    * over real decoded pixels. The oracle embeds the golden values:
+    * the transform is not SQL-expressible, but it is bit-deterministic
+    * (integer decode/resample, StrictMath DCT basis), so the literal
+    * row is a genuine regression gate; the row counts are recomputed
+    * independently by DuckDB. */
+  def imagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hashes(brightness: Int, out: String) = Multimodal.perceptualHash(s,
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, "image/ppm", SyntheticImages.generate(id, brightness))))
+        .toDF("doc_id", "media_type", "payload"))
+      .withColumnRenamed("phash", out)
+    hashes(0, "ph_o").join(hashes(12, "ph_v"), "doc_id")
+      .withColumn("ham", bit_count(col("ph_o").bitwiseXOR(col("ph_v"))))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("bit_xor(ph_o)").as("xor_phash"),
+        sum(col("ham")).as("sum_hamming"),
+        max(col("ham")).cast("long").as("max_hamming"),
+        sum(when(col("ham") <= lit(10), 1L).otherwise(0L)).as("n_close"))
+  }
+
+  // golden values computed once from the deterministic generator +
+  // decoder + DCT at sf0.01 (n_close == n: every re-exposed pair sits
+  // within hamming 10, the invariance the tier promises)
+  val imagePhashSql: String =
+    """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n,
+      |  CAST(7151956904586395566 AS BIGINT) AS xor_phash,
+      |  CAST(101 AS BIGINT) AS sum_hamming,
+      |  CAST(5 AS BIGINT) AS max_hamming,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_close""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_exact_dedup" -> (exactDedup _),
     "q41_normalized_dedup" -> (normalizedDedup _),
@@ -1223,6 +1264,7 @@ object LlmQueries {
     "q93_pq_topk" -> (pqTopK _),
     "q110_label_centroids" -> (labelCentroids _),
     "q112_prototype_confusion" -> (prototypeConfusion _),
+    "q119_image_phash" -> (imagePhash _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1270,5 +1312,6 @@ object LlmQueries {
     "q93_pq_topk" -> pqTopKSql,
     "q110_label_centroids" -> labelCentroidsSql,
     "q112_prototype_confusion" -> prototypeConfusionSql,
+    "q119_image_phash" -> imagePhashSql,
   )
 }

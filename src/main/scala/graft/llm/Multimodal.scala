@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * iterator out, amortizing per-batch setup like a decoder handle),
   * and deterministic feature extraction downstream.
   *
-  * The actual media decode is STUBBED (no image/audio codecs in this
-  * environment): `decodeStub` derives deterministic fake features from
-  * the payload bytes. Swapping in a real decoder changes only the body
-  * of that one function — the schema, batching, and partitioning
-  * contracts stay as tested.
+  * The decoder seam is GRADUATED: payloads in the formats
+  * [[ImageCodec]] understands (binary PPM/PGM, uncompressed 24-bit
+  * BMP) decode to real pixels — real dimensions in features, real
+  * luma grids under the DCT hash. Payloads in any other format (and
+  * the text-bytes stand-ins the oracle corpus uses) fall back to
+  * `decodeStub`'s deterministic byte-derived features, preserving
+  * their tested contracts. Audio/video codecs remain out of scope
+  * (no codec libraries in the environment).
   */
 object Multimodal {
 
@@ -48,13 +51,25 @@ object Multimodal {
       height = (n % 480).toInt)
   }
 
+  /** REAL decode when the payload is a recognized image: true raster
+    * dimensions; the checksum stays the payload MD5 either way. */
+  def decodeFeatures(r: MediaRecord): MediaFeatures =
+    ImageCodec.decode(r.payload) match {
+      case Some(img) =>
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+          checksum = java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).map("%02x".format(_)).mkString,
+          width = img.width, height = img.height)
+      case None => decodeStub(r)
+    }
+
   /** Batch feature extraction: one decoder per partition, streamed. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("doc_id", "media_type", "payload").as[MediaRecord]
       .mapPartitions { it =>
         // per-partition setup (decoder/codec handle) would open here
-        it.map(decodeStub)
+        it.map(decodeFeatures)
       }
   }
 
@@ -81,14 +96,22 @@ object Multimodal {
       .mapPartitions(_.map(resizeStub(_, w, h)))
   }
 
-  /** Average-hash tier: resize to 8x8 "pixels", threshold each against
+  /** Luma grid for the hash tiers: real decode + area resample for
+    * recognized images, byte-stub fallback otherwise. */
+  private def lumaGrid(r: MediaRecord, n: Int): Array[Int] =
+    ImageCodec.decode(r.payload) match {
+      case Some(img) => ImageCodec.resample(img.gray, img.width, img.height, n, n)
+      case None => resizeStub(r, n, n).payload.map(_ & 0xff)
+    }
+
+  /** Average-hash tier: resize to 8x8 pixels, threshold each against
     * the mean, pack to a 64-bit hash — the cheap coarse screen ahead
     * of [[dctHash]] (aHash vs pHash, the standard ladder). */
   def averageHash(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "media_type", "payload").as[MediaRecord]
       .mapPartitions(_.map { r =>
-        val px = resizeStub(r, 8, 8).payload.map(_ & 0xff)
+        val px = lumaGrid(r, 8)
         val mean = px.sum.toDouble / px.length
         val bits = px.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
           if (p >= mean) acc | (1L << i) else acc
@@ -153,15 +176,16 @@ object Multimodal {
     bits
   }
 
-  /** DCT perceptual fingerprint over the (stub-)decoded pixels —
-    * the media tier of the dedup ladder (simhash is the text
-    * analogue). Narrow per-partition map, no shuffle; the decoder
-    * seam supplies the 32x32 grid, [[dctHash]] is the real transform. */
+  /** DCT perceptual fingerprint over the decoded pixels — the media
+    * tier of the dedup ladder (simhash is the text analogue). Narrow
+    * per-partition map, no shuffle; [[ImageCodec]] supplies real
+    * 32x32 luma for recognized images (byte-stub fallback otherwise),
+    * [[dctHash]] is the transform. */
   def perceptualHash(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "media_type", "payload").as[MediaRecord]
       .mapPartitions(_.map { r =>
-        (r.doc_id, dctHash(resizeStub(r, DctN, DctN).payload.map(_ & 0xff)))
+        (r.doc_id, dctHash(lumaGrid(r, DctN)))
       }).toDF("doc_id", "phash")
   }
 
