@@ -1176,6 +1176,69 @@ object LlmQueries {
        |    ORDER BY approx_us, vec_id) AS rank FROM adc)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** The composed IVF-PQ serving path: PQ codes at rest PER IVF cell
+    * (`Similarity.writeIvfPqIndex` — no float vectors in the table),
+    * search = driver-resolved probe cells (literal IN, bucket-pruned
+    * scan) then asymmetric distance over the stored codes only. The
+    * oracle recomputes the full composition in SQL: raw-vector IVF
+    * assignment + probes (as q53/q57), 6dp-rounded PQ codes + ADC (as
+    * q93), candidates restricted to each query's probed cells. */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    Similarity.writeIvfPqIndex(emb(s, dir), "graft_ivfpq_index", nBuckets = 8,
+      centStride = 100, m = 8)
+    Similarity.ivfPqTopK(s, "graft_ivfpq_index", emb(s, dir), knnQueryIds,
+      k = 5, nprobe = 2, centStride = 100, m = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfPqTopKSql: String =
+    s"""WITH eraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS ce FROM eraw WHERE vec_id % 100 = 0),
+       |assigned AS (SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.ce")} DESC, c.cent_id) AS rn
+       |    FROM eraw e CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (SELECT query_id, cent_id FROM (
+       |    SELECT q.vec_id AS query_id, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "c.ce")} DESC, c.cent_id) AS rn
+       |    FROM eraw q CROSS JOIN cents c WHERE q.vec_id IN (0, 1, 2, 3, 4))
+       |  WHERE rn <= 2),
+       |epq AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v
+       |  FROM embeddings),
+       |pqc AS (SELECT vec_id AS cent_id, v AS cv FROM epq WHERE vec_id % 100 = 0),
+       |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       |encd AS (
+       |  SELECT e.vec_id, s.sub, c.cent_id, ${pqDUsSql("e.v", "c.cv")} AS d_us
+       |  FROM epq e CROSS JOIN subs s CROSS JOIN pqc c),
+       |enc AS (SELECT vec_id, sub, cent_id FROM (
+       |    SELECT vec_id, sub, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY d_us, cent_id) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |qd AS (
+       |  SELECT e.vec_id AS query_id, s.sub, c.cent_id, ${pqDUsSql("e.v", "c.cv")} AS d_us
+       |  FROM epq e CROSS JOIN subs s CROSS JOIN pqc c
+       |  WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM assigned a JOIN probes p USING (cent_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cand.query_id, cand.vec_id, CAST(SUM(q.d_us) AS BIGINT) AS approx_us
+       |  FROM cand
+       |  JOIN enc ON enc.vec_id = cand.vec_id
+       |  JOIN qd q ON q.query_id = cand.query_id
+       |    AND q.sub = enc.sub AND q.cent_id = enc.cent_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       |  CAST(approx_us AS DOUBLE) / 1000000.0 AS approx_dist
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx_us, vec_id) AS rank FROM adc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   // ---------------------------------------------------------------- q119
@@ -1265,6 +1328,7 @@ object LlmQueries {
     "q110_label_centroids" -> (labelCentroids _),
     "q112_prototype_confusion" -> (prototypeConfusion _),
     "q119_image_phash" -> (imagePhash _),
+    "q120_ivfpq_topk" -> (ivfPqTopK _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1313,5 +1377,6 @@ object LlmQueries {
     "q110_label_centroids" -> labelCentroidsSql,
     "q112_prototype_confusion" -> prototypeConfusionSql,
     "q119_image_phash" -> imagePhashSql,
+    "q120_ivfpq_topk" -> ivfPqTopKSql,
   )
 }

@@ -276,38 +276,65 @@ object Similarity {
     * only the codebook content changes. */
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
              m: Int = 8, centStride: Long = 100): DataFrame = {
+    val (e, cents, sub) = pqParts(embeddings, m, centStride)
+    val codes = pqCodeRows(e, cents, m, sub)
+    val dtable = pqDistTable(e, cents, queryIds, m, sub)
+    pqRank(codes.join(broadcast(dtable), Seq("sub", "cent_id"))
+      .filter(col("vec_id") =!= col("query_id")), k)
+  }
+
+  /** Shared PQ setup: 6dp-rounded vectors, the strided codebook, and
+    * the subspace length — one definition for [[pqTopK]] and the
+    * composed [[writeIvfPqIndex]]/[[ivfPqTopK]], so the two paths can
+    * never drift in rounding or seeding. */
+  private def pqParts(embeddings: DataFrame, m: Int,
+                      centStride: Long): (DataFrame, DataFrame, Int) = {
     require(m >= 1, s"m ($m) must be >= 1")
     // metadata-scale collect: one row, the dimensionality
     val d = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
     require(d % m == 0, s"dim $d must divide into m=$m subspaces")
-    val sub = d / m
     val e = embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))").as("v"))
     val cents = e.filter(col("vec_id") % centStride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val subs = sequence(lit(0), lit(m - 1))
-    // squared-L2 of one subspace slice, in integer micro-units (native
-    // codegen'd fold — bit-identical to the HOF form, see SquaredL2)
-    def dUs(a: Column, b: Column): Column = {
-      val sa = slice(a, col("sub") * sub + 1, lit(sub))
-      val sb = slice(b, col("sub") * sub + 1, lit(sub))
-      val sq = graft.functions.Native.squaredL2(sa, sb)
-      floor(round(sq, 6) * 1e6 + 0.5).cast("long")
-    }
-    val codes = e.select(col("vec_id"), col("v"), explode(subs).as("sub"))
+    (e, cents, d / m)
+  }
+
+  /** Squared-L2 of one subspace slice in integer micro-units (native
+    * codegen'd fold — bit-identical to the HOF form, see SquaredL2);
+    * reads the enclosing frame's `sub` column. */
+  private def pqDUs(subLen: Int)(a: Column, b: Column): Column = {
+    val sa = slice(a, col("sub") * subLen + 1, lit(subLen))
+    val sb = slice(b, col("sub") * subLen + 1, lit(subLen))
+    floor(round(graft.functions.Native.squaredL2(sa, sb), 6) * 1e6 + 0.5)
+      .cast("long")
+  }
+
+  /** PQ encode: (vec_id, sub, cent_id) — each vector's nearest
+    * codebook entry per subspace, ties to the lower cent_id. */
+  private def pqCodeRows(e: DataFrame, cents: DataFrame, m: Int,
+                         subLen: Int): DataFrame =
+    e.select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .join(broadcast(cents))
-      .withColumn("d_us", dUs(col("v"), col("cv")))
+      .withColumn("d_us", pqDUs(subLen)(col("v"), col("cv")))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("cent_id"), struct(col("d_us"), col("cent_id")))
         .as("cent_id"))
-    val dtable = e.filter(col("vec_id").isin(queryIds: _*))
+
+  /** Per-query ADC lookup table: (query_id, sub, cent_id, d_us). */
+  private def pqDistTable(e: DataFrame, cents: DataFrame, queryIds: Seq[Long],
+                          m: Int, subLen: Int): DataFrame =
+    e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(subs).as("sub"))
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .join(broadcast(cents))
       .select(col("query_id"), col("sub"), col("cent_id"),
-        dUs(col("qv"), col("cv")).as("d_us"))
-    codes.join(broadcast(dtable), Seq("sub", "cent_id"))
-      .filter(col("vec_id") =!= col("query_id"))
+        pqDUs(subLen)(col("qv"), col("cv")).as("d_us"))
+
+  /** Integer ADC sum + bounded top-k: (query_id, rank, vec_id,
+    * approx_dist) from (query_id, vec_id, d_us) partials. */
+  private def pqRank(partials: DataFrame, k: Int): DataFrame =
+    partials
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d_us")).as("approx_us"))
       .groupBy(col("query_id"))
@@ -318,6 +345,57 @@ object Similarity {
         col("p.payload").as("vec_id"),
         ((-col("p.ord")).cast("double") / 1e6).as("approx_dist"))
       .orderBy("query_id", "rank")
+
+  /** Persist the composed IVF-PQ index — the actual 100 TB ANN serving
+    * layout: each vector stored as its IVF cell (coarse quantizer,
+    * [[ivfAssign]]) plus its `m` PQ sub-codes, bucketed by `cent_id`.
+    * NO float vector survives into the table: the at-rest footprint is
+    * (vec_id, cent_id, m codes) per vector — ~32x smaller than the
+    * float corpus — and a search reads only the probed buckets of it.
+    * The codebook is re-derivable from the (tiny, strided) centroid
+    * set, so it is not persisted. */
+  def writeIvfPqIndex(embeddings: DataFrame, table: String, nBuckets: Int,
+                      centStride: Long = 100, m: Int = 8): Unit = {
+    val (e, cents, sub) = pqParts(embeddings, m, centStride)
+    val codes = pqCodeRows(e, cents, m, sub)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cent_id")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, p -> p.cent_id)").as("codes"))
+    val cells = ivfAssign(embeddings, centStride)
+      .select(col("vec_id"), col("cent_id"))
+    graft.operators.Bucketing.writeBucketed(
+      codes.join(cells, Seq("vec_id")), table, "cent_id", nBuckets)
+  }
+
+  /** Search a [[writeIvfPqIndex]] table: resolve the probe cells on
+    * the driver (|queries| x nprobe rows, scalar by contract) so the
+    * index scan is a LITERAL `IN` over `cent_id` — bucket-pruned at
+    * planning, like [[ivfTopKIndexed]] — then score candidates by
+    * asymmetric distance over the stored codes alone. The scan reads
+    * codes, never a float vector (none exists in the table); the only
+    * per-candidate work is m lookups into the broadcast distance
+    * table and an integer sum. Coarse-prune recall x PQ-approximation
+    * accuracy compose here; evaluate against [[cosineTopK]] with the
+    * q90 recall harness. */
+  def ivfPqTopK(spark: SparkSession, table: String, embeddings: DataFrame,
+                queryIds: Seq[Long], k: Int, nprobe: Int = 2,
+                centStride: Long = 100, m: Int = 8): DataFrame = {
+    val (e, cents, sub) = pqParts(embeddings, m, centStride)
+    val dtable = pqDistTable(e, cents, queryIds, m, sub)
+      .withColumnRenamed("cent_id", "code")
+    val probes = probeSet(embeddings, queryIds, nprobe, centStride)
+      .select(col("query_id"), col("cent_id"))
+    val probeRows = probes.collect().toSeq
+    val cells = probeRows.map(_.getAs[Long]("cent_id")).distinct
+    val probePairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows, 1), probes.schema)
+    spark.table(table).filter(col("cent_id").isInCollection(cells))
+      .join(broadcast(probePairs), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(dtable), Seq("query_id", "sub", "code"))
+      .transform(pqRank(_, k))
   }
 
   /** Persist the IVF index as a `cent_id`-bucketed (and sorted) catalog

@@ -149,6 +149,28 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ivf_index_guard")
   }
 
+  test("IVF-PQ search is bucket-pruned and reads codes only — no float vectors") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.llm.Similarity.writeIvfPqIndex(emb, "ivfpq_index_guard", nBuckets = 8,
+      centStride = 20, m = 8)
+    // the index table itself holds no float vector — codes only
+    val idxSchema = spark.table("ivfpq_index_guard").schema
+    assert(!idxSchema.fieldNames.contains("embedding"), idxSchema.treeString)
+    assert(idxSchema.fieldNames.sorted.toSeq === Seq("cent_id", "codes", "vec_id"))
+    val queries = Seq(1L, 7L, 13L)
+    val df = graft.llm.Similarity.ivfPqTopK(spark, "ivfpq_index_guard", emb,
+      queries, k = 5, nprobe = 2, centStride = 20, m = 8)
+    val plan = planText(df)
+    // the literal cell predicate prunes buckets at the scan, and the
+    // probe/ADC joins broadcast — the codes scan is never shuffled on
+    // its join keys
+    assert(plan.contains("selectedbucketscount"), s"plan:\n$plan")
+    assert(!plan.contains("hashpartitioning(cent_id"), s"plan:\n$plan")
+    assert(df.count() >= queries.size) // non-degenerate result
+    spark.sql("DROP TABLE IF EXISTS ivfpq_index_guard")
+  }
+
   test("narrow text/embedding ops are single-pass: zero shuffle exchanges") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
