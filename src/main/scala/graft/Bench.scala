@@ -8,8 +8,12 @@ import scala.collection.mutable.LinkedHashMap
   * One untimed warmup pass over the whole suite first (JVM + whole-stage
   * codegen + OS page cache — cold first-touch I/O dominated q02 in round
   * 1's numbers), then `SPARK_GRAFT_BENCH_REPS` timed runs per query
-  * (default 3) reporting the per-query median. A failing query is
-  * reported explicitly under "errors" — never folded into a timing.
+  * (default 3) reporting the per-query median under "queries" and the
+  * per-query minimum under "queries_min" (the noise floor — a median
+  * far above its min flags GC/cleaner interference, not a regression;
+  * the JVM is settled between queries to keep that rare). A failing
+  * query is reported explicitly under "errors" — never folded into a
+  * timing.
   *
   * The sink hashes EVERY output column (`xxhash64` over all columns,
   * summed): a bare `count()` would let Catalyst prune the projection-
@@ -59,9 +63,20 @@ object Bench {
 
     names.foreach(timeOne(_)) // warmup pass, discarded
     errors.clear()            // only report errors from timed runs
-    val timings: Seq[(String, Option[Double])] = names.map { n =>
+    // (median, min) per query. Between queries the JVM is SETTLED:
+    // System.gc() forces the weak-ref processing the ContextCleaner
+    // waits on and the sleep lets its queue drain, so the garbage one
+    // query leaves behind is paid between timings instead of being
+    // absorbed as a roving full-GC outlier by an arbitrary later query
+    // (q76 6.3s in r4, q55 5.4s in r5 — both sub-second isolated).
+    // The min rides along as the noise floor: a median far above its
+    // min flags residual interference rather than a real regression.
+    val timings: Seq[(String, Option[(Double, Double)])] = names.map { n =>
+      System.gc()
+      Thread.sleep(100L)
       val runs = (1 to reps).flatMap(_ => timeOne(n))
-      n -> (if (runs.isEmpty) None else Some(runs.sorted.apply(runs.size / 2)))
+      n -> (if (runs.isEmpty) None
+            else Some((runs.sorted.apply(runs.size / 2), runs.min)))
     }
 
     // locale-safe number text + full control-char escaping (same
@@ -75,12 +90,14 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = timings.collect { case (k, Some(v)) => q(k) + ":" + num(v) }
+    val qs = timings.collect { case (k, Some((med, _))) => q(k) + ":" + num(med) }
+      .mkString("{", ",", "}")
+    val qsMin = timings.collect { case (k, Some((_, mn))) => q(k) + ":" + num(mn) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
-    val total = num(timings.flatMap(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}""")
+    val total = num(timings.flatMap(_._2.map(_._1)).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
