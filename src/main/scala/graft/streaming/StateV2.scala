@@ -115,14 +115,15 @@ object StateV2 {
     * spec pins `TimeMode.None` because processing-time no-data-batch
     * scheduling does not settle under `processAllAvailable` here. */
   final class VelocityProcessor(windowSec: Long, minPurchases: Int,
-                                retainSec: Long)
+                                retainSec: Long,
+                                ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, Event, VelocityAlert] {
 
     @transient private var times: org.apache.spark.sql.streaming.ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       times = getHandle.getListState[Long]("purchase_times",
-        Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.scalaLong, ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[VelocityAlert] = {
@@ -160,12 +161,21 @@ object StateV2 {
     }
   }
 
-  /** Velocity alerts over the standard event frame. */
+  /** Velocity alerts over the standard event frame. With `ttl` set,
+    * the store itself evicts idle users' state (the production
+    * posture: live state stays O(active users), silent users cost
+    * nothing) — TTL requires `TimeMode.ProcessingTime`, so the query
+    * must run under a scheduler that settles no-data batches (a real
+    * file/Kafka source; `MemoryStream.processAllAvailable` does not —
+    * StateV2Spec drives the TTL path with a file source and
+    * per-batch restarts instead). Without `ttl` the processor trims
+    * manually to `retainSec` under `TimeMode.None`. */
   def purchaseVelocityAlerts(spark: SparkSession,
                              events: org.apache.spark.sql.DataFrame,
                              windowSec: Long = 600,
                              minPurchases: Int = 3,
-                             retainSec: Long = 3600): Dataset[VelocityAlert] = {
+                             retainSec: Long = 3600,
+                             ttl: Option[java.time.Duration] = None): Dataset[VelocityAlert] = {
     require(retainSec >= windowSec,
       s"retainSec ($retainSec) must cover windowSec ($windowSec)")
     import spark.implicits._
@@ -174,8 +184,10 @@ object StateV2 {
       .withWatermark("ts", "1 hour") // matches the default retainSec
       .as[Event]
       .groupByKey(_.user_id)
-      .transformWithState(new VelocityProcessor(windowSec, minPurchases, retainSec),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new VelocityProcessor(windowSec, minPurchases, retainSec, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Streaming sessionization over the standard event frame —

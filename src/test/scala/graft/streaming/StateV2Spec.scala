@@ -150,6 +150,61 @@ class StateV2Spec extends AnyFunSuite {
     }
   }
 
+  test("ListState TTL: the store evicts idle state; an ample TTL carries it") {
+    import spark.implicits._
+    import java.nio.file.Files
+    withRocksDb {
+      // TTL requires TimeMode.ProcessingTime, whose no-data batches
+      // never settle under MemoryStream.processAllAvailable — so this
+      // drives a REAL file source with AvailableNow batches and a
+      // shared checkpoint (fresh query per batch, state restored from
+      // the store between runs).
+      def run(ttl: java.time.Duration): Seq[StateV2.VelocityAlert] = {
+        val eventsDir = Files.createTempDirectory("vel_ttl_ev").toString
+        val ckpt = Files.createTempDirectory("vel_ttl_ck").toString
+        val got = scala.collection.mutable.ArrayBuffer.empty[StateV2.VelocityAlert]
+        val schema =
+          org.apache.spark.sql.Encoders.product[EventPipelines.Event].schema
+        def evT(id: Long, sec: Long) = EventPipelines.Event(id,
+          new java.sql.Timestamp(sec * 1000), 7L, "purchase", 1.0)
+        def batch(events: Seq[EventPipelines.Event]): Unit = {
+          events.toDS().write.mode("append").json(eventsDir)
+          val q = StateV2.purchaseVelocityAlerts(spark,
+              spark.readStream.schema(schema).json(eventsDir),
+              windowSec = 600, minPurchases = 3, ttl = Some(ttl))
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch { (df: org.apache.spark.sql.Dataset[StateV2.VelocityAlert], _: Long) =>
+              val rows = df.collect(); got.synchronized { got ++= rows }; ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          // AvailableNow's termination latch does not settle under
+          // TimeMode.ProcessingTime (the same no-data-batch scheduling
+          // gap as MemoryStream.processAllAvailable) — wait for the
+          // DATA batch to commit (progress with rows), then stop
+          val deadline = System.currentTimeMillis + 60000
+          while (System.currentTimeMillis < deadline &&
+            !q.recentProgress.exists(_.numInputRows > 0)) Thread.sleep(100)
+          assert(q.recentProgress.exists(_.numInputRows > 0), "batch never ran")
+          q.stop(); q.awaitTermination()
+        }
+        val t0 = 1700000000L
+        batch(Seq(evT(1, t0), evT(2, t0 + 100)))
+        Thread.sleep(1500) // real wall-clock: TTL is processing-time
+        batch(Seq(evT(3, t0 + 200)))
+        got.toSeq
+      }
+      // 500ms TTL: the two early purchases expire before the third
+      // arrives — the burst never completes, state was store-evicted
+      assert(run(java.time.Duration.ofMillis(500)).isEmpty)
+      // identical drive, 1h TTL: state survives the gap and the third
+      // purchase completes the burst — proving the harness carries
+      // state and the empty result above is genuine eviction
+      val kept = run(java.time.Duration.ofHours(1))
+      assert(kept.map(_.user_id) === Seq(7L))
+    }
+  }
+
   test("mid-batch gap violation closes the first session inline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
