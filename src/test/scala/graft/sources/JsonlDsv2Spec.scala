@@ -156,6 +156,43 @@ class JsonlDsv2Spec extends AnyFunSuite {
       .as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("two-level hive layout: values injected per level, both keys prune at planning") {
+    val dir = Files.createTempDirectory("graft_dsv2_twolevel").toString
+    Seq((1L, "a", "en", "web", 1L), (2L, "b", "en", "book", 1L),
+      (3L, "c", "fr", "web", 1L),
+      (4L, "d", null.asInstanceOf[String], "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").option("compression", "gzip")
+      .partitionBy("lang", "source").json(dir)
+    val back = spark.read.format("graft-jsonl").load(dir)
+    assert(back.count() === 4L)
+    // both levels injected from the directory chain
+    assert(back.filter(col("lang") === "en" && col("source") === "book")
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    // null sentinel works at the OUTER level with an inner level below it
+    assert(back.filter(col("lang").isNull).select("doc_id")
+      .as[Long].collect().toSeq === Seq(4L))
+    // planning-time pruning on BOTH keys: task count == shard count
+    // under exactly lang=en/source=web
+    val pruned = back.filter(col("lang") === "en" && col("source") === "web")
+    val files = Files.list(Paths.get(dir, "lang=en", "source=web"))
+      .filter(p => p.getFileName.toString.endsWith(".json.gz")).count()
+    assert(pruned.rdd.getNumPartitions === files.toInt)
+    assert(pruned.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    // a range filter on the inner key prunes across all outer dirs
+    assert(back.filter(col("source") >= "w").count() === 3L)
+  }
+
+  test("partValuesFromPath decodes the full escaped ancestor chain") {
+    import graft.sources.dsv2.JsonlLayout
+    val p = new org.apache.hadoop.fs.Path(
+      "/t/lang=c%2B%2B/date=__HIVE_DEFAULT_PARTITION__/part-0.jsonl")
+    assert(JsonlLayout.partValuesFromPath(p) ===
+      Map("lang" -> Some("c++"), "date" -> None))
+    assert(JsonlLayout.partValuesFromPath(
+      new org.apache.hadoop.fs.Path("/t/flat/part-0.jsonl")) === Map.empty)
+  }
+
   test("micro-batch stream works over a partitioned layout") {
     val dir = Files.createTempDirectory("graft_dsv2_partstream").toString
     Seq((1L, "a", "en", "s", 1L), (2L, "b", "fr", "s", 1L))
@@ -317,6 +354,31 @@ class JsonlDsv2Spec extends AnyFunSuite {
     writeShard(dir, "r2.jsonl", Seq(doc(2)))
     run() // fresh query, offsets restored via deserializeOffset
     assert(got.sorted.toSeq === Seq(1L, 2L)) // r1 NOT re-read
+  }
+
+  test("columnar read path: ColumnarToRow in the plan, bit-parity with row reads") {
+    val colr = spark.read.format("graft-jsonl").option("columnar", "true")
+      .load(fixture)
+    val rowr = spark.read.format("graft-jsonl").load(fixture) // row default
+    assert(colr.exceptAll(rowr).isEmpty && rowr.exceptAll(colr).isEmpty)
+    // the scan emits batches: Spark inserts the vectorized transition
+    val plan = colr.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"plan:\n$plan")
+    assert(!rowr.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // pushdown, pruning, and null semantics ride through the batches
+    assert(colr.filter(col("lang") === "en" && col("n_chars") >= 5)
+      .select("doc_id").as[Long].collect().sorted === Array(1L, 4L))
+    assert(colr.filter(col("text").isNull).select("doc_id")
+      .as[Long].collect().sorted === Array(3L, 4L))
+    // partitioned layouts: injected values fill vectors too
+    val dir = Files.createTempDirectory("graft_dsv2_colpart").toString
+    Seq((1L, "a", "en", "s", 1L), (2L, "b", null.asInstanceOf[String], "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").option("compression", "gzip")
+      .partitionBy("lang").json(dir)
+    val back = spark.read.format("graft-jsonl").option("columnar", "true").load(dir)
+    assert(back.select("doc_id", "lang").as[(Long, Option[String])].collect()
+      .sortBy(_._1).toSeq === Seq((1L, Some("en")), (2L, None)))
   }
 
   test("write/read round-trip preserves escapes, unicode, and nulls") {
