@@ -49,39 +49,61 @@ object DataSkipping {
     ()
   }
 
+  /** Index entries came from `_metadata.file_path`, which spells an
+    * empty authority as "file:/x" while `inputFiles` spells it
+    * "file:///x" — compare on (scheme, authority, path), never the
+    * raw string. */
+  private def normFile(s: String): String = {
+    val u = new Path(s).toUri
+    Seq(Option(u.getScheme).getOrElse(""),
+      Option(u.getAuthority).getOrElse(""), u.getPath).mkString("|")
+  }
+
+  /** The DISTRIBUTED index consult: the live file listing LEFT-joined
+    * to the stats index, filtered to files that can match `[lo, hi]`
+    * on `c` — unseen files (no index row) and files with null stats
+    * are kept conservatively. One-column output (`file`); callers
+    * collect only THIS — the pruned, selective result — never the
+    * full index. (The live listing itself comes from Spark's own
+    * driver-side FileIndex, which exists for any scan of the table;
+    * the consult adds no second driver copy of the file set.) */
+  def prunedFiles(spark: SparkSession, path: String, c: String,
+                  lo: Any, hi: Any): DataFrame = {
+    import spark.implicits._
+    val idx = graft.warehouse.VersionedTable.read(spark, indexPath(path))
+    val all = spark.read.parquet(path)
+    val live = spark.createDataset(all.inputFiles.toSeq)
+      .map(f => (f, normFile(f))).toDF("file", "key")
+    val idxKeyed = idx
+      .select(col("file"),
+        // null stats (all-null column in a file) -> unknown -> read it
+        coalesce(col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi),
+          lit(true)).as("matches"))
+      .as[(String, Boolean)].map { case (f, m) => (normFile(f), m) }
+      .toDF("key", "matches")
+    live.join(idxKeyed, Seq("key"), "left_outer")
+      .filter(col("matches").isNull || col("matches"))
+      .select(col("file"))
+  }
+
   /** Scan `path` reading ONLY files whose [`col`_min, `col`_max] range
     * overlaps [lo, hi] — plus any file the index has never seen
     * (conservative on staleness). The returned frame still carries
     * the `col BETWEEN lo AND hi` filter, so results are exactly a
-    * filtered full scan; the index only prunes I/O. */
+    * filtered full scan; the index only prunes I/O. The consult runs
+    * as a distributed join ([[prunedFiles]]); only its pruned output
+    * lands on the driver, as the path list the scan needs anyway. */
   def readPruned(spark: SparkSession, path: String, c: String,
                  lo: Any, hi: Any): DataFrame = {
-    val idx = graft.warehouse.VersionedTable.read(spark, indexPath(path))
+    import spark.implicits._
     val all = spark.read.parquet(path)
-    // live file set from the DRIVER-side file index (no Spark job, no
-    // footer opens — enumerating via a _metadata scan would cost the
-    // very footer round-trips this operator exists to skip); index
-    // entries came from _metadata.file_path which spells an empty
-    // authority as "file:/x" while inputFiles spells it "file:///x" —
-    // compare on (scheme, authority, path), not the raw string
-    def norm(s: String): String = {
-      val u = new Path(s).toUri
-      Seq(Option(u.getScheme).getOrElse(""),
-        Option(u.getAuthority).getOrElse(""), u.getPath).mkString("|")
-    }
-    val current = all.inputFiles.toSeq
-    val indexed = idx.select(col("file")).collect()
-      .map(r => norm(r.getString(0))).toSet
-    val matching = idx
-      .filter(col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi))
-      .select(col("file")).collect().map(r => norm(r.getString(0))).toSet
-    val files = current.filter(f => !indexed.contains(norm(f)) || matching.contains(norm(f)))
+    val files = prunedFiles(spark, path, c, lo, hi).as[String].collect().toSeq
     val pruned =
       if (files.isEmpty)
         // empty relation with the right schema
         all.filter(lit(false))
       else
-        spark.read.option("basePath", path).parquet(files.toSeq: _*)
+        spark.read.option("basePath", path).parquet(files: _*)
     pruned.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 

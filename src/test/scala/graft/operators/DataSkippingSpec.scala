@@ -54,6 +54,26 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(got.count() == 0)
   }
 
+  test("the consult is a distributed join; only the pruned path list is its output") {
+    val path = Files.createTempDirectory("skip5").resolve("t").toString
+    (0L until 1000L).map(i => (i, s"r$i")).toDF("k", "s")
+      .repartitionByRange(10, col("k")).sortWithinPartitions("k")
+      .write.parquet(path)
+    DataSkipping.writeIndex(spark, path, Seq("k"))
+    val consult = DataSkipping.prunedFiles(spark, path, "k", 250L, 260L)
+    // the index is consulted via a JOIN in the plan — it is never
+    // collected to the driver; the only collected relation is this
+    // frame's (pruned, selective) output
+    val plan = consult.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("join"), s"plan:\n$plan")
+    val files = consult.collect().map(_.getString(0))
+    assert(files.length <= 2 && files.nonEmpty)
+    assert(files.forall(_.endsWith(".parquet")))
+    // consult output == exactly what readPruned opens
+    assert(DataSkipping.readPruned(spark, path, "k", 250L, 260L)
+      .inputFiles.sorted.toSeq === files.sorted.toSeq)
+  }
+
   test("index rebuild via versioned publish is atomic history") {
     val path = Files.createTempDirectory("skip4").resolve("t").toString
     (0L until 10L).map(i => (i, "x")).toDF("k", "s").coalesce(1)
