@@ -405,6 +405,53 @@ object EventsQueries {
       |  MAX(value) AS max_value
       |FROM events GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** The MATERIALIZED twin of q86: the cube lives as a parquet table
+    * maintained across THREE waves by [[graft.operators.IncrementalAgg
+    * .mergeInto]] — each wave aggregates only its slice, merges with
+    * the stored partials of the touched groups, and publishes through
+    * [[graft.operators.MergeUpsert]]'s crash-safe staged swap. Wave
+    * boundaries fall mid-day, so boundary days exist in consecutive
+    * waves and the upsert path genuinely folds partial states three
+    * deep. The oracle is the FULL recompute over all events: passing
+    * proves the maintained table equals a from-scratch build
+    * bit-for-bit (decimal sums stay decimal through every level). */
+  def mergeMaintainedCube(s: SparkSession, dir: String): DataFrame = {
+    val measures = Map("n_events" -> "sum", "total_value" -> "sum",
+      "max_value" -> "max")
+    val keys = Seq("d", "event_type")
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), to_date(col("ts")).as("d"), col("event_type"),
+        lit(1L).as("n_events"), dec(col("value"), 18, 2).as("total_value"),
+        col("value").as("max_value"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_incr_cube_" +
+      math.abs(dir.hashCode.toLong)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true) // fresh maintenance run per invocation (idempotent)
+    val c1 = lit("2024-01-11 12:00:00").cast("timestamp")
+    val c2 = lit("2024-01-21 12:00:00").cast("timestamp")
+    import graft.operators.IncrementalAgg
+    IncrementalAgg.mergeInto(s, path, ev.filter(col("ts") < c1), keys, measures)
+    IncrementalAgg.mergeInto(s, path,
+      ev.filter(col("ts") >= c1 && col("ts") < c2), keys, measures)
+    IncrementalAgg.mergeInto(s, path, ev.filter(col("ts") >= c2), keys, measures)
+    s.read.parquet(path)
+      .select(col("d").cast("date").as("event_date"), col("event_type"),
+        col("n_events"), col("total_value").cast("double").as("total_value"),
+        col("max_value"))
+      .orderBy("event_date", "event_type")
+  }
+
+  /** Same full-recompute oracle as q86 — the materialized maintenance
+    * must land on the identical cube. */
+  val mergeMaintainedCubeSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  MAX(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   // ---------------------------------------------------------------- q95
@@ -564,6 +611,7 @@ object EventsQueries {
     "q83_kmv_distinct" -> (kmvDistinct _),
     "q84_click_attribution" -> (clickAttribution _),
     "q86_incremental_cube" -> (incrementalCube _),
+    "q121_merge_maintained_cube" -> (mergeMaintainedCube _),
     "q20_hourly_event_stats" -> (hourlyEventStats _),
     "q21_event_json_stats" -> (eventJsonStats _),
     "q22_user_sessions" -> (userSessions _),
@@ -581,6 +629,7 @@ object EventsQueries {
     "q83_kmv_distinct" -> kmvDistinctSql,
     "q84_click_attribution" -> clickAttributionSql,
     "q86_incremental_cube" -> incrementalCubeSql,
+    "q121_merge_maintained_cube" -> mergeMaintainedCubeSql,
     "q20_hourly_event_stats" -> hourlyEventStatsSql,
     "q21_event_json_stats" -> eventJsonStatsSql,
     "q22_user_sessions" -> userSessionsSql,

@@ -47,6 +47,34 @@ object IncrementalAgg {
     rows.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Merge-MAINTAINED materialized aggregate: fold `delta` (raw rows)
+    * into the rollup table stored at `path`. Only the groups the
+    * delta touches participate in the re-aggregation — their stored
+    * partials merge with the delta's and the result UPSERTS over them
+    * via [[MergeUpsert]]; untouched groups' rows pass through the
+    * upsert untouched. First call creates the table from the delta's
+    * aggregate. The stored table is aggregate-grain (|group keys|
+    * rows, metadata scale next to the facts), so [[MergeUpsert
+    * .intoPath]]'s whole-table staged rewrite is the right publish —
+    * crash-safe swap included; at partition-count grain use
+    * [[MergeUpsert.intoPartitionedPath]] with the same upsert frame.
+    * Incremental == full recompute is gated by q121's oracle after
+    * three waves. */
+  def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
+                delta: DataFrame, keys: Seq[String],
+                measures: Map[String, String]): Unit = {
+    val d = aggregate(delta, keys, measures)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      d.write.mode("overwrite").parquet(path)
+      return
+    }
+    val prev = spark.read.parquet(path)
+    val touched = prev.join(d.select(keys.map(col): _*), keys, "left_semi")
+    MergeUpsert.intoPath(spark, path, merge(touched, d, keys, measures), keys)
+  }
+
   private def columns(keys: Seq[String], measures: Map[String, String]) =
     (keys ++ measures.keys.toSeq.sorted).map(col)
 
