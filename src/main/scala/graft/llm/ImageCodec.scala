@@ -69,9 +69,14 @@ object ImageCodec {
   private def decodePnm(b: Array[Byte], rgb: Boolean): Option[DecodedImage] = {
     val (w, h, maxv, start) = pnmHeader(b)
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
-    val n = w * h
-    val need = if (rgb) n * 3 else n
-    if (b.length - start < need) return None
+    // Long math: a corrupt header like 65536x65536 wraps Int (w*h == 0)
+    // and would dodge the length check below, then crash or OOM far
+    // from here — dimension claims beyond the payload are "not an
+    // image", the same None as any other truncation
+    val nL = w.toLong * h
+    val needL = if (rgb) nL * 3 else nL
+    if (b.length - start < needL) return None
+    val n = nL.toInt // needL <= b.length bounds nL well under Int.MaxValue
     val gray = new Array[Int](n)
     var i = 0
     while (i < n) {
@@ -105,14 +110,17 @@ object ImageCodec {
     val h = math.abs(rawH)
     val topDown = rawH < 0
     if (le16(b, 28) != 24 || le32(b, 30) != 0) return None // bpp / BI_RGB
-    if (w <= 0 || h == 0) return None
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    if (b.length - dataOff < rowBytes.toLong * h) return None
-    val gray = new Array[Int](w * h)
+    if (w <= 0 || h == 0 || dataOff < 54 || dataOff > b.length) return None
+    // Long math end-to-end: header-claimed dimensions that overflow Int
+    // must fail the length check, not wrap into a bogus allocation
+    val rowBytes = (w.toLong * 3 + 3) / 4 * 4
+    if (b.length - dataOff < rowBytes * h) return None
+    val gray = new Array[Int](w * h) // rowBytes*h <= b.length bounds w*h
+    val rb = rowBytes.toInt
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y
-      val o = dataOff + srcRow * rowBytes
+      val o = dataOff + srcRow * rb
       var x = 0
       while (x < w) {
         val p = o + x * 3

@@ -42,11 +42,14 @@ object Multimodal {
     * A real implementation would open a codec per partition and decode
     * each payload; the iterator-in/iterator-out shape below is exactly
     * where that goes. */
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
     MediaFeatures(r.doc_id, r.media_type, n,
-      checksum = java.security.MessageDigest.getInstance("MD5")
-        .digest(r.payload).map("%02x".format(_)).mkString,
+      checksum = md5Hex(r.payload),
       width = (n % 640).toInt,
       height = (n % 480).toInt)
   }
@@ -56,10 +59,7 @@ object Multimodal {
   def decodeFeatures(r: MediaRecord): MediaFeatures =
     ImageCodec.decode(r.payload) match {
       case Some(img) =>
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
-          checksum = java.security.MessageDigest.getInstance("MD5")
-            .digest(r.payload).map("%02x".format(_)).mkString,
-          width = img.width, height = img.height)
+        decodeStub(r).copy(width = img.width, height = img.height)
       case None => decodeStub(r)
     }
 

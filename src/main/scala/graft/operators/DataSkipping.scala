@@ -68,10 +68,13 @@ object DataSkipping {
     * driver-side FileIndex, which exists for any scan of the table;
     * the consult adds no second driver copy of the file set.) */
   def prunedFiles(spark: SparkSession, path: String, c: String,
-                  lo: Any, hi: Any): DataFrame = {
+                  lo: Any, hi: Any): DataFrame =
+    prunedFiles(spark, spark.read.parquet(path), path, c, lo, hi)
+
+  private def prunedFiles(spark: SparkSession, all: DataFrame, path: String,
+                          c: String, lo: Any, hi: Any): DataFrame = {
     import spark.implicits._
     val idx = graft.warehouse.VersionedTable.read(spark, indexPath(path))
-    val all = spark.read.parquet(path)
     val live = spark.createDataset(all.inputFiles.toSeq)
       .map(f => (f, normFile(f))).toDF("file", "key")
     val idxKeyed = idx
@@ -96,8 +99,11 @@ object DataSkipping {
   def readPruned(spark: SparkSession, path: String, c: String,
                  lo: Any, hi: Any): DataFrame = {
     import spark.implicits._
+    // ONE relation build: its driver-side FileIndex serves both the
+    // live listing the consult joins against and the empty-result
+    // schema below — not two copies of the same listing work
     val all = spark.read.parquet(path)
-    val files = prunedFiles(spark, path, c, lo, hi).as[String].collect().toSeq
+    val files = prunedFiles(spark, all, path, c, lo, hi).as[String].collect().toSeq
     val pruned =
       if (files.isEmpty)
         // empty relation with the right schema

@@ -66,13 +66,17 @@ object IncrementalAgg {
     val d = aggregate(delta, keys, measures)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      d.write.mode("overwrite").parquet(path)
-      return
-    }
-    val prev = spark.read.parquet(path)
-    val touched = prev.join(d.select(keys.map(col): _*), keys, "left_semi")
-    MergeUpsert.intoPath(spark, path, merge(touched, d, keys, measures), keys)
+    // both branches publish through intoPath's staged swap: a crash
+    // mid-first-build must leave no partial parquet dir that the next
+    // wave would read as `prev` and silently merge into wrong partials
+    val upsert =
+      if (!fs.exists(p)) d
+      else {
+        val prev = spark.read.parquet(path)
+        val touched = prev.join(d.select(keys.map(col): _*), keys, "left_semi")
+        merge(touched, d, keys, measures)
+      }
+    MergeUpsert.intoPath(spark, path, upsert, keys)
   }
 
   private def columns(keys: Seq[String], measures: Map[String, String]) =

@@ -139,9 +139,12 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       // bucket array rather than letting Sequence's default step -1
       // materialize |bLo-bHi| descending buckets, which dodges the
       // explosion guard below (its width is negative for inverted
-      // bounds) and can OOM on a degenerate row.
+      // bounds) and can OOM on a degenerate row. NULL bounds likewise
+      // match nothing; without the IsNull arms the null comparison
+      // would fall through BOTH If else-branches into RaiseError,
+      // aborting a query the un-rewritten plan completes.
       val guarded = If(
-        LessThan(bHi, bLo),
+        Or(Or(IsNull(bLo), IsNull(bHi)), LessThan(bHi, bLo)),
         Literal.create(Array.empty[Long], seq.dataType),
         If(
           LessThanOrEqual(Subtract(bHi, bLo), Literal(maxBuckets)),

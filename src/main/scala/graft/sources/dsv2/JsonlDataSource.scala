@@ -326,31 +326,65 @@ final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
 
   override def initialOffset(): Offset = JsonlWatermarkOffset(0L, Seq.empty)
 
-  // last offset handed out: an empty listing (dir unreadable or not
-  // yet created) must not rewind the watermark — files are immutable
-  // once placed, so offsets only move forward
+  // last offset handed out OR recovered from the checkpoint: offsets
+  // only move forward. Seeding from deserializeOffset is what makes
+  // the no-rewind guard survive a RESTART — without it, a momentarily
+  // empty/unreachable drop directory right after recovery would hand
+  // Spark a zero watermark, commit it, and replay every shard as a
+  // duplicate once the files reappear (files are immutable once
+  // placed, so forward-only is always safe)
   @transient private var lastOff: Offset = JsonlWatermarkOffset(0L, Seq.empty)
+  // the listing latestOffset derived its offset from, reused by the
+  // common planInputPartitions(lastStart, lastOff) call so the
+  // scheduling hot path does ONE directory LIST per micro-batch, not
+  // two (restart replay for any other offset pair still re-lists)
+  @transient private var lastListing: Seq[(String, Long)] = null
+
+  private def lastWatermark: Long = lastOff match {
+    case JsonlWatermarkOffset(w, _) => w
+    case _ => 0L
+  }
 
   override def latestOffset(): Offset = {
     val files = listing()
     if (files.isEmpty) return lastOff
     val maxM = files.map(_._2).max
-    val w = math.max(0L, maxM - maxFileAgeMs)
+    // clamped monotonic: a partial listing (eventual-consistency gap,
+    // files briefly missing) must not move the watermark backward —
+    // per the maxFileAge contract a shard surfacing with mtime below
+    // the committed watermark is "too old" and stays ignored, exactly
+    // like Spark's built-in file source
+    val w = math.max(lastWatermark, math.max(0L, maxM - maxFileAgeMs))
     val off = JsonlWatermarkOffset(w,
       files.collect { case (f, m) if m >= w => f }.sorted)
     lastOff = off
+    lastListing = files
     off
   }
 
-  override def deserializeOffset(json: String): Offset =
-    JsonlWatermarkOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset = {
+    val off = JsonlWatermarkOffset.fromJson(json)
+    (off, lastOff) match {
+      case (n: JsonlWatermarkOffset, c: JsonlWatermarkOffset)
+          if n.watermarkMs >= c.watermarkMs => lastOff = n
+      case (f: JsonlFilesOffset, c: JsonlWatermarkOffset)
+          if c.watermarkMs == 0L && c.recent.isEmpty => lastOff = f
+      case _ => ()
+    }
+    off
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    // membership is evaluated against a FRESH listing: the offsets
-    // define seen-ness, the directory defines existence (replay after
-    // restart re-lists, so a batch is always reproducible from its
-    // two offsets plus the immutable-files contract)
-    listing()
+    // membership is evaluated against a listing, not the offsets
+    // alone: the offsets define seen-ness, the directory defines
+    // existence. The just-captured listing is exact for the batch
+    // latestOffset() planned (end == the offset derived from it);
+    // replay after restart re-lists, so a batch is always
+    // reproducible from its two offsets plus the immutable-files
+    // contract
+    val files =
+      if (lastListing != null && end == lastOff) lastListing else listing()
+    files
       .filter { case (f, m) => seen(end, f, m) && !seen(start, f, m) }
       .map { case (f, _) => JsonlInputPartition(f, partValuesOf(f)): InputPartition }
       .toArray

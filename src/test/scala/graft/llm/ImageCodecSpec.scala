@@ -110,4 +110,21 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => b == a + 1 && a % 2 == 0 },
       s"unexpected pairs: ${pairs -- expected}")
   }
+
+  test("dimension claims that overflow Int decode to None, not crash or OOM") {
+    // a ~50-byte payload claiming billions of pixels: w*h wraps Int to
+    // 0 (dodging a naive length check) or n*3 wraps negative (passing
+    // it) — both must hit the same None as any other truncation
+    def pnm(hdr: String) = hdr.getBytes("US-ASCII") ++ new Array[Byte](32)
+    assert(ImageCodec.decode(pnm("P6 65536 65536 255 ")).isEmpty)
+    assert(ImageCodec.decode(pnm("P6 30000 30000 255 ")).isEmpty)
+    assert(ImageCodec.decode(pnm("P5 2000000000 2 255 ")).isEmpty)
+    val huge = ImageCodec.encodeBmp(4, 4, Array.fill(16)(0x808080))
+    def putLe32(o: Int, v: Int): Unit = {
+      huge(o) = (v & 0xff).toByte; huge(o + 1) = ((v >> 8) & 0xff).toByte
+      huge(o + 2) = ((v >> 16) & 0xff).toByte; huge(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(18, 0x40000000); putLe32(22, 0x40000000) // 2^30 x 2^30 "BMP"
+    assert(ImageCodec.decode(huge).isEmpty)
+  }
 }

@@ -356,6 +356,21 @@ class JsonlDsv2Spec extends AnyFunSuite {
     assert(got.sorted.toSeq === Seq(1L, 2L)) // r1 NOT re-read
   }
 
+  test("restart with an empty/unreachable listing does not rewind the watermark") {
+    import graft.sources.dsv2.{JsonlMicroBatchStream, JsonlWatermarkOffset}
+    // recovery scenario: checkpointed watermark restored, then the
+    // drop directory is momentarily missing (unmounted volume,
+    // object-store list gap). latestOffset must hand back the
+    // checkpointed offset — a zero offset here would be COMMITTED and
+    // replay every shard as a duplicate once the files reappear
+    val gone = Files.createTempDirectory("graft_dsv2_gone").toString + "/missing"
+    val s = new JsonlMicroBatchStream(gone, dsv2.schema, dsv2.schema,
+      Array.empty)
+    val ckpt = JsonlWatermarkOffset(1700000000000L, Seq("/drop/z.jsonl"))
+    s.deserializeOffset(ckpt.json())
+    assert(s.latestOffset() === ckpt)
+  }
+
   test("columnar read path: ColumnarToRow in the plan, bit-parity with row reads") {
     val colr = spark.read.format("graft-jsonl").option("columnar", "true")
       .load(fixture)
