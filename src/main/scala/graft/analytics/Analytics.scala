@@ -1125,7 +1125,69 @@ object Analytics {
       |FROM ex FULL OUTER JOIN init USING (l_partkey)
       |ORDER BY l_partkey""".stripMargin
 
+  // --------------------------------------------------------------- q122
+  /** Interval OVERLAP join ([[graft.operators.RangeJoin.overlap]]):
+    * each order's fulfillment span [orderdate, last shipment] is
+    * allocated to every calendar month it overlaps — months of
+    * concurrent activity and in-month active days, the time-weighted
+    * allocation every capacity/WIP report needs. Spark has no overlap
+    * join operator (`a.lo <= b.hi AND b.lo <= a.hi` plans as BNLJ);
+    * the grid trick turns it into ONE equi-join shuffle with each
+    * pair emitted in exactly one shared bucket — no distinct pass.
+    * The month side is metadata-scale and broadcast; the span side
+    * replicates ~3× at bucketWidth 32 days (one fact-table aggregate
+    * feeds it — the only corpus-scale shuffle). */
+  def orderSpanMonths(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val spanDates = t(s, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("start_d"))
+      .join(t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(to_date(max(col("l_shipdate"))).as("end_d")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("start_d"), col("end_d"))
+    val months = spanDates
+      .agg(trunc(min(col("start_d")), "month").as("lo"),
+        trunc(max(col("end_d")), "month").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("month_start"))
+      .select(col("month_start"),
+        datediff(col("month_start"), epoch).as("m_lo"),
+        datediff(last_day(col("month_start")), epoch).as("m_hi"))
+    val spans = spanDates.select(
+      datediff(col("start_d"), epoch).as("s_lo"),
+      datediff(col("end_d"), epoch).as("s_hi"))
+    graft.operators.RangeJoin
+      .overlap(broadcast(months), spans, "m_lo", "m_hi", "s_lo", "s_hi", 32L)
+      .groupBy(col("month_start"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(least(col("m_hi"), col("s_hi")) -
+          greatest(col("m_lo"), col("s_lo")) + 1).as("active_days"))
+      .orderBy(col("month_start"))
+  }
+
+  val orderSpanMonthsSql: String =
+    """WITH spans AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS start_d,
+      |         CAST(MAX(l_shipdate) AS DATE) AS end_d
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY o_orderkey, o_orderdate),
+      |b AS (SELECT date_trunc('month', MIN(start_d)) AS lo,
+      |             date_trunc('month', MAX(end_d)) AS hi FROM spans),
+      |months AS (SELECT CAST(unnest(generate_series(
+      |    (SELECT CAST(lo AS TIMESTAMP) FROM b),
+      |    (SELECT CAST(hi AS TIMESTAMP) FROM b),
+      |    INTERVAL 1 MONTH)) AS DATE) AS month_start)
+      |SELECT month_start, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(datediff('day', greatest(month_start, start_d),
+      |                    least(last_day(month_start), end_d)) + 1) AS BIGINT)
+      |    AS active_days
+      |FROM months JOIN spans
+      |  ON start_d <= last_day(month_start) AND month_start <= end_d
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_order_span_months" -> (orderSpanMonths _),
     "q118_bag_set_ops" -> (bagSetOps _),
     "q117_national_market_share" -> (nationalMarketShare _),
     "q115_returned_item_revenue" -> (returnedItemRevenue _),
@@ -1165,6 +1227,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q122_order_span_months" -> orderSpanMonthsSql,
     "q118_bag_set_ops" -> bagSetOpsSql,
     "q117_national_market_share" -> nationalMarketShareSql,
     "q115_returned_item_revenue" -> returnedItemRevenueSql,

@@ -183,6 +183,34 @@ object CorpusOps {
         col("score"))
   }
 
+  /** Inverted index (capped postings): term → document frequency and
+    * the first `k` doc_ids containing the term, ascending — the core
+    * retrieval/attribution structure (which training docs contain this
+    * contamination string? what does term t's posting list look
+    * like?).
+    *
+    * Scale shape: the corpus explodes once into (doc_id, term) and
+    * aggregates in ONE pass — `df` as a single-column distinct count
+    * (two-level hash aggregate, no Expand), postings via the
+    * bounded-heap [[graft.functions.TopKBy]] aggregate (k-entry state
+    * map-side; duplicate (doc, term) pairs collapse inside the heap,
+    * so no distinct pre-shuffle). A degenerate stopword's posting
+    * list costs k longs of memory, not its corpus-wide row set — the
+    * cap is the honesty: full postings for a stopword at 100 TB is a
+    * billion-element list no single buffer should hold, and `df`
+    * still reports the true total. */
+  def invertedIndex(docs: DataFrame, k: Int = 12, minLen: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= minLen)
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        graft.functions.Native.topKBy(-col("doc_id"), col("doc_id"), k).as("tk"))
+      .select(col("term"), col("df"),
+        array_join(transform(col("tk"),
+          e => e.getField("payload").cast("string")), ",").as("postings"))
+
   /** Sequence packing: lay documents head-to-tail into fixed
     * `capacity`-token context windows, contiguously in doc_id order
     * within each (lang, shard) stream — the standard pre-tokenization

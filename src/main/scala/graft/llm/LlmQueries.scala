@@ -1286,7 +1286,58 @@ object LlmQueries {
       |  CAST(5 AS BIGINT) AS max_hamming,
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 500) AS n_close""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** Contrastive negative sampling ([[NegativeSampling]]): k=4
+    * deterministic different-label negatives per anchor from a 10%
+    * hash pool. The pool is the only replicated side (broadcast); the
+    * per-anchor top-k runs as the bounded-heap topk_by aggregate —
+    * one shuffle of 4-row partials, no window sort. The oracle
+    * recomputes the identical sample from the shared integer mix. */
+  def negativePairs(s: SparkSession, dir: String): DataFrame =
+    NegativeSampling.negatives(emb(s, dir), "vec_id", "label",
+      k = 4, poolPerMille = 100)
+      .orderBy("anchor_id", "rank")
+
+  val negativePairsSql: String =
+    """WITH pool AS (
+      |  SELECT vec_id AS neg_id, label AS neg_label FROM embeddings
+      |  WHERE (vec_id * 2654435761) % 1000 < 100),
+      |ranked AS (
+      |  SELECT e.vec_id AS anchor_id, p.neg_id,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ((e.vec_id % 100003) * 73856093 +
+      |       (p.neg_id % 100003) * 19349663) % 2147483647,
+      |      p.neg_id) AS rank
+      |  FROM embeddings e JOIN pool p ON p.neg_label <> e.label)
+      |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id
+      |FROM ranked WHERE rank <= 4 ORDER BY anchor_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  /** Inverted index with capped postings ([[CorpusOps.invertedIndex]]):
+    * term → true document frequency + first 12 doc_ids ascending,
+    * joined to a comma string. One corpus explode, one aggregate —
+    * df as a single-column distinct count (no Expand), postings via
+    * the bounded topk_by heap (stopword-proof: k longs of state per
+    * term regardless of corpus size). */
+  def invertedIndexTerms(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.invertedIndex(docs(s, dir), k = 12).orderBy("term")
+
+  val invertedIndexTermsSql: String =
+    """WITH td AS (SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE len(term) >= 3),
+      |ranked AS (SELECT term, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM td),
+      |agg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM td GROUP BY 1),
+      |post AS (SELECT term,
+      |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |  FROM ranked WHERE rn <= 12 GROUP BY 1)
+      |SELECT term, df, postings FROM agg JOIN post USING (term)
+      |ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_negative_pairs" -> (negativePairs _),
+    "q124_inverted_index" -> (invertedIndexTerms _),
     "q40_exact_dedup" -> (exactDedup _),
     "q41_normalized_dedup" -> (normalizedDedup _),
     "q42_minhash_lsh_pairs" -> (minhashLshPairs _),
@@ -1336,6 +1387,8 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q123_negative_pairs" -> negativePairsSql,
+    "q124_inverted_index" -> invertedIndexTermsSql,
     "q40_exact_dedup" -> exactDedupSql,
     "q41_normalized_dedup" -> normalizedDedupSql,
     "q42_minhash_lsh_pairs" -> minhashLshPairsSql,

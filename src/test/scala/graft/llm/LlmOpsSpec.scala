@@ -9,6 +9,43 @@ class LlmOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("negative sampling: pool-only, different-label, deterministic under repartition") {
+    val items = (0L until 200L).map(i => (i, (i % 7).toInt)).toDF("id", "lab")
+    val rows = NegativeSampling.negatives(items, "id", "lab",
+      k = 3, poolPerMille = 200).collect()
+    val pool = (0L until 200L).filter(i => (i * 2654435761L) % 1000 < 200).toSet
+    def labOf(i: Long) = (i % 7).toInt
+    assert(rows.forall(r => pool.contains(r.getAs[Long]("neg_id"))))
+    assert(rows.forall(r =>
+      labOf(r.getAs[Long]("neg_id")) != labOf(r.getAs[Long]("anchor_id"))))
+    val byAnchor = rows.groupBy(_.getAs[Long]("anchor_id"))
+    assert(byAnchor.size === 200)
+    assert(byAnchor.values.forall(
+      _.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L)))
+    // the sample is a pure function of (ids, labels, k, pool) — any
+    // partitioning draws the same negatives
+    val again = NegativeSampling.negatives(items.repartition(7), "id", "lab",
+      3, 200).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("anchor_id"), r.getAs[Long]("rank"), r.getAs[Long]("neg_id"))
+    assert(rows.map(key).toSet === again.map(key).toSet)
+  }
+
+  test("inverted index: true df with capped ascending postings") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta beta gamma"), // repeated term: df counts docs, not tf
+      (3L, "gamma zz a"),      // sub-minLen terms filtered
+      (4L, "beta")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.invertedIndex(docs, k = 2).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[String]("postings"))).toSet
+    // beta/gamma df=3 but postings cap at the 2 smallest doc_ids
+    assert(out === Set(("alpha", 1L, "1"), ("beta", 3L, "1,2"),
+      ("gamma", 3L, "1,2")))
+  }
+
   private def docsDf = Seq(
     (1L, "the cat sat on the mat", "en", "s1"),
     (2L, "the cat sat on the mat", "en", "s2"),          // exact dup of 1

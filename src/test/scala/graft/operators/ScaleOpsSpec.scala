@@ -42,6 +42,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(dupJoined.count() === 800)
   }
 
+  test("overlap join == naive overlap at every width, each pair exactly once") {
+    val a = Seq((1L, 0L, 10L), (2L, 5L, 5L), (3L, 50L, 90L), (4L, 90L, 120L),
+      (5L, -20L, -1L)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((1L, 8L, 60L), (2L, 200L, 300L), (3L, 0L, 1000L),
+      (4L, -5L, 3L)).toDF("bid", "b_lo", "b_hi")
+    val naive = a.crossJoin(b)
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    for (w <- Seq(1L, 7L, 32L, 1000L)) {
+      // Seq (not Set) comparison: the first-shared-bucket rule must
+      // emit each overlapping pair EXACTLY once at every width
+      val got = RangeJoin.overlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got === naive, s"width $w")
+    }
+  }
+
   test("bucketed co-located join has no shuffle exchange") {
     val n = 1000
     val orders = (1 to n).map(i => (i.toLong, s"o$i")).toDF("k", "o")
