@@ -211,6 +211,30 @@ object CorpusOps {
         array_join(transform(col("tk"),
           e => e.getField("payload").cast("string")), ",").as("postings"))
 
+  /** One BPE merge round: corpus-wide counts of adjacent character
+    * pairs inside words, top-N by count — the distributed primitive
+    * of byte-pair-encoding vocabulary induction (Sennrich et al.
+    * 2016). Full training iterates: the driver takes the winning
+    * pair, extends the symbol alphabet, and re-runs the count with
+    * merged symbols — each round is THIS operator; the corpus-scale
+    * work (explode + count) stays fully distributed and
+    * partial-aggregable, and the driver only ever sees the
+    * alphabet²-bounded pair table's top slice (`TakeOrderedAndProject`
+    * — per-partition top-N, never a global sort).
+    *
+    * Ties break lexicographically so the winner is deterministic —
+    * the property that makes a trained vocab reproducible. */
+  def bpePairCounts(docs: DataFrame, topN: Int = 30): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topN)
+
   /** Sequence packing: lay documents head-to-tail into fixed
     * `capacity`-token context windows, contiguously in doc_id order
     * within each (lang, shard) stream — the standard pre-tokenization

@@ -377,12 +377,21 @@ object LlmQueries {
       |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** DuckDB raw (unrounded) cosine — bit-identical to the Spark side:
+    * each element promotes to DOUBLE BEFORE the multiply (a float
+    * product loses the low bits Spark's double product keeps), then
+    * the same left-to-right fold and division order. */
+  private def rawCosSql(a: String, b: String): String = {
+    def dotD(x: String, y: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($x)), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))) AS DOUBLE)"
+    s"(${dotD(a, b)} / sqrt(${dotD(a, a)}) / sqrt(${dotD(b, b)}))"
+  }
+
   /** DuckDB cosine between two DOUBLE[] expressions, rounded like the
     * Spark side. */
   private def cosSql(a: String, b: String): String =
-    s"round(CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS DOUBLE)" +
-      s" / sqrt(CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i])) AS DOUBLE))" +
-      s" / sqrt(CAST(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i])) AS DOUBLE)), 6)"
+    s"round(${rawCosSql(a, b)}, 6)"
 
   /** The q46 random-hyperplane bucket expression over a DOUBLE[] `v`
     * (def, not val: referenced by oracle strings declared earlier in
@@ -1335,9 +1344,56 @@ object LlmQueries {
       |SELECT term, df, postings FROM agg JOIN post USING (term)
       |ORDER BY term""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** One BPE merge round ([[CorpusOps.bpePairCounts]]): the top-30
+    * adjacent character pairs inside words, corpus-wide — iterating
+    * this operator IS byte-pair-encoding vocab training; the plan is
+    * explode → partial-aggregable count → TakeOrderedAndProject
+    * (per-partition top-N, no global sort). */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.bpePairCounts(docs(s, dir), topN = 30)
+
+  val bpePairsSql: String =
+    """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |pairs AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> substr(w, i, 2))) AS pair
+      |  FROM words WHERE len(w) >= 2)
+      |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1
+      |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------- q126
+  /** Hard-negative mining ([[NegativeSampling.hardNegatives]]): the
+    * k=6 highest-cosine different-label pool candidates per anchor —
+    * [[negativePairs]]' skeleton with the micro-unit integer cosine
+    * as the ranking key (broadcast pool, bounded topk_by heap, one
+    * shuffle, no window sort). The oracle recomputes the full
+    * anchors × pool ranking in SQL over the SAME floor-based
+    * micro-units (raw cosine, no engine round() in the path). */
+  def hardNegativePairs(s: SparkSession, dir: String): DataFrame =
+    NegativeSampling.hardNegatives(emb(s, dir), "vec_id", "label",
+      "embedding", k = 6, poolPerMille = 100)
+      .orderBy("anchor_id", "rank")
+
+  val hardNegativePairsSql: String =
+    s"""WITH pool AS (
+      |  SELECT vec_id AS neg_id, label AS neg_label, embedding AS ne
+      |  FROM embeddings WHERE (vec_id * 2654435761) % 1000 < 100),
+      |scored AS (
+      |  SELECT e.vec_id AS anchor_id, p.neg_id,
+      |    CAST(floor(${rawCosSql("e.embedding", "p.ne")} * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |  FROM embeddings e JOIN pool p ON p.neg_label <> e.label),
+      |ranked AS (SELECT anchor_id, neg_id, micro,
+      |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+      |      ORDER BY micro DESC, neg_id) AS rank FROM scored)
+      |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id,
+      |  micro / 1000000.0 AS cos_sim
+      |FROM ranked WHERE rank <= 6 ORDER BY anchor_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_negative_pairs" -> (negativePairs _),
     "q124_inverted_index" -> (invertedIndexTerms _),
+    "q125_bpe_pairs" -> (bpePairs _),
+    "q126_hard_negatives" -> (hardNegativePairs _),
     "q40_exact_dedup" -> (exactDedup _),
     "q41_normalized_dedup" -> (normalizedDedup _),
     "q42_minhash_lsh_pairs" -> (minhashLshPairs _),
@@ -1389,6 +1445,8 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q123_negative_pairs" -> negativePairsSql,
     "q124_inverted_index" -> invertedIndexTermsSql,
+    "q125_bpe_pairs" -> bpePairsSql,
+    "q126_hard_negatives" -> hardNegativePairsSql,
     "q40_exact_dedup" -> exactDedupSql,
     "q41_normalized_dedup" -> normalizedDedupSql,
     "q42_minhash_lsh_pairs" -> minhashLshPairsSql,

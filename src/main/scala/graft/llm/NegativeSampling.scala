@@ -67,4 +67,41 @@ object NegativeSampling {
       .select(col("anchor_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.payload").as("neg_id"))
   }
+
+  /** HARD negative mining: the k pool candidates most similar to the
+    * anchor (highest embedding cosine) with a DIFFERENT label — the
+    * negatives that actually move a contrastive loss, vs
+    * [[negatives]]' uniform draw.
+    *
+    * Same scale skeleton (broadcast pool, bounded-heap top-k, one
+    * shuffle); the ranking key is the micro-unit integer cosine
+    * (q93's discipline: `floor(cos·10⁶ + 0.5)` as a long — plain
+    * IEEE double ops every engine evaluates bit-identically, unlike
+    * engine `round()`, whose half-way behavior differs between
+    * Spark's BigDecimal HALF_UP and DuckDB's multiply-then-round),
+    * so ranks and the surfaced `cos_sim = micro / 10⁶` are
+    * bit-reproducible across engines and partitionings. `items`
+    * needs (`idCol`, `labelCol`, `embCol`: array of float/double). */
+  def hardNegatives(items: DataFrame, idCol: String, labelCol: String,
+                    embCol: String, k: Int, poolPerMille: Int): DataFrame = {
+    require(k >= 1 && poolPerMille >= 1)
+    val pool = items
+      .filter(inPool(col(idCol), poolPerMille))
+      .select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+        col(embCol).as("ne"), Similarity.norm(col(embCol)).as("nn"))
+    val anchors = items.select(col(idCol).as("anchor_id"), col(labelCol),
+      col(embCol).as("ae"), Similarity.norm(col(embCol)).as("na"))
+    anchors
+      .join(broadcast(pool), col("neg_label") =!= col(labelCol))
+      .withColumn("cos_micro",
+        floor(Similarity.cosineWithNorms(col("ae"), col("ne"),
+          col("na"), col("nn")) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("anchor_id"))
+      .agg(graft.functions.Native.topKBy(
+        col("cos_micro"), col("neg_id"), k).as("tk"))
+      .select(col("anchor_id"), posexplode(col("tk")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.payload").as("neg_id"),
+        (col("col.ord").cast("double") / lit(1e6)).as("cos_sim"))
+  }
 }

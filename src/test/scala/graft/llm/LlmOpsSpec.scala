@@ -31,6 +31,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.map(key).toSet === again.map(key).toSet)
   }
 
+  test("hard negatives: highest-cosine different-label pool candidates, deterministic") {
+    val e = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 1, Array(1.0f, 0.1f)),   // nearest different-label to 0
+      (2L, 1, Array(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, 0, Array(1.0f, 0.0f)),   // same label as 0: never its negative
+      (4L, 2, Array(-1.0f, 0.0f)))  // opposite to 0
+      .toDF("vec_id", "label", "embedding")
+    val rows = NegativeSampling.hardNegatives(e, "vec_id", "label", "embedding",
+      k = 2, poolPerMille = 1000).collect()
+    val for0 = rows.filter(_.getAs[Long]("anchor_id") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+    // hardest first: cos(0,1) ~ 0.995 > cos(0,2) = 0 > cos(0,4) = -1
+    assert(for0.map(_.getAs[Long]("neg_id")).toSeq === Seq(1L, 2L))
+    assert(for0(0).getAs[Double]("cos_sim") > 0.99)
+    assert(for0(1).getAs[Double]("cos_sim") === 0.0)
+    // same-label candidates never appear
+    assert(rows.forall { r =>
+      val a = r.getAs[Long]("anchor_id"); val n = r.getAs[Long]("neg_id")
+      Seq(0, 1, 1, 0, 2)(a.toInt) != Seq(0, 1, 1, 0, 2)(n.toInt)
+    })
+    // pure function of the inputs: any partitioning draws the same set
+    val again = NegativeSampling.hardNegatives(e.repartition(5), "vec_id",
+      "label", "embedding", k = 2, poolPerMille = 1000).collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("anchor_id"),
+      r.getAs[Long]("rank"), r.getAs[Long]("neg_id"), r.getAs[Double]("cos_sim"))
+    assert(rows.map(key).toSet === again.map(key).toSet)
+  }
+
+  test("bpe pair counts: adjacent in-word pairs, count-desc with lexicographic ties") {
+    val docs = Seq((1L, "aaab aaab x"), (2L, "ab cd"), (3L, "cd z"))
+      .toDF("doc_id", "text")
+    // "aaab"×2 -> aa×4, ab×2; "ab" -> ab×1; "cd"×2; 1-char words skipped
+    val got = CorpusOps.bpePairCounts(docs, topN = 10).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toSeq
+    assert(got === Seq(("aa", 4L), ("ab", 3L), ("cd", 2L)))
+    // topN truncates after the deterministic sort
+    assert(CorpusOps.bpePairCounts(docs, topN = 2).collect()
+      .map(_.getAs[String]("pair")).toSeq === Seq("aa", "ab"))
+  }
+
   test("inverted index: true df with capped ascending postings") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
