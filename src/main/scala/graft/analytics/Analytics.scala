@@ -1186,7 +1186,40 @@ object Analytics {
       |  ON start_d <= last_day(month_start) AND month_start <= end_d
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  /** TPC-H Q13 pattern — customer distribution by order count: how
+    * many customers placed exactly k non-urgent orders, INCLUDING the
+    * zero-order bucket (the part a plain inner join silently drops).
+    * Shape: orders pre-aggregate to customer grain FIRST (one shuffle
+    * on o_custkey — the fact table collapses to at most |customer|
+    * rows before any join), then a LEFT join from customer fills the
+    * zeros, and the second aggregation groups on the count itself — a
+    * key space of a few dozen values, so the final shuffle is
+    * negligible at any scale. The pre-aggregate side is what makes
+    * this survive 100 TB: joining raw orders to customer first would
+    * shuffle the full fact table only to aggregate it twice. */
+  def orderCountDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val orderCountDistributionSql: String =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist FROM per_cust
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_order_count_distribution" -> (orderCountDistribution _),
     "q122_order_span_months" -> (orderSpanMonths _),
     "q118_bag_set_ops" -> (bagSetOps _),
     "q117_national_market_share" -> (nationalMarketShare _),
@@ -1227,6 +1260,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q127_order_count_distribution" -> orderCountDistributionSql,
     "q122_order_span_months" -> orderSpanMonthsSql,
     "q118_bag_set_ops" -> bagSetOpsSql,
     "q117_national_market_share" -> nationalMarketShareSql,

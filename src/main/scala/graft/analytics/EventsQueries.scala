@@ -599,7 +599,137 @@ object EventsQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** First-order Markov transition matrix over each user's event
+    * sequence: counts and conditional probabilities of `prev → next`
+    * event-type transitions — the sequence-modeling primitive behind
+    * next-action prediction and behavioral anomaly scoring.
+    *
+    * Shape: ONE shuffle on user_id for the lag window (per-user
+    * sequences are bounded — the partition is a user, never the
+    * corpus), pair counts partial-aggregate map-side, and the row
+    * margin (|event types|² rows) broadcasts back for the
+    * probability division — exact BIGINT counts, one IEEE division.
+    * Ordering ties break on event_id, so the matrix is a pure
+    * function of the table. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("next"),
+        lag(col("event_type"), 1).over(byUser).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val margin = pairs.groupBy(col("prev"))
+      .agg(sum(col("n_transitions")).as("n_from"))
+    pairs.join(broadcast(margin), Seq("prev"))
+      .select(col("prev"), col("next"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from").cast("double"))
+          .as("p"))
+      .orderBy(col("prev"), col("next"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS next,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |pairs AS (SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, next),
+      |margin AS (SELECT prev, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+      |  FROM pairs GROUP BY prev)
+      |SELECT prev, next, n_transitions,
+      |  CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+      |FROM pairs JOIN margin USING (prev)
+      |ORDER BY prev, next""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+  /** Mergeable-sketch SET ALGEBRA: union / intersection / Jaccard of
+    * two user populations (clickers vs purchasers) from their KMV
+    * sketches alone — the q83 estimator plus the property that makes
+    * KMV production-grade: the k smallest hashes of A ∪ B are the k
+    * smallest of (sketch(A) ∪ sketch(B)), so set operations run on
+    * two k-long arrays, never the populations. Intersection is
+    * inclusion–exclusion over the three estimates. Exact twins ride
+    * the same scan for the honesty contract (q109's discipline).
+    *
+    * The estimator is a pure function of the input sets over the
+    * 48-bit md5-prefix hash, so DuckDB reproduces every column
+    * bit-for-bit — an approximate operator with an exact oracle. */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    def est(sketch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(sketch) < k, size(sketch).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(graft.llm.CorpusOps.HashSpace) /
+          element_at(sketch, k).cast("double"))
+    val ev = Tables.events(s, dir)
+    def side(tpe: String, name: String) =
+      ev.filter(col("event_type") === tpe)
+        .agg(graft.functions.Native.kmvSketch(h, k).as(s"kmv_$name"),
+          countDistinct(col("user_id")).as(s"exact_$name"))
+    val both = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("n_types") === 2, 1L).otherwise(0L))
+          .as("exact_intersection"))
+    val merged = slice(array_sort(
+      array_union(col("kmv_click"), col("kmv_purchase"))), 1, k)
+    side("click", "click").crossJoin(broadcast(side("purchase", "purchase")))
+      .crossJoin(broadcast(both))
+      .select(est(col("kmv_click")).as("est_click"),
+        est(col("kmv_purchase")).as("est_purchase"),
+        est(merged).as("est_union"),
+        (est(col("kmv_click")) + est(col("kmv_purchase")) - est(merged))
+          .as("est_intersection"),
+        col("exact_click"), col("exact_purchase"),
+        col("exact_union"), col("exact_intersection"))
+  }
+
+  val kmvSetOpsSql: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |      AS hv
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |ranked AS (SELECT event_type, hv,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM h),
+      |es AS (SELECT event_type,
+      |    CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+      |         ELSE 31.0 * 281474976710656 / CAST(hv AS DOUBLE) END AS est
+      |  FROM ranked WHERE rn = LEAST(nd, 32)),
+      |hu AS (SELECT DISTINCT hv FROM h),
+      |ru AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn,
+      |    COUNT(*) OVER () AS nd FROM hu),
+      |eu AS (SELECT CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+      |         ELSE 31.0 * 281474976710656 / CAST(hv AS DOUBLE) END AS est
+      |  FROM ru WHERE rn = LEAST(nd, 32)),
+      |x1 AS (SELECT
+      |    CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+      |      THEN user_id END) AS BIGINT) AS exact_click,
+      |    CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+      |      THEN user_id END) AS BIGINT) AS exact_purchase,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |x2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+      |    SELECT user_id FROM events WHERE event_type IN ('click', 'purchase')
+      |    GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2)),
+      |c AS (SELECT est FROM es WHERE event_type = 'click'),
+      |p AS (SELECT est FROM es WHERE event_type = 'purchase')
+      |SELECT c.est AS est_click, p.est AS est_purchase, eu.est AS est_union,
+      |  c.est + p.est - eu.est AS est_intersection,
+      |  x1.exact_click, x1.exact_purchase, x1.exact_union,
+      |  x2.exact_intersection
+      |FROM c, p, eu, x1, x2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_markov_transitions" -> (markovTransitions _),
+    "q132_kmv_set_ops" -> (kmvSetOps _),
     "q99_sliding_event_rates" -> (slidingEventRates _),
     "q96_platform_click_pressure" -> (platformClickPressure _),
     "q98_click_pressure_broadcast" -> (platformClickPressureBroadcast _),
@@ -619,6 +749,8 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_markov_transitions" -> markovTransitionsSql,
+    "q132_kmv_set_ops" -> kmvSetOpsSql,
     "q99_sliding_event_rates" -> slidingEventRatesSql,
     "q96_platform_click_pressure" -> platformClickPressureSql,
     "q98_click_pressure_broadcast" -> platformClickPressureSql,

@@ -1389,11 +1389,47 @@ object LlmQueries {
       |  micro / 1000000.0 AS cos_sim
       |FROM ranked WHERE rank <= 6 ORDER BY anchor_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** Bigram-LM held-out scoring ([[NgramLm.scoreHeldOut]]): Laplace
+    * model trained on the doc_id%10≠0 slice, every %10=0 doc scored
+    * by mean scaled probability + unseen-bigram count — CCNet-style
+    * corpus-typicality, kept transcendental-free (exact BIGINT
+    * parts-per-1e9, see [[NgramLm]]'s determinism contract). */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    NgramLm.scoreHeldOut(docs(s, dir))
+
+  val lmScoreSql: String = NgramLm.scoreHeldOutSql()
+
+  // ---------------------------------------------------------------- q129
+  /** PMI collocations ([[NgramLm.pmiCollocations]]): min-support-5
+    * bigrams ranked by the PMI ratio N·c(a,b)/(c(a,·)·c(·,b)) — log
+    * is monotone so the order IS the PMI order, with no `ln` in
+    * either engine's path. */
+  def pmiTop(s: SparkSession, dir: String): DataFrame =
+    NgramLm.pmiCollocations(docs(s, dir))
+
+  val pmiTopSql: String = NgramLm.pmiCollocationsSql()
+
+  // ---------------------------------------------------------------- q130
+  /** Embedding covariance cells ([[Pca.gramCells]]): the full 64-dim
+    * upper triangle from ONE constant-buffer typed-Aggregator pass —
+    * exact micro-unit BIGINT moments, centered covariance as a pinned
+    * double expression. The corpus-scale half of PCA; the d×d eigen
+    * end-game is [[Pca.principalComponents]] (unit-verified — a
+    * DuckDB oracle can't express Jacobi iteration). */
+  def embeddingGram(s: SparkSession, dir: String): DataFrame =
+    Pca.gramCells(emb(s, dir), "embedding", dim = 64)
+
+  val embeddingGramSql: String = Pca.gramCellsSql(dim = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_negative_pairs" -> (negativePairs _),
     "q124_inverted_index" -> (invertedIndexTerms _),
     "q125_bpe_pairs" -> (bpePairs _),
     "q126_hard_negatives" -> (hardNegativePairs _),
+    "q128_lm_score" -> (lmScore _),
+    "q129_pmi_collocations" -> (pmiTop _),
+    "q130_embedding_gram" -> (embeddingGram _),
     "q40_exact_dedup" -> (exactDedup _),
     "q41_normalized_dedup" -> (normalizedDedup _),
     "q42_minhash_lsh_pairs" -> (minhashLshPairs _),
@@ -1447,6 +1483,9 @@ object LlmQueries {
     "q124_inverted_index" -> invertedIndexTermsSql,
     "q125_bpe_pairs" -> bpePairsSql,
     "q126_hard_negatives" -> hardNegativePairsSql,
+    "q128_lm_score" -> lmScoreSql,
+    "q129_pmi_collocations" -> pmiTopSql,
+    "q130_embedding_gram" -> embeddingGramSql,
     "q40_exact_dedup" -> exactDedupSql,
     "q41_normalized_dedup" -> normalizedDedupSql,
     "q42_minhash_lsh_pairs" -> minhashLshPairsSql,

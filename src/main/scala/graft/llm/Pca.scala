@@ -1,0 +1,217 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distributed principal-component analysis over an embedding column.
+  *
+  * The corpus-scale piece — the d×d second-moment (Gram) matrix — is
+  * ONE pass with a constant-size aggregation buffer: a typed
+  * [[Aggregator]] folds every vector's outer product into a packed
+  * upper-triangle `Array[Long]`, partially aggregated map-side, so
+  * the shuffle carries one ~d²/2 buffer per partition regardless of
+  * row count (the 100 TB shape; d is model-sized, 64 here). The
+  * eigen-decomposition then runs on the driver over the d×d result —
+  * a matrix whose size is independent of the data — and projection
+  * back over the corpus is a narrow per-row map with the components
+  * broadcast as literals.
+  *
+  * Determinism contract (q93/q126's discipline): each float
+  * coordinate is snapped ONCE to an exact integer micro-unit
+  * `floor(x·1e6 + 0.5)` — pure IEEE ops every engine agrees on —
+  * and all accumulation is exact BIGINT arithmetic, so the Gram
+  * cells are bit-identical under any partitioning and any engine.
+  * The covariance surfaced per cell performs its lossy double ops
+  * in one pinned expression over those exact integers.
+  */
+object Pca {
+
+  /** Packed upper-triangle outer-product accumulator.
+    *
+    * Buffer layout (`Array[Long]`): positions `[0, T)` hold
+    * `sum(m_i·m_j)` for `i <= j` in row-major triangle order
+    * (`T = d(d+1)/2`), `[T, T+d)` hold the coordinate sums `m_i`,
+    * and `[T+d]` holds the row count — everything an (uncentered or
+    * centered) covariance needs, in one exact buffer. */
+  final class GramAggregator(dim: Int)
+      extends Aggregator[Array[Float], Array[Long], Array[Long]] {
+    private val tri = dim * (dim + 1) / 2
+
+    override def zero: Array[Long] = new Array[Long](tri + dim + 1)
+
+    override def reduce(buf: Array[Long], v: Array[Float]): Array[Long] = {
+      require(v != null && v.length == dim,
+        s"embedding dim ${if (v == null) "null" else v.length} != $dim")
+      val m = new Array[Long](dim)
+      var i = 0
+      while (i < dim) {
+        m(i) = math.floor(v(i).toDouble * 1e6 + 0.5).toLong
+        i += 1
+      }
+      var k = 0
+      i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { buf(k) += m(i) * m(j); j += 1; k += 1 }
+        buf(tri + i) += m(i)
+        i += 1
+      }
+      buf(tri + dim) += 1L
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Exact Gram/covariance cells of `embCol` (arrays of float, all
+    * length `dim`): one row per upper-triangle cell `(i, j)`,
+    * 1-based, with the exact micro-unit moment sums and the centered
+    * covariance `E[xy] − E[x]E[y]` (in original units: micro² = 1e12
+    * divides once at the end). The one-row aggregate explodes against
+    * a broadcast (dim²-bounded) index table — no collect. */
+  def gramCells(items: DataFrame, embCol: String, dim: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val tri = dim * (dim + 1) / 2
+    val gram = udaf(new GramAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    // linear triangle index k -> (i, j), both 1-based
+    val idx = (for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield (i * dim - i * (i - 1) / 2 + (j - i), i + 1, j + 1))
+      .toDF("k", "i", "j")
+    items.agg(gram(col(embCol).cast("array<float>")).as("buf"))
+      .select(posexplode(slice(col("buf"), 1, tri)).as(Seq("k", "gram_micro")),
+        col("buf"))
+      .join(broadcast(idx), Seq("k"))
+      .select(col("i"), col("j"),
+        element_at(col("buf"), tri + dim + 1).as("n"),
+        col("gram_micro"),
+        element_at(col("buf"), col("i") + lit(tri)).as("s_i"),
+        element_at(col("buf"), col("j") + lit(tri)).as("s_j"))
+      .select(col("i"), col("j"), col("n"), col("gram_micro"),
+        ((col("gram_micro").cast("double") / col("n").cast("double")
+          - (col("s_i").cast("double") / col("n").cast("double"))
+            * (col("s_j").cast("double") / col("n").cast("double")))
+          / lit(1e12)).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Oracle twin of [[gramCells]] (DuckDB dialect). */
+  def gramCellsSql(dim: Int): String =
+    s"""WITH m AS (
+      |  SELECT list_transform(embedding,
+      |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mv
+      |  FROM embeddings),
+      |idx AS (SELECT ii.g AS i, jj.g AS j
+      |  FROM generate_series(1, $dim) ii(g), generate_series(1, $dim) jj(g)
+      |  WHERE jj.g >= ii.g),
+      |cells AS (
+      |  SELECT idx.i AS i, idx.j AS j, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(mv[idx.i] * mv[idx.j]) AS BIGINT) AS gram_micro,
+      |    CAST(SUM(mv[idx.i]) AS BIGINT) AS s_i,
+      |    CAST(SUM(mv[idx.j]) AS BIGINT) AS s_j
+      |  FROM m, idx GROUP BY idx.i, idx.j)
+      |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, n, gram_micro,
+      |  (CAST(gram_micro AS DOUBLE) / CAST(n AS DOUBLE)
+      |   - (CAST(s_i AS DOUBLE) / CAST(n AS DOUBLE))
+      |     * (CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000000000.0
+      |  AS cov
+      |FROM cells ORDER BY i, j""".stripMargin
+
+  /** Symmetric covariance matrix from [[gramCells]] output — a
+    * d²-bounded (model-sized, data-independent) driver materialization
+    * feeding the eigensolver. */
+  def covMatrix(cells: DataFrame, dim: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](dim, dim)
+    cells.select("i", "j", "cov").collect().foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
+      val c = r.getDouble(2)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    m
+  }
+
+  /** Top-`k` eigenpairs of a symmetric matrix by cyclic Jacobi
+    * rotations — the right tool at d ≤ a few hundred (the matrix is
+    * model-sized; the DATA never touches this code path). Returns
+    * `(eigenvalue, eigenvector)` sorted by descending eigenvalue,
+    * each vector sign-normalized so its largest-magnitude component
+    * is positive (the conventional fix for the ±v ambiguity). */
+  def principalComponents(a: Array[Array[Double]], k: Int)
+      : Seq[(Double, Array[Double])] = {
+    val d = a.length
+    val m = Array.tabulate(d, d)((i, j) => a(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-14 && sweep < 100) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off += m(p)(q) * m(p)(q)
+        if (math.abs(m(p)(q)) > 1e-18) {
+          val theta = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          var i = 0
+          while (i < d) {
+            val mip = m(i)(p); val miq = m(i)(q)
+            m(i)(p) = c * mip - s * miq
+            m(i)(q) = s * mip + c * miq
+            i += 1
+          }
+          i = 0
+          while (i < d) {
+            val mpi = m(p)(i); val mqi = m(q)(i)
+            m(p)(i) = c * mpi - s * mqi
+            m(q)(i) = s * mpi + c * mqi
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+            i += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    (0 until d).map { c =>
+      val vec = Array.tabulate(d)(r => v(r)(c))
+      val maxAbs = vec.indices.maxBy(i => math.abs(vec(i)))
+      (m(c)(c), if (vec(maxAbs) < 0) vec.map(-_) else vec)
+    }.sortBy(-_._1).take(k)
+  }
+
+  /** Project every row's embedding onto `comps` (from
+    * [[principalComponents]]): a narrow per-row map — components ride
+    * into the plan as literal arrays (broadcast-by-construction),
+    * output columns `pc1..pck`. Mean-centering uses the model's own
+    * per-dimension means so projections are centered exactly like the
+    * covariance was. */
+  def project(items: DataFrame, idCol: String, embCol: String,
+              means: Array[Double], comps: Seq[Array[Double]]): DataFrame = {
+    val centered = zip_with(col(embCol).cast("array<double>"),
+      lit(means), (x, mu) => x - mu)
+    comps.zipWithIndex.foldLeft(
+      items.select(col(idCol), centered.as("c0"))) { case (df, (w, i)) =>
+        df.withColumn(s"pc${i + 1}",
+          aggregate(zip_with(col("c0"), lit(w), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x))
+    }.drop("c0")
+  }
+}

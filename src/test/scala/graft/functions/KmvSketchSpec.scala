@@ -68,6 +68,18 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(math.abs(est - n) / n < 0.5, s"estimate $est for true $n")
   }
 
+  test("mergeable: k-smallest of two sketches == sketch of the union") {
+    // the property q132's set algebra stands on — set operations run
+    // on two k-long arrays, never the populations
+    val k = 16
+    val a = Seq.tabulate(3000)(i => ((i * 2654435761L) % 50000) + 1)
+    val b = Seq.tabulate(3000)(i => ((i * 40503L + 13) % 50000) + 1)
+    val sa = sketch(a, k, parts = 7)
+    val sb = sketch(b, k, parts = 5)
+    val mergedFromSketches = (sa ++ sb).distinct.sorted.take(k)
+    assert(mergedFromSketches == sketch(a ++ b, k, parts = 11))
+  }
+
   test("k < 2 is rejected") {
     intercept[IllegalArgumentException] {
       Native.kmvSketch(lit(1L), 1)
