@@ -1422,6 +1422,39 @@ object LlmQueries {
 
   val embeddingGramSql: String = Pca.gramCellsSql(dim = 64)
 
+  // ---------------------------------------------------------------- q133
+  /** Per-dimension z-score standardization ([[Pca.standardize]]):
+    * exact-moment means/sds from one Gram pass, then a narrow
+    * `zip_with` rewrite — surfaced exploded to (vec_id, dim, z) so
+    * the oracle checks EVERY standardized element bit-exactly. */
+  def standardizedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Pca.standardize(emb(s, dir), "vec_id", "embedding", dim = 64)
+      .select(col("vec_id"), posexplode(col("z")).as(Seq("pos", "z")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"), col("z"))
+      .orderBy(col("vec_id"), col("dim"))
+
+  val standardizedEmbeddingsSql: String =
+    """WITH m AS (SELECT vec_id, list_transform(embedding,
+      |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mv
+      |  FROM embeddings),
+      |stats AS (SELECT ii.g AS i, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(mv[ii.g]) AS BIGINT) AS s,
+      |    CAST(SUM(mv[ii.g] * mv[ii.g]) AS BIGINT) AS g2
+      |  FROM m, generate_series(1, 64) ii(g) GROUP BY ii.g),
+      |st2 AS (SELECT i,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mu,
+      |    sqrt((CAST(g2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      / 1000000000000.0) AS sd
+      |  FROM stats),
+      |packed AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds
+      |  FROM st2)
+      |SELECT vec_id, CAST(u.g AS INTEGER) AS dim,
+      |  (CAST(mv[u.g] AS DOUBLE) / 1000000.0 - mus[u.g]) / sds[u.g] AS z
+      |FROM m, packed, generate_series(1, 64) u(g)
+      |ORDER BY vec_id, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_negative_pairs" -> (negativePairs _),
     "q124_inverted_index" -> (invertedIndexTerms _),
@@ -1430,6 +1463,7 @@ object LlmQueries {
     "q128_lm_score" -> (lmScore _),
     "q129_pmi_collocations" -> (pmiTop _),
     "q130_embedding_gram" -> (embeddingGram _),
+    "q133_standardized_embeddings" -> (standardizedEmbeddings _),
     "q40_exact_dedup" -> (exactDedup _),
     "q41_normalized_dedup" -> (normalizedDedup _),
     "q42_minhash_lsh_pairs" -> (minhashLshPairs _),
@@ -1486,6 +1520,7 @@ object LlmQueries {
     "q128_lm_score" -> lmScoreSql,
     "q129_pmi_collocations" -> pmiTopSql,
     "q130_embedding_gram" -> embeddingGramSql,
+    "q133_standardized_embeddings" -> standardizedEmbeddingsSql,
     "q40_exact_dedup" -> exactDedupSql,
     "q41_normalized_dedup" -> normalizedDedupSql,
     "q42_minhash_lsh_pairs" -> minhashLshPairsSql,

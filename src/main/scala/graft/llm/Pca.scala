@@ -102,10 +102,33 @@ object Pca {
         element_at(col("buf"), col("i") + lit(tri)).as("s_i"),
         element_at(col("buf"), col("j") + lit(tri)).as("s_j"))
       .select(col("i"), col("j"), col("n"), col("gram_micro"),
-        ((col("gram_micro").cast("double") / col("n").cast("double")
-          - (col("s_i").cast("double") / col("n").cast("double"))
-            * (col("s_j").cast("double") / col("n").cast("double")))
-          / lit(1e12)).as("cov"))
+        col("s_i"), col("s_j"), covExpr.as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** The ONE lossy expression of the whole pipeline, pinned so every
+    * producer ([[gramCells]], [[mergeCells]]) and every engine
+    * computes the identical doubles from the exact integer moments. */
+  private def covExpr: org.apache.spark.sql.Column =
+    (col("gram_micro").cast("double") / col("n").cast("double")
+      - (col("s_i").cast("double") / col("n").cast("double"))
+        * (col("s_j").cast("double") / col("n").cast("double"))) / lit(1e12)
+
+  /** Incremental maintenance: fold a new batch's cells into stored
+    * cells by SUMMING the exact integer moments per `(i, j)` and
+    * re-deriving `cov` with the same pinned expression — the result
+    * is bit-identical to [[gramCells]] over the concatenated data
+    * (the moments are sums; sums merge). A daily 100 TB embedding
+    * refresh updates a d²/2-row table instead of re-scanning history. */
+  def mergeCells(prev: DataFrame, delta: DataFrame): DataFrame = {
+    val cols = ("i" +: "j" +: Seq("n", "gram_micro", "s_i", "s_j")).map(col)
+    prev.select(cols: _*)
+      .unionByName(delta.select(cols: _*))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("gram_micro")).as("gram_micro"),
+        sum(col("s_i")).as("s_i"), sum(col("s_j")).as("s_j"))
+      .select(col("i"), col("j"), col("n"), col("gram_micro"),
+        col("s_i"), col("s_j"), covExpr.as("cov"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -125,6 +148,7 @@ object Pca {
       |    CAST(SUM(mv[idx.j]) AS BIGINT) AS s_j
       |  FROM m, idx GROUP BY idx.i, idx.j)
       |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, n, gram_micro,
+      |  s_i, s_j,
       |  (CAST(gram_micro AS DOUBLE) / CAST(n AS DOUBLE)
       |   - (CAST(s_i AS DOUBLE) / CAST(n AS DOUBLE))
       |     * (CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000000000.0
@@ -195,6 +219,36 @@ object Pca {
       val maxAbs = vec.indices.maxBy(i => math.abs(vec(i)))
       (m(c)(c), if (vec(maxAbs) < 0) vec.map(-_) else vec)
     }.sortBy(-_._1).take(k)
+  }
+
+  /** Per-dimension z-score standardization — the feature-scaling pass
+    * every embedding pipeline runs before distance-based training.
+    * One [[gramCells]] pass supplies the exact integer moments; the
+    * diagonal (a dim-bounded MODEL parameter, fetched like centroids)
+    * becomes literal mean/sd arrays; the rewrite itself is a narrow
+    * per-row `zip_with` — no shuffle touches the corpus again.
+    *
+    * Every double op is pinned: `mean = (s/n)/1e6`,
+    * `sd = sqrt(cov_ii)` (the [[covExpr]] diagonal), and
+    * `z = (floor(x·1e6+0.5)/1e6 − mean)/sd` — identical IEEE
+    * sequences in any engine, so standardized vectors are
+    * bit-reproducible. Zero-variance dimensions yield ±Infinity/NaN
+    * by IEEE division, faithfully in both engines. */
+  def standardize(items: DataFrame, idCol: String, embCol: String,
+                  dim: Int): DataFrame = {
+    val diag = gramCells(items, embCol, dim)
+      .filter(col("i") === col("j"))
+      .select(col("i"), col("n"), col("s_i"), col("cov"))
+      .collect().sortBy(_.getAs[Int]("i"))
+    require(diag.length == dim, s"expected $dim diagonal cells, got ${diag.length}")
+    val means = diag.map(r =>
+      r.getAs[Long]("s_i").toDouble / r.getAs[Long]("n").toDouble / 1e6)
+    val sds = diag.map(r => math.sqrt(r.getAs[Double]("cov")))
+    val snapped = transform(col(embCol).cast("array<double>"),
+      x => floor(x * lit(1e6) + lit(0.5)) / lit(1e6))
+    items.select(col(idCol),
+      zip_with(zip_with(snapped, lit(means), (v, mu) => v - mu),
+        lit(sds), (d, s) => d / s).as("z"))
   }
 
   /** Project every row's embedding onto `comps` (from

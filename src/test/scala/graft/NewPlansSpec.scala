@@ -30,4 +30,33 @@ class NewPlansSpec extends AnyFunSuite {
     assert(!p.contains("expand"), p.take(2000))
     assert(p.contains("topk_by"), p.take(2000))
   }
+
+  test("q126: broadcast pool, bounded-heap ranking, no window sort") {
+    val p = plan("q126_hard_negatives")
+    assert(p.contains("broadcast"), p.take(2000))
+    assert(p.contains("topk_by"), p.take(2000))
+    assert(!p.contains("window"), p.take(2000))
+  }
+
+  test("q125/q129: top-N plans as TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("q125_bpe_pairs", "q129_pmi_collocations")) {
+      val p = plan(q)
+      assert(p.contains("takeorderedandproject"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("q130: one ObjectHashAggregate pass with map-side partials, idx broadcast") {
+    val p = plan("q130_embedding_gram")
+    assert(p.contains("objecthashaggregate"), p.take(2000))
+    assert(p.contains("partial"), p.take(2000))
+    assert(p.contains("broadcast"), p.take(2000))
+    // the corpus is read once: a single parquet scan of embeddings
+    assert("filescan parquet|batchscan|scan parquet".r
+      .findAllMatchIn(p).size <= 2, p.take(2000))
+  }
+
+  test("q131: margin joined broadcast; single window over user partitions") {
+    val p = plan("q131_markov_transitions")
+    assert(p.contains("broadcasthashjoin"), p.take(2000))
+  }
 }

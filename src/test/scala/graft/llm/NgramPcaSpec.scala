@@ -110,6 +110,47 @@ class NgramPcaSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("mergeCells: prev + delta == gramCells over the concatenation, bit-exact") {
+    val a = randVecs(35, 6, seed = 23L)
+    val b = randVecs(25, 6, seed = 29L)
+    def df(vs: Seq[Array[Float]], off: Int) = vs.zipWithIndex
+      .map { case (v, i) => ((i + off).toLong, v) }.toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Int]("i"),
+      r.getAs[Int]("j"), r.getAs[Long]("n"), r.getAs[Long]("gram_micro"),
+      r.getAs[Long]("s_i"), r.getAs[Long]("s_j"), r.getAs[Double]("cov"))
+    val merged = Pca.mergeCells(
+      Pca.gramCells(df(a, 0), "embedding", 6),
+      Pca.gramCells(df(b, 1000), "embedding", 6)).collect().map(key).toSeq
+    val full = Pca.gramCells(df(a ++ b, 0), "embedding", 6)
+      .collect().map(key).toSeq
+    // vec ids differ between the two paths but moments must not
+    assert(merged === full)
+  }
+
+  test("standardize: z-scores match hand-computed moments; zero mean, unit sd") {
+    val vecs = randVecs(80, 3, seed = 31L)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val rows = Pca.standardize(df, "vec_id", "embedding", 3).collect()
+    val micro = vecs.map(_.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val n = vecs.length.toDouble
+    (0 until 3).foreach { d =>
+      val mean = micro.map(_(d)).sum.toDouble / n / 1e6
+      val sd = math.sqrt((micro.map(m => m(d) * m(d)).sum.toDouble / n
+        - (micro.map(_(d)).sum.toDouble / n) * (micro.map(_(d)).sum.toDouble / n)) / 1e12)
+      val zs = rows.map(r =>
+        (r.getAs[Long]("vec_id"), r.getSeq[Double](1)(d))).toMap
+      vecs.indices.foreach { i =>
+        val expect = (micro(i)(d).toDouble / 1e6 - mean) / sd
+        assert(zs(i.toLong) === expect, s"vec $i dim $d")
+      }
+      // the standardized column has ~zero mean and ~unit variance
+      val all = zs.values.toSeq
+      assert(math.abs(all.sum / n) < 1e-9)
+      assert(math.abs(all.map(z => z * z).sum / n - 1.0) < 1e-6)
+    }
+  }
+
   test("eigen: recovers the dominant axis of an anisotropic cloud") {
     val rnd = new scala.util.Random(3L)
     // variance 9 along axis 0, ~0.01 elsewhere; mean offset to exercise
