@@ -279,19 +279,30 @@ object EventsQueries {
     * from a sort — which makes an APPROXIMATE operator
     * oracle-checkable (HLL-based approx_count_distinct is not).
     * One shuffle on event_type; both aggregates share it. */
+  /** 48-bit md5-prefix hash of `user_id` — the KMV input both q83 and
+    * q132 sketch over (and both oracles reproduce from SQL md5). */
+  private def userHash48: org.apache.spark.sql.Column =
+    conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+
+  /** The KMV estimator `(k-1)·H/h_k` with the exact fewer-than-k
+    * branch — ONE definition so q83 and q132's set algebra can never
+    * drift on the bit-reproducibility contract. */
+  private def kmvEstimate(sketch: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(graft.llm.CorpusOps.HashSpace) /
+        element_at(sketch, k).cast("double"))
+
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val k = 32
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
-      .cast("long")
     Tables.events(s, dir)
       .groupBy(col("event_type"))
-      .agg(graft.functions.Native.kmvSketch(h, k).as("kmv"),
+      .agg(graft.functions.Native.kmvSketch(userHash48, k).as("kmv"),
         countDistinct(col("user_id")).as("exact_distinct"))
       .select(col("event_type"),
         size(col("kmv")).cast("bigint").as("n_hashes"),
-        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(graft.llm.CorpusOps.HashSpace) /
-            element_at(col("kmv"), k).cast("double")).as("est_distinct"),
+        kmvEstimate(col("kmv"), k).as("est_distinct"),
         col("exact_distinct"))
       .orderBy("event_type")
   }
@@ -658,24 +669,28 @@ object EventsQueries {
     * The estimator is a pure function of the input sets over the
     * 48-bit md5-prefix hash, so DuckDB reproduces every column
     * bit-for-bit — an approximate operator with an exact oracle. */
-  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame =
+    kmvSetOpsOf(Tables.events(s, dir))
+
+  /** [[kmvSetOps]] over an explicit events frame — unit tests inject
+    * degenerate populations (an absent event type) the fixtures never
+    * produce. */
+  private[analytics] def kmvSetOpsOf(ev: DataFrame): DataFrame = {
     val k = 32
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
-      .cast("long")
     def est(sketch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(size(sketch) < k, size(sketch).cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(graft.llm.CorpusOps.HashSpace) /
-          element_at(sketch, k).cast("double"))
-    val ev = Tables.events(s, dir)
+      kmvEstimate(sketch, k)
     def side(tpe: String, name: String) =
       ev.filter(col("event_type") === tpe)
-        .agg(graft.functions.Native.kmvSketch(h, k).as(s"kmv_$name"),
+        .agg(graft.functions.Native.kmvSketch(userHash48, k).as(s"kmv_$name"),
           countDistinct(col("user_id")).as(s"exact_$name"))
     val both = ev.filter(col("event_type").isin("click", "purchase"))
       .groupBy(col("user_id"))
       .agg(countDistinct(col("event_type")).as("n_types"))
       .agg(count(lit(1)).as("exact_union"),
-        sum(when(col("n_types") === 2, 1L).otherwise(0L))
+        // coalesce: sum() over ZERO users is null, and the oracle's
+        // COUNT(*)-over-empty form yields 0 — keep the engines agreed
+        // even when neither event type occurs at all
+        coalesce(sum(when(col("n_types") === 2, 1L).otherwise(0L)), lit(0L))
           .as("exact_intersection"))
     val merged = slice(array_sort(
       array_union(col("kmv_click"), col("kmv_purchase"))), 1, k)
@@ -719,13 +734,19 @@ object EventsQueries {
       |x2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
       |    SELECT user_id FROM events WHERE event_type IN ('click', 'purchase')
       |    GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2)),
-      |c AS (SELECT est FROM es WHERE event_type = 'click'),
-      |p AS (SELECT est FROM es WHERE event_type = 'purchase')
-      |SELECT c.est AS est_click, p.est AS est_purchase, eu.est AS est_union,
-      |  c.est + p.est - eu.est AS est_intersection,
+      |-- scalar-subquery + COALESCE so an absent event type (empty es/eu
+      |-- branch) yields est 0.0 — matching Spark's empty-sketch branch —
+      |-- instead of zeroing the whole result via an empty cross join
+      |c AS (SELECT COALESCE((SELECT est FROM es
+      |  WHERE event_type = 'click'), 0.0) AS est),
+      |p AS (SELECT COALESCE((SELECT est FROM es
+      |  WHERE event_type = 'purchase'), 0.0) AS est),
+      |u AS (SELECT COALESCE((SELECT est FROM eu), 0.0) AS est)
+      |SELECT c.est AS est_click, p.est AS est_purchase, u.est AS est_union,
+      |  c.est + p.est - u.est AS est_intersection,
       |  x1.exact_click, x1.exact_purchase, x1.exact_union,
       |  x2.exact_intersection
-      |FROM c, p, eu, x1, x2""".stripMargin
+      |FROM c, p, u, x1, x2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_markov_transitions" -> (markovTransitions _),

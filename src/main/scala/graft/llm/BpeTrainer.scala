@@ -32,6 +32,15 @@ object BpeTrainer {
     * segmentations (`w`, `freq`, `syms`). */
   final case class BpeModel(merges: Seq[(String, String)], words: DataFrame)
 
+  /** Character segmentation of a word — the seed step of training AND
+    * the OOV fallback of [[encode]], shared so the two can never
+    * drift. `length(w) >= 1` is load-bearing: Spark's `sequence(1, 0)`
+    * counts DOWN (default step -1), so an unguarded empty string would
+    * fabricate two empty-string tokens; callers must filter empty
+    * words first (consecutive spaces in `split` output produce them). */
+  private val charSymsExpr: String =
+    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+
   /** Greedy left-to-right single-pair merge over a symbol array, as a
     * Catalyst higher-order-function expression: fold the array with a
     * (done, pending) accumulator, gluing `pending == a && x == b`
@@ -64,9 +73,7 @@ object BpeTrainer {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("w"), col("freq"), expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        .as("syms"))
+      .select(col("w"), col("freq"), expr(charSymsExpr).as("syms"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
@@ -100,17 +107,20 @@ object BpeTrainer {
     * final segmentation (the word table is the model — vocabulary-
     * sized, so the join broadcasts at any corpus scale); words never
     * seen in training fall back to characters. Returns one row per
-    * doc with its BPE token array and count. */
+    * doc with its BPE token array and count — EVERY doc, including
+    * all-whitespace ones (empty token array), per-doc accountability
+    * like the dedup ladder. */
   def encode(docs: DataFrame, model: BpeModel): DataFrame = {
     val seg = model.words.select(col("w"), col("syms"))
-    docs
+    val encoded = docs
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("wpos", "w")))
+      // empty words (consecutive/leading/trailing spaces) carry no
+      // tokens — and would trip charSymsExpr's sequence guard
+      .filter(length(col("w")) >= 1)
       .join(broadcast(seg), Seq("w"), "left")
       .select(col("doc_id"), col("wpos"),
-        coalesce(col("syms"), expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-          .as("toks"))
+        coalesce(col("syms"), expr(charSymsExpr)).as("toks"))
       .groupBy(col("doc_id"))
       // per-group state is one document's words — doc-bounded, the
       // same envelope as reading the document itself
@@ -118,6 +128,11 @@ object BpeTrainer {
         .as("ordered"))
       .select(col("doc_id"),
         flatten(transform(col("ordered"), e => e.getField("toks")))
+          .as("tokens"))
+    docs.select(col("doc_id"))
+      .join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), expr("CAST(array() AS ARRAY<STRING>)"))
           .as("tokens"))
       .select(col("doc_id"), col("tokens"),
         size(col("tokens")).cast("bigint").as("n_tokens"))

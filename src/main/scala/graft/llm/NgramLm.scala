@@ -73,7 +73,12 @@ object NgramLm {
     val train = bg.filter(!isHeld)
     val cAb = train.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c_ab"))
-    val cA = train.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    // c(a,·) is cAb's margin — summing the count table instead of
+    // re-counting raw instances keeps ONE corpus-scale explode (the
+    // (a,b) exchange is an identical subtree, so ReuseExchange runs
+    // it once); a second raw aggregation would shuffle the corpus
+    // again on a different key
+    val cA = cAb.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
     val vocab = docs.filter(!(col("doc_id") % holdMod === holdRem))
       .select(explode(split(col("text"), " ")).as("w"))
       .agg(countDistinct(col("w")).as("vocab"))
@@ -107,8 +112,8 @@ object NgramLm {
       |    FROM toks WHERE len(w) >= 2)),
       |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM flat
       |  WHERE doc_id % $holdMod <> $holdRem GROUP BY a, b),
-      |ca AS (SELECT a, COUNT(*) AS c_a FROM flat
-      |  WHERE doc_id % $holdMod <> $holdRem GROUP BY a),
+      |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
+      |  FROM cab GROUP BY a),
       |voc AS (SELECT COUNT(DISTINCT u) AS vocab FROM
       |  (SELECT unnest(w) AS u FROM toks WHERE doc_id % $holdMod <> $holdRem)),
       |held AS (
@@ -140,9 +145,12 @@ object NgramLm {
                       topN: Int = 30): DataFrame = {
     val bg = bigrams(docs)
     val cAb = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-    val cA = bg.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
-    val cB = bg.groupBy(col("b")).agg(count(lit(1)).as("c_b"))
-    val n = bg.agg(count(lit(1)).as("n_bigrams"))
+    // margins and N all fold the vocabulary-sized count table — the
+    // corpus-scale explode + (a,b) shuffle happens ONCE (identical
+    // subtree, reused exchange), exactly as the scaladoc promises
+    val cA = cAb.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val cB = cAb.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
+    val n = cAb.agg(sum(col("c_ab")).as("n_bigrams"))
     cAb.filter(col("c_ab") >= minCount)
       .join(cA, Seq("a"))
       .join(cB, Seq("b"))
@@ -166,9 +174,9 @@ object NgramLm {
       |    FROM toks WHERE len(w) >= 2)),
       |cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
       |  FROM flat GROUP BY a, b),
-      |ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM flat GROUP BY a),
-      |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_b FROM flat GROUP BY b),
-      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM flat)
+      |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+      |cb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY b),
+      |n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bigrams FROM cab)
       |SELECT a, b, c_ab, c_a, c_b,
       |  CAST(n_bigrams AS DOUBLE) * CAST(c_ab AS DOUBLE) /
       |    (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) AS pmi_ratio

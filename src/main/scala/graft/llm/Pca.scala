@@ -33,8 +33,19 @@ object Pca {
     * `sum(m_i·m_j)` for `i <= j` in row-major triangle order
     * (`T = d(d+1)/2`), `[T, T+d)` hold the coordinate sums `m_i`,
     * and `[T+d]` holds the row count — everything an (uncentered or
-    * centered) covariance needs, in one exact buffer. */
-  final class GramAggregator(dim: Int)
+    * centered) covariance needs, in one exact buffer.
+    *
+    * Range envelope: the BIGINT contract holds while
+    * `rows · (microScale · max|x|)² < 2⁶³` — at the default 1e6
+    * scale and unit-magnitude embeddings that is ~9e6 rows per
+    * AGGREGATED BATCH. Beyond it, every add is `Math.addExact`, so
+    * overflow FAILS FAST (the DuckDB oracle errors on the same cast
+    * — the engines can disagree silently only if one wraps). The
+    * 100 TB path is per-shard [[gramCells]] batches within the
+    * envelope folded through [[mergeCells]], or a coarser
+    * `microScale` (1e3 buys 1e6× more rows; the snap stays a pure
+    * function both engines compute identically). */
+  final class GramAggregator(dim: Int, microScale: Long = 1000000L)
       extends Aggregator[Array[Float], Array[Long], Array[Long]] {
     private val tri = dim * (dim + 1) / 2
 
@@ -46,15 +57,18 @@ object Pca {
       val m = new Array[Long](dim)
       var i = 0
       while (i < dim) {
-        m(i) = math.floor(v(i).toDouble * 1e6 + 0.5).toLong
+        m(i) = math.floor(v(i).toDouble * microScale.toDouble + 0.5).toLong
         i += 1
       }
       var k = 0
       i = 0
       while (i < dim) {
         var j = i
-        while (j < dim) { buf(k) += m(i) * m(j); j += 1; k += 1 }
-        buf(tri + i) += m(i)
+        while (j < dim) {
+          buf(k) = Math.addExact(buf(k), Math.multiplyExact(m(i), m(j)))
+          j += 1; k += 1
+        }
+        buf(tri + i) = Math.addExact(buf(tri + i), m(i))
         i += 1
       }
       buf(tri + dim) += 1L
@@ -63,7 +77,7 @@ object Pca {
 
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < a.length) { a(i) += b(i); i += 1 }
+      while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
       a
     }
 
@@ -80,11 +94,12 @@ object Pca {
     * covariance `E[xy] − E[x]E[y]` (in original units: micro² = 1e12
     * divides once at the end). The one-row aggregate explodes against
     * a broadcast (dim²-bounded) index table — no collect. */
-  def gramCells(items: DataFrame, embCol: String, dim: Int): DataFrame = {
+  def gramCells(items: DataFrame, embCol: String, dim: Int,
+                microScale: Long = 1000000L): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
     val tri = dim * (dim + 1) / 2
-    val gram = udaf(new GramAggregator(dim),
+    val gram = udaf(new GramAggregator(dim, microScale),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
     // linear triangle index k -> (i, j), both 1-based
     val idx = (for {
@@ -102,17 +117,18 @@ object Pca {
         element_at(col("buf"), col("i") + lit(tri)).as("s_i"),
         element_at(col("buf"), col("j") + lit(tri)).as("s_j"))
       .select(col("i"), col("j"), col("n"), col("gram_micro"),
-        col("s_i"), col("s_j"), covExpr.as("cov"))
+        col("s_i"), col("s_j"), covExpr(microScale).as("cov"))
       .orderBy(col("i"), col("j"))
   }
 
   /** The ONE lossy expression of the whole pipeline, pinned so every
     * producer ([[gramCells]], [[mergeCells]]) and every engine
     * computes the identical doubles from the exact integer moments. */
-  private def covExpr: org.apache.spark.sql.Column =
+  private def covExpr(microScale: Long): org.apache.spark.sql.Column =
     (col("gram_micro").cast("double") / col("n").cast("double")
       - (col("s_i").cast("double") / col("n").cast("double"))
-        * (col("s_j").cast("double") / col("n").cast("double"))) / lit(1e12)
+        * (col("s_j").cast("double") / col("n").cast("double"))) /
+      lit(microScale.toDouble * microScale.toDouble)
 
   /** Incremental maintenance: fold a new batch's cells into stored
     * cells by SUMMING the exact integer moments per `(i, j)` and
@@ -120,7 +136,8 @@ object Pca {
     * is bit-identical to [[gramCells]] over the concatenated data
     * (the moments are sums; sums merge). A daily 100 TB embedding
     * refresh updates a d²/2-row table instead of re-scanning history. */
-  def mergeCells(prev: DataFrame, delta: DataFrame): DataFrame = {
+  def mergeCells(prev: DataFrame, delta: DataFrame,
+                 microScale: Long = 1000000L): DataFrame = {
     val cols = ("i" +: "j" +: Seq("n", "gram_micro", "s_i", "s_j")).map(col)
     prev.select(cols: _*)
       .unionByName(delta.select(cols: _*))
@@ -128,15 +145,15 @@ object Pca {
       .agg(sum(col("n")).as("n"), sum(col("gram_micro")).as("gram_micro"),
         sum(col("s_i")).as("s_i"), sum(col("s_j")).as("s_j"))
       .select(col("i"), col("j"), col("n"), col("gram_micro"),
-        col("s_i"), col("s_j"), covExpr.as("cov"))
+        col("s_i"), col("s_j"), covExpr(microScale).as("cov"))
       .orderBy(col("i"), col("j"))
   }
 
   /** Oracle twin of [[gramCells]] (DuckDB dialect). */
-  def gramCellsSql(dim: Int): String =
+  def gramCellsSql(dim: Int, microScale: Long = 1000000L): String =
     s"""WITH m AS (
       |  SELECT list_transform(embedding,
-      |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mv
+      |    e -> CAST(floor(CAST(e AS DOUBLE) * $microScale + 0.5) AS BIGINT)) AS mv
       |  FROM embeddings),
       |idx AS (SELECT ii.g AS i, jj.g AS j
       |  FROM generate_series(1, $dim) ii(g), generate_series(1, $dim) jj(g)
@@ -151,8 +168,8 @@ object Pca {
       |  s_i, s_j,
       |  (CAST(gram_micro AS DOUBLE) / CAST(n AS DOUBLE)
       |   - (CAST(s_i AS DOUBLE) / CAST(n AS DOUBLE))
-      |     * (CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000000000.0
-      |  AS cov
+      |     * (CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE)))
+      |  / ${microScale * microScale}.0 AS cov
       |FROM cells ORDER BY i, j""".stripMargin
 
   /** Symmetric covariance matrix from [[gramCells]] output — a

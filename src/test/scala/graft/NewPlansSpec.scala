@@ -58,5 +58,12 @@ class NewPlansSpec extends AnyFunSuite {
   test("q131: margin joined broadcast; single window over user partitions") {
     val p = plan("q131_markov_transitions")
     assert(p.contains("broadcasthashjoin"), p.take(2000))
+    assert(!p.contains("sortmergejoin"), p.take(2000))
+    // the lag window partitions by user_id and nothing else windows —
+    // (the subtree prints twice: the margin side shares it, and the
+    // identical exchange is deduped at runtime by ReuseExchange)
+    val windows = p.linesIterator.filter(_.contains("window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("[user_id")),
+      windows.mkString("\n"))
   }
 }
