@@ -748,9 +748,87 @@ object EventsQueries {
       |  x2.exact_intersection
       |FROM c, p, u, x1, x2""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  /** LINEAR multi-touch attribution — q84's last-touch dual: every
+    * same-user click in the 30 minutes before a purchase shares the
+    * purchase value EQUALLY, rolled up to click-hour grain.
+    *
+    * Exactness: the purchase value becomes integer micro-dollars
+    * (DECIMAL(18,2)·1e6 — exact), each click gets `v div n`, and the
+    * `v mod n` remainder goes to the most recent clicks (Hamilton
+    * apportionment, q92's discipline; ties broken by event_id) — so
+    * credits CONSERVE the purchase value bit-exactly and every sum is
+    * integer arithmetic; the one division into dollars happens at
+    * output. Shape: user-key equi join with the range predicate as a
+    * residual (q84's scale argument — per-purchase click sets are
+    * bounded by the 30-minute window), one window per purchase for
+    * the share ranks, final hour-grain aggregate.
+    *
+    * Division semantics: purchase values are non-negative, where
+    * Spark's `DIV` (truncate) and DuckDB's `//` (floor) agree; a
+    * signed-ledger variant (refunds) would have to align the two
+    * floor conventions first. */
+  def linearAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"),
+        (col("value").cast("decimal(18,2)") * 1000000)
+          .cast("bigint").as("v_micro"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val byPurchase = Window.partitionBy(col("p_id"))
+    val recency = Window.partitionBy(col("p_id"))
+      .orderBy(col("c_ts").desc, col("c_id").desc)
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+      .withColumn("n_touch", count(lit(1)).over(byPurchase))
+      .withColumn("rn", row_number().over(recency))
+      .withColumn("credit_micro",
+        expr("v_micro DIV n_touch") +
+          when(col("rn") <= expr("v_micro % n_touch"), 1L).otherwise(0L))
+      .groupBy(date_trunc("hour", col("c_ts")).as("h"))
+      .agg(count(lit(1)).as("n_credited_clicks"),
+        countDistinct(col("p_id")).as("purchases_touched"),
+        sum(col("credit_micro")).as("credited_micro"))
+      .select(col("h").cast("timestamp_ntz").as("click_hour"),
+        col("n_credited_clicks"), col("purchases_touched"),
+        (col("credited_micro").cast("double") / lit(1e6))
+          .as("credited_value"))
+      .orderBy(col("click_hour"))
+  }
+
+  val linearAttributionSql: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS v_micro
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+      |  FROM events WHERE event_type = 'click'),
+      |touched AS (
+      |  SELECT p_id, v_micro, c_id, c_ts,
+      |    COUNT(*) OVER (PARTITION BY p_id) AS n_touch,
+      |    ROW_NUMBER() OVER (PARTITION BY p_id
+      |      ORDER BY c_ts DESC, c_id DESC) AS rn
+      |  FROM c JOIN p USING (user_id)
+      |  WHERE c_ts >= p_ts - INTERVAL 30 MINUTE AND c_ts < p_ts),
+      |credited AS (
+      |  SELECT c_ts, p_id,
+      |    v_micro // n_touch +
+      |      CASE WHEN rn <= v_micro % n_touch THEN 1 ELSE 0 END AS cm
+      |  FROM touched)
+      |SELECT date_trunc('hour', c_ts) AS click_hour,
+      |  CAST(COUNT(*) AS BIGINT) AS n_credited_clicks,
+      |  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS purchases_touched,
+      |  CAST(CAST(SUM(cm) AS BIGINT) AS DOUBLE) / 1000000.0
+      |    AS credited_value
+      |FROM credited GROUP BY 1 ORDER BY click_hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_markov_transitions" -> (markovTransitions _),
     "q132_kmv_set_ops" -> (kmvSetOps _),
+    "q134_linear_attribution" -> (linearAttribution _),
     "q99_sliding_event_rates" -> (slidingEventRates _),
     "q96_platform_click_pressure" -> (platformClickPressure _),
     "q98_click_pressure_broadcast" -> (platformClickPressureBroadcast _),
@@ -772,6 +850,7 @@ object EventsQueries {
   val oracles: Map[String, String] = Map(
     "q131_markov_transitions" -> markovTransitionsSql,
     "q132_kmv_set_ops" -> kmvSetOpsSql,
+    "q134_linear_attribution" -> linearAttributionSql,
     "q99_sliding_event_rates" -> slidingEventRatesSql,
     "q96_platform_click_pressure" -> platformClickPressureSql,
     "q98_click_pressure_broadcast" -> platformClickPressureSql,

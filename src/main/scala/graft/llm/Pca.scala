@@ -268,6 +268,23 @@ object Pca {
         lit(sds), (d, s) => d / s).as("z"))
   }
 
+  /** PCA whitening: project onto the top-`k` eigenvectors scaled by
+    * `1/√λ`, so each output coordinate has (sample) unit variance and
+    * the components are decorrelated — the standard conditioning step
+    * before distance-based training on anisotropic embeddings. Same
+    * narrow shape as [[project]] (the scaled components are literals);
+    * eigenvalues ≤ `tol` are dropped rather than divided by (a
+    * degenerate axis would amplify noise unboundedly). */
+  def whiten(items: DataFrame, idCol: String, embCol: String,
+             means: Array[Double], comps: Seq[(Double, Array[Double])],
+             tol: Double = 1e-12): DataFrame = {
+    val scaled = comps.filter(_._1 > tol).map { case (l, v) =>
+      val s = 1.0 / math.sqrt(l)
+      v.map(_ * s)
+    }
+    project(items, idCol, embCol, means, scaled)
+  }
+
   /** Project every row's embedding onto `comps` (from
     * [[principalComponents]]): a narrow per-row map — components ride
     * into the plan as literal arrays (broadcast-by-construction),

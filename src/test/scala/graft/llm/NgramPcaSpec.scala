@@ -177,6 +177,39 @@ class NgramPcaSpec extends AnyFunSuite {
     assert(res < 1e-9 * math.max(1.0, l1), s"residual $res")
   }
 
+  test("whitening: unit variance per component, decorrelated, degenerate axes dropped") {
+    val rnd = new scala.util.Random(41L)
+    // strong anisotropy + one exactly-constant (zero variance) axis
+    val vecs = Seq.fill(300)(Array.tabulate(5)(k =>
+      if (k == 4) 2.5f
+      else (rnd.nextGaussian() * (k + 1.0)).toFloat))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val cells = Pca.gramCells(df, "embedding", 5)
+    val cov = Pca.covMatrix(cells, 5)
+    val comps = Pca.principalComponents(cov, 5)
+    val micro = vecs.map(_.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val n = vecs.length.toDouble
+    val means = (0 until 5).map(i => micro.map(_(i)).sum / n / 1e6).toArray
+    val out = Pca.whiten(df, "vec_id", "embedding", means, comps).collect()
+    // the constant axis (eigenvalue ~0) is dropped: 4 components remain
+    assert(out(0).schema.fieldNames.count(_.startsWith("pc")) === 4)
+    def stats(c: String) = {
+      val xs = out.map(_.getAs[Double](c))
+      val mu = xs.sum / xs.length
+      (mu, xs.map(x => (x - mu) * (x - mu)).sum / xs.length)
+    }
+    (1 to 4).foreach { k =>
+      val (mu, v) = stats(s"pc$k")
+      assert(math.abs(mu) < 1e-6, s"pc$k mean $mu")
+      assert(math.abs(v - 1.0) < 1e-6, s"pc$k variance $v")
+    }
+    // decorrelated: |corr(pc1, pc2)| ~ 0
+    val a = out.map(_.getAs[Double]("pc1")); val b2 = out.map(_.getAs[Double]("pc2"))
+    val corr = a.zip(b2).map { case (x, y) => x * y }.sum / a.length
+    assert(math.abs(corr) < 1e-6, s"corr $corr")
+  }
+
   test("projection: pc1 carries more variance than pc2, centered") {
     val rnd = new scala.util.Random(19L)
     val vecs = Seq.fill(200)(Array.tabulate(4)(k =>
