@@ -677,8 +677,6 @@ object EventsQueries {
     * produce. */
   private[analytics] def kmvSetOpsOf(ev: DataFrame): DataFrame = {
     val k = 32
-    def est(sketch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      kmvEstimate(sketch, k)
     def side(tpe: String, name: String) =
       ev.filter(col("event_type") === tpe)
         .agg(graft.functions.Native.kmvSketch(userHash48, k).as(s"kmv_$name"),
@@ -696,11 +694,11 @@ object EventsQueries {
       array_union(col("kmv_click"), col("kmv_purchase"))), 1, k)
     side("click", "click").crossJoin(broadcast(side("purchase", "purchase")))
       .crossJoin(broadcast(both))
-      .select(est(col("kmv_click")).as("est_click"),
-        est(col("kmv_purchase")).as("est_purchase"),
-        est(merged).as("est_union"),
-        (est(col("kmv_click")) + est(col("kmv_purchase")) - est(merged))
-          .as("est_intersection"),
+      .select(kmvEstimate(col("kmv_click"), k).as("est_click"),
+        kmvEstimate(col("kmv_purchase"), k).as("est_purchase"),
+        kmvEstimate(merged, k).as("est_union"),
+        (kmvEstimate(col("kmv_click"), k) + kmvEstimate(col("kmv_purchase"), k)
+          - kmvEstimate(merged, k)).as("est_intersection"),
         col("exact_click"), col("exact_purchase"),
         col("exact_union"), col("exact_intersection"))
   }
@@ -782,8 +780,10 @@ object EventsQueries {
     val recency = Window.partitionBy(col("p_id"))
       .orderBy(col("c_ts").desc, col("c_id").desc)
     clicks.join(purchases, Seq("user_id"))
-      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("c_ts") < col("p_ts"))
+      // q84's exact window — (p_ts-30m, p_ts] — so last-touch and
+      // linear reports cover the SAME click set at the boundaries
+      .filter(col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
       .withColumn("n_touch", count(lit(1)).over(byPurchase))
       .withColumn("rn", row_number().over(recency))
       .withColumn("credit_micro",
@@ -812,7 +812,7 @@ object EventsQueries {
       |    ROW_NUMBER() OVER (PARTITION BY p_id
       |      ORDER BY c_ts DESC, c_id DESC) AS rn
       |  FROM c JOIN p USING (user_id)
-      |  WHERE c_ts >= p_ts - INTERVAL 30 MINUTE AND c_ts < p_ts),
+      |  WHERE c_ts > p_ts - INTERVAL 30 MINUTE AND c_ts <= p_ts),
       |credited AS (
       |  SELECT c_ts, p_id,
       |    v_micro // n_touch +

@@ -57,6 +57,10 @@ object Pca {
       val m = new Array[Long](dim)
       var i = 0
       while (i < dim) {
+        // NaN/Inf would snap to 0/minmax SILENTLY here while the
+        // DuckDB oracle errors on the same cast — fail fast instead
+        require(java.lang.Float.isFinite(v(i)),
+          s"non-finite embedding coordinate at dim $i: ${v(i)}")
         m(i) = math.floor(v(i).toDouble * microScale.toDouble + 0.5).toLong
         i += 1
       }
@@ -139,11 +143,24 @@ object Pca {
   def mergeCells(prev: DataFrame, delta: DataFrame,
                  microScale: Long = 1000000L): DataFrame = {
     val cols = ("i" +: "j" +: Seq("n", "gram_micro", "s_i", "s_j")).map(col)
+    // sums ride DECIMAL(38,0) and fail fast on the way back to BIGINT:
+    // the session runs non-ANSI, where a plain long sum() would WRAP
+    // silently — the exact silent-disagreement the aggregator's
+    // addExact closes (the oracle errors on the same overflow)
+    def checked(name: String) =
+      when(col(name) > lit(Long.MaxValue) || col(name) < lit(Long.MinValue),
+        expr(s"raise_error('mergeCells: $name exceeds BIGINT — lower " +
+          "microScale or merge smaller batches')"))
+        .otherwise(col(name).cast("long")).as(name)
     prev.select(cols: _*)
       .unionByName(delta.select(cols: _*))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("n")).as("n"), sum(col("gram_micro")).as("gram_micro"),
-        sum(col("s_i")).as("s_i"), sum(col("s_j")).as("s_j"))
+      .agg(sum(col("n").cast("decimal(38,0)")).as("n"),
+        sum(col("gram_micro").cast("decimal(38,0)")).as("gram_micro"),
+        sum(col("s_i").cast("decimal(38,0)")).as("s_i"),
+        sum(col("s_j").cast("decimal(38,0)")).as("s_j"))
+      .select(col("i"), col("j"), checked("n"), checked("gram_micro"),
+        checked("s_i"), checked("s_j"))
       .select(col("i"), col("j"), col("n"), col("gram_micro"),
         col("s_i"), col("s_j"), covExpr(microScale).as("cov"))
       .orderBy(col("i"), col("j"))
@@ -251,16 +268,29 @@ object Pca {
     * sequences in any engine, so standardized vectors are
     * bit-reproducible. Zero-variance dimensions yield ±Infinity/NaN
     * by IEEE division, faithfully in both engines. */
-  def standardize(items: DataFrame, idCol: String, embCol: String,
-                  dim: Int): DataFrame = {
-    val diag = gramCells(items, embCol, dim)
+  /** Per-dimension means and standard deviations from a cells table —
+    * the covariance-consistent model parameters [[project]] /
+    * [[whiten]] / [[standardize]] center with. Driver-side but
+    * dim-bounded (a model fetch, like centroids): `mean = (s/n)/scale`
+    * and `sd = √cov_ii`, pinned in this order so the derived doubles
+    * are identical everywhere. */
+  def meansAndSds(cells: DataFrame, dim: Int,
+                  microScale: Long = 1000000L): (Array[Double], Array[Double]) = {
+    val diag = cells
       .filter(col("i") === col("j"))
       .select(col("i"), col("n"), col("s_i"), col("cov"))
       .collect().sortBy(_.getAs[Int]("i"))
     require(diag.length == dim, s"expected $dim diagonal cells, got ${diag.length}")
     val means = diag.map(r =>
-      r.getAs[Long]("s_i").toDouble / r.getAs[Long]("n").toDouble / 1e6)
+      r.getAs[Long]("s_i").toDouble / r.getAs[Long]("n").toDouble /
+        microScale.toDouble)
     val sds = diag.map(r => math.sqrt(r.getAs[Double]("cov")))
+    (means, sds)
+  }
+
+  def standardize(items: DataFrame, idCol: String, embCol: String,
+                  dim: Int): DataFrame = {
+    val (means, sds) = meansAndSds(gramCells(items, embCol, dim), dim)
     val snapped = transform(col(embCol).cast("array<double>"),
       x => floor(x * lit(1e6) + lit(0.5)) / lit(1e6))
     items.select(col(idCol),
