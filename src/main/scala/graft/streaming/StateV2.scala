@@ -190,6 +190,63 @@ object StateV2 {
         OutputMode.Append())
   }
 
+  final case class Transition(user_id: Long, prev: String, next: String)
+
+  /** The last event seen per user — all a first-order chain needs. */
+  final case class LastEvent(sec: Long, event_id: Long, tpe: String)
+
+  /** Streaming twin of `EventsQueries.markovTransitions` (q131): one
+    * `prev → next` record per consecutive event pair in each user's
+    * stream, emitted incrementally — a downstream
+    * `groupBy(prev, next).count()` maintains the transition matrix
+    * with no reprocessing of history. A third state shape for the
+    * v2 API: the smallest possible per-key state (ONE row — the last
+    * event), vs the sessionizer's open-aggregate and the velocity
+    * monitor's list.
+    *
+    * Ordering contract: rows are sorted by `(ts, event_id)` WITHIN a
+    * batch (same tiebreak as the batch query), and chained across
+    * batches through the ValueState — so with per-user in-order
+    * arrival across batches the emitted pairs are exactly the batch
+    * query's lag pairs (pinned by the parity spec). Cross-batch
+    * out-of-order arrival links in arrival order — the documented
+    * incremental trade-off, same as any chained-state stream. */
+  final class TransitionProcessor
+      extends StatefulProcessor[Long, Event, Transition] {
+
+    @transient private var last: ValueState[LastEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastEvent](
+        "last", Encoders.product[LastEvent], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Transition] = {
+      val events = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var prev = if (last.exists()) Some(last.get()) else None
+      val out = Seq.newBuilder[Transition]
+      events.foreach { e =>
+        prev.foreach(p => out += Transition(userId, p.tpe, e.event_type))
+        prev = Some(LastEvent(e.ts.getTime / 1000, e.event_id, e.event_type))
+      }
+      prev.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming per-user event transitions — see [[TransitionProcessor]]. */
+  def transitionsV2(spark: SparkSession,
+                    events: org.apache.spark.sql.DataFrame): Dataset[Transition] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming sessionization over the standard event frame —
     * drop-in replacement for [[EventPipelines.sessionize]] (same
     * input/output contract, same watermark). */

@@ -151,6 +151,22 @@ class NgramPcaSpec extends AnyFunSuite {
     }
   }
 
+  test("gram guards: NaN coordinate and merged-moment overflow both fail fast") {
+    val bad = Seq((1L, Array(1.0f, Float.NaN))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Pca.gramCells(bad, "embedding", 2).collect()
+    }
+    assert(e1.getMessage != null)
+    // two legal per-batch cells whose merged gram_micro exceeds BIGINT
+    val near = Seq((1, 1, 5L, 6000000000000000000L, 10L, 10L, 0.0))
+      .toDF("i", "j", "n", "gram_micro", "s_i", "s_j", "cov")
+    val e2 = intercept[Exception] {
+      Pca.mergeCells(near, near).collect()
+    }
+    assert(e2.getMessage.contains("mergeCells") ||
+      e2.getCause != null, e2.getMessage)
+  }
+
   test("eigen: recovers the dominant axis of an anisotropic cloud") {
     val rnd = new scala.util.Random(3L)
     // variance 9 along axis 0, ~0.01 elsewhere; mean offset to exercise

@@ -225,4 +225,30 @@ class StateV2Spec extends AnyFunSuite {
       q.stop()
     }
   }
+
+  test("transition counter: cross-batch chaining equals the batch lag pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EventPipelines.Event]
+      val q = StateV2.transitionsV2(spark, input.toDF())
+        .writeStream.format("memory").queryName("transitions_v2")
+        .outputMode("append").start()
+      val t0 = 1700000000L
+      // user 1: view -> click -> purchase split ACROSS batches;
+      // user 2: single event (no transition); in-batch order scrambled
+      input.addData(ev(2, t0 + 60, 1, "click"), ev(1, t0, 1, "view"))
+      q.processAllAvailable()
+      input.addData(ev(3, t0 + 120, 1, "purchase"), ev(4, t0, 2, "view"))
+      q.processAllAvailable()
+      input.addData(ev(5, t0 + 180, 1, "view"))
+      q.processAllAvailable()
+      val got = spark.table("transitions_v2").as[StateV2.Transition].collect()
+        .map(t => (t.user_id, t.prev, t.next)).sorted.toSeq
+      // exactly the batch query's lag pairs over the full event set
+      assert(got === Seq((1L, "click", "purchase"), (1L, "purchase", "view"),
+        (1L, "view", "click")))
+      q.stop()
+    }
+  }
 }
