@@ -299,6 +299,54 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** ASYMMETRIC near-dup: containment `C(A→B) = |S(A)∩S(B)| / |S(A)|`
+    * over distinct word `n`-gram sets — the metric Jaccard misses
+    * when a small document lives INSIDE a large one (quotes, nested
+    * boilerplate, excerpt pages): a 50-word doc fully contained in a
+    * 5000-word doc has Jaccard ≈ 0.01 but containment 1.0. Emits
+    * both directions per pair; `containment_ab` reads "this fraction
+    * of A is in B".
+    *
+    * Scale shape (q105's df-cap discipline): candidates block on
+    * SHARED shingles with document frequency ≤ `maxDf` — the pair
+    * fan-out is bounded by Σ df² over kept shingles, never all-pairs,
+    * and boilerplate shingles above the cap can't explode the join
+    * (a pair sharing ONLY ultra-common shingles is noise by
+    * construction). Exact counts verify candidates: the intersection
+    * count uses ALL shingles of the pair (the cap only gates
+    * candidacy, not the metric). One shuffle per stage, every
+    * aggregate partial map-side; the two divisions are single IEEE
+    * ops on exact integers. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+                       maxDf: Int = 500): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(array_distinct(
+        when(size(split(col("text"), " ")) < n, array(col("text")))
+          .otherwise(graft.functions.Native.wordNgrams(col("text"), n))))
+      .as("g"))
+    val keep = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val shK = sh.join(keep, Seq("g"))
+    val cand = shK.select(col("doc_id").as("a"), col("g"))
+      .join(shK.select(col("doc_id").as("b"), col("g")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("g")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("na").cast("double"))
+          .as("containment_ab"),
+        (col("n_shared").cast("double") / col("nb").cast("double"))
+          .as("containment_ba"))
+      .filter(greatest(col("containment_ab"), col("containment_ba"))
+        >= threshold)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Exact Jaccard verification of a given candidate pair list:
     * attaches similarity to each (a, b) pair — two hash joins against
     * the docs' distinct word sets, linear in candidates. */

@@ -1455,7 +1455,42 @@ object LlmQueries {
       |FROM m, packed, generate_series(1, 64) u(g)
       |ORDER BY vec_id, dim""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+  /** Asymmetric containment pairs ([[Dedup.containmentPairs]]): the
+    * quote/excerpt detector Jaccard can't see — df-capped shared-
+    * shingle candidates, exact both-direction containment verify. */
+  def containmentPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.6, maxDf = 500)
+
+  val containmentPairsSql: String =
+    """WITH sh AS (SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+      |    ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+      |    END)) AS g FROM documents),
+      |keep AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 500),
+      |shk AS (SELECT doc_id, sh.g FROM sh JOIN keep USING (g)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM shk x JOIN shk y USING (g) WHERE x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+      |  FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.a
+      |  JOIN sh y ON y.doc_id = c.b AND y.g = x.g
+      |  GROUP BY c.a, c.b)
+      |SELECT a, b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / CAST(sa.nsh AS DOUBLE) AS containment_ab,
+      |  CAST(n_shared AS DOUBLE) / CAST(sb.nsh AS DOUBLE) AS containment_ba
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a
+      |JOIN sizes sb ON sb.doc_id = b
+      |WHERE GREATEST(CAST(n_shared AS DOUBLE) / CAST(sa.nsh AS DOUBLE),
+      |               CAST(n_shared AS DOUBLE) / CAST(sb.nsh AS DOUBLE)) >= 0.6
+      |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_containment_pairs" -> (containmentPairsQ _),
     "q123_negative_pairs" -> (negativePairs _),
     "q124_inverted_index" -> (invertedIndexTerms _),
     "q125_bpe_pairs" -> (bpePairs _),
@@ -1513,6 +1548,7 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_containment_pairs" -> containmentPairsSql,
     "q123_negative_pairs" -> negativePairsSql,
     "q124_inverted_index" -> invertedIndexTermsSql,
     "q125_bpe_pairs" -> bpePairsSql,

@@ -72,6 +72,35 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(_.getAs[String]("pair")).toSeq === Seq("aa", "ab"))
   }
 
+  test("containment: small doc inside large found where Jaccard misses it") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val small = (10 to 19).map(i => s"w$i").mkString(" ")   // fully inside big
+    val docs = Seq((1L, big), (2L, small), (3L, "zz yy xx ww vv uu"))
+      .map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val rows = Dedup.containmentPairs(docs, n = 3, threshold = 0.6, maxDf = 500)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("a") === 1L && r.getAs[Long]("b") === 2L)
+    // all 8 of small's 3-grams are in big; big has 58 grams
+    assert(r.getAs[Long]("n_shared") === 8L)
+    assert(r.getAs[Double]("containment_ba") === 1.0)   // small fully inside
+    assert(r.getAs[Double]("containment_ab") === 8.0 / 58.0)
+    // Jaccard over the same shingle sets would be 8/58 ~ 0.14 — a
+    // jaccard-0.6 screen never surfaces this pair
+    assert(Dedup.jaccardPairs(docs, threshold = 0.6).collect().isEmpty)
+  }
+
+  test("containment: shingles above maxDf cannot create candidates") {
+    // the shared shingle appears in ALL 10 docs -> df 10 > cap 5
+    val docs = (1L to 10L).map(i => (i, s"common gram here unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs, n = 3, threshold = 0.1, maxDf = 5)
+      .collect()
+    assert(rows.isEmpty)
+  }
+
   test("inverted index: true df with capped ascending postings") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
