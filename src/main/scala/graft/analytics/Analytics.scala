@@ -1218,7 +1218,68 @@ object Analytics {
       |SELECT c_count, COUNT(*) AS custdist FROM per_cust
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  /** Per-nation Gini coefficient of order value — the inequality
+    * measure a data-balance audit runs (is revenue concentrated in a
+    * few whale orders?). Gini over sorted values x_1..x_n is
+    * `Σ(2i−n−1)·x_i / (n·Σx)` — computed here entirely in exact
+    * integer cents and DECIMAL(38,0) weighted sums (overflow-free at
+    * any group size), with ONE double division per nation at the end.
+    * Tie order within equal values cannot change the sum (equal x
+    * share any permutation of consecutive ranks), so the result is a
+    * pure function of the table.
+    *
+    * Shape: one shuffle on nation for the rank window (the customer
+    * and nation dims broadcast below it), one aggregate sharing that
+    * partitioning. */
+  def revenueGini(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = t(s, dir, "nation")
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("n_name"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey"),
+        (dec(col("o_totalprice"), 12, 2) * 100).cast("bigint").as("cents"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("n_name"))
+      .agg(max(col("cnt")).as("n_orders"),
+        sum(col("cents")).as("total_cents"),
+        sum(((col("i").cast("long") * 2 - col("cnt") - 1).cast("decimal(20,0)") *
+          col("cents").cast("decimal(18,0)")).cast("decimal(38,0)"))
+          .as("num"))
+      .select(col("n_name"), col("n_orders"),
+        (col("total_cents").cast("double") / lit(100.0)).as("total_value"),
+        (col("num").cast("double") /
+          (col("n_orders").cast("decimal(20,0)") *
+            col("total_cents").cast("decimal(18,0)")).cast("double"))
+          .as("gini"))
+      .orderBy(col("n_name"))
+  }
+
+  val revenueGiniSql: String =
+    """WITH r AS (
+      |  SELECT n_name, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |rk AS (SELECT n_name, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name
+      |      ORDER BY cents, o_orderkey) AS i,
+      |    COUNT(*) OVER (PARTITION BY n_name) AS n
+      |  FROM r)
+      |SELECT n_name, CAST(MAX(n) AS BIGINT) AS n_orders,
+      |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_value,
+      |  CAST(SUM(CAST(2 * i - n - 1 AS HUGEINT) * cents) AS DOUBLE) /
+      |    CAST(CAST(MAX(n) AS HUGEINT) * CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+      |    AS gini
+      |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_revenue_gini" -> (revenueGini _),
     "q127_order_count_distribution" -> (orderCountDistribution _),
     "q122_order_span_months" -> (orderSpanMonths _),
     "q118_bag_set_ops" -> (bagSetOps _),
@@ -1260,6 +1321,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_revenue_gini" -> revenueGiniSql,
     "q127_order_count_distribution" -> orderCountDistributionSql,
     "q122_order_span_months" -> orderSpanMonthsSql,
     "q118_bag_set_ops" -> bagSetOpsSql,
