@@ -1396,7 +1396,7 @@ object LlmQueries {
     * corpus-typicality, kept transcendental-free (exact BIGINT
     * parts-per-1e9, see [[NgramLm]]'s determinism contract). */
   def lmScore(s: SparkSession, dir: String): DataFrame =
-    NgramLm.scoreHeldOut(docs(s, dir))
+    NgramLm.scoreHeldOut(docs(s, dir), materialize = _.localCheckpoint())
 
   val lmScoreSql: String = NgramLm.scoreHeldOutSql()
 
@@ -1406,7 +1406,7 @@ object LlmQueries {
     * is monotone so the order IS the PMI order, with no `ln` in
     * either engine's path. */
   def pmiTop(s: SparkSession, dir: String): DataFrame =
-    NgramLm.pmiCollocations(docs(s, dir))
+    NgramLm.pmiCollocations(docs(s, dir), materialize = _.localCheckpoint())
 
   val pmiTopSql: String = NgramLm.pmiCollocationsSql()
 

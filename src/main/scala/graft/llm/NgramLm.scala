@@ -65,22 +65,28 @@ object NgramLm {
     * word — vocabulary-sized with map-side combine), held-out
     * instances join them co-partitioned on those keys, the scalar V
     * rides a broadcast; final aggregate shuffles on doc_id. */
-  def scoreHeldOut(docs: DataFrame, holdMod: Int = 10,
-                   holdRem: Int = 0): DataFrame = {
+  def scoreHeldOut(docs: DataFrame, holdMod: Int = 10, holdRem: Int = 0,
+                   materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(holdMod >= 2, s"holdMod must split the corpus, got $holdMod")
     val bg = bigrams(docs)
     val isHeld = col("doc_id") % holdMod === holdRem
     val train = bg.filter(!isHeld)
-    val cAb = train.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("c_ab"))
-    // c(a,·) is cAb's margin — summing the count table instead of
-    // re-counting raw instances keeps ONE corpus-scale explode (the
-    // (a,b) exchange is an identical subtree, so ReuseExchange runs
-    // it once); a second raw aggregation would shuffle the corpus
-    // again on a different key
+    // c(a,·) and V are both derived from the count table, so the
+    // corpus-scale explode runs for exactly TWO consumers: the train
+    // counts and the held-out instances. `materialize` is the scale
+    // hook (q54's discipline — pass `_.localCheckpoint()`): AQE does
+    // NOT stage-reuse the (a,b) exchange here (the higher-order-
+    // function lambdas in [[bigrams]] defeat canonicalized matching —
+    // measured, 4 separate ShuffleQueryStages without it), and the
+    // count table is vocabulary-sized, the cheapest thing to pin.
+    val cAb = materialize(train.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab")))
     val cA = cAb.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
-    val vocab = docs.filter(!(col("doc_id") % holdMod === holdRem))
-      .select(explode(split(col("text"), " ")).as("w"))
+    // V = distinct words participating in training bigrams (the
+    // model's event space — a word seen only in one-word docs never
+    // conditions or follows anything, so it carries no mass anyway)
+    val vocab = cAb.select(col("a").as("w"))
+      .union(cAb.select(col("b").as("w")))
       .agg(countDistinct(col("w")).as("vocab"))
     bg.filter(isHeld)
       .join(cAb, Seq("a", "b"), "left")
@@ -115,7 +121,7 @@ object NgramLm {
       |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
       |  FROM cab GROUP BY a),
       |voc AS (SELECT COUNT(DISTINCT u) AS vocab FROM
-      |  (SELECT unnest(w) AS u FROM toks WHERE doc_id % $holdMod <> $holdRem)),
+      |  (SELECT a AS u FROM cab UNION SELECT b FROM cab)),
       |held AS (
       |  SELECT f.doc_id, COALESCE(c_ab, 0) AS c_ab, COALESCE(c_a, 0) AS c_a
       |  FROM flat f LEFT JOIN cab USING (a, b) LEFT JOIN ca USING (a)
@@ -141,13 +147,16 @@ object NgramLm {
     * partition heaps, never a global sort. Counts are cast to DOUBLE
     * before multiplying, so the score never overflows at any corpus
     * size (both engines do the identical IEEE multiply/divide). */
-  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
-                      topN: Int = 30): DataFrame = {
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5, topN: Int = 30,
+                      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val bg = bigrams(docs)
-    val cAb = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-    // margins and N all fold the vocabulary-sized count table — the
-    // corpus-scale explode + (a,b) shuffle happens ONCE (identical
-    // subtree, reused exchange), exactly as the scaladoc promises
+    // margins and N all fold the vocabulary-sized count table; AQE
+    // does not stage-reuse the (a,b) exchange across the four
+    // consumers (lambda canonicalization — see [[scoreHeldOut]]), so
+    // `materialize = _.localCheckpoint()` pins the count table and
+    // the corpus-scale explode runs ONCE
+    val cAb = materialize(
+      bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab")))
     val cA = cAb.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
     val cB = cAb.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
     val n = cAb.agg(sum(col("c_ab")).as("n_bigrams"))
