@@ -318,11 +318,17 @@ object Dedup {
     * aggregate partial map-side; the two divisions are single IEEE
     * ops on exact integers. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
-                       maxDf: Int = 500): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(array_distinct(
+                       maxDf: Int = 500,
+                       materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // the shingle table feeds six consumers (df cap, both candidate
+    // sides, sizes, both verify sides) — `materialize` is the scale
+    // hook (q54's discipline, pass `_.localCheckpoint()`): without it
+    // the corpus re-shingles per consumer (measured: 13 FileScans at
+    // the default identity)
+    val sh = materialize(docs.select(col("doc_id"), explode(array_distinct(
         when(size(split(col("text"), " ")) < n, array(col("text")))
           .otherwise(graft.functions.Native.wordNgrams(col("text"), n))))
-      .as("g"))
+      .as("g")))
     val keep = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("g"))
     val shK = sh.join(keep, Seq("g"))

@@ -1460,7 +1460,8 @@ object LlmQueries {
     * quote/excerpt detector Jaccard can't see — df-capped shared-
     * shingle candidates, exact both-direction containment verify. */
   def containmentPairsQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.6, maxDf = 500)
+    Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.6, maxDf = 500,
+      materialize = _.localCheckpoint())
 
   val containmentPairsSql: String =
     """WITH sh AS (SELECT doc_id, unnest(list_distinct(
