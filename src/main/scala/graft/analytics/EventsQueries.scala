@@ -825,10 +825,91 @@ object EventsQueries {
       |    AS credited_value
       |FROM credited GROUP BY 1 ORDER BY click_hour""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  /** Day-over-day NEW-user estimation from daily KMV sketches — the
+    * time-series face of q132's set algebra: per calendar day,
+    * `new ≈ est(day ∪ prev_day) − est(prev_day)` needs only two
+    * k-long arrays per day pair, where the exact computation
+    * (anti-join on yesterday's user set) must carry full user sets
+    * forever. Exact twins ride the same scan; days with no previous
+    * calendar day report all actives as new (both engines).
+    *
+    * Shape: the daily sketch table is calendar-sized (one bounded
+    * row per day), so the day-to-prev-day join and everything after
+    * it is metadata-scale; the only corpus-scale work is the two
+    * distinct-aggregates, both partial map-side. */
+  def dailyNewUsers(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val ev = Tables.events(s, dir)
+    val ud = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(graft.functions.Native.kmvSketch(userHash48, k).as("kmv"),
+        countDistinct(col("user_id")).as("exact_active"))
+    val prev = daily.select(col("day").as("p_day"), col("kmv").as("p_kmv"),
+      col("exact_active").as("p_active"))
+    val exactNew = ud.as("a")
+      .join(ud.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.day") === date_sub(col("a.day"), 1), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("exact_new"))
+    val merged = slice(array_sort(array_union(col("kmv"),
+      coalesce(col("p_kmv"), expr("CAST(array() AS ARRAY<BIGINT>)")))), 1, k)
+    daily
+      .join(prev, col("p_day") === date_sub(col("day"), 1), "left")
+      .join(exactNew, Seq("day"))
+      .select(col("day"), col("exact_active"),
+        kmvEstimate(col("kmv"), k).as("est_active"),
+        col("exact_new"),
+        when(col("p_day").isNull, kmvEstimate(col("kmv"), k))
+          .otherwise(kmvEstimate(merged, k) - kmvEstimate(col("p_kmv"), k))
+          .as("est_new"))
+      .orderBy(col("day"))
+  }
+
+  val dailyNewUsersSql: String =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      |  FROM events),
+      |h AS (SELECT day,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |      AS hv
+      |  FROM ud),
+      |act AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS exact_active
+      |  FROM ud GROUP BY day),
+      |est AS (SELECT day,
+      |    CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+      |         ELSE 31.0 * 281474976710656 / CAST(hv AS DOUBLE) END AS est
+      |  FROM (SELECT day, hv,
+      |          ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn,
+      |          COUNT(*) OVER (PARTITION BY day) AS nd FROM h)
+      |  WHERE rn = LEAST(nd, 32)),
+      |uh AS (SELECT DISTINCT d.day, h.hv
+      |  FROM (SELECT DISTINCT day FROM ud) d
+      |  JOIN h ON h.day = d.day OR h.day = d.day - 1),
+      |eu AS (SELECT day,
+      |    CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+      |         ELSE 31.0 * 281474976710656 / CAST(hv AS DOUBLE) END AS est_u
+      |  FROM (SELECT day, hv,
+      |          ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn,
+      |          COUNT(*) OVER (PARTITION BY day) AS nd FROM uh)
+      |  WHERE rn = LEAST(nd, 32)),
+      |xn AS (SELECT a.day, CAST(COUNT(*) AS BIGINT) AS exact_new
+      |  FROM ud a WHERE NOT EXISTS (SELECT 1 FROM ud b
+      |    WHERE b.user_id = a.user_id AND b.day = a.day - 1)
+      |  GROUP BY a.day)
+      |SELECT e.day, act.exact_active, e.est AS est_active, xn.exact_new,
+      |  CASE WHEN p.day IS NULL THEN e.est ELSE eu.est_u - p.est END AS est_new
+      |FROM est e
+      |JOIN act USING (day)
+      |JOIN eu USING (day)
+      |JOIN xn USING (day)
+      |LEFT JOIN est p ON p.day = e.day - 1
+      |ORDER BY e.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_markov_transitions" -> (markovTransitions _),
     "q132_kmv_set_ops" -> (kmvSetOps _),
     "q134_linear_attribution" -> (linearAttribution _),
+    "q137_daily_new_users" -> (dailyNewUsers _),
     "q99_sliding_event_rates" -> (slidingEventRates _),
     "q96_platform_click_pressure" -> (platformClickPressure _),
     "q98_click_pressure_broadcast" -> (platformClickPressureBroadcast _),
@@ -851,6 +932,7 @@ object EventsQueries {
     "q131_markov_transitions" -> markovTransitionsSql,
     "q132_kmv_set_ops" -> kmvSetOpsSql,
     "q134_linear_attribution" -> linearAttributionSql,
+    "q137_daily_new_users" -> dailyNewUsersSql,
     "q99_sliding_event_rates" -> slidingEventRatesSql,
     "q96_platform_click_pressure" -> platformClickPressureSql,
     "q98_click_pressure_broadcast" -> platformClickPressureSql,
