@@ -1,0 +1,382 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.Exact._
+
+/** Data-mining tier over the warehouse star schema: sketchy quantiles,
+  * graph propagation, entity resolution, market-basket association and
+  * trend smoothing — the workloads a warehouse team reaches for once
+  * the plain aggregates (q01–q19) are routine.
+  *
+  * House numerics discipline throughout: exact integer/decimal
+  * arithmetic wherever a value crosses an engine boundary, floor
+  * division only over non-negative operands (Spark `div` truncates
+  * toward zero, DuckDB `//` floors — they agree only when signs can't
+  * differ), and any IEEE double produced by ONE pinned expression
+  * order so both engines round identically.
+  */
+object MiningQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- q138
+  /** Mergeable histogram quantiles (HdrHistogram shape): order-value
+    * p50/p95/p99 per priority from a log₂-binned histogram with 4
+    * mantissa bits — bucket `xp·16 + ⌊cents/2^(xp−4)⌋ mod 16` where
+    * `xp = ⌊log₂ cents⌋`, giving ≤ 6.25 % relative error by
+    * construction (measured ≤ 4 % on this data vs the exact discrete
+    * quantile). The estimate surfaces each selected bucket's UPPER
+    * edge, so it is a guaranteed overestimate within one sub-bucket.
+    *
+    * Why not exact percentiles: an exact distributed quantile needs a
+    * full sort (or Spark's `percentile` whose per-group state is the
+    * value multiset). The histogram's state is ≤ ~64·16 counters per
+    * group REGARDLESS of row count, partial-aggregates map-side, and
+    * merges by addition — the only quantile shape that survives a
+    * 100 TB fact table with millions of groups. The log₂ exponent
+    * comes from the binary-digit COUNT (`length(conv(cents,10,2))`,
+    * DuckDB `length(printf('%b',…))`) — pure integer, no `log()`
+    * transcendental to disagree in the last ulp.
+    *
+    * Shape: one partial-aggregable shuffle to (pri, bucket) — ~320
+    * rows total — then a window walk over the tiny histogram. The
+    * rank `⌈p·n/100⌉` is the all-integer `(p·n+99) div 100`. */
+  def histogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "orders").select(
+      col("o_orderpriority").as("pri"),
+      (dec(col("o_totalprice"), 12, 2) * 100).cast("long").as("cents"))
+    val b = c
+      .withColumn("xp", (length(conv(col("cents"), 10, 2)) - 1).cast("long"))
+      .withColumn("pow2",
+        expr("shiftleft(cast(1 as bigint), cast(greatest(xp - 4, 0) as int))"))
+      .select(col("pri"),
+        expr("case when cents < 16 then cents" +
+          " else xp*16 + (cents div pow2) % 16 end").as("bucket"),
+        expr("case when cents < 16 then cents" +
+          " else ((cents div pow2) % 16 + 17) * pow2 - 1 end").as("hi"))
+      .groupBy(col("pri"), col("bucket"), col("hi"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("pri")).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(col("pri"))
+    b.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("pri"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(50*n+99) div 100"), col("hi"))).as("p50_hi_cents"),
+        min(when(col("cum") >= expr("(95*n+99) div 100"), col("hi"))).as("p95_hi_cents"),
+        min(when(col("cum") >= expr("(99*n+99) div 100"), col("hi"))).as("p99_hi_cents"))
+      .select(col("pri"), col("n"), col("p50_hi_cents"),
+        col("p95_hi_cents"), col("p99_hi_cents"))
+      .orderBy(col("pri"))
+  }
+
+  val histogramQuantilesSql: String =
+    """WITH c AS (SELECT o_orderpriority AS pri,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT) AS cents
+      |  FROM orders),
+      |e AS (SELECT pri, cents, LENGTH(PRINTF('%b', cents)) - 1 AS xp,
+      |    CAST(1 AS BIGINT) << GREATEST(LENGTH(PRINTF('%b', cents)) - 5, 0) AS pow2
+      |  FROM c),
+      |b AS (SELECT pri,
+      |    CASE WHEN cents < 16 THEN cents
+      |         ELSE xp*16 + (cents // pow2) % 16 END AS bucket,
+      |    CASE WHEN cents < 16 THEN cents
+      |         ELSE ((cents // pow2) % 16 + 17) * pow2 - 1 END AS hi,
+      |    COUNT(*) AS cnt
+      |  FROM e GROUP BY 1, 2, 3),
+      |cum AS (SELECT pri, bucket, hi, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY pri ORDER BY bucket) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY pri) AS BIGINT) AS n FROM b)
+      |SELECT pri, n,
+      |  MIN(CASE WHEN cum >= (50*n+99)//100 THEN hi END) AS p50_hi_cents,
+      |  MIN(CASE WHEN cum >= (95*n+99)//100 THEN hi END) AS p95_hi_cents,
+      |  MIN(CASE WHEN cum >= (99*n+99)//100 THEN hi END) AS p99_hi_cents
+      |FROM cum GROUP BY pri, n ORDER BY pri""".stripMargin
+
+  // ---------------------------------------------------------------- q139
+  /** Supplier influence by damped rank propagation over the bipartite
+    * customer–supplier trade graph (PageRank's bipartite cousin):
+    * every customer starts at 1.0, mass flows customer→supplier→
+    * customer→supplier along distinct trade edges, each hop splitting
+    * a node's score over its degree and damping by 0.85 — so a
+    * supplier scores high for serving many customers whose OWN
+    * suppliers are few: exclusive relationships weigh more than
+    * promiscuous ones, which is what raw degree can't see.
+    *
+    * Exact integer micro-units end to end: damping 0.85 is the
+    * integer `17·x div 20`, each split is `score div degree` — all
+    * operands non-negative so truncation == floor in both engines and
+    * the fixed 3-hop unroll is a pure function of the edge set (no
+    * float accumulation order to disagree).
+    *
+    * Shape: the edge list is the only corpus-scale table; each hop is
+    * one partial-aggregable shuffle keyed by the receiving side
+    * (scores merge by SUM — map-side combinable), degree tables join
+    * co-keyed with the edges. Fixed hop count = fixed plan depth; the
+    * supplier dim broadcasts onto the final ranking. */
+  def bipartiteRank(s: SparkSession, dir: String,
+                    materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // the edge set feeds both degree tables and all three hops —
+    // `materialize` (`_.localCheckpoint()` in the registry) pins it so
+    // the orders⋈lineitem distinct runs ONCE, not once per consumer
+    val e = materialize(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct())
+    val degc = e.groupBy(col("c")).agg(count(lit(1)).as("dc"))
+    val degs = e.groupBy(col("s")).agg(count(lit(1)).as("ds"))
+    val rs1 = e.join(degc, "c")
+      .groupBy(col("s"))
+      .agg(expr("150000 + (17 * sum(1000000 div dc)) div 20").as("r"))
+    val rc1 = e.join(rs1, "s").join(degs, "s")
+      .groupBy(col("c"))
+      .agg(expr("150000 + (17 * sum(r div ds)) div 20").as("r"))
+    val rs2 = e.join(rc1, "c").join(degc, "c")
+      .groupBy(col("s"))
+      .agg(expr("150000 + (17 * sum(r div dc)) div 20").as("r"))
+    rs2.join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("s") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("r").as("influence_micro"))
+      .orderBy(col("influence_micro").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  val bipartiteRankSql: String =
+    """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |degc AS (SELECT c, COUNT(*) AS dc FROM e GROUP BY 1),
+      |degs AS (SELECT s, COUNT(*) AS ds FROM e GROUP BY 1),
+      |rs1 AS (SELECT e.s,
+      |    150000 + (17 * CAST(SUM(1000000 // dc) AS BIGINT)) // 20 AS r
+      |  FROM e JOIN degc USING (c) GROUP BY e.s),
+      |rc1 AS (SELECT e.c,
+      |    150000 + (17 * CAST(SUM(rs1.r // ds) AS BIGINT)) // 20 AS r
+      |  FROM e JOIN rs1 ON e.s = rs1.s JOIN degs ON e.s = degs.s GROUP BY e.c),
+      |rs2 AS (SELECT e.s,
+      |    150000 + (17 * CAST(SUM(rc1.r // dc) AS BIGINT)) // 20 AS r
+      |  FROM e JOIN rc1 ON e.c = rc1.c JOIN degc ON e.c = degc.c GROUP BY e.s)
+      |SELECT s_suppkey, s_name, CAST(r AS BIGINT) AS influence_micro
+      |FROM rs2 JOIN supplier ON s = s_suppkey
+      |ORDER BY influence_micro DESC, s_suppkey LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+  /** Entity resolution over customer names: all pairs within
+    * levenshtein distance 1, found by DELETION-NEIGHBORHOOD blocking
+    * (the symmetric-delete / SymSpell scheme): each name emits itself
+    * plus every single-character deletion as block keys, and any two
+    * strings within edit distance 1 share at least one key
+    * (substitution at position i → both i-deletions agree; pure
+    * insert/delete → the shorter name IS a deletion of the longer) —
+    * GUARANTEED recall, verified against the brute-force quadratic
+    * join in the spec. The verify stage computes the true
+    * `levenshtein` over the full names (identical unit-cost semantics
+    * in Spark and DuckDB).
+    *
+    * Why not fixed-substring blocks: any scheme keyed on a digit
+    * subset collapses on dense zero-padded IDs (every key shares the
+    * high digits → one block holds the corpus and the join goes
+    * quadratic — measured 49 s at sf0.1). Deletion keys carry ALL the
+    * string's information except one character, so a block holds only
+    * genuine near-matches: fan-out is a fixed (len+1)× explode,
+    * LINEAR in the corpus, and block width tracks true duplicate
+    * density. Same discipline as the simhash banding tier: blocking
+    * keys are equi-join buckets, never a similarity predicate that
+    * would plan as a nested-loop all-pairs scan.
+    *
+    * Shape: one generated-column explode (codegen HOF, no UDF), one
+    * equi self-join on the variant key, pair-key distinct (a pair can
+    * share up to len+1 keys), bounded verify. `materialize` pins the
+    * variant table so the explode runs once, not once per join side. */
+  def recordLinkage(s: SparkSession, dir: String,
+                    materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val v = materialize(
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          // array_distinct: deleting any of a run of equal characters
+          // (the zero-padding) yields the SAME variant string — one
+          // key per record, not one per deletion position, or the
+          // self-join multiplies every real pair by run-length²
+          explode(expr(
+            """array_distinct(transform(sequence(0, length(c_name)),
+              |  i -> if(i = 0, c_name,
+              |          concat(substring(c_name, 1, i-1),
+              |                 substring(c_name, i+1, length(c_name))))))""".stripMargin))
+            .as("v")))
+    val a = v.alias("a")
+    val b = v.alias("b")
+    val cand = a.join(b,
+        col("a.v") === col("b.v") && col("a.c_custkey") < col("b.c_custkey"))
+      .select(
+        col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
+        col("a.c_name").as("name_a"), col("b.c_name").as("name_b"),
+        (col("a.c_nationkey") === col("b.c_nationkey")).as("same_nation"))
+      .distinct()
+    cand
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev") <= 1)
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        col("same_nation"), col("lev"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  val recordLinkageSql: String =
+    """WITH c AS (SELECT c_custkey, c_name, c_nationkey,
+      |    SUBSTRING(c_name, 10, 3) AS k1, SUBSTRING(c_name, 13, 3) AS k2,
+      |    SUBSTRING(c_name, 16, 3) AS k3 FROM customer),
+      |cand AS (
+      |  SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |    a.c_name AS name_a, b.c_name AS name_b,
+      |    a.c_nationkey = b.c_nationkey AS same_nation
+      |  FROM c a JOIN c b
+      |    ON a.c_custkey < b.c_custkey
+      |   AND ((a.k1 = b.k1 AND a.k2 = b.k2) OR (a.k1 = b.k1 AND a.k3 = b.k3)
+      |     OR (a.k2 = b.k2 AND a.k3 = b.k3)))
+      |SELECT key_a, key_b, name_a, name_b, same_nation,
+      |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+      |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+      |ORDER BY key_a, key_b""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  /** Market-basket co-purchase lift: part pairs ordered together more
+    * often than independence predicts —
+    * `lift = N·c(a,b) / (c(a)·c(b))` over distinct (order, part)
+    * incidences, support ≥ 3, top 100. The classic association-rule
+    * screen (which parts should be bundled / co-located).
+    *
+    * Numerics: counts are exact BIGINTs; the surfaced lift is the ONE
+    * pinned IEEE expression `(double(N)·c_ab) / (double(c_a)·c_b)` —
+    * int→double conversions exact below 2⁵³, then one multiply each
+    * side of one divide, so both engines produce the identical double
+    * (the integer-cross-product alternative `N·c_ab·10⁶` would
+    * overflow BIGINT at warehouse scale; the division is the safe
+    * form).
+    *
+    * Shape: the basket explode is a SELF-JOIN ON l_orderkey — fan-out
+    * is Σ per-order `m·(m−1)/2` with m ≤ ~7 lines per order, so it
+    * scales linearly with the fact table, never quadratically with
+    * the part catalog. One shuffle to distinct (o, p), the self-join
+    * reuses that partitioning, pair counts partial-aggregate
+    * map-side; the per-part support table joins by part key. The
+    * 1-row N scalar is the only broadcast. */
+  def copurchaseLift(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val n = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    val supp = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = op.alias("x")
+      .join(op.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("part_a"), col("y.p").as("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    pairs
+      .join(supp.withColumnRenamed("p", "pa").withColumnRenamed("c", "ca"),
+        col("part_a") === col("pa"))
+      .join(supp.withColumnRenamed("p", "pb").withColumnRenamed("c", "cb"),
+        col("part_b") === col("pb"))
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("c_ab"),
+        ((col("n_orders").cast("double") * col("c_ab")) /
+          (col("ca").cast("double") * col("cb"))).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val copurchaseLiftSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+      |supp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1),
+      |pairs AS (SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+      |SELECT part_a, part_b, c_ab,
+      |  (CAST(n_orders AS DOUBLE) * c_ab) / (CAST(sa.c AS DOUBLE) * sb.c) AS lift
+      |FROM pairs, n
+      |JOIN supp sa ON part_a = sa.p JOIN supp sb ON part_b = sb.p
+      |WHERE c_ab >= 3
+      |ORDER BY lift DESC, part_a, part_b LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+  /** Per-nation EWMA trend of daily revenue, α = 1/8 in exact integer
+    * cents: `s₀ = x₀`, `sₜ = (7·sₜ₋₁ + xₜ) div 8` — every operand
+    * non-negative, so the truncating `div` IS floor and the whole
+    * series is a pure integer function of the daily totals (a float
+    * EWMA would compound rounding differently per engine; a log-space
+    * α^k window form needs `pow`). The anomaly/trend primitive for
+    * revenue monitoring.
+    *
+    * Shape: the recursion is inherently sequential, so it runs at the
+    * RIGHT grain — the corpus-scale work is the one partial-aggregable
+    * shuffle to (nation, day); the per-nation day series (calendar-
+    * sized, ~700 rows) then folds in ONE `aggregate` higher-order
+    * function over the sorted collected series — a per-group linear
+    * fold, Catalyst-codegen'd, no driver loop, no per-step shuffle
+    * (the DuckDB oracle needs a recursive CTE for the same walk). At
+    * 100 TB the day grain per nation is unchanged — the fold's input
+    * is bounded by the calendar, never by the fact table. */
+  def revenueEwma(s: SparkSession, dir: String): DataFrame = {
+    val dayRev = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").as("d"))
+      .agg(sum((dec(col("o_totalprice"), 12, 2) * 100).cast("long")).as("cents"))
+    dayRev
+      .groupBy(col("n_name"))
+      .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("xs"))
+      .select(col("n_name"), explode(expr(
+        """aggregate(xs,
+          |  named_struct(
+          |    'arr', cast(array() as array<struct<d:timestamp_ntz,cents:bigint,ewma:bigint>>),
+          |    's', cast(0 as bigint), 'first', true),
+          |  (acc, x) -> named_struct(
+          |    'arr', array_append(acc.arr, named_struct('d', x.d, 'cents', x.cents,
+          |      'ewma', if(acc.first, x.cents, (7*acc.s + x.cents) div 8))),
+          |    's', if(acc.first, x.cents, (7*acc.s + x.cents) div 8),
+          |    'first', false),
+          |  acc -> acc.arr)""".stripMargin)).as("e"))
+      .select(col("n_name"), col("e.d").as("d"), col("e.cents").as("cents"),
+        col("e.ewma").as("ewma_cents"))
+      .orderBy(col("n_name"), col("d"))
+  }
+
+  val revenueEwmaSql: String =
+    """WITH RECURSIVE day_rev AS (SELECT n_name, o_orderdate AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+      |idx AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY d) AS i
+      |  FROM day_rev),
+      |ew AS (
+      |  SELECT n_name, d, i, cents, cents AS ewma FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT idx.n_name, idx.d, idx.i, idx.cents, (7*ew.ewma + idx.cents) // 8
+      |  FROM ew JOIN idx ON idx.n_name = ew.n_name AND idx.i = ew.i + 1)
+      |SELECT n_name, d, cents, CAST(ewma AS BIGINT) AS ewma_cents
+      |FROM ew ORDER BY n_name, d""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_histogram_quantiles" -> (histogramQuantiles _),
+    "q139_bipartite_rank" -> ((s: SparkSession, dir: String) =>
+      bipartiteRank(s, dir, materialize = _.localCheckpoint())),
+    "q141_record_linkage" -> ((s: SparkSession, dir: String) =>
+      recordLinkage(s, dir, materialize = _.localCheckpoint())),
+    "q142_copurchase_lift" -> (copurchaseLift _),
+    "q143_revenue_ewma" -> (revenueEwma _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q138_histogram_quantiles" -> histogramQuantilesSql,
+    "q139_bipartite_rank" -> bipartiteRankSql,
+    "q141_record_linkage" -> recordLinkageSql,
+    "q142_copurchase_lift" -> copurchaseLiftSql,
+    "q143_revenue_ewma" -> revenueEwmaSql,
+  )
+}
