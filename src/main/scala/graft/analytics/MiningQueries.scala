@@ -362,7 +362,134 @@ object MiningQueries {
       |SELECT n_name, d, cents, CAST(ewma AS BIGINT) AS ewma_cents
       |FROM ew ORDER BY n_name, d""".stripMargin
 
+  // ---------------------------------------------------------------- q145
+  /** Per-nation CUSUM change detection over daily revenue — the
+    * classic upward-level-shift monitor: `s₀ = 0`,
+    * `sₜ = max(0, sₜ₋₁ + xₜ − μ − k)` with reference μ = the nation's
+    * own mean daily revenue (exact integer `total div n`) and slack
+    * `k = μ div 10`; a day alarms when `sₜ > μ` (threshold h = μ).
+    * Surfaced per nation: peak statistic, alarm-day count, first alarm
+    * date. Everything is integer cents — subtraction then `greatest`,
+    * no division on a possibly-negative operand (the one place Spark's
+    * truncating `div` and DuckDB's flooring `//` could split).
+    *
+    * Same scale skeleton as q143: the corpus collapses in ONE shuffle
+    * to (nation, day); the calendar-sized series folds in one Catalyst
+    * `aggregate` HOF (DuckDB needs a recursive CTE); the per-nation
+    * mean table broadcasts onto the fold input. */
+  def revenueCusum(s: SparkSession, dir: String): DataFrame = {
+    val dayRev = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").as("d"))
+      .agg(sum((dec(col("o_totalprice"), 12, 2) * 100).cast("long")).as("cents"))
+    val mu = dayRev.groupBy(col("n_name"))
+      .agg(expr("sum(cents) div count(1)").as("mu"))
+    dayRev.join(broadcast(mu), Seq("n_name"))
+      .groupBy(col("n_name"), col("mu"))
+      .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("xs"))
+      .select(col("n_name"), expr(
+        """aggregate(xs,
+          |  named_struct('s', cast(0 as bigint), 'mx', cast(0 as bigint),
+          |    'al', cast(0 as bigint), 'fa', cast(null as timestamp_ntz)),
+          |  (acc, x) -> named_struct(
+          |    's', greatest(cast(0 as bigint), acc.s + x.cents - mu - mu div 10),
+          |    'mx', greatest(acc.mx,
+          |      greatest(cast(0 as bigint), acc.s + x.cents - mu - mu div 10)),
+          |    'al', acc.al + if(greatest(cast(0 as bigint),
+          |      acc.s + x.cents - mu - mu div 10) > mu, 1, 0),
+          |    'fa', if(acc.fa is null and greatest(cast(0 as bigint),
+          |      acc.s + x.cents - mu - mu div 10) > mu, x.d, acc.fa)),
+          |  acc -> acc)""".stripMargin).as("r"))
+      .select(col("n_name"), col("r.mx").as("max_cusum"),
+        col("r.al").as("n_alarm_days"), col("r.fa").as("first_alarm_day"))
+      .orderBy(col("n_name"))
+  }
+
+  val revenueCusumSql: String =
+    """WITH RECURSIVE day_rev AS (SELECT n_name, o_orderdate AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+      |m AS (SELECT n_name, CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mu
+      |  FROM day_rev GROUP BY 1),
+      |idx AS (SELECT day_rev.*, mu,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY d) AS i
+      |  FROM day_rev JOIN m USING (n_name)),
+      |cu AS (
+      |  SELECT n_name, d, i, mu,
+      |    GREATEST(CAST(0 AS BIGINT), cents - mu - mu // 10) AS s
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT idx.n_name, idx.d, idx.i, idx.mu,
+      |    GREATEST(CAST(0 AS BIGINT), cu.s + idx.cents - idx.mu - idx.mu // 10)
+      |  FROM cu JOIN idx ON idx.n_name = cu.n_name AND idx.i = cu.i + 1)
+      |SELECT n_name, CAST(MAX(s) AS BIGINT) AS max_cusum,
+      |  CAST(SUM(CASE WHEN s > mu THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+      |  MIN(CASE WHEN s > mu THEN d END) AS first_alarm_day
+      |FROM cu GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q146
+  /** Benford first-digit audit of order values — the fraud/synthetic-
+    * data screen: observed first-significant-digit distribution vs
+    * Benford's law, deviations in parts-per-million. The Benford
+    * probabilities `log₁₀(1+1/d)` are FIXED constants embedded as the
+    * same integer-ppm literals in both engines (301030 … 45757, sum
+    * exactly 1 000 000) — no runtime `log` anywhere; observed shares
+    * are exact integer `obs·10⁶ div n` (envelope: overflows past
+    * ~9·10¹² rows — shard and merge counts first at that size). The
+    * first digit comes from the decimal string of integer cents,
+    * identical in both engines for positive integers.
+    *
+    * (On TPC-H-uniform prices the audit rightly screams — uniform
+    * data is exactly what Benford flags as unnatural.)
+    *
+    * Shape: one partial-aggregable shuffle to 9 digit groups; the
+    * 1-row total is the only broadcast. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val benford =
+      """CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        | WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+        | WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        | WHEN '9' THEN 45757 END""".stripMargin
+    val d = t(s, dir, "orders")
+      .select((dec(col("o_totalprice"), 12, 2) * 100).cast("long").as("cents"))
+      .groupBy(substring(col("cents").cast("string"), 1, 1).as("digit"))
+      .agg(count(lit(1)).as("observed"))
+    val n = d.agg(sum(col("observed")).as("n"))
+    d.crossJoin(broadcast(n))
+      .select(col("digit"), col("observed"),
+        expr("(observed * 1000000) div n").as("observed_ppm"),
+        expr(benford).cast("long").as("benford_ppm"),
+        (expr("(observed * 1000000) div n") - expr(benford).cast("long"))
+          .as("deviation_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT)
+      |    AS cents FROM orders),
+      |d AS (SELECT SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS digit,
+      |    CAST(COUNT(*) AS BIGINT) AS observed FROM c GROUP BY 1),
+      |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM d),
+      |b AS (SELECT digit, observed,
+      |    (observed * 1000000) // n AS observed_ppm,
+      |    CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+      |      WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+      |      WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+      |      WHEN '9' THEN 45757 END AS benford_ppm
+      |  FROM d, n)
+      |SELECT digit, observed, CAST(observed_ppm AS BIGINT) AS observed_ppm,
+      |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+      |  CAST(observed_ppm - benford_ppm AS BIGINT) AS deviation_ppm
+      |FROM b ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_revenue_cusum" -> (revenueCusum _),
+    "q146_benford_audit" -> (benfordAudit _),
     "q138_histogram_quantiles" -> (histogramQuantiles _),
     "q139_bipartite_rank" -> ((s: SparkSession, dir: String) =>
       bipartiteRank(s, dir, materialize = _.localCheckpoint())),
@@ -373,6 +500,8 @@ object MiningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_revenue_cusum" -> revenueCusumSql,
+    "q146_benford_audit" -> benfordAuditSql,
     "q138_histogram_quantiles" -> histogramQuantilesSql,
     "q139_bipartite_rank" -> bipartiteRankSql,
     "q141_record_linkage" -> recordLinkageSql,

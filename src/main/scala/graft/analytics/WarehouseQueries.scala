@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, Scd2, SkewJoin}
 import graft.functions.LarkFunctions
+import graft.functions.Exact.sumRevenue
 
 /** Warehouse-layer operators (SCD2, MERGE upsert, bronze normalize)
   * exercised as oracle-checkable queries over the test star schema.
@@ -472,7 +473,54 @@ object WarehouseQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---------------------------------------------------------------- q144
+  /** Merge-maintained materialized JOIN view
+    * ([[graft.operators.IncrementalJoin]]): the orders⋈lineitem
+    * enriched view built over three insert-only waves — orders sliced
+    * `o_orderkey % 3`, lineitems independently
+    * `(l_orderkey + l_linenumber) % 3`, so every delta-algebra term
+    * fires (a wave's lineitems join orders from EARLIER waves and vice
+    * versa) — then aggregated per priority. The oracle recomputes the
+    * whole join from scratch in DuckDB: incremental == full, q121's
+    * contract extended from aggregates to joins. Each wave's cost is
+    * `|Δ| ⋈ state` + an O(|Δout|) append; history is never rewritten
+    * (the per-JVM /tmp rebuild per invocation is the test harness,
+    * not the maintenance cost). */
+  def incrementalJoinView(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalJoin
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_incr_join_" +
+      math.abs(dir.hashCode.toLong)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true) // fresh maintenance run per invocation (idempotent)
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+    for (w <- 0 to 2)
+      IncrementalJoin.mergeInto(s, root, s"w$w",
+        o.filter(col("o_orderkey") % 3 === w),
+        li.filter((col("o_orderkey") + col("l_linenumber")) % 3 === w),
+        Seq("o_orderkey"))
+    IncrementalJoin.view(s, root).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Full-recompute oracle: the maintained view must aggregate exactly
+    * like the one-shot join. */
+  val incrementalJoinViewSql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_incremental_join_view" -> (incrementalJoinView _),
     "q107_constraint_audit" -> (constraintAudit _),
     "q116_profile_orders_approx" -> (profileOrdersApprox _),
     "q114_dsv2_jsonl_scan" -> (dsv2JsonlScan _),
@@ -490,6 +538,7 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_incremental_join_view" -> incrementalJoinViewSql,
     "q107_constraint_audit" -> constraintAuditSql,
     "q114_dsv2_jsonl_scan" -> dsv2JsonlScanSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,

@@ -141,9 +141,45 @@ class MiningQueriesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---------------------------------------------------------------- q145
+  test("q145: CUSUM fold equals the sequential recurrence with the nation mean") {
+    val dayRev = MiningQueries.revenueEwma(spark, dir).collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate.toEpochDay, r.getLong(2)))
+    val rows = MiningQueries.revenueCusum(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    dayRev.groupBy(_._1).foreach { case (nation, xs) =>
+      val series = xs.sortBy(_._2).map(_._3)
+      val mu = series.sum / series.length
+      var s = 0L; var mx = 0L; var al = 0L
+      for (x <- series) {
+        s = math.max(0L, s + x - mu - mu / 10)
+        mx = math.max(mx, s)
+        if (s > mu) al += 1
+      }
+      assert(rows(nation) == ((mx, al)), s"$nation: ${rows(nation)} vs ($mx, $al)")
+    }
+  }
+
+  // ---------------------------------------------------------------- q146
+  test("q146: Benford audit covers digits 1-9 with exact integer shares") {
+    val rows = MiningQueries.benfordAudit(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == (1 to 9).map(_.toString))
+    val n = rows.map(_.getLong(1)).sum
+    for (r <- rows) {
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / n) // observed_ppm
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3)) // deviation
+    }
+    // the embedded Benford constants are a probability distribution
+    assert(rows.map(_.getLong(3)).sum == 1000000L)
+  }
+
   test("new mining queries are registered with oracles") {
     for (q <- Seq("q138_histogram_quantiles", "q139_bipartite_rank",
-        "q141_record_linkage", "q142_copurchase_lift", "q143_revenue_ewma")) {
+        "q141_record_linkage", "q142_copurchase_lift", "q143_revenue_ewma",
+        "q144_incremental_join_view", "q145_revenue_cusum",
+        "q146_benford_audit")) {
       assert(SparkEntry.queries.contains(q), q)
       assert(SparkEntry.oracleSql.contains(q), q)
     }
