@@ -905,7 +905,75 @@ object EventsQueries {
       |LEFT JOIN est p ON p.day = e.day - 1
       |ORDER BY e.day""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+  /** Two-proportion A/B z-test on activation: arm = `user_id % 2`
+    * (the deterministic hash-split every experimentation platform
+    * uses — q63's discipline), metric = "purchased within 7 days of
+    * first signup". Counts are exact integers from one user-grain
+    * aggregate; rates, pooled rate and the z statistic are the SAME
+    * pinned IEEE expression tree in both engines (divisions of exact
+    * counts, one `sqrt` — exactly-rounded per IEEE 754, so the
+    * statistic is bit-identical, q81's discipline). The experiment
+    * readout every product team runs, with no simulation or RNG
+    * anywhere.
+    *
+    * Shape: signup table is a user-grain aggregate; the conversion
+    * probe is a user-key equi join back to events (per-user fan-out
+    * bounded by activity), then ONE scalar aggregate — arm pivoting
+    * via conditional sums, no second shuffle. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val u = signup
+      .join(ev.select(col("user_id"), col("event_type"), col("ts").as("ets")),
+        Seq("user_id"), "left")
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("ets") > col("signup_ts") &&
+          col("ets") <= col("signup_ts") + expr("INTERVAL 7 DAY"), 1L)
+        .otherwise(0L)).as("conv"))
+    u.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        expr("cast(c0 as double) / n0").as("rate0"),
+        expr("cast(c1 as double) / n1").as("rate1"),
+        expr("cast(c0 + c1 as double) / (n0 + n1)").as("pooled"))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        col("rate0"), col("rate1"),
+        expr("rate1 - rate0").as("lift"),
+        expr("(rate1 - rate0) / sqrt(pooled * (1 - pooled) * (1.0/n0 + 1.0/n1))")
+          .as("z"))
+  }
+
+  val abTestSql: String =
+    """WITH s AS (SELECT user_id, MIN(date_trunc('second', ts)) AS signup_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |u AS (SELECT s.user_id, s.user_id % 2 AS arm,
+      |    MAX(CASE WHEN e.event_type = 'purchase'
+      |          AND date_trunc('second', e.ts) > s.signup_ts
+      |          AND date_trunc('second', e.ts) <= s.signup_ts + INTERVAL 7 DAY
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM s LEFT JOIN events e ON e.user_id = s.user_id
+      |  GROUP BY 1, 2),
+      |a AS (SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+      |  FROM u),
+      |r AS (SELECT n0, c0, n1, c1,
+      |    CAST(c0 AS DOUBLE) / n0 AS rate0, CAST(c1 AS DOUBLE) / n1 AS rate1,
+      |    CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pooled FROM a)
+      |SELECT n0, c0, n1, c1, rate0, rate1, rate1 - rate0 AS lift,
+      |  (rate1 - rate0) / sqrt(pooled * (1 - pooled) * (1.0/n0 + 1.0/n1)) AS z
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_ab_test" -> (abTest _),
     "q131_markov_transitions" -> (markovTransitions _),
     "q132_kmv_set_ops" -> (kmvSetOps _),
     "q134_linear_attribution" -> (linearAttribution _),
@@ -929,6 +997,7 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q147_ab_test" -> abTestSql,
     "q131_markov_transitions" -> markovTransitionsSql,
     "q132_kmv_set_ops" -> kmvSetOpsSql,
     "q134_linear_attribution" -> linearAttributionSql,

@@ -53,6 +53,34 @@ object Native {
   def misraGries(item: Column, k: Int): Column =
     c(MisraGries(e(item), k).toAggregateExpression())
 
+  /** Mergeable log₂/4-bit histogram aggregate (see [[HdrHistogram]]). */
+  def hdrHistogram(value: Column): Column =
+    c(HdrHistogram(e(value)).toAggregateExpression())
+
+  /** Upper-edge estimate of the p-th percentile (integer p, 1..100)
+    * from a [[hdrHistogram]] column: rank `⌈p·n/100⌉` walked over the
+    * sorted bucket array — the same all-integer walk as q138, as a
+    * scalar fold over the ≤ ~1k-entry histogram. The `/100` rides a
+    * double division then truncates — exact here because the numerator
+    * is exact below 2⁵³ and a non-integer quotient sits ≥ 0.01 from
+    * any integer, far beyond one ulp. */
+  def histogramQuantile(hist: Column, p: Int): Column = {
+    require(p >= 1 && p <= 100, s"percentile $p out of range")
+    import org.apache.spark.sql.functions.{aggregate => fold, lit, struct, when}
+    val n = fold(hist, lit(0L), (a, x) => a + x.getField("cnt"))
+    val rank = ((lit(p.toLong) * n + lit(99L)) / lit(100L)).cast("long")
+    val init = struct(lit(0L).as("cum"), lit(null).cast("long").as("res"),
+      rank.as("rank"))
+    fold(hist, init,
+      (acc, x) => when(acc.getField("res").isNotNull, acc).otherwise(
+        when(acc.getField("cum") + x.getField("cnt") >= acc.getField("rank"),
+          struct(acc.getField("cum").as("cum"), x.getField("hi").as("res"),
+            acc.getField("rank").as("rank")))
+          .otherwise(struct((acc.getField("cum") + x.getField("cnt")).as("cum"),
+            lit(null).cast("long").as("res"), acc.getField("rank").as("rank")))),
+      acc => acc.getField("res"))
+  }
+
   def pyToJson(col: Column): Column = c(PyToJson(e(col)))
 
   def coerceNumeric(col: Column): Column = c(CoerceNumeric(e(col)))

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CoerceNumeric, DotProduct, KmvSketch, MinHashSignatures, MisraGries, PyToJson, SimHashFingerprint, SquaredL2, TopKBy, WinnowFingerprints, WordNgrams}
+import graft.functions.{CoerceNumeric, DotProduct, HdrHistogram, KmvSketch, MinHashSignatures, MisraGries, PyToJson, SimHashFingerprint, SquaredL2, TopKBy, WinnowFingerprints, WordNgrams}
 
 /** Engine extensions, installed via `spark.sql.extensions` (set by
   * [[graft.core.GraftSession]]): registers the native expressions so
@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
       (children: Seq[Expression]) =>
         MisraGries(children.head, intLit(children(1), "misra_gries"))))
+    ext.injectFunction((
+      new FunctionIdentifier("hdr_histogram"),
+      new ExpressionInfo(classOf[HdrHistogram].getName, "hdr_histogram"),
+      (children: Seq[Expression]) => HdrHistogram(children.head)))
     // conf-gated (spark.graft.rangeJoin.bucketWidth): rewrites non-equi
     // interval joins to bucketed equi joins — see RangeJoinRule
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))

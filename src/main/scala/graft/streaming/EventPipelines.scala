@@ -83,6 +83,30 @@ object EventPipelines {
       .select(col("window_start"), col("c.item").as("item"),
         col("c.est").as("est"))
 
+  /** Streaming value-quantile monitor: per event-time window, p50/p95/
+    * p99 of the event value (integer cents) from the mergeable
+    * [[graft.functions.HdrHistogram]] sketch — the streaming face of
+    * q138. The state-store value per open window is the ≤ ~1k-counter
+    * histogram buffer, FIXED no matter how many events stream through
+    * (an exact streaming percentile would hold every value in state
+    * until the watermark closes the window); estimates are bucket
+    * upper edges, ≤ 6.25 % high, and — because the sketch merges by
+    * addition — bit-identical to the batch aggregate over the same
+    * rows (EventPipelinesSpec pins batch/stream equality). */
+  def windowedValueQuantiles(events: DataFrame, win: String = "1 day",
+                             watermark: String = "2 days"): DataFrame = {
+    import graft.functions.Native
+    val hist = events
+      .withColumn("cents", (dec(col("value"), 18, 2) * 100).cast("long"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win))
+      .agg(Native.hdrHistogram(col("cents")).as("h"))
+    hist.select(col("window.start").as("window_start"),
+      Native.histogramQuantile(col("h"), 50).as("p50_hi_cents"),
+      Native.histogramQuantile(col("h"), 95).as("p95_hi_cents"),
+      Native.histogramQuantile(col("h"), 99).as("p99_hi_cents"))
+  }
+
   /** Streaming exact dedup: drop replayed event ids inside the
     * watermark horizon — the streaming tier of the dedup ladder
     * (at-least-once sources -> exactly-once rows downstream). State is
