@@ -1278,7 +1278,136 @@ object Analytics {
       |    AS gini
       |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** RFM customer segmentation — the classic marketing cube: quartile
+    * scores for Recency (latest order date), Frequency (order count)
+    * and Monetary (lifetime cents), rolled up to segment grain
+    * (≤ 64 cells) with exact per-segment totals. Score 1 is always
+    * the BEST quartile (most recent / most orders / most spend), so
+    * segment (1,1,1) is the champion cell and (4,4,4) the lost one.
+    *
+    * Determinism: NTILE is pure integer bucketing (SQL-standard: the
+    * first `n mod 4` buckets take the extra row — identical in both
+    * engines) and every ORDER BY carries `c_custkey` as the final
+    * tiebreak, so scores are a pure function of the table.
+    *
+    * Scale: the fact table collapses to customer grain in ONE
+    * aggregate shuffle before any window — the three quartile
+    * windows sort the ~fact/1000-sized dimension, not the corpus.
+    * They are partition-less (a global quartile IS a global
+    * statement); past the single-machine-sort point the swap-in is
+    * quartile THRESHOLDS from a histogram sketch (q138's shape) and
+    * a per-row comparison — same output contract. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum((dec(col("o_totalprice"), 12, 2) * 100).cast("long")).as("cents"))
+    val r = Window.orderBy(col("last_order").desc, col("o_custkey"))
+    val f = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+    val m = Window.orderBy(col("cents").desc, col("o_custkey"))
+    cust.select(col("o_custkey"), col("n_orders"), col("cents"),
+        ntile(4).over(r).as("r_score"),
+        ntile(4).over(f).as("f_score"),
+        ntile(4).over(m).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("total_orders"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("r_score").cast("long"), col("f_score").cast("long"),
+        col("m_score").cast("long"), col("n_customers"),
+        col("total_orders"), col("total_cents"),
+        expr("total_cents div n_customers").as("avg_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH cust AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |scored AS (SELECT o_custkey, n_orders, cents,
+      |    NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+      |    NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_score,
+      |    NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS m_score
+      |  FROM cust)
+      |SELECT CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_cents
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
+
+  // ---------------------------------------------------------------- q151
+  /** Pareto-frontier suppliers — the 2-D skyline over (revenue ↑,
+    * returned value ↓): a supplier is ON the frontier iff no other
+    * supplier has ≥ revenue AND ≤ returns with at least one strict.
+    * The procurement shortlist query: everyone off the frontier is
+    * strictly worse than someone on it.
+    *
+    * NOT the textbook quadratic dominance anti-join: for 2-D the
+    * skyline falls out of one SORT-AND-SWEEP — collapse equal-revenue
+    * groups to their best (minimum) returns, then a running-min walk
+    * down the revenue order keeps exactly the groups whose best
+    * returns beat every higher-revenue group. O(n log n), expressed
+    * as two windows over SUPPLIER-grain data (the fact table
+    * collapsed in one aggregate shuffle first). Equal (revenue,
+    * returns) twins neither dominate each other — both surface.
+    *
+    * All comparisons are exact integer cents; no floats anywhere. */
+  def paretoSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = li.groupBy(col("l_suppkey"))
+      .agg(sum((dec(col("l_extendedprice"), 12, 2) * 100).cast("long"))
+          .as("rev_cents"),
+        sum(when(col("l_returnflag") === "R",
+            (dec(col("l_extendedprice"), 12, 2) * 100).cast("long"))
+          .otherwise(0L)).as("ret_cents"))
+    val byRev = sup.groupBy(col("rev_cents"))
+      .agg(min(col("ret_cents")).as("best_ret"))
+    val sweep = Window.orderBy(col("rev_cents").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = byRev
+      .withColumn("prev_best", min(col("best_ret")).over(sweep))
+      .filter(col("prev_best").isNull || col("best_ret") < col("prev_best"))
+      .select(col("rev_cents"), col("best_ret"))
+    sup.as("s").join(
+        frontier.select(col("rev_cents").as("f_rev"), col("best_ret")).as("f"),
+        col("s.rev_cents") === col("f_rev") &&
+          col("s.ret_cents") === col("best_ret"))
+      .select(col("s.l_suppkey").as("s_suppkey"), col("s.rev_cents").as("rev_cents"),
+        col("s.ret_cents").as("ret_cents"))
+      .orderBy(col("rev_cents").desc, col("s_suppkey"))
+  }
+
+  val paretoSuppliersSql: String =
+    """WITH sup AS (SELECT l_suppkey AS s_suppkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT))
+      |      AS BIGINT) AS rev_cents,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+      |        THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)
+      |        ELSE 0 END) AS BIGINT) AS ret_cents
+      |  FROM lineitem GROUP BY 1),
+      |by_rev AS (SELECT rev_cents, MIN(ret_cents) AS best_ret
+      |  FROM sup GROUP BY 1),
+      |sweep AS (SELECT rev_cents, best_ret,
+      |    MIN(best_ret) OVER (ORDER BY rev_cents DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+      |  FROM by_rev),
+      |frontier AS (SELECT rev_cents, best_ret FROM sweep
+      |  WHERE prev_best IS NULL OR best_ret < prev_best)
+      |SELECT s.s_suppkey, s.rev_cents, s.ret_cents
+      |FROM sup s JOIN frontier f
+      |  ON s.rev_cents = f.rev_cents AND s.ret_cents = f.best_ret
+      |ORDER BY s.rev_cents DESC, s.s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_rfm_segments" -> (rfmSegments _),
+    "q151_pareto_suppliers" -> (paretoSuppliers _),
     "q136_revenue_gini" -> (revenueGini _),
     "q127_order_count_distribution" -> (orderCountDistribution _),
     "q122_order_span_months" -> (orderSpanMonths _),
@@ -1321,6 +1450,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_rfm_segments" -> rfmSegmentsSql,
+    "q151_pareto_suppliers" -> paretoSuppliersSql,
     "q136_revenue_gini" -> revenueGiniSql,
     "q127_order_count_distribution" -> orderCountDistributionSql,
     "q122_order_span_months" -> orderSpanMonthsSql,

@@ -972,7 +972,108 @@ object EventsQueries {
       |  (rate1 - rate0) / sqrt(pooled * (1 - pooled) * (1.0/n0 + 1.0/n1)) AS z
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+  /** Behavioral-diversity profile: per-user Gini–Simpson index of the
+    * event-type mix, rolled into an 11-bucket decile histogram. A
+    * user who only ever does one thing scores 0; one spread evenly
+    * over k types approaches 1 − 1/k — the "is this account a bot on
+    * one loop or a human exploring" screen, and the engagement-breadth
+    * axis every retention model wants next to raw counts.
+    *
+    * Deliberately NOT Shannon entropy: entropy needs `log`, whose
+    * last-ulp behavior differs across libm builds. The unbiased
+    * Gini–Simpson form `1 − Σcᵢ(cᵢ−1)/(n(n−1))` is a pure RATIONAL
+    * function of exact counts, carried here in integer ppm —
+    * `10⁶ − (10⁶·Σcᵢ(cᵢ−1)) div (n(n−1))` — so every value is a pure
+    * integer function of the input bag (all operands non-negative:
+    * truncating div == flooring //; envelope: 10⁶·n² < 2⁶³ holds to
+    * ~3·10⁶ events per user).
+    *
+    * Shape: one partial-aggregable shuffle to (user, type) — the
+    * per-user type vector is its own map-side combine — then a
+    * user-grain aggregate and an 11-row histogram. No window, no
+    * join; single-session users (n < 2, index undefined) are counted
+    * separately rather than silently dropped. */
+  def behaviorDiversity(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val perType = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val perUser = perType.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * (col("c") - 1)).as("pairs"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n"),
+        expr("1000000 - (1000000 * pairs) div (n * (n - 1))").as("ppm"))
+    perUser.groupBy(expr("ppm div 100000").as("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n")).as("total_events"),
+        min(col("ppm")).as("min_ppm"),
+        max(col("ppm")).as("max_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val behaviorDiversitySql: String =
+    """WITH per_type AS (SELECT user_id, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |per_user AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(c*(c-1)) AS BIGINT) AS pairs
+      |  FROM per_type GROUP BY 1 HAVING CAST(SUM(c) AS BIGINT) >= 2),
+      |d AS (SELECT user_id, n,
+      |    1000000 - (1000000 * pairs) // (n * (n - 1)) AS ppm FROM per_user)
+      |SELECT ppm // 100000 AS decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n) AS BIGINT) AS total_events,
+      |  CAST(MIN(ppm) AS BIGINT) AS min_ppm, CAST(MAX(ppm) AS BIGINT) AS max_ppm
+      |FROM d GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- q153
+  /** Activity-streak distribution (islands & gaps): each user's
+    * longest run of CONSECUTIVE active days, histogrammed over users —
+    * the habit-formation curve (how many users ever sustain a 7-day
+    * streak?) that raw DAU cannot see.
+    *
+    * The islands trick: over a user's distinct active days in order,
+    * `day − row_number()` is CONSTANT exactly within a consecutive
+    * run — one window, one date subtraction, and runs become group
+    * keys. No self-join, no recursive walk.
+    *
+    * Shape: the corpus collapses to distinct (user, day) in one
+    * shuffle (map-side combine; the grain is users × calendar, ~10³×
+    * smaller than events); the window repartitions by user only if
+    * the distinct didn't already (same key — Spark reuses the
+    * exchange); everything after is streak-grain. Deterministic with
+    * no tiebreak needed: distinct days are unique within a user. */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    val maxStreak = streaks.groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"))
+    maxStreak.groupBy(col("max_streak"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("max_streak"))
+  }
+
+  val activityStreaksSql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |g AS (SELECT user_id, day,
+      |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS INTEGER) AS grp
+      |  FROM days),
+      |streaks AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM g GROUP BY 1, 2),
+      |m AS (SELECT user_id, MAX(len) AS max_streak FROM streaks GROUP BY 1)
+      |SELECT CAST(max_streak AS BIGINT) AS max_streak,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM m GROUP BY 1 ORDER BY max_streak""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_behavior_diversity" -> (behaviorDiversity _),
+    "q153_activity_streaks" -> (activityStreaks _),
     "q147_ab_test" -> (abTest _),
     "q131_markov_transitions" -> (markovTransitions _),
     "q132_kmv_set_ops" -> (kmvSetOps _),
@@ -997,6 +1098,8 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q152_behavior_diversity" -> behaviorDiversitySql,
+    "q153_activity_streaks" -> activityStreaksSql,
     "q147_ab_test" -> abTestSql,
     "q131_markov_transitions" -> markovTransitionsSql,
     "q132_kmv_set_ops" -> kmvSetOpsSql,

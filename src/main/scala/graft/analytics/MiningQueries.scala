@@ -487,7 +487,161 @@ object MiningQueries {
       |  CAST(observed_ppm - benford_ppm AS BIGINT) AS deviation_ppm
       |FROM b ORDER BY digit""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  /** Per-nation autocorrelation (lags 1–7) of the daily-revenue
+    * series — the seasonality probe behind every forecasting model:
+    * a strong lag-7 spike means weekly rhythm, a slow lag-1 decay
+    * means momentum, ≈0 everywhere means the series is noise (TPC-H's
+    * uniform order stream — and the probe rightly says so).
+    *
+    * Numerics: Pearson r over the lagged pairs from SIX exact
+    * moments — n, Σx, Σy, Σxy, Σx², Σy² — accumulated as
+    * DECIMAL(38,0) of integer-cent products (cents ≤ ~6·10⁷ so each
+    * product < 2⁵³·precision envelope; Σ over a calendar of days
+    * never nears 38 digits). Each moment converts to double ONCE
+    * (nearest-even, identical in both engines) and
+    * `r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²ᵗᵉʳᵐ) · sqrt(n·Σy² −
+    * Σy²ᵗᵉʳᵐ))` is the SAME pinned IEEE expression tree on both
+    * sides — multiplies, subtracts and two exactly-rounded `sqrt`s,
+    * no transcendental (q147's discipline).
+    *
+    * Scale: corpus work is the ONE shuffle to (nation, day) — after
+    * that the series is calendar-sized. The seven lags ride ONE
+    * window over that small series (sorted once per nation), unpivot
+    * to (lag, x, y) pairs, and the moments partial-aggregate
+    * map-side. Lag is measured in ACTIVE-day steps (gaps close up) —
+    * deterministic because (nation, day) is unique. */
+  def revenueAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val dayRev = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").as("d"))
+      .agg(sum((dec(col("o_totalprice"), 12, 2) * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("d"))
+    val lagged = dayRev.select(
+      col("n_name") +: col("cents").as("x") +:
+        (1 to 7).map(k => lag(col("cents"), k).over(w).as(s"y$k")): _*)
+    val pairs = lagged.select(col("n_name"), col("x"), expr(
+      "stack(7, 1L, y1, 2L, y2, 3L, y3, 4L, y4, 5L, y5, 6L, y6, 7L, y7)")
+        .as(Seq("lag", "y")))
+      .filter(col("y").isNotNull)
+    pairs.groupBy(col("n_name"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .select(col("n_name"), col("lag"), col("n"),
+        expr("""(cast(n as double) * cast(sxy as double)
+          | - cast(sx as double) * cast(sy as double))
+          | / (sqrt(cast(n as double) * cast(sxx as double)
+          |      - cast(sx as double) * cast(sx as double))
+          |    * sqrt(cast(n as double) * cast(syy as double)
+          |      - cast(sy as double) * cast(sy as double)))""".stripMargin)
+          .as("r"))
+      .orderBy(col("n_name"), col("lag"))
+  }
+
+  val revenueAutocorrSql: String =
+    """WITH day_rev AS (SELECT n_name, o_orderdate AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+      |lagged AS (SELECT n_name, cents AS x,
+      |    LAG(cents, 1) OVER w AS y1, LAG(cents, 2) OVER w AS y2,
+      |    LAG(cents, 3) OVER w AS y3, LAG(cents, 4) OVER w AS y4,
+      |    LAG(cents, 5) OVER w AS y5, LAG(cents, 6) OVER w AS y6,
+      |    LAG(cents, 7) OVER w AS y7
+      |  FROM day_rev WINDOW w AS (PARTITION BY n_name ORDER BY d)),
+      |pairs AS (
+      |  SELECT n_name, 1 AS lag, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+      |  UNION ALL SELECT n_name, 2, x, y2 FROM lagged WHERE y2 IS NOT NULL
+      |  UNION ALL SELECT n_name, 3, x, y3 FROM lagged WHERE y3 IS NOT NULL
+      |  UNION ALL SELECT n_name, 4, x, y4 FROM lagged WHERE y4 IS NOT NULL
+      |  UNION ALL SELECT n_name, 5, x, y5 FROM lagged WHERE y5 IS NOT NULL
+      |  UNION ALL SELECT n_name, 6, x, y6 FROM lagged WHERE y6 IS NOT NULL
+      |  UNION ALL SELECT n_name, 7, x, y7 FROM lagged WHERE y7 IS NOT NULL),
+      |m AS (SELECT n_name, lag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(CAST(x AS HUGEINT)*y) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(x AS HUGEINT)*x) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CAST(y AS HUGEINT)*y) AS DECIMAL(38,0)) AS syy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT n_name, CAST(lag AS BIGINT) AS lag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+      |FROM m ORDER BY n_name, lag""".stripMargin
+
+  // ---------------------------------------------------------------- q150
+  /** Supplier-community triangles: count, per supplier, the triangles
+    * of the co-fulfillment graph (edge = two suppliers co-appearing
+    * in ≥ 4 orders). Triangle participation is the classic
+    * clustering/community signal — a supplier embedded in a dense
+    * clique of co-suppliers vs one with the same degree spread over
+    * disconnected partners; pure degree can't tell them apart.
+    *
+    * Shape is the distributed triangle-enumeration standard: edges
+    * are ORIENTED low-key → high-key, so each triangle {a<b<c}
+    * materializes exactly once as the wedge (a,b)+(b,c) closed by
+    * (a,c) — no division by 6, no symmetric blowup. The wedge join
+    * is the quadratic hazard; the support-≥ 4 threshold is the degree
+    * cap (at production scale the orientation flips to
+    * lower-DEGREE → higher-degree, which provably caps wedge fan-out
+    * at O(edges^1.5) — same plan shape, different sort key). The
+    * co-order counting itself is linear: orders fan out to
+    * (lines-per-order choose 2) ≈ 21 pairs each.
+    *
+    * Exact integer counts end to end; top 20 by (triangles, suppkey)
+    * both deterministic. */
+  def supplierTriangles(s: SparkSession, dir: String): DataFrame = {
+    val os = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val e = os.as("x").join(os.as("y"), col("x.ok") === col("y.ok") &&
+        col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 4)
+      .select(col("a"), col("b"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"), col("ac.a") === col("ab.a") &&
+        col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("a"), col("ab.b").as("b"), col("bc.b").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("s_suppkey"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("triangles"))
+      .orderBy(col("triangles").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val supplierTrianglesSql: String =
+    """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |  FROM lineitem),
+      |e AS (SELECT x.sk AS a, y.sk AS b
+      |  FROM os x JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+      |tri AS (SELECT ab.a, ab.b, bc.b AS c
+      |  FROM e ab JOIN e bc ON ab.b = bc.a
+      |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+      |part AS (SELECT a AS s_suppkey FROM tri
+      |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS triangles
+      |FROM part GROUP BY 1
+      |ORDER BY triangles DESC, s_suppkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_supplier_triangles" -> (supplierTriangles _),
+    "q148_revenue_autocorr" -> (revenueAutocorr _),
     "q145_revenue_cusum" -> (revenueCusum _),
     "q146_benford_audit" -> (benfordAudit _),
     "q138_histogram_quantiles" -> (histogramQuantiles _),
@@ -500,6 +654,8 @@ object MiningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_supplier_triangles" -> supplierTrianglesSql,
+    "q148_revenue_autocorr" -> revenueAutocorrSql,
     "q145_revenue_cusum" -> revenueCusumSql,
     "q146_benford_audit" -> benfordAuditSql,
     "q138_histogram_quantiles" -> histogramQuantilesSql,

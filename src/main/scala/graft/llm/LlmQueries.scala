@@ -1490,7 +1490,79 @@ object LlmQueries {
       |               CAST(n_shared AS DOUBLE) / CAST(sb.nsh AS DOUBLE)) >= 0.6
       |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** BM25-style lexical retrieval, log-free: top-15 documents for a
+    * fixed 3-term query over the corpus — the retrieval/attribution
+    * primitive one tier above q124's inverted index (WHICH training
+    * docs answer this probe, ranked, not just which contain it).
+    *
+    * The scoring is Robertson–Spärck Jones BM25 with ONE substitution:
+    * the idf's `ln((N−df+0.5)/(df+0.5))` becomes the RATIONAL
+    * `(N−df+0.5)/(df+0.5)` itself, carried as exact integer ppm
+    * `(10⁶·(2(N−df)+1)) div (2df+1)` — the log is monotone, so
+    * per-term orderings are THE SAME, and the rational form needs no
+    * transcendental whose last ulp could split engines (q128's
+    * discipline). Term-frequency saturation keeps real BM25's
+    * k1 = 1.2, b = 0.75 shape in micro-units:
+    * `sat_µ = (tf·22·10¹¹) div (tf·10⁶ + (12·10⁵·norm_µ) div 10⁶)`
+    * with `norm_µ = 25·10⁴ + (75·10⁴·len·N) div L` (len/avglen as the
+    * exact `len·N/L`). Every value is a pure integer function of the
+    * corpus; all operands non-negative so truncating div == floor //.
+    *
+    * Shape: ONE corpus tokenize-explode; doc lengths and per-term tfs
+    * partial-aggregate map-side out of the same explode; N/L and the
+    * 3-row df table are the only broadcasts; final ranking is
+    * doc-grain. */
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("dup", "vector", "merge")
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("l_total"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("term"),
+        expr("(1000000 * (2*(n_docs - df) + 1)) div (2*df + 1)").as("idf_ppm"),
+        expr("""(tf * 2200000 * 1000000) div
+          | (tf * 1000000 + (1200000 * (250000 + (750000 * len * n_docs) div l_total)) div 1000000)"""
+          .stripMargin).as("sat_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("(idf_ppm * sat_ppm) div 1000000")).as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  val bm25RetrievalSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM toks GROUP BY 1),
+      |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len) AS BIGINT) AS l_total FROM lens),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |  WHERE term IN ('dup', 'vector', 'merge') GROUP BY 1, 2),
+      |dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tf GROUP BY 1),
+      |scored AS (SELECT tf.doc_id,
+      |    (1000000 * (2*(n_docs - df) + 1)) // (2*df + 1) AS idf_ppm,
+      |    (tf * 2200000 * 1000000) //
+      |      (tf * 1000000 + (1200000 * (250000 + (750000 * len * n_docs) // l_total)) // 1000000)
+      |      AS sat_ppm
+      |  FROM tf JOIN dft USING (term) JOIN lens ON lens.doc_id = tf.doc_id,
+      |    corpus)
+      |SELECT doc_id,
+      |  CAST(SUM((idf_ppm * sat_ppm) // 1000000) AS BIGINT) AS score_ppm,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms
+      |FROM scored GROUP BY 1
+      |ORDER BY score_ppm DESC, doc_id LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_bm25_retrieval" -> (bm25Retrieval _),
     "q135_containment_pairs" -> (containmentPairsQ _),
     "q123_negative_pairs" -> (negativePairs _),
     "q124_inverted_index" -> (invertedIndexTerms _),
@@ -1549,6 +1621,7 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_bm25_retrieval" -> bm25RetrievalSql,
     "q135_containment_pairs" -> containmentPairsSql,
     "q123_negative_pairs" -> negativePairsSql,
     "q124_inverted_index" -> invertedIndexTermsSql,
