@@ -25,6 +25,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Still emit a dump for the failed query: a one-row parquet whose
+        // schema can never match any oracle, so the driver's compare
+        // records a loud rows/schema/hash mismatch instead of silently
+        // omitting the query from CORRECTNESS (round 6 lost q32 this way
+        // — the report read fully green while the bench was failing).
+        try {
+          import spark.implicits._
+          Seq(s"$name FAILED: ${e.toString.take(500)}")
+            .toDF("graft_query_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-dump also failed: ${e2.getMessage}")
+        }
       } finally
         // queries with localCheckpoint/persist hooks leave blocks
         // behind; drop them so the 90+-query dump doesn't accumulate

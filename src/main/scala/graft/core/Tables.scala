@@ -18,18 +18,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` as a microsecond TIMESTAMP.
+  /** `events` with `ts` as a microsecond TIMESTAMP (with time zone).
     *
-    * The raw parquet stores TIMESTAMP(NANOS), which Spark has no type
-    * for — the session reads it as an epoch-nanos long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and this loader truncates
-    * to microseconds, exactly what engines with native ns support do
-    * when casting down to a µs timestamp. */
+    * The driver has shipped the `ts` column under three physical types
+    * across rounds, so the loader normalizes all of them to the same
+    * instant semantics:
+    *   - TIMESTAMP(NANOS): Spark has no nanos type — the session reads
+    *     it as an epoch-nanos long (`spark.sql.legacy.parquet.nanosAsLong`)
+    *     and this truncates to microseconds;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *     TIMESTAMP_NTZ — cast to TIMESTAMP, which under the pinned UTC
+    *     session zone (GraftSession) keeps the identical micros value,
+    *     matching how DuckDB treats the same naive column;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true): already TIMESTAMP. */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = load(spark, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** `events` with `ts` truncated to whole seconds: queries that

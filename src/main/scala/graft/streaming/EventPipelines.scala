@@ -29,18 +29,27 @@ object EventPipelines {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            duration_sec: Long, n_events: Long, n_purchases: Long)
 
-  /** The events parquet schema as the file source needs it declared
-    * (ts is TIMESTAMP(NANOS) at rest -> read as epoch-nanos long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** The events parquet schema as the file source needs it declared,
+    * parameterized on the physical `ts` type at rest — the driver has
+    * shipped TIMESTAMP(NANOS) (read as epoch-nanos long) and
+    * TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ)
+    * across rounds, and a streaming source must declare the one the
+    * files actually hold. */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-source stream of events with `ts` as a second-truncated
     * timestamp (matching [[graft.core.Tables.events]]). Accepts either
-    * a directory of parquet files or a single `.parquet` file. */
+    * a directory of parquet files or a single `.parquet` file. The
+    * physical `ts` type is peeked from the parquet footer via a batch
+    * read (one driver-side footer fetch — no data scan), then
+    * normalized exactly like the batch loader so streaming and batch
+    * twins agree bit-for-bit. */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
-    val reader = spark.readStream.schema(rawSchema)
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val reader = spark.readStream.schema(rawSchema(tsType))
     val src =
       if (path.endsWith(".parquet")) {
         val i = path.lastIndexOf('/')
@@ -48,7 +57,12 @@ object EventPipelines {
           if (i < 0) (".", path) else (path.substring(0, i), path.substring(i + 1))
         reader.option("pathGlobFilter", file).parquet(dir)
       } else reader.parquet(path)
-    src.withColumn("ts", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+    val norm = tsType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts")
+    }
+    src.withColumn("ts", date_trunc("second", norm))
   }
 
   /** Streaming twin of q20: 1-hour tumbling windows x event_type,
