@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.analytics.{Analytics, EventsQueries, MiningQueries, TypedQueries, WarehouseQueries}
-import graft.llm.LlmQueries
+import graft.llm.{CurationQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ EventsQueries.queries ++ WarehouseQueries.queries ++
-      LlmQueries.queries ++ TypedQueries.queries ++ MiningQueries.queries
+      LlmQueries.queries ++ TypedQueries.queries ++ MiningQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ EventsQueries.oracles ++ WarehouseQueries.oracles ++
-      LlmQueries.oracles ++ TypedQueries.oracles ++ MiningQueries.oracles
+      LlmQueries.oracles ++ TypedQueries.oracles ++ MiningQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,229 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Registry + DuckDB oracles for the round-7 curation tier
+  * ([[CurationOps]]): q155–q161. Same contract as [[LlmQueries]] —
+  * every query's output column names match its oracle SQL exactly,
+  * every surfaced number follows the no-transcendental determinism
+  * discipline. */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** DuckDB cosine, rounded 6dp — identical to LlmQueries.cosSql
+    * (elements promote to DOUBLE before multiply, left-to-right fold,
+    * division order pinned). */
+  private def cosSql(a: String, b: String): String = {
+    def dotD(x: String, y: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($x)), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))) AS DOUBLE)"
+    s"round((${dotD(a, b)} / sqrt(${dotD(a, a)}) / sqrt(${dotD(b, b)})), 6)"
+  }
+
+  /** q68's frozen quality-score expression as a reusable CTE
+    * (`q(doc_id, source, quality_score)`). The weights are part of the
+    * q68 contract — if they ever change there, this CTE and
+    * [[CorpusOps.qualityScore]] change together. */
+  private val qualityCte: String =
+    """q AS (SELECT doc_id, source,
+      |    2e-3 * n + 2e0 * sr + 1.5e0 * dr - 1e-1 * ml AS quality_score
+      |  FROM (SELECT doc_id, source, n,
+      |      (CAST(length(text) AS DOUBLE) - n + 1e0) / n AS ml,
+      |      CAST(len(list_filter(ws, w -> list_contains(
+      |        ['the','a','of','and','to','in','is'], w))) AS DOUBLE) / n AS sr,
+      |      CAST(len(list_distinct(ws)) AS DOUBLE) / n AS dr
+      |    FROM (SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+      |            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+      |          FROM documents)))""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    CurationOps.chunkDedup(docs(s, dir), w = 16).orderBy("doc_id")
+
+  val chunkDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ch AS (SELECT doc_id, list_transform(
+      |    generate_series(1, greatest(len(ws), 1), 16),
+      |    i -> array_to_string(list_slice(ws, i, i + 15), ' ')) AS cs FROM w),
+      |ex AS (SELECT doc_id, i AS pos, cs[i] AS chunk
+      |       FROM ch, unnest(generate_series(1, len(cs))) AS t(i)),
+      |sh AS (SELECT md5(chunk) AS h, MIN(doc_id) <> MAX(doc_id) AS shared
+      |       FROM ex GROUP BY 1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  md5(COALESCE(string_agg(CASE WHEN NOT shared THEN chunk END,
+      |    ' ' ORDER BY pos), '')) AS clean_md5
+      |FROM ex JOIN sh ON sh.h = md5(ex.chunk)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+  def sourceBoilerplate(s: SparkSession, dir: String): DataFrame =
+    CurationOps.sourceBoilerplate(docs(s, dir), k = 8, flagShare = 0.02)
+      .orderBy("source")
+
+  val sourceBoilerplateSql: String =
+    """WITH p AS (SELECT source,
+      |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+      |      AS prefix
+      |  FROM documents),
+      |c AS (SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_prefix
+      |      FROM p GROUP BY 1, 2)
+      |SELECT source, n_docs, prefix AS top_prefix, n_prefix,
+      |  CAST(n_prefix AS DOUBLE) / n_docs AS share,
+      |  CAST(n_prefix AS DOUBLE) / n_docs >= 2e-2 AS boilerplate
+      |FROM (SELECT *,
+      |    CAST(SUM(n_prefix) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_prefix DESC, prefix) AS rn
+      |  FROM c) WHERE rn = 1 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    CurationOps.semDedup(emb(s, dir), tau = 0.35, centStride = 100)
+      .orderBy("vec_id")
+
+  val semDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS ce FROM e WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.ce")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+       |drp AS (SELECT DISTINCT r.vec_id
+       |  FROM assigned l JOIN assigned r
+       |    ON l.cent_id = r.cent_id AND l.vec_id < r.vec_id
+       |  WHERE ${cosSql("l.v", "r.v")} >= 0.35)
+       |SELECT a.vec_id, a.cent_id, d.vec_id IS NOT NULL AS dropped
+       |FROM assigned a LEFT JOIN drp d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q158
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    CurationOps.dsirWeights(docs(s, dir), targetLang = "en", buckets = 64)
+      .orderBy("doc_id")
+
+  val dsirWeightsSql: String =
+    """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 6) AS BIGINT)
+      |      % 64 AS bucket
+      |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+      |dom AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+      |cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+      |ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+      |       WHERE lang = 'en' GROUP BY 1),
+      |pb AS (SELECT dom.bucket,
+      |         COALESCE(cr.c, 0) AS c_r, COALESCE(ct.c, 0) AS c_t
+      |       FROM dom LEFT JOIN cr ON cr.bucket = dom.bucket
+      |                LEFT JOIN ct ON ct.bucket = dom.bucket),
+      |tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+      |               CAST(SUM(c_t) AS BIGINT) AS n_t FROM pb),
+      |sc AS (SELECT bucket,
+      |         (1000000000 * (c_t + 1)) // (n_t + 64) AS p_t,
+      |         (1000000000 * (c_r + 1)) // (n_r + 64) AS p_r
+      |       FROM pb CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(p_t - p_r) AS BIGINT) AS score_scaled
+      |FROM bg JOIN sc USING (bucket)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q159
+  def clusterReps(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = graft.operators.ConnectedComponents(
+      Dedup.jaccardPairs(d, threshold = 0.5, lenTol = 5)
+        .select(col("a"), col("b")),
+      numPartitions = 8)
+    CurationOps.clusterRepresentatives(
+        clusters, CorpusOps.qualityScore(d))
+      .orderBy("component")
+  }
+
+  val clusterRepsSql: String =
+    s"""WITH RECURSIVE ${LlmQueries.jaccardPairCtes},
+       |sym AS (SELECT a AS src, b AS dst FROM pr
+       |        UNION SELECT b, a FROM pr),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.id),
+       |comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id),
+       |$qualityCte
+       |SELECT component, cluster_size, doc_id AS rep_doc_id,
+       |  quality_score AS rep_score
+       |FROM (SELECT c.component, q.doc_id, q.quality_score,
+       |    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+       |      AS cluster_size,
+       |    ROW_NUMBER() OVER (PARTITION BY c.component
+       |      ORDER BY q.quality_score DESC, q.doc_id) AS rn
+       |  FROM comp c JOIN q ON q.doc_id = c.id)
+       |WHERE rn = 1 ORDER BY component""".stripMargin
+
+  // ---------------------------------------------------------------- q160
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val quality = d.select(col("doc_id"), col("source"))
+      .join(CorpusOps.qualityScore(d)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+    CurationOps.curriculumOrder(quality).orderBy("doc_id")
+  }
+
+  val curriculumOrderSql: String =
+    s"""WITH $qualityCte,
+       |d AS (SELECT doc_id, source, NTILE(10) OVER (
+       |    ORDER BY quality_score DESC, doc_id) AS decile FROM q)
+       |SELECT doc_id, source, decile,
+       |  ROW_NUMBER() OVER (PARTITION BY decile, source ORDER BY doc_id) AS rr
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    CurationOps.ngramNovelty(docs(s, dir), n = 5, trainPct = 96)
+      .orderBy("doc_id")
+
+  val ngramNoveltySql: String =
+    """WITH s AS (SELECT doc_id, text,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      |      % 100 < 96 AS in_train
+      |  FROM documents),
+      |g AS (SELECT doc_id, in_train, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 5 THEN [text]
+      |    ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+      |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))
+      |    END)) AS gram FROM s),
+      |tr AS (SELECT DISTINCT gram FROM g WHERE in_train)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(SUM(CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS novelty
+      |FROM g LEFT JOIN tr t ON t.gram = g.gram
+      |WHERE NOT g.in_train GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_chunk_dedup" -> (chunkDedup _),
+    "q156_source_boilerplate" -> (sourceBoilerplate _),
+    "q157_semdedup" -> (semDedup _),
+    "q158_dsir_weights" -> (dsirWeights _),
+    "q159_cluster_reps" -> (clusterReps _),
+    "q160_curriculum_order" -> (curriculumOrder _),
+    "q161_ngram_novelty" -> (ngramNovelty _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q155_chunk_dedup" -> chunkDedupSql,
+    "q156_source_boilerplate" -> sourceBoilerplateSql,
+    "q157_semdedup" -> semDedupSql,
+    "q158_dsir_weights" -> dsirWeightsSql,
+    "q159_cluster_reps" -> clusterRepsSql,
+    "q160_curriculum_order" -> curriculumOrderSql,
+    "q161_ngram_novelty" -> ngramNoveltySql,
+  )
+}

@@ -93,7 +93,7 @@ object LlmQueries {
   /** `ws` + `pr` CTEs — the blocked-and-verified Jaccard pair predicate,
     * shared by q43 and q61 so their edge sets can never silently
     * diverge if threshold/blocking/tokenization is ever tuned. */
-  private val jaccardPairCtes: String =
+  private[llm] val jaccardPairCtes: String =
     """ws AS (SELECT doc_id, lang, n_chars,
       |         list_distinct(string_split(text, ' ')) AS w FROM documents),
       |pr AS (
