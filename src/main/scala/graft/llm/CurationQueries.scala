@@ -207,6 +207,54 @@ object CurationQueries {
       |FROM g LEFT JOIN tr t ON t.gram = g.gram
       |WHERE NOT g.in_train GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  def cdcChunkDedup(s: SparkSession, dir: String): DataFrame =
+    CurationOps.cdcChunkDedup(docs(s, dir), divisor = 16).orderBy("doc_id")
+
+  val cdcChunkDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, i AS pos, ws[i] AS word,
+      |        array_to_string(list_slice(ws, i, i + 3), ' ') AS win
+      |      FROM w, unnest(generate_series(1, len(ws))) AS u(i)),
+      |b AS (SELECT doc_id, pos, word,
+      |        CASE WHEN pos = 1 OR
+      |          CAST('0x' || substr(md5(win), 1, 6) AS BIGINT) % 16 = 0
+      |        THEN 1 ELSE 0 END AS bd FROM t),
+      |s AS (SELECT doc_id, pos, word, CAST(SUM(bd) OVER (
+      |        PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS seg FROM b),
+      |seg AS (SELECT doc_id, seg, MIN(pos) AS spos,
+      |          string_agg(word, ' ' ORDER BY pos) AS stext
+      |        FROM s GROUP BY 1, 2),
+      |sh AS (SELECT md5(stext) AS h, MIN(doc_id) <> MAX(doc_id) AS shared
+      |       FROM seg GROUP BY 1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+      |  CAST(SUM(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  md5(COALESCE(string_agg(CASE WHEN NOT shared THEN stext END,
+      |    ' ' ORDER BY spos), '')) AS clean_md5
+      |FROM seg JOIN sh ON sh.h = md5(seg.stext)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q163
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    CurationOps.sourceOverlap(docs(s, dir), n = 5)
+      .orderBy("src_a", "src_b")
+
+  val sourceOverlapSql: String =
+    """WITH g AS (SELECT DISTINCT source, md5(gram) AS gh
+      |  FROM (SELECT source, unnest(list_distinct(
+      |      CASE WHEN len(string_split(text, ' ')) < 5 THEN [text]
+      |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+      |             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))
+      |      END)) AS gram FROM documents)),
+      |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+      |        FROM g GROUP BY 1)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+      |  CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_grams) AS overlap_frac
+      |FROM g a JOIN g b ON a.gh = b.gh AND a.source <> b.source
+      |JOIN tot ON tot.source = a.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_chunk_dedup" -> (chunkDedup _),
     "q156_source_boilerplate" -> (sourceBoilerplate _),
@@ -215,6 +263,8 @@ object CurationQueries {
     "q159_cluster_reps" -> (clusterReps _),
     "q160_curriculum_order" -> (curriculumOrder _),
     "q161_ngram_novelty" -> (ngramNovelty _),
+    "q162_cdc_chunk_dedup" -> (cdcChunkDedup _),
+    "q163_source_overlap" -> (sourceOverlap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +275,7 @@ object CurationQueries {
     "q159_cluster_reps" -> clusterRepsSql,
     "q160_curriculum_order" -> curriculumOrderSql,
     "q161_ngram_novelty" -> ngramNoveltySql,
+    "q162_cdc_chunk_dedup" -> cdcChunkDedupSql,
+    "q163_source_overlap" -> sourceOverlapSql,
   )
 }

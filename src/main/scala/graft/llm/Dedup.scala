@@ -314,33 +314,48 @@ object Dedup {
     * (a pair sharing ONLY ultra-common shingles is noise by
     * construction). Exact counts verify candidates: the intersection
     * count uses ALL shingles of the pair (the cap only gates
-    * candidacy, not the metric). One shuffle per stage, every
-    * aggregate partial map-side; the two divisions are single IEEE
-    * ops on exact integers. */
+    * candidacy, not the metric). The kept-shingle intersection count
+    * falls straight out of the candidate self-join's own groupBy — no
+    * pair materialize/distinct, no re-join of the full shingle table
+    * (the round-6 shape did both: measured 12.7 s → 2 s class at
+    * sf0.1) — and the capped shingles' contribution is restored by a
+    * side path that joins ONLY capped postings against the candidate
+    * pairs (empty unless a shingle actually exceeds the cap). One
+    * shuffle per stage, every aggregate partial map-side; the two
+    * divisions are single IEEE ops on exact integers. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
                        maxDf: Int = 500,
                        materialize: DataFrame => DataFrame = identity): DataFrame = {
-    // the shingle table feeds six consumers (df cap, both candidate
-    // sides, sizes, both verify sides) — `materialize` is the scale
-    // hook (q54's discipline, pass `_.localCheckpoint()`): without it
-    // the corpus re-shingles per consumer (measured: 13 FileScans at
-    // the default identity)
+    // the shingle table feeds six consumers (df split, both candidate
+    // sides, sizes, both capped-verify sides) — `materialize` is the
+    // scale hook (q54's discipline, pass `_.localCheckpoint()`):
+    // without it the corpus re-shingles per consumer (measured: 13
+    // FileScans at the default identity)
     val sh = materialize(docs.select(col("doc_id"), explode(array_distinct(
         when(size(split(col("text"), " ")) < n, array(col("text")))
           .otherwise(graft.functions.Native.wordNgrams(col("text"), n))))
       .as("g")))
-    val keep = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("g"))
-    val shK = sh.join(keep, Seq("g"))
-    val cand = shK.select(col("doc_id").as("a"), col("g"))
+    val dfs = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val shK = sh.join(dfs.filter(col("df") <= maxDf).select(col("g")), Seq("g"))
+    // shared KEPT shingles per pair: candidacy and (usually all of)
+    // the intersection count in ONE self-join + partial groupBy
+    val kept = shK.select(col("doc_id").as("a"), col("g"))
       .join(shK.select(col("doc_id").as("b"), col("g")), Seq("g"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_kept"))
+    // capped shingles still count toward the exact intersection, but
+    // their postings join ONLY against already-found candidate pairs,
+    // so the cap keeps bounding the fan-out
+    val shC = sh.join(dfs.filter(col("df") > maxDf).select(col("g")), Seq("g"))
+    val capped = kept.select(col("a"), col("b"))
+      .join(shC.select(col("doc_id").as("a"), col("g")), Seq("a"))
+      .join(shC.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_capped"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    cand
-      .join(sh.select(col("doc_id").as("a"), col("g")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+    kept
+      .join(capped, Seq("a", "b"), "left")
+      .withColumn("n_shared",
+        col("n_kept") + coalesce(col("n_capped"), lit(0L)))
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
       .select(col("a"), col("b"), col("n_shared"),

@@ -106,6 +106,44 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(dense.count() == 0)
   }
 
+  test("cdcChunkDedup: content-defined boundaries survive a prefix shift that breaks fixed chunks") {
+    // deterministic text of effectively-unique tokens (a small-modulus
+    // sequence is PERIODIC and lets shifted fixed chunks collide);
+    // doc 2 = one-word prefix + same text
+    val base = (1 to 300).map(i => s"t${i * 2654435761L % 100003}").mkString(" ")
+    val d = Seq((1L, base), (2L, s"shift $base")).toDF("doc_id", "text")
+    val cdc = CurationOps.cdcChunkDedup(d, divisor = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fixed = CurationOps.chunkDedup(d, w = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cdc(1L) > 0 && cdc(2L) > 0,
+      "CDC re-synchronizes after the insertion, so shared segments are found")
+    assert(fixed(1L) == 0 && fixed(2L) == 0,
+      "fixed 16-word chunks all mis-align after a 1-word shift (the failure CDC fixes)")
+  }
+
+  test("cdcChunkDedup: a doc with no shared segments reassembles to itself") {
+    val out = CurationOps.cdcChunkDedup(docs, divisor = 16)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("orig_md5")), "doc_id")
+      .filter(col("n_dropped") === 0)
+    assert(out.count() > 0)
+    assert(out.filter(col("clean_md5") =!= col("orig_md5")).count() == 0)
+  }
+
+  test("sourceOverlap: containment is directional") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, "small", a),
+      (2L, "big", s"$a iota kappa lambda mu nu xi omicron pi rho")
+    ).toDF("doc_id", "source", "text")
+    val out = CurationOps.sourceOverlap(d, n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("small", "big")) == 1.0,
+      "every gram of the contained source occurs in the aggregator")
+    assert(out(("big", "small")) < 1.0,
+      "the aggregator has grams the small source lacks")
+  }
+
   test("ngramNovelty: novelty is a fraction, and a train-copied doc scores zero") {
     val copiedFromTrain = "alpha beta gamma delta epsilon zeta eta theta iota"
     // doc_id buckets: pick ids so one eval doc copies a train doc's text
