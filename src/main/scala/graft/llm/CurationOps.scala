@@ -324,21 +324,27 @@ object CurationOps {
     * generalization; near-zero means the split leaks (the complement
     * of [[CorpusOps.decontaminate]], measured from the eval side).
     *
-    * Shape at 100 TB: both gram streams are narrow explodes keyed by
-    * the gram's md5 (constant width); the match flag is a
-    * co-partitioned left join on that key against the train side's
-    * distinct grams, then ONE groupBy(doc_id). The train gram set is
-    * corpus-sized — it must NOT broadcast, and doesn't: the join
-    * shuffles both sides on the same key. */
-  def ngramNovelty(docs: DataFrame, n: Int = 5, trainPct: Int = 96): DataFrame = {
-    val split = CorpusOps.hashSplit(docs, trainPct = trainPct, valPct = 2)
-      .select(col("doc_id"), (col("split") === "train").as("in_train"))
-    val grams = docs.join(split, Seq("doc_id"))
-      .select(col("doc_id"), col("in_train"), explode(array_distinct(
+    * Shape at 100 TB: the gram table is ONE narrow explode keyed by
+    * the gram's md5 (constant width) — the split flag is a pure
+    * function of doc_id ([[CorpusOps.hashSplit]]'s md5 bucket), so it
+    * inlines into the same scan instead of joining, and `materialize`
+    * pins the table so the train/eval branches don't re-explode the
+    * corpus (q54's discipline; the PlanAudit sweep flagged the
+    * join-and-rescan formulation at 4 scans). The match flag is a
+    * co-partitioned left join on the gram key against the train
+    * side's distinct grams, then ONE groupBy(doc_id). The train gram
+    * set is corpus-sized — it must NOT broadcast, and doesn't: the
+    * join shuffles both sides on the same key. */
+  def ngramNovelty(docs: DataFrame, n: Int = 5, trainPct: Int = 96,
+                   materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("bigint") % 100
+    val grams = materialize(docs
+      .select(col("doc_id"), (bucket < trainPct).as("in_train"), explode(array_distinct(
         when(size(words) < n, array(col("text")))
           .otherwise(graft.functions.Native.wordNgrams(col("text"), n))))
         .as("g"))
-      .select(col("doc_id"), col("in_train"), md5(col("g")).as("gh"))
+      .select(col("doc_id"), col("in_train"), md5(col("g")).as("gh")))
     val trainSet = grams.filter(col("in_train"))
       .select(col("gh")).distinct().withColumn("seen", lit(true))
     grams.filter(!col("in_train"))

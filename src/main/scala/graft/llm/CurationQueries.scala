@@ -185,7 +185,8 @@ object CurationQueries {
 
   // ---------------------------------------------------------------- q161
   def ngramNovelty(s: SparkSession, dir: String): DataFrame =
-    CurationOps.ngramNovelty(docs(s, dir), n = 5, trainPct = 96)
+    CurationOps.ngramNovelty(docs(s, dir), n = 5, trainPct = 96,
+      materialize = _.localCheckpoint())
       .orderBy("doc_id")
 
   val ngramNoveltySql: String =
@@ -255,6 +256,68 @@ object CurationQueries {
       |JOIN tot ON tot.source = a.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+  /** Incremental dedup against the persisted LSH signature index:
+    * the corpus slice `doc_id % 10 != 7` is "already ingested" (its
+    * index is built once per JVM, the q57 pattern); the `% 10 == 7`
+    * slice is the incoming wave probed against it. */
+  def dedupAgainstIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.writeLshIndex(d.filter(col("doc_id") % 10 =!= 7),
+      "graft_lsh_index", k = 8, bands = 4, shingle = 3)
+    Dedup.dedupAgainstIndex(s, "graft_lsh_index",
+        d.filter(col("doc_id") % 10 === 7), k = 8, bands = 4, shingle = 3,
+        minAgree = 4)
+      .orderBy("doc_id")
+  }
+
+  val dedupAgainstIndexSql: String = {
+    val sigCols = (0 until 8).map { i =>
+      val (a, b) = Dedup.affine(i)
+      s"list_min(list_transform(xs, x -> ($a * x + $b) % ${Dedup.MersennePrime})) AS mh$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+       |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+       |             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+       |      END) AS shingles FROM documents),
+       |sx AS (SELECT doc_id, list_transform(shingles,
+       |         s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)) AS xs FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sx),
+       |banded AS (
+       |  $bandRows),
+       |sigarr AS (SELECT doc_id, [mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7] AS sig
+       |           FROM sig),
+       |cand AS (SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS match_id
+       |  FROM banded n JOIN banded i ON n.band = i.band AND n.bucket = i.bucket
+       |  WHERE n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7),
+       |ag AS (SELECT c.doc_id, c.match_id,
+       |    CAST(len(list_filter(generate_series(1, 8),
+       |      j -> a.sig[j] = b.sig[j])) AS BIGINT) AS k_agree
+       |  FROM cand c
+       |  JOIN sigarr a ON a.doc_id = c.doc_id
+       |  JOIN sigarr b ON b.doc_id = c.match_id),
+       |best AS (SELECT doc_id, n_matches, match_id, k_agree FROM (
+       |    SELECT doc_id, match_id, k_agree,
+       |      CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY k_agree DESC, match_id) AS rn
+       |    FROM ag WHERE k_agree >= 4) WHERE rn = 1)
+       |SELECT d.doc_id, COALESCE(best.n_matches, 0) AS n_matches,
+       |  COALESCE(best.match_id, -1) AS best_match_id,
+       |  COALESCE(best.k_agree, 0) AS best_agree,
+       |  CAST(COALESCE(best.k_agree, 0) AS DOUBLE) / 8 AS est_jaccard,
+       |  best.doc_id IS NOT NULL AS is_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+       |LEFT JOIN best ON best.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_chunk_dedup" -> (chunkDedup _),
     "q156_source_boilerplate" -> (sourceBoilerplate _),
@@ -265,6 +328,7 @@ object CurationQueries {
     "q161_ngram_novelty" -> (ngramNovelty _),
     "q162_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "q163_source_overlap" -> (sourceOverlap _),
+    "q164_dedup_against_index" -> (dedupAgainstIndex _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,5 +341,6 @@ object CurationQueries {
     "q161_ngram_novelty" -> ngramNoveltySql,
     "q162_cdc_chunk_dedup" -> cdcChunkDedupSql,
     "q163_source_overlap" -> sourceOverlapSql,
+    "q164_dedup_against_index" -> dedupAgainstIndexSql,
   )
 }

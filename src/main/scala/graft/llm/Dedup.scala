@@ -127,6 +127,86 @@ object Dedup {
       .filter(size(col("ids")) > 1)
   }
 
+  /** Flat banded signature rows `(band, bucket, doc_id, sig[k])` — the
+    * at-rest schema of the persisted LSH index ([[writeLshIndex]]):
+    * one row per document per band, carrying the full k-component
+    * signature so a probe can estimate Jaccard without touching
+    * document text. */
+  private def bandedSigRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k ($k) must divide evenly into bands ($bands)")
+    val rows = k / bands
+    val bucketCols = (0 until bands).map { b =>
+      val cs = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      md5(concat_ws("|", cs: _*))
+    }
+    sigs.select(col("doc_id"),
+      array((0 until k).map(i => col(s"mh$i")): _*).as("sig"),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Persist the corpus' MinHash-LSH signature index as a
+    * `bucket`-bucketed catalog table — the structure that makes
+    * "dedup the NEW batch against everything already ingested"
+    * incremental: the index is k longs + `bands` band keys per doc
+    * (metadata-scale, ~25-100x smaller than the corpus text), it
+    * appends per ingestion wave without rescanning old waves, and a
+    * batch probe never touches stored text at all. */
+  def writeLshIndex(docs: DataFrame, table: String, k: Int = 8,
+                    bands: Int = 4, shingle: Int = 3,
+                    nBuckets: Int = 8): Unit =
+    graft.operators.Bucketing.writeBucketed(
+      bandedSigRows(minhashSignatures(docs, k, shingle), k, bands),
+      table, "bucket", nBuckets)
+
+  /** Incremental near-dup against a [[writeLshIndex]] table: for every
+    * batch document, find indexed documents sharing any LSH band
+    * bucket, keep those agreeing on ≥ `minAgree` of the k minhash
+    * components (the unbiased Jaccard estimate — `minAgree = 4` of 8
+    * ≈ J ≥ 0.5, the q43 threshold), and surface the best match. Every
+    * batch doc emits exactly one row (`is_dup = false` when nothing
+    * collides), so the output IS the batch's admission decision.
+    *
+    * Shape at 100 TB: the batch side (one ingestion wave) is small by
+    * contract — it BROADCASTS to the index scan, so the index is read
+    * once with no shuffle and no text movement; candidate pairs
+    * collapse to per-doc decisions via one partial-aggregable
+    * `max_by` groupBy. A wave too large to broadcast falls back to a
+    * shuffle join co-located by the index's at-rest bucketing — same
+    * plan shape the Bucketing operator pins for co-located joins. */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String, batch: DataFrame, k: Int = 8,
+                        bands: Int = 4, shingle: Int = 3,
+                        minAgree: Int = 4): DataFrame = {
+    require(minAgree >= 1 && minAgree <= k,
+      s"minAgree ($minAgree) must be within 1..$k")
+    val idx = spark.table(table)
+    val probe = bandedSigRows(minhashSignatures(batch, k, shingle), k, bands)
+    val agree = idx.alias("i")
+      .join(broadcast(probe.alias("n")), Seq("band", "bucket"))
+      .select(col("n.doc_id").as("doc_id"), col("i.doc_id").as("match_id"),
+        col("n.sig").as("nsig"), col("i.sig").as("isig"))
+      .distinct()
+      .select(col("doc_id"), col("match_id"),
+        expr("size(filter(zip_with(nsig, isig, (x, y) -> x = y), v -> v))")
+          .cast("long").as("k_agree"))
+      .filter(col("k_agree") >= minAgree)
+    val best = agree.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max_by(col("match_id"),
+          struct(col("k_agree"), (-col("match_id")).as("t"))).as("best_match_id"),
+        max(col("k_agree")).as("best_agree"))
+    batch.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_agree"), lit(0L)).as("best_agree"),
+        (coalesce(col("best_agree"), lit(0L)).cast("double") / k)
+          .as("est_jaccard"),
+        col("best_agree").isNotNull.as("is_dup"))
+  }
+
   /** Tier 3b result: candidate `pairs` (a, b) PLUS the `skippedBuckets`
     * (band, bucket, n_ids) the cap refused to expand — both views of
     * the SAME bucket aggregation, so the overflow signal cannot be

@@ -144,6 +144,21 @@ class CurationOpsSpec extends AnyFunSuite {
       "the aggregator has grams the small source lacks")
   }
 
+  test("dedupAgainstIndex: an indexed clone is flagged with full agreement; novel text is admitted") {
+    val cloned = (1 to 40).map(i => s"c${i * 31 % 101}").mkString(" ")
+    val novel = (1 to 40).map(i => s"z${i * 17 % 103}").mkString(" ")
+    val corpus = Seq((10L, cloned), (11L, "other indexed words entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq((20L, cloned), (21L, novel)).toDF("doc_id", "text")
+    Dedup.writeLshIndex(corpus, "graft_lsh_test", k = 8, bands = 4, shingle = 3)
+    val out = Dedup.dedupAgainstIndex(spark, "graft_lsh_test", batch,
+        k = 8, bands = 4, shingle = 3, minAgree = 4)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(5), r.getLong(2), r.getLong(3))).toMap
+    assert(out(20L) == ((true, 10L, 8L)),
+      "a verbatim clone of an indexed doc agrees on all 8 minhash components")
+    assert(out(21L)._1 == false, "novel text collides with nothing")
+  }
+
   test("ngramNovelty: novelty is a fraction, and a train-copied doc scores zero") {
     val copiedFromTrain = "alpha beta gamma delta epsilon zeta eta theta iota"
     // doc_id buckets: pick ids so one eval doc copies a train doc's text
