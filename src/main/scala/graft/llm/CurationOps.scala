@@ -316,6 +316,36 @@ object CurationOps {
         (col("n_shared").cast("double") / col("n_grams")).as("overlap_frac"))
   }
 
+  // ------------------------------------------------ leakage-free split
+  /** Near-dup-aware train/val/test split: every document is assigned
+    * by the md5 bucket of its near-dup CLUSTER representative (q61's
+    * min-id component; docs in no cluster represent themselves), so a
+    * document and its near-duplicates always land in the SAME split —
+    * the plain per-doc hash split ([[CorpusOps.hashSplit]]) leaks
+    * lightly-edited copies of training documents into eval, which
+    * reads as generalization and is actually memorization. Same
+    * bucket arithmetic as hashSplit, applied to the representative id.
+    *
+    * Shape: the cluster table is metadata-scale (only docs in some
+    * near-dup pair); it LEFT-joins the corpus on doc_id and the
+    * bucket is a narrow map — no new corpus-scale shuffle beyond the
+    * pair generation itself. */
+  def leakageFreeSplit(docs: DataFrame, clusters: DataFrame,
+                       trainPct: Int = 96, valPct: Int = 2): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"percentages must partition 0-99: train=$trainPct val=$valPct")
+    val rep = coalesce(col("component"), col("doc_id"))
+    val bucket = conv(substring(md5(rep.cast("string")), 1, 6), 16, 10)
+      .cast("bigint") % 100
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), rep.as("rep"), bucket.as("bucket"),
+        when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   // ----------------------------------------------------------- novelty
   /** Held-out n-gram novelty: for every evaluation-split document
     * (the [[CorpusOps.hashSplit]] val+test buckets), the fraction of

@@ -318,6 +318,34 @@ object CurationQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q165
+  def leakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = graft.operators.ConnectedComponents(
+      Dedup.jaccardPairs(d, threshold = 0.5, lenTol = 5)
+        .select(col("a"), col("b")),
+      numPartitions = 8)
+    CurationOps.leakageFreeSplit(d, clusters).orderBy("doc_id")
+  }
+
+  val leakageFreeSplitSql: String =
+    s"""WITH RECURSIVE ${LlmQueries.jaccardPairCtes},
+       |sym AS (SELECT a AS src, b AS dst FROM pr
+       |        UNION SELECT b, a FROM pr),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.id),
+       |comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id)
+       |SELECT doc_id, rep, bucket,
+       |  CASE WHEN bucket < 96 THEN 'train'
+       |       WHEN bucket < 98 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep,
+       |    CAST('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id)
+       |      AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_chunk_dedup" -> (chunkDedup _),
     "q156_source_boilerplate" -> (sourceBoilerplate _),
@@ -329,6 +357,7 @@ object CurationQueries {
     "q162_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "q163_source_overlap" -> (sourceOverlap _),
     "q164_dedup_against_index" -> (dedupAgainstIndex _),
+    "q165_leakage_free_split" -> (leakageFreeSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +371,6 @@ object CurationQueries {
     "q162_cdc_chunk_dedup" -> cdcChunkDedupSql,
     "q163_source_overlap" -> sourceOverlapSql,
     "q164_dedup_against_index" -> dedupAgainstIndexSql,
+    "q165_leakage_free_split" -> leakageFreeSplitSql,
   )
 }

@@ -159,6 +159,13 @@ object Dedup {
       bandedSigRows(minhashSignatures(docs, k, shingle), k, bands),
       table, "bucket", nBuckets)
 
+  /** The index rows [[writeLshIndex]] stores, as a frame — for callers
+    * that manage the index layout themselves (the streaming ingester
+    * appends one epoch partition of these per micro-batch). */
+  def lshIndexRows(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                   shingle: Int = 3): DataFrame =
+    bandedSigRows(minhashSignatures(docs, k, shingle), k, bands)
+
   /** Incremental near-dup against a [[writeLshIndex]] table: for every
     * batch document, find indexed documents sharing any LSH band
     * bucket, keep those agreeing on ≥ `minAgree` of the k minhash
@@ -177,10 +184,17 @@ object Dedup {
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String, batch: DataFrame, k: Int = 8,
                         bands: Int = 4, shingle: Int = 3,
-                        minAgree: Int = 4): DataFrame = {
+                        minAgree: Int = 4): DataFrame =
+    dedupAgainstIndexDf(spark.table(table), batch, k, bands, shingle, minAgree)
+
+  /** [[dedupAgainstIndex]] over an index frame directly — the seam the
+    * streaming ingester uses (its index lives as an epoch-partitioned
+    * parquet directory rather than a catalog table). */
+  def dedupAgainstIndexDf(idx: DataFrame, batch: DataFrame, k: Int = 8,
+                          bands: Int = 4, shingle: Int = 3,
+                          minAgree: Int = 4): DataFrame = {
     require(minAgree >= 1 && minAgree <= k,
       s"minAgree ($minAgree) must be within 1..$k")
-    val idx = spark.table(table)
     val probe = bandedSigRows(minhashSignatures(batch, k, shingle), k, bands)
     val agree = idx.alias("i")
       .join(broadcast(probe.alias("n")), Seq("band", "bucket"))

@@ -99,4 +99,79 @@ object CorpusStream {
   private def defaultQuality(docs: DataFrame): DataFrame =
     TextStats.qualityMetrics(docs)
       .select(col("doc_id"), col("passes_quality").as("keep"))
+
+  /** The committed LSH signature index EXCLUDING the replaying epoch's
+    * own partition (same two replay hazards as [[readSnapshot]]), or
+    * None before the first epoch lands. */
+  private def readSigIndex(spark: SparkSession, indexPath: String,
+                           batchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read
+        .schema(sigIndexSchema.add(
+          org.apache.spark.sql.types.StructField("ingest_batch",
+            org.apache.spark.sql.types.LongType)))
+        .parquet(indexPath)
+        .filter(col("ingest_batch") =!= batchId)
+        .drop("ingest_batch"))
+    else None
+  }
+
+  private val sigIndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.StringType)))
+
+  /** NEAR-dup streaming ingestion: each micro-batch is probed against
+    * the LSH signature index of everything already admitted
+    * ([[graft.llm.Dedup.dedupAgainstIndexDf]] — catches lightly-edited
+    * re-posts that [[qualityIngest]]'s exact content hash misses),
+    * survivors land in the corpus AND append their signatures as the
+    * epoch's index partition. Both writes are dynamic partition
+    * overwrites of the epoch's own `ingest_batch=<id>` partition, so a
+    * replayed epoch is idempotent end-to-end — corpus and index can
+    * never diverge (the index is derivable from the corpus; a replay
+    * rewrites both from the same decisions).
+    *
+    * Scale shape: the probe broadcasts the micro-batch over ONE index
+    * scan; the index is signatures only (k longs + band keys per doc)
+    * — per-epoch cost grows with the INDEX, never with stored text,
+    * and the index append is batch-sized. */
+  def nearDupIngest(docs: DataFrame, corpusPath: String, indexPath: String,
+                    minAgree: Int = 4): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val good = batch.localCheckpoint()
+        val admitted = readSigIndex(spark, indexPath, batchId) match {
+          case Some(idx) =>
+            good.join(
+              graft.llm.Dedup.dedupAgainstIndexDf(idx, good, minAgree = minAgree)
+                .filter(!col("is_dup")).select("doc_id"),
+              Seq("doc_id"))
+          case None => good
+        }
+        val fresh = admitted.localCheckpoint()
+        if (!fresh.isEmpty) {
+          fresh.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(corpusPath)
+          graft.llm.Dedup.lshIndexRows(fresh)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(indexPath)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
 }

@@ -159,6 +159,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(21L)._1 == false, "novel text collides with nothing")
   }
 
+  test("leakageFreeSplit: every near-dup cluster lands in exactly one split") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "component")
+    val d = (1L to 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = CurationOps.leakageFreeSplit(d, clusters)
+    val perCluster = out.join(clusters, out("doc_id") === clusters("id"))
+      .groupBy("component").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1)
+    assert(perCluster.count() == 0, "a cluster split across train/eval leaks")
+    // unclustered docs fall back to the plain per-doc hash split
+    val solo = out.filter(!col("doc_id").isin(1L, 2L, 3L, 7L, 8L))
+    assert(solo.filter(col("rep") =!= col("doc_id")).count() == 0)
+    assert(out.count() == 10)
+  }
+
   test("ngramNovelty: novelty is a fraction, and a train-copied doc scores zero") {
     val copiedFromTrain = "alpha beta gamma delta epsilon zeta eta theta iota"
     // doc_id buckets: pick ids so one eval doc copies a train doc's text

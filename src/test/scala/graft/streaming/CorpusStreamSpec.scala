@@ -60,6 +60,44 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(byBatch(1L) !== byBatch(5L))
   }
 
+  test("nearDupIngest: lightly-edited re-posts are caught by the signature index across epochs") {
+    val base = Files.createTempDirectory("neardup_stream").toString
+    val (in, corpus, idx, ck) = (s"$base/in", s"$base/corpus", s"$base/idx", s"$base/ck")
+    Files.createDirectories(Paths.get(in))
+    def run(): Unit = {
+      val q = CorpusStream.nearDupIngest(
+        CorpusStream.readCorpusStream(spark, in), corpus, idx)
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    val original = (1 to 40).map(i => s"w${i * 13 % 211}").mkString(" ")
+    // one word changed: exact content hashes differ, shingle sets ~95% shared
+    val edited = original.replace("w13", "CHANGED")
+    Files.write(Paths.get(s"$in/wave1.jsonl"), java.util.Arrays.asList(
+      line(1, original)))
+    run()
+    assert(corpusIds(corpus) === Set(1L))
+
+    Files.write(Paths.get(s"$in/wave2.jsonl"), java.util.Arrays.asList(
+      line(2, edited),              // near-dup of epoch-1 doc → rejected
+      line(3, goodText("fresh")))) // novel → admitted
+    run()
+    assert(corpusIds(corpus) === Set(1L, 3L))
+
+    // the index holds signatures for exactly the admitted docs
+    val idxIds = spark.read.parquet(idx).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idxIds === Set(1L, 3L))
+
+    // replay with no new files: corpus and index unchanged
+    run()
+    assert(corpusIds(corpus) === Set(1L, 3L))
+    assert(spark.read.parquet(idx).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
   test("corrupt jsonl lines are excluded from the stream and counted in batch") {
     val base = Files.createTempDirectory("corpus_corrupt").toString
     val in = s"$base/in"
