@@ -1071,7 +1071,54 @@ object EventsQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM m GROUP BY 1 ORDER BY max_streak""".stripMargin
 
+  // ---------------------------------------------------------------- q166
+  /** Rolling 7-day active users (WAU) per day, with DAU and the
+    * DAU/WAU stickiness ratio in exact integer ppm — the standard
+    * product-health trio. Exactness matters here: the rolling
+    * distinct CANNOT be a window aggregate (neither engine supports
+    * COUNT(DISTINCT) over a frame), so each (user, day) activity row
+    * fans out to the ≤ 7 window-end days it supports (a narrow
+    * `sequence` explode — never a non-equi join), a semi-join trims
+    * ends beyond the observed calendar, and ONE distinct-aggregate
+    * per window-end day does the counting.
+    *
+    * Shape at 100 TB: the only corpus-scale work is the first
+    * distinct to (user, day) — events collapse before any fan-out;
+    * the ×7 explode runs on user-day grain (≈ 10³× smaller), and
+    * both distinct-aggregates partial-aggregate map-side. */
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = ud.select(col("day")).distinct()
+    val wau = ud
+      .select(col("user_id"), explode(expr(
+        "sequence(day, date_add(day, 6), interval 1 day)")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ud.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(1000000 * dau) div wau").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |w AS (SELECT CAST(t.w_end AS DATE) AS day, user_id
+      |      FROM ud, unnest(generate_series(CAST(day AS TIMESTAMP),
+      |        CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) t(w_end)),
+      |wau AS (SELECT w.day, COUNT(DISTINCT user_id) AS wau
+      |        FROM w JOIN days ON days.day = w.day GROUP BY 1),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+      |SELECT day, dau, wau, (1000000 * dau) // wau AS stickiness_ppm
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_rolling_wau" -> (rollingActiveUsers _),
     "q152_behavior_diversity" -> (behaviorDiversity _),
     "q153_activity_streaks" -> (activityStreaks _),
     "q147_ab_test" -> (abTest _),
@@ -1098,6 +1145,7 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_rolling_wau" -> rollingActiveUsersSql,
     "q152_behavior_diversity" -> behaviorDiversitySql,
     "q153_activity_streaks" -> activityStreaksSql,
     "q147_ab_test" -> abTestSql,

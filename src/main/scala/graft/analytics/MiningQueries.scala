@@ -661,7 +661,58 @@ object MiningQueries {
       |FROM part GROUP BY 1
       |ORDER BY triangles DESC, s_suppkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  /** Mixture-drift monitor: how far the per-nation composition of
+    * order volume shifted between the early period (pre-1996) and the
+    * late period — each nation's share of each period's orders in
+    * exact integer ppm (`1e6·c div total`), plus the per-nation L1
+    * contribution `|ppm_a − ppm_b|`. Summing the contributions gives
+    * 2× the total-variation distance between the two mixtures — the
+    * distribution-shift alarm for a training-data pipeline, WITHOUT
+    * the `ln` a PSI/KL monitor would need (the house
+    * no-transcendental rule: TV distance is all integer arithmetic).
+    *
+    * Shape: one partial-aggregable groupBy(nation) with conditional
+    * sums (no second scan for the period split), period totals ride a
+    * 1-row broadcast. */
+  def mixtureDrift(s: SparkSession, dir: String): DataFrame = {
+    val split = to_date(col("o_orderdate")) < lit("1996-01-01").cast("date")
+    val byNation = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(when(split, 1L).otherwise(0L)).as("c_a"),
+        sum(when(split, 0L).otherwise(1L)).as("c_b"))
+    val totals = byNation.agg(sum(col("c_a")).as("t_a"), sum(col("c_b")).as("t_b"))
+    byNation.crossJoin(broadcast(totals))
+      .select(col("n_name"), col("c_a"), col("c_b"),
+        expr("(1000000 * c_a) div t_a").as("ppm_a"),
+        expr("(1000000 * c_b) div t_b").as("ppm_b"),
+        abs(expr("(1000000 * c_a) div t_a") - expr("(1000000 * c_b) div t_b"))
+          .as("l1_ppm"))
+      .orderBy(col("n_name"))
+  }
+
+  val mixtureDriftSql: String =
+    """WITH bn AS (SELECT n_name,
+      |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 1
+      |             ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0
+      |             ELSE 1 END) AS BIGINT) AS c_b
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS t_a,
+      |               CAST(SUM(c_b) AS BIGINT) AS t_b FROM bn)
+      |SELECT n_name, c_a, c_b,
+      |  (1000000 * c_a) // t_a AS ppm_a,
+      |  (1000000 * c_b) // t_b AS ppm_b,
+      |  abs((1000000 * c_a) // t_a - (1000000 * c_b) // t_b) AS l1_ppm
+      |FROM bn CROSS JOIN tot ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_mixture_drift" -> (mixtureDrift _),
     "q150_supplier_triangles" -> ((s: SparkSession, dir: String) =>
       supplierTriangles(s, dir, materialize = _.localCheckpoint())),
     "q148_revenue_autocorr" -> (revenueAutocorr _),
@@ -677,6 +728,7 @@ object MiningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_mixture_drift" -> mixtureDriftSql,
     "q150_supplier_triangles" -> supplierTrianglesSql,
     "q148_revenue_autocorr" -> revenueAutocorrSql,
     "q145_revenue_cusum" -> revenueCusumSql,

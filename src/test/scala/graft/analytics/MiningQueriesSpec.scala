@@ -13,6 +13,25 @@ class MiningQueriesSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   // ---------------------------------------------------------------- q138
+  test("q166: WAU dominates DAU every day; stickiness stays within (0, 1e6]") {
+    val out = graft.analytics.EventsQueries.rollingActiveUsers(spark, dir)
+    import org.apache.spark.sql.functions.col
+    assert(out.filter(col("wau") < col("dau")).count() == 0,
+      "a 7-day window can only add users over its last day")
+    assert(out.filter(col("stickiness_ppm") <= 0 ||
+      col("stickiness_ppm") > 1000000).count() == 0)
+  }
+
+  test("q167: period shares each sum to 1e6 within per-nation floor loss") {
+    val rows = MiningQueries.mixtureDrift(spark, dir).collect()
+    val n = rows.length
+    for ((colIdx, name) <- Seq(3 -> "ppm_a", 4 -> "ppm_b")) {
+      val s = rows.map(_.getLong(colIdx)).sum
+      assert(s <= 1000000L && s >= 1000000L - n,
+        s"$name sums to $s, outside [1e6 - $n, 1e6]")
+    }
+  }
+
   test("q138: histogram estimate brackets the exact discrete quantile within 1/16") {
     val rows = MiningQueries.histogramQuantiles(spark, dir).collect()
     assert(rows.nonEmpty)
