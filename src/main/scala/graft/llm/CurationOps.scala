@@ -316,6 +316,45 @@ object CurationOps {
         (col("n_shared").cast("double") / col("n_grams")).as("overlap_frac"))
   }
 
+  // --------------------------------------------------- curation funnel
+  /** Per-source curation funnel: how many of each source's documents
+    * survive each stage of the standard ladder — quality gate (q68's
+    * frozen score ≥ threshold), exact dedup (min-id keeper of the
+    * md5(text) group), eval decontamination (no distinct `n`-gram
+    * shared with `evalDocs`) — each count CUMULATIVE (a doc counts in
+    * stage k only if it passed every earlier stage), plus the final
+    * survival rate in exact integer ppm. The accountability dashboard
+    * a curation pipeline reports per crawl source: a source whose
+    * funnel collapses at the dedup stage is a mirror; one collapsing
+    * at decontamination is benchmark leakage.
+    *
+    * Shape at 100 TB: three flag tables, each the output of an
+    * already-scale-shaped operator (one narrow map + one groupBy
+    * each), joined back on doc_id and collapsed by ONE
+    * partial-aggregable groupBy(source). Nothing new shuffles text. */
+  def curationFunnel(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
+                     qualityThreshold: Double = 1.0): DataFrame = {
+    val quality = CorpusOps.qualityScore(docs, qualityThreshold)
+      .select(col("doc_id"), col("keep"))
+    val withHash = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val keepers = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val contaminated = CorpusOps.decontaminate(docs, evalDocs, n)
+      .select(col("doc_id"), col("contaminated"))
+    withHash
+      .join(quality, Seq("doc_id"))
+      .join(keepers, Seq("h"))
+      .join(contaminated, Seq("doc_id"))
+      .withColumn("s1", col("keep"))
+      .withColumn("s2", col("keep") && col("doc_id") === col("keep_id"))
+      .withColumn("s3", col("s2") && !col("contaminated"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_clean"))
+      .withColumn("survival_ppm", expr("(1000000 * n_clean) div n_docs"))
+  }
+
   // ------------------------------------------------ leakage-free split
   /** Near-dup-aware train/val/test split: every document is assigned
     * by the md5 bucket of its near-dup CLUSTER representative (q61's

@@ -318,6 +318,57 @@ object CurationQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q168
+  /** Funnel over the q62 convention: `doc_id % 50 == 0` is the eval
+    * benchmark slice, the rest is the training corpus. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    CurationOps.curationFunnel(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0), n = 5)
+      .orderBy("source")
+  }
+
+  val curationFunnelSql: String =
+    """WITH tr AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+      |ev AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+      |q AS (SELECT doc_id,
+      |    2e-3 * n + 2e0 * sr + 1.5e0 * dr - 1e-1 * ml >= 1e0 AS keep
+      |  FROM (SELECT doc_id, n,
+      |      (CAST(length(text) AS DOUBLE) - n + 1e0) / n AS ml,
+      |      CAST(len(list_filter(ws, w -> list_contains(
+      |        ['the','a','of','and','to','in','is'], w))) AS DOUBLE) / n AS sr,
+      |      CAST(len(list_distinct(ws)) AS DOUBLE) / n AS dr
+      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS ws,
+      |            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+      |          FROM tr))),
+      |k AS (SELECT doc_id,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+      |  FROM tr),
+      |g AS (SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 5 THEN [text]
+      |    ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+      |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))
+      |    END)) AS gram FROM tr),
+      |eg AS (SELECT DISTINCT unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 5 THEN [text]
+      |    ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+      |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))
+      |    END)) AS gram FROM ev),
+      |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |  CAST(SUM(CASE WHEN keep AND is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unique,
+      |  CAST(SUM(CASE WHEN keep AND is_keeper AND cont.doc_id IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+      |  (1000000 * CAST(SUM(CASE WHEN keep AND is_keeper AND cont.doc_id IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+      |    AS survival_ppm
+      |FROM tr JOIN q USING (doc_id) JOIN k USING (doc_id)
+      |LEFT JOIN cont ON cont.doc_id = tr.doc_id
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q165
   def leakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -358,6 +409,7 @@ object CurationQueries {
     "q163_source_overlap" -> (sourceOverlap _),
     "q164_dedup_against_index" -> (dedupAgainstIndex _),
     "q165_leakage_free_split" -> (leakageFreeSplit _),
+    "q168_curation_funnel" -> (curationFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,5 +424,6 @@ object CurationQueries {
     "q163_source_overlap" -> sourceOverlapSql,
     "q164_dedup_against_index" -> dedupAgainstIndexSql,
     "q165_leakage_free_split" -> leakageFreeSplitSql,
+    "q168_curation_funnel" -> curationFunnelSql,
   )
 }

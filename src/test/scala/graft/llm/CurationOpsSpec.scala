@@ -159,6 +159,17 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(21L)._1 == false, "novel text collides with nothing")
   }
 
+  test("curationFunnel: stage counts are monotone and bounded by n_docs") {
+    val d = docs
+    val out = CurationOps.curationFunnel(
+      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))
+    val bad = out.filter(col("n_quality") > col("n_docs") ||
+      col("n_unique") > col("n_quality") || col("n_clean") > col("n_unique") ||
+      col("n_clean") < 0)
+    assert(bad.count() == 0, "funnel stages can only shrink")
+    assert(out.count() > 0)
+  }
+
   test("leakageFreeSplit: every near-dup cluster lands in exactly one split") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
       .toDF("id", "component")
