@@ -711,7 +711,76 @@ object MiningQueries {
       |  abs((1000000 * c_a) // t_a - (1000000 * c_b) // t_b) AS l1_ppm
       |FROM bn CROSS JOIN tot ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q169
+  /** Shuffle-skew audit over the warehouse's hot join keys: for each
+    * (table, key) pair, the exact group-size distribution summary a
+    * planner (or an engineer sizing a salted join) needs — key count,
+    * row count, max group, exact p50/p99 group size, and the heaviest
+    * key's share of all rows in integer ppm. A `top_share_ppm` in the
+    * tens of thousands says the key needs salting or an AQE skew
+    * split BEFORE the job ships; this measures it from the data
+    * instead of discovering it from a straggler task.
+    *
+    * Numerics: the percentiles use q138's all-integer rank walk
+    * (`rank = (p·n+99) div 100`, pick the min size whose cumulative
+    * key count reaches it) over the SIZE HISTOGRAM — group sizes
+    * collapse to (size, n_keys) first, so the walk's input is
+    * distinct-sizes-sized regardless of key cardinality.
+    *
+    * Shape: per pair, one partial-aggregable groupBy(key) — the only
+    * corpus-scale shuffle — then a groupBy(size) onto the tiny
+    * histogram and one window walk over it. */
+  def joinKeySkew(s: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, key: String, label: String): DataFrame = {
+      val sizes = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val hist = sizes.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+      val wCum = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      hist
+        .withColumn("cum", sum(col("nk")).over(wCum))
+        .withColumn("n_keys", sum(col("nk")).over(wAll))
+        .withColumn("n_rows", sum(col("c") * col("nk")).over(wAll))
+        .groupBy(col("n_keys"), col("n_rows"))
+        .agg(max(col("c")).as("max_group"),
+          min(when(col("cum") >= expr("(50*n_keys+99) div 100"), col("c")))
+            .as("p50_group"),
+          min(when(col("cum") >= expr("(99*n_keys+99) div 100"), col("c")))
+            .as("p99_group"))
+        .select(lit(label).as("table_key"), col("n_keys"), col("n_rows"),
+          col("max_group"), col("p50_group"), col("p99_group"),
+          expr("(1000000 * max_group) div n_rows").as("top_share_ppm"))
+    }
+    profile(t(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(profile(t(s, dir, "lineitem"), "l_partkey", "lineitem.l_partkey"))
+      .unionByName(profile(t(s, dir, "orders"), "o_custkey", "orders.o_custkey"))
+      .orderBy(col("table_key"))
+  }
+
+  val joinKeySkewSql: String = {
+    def profile(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS table_key, n_keys, n_rows,
+         |  MAX(c) AS max_group,
+         |  MIN(CASE WHEN cum >= (50*n_keys+99) // 100 THEN c END) AS p50_group,
+         |  MIN(CASE WHEN cum >= (99*n_keys+99) // 100 THEN c END) AS p99_group,
+         |  (1000000 * MAX(c)) // n_rows AS top_share_ppm
+         |FROM (SELECT c, CAST(SUM(nk) OVER (ORDER BY c) AS BIGINT) AS cum,
+         |    CAST(SUM(nk) OVER () AS BIGINT) AS n_keys,
+         |    CAST(SUM(c * nk) OVER () AS BIGINT) AS n_rows
+         |  FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS nk
+         |    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM $table GROUP BY $key)
+         |    GROUP BY c))
+         |GROUP BY n_keys, n_rows""".stripMargin
+    s"""${profile("lineitem", "l_orderkey")}
+       |UNION ALL
+       |${profile("lineitem", "l_partkey")}
+       |UNION ALL
+       |${profile("orders", "o_custkey")}
+       |ORDER BY table_key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_join_key_skew" -> (joinKeySkew _),
     "q167_mixture_drift" -> (mixtureDrift _),
     "q150_supplier_triangles" -> ((s: SparkSession, dir: String) =>
       supplierTriangles(s, dir, materialize = _.localCheckpoint())),
@@ -728,6 +797,7 @@ object MiningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_join_key_skew" -> joinKeySkewSql,
     "q167_mixture_drift" -> mixtureDriftSql,
     "q150_supplier_triangles" -> supplierTrianglesSql,
     "q148_revenue_autocorr" -> revenueAutocorrSql,

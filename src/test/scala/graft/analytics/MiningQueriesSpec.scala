@@ -32,6 +32,18 @@ class MiningQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q169: skew percentiles are ordered and row counts match the tables") {
+    import org.apache.spark.sql.functions.col
+    val out = MiningQueries.joinKeySkew(spark, dir)
+    assert(out.filter(col("p50_group") > col("p99_group") ||
+      col("p99_group") > col("max_group")).count() == 0)
+    val rows = out.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val li = graft.core.Tables.load(spark, dir, "lineitem").count()
+    val o = graft.core.Tables.load(spark, dir, "orders").count()
+    assert(rows("lineitem.l_orderkey") == li && rows("lineitem.l_partkey") == li)
+    assert(rows("orders.o_custkey") == o)
+  }
+
   test("q138: histogram estimate brackets the exact discrete quantile within 1/16") {
     val rows = MiningQueries.histogramQuantiles(spark, dir).collect()
     assert(rows.nonEmpty)
