@@ -146,12 +146,16 @@ object CurationOps {
     * its bigram count — a 10M-token document stays under 2^63 with
     * five orders of magnitude to spare.
     *
-    * Shape at 100 TB: bucket count tables are `buckets` rows (partial
-    * aggregated map-side, broadcast back); the corpus side is one
-    * narrow bigram explode + a broadcast join + one groupBy(doc_id).
+    * Shape at 100 TB: both bucket count tables come out of ONE
+    * conditional-sum groupBy over the bigram stream (`buckets` rows,
+    * partial aggregated map-side, broadcast back); the corpus side is
+    * one narrow bigram explode (pinned by `materialize` so the count
+    * pass and the scoring join don't each re-explode the corpus — the
+    * q54 hook discipline) + a broadcast join + one groupBy(doc_id).
     * No shuffle ever carries text. */
   def dsirWeights(docs: DataFrame, targetLang: String = "en",
-                  buckets: Int = 64): DataFrame = {
+                  buckets: Int = 64,
+                  materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(buckets >= 2, s"need at least 2 feature buckets, got $buckets")
     val bg = docs
       .select(col("doc_id"), col("lang"), words.as("w"))
@@ -160,21 +164,19 @@ object CurationOps {
         """transform(sequence(1, size(w) - 1),
           |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
           .stripMargin)).as("bigram"))
-    val bucketed = bg.select(col("doc_id"), col("lang"),
+    val bucketed = materialize(bg.select(col("doc_id"), col("lang"),
       (conv(substring(md5(col("bigram")), 1, 6), 16, 10).cast("long")
-        % buckets).as("bucket"))
-    val corpusCnt = bucketed.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("c_r"))
-    val targetCnt = bucketed.filter(col("lang") === targetLang)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+        % buckets).as("bucket")))
+    val counts = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
     // Laplace-smoothed scaled probabilities over the FULL bucket
     // domain (sequence 0..buckets-1): a bucket no target bigram hit
     // still carries probability 1/(N_t+B), exactly like DSIR's
     // smoothed estimate.
     val domain = docs.sparkSession.range(buckets).select(col("id").as("bucket"))
     val probs = domain
-      .join(corpusCnt, Seq("bucket"), "left")
-      .join(targetCnt, Seq("bucket"), "left")
+      .join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("c_r"), lit(0L)).as("c_r"),
         coalesce(col("c_t"), lit(0L)).as("c_t"))
@@ -337,12 +339,17 @@ object CurationOps {
     val quality = CorpusOps.qualityScore(docs, qualityThreshold)
       .select(col("doc_id"), col("keep"))
     val withHash = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
-    val keepers = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      .join(quality, Seq("doc_id"))
+    // keeper election runs AFTER the quality gate — the stage order of
+    // a real pipeline: a hash group whose min-id copy failed quality
+    // must still keep its best surviving copy (electing over all docs
+    // would misattribute the quality loss to the dedup stage)
+    val keepers = withHash.filter(col("keep"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
     val contaminated = CorpusOps.decontaminate(docs, evalDocs, n)
       .select(col("doc_id"), col("contaminated"))
     withHash
-      .join(quality, Seq("doc_id"))
-      .join(keepers, Seq("h"))
+      .join(keepers, Seq("h"), "left")
       .join(contaminated, Seq("doc_id"))
       .withColumn("s1", col("keep"))
       .withColumn("s2", col("keep") && col("doc_id") === col("keep_id"))

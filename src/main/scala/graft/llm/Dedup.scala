@@ -111,20 +111,28 @@ object Dedup {
     * from [[lshBuckets]] so callers that also consume the signatures
     * ([[estimatedJaccardPairs]]) share ONE signature computation. */
   private def bucketsFromSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    sigs
+      .select(col("doc_id"),
+        posexplode(array(bandBucketCols(k, bands): _*)).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+  }
+
+  /** The per-band bucket-key expressions over an mh0..mh(k-1) row —
+    * THE band-key formula, shared by the in-memory bucket aggregation
+    * ([[bucketsFromSigs]]) and the persisted index ([[bandedSigRows]])
+    * so the two paths can never silently diverge. */
+  private def bandBucketCols(k: Int, bands: Int): Seq[org.apache.spark.sql.Column] = {
     require(bands > 0 && k % bands == 0,
       s"k ($k) must divide evenly into bands ($bands): a remainder " +
         "silently drops signatures, and bands > k makes every bucket a " +
         "constant (one all-corpus bucket per band)")
     val rows = k / bands
-    val bucketCols = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val cs = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
       md5(concat_ws("|", cs: _*))
     }
-    sigs
-      .select(col("doc_id"), posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
   }
 
   /** Flat banded signature rows `(band, bucket, doc_id, sig[k])` — the
@@ -132,18 +140,10 @@ object Dedup {
     * one row per document per band, carrying the full k-component
     * signature so a probe can estimate Jaccard without touching
     * document text. */
-  private def bandedSigRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
-    require(bands > 0 && k % bands == 0,
-      s"k ($k) must divide evenly into bands ($bands)")
-    val rows = k / bands
-    val bucketCols = (0 until bands).map { b =>
-      val cs = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      md5(concat_ws("|", cs: _*))
-    }
+  private def bandedSigRows(sigs: DataFrame, k: Int, bands: Int): DataFrame =
     sigs.select(col("doc_id"),
       array((0 until k).map(i => col(s"mh$i")): _*).as("sig"),
-      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
-  }
+      posexplode(array(bandBucketCols(k, bands): _*)).as(Seq("band", "bucket")))
 
   /** Persist the corpus' MinHash-LSH signature index as a
     * `bucket`-bucketed catalog table — the structure that makes
@@ -166,6 +166,28 @@ object Dedup {
                    shingle: Int = 3): DataFrame =
     bandedSigRows(minhashSignatures(docs, k, shingle), k, bands)
 
+  /** WITHIN-batch near-dup drops under the same signature-agreement
+    * rule as [[dedupAgainstIndexDf]]: doc ids that share a band bucket
+    * with a LOWER-id batch member agreeing on ≥ `minAgree` of k
+    * minhashes. The streaming ingester applies this BEFORE the index
+    * probe so two lightly-edited copies arriving in one wave can't
+    * both slip past an index that knows neither. Returns the distinct
+    * `doc_id`s to drop (min-id member of each group survives). */
+  def inBatchNearDupDrops(batch: DataFrame, k: Int = 8, bands: Int = 4,
+                          shingle: Int = 3, minAgree: Int = 4): DataFrame = {
+    require(minAgree >= 1 && minAgree <= k,
+      s"minAgree ($minAgree) must be within 1..$k")
+    val rows = bandedSigRows(minhashSignatures(batch, k, shingle), k, bands)
+    rows.alias("l").join(rows.alias("r"), Seq("band", "bucket"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("r.doc_id").as("doc_id"),
+        col("l.sig").as("lsig"), col("r.sig").as("rsig"))
+      .distinct()
+      .filter(expr("size(filter(zip_with(lsig, rsig, (x, y) -> x = y), v -> v))")
+        >= minAgree)
+      .select(col("doc_id")).distinct()
+  }
+
   /** Incremental near-dup against a [[writeLshIndex]] table: for every
     * batch document, find indexed documents sharing any LSH band
     * bucket, keep those agreeing on ≥ `minAgree` of the k minhash
@@ -178,9 +200,11 @@ object Dedup {
     * contract — it BROADCASTS to the index scan, so the index is read
     * once with no shuffle and no text movement; candidate pairs
     * collapse to per-doc decisions via one partial-aggregable
-    * `max_by` groupBy. A wave too large to broadcast falls back to a
-    * shuffle join co-located by the index's at-rest bucketing — same
-    * plan shape the Bucketing operator pins for co-located joins. */
+    * `max_by` groupBy. A wave too large to broadcast passes
+    * `broadcastProbe = false` and degrades to a shuffle join
+    * co-located by the index's at-rest bucketing — the explicit hint
+    * would otherwise override Spark's size check and force the
+    * broadcast regardless. */
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String, batch: DataFrame, k: Int = 8,
                         bands: Int = 4, shingle: Int = 3,
@@ -192,12 +216,15 @@ object Dedup {
     * parquet directory rather than a catalog table). */
   def dedupAgainstIndexDf(idx: DataFrame, batch: DataFrame, k: Int = 8,
                           bands: Int = 4, shingle: Int = 3,
-                          minAgree: Int = 4): DataFrame = {
+                          minAgree: Int = 4,
+                          broadcastProbe: Boolean = true): DataFrame = {
     require(minAgree >= 1 && minAgree <= k,
       s"minAgree ($minAgree) must be within 1..$k")
     val probe = bandedSigRows(minhashSignatures(batch, k, shingle), k, bands)
+    val probeSide =
+      if (broadcastProbe) broadcast(probe.alias("n")) else probe.alias("n")
     val agree = idx.alias("i")
-      .join(broadcast(probe.alias("n")), Seq("band", "bucket"))
+      .join(probeSide, Seq("band", "bucket"))
       .select(col("n.doc_id").as("doc_id"), col("i.doc_id").as("match_id"),
         col("n.sig").as("nsig"), col("i.sig").as("isig"))
       .distinct()

@@ -129,27 +129,35 @@ object CorpusStream {
     org.apache.spark.sql.types.StructField("bucket",
       org.apache.spark.sql.types.StringType)))
 
-  /** NEAR-dup streaming ingestion: each micro-batch is probed against
-    * the LSH signature index of everything already admitted
-    * ([[graft.llm.Dedup.dedupAgainstIndexDf]] — catches lightly-edited
-    * re-posts that [[qualityIngest]]'s exact content hash misses),
-    * survivors land in the corpus AND append their signatures as the
-    * epoch's index partition. Both writes are dynamic partition
-    * overwrites of the epoch's own `ingest_batch=<id>` partition, so a
-    * replayed epoch is idempotent end-to-end — corpus and index can
-    * never diverge (the index is derivable from the corpus; a replay
-    * rewrites both from the same decisions).
+  /** NEAR-dup streaming ingestion: each micro-batch first drops its
+    * OWN internal near-dups (min-id survivor,
+    * [[graft.llm.Dedup.inBatchNearDupDrops]] — two edited copies in
+    * one wave can't both slip past an index that knows neither), then
+    * is probed against the LSH signature index of everything already
+    * admitted ([[graft.llm.Dedup.dedupAgainstIndexDf]] — catches
+    * lightly-edited re-posts that [[qualityIngest]]'s exact content
+    * hash misses); survivors land in the corpus AND append their
+    * signatures as the epoch's index partition. Both writes are
+    * dynamic partition overwrites of the epoch's own
+    * `ingest_batch=<id>` partition, so a replayed epoch is idempotent
+    * end-to-end — corpus and index can never diverge (the index is
+    * derivable from the corpus; a replay rewrites both from the same
+    * decisions).
     *
     * Scale shape: the probe broadcasts the micro-batch over ONE index
     * scan; the index is signatures only (k longs + band keys per doc)
     * — per-epoch cost grows with the INDEX, never with stored text,
-    * and the index append is batch-sized. */
+    * and the index append is batch-sized. The in-batch pass is a
+    * batch×batch band-bucket join — micro-batch-sized on both sides. */
   def nearDupIngest(docs: DataFrame, corpusPath: String, indexPath: String,
                     minAgree: Int = 4): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val good = batch.localCheckpoint()
+        val good = batch.join(
+          graft.llm.Dedup.inBatchNearDupDrops(batch, minAgree = minAgree),
+          Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         val admitted = readSigIndex(spark, indexPath, batchId) match {
           case Some(idx) =>
             good.join(

@@ -46,9 +46,15 @@ object EventPipelines {
     * physical `ts` type is peeked from the parquet footer via a batch
     * read (one driver-side footer fetch — no data scan), then
     * normalized exactly like the batch loader so streaming and batch
-    * twins agree bit-for-bit. */
+    * twins agree bit-for-bit. A landing directory with no files yet
+    * (the normal way a stream starts) can't be peeked — the declared
+    * type falls back to the current at-rest generation
+    * (TIMESTAMP_NTZ) so the stream starts and picks files up as they
+    * land instead of failing at setup. */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
-    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(path).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
     val reader = spark.readStream.schema(rawSchema(tsType))
     val src =
       if (path.endsWith(".parquet")) {

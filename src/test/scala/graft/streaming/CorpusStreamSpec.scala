@@ -80,9 +80,12 @@ class CorpusStreamSpec extends AnyFunSuite {
     run()
     assert(corpusIds(corpus) === Set(1L))
 
+    val fresh = (1 to 40).map(i => s"f${i * 19 % 223}").mkString(" ")
+    val freshCopy = fresh.replace("f19", "EDITED")
     Files.write(Paths.get(s"$in/wave2.jsonl"), java.util.Arrays.asList(
-      line(2, edited),              // near-dup of epoch-1 doc → rejected
-      line(3, goodText("fresh")))) // novel → admitted
+      line(2, edited),    // near-dup of epoch-1 doc → rejected by the index
+      line(3, fresh),     // novel → admitted
+      line(4, freshCopy))) // near-dup of 3 INSIDE the wave → min-id wins
     run()
     assert(corpusIds(corpus) === Set(1L, 3L))
 
