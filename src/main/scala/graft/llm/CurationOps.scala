@@ -333,12 +333,17 @@ object CurationOps {
     * Shape at 100 TB: three flag tables, each the output of an
     * already-scale-shaped operator (one narrow map + one groupBy
     * each), joined back on doc_id and collapsed by ONE
-    * partial-aggregable groupBy(source). Nothing new shuffles text. */
+    * partial-aggregable groupBy(source). The corpus frame feeds all
+    * three — `materialize` (q54's hook, `_.localCheckpoint()`) pins it
+    * so they don't each re-scan the corpus (PlanAudit flagged the
+    * unpinned form at 7 scans). Nothing new shuffles text. */
   def curationFunnel(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
-                     qualityThreshold: Double = 1.0): DataFrame = {
-    val quality = CorpusOps.qualityScore(docs, qualityThreshold)
+                     qualityThreshold: Double = 1.0,
+                     materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val d = materialize(docs.select(col("doc_id"), col("source"), col("text")))
+    val quality = CorpusOps.qualityScore(d, qualityThreshold)
       .select(col("doc_id"), col("keep"))
-    val withHash = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val withHash = d.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
       .join(quality, Seq("doc_id"))
     // keeper election runs AFTER the quality gate — the stage order of
     // a real pipeline: a hash group whose min-id copy failed quality
@@ -346,7 +351,7 @@ object CurationOps {
     // would misattribute the quality loss to the dedup stage)
     val keepers = withHash.filter(col("keep"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
-    val contaminated = CorpusOps.decontaminate(docs, evalDocs, n)
+    val contaminated = CorpusOps.decontaminate(d, evalDocs, n)
       .select(col("doc_id"), col("contaminated"))
     withHash
       .join(keepers, Seq("h"), "left")

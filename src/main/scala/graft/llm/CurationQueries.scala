@@ -335,7 +335,8 @@ object CurationQueries {
     val d = docs(s, dir)
     CurationOps.curationFunnel(
       d.filter(col("doc_id") % 50 =!= 0),
-      d.filter(col("doc_id") % 50 === 0), n = 5)
+      d.filter(col("doc_id") % 50 === 0), n = 5,
+      materialize = _.localCheckpoint())
       .orderBy("source")
   }
 
