@@ -408,6 +408,83 @@ object CurationQueries {
        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+  /** FUZZY decontamination — the near-dup upgrade of q62's exact
+    * 5-gram rule: training docs that are lightly-edited (paraphrase-
+    * level) copies of an eval benchmark doc still leak answers, and
+    * exact gram overlap misses them once a few words change. Probe
+    * every training doc against the EVAL set's LSH signature index
+    * ([[Dedup.dedupAgainstIndexDf]] with the roles swapped — the eval
+    * set is the index, the corpus is the wave): signature agreement
+    * ≥ 3/8 ≈ estimated Jaccard ≥ 0.375, looser than dedup's 0.5
+    * because contamination screening wants recall.
+    *
+    * Shape at 100 TB: eval benchmarks are metadata-scale, so their
+    * signature index rides ONE broadcast (~k longs + band keys per
+    * eval doc); the corpus side is a narrow signature map + the
+    * broadcast join — the same cost class as the bloom decontaminate
+    * (q104), but catching edits instead of only verbatim grams. */
+  def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // roles are swapped vs q164: the WAVE is the corpus (big) and the
+    // index is the eval set (small) — so the probe must NOT broadcast;
+    // Spark's size check then broadcasts the eval-index side instead
+    Dedup.dedupAgainstIndexDf(
+        Dedup.lshIndexRows(d.filter(col("doc_id") % 50 === 0)),
+        d.filter(col("doc_id") % 50 =!= 0), minAgree = 3,
+        broadcastProbe = false)
+      .select(col("doc_id"), col("n_matches"),
+        col("best_match_id").as("eval_match_id"), col("best_agree"),
+        col("is_dup").as("contaminated_fuzzy"))
+      .orderBy("doc_id")
+  }
+
+  val fuzzyDecontaminateSql: String = {
+    val sigCols = (0 until 8).map { i =>
+      val (a, b) = Dedup.affine(i)
+      s"list_min(list_transform(xs, x -> ($a * x + $b) % ${Dedup.MersennePrime})) AS mh$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+       |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+       |             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+       |      END) AS shingles FROM documents),
+       |sx AS (SELECT doc_id, list_transform(shingles,
+       |         s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)) AS xs FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sx),
+       |banded AS (
+       |  $bandRows),
+       |sigarr AS (SELECT doc_id, [mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7] AS sig
+       |           FROM sig),
+       |cand AS (SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS match_id
+       |  FROM banded n JOIN banded i ON n.band = i.band AND n.bucket = i.bucket
+       |  WHERE n.doc_id % 50 <> 0 AND i.doc_id % 50 = 0),
+       |ag AS (SELECT c.doc_id, c.match_id,
+       |    CAST(len(list_filter(generate_series(1, 8),
+       |      j -> a.sig[j] = b.sig[j])) AS BIGINT) AS k_agree
+       |  FROM cand c
+       |  JOIN sigarr a ON a.doc_id = c.doc_id
+       |  JOIN sigarr b ON b.doc_id = c.match_id),
+       |best AS (SELECT doc_id, n_matches, match_id, k_agree FROM (
+       |    SELECT doc_id, match_id, k_agree,
+       |      CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY k_agree DESC, match_id) AS rn
+       |    FROM ag WHERE k_agree >= 3) WHERE rn = 1)
+       |SELECT d.doc_id, COALESCE(best.n_matches, 0) AS n_matches,
+       |  COALESCE(best.match_id, -1) AS eval_match_id,
+       |  COALESCE(best.k_agree, 0) AS best_agree,
+       |  best.doc_id IS NOT NULL AS contaminated_fuzzy
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+       |LEFT JOIN best ON best.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_chunk_dedup" -> (chunkDedup _),
     "q156_source_boilerplate" -> (sourceBoilerplate _),
@@ -421,6 +498,7 @@ object CurationQueries {
     "q164_dedup_against_index" -> (dedupAgainstIndex _),
     "q165_leakage_free_split" -> (leakageFreeSplit _),
     "q168_curation_funnel" -> (curationFunnel _),
+    "q170_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -436,5 +514,6 @@ object CurationQueries {
     "q164_dedup_against_index" -> dedupAgainstIndexSql,
     "q165_leakage_free_split" -> leakageFreeSplitSql,
     "q168_curation_funnel" -> curationFunnelSql,
+    "q170_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
   )
 }
