@@ -101,34 +101,68 @@ object MergeUpsert {
   def intoPartitionedPath(spark: SparkSession, path: String, source: DataFrame,
                           pks: Seq[String],
                           partitionCol: String = "partition_value"): Unit =
-    intoPartitionedPath(spark, path, source, pks, partitionCol, noHook)
+    intoPartitionedPath(spark, path, source, pks, partitionCol, noHook,
+      reinsertSource = true)
+
+  /** Targeted key DELETION under the same staged-manifest commit as
+    * the partition-scoped merge — the "right to be forgotten" shape a
+    * training-data platform owes its governance layer: `keys` (any
+    * frame carrying the `pks` columns) names the rows to remove, only
+    * the partitions actually holding a matching row are rewritten
+    * (anti-join survivors), a partition whose every row matched is
+    * dropped, and every other partition directory stays
+    * byte-identical. Crash anywhere → [[recoverTornMerge]] rolls the
+    * committed manifest forward, exactly like a merge. Deleting keys
+    * that don't exist is a no-op (no partition rewrites at all).
+    *
+    * Works unchanged on any `partitionBy` layout sharing the id
+    * column — the corpus AND its LSH signature index
+    * ([[graft.streaming.CorpusStream.nearDupIngest]]'s
+    * `ingest_batch=` partitions), so one forget call per store
+    * removes a document everywhere it is derivable from. */
+  def deleteFromPartitionedPath(spark: SparkSession, path: String,
+                                keys: DataFrame, pks: Seq[String],
+                                partitionCol: String = "partition_value"): Unit =
+    intoPartitionedPath(spark, path, keys, pks, partitionCol, noHook,
+      reinsertSource = false)
 
   /** Test seam: `beforeRename(kind, name)` fires before each commit
     * rename (kinds: manifest, swap-aside, swap-in, drop-aside) — a
-    * throwing hook simulates a crash at that exact point. */
+    * throwing hook simulates a crash at that exact point.
+    * `reinsertSource = false` turns the merge into a pure deletion:
+    * `source` contributes only its key columns, nothing is unioned
+    * back, and partitions are touched only via the match semi-join. */
   private[operators] def intoPartitionedPath(spark: SparkSession, path: String,
                                              source: DataFrame, pks: Seq[String],
                                              partitionCol: String,
-                                             beforeRename: (String, String) => Unit): Unit = {
+                                             beforeRename: (String, String) => Unit,
+                                             reinsertSource: Boolean): Unit = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // complete a torn prior commit / clear dead leftovers BEFORE reading
     // the target (a torn target would feed the merge stale rows)
     recoverTornMerge(spark, path)
     if (!fs.exists(target)) {
-      source.write.partitionBy(partitionCol).parquet(path)
+      // a merge creates the table; a delete against a missing table
+      // has nothing to forget
+      if (reinsertSource) source.write.partitionBy(partitionCol).parquet(path)
       return
     }
     val t = spark.read.parquet(path)
     val srcKeys = source.select(pks.map(col): _*)
-    // touched = partitions holding rows the source replaces PLUS
-    // partitions the source writes into (an insert landing in an
-    // existing partition must not clobber its resident rows) — a
+    // touched = partitions holding rows the source replaces (or, for a
+    // deletion, rows being removed) PLUS — merges only — partitions
+    // the source writes into (an insert landing in an existing
+    // partition must not clobber its resident rows) — a
     // partition-count-sized distinct either way
-    val touchedAll = (t.join(srcKeys, pks, "left_semi")
-        .select(col(partitionCol))
-      unionByName source.select(col(partitionCol)))
+    val matchedParts = t.join(srcKeys, pks, "left_semi").select(col(partitionCol))
+    val touchedAll = (if (reinsertSource)
+        matchedParts unionByName source.select(col(partitionCol))
+      else matchedParts)
       .distinct().collect().map(_.get(0))
+    // a deletion whose keys match nothing touches nothing: skip the
+    // staging/commit cycle entirely (true no-op)
+    if (!reinsertSource && touchedAll.isEmpty) return
     val touchedRaw = touchedAll.filter(_ != null)
     val touchedHasNull = touchedAll.exists(_ == null)
     // directory names use Spark's own escaping (special chars, and the
@@ -149,7 +183,9 @@ object MergeUpsert {
         col(partitionCol).isin(touchedRaw.toSeq: _*) || col(partitionCol).isNull
       else col(partitionCol).isin(touchedRaw.toSeq: _*)
     val keep = t.filter(touchedPred).join(srcKeys, pks, "left_anti")
-    val out = keep.unionByName(source.select(t.columns.map(col): _*))
+    val out =
+      if (reinsertSource) keep.unionByName(source.select(t.columns.map(col): _*))
+      else keep
     // stage fully (materializes out BEFORE any target mutation)...
     val tmp = stagingDir(path)
     out.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)

@@ -73,6 +73,49 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(new java.io.File(dir).getParentFile.list().toSeq === Seq("t"))
   }
 
+  test("deleteFromPartitionedPath forgets keys, drops emptied partitions, leaves the rest byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("pdelete").toString + "/t"
+    val t0 = Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p3"))
+      .toDF("id", "v", "partition_value")
+    MergeUpsert.intoPartitionedPath(spark, dir, t0, Seq("id"))
+    val p3Before = files(dir, "partition_value=p3")
+
+    // forget id=1 (p1 keeps id=2) and id=3 (p2 empties out entirely)
+    MergeUpsert.deleteFromPartitionedPath(spark, dir,
+      Seq(1, 3).toDF("id"), Seq("id"))
+    val got = spark.read.parquet(dir).orderBy("id")
+      .as[(Int, String, String)].collect().toSeq
+    assert(got === Seq((2, "b", "p1"), (4, "d", "p3")))
+    assert(!new java.io.File(s"$dir/partition_value=p2").exists(),
+      "a partition whose every row was forgotten is dropped")
+    assert(files(dir, "partition_value=p3") === p3Before,
+      "partitions holding no forgotten key stay byte-identical")
+
+    // deleting keys that don't exist is a true no-op (p3 untouched again)
+    MergeUpsert.deleteFromPartitionedPath(spark, dir,
+      Seq(99).toDF("id"), Seq("id"))
+    assert(files(dir, "partition_value=p3") === p3Before)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("deleteFromPartitionedPath propagates a forget through the streaming LSH index layout") {
+    val base = java.nio.file.Files.createTempDirectory("forget_idx").toString
+    val idx = s"$base/idx"
+    // two ingest epochs of signature rows, as nearDupIngest lays them out
+    for ((epoch, ids) <- Seq(0L -> Seq(1L, 2L), 1L -> Seq(3L))) {
+      graft.llm.Dedup.lshIndexRows(
+          ids.map(i => (i, s"doc number $i with some shared words " * 3))
+            .toDF("doc_id", "text"))
+        .withColumn("ingest_batch", lit(epoch))
+        .write.mode("append").partitionBy("ingest_batch").parquet(idx)
+    }
+    MergeUpsert.deleteFromPartitionedPath(spark, idx,
+      Seq(2L).toDF("doc_id"), Seq("doc_id"), partitionCol = "ingest_batch")
+    val left = spark.read.parquet(idx).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(left === Set(1L, 3L), "doc 2's signatures are forgotten everywhere")
+  }
+
   test("insert-only source into an existing partition keeps resident rows") {
     val dir = java.nio.file.Files.createTempDirectory("pmerge3").toString + "/t"
     val t0 = Seq((1, "a", "p1"), (2, "b", "p1")).toDF("id", "v", "partition_value")
@@ -125,7 +168,7 @@ class MergeUpsertSpec extends AnyFunSuite {
     seed(dir)
     intercept[SimulatedCrash] {
       MergeUpsert.intoPartitionedPath(spark, dir, src, Seq("id"),
-        "partition_value", crashOn("manifest"))
+        "partition_value", crashOn("manifest"), reinsertSource = true)
     }
     // torn state on disk: staging exists, no manifest -> uncommitted
     MergeUpsert.recoverTornMerge(spark, dir)
@@ -143,7 +186,7 @@ class MergeUpsertSpec extends AnyFunSuite {
       .toDF("id", "v", "partition_value")
     intercept[SimulatedCrash] {
       MergeUpsert.intoPartitionedPath(spark, dir, s, Seq("id"),
-        "partition_value", crashOn("swap-in"))
+        "partition_value", crashOn("swap-in"), reinsertSource = true)
     }
     // p1 is mid-swap: live copy in trash, replacement still staged.
     // Recovery must roll the COMMITTED merge forward, not lose p1.
@@ -159,7 +202,7 @@ class MergeUpsertSpec extends AnyFunSuite {
     val s = Seq((1, "A", "p1")).toDF("id", "v", "partition_value")
     intercept[SimulatedCrash] {
       MergeUpsert.intoPartitionedPath(spark, dir, s, Seq("id"),
-        "partition_value", crashOn("swap-in"))
+        "partition_value", crashOn("swap-in"), reinsertSource = true)
     }
     // simulate an object-store copy-then-delete rename dying after the
     // copy: the live dir reappears while its trash copy also exists
@@ -180,7 +223,7 @@ class MergeUpsertSpec extends AnyFunSuite {
     seed(dir)
     intercept[SimulatedCrash] {
       MergeUpsert.intoPartitionedPath(spark, dir, src, Seq("id"),
-        "partition_value", crashOn("drop-aside"))
+        "partition_value", crashOn("drop-aside"), reinsertSource = true)
     }
     // NO manual recovery: the next merge call must self-heal first.
     // id=3 moves p3 -> p1 in this second merge.
