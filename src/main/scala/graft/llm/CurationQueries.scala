@@ -485,6 +485,44 @@ object CurationQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q171
+  /** Dedup-yield report: the near-dup cluster SIZE distribution (q61's
+    * components) with, per size, how many documents those clusters
+    * hold and how many deduplication would remove (`size − 1` each,
+    * min-id survivor) — the "what do we actually gain" readout that
+    * turns a cluster table into a storage/compute decision. The
+    * histogram is cluster-count-sized; everything after the q43/q61
+    * edge work is metadata-scale. */
+  def dedupYield(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.operators.ConnectedComponents(
+      Dedup.jaccardPairs(docs(s, dir), threshold = 0.5, lenTol = 5)
+        .select(col("a"), col("b")),
+      numPartitions = 8)
+    clusters.groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy(col("size"))
+  }
+
+  val dedupYieldSql: String =
+    s"""WITH RECURSIVE ${LlmQueries.jaccardPairCtes},
+       |sym AS (SELECT a AS src, b AS dst FROM pr
+       |        UNION SELECT b, a FROM pr),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.id),
+       |comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id),
+       |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+       |       FROM comp GROUP BY 1)
+       |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removable
+       |FROM cs GROUP BY size ORDER BY size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_chunk_dedup" -> (chunkDedup _),
     "q156_source_boilerplate" -> (sourceBoilerplate _),
@@ -499,6 +537,7 @@ object CurationQueries {
     "q165_leakage_free_split" -> (leakageFreeSplit _),
     "q168_curation_funnel" -> (curationFunnel _),
     "q170_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
+    "q171_dedup_yield" -> (dedupYield _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -515,5 +554,6 @@ object CurationQueries {
     "q165_leakage_free_split" -> leakageFreeSplitSql,
     "q168_curation_funnel" -> curationFunnelSql,
     "q170_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
+    "q171_dedup_yield" -> dedupYieldSql,
   )
 }
