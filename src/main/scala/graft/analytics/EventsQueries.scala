@@ -1117,7 +1117,66 @@ object EventsQueries {
       |SELECT day, dau, wau, (1000000 * dau) // wau AS stickiness_ppm
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+  /** Markov next-event backtest — the eval face of q131's transition
+    * matrix: train the argmax predictor (most frequent next type per
+    * previous type, ties to the lexicographically smallest) on
+    * transitions landing in the first 20 calendar days, score top-1
+    * accuracy on the rest, per previous type in exact integer ppm.
+    * The "is yesterday's behavioral model still right" monitor, run
+    * entirely as relational plans — no model artifact leaves the
+    * warehouse.
+    *
+    * Shape: one lag window over (user, time) forms all transition
+    * pairs; train counts partial-aggregate to the type-pair grain
+    * (≤ |types|²); the argmax is a window over that tiny table and
+    * broadcasts back onto the test stream; ONE final groupBy(prev). */
+  def markovBacktest(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("next"),
+        dayofmonth(col("ts")).as("d"),
+        lag(col("event_type"), 1).over(byUser).as("prev"))
+      .filter(col("prev").isNotNull)
+    val model = pairs.filter(col("d") <= 20)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("prev"))
+          .orderBy(col("cnt").desc, col("next"))))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("next").as("predicted"))
+    pairs.filter(col("d") > 20)
+      .join(broadcast(model), Seq("prev"), "left")
+      .groupBy(col("prev"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("predicted") === col("next"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy_ppm", expr("(1000000 * n_correct) div n_test"))
+      .orderBy(col("prev"))
+  }
+
+  val markovBacktestSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS next, EXTRACT(DAY FROM ts) AS d,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |pairs AS (SELECT prev, next, d FROM seq WHERE prev IS NOT NULL),
+      |model AS (SELECT prev, next AS predicted FROM (
+      |    SELECT prev, next, ROW_NUMBER() OVER (PARTITION BY prev
+      |      ORDER BY COUNT(*) DESC, next) AS rn
+      |    FROM pairs WHERE d <= 20 GROUP BY prev, next) WHERE rn = 1)
+      |SELECT prev, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  CAST(SUM(CASE WHEN predicted = next THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  (1000000 * CAST(SUM(CASE WHEN predicted = next THEN 1 ELSE 0 END)
+      |    AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS accuracy_ppm
+      |FROM pairs LEFT JOIN model USING (prev)
+      |WHERE d > 20 GROUP BY prev ORDER BY prev""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_markov_backtest" -> (markovBacktest _),
     "q166_rolling_wau" -> (rollingActiveUsers _),
     "q152_behavior_diversity" -> (behaviorDiversity _),
     "q153_activity_streaks" -> (activityStreaks _),
@@ -1145,6 +1204,7 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_markov_backtest" -> markovBacktestSql,
     "q166_rolling_wau" -> rollingActiveUsersSql,
     "q152_behavior_diversity" -> behaviorDiversitySql,
     "q153_activity_streaks" -> activityStreaksSql,
