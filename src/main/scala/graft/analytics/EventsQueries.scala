@@ -1121,32 +1121,43 @@ object EventsQueries {
   /** Markov next-event backtest — the eval face of q131's transition
     * matrix: train the argmax predictor (most frequent next type per
     * previous type, ties to the lexicographically smallest) on
-    * transitions landing in the first 20 calendar days, score top-1
-    * accuracy on the rest, per previous type in exact integer ppm.
-    * The "is yesterday's behavioral model still right" monitor, run
-    * entirely as relational plans — no model artifact leaves the
-    * warehouse.
+    * transitions landing within the first 20 calendar days OF THE
+    * DATA (cutoff = min event date + 19 — derived, so the split is
+    * a true past/future boundary on any time range, never the
+    * month-periodic `dayofmonth` trap), score top-1 accuracy on the
+    * rest, per previous type in exact integer ppm. The "is
+    * yesterday's behavioral model still right" monitor, run entirely
+    * as relational plans — no model artifact leaves the warehouse.
     *
     * Shape: one lag window over (user, time) forms all transition
-    * pairs; train counts partial-aggregate to the type-pair grain
-    * (≤ |types|²); the argmax is a window over that tiny table and
-    * broadcasts back onto the test stream; ONE final groupBy(prev). */
+    * pairs — checkpointed, because the train and test branches would
+    * otherwise each evaluate the full-table sort+window (the q168
+    * lesson); the 1-row min-date scalar rides a broadcast; train
+    * counts partial-aggregate to the type-pair grain (≤ |types|²);
+    * the argmax is a window over that tiny table and broadcasts back
+    * onto the test stream; ONE final groupBy(prev). */
   def markovBacktest(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pairs = Tables.events(s, dir)
+    val ev = Tables.events(s, dir)
+    val d0 = ev.agg(min(to_date(col("ts"))).as("d0"))
+    val pairs = ev
       .select(col("user_id"), col("event_type").as("next"),
-        dayofmonth(col("ts")).as("d"),
+        to_date(col("ts")).as("d"),
         lag(col("event_type"), 1).over(byUser).as("prev"))
       .filter(col("prev").isNotNull)
-    val model = pairs.filter(col("d") <= 20)
+      .crossJoin(broadcast(d0))
+      .withColumn("in_train", col("d") <= date_add(col("d0"), 19))
+      .select(col("next"), col("prev"), col("in_train"))
+      .localCheckpoint()
+    val model = pairs.filter(col("in_train"))
       .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("prev"))
           .orderBy(col("cnt").desc, col("next"))))
       .filter(col("rn") === 1)
       .select(col("prev"), col("next").as("predicted"))
-    pairs.filter(col("d") > 20)
+    pairs.filter(!col("in_train"))
       .join(broadcast(model), Seq("prev"), "left")
       .groupBy(col("prev"))
       .agg(count(lit(1)).as("n_test"),
@@ -1157,23 +1168,26 @@ object EventsQueries {
   }
 
   val markovBacktestSql: String =
-    """WITH seq AS (
-      |  SELECT event_type AS next, EXTRACT(DAY FROM ts) AS d,
+    """WITH d0 AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+      |            FROM events),
+      |seq AS (
+      |  SELECT event_type AS next, CAST(date_trunc('day', ts) AS DATE) AS d,
       |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |      AS prev
       |  FROM events),
-      |pairs AS (SELECT prev, next, d FROM seq WHERE prev IS NOT NULL),
+      |pairs AS (SELECT prev, next, d <= d0 + 19 AS in_train
+      |          FROM seq CROSS JOIN d0 WHERE prev IS NOT NULL),
       |model AS (SELECT prev, next AS predicted FROM (
       |    SELECT prev, next, ROW_NUMBER() OVER (PARTITION BY prev
       |      ORDER BY COUNT(*) DESC, next) AS rn
-      |    FROM pairs WHERE d <= 20 GROUP BY prev, next) WHERE rn = 1)
+      |    FROM pairs WHERE in_train GROUP BY prev, next) WHERE rn = 1)
       |SELECT prev, CAST(COUNT(*) AS BIGINT) AS n_test,
       |  CAST(SUM(CASE WHEN predicted = next THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_correct,
       |  (1000000 * CAST(SUM(CASE WHEN predicted = next THEN 1 ELSE 0 END)
       |    AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS accuracy_ppm
       |FROM pairs LEFT JOIN model USING (prev)
-      |WHERE d > 20 GROUP BY prev ORDER BY prev""".stripMargin
+      |WHERE NOT in_train GROUP BY prev ORDER BY prev""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_markov_backtest" -> (markovBacktest _),

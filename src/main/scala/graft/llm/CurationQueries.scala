@@ -24,6 +24,70 @@ object CurationQueries {
     s"round((${dotD(a, b)} / sqrt(${dotD(a, a)}) / sqrt(${dotD(b, b)})), 6)"
   }
 
+  /** THE canonical near-dup clustering (q61's construction — q43
+    * edges at threshold 0.5 / lenTol 5, min-label components):
+    * q159/q165/q171 all derive from this ONE helper so a tuning
+    * change can never de-synchronize them (their oracles share
+    * [[LlmQueries.jaccardPairCtes]] the same way). */
+  private def nearDupClusters(s: SparkSession, dir: String) =
+    graft.operators.ConnectedComponents(
+      Dedup.jaccardPairs(docs(s, dir), threshold = 0.5, lenTol = 5)
+        .select(col("a"), col("b")),
+      numPartitions = 8)
+
+  /** The q164/q170 LSH-probe oracle chain, parameterized by the probe/
+    * index slice predicates and agreement threshold — ONE text for
+    * both oracles so the shingle/hash/band formulas can never drift
+    * between them (the jaccardPairCtes discipline). */
+  private def lshProbeOracleSql(probeWhere: String, idxWhere: String,
+                                minAgree: Int, matchCol: String,
+                                flagCol: String,
+                                extraCols: String = ""): String = {
+    val sigCols = (0 until 8).map { i =>
+      val (a, b) = Dedup.affine(i)
+      s"list_min(list_transform(xs, x -> ($a * x + $b) % ${Dedup.MersennePrime})) AS mh$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+       |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+       |             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+       |      END) AS shingles FROM documents),
+       |sx AS (SELECT doc_id, list_transform(shingles,
+       |         s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)) AS xs FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sx),
+       |banded AS (
+       |  $bandRows),
+       |sigarr AS (SELECT doc_id, [mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7] AS sig
+       |           FROM sig),
+       |cand AS (SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS match_id
+       |  FROM banded n JOIN banded i ON n.band = i.band AND n.bucket = i.bucket
+       |  WHERE n.doc_id $probeWhere AND i.doc_id $idxWhere),
+       |ag AS (SELECT c.doc_id, c.match_id,
+       |    CAST(len(list_filter(generate_series(1, 8),
+       |      j -> a.sig[j] = b.sig[j])) AS BIGINT) AS k_agree
+       |  FROM cand c
+       |  JOIN sigarr a ON a.doc_id = c.doc_id
+       |  JOIN sigarr b ON b.doc_id = c.match_id),
+       |best AS (SELECT doc_id, n_matches, match_id, k_agree FROM (
+       |    SELECT doc_id, match_id, k_agree,
+       |      CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY k_agree DESC, match_id) AS rn
+       |    FROM ag WHERE k_agree >= $minAgree) WHERE rn = 1)
+       |SELECT d.doc_id, COALESCE(best.n_matches, 0) AS n_matches,
+       |  COALESCE(best.match_id, -1) AS $matchCol,
+       |  COALESCE(best.k_agree, 0) AS best_agree,
+       |  $extraCols best.doc_id IS NOT NULL AS $flagCol
+       |FROM (SELECT doc_id FROM documents WHERE doc_id $probeWhere) d
+       |LEFT JOIN best ON best.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q68's frozen quality-score expression as a reusable CTE
     * (`q(doc_id, source, quality_score)`). The weights are part of the
     * q68 contract — if they ever change there, this CTE and
@@ -138,10 +202,7 @@ object CurationQueries {
   // ---------------------------------------------------------------- q159
   def clusterReps(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val clusters = graft.operators.ConnectedComponents(
-      Dedup.jaccardPairs(d, threshold = 0.5, lenTol = 5)
-        .select(col("a"), col("b")),
-      numPartitions = 8)
+    val clusters = nearDupClusters(s, dir)
     CurationOps.clusterRepresentatives(
         clusters, CorpusOps.qualityScore(d))
       .orderBy("component")
@@ -281,52 +342,10 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val dedupAgainstIndexSql: String = {
-    val sigCols = (0 until 8).map { i =>
-      val (a, b) = Dedup.affine(i)
-      s"list_min(list_transform(xs, x -> ($a * x + $b) % ${Dedup.MersennePrime})) AS mh$i"
-    }.mkString(",\n    ")
-    val bandRows = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
-      .mkString("\n  UNION ALL ")
-    s"""WITH sh AS (SELECT doc_id,
-       |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
-       |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-       |             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
-       |      END) AS shingles FROM documents),
-       |sx AS (SELECT doc_id, list_transform(shingles,
-       |         s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)) AS xs FROM sh),
-       |sig AS (SELECT doc_id,
-       |    $sigCols
-       |  FROM sx),
-       |banded AS (
-       |  $bandRows),
-       |sigarr AS (SELECT doc_id, [mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7] AS sig
-       |           FROM sig),
-       |cand AS (SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS match_id
-       |  FROM banded n JOIN banded i ON n.band = i.band AND n.bucket = i.bucket
-       |  WHERE n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7),
-       |ag AS (SELECT c.doc_id, c.match_id,
-       |    CAST(len(list_filter(generate_series(1, 8),
-       |      j -> a.sig[j] = b.sig[j])) AS BIGINT) AS k_agree
-       |  FROM cand c
-       |  JOIN sigarr a ON a.doc_id = c.doc_id
-       |  JOIN sigarr b ON b.doc_id = c.match_id),
-       |best AS (SELECT doc_id, n_matches, match_id, k_agree FROM (
-       |    SELECT doc_id, match_id, k_agree,
-       |      CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches,
-       |      ROW_NUMBER() OVER (PARTITION BY doc_id
-       |        ORDER BY k_agree DESC, match_id) AS rn
-       |    FROM ag WHERE k_agree >= 4) WHERE rn = 1)
-       |SELECT d.doc_id, COALESCE(best.n_matches, 0) AS n_matches,
-       |  COALESCE(best.match_id, -1) AS best_match_id,
-       |  COALESCE(best.k_agree, 0) AS best_agree,
-       |  CAST(COALESCE(best.k_agree, 0) AS DOUBLE) / 8 AS est_jaccard,
-       |  best.doc_id IS NOT NULL AS is_dup
-       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
-       |LEFT JOIN best ON best.doc_id = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
-  }
+  val dedupAgainstIndexSql: String =
+    lshProbeOracleSql(probeWhere = "% 10 = 7", idxWhere = "% 10 <> 7",
+      minAgree = 4, matchCol = "best_match_id", flagCol = "is_dup",
+      extraCols = "CAST(COALESCE(best.k_agree, 0) AS DOUBLE) / 8 AS est_jaccard,")
 
   // ---------------------------------------------------------------- q168
   /** Funnel over the q62 convention: `doc_id % 50 == 0` is the eval
@@ -383,10 +402,7 @@ object CurationQueries {
   // ---------------------------------------------------------------- q165
   def leakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val clusters = graft.operators.ConnectedComponents(
-      Dedup.jaccardPairs(d, threshold = 0.5, lenTol = 5)
-        .select(col("a"), col("b")),
-      numPartitions = 8)
+    val clusters = nearDupClusters(s, dir)
     CurationOps.leakageFreeSplit(d, clusters).orderBy("doc_id")
   }
 
@@ -439,51 +455,9 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val fuzzyDecontaminateSql: String = {
-    val sigCols = (0 until 8).map { i =>
-      val (a, b) = Dedup.affine(i)
-      s"list_min(list_transform(xs, x -> ($a * x + $b) % ${Dedup.MersennePrime})) AS mh$i"
-    }.mkString(",\n    ")
-    val bandRows = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
-      .mkString("\n  UNION ALL ")
-    s"""WITH sh AS (SELECT doc_id,
-       |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
-       |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-       |             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
-       |      END) AS shingles FROM documents),
-       |sx AS (SELECT doc_id, list_transform(shingles,
-       |         s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)) AS xs FROM sh),
-       |sig AS (SELECT doc_id,
-       |    $sigCols
-       |  FROM sx),
-       |banded AS (
-       |  $bandRows),
-       |sigarr AS (SELECT doc_id, [mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7] AS sig
-       |           FROM sig),
-       |cand AS (SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS match_id
-       |  FROM banded n JOIN banded i ON n.band = i.band AND n.bucket = i.bucket
-       |  WHERE n.doc_id % 50 <> 0 AND i.doc_id % 50 = 0),
-       |ag AS (SELECT c.doc_id, c.match_id,
-       |    CAST(len(list_filter(generate_series(1, 8),
-       |      j -> a.sig[j] = b.sig[j])) AS BIGINT) AS k_agree
-       |  FROM cand c
-       |  JOIN sigarr a ON a.doc_id = c.doc_id
-       |  JOIN sigarr b ON b.doc_id = c.match_id),
-       |best AS (SELECT doc_id, n_matches, match_id, k_agree FROM (
-       |    SELECT doc_id, match_id, k_agree,
-       |      CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches,
-       |      ROW_NUMBER() OVER (PARTITION BY doc_id
-       |        ORDER BY k_agree DESC, match_id) AS rn
-       |    FROM ag WHERE k_agree >= 3) WHERE rn = 1)
-       |SELECT d.doc_id, COALESCE(best.n_matches, 0) AS n_matches,
-       |  COALESCE(best.match_id, -1) AS eval_match_id,
-       |  COALESCE(best.k_agree, 0) AS best_agree,
-       |  best.doc_id IS NOT NULL AS contaminated_fuzzy
-       |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
-       |LEFT JOIN best ON best.doc_id = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
-  }
+  val fuzzyDecontaminateSql: String =
+    lshProbeOracleSql(probeWhere = "% 50 <> 0", idxWhere = "% 50 = 0",
+      minAgree = 3, matchCol = "eval_match_id", flagCol = "contaminated_fuzzy")
 
   // ---------------------------------------------------------------- q171
   /** Dedup-yield report: the near-dup cluster SIZE distribution (q61's
@@ -494,10 +468,7 @@ object CurationQueries {
     * histogram is cluster-count-sized; everything after the q43/q61
     * edge work is metadata-scale. */
   def dedupYield(s: SparkSession, dir: String): DataFrame = {
-    val clusters = graft.operators.ConnectedComponents(
-      Dedup.jaccardPairs(docs(s, dir), threshold = 0.5, lenTol = 5)
-        .select(col("a"), col("b")),
-      numPartitions = 8)
+    val clusters = nearDupClusters(s, dir)
     clusters.groupBy(col("component")).agg(count(lit(1)).as("size"))
       .groupBy(col("size"))
       .agg(count(lit(1)).as("n_clusters"))

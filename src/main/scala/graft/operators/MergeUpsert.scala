@@ -142,6 +142,12 @@ object MergeUpsert {
     // complete a torn prior commit / clear dead leftovers BEFORE reading
     // the target (a torn target would feed the merge stale rows)
     recoverTornMerge(spark, path)
+    // a delete that removed EVERY partition leaves a husk directory
+    // (markers only, no partition dirs); self-heal it to "table absent"
+    // here so neither path ever feeds an unreadable directory to
+    // spark.read — covers both a clean delete-all and a crash between
+    // its commit and its own husk cleanup
+    removeHuskIfEmpty(fs, target, partitionCol)
     if (!fs.exists(target)) {
       // a merge creates the table; a delete against a missing table
       // has nothing to forget
@@ -207,6 +213,24 @@ object MergeUpsert {
       s"manifest rename failed under $tmp")
     // ...then apply it
     commit(fs, path, stagedNames, dropNames, beforeRename)
+    // a delete-all leaves no partition dirs: remove the husk so the
+    // table reads as ABSENT (zero rows), not as an unreadable directory
+    // of bare markers; the entry-time self-heal covers a crash landing
+    // exactly here
+    if (!reinsertSource) removeHuskIfEmpty(fs, target, partitionCol)
+  }
+
+  /** Delete `target` iff it exists but holds no `partitionCol=` dirs
+    * and no data files — the husk a completed delete-all leaves. Never
+    * touches a directory that still has any partition or parquet file. */
+  private def removeHuskIfEmpty(fs: org.apache.hadoop.fs.FileSystem,
+                                target: Path, partitionCol: String): Unit = {
+    if (!fs.exists(target)) return
+    val entries = fs.listStatus(target)
+    val hasData = entries.exists(e =>
+      (e.isDirectory && e.getPath.getName.startsWith(partitionCol + "=")) ||
+        (e.isFile && e.getPath.getName.endsWith(".parquet")))
+    if (!hasData) fs.delete(target, true)
   }
 
   /** Complete (roll forward) a merge that crashed mid-commit, or clear

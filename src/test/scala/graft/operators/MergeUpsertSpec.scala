@@ -98,6 +98,21 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("deleting every row removes the table cleanly; the path stays usable") {
+    val dir = java.nio.file.Files.createTempDirectory("pdeleteall").toString + "/t"
+    val t0 = Seq((1, "a", "p1"), (2, "b", "p2")).toDF("id", "v", "partition_value")
+    MergeUpsert.intoPartitionedPath(spark, dir, t0, Seq("id"))
+    MergeUpsert.deleteFromPartitionedPath(spark, dir,
+      Seq(1, 2).toDF("id"), Seq("id"))
+    // the husk is gone: the table reads as absent, not as an unreadable dir
+    assert(!new java.io.File(dir).exists())
+    // the path is immediately reusable by merge and delete alike
+    MergeUpsert.deleteFromPartitionedPath(spark, dir,
+      Seq(9).toDF("id"), Seq("id")) // no-op on a missing table
+    MergeUpsert.intoPartitionedPath(spark, dir, t0, Seq("id"))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("deleteFromPartitionedPath propagates a forget through the streaming LSH index layout") {
     val base = java.nio.file.Files.createTempDirectory("forget_idx").toString
     val idx = s"$base/idx"
