@@ -1189,7 +1189,72 @@ object EventsQueries {
       |FROM pairs LEFT JOIN model USING (prev)
       |WHERE NOT in_train GROUP BY prev ORDER BY prev""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** Replayed-session detection — the abuse screen sessionization
+    * unlocks: fingerprint every session (md5 of its event-type
+    * sequence in event order, q22's exact 30-minute-gap session
+    * boundaries), then surface fingerprints of multi-event (≥ 2) sessions
+    * that occur under ≥ 2 DIFFERENT users. Organic behavior rarely
+    * replays an identical multi-step sequence across accounts;
+    * scripted traffic does — this is the dedup idea (hash the
+    * content, group, count) applied to BEHAVIOR instead of text.
+    *
+    * Shape: the session assignment is q22's one window pass; the
+    * fingerprint is one groupBy(user, session) with an in-order
+    * fold; the report is one partial-aggregable groupBy(fingerprint)
+    * over session-count grain. Nothing quadratic — behavioral
+    * near-dup would bucket fingerprint bands exactly like q42. */
+  def replayedSessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("boundary")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val fp = sess.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("session_len"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+            " x -> x.event_type)"), "|")).as("fingerprint"))
+      .filter(col("session_len") >= 2)
+    fp.groupBy(col("fingerprint"))
+      .agg(max(col("session_len")).as("session_len"),
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n_users") >= 2)
+      .orderBy(col("n_sessions").desc, col("fingerprint"))
+      .limit(30)
+  }
+
+  val replayedSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS boundary
+      |  FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM e)),
+      |sess AS (
+      |  SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |fp AS (
+      |  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS session_len,
+      |    md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS fingerprint
+      |  FROM sess GROUP BY user_id, session_id HAVING COUNT(*) >= 2)
+      |SELECT fingerprint, MAX(session_len) AS session_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM fp GROUP BY fingerprint HAVING COUNT(DISTINCT user_id) >= 2
+      |ORDER BY n_sessions DESC, fingerprint LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_replayed_sessions" -> (replayedSessions _),
     "q172_markov_backtest" -> (markovBacktest _),
     "q166_rolling_wau" -> (rollingActiveUsers _),
     "q152_behavior_diversity" -> (behaviorDiversity _),
@@ -1218,6 +1283,7 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_replayed_sessions" -> replayedSessionsSql,
     "q172_markov_backtest" -> markovBacktestSql,
     "q166_rolling_wau" -> rollingActiveUsersSql,
     "q152_behavior_diversity" -> behaviorDiversitySql,
