@@ -494,6 +494,58 @@ object CurationQueries {
        |  CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removable
        |FROM cs GROUP BY size ORDER BY size""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+  /** Embedding-drift monitor: per label, the cosine between the class
+    * centroid computed over the even-vec_id snapshot slice and the
+    * odd-vec_id slice — near 1.0 means the class geometry is stable
+    * across snapshots, a dip is the "your embedding space moved"
+    * alarm (re-index ANN structures, re-fit prototypes) raised from
+    * the data instead of from downstream eval decay. Centroids use
+    * q110's decimal-exact recipe (round-6 components, DECIMAL(18,6)
+    * order-independent sums, ONE division); the drift cosine is the
+    * house pinned fold rounded to 6 dp.
+    *
+    * Shape: one posexplode shuffle to (label, slice, pos) with
+    * map-side partial sums; everything after is |labels|-grain. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val cent = emb(s, dir)
+      .select(col("label"), (col("vec_id") % 2 === 0).as("ha"),
+        posexplode(expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"))
+          .as(Seq("pos", "x")))
+      .groupBy(col("label"), col("ha"), col("pos"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("c"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"), col("ha"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
+          .as("cv"),
+        max(col("n")).as("n_vecs"))
+    cent.filter(col("ha"))
+      .select(col("label"), col("cv").as("ca"), col("n_vecs").as("n_a"))
+      .join(cent.filter(!col("ha"))
+        .select(col("label"), col("cv").as("cb"), col("n_vecs").as("n_b")),
+        Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(Similarity.cosine(col("ca"), col("cb")), 6).as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingDriftSql: String =
+    s"""WITH parts AS (SELECT label, vec_id % 2 = 0 AS ha, i - 1 AS pos,
+       |    round(CAST(e AS DOUBLE), 6) AS x
+       |  FROM (SELECT label, vec_id, unnest(embedding) AS e,
+       |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+       |cent AS (SELECT label, ha, pos,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM parts GROUP BY 1, 2, 3),
+       |vecs AS (SELECT label, ha, list(c ORDER BY pos) AS cv, MAX(n) AS n_vecs
+       |         FROM cent GROUP BY 1, 2)
+       |SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+       |  ${cosSql("a.cv", "b.cv")} AS drift_cos
+       |FROM vecs a JOIN vecs b ON a.label = b.label AND a.ha AND NOT b.ha
+       |ORDER BY a.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_chunk_dedup" -> (chunkDedup _),
     "q156_source_boilerplate" -> (sourceBoilerplate _),
@@ -509,6 +561,7 @@ object CurationQueries {
     "q168_curation_funnel" -> (curationFunnel _),
     "q170_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
     "q171_dedup_yield" -> (dedupYield _),
+    "q174_embedding_drift" -> (embeddingDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -526,5 +579,6 @@ object CurationQueries {
     "q168_curation_funnel" -> curationFunnelSql,
     "q170_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
     "q171_dedup_yield" -> dedupYieldSql,
+    "q174_embedding_drift" -> embeddingDriftSql,
   )
 }
