@@ -1253,7 +1253,82 @@ object EventsQueries {
       |FROM fp GROUP BY fingerprint HAVING COUNT(DISTINCT user_id) >= 2
       |ORDER BY n_sessions DESC, fingerprint LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  /** Discrete-hazard retention table — the Kaplan–Meier estimator's
+    * exact ingredients without its float product: for every user-age
+    * `d` (days between a user's first and last event), report how many
+    * users were still observable at age `d` (`n_at_risk`), how many
+    * churned exactly there (`n_churned`), and the discrete hazard
+    * `churned/at_risk` in exact integer ppm. Users whose last activity
+    * falls within 7 days of the corpus's final day are CENSORED — they
+    * haven't churned, we just stopped watching — so they count at risk
+    * through their observed age but never as churn; skipping the
+    * censoring distinction is the classic retention-analysis bug this
+    * query exists to encode. The survival curve is a downstream
+    * cumulative product over `1 - hazard` — deliberately NOT computed
+    * here because a float product is accumulation-order-dependent
+    * across engines; the hazard table is the order-independent part.
+    *
+    * Shape: one shuffle on user_id collapses events to user grain;
+    * lifetimes collapse again to age grain (both partial-aggregable);
+    * the reverse-cumulative at-risk sum is a window over the distinct-
+    * age table — metadata-scale (≤ observation-window days) no matter
+    * the corpus size. The global max day is a 1-row broadcast. */
+  def retentionHazard(s: SparkSession, dir: String): DataFrame =
+    retentionHazardFrom(Tables.events(s, dir))
+
+  /** [[retentionHazard]] over an arbitrary (user_id, ts) event frame —
+    * split out so the censoring/at-risk arithmetic is testable on
+    * synthetic streams. */
+  def retentionHazardFrom(events: DataFrame): DataFrame = {
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("first_day"),
+        to_date(max(col("ts"))).as("last_day"))
+    val horizon = users.agg(max(col("last_day")).as("end_day"))
+    val lifetimes = users.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_day"), col("first_day")).as("age_days"),
+        (datediff(col("end_day"), col("last_day")) <= 7).as("censored"))
+    val byAge = lifetimes.groupBy(col("age_days"))
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churned"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    val atRisk = Window.orderBy(col("age_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge
+      .withColumn("n_at_risk",
+        sum(col("n_churned") + col("n_censored")).over(atRisk))
+      .select(col("age_days"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"),
+        expr("(1000000 * n_churned) div n_at_risk").as("hazard_ppm"))
+      .orderBy("age_days")
+  }
+
+  val retentionHazardSql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day,
+      |         CAST(MAX(ts) AS DATE) AS last_day
+      |  FROM events GROUP BY user_id),
+      |h AS (SELECT MAX(last_day) AS end_day FROM u),
+      |lt AS (
+      |  SELECT datediff('day', first_day, last_day) AS age_days,
+      |         datediff('day', last_day, end_day) <= 7 AS censored
+      |  FROM u CROSS JOIN h),
+      |byage AS (
+      |  SELECT age_days,
+      |    CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+      |    CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+      |  FROM lt GROUP BY age_days)
+      |SELECT age_days,
+      |  CAST(SUM(n_churned + n_censored) OVER (ORDER BY age_days DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+      |  n_churned, n_censored,
+      |  (1000000 * n_churned) // CAST(SUM(n_churned + n_censored) OVER (
+      |    ORDER BY age_days DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hazard_ppm
+      |FROM byage ORDER BY age_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_retention_hazard" -> (retentionHazard _),
     "q173_replayed_sessions" -> (replayedSessions _),
     "q172_markov_backtest" -> (markovBacktest _),
     "q166_rolling_wau" -> (rollingActiveUsers _),
@@ -1283,6 +1358,7 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q175_retention_hazard" -> retentionHazardSql,
     "q173_replayed_sessions" -> replayedSessionsSql,
     "q172_markov_backtest" -> markovBacktestSql,
     "q166_rolling_wau" -> rollingActiveUsersSql,

@@ -420,6 +420,71 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Tier 4 alternative: exact all-pairs Jaccard join via PREFIX
+    * FILTERING (Chaudhuri et al. 2006 / Bayardo et al. "Scaling Up
+    * All Pairs Similarity Search", WWW'07) at threshold `p/q` —
+    * COMPLETE by construction, unlike [[jaccardPairs]]'s length-bucket
+    * blocking (bounded by `lenTol`) or [[containmentPairs]]'s df cap
+    * (drops pairs sharing only ultra-common shingles): if
+    * `J(A,B) ≥ p/q` the two prefix sets MUST intersect, so every
+    * qualifying pair is a candidate. The pigeonhole argument: order
+    * all tokens by ascending document frequency (token string breaks
+    * ties — unique per doc, so both engines rank identically); a doc
+    * with `sz` distinct tokens keeps the first
+    * `sz - ceil(τ·sz) + 1` as its prefix. If B contains none of A's
+    * prefix tokens, everything A shares with B sits in A's remaining
+    * `ceil(τ·sza) - 1` tokens, so `|A∩B| < ceil(τ·sza)`; but
+    * `J ≥ τ` forces `|A∩B| ≥ τ·|A∪B| ≥ τ·sza` — contradiction, so a
+    * qualifying pair always collides on a prefix token.
+    *
+    * Rarest-first ordering is ALSO the fan-out control: posting lists
+    * of prefix tokens are the shortest in the corpus (a token shared
+    * by half the docs is in nobody's prefix unless a doc is nearly
+    * all-common), and the integer size filter
+    * `q·min(sza,szb) ≥ p·max(sza,szb)` prunes length-incompatible
+    * candidates before the verify join. The threshold is the exact
+    * rational `p/q` compared by integer cross-multiplication — no
+    * float boundary rows to disagree across engines.
+    *
+    * Shape: one explode (co-keyed df join back), one per-doc window
+    * for prefix positions (shuffle on doc_id, per-partition width =
+    * doc length), one equi self-join on prefix tokens, verify joins
+    * re-attach the two token arrays and check the exact intersection.
+    * `materialize` pins the token-array table feeding the explode,
+    * both verify sides, and the size filter (pass
+    * `_.localCheckpoint()` at scale so the corpus tokenizes once). */
+  def prefixJaccardPairs(docs: DataFrame, p: Int = 3, q: Int = 5,
+                         materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(p > 0 && q > p, s"threshold p/q=$p/$q must lie in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val ws = materialize(docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("w")))
+    val tok = ws.select(col("doc_id"), size(col("w")).as("sz"),
+      explode(col("w")).as("tok"))
+    val dfs = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pos = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok")))
+    val prefix = tok.join(dfs, Seq("tok"))
+      .withColumn("pos", pos)
+      .filter(col("pos") <= col("sz") - expr(s"($p * sz + ${q - 1}) div $q") + 1)
+      .select(col("doc_id"), col("tok"), col("sz"))
+    val cand = prefix.select(col("doc_id").as("a"), col("tok"), col("sz").as("sza"))
+      .join(prefix.select(col("doc_id").as("b"), col("tok"), col("sz").as("szb")),
+        Seq("tok"))
+      .filter(col("a") < col("b") &&
+        col("sza") * q >= col("szb") * p && col("szb") * q >= col("sza") * p)
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(ws.select(col("doc_id").as("a"), col("w").as("wa")), Seq("a"))
+      .join(ws.select(col("doc_id").as("b"), col("w").as("wb")), Seq("b"))
+      .withColumn("inter_sz",
+        size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("union_sz",
+        (size(col("wa")) + size(col("wb"))).cast("long") - col("inter_sz"))
+      .filter(col("inter_sz") * q >= col("union_sz") * p)
+      .select(col("a"), col("b"), col("inter_sz"), col("union_sz"))
+  }
+
   /** ASYMMETRIC near-dup: containment `C(A→B) = |S(A)∩S(B)| / |S(A)|`
     * over distinct word `n`-gram sets — the metric Jaccard misses
     * when a small document lives INSIDE a large one (quotes, nested

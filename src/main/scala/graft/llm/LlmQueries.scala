@@ -110,6 +110,41 @@ object LlmQueries {
     s"""WITH $jaccardPairCtes
        |SELECT a, b, jaccard FROM pr ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  /** Exact Jaccard ≥ 3/5 pair join via prefix filtering — the
+    * COMPLETE all-pairs similarity join ([[Dedup.prefixJaccardPairs]]),
+    * no blocking tolerance to tune: the oracle re-derives the same
+    * rarest-first prefix scheme, so candidate generation AND the
+    * integer cross-multiplied verify are checked cross-engine. */
+  def prefixJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(docs(s, dir), p = 3, q = 5,
+      materialize = _.localCheckpoint()).orderBy("a", "b")
+
+  val prefixJaccardSql: String =
+    """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tok AS (SELECT doc_id, len(w) AS sz, unnest(w) AS tok FROM ws),
+      |dfs AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+      |pfx AS (
+      |  SELECT doc_id, sz, tok FROM (
+      |    SELECT doc_id, sz, tok,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, tok) AS pos
+      |    FROM tok JOIN dfs USING (tok))
+      |  WHERE pos <= sz - (3 * sz + 4) // 5 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM pfx a JOIN pfx b USING (tok)
+      |  WHERE a.doc_id < b.doc_id
+      |    AND 5 * a.sz >= 3 * b.sz AND 5 * b.sz >= 3 * a.sz),
+      |v AS (
+      |  SELECT a, b,
+      |    CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS inter_sz,
+      |    CAST(len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w)) AS BIGINT)
+      |      AS union_sz
+      |  FROM cand JOIN ws wa ON wa.doc_id = a JOIN ws wb ON wb.doc_id = b)
+      |SELECT a, b, inter_sz, union_sz FROM v
+      |WHERE 5 * inter_sz >= 3 * union_sz ORDER BY a, b""".stripMargin
+
   // ---------------------------------------------------------------- q61
   /** Near-dup pairs folded into duplicate clusters: connected
     * components over the q43 Jaccard edges, each doc labeled with its
@@ -229,6 +264,42 @@ object LlmQueries {
        |SELECT query_id, rank, vec_id, cos_sim FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+  /** Binary sign-bit ANN ([[Similarity.binaryHammingTopK]]): Hamming
+    * scan over 1-bit-per-dim packed words (the 32x-smaller phase-1
+    * read), exact-cosine rerank of the 3k survivors. The oracle
+    * re-derives the identical packing, popcount ranking, AND rerank —
+    * both phases cross-engine-checked. */
+  def binaryHammingTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.binaryHammingTopK(emb(s, dir), knnQueryIds, k = 5, mult = 3)
+      .orderBy("query_id", "rank")
+
+  val binaryHammingTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |wrd AS (SELECT vec_id, v,
+       |    list_transform(range((len(v) + 31) // 32), w ->
+       |      CAST(list_sum(list_transform(range(32), j ->
+       |        CASE WHEN 32 * w + j < len(v) AND v[32 * w + j + 1] > 0
+       |        THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)) AS words
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qe, words AS qwords FROM wrd
+       |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |ham AS (
+       |  SELECT query_id, vec_id, v, qe,
+       |    CAST(list_sum(list_transform(range(len(words)), i ->
+       |      bit_count(xor(words[i + 1], qwords[i + 1])))) AS BIGINT) AS hamming
+       |  FROM wrd CROSS JOIN q WHERE vec_id <> query_id),
+       |cand AS (SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, vec_id) AS hrk FROM ham)
+       |  WHERE hrk <= 15),
+       |rer AS (SELECT query_id, vec_id, hamming,
+       |    ${cosSql("qe", "v")} AS cos_sim FROM cand)
+       |SELECT query_id, rank, vec_id, hamming, cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank FROM rer)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q47
@@ -1576,8 +1647,10 @@ object LlmQueries {
     "q41_normalized_dedup" -> (normalizedDedup _),
     "q42_minhash_lsh_pairs" -> (minhashLshPairs _),
     "q43_jaccard_pairs" -> (jaccardPairs _),
+    "q176_prefix_jaccard" -> (prefixJaccard _),
     "q44_simhash" -> (simhashFingerprints _),
     "q45_cosine_topk" -> (cosineTopK _),
+    "q177_binary_hamming_topk" -> (binaryHammingTopK _),
     "q46_ann_bucket_topk" -> (annBucketTopK _),
     "q47_lang_id" -> (langId _),
     "q48_quality_metrics" -> (qualityMetrics _),
@@ -1635,8 +1708,10 @@ object LlmQueries {
     "q41_normalized_dedup" -> normalizedDedupSql,
     "q42_minhash_lsh_pairs" -> minhashLshPairsSql,
     "q43_jaccard_pairs" -> jaccardPairsSql,
+    "q176_prefix_jaccard" -> prefixJaccardSql,
     "q44_simhash" -> simhashFingerprintsSql,
     "q45_cosine_topk" -> cosineTopKSql,
+    "q177_binary_hamming_topk" -> binaryHammingTopKSql,
     "q46_ann_bucket_topk" -> annBucketTopKSql,
     "q47_lang_id" -> langIdSql,
     "q48_quality_metrics" -> qualityMetricsSql,
