@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.analytics.{Analytics, EventsQueries, MiningQueries, TypedQueries, WarehouseQueries}
+import graft.analytics.{Analytics, EventsQueries, MiningQueries, MvQueries, TypedQueries, WarehouseQueries}
 import graft.llm.{CurationQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ EventsQueries.queries ++ WarehouseQueries.queries ++
       LlmQueries.queries ++ TypedQueries.queries ++ MiningQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ MvQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ EventsQueries.oracles ++ WarehouseQueries.oracles ++
       LlmQueries.oracles ++ TypedQueries.oracles ++ MiningQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++ MvQueries.oracles
 }

@@ -74,6 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // conf-gated (spark.graft.rangeJoin.bucketWidth): rewrites non-equi
     // interval joins to bucketed equi joins — see RangeJoinRule
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))
+    // conf-gated (spark.graft.mv.specs): serves matching fact-table
+    // aggregates from registered materialized rollups — see MvRewriteRule
+    ext.injectOptimizerRule(session => graft.plans.MvRewriteRule(session))
     // conf-gated (spark.graft.rangeJoin.broadcast): plans small-interval
     // range joins as the binary-search broadcast physical operator
     ext.injectPlannerStrategy(session =>
