@@ -340,6 +340,48 @@ object WarehouseQueries {
       |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** Bloom-index point lookup — [[graft.operators.DataSkipping]]'s
+    * bloom tier under the oracle gate: orders rewritten into 16 files
+    * hash-clustered by CUSTOMER (so an orderkey lives in exactly one
+    * file but the files' orderkey [min,max] ranges all span the whole
+    * key space — the layout min/max skipping cannot prune), a per-file
+    * bloom index over `o_orderkey` published beside it, then two point
+    * probes: the max orderkey (a hit — the bloom admits ~1 file of 16)
+    * and max+1 (absent — every filter rejects, ZERO files open). The
+    * result must equal DuckDB's filtered scan of the original table;
+    * pruning counts are pinned by `DataSkippingSpec`, the oracle pins
+    * that pruning never costs rows. Probe keys derive from the data
+    * (scalar max — one driver row by contract, q90's discipline). */
+  private val bloomLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def bloomPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val layout = bloomLayouts.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bloom")
+        .resolve("orders").toString
+      Tables.load(s, dir, "orders")
+        .repartition(16, col("o_custkey"))
+        .write.parquet(p)
+      // ~16 bits/item at the largest per-file count this layout sees
+      graft.operators.DataSkipping.writeBloomIndex(s, p, "o_orderkey",
+        expectedItems = 1L << 14, numBits = 1L << 18)
+      p
+    })
+    val hit = Tables.load(s, dir, "orders")
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    import graft.operators.DataSkipping.readPrunedByKey
+    readPrunedByKey(s, layout, "o_orderkey", hit)
+      .unionByName(readPrunedByKey(s, layout, "o_orderkey", hit + 1))
+      .orderBy("o_orderkey")
+  }
+
+  val bloomPointLookupSql: String =
+    """SELECT * FROM orders
+      |WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+      |   OR o_orderkey = (SELECT MAX(o_orderkey) + 1 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q94
   /** One-pass column profile of `orders` — see
     * [[graft.operators.TableProfile]]. */
@@ -526,6 +568,7 @@ object WarehouseQueries {
     "q114_dsv2_jsonl_scan" -> (dsv2JsonlScan _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
+    "q179_bloom_point_lookup" -> (bloomPointLookup _),
     "q36_asof_dim_lookup" -> (asofDimLookup _),
     "q37_salted_enrich" -> (saltedEnrich _),
     "q38_price_band_join" -> (priceBandJoin _),
@@ -544,6 +587,7 @@ object WarehouseQueries {
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,
+    "q179_bloom_point_lookup" -> bloomPointLookupSql,
     "q36_asof_dim_lookup" -> asofDimLookupSql,
     "q37_salted_enrich" -> saltedEnrichSql,
     "q38_price_band_join" -> priceBandJoinSql,

@@ -49,6 +49,25 @@ object Native {
   def topKBy(ord: Column, payload: Column, k: Int): Column =
     c(TopKBy(e(ord), e(payload), k).toAggregateExpression())
 
+  /** Spark's own runtime-filter bloom sketch as an explicit aggregate
+    * (`BloomFilterAggregate` over `xxhash64(v)` — the exact pair the
+    * engine builds for its bloom join reductions, reused here for the
+    * file-level skipping index). Output: the serialized filter as
+    * BINARY; probe with [[graft.operators.DataSkipping]]'s
+    * `mightContainLong(xxhash64(key))` on the deserialized sketch. */
+  def bloomAgg(v: Column, expectedItems: Long, numBits: Long): Column =
+    c(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(e(v))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** `xxhash64(value)` evaluated on the driver with the value cast to
+    * `dt` first — the probe-side twin of [[bloomAgg]]'s insert hash
+    * (an uncast literal of a narrower type would hash differently
+    * than the stored column). */
+  def xxhash64Of(value: Any, dt: org.apache.spark.sql.types.DataType): Long =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(Literal.create(value, dt))).eval(null).asInstanceOf[Long]
+
   /** Misra–Gries frequent-items sketch aggregate (see [[MisraGries]]). */
   def misraGries(item: Column, k: Int): Column =
     c(MisraGries(e(item), k).toAggregateExpression())

@@ -114,4 +114,89 @@ object DataSkipping {
   }
 
   private def indexPath(path: String): String = path + "__stats"
+
+  // ------------------------------------------------------- bloom tier
+  //
+  // Min/max ranges prune RANGE predicates on clustered layouts; they
+  // are useless for point lookups on a high-cardinality key scattered
+  // across files (every file's [min, max] spans the key space). The
+  // bloom tier stores one bloom filter per file over the key column —
+  // Spark's own runtime-filter sketch (BloomFilterAggregate over
+  // xxhash64), built in one partial-aggregable pass — and answers
+  // `key = v` probes: a file whose filter rejects the hash CANNOT
+  // contain the key (no false negatives), so at 100 TB a point lookup
+  // opens ~|files containing the key| + fpp·|files| objects instead of
+  // every one. Same staleness contract as the stats index: unseen
+  // files are always read; absent keys cost zero file opens.
+
+  /** Per-file bloom index for point lookups on `c`: (file, n_rows,
+    * bloom BINARY). Size `expectedItems` at the per-FILE row count
+    * (the fpp blows up past it) and `numBits` ≈ 10–16 bits/item for
+    * ~1% fpp. One scan, one file-count-sized aggregate. */
+  def buildBloomIndex(spark: SparkSession, path: String, c: String,
+                      expectedItems: Long, numBits: Long): DataFrame =
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"), col(c))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Native.bloomAgg(col(c), expectedItems, numBits)
+          .as("bloom"))
+
+  /** Materialize the bloom index beside the table
+    * (`<path>__bloom_<c>`), atomically via VersionedTable. */
+  def writeBloomIndex(spark: SparkSession, path: String, c: String,
+                      expectedItems: Long = 1L << 20,
+                      numBits: Long = 1L << 23): Unit = {
+    graft.warehouse.VersionedTable.publish(spark, bloomIndexPath(path, c),
+      buildBloomIndex(spark, path, c, expectedItems, numBits).coalesce(1))
+    ()
+  }
+
+  /** Distributed bloom consult for `c = key`: live listing LEFT-joined
+    * to the bloom index; a file survives if the index has never seen
+    * it, its bloom is null (all-null column), or the filter admits the
+    * key's hash. The deserialization + probe runs WHERE THE INDEX ROWS
+    * ARE (a typed filter over file-count grain — not a hot path), and
+    * only the pruned file list reaches the driver. */
+  def prunedFilesByKey(spark: SparkSession, path: String, c: String,
+                       key: Any): DataFrame =
+    prunedFilesByKey(spark, spark.read.parquet(path), path, c, key)
+
+  private def prunedFilesByKey(spark: SparkSession, all: DataFrame,
+                               path: String, c: String, key: Any): DataFrame = {
+    import spark.implicits._
+    val h = graft.functions.Native.xxhash64Of(key, all.schema(c).dataType)
+    val idx = graft.warehouse.VersionedTable.read(spark, bloomIndexPath(path, c))
+    val live = spark.createDataset(all.inputFiles.toSeq)
+      .map(f => (f, normFile(f))).toDF("file", "key")
+    val idxKeyed = idx.select(col("file"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .map { case (f, b) =>
+        val matches = b == null || org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b)).mightContainLong(h)
+        (normFile(f), matches)
+      }.toDF("key", "matches")
+    live.join(idxKeyed, Seq("key"), "left_outer")
+      .filter(col("matches").isNull || col("matches"))
+      .select(col("file"))
+  }
+
+  /** Point lookup `c = key` reading ONLY files whose bloom admits the
+    * key (plus index-unseen files). The exact equality filter stays on
+    * the pruned scan, so results are exactly a filtered full scan —
+    * false positives cost I/O, never correctness. */
+  def readPrunedByKey(spark: SparkSession, path: String, c: String,
+                      key: Any): DataFrame = {
+    import spark.implicits._
+    val all = spark.read.parquet(path)
+    val files = prunedFilesByKey(spark, all, path, c, key)
+      .as[String].collect().toSeq
+    val pruned =
+      if (files.isEmpty) all.filter(lit(false))
+      else spark.read.option("basePath", path).parquet(files: _*)
+    pruned.filter(col(c) === lit(key))
+  }
+
+  private def bloomIndexPath(path: String, c: String): String =
+    s"${path}__bloom_$c"
 }

@@ -74,6 +74,46 @@ class DataSkippingSpec extends AnyFunSuite {
       .inputFiles.sorted.toSeq === files.sorted.toSeq)
   }
 
+  test("bloom tier: point lookup opens only admitting files; absent key opens none") {
+    val path = Files.createTempDirectory("skipb").resolve("t").toString
+    // 8 files hash-scattered on k — every file's k range spans the key
+    // space, so min/max skipping could never prune a k-probe
+    (0L until 4000L).map(i => (i, i % 8, s"r$i")).toDF("k", "g", "s")
+      .repartition(8, col("k"))
+      .write.parquet(path)
+    DataSkipping.writeBloomIndex(spark, path, "k",
+      expectedItems = 1L << 10, numBits = 1L << 14)
+    val total = spark.read.parquet(path).inputFiles.length
+    assert(total == 8)
+    // stats tier genuinely can't help on this layout
+    DataSkipping.writeIndex(spark, path, Seq("k"))
+    assert(DataSkipping.readPruned(spark, path, "k", 1234L, 1234L)
+      .inputFiles.length == total)
+    // a present key: its one file (plus at most a false positive or two)
+    val hit = DataSkipping.readPrunedByKey(spark, path, "k", 1234L)
+    assert(hit.inputFiles.length < total)
+    assert(hit.select("s").as[String].collect().toSeq == Seq("r1234"))
+    // an absent key: every bloom rejects -> zero file opens, empty result
+    val miss = DataSkipping.readPrunedByKey(spark, path, "k", 999999L)
+    assert(miss.inputFiles.isEmpty)
+    assert(miss.count() == 0)
+    assert(miss.schema == hit.schema)
+  }
+
+  test("bloom tier is stale-safe: unseen files are always probed") {
+    val path = Files.createTempDirectory("skipb2").resolve("t").toString
+    (0L until 100L).map(i => (i, "old")).toDF("k", "s").coalesce(1)
+      .write.parquet(path)
+    DataSkipping.writeBloomIndex(spark, path, "k",
+      expectedItems = 1L << 10, numBits = 1L << 14)
+    Seq((1000L, "new")).toDF("k", "s").coalesce(1)
+      .write.mode("append").parquet(path)
+    // key only in the post-index file: conservatively read
+    val got = DataSkipping.readPrunedByKey(spark, path, "k", 1000L)
+      .select("s").as[String].collect().toSeq
+    assert(got == Seq("new"))
+  }
+
   test("index rebuild via versioned publish is atomic history") {
     val path = Files.createTempDirectory("skip4").resolve("t").toString
     (0L until 10L).map(i => (i, "x")).toDF("k", "s").coalesce(1)
