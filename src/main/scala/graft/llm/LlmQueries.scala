@@ -715,8 +715,12 @@ object LlmQueries {
         materialize = _.localCheckpoint())
       .orderBy("vec_id")
 
-  val kmeansClustersSql: String =
-    s"""WITH e AS (SELECT vec_id,
+  /** The q66 two-iteration Lloyd assignment as shared CTEs (`asg` =
+    * final (vec_id, cent_id, cent_sim)) — q66 and q180 both derive
+    * from this one definition so the clustering they certify can
+    * never silently diverge. */
+  private def kmeansAssignCtes: String =
+    s"""e AS (SELECT vec_id,
        |  list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cent_id, v AS ce FROM e WHERE vec_id % 100 = 0),
@@ -728,13 +732,56 @@ object LlmQueries {
        |s1 AS (SELECT cent_id, i AS pos, SUM(CAST(v[i] AS DECIMAL(18,6))) AS s
        |       FROM a1, unnest(generate_series(1, len(v))) AS t(i) GROUP BY 1, 2),
        |c1 AS (SELECT cent_id, list(CAST(s AS DOUBLE) ORDER BY pos) AS ce
-       |       FROM s1 GROUP BY 1)
-       |SELECT vec_id, cent_id, cent_sim FROM (
+       |       FROM s1 GROUP BY 1),
+       |asg AS (SELECT vec_id, cent_id, cent_sim FROM (
        |  SELECT e.vec_id, c.cent_id, ${cosSql("e.v", "c.ce")} AS cent_sim,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.v", "c.ce")} DESC, c.cent_id) AS rn
-       |  FROM e CROSS JOIN c1 c) WHERE rn = 1
-       |ORDER BY vec_id""".stripMargin
+       |  FROM e CROSS JOIN c1 c) WHERE rn = 1)""".stripMargin
+
+  val kmeansClustersSql: String =
+    s"""WITH $kmeansAssignCtes
+       |SELECT vec_id, cent_id, cent_sim FROM asg ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q180
+  /** Cluster LABELING — the step that makes unsupervised clusters
+    * readable: per-k-means-cluster TF-IDF top terms (q66's assignment
+    * × q64's scoring), joining embeddings to their documents on the
+    * aligned vec_id = doc_id. The label of a cluster is its 3 most
+    * over-represented terms. Scale shape: the assignment is
+    * metadata-per-vector, the join is co-keyed, and the term scoring
+    * inherits q64's vocab-scale discipline (corpus text never
+    * shuffles twice). */
+  def clusterTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val asg = Similarity.kmeansAssign(emb(s, dir), iters = 2, centStride = 100,
+        materialize = _.localCheckpoint())
+      .select(col("vec_id"), col("cent_id"))
+    val byCluster = docs(s, dir)
+      .join(asg, col("doc_id") === col("vec_id"))
+      // CorpusOps.topTerms groups on `source`: the cluster id IS the
+      // source dimension here
+      .select(col("cent_id").cast("string").as("source"), col("text"))
+    CorpusOps.topTerms(byCluster, k = 3)
+      .select(col("source").cast("long").as("cent_id"), col("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("cent_id", "rank")
+  }
+
+  val clusterTopTermsSql: String =
+    s"""WITH $kmeansAssignCtes,
+       |cd AS (SELECT a.cent_id, d.text FROM asg a
+       |       JOIN documents d ON d.doc_id = a.vec_id),
+       |tfc AS (SELECT cent_id, term, COUNT(*) AS tf FROM (
+       |    SELECT cent_id, unnest(string_split(text, ' ')) AS term FROM cd)
+       |  GROUP BY 1, 2),
+       |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+       |ns AS (SELECT COUNT(DISTINCT cent_id) AS ns FROM cd)
+       |SELECT cent_id, rank, term, tf, df, score FROM (
+       |  SELECT cent_id, term, tf, df, CAST(tf * ns AS DOUBLE) / df AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY cent_id
+       |      ORDER BY CAST(tf * ns AS DOUBLE) / df DESC, term) AS rank
+       |  FROM tfc JOIN dfc USING (term) CROSS JOIN ns)
+       |WHERE rank <= 3 ORDER BY cent_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q67
   /** Duplicated 8-gram fraction per doc (RefinedWeb-style boilerplate
@@ -1673,6 +1720,7 @@ object LlmQueries {
     "q64_top_terms" -> (topTerms _),
     "q65_pack_sequences" -> (packSequences _),
     "q66_kmeans_clusters" -> (kmeansClusters _),
+    "q180_cluster_top_terms" -> (clusterTopTerms _),
     "q67_dup_ngrams" -> (dupNgrams _),
     "q68_quality_score" -> (qualityScore _),
     "q69_token_budget_sample" -> (tokenBudgetSample _),
@@ -1734,6 +1782,7 @@ object LlmQueries {
     "q64_top_terms" -> topTermsSql,
     "q65_pack_sequences" -> packSequencesSql,
     "q66_kmeans_clusters" -> kmeansClustersSql,
+    "q180_cluster_top_terms" -> clusterTopTermsSql,
     "q67_dup_ngrams" -> dupNgramsSql,
     "q68_quality_score" -> qualityScoreSql,
     "q69_token_budget_sample" -> tokenBudgetSampleSql,

@@ -190,6 +190,88 @@ object StateV2 {
         OutputMode.Append())
   }
 
+  final case class HeavyUser(event_type: String, user_id: Long,
+                             weight_low: Long, as_of_sec: Long)
+
+  /** Streaming Misra–Gries heavy hitters — the MAPSTATE face of the
+    * state-v2 API (the fourth shape: sessionizer = open aggregate,
+    * velocity = bounded list, transitions = single row, this = bounded
+    * MAP): per event type, which users dominate the stream, maintained
+    * incrementally with AT MOST `k` counters per key regardless of how
+    * many distinct users flow through — the same guarantee as the
+    * batch [[graft.functions.MisraGries]] aggregate (q91): any user
+    * with frequency > n/(k+1) is guaranteed present, and each
+    * surviving counter lower-bounds the user's true count by at most
+    * the total decrement damage.
+    *
+    * Emission contract: one SNAPSHOT per (event_type, batch) — every
+    * surviving counter stamped `as_of_sec` = the newest event second
+    * seen for that key, so downstream reads the latest stamp per type
+    * (or the full history as a time series of the leaderboard).
+    * Batches fold in (ts, event_id) order, so a replayed epoch
+    * produces the identical snapshot (idempotent replay, same
+    * discipline as the velocity monitor). Live state is O(k) longs per
+    * event type — at 100 TB of stream this never grows; in production
+    * add a `TTLConfig` exactly as [[VelocityProcessor]] documents. */
+  final class HeavyUsersProcessor(k: Int)
+      extends StatefulProcessor[String, Event, HeavyUser] {
+
+    @transient private var counters:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var asOf: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[Long, Long]("mg_counters",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      asOf = getHandle.getValueState[Long]("as_of",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(tpe: String, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[HeavyUser] = {
+      val events = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (events.isEmpty) return Iterator.empty
+      // fold through a driver-local mirror: the MG decrement step
+      // touches every counter, and k store round-trips per input row
+      // would dominate — one read + one write per batch instead
+      val m = scala.collection.mutable.Map.empty[Long, Long]
+      counters.iterator().foreach { case (u, c) => m(u) = c }
+      events.foreach { e =>
+        val u = e.user_id
+        if (m.contains(u)) m(u) += 1L
+        else if (m.size < k) m(u) = 1L
+        else {
+          // decrement all; drop zeros (the classic MG step)
+          m.mapValuesInPlace((_, c) => c - 1L)
+          m.filterInPlace((_, c) => c > 0L)
+        }
+      }
+      counters.clear()
+      m.foreach { case (u, c) => counters.updateValue(u, c) }
+      val newest = math.max(events.last.ts.getTime / 1000,
+        if (asOf.exists()) asOf.get() else Long.MinValue)
+      asOf.update(newest)
+      m.toSeq.sortBy { case (u, c) => (-c, u) }
+        .map { case (u, c) => HeavyUser(tpe, u, c, newest) }.iterator
+    }
+  }
+
+  /** Streaming heavy users per event type — see
+    * [[HeavyUsersProcessor]]. */
+  def heavyUsersV2(spark: SparkSession,
+                   events: org.apache.spark.sql.DataFrame,
+                   k: Int = 8): Dataset[HeavyUser] = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.event_type)
+      .transformWithState(new HeavyUsersProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class Transition(user_id: Long, prev: String, next: String)
 
   /** The last event seen per user — all a first-order chain needs. */

@@ -251,4 +251,45 @@ class StateV2Spec extends AnyFunSuite {
       q.stop()
     }
   }
+
+  test("heavy users: MapState holds <= k Misra-Gries counters across epochs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EventPipelines.Event]
+      val q = StateV2.heavyUsersV2(spark, input.toDF(), k = 2)
+        .writeStream.format("memory").queryName("heavy_users_v2")
+        .outputMode("append").start()
+      val t0 = 1700000000L
+      var id = 0L
+      def batch(users: Long*): Seq[EventPipelines.Event] =
+        users.map { u => id += 1; ev(id, t0 + id, u, "click") }
+      // epoch 1: u1 x3, u2 x2, u3 x1 -> MG(k=2) fold in ts order
+      // (1,1,1,2,2,3): {1:3,2:2} then 3 triggers decrement -> {1:2,2:1}
+      input.addData(batch(1, 1, 1, 2, 2, 3): _*)
+      q.processAllAvailable()
+      def latest(): Map[Long, Long] = {
+        val rows = spark.table("heavy_users_v2").as[StateV2.HeavyUser].collect()
+        val newest = rows.map(_.as_of_sec).max
+        rows.filter(_.as_of_sec == newest)
+          .map(r => r.user_id -> r.weight_low).toMap
+      }
+      assert(latest() === Map(1L -> 2L, 2L -> 1L))
+      // epoch 2: u4 x2 — first arrival decrements {1:2,2:1} -> {1:1},
+      // second inserts 4 -> {1:1,4:1}; state carried across the epoch
+      input.addData(batch(4, 4): _*)
+      q.processAllAvailable()
+      assert(latest() === Map(1L -> 1L, 4L -> 1L))
+      // the MG guarantee on the WHOLE stream so far: n=8, any user with
+      // freq > n/(k+1) = 2.67 must survive — user 1 (freq 3) does, and
+      // its counter lower-bounds the true count
+      assert(latest().contains(1L))
+      assert(latest()(1L) <= 3L)
+      // snapshots never exceed k counters per type
+      val all = spark.table("heavy_users_v2").as[StateV2.HeavyUser].collect()
+      all.groupBy(_.as_of_sec).values.foreach(s => assert(s.length <= 2))
+      assert(all.forall(_.event_type == "click"))
+      q.stop()
+    }
+  }
 }
