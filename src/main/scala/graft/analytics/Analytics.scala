@@ -943,6 +943,161 @@ object Analytics {
       |  TRUE AS approx_ok
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  /** Count-min sketch kept honest (the q109/q111 contract pattern, for
+    * FREQUENCIES): one `count_min_sketch` aggregate over lineitem's
+    * supplier column (Spark's own mergeable sketch — eps 0.001,
+    * confidence 0.99, pinned seed), probed for a deterministic key
+    * subset against the exact per-key counts. The gate pins the exact
+    * counts plus the two contracts a 100 TB caller relies on: CMS
+    * never underestimates (structural — min over hashed counters each
+    * ≥ the true count), and the overestimate stays within eps·N (width
+    * 2/eps = 2000 counters per row dwarfs the supplier cardinality
+    * here, so collisions — and any estimate-vs-truth gap at all — are
+    * essentially impossible; with the seed pinned the outcome is a
+    * fixed fact of the data either way). The estimate itself is
+    * engine-specific, so it feeds the contract columns, not the hash.
+    * Probe arithmetic is driver-side over the probe subset only
+    * (dim-scale by construction — q90's scalar-probe discipline); the
+    * sketch build is one partial-aggregable pass, the exact counts one
+    * shuffle on the probe slice. */
+  def countMinContract(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val bytes = li.select(expr(
+      "count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val cap = math.ceil(0.001 * cms.totalCount()).toLong
+    val exact = li.filter(col("l_suppkey") % 10 === 0)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("true_cnt"))
+    import s.implicits._
+    val est = exact.select(col("s_suppkey")).as[Long].collect().sorted
+      .map(k => (k, cms.estimateCount(k))).toSeq.toDF("s_suppkey", "est")
+    exact.join(broadcast(est), Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("true_cnt"),
+        (col("est") >= col("true_cnt")).as("est_ge_true"),
+        (col("est") <= col("true_cnt") + cap).as("est_within_eps"))
+      .orderBy("s_suppkey")
+  }
+
+  val countMinContractSql: String =
+    """SELECT l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS true_cnt,
+      |  TRUE AS est_ge_true, TRUE AS est_within_eps
+      |FROM lineitem WHERE l_suppkey % 10 = 0
+      |GROUP BY 1 ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+  /** Second window-toolkit breadth row (q113 covers lag/frames/ntile):
+    * PERCENT_RANK, CUME_DIST, and a full-frame NTH_VALUE over
+    * supplier-grain revenue in one pass. Unpartitioned BY DESIGN and
+    * bounded by supplier cardinality (the q11 rule — the window sits
+    * above a supplier-grain aggregate). Exactness: the revenue is an
+    * exact decimal sum; percent_rank = (r-1)/(n-1) and cume_dist = r/n
+    * are single IEEE divisions of exact integers; ties break on the
+    * supplier key so both engines rank identically. */
+  def supplierRankToolkit(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice"), 18, 2)).as("rev_dec"))
+    val w = Window.orderBy(col("rev_dec").desc, col("l_suppkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sup
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("third_rev", nth_value(col("rev_dec"), 3).over(full))
+      .select(col("l_suppkey"), col("rev_dec").cast("double").as("revenue"),
+        col("pct_rank"), col("cume"),
+        col("third_rev").cast("double").as("third_rev"))
+      .orderBy("l_suppkey")
+  }
+
+  val supplierRankToolkitSql: String =
+    """WITH sup AS (
+      |  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_suppkey, CAST(rev_dec AS DOUBLE) AS revenue,
+      |  PERCENT_RANK() OVER (ORDER BY rev_dec DESC, l_suppkey) AS pct_rank,
+      |  CUME_DIST() OVER (ORDER BY rev_dec DESC, l_suppkey) AS cume,
+      |  CAST(NTH_VALUE(rev_dec, 3) OVER (ORDER BY rev_dec DESC, l_suppkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)
+      |    AS third_rev
+      |FROM sup ORDER BY l_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q183
+  /** Calendar densification — the "absence of data is the signal"
+    * shape reports can't express without it: a generated day spine
+    * from the first to the last order date, anti-joined to the actual
+    * order days, aggregated per month into active/gap-day counts plus
+    * each month's longest zero-order run (islands over the spine's
+    * gap flag — q153's streak arithmetic on generated rows). The
+    * spine is `sequence()` over a 2-row bound aggregate: generated,
+    * never scanned, and day-grain (metadata-scale at any corpus
+    * size); the order-day set is ONE distinct pushdown-friendly
+    * projection of the fact table. */
+  def orderCalendarGaps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    // "whale days" — days seeing at least one large order; plain order
+    // days are dense in this data, which would leave the gap machinery
+    // formally green but vacuous
+    val days = o.filter(col("o_totalprice") > 350000)
+      .select(to_date(col("o_orderdate")).as("d")).distinct()
+    val bounds = o.agg(to_date(min(col("o_orderdate"))).as("lo"),
+      to_date(max(col("o_orderdate"))).as("hi"))
+    val spine = bounds.select(explode(expr(
+      "sequence(lo, hi, interval 1 day)")).as("d"))
+    val flagged = spine.join(days.withColumn("active", lit(1)), Seq("d"), "left")
+      .withColumn("active", coalesce(col("active"), lit(0)))
+    // island id = running count of ACTIVE days: consecutive gap days
+    // share it, so the longest run per month is a max over group sizes
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = flagged
+      .withColumn("island", sum(col("active")).over(w))
+      .withColumn("month", date_format(col("d"), "yyyy-MM"))
+    val gapRuns = runs.filter(col("active") === 0)
+      .groupBy(col("month"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("month"))
+      .agg(max(col("run_len")).as("longest_gap_run"))
+    runs.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("active")).cast("long").as("n_active_days"),
+        sum(lit(1) - col("active")).cast("long").as("n_gap_days"))
+      .join(gapRuns, Seq("month"), "left")
+      .withColumn("longest_gap_run", coalesce(col("longest_gap_run"), lit(0L)))
+      .orderBy("month")
+  }
+
+  val orderCalendarGapsSql: String =
+    """WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+      |  FROM orders WHERE o_totalprice > 350000),
+      |b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+      |             CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+      |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+      |    INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+      |flagged AS (
+      |  SELECT spine.d, CASE WHEN days.d IS NULL THEN 0 ELSE 1 END AS active
+      |  FROM spine LEFT JOIN days ON spine.d = days.d),
+      |runs AS (
+      |  SELECT d, active,
+      |    CAST(SUM(active) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS island,
+      |    strftime(d, '%Y-%m') AS month
+      |  FROM flagged),
+      |gap_runs AS (
+      |  SELECT month, CAST(MAX(run_len) AS BIGINT) AS longest_gap_run FROM (
+      |    SELECT month, island, COUNT(*) AS run_len FROM runs
+      |    WHERE active = 0 GROUP BY 1, 2) GROUP BY 1)
+      |SELECT r.month, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(active) AS BIGINT) AS n_active_days,
+      |  CAST(SUM(1 - active) AS BIGINT) AS n_gap_days,
+      |  COALESCE(MAX(longest_gap_run), 0) AS longest_gap_run
+      |FROM runs r LEFT JOIN gap_runs g ON r.month = g.month
+      |GROUP BY r.month ORDER BY r.month""".stripMargin
+
   // ---------------------------------------------------------------- q113
   /** Analytic-window toolkit over monthly revenue: LAG month-over-month
     * delta, a 3-row frame moving average, and NTILE quartiles in one
@@ -1417,6 +1572,9 @@ object Analytics {
     "q113_monthly_window_toolkit" -> (monthlyWindowToolkit _),
     "q108_pivot_status_totals" -> (pivotStatusTotals _),
     "q109_hll_vs_exact" -> (hllVsExact _),
+    "q181_count_min_contract" -> (countMinContract _),
+    "q182_supplier_rank_toolkit" -> (supplierRankToolkit _),
+    "q183_order_calendar_gaps" -> (orderCalendarGaps _),
     "q111_approx_quantile_contract" -> (approxQuantileContract _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_top_revenue_orders" -> (topRevenueOrders _),
@@ -1461,6 +1619,9 @@ object Analytics {
     "q113_monthly_window_toolkit" -> monthlyWindowToolkitSql,
     "q108_pivot_status_totals" -> pivotStatusTotalsSql,
     "q109_hll_vs_exact" -> hllVsExactSql,
+    "q181_count_min_contract" -> countMinContractSql,
+    "q182_supplier_rank_toolkit" -> supplierRankToolkitSql,
+    "q183_order_calendar_gaps" -> orderCalendarGapsSql,
     "q111_approx_quantile_contract" -> approxQuantileContractSql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_top_revenue_orders" -> topRevenueOrdersSql,

@@ -76,10 +76,27 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
                              maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs,
                              columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countColumns: Int = 0
+
+  /** Partial COUNT(*) pushdown (see [[JsonlCountReaderFactory]]):
+    * accepted only for ungrouped all-`CountStar` aggregations — the
+    * one shape a line-oriented source can answer without reading any
+    * column. Complete pushdown stays false: each shard reports a
+    * partial, Spark sums. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val funcs = agg.aggregateExpressions()
+    val ok = agg.groupByExpressions().isEmpty && funcs.nonEmpty &&
+      funcs.forall(_.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (ok) countColumns = funcs.length
+    ok
+  }
 
   private def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType => true
@@ -109,7 +126,8 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar)
+    new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar,
+      countColumns)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -183,23 +201,31 @@ object JsonlLayout {
     * listing — no per-entry re-stat. */
   def discover(fs: org.apache.hadoop.fs.FileSystem, root: Path)
       : Seq[(Path, Map[String, Option[String]])] =
-    discoverStatus(fs, root).map { case (p, _, pv) => (p, pv) }
+    discoverFull(fs, root).map { case (p, _, _, pv) => (p, pv) }
 
   /** [[discover]] plus each shard's modification time — the streaming
     * source's watermark input. One value per listing entry; no
     * per-file re-stat. */
   def discoverStatus(fs: org.apache.hadoop.fs.FileSystem, root: Path)
-      : Seq[(Path, Long, Map[String, Option[String]])] = {
+      : Seq[(Path, Long, Map[String, Option[String]])] =
+    discoverFull(fs, root).map { case (p, m, _, pv) => (p, m, pv) }
+
+  /** Full listing: (path, mtime, length, partition values) per shard —
+    * length feeds [[JsonlScan]]'s `estimateStatistics`. All values
+    * come from the single `listStatus` pass. */
+  def discoverFull(fs: org.apache.hadoop.fs.FileSystem, root: Path)
+      : Seq[(Path, Long, Long, Map[String, Option[String]])] = {
     if (!fs.exists(root)) return Seq.empty
     val rootStatus = fs.getFileStatus(root)
     if (rootStatus.isFile)
-      return Seq((root, rootStatus.getModificationTime, Map.empty))
+      return Seq((root, rootStatus.getModificationTime, rootStatus.getLen,
+        Map.empty))
     def walk(dir: Path, pv: Map[String, Option[String]])
-        : Seq[(Path, Long, Map[String, Option[String]])] = {
+        : Seq[(Path, Long, Long, Map[String, Option[String]])] = {
       val entries = fs.listStatus(dir)
       val files = entries.filter(st => st.isFile && isShard(st.getPath.getName))
         .sortBy(_.getPath.getName)
-        .map(st => (st.getPath, st.getModificationTime, pv)).toSeq
+        .map(st => (st.getPath, st.getModificationTime, st.getLen, pv)).toSeq
       val nested = entries
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .sortBy(_.getPath.getName).toSeq
@@ -233,13 +259,55 @@ object JsonlLayout {
 final class JsonlScan(dataSchema: StructType, required: StructType,
                       pushed: Array[Filter], path: String,
                       maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs,
-                      columnar: Boolean = false)
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
+                      columnar: Boolean = false,
+                      countColumns: Int = 0)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  private def countMode: Boolean = countColumns > 0
+  override def readSchema(): StructType =
+    if (countMode)
+      StructType((0 until countColumns).map(_ =>
+        org.apache.spark.sql.types.StructField("count(*)",
+          LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-jsonl $path, PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+      (if (countMode) "PushedAggregation: [COUNT(*)], " else "") +
+      s"ReadSchema: ${readSchema().simpleString}"
+
+  /** Planning-time size estimate from the SAME pruned listing the scan
+    * reads (partition-pruned shard byte sizes summed) — feeds AQE and
+    * join-strategy decisions: a `lang=en` slice of a corpus reports
+    * its own bytes, not the table's, so a small slice broadcast-joins
+    * instead of shuffling at 100 TB. Row count is left unset (JSONL
+    * has no footer metadata; a bytes/row guess would be noise). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = prunedShards().map(_._2).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  /** The partition-pruned (shard, bytes, partition-values) listing —
+    * one definition serving both planning and statistics. */
+  private def prunedShards()
+      : Seq[(String, Long, Map[String, Option[String]])] = {
+    val p = new Path(path)
+    val conf = JsonlHadoopConf.fromSession()
+    val fs = p.getFileSystem(conf.value)
+    JsonlLayout.discoverFull(fs, p)
+      .filter { case (_, _, _, pv) =>
+        pv.forall { case (k, v) =>
+          pushed.forall(JsonlPartitionPruning.admits(_, k, v, dataSchema))
+        }
+      }
+      .map { case (f, _, len, pv) => (f.toString, len, pv) }
+  }
 
   /** Hive-style one-level partition layout (`lang=en/part-*.jsonl.gz`,
     * the shape [[graft.sources.JsonlCorpus.write]] produces with a
@@ -250,27 +318,64 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * value is injected into rows by the reader (it is not stored in
     * the JSON lines; the `__HIVE_DEFAULT_PARTITION__` sentinel maps
     * back to null). Flat directories keep the original behavior. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val conf = JsonlHadoopConf.fromSession()
-    val fs = p.getFileSystem(conf.value)
-    JsonlLayout.discover(fs, p)
-      .filter { case (_, pv) =>
-        pv.forall { case (k, v) =>
-          pushed.forall(JsonlPartitionPruning.admits(_, k, v, dataSchema))
-        }
-      }
-      .map { case (f, pv) => JsonlInputPartition(f.toString, pv): InputPartition }
+  override def planInputPartitions(): Array[InputPartition] =
+    prunedShards()
+      .map { case (f, _, pv) => JsonlInputPartition(f, pv): InputPartition }
       .toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed, dataSchema,
-      JsonlHadoopConf.fromSession(), columnar)
+    if (countMode)
+      new JsonlCountReaderFactory(countColumns, pushed, dataSchema,
+        JsonlHadoopConf.fromSession())
+    else
+      new JsonlReaderFactory(required, pushed, dataSchema,
+        JsonlHadoopConf.fromSession(), columnar)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!countMode,
+      "aggregate pushdown is a batch-only planning path") // never taken: V2ScanRelationPushDown is batch-only
     new JsonlMicroBatchStream(path, dataSchema, required, pushed, maxFileAgeMs)
+  }
+}
+
+/** COUNT(*) pushdown readers: each partition drains the ordinary row
+  * reader — so pushed filters, declared-type null semantics, and
+  * partition-value injection count EXACTLY the rows a plain scan
+  * would emit — but materializes zero columns and ships ONE row per
+  * shard (the partial count) instead of the shard's rows. Spark's
+  * planner sums the partials (partial pushdown contract:
+  * `supportCompletePushDown` = false). At 100 TB a bare
+  * `COUNT(*) FROM corpus` moves |shards| longs through the exchange
+  * instead of every row. */
+final class JsonlCountReaderFactory(countColumns: Int, pushed: Array[Filter],
+                                    dataSchema: StructType,
+                                    conf: JsonlHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JsonlInputPartition]
+    new JsonlCountReader(countColumns,
+      new JsonlPartitionReader(p.file, StructType(Nil), pushed, p.partValues,
+        dataSchema, conf))
+  }
+}
+
+final class JsonlCountReader(countColumns: Int,
+                             rows: JsonlPartitionReader)
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  private var count = 0L
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      while (rows.next()) count += 1
+      emitted = true
+      true
+    }
+  override def get(): InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      Seq.fill(countColumns)(count))
+  override def close(): Unit = rows.close()
 }
 
 /** Micro-batch streaming over a JSONL drop directory with O(1)-class

@@ -410,4 +410,47 @@ class JsonlDsv2Spec extends AnyFunSuite {
     val builtin = JsonlCorpus.readClean(spark, out)
     assert(builtin.exceptAll(tricky).isEmpty && tricky.exceptAll(builtin).isEmpty)
   }
+
+  test("COUNT(*) pushes down: plan shows the pushed aggregation, counts agree") {
+    val df = dsv2.groupBy().count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), s"plan:\n$plan")
+    assert(df.head().getLong(0) === 5L) // malformed line still skips
+    // filtered count: pushed filter applies BEFORE the partial count
+    val filtered = spark.read.format("graft-jsonl").load(fixture)
+      .filter(col("lang") === "en").groupBy().count()
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(filtered.head().getLong(0) === 3L)
+    // grouped/other aggregates do NOT push: full rows still flow
+    val grouped = dsv2.groupBy("lang").count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("en" -> 3L, "fr" -> 1L, "de" -> 1L))
+    val summed = dsv2.agg(sum("n_chars"))
+    assert(!summed.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+  }
+
+  test("scan reports partition-pruned byte statistics to the planner") {
+    val dir = Files.createTempDirectory("graft_dsv2_stats").toString
+    writeShard(s"$dir/lang=en", "p.jsonl",
+      Seq("""{"doc_id": 1, "text": "aaaa", "lang": "en", "source": "s", "n_chars": 4}"""))
+    writeShard(s"$dir/lang=fr", "q.jsonl", Seq(
+      """{"doc_id": 2, "text": "bbbb", "lang": "fr", "source": "s", "n_chars": 4}""",
+      """{"doc_id": 3, "text": "cccc", "lang": "fr", "source": "s", "n_chars": 4}"""))
+    def statsOf(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.sizeInBytes
+      }.head
+    val full = statsOf(spark.read.format("graft-jsonl").load(dir))
+    val pruned = statsOf(spark.read.format("graft-jsonl").load(dir)
+      .filter(col("lang") === "en"))
+    val enBytes = Files.size(Paths.get(s"$dir/lang=en", "p.jsonl"))
+    val frBytes = Files.size(Paths.get(s"$dir/lang=fr", "q.jsonl"))
+    assert(full === BigInt(enBytes + frBytes))
+    assert(pruned === BigInt(enBytes), "pruned slice must report its own bytes")
+  }
 }
