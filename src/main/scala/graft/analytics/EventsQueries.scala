@@ -1327,7 +1327,63 @@ object EventsQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hazard_ppm
       |FROM byage ORDER BY age_days""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** Funnel LATENCY — q79 reports how many convert, this reports how
+    * fast: per converting user the delta from first view to the first
+    * subsequent purchase (q79's strictly-after stage rule), summarized
+    * as exact integer percentiles via the q138 rank walk — cum counts
+    * over the distinct-delta grain, p-th value = min delta whose
+    * cumulative count reaches ceil(p·n/100). No percentile_cont floats
+    * to disagree across engines, and the walk runs on distinct-seconds
+    * grain (bounded by the observation window), never user grain.
+    * Shape: q79's one-exchange window pass, a user-grain distinct,
+    * one delta-grain aggregate, a metadata-scale cum window. */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = Tables.events(s, dir)
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .select(col("user_id"), col("t1"), col("t3")).distinct()
+      .filter(col("t3").isNotNull)
+      .select((col("t3").cast("long") - col("t1").cast("long")).as("delta"))
+    val hist = perUser.groupBy(col("delta")).agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy(col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(
+        max(col("n")).as("n_converted"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("delta"))).as("p50_sec"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("delta"))).as("p90_sec"),
+        max(col("delta")).as("max_sec"))
+  }
+
+  val conversionLatencySql: String =
+    """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts
+      |  FROM events),
+      |v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      |      FROM e GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'purchase' AND e.ts > v.t1 GROUP BY 1),
+      |d AS (SELECT CAST(epoch(t3) AS BIGINT) - CAST(epoch(t1) AS BIGINT) AS delta
+      |      FROM v JOIN p USING (user_id)),
+      |h AS (SELECT delta, COUNT(*) AS cnt FROM d GROUP BY 1),
+      |c AS (SELECT delta, cnt,
+      |    CAST(SUM(cnt) OVER (ORDER BY delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      |  FROM h)
+      |SELECT MAX(n) AS n_converted,
+      |  MIN(CASE WHEN cum * 100 >= n * 50 THEN delta END) AS p50_sec,
+      |  MIN(CASE WHEN cum * 100 >= n * 90 THEN delta END) AS p90_sec,
+      |  MAX(delta) AS max_sec
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_conversion_latency" -> (conversionLatency _),
     "q175_retention_hazard" -> (retentionHazard _),
     "q173_replayed_sessions" -> (replayedSessions _),
     "q172_markov_backtest" -> (markovBacktest _),
@@ -1358,6 +1414,7 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_conversion_latency" -> conversionLatencySql,
     "q175_retention_hazard" -> retentionHazardSql,
     "q173_replayed_sessions" -> replayedSessionsSql,
     "q172_markov_backtest" -> markovBacktestSql,
