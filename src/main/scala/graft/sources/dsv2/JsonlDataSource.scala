@@ -262,8 +262,41 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       columnar: Boolean = false,
                       countColumns: Int = 0)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   private def countMode: Boolean = countColumns > 0
+
+  // ------------------------------------------------- runtime filtering
+  //
+  // Dynamic partition pruning for the hive layout: when this scan is
+  // the probe side of a broadcast join keyed on a partition column,
+  // Spark builds the dim side first, turns its key set into an IN
+  // filter, and hands it here AT EXECUTION TIME — partition dirs that
+  // no dim row references are then never listed into partitions. The
+  // static planner cannot know these values (they come from another
+  // table's data), so this is the pruning tier static pushdown cannot
+  // reach: at 100 TB, "join the corpus to this week's snapshot dims"
+  // opens the joined slice's shards only.
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** The layout's partition keys, from one listing of the table —
+    * cached per scan (a scan is per-query; staleness across queries is
+    * the same contract as any listing). */
+  private lazy val layout: Seq[(String, Long, Map[String, Option[String]])] = {
+    val p = new Path(path)
+    val conf = JsonlHadoopConf.fromSession()
+    val fs = p.getFileSystem(conf.value)
+    JsonlLayout.discoverFull(fs, p)
+      .map { case (f, _, len, pv) => (f.toString, len, pv) }
+  }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    layout.flatMap(_._3.keys).distinct.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
   override def readSchema(): StructType =
     if (countMode)
       StructType((0 until countColumns).map(_ =>
@@ -294,20 +327,17 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   }
 
   /** The partition-pruned (shard, bytes, partition-values) listing —
-    * one definition serving both planning and statistics. */
+    * one definition serving planning, statistics, and runtime
+    * filtering (statically pushed filters AND any execution-time
+    * runtime filters both prune). */
   private def prunedShards()
-      : Seq[(String, Long, Map[String, Option[String]])] = {
-    val p = new Path(path)
-    val conf = JsonlHadoopConf.fromSession()
-    val fs = p.getFileSystem(conf.value)
-    JsonlLayout.discoverFull(fs, p)
-      .filter { case (_, _, _, pv) =>
-        pv.forall { case (k, v) =>
-          pushed.forall(JsonlPartitionPruning.admits(_, k, v, dataSchema))
-        }
+      : Seq[(String, Long, Map[String, Option[String]])] =
+    layout.filter { case (_, _, pv) =>
+      pv.forall { case (k, v) =>
+        (pushed ++ runtimeFilters)
+          .forall(JsonlPartitionPruning.admits(_, k, v, dataSchema))
       }
-      .map { case (f, _, len, pv) => (f.toString, len, pv) }
-  }
+    }
 
   /** Hive-style one-level partition layout (`lang=en/part-*.jsonl.gz`,
     * the shape [[graft.sources.JsonlCorpus.write]] produces with a
