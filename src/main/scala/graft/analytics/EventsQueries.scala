@@ -1382,7 +1382,73 @@ object EventsQueries {
       |  MAX(delta) AS max_sec
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  /** Winsorized per-type value statistics — the robust-preprocessing
+    * twin of q95's MAD screen: clip `value` at the exact integer-cents
+    * p01/p99 (the q138 rank walk per event type — `100·cum ≥ p·n`
+    * picks the percentile on the distinct-cents grain) and report the
+    * clipped mean in floor-divided cents plus how many observations
+    * each tail clipped. Winsorization is how a feature pipeline feeds
+    * heavy-tailed values to training without letting one whale set the
+    * scale; everything here is integer cents, so both engines agree to
+    * the bit. Shape: one cents-grain aggregate per type, a
+    * metadata-scale cum window, bounds broadcast back onto the stream,
+    * one final partial-aggregable pass. */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      (dec(col("value"), 18, 2) * 100).cast("long").as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val bounds = ev.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"), col("n"))
+      .agg(min(when(col("cum") * 100 >= col("n") * 1, col("c"))).as("p01_cents"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("c"))).as("p99_cents"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("clipped",
+        greatest(col("p01_cents"), least(col("p99_cents"), col("c"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("p01_cents")).as("p01_cents"),
+        max(col("p99_cents")).as("p99_cents"),
+        sum(when(col("c") < col("p01_cents"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("c") > col("p99_cents"), 1L).otherwise(0L)).as("n_clipped_high"),
+        sum(col("clipped")).as("clipped_sum"))
+      .select(col("event_type"), col("n"), col("p01_cents"), col("p99_cents"),
+        col("n_clipped_low"), col("n_clipped_high"),
+        expr("clipped_sum div n").as("mean_clipped_cents"))
+      .orderBy("event_type")
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH ev AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+      |h AS (SELECT event_type, c, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |cm AS (SELECT event_type, c, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM h),
+      |b AS (SELECT event_type, n,
+      |    MIN(CASE WHEN cum * 100 >= n * 1 THEN c END) AS p01_cents,
+      |    MIN(CASE WHEN cum * 100 >= n * 99 THEN c END) AS p99_cents
+      |  FROM cm GROUP BY 1, 2)
+      |SELECT event_type, n, p01_cents, p99_cents,
+      |  CAST(SUM(CASE WHEN c < p01_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN c > p99_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_high,
+      |  CAST(SUM(GREATEST(p01_cents, LEAST(p99_cents, c))) AS BIGINT) // n
+      |    AS mean_clipped_cents
+      |FROM ev JOIN b USING (event_type)
+      |GROUP BY event_type, n, p01_cents, p99_cents
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_winsorized_stats" -> (winsorizedStats _),
     "q184_conversion_latency" -> (conversionLatency _),
     "q175_retention_hazard" -> (retentionHazard _),
     "q173_replayed_sessions" -> (replayedSessions _),
@@ -1414,6 +1480,7 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q185_winsorized_stats" -> winsorizedStatsSql,
     "q184_conversion_latency" -> conversionLatencySql,
     "q175_retention_hazard" -> retentionHazardSql,
     "q173_replayed_sessions" -> replayedSessionsSql,

@@ -153,6 +153,44 @@ object CorpusOps {
     docs.filter(h < coalesce(thr, lit(hexThreshold(defaultRate))))
   }
 
+  /** Dense categorical codebook — the StringIndexer step of a feature
+    * pipeline, frequency-ordered so code 0 is the most common value
+    * (ties break on the value string — both engines rank identically):
+    * per category, its code, count, and cumulative coverage in exact
+    * ppm. "How many codes cover 99% of the data" falls straight out of
+    * `cum_ppm`, which is what decides an embedding-table size. The
+    * input collapses to category grain first (one partial-aggregable
+    * shuffle); the rank/coverage windows run on |categories| rows. */
+  def categoryCodebook(rows: DataFrame, category: String): DataFrame = {
+    val freq = rows.groupBy(col(category)).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col(category))
+    freq
+      .withColumn("code", (row_number().over(w) - 1).cast("long"))
+      .withColumn("cum_ppm",
+        expr("(1000000 * sum(freq) OVER (ORDER BY freq DESC, " + category +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) div " +
+          "sum(freq) OVER ()"))
+      .select(col(category), col("code"), col("freq"), col("cum_ppm"))
+  }
+
+  /** The hashing trick (HashingTF): term counts folded into `d` hash
+    * buckets via the house md5-prefix hash ([[hashSplit]]'s idiom — a
+    * pure function any engine reproduces, unlike a JVM-specific
+    * `murmur3`). Fixed-width features from unbounded vocabulary with
+    * ZERO vocabulary state — the property that matters at 100 TB,
+    * where a fitted vocabulary is itself a big-data object with a
+    * consistency problem. Output is the sparse form (doc, bucket,
+    * count); one explode + one partial-aggregable groupBy. */
+  def featureHash(docs: DataFrame, d: Int = 64): DataFrame = {
+    require(d > 0, s"bucket count $d must be positive")
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .withColumn("bucket",
+        conv(substring(md5(col("term")), 1, 6), 16, 10).cast("bigint") % d)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Top-`k` characteristic terms per source slice, scored by
     * tf * (n_sources / df) — a TF-IDF variant with a rational idf
     * (integer ratio instead of a log: same ranking for fixed

@@ -699,6 +699,40 @@ object LlmQueries {
       |  FROM tfc JOIN dfc USING (term) CROSS JOIN ns)
       |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+  /** Frequency-ordered dense codes for the `source` column with exact
+    * ppm coverage ([[CorpusOps.categoryCodebook]]) — the StringIndexer
+    * step under the gate. */
+  def categoryCodebook(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.categoryCodebook(docs(s, dir), "source").orderBy("code")
+
+  val categoryCodebookSql: String =
+    """WITH f AS (SELECT source, COUNT(*) AS freq FROM documents GROUP BY 1)
+      |SELECT source,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, source) - 1 AS BIGINT)
+      |    AS code,
+      |  CAST(freq AS BIGINT) AS freq,
+      |  (1000000 * CAST(SUM(freq) OVER (ORDER BY freq DESC, source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+      |    // CAST(SUM(freq) OVER () AS BIGINT) AS cum_ppm
+      |FROM f ORDER BY code""".stripMargin
+
+  // ---------------------------------------------------------------- q187
+  /** Hashing-trick features ([[CorpusOps.featureHash]], HashingTF):
+    * 64 md5-prefix buckets per doc, sparse (doc, bucket, count) form —
+    * vocabulary-free fixed-width features, the oracle re-derives the
+    * identical hash. */
+  def featureHashBuckets(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.featureHash(docs(s, dir), d = 64).orderBy("doc_id", "bucket")
+
+  val featureHashBucketsSql: String =
+    """SELECT doc_id,
+      |  CAST('0x' || substr(md5(term), 1, 6) AS BIGINT) % 64 AS bucket,
+      |  COUNT(*) AS cnt
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |      FROM documents)
+      |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+
   // ---------------------------------------------------------------- q65
   def packSequences(s: SparkSession, dir: String): DataFrame =
     CorpusOps.packSequences(docs(s, dir), capacity = 512, shards = 8)
@@ -1728,6 +1762,8 @@ object LlmQueries {
     "q104_bloom_decontaminate" -> (bloomDecontaminate _),
     "q63_hash_split" -> (hashSplit _),
     "q64_top_terms" -> (topTerms _),
+    "q186_category_codebook" -> (categoryCodebook _),
+    "q187_feature_hash" -> (featureHashBuckets _),
     "q65_pack_sequences" -> (packSequences _),
     "q66_kmeans_clusters" -> (kmeansClusters _),
     "q180_cluster_top_terms" -> (clusterTopTerms _),
@@ -1790,6 +1826,8 @@ object LlmQueries {
     "q104_bloom_decontaminate" -> bloomDecontaminateSql,
     "q63_hash_split" -> hashSplitSql,
     "q64_top_terms" -> topTermsSql,
+    "q186_category_codebook" -> categoryCodebookSql,
+    "q187_feature_hash" -> featureHashBucketsSql,
     "q65_pack_sequences" -> packSequencesSql,
     "q66_kmeans_clusters" -> kmeansClustersSql,
     "q180_cluster_top_terms" -> clusterTopTermsSql,
