@@ -77,11 +77,21 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
                              columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
   private var countColumns: Int = 0
+  private var limit: Int = -1
+
+  /** LIMIT pushdown: each shard's reader stops after `limit` rows
+    * (post-filter), so `LIMIT 20` over a 100 TB corpus parses at most
+    * `20 * shards-in-first-tasks` lines instead of materializing
+    * every row for Spark to discard. Partial by nature (shards are
+    * independent) — Spark re-applies the global limit. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Partial COUNT(*) pushdown (see [[JsonlCountReaderFactory]]):
     * accepted only for ungrouped all-`CountStar` aggregations — the
@@ -127,7 +137,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
     required = requiredSchema
   override def build(): Scan =
     new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar,
-      countColumns)
+      countColumns, limit)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -260,7 +270,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       pushed: Array[Filter], path: String,
                       maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs,
                       columnar: Boolean = false,
-                      countColumns: Int = 0)
+                      countColumns: Int = 0,
+                      limit: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -307,6 +318,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   override def description(): String =
     s"graft-jsonl $path, PushedFilters: [${pushed.mkString(", ")}], " +
       (if (countMode) "PushedAggregation: [COUNT(*)], " else "") +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${readSchema().simpleString}"
 
   /** Planning-time size estimate from the SAME pruned listing the scan
@@ -359,7 +371,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
         JsonlHadoopConf.fromSession())
     else
       new JsonlReaderFactory(required, pushed, dataSchema,
-        JsonlHadoopConf.fromSession(), columnar)
+        JsonlHadoopConf.fromSession(), columnar, limit)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -790,19 +802,20 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
 final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
                                dataSchema: StructType,
                                conf: JsonlHadoopConf,
-                               columnar: Boolean = false)
+                               columnar: Boolean = false,
+                               limit: Int = -1)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlPartitionReader(p.file, required, pushed, p.partValues,
-      dataSchema, conf)
+      dataSchema, conf, limit)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlColumnarReader(p.file, required, pushed, p.partValues,
-      dataSchema, conf)
+      dataSchema, conf, limit)
   }
 }
 
@@ -816,8 +829,13 @@ final class JsonlPartitionReader(file: String, required: StructType,
                                  pushed: Array[Filter],
                                  partValues: Map[String, Option[String]],
                                  dataSchema: StructType,
-                                 conf: JsonlHadoopConf)
+                                 conf: JsonlHadoopConf,
+                                 limit: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  // pushed LIMIT: stop reading (and parsing) this shard once `limit`
+  // post-filter rows have been emitted; -1 = unbounded
+  private var emittedRows = 0L
 
   private val mapper = new ObjectMapper()
   private val reader: BufferedReader = {
@@ -947,6 +965,7 @@ final class JsonlPartitionReader(file: String, required: StructType,
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emittedRows >= limit) return false
     var line = reader.readLine()
     while (line != null) {
       if (line.nonEmpty) {
@@ -955,6 +974,7 @@ final class JsonlPartitionReader(file: String, required: StructType,
           catch { case _: Exception => null } // malformed: skip (clean-path scan)
         if (node != null && node.isObject && pushed.forall(matches(node, _))) {
           row = materialize(node)
+          emittedRows += 1
           return true
         }
       }
@@ -986,13 +1006,14 @@ final class JsonlColumnarReader(file: String, required: StructType,
                                 pushed: Array[Filter],
                                 partValues: Map[String, Option[String]],
                                 dataSchema: StructType,
-                                conf: JsonlHadoopConf)
+                                conf: JsonlHadoopConf,
+                                limit: Int = -1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val rows = new JsonlPartitionReader(file, required, pushed,
-    partValues, dataSchema, conf)
+    partValues, dataSchema, conf, limit)
   private val capacity = 4096
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, required)

@@ -476,6 +476,21 @@ class JsonlDsv2Spec extends AnyFunSuite {
       assert(joined.count() === 10) // pruned run returns identical rows
   }
 
+  test("LIMIT pushes into the reader: plan shows PushedLimit, rows correct") {
+    val df = dsv2.limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 3"), s"plan:\n$plan")
+    assert(df.count() === 3)
+    // limit composes with pushed filters: post-filter semantics
+    val f = spark.read.format("graft-jsonl").load(fixture)
+      .filter(col("lang") === "en").limit(2)
+    assert(f.queryExecution.executedPlan.toString.contains("PushedLimit: 2"))
+    assert(f.collect().length === 2)
+    assert(f.collect().forall(_.getString(2) == "en"))
+    // a limit larger than the data returns everything
+    assert(dsv2.limit(100).count() === 5)
+  }
+
   test("scan reports partition-pruned byte statistics to the planner") {
     val dir = Files.createTempDirectory("graft_dsv2_stats").toString
     writeShard(s"$dir/lang=en", "p.jsonl",
