@@ -482,6 +482,76 @@ object WarehouseQueries {
       |FROM documents WHERE lang IN ('en', 'de')
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+  /** Storage-partitioned join through the DSv2 connector: two
+    * lang-partitioned `graft-jsonl` layouts (corpus facts + per-lang
+    * mean-length dims, several shards per lang dir) are joined on the
+    * partition column and re-aggregated — and the whole thing plans
+    * with ZERO hash exchanges. Both scans opt in via
+    * `.option("spj", true)`, report `KeyGroupedPartitioning(lang)`
+    * ([[graft.sources.dsv2.JsonlScan.outputPartitioning]]), and carry
+    * per-shard `HasPartitionKey` rows; under
+    * `spark.sql.sources.v2.bucketing.enabled` Spark groups the shards
+    * by lang and the sort-merge join + final aggregate both run on the
+    * storage partitioning. The function REQUIRES that plan shape (a
+    * merge join and no `Exchange hashpartitioning` anywhere) before
+    * returning, so the green oracle row certifies the co-located plan
+    * computed the exact joined answer — at 100 TB this is two
+    * corpus-scale tables joined with no shuffle of either side. */
+  private val spjExports =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def spjDocJoin(s: SparkSession, dir: String): DataFrame = {
+    val root = spjExports.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-spj").toString
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      // round-robin into 4 writers so every lang dir holds SEVERAL
+      // shards — the key-grouping under test coalesces them per lang
+      graft.sources.JsonlCorpus.write(docs.repartition(4), s"$r/docs",
+        partitionCol = Some("lang"), compression = "none")
+      graft.sources.JsonlCorpus.write(
+        docs.groupBy(col("lang"))
+          .agg(floor(avg(col("n_chars"))).cast("long").as("avg_chars")),
+        s"$r/stats", partitionCol = Some("lang"), compression = "none")
+      r
+    })
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val facts = s.read.format("graft-jsonl")
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("spj", "true").load(s"$root/docs")
+    val stats = s.read.format("graft-jsonl")
+      .schema(StructType(Seq(StructField("lang", StringType),
+        StructField("avg_chars", LongType))))
+      .option("spj", "true").load(s"$root/stats")
+    val df = facts.hint("merge").join(stats, Seq("lang"))
+      .filter(col("n_chars") > col("avg_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_above"),
+        sum(col("n_chars")).cast("bigint").as("chars_above"))
+      .orderBy("lang")
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("SortMergeJoin"),
+      s"storage-partitioned join did not plan as a merge join:\n$plan")
+    require(!plan.contains("Exchange hashpartitioning"),
+      s"storage-partitioned join still shuffles:\n$plan")
+    df
+  }
+
+  /** Oracle recomputes the joined answer straight from the parquet —
+    * the exact-average threshold is reproducible because the sums stay
+    * far inside double's integer range. */
+  val spjDocJoinSql: String =
+    """WITH s AS (SELECT lang, CAST(FLOOR(AVG(n_chars)) AS BIGINT) AS avg_chars
+      |           FROM documents GROUP BY lang)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_above,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_above
+      |FROM documents d JOIN s ON d.lang = s.lang
+      |WHERE d.n_chars > s.avg_chars
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // ---------------------------------------------------------------- q116
   /** q94's profile at 100 TB cost: KMV-sketch distinct estimates in
     * ONE plain aggregate — no Expand, no ×(columns+1) row replication
@@ -566,6 +636,7 @@ object WarehouseQueries {
     "q107_constraint_audit" -> (constraintAudit _),
     "q116_profile_orders_approx" -> (profileOrdersApprox _),
     "q114_dsv2_jsonl_scan" -> (dsv2JsonlScan _),
+    "q188_spj_doc_join" -> (spjDocJoin _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -584,6 +655,7 @@ object WarehouseQueries {
     "q144_incremental_join_view" -> incrementalJoinViewSql,
     "q107_constraint_audit" -> constraintAuditSql,
     "q114_dsv2_jsonl_scan" -> dsv2JsonlScanSql,
+    "q188_spj_doc_join" -> spjDocJoinSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

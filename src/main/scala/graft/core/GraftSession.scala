@@ -34,6 +34,13 @@ object GraftSession {
       // fact-fact joins at 100 TB; the default has moved across
       // releases)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // storage-partitioned joins: honor DSv2-reported
+      // KeyGroupedPartitioning (graft-jsonl opts in per-read via
+      // `.option("spj", true)`) so co-partitioned layouts join and
+      // aggregate without an exchange; pushPartValues pads mismatched
+      // partition-value sets instead of refusing the co-location
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

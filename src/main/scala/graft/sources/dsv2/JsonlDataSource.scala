@@ -65,7 +65,8 @@ final class JsonlTable(tableSchema: StructType, path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(tableSchema, path,
       options.getLong("maxFileAgeMs", JsonlMicroBatchStream.DefaultMaxFileAgeMs),
-      options.getBoolean("columnar", false))
+      options.getBoolean("columnar", false),
+      options.getBoolean("spj", false))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -74,7 +75,8 @@ final class JsonlTable(tableSchema: StructType, path: String)
 
 final class JsonlScanBuilder(dataSchema: StructType, path: String,
                              maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs,
-                             columnar: Boolean = false)
+                             columnar: Boolean = false,
+                             spj: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -137,7 +139,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
     required = requiredSchema
   override def build(): Scan =
     new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar,
-      countColumns, limit)
+      countColumns, limit, spj)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -271,11 +273,77 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs,
                       columnar: Boolean = false,
                       countColumns: Int = 0,
-                      limit: Int = -1)
+                      limit: Int = -1,
+                      spj: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private def countMode: Boolean = countColumns > 0
+
+  // ------------------------------------------- storage-partitioned join
+  //
+  // With `.option("spj", true)` the scan REPORTS its hive layout as a
+  // KeyGroupedPartitioning over the partition columns, and every input
+  // partition carries its partition-value key (HasPartitionKey). Under
+  // `spark.sql.sources.v2.bucketing.enabled` Spark then groups shards
+  // by key and plans joins/aggregations keyed on the partition columns
+  // WITHOUT an exchange on this side — the v2 form of bucketed
+  // co-located joins. At 100 TB this is the difference between
+  // shuffling two corpus-scale tables and a zero-movement merge of
+  // co-partitioned layouts (mismatched partition-value sets are handled
+  // by Spark's pushPartValues padding). Opt-in per read because
+  // key-grouping coalesces each partition value into ONE task — exactly
+  // what a co-partitioned join wants, but a parallelism loss for plain
+  // scans, which keep per-shard tasks by default.
+
+  /** Partition-key columns usable for SPJ: present on EVERY shard of
+    * the (statically pruned) layout, declared in the schema with a
+    * type whose catalyst key form we can build. Name-sorted so the
+    * reported key order and each partition's key row always agree. */
+  private lazy val spjKeys: Seq[(String, DataType)] = {
+    val shards = prunedShards()
+    val keySets = shards.map(_._3.keySet).distinct
+    if (shards.isEmpty || keySets.size != 1 || keySets.head.isEmpty) Seq.empty
+    else {
+      val names = keySets.head.toSeq.sorted
+      val fields = names.map(n => dataSchema.fields.find(_.name == n))
+      val ok = fields.forall(_.exists(_.dataType match {
+        case StringType | LongType | IntegerType | DoubleType | BooleanType => true
+        case _ => false
+      }))
+      if (ok) names.map(n => (n, dataSchema(n).dataType)) else Seq.empty
+    }
+  }
+
+  private def spjActive: Boolean = spj && !countMode && spjKeys.nonEmpty
+
+  private def catalystKey(v: String, dt: DataType): Any = dt match {
+    case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    case LongType    => v.toLong
+    case IntegerType => v.toInt
+    case DoubleType  => v.toDouble
+    case BooleanType => v.toBoolean
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  private def keyRowOf(pv: Map[String, Option[String]])
+      : org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      spjKeys.map { case (n, dt) => pv(n).map(catalystKey(_, dt)).orNull }.toArray)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjActive)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        spjKeys.map { case (n, _) =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(n)
+            : org.apache.spark.sql.connector.expressions.Expression
+        }.toArray,
+        prunedShards().map(_._3).distinct.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        prunedShards().size)
 
   // ------------------------------------------------- runtime filtering
   //
@@ -362,7 +430,9 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * back to null). Flat directories keep the original behavior. */
   override def planInputPartitions(): Array[InputPartition] =
     prunedShards()
-      .map { case (f, _, pv) => JsonlInputPartition(f, pv): InputPartition }
+      .map { case (f, _, pv) =>
+        JsonlInputPartition(f, pv,
+          if (spjActive) keyRowOf(pv) else null): InputPartition }
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -603,8 +673,14 @@ object JsonlFilesOffset {
 
 final case class JsonlInputPartition(
     file: String,
-    partValues: Map[String, Option[String]] = Map.empty)
+    partValues: Map[String, Option[String]] = Map.empty,
+    key: org.apache.spark.sql.catalyst.InternalRow = null)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** Non-null exactly when the scan reported KeyGroupedPartitioning
+    * (the only path on which Spark reads it). */
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
 
 /** Planning-time partition pruning: can a partition with `col = value`
   * (None = the null partition) contain rows satisfying `f`?
