@@ -779,7 +779,238 @@ object MiningQueries {
        |ORDER BY table_key""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q189
+  /** Forward-fill over the generated day spine: q183's calendar
+    * densification plus the CARRY — each gap day surfaces the last
+    * observed whale-day revenue and its staleness in days ("latest
+    * known value as of d", the feature-serving join shape). The fill
+    * is `last(col, ignoreNulls)` over an unpartitioned day-grain
+    * window — bounded by the calendar axis at ANY corpus scale (q11
+    * rule), so the one-partition sort never sees fact rows. Revenue
+    * travels as exact cents; staleness is an exact date diff. */
+  def forwardFillRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val daily = o.filter(col("o_totalprice") > 350000)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg((sum(dec(col("o_totalprice"), 12, 2)) * 100).cast("long")
+        .as("rev_cents"))
+    val bounds = o.agg(to_date(min(col("o_orderdate"))).as("lo"),
+      to_date(max(col("o_orderdate"))).as("hi"))
+    val spine = bounds.select(explode(expr(
+      "sequence(lo, hi, interval 1 day)")).as("d"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("d"), "left")
+      .withColumn("filled", last(col("rev_cents"), ignoreNulls = true).over(w))
+      .withColumn("last_active",
+        last(when(col("rev_cents").isNotNull, col("d")),
+          ignoreNulls = true).over(w))
+      .select(col("d"),
+        coalesce(col("filled"), lit(0L)).as("filled_cents"),
+        coalesce(datediff(col("d"), col("last_active")), lit(-1))
+          .cast("long").as("staleness_days"),
+        when(col("rev_cents").isNotNull, 1L).otherwise(0L).as("active"))
+      .orderBy("d")
+  }
+
+  val forwardFillRevenueSql: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders WHERE o_totalprice > 350000 GROUP BY 1),
+      |b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+      |             CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+      |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+      |    INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+      |j AS (SELECT spine.d, daily.rev_cents
+      |      FROM spine LEFT JOIN daily ON spine.d = daily.d)
+      |SELECT d,
+      |  CAST(COALESCE(last_value(rev_cents IGNORE NULLS) OVER w, 0)
+      |    AS BIGINT) AS filled_cents,
+      |  CAST(COALESCE(date_diff('day',
+      |    last_value(CASE WHEN rev_cents IS NOT NULL THEN d END
+      |      IGNORE NULLS) OVER w, d), -1) AS BIGINT) AS staleness_days,
+      |  CAST(CASE WHEN rev_cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS active
+      |FROM j
+      |WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------- q190
+  /** Rendezvous (highest-random-weight) routing: every document is
+    * assigned to the worker maximizing a 48-bit md5 score of
+    * `doc_id:worker` — computed as a PURE NARROW MAP (an array_max
+    * over a generated per-worker struct array; no shuffle touches the
+    * doc-grain stream, the property routing must have at 100 TB).
+    * Scaling 5 → 6 workers, the scores of existing workers are
+    * untouched, so an assignment changes ONLY when the new worker
+    * wins: the output proves minimal disruption mechanically
+    * (`n_moved_in` = 0 for workers 0–4, = `n_docs` for worker 5,
+    * ~1/6 of the corpus). Consistent-hash routing with an exact,
+    * cross-engine score. */
+  def rendezvousRouting(s: SparkSession, dir: String): DataFrame = {
+    def pick(n: Int) = expr(
+      s"""cast(array_max(transform(sequence(0, ${n - 1}),
+         |  w -> named_struct(
+         |    'hv', cast(conv(substring(md5(concat(cast(doc_id as string),
+         |            ':', cast(w as string))), 1, 12), 16, 10) as bigint),
+         |    'w', w))).w as bigint)""".stripMargin)
+    t(s, dir, "documents").select(col("doc_id"),
+        pick(5).as("w5"), pick(6).as("w6"))
+      .groupBy(col("w6").as("worker"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("w5") =!= col("w6"), 1L).otherwise(0L)).cast("long")
+          .as("n_moved_in"))
+      .orderBy("worker")
+  }
+
+  val rendezvousRoutingSql: String = {
+    def assign(n: Int, alias: String): String =
+      s"""$alias AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, w, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |      CAST(w AS VARCHAR)), 1, 12) AS BIGINT) DESC, w DESC) AS rn
+         |  FROM documents,
+         |    (SELECT unnest(generate_series(0, ${n - 1})) AS w)) WHERE rn = 1)"""
+        .stripMargin
+    s"""WITH ${assign(5, "a5")},
+       |${assign(6, "a6")}
+       |SELECT CAST(a6.w AS BIGINT) AS worker,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN a5.w <> a6.w THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_moved_in
+       |FROM a5 JOIN a6 USING (doc_id)
+       |GROUP BY 1 ORDER BY worker""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q191
+  /** Rolling 7-day distinct users from MERGED per-day KMV sketches —
+    * the sketch answer to q166's exact rolling WAU. The exact rolling
+    * path re-deduplicates user×7 rows per window; the sketch path
+    * keeps ≤ k=64 hashes PER DAY (the q83/q116 KMV convention: 48-bit
+    * md5 prefix, estimate (k−1)·2⁴⁸/h₍ₖ₎), unions 7 day-sketches and
+    * re-takes the k-th minimum — mergeability is the whole point: at
+    * 100 TB the daily sketches are metadata-scale and any window
+    * (7-day, 30-day, quarter) merges from them without touching the
+    * fact stream again. Both paths surface side by side with the
+    * relative error in exact ppm — the honesty contract pattern. */
+  def rollingKmvWau(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val ud = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = ud.select(col("day")).distinct()
+    // each (source-day, value) row feeds the 7 windows ending on
+    // day..day+6 — the equi-join window expansion (no range join)
+    val windowed = (df: DataFrame) => df
+      .withColumnRenamed("day", "src")
+      .select(explode(expr(
+        "sequence(src, date_add(src, 6), interval 1 day)")).as("day"),
+        col("*"))
+      .drop("src")
+      .join(days, Seq("day"), "left_semi")
+    val daySketch = ud
+      .withColumn("hv", conv(substring(md5(col("user_id").cast("string")),
+        1, 12), 16, 10).cast("long"))
+      .select(col("day"), col("hv")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("day").orderBy("hv")))
+      .filter(col("rn") <= k).select("day", "hv")
+    val merged = windowed(daySketch).select("day", "hv").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("day").orderBy("hv")))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("day")))
+      .filter(col("rn") === least(col("nd"), lit(k)))
+      .select(col("day"),
+        when(col("nd") < k, col("nd").cast("double"))
+          .otherwise(lit(63.0) * lit(281474976710656L) /
+            col("hv").cast("double")).as("kmv_wau"))
+    val exact = windowed(ud)
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("exact_wau"))
+    exact.join(merged, Seq("day"))
+      .withColumn("abs_err_ppm",
+        floor(abs(col("kmv_wau") - col("exact_wau")) * 1000000
+          / col("exact_wau")).cast("long"))
+      .orderBy("day")
+  }
+
+  val rollingKmvWauSql: String =
+    """WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |sk AS (SELECT day, hv FROM (
+      |  SELECT day, hv, ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn
+      |  FROM (SELECT DISTINCT day,
+      |      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+      |        AS BIGINT) AS hv FROM ud)) WHERE rn <= 64),
+      |wsk AS (SELECT DISTINCT CAST(t.w AS DATE) AS day, hv
+      |  FROM sk, unnest(generate_series(CAST(day AS TIMESTAMP),
+      |    CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) t(w)
+      |  WHERE CAST(t.w AS DATE) IN (SELECT day FROM days)),
+      |est AS (SELECT day,
+      |    CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+      |         ELSE 63.0 * 281474976710656 / CAST(hv AS DOUBLE) END AS kmv_wau
+      |  FROM (SELECT day, hv, ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv)
+      |          AS rn, COUNT(*) OVER (PARTITION BY day) AS nd FROM wsk)
+      |  WHERE rn = LEAST(nd, 64)),
+      |w AS (SELECT CAST(t.w AS DATE) AS day, user_id
+      |  FROM ud, unnest(generate_series(CAST(day AS TIMESTAMP),
+      |    CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) t(w)),
+      |exact AS (SELECT w.day, COUNT(DISTINCT user_id) AS exact_wau
+      |  FROM w JOIN days ON days.day = w.day GROUP BY 1)
+      |SELECT day, exact_wau, kmv_wau,
+      |  CAST(FLOOR(ABS(kmv_wau - exact_wau) * 1000000 / exact_wau) AS BIGINT)
+      |    AS abs_err_ppm
+      |FROM exact JOIN est USING (day) ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q192
+  /** Theil–Sen robust trend of daily order revenue: the LOWER MEDIAN
+    * of all pairwise day-to-day slopes — insensitive to ~29% outlier
+    * days where a least-squares fit chases every spike. The pair join
+    * runs over the DAY-GRAIN aggregate, so the quadratic blowup is
+    * bounded by the calendar axis (3650 days → 6.7M pairs) REGARDLESS
+    * of fact-table size — the broadcast pair-join never touches fact
+    * rows. Each slope is ONE IEEE division of exact integers (cents
+    * diff / day diff), so both engines produce bit-identical doubles
+    * and the rank-selected median crosses engines exactly. */
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg((sum(dec(col("o_totalprice"), 12, 2)) * 100).cast("long")
+        .as("cents"))
+    val pairs = broadcast(daily.as("a"))
+      .join(daily.as("b"), col("a.d") < col("b.d"))
+      .select(((col("b.cents") - col("a.cents")).cast("double")
+        / datediff(col("b.d"), col("a.d")).cast("double")).as("slope"))
+    val meta = daily.agg(count(lit(1)).as("n_days"))
+    pairs
+      .withColumn("rn", row_number().over(Window.orderBy("slope")))
+      .withColumn("np", count(lit(1)).over())
+      .filter(col("rn") === floor((col("np") + 1) / 2))
+      .select(col("slope").as("median_slope_cents_per_day"),
+        col("np").as("n_pairs"))
+      .crossJoin(meta)
+  }
+
+  val theilSenTrendSql: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |pairs AS (SELECT CAST(b.cents - a.cents AS DOUBLE)
+      |    / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON a.d < b.d),
+      |ranked AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+      |    COUNT(*) OVER () AS np FROM pairs)
+      |SELECT slope AS median_slope_cents_per_day,
+      |  CAST(np AS BIGINT) AS n_pairs,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days
+      |FROM ranked WHERE rn = CAST(FLOOR((np + 1) / 2) AS BIGINT)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_forward_fill" -> (forwardFillRevenue _),
+    "q190_rendezvous_routing" -> (rendezvousRouting _),
+    "q191_rolling_kmv_wau" -> (rollingKmvWau _),
+    "q192_theil_sen_trend" -> (theilSenTrend _),
     "q169_join_key_skew" -> (joinKeySkew _),
     "q167_mixture_drift" -> (mixtureDrift _),
     "q150_supplier_triangles" -> ((s: SparkSession, dir: String) =>
@@ -797,6 +1028,10 @@ object MiningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q189_forward_fill" -> forwardFillRevenueSql,
+    "q190_rendezvous_routing" -> rendezvousRoutingSql,
+    "q191_rolling_kmv_wau" -> rollingKmvWauSql,
+    "q192_theil_sen_trend" -> theilSenTrendSql,
     "q169_join_key_skew" -> joinKeySkewSql,
     "q167_mixture_drift" -> mixtureDriftSql,
     "q150_supplier_triangles" -> supplierTrianglesSql,
