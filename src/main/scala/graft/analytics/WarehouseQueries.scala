@@ -540,6 +540,46 @@ object WarehouseQueries {
     df
   }
 
+  // ---------------------------------------------------------------- q193
+  /** The catalog surface under the oracle gate: a corpus is CTAS'd
+    * into a `graft.sources.dsv2.GraftCatalog` table (hive-partitioned
+    * by lang through the clustered v2 write), one partition is dropped
+    * with a metadata-only `DELETE FROM ... WHERE lang = 'zh'`, and the
+    * survivors are aggregated by pure SQL against the CATALOG name —
+    * DuckDB recomputes from the original parquet with the delete
+    * predicate applied. A green row certifies the whole DDL/DML
+    * lifecycle (CREATE NAMESPACE/CTAS/DELETE/SELECT) produced exactly
+    * the right rows, not just that the pieces individually work. */
+  private val catalogRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def catalogSqlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val child = catalogRoots.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.wh", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.wh.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q193").toString)
+      c.sql("CREATE NAMESPACE wh.corpus")
+      c.sql(
+        s"""CREATE TABLE wh.corpus.docs PARTITIONED BY (lang) AS
+           |SELECT doc_id, lang, source, n_chars
+           |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+      c.sql("DELETE FROM wh.corpus.docs WHERE lang = 'zh'")
+      c
+    })
+    child.sql(
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM wh.corpus.docs
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+  }
+
+  val catalogSqlRoundtripSql: String =
+    """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang IS NULL OR lang <> 'zh'
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   /** Oracle recomputes the joined answer straight from the parquet —
     * the exact-average threshold is reproducible because the sums stay
     * far inside double's integer range. */
@@ -637,6 +677,7 @@ object WarehouseQueries {
     "q116_profile_orders_approx" -> (profileOrdersApprox _),
     "q114_dsv2_jsonl_scan" -> (dsv2JsonlScan _),
     "q188_spj_doc_join" -> (spjDocJoin _),
+    "q193_catalog_sql_roundtrip" -> (catalogSqlRoundtrip _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -656,6 +697,7 @@ object WarehouseQueries {
     "q107_constraint_audit" -> constraintAuditSql,
     "q114_dsv2_jsonl_scan" -> dsv2JsonlScanSql,
     "q188_spj_doc_join" -> spjDocJoinSql,
+    "q193_catalog_sql_roundtrip" -> catalogSqlRoundtripSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -1,0 +1,202 @@
+package graft.sources.dsv2
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 `TableCatalog` over a directory tree of `graft-jsonl`
+  * tables — the named-table face of the connector, so the full SQL
+  * surface works against the warehouse:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.dsv2.GraftCatalog
+  *   spark.sql.catalog.graft.root = /warehouse
+  *
+  *   CREATE TABLE graft.corpus.docs (doc_id BIGINT, lang STRING, ...)
+  *     PARTITIONED BY (lang)
+  *   INSERT INTO graft.corpus.docs SELECT ...
+  *   SELECT ... FROM graft.corpus.docs
+  *   DELETE FROM graft.corpus.docs WHERE lang = 'en'   -- dir drop
+  *   DROP TABLE graft.corpus.docs
+  * }}}
+  *
+  * Layout: `root/<namespace dirs>/<table>/` holding hive-partitioned
+  * JSONL shards plus a `_graft_table.json` metadata file (schema JSON +
+  * partition columns), written atomically (temp + rename) so a reader
+  * never sees a torn definition. Namespaces are directories; a
+  * directory is a table iff the metadata file exists, so tables and
+  * sub-namespaces can't be confused. The design mirrors the
+  * reference's dataset/table hierarchy (BigQuery datasets —
+  * reference: dags/utils/common/data_helper.py:48-106) re-expressed as
+  * a filesystem catalog over the connector.
+  *
+  * Scale note: metadata operations are O(listing) on the namespace
+  * dir; data operations inherit the connector's pruning/pushdown/SPJ
+  * surface — the catalog adds naming, not a new execution path.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+  private var conf: JsonlHadoopConf = _
+
+  private def fs = root.getFileSystem(conf.value)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null,
+      s"catalog $name requires spark.sql.catalog.$name.root=<dir>")
+    root = new Path(r)
+    conf = JsonlHadoopConf.fromSession()
+  }
+
+  override def name(): String = catalogName
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(root)(new Path(_, _))
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), ident.name)
+  private def metaFile(dir: Path): Path = new Path(dir, MetaName)
+
+  private val MetaName = "_graft_table.json"
+
+  // --------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(d).filter(_.isDirectory)
+      .filter(st => fs.exists(metaFile(st.getPath)))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(metaFile(tableDir(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    val mf = metaFile(dir)
+    if (!fs.exists(mf)) throw new NoSuchTableException(ident)
+    val (schema, partCols) = readMeta(mf)
+    new JsonlTable(schema, dir.toString, partCols)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references()(0).fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports identity partitioning only, got $other")
+    }.toSeq
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
+    val dir = tableDir(ident)
+    fs.mkdirs(dir)
+    writeMeta(metaFile(dir), schema, partCols)
+    new JsonlTable(schema, dir.toString, partCols)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog tables are schema-fixed (coerce-on-write engine posture)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!fs.exists(metaFile(dir))) false
+    else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val destNs = nsDir(newIdent.namespace)
+    if (!fs.exists(destNs)) throw new NoSuchNamespaceException(newIdent.namespace)
+    if (!fs.rename(tableDir(oldIdent), tableDir(newIdent)))
+      throw new java.io.IOException(s"rename $oldIdent -> $newIdent failed")
+  }
+
+  // ----------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .filterNot(st => fs.exists(metaFile(st.getPath)))
+      .map(st => Array(st.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = nsDir(namespace)
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(d).filter(_.isDirectory)
+      .filterNot(st => fs.exists(metaFile(st.getPath)))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsDir(namespace)) && !fs.exists(metaFile(nsDir(namespace))))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsDir(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    fs.mkdirs(nsDir(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!fs.exists(d)) false
+    else if (!cascade && fs.listStatus(d).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
+    else fs.delete(d, true)
+  }
+
+  // ------------------------------------------------------- metadata
+
+  private def writeMeta(mf: Path, schema: StructType, partCols: Seq[String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("schema", schema.json)
+    val arr = node.putArray("partitionCols")
+    partCols.foreach(arr.add)
+    val tmp = new Path(mf.getParent, s".${mf.getName}.tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, mf)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"metadata publish failed for $mf")
+    }
+  }
+
+  private def readMeta(mf: Path): (StructType, Seq[String]) = {
+    val in = fs.open(mf)
+    val bytes = try in.readAllBytes() finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+      node.get("schema").asText).asInstanceOf[StructType]
+    val partCols = node.get("partitionCols").elements().asScala
+      .map(_.asText).toSeq
+    (schema, partCols)
+  }
+}

@@ -53,15 +53,24 @@ class JsonlDataSource extends TableProvider with DataSourceRegister {
     new JsonlTable(schema, properties.get("path"))
 }
 
-final class JsonlTable(tableSchema: StructType, path: String)
+class JsonlTable(tableSchema: StructType, path: String,
+                 partCols: Seq[String] = Nil)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft-jsonl requires a path (use .load/.save(path))")
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = tableSchema
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(tableSchema, path,
       options.getLong("maxFileAgeMs", JsonlMicroBatchStream.DefaultMaxFileAgeMs),
@@ -70,7 +79,59 @@ final class JsonlTable(tableSchema: StructType, path: String)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new JsonlWriteBuilder(info.schema(), path, info.queryId())
+    new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols)
+
+  // ------------------------------------------------------ DELETE WHERE
+  //
+  // Metadata-only deletes: a predicate that touches ONLY partition
+  // columns selects whole partition directories, so DELETE FROM is a
+  // directory drop — no rewrite, no read, the O(partitions) path a
+  // 100 TB table needs. Anything finer-grained is refused
+  // (canDeleteWhere false) and Spark surfaces the unsupported-delete
+  // error instead of silently rewriting data; row-level removal goes
+  // through [[graft.operators.MergeUpsert.deleteFromPartitionedPath]].
+  //
+  // `admits` is exact here (each dir pins the column to one value), so
+  // a dir matches the delete predicate iff EVERY row in it does.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => f.references.nonEmpty &&
+      f.references.forall(partCols.contains) &&
+      JsonlPartitionPruning.decidable(f))
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(JsonlHadoopConf.fromSession().value)
+    val layout = JsonlLayout.discover(fs, p)
+    // every shard must pin every referenced column, or the delete
+    // cannot be whole-partition (a root-level appended shard may hold
+    // ANY key value in its rows) — refuse loudly rather than delete
+    // a subset of the matching rows
+    val refs = filters.flatMap(_.references).distinct
+    val uncovered = layout.filterNot { case (_, pv) => refs.forall(pv.contains) }
+    if (uncovered.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-jsonl DELETE: ${uncovered.size} shard(s) outside the " +
+          s"partition layout for ${refs.mkString(",")} (e.g. ${uncovered.head._1})")
+    layout
+      .filter { case (_, pv) =>
+        filters.forall(f =>
+          pv.forall { case (k, v) =>
+            JsonlPartitionPruning.admits(f, k, v, tableSchema) })
+      }
+      .foreach { case (shard, _) => fs.delete(shard, false) }
+    // drop now-empty partition dirs so the value disappears from the
+    // layout (and from SPJ partition listings)
+    def prune(dir: Path): Boolean = { // returns "dir is now empty"
+      if (!fs.getFileStatus(dir).isDirectory) return false
+      val entries = fs.listStatus(dir)
+      val remaining = entries.filterNot { st =>
+        st.isDirectory && st.getPath.getName.contains("=") && prune(st.getPath)
+      }
+      if (remaining.isEmpty && dir != p) { fs.delete(dir, false); true }
+      else false
+    }
+    prune(p)
+  }
 }
 
 final class JsonlScanBuilder(dataSchema: StructType, path: String,
@@ -687,6 +748,17 @@ final case class JsonlInputPartition(
   * Conservative — filters on other columns (or shapes we can't
   * decide) admit the partition. */
 object JsonlPartitionPruning {
+  /** Leaf shapes [[admits]] evaluates EXACTLY against a pinned
+    * partition value. Composite filters (And/Or/Not/StringContains…)
+    * fall through admits conservatively — fine for pruning, fatal for
+    * DELETE, so delete-eligibility checks membership here. */
+  def decidable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: In | _: IsNull | _: IsNotNull |
+         _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual => true
+    case _ => false
+  }
+
   private def typed(value: String, dt: DataType): Any = dt match {
     case LongType => value.toLong
     case IntegerType => value.toInt
@@ -711,6 +783,11 @@ object JsonlPartitionPruning {
     (f, value) match {
       case (IsNull(a), v) if a == col => v.isEmpty
       case (IsNotNull(a), v) if a == col => v.isDefined
+      // null-safe equality decides BOTH populations exactly: the null
+      // partition matches iff the literal is null, a value by compare
+      case (EqualNullSafe(a, v), None) if a == col => v == null
+      case (EqualNullSafe(a, v), Some(pv)) if a == col =>
+        v != null && cmp(pv, dt, v).forall(_ == 0)
       case (_, None) => f match {
         // a null partition value fails every comparison filter on col
         case EqualTo(a, _) if a == col => false
@@ -758,25 +835,163 @@ object JsonlPartitionPruning {
   * That is the same contract as Spark's built-in file committers;
   * callers needing snapshot-atomic publish layer
   * [[graft.warehouse.VersionedTable]] on top, exactly as with parquet. */
-final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String)
+final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
+                              partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var doTruncate = false
+  private var doDynamic = false
+  private var overwriteFilters: Array[Filter] = null
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
     doTruncate = true; this
   }
-  override def build(): org.apache.spark.sql.connector.write.Write =
-    new org.apache.spark.sql.connector.write.Write {
-      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        new JsonlBatchWrite(schema, path, queryId, doTruncate)
+  /** Static overwrite (`INSERT OVERWRITE ... PARTITION (k='v')`, or
+    * overwrite-by-expression): AlwaysTrue truncates; a decidable
+    * partition predicate replaces exactly the selected directories at
+    * commit. Row-level overwrite expressions are refused loudly. */
+  override def overwrite(filters: Array[Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (filters.forall(_ == AlwaysTrue)) doTruncate = true
+    else {
+      require(filters.forall(f => f.references.nonEmpty &&
+        f.references.forall(partCols.contains) &&
+        JsonlPartitionPruning.decidable(f)),
+        s"graft-jsonl overwrite supports partition predicates only, " +
+          s"got ${filters.mkString(", ")}")
+      overwriteFilters = filters
     }
+    this
+  }
+  /** INSERT OVERWRITE on a partitioned table under dynamic
+    * partition-overwrite mode: only the partition values PRESENT in
+    * the incoming data are replaced — the v2 form of the engine's S8
+    * partition-replace sink (reference: the load_type="replace"
+    * partition swap). */
+  override def overwriteDynamicPartitions()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    doDynamic = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    if (partCols.isEmpty)
+      new org.apache.spark.sql.connector.write.Write {
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          // dynamic overwrite of an UNPARTITIONED table replaces its
+          // single implicit partition — the whole table
+          new JsonlBatchWrite(schema, path, queryId, doTruncate || doDynamic,
+            Nil)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new JsonlStreamingWrite(schema, path, queryId, Nil)
+      }
+    else
+      // hive-layout write: ask Spark to CLUSTER rows by the partition
+      // columns and SORT them within each task, so each writer holds
+      // exactly ONE open file at a time and closes it on key change —
+      // bounded memory however many partition values a task sees (the
+      // Iceberg/Delta write shape; without it a task interleaving k
+      // values needs k open encoders)
+      new org.apache.spark.sql.connector.write.Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            partCols.map(c => Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          partCols.map(c =>
+            Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+            .toArray
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new JsonlBatchWrite(schema, path, queryId, doTruncate, partCols,
+            doDynamic, overwriteFilters)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new JsonlStreamingWrite(schema, path, queryId, partCols)
+      }
 }
 
-final case class JsonlCommitMessage(stagedFile: String)
+/** Streaming sink face of the connector: `writeStream.format
+  * ("graft-jsonl")` (or `.toTable` on a catalog table). Each epoch
+  * stages its shards under `_staging/<query>-e<epoch>/` and commits by
+  * rename — the SAME staged-publish discipline as the batch write, per
+  * micro-batch. Exactly-once lands on idempotent re-commit: shard
+  * names are (queryId, epoch, partition, task)-unique, so a retried
+  * epoch whose shard already reached the destination is recognized and
+  * skipped instead of double-published. Append-only (the streaming
+  * modes that imply truncation are for aggregate sinks, not a corpus
+  * drop dir); partitioned tables route rows into `k=v/` dirs exactly
+  * like the batch path. The published shards' mtimes make the output
+  * dir immediately consumable by [[JsonlMicroBatchStream]] — stream →
+  * table → stream composes. */
+final class JsonlStreamingWrite(schema: StructType, path: String,
+                                queryId: String, partCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val conf = JsonlHadoopConf.fromSession()
+  private def fs = new Path(path).getFileSystem(conf.value)
+  private def epochQueryId(epochId: Long) = s"$queryId-e$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory =
+    new JsonlStreamingWriterFactory(schema, path, queryId, partCols, conf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    val dest = new Path(path)
+    f.mkdirs(dest)
+    messages.flatMap { case JsonlCommitMessage(s) => s }.foreach {
+      case (stagedFile, relDir) =>
+        val s = new Path(stagedFile)
+        val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
+        f.mkdirs(destDir)
+        val target = new Path(destDir, s.getName)
+        if (f.exists(target)) f.delete(s, false) // epoch retry: already published
+        else if (!f.rename(s, target))
+          throw new java.io.IOException(s"epoch $epochId commit failed for $s")
+    }
+    cleanupEpoch(f, epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanupEpoch(fs, epochId)
+
+  private def cleanupEpoch(f: org.apache.hadoop.fs.FileSystem, epochId: Long): Unit = {
+    f.delete(new Path(path, s"_staging/${epochQueryId(epochId)}"), true)
+    val parent = new Path(path, "_staging")
+    if (f.exists(parent) && f.listStatus(parent).isEmpty)
+      f.delete(parent, false)
+  }
+}
+
+/** Executor-side factory for the streaming sink — a standalone
+  * Serializable class (the StreamingWrite itself stays driver-only). */
+final class JsonlStreamingWriterFactory(schema: StructType, path: String,
+                                        queryId: String, partCols: Seq[String],
+                                        conf: JsonlHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    if (partCols.isEmpty)
+      new JsonlDataWriter(schema, path, s"$queryId-e$epochId",
+        partitionId, taskId, conf)
+    else
+      new JsonlPartitionedDataWriter(schema, path, s"$queryId-e$epochId",
+        partitionId, taskId, conf, partCols)
+}
+
+/** Staged shard(s) of one task: (staged path, partition-relative dir —
+  * "" for a flat table). */
+final case class JsonlCommitMessage(staged: Seq[(String, String)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
-                            truncate: Boolean)
+                            truncate: Boolean, partCols: Seq[String],
+                            dynamicOverwrite: Boolean = false,
+                            overwriteFilters: Array[Filter] = null)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -785,7 +1000,7 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(schema, path, queryId, conf)
+    new JsonlWriterFactory(schema, path, queryId, conf, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
@@ -798,24 +1013,162 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }.foreach(st => f.delete(st.getPath, true))
-    messages.foreach { case JsonlCommitMessage(staged) =>
-      val s = new Path(staged)
-      if (!f.rename(s, new Path(dest, s.getName)))
+    val staged = messages.flatMap { case JsonlCommitMessage(s) => s }
+    if (overwriteFilters != null)
+      // static partition overwrite: drop every shard the predicate
+      // selects (decidability pre-checked by the builder), then land
+      // the staged shards — whether or not the new data touches them
+      JsonlLayout.discover(f, dest)
+        .filter { case (_, pv) =>
+          overwriteFilters.flatMap(_.references).forall(pv.contains) &&
+            overwriteFilters.forall(fl =>
+              pv.forall { case (k, v) =>
+                JsonlPartitionPruning.admits(fl, k, v, schema) })
+        }
+        .foreach { case (shard, _) => f.delete(shard, false) }
+    if (dynamicOverwrite)
+      // replace exactly the partition values the write produced: old
+      // shards of a touched dir go, untouched dirs stay byte-identical
+      staged.map(_._2).distinct.filter(_.nonEmpty).foreach { relDir =>
+        val d = new Path(dest, relDir)
+        if (f.exists(d))
+          f.listStatus(d).filter(st => st.isFile &&
+            JsonlLayout.isShard(st.getPath.getName))
+            .foreach(st => f.delete(st.getPath, false))
+      }
+    staged.foreach { case (stagedFile, relDir) =>
+      val s = new Path(stagedFile)
+      val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
+      f.mkdirs(destDir)
+      if (!f.rename(s, new Path(destDir, s.getName)))
         throw new java.io.IOException(s"commit rename failed for $s")
     }
-    f.delete(stagingDir, true)
+    cleanupStaging(f)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    fs.delete(stagingDir, true)
+    cleanupStaging(fs)
+
+  private def cleanupStaging(f: org.apache.hadoop.fs.FileSystem): Unit = {
+    f.delete(stagingDir, true)
+    // drop the _staging parent too once no concurrent write holds it
+    val parent = stagingDir.getParent
+    if (f.exists(parent) && f.listStatus(parent).isEmpty)
+      f.delete(parent, false)
+  }
 }
 
 final class JsonlWriterFactory(schema: StructType, path: String,
-                               queryId: String, conf: JsonlHadoopConf)
+                               queryId: String, conf: JsonlHadoopConf,
+                               partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new JsonlDataWriter(schema, path, queryId, partitionId, taskId, conf)
+    if (partCols.isEmpty)
+      new JsonlDataWriter(schema, path, queryId, partitionId, taskId, conf)
+    else
+      new JsonlPartitionedDataWriter(schema, path, queryId, partitionId,
+        taskId, conf, partCols)
+}
+
+/** Routes clustered+sorted rows into `k=v/` hive dirs: one staged file
+  * open at a time, closed when the partition-value tuple changes
+  * (ordering is guaranteed by [[JsonlWriteBuilder]]'s
+  * RequiresDistributionAndOrdering). Partition values are encoded in
+  * the DIRECTORY only — the JSON lines omit those fields, exactly the
+  * layout [[JsonlLayout.discover]] reads back with value injection. */
+final class JsonlPartitionedDataWriter(schema: StructType, path: String,
+                                       queryId: String, partitionId: Int,
+                                       taskId: Long, conf: JsonlHadoopConf,
+                                       partCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val partIdx: Seq[Int] = partCols.map(schema.fieldIndex)
+  private val dataIdx: Seq[Int] =
+    schema.fields.indices.filterNot(partIdx.contains)
+  private val mapper = new ObjectMapper()
+  private var currentKey: Seq[Option[String]] = null
+  private var out: java.io.BufferedWriter = _
+  private var staged: List[(String, String)] = Nil
+  private var fileSeq = 0
+
+  /** Spark-compatible dir-name escape: everything outside the safe
+    * set becomes %XX over UTF-8 bytes — the exact inverse of
+    * [[JsonlLayout.unescapePathName]]. */
+  private def escape(v: String): String = {
+    val sb = new java.lang.StringBuilder
+    v.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '_' || c == '-' || c == '.')
+        sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  private def keyOf(row: InternalRow): Seq[Option[String]] =
+    partIdx.map { i =>
+      if (row.isNullAt(i)) None
+      else Some(schema.fields(i).dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case StringType => row.getUTF8String(i).toString
+        case dt => throw new UnsupportedOperationException(
+          s"graft-jsonl: unsupported partition type $dt")
+      })
+    }
+
+  private def roll(key: Seq[Option[String]]): Unit = {
+    if (out != null) out.close()
+    currentKey = key
+    val relDir = partCols.zip(key).map { case (c, v) =>
+      s"$c=${v.map(escape).getOrElse(JsonlLayout.NullPartition)}"
+    }.mkString("/")
+    val p = new Path(path,
+      f"_staging/$queryId/$relDir/part-$partitionId%05d-$taskId-$fileSeq-$queryId.jsonl.gz")
+    fileSeq += 1
+    staged ::= (p.toString, relDir)
+    val f = p.getFileSystem(conf.value)
+    out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.util.zip.GZIPOutputStream(f.create(p, true)),
+      StandardCharsets.UTF_8))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val key = keyOf(row)
+    if (currentKey == null || key != currentKey) roll(key)
+    val node = mapper.createObjectNode()
+    dataIdx.foreach { i =>
+      val f = schema.fields(i)
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType => node.put(f.name, row.getLong(i))
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case dt => throw new UnsupportedOperationException(
+          s"graft-jsonl write: unsupported type $dt for field ${f.name}")
+      }
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.write("\n")
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    JsonlCommitMessage(staged.reverse)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    val f = new Path(path).getFileSystem(conf.value)
+    staged.foreach { case (s, _) => f.delete(new Path(s), false) }
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Streams rows as gzip JSON lines into the attempt-unique staged
@@ -864,7 +1217,7 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
-    JsonlCommitMessage(staged.toString)
+    JsonlCommitMessage(Seq((staged.toString, "")))
   }
 
   override def abort(): Unit = {

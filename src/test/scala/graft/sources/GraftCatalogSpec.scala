@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The named-table face of the connector: a DSv2 TableCatalog over a
+  * directory tree, driving the FULL SQL surface — DDL, partitioned
+  * INSERT (clustered+sorted v2 write), SELECT with pruning, metadata
+  * DELETE, rename/drop. */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.wh", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.wh.root",
+      java.nio.file.Files.createTempDirectory("graft-catalog").toString)
+    s
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("CREATE / INSERT / SELECT round-trip on a partitioned table") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.corpus")
+    sql("""CREATE TABLE wh.corpus.docs
+          |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+          |  PARTITIONED BY (lang)""".stripMargin)
+    sql("""INSERT INTO wh.corpus.docs VALUES
+          |  (1, 'en', 10), (2, 'en', 20), (3, 'de', 5),
+          |  (4, 'fr', 7), (5, NULL, 9)""".stripMargin)
+    assert(sql("SELECT COUNT(*) FROM wh.corpus.docs").head.getLong(0) == 5L)
+    // hive layout on disk: one dir per lang, partition col not in JSON
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val dirs = new java.io.File(s"$root/corpus/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq ==
+      Seq("lang=__HIVE_DEFAULT_PARTITION__", "lang=de", "lang=en", "lang=fr"))
+    // values injected back from dirs (incl. the null partition)
+    val back = sql(
+      "SELECT doc_id, lang FROM wh.corpus.docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(back.toSeq == Seq((1L, "en"), (2L, "en"), (3L, "de"),
+      (4L, "fr"), (5L, null)))
+    // partition pruning reaches the scan
+    val plan = sql("SELECT n_chars FROM wh.corpus.docs WHERE lang = 'en'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+  }
+
+  test("INSERT appends; INSERT OVERWRITE replaces touched partitions only") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.tmp")
+    sql("CREATE TABLE wh.tmp.t (k BIGINT, v STRING) PARTITIONED BY (v)")
+    sql("INSERT INTO wh.tmp.t VALUES (1, 'a')")
+    sql("INSERT INTO wh.tmp.t VALUES (2, 'a'), (3, 'b')")
+    assert(sql("SELECT COUNT(*) FROM wh.tmp.t").head.getLong(0) == 3L)
+    // session partitionOverwriteMode=dynamic: only partition 'a' is
+    // replaced, 'b' stays byte-identical — the S8 partition-swap sink
+    // through pure SQL
+    sql("INSERT OVERWRITE wh.tmp.t VALUES (9, 'a')")
+    assert(sql("SELECT k, v FROM wh.tmp.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((3L, "b"), (9L, "a")))
+    sql("DROP TABLE wh.tmp.t")
+  }
+
+  test("static INSERT OVERWRITE PARTITION replaces the named partition") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.tmp")
+    sql("CREATE TABLE wh.tmp.st (k BIGINT, v STRING) PARTITIONED BY (v)")
+    sql("INSERT INTO wh.tmp.st VALUES (1, 'a'), (2, 'b')")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try sql("INSERT OVERWRITE wh.tmp.st PARTITION (v = 'a') VALUES (7)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert(sql("SELECT k, v FROM wh.tmp.st ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b"), (7L, "a")))
+    sql("DROP TABLE wh.tmp.st")
+  }
+
+  test("unpartitioned INSERT OVERWRITE truncates") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.tmp")
+    sql("CREATE TABLE wh.tmp.flat (k BIGINT)")
+    sql("INSERT INTO wh.tmp.flat VALUES (1), (2)")
+    sql("INSERT OVERWRITE wh.tmp.flat VALUES (7)")
+    assert(sql("SELECT k FROM wh.tmp.flat").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+    sql("DROP TABLE wh.tmp.flat")
+  }
+
+  test("DELETE on a partition predicate drops directories; finer predicates refuse") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.del")
+    sql("CREATE TABLE wh.del.t (k BIGINT, lang STRING) PARTITIONED BY (lang)")
+    sql("INSERT INTO wh.del.t VALUES (1,'en'), (2,'en'), (3,'de'), (4,'fr')")
+    sql("DELETE FROM wh.del.t WHERE lang = 'en'")
+    assert(sql("SELECT lang FROM wh.del.t ORDER BY lang").collect()
+      .map(_.getString(0)).toSeq == Seq("de", "fr"))
+    // the partition value vanished from the layout entirely
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    assert(!new java.io.File(s"$root/del/t/lang=en").exists())
+    // a row-level predicate must refuse, not rewrite
+    val e = intercept[Exception](sql("DELETE FROM wh.del.t WHERE k = 3"))
+    assert(e.getMessage.toLowerCase.contains("delete"))
+    // IN predicates are decidable per-dir
+    sql("DELETE FROM wh.del.t WHERE lang IN ('de', 'fr')")
+    assert(sql("SELECT COUNT(*) FROM wh.del.t").head.getLong(0) == 0L)
+    sql("DROP TABLE wh.del.t")
+  }
+
+  test("SHOW TABLES / rename / drop / metadata durability") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.meta")
+    sql("CREATE TABLE wh.meta.a (x BIGINT)")
+    sql("CREATE TABLE wh.meta.b (y STRING)")
+    val tables = sql("SHOW TABLES IN wh.meta").collect()
+      .map(_.getString(1)).sorted
+    assert(tables.toSeq == Seq("a", "b"))
+    sql("ALTER TABLE wh.meta.a RENAME TO meta.c")
+    assert(sql("SHOW TABLES IN wh.meta").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("b", "c"))
+    // schema survives a fresh catalog instance (metadata is on disk)
+    spark.catalog.clearCache()
+    assert(sql("SELECT * FROM wh.meta.c").schema.fieldNames.toSeq == Seq("x"))
+    sql("DROP TABLE wh.meta.b")
+    sql("DROP TABLE wh.meta.c")
+    assert(sql("SHOW TABLES IN wh.meta").isEmpty)
+  }
+
+  test("CTAS materializes a query into a partitioned catalog table") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.ctas")
+    sql("""CREATE TABLE wh.ctas.by_lang PARTITIONED BY (lang) AS
+          |  SELECT * FROM VALUES (1, 'en'), (2, 'de') AS t(id, lang)""".stripMargin)
+    assert(sql("SELECT id, lang FROM wh.ctas.by_lang ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "en"), (2, "de")))
+    sql("DROP TABLE wh.ctas.by_lang")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Streaming sink face of the connector: per-epoch staged commits,
+  * restart without duplicates, partitioned routing, and stream →
+  * table → stream composition. */
+class JsonlStreamingWriteSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("epochs append staged shards; restart resumes without duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("jsonl-swrite")
+    val ckpt = tmp("jsonl-swrite-ck")
+    val input = MemoryStream[(Long, String)]
+    def start() = input.toDF().toDF("id", "v").writeStream
+      .format("graft-jsonl").option("path", dir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    input.addData((1L, "a"), (2L, "b"))
+    q1.processAllAvailable()
+    input.addData((3L, "c"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val schema = "id long, v string"
+    def readBack() = spark.read.format("graft-jsonl").schema(schema).load(dir)
+    assert(readBack().count() == 3L)
+
+    // restart from the checkpoint: prior epochs must not re-publish
+    val q2 = start()
+    input.addData((4L, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = readBack().collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // staging fully cleaned up
+    assert(!new java.io.File(s"$dir/_staging").exists())
+  }
+
+  test("re-committing an epoch is idempotent (retry safety)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmp("jsonl-retry")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id long, v string")
+    val w = new graft.sources.dsv2.JsonlStreamingWrite(schema, dir, "q-retry", Nil)
+    def writeEpoch(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val dw = new graft.sources.dsv2.JsonlDataWriter(schema, dir, "q-retry-e7",
+        0, 42L, graft.sources.dsv2.JsonlHadoopConf.fromSession())
+      dw.write(InternalRow(5L, UTF8String.fromString("x")))
+      dw.commit()
+    }
+    val m1 = writeEpoch()
+    w.commit(7L, Array(m1))
+    // the same epoch re-executes after a driver failure: same names
+    val m2 = writeEpoch()
+    w.commit(7L, Array(m2))
+    val rows = spark.read.format("graft-jsonl")
+      .schema("id long, v string").load(dir).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 5L)
+  }
+
+  test("streaming into a partitioned catalog table routes to hive dirs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("jsonl-swrite-cat")
+    spark.conf.set("spark.sql.catalog.swh", "graft.sources.dsv2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.swh.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS swh.s")
+    spark.sql(
+      "CREATE TABLE swh.s.ev (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "lang").writeStream
+      .option("checkpointLocation", tmp("jsonl-swrite-cat-ck"))
+      .outputMode("append").toTable("swh.s.ev")
+    input.addData((1L, "en"), (2L, "de"), (3L, "en"))
+    q.processAllAvailable()
+    q.stop()
+    assert(new java.io.File(s"$root/s/ev/lang=en").isDirectory)
+    assert(new java.io.File(s"$root/s/ev/lang=de").isDirectory)
+    val back = spark.sql("SELECT id, lang FROM swh.s.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "en")))
+    spark.sql("DROP TABLE swh.s.ev")
+  }
+
+  test("stream -> table -> stream composes through the same format") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mid = tmp("jsonl-relay-mid")
+    val outTbl = tmp("jsonl-relay-out")
+    val input = MemoryStream[(Long, String)]
+    val producer = input.toDF().toDF("id", "v").writeStream
+      .format("graft-jsonl").option("path", mid)
+      .option("checkpointLocation", tmp("jsonl-relay-ck1"))
+      .outputMode("append").start()
+    input.addData((10L, "x"), (11L, "y"))
+    producer.processAllAvailable()
+    // relay: read the drop dir AS a stream, write to a second table
+    val relay = spark.readStream.format("graft-jsonl")
+      .schema("id long, v string").load(mid)
+      .withColumn("v", upper(col("v")))
+      .writeStream.format("graft-jsonl").option("path", outTbl)
+      .option("checkpointLocation", tmp("jsonl-relay-ck2"))
+      .outputMode("append").start()
+    relay.processAllAvailable()
+    input.addData((12L, "z"))
+    producer.processAllAvailable()
+    relay.processAllAvailable()
+    producer.stop(); relay.stop()
+    val got = spark.read.format("graft-jsonl").schema("id long, v string")
+      .load(outTbl).collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq((10L, "X"), (11L, "Y"), (12L, "Z")))
+  }
+}
