@@ -41,7 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * dir; data operations inherit the connector's pruning/pushdown/SPJ
   * surface — the catalog adds naming, not a new execution path.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -168,6 +169,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else if (!cascade && fs.listStatus(d).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
     else fs.delete(d, true)
+  }
+
+  // ------------------------------------------------------ procedures
+
+  private val procedureNames = Seq("table_stats", "compact", "expire_staging")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procedureNames.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")) &&
+      procedureNames.contains(ident.name),
+      s"unknown procedure $ident (have: system.{${procedureNames.mkString(",")}})")
+    GraftProcedures.unbound(ident.name, this)
+  }
+
+  /** `namespace.table` (relative to this catalog) → (fs, table dir);
+    * procedures resolve their `table` argument through this. */
+  private[dsv2] def resolveTableDir(qualified: String)
+      : (org.apache.hadoop.fs.FileSystem, Path) = {
+    val parts = qualified.split("\\.")
+    require(parts.length >= 2, s"expected namespace.table, got $qualified")
+    val ident = Identifier.of(parts.init, parts.last)
+    require(tableExists(ident), s"no such table $qualified in catalog $name")
+    (fs, tableDir(ident))
   }
 
   // ------------------------------------------------------- metadata

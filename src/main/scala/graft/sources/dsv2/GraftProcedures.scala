@@ -1,0 +1,207 @@
+package graft.sources.dsv2
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance procedures for [[GraftCatalog]] tables — the
+  * `CALL wh.system.<proc>(...)` surface (Spark 4 ProcedureCatalog):
+  *
+  *   - `table_stats(table)`: per-partition shard count + bytes, the
+  *     compaction decision input, straight from one listing;
+  *   - `compact(table, max_shards, target_mb)`: partition dirs holding
+  *     more than `max_shards` shards are rewritten into
+  *     ceil(bytes/target) gzip shards. JSONL compaction is LINE
+  *     concatenation — no parse, no schema, bit-faithful rows — run as
+  *     a distributed job (one task per dir), staged OUTSIDE the table
+  *     root and swapped with the same trash protocol as
+  *     [[graft.operators.Compaction]] (a crash mid-swap leaves the
+  *     trash holding the only copy; the next run refuses until
+  *     recovered — never silent data loss);
+  *   - `expire_staging(table, age_minutes)`: drops `_staging/` write
+  *     attempts older than the horizon (crashed writers leak them; a
+  *     LIVE writer younger than the horizon is untouchable).
+  *
+  * Results come back as rows (LocalScan), so `CALL` composes with the
+  * rest of SQL tooling. */
+object GraftProcedures {
+
+  private val statsSchema = StructType(Seq(
+    StructField("partition", StringType), StructField("n_shards", IntegerType),
+    StructField("bytes", LongType)))
+  private val compactSchema = StructType(Seq(
+    StructField("partition", StringType),
+    StructField("shards_before", IntegerType),
+    StructField("shards_after", IntegerType)))
+  private val expireSchema = StructType(Seq(
+    StructField("removed_attempts", IntegerType)))
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  private def result(schema: StructType, rows: Seq[InternalRow])
+      : java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = rows.toArray
+      override def readSchema(): StructType = schema
+      override def description(): String = "graft procedure result"
+    }).iterator()
+
+  /** Shards grouped by partition-relative dir ("" = table root). */
+  private def shardsByDir(fs: org.apache.hadoop.fs.FileSystem, table: Path)
+      : Map[String, Seq[(Path, Long)]] =
+    JsonlLayout.discoverFull(fs, table)
+      .map { case (p, _, len, _) =>
+        val rel = table.toUri.relativize(p.getParent.toUri).getPath
+          .stripSuffix("/")
+        (rel, p, len)
+      }
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(x => (x._2, x._3)) }
+
+  def unbound(name: String, catalog: GraftCatalog): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = name
+      override def description(): String = s"graft $name"
+      override def bind(inputType: StructType): BoundProcedure = name match {
+        case "table_stats" => tableStats(catalog)
+        case "compact" => compact(catalog)
+        case "expire_staging" => expireStaging(catalog)
+        case other => throw new IllegalArgumentException(
+          s"unknown graft procedure $other")
+      }
+    }
+
+  private abstract class Bound(procName: String, params: ProcedureParameter*)
+      extends BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft $procName"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+  }
+
+  private def tableParam =
+    ProcedureParameter.in("table", StringType)
+      .comment("namespace.table within this catalog").build()
+
+  private def tableStats(catalog: GraftCatalog): BoundProcedure =
+    new Bound("table_stats", tableParam) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (fs, dir) = catalog.resolveTableDir(input.getUTF8String(0).toString)
+        val rows = shardsByDir(fs, dir).toSeq.sortBy(_._1).map {
+          case (rel, shards) =>
+            new GenericInternalRow(Array[Any](utf8(rel), shards.size,
+              shards.map(_._2).sum)): InternalRow
+        }
+        result(statsSchema, rows)
+      }
+    }
+
+  private def compact(catalog: GraftCatalog): BoundProcedure =
+    new Bound("compact", tableParam,
+      ProcedureParameter.in("max_shards", IntegerType).defaultValue("8")
+        .comment("rewrite dirs holding more shards than this").build(),
+      ProcedureParameter.in("target_mb", IntegerType).defaultValue("64")
+        .comment("target compacted shard size").build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (fs, table) = catalog.resolveTableDir(input.getUTF8String(0).toString)
+        val maxShards = input.getInt(1)
+        val targetBytes = input.getInt(2).toLong << 20
+        val staging = new Path(table.toString + "__compact_staging")
+        val trash = new Path(table.toString + "__compact_trash")
+        require(!fs.exists(trash) && !fs.exists(staging),
+          s"$trash or $staging exists: a previous compaction crashed " +
+            "mid-swap; recover before compacting again")
+        val todo = shardsByDir(fs, table)
+          .filter { case (rel, shards) => rel.nonEmpty && shards.size > maxShards }
+          .toSeq.sortBy(_._1)
+        if (todo.isEmpty) return result(compactSchema, Nil)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val conf = JsonlHadoopConf.fromSession()
+        val tableStr = table.toString
+        val stagingStr = staging.toString
+        // one task per oversized dir: line-level concatenation of its
+        // shards into ceil(bytes/target) gzip files — no parse, rows
+        // bit-identical, memory O(1) per task
+        val plan = todo.map { case (rel, shards) =>
+          (rel, shards.map { case (p, len) => (p.toString, len) }) }
+        val after = spark.sparkContext
+          .parallelize(plan, math.max(1, plan.size))
+          .map { case (rel, shards) =>
+            val f = new Path(tableStr).getFileSystem(conf.value)
+            val totalBytes = shards.map(_._2).sum
+            val nOut = math.max(1, math.ceil(
+              totalBytes.toDouble / targetBytes).toInt)
+            val groups = shards.grouped(
+              math.max(1, math.ceil(shards.size.toDouble / nOut).toInt)).toSeq
+            groups.zipWithIndex.foreach { case (group, i) =>
+              val outPath = new Path(s"$stagingStr/$rel",
+                f"compact-$i%05d-${java.util.UUID.randomUUID}.jsonl.gz")
+              val out = new java.util.zip.GZIPOutputStream(f.create(outPath, true))
+              group.foreach { case (shard, _) =>
+                val p = new Path(shard)
+                val in = f.open(p)
+                val stream =
+                  if (shard.endsWith(".gz")) new java.util.zip.GZIPInputStream(in)
+                  else in
+                val reader = new java.io.BufferedReader(
+                  new java.io.InputStreamReader(stream, StandardCharsets.UTF_8))
+                var line = reader.readLine()
+                while (line != null) {
+                  out.write(line.getBytes(StandardCharsets.UTF_8))
+                  out.write('\n')
+                  line = reader.readLine()
+                }
+                reader.close()
+              }
+              out.close()
+            }
+            (rel, shards.size, groups.size)
+          }.collect()
+        // swap: partition dir -> trash, staged dir -> partition dir,
+        // then drop trash — crash between the renames leaves the trash
+        // copy and the require above refuses the next run
+        after.foreach { case (rel, _, _) =>
+          val live = new Path(table, rel)
+          val staged = new Path(staging, rel)
+          val t = new Path(trash, rel)
+          fs.mkdirs(t.getParent)
+          require(fs.rename(live, t), s"swap-out failed for $live")
+          fs.mkdirs(staged.getParent)
+          require(fs.rename(staged, live), s"swap-in failed for $staged")
+        }
+        fs.delete(trash, true)
+        fs.delete(staging, true)
+        result(compactSchema, after.toSeq.map { case (rel, b, a) =>
+          new GenericInternalRow(Array[Any](utf8(rel), b, a)): InternalRow })
+      }
+    }
+
+  private def expireStaging(catalog: GraftCatalog): BoundProcedure =
+    new Bound("expire_staging", tableParam,
+      ProcedureParameter.in("age_minutes", IntegerType).defaultValue("60")
+        .comment("only attempts older than this are dropped").build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (fs, table) = catalog.resolveTableDir(input.getUTF8String(0).toString)
+        val horizon = System.currentTimeMillis() -
+          input.getInt(1).toLong * 60000L
+        val stagingRoot = new Path(table, "_staging")
+        val removed =
+          if (!fs.exists(stagingRoot)) 0
+          else {
+            val old = fs.listStatus(stagingRoot)
+              .filter(_.getModificationTime < horizon)
+            old.foreach(st => fs.delete(st.getPath, true))
+            if (fs.listStatus(stagingRoot).isEmpty)
+              fs.delete(stagingRoot, false)
+            old.length
+          }
+        result(expireSchema,
+          Seq(new GenericInternalRow(Array[Any](removed))))
+      }
+    }
+}
