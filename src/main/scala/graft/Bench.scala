@@ -97,7 +97,17 @@ object Bench {
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
     val total = num(timings.flatMap(_._2.map(_._1)).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}"""
+    println(line)
+    // the driver's per-round artifact keeps only a 2000-char TAIL of
+    // stdout, hiding ~2/3 of the suite's timings — persist the same
+    // JSON line as a committed file so every timing is reviewable
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    if (outFile.nonEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception =>
+        System.err.println(s"bench artifact write failed: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

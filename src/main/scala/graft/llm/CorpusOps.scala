@@ -71,19 +71,44 @@ object CorpusOps {
     * One eval-side `count()` sizes the sketch when `expectedGrams` is
     * not given (metadata-scale action, same class as the dim reads the
     * judge cleared in r2); `materialize` (e.g. `_.localCheckpoint()`)
-    * runs the eval shingle scan once across sizing + build + verify. */
+    * runs the eval shingle scan once across sizing + build + verify.
+    *
+    * The sketch rides Spark's OWN runtime-filter machinery, not a UDF:
+    * the bloom is built distributed by `bloom_filter_agg` (partial
+    * aggregation, nothing collected to the driver), delivered to the
+    * probe as a scalar subquery — executed once, result shared — and
+    * probed by the codegen'd `BloomFilterMightContain` over
+    * `xxhash64(g)`, so the corpus-side filter stays inside
+    * whole-stage codegen (the interpreted string-UDF it replaces
+    * forced a codegen break per gram). Sizing is clamped to the
+    * runtime-filter conf maxima the same way `InjectRuntimeFilter`
+    * clamps its own sketches. */
   def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
                          fpp: Double = 0.01, expectedGrams: Long = 0L,
                          materialize: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = docs.sparkSession
     val evalGrams = materialize(docGrams(evalDocs, n).select(col("g")).distinct())
-    val expected = if (expectedGrams > 0) expectedGrams
+    val expected0 = if (expectedGrams > 0) expectedGrams
       else math.max(evalGrams.count(), 1L)
-    val bloom = evalGrams.stat.bloomFilter("g", expected, fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContainString(g))
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val expected = math.min(expected0, maxItems)
+    // optimal bits for the target fpp: -n ln p / (ln 2)^2
+    val numBits = math.min(maxBits, math.max(64L,
+      math.ceil(-expected.toDouble * math.log(fpp)
+        / (math.log(2) * math.log(2))).toLong))
+    val bloomAgg = evalGrams
+      .agg(expr(s"bloom_filter_agg(xxhash64(g), ${expected}L, ${numBits}L)")
+        .as("bf"))
+    val probe = BloomFilterMightContain(
+      ScalarSubquery(bloomAgg.queryExecution.analyzed),
+      ColumnBridge.expression(xxhash64(col("g"))))
     val hits = docGrams(docs, n)
-      .filter(mightContain(col("g")))
+      .filter(ColumnBridge.column(probe))
       .join(evalGrams.hint("shuffle_hash"), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
     docs.select(col("doc_id"))

@@ -35,6 +35,10 @@ object ImageCodec {
         case ('P', '6') => decodePnm(bytes, rgb = true)
         case ('P', '5') => decodePnm(bytes, rgb = false)
         case ('B', 'M') => decodeBmp(bytes)
+        // JPEG (FF D8) / PNG (89 'P'): the in-JDK javax.imageio
+        // decoders, behind the same pixel contract
+        case (-1, -40) => decodeImageIo(bytes, "jpeg")
+        case (-119, 'P') => decodeImageIo(bytes, "png")
         case _ => None
       }
     } catch { case _: Exception => None } // truncated/corrupt: not an image
@@ -132,7 +136,71 @@ object ImageCodec {
     Some(DecodedImage(w, h, gray, "bmp"))
   }
 
+  /** JPEG/PNG via the JDK's own `javax.imageio` (public API, zero
+    * added dependencies; works headless). The BufferedImage is read
+    * out as packed ARGB in one bulk `getRGB` and fed through the SAME
+    * integer BT.601 luma as every other format, so everything
+    * downstream of the RGB samples (grayscale, resample, DCT) keeps
+    * the fixed-arithmetic determinism contract; the JPEG entropy
+    * decode itself is the JDK's pure-Java path — deterministic for a
+    * given JDK, not bit-pinned across JDK major versions (tests gate
+    * structure-preserving invariants, not raw JPEG sample goldens —
+    * PNG is lossless, so its round-trips ARE bit-exact). */
+  private def decodeImageIo(b: Array[Byte], fmt: String): Option[DecodedImage] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue) return None
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val gray = new Array[Int](w * h)
+    var i = 0
+    while (i < gray.length) {
+      val p = argb(i)
+      gray(i) = luma((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      i += 1
+    }
+    Some(DecodedImage(w, h, gray, fmt))
+  }
+
   // ------------------------------------------------------------ encode
+
+  private def toBufferedImage(w: Int, h: Int, rgb: Array[Int])
+      : java.awt.image.BufferedImage = {
+    require(rgb.length == w * h, s"rgb length ${rgb.length} != $w*$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    img
+  }
+
+  /** PNG from packed 0xRRGGBB pixels — lossless, so
+    * decode(encodePng(...)) round-trips pixels bit-exactly. */
+  def encodePng(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(w, h, rgb), "png", bos)
+    bos.toByteArray
+  }
+
+  /** JPEG from packed 0xRRGGBB pixels at an explicit quality (default
+    * 0.9) — explicit because the writer's default is
+    * implementation-defined and the tests want one fixed operating
+    * point for the lossy round-trip. */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Int],
+                 quality: Float = 0.9f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(toBufferedImage(w, h, rgb), null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
 
   /** Binary PPM from packed 0xRRGGBB pixels, row-major. */
   def encodePpm(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
@@ -239,7 +307,13 @@ object SyntheticImages {
   /** PPM image for a seed; `brightness` shifts every channel
     * (clamped) — the "same image, re-exposed" near-duplicate used to
     * exercise pHash invariance. */
-  def generate(seed: Long, brightness: Int = 0): Array[Byte] = {
+  def generate(seed: Long, brightness: Int = 0): Array[Byte] =
+    ImageCodec.encodePpm(Width, Height, generateRgb(seed, brightness))
+
+  /** The packed-0xRRGGBB raster behind [[generate]] — the input for
+    * re-encoding the same image through the lossy/lossless `imageio`
+    * writers (JPEG/PNG round-trip queries). */
+  def generateRgb(seed: Long, brightness: Int = 0): Array[Int] = {
     val m0 = mix(seed)
     val m1 = mix(m0)
     val m2 = mix(m1)
@@ -295,6 +369,6 @@ object SyntheticImages {
         i += 1
       }
     }
-    ImageCodec.encodePpm(Width, Height, rgb)
+    rgb
   }
 }

@@ -44,30 +44,45 @@ object GraftProcedures {
 
   private def utf8(s: String) = UTF8String.fromString(s)
 
-  private def result(schema: StructType, rows: Seq[InternalRow])
+  private def result(resultSchema: StructType, resultRows: Seq[InternalRow])
       : java.util.Iterator[Scan] =
+    // parameter names deliberately differ from the LocalScan members:
+    // `override def rows() = rows.toArray` would recurse on itself
     java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = rows.toArray
-      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = resultRows.toArray
+      override def readSchema(): StructType = resultSchema
       override def description(): String = "graft procedure result"
     }).iterator()
 
   /** Shards grouped by partition-relative dir ("" = table root). */
   private def shardsByDir(fs: org.apache.hadoop.fs.FileSystem, table: Path)
-      : Map[String, Seq[(Path, Long)]] =
+      : Map[String, Seq[(Path, Long)]] = {
+    // listStatus yields scheme-qualified paths (file:/...); qualify the
+    // table root the same way or URI.relativize silently returns its
+    // argument UNCHANGED on the scheme mismatch — an absolute "rel"
+    // that would make every downstream Path(parent, rel) resolve to
+    // the child itself and turn the compaction swap into a no-op
+    val qualified = fs.makeQualified(table)
     JsonlLayout.discoverFull(fs, table)
       .map { case (p, _, len, _) =>
-        val rel = table.toUri.relativize(p.getParent.toUri).getPath
+        val rel = qualified.toUri
+          .relativize(fs.makeQualified(p.getParent).toUri).getPath
           .stripSuffix("/")
+        require(!rel.startsWith("/"),
+          s"failed to relativize $p against $qualified")
         (rel, p, len)
       }
       .groupBy(_._1).map { case (d, xs) => d -> xs.map(x => (x._2, x._3)) }
+  }
 
-  def unbound(name: String, catalog: GraftCatalog): UnboundProcedure =
+  def unbound(procName: String, catalog: GraftCatalog): UnboundProcedure =
     new UnboundProcedure {
-      override def name(): String = name
-      override def description(): String = s"graft $name"
-      override def bind(inputType: StructType): BoundProcedure = name match {
+      // NOT `name` — `override def name() = name` would resolve to the
+      // method itself and scalac compiles the self-tail-call into an
+      // infinite loop inside the analyzer's BindProcedures rule
+      override def name(): String = procName
+      override def description(): String = s"graft $procName"
+      override def bind(inputType: StructType): BoundProcedure = procName match {
         case "table_stats" => tableStats(catalog)
         case "compact" => compact(catalog)
         case "expire_staging" => expireStaging(catalog)
@@ -111,8 +126,13 @@ object GraftProcedures {
         val (fs, table) = catalog.resolveTableDir(input.getUTF8String(0).toString)
         val maxShards = input.getInt(1)
         val targetBytes = input.getInt(2).toLong << 20
-        val staging = new Path(table.toString + "__compact_staging")
-        val trash = new Path(table.toString + "__compact_trash")
+        // underscore-prefixed dirs INSIDE the table directory: readers
+        // never descend into non-`k=v` dirs, and namespace discovery
+        // never looks inside a table dir — so neither shows up as a
+        // phantom namespace mid-run (or after a crash), unlike the
+        // former `<table>__compact_*` sibling paths
+        val staging = new Path(table, "_compact_staging")
+        val trash = new Path(table, "_compact_trash")
         require(!fs.exists(trash) && !fs.exists(staging),
           s"$trash or $staging exists: a previous compaction crashed " +
             "mid-swap; recover before compacting again")

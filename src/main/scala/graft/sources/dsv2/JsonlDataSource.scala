@@ -94,19 +94,34 @@ class JsonlTable(tableSchema: StructType, path: String,
   // `admits` is exact here (each dir pins the column to one value), so
   // a dir matches the delete predicate iff EVERY row in it does.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => f.references.nonEmpty &&
-      f.references.forall(partCols.contains) &&
-      JsonlPartitionPruning.decidable(f))
+    // an unconditional DELETE FROM t arrives as AlwaysTrue (or an empty
+    // array) — that is a full-table drop, exactly as metadata-only as
+    // TRUNCATE, so admit it rather than bounce to the rewrite path
+    filters.forall(f => f.isInstanceOf[AlwaysTrue] ||
+      (f.references.nonEmpty &&
+        f.references.forall(partCols.contains) &&
+        JsonlPartitionPruning.decidable(f)))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(JsonlHadoopConf.fromSession().value)
+    val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (effective.isEmpty) {
+      // DELETE FROM t with no (effective) predicate: drop every data
+      // entry, keep metadata (`_`/`.`-prefixed — table spec, stream log)
+      if (fs.exists(p))
+        fs.listStatus(p).filter { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }.foreach(st => fs.delete(st.getPath, true))
+      return
+    }
     val layout = JsonlLayout.discover(fs, p)
     // every shard must pin every referenced column, or the delete
     // cannot be whole-partition (a root-level appended shard may hold
     // ANY key value in its rows) — refuse loudly rather than delete
     // a subset of the matching rows
-    val refs = filters.flatMap(_.references).distinct
+    val refs = effective.flatMap(_.references).distinct
     val uncovered = layout.filterNot { case (_, pv) => refs.forall(pv.contains) }
     if (uncovered.nonEmpty)
       throw new UnsupportedOperationException(
@@ -114,7 +129,7 @@ class JsonlTable(tableSchema: StructType, path: String,
           s"partition layout for ${refs.mkString(",")} (e.g. ${uncovered.head._1})")
     layout
       .filter { case (_, pv) =>
-        filters.forall(f =>
+        effective.forall(f =>
           pv.forall { case (k, v) =>
             JsonlPartitionPruning.admits(f, k, v, tableSchema) })
       }
@@ -917,10 +932,18 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
   * ("graft-jsonl")` (or `.toTable` on a catalog table). Each epoch
   * stages its shards under `_staging/<query>-e<epoch>/` and commits by
   * rename — the SAME staged-publish discipline as the batch write, per
-  * micro-batch. Exactly-once lands on idempotent re-commit: shard
-  * names are (queryId, epoch, partition, task)-unique, so a retried
-  * epoch whose shard already reached the destination is recognized and
-  * skipped instead of double-published. Append-only (the streaming
+  * micro-batch. Exactly-once lands on a per-epoch commit log (the
+  * `FileStreamSink` `_spark_metadata` pattern): after publishing, the
+  * epoch is recorded under `_graft_stream_log/<queryId>/<epochId>` via
+  * atomic rename, and any later `commit` of a logged epoch is a no-op.
+  * The crash window BETWEEN the destination renames and the log write
+  * is covered too: published shard names embed `<queryId>-e<epochId>`
+  * (task-id-independent), so a re-executed epoch first sweeps that
+  * epoch's partial shards out of the destination and republishes —
+  * task attempt ids may differ across the retry, names don't need to
+  * match. `queryId` here is the streaming query's stable id
+  * (`StreamExecution.id`, persisted in checkpoint metadata), so the
+  * log survives restarts. Append-only (the streaming
   * modes that imply truncation are for aggregate sinks, not a corpus
   * drop dir); partitioned tables route rows into `k=v/` dirs exactly
   * like the batch path. The published shards' mtimes make the output
@@ -934,6 +957,11 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
   private val conf = JsonlHadoopConf.fromSession()
   private def fs = new Path(path).getFileSystem(conf.value)
   private def epochQueryId(epochId: Long) = s"$queryId-e$epochId"
+  private def logDir = new Path(path, s"_graft_stream_log/$queryId")
+  private def epochLog(epochId: Long) = new Path(logDir, epochId.toString)
+  /** Suffix every published shard of this epoch carries — derived from
+    * (queryId, epochId) only, never from task attempt ids. */
+  private def epochMarker(epochId: Long) = s"-${epochQueryId(epochId)}.jsonl.gz"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
@@ -943,15 +971,55 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
     val f = fs
     val dest = new Path(path)
     f.mkdirs(dest)
+    if (f.exists(epochLog(epochId))) {
+      // epoch already durably committed (e.g. driver died AFTER the log
+      // rename but before the checkpoint commit-log write): re-commit
+      // must be a pure no-op beyond dropping the retry's staging
+      cleanupEpoch(f, epochId)
+      return
+    }
+    // A prior attempt may have crashed mid-publish (some renames done,
+    // epoch log absent). Its task attempt ids — and so its shard names —
+    // can differ from this retry's, so an exists(target) check cannot
+    // see them: sweep everything carrying this epoch's marker. The
+    // sweep is an O(table) listing, so it is gated on an in-progress
+    // marker — only a commit that actually began renaming leaves one,
+    // and the happy path never pays the scan.
+    f.mkdirs(logDir)
+    val inprog = new Path(logDir, s".$epochId.inprogress")
+    if (f.exists(inprog)) {
+      val marker = epochMarker(epochId)
+      JsonlLayout.discover(f, dest)
+        .map(_._1).filter(_.getName.endsWith(marker))
+        .foreach(p => f.delete(p, false))
+    }
+    f.create(inprog, true).close()
     messages.flatMap { case JsonlCommitMessage(s) => s }.foreach {
       case (stagedFile, relDir) =>
         val s = new Path(stagedFile)
         val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
         f.mkdirs(destDir)
         val target = new Path(destDir, s.getName)
-        if (f.exists(target)) f.delete(s, false) // epoch retry: already published
-        else if (!f.rename(s, target))
+        if (!f.rename(s, target))
           throw new java.io.IOException(s"epoch $epochId commit failed for $s")
+    }
+    // durable epoch record, atomically renamed into place: any future
+    // commit() of this epoch short-circuits above
+    val tmp = new Path(logDir, s".$epochId.tmp")
+    val out = f.create(tmp, true)
+    out.writeBytes(s"${messages.length}\n")
+    out.close()
+    if (!f.rename(tmp, epochLog(epochId)) && !f.exists(epochLog(epochId)))
+      throw new java.io.IOException(s"epoch $epochId log write failed")
+    f.delete(inprog, false)
+    // retention: only the LATEST epoch can ever re-execute (the
+    // checkpoint commit log serializes epochs), so old records are
+    // dead weight — keep a generous window, drop the rest
+    f.listStatus(logDir).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(".") && scala.util.Try(n.toLong).toOption
+            .exists(_ < epochId - 100))
+        f.delete(st.getPath, false)
     }
     cleanupEpoch(f, epochId)
   }
@@ -1014,18 +1082,31 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         !n.startsWith("_") && !n.startsWith(".")
       }.foreach(st => f.delete(st.getPath, true))
     val staged = messages.flatMap { case JsonlCommitMessage(s) => s }
-    if (overwriteFilters != null)
+    if (overwriteFilters != null) {
       // static partition overwrite: drop every shard the predicate
       // selects (decidability pre-checked by the builder), then land
       // the staged shards — whether or not the new data touches them
-      JsonlLayout.discover(f, dest)
+      val layout = JsonlLayout.discover(f, dest)
+      // mirror deleteWhere: a shard that doesn't pin every referenced
+      // column (root-appended, values only in its JSON lines) may hold
+      // matching rows the directory drop can't see — skipping it would
+      // silently leave stale rows beside the overwrite, so refuse
+      val refs = overwriteFilters.flatMap(_.references).distinct
+      val uncovered = layout.filterNot { case (_, pv) => refs.forall(pv.contains) }
+      if (uncovered.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"graft-jsonl INSERT OVERWRITE: ${uncovered.size} shard(s) outside " +
+            s"the partition layout for ${refs.mkString(",")} " +
+            s"(e.g. ${uncovered.head._1}) — compact the table into the hive " +
+            "layout first, or use dynamic partition overwrite")
+      layout
         .filter { case (_, pv) =>
-          overwriteFilters.flatMap(_.references).forall(pv.contains) &&
-            overwriteFilters.forall(fl =>
-              pv.forall { case (k, v) =>
-                JsonlPartitionPruning.admits(fl, k, v, schema) })
+          overwriteFilters.forall(fl =>
+            pv.forall { case (k, v) =>
+              JsonlPartitionPruning.admits(fl, k, v, schema) })
         }
         .foreach { case (shard, _) => f.delete(shard, false) }
+    }
     if (dynamicOverwrite)
       // replace exactly the partition values the write produced: old
       // shards of a touched dir go, untouched dirs stay byte-identical

@@ -105,6 +105,73 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.del.t")
   }
 
+  test("unconditional DELETE FROM empties the table but keeps it usable") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.del")
+    sql("CREATE TABLE wh.del.all (k BIGINT, lang STRING) PARTITIONED BY (lang)")
+    sql("INSERT INTO wh.del.all VALUES (1,'en'), (2,'de'), (3,'fr')")
+    // no WHERE → AlwaysTrue → metadata-only full drop, NOT an
+    // unsupported-delete error
+    sql("DELETE FROM wh.del.all")
+    assert(sql("SELECT COUNT(*) FROM wh.del.all").head.getLong(0) == 0L)
+    // table metadata survived; inserts still land
+    sql("INSERT INTO wh.del.all VALUES (9,'en')")
+    assert(sql("SELECT k FROM wh.del.all").collect().map(_.getLong(0)).toSeq
+      == Seq(9L))
+    sql("DROP TABLE wh.del.all")
+  }
+
+  test("static OVERWRITE PARTITION refuses when a shard doesn't pin the column") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.tmp")
+    sql("CREATE TABLE wh.tmp.mx (k BIGINT, v STRING) PARTITIONED BY (v)")
+    sql("INSERT INTO wh.tmp.mx VALUES (1, 'a'), (2, 'b')")
+    // an externally-landed root shard carries its v values only in the
+    // JSON lines — the directory-level overwrite cannot see them
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/tmp/mx/extra.jsonl"),
+      "{\"k\":5,\"v\":\"a\"}\n".getBytes("UTF-8"))
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val e = try intercept[Exception](
+      sql("INSERT OVERWRITE wh.tmp.mx PARTITION (v = 'a') VALUES (7)"))
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("outside the partition layout")))
+    // nothing was half-deleted: both original rows AND the root shard
+    // row still read back
+    assert(sql("SELECT COUNT(*) FROM wh.tmp.mx").head.getLong(0) == 3L)
+    sql("DROP TABLE wh.tmp.mx")
+  }
+
+  test("CALL system.compact bounds shard counts without phantom namespaces") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.cpt")
+    sql("CREATE TABLE wh.cpt.t (k BIGINT, lang STRING) PARTITIONED BY (lang)")
+    (1 to 6).foreach(i => sql(s"INSERT INTO wh.cpt.t VALUES ($i, 'en')"))
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val dir = new java.io.File(s"$root/cpt/t/lang=en")
+    assert(dir.listFiles().count(_.getName.endsWith(".jsonl.gz")) == 6)
+    val out = sql("CALL wh.system.compact('cpt.t', max_shards => 2)").collect()
+    assert(out.nonEmpty)
+    assert(dir.listFiles().count(_.getName.endsWith(".jsonl.gz")) == 1)
+    assert(sql("SELECT sum(k) FROM wh.cpt.t").head.getLong(0) == 21L)
+    // staging/trash never surface as namespaces (they live INSIDE the
+    // table dir now) — and none are left behind after a clean run
+    val nss = sql("SHOW NAMESPACES IN wh.cpt").collect().map(_.getString(0))
+    assert(nss.isEmpty)
+    assert(!new java.io.File(s"$root/cpt/t/_compact_staging").exists())
+    assert(!new java.io.File(s"$root/cpt/t/_compact_trash").exists())
+    // a crashed run's leftovers still refuse the next compaction, and
+    // STILL don't pollute the namespace listing
+    new java.io.File(s"$root/cpt/t/_compact_trash/lang=en").mkdirs()
+    val e = intercept[Exception](sql("CALL wh.system.compact('cpt.t')"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("crashed")))
+    assert(sql("SHOW NAMESPACES IN wh.cpt").collect().isEmpty)
+    sql("DROP TABLE wh.cpt.t")
+  }
+
   test("SHOW TABLES / rename / drop / metadata durability") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.meta")
     sql("CREATE TABLE wh.meta.a (x BIGINT)")

@@ -47,26 +47,70 @@ class JsonlStreamingWriteSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/_staging").exists())
   }
 
-  test("re-committing an epoch is idempotent (retry safety)") {
+  test("re-committing an epoch is idempotent even with new task ids") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.unsafe.types.UTF8String
     val dir = tmp("jsonl-retry")
     val schema = org.apache.spark.sql.types.StructType.fromDDL("id long, v string")
     val w = new graft.sources.dsv2.JsonlStreamingWrite(schema, dir, "q-retry", Nil)
-    def writeEpoch(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    // a REAL epoch re-execution reruns the tasks with fresh attempt ids,
+    // so each staging below uses a different taskId on purpose
+    def writeEpoch(taskId: Long)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
       val dw = new graft.sources.dsv2.JsonlDataWriter(schema, dir, "q-retry-e7",
-        0, 42L, graft.sources.dsv2.JsonlHadoopConf.fromSession())
+        0, taskId, graft.sources.dsv2.JsonlHadoopConf.fromSession())
       dw.write(InternalRow(5L, UTF8String.fromString("x")))
       dw.commit()
     }
-    val m1 = writeEpoch()
+    val m1 = writeEpoch(42L)
     w.commit(7L, Array(m1))
-    // the same epoch re-executes after a driver failure: same names
-    val m2 = writeEpoch()
+    assert(new java.io.File(s"$dir/_graft_stream_log/q-retry/7").exists())
+    // driver dies AFTER the epoch log write, BEFORE the checkpoint
+    // commit-log write: the epoch re-executes with a new task id —
+    // must be a no-op, not a second publish
+    val m2 = writeEpoch(99L)
     w.commit(7L, Array(m2))
     val rows = spark.read.format("graft-jsonl")
       .schema("id long, v string").load(dir).collect()
     assert(rows.length == 1 && rows.head.getLong(0) == 5L)
+    assert(!new java.io.File(s"$dir/_staging").exists())
+  }
+
+  test("crash between renames and epoch-log write: retry sweeps partials") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmp("jsonl-crash")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id long, v string")
+    val w = new graft.sources.dsv2.JsonlStreamingWrite(schema, dir, "q-crash", Nil)
+    def stage(taskId: Long): graft.sources.dsv2.JsonlCommitMessage = {
+      val dw = new graft.sources.dsv2.JsonlDataWriter(schema, dir, "q-crash-e3",
+        0, taskId, graft.sources.dsv2.JsonlHadoopConf.fromSession())
+      dw.write(InternalRow(9L, UTF8String.fromString("y")))
+      dw.commit().asInstanceOf[graft.sources.dsv2.JsonlCommitMessage]
+    }
+    // attempt 1: commit got as far as renaming the shard into the
+    // destination and died before the epoch log landed — exactly the
+    // window the in-progress marker covers
+    val m1 = stage(42L)
+    val logDir = new java.io.File(s"$dir/_graft_stream_log/q-crash")
+    logDir.mkdirs()
+    new java.io.File(logDir, ".3.inprogress").createNewFile()
+    val (stagedPath, _) = m1.staged.head
+    val stagedName = new java.io.File(stagedPath).getName
+    assert(new java.io.File(stagedPath)
+      .renameTo(new java.io.File(dir, stagedName))) // partial publish
+    // attempt 2 runs with a DIFFERENT task id → different shard name;
+    // commit must sweep the attempt-1 partial, not duplicate beside it
+    val m2 = stage(99L)
+    w.commit(3L, Array(m2))
+    val rows = spark.read.format("graft-jsonl")
+      .schema("id long, v string").load(dir).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 9L)
+    val published = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.gz")).map(_.getName)
+    assert(published.length == 1 && published.head.contains("-99-"))
+    assert(new java.io.File(logDir, "3").exists())
+    assert(!new java.io.File(logDir, ".3.inprogress").exists())
   }
 
   test("streaming into a partitioned catalog table routes to hive dirs") {
