@@ -525,6 +525,32 @@ object Analytics {
     s.sql(nationPairVolumeSql)
   }
 
+  // ------------------------------------------------------- q195 - q198
+  /** SQL-text twins of the q01/q03/q04/q08 DataFrame queries: the SAME
+    * portable ANSI string the DuckDB oracle runs, executed verbatim by
+    * `spark.sql` over temp views (the q73 entry-path, widened across
+    * the bread-and-butter aggregate shapes). The reference's users
+    * speak SQL to their warehouse; these rows pin that the engine's
+    * SQL-text surface — parser through plan — produces byte-identical
+    * results to both the DataFrame twin and the oracle engine.
+    * Catalyst plans the text exactly like the DataFrame twin (same
+    * pushdown/broadcast/partial-agg), so no separate scale story. */
+  private def sqlText(text: String, tables: Seq[String])
+                     (s: SparkSession, dir: String): DataFrame = {
+    tables.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(text)
+  }
+
+  def pricingSummarySqlText(s: SparkSession, dir: String): DataFrame =
+    sqlText(pricingSummarySql, Seq("lineitem"))(s, dir)
+  def segmentRevenueSqlText(s: SparkSession, dir: String): DataFrame =
+    sqlText(segmentRevenueSql, Seq("lineitem", "orders", "customer"))(s, dir)
+  def nationRevenueSqlText(s: SparkSession, dir: String): DataFrame =
+    sqlText(nationRevenueSql,
+      Seq("lineitem", "orders", "customer", "nation", "region"))(s, dir)
+  def topCustomersSqlText(s: SparkSession, dir: String): DataFrame =
+    sqlText(topCustomersSql, Seq("orders", "customer"))(s, dir)
+
   // ---------------------------------------------------------------- q74
   /** TPC-H Q17 pattern — small-quantity revenue for one brand: items
     * ordered below 20% of their part's average order quantity.
@@ -1605,6 +1631,10 @@ object Analytics {
     "q89_promo_disjunction_revenue" -> (promoDisjunctionRevenue _),
     "q100_promo_revenue_share" -> (promoRevenueShare _),
     "q101_grouping_sets" -> (returnStatusGroupingSets _),
+    "q195_pricing_summary_sqltext" -> (pricingSummarySqlText _),
+    "q196_segment_revenue_sqltext" -> (segmentRevenueSqlText _),
+    "q197_nation_revenue_sqltext" -> (nationRevenueSqlText _),
+    "q198_top_customers_sqltext" -> (topCustomersSqlText _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1643,6 +1673,10 @@ object Analytics {
     "q18_order_status_cube" -> orderStatusCubeSql,
     "q19_price_quantiles" -> priceQuantilesSql,
     "q73_nation_pair_volume" -> nationPairVolumeSql,
+    "q195_pricing_summary_sqltext" -> pricingSummarySql,
+    "q196_segment_revenue_sqltext" -> segmentRevenueSql,
+    "q197_nation_revenue_sqltext" -> nationRevenueSql,
+    "q198_top_customers_sqltext" -> topCustomersSql,
     "q74_small_quantity_revenue" -> smallQuantityRevenueSql,
     "q75_top_supplier_revenue" -> topSupplierRevenueSql,
     "q76_large_volume_orders" -> largeVolumeOrdersSql,

@@ -86,7 +86,8 @@ object CorpusOps {
   def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
                          fpp: Double = 0.01, expectedGrams: Long = 0L,
                          materialize: DataFrame => DataFrame = identity): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = docs.sparkSession
     val evalGrams = materialize(docGrams(evalDocs, n).select(col("g")).distinct())
@@ -101,9 +102,14 @@ object CorpusOps {
     val numBits = math.min(maxBits, math.max(64L,
       math.ceil(-expected.toDouble * math.log(fpp)
         / (math.log(2) * math.log(2))).toLong))
-    val bloomAgg = evalGrams
-      .agg(expr(s"bloom_filter_agg(xxhash64(g), ${expected}L, ${numBits}L)")
-        .as("bf"))
+    // bloom_filter_agg / might_contain are not in the SQL function
+    // registry (Spark reserves them for InjectRuntimeFilter), so both
+    // are constructed as Catalyst expressions directly
+    val bloomAgg = evalGrams.agg(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("g"))),
+        Literal(expected), Literal(numBits)).toAggregateExpression())
+      .as("bf"))
     val probe = BloomFilterMightContain(
       ScalarSubquery(bloomAgg.queryExecution.analyzed),
       ColumnBridge.expression(xxhash64(col("g"))))

@@ -452,9 +452,25 @@ object Dedup {
     * re-attach the two token arrays and check the exact intersection.
     * `materialize` pins the token-array table feeding the explode,
     * both verify sides, and the size filter (pass
-    * `_.localCheckpoint()` at scale so the corpus tokenizes once). */
+    * `_.localCheckpoint()` at scale so the corpus tokenizes once).
+    *
+    * SATURATION GUARD: on a near-dup-saturated corpus the exact join
+    * is output-bound quadratic by definition of the task (no
+    * algorithm emits o(matches)), and pointing it at 100 TB of
+    * saturated data by accident must fail fast, not melt the cluster.
+    * `maxCandidatePairs > 0` bounds Σ_tok C(df_prefix,2) over the
+    * prefix postings — an UPPER bound on generated candidates,
+    * computed as one cheap aggregate over the (already-needed) prefix
+    * table BEFORE the self-join is allowed to run — and aborts loudly,
+    * naming the banded-LSH ladder (q42/q54) whose per-band fan-out
+    * stays capped on exactly such corpora. The realized candidate
+    * count is also surfaced on every run as the `candidate_pairs`
+    * observed metric (`CollectMetrics` node, visible to listeners and
+    * the Spark UI), so callers can watch the fan-out they actually
+    * paid. */
   def prefixJaccardPairs(docs: DataFrame, p: Int = 3, q: Int = 5,
-                         materialize: DataFrame => DataFrame = identity): DataFrame = {
+                         materialize: DataFrame => DataFrame = identity,
+                         maxCandidatePairs: Long = 0L): DataFrame = {
     require(p > 0 && q > p, s"threshold p/q=$p/$q must lie in (0,1)")
     import org.apache.spark.sql.expressions.Window
     val ws = materialize(docs.select(col("doc_id"),
@@ -464,16 +480,37 @@ object Dedup {
     val dfs = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val pos = row_number().over(
       Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok")))
-    val prefix = tok.join(dfs, Seq("tok"))
+    val prefix0 = tok.join(dfs, Seq("tok"))
       .withColumn("pos", pos)
       .filter(col("pos") <= col("sz") - expr(s"($p * sz + ${q - 1}) div $q") + 1)
       .select(col("doc_id"), col("tok"), col("sz"))
+    // with the guard on, the prefix table feeds the bound aggregate AND
+    // both sides of the candidate join — a LAZY persist lets the bound
+    // action prime the cache the join then reads, without the eager
+    // write-out a localCheckpoint would add to the critical path
+    val prefix = if (maxCandidatePairs > 0L)
+      prefix0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else prefix0
+    if (maxCandidatePairs > 0L) {
+      val boundRow = prefix.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("pairs")).head()
+      val bound = if (boundRow.isNullAt(0)) 0L else boundRow.getLong(0)
+      if (bound > maxCandidatePairs)
+        throw new IllegalStateException(
+          s"prefix-Jaccard saturation guard: prefix postings imply up to " +
+            s"$bound candidate pairs (> cap $maxCandidatePairs) — the corpus " +
+            "is near-dup saturated and the exact all-pairs join is " +
+            "output-bound quadratic here; use the banded LSH near-dup " +
+            "ladder (minhashBands / q42, q54) whose per-band fan-out stays " +
+            "capped, or raise maxCandidatePairs deliberately")
+    }
     val cand = prefix.select(col("doc_id").as("a"), col("tok"), col("sz").as("sza"))
       .join(prefix.select(col("doc_id").as("b"), col("tok"), col("sz").as("szb")),
         Seq("tok"))
       .filter(col("a") < col("b") &&
         col("sza") * q >= col("szb") * p && col("szb") * q >= col("sza") * p)
       .select(col("a"), col("b")).distinct()
+      .observe("prefix_jaccard", count(lit(1)).as("candidate_pairs"))
     cand
       .join(ws.select(col("doc_id").as("a"), col("w").as("wa")), Seq("a"))
       .join(ws.select(col("doc_id").as("b"), col("w").as("wb")), Seq("b"))

@@ -117,22 +117,25 @@ object LlmQueries {
     * rarest-first prefix scheme, so candidate generation AND the
     * integer cross-multiplied verify are checked cross-engine.
     *
-    * The gate runs a deterministic 20% slice: this synthetic corpus is
-    * near-duplicate SATURATED (57% of all pairs clear J ≥ 0.6 at
+    * The gate runs a deterministic 12.5% slice: this synthetic corpus
+    * is near-duplicate SATURATED (57% of all pairs clear J ≥ 0.6 at
     * sf0.01), so the full exact join is output-bound quadratic BY
     * DEFINITION of the task — no algorithm emits o(matches) — and the
     * slice keeps the gate exercising every stage at list-not-the-
     * output cost. Real corpora sit in the opposite regime (sparse
     * matches), which is exactly where prefix filtering's completeness
-    * is worth its price; on a saturated corpus use the LSH ladder
-    * (q42/q54) whose banding caps candidate fan-out instead. */
+    * is worth its price; on a saturated corpus the operator's own
+    * saturation guard (engaged here, generous cap) aborts before the
+    * candidate join and points at the LSH ladder (q42/q54) whose
+    * banding caps candidate fan-out instead. */
   def prefixJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixJaccardPairs(docs(s, dir).filter(col("doc_id") % 5 === 0),
-      p = 3, q = 5, materialize = _.localCheckpoint()).orderBy("a", "b")
+    Dedup.prefixJaccardPairs(docs(s, dir).filter(col("doc_id") % 8 === 0),
+      p = 3, q = 5, materialize = _.localCheckpoint(),
+      maxCandidatePairs = 50_000_000L).orderBy("a", "b")
 
   val prefixJaccardSql: String =
     """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
-      |  FROM documents WHERE doc_id % 5 = 0),
+      |  FROM documents WHERE doc_id % 8 = 0),
       |tok AS (SELECT doc_id, len(w) AS sz, unnest(w) AS tok FROM ws),
       |dfs AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
       |pfx AS (
@@ -1457,6 +1460,51 @@ object LlmQueries {
       |  CAST(5 AS BIGINT) AS max_hamming,
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 500) AS n_close""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** Real-format codec round-trip over the in-JDK `imageio` decoders:
+    * each doc's deterministic raster ([[SyntheticImages.generateRgb]])
+    * re-encoded as PNG (lossless) and JPEG q=0.9 (lossy), decoded back
+    * through the [[ImageCodec]] JPEG/PNG path, and pHashed against the
+    * PPM original. PNG must round-trip to the IDENTICAL hash (lossless
+    * pixels → identical luma → identical DCT); JPEG must stay inside
+    * the near-dup hamming radius — the compression-invariance pHash
+    * exists to provide, now demonstrated over a real entropy-coded
+    * format rather than the raw formats alone. Counts (not raw JPEG
+    * hash goldens) are the gate: JPEG sample values are deterministic
+    * for a given JDK but not pinned across JDK majors. */
+  def imageCodecRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = SyntheticImages.Width
+    val H = SyntheticImages.Height
+    def hashes(mt: String, encode: Array[Int] => Array[Byte], out: String) =
+      Multimodal.perceptualHash(s,
+        docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 500)
+          .as[Long]
+          .mapPartitions(_.map(id =>
+            (id, mt, encode(SyntheticImages.generateRgb(id)))))
+          .toDF("doc_id", "media_type", "payload"))
+        .withColumnRenamed("phash", out)
+    hashes("image/ppm", ImageCodec.encodePpm(W, H, _), "ph_o")
+      .join(hashes("image/png", ImageCodec.encodePng(W, H, _), "ph_png"), "doc_id")
+      .join(hashes("image/jpeg", ImageCodec.encodeJpeg(W, H, _), "ph_jpg"), "doc_id")
+      .withColumn("ham_j", bit_count(col("ph_o").bitwiseXOR(col("ph_jpg"))))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ph_png") === col("ph_o"), 1L).otherwise(0L))
+          .as("n_png_exact"),
+        sum(when(col("ham_j") <= lit(10), 1L).otherwise(0L))
+          .as("n_jpeg_close"))
+  }
+
+  // every PNG round-trip is hash-identical and every JPEG round-trip
+  // lands within hamming 10 — invariants of the transform, so the
+  // oracle recomputes only the count and equates the rest to it
+  val imageCodecRoundtripSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS n_png_exact,
+      |  CAST(COUNT(*) AS BIGINT) AS n_jpeg_close
+      |FROM documents WHERE doc_id < 500""".stripMargin
+
   // ---------------------------------------------------------------- q123
   /** Contrastive negative sampling ([[NegativeSampling]]): k=4
     * deterministic different-label negatives per anchor from a 10%
@@ -1785,6 +1833,7 @@ object LlmQueries {
     "q112_prototype_confusion" -> (prototypeConfusion _),
     "q119_image_phash" -> (imagePhash _),
     "q120_ivfpq_topk" -> (ivfPqTopK _),
+    "q194_image_codec_roundtrip" -> (imageCodecRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1848,6 +1897,7 @@ object LlmQueries {
     "q110_label_centroids" -> labelCentroidsSql,
     "q112_prototype_confusion" -> prototypeConfusionSql,
     "q119_image_phash" -> imagePhashSql,
+    "q194_image_codec_roundtrip" -> imageCodecRoundtripSql,
     "q120_ivfpq_topk" -> ivfPqTopKSql,
   )
 }

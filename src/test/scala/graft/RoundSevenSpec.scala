@@ -63,6 +63,46 @@ class RoundSevenSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("saturation guard aborts before the candidate join, naming the ladder") {
+    // 8 near-identical docs: every pair is a candidate, C(8,2)=28 > cap
+    val docs = docsDf((0L to 7L).map(i =>
+      i -> s"alpha beta gamma delta epsilon zeta token$i"): _*)
+    val e = intercept[IllegalStateException](
+      Dedup.prefixJaccardPairs(docs, 3, 5, maxCandidatePairs = 10L).collect())
+    assert(e.getMessage.contains("saturation guard"))
+    assert(e.getMessage.contains("LSH"))
+    // a cap above the bound lets the identical corpus through
+    val ok = Dedup.prefixJaccardPairs(docs, 3, 5, maxCandidatePairs = 10000L)
+    assert(ok.count() === 28L)
+  }
+
+  test("candidate_pairs surfaces as an observed metric on every run") {
+    val docs = docsDf(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick brown fox jumps over a lazy dog",
+      2L -> "pack my box with five dozen liquor jugs")
+    @volatile var seen: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("prefix_jaccard")
+          .foreach(r => seen = Some(r.getAs[Long]("candidate_pairs")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.prefixJaccardPairs(docs, 3, 5).collect()
+      // the listener fires asynchronously after the action
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      // docs 0/1 share prefix tokens; doc 2 shares nothing rare
+      assert(seen.contains(1L), s"observed=$seen")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   // ------------------------------------------------- binary sign ANN
 
   test("sign packing: known bit patterns, dims beyond 32 span words") {

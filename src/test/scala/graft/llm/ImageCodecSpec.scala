@@ -39,6 +39,33 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(img.gray.toSeq === Seq(10, 20, 30, 40))
   }
 
+  test("PNG encode -> decode is bit-exact against the PPM decode (lossless)") {
+    val rgb = SyntheticImages.generateRgb(7L)
+    val w = SyntheticImages.Width; val h = SyntheticImages.Height
+    val viaPng = ImageCodec.decode(ImageCodec.encodePng(w, h, rgb)).get
+    val viaPpm = ImageCodec.decode(ImageCodec.encodePpm(w, h, rgb)).get
+    assert(viaPng.format === "png")
+    assert(viaPng.width === w && viaPng.height === h)
+    assert(viaPng.gray.toSeq === viaPpm.gray.toSeq)
+  }
+
+  test("JPEG encode -> decode preserves dimensions and stays luma-close") {
+    val rgb = SyntheticImages.generateRgb(7L)
+    val w = SyntheticImages.Width; val h = SyntheticImages.Height
+    val viaJpeg = ImageCodec.decode(ImageCodec.encodeJpeg(w, h, rgb)).get
+    val viaPpm = ImageCodec.decode(ImageCodec.encodePpm(w, h, rgb)).get
+    assert(viaJpeg.format === "jpeg")
+    assert(viaJpeg.width === w && viaJpeg.height === h)
+    // lossy: per-pixel luma error at q=0.9 stays small in aggregate
+    val mae = viaJpeg.gray.zip(viaPpm.gray)
+      .map { case (a, b) => math.abs(a - b) }.sum.toDouble / (w * h)
+    assert(mae < 8.0, s"mean abs luma error $mae")
+    // and the DCT hash sees them as the same image
+    val hJ = Multimodal.dctHash(ImageCodec.resample(viaJpeg.gray, w, h, 32, 32))
+    val hP = Multimodal.dctHash(ImageCodec.resample(viaPpm.gray, w, h, 32, 32))
+    assert(java.lang.Long.bitCount(hJ ^ hP) <= 10)
+  }
+
   test("non-images and truncated images decode to None, never throw") {
     assert(ImageCodec.decode("plain text payload".getBytes).isEmpty)
     assert(ImageCodec.decode(Array[Byte]()).isEmpty)
