@@ -482,6 +482,58 @@ object WarehouseQueries {
       |FROM documents WHERE lang IN ('en', 'de')
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+  /** Catalog schema evolution under the oracle gate: a partitioned
+    * `GraftCatalog` table is populated (generation 1: even doc_ids),
+    * `ALTER TABLE ... ADD COLUMN`-ed, populated again (generation 2:
+    * odd doc_ids, carrying the new column), and aggregated ACROSS the
+    * generations — generation-1 shards yield null for the evolved
+    * column by schema-on-read, so `COUNT(chars_bucket)` counts exactly
+    * the post-evolution rows. The oracle recomputes the same
+    * generation split from the original parquet. Built once per
+    * (JVM, sf); the catalog NAME embeds the sf dir because catalog
+    * instances are cached per session by name (a conf re-point after
+    * first use would be ignored). */
+  private val evoRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def catalogEvolution(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_evo_${math.abs(dir.hashCode).toString}"
+    val root = evoRoots.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dsv2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", r)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      s.sql(s"""CREATE TABLE $cat.wh.docs
+               |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)""".stripMargin)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0).writeTo(s"$cat.wh.docs").append()
+      s.sql(s"ALTER TABLE $cat.wh.docs ADD COLUMN chars_bucket BIGINT")
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("chars_bucket", expr("n_chars div 100"))
+        .writeTo(s"$cat.wh.docs").append()
+      r
+    })
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  COUNT(chars_bucket) AS n_evolved,
+         |  CAST(SUM(chars_bucket) AS BIGINT) AS sum_bucket
+         |FROM $cat.wh.docs GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val catalogEvolutionSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_evolved,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars // 100 END) AS BIGINT)
+      |    AS sum_bucket
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q188
   /** Storage-partitioned join through the DSv2 connector: two
     * lang-partitioned `graft-jsonl` layouts (corpus facts + per-lang
@@ -676,6 +728,7 @@ object WarehouseQueries {
     "q107_constraint_audit" -> (constraintAudit _),
     "q116_profile_orders_approx" -> (profileOrdersApprox _),
     "q114_dsv2_jsonl_scan" -> (dsv2JsonlScan _),
+    "q199_catalog_evolution" -> (catalogEvolution _),
     "q188_spj_doc_join" -> (spjDocJoin _),
     "q193_catalog_sql_roundtrip" -> (catalogSqlRoundtrip _),
     "q94_profile_orders" -> (profileOrders _),
@@ -696,6 +749,7 @@ object WarehouseQueries {
     "q144_incremental_join_view" -> incrementalJoinViewSql,
     "q107_constraint_audit" -> constraintAuditSql,
     "q114_dsv2_jsonl_scan" -> dsv2JsonlScanSql,
+    "q199_catalog_evolution" -> catalogEvolutionSql,
     "q188_spj_doc_join" -> spjDocJoinSql,
     "q193_catalog_sql_roundtrip" -> catalogSqlRoundtripSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,

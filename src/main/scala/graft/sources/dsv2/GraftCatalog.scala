@@ -108,9 +108,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new JsonlTable(schema, dir.toString, partCols)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog tables are schema-fixed (coerce-on-write engine posture)")
+  /** Schema evolution, limited to what the JSONL layout makes SAFE
+    * without rewriting a byte of data:
+    *
+    *   - `ADD COLUMN` (top-level, nullable): schema-on-read — every
+    *     existing shard simply yields null for the new field, new
+    *     writes carry it. `FIRST`/`AFTER` positions are honored
+    *     (column order is metadata; rows are keyed by name).
+    *   - comment / relax-to-nullable changes: pure metadata.
+    *
+    * Everything else — type changes (coerce-on-write posture: the
+    * stored JSON scalars are typed by the SCHEMA, so a type change
+    * silently reinterprets old data), tighten-to-required (old shards
+    * have nulls by construction), drops/renames of columns the layout
+    * may key partitions on — is refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val mf = metaFile(dir)
+    if (!fs.exists(mf)) throw new NoSuchTableException(ident)
+    var (schema, partCols) = readMeta(mf)
+    def single(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"graft catalog: nested $what is unsupported")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        val name = single(add.fieldNames, "ADD COLUMN")
+        if (schema.fieldNames.contains(name))
+          throw new IllegalArgumentException(s"column $name already exists")
+        if (!add.isNullable) throw new UnsupportedOperationException(
+          "graft catalog: new columns must be nullable — existing shards " +
+            "hold no values for them")
+        var f = org.apache.spark.sql.types.StructField(
+          name, add.dataType, nullable = true)
+        if (add.comment != null) f = f.withComment(add.comment)
+        schema = add.position() match {
+          case null => StructType(schema.fields :+ f)
+          case _: TableChange.First => StructType(f +: schema.fields)
+          case a: TableChange.After =>
+            val i = schema.fieldIndex(a.column())
+            val (l, r) = schema.fields.splitAt(i + 1)
+            StructType((l :+ f) ++ r)
+          case other => throw new UnsupportedOperationException(
+            s"unsupported column position $other")
+        }
+      case c: TableChange.UpdateColumnComment =>
+        val name = single(c.fieldNames, "COMMENT change")
+        schema = StructType(schema.fields.map(fl =>
+          if (fl.name == name) fl.withComment(c.newComment) else fl))
+      case n: TableChange.UpdateColumnNullability =>
+        val name = single(n.fieldNames, "nullability change")
+        if (!n.nullable) throw new UnsupportedOperationException(
+          "graft catalog: cannot tighten to NOT NULL — existing shards may " +
+            "hold nulls for the column")
+        schema = StructType(schema.fields.map(fl =>
+          if (fl.name == name) fl.copy(nullable = true) else fl))
+      case t: TableChange.UpdateColumnType =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: type changes are refused (coerce-on-write " +
+            s"posture) — ${single(t.fieldNames, "type change")} keeps its type")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: unsupported table change $other")
+    }
+    writeMeta(mf, schema, partCols)
+    new JsonlTable(schema, dir.toString, partCols)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -211,6 +275,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val out = fs.create(tmp, true)
     out.write(mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
     out.close()
+    // local/HDFS rename refuses an existing target: drop the old spec
+    // first (ALTER re-publishes over it). The tmp file still holds the
+    // full new spec if a crash lands between the delete and the rename.
+    if (fs.exists(mf)) fs.delete(mf, false)
     if (!fs.rename(tmp, mf)) {
       fs.delete(tmp, false)
       throw new java.io.IOException(s"metadata publish failed for $mf")

@@ -172,6 +172,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.cpt.t")
   }
 
+  test("ALTER TABLE ADD COLUMN: old shards read null, new writes carry it") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.evo")
+    sql("CREATE TABLE wh.evo.t (k BIGINT, lang STRING) PARTITIONED BY (lang)")
+    sql("INSERT INTO wh.evo.t VALUES (1, 'en'), (2, 'de')")
+    sql("ALTER TABLE wh.evo.t ADD COLUMN score DOUBLE COMMENT 'quality'")
+    // generation-1 shards surface null for the new column
+    val gen1 = sql("SELECT k, score FROM wh.evo.t ORDER BY k").collect()
+    assert(gen1.map(r => (r.getLong(0), r.isNullAt(1))).toSeq ==
+      Seq((1L, true), (2L, true)))
+    sql("INSERT INTO wh.evo.t VALUES (3, 'fr', 0.5)")
+    val both = sql(
+      "SELECT k, score FROM wh.evo.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+    assert(both.toSeq == Seq((1L, -1.0), (2L, -1.0), (3L, 0.5)))
+    // metadata durability: a fresh loadTable sees the evolved schema
+    assert(sql("DESCRIBE wh.evo.t").collect()
+      .exists(r => r.getString(0) == "score" && r.getString(1) == "double"))
+    // comment + relax-nullability are metadata-only and accepted
+    sql("ALTER TABLE wh.evo.t ALTER COLUMN score COMMENT 'updated'")
+    // refused surface: type changes and NOT NULL tightening
+    val e1 = intercept[Exception](
+      sql("ALTER TABLE wh.evo.t ALTER COLUMN score TYPE STRING"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e1).exists(_.contains("type changes are refused")))
+    // Spark's analyzer refuses the tightening before it reaches the
+    // catalog (the catalog-side guard stays as defense-in-depth)
+    val e2 = intercept[Exception](
+      sql("ALTER TABLE wh.evo.t ALTER COLUMN score SET NOT NULL"))
+    assert(msgs(e2).exists(_.contains("non-nullable")))
+    sql("DROP TABLE wh.evo.t")
+  }
+
   test("SHOW TABLES / rename / drop / metadata durability") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.meta")
     sql("CREATE TABLE wh.meta.a (x BIGINT)")
