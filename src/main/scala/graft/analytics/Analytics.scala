@@ -86,6 +86,13 @@ object Analytics {
   /** Revenue by market segment: two fact joins; customer joins orders on
     * custkey (shuffle), lineitem joins on orderkey (shuffle). */
   def segmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    // sf0.1 floor note (r8 measurement): settled medians are ~1.5s for
+    // ANY correct shape — pre-agg-then-join (this), direct join, or
+    // explicit two-level distinct all land 1.3-1.7s, while the whole
+    // lineitem pre-agg alone is 0.46s and decimal-vs-long arithmetic
+    // differs by 0.07s. The balance is per-stage AQE scheduling latency
+    // (~7 query stages), a fixed cost that vanishes into real work at
+    // cluster scale; PlanShapeSpec pins the shape instead.
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")

@@ -65,6 +65,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(readSchema.contains("l_quantity"))
   }
 
+  test("q03/q04 star joins broadcast every dim and pre-aggregate lineitem") {
+    // the ~1.5s sf0.1 medians on these are stage-count x AQE scheduling
+    // latency, not plan defects (measured r8: pre-agg 0.46s settled,
+    // direct/2-level/full shapes all 1.3-1.7s) — so the thing to pin is
+    // that the SHAPE stays right: order-grain pre-agg before any join,
+    // every dim side broadcast, no sort-merge anywhere, and the
+    // lineitem scan pruned to its three referenced columns
+    for (q <- Seq("q03_segment_revenue", "q04_nation_revenue")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = planText(df)
+      assert(!p.contains("sortmergejoin"), s"$q: sort-merge join crept in")
+      assert(!p.contains("cartesianproduct"), s"$q: cartesian")
+      assert(p.contains("broadcasthashjoin"), s"$q: lost its broadcasts")
+      assert(p.contains("partial_sum"), s"$q: lost map-side combine")
+      // the pre-agg keys the FIRST aggregate on l_orderkey, before joins
+      assert(p.contains("hashaggregate(keys=[l_orderkey"),
+        s"$q: order-grain pre-aggregate gone")
+      assert(p.contains("readschema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+        s"$q: lineitem scan no longer pruned to 3 columns")
+    }
+  }
+
   test("q01 aggregation is partial (map-side combine) before the shuffle") {
     val plan = planText(graft.analytics.Analytics.pricingSummary(spark, sf))
     assert(plan.contains("hashaggregate"), s"plan:\n$plan")
@@ -292,21 +314,27 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q104 bloom decontamination: corpus probe is filtered BELOW the verify join") {
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalaUDF}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
     val df = graft.llm.LlmQueries.bloomDecontaminate(spark, sf)
     assert(!planText(df).contains("cartesianproduct"))
     val lp = df.queryExecution.optimizedPlan
-    // positional: SOME join must have the bloom-UDF filter in a CHILD
-    // subtree (prefilter); a UDF filter only above every join would be
-    // the postfilter regression this guard exists to catch
-    def hasUdfFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    // positional: SOME join must have the native might_contain filter in
+    // a CHILD subtree (prefilter); a probe only above every join would
+    // be the postfilter regression this guard exists to catch. The probe
+    // must also be the codegen'd Catalyst expression — a ScalaUDF here
+    // is the interpreted regression r8 removed.
+    def hasBloomFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
       p.collect { case f: LFilter
-        if f.condition.find(_.isInstanceOf[ScalaUDF]).isDefined => f }.nonEmpty
+        if f.condition.find(_.isInstanceOf[BloomFilterMightContain]).isDefined => f
+      }.nonEmpty
     val prefiltered = lp.collect {
-      case j: LJoin if hasUdfFilter(j.left) || hasUdfFilter(j.right) => j
+      case j: LJoin if hasBloomFilter(j.left) || hasBloomFilter(j.right) => j
     }
     assert(prefiltered.nonEmpty, s"bloom probe not below any join:\n$lp")
+    assert(lp.collect { case f: LFilter
+      if f.condition.find(_.isInstanceOf[ScalaUDF]).isDefined => f }.isEmpty,
+      "bloom probe regressed to a ScalaUDF")
   }
 
   test("q105 shared-span search joins on gram text — never cartesian") {
