@@ -1505,6 +1505,50 @@ object LlmQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_jpeg_close
       |FROM documents WHERE doc_id < 500""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+  /** End-to-end REAL audio pipeline ([[AudioCodec]], the acoustic
+    * sibling of q119/q194): deterministic WAV clips seeded per doc_id
+    * ([[SyntheticAudio]]), decoded through the RIFF/PCM-16 parser,
+    * reduced to integer acoustic features (loudness integral, peak,
+    * zero crossings, 64-frame energy-delta sign fingerprint) — each
+    * clip against its gain-halved re-level, whose fingerprint must sit
+    * within a small hamming radius (uniform gain preserves frame-
+    * energy ORDER up to integer-truncation ties — the invariance the
+    * descriptor exists to provide). Golden literals are legitimate:
+    * the whole pipeline is integer + StrictMath arithmetic, specified
+    * bit-exactly across JVMs, unlike the q194 JPEG samples. */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def feats(gain: Int, p: String) =
+      docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val a = AudioCodec.decode(SyntheticAudio.generate(id, gain)).get
+          val f = AudioCodec.features(a)
+          (id, f.nSamples, f.sumAbs, f.peak, f.zeroCrossings,
+            f.energyFingerprint)
+        })
+        .toDF("doc_id", p + "n", p + "sum_abs", p + "peak", p + "zc", p + "fp")
+    feats(100, "o_").join(feats(50, "v_"), "doc_id")
+      .withColumn("ham", bit_count(col("o_fp").bitwiseXOR(col("v_fp"))))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("bit_xor(o_fp)").as("xor_fp"),
+        sum(col("o_zc")).as("sum_zc"),
+        max(col("o_peak")).cast("long").as("max_peak"),
+        sum(when(col("ham") <= lit(4), 1L).otherwise(0L)).as("n_fp_close"))
+  }
+
+  // golden values computed once from the deterministic generator +
+  // decoder over doc_ids 0..499 (present at every sf); n_fp_close == n
+  // pins the gain-invariance of the energy fingerprint
+  val audioFeaturesSql: String =
+    """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 500) AS n,
+      |  CAST(2252336163610265883 AS BIGINT) AS xor_fp,
+      |  CAST(479131 AS BIGINT) AS sum_zc,
+      |  CAST(17406 AS BIGINT) AS max_peak,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 500) AS n_fp_close""".stripMargin
+
   // ---------------------------------------------------------------- q123
   /** Contrastive negative sampling ([[NegativeSampling]]): k=4
     * deterministic different-label negatives per anchor from a 10%
@@ -1834,6 +1878,7 @@ object LlmQueries {
     "q119_image_phash" -> (imagePhash _),
     "q120_ivfpq_topk" -> (ivfPqTopK _),
     "q194_image_codec_roundtrip" -> (imageCodecRoundtrip _),
+    "q200_audio_features" -> (audioFeatures _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1898,6 +1943,7 @@ object LlmQueries {
     "q112_prototype_confusion" -> prototypeConfusionSql,
     "q119_image_phash" -> imagePhashSql,
     "q194_image_codec_roundtrip" -> imageCodecRoundtripSql,
+    "q200_audio_features" -> audioFeaturesSql,
     "q120_ivfpq_topk" -> ivfPqTopKSql,
   )
 }
