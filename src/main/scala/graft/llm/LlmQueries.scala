@@ -1549,6 +1549,48 @@ object LlmQueries {
       |  CAST(17406 AS BIGINT) AS max_peak,
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 500) AS n_fp_close""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+  /** End-to-end REAL video pipeline ([[VideoCodec]], closing the
+    * image/audio/video triple): deterministic Y4M clips seeded per
+    * doc_id ([[SyntheticVideos]], 12 frames with a brightness walk +
+    * scrolling bar), frame-SAMPLED every 3rd frame (the pixel work a
+    * 100 TB corpus pays scales with sampled frames; skipped frames
+    * are an O(1) offset walk), each sampled luma plane pHashed — and
+    * every clip compared frame-by-frame against its re-exposed
+    * (brightness +12) variant, which must stay within the near-dup
+    * hamming radius. Golden literals are legitimate: decode, resample,
+    * and the StrictMath DCT are bit-specified. */
+  def videoFrameHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hashes(brightness: Int, p: String) =
+      docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long]
+        .flatMap { id =>
+          val (meta, hs) = VideoCodec.frameHashes(
+            SyntheticVideos.generate(id, brightness), sampleEvery = 3).get
+          hs.map { case (fi, hv) => (id, fi, meta.nFrames.toLong, hv) }
+        }
+        .toDF("doc_id", "frame", p + "total", p + "h")
+    hashes(0, "o_").join(hashes(12, "v_"), Seq("doc_id", "frame"))
+      .withColumn("ham", bit_count(col("o_h").bitwiseXOR(col("v_h"))))
+      .agg(
+        count(lit(1)).as("n_frames_sampled"),
+        countDistinct(col("doc_id")).as("n_clips"),
+        sum(col("o_total")).as("sum_total_frames"),
+        expr("bit_xor(o_h)").as("xor_hash"),
+        sum(when(col("ham") <= lit(10), 1L).otherwise(0L)).as("n_close"))
+  }
+
+  // goldens over doc_ids 0..299 (a window present at every sf):
+  // 4 sampled frames per 12-frame clip; n_close == n_frames_sampled
+  // pins the re-exposure invariance frame by frame
+  val videoFrameHashesSql: String =
+    """SELECT (SELECT CAST(4 * COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 300) AS n_frames_sampled,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 300) AS n_clips,
+      |  (SELECT CAST(48 * COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 300) AS sum_total_frames,
+      |  CAST(-3306504184127469056 AS BIGINT) AS xor_hash,
+      |  (SELECT CAST(4 * COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 300) AS n_close""".stripMargin
+
   // ---------------------------------------------------------------- q123
   /** Contrastive negative sampling ([[NegativeSampling]]): k=4
     * deterministic different-label negatives per anchor from a 10%
@@ -1879,6 +1921,7 @@ object LlmQueries {
     "q120_ivfpq_topk" -> (ivfPqTopK _),
     "q194_image_codec_roundtrip" -> (imageCodecRoundtrip _),
     "q200_audio_features" -> (audioFeatures _),
+    "q201_video_frame_hashes" -> (videoFrameHashes _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1944,6 +1987,7 @@ object LlmQueries {
     "q119_image_phash" -> imagePhashSql,
     "q194_image_codec_roundtrip" -> imageCodecRoundtripSql,
     "q200_audio_features" -> audioFeaturesSql,
+    "q201_video_frame_hashes" -> videoFrameHashesSql,
     "q120_ivfpq_topk" -> ivfPqTopKSql,
   )
 }
