@@ -57,7 +57,8 @@ class JsonlTable(tableSchema: StructType, path: String,
                  partCols: Seq[String] = Nil)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   require(path != null, "graft-jsonl requires a path (use .load/.save(path))")
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = tableSchema
@@ -80,6 +81,158 @@ class JsonlTable(tableSchema: StructType, path: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols)
+
+  // --------------------------------------------- partition management
+  //
+  // The hive layout IS the partition metadata, so SHOW PARTITIONS /
+  // ALTER TABLE ADD|DROP PARTITION are directory operations — the
+  // same O(partitions) class as DELETE below. An ADD'ed partition is
+  // an empty `k=v/` dir (visible to SHOW, readable as zero rows);
+  // DROP removes the directory and its shards. Properties/metadata
+  // per partition have no storage here and are refused.
+
+  override def partitionSchema(): StructType =
+    StructType(partCols.map(c => tableSchema(tableSchema.fieldIndex(c))))
+
+  private def identValues(ident: InternalRow): Seq[Option[String]] = {
+    val ps = partitionSchema()
+    ps.fields.indices.map { i =>
+      if (ident.isNullAt(i)) None
+      else Some(ps.fields(i).dataType match {
+        case LongType => ident.getLong(i).toString
+        case IntegerType => ident.getInt(i).toString
+        case DoubleType => ident.getDouble(i).toString
+        case BooleanType => ident.getBoolean(i).toString
+        case StringType => ident.getUTF8String(i).toString
+        case dt => throw new UnsupportedOperationException(
+          s"graft-jsonl: unsupported partition type $dt")
+      })
+    }
+  }
+
+  private def identDir(ident: InternalRow): Path = {
+    val rel = partCols.zip(identValues(ident)).map { case (c, v) =>
+      s"$c=${v.map(JsonlLayout.escapePathName).getOrElse(JsonlLayout.NullPartition)}"
+    }.mkString("/")
+    new Path(path, rel)
+  }
+
+  private def pmFs = new Path(path)
+    .getFileSystem(JsonlHadoopConf.fromSession().value)
+
+  override def createPartition(ident: InternalRow,
+                               properties: java.util.Map[String, String]): Unit = {
+    if (partCols.isEmpty) throw new UnsupportedOperationException(
+      "graft-jsonl: table is not partitioned")
+    if (properties != null && !properties.isEmpty)
+      throw new UnsupportedOperationException(
+        "graft-jsonl: partition properties have no storage in the layout")
+    val fs = pmFs
+    val dir = identDir(ident)
+    if (fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+        name(), ident, partitionSchema())
+    fs.mkdirs(dir)
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    if (partCols.isEmpty) return false
+    val fs = pmFs
+    val dir = identDir(ident)
+    if (!fs.exists(dir)) return false
+    fs.delete(dir, true)
+    // prune now-empty ancestors so intermediate values leave the layout
+    var parent = dir.getParent
+    val root = new Path(path)
+    while (parent != null && parent != root &&
+      fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+      fs.delete(parent, false)
+      parent = parent.getParent
+    }
+    true
+  }
+
+  override def partitionExists(ident: InternalRow): Boolean =
+    partCols.nonEmpty && pmFs.exists(identDir(ident))
+
+  override def replacePartitionMetadata(
+      ident: InternalRow, properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-jsonl: partition properties have no storage in the layout")
+
+  override def loadPartitionMetadata(ident: InternalRow)
+      : java.util.Map[String, String] = java.util.Collections.emptyMap()
+
+  override def listPartitionIdentifiers(
+      names: Array[String], ident: InternalRow): Array[InternalRow] = {
+    if (partCols.isEmpty) return Array.empty
+    val ps = partitionSchema()
+    require(names.length == ident.numFields,
+      s"filter names (${names.length}) != ident arity (${ident.numFields})")
+    val wanted: Map[String, Option[String]] = names.zipWithIndex.map {
+      case (n, i) =>
+        val fi = ps.fieldIndex(n)
+        n -> (if (ident.isNullAt(i)) None
+              else Some(ps.fields(fi).dataType match {
+                case LongType => ident.getLong(i).toString
+                case IntegerType => ident.getInt(i).toString
+                case DoubleType => ident.getDouble(i).toString
+                case BooleanType => ident.getBoolean(i).toString
+                case StringType => ident.getUTF8String(i).toString
+                case dt => throw new UnsupportedOperationException(
+                  s"graft-jsonl: unsupported partition type $dt")
+              }))
+    }.toMap
+    // walk k=v dirs (NOT shards: an ADD'ed-but-empty partition must
+    // list) to full partitioning depth, then filter on the given values
+    val fs = pmFs
+    val root = new Path(path)
+    if (!fs.exists(root)) return Array.empty
+    def walk(dir: Path, depth: Int, acc: Map[String, Option[String]])
+        : Seq[Map[String, Option[String]]] = {
+      if (depth == partCols.length) return Seq(acc)
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap { d =>
+          val Array(k, v) = d.getPath.getName.split("=", 2)
+          if (k != partCols(depth)) Nil
+          else walk(d.getPath, depth + 1, acc + (k ->
+            (if (v == JsonlLayout.NullPartition) None
+             else Some(JsonlLayout.unescapePathName(v)))))
+        }
+    }
+    walk(root, 0, Map.empty)
+      .filter(pv => wanted.forall { case (k, v) => pv.get(k).contains(v) })
+      .map { pv =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          ps.fields.map { f =>
+            pv(f.name) match {
+              case None => null
+              case Some(s) => f.dataType match {
+                case LongType => s.toLong
+                case IntegerType => s.toInt
+                case DoubleType => s.toDouble
+                case BooleanType => s.toBoolean
+                case StringType =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                case dt => throw new UnsupportedOperationException(
+                  s"graft-jsonl: unsupported partition type $dt")
+              }
+            }
+          }.asInstanceOf[Array[Any]]): InternalRow
+      }.toArray
+  }
+
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    val fs = pmFs
+    val dir = identDir(ident)
+    if (!fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        name(), ident, partitionSchema())
+    fs.listStatus(dir).filter(st => st.isFile && JsonlLayout.isShard(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, false))
+    true
+  }
 
   // ------------------------------------------------------ DELETE WHERE
   //
@@ -257,6 +410,20 @@ object JsonlLayout {
     !n.startsWith("_") && !n.startsWith(".") &&
       (n.endsWith(".json") || n.endsWith(".jsonl") ||
         n.endsWith(".json.gz") || n.endsWith(".jsonl.gz"))
+
+  /** Spark-compatible dir-name escape: everything outside the safe
+    * set becomes %XX over UTF-8 bytes — the exact inverse of
+    * [[unescapePathName]]. */
+  def escapePathName(v: String): String = {
+    val sb = new java.lang.StringBuilder
+    v.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '_' || c == '-' || c == '.')
+        sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
 
   /** Inverse of Spark's `escapePathName`: decodes `%xx` sequences
     * ONLY — unlike URLDecoder, '+' is a literal plus and a stray '%'
@@ -1173,19 +1340,7 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
   private var staged: List[(String, String)] = Nil
   private var fileSeq = 0
 
-  /** Spark-compatible dir-name escape: everything outside the safe
-    * set becomes %XX over UTF-8 bytes — the exact inverse of
-    * [[JsonlLayout.unescapePathName]]. */
-  private def escape(v: String): String = {
-    val sb = new java.lang.StringBuilder
-    v.getBytes(StandardCharsets.UTF_8).foreach { b =>
-      val c = (b & 0xff).toChar
-      if (c.isLetterOrDigit && c < 128 || c == '_' || c == '-' || c == '.')
-        sb.append(c)
-      else sb.append(f"%%${b & 0xff}%02X")
-    }
-    sb.toString
-  }
+  private def escape(v: String): String = JsonlLayout.escapePathName(v)
 
   private def keyOf(row: InternalRow): Seq[Option[String]] =
     partIdx.map { i =>

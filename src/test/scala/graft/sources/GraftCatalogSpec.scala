@@ -205,6 +205,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.evo.t")
   }
 
+  test("SHOW PARTITIONS / ADD PARTITION / DROP PARTITION are directory ops") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.pm")
+    sql("CREATE TABLE wh.pm.t (k BIGINT, lang STRING) PARTITIONED BY (lang)")
+    sql("INSERT INTO wh.pm.t VALUES (1, 'en'), (2, 'de')")
+    def parts() = sql("SHOW PARTITIONS wh.pm.t").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(parts() == Seq("lang=de", "lang=en"))
+    // ADD PARTITION: an empty dir, visible to SHOW, readable as 0 rows
+    sql("ALTER TABLE wh.pm.t ADD PARTITION (lang = 'fr')")
+    assert(parts() == Seq("lang=de", "lang=en", "lang=fr"))
+    assert(sql("SELECT COUNT(*) FROM wh.pm.t WHERE lang='fr'")
+      .head.getLong(0) == 0L)
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    assert(new java.io.File(s"$root/pm/t/lang=fr").isDirectory)
+    // idempotence surface: IF NOT EXISTS passes, a bare re-ADD refuses
+    sql("ALTER TABLE wh.pm.t ADD IF NOT EXISTS PARTITION (lang = 'fr')")
+    intercept[Exception](sql("ALTER TABLE wh.pm.t ADD PARTITION (lang = 'fr')"))
+    // DROP PARTITION removes the dir AND its rows
+    sql("ALTER TABLE wh.pm.t DROP PARTITION (lang = 'de')")
+    assert(parts() == Seq("lang=en", "lang=fr"))
+    assert(sql("SELECT COUNT(*) FROM wh.pm.t").head.getLong(0) == 1L)
+    assert(!new java.io.File(s"$root/pm/t/lang=de").exists())
+    sql("DROP TABLE wh.pm.t")
+  }
+
   test("SHOW TABLES / rename / drop / metadata durability") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.meta")
     sql("CREATE TABLE wh.meta.a (x BIGINT)")
