@@ -534,6 +534,74 @@ object WarehouseQueries {
       |    AS sum_bucket
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q202
+  /** SQL `MERGE INTO` under the oracle gate — the reference's central
+    * BigQuery operation (S9) now as a first-class DSv2 statement over
+    * a [[graft.sources.dsv2.GraftCatalog]] table
+    * (`SupportsRowLevelOperations`, group copy-on-write: runtime group
+    * filtering narrows the rewrite to affected partitions, the scanned
+    * shard set IS the replaced set). One MERGE exercises all three
+    * branches — matched-delete, matched-update, not-matched-insert —
+    * and the oracle recomputes the merged state relationally from the
+    * original parquet. Built once per (JVM, sf). */
+  private val mergeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def sqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_mrg_${math.abs(dir.hashCode).toString}"
+    val root = mergeRoots.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-merge").toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dsv2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", r)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      s.sql(s"""CREATE TABLE $cat.wh.dim
+               |  (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+               |  PARTITIONED BY (o_orderpriority)""".stripMargin)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .writeTo(s"$cat.wh.dim").append()
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .createOrReplaceTempView("graft_merge_source")
+      s.sql(
+        s"""MERGE INTO $cat.wh.dim t USING graft_merge_source src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED AND src.o_orderkey % 5 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 1
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, o_totalprice)
+           |  VALUES (src.o_orderkey, src.o_orderpriority, src.o_totalprice)
+           |""".stripMargin)
+      r
+    })
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM $cat.wh.dim GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin)
+  }
+
+  val sqlMergeSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 = 0),
+      |s AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |  WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT t.o_orderkey, t.o_orderpriority,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN t.o_totalprice + 1
+      |         ELSE t.o_totalprice END AS o_totalprice
+      |  FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+      |  WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_orderkey % 5 = 0)
+      |  UNION ALL
+      |  SELECT s.o_orderkey, s.o_orderpriority, s.o_totalprice FROM s
+      |  WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey))
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q188
   /** Storage-partitioned join through the DSv2 connector: two
     * lang-partitioned `graft-jsonl` layouts (corpus facts + per-lang
@@ -729,6 +797,7 @@ object WarehouseQueries {
     "q116_profile_orders_approx" -> (profileOrdersApprox _),
     "q114_dsv2_jsonl_scan" -> (dsv2JsonlScan _),
     "q199_catalog_evolution" -> (catalogEvolution _),
+    "q202_sql_merge" -> (sqlMerge _),
     "q188_spj_doc_join" -> (spjDocJoin _),
     "q193_catalog_sql_roundtrip" -> (catalogSqlRoundtrip _),
     "q94_profile_orders" -> (profileOrders _),
@@ -750,6 +819,7 @@ object WarehouseQueries {
     "q107_constraint_audit" -> constraintAuditSql,
     "q114_dsv2_jsonl_scan" -> dsv2JsonlScanSql,
     "q199_catalog_evolution" -> catalogEvolutionSql,
+    "q202_sql_merge" -> sqlMergeSql,
     "q188_spj_doc_join" -> spjDocJoinSql,
     "q193_catalog_sql_roundtrip" -> catalogSqlRoundtripSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,

@@ -58,7 +58,9 @@ class JsonlTable(tableSchema: StructType, path: String,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null, "graft-jsonl requires a path (use .load/.save(path))")
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = tableSchema
@@ -81,6 +83,49 @@ class JsonlTable(tableSchema: StructType, path: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols)
+
+  // --------------------------------------------- metadata columns
+  //
+  // `_shard`: the source shard file path, injected by the reader the
+  // same way partition values are — `SELECT _shard, * FROM t` gives
+  // row provenance, and the row-level operations below anchor their
+  // rewrite on it (requiredMetadataAttributes), which routes Spark's
+  // ReplaceData through the projection-applying write path.
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_shard"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "source shard file path"
+    })
+
+  // ------------------------------------------- row-level SQL surface
+  //
+  // MERGE INTO / UPDATE / row-level DELETE via Spark's GROUP-BASED
+  // rewrite (copy-on-write, the Iceberg COW design): Spark reads the
+  // target through the operation's scan, computes the complete
+  // post-operation content of the AFFECTED GROUPS itself
+  // (RewriteMergeIntoTable / RewriteUpdateTable /
+  // RewriteDeleteFromTable + RowLevelOperationRuntimeGroupFiltering),
+  // and hands it to the operation's write. The group granularity here
+  // is the partition directory: runtime group filtering DPPs the scan
+  // down to affected partitions, [[JsonlScan.planInputPartitions]]
+  // records the shards the scan settled on, and the write's commit
+  // swaps exactly those shards for the staged replacement — untouched
+  // partitions are never read or rewritten. Unpartitioned tables
+  // degrade to whole-table COW (one implicit group). The incremental
+  // O(|delta|) path for fact-scale upserts stays
+  // [[graft.operators.MergeUpsert]]; partition-predicate DELETEs
+  // never get here — Spark consults [[canDeleteWhere]] first and
+  // takes the metadata-only directory drop.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new JsonlRowLevelOperation(info.command(), tableSchema, path, partCols)
+    }
 
   // --------------------------------------------- partition management
   //
@@ -517,7 +562,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       columnar: Boolean = false,
                       countColumns: Int = 0,
                       limit: Int = -1,
-                      spj: Boolean = false)
+                      spj: Boolean = false,
+                      recordShardsTo: JsonlRowLevelOperation = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -671,12 +717,22 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * value is injected into rows by the reader (it is not stored in
     * the JSON lines; the `__HIVE_DEFAULT_PARTITION__` sentinel maps
     * back to null). Flat directories keep the original behavior. */
-  override def planInputPartitions(): Array[InputPartition] =
-    prunedShards()
+  override def planInputPartitions(): Array[InputPartition] = {
+    val shards = prunedShards()
+    // group-scoped copy-on-write (MERGE/UPDATE/DELETE rewrites): the
+    // shards this scan settles on — AFTER runtime group filtering —
+    // are exactly the groups the replacement write must swap out;
+    // record them on the shared operation (planInputPartitions runs
+    // on the driver, before any write task). Last plan wins: AQE may
+    // re-plan, and the final call reflects the final pruning.
+    if (recordShardsTo != null)
+      recordShardsTo.recordScannedShards(shards.map(_._1))
+    shards
       .map { case (f, _, pv) =>
         JsonlInputPartition(f, pv,
           if (spjActive) keyRowOf(pv) else null): InputPartition }
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (countMode)
@@ -1095,6 +1151,97 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
       }
 }
 
+/** One SQL MERGE/UPDATE/DELETE rewrite: Spark uses a single operation
+  * instance for both the target scan and the replacement write, which
+  * is what lets the scanned-group set flow from plan time to commit
+  * time (the Iceberg COW pattern).
+  *
+  *   - [[newScanBuilder]]: column pruning ONLY — row-level filter
+  *     pushdown is deliberately absent, because a COW scan must return
+  *     EVERY row of a participating group (the write replaces whole
+  *     shards; a row the scan drops is a row the rewrite loses).
+  *     Group selection happens through runtime filtering instead:
+  *     `RowLevelOperationRuntimeGroupFiltering` DPPs the scan to the
+  *     partitions that contain matches.
+  *   - [[requiredMetadataAttributes]] anchors the rewrite on `_shard`;
+  *     besides provenance this routes `ReplaceDataExec` through
+  *     `DataAndMetadataWritingSparkTask`, the path that actually
+  *     applies the row projection (the no-metadata path hands writers
+  *     the raw MergeRows output, `__row_operation` column included).
+  *   - [[newWriteBuilder]]: stages the replacement with the normal
+  *     clustered hive-layout writers; COMMIT deletes exactly the
+  *     recorded scanned shards, publishes the staged ones, and prunes
+  *     partition dirs the operation emptied. */
+final class JsonlRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    tableSchema: StructType, path: String, partCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  @volatile private var scannedShards: Seq[String] = Nil
+  private[dsv2] def recordScannedShards(shards: Seq[String]): Unit =
+    scannedShards = shards
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"graft-jsonl $cmd (group copy-on-write)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlRowLevelScanBuilder(tableSchema, path, this)
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_shard"))
+
+  override def newWriteBuilder(
+      wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        if (partCols.isEmpty)
+          new org.apache.spark.sql.connector.write.Write {
+            override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+              new JsonlBatchWrite(wInfo.schema(), path, wInfo.queryId(),
+                truncate = false, Nil,
+                replaceShards = () => scannedShards)
+          }
+        else
+          new org.apache.spark.sql.connector.write.Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions.clustered(
+                partCols.map(c => Expressions.identity(c)
+                  : org.apache.spark.sql.connector.expressions.Expression).toArray)
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              partCols.map(c =>
+                Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+                .toArray
+            override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+              new JsonlBatchWrite(wInfo.schema(), path, wInfo.queryId(),
+                truncate = false, partCols,
+                replaceShards = () => scannedShards)
+          }
+    }
+}
+
+/** Scan builder for the row-level rewrite: prunes COLUMNS (safe — a
+  * projection never drops rows) and nothing else; see
+  * [[JsonlRowLevelOperation]] for why filters must not push. */
+final class JsonlRowLevelScanBuilder(dataSchema: StructType, path: String,
+                                     op: JsonlRowLevelOperation)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = dataSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new JsonlScan(dataSchema, required, Array.empty, path,
+      recordShardsTo = op)
+}
+
 /** Streaming sink face of the connector: `writeStream.format
   * ("graft-jsonl")` (or `.toTable` on a catalog table). Each epoch
   * stages its shards under `_staging/<query>-e<epoch>/` and commits by
@@ -1226,7 +1373,8 @@ final case class JsonlCommitMessage(staged: Seq[(String, String)])
 final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
                             truncate: Boolean, partCols: Seq[String],
                             dynamicOverwrite: Boolean = false,
-                            overwriteFilters: Array[Filter] = null)
+                            overwriteFilters: Array[Filter] = null,
+                            replaceShards: () => Seq[String] = null)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1249,6 +1397,14 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         !n.startsWith("_") && !n.startsWith(".")
       }.foreach(st => f.delete(st.getPath, true))
     val staged = messages.flatMap { case JsonlCommitMessage(s) => s }
+    if (replaceShards != null) {
+      // group copy-on-write commit: the scanned shards ARE the replaced
+      // set — drop them (a shard deleted under us is fine; delete is
+      // best-effort per file), publish the staged replacement below,
+      // then prune any partition dir the operation emptied so the
+      // value leaves the layout like deleteWhere's
+      replaceShards().foreach(s => f.delete(new Path(s), false))
+    }
     if (overwriteFilters != null) {
       // static partition overwrite: drop every shard the predicate
       // selects (decidability pre-checked by the builder), then land
@@ -1290,6 +1446,19 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       f.mkdirs(destDir)
       if (!f.rename(s, new Path(destDir, s.getName)))
         throw new java.io.IOException(s"commit rename failed for $s")
+    }
+    if (replaceShards != null) {
+      // an operation that emptied a whole partition leaves a bare dir:
+      // prune it so the value leaves the layout (deleteWhere contract)
+      def prune(dir: Path): Boolean = {
+        if (!f.getFileStatus(dir).isDirectory) return false
+        val remaining = f.listStatus(dir).filterNot { st =>
+          st.isDirectory && st.getPath.getName.contains("=") && prune(st.getPath)
+        }
+        if (remaining.isEmpty && dir != dest) { f.delete(dir, false); true }
+        else false
+      }
+      prune(dest)
     }
     cleanupStaging(f)
   }
@@ -1529,6 +1698,9 @@ final class JsonlPartitionReader(file: String, required: StructType,
         }
       case _ => ()
     }
+    // `_shard` metadata column: provenance, injected exactly like a
+    // partition value (only consulted when the read schema asks)
+    n.put("_shard", file)
     n
   }
 

@@ -86,7 +86,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.tmp.flat")
   }
 
-  test("DELETE on a partition predicate drops directories; finer predicates refuse") {
+  test("DELETE on a partition predicate drops directories; finer predicates rewrite") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.del")
     sql("CREATE TABLE wh.del.t (k BIGINT, lang STRING) PARTITIONED BY (lang)")
     sql("INSERT INTO wh.del.t VALUES (1,'en'), (2,'en'), (3,'de'), (4,'fr')")
@@ -96,9 +96,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     // the partition value vanished from the layout entirely
     val root = spark.conf.get("spark.sql.catalog.wh.root")
     assert(!new java.io.File(s"$root/del/t/lang=en").exists())
-    // a row-level predicate must refuse, not rewrite
-    val e = intercept[Exception](sql("DELETE FROM wh.del.t WHERE k = 3"))
-    assert(e.getMessage.toLowerCase.contains("delete"))
+    // a row-level predicate takes the copy-on-write rewrite (round 8:
+    // SupportsRowLevelOperations) — previously refused
+    sql("DELETE FROM wh.del.t WHERE k = 3")
+    assert(sql("SELECT k FROM wh.del.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
     // IN predicates are decidable per-dir
     sql("DELETE FROM wh.del.t WHERE lang IN ('de', 'fr')")
     assert(sql("SELECT COUNT(*) FROM wh.del.t").head.getLong(0) == 0L)
@@ -228,6 +230,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT COUNT(*) FROM wh.pm.t").head.getLong(0) == 1L)
     assert(!new java.io.File(s"$root/pm/t/lang=de").exists())
     sql("DROP TABLE wh.pm.t")
+  }
+
+  test("SQL MERGE INTO: matched update, matched delete, not-matched insert") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.rlo")
+    sql("CREATE TABLE wh.rlo.dim (k BIGINT, v STRING, amt BIGINT) PARTITIONED BY (v)")
+    sql("INSERT INTO wh.rlo.dim VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    sql("CREATE TABLE wh.rlo.upd (k BIGINT, v STRING, amt BIGINT)")
+    sql("INSERT INTO wh.rlo.upd VALUES (1, 'a', 11), (3, 'b', -1), (4, 'c', 40)")
+    sql("""MERGE INTO wh.rlo.dim t USING wh.rlo.upd s ON t.k = s.k
+          |WHEN MATCHED AND s.amt < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+          |WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)
+          |""".stripMargin)
+    val got = sql("SELECT k, v, amt FROM wh.rlo.dim ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 11L), (2L, "a", 20L), (4L, "c", 40L)))
+    // the rewrite preserved the hive layout (partition dirs, not flat)
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    assert(new java.io.File(s"$root/rlo/dim/v=c").isDirectory)
+    assert(!new java.io.File(s"$root/rlo/dim/v=b").exists()
+      || new java.io.File(s"$root/rlo/dim/v=b").listFiles().isEmpty)
+    sql("DROP TABLE wh.rlo.upd")
+  }
+
+  test("SQL UPDATE and row-level DELETE rewrite; partition DELETE stays metadata-only") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.rlo")
+    sql("CREATE TABLE wh.rlo.u (k BIGINT, v STRING, amt BIGINT) PARTITIONED BY (v)")
+    sql("INSERT INTO wh.rlo.u VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    sql("UPDATE wh.rlo.u SET amt = amt + 100 WHERE k >= 2")
+    assert(sql("SELECT sum(amt) FROM wh.rlo.u").head.getLong(0) == 260L)
+    // row-level DELETE now rewrites instead of refusing
+    sql("DELETE FROM wh.rlo.u WHERE k = 2")
+    assert(sql("SELECT k FROM wh.rlo.u ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // but a partition-only predicate still takes the metadata path:
+    // the v=b DIRECTORY disappears (a rewrite would leave an empty dir
+    // or rewritten shards behind)
+    sql("DELETE FROM wh.rlo.u WHERE v = 'b'")
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    assert(!new java.io.File(s"$root/rlo/u/v=b").exists())
+    assert(sql("SELECT k FROM wh.rlo.u").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    sql("DROP TABLE wh.rlo.u")
   }
 
   test("SHOW TABLES / rename / drop / metadata durability") {
