@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DSv2 `TableCatalog` over a directory tree of `graft-jsonl`
@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * surface — the catalog adds naming, not a new execution path.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -189,6 +190,140 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.exists(destNs)) throw new NoSuchNamespaceException(newIdent.namespace)
     if (!fs.rename(tableDir(oldIdent), tableDir(newIdent)))
       throw new java.io.IOException(s"rename $oldIdent -> $newIdent failed")
+  }
+
+  // ---------------------------------------------------------- views
+  //
+  // SQL views (`CREATE VIEW wh.ns.v AS SELECT ...`): a view is ONE
+  // JSON file `<ns>/<name>.graftview.json` holding the query text +
+  // the resolution context Spark captured (current catalog/namespace,
+  // schema, column names/aliases/comments, properties). Files don't
+  // collide with tables (dirs) or sub-namespaces (dirs), and
+  // discovery never looks at files, so views are invisible to every
+  // other listing. Published atomically like table specs.
+
+  private def viewFile(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), s"${ident.name}.graftview.json")
+
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+
+  private final case class GraftView(viewName: String, sql: String,
+      cat: String, ns: Array[String], viewSchema: StructType,
+      queryCols: Array[String], aliases: Array[String],
+      comments: Array[String], props: java.util.Map[String, String])
+      extends View {
+    override def name(): String = viewName
+    override def query(): String = sql
+    override def currentCatalog(): String = cat
+    override def currentNamespace(): Array[String] = ns
+    override def schema(): StructType = viewSchema
+    override def queryColumnNames(): Array[String] = queryCols
+    override def columnAliases(): Array[String] = aliases
+    override def columnComments(): Array[String] = comments
+    override def properties(): java.util.Map[String, String] = props
+  }
+
+  private def writeView(ident: Identifier, v: GraftView): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("sql", v.sql)
+    node.put("currentCatalog", v.cat)
+    val nsArr = node.putArray("currentNamespace"); v.ns.foreach(nsArr.add)
+    node.put("schema", v.viewSchema.json)
+    val qc = node.putArray("queryColumnNames"); v.queryCols.foreach(qc.add)
+    val al = node.putArray("columnAliases"); v.aliases.foreach(al.add)
+    val cm = node.putArray("columnComments")
+    v.comments.foreach(c => if (c == null) cm.addNull() else cm.add(c))
+    val pr = node.putObject("properties")
+    v.props.forEach((k, pv) => pr.put(k, pv))
+    val mf = viewFile(ident)
+    val tmp = new Path(mf.getParent, s".${mf.getName}.tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+    out.close()
+    if (fs.exists(mf)) fs.delete(mf, false)
+    if (!fs.rename(tmp, mf)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"view publish failed for $mf")
+    }
+  }
+
+  private def readView(ident: Identifier): GraftView = {
+    val mf = viewFile(ident)
+    if (!fs.exists(mf)) throw new NoSuchViewException(ident)
+    val in = fs.open(mf)
+    val bytes = try in.readAllBytes() finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, StandardCharsets.UTF_8))
+    def arr(field: String): Array[String] = {
+      val a = node.get(field)
+      (0 until a.size).map(i =>
+        if (a.get(i).isNull) null else a.get(i).asText).toArray
+    }
+    val props = new java.util.HashMap[String, String]()
+    node.get("properties").properties().forEach(e =>
+      props.put(e.getKey, e.getValue.asText))
+    GraftView(ident.name, node.get("sql").asText,
+      node.get("currentCatalog").asText, arr("currentNamespace"),
+      DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType],
+      arr("queryColumnNames"), arr("columnAliases"), arr("columnComments"),
+      props)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val d = nsDir(ns)
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(d)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".graftview.json"))
+      .map(st => Identifier.of(ns,
+        st.getPath.getName.stripSuffix(".graftview.json")))
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    fs.exists(viewFile(ident))
+
+  override def loadView(ident: Identifier): View = readView(ident)
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (!fs.exists(nsDir(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val v = GraftView(ident.name, info.sql, info.currentCatalog,
+      info.currentNamespace, info.schema, info.queryColumnNames,
+      info.columnAliases, info.columnComments, info.properties)
+    writeView(ident, v)
+    v
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = readView(ident)
+    val props = new java.util.HashMap[String, String](v.props)
+    changes.foreach {
+      case s: ViewChange.SetProperty => props.put(s.property, s.value)
+      case r: ViewChange.RemoveProperty => props.remove(r.property)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported view change $other")
+    }
+    val nv = v.copy(props = props)
+    writeView(ident, nv)
+    nv
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val mf = viewFile(ident)
+    fs.exists(mf) && fs.delete(mf, false)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
+    if (!fs.exists(nsDir(newIdent.namespace)))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    if (!fs.rename(viewFile(oldIdent), viewFile(newIdent)))
+      throw new java.io.IOException(s"view rename $oldIdent -> $newIdent failed")
   }
 
   // ----------------------------------------------------- namespaces

@@ -60,7 +60,8 @@ class JsonlTable(tableSchema: StructType, path: String,
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   require(path != null, "graft-jsonl requires a path (use .load/.save(path))")
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = tableSchema
@@ -83,6 +84,20 @@ class JsonlTable(tableSchema: StructType, path: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols)
+
+  /** SQL `TRUNCATE TABLE`: drop every data entry, keep metadata
+    * (`_`/`.`-prefixed — table spec, stream log) — the statement form
+    * of the unconditional DELETE below. */
+  override def truncateTable(): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(JsonlHadoopConf.fromSession().value)
+    if (fs.exists(p))
+      fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.foreach(st => fs.delete(st.getPath, true))
+    true
+  }
 
   // --------------------------------------------- metadata columns
   //

@@ -275,6 +275,80 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.rlo.u")
   }
 
+  test("the COW rewrite scan pushes no row filters and group-prunes at runtime") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.rlo")
+    sql("CREATE TABLE wh.rlo.ps (k BIGINT, v STRING, amt BIGINT) PARTITIONED BY (v)")
+    sql("INSERT INTO wh.rlo.ps VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    val df = sql("UPDATE wh.rlo.ps SET amt = amt + 100 WHERE k >= 2")
+    val plan = df.queryExecution.executedPlan.toString
+    // a COW scan that row-filters loses carry-over rows — the guard
+    // that caught the r8 bug: the rewrite scan must push NOTHING and
+    // rely on the runtime group filter for partition narrowing
+    assert(plan.contains("PushedFilters: []"),
+      s"rewrite scan pushed row filters:\n${plan.take(2000)}")
+    assert(plan.contains("dynamicpruningexpression"),
+      s"rewrite scan lost runtime group filtering:\n${plan.take(2000)}")
+    assert(sql("SELECT sum(amt) FROM wh.rlo.ps").head.getLong(0) == 260L)
+    sql("DROP TABLE wh.rlo.ps")
+  }
+
+  test("ViewCatalog: create / load / list / alter / rename / drop, durable") {
+    // vanilla Spark 4.1 defines the ViewCatalog API but does not route
+    // SQL view statements to v2 catalogs (ResolveSessionCatalog throws
+    // MISSING_CATALOG_ABILITY for any non-session catalog — wiring the
+    // SQL path needs an Iceberg-style extensions package), so this
+    // exercises the API surface the engine CAN own: persisted view
+    // definitions with the stored resolution context.
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.vw")
+    sql("CREATE TABLE wh.vw.base (k BIGINT, lang STRING) PARTITIONED BY (lang)")
+    sql("INSERT INTO wh.vw.base VALUES (1,'en'), (2,'en'), (3,'de')")
+    val cat = spark.sessionState.catalogManager.catalog("wh")
+      .asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(Array("vw"), "en_only")
+    val viewSql = "SELECT k, lang FROM wh.vw.base WHERE lang = 'en'"
+    val schema = spark.sql(viewSql).schema
+    cat.createView(new ViewInfo(ident, viewSql, "wh", Array("vw"), schema,
+      schema.fieldNames, Array.empty, Array.empty,
+      java.util.Collections.emptyMap()))
+    // the stored SQL resolves against current data
+    val v = cat.loadView(ident)
+    assert(v.query() == viewSql && v.currentCatalog() == "wh")
+    assert(spark.sql(v.query()).count() == 2L)
+    sql("INSERT INTO wh.vw.base VALUES (4, 'en')")
+    assert(spark.sql(cat.loadView(ident).query()).count() == 3L)
+    // listed; invisible to table listings and namespace listings
+    assert(cat.listViews("vw").map(_.name).toSeq == Seq("en_only"))
+    assert(!sql("SHOW TABLES IN wh.vw").collect().map(_.getString(1))
+      .contains("en_only"))
+    // property changes + rename persist
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    cat.alterView(ident, ViewChange.setProperty("note", "x"))
+    assert(cat.loadView(ident).properties().get("note") == "x")
+    val ident2 = Identifier.of(Array("vw"), "en2")
+    cat.renameView(ident, ident2)
+    assert(cat.viewExists(ident2) && !cat.viewExists(ident))
+    intercept[Exception](cat.loadView(ident))
+    intercept[Exception](cat.createView(new ViewInfo(ident2, viewSql, "wh",
+      Array("vw"), schema, schema.fieldNames, Array.empty, Array.empty,
+      java.util.Collections.emptyMap())))
+    assert(cat.dropView(ident2))
+    assert(cat.listViews("vw").isEmpty)
+    sql("DROP TABLE wh.vw.base")
+  }
+
+  test("TRUNCATE TABLE drops data, keeps the table and its stream log") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.tr")
+    sql("CREATE TABLE wh.tr.t (k BIGINT, lang STRING) PARTITIONED BY (lang)")
+    sql("INSERT INTO wh.tr.t VALUES (1,'en'), (2,'de')")
+    sql("TRUNCATE TABLE wh.tr.t")
+    assert(sql("SELECT COUNT(*) FROM wh.tr.t").head.getLong(0) == 0L)
+    sql("INSERT INTO wh.tr.t VALUES (9,'fr')")
+    assert(sql("SELECT k FROM wh.tr.t").collect().map(_.getLong(0)).toSeq
+      == Seq(9L))
+    sql("DROP TABLE wh.tr.t")
+  }
+
   test("SHOW TABLES / rename / drop / metadata durability") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.meta")
     sql("CREATE TABLE wh.meta.a (x BIGINT)")
