@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+    with org.apache.spark.sql.connector.catalog.ViewCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -369,6 +370,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
     else fs.delete(d, true)
   }
+
+  // ------------------------------------------------------- functions
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftSqlFunctions.names.map(Identifier.of(Array("system"), _)).toArray
+    else if (namespace.isEmpty || fs.exists(nsDir(namespace))) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.sameElements(Array("system")) &&
+      GraftSqlFunctions.names.contains(ident.name))
+      GraftSqlFunctions.load(ident.name)
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ------------------------------------------------------ procedures
 

@@ -337,6 +337,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.vw.base")
   }
 
+  test("catalog functions: wh.system.* resolve, codegen, and match the expressions") {
+    // the v2 function path IS wired in vanilla Spark (unlike views):
+    // resolution, binding, and the magic-method Invoke all engage
+    val j = sql("SELECT wh.system.py_to_json(\"{'a': 1, 'b': None}\") AS js")
+      .head.getString(0)
+    assert(j == """{"a":1,"b":null}""")
+    assert(sql("SELECT wh.system.coerce_numeric('[3.5, 7]') AS v")
+      .head.getDouble(0) == 3.5)
+    assert(sql("SELECT wh.system.word_ngrams('a b c d', 3) AS g")
+      .head.getSeq[String](0) == Seq("a b c", "b c d"))
+    // identical to the session-extension expression path by construction
+    val viaExpr = sql("SELECT simhash_fingerprint('the quick brown fox', 48) AS h")
+      .head.getString(0)
+    val viaCat = sql("SELECT wh.system.simhash_fingerprint('the quick brown fox', 48) AS h")
+      .head.getString(0)
+    assert(viaCat == viaExpr)
+    // nulls propagate, listing works
+    assert(sql("SELECT wh.system.py_to_json(CAST(NULL AS STRING))").head.isNullAt(0))
+    assert(sql("SHOW FUNCTIONS IN wh.system").collect().map(_.getString(0))
+      .exists(_.endsWith("py_to_json")))
+  }
+
   test("TRUNCATE TABLE drops data, keeps the table and its stream log") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.tr")
     sql("CREATE TABLE wh.tr.t (k BIGINT, lang STRING) PARTITIONED BY (lang)")
