@@ -674,9 +674,17 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   }
 
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    layout.flatMap(_._3.keys).distinct.map(
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val base = layout.flatMap(_._3.keys).distinct
+    // row-level rewrites additionally group-filter on `_shard`: the
+    // matching rows' shard set arrives as a runtime IN filter and
+    // prunes the rewrite to exactly the files holding matches — the
+    // difference between shard-scoped and whole-table copy-on-write
+    // on unpartitioned (or coarsely partitioned) tables
+    val all = if (recordShardsTo != null) base :+ "_shard" else base
+    all.map(
       org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
 
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
@@ -714,13 +722,27 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * one definition serving planning, statistics, and runtime
     * filtering (statically pushed filters AND any execution-time
     * runtime filters both prune). */
+  /** Shard-identity pruning for the row-level rewrite path: a runtime
+    * filter whose ONLY reference is `_shard` admits a shard iff its
+    * path is in the filter's value set. Unknown shapes admit (no
+    * pruning — always safe). */
+  private def shardAdmitted(file: String, fl: Filter): Boolean = fl match {
+    case org.apache.spark.sql.sources.In("_shard", vs) =>
+      vs.exists(v => v != null && v.toString == file)
+    case org.apache.spark.sql.sources.EqualTo("_shard", v) =>
+      v != null && v.toString == file
+    case _ => true
+  }
+
   private def prunedShards()
       : Seq[(String, Long, Map[String, Option[String]])] =
-    layout.filter { case (_, _, pv) =>
+    layout.filter { case (f, _, pv) =>
       pv.forall { case (k, v) =>
         (pushed ++ runtimeFilters)
           .forall(JsonlPartitionPruning.admits(_, k, v, dataSchema))
-      }
+      } && runtimeFilters
+        .filter(_.references.sameElements(Array("_shard")))
+        .forall(shardAdmitted(f, _))
     }
 
   /** Hive-style one-level partition layout (`lang=en/part-*.jsonl.gz`,

@@ -371,6 +371,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.tr.t")
   }
 
+  test("unpartitioned MERGE is shard-scoped COW: untouched shards keep identity") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.rlo")
+    sql("CREATE TABLE wh.rlo.flat (k BIGINT, amt BIGINT)")
+    // three separate single-row INSERTs -> three shards
+    sql("INSERT INTO wh.rlo.flat VALUES (1, 10)")
+    sql("INSERT INTO wh.rlo.flat VALUES (3, 30)")
+    sql("INSERT INTO wh.rlo.flat VALUES (5, 50)")
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val dir = new java.io.File(s"$root/rlo/flat")
+    def shards() = dir.listFiles().filter(_.getName.endsWith(".jsonl.gz"))
+      .map(_.getName).toSet
+    val before = shards()
+    assert(before.size == 3)
+    sql("CREATE TABLE wh.rlo.fsrc (k BIGINT, amt BIGINT)")
+    sql("INSERT INTO wh.rlo.fsrc VALUES (3, 333)")
+    // only the shard holding k=3 participates: the runtime _shard
+    // group filter prunes the rewrite, so the other two files are
+    // never read back or rewritten — byte-identical names survive
+    sql("""MERGE INTO wh.rlo.flat t USING wh.rlo.fsrc s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.amt = s.amt""".stripMargin)
+    val after = shards()
+    assert((before & after).size == 2, s"before=$before after=$after")
+    assert((before -- after).size == 1 && (after -- before).size == 1)
+    val got = sql("SELECT k, amt FROM wh.rlo.flat ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (3L, 333L), (5L, 50L)))
+    sql("DROP TABLE wh.rlo.flat"); sql("DROP TABLE wh.rlo.fsrc")
+  }
+
   test("SHOW TABLES / rename / drop / metadata durability") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.meta")
     sql("CREATE TABLE wh.meta.a (x BIGINT)")
