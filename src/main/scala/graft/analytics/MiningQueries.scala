@@ -982,12 +982,37 @@ object MiningQueries {
       .select(((col("b.cents") - col("a.cents")).cast("double")
         / datediff(col("b.d"), col("a.d")).cast("double")).as("slope"))
     val meta = daily.agg(count(lit(1)).as("n_days"))
-    pairs
-      .withColumn("rn", row_number().over(Window.orderBy("slope")))
-      .withColumn("np", count(lit(1)).over())
-      .filter(col("rn") === floor((col("np") + 1) / 2))
+    // the lower median by GLOBAL rank — but computed as a two-level
+    // rank over a range partitioning instead of one
+    // Window.orderBy(slope) (which drags every pair into a single
+    // partition: measured 4.0s at sf0.1, and at a 10-year axis the
+    // 6.7M-pair sort would hit one executor). RangePartitioner
+    // guarantees every value in partition i ≤ every value in i+1, so
+    // global rank = per-partition rank + the partition's offset; ties
+    // split across a boundary don't matter — the k-th VALUE is
+    // identical under any tie arrangement.
+    // persisted: the range boundaries come from SAMPLING, so the
+    // counts action and the rank query must see the SAME partitioning
+    // — recomputing would re-sample different boundaries and the
+    // offsets would belong to a different layout
+    val parts = pairs.repartitionByRange(32, col("slope"))
+      .withColumn("p", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = parts.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val np = counts.map(_._2).sum
+    val k = (np + 1) / 2
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) =>
+      (p, acc + c) }.init.zip(counts).map { case ((_, off), (p, _)) => (p, off) }
+    import s.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("p", "off"))
+    parts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("slope"))))
+      .join(offDf, "p")
+      .filter(col("off") + col("rn") === k)
       .select(col("slope").as("median_slope_cents_per_day"),
-        col("np").as("n_pairs"))
+        lit(np).as("n_pairs"))
       .crossJoin(meta)
   }
 
