@@ -485,23 +485,41 @@ object JsonlLayout {
     sb.toString
   }
 
-  /** Inverse of Spark's `escapePathName`: decodes `%xx` sequences
-    * ONLY — unlike URLDecoder, '+' is a literal plus and a stray '%'
-    * stays literal instead of throwing. */
+  /** Inverse of [[escapePathName]]: decodes `%xx` sequences ONLY —
+    * unlike URLDecoder, '+' is a literal plus and a stray '%' stays
+    * literal instead of throwing. BYTE-oriented: `%xx` escapes are
+    * UTF-8 BYTES (our escaper encodes multi-byte characters as one
+    * escape per byte), so decoding assembles bytes and UTF-8-decodes
+    * at the end — a char-per-escape decode turns every non-ASCII
+    * value into mojibake (caught by the round-8 property spec).
+    * Literal chars pass through as their own UTF-8 bytes, so dir
+    * names following Spark's convention (non-ASCII left unescaped)
+    * decode correctly too. */
   def unescapePathName(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
+    val bytes = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%' && i + 2 < s.length &&
         Character.digit(s.charAt(i + 1), 16) >= 0 &&
         Character.digit(s.charAt(i + 2), 16) >= 0) {
-        sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
-          Character.digit(s.charAt(i + 2), 16)).toChar)
+        bytes.write((Character.digit(s.charAt(i + 1), 16) << 4) +
+          Character.digit(s.charAt(i + 2), 16))
         i += 3
-      } else { sb.append(c); i += 1 }
+      } else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+        Character.isLowSurrogate(s.charAt(i + 1))) {
+        // supplementary characters: encode the surrogate PAIR together
+        // (a lone high surrogate would encode as the replacement char)
+        bytes.write(s.substring(i, i + 2).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        i += 2
+      } else {
+        bytes.write(c.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
     }
-    sb.toString
+    new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Shards of a table directory with their partition values: a flat
