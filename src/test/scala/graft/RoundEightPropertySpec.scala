@@ -40,6 +40,21 @@ class RoundEightPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PNG round-trips arbitrary rasters to bit-identical luma") {
+    val rnd = new Random(8805)
+    (1 to 15).foreach { _ =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val rgb = Array.fill(w * h)(rnd.nextInt(0x1000000))
+      val viaPng = graft.llm.ImageCodec.decode(
+        graft.llm.ImageCodec.encodePng(w, h, rgb)).get
+      val viaPpm = graft.llm.ImageCodec.decode(
+        graft.llm.ImageCodec.encodePpm(w, h, rgb)).get
+      assert(viaPng.width == w && viaPng.height == h)
+      assert(viaPng.gray.toSeq == viaPpm.gray.toSeq)
+    }
+  }
+
   test("escapePathName/unescapePathName invert over arbitrary unicode values") {
     val rnd = new Random(8803)
     (1 to 200).foreach { _ =>
