@@ -602,6 +602,39 @@ object WarehouseQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q203
+  /** Catalog FUNCTIONS under the oracle gate: a SQL-text query calling
+    * `graft_fn.system.word_ngrams` / `coerce_numeric` — the DSv2
+    * `FunctionCatalog` resolution + magic-method Invoke path
+    * ([[graft.sources.dsv2.GraftSqlFunctions]]) — aggregated over the
+    * corpus and recomputed relationally by DuckDB (trigram count of a
+    * w-word doc is max(w-2, 0); the coercion of a numeric string is
+    * the number). Proves the catalog-function surface end-to-end, not
+    * just at the spec level. */
+  def catalogFnNgrams(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_fn", "graft.sources.dsv2.GraftCatalog")
+    // functions don't touch storage, but the catalog requires a root
+    s.conf.set("spark.sql.catalog.graft_fn.root",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT lang,
+        |  CAST(SUM(size(graft_fn.system.word_ngrams(text, 3))) AS BIGINT)
+        |    AS total_trigrams,
+        |  CAST(SUM(graft_fn.system.coerce_numeric(CAST(n_chars AS STRING)))
+        |    AS BIGINT) AS coerced_chars,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val catalogFnNgramsSql: String =
+    """SELECT lang,
+      |  CAST(SUM(GREATEST(len(string_split(text, ' ')) - 2, 0)) AS BIGINT)
+      |    AS total_trigrams,
+      |  CAST(SUM(n_chars) AS BIGINT) AS coerced_chars,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q188
   /** Storage-partitioned join through the DSv2 connector: two
     * lang-partitioned `graft-jsonl` layouts (corpus facts + per-lang
@@ -798,6 +831,7 @@ object WarehouseQueries {
     "q114_dsv2_jsonl_scan" -> (dsv2JsonlScan _),
     "q199_catalog_evolution" -> (catalogEvolution _),
     "q202_sql_merge" -> (sqlMerge _),
+    "q203_catalog_fn_ngrams" -> (catalogFnNgrams _),
     "q188_spj_doc_join" -> (spjDocJoin _),
     "q193_catalog_sql_roundtrip" -> (catalogSqlRoundtrip _),
     "q94_profile_orders" -> (profileOrders _),
@@ -820,6 +854,7 @@ object WarehouseQueries {
     "q114_dsv2_jsonl_scan" -> dsv2JsonlScanSql,
     "q199_catalog_evolution" -> catalogEvolutionSql,
     "q202_sql_merge" -> sqlMergeSql,
+    "q203_catalog_fn_ngrams" -> catalogFnNgramsSql,
     "q188_spj_doc_join" -> spjDocJoinSql,
     "q193_catalog_sql_roundtrip" -> catalogSqlRoundtripSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
