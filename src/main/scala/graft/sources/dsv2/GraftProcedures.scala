@@ -210,7 +210,7 @@ object GraftProcedures {
         val horizon = System.currentTimeMillis() -
           input.getInt(1).toLong * 60000L
         val stagingRoot = new Path(table, "_staging")
-        val removed =
+        val fromStaging =
           if (!fs.exists(stagingRoot)) 0
           else {
             val old = fs.listStatus(stagingRoot)
@@ -220,8 +220,22 @@ object GraftProcedures {
               fs.delete(stagingRoot, false)
             old.length
           }
+        // crashed streaming commits also leak dot-files into the epoch
+        // log (`.N.inprogress` / `.N.tmp`); past the horizon they can
+        // only be leftovers — a LIVE epoch's marker is seconds old
+        val logRoot = new Path(table, "_graft_stream_log")
+        val fromLog =
+          if (!fs.exists(logRoot)) 0
+          else fs.listStatus(logRoot).filter(_.isDirectory).map { q =>
+            val stale = fs.listStatus(q.getPath).filter { st =>
+              st.getPath.getName.startsWith(".") &&
+                st.getModificationTime < horizon
+            }
+            stale.foreach(st => fs.delete(st.getPath, false))
+            stale.length
+          }.sum
         result(expireSchema,
-          Seq(new GenericInternalRow(Array[Any](removed))))
+          Seq(new GenericInternalRow(Array[Any](fromStaging + fromLog))))
       }
     }
 }

@@ -400,6 +400,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.rlo.flat"); sql("DROP TABLE wh.rlo.fsrc")
   }
 
+  test("CALL system.expire_staging sweeps stale staging AND stream-log droppings") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.exp")
+    sql("CREATE TABLE wh.exp.t (k BIGINT)")
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val tdir = new java.io.File(s"$root/exp/t")
+    // a crashed write attempt + a crashed streaming commit's markers
+    val stale = Seq(
+      new java.io.File(tdir, "_staging/dead-attempt/x.jsonl.gz"),
+      new java.io.File(tdir, "_graft_stream_log/q-dead/.7.inprogress"),
+      new java.io.File(tdir, "_graft_stream_log/q-dead/.8.tmp"))
+    stale.foreach { f => f.getParentFile.mkdirs(); f.createNewFile() }
+    // a DURABLE epoch record must survive (not a dot-file)
+    val epochLog = new java.io.File(tdir, "_graft_stream_log/q-dead/7")
+    epochLog.createNewFile()
+    val old = System.currentTimeMillis() - 3600L * 1000
+    (stale :+ epochLog).foreach(f => f.setLastModified(old))
+    new java.io.File(tdir, "_staging/dead-attempt").setLastModified(old)
+    val removed = sql("CALL wh.system.expire_staging('exp.t', age_minutes => 30)")
+      .head.getInt(0)
+    assert(removed == 3, s"removed=$removed")
+    assert(!stale.head.getParentFile.exists())
+    stale.tail.foreach(f => assert(!f.exists(), f.toString))
+    assert(epochLog.exists())
+    sql("DROP TABLE wh.exp.t")
+  }
+
   test("SHOW TABLES / rename / drop / metadata durability") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.meta")
     sql("CREATE TABLE wh.meta.a (x BIGINT)")
