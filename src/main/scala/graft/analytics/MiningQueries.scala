@@ -994,7 +994,10 @@ object MiningQueries {
     // persisted: the range boundaries come from SAMPLING, so the
     // counts action and the rank query must see the SAME partitioning
     // — recomputing would re-sample different boundaries and the
-    // offsets would belong to a different layout
+    // offsets would belong to a different layout. Not unpersisted here
+    // (the returned DataFrame still reads it); the ContextCleaner
+    // reclaims the cached RDD once the caller drops the result, and
+    // the bench harness unpersists between timings
     val parts = pairs.repartitionByRange(32, col("slope"))
       .withColumn("p", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

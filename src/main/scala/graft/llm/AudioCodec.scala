@@ -44,7 +44,11 @@ object AudioCodec {
       while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
         val id = new String(bytes, off, 4, "US-ASCII")
         val sz = le32(bytes, off + 4)
-        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        // Long math: a declared chunk size near Int.MaxValue would wrap
+        // `off + 8 + sz` negative, pass this check, and the data-chunk
+        // array allocation below would throw OutOfMemoryError — an
+        // Error the catch-all does not convert to None
+        if (sz < 0 || off.toLong + 8L + sz > bytes.length) return None
         id match {
           case "fmt " =>
             if (sz < 16) return None

@@ -487,7 +487,12 @@ object Dedup {
     // with the guard on, the prefix table feeds the bound aggregate AND
     // both sides of the candidate join — a LAZY persist lets the bound
     // action prime the cache the join then reads, without the eager
-    // write-out a localCheckpoint would add to the critical path
+    // write-out a localCheckpoint would add to the critical path. The
+    // handle is not unpersisted here (the returned DataFrame's join
+    // still reads it); once the caller drops the result, the
+    // ContextCleaner's reference tracking unpersists the unreachable
+    // cached RDD — the bench harness additionally unpersists all
+    // blocks between timings
     val prefix = if (maxCandidatePairs > 0L)
       prefix0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else prefix0

@@ -73,8 +73,16 @@ object VideoCodec {
       }
       if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
       if (c420 && ((w % 2) != 0 || (h % 2) != 0)) return None
-      val lumaLen = w * h
-      val frameLen = if (c420) lumaLen + lumaLen / 2 else lumaLen * 3
+      // Long math: header-claimed dimensions that overflow Int would
+      // wrap frameLen negative, defeat the truncation check below, and
+      // either loop forever (off stops advancing) or attempt a multi-GB
+      // allocation whose OutOfMemoryError the Exception catch does not
+      // convert to None — same hardening as ImageCodec's PNM/BMP paths
+      val lumaLenL = w.toLong * h
+      val frameLenL = if (c420) lumaLenL + lumaLenL / 2 else lumaLenL * 3
+      if (frameLenL > bytes.length) return None // no frame could fit
+      val lumaLen = lumaLenL.toInt
+      val frameLen = frameLenL.toInt
       val frameMarker = "FRAME".getBytes("US-ASCII")
       var off = eol + 1
       var idx = 0

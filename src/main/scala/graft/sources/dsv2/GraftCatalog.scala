@@ -243,11 +243,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val out = fs.create(tmp, true)
     out.write(mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
     out.close()
-    if (fs.exists(mf)) fs.delete(mf, false)
-    if (!fs.rename(tmp, mf)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"view publish failed for $mf")
-    }
+    publishOverwrite(tmp, mf)
   }
 
   private def readView(ident: Identifier): GraftView = {
@@ -427,13 +423,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val out = fs.create(tmp, true)
     out.write(mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
     out.close()
-    // local/HDFS rename refuses an existing target: drop the old spec
-    // first (ALTER re-publishes over it). The tmp file still holds the
-    // full new spec if a crash lands between the delete and the rename.
-    if (fs.exists(mf)) fs.delete(mf, false)
-    if (!fs.rename(tmp, mf)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"metadata publish failed for $mf")
+    publishOverwrite(tmp, mf)
+  }
+
+  /** Atomically replace `mf` with `tmp`. FileContext's OVERWRITE
+    * rename closes the crash window a delete-then-rename would leave
+    * (a table with NO spec file — invisible to the catalog); file
+    * systems without FileContext support (e.g. object stores) fall
+    * back to that window, with the tmp file as the recovery copy. */
+  private def publishOverwrite(tmp: Path, mf: Path): Unit = {
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf.value)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(mf),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(mf)) fs.delete(mf, false)
+        if (!fs.rename(tmp, mf)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"metadata publish failed for $mf")
+        }
     }
   }
 

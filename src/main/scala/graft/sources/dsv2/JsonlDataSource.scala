@@ -85,10 +85,10 @@ class JsonlTable(tableSchema: StructType, path: String,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols)
 
-  /** SQL `TRUNCATE TABLE`: drop every data entry, keep metadata
-    * (`_`/`.`-prefixed — table spec, stream log) — the statement form
-    * of the unconditional DELETE below. */
-  override def truncateTable(): Boolean = {
+  /** Drop every data entry under the table root, keeping metadata
+    * (`_`/`.`-prefixed — table spec, stream log): the shared wipe
+    * behind SQL `TRUNCATE TABLE` and the unconditional `DELETE FROM`. */
+  private def dropAllData(): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(JsonlHadoopConf.fromSession().value)
     if (fs.exists(p))
@@ -96,8 +96,10 @@ class JsonlTable(tableSchema: StructType, path: String,
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }.foreach(st => fs.delete(st.getPath, true))
-    true
   }
+
+  /** SQL `TRUNCATE TABLE`: the statement form of [[dropAllData]]. */
+  override def truncateTable(): Boolean = { dropAllData(); true }
 
   // --------------------------------------------- metadata columns
   //
@@ -154,19 +156,36 @@ class JsonlTable(tableSchema: StructType, path: String,
   override def partitionSchema(): StructType =
     StructType(partCols.map(c => tableSchema(tableSchema.fieldIndex(c))))
 
+  /** ONE pair of value↔path-string conversions shared by every
+    * partition-management entry point, so a type supported by SHOW
+    * PARTITIONS is by construction supported by ADD/DROP PARTITION
+    * and the identifier reconstruction. */
+  private def partValueToString(row: InternalRow, i: Int,
+                                dt: DataType): String = dt match {
+    case LongType => row.getLong(i).toString
+    case IntegerType => row.getInt(i).toString
+    case DoubleType => row.getDouble(i).toString
+    case BooleanType => row.getBoolean(i).toString
+    case StringType => row.getUTF8String(i).toString
+    case other => throw new UnsupportedOperationException(
+      s"graft-jsonl: unsupported partition type $other")
+  }
+
+  private def partValueFromString(s: String, dt: DataType): Any = dt match {
+    case LongType => s.toLong
+    case IntegerType => s.toInt
+    case DoubleType => s.toDouble
+    case BooleanType => s.toBoolean
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case other => throw new UnsupportedOperationException(
+      s"graft-jsonl: unsupported partition type $other")
+  }
+
   private def identValues(ident: InternalRow): Seq[Option[String]] = {
     val ps = partitionSchema()
     ps.fields.indices.map { i =>
       if (ident.isNullAt(i)) None
-      else Some(ps.fields(i).dataType match {
-        case LongType => ident.getLong(i).toString
-        case IntegerType => ident.getInt(i).toString
-        case DoubleType => ident.getDouble(i).toString
-        case BooleanType => ident.getBoolean(i).toString
-        case StringType => ident.getUTF8String(i).toString
-        case dt => throw new UnsupportedOperationException(
-          s"graft-jsonl: unsupported partition type $dt")
-      })
+      else Some(partValueToString(ident, i, ps.fields(i).dataType))
     }
   }
 
@@ -233,15 +252,7 @@ class JsonlTable(tableSchema: StructType, path: String,
       case (n, i) =>
         val fi = ps.fieldIndex(n)
         n -> (if (ident.isNullAt(i)) None
-              else Some(ps.fields(fi).dataType match {
-                case LongType => ident.getLong(i).toString
-                case IntegerType => ident.getInt(i).toString
-                case DoubleType => ident.getDouble(i).toString
-                case BooleanType => ident.getBoolean(i).toString
-                case StringType => ident.getUTF8String(i).toString
-                case dt => throw new UnsupportedOperationException(
-                  s"graft-jsonl: unsupported partition type $dt")
-              }))
+              else Some(partValueToString(ident, i, ps.fields(fi).dataType)))
     }.toMap
     // walk k=v dirs (NOT shards: an ADD'ed-but-empty partition must
     // list) to full partitioning depth, then filter on the given values
@@ -268,16 +279,7 @@ class JsonlTable(tableSchema: StructType, path: String,
           ps.fields.map { f =>
             pv(f.name) match {
               case None => null
-              case Some(s) => f.dataType match {
-                case LongType => s.toLong
-                case IntegerType => s.toInt
-                case DoubleType => s.toDouble
-                case BooleanType => s.toBoolean
-                case StringType =>
-                  org.apache.spark.unsafe.types.UTF8String.fromString(s)
-                case dt => throw new UnsupportedOperationException(
-                  s"graft-jsonl: unsupported partition type $dt")
-              }
+              case Some(s) => partValueFromString(s, f.dataType)
             }
           }.asInstanceOf[Array[Any]]): InternalRow
       }.toArray
@@ -320,13 +322,9 @@ class JsonlTable(tableSchema: StructType, path: String,
     val fs = p.getFileSystem(JsonlHadoopConf.fromSession().value)
     val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (effective.isEmpty) {
-      // DELETE FROM t with no (effective) predicate: drop every data
-      // entry, keep metadata (`_`/`.`-prefixed — table spec, stream log)
-      if (fs.exists(p))
-        fs.listStatus(p).filter { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }.foreach(st => fs.delete(st.getPath, true))
+      // DELETE FROM t with no (effective) predicate: same full wipe
+      // as TRUNCATE TABLE
+      dropAllData()
       return
     }
     val layout = JsonlLayout.discover(fs, p)
@@ -1351,12 +1349,18 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
     // epoch log absent). Its task attempt ids — and so its shard names —
     // can differ from this retry's, so an exists(target) check cannot
     // see them: sweep everything carrying this epoch's marker. The
-    // sweep is an O(table) listing, so it is gated on an in-progress
-    // marker — only a commit that actually began renaming leaves one,
-    // and the happy path never pays the scan.
+    // sweep is an O(table) listing, so it is gated: the happy path
+    // (a NEW epoch, strictly above everything logged) never pays it;
+    // a commit that left an in-progress marker, OR an epoch at/below
+    // the maximum logged epoch (a checkpoint ROLLBACK replaying an
+    // epoch whose log record retention may have pruned — the case a
+    // pure log check cannot cover) always does.
     f.mkdirs(logDir)
     val inprog = new Path(logDir, s".$epochId.inprogress")
-    if (f.exists(inprog)) {
+    val maxLogged = f.listStatus(logDir)
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .foldLeft(Long.MinValue)(math.max)
+    if (f.exists(inprog) || epochId <= maxLogged) {
       val marker = epochMarker(epochId)
       JsonlLayout.discover(f, dest)
         .map(_._1).filter(_.getName.endsWith(marker))

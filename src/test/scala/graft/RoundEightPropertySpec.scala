@@ -55,6 +55,25 @@ class RoundEightPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hostile headers: overflowing size claims decode to None, never hang or OOM") {
+    // Y4M: w*h wraps Int; the truncation check must still fire instead
+    // of the frame walk looping forever (off += negative frameLen)
+    val y4m = ("YUV4MPEG2 W2 H2147483646 F30:1 C420jpeg\nFRAME\n" + "x" * 64)
+      .getBytes("US-ASCII")
+    assert(VideoCodec.probe(y4m).isEmpty)
+    val y4m2 = ("YUV4MPEG2 W46341 H46341 F30:1 C444\nFRAME\n" + "x" * 64)
+      .getBytes("US-ASCII") // 46341^2 overflows Int
+    assert(VideoCodec.probe(y4m2).isEmpty)
+    // WAV: a data chunk declaring ~Int.MaxValue bytes must fail the
+    // bounds check, not allocate gigabytes
+    val wav = AudioCodec.encodeWav(8000, Array.fill(4)(1))
+    val evil = wav.clone()
+    def le32(o: Int, v: Int): Unit =
+      (0 to 3).foreach(i => evil(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    le32(40, 0x7ffffff0) // data chunk size
+    assert(AudioCodec.decode(evil).isEmpty)
+  }
+
   test("escapePathName/unescapePathName invert over arbitrary unicode values") {
     val rnd = new Random(8803)
     (1 to 200).foreach { _ =>

@@ -137,6 +137,33 @@ class JsonlStreamingWriteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE swh.s.ev")
   }
 
+  test("checkpoint rollback past log retention: old epoch re-commit stays exactly-once") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmp("jsonl-rollback")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id long, v string")
+    val w = new graft.sources.dsv2.JsonlStreamingWrite(schema, dir, "q-rb", Nil)
+    def writeEpoch(epoch: Long, taskId: Long, id: Long) = {
+      val dw = new graft.sources.dsv2.JsonlDataWriter(schema, dir, s"q-rb-e$epoch",
+        0, taskId, graft.sources.dsv2.JsonlHadoopConf.fromSession())
+      dw.write(InternalRow(id, UTF8String.fromString("x")))
+      dw.commit()
+    }
+    w.commit(3L, Array(writeEpoch(3L, 1L, 30L)))
+    w.commit(200L, Array(writeEpoch(200L, 2L, 42L)))
+    // retention pruned epoch 3's log record (200 - 100 horizon) but
+    // its published shard is live
+    assert(!new java.io.File(s"$dir/_graft_stream_log/q-rb/3").exists())
+    // a restored old checkpoint replays epoch 3 with a NEW task id:
+    // the epoch sits at/below the max logged epoch, so the commit
+    // sweeps the original shards before republishing — exactly-once
+    // survives the rollback even without the log record
+    w.commit(3L, Array(writeEpoch(3L, 9L, 30L)))
+    val ids = spark.read.format("graft-jsonl").schema("id long, v string")
+      .load(dir).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(30L, 42L))
+  }
+
   test("streaming foreachBatch MERGE INTO a catalog table: upserts, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
