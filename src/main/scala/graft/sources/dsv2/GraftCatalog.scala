@@ -440,10 +440,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         if (fs.exists(mf)) fs.delete(mf, false)
-        if (!fs.rename(tmp, mf)) {
-          fs.delete(tmp, false)
-          throw new java.io.IOException(s"metadata publish failed for $mf")
-        }
+        if (!fs.rename(tmp, mf))
+          // the live spec is already gone — the tmp file is now the
+          // ONLY copy of the metadata, so it must survive the failure;
+          // name it in the error so an operator can restore by hand
+          throw new java.io.IOException(
+            s"metadata publish failed for $mf; recover from $tmp")
     }
   }
 

@@ -222,14 +222,33 @@ object GraftProcedures {
           }
         // crashed streaming commits also leak dot-files into the epoch
         // log (`.N.inprogress` / `.N.tmp`); past the horizon they can
-        // only be leftovers — a LIVE epoch's marker is seconds old
+        // only be leftovers — a LIVE epoch's marker is seconds old.
+        // A stale `.N.inprogress` is load-bearing: it is what makes a
+        // restarted query's replay of epoch N sweep the prior attempt's
+        // partially-published shards. Dropping the marker alone would
+        // silently re-open that duplicate-rows window, so the expire
+        // COMPLETES the cleanup the marker guards — destination shards
+        // carrying that epoch's `-<queryId>-eN.jsonl.gz` suffix are
+        // swept first, then the marker goes (the replay then publishes
+        // into a clean slate, marker or no marker).
         val logRoot = new Path(table, "_graft_stream_log")
+        val Inprogress = """\.(\d+)\.inprogress""".r
         val fromLog =
           if (!fs.exists(logRoot)) 0
           else fs.listStatus(logRoot).filter(_.isDirectory).map { q =>
             val stale = fs.listStatus(q.getPath).filter { st =>
               st.getPath.getName.startsWith(".") &&
                 st.getModificationTime < horizon
+            }
+            val orphanEpochs = stale.map(_.getPath.getName).collect {
+              case Inprogress(e) => e
+            }
+            if (orphanEpochs.nonEmpty) {
+              val markers = orphanEpochs
+                .map(e => s"-${q.getPath.getName}-e$e.jsonl.gz").toSet
+              JsonlLayout.discover(fs, table).map(_._1)
+                .filter(p => markers.exists(p.getName.endsWith))
+                .foreach(p => fs.delete(p, false))
             }
             stale.foreach(st => fs.delete(st.getPath, false))
             stale.length

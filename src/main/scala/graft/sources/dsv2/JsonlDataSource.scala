@@ -1458,11 +1458,31 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     val staged = messages.flatMap { case JsonlCommitMessage(s) => s }
     if (replaceShards != null) {
       // group copy-on-write commit: the scanned shards ARE the replaced
-      // set — drop them (a shard deleted under us is fine; delete is
-      // best-effort per file), publish the staged replacement below,
-      // then prune any partition dir the operation emptied so the
-      // value leaves the layout like deleteWhere's
-      replaceShards().foreach(s => f.delete(new Path(s), false))
+      // set. A driver crash between removing them and publishing the
+      // staged replacements must never lose the only copy of a group,
+      // so they are MOVED into `_cow_trash/` (the same swap protocol as
+      // `CALL compact`) and the trash is dropped only after every
+      // publish rename lands. A pre-existing trash dir means a prior
+      // COW died mid-swap and the trash holds the only copy of its
+      // groups — refuse until an operator restores them.
+      val trash = new Path(dest, "_cow_trash")
+      if (f.exists(trash))
+        throw new java.io.IOException(
+          s"graft-jsonl row-level commit: $trash exists — a previous " +
+            "copy-on-write crashed mid-swap and the trash holds the only " +
+            "copy of its groups; move its shards back into the table and " +
+            "delete the trash dir before retrying")
+      val destUri = f.makeQualified(dest).toUri
+      replaceShards().map(new Path(_)).filter(f.exists).foreach { p =>
+        // keep the partition-relative layout inside the trash: one
+        // task's shard name repeats across `k=v/` dirs, so a flat move
+        // could collide — and recovery stays a plain move-back
+        val rel = destUri.relativize(f.makeQualified(p).toUri).getPath
+        val t = new Path(trash, rel)
+        f.mkdirs(t.getParent)
+        if (!f.rename(p, t))
+          throw new java.io.IOException(s"COW trash move failed for $p")
+      }
     }
     if (overwriteFilters != null) {
       // static partition overwrite: drop every shard the predicate
@@ -1507,6 +1527,9 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         throw new java.io.IOException(s"commit rename failed for $s")
     }
     if (replaceShards != null) {
+      // every replacement landed — the table holds the new copy of each
+      // affected group, so the trashed originals are now dead weight
+      f.delete(new Path(dest, "_cow_trash"), true)
       // an operation that emptied a whole partition leaves a bare dir:
       // prune it so the value leaves the layout (deleteWhere contract)
       def prune(dir: Path): Boolean = {

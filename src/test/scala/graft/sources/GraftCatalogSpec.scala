@@ -426,6 +426,59 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.exp.t")
   }
 
+  test("expire_staging completes the cleanup a stale .inprogress guards") {
+    // The `.N.inprogress` marker is what makes a restarted stream's
+    // replay of epoch N sweep the prior attempt's partially-published
+    // shards. Expiring the marker must therefore also sweep those
+    // shards — otherwise a crash → expire → restart sequence silently
+    // re-opens the duplicate-rows window the marker exists to close.
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.exp2")
+    sql("CREATE TABLE wh.exp2.t (k BIGINT)")
+    sql("INSERT INTO wh.exp2.t VALUES (1)")
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val tdir = new java.io.File(s"$root/exp2/t")
+    // a crashed epoch 9 of query `qq`: its marker plus one shard it
+    // managed to publish before the driver died
+    val partial = new java.io.File(tdir, "part-00001-7-qq-e9.jsonl.gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(partial))
+    gz.write("{\"k\":99}\n".getBytes("UTF-8")); gz.close()
+    val marker = new java.io.File(tdir, "_graft_stream_log/qq/.9.inprogress")
+    marker.getParentFile.mkdirs(); marker.createNewFile()
+    val old = System.currentTimeMillis() - 3600L * 1000
+    marker.setLastModified(old)
+    assert(sql("SELECT count(*) FROM wh.exp2.t").head.getLong(0) == 2)
+    sql("CALL wh.system.expire_staging('exp2.t', age_minutes => 30)")
+    assert(!marker.exists())
+    assert(!partial.exists(), "orphan epoch shard must be swept with its marker")
+    assert(sql("SELECT k FROM wh.exp2.t").collect().map(_.getLong(0)).toSeq
+      == Seq(1L), "committed rows untouched")
+    sql("DROP TABLE wh.exp2.t")
+  }
+
+  test("row-level COW refuses when a prior crash left _cow_trash") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.trash")
+    sql("CREATE TABLE wh.trash.t (k BIGINT, v BIGINT)")
+    sql("INSERT INTO wh.trash.t VALUES (1, 10), (2, 20)")
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val trashDir = new java.io.File(s"$root/trash/t/_cow_trash")
+    trashDir.mkdirs()
+    val e = intercept[Exception] {
+      sql("DELETE FROM wh.trash.t WHERE k = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("_cow_trash")), e.toString)
+    // trash is invisible to readers and the refusal left data intact
+    assert(sql("SELECT count(*) FROM wh.trash.t").head.getLong(0) == 2)
+    trashDir.delete()
+    sql("DELETE FROM wh.trash.t WHERE k = 1")
+    assert(sql("SELECT k FROM wh.trash.t").collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+    assert(!trashDir.exists(), "successful commit clears the trash")
+    sql("DROP TABLE wh.trash.t")
+  }
+
   test("SHOW TABLES / rename / drop / metadata durability") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.meta")
     sql("CREATE TABLE wh.meta.a (x BIGINT)")
