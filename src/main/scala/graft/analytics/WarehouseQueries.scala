@@ -563,6 +563,10 @@ object WarehouseQueries {
         .writeTo(s"$cat.wh.dim").append()
       orders.filter(col("o_orderkey") % 2 === 0)
         .createOrReplaceTempView("graft_merge_source")
+      // all FIVE branch kinds: matched-delete, matched-update,
+      // not-matched-insert, and the Spark 4 BY-SOURCE pair (a target
+      // row with no source match is pruned or adjusted in the same
+      // statement — the "retire stale dim rows" shape)
       s.sql(
         s"""MERGE INTO $cat.wh.dim t USING graft_merge_source src
            |ON t.o_orderkey = src.o_orderkey
@@ -570,6 +574,9 @@ object WarehouseQueries {
            |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 1
            |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, o_totalprice)
            |  VALUES (src.o_orderkey, src.o_orderpriority, src.o_totalprice)
+           |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 7 = 0 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE
+           |  SET o_totalprice = t.o_totalprice - 1
            |""".stripMargin)
       r
     })
@@ -592,15 +599,110 @@ object WarehouseQueries {
       |merged AS (
       |  SELECT t.o_orderkey, t.o_orderpriority,
       |    CASE WHEN s.o_orderkey IS NOT NULL THEN t.o_totalprice + 1
-      |         ELSE t.o_totalprice END AS o_totalprice
+      |         ELSE t.o_totalprice - 1 END AS o_totalprice
       |  FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
       |  WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_orderkey % 5 = 0)
+      |    AND NOT (s.o_orderkey IS NULL AND t.o_orderkey % 7 = 0)
       |  UNION ALL
       |  SELECT s.o_orderkey, s.o_orderpriority, s.o_totalprice FROM s
       |  WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey))
       |SELECT o_orderpriority, COUNT(*) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q204
+  /** Merge-on-read row-level operations under the oracle gate: a
+    * catalog table with `graft.row-level.mode = merge-on-read`
+    * ([[graft.sources.dsv2.JsonlMorRowLevelOperation]], Spark's
+    * delta-based `WriteDelta` plan over `SupportsDelta`) absorbs an
+    * interleaved wave sequence — five-branch MERGE, row-level DELETE,
+    * second MERGE — writing position-delete sidecars + append shards
+    * and rewriting ZERO existing data shards, then `CALL compact`
+    * retires the sidecars, and the final read must still match
+    * DuckDB's relational recomputation of the same waves. This is the
+    * q202 copy-on-write path's twin: same statement shapes, opposite
+    * write amplification contract. Built once per (JVM, sf). */
+  private val morRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def sqlMergeOnRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_mor_${math.abs(dir.hashCode).toString}"
+    val root = morRoots.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-mor").toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dsv2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", r)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      s.sql(s"""CREATE TABLE $cat.wh.dim
+               |  (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+               |  PARTITIONED BY (o_orderpriority)
+               |  TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')"""
+        .stripMargin)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .writeTo(s"$cat.wh.dim").append()
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .createOrReplaceTempView("graft_mor_w1")
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .createOrReplaceTempView("graft_mor_w2")
+      s.sql(
+        s"""MERGE INTO $cat.wh.dim t USING graft_mor_w1 src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 1
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, o_totalprice)
+           |  VALUES (src.o_orderkey, src.o_orderpriority, src.o_totalprice)
+           |""".stripMargin)
+      s.sql(s"DELETE FROM $cat.wh.dim WHERE o_orderkey % 7 = 0")
+      s.sql(
+        s"""MERGE INTO $cat.wh.dim t USING graft_mor_w2 src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED AND src.o_orderkey % 4 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 10
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, o_totalprice)
+           |  VALUES (src.o_orderkey, src.o_orderpriority, src.o_totalprice)
+           |""".stripMargin)
+      // retire the accumulated sidecars; answers must not move
+      s.sql(s"CALL $cat.system.compact('wh.dim', max_shards => 4)")
+      r
+    })
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM $cat.wh.dim GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin)
+  }
+
+  val sqlMergeOnReadSql: String =
+    """WITH t0 AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |w1 AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |m1 AS (
+      |  SELECT t0.k, t0.p,
+      |    CASE WHEN w1.k IS NOT NULL THEN t0.v + 1 ELSE t0.v END AS v
+      |  FROM t0 LEFT JOIN w1 ON t0.k = w1.k
+      |  UNION ALL
+      |  SELECT w1.k, w1.p, w1.v FROM w1
+      |  WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.k = w1.k)),
+      |d1 AS (SELECT * FROM m1 WHERE k % 7 <> 0),
+      |w2 AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |m2 AS (
+      |  SELECT d1.k, d1.p,
+      |    CASE WHEN w2.k IS NOT NULL THEN d1.v + 10 ELSE d1.v END AS v
+      |  FROM d1 LEFT JOIN w2 ON d1.k = w2.k
+      |  WHERE NOT (w2.k IS NOT NULL AND w2.k % 4 = 0)
+      |  UNION ALL
+      |  SELECT w2.k, w2.p, w2.v FROM w2
+      |  WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.k = w2.k))
+      |SELECT p AS o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM m2 GROUP BY p ORDER BY p""".stripMargin
 
   // ---------------------------------------------------------------- q203
   /** Catalog FUNCTIONS under the oracle gate: a SQL-text query calling
@@ -831,6 +933,7 @@ object WarehouseQueries {
     "q114_dsv2_jsonl_scan" -> (dsv2JsonlScan _),
     "q199_catalog_evolution" -> (catalogEvolution _),
     "q202_sql_merge" -> (sqlMerge _),
+    "q204_merge_on_read" -> (sqlMergeOnRead _),
     "q203_catalog_fn_ngrams" -> (catalogFnNgrams _),
     "q188_spj_doc_join" -> (spjDocJoin _),
     "q193_catalog_sql_roundtrip" -> (catalogSqlRoundtrip _),
@@ -854,6 +957,7 @@ object WarehouseQueries {
     "q114_dsv2_jsonl_scan" -> dsv2JsonlScanSql,
     "q199_catalog_evolution" -> catalogEvolutionSql,
     "q202_sql_merge" -> sqlMergeSql,
+    "q204_merge_on_read" -> sqlMergeOnReadSql,
     "q203_catalog_fn_ngrams" -> catalogFnNgramsSql,
     "q188_spj_doc_join" -> spjDocJoinSql,
     "q193_catalog_sql_roundtrip" -> catalogSqlRoundtripSql,

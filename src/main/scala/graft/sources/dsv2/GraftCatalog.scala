@@ -88,8 +88,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     val mf = metaFile(dir)
     if (!fs.exists(mf)) throw new NoSuchTableException(ident)
-    val (schema, partCols) = readMeta(mf)
-    new JsonlTable(schema, dir.toString, partCols)
+    val (schema, partCols, props) = readMeta(mf)
+    new JsonlTable(schema, dir.toString, partCols, props)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -106,8 +106,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"partition column $c not in schema"))
     val dir = tableDir(ident)
     fs.mkdirs(dir)
-    writeMeta(metaFile(dir), schema, partCols)
-    new JsonlTable(schema, dir.toString, partCols)
+    // persist only the graft.* table options (row-level mode, future
+    // knobs); Spark-internal bookkeeping props (provider, owner,
+    // location) are derivable and stay out of the spec
+    val props = properties.asScala.toMap
+      .filter { case (k, _) => k.startsWith("graft.") }
+    props.get(JsonlTable.RowLevelModeProp).foreach(v =>
+      require(v == "copy-on-write" || v == "merge-on-read",
+        s"${JsonlTable.RowLevelModeProp} must be copy-on-write or " +
+          s"merge-on-read, got '$v'"))
+    writeMeta(metaFile(dir), schema, partCols, props)
+    new JsonlTable(schema, dir.toString, partCols, props)
   }
 
   /** Schema evolution, limited to what the JSONL layout makes SAFE
@@ -128,7 +137,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     val mf = metaFile(dir)
     if (!fs.exists(mf)) throw new NoSuchTableException(ident)
-    var (schema, partCols) = readMeta(mf)
+    var (schema, partCols, props) = readMeta(mf)
     def single(fieldNames: Array[String], what: String): String = {
       if (fieldNames.length != 1) throw new UnsupportedOperationException(
         s"graft catalog: nested $what is unsupported")
@@ -170,12 +179,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new UnsupportedOperationException(
           s"graft catalog: type changes are refused (coerce-on-write " +
             s"posture) — ${single(t.fieldNames, "type change")} keeps its type")
+      case sp: TableChange.SetProperty =>
+        require(sp.property.startsWith("graft."),
+          s"graft catalog: only graft.* table properties are stored, " +
+            s"got ${sp.property}")
+        if (sp.property == JsonlTable.RowLevelModeProp)
+          require(sp.value == "copy-on-write" || sp.value == "merge-on-read",
+            s"${JsonlTable.RowLevelModeProp} must be copy-on-write or " +
+              s"merge-on-read, got '${sp.value}'")
+        props = props + (sp.property -> sp.value)
+      case rp: TableChange.RemoveProperty =>
+        props = props - rp.property
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported table change $other")
     }
-    writeMeta(mf, schema, partCols)
-    new JsonlTable(schema, dir.toString, partCols)
+    writeMeta(mf, schema, partCols, props)
+    new JsonlTable(schema, dir.toString, partCols, props)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -413,12 +433,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ------------------------------------------------------- metadata
 
-  private def writeMeta(mf: Path, schema: StructType, partCols: Seq[String]): Unit = {
+  private def writeMeta(mf: Path, schema: StructType, partCols: Seq[String],
+                        props: Map[String, String] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("schema", schema.json)
     val arr = node.putArray("partitionCols")
     partCols.foreach(arr.add)
+    if (props.nonEmpty) {
+      val pn = node.putObject("tableProperties")
+      props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+    }
     val tmp = new Path(mf.getParent, s".${mf.getName}.tmp")
     val out = fs.create(tmp, true)
     out.write(mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
@@ -449,7 +474,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  private def readMeta(mf: Path): (StructType, Seq[String]) = {
+  private def readMeta(mf: Path): (StructType, Seq[String], Map[String, String]) = {
     val in = fs.open(mf)
     val bytes = try in.readAllBytes() finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -458,6 +483,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       node.get("schema").asText).asInstanceOf[StructType]
     val partCols = node.get("partitionCols").elements().asScala
       .map(_.asText).toSeq
-    (schema, partCols)
+    // pre-r9 specs have no tableProperties node: empty map (back-compat)
+    val props = Option(node.get("tableProperties")).map { pn =>
+      pn.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
+    (schema, partCols, props)
   }
 }

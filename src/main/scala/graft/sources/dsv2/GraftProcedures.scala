@@ -136,8 +136,19 @@ object GraftProcedures {
         require(!fs.exists(trash) && !fs.exists(staging),
           s"$trash or $staging exists: a previous compaction crashed " +
             "mid-swap; recover before compacting again")
+        // merge-on-read integration: compaction is where position-
+        // delete sidecars are RETIRED — deleted lines are dropped from
+        // the rewritten shards (still pure line I/O: the sidecar is
+        // ordinals, no JSON parse) and the consumed sidecars deleted.
+        // A dir holding ANY sidecar qualifies regardless of shard
+        // count (including the table ROOT, which the size criterion
+        // skips because the root can't be dir-swapped — it takes the
+        // per-file swap below).
+        val sidecars = JsonlDeletes.index(fs, table)
         val todo = shardsByDir(fs, table)
-          .filter { case (rel, shards) => rel.nonEmpty && shards.size > maxShards }
+          .filter { case (rel, shards) =>
+            (rel.nonEmpty && shards.size > maxShards) ||
+              shards.exists(s => sidecars.contains(s._1.toString)) }
           .toSeq.sortBy(_._1)
         if (todo.isEmpty) return result(compactSchema, Nil)
         val spark = org.apache.spark.sql.SparkSession.active
@@ -146,9 +157,11 @@ object GraftProcedures {
         val stagingStr = staging.toString
         // one task per oversized dir: line-level concatenation of its
         // shards into ceil(bytes/target) gzip files — no parse, rows
-        // bit-identical, memory O(1) per task
+        // bit-identical, memory O(1) per task (plus one bitset per
+        // sidecar-carrying shard)
         val plan = todo.map { case (rel, shards) =>
-          (rel, shards.map { case (p, len) => (p.toString, len) }) }
+          (rel, shards.map { case (p, len) =>
+            (p.toString, len, sidecars.getOrElse(p.toString, null)) }) }
         val after = spark.sparkContext
           .parallelize(plan, math.max(1, plan.size))
           .map { case (rel, shards) =>
@@ -162,7 +175,10 @@ object GraftProcedures {
               val outPath = new Path(s"$stagingStr/$rel",
                 f"compact-$i%05d-${java.util.UUID.randomUUID}.jsonl.gz")
               val out = new java.util.zip.GZIPOutputStream(f.create(outPath, true))
-              group.foreach { case (shard, _) =>
+              group.foreach { case (shard, _, sc) =>
+                val deleted =
+                  if (sc == null) null
+                  else JsonlDeletes.readBitSet(conf, sc)
                 val p = new Path(shard)
                 val in = f.open(p)
                 val stream =
@@ -170,10 +186,15 @@ object GraftProcedures {
                   else in
                 val reader = new java.io.BufferedReader(
                   new java.io.InputStreamReader(stream, StandardCharsets.UTF_8))
+                var lineNo = -1L
                 var line = reader.readLine()
                 while (line != null) {
-                  out.write(line.getBytes(StandardCharsets.UTF_8))
-                  out.write('\n')
+                  lineNo += 1
+                  if (deleted == null || lineNo > Int.MaxValue ||
+                      !deleted.get(lineNo.toInt)) {
+                    out.write(line.getBytes(StandardCharsets.UTF_8))
+                    out.write('\n')
+                  }
                   line = reader.readLine()
                 }
                 reader.close()
@@ -184,16 +205,48 @@ object GraftProcedures {
           }.collect()
         // swap: partition dir -> trash, staged dir -> partition dir,
         // then drop trash — crash between the renames leaves the trash
-        // copy and the require above refuses the next run
+        // copy and the require above refuses the next run. The table
+        // ROOT (rel == "") cannot be dir-renamed, so its shards swap
+        // per-file through the same trash. Consumed sidecars drop
+        // last: a crash before that leaves orphans keyed by old shard
+        // names, which no reader will ever match.
+        val byRel = plan.toMap
         after.foreach { case (rel, _, _) =>
-          val live = new Path(table, rel)
-          val staged = new Path(staging, rel)
-          val t = new Path(trash, rel)
-          fs.mkdirs(t.getParent)
-          require(fs.rename(live, t), s"swap-out failed for $live")
-          fs.mkdirs(staged.getParent)
-          require(fs.rename(staged, live), s"swap-in failed for $staged")
+          if (rel.isEmpty) {
+            val t = new Path(trash, "__root__")
+            fs.mkdirs(t)
+            byRel(rel).foreach { case (shard, _, _) =>
+              val p = new Path(shard)
+              require(fs.rename(p, new Path(t, p.getName)),
+                s"swap-out failed for $p")
+            }
+            fs.listStatus(staging)
+              .filter(st => st.isFile && JsonlLayout.isShard(st.getPath.getName))
+              .foreach { st =>
+                require(fs.rename(st.getPath, new Path(table, st.getPath.getName)),
+                  s"swap-in failed for ${st.getPath}")
+              }
+            byRel(rel).foreach { case (_, _, sc) =>
+              if (sc != null) fs.delete(new Path(sc), false)
+            }
+          } else {
+            val live = new Path(table, rel)
+            val staged = new Path(staging, rel)
+            val t = new Path(trash, rel)
+            fs.mkdirs(t.getParent)
+            require(fs.rename(live, t), s"swap-out failed for $live")
+            fs.mkdirs(staged.getParent)
+            require(fs.rename(staged, live), s"swap-in failed for $staged")
+            fs.delete(new Path(new Path(table, JsonlDeletes.DirName), rel), true)
+          }
         }
+        // the _deletes tree may now be empty scaffolding — drop it so
+        // future plans pay a single existence probe again
+        val delRoot = new Path(table, JsonlDeletes.DirName)
+        def emptyTree(d: Path): Boolean =
+          fs.exists(d) && fs.listStatus(d).forall(st =>
+            st.isDirectory && emptyTree(st.getPath))
+        if (emptyTree(delRoot)) fs.delete(delRoot, true)
         fs.delete(trash, true)
         fs.delete(staging, true)
         result(compactSchema, after.toSeq.map { case (rel, b, a) =>

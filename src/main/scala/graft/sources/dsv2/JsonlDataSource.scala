@@ -50,11 +50,19 @@ class JsonlDataSource extends TableProvider with DataSourceRegister {
     graft.sources.JsonlCorpus.docSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new JsonlTable(schema, properties.get("path"))
+    new JsonlTable(schema, properties.get("path"),
+      props = properties.asScala.toMap)
+}
+
+object JsonlTable {
+  /** Row-level operation mode: `copy-on-write` (default — group
+    * rewrite) or `merge-on-read` (position-delete sidecars). */
+  val RowLevelModeProp = "graft.row-level.mode"
 }
 
 class JsonlTable(tableSchema: StructType, path: String,
-                 partCols: Seq[String] = Nil)
+                 partCols: Seq[String] = Nil,
+                 props: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -65,6 +73,7 @@ class JsonlTable(tableSchema: StructType, path: String,
   require(path != null, "graft-jsonl requires a path (use .load/.save(path))")
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = tableSchema
+  override def properties(): java.util.Map[String, String] = props.asJava
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
     partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
@@ -96,6 +105,11 @@ class JsonlTable(tableSchema: StructType, path: String,
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }.foreach(st => fs.delete(st.getPath, true))
+    // position-delete sidecars index rows of the shards just dropped —
+    // they go with them (shard names are attempt-unique so a stale
+    // sidecar could never match a future shard, but an empty table
+    // should be EMPTY)
+    fs.delete(new Path(path, JsonlDeletes.DirName), true)
   }
 
   /** SQL `TRUNCATE TABLE`: the statement form of [[dropAllData]]. */
@@ -108,14 +122,24 @@ class JsonlTable(tableSchema: StructType, path: String,
   // row provenance, and the row-level operations below anchor their
   // rewrite on it (requiredMetadataAttributes), which routes Spark's
   // ReplaceData through the projection-applying write path.
+  // `_pos` joins it as the second row-id component for merge-on-read:
+  // the 0-based physical line ordinal within the shard — stable for
+  // the shard's lifetime because shards are immutable once published.
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_shard"
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "source shard file path"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_shard"
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "source shard file path"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical line ordinal within the shard"
+      })
 
   // ------------------------------------------- row-level SQL surface
   //
@@ -136,12 +160,25 @@ class JsonlTable(tableSchema: StructType, path: String,
   // [[graft.operators.MergeUpsert]]; partition-predicate DELETEs
   // never get here — Spark consults [[canDeleteWhere]] first and
   // takes the metadata-only directory drop.
+  // Mode selection is a TABLE property (`graft.row-level.mode`,
+  // Iceberg's write.*.mode contract): `copy-on-write` (default) takes
+  // the group rewrite above; `merge-on-read` takes the delta-based
+  // position-delete path ([[JsonlMorRowLevelOperation]]) — a small
+  // MERGE then writes sidecars + new rows and rewrites ZERO shards.
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new JsonlRowLevelOperation(info.command(), tableSchema, path, partCols)
+        props.getOrElse(JsonlTable.RowLevelModeProp, "copy-on-write") match {
+          case "copy-on-write" =>
+            new JsonlRowLevelOperation(info.command(), tableSchema, path, partCols)
+          case "merge-on-read" =>
+            new JsonlMorRowLevelOperation(info.command(), tableSchema, path, partCols)
+          case other => throw new IllegalArgumentException(
+            s"graft-jsonl: unknown ${JsonlTable.RowLevelModeProp} '$other' " +
+              "(expected copy-on-write or merge-on-read)")
+        }
     }
 
   // --------------------------------------------- partition management
@@ -220,6 +257,11 @@ class JsonlTable(tableSchema: StructType, path: String,
     val dir = identDir(ident)
     if (!fs.exists(dir)) return false
     fs.delete(dir, true)
+    // sidecars of the dropped partition's shards go with it
+    val rel = fs.makeQualified(new Path(path)).toUri
+      .relativize(fs.makeQualified(dir).toUri).getPath
+    if (!rel.startsWith("/"))
+      fs.delete(new Path(new Path(path, JsonlDeletes.DirName), rel), true)
     // prune now-empty ancestors so intermediate values leave the layout
     var parent = dir.getParent
     val root = new Path(path)
@@ -344,7 +386,12 @@ class JsonlTable(tableSchema: StructType, path: String,
           pv.forall { case (k, v) =>
             JsonlPartitionPruning.admits(f, k, v, tableSchema) })
       }
-      .foreach { case (shard, _) => fs.delete(shard, false) }
+      .foreach { case (shard, _) =>
+        fs.delete(shard, false)
+        // a sidecar indexing a dropped shard is dead weight (it can
+        // never match a future shard name) — sweep it with the shard
+        fs.delete(JsonlDeletes.sidecarFor(fs, p, shard), false)
+      }
     // drop now-empty partition dirs so the value disappears from the
     // layout (and from SPJ partition listings)
     def prune(dir: Path): Boolean = { // returns "dir is now empty"
@@ -780,10 +827,19 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     // re-plan, and the final call reflects the final pruning.
     if (recordShardsTo != null)
       recordShardsTo.recordScannedShards(shards.map(_._1))
+    // merge-on-read: one listing of `_deletes/` (a single existence
+    // probe when the table has none) maps each shard to its position-
+    // delete sidecar; readers of any flavor — row, columnar, COUNT(*)
+    // pushdown, and the row-level rewrite's own scan — then apply it
+    val sidecars = {
+      val p = new Path(path)
+      JsonlDeletes.index(p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
+    }
     shards
       .map { case (f, _, pv) =>
         JsonlInputPartition(f, pv,
-          if (spjActive) keyRowOf(pv) else null): InputPartition }
+          if (spjActive) keyRowOf(pv) else null,
+          sidecars.getOrElse(f, null)): InputPartition }
       .toArray
   }
 
@@ -820,7 +876,7 @@ final class JsonlCountReaderFactory(countColumns: Int, pushed: Array[Filter],
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlCountReader(countColumns,
       new JsonlPartitionReader(p.file, StructType(Nil), pushed, p.partValues,
-        dataSchema, conf))
+        dataSchema, conf, deletesPath = p.deletes))
   }
 }
 
@@ -953,9 +1009,17 @@ final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
     // contract
     val files =
       if (lastListing != null && end == lastOff) lastListing else listing()
+    // merge-on-read sidecars as of THIS batch's planning: a shard is
+    // read once (append-log semantics), with whatever deletes had
+    // landed by then — later sidecar growth does not re-deliver it
+    val sidecars = {
+      val p = new Path(path)
+      JsonlDeletes.index(p.getFileSystem(conf.value), p)
+    }
     files
       .filter { case (f, m) => seen(end, f, m) && !seen(start, f, m) }
-      .map { case (f, _) => JsonlInputPartition(f, partValuesOf(f)): InputPartition }
+      .map { case (f, _) => JsonlInputPartition(f, partValuesOf(f),
+        deletes = sidecars.getOrElse(f, null)): InputPartition }
       .toArray
   }
 
@@ -1026,7 +1090,8 @@ object JsonlFilesOffset {
 final case class JsonlInputPartition(
     file: String,
     partValues: Map[String, Option[String]] = Map.empty,
-    key: org.apache.spark.sql.catalyst.InternalRow = null)
+    key: org.apache.spark.sql.catalyst.InternalRow = null,
+    deletes: String = null)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Non-null exactly when the scan reported KeyGroupedPartitioning
@@ -1482,6 +1547,17 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         f.mkdirs(t.getParent)
         if (!f.rename(p, t))
           throw new java.io.IOException(s"COW trash move failed for $p")
+        // the shard's position-delete sidecar (merge-on-read) rides
+        // along: the rewrite scan already applied it, so the staged
+        // replacement must NOT see it again — and recovery (moving the
+        // trash back) needs it restored with the shard
+        val sc = JsonlDeletes.sidecarFor(f, dest, p)
+        if (f.exists(sc)) {
+          val st = new Path(trash, s"${JsonlDeletes.DirName}/$rel${JsonlDeletes.Suffix}")
+          f.mkdirs(st.getParent)
+          if (!f.rename(sc, st))
+            throw new java.io.IOException(s"COW trash move failed for $sc")
+        }
       }
     }
     if (overwriteFilters != null) {
@@ -1725,13 +1801,13 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlPartitionReader(p.file, required, pushed, p.partValues,
-      dataSchema, conf, limit)
+      dataSchema, conf, limit, p.deletes)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlColumnarReader(p.file, required, pushed, p.partValues,
-      dataSchema, conf, limit)
+      dataSchema, conf, limit, p.deletes)
   }
 }
 
@@ -1746,12 +1822,24 @@ final class JsonlPartitionReader(file: String, required: StructType,
                                  partValues: Map[String, Option[String]],
                                  dataSchema: StructType,
                                  conf: JsonlHadoopConf,
-                                 limit: Int = -1)
+                                 limit: Int = -1,
+                                 deletesPath: String = null)
     extends PartitionReader[InternalRow] {
 
   // pushed LIMIT: stop reading (and parsing) this shard once `limit`
   // post-filter rows have been emitted; -1 = unbounded
   private var emittedRows = 0L
+
+  // merge-on-read position deletes: line ordinals recorded in this
+  // shard's `_deletes/` sidecar are skipped BEFORE parsing (the check
+  // is a bitset probe per physical line). `lineNo` counts every
+  // physical line — empty and malformed included — which is also the
+  // `_pos` row-id value the delta write records, so the two can never
+  // disagree.
+  private val deleted: java.util.BitSet =
+    if (deletesPath == null) null else JsonlDeletes.readBitSet(conf, deletesPath)
+  private var lineNo: Long = -1L
+  private var currentPos: Long = -1L
 
   private val mapper = new ObjectMapper()
   private val reader: BufferedReader = {
@@ -1867,6 +1955,11 @@ final class JsonlPartitionReader(file: String, required: StructType,
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
+      // `_pos` metadata column: the physical line ordinal of THIS row
+      // (the merge-on-read row-id component; `_shard` rides in as a
+      // virtual field like partition values)
+      if (f.name == "_pos") { r.setLong(i, currentPos); i += 1 }
+      else {
       val v = field(node, f.name)
       if (v == null) r.setNullAt(i)
       else f.dataType match {
@@ -1879,6 +1972,7 @@ final class JsonlPartitionReader(file: String, required: StructType,
         case _ => r.setNullAt(i) // type mismatch -> SQL null, not a crash
       }
       i += 1
+      }
     }
     r
   }
@@ -1887,11 +1981,15 @@ final class JsonlPartitionReader(file: String, required: StructType,
     if (limit >= 0 && emittedRows >= limit) return false
     var line = reader.readLine()
     while (line != null) {
-      if (line.nonEmpty) {
+      lineNo += 1
+      val dropped = deleted != null && lineNo <= Int.MaxValue &&
+        deleted.get(lineNo.toInt)
+      if (!dropped && line.nonEmpty) {
         val node =
           try mapper.readTree(line)
           catch { case _: Exception => null } // malformed: skip (clean-path scan)
         if (node != null && node.isObject && pushed.forall(matches(node, _))) {
+          currentPos = lineNo
           row = materialize(node)
           emittedRows += 1
           return true
@@ -1926,13 +2024,14 @@ final class JsonlColumnarReader(file: String, required: StructType,
                                 partValues: Map[String, Option[String]],
                                 dataSchema: StructType,
                                 conf: JsonlHadoopConf,
-                                limit: Int = -1)
+                                limit: Int = -1,
+                                deletesPath: String = null)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val rows = new JsonlPartitionReader(file, required, pushed,
-    partValues, dataSchema, conf, limit)
+    partValues, dataSchema, conf, limit, deletesPath)
   private val capacity = 4096
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, required)

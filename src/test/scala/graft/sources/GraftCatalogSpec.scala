@@ -400,6 +400,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.rlo.flat"); sql("DROP TABLE wh.rlo.fsrc")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: group-rewrite accounting") {
+    // BY-SOURCE branches act on target rows with NO source match — the
+    // rewrite must therefore scan (and so replace) every shard holding
+    // live rows, not just the matched ones, and apply the UPDATE/DELETE
+    // to the unmatched side
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.bys")
+    sql("CREATE TABLE wh.bys.t (k BIGINT, amt BIGINT)")
+    sql("INSERT INTO wh.bys.t SELECT /*+ REPARTITION(1) */ * FROM VALUES " +
+      "(1L, 10L), (2L, 20L), (3L, 30L), (7L, 70L) AS v(k, amt)")
+    sql("CREATE TABLE wh.bys.s (k BIGINT, amt BIGINT)")
+    sql("INSERT INTO wh.bys.s VALUES (2, 222), (9, 900)")
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val dir = new java.io.File(s"$root/bys/t")
+    def shards() = dir.listFiles().filter(_.getName.endsWith(".jsonl.gz"))
+      .map(_.getName).toSet
+    val before = shards()
+    sql("""MERGE INTO wh.bys.t t USING wh.bys.s s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+          |WHEN NOT MATCHED THEN INSERT (k, amt) VALUES (s.k, s.amt)
+          |WHEN NOT MATCHED BY SOURCE AND t.k = 7 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.amt = t.amt + 1
+          |""".stripMargin)
+    val after = shards()
+    assert((before & after).isEmpty,
+      s"BY-SOURCE merge must rewrite every live shard: before=$before after=$after")
+    val got = sql("SELECT k, amt FROM wh.bys.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 11L), (2L, 222L), (3L, 31L), (9L, 900L)), got)
+    sql("DROP TABLE wh.bys.t"); sql("DROP TABLE wh.bys.s")
+  }
+
   test("CALL system.expire_staging sweeps stale staging AND stream-log droppings") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.exp")
     sql("CREATE TABLE wh.exp.t (k BIGINT)")

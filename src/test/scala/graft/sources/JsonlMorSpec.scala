@@ -1,0 +1,256 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Merge-on-read row-level operations: position-delete sidecars
+  * written by MERGE/UPDATE/DELETE on tables with
+  * `graft.row-level.mode = merge-on-read`, applied by every reader,
+  * retired by `CALL compact`. The load-bearing claims:
+  *
+  *   - a small MERGE/DELETE rewrites ZERO data shards (the whole
+  *     point — copy-on-write pays group-rewrite amplification);
+  *   - every read path (row, COUNT(*) pushdown, columnar, streaming)
+  *     sees deletes applied;
+  *   - a MOR table and its COW twin answer identically after the same
+  *     interleaved MERGE/DELETE waves;
+  *   - compaction folds sidecars into rewritten shards, drops them,
+  *     and changes no query answer. */
+class JsonlMorSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.mw", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.mw.root",
+      java.nio.file.Files.createTempDirectory("graft-mor").toString)
+    s
+  }
+
+  private def sql(q: String) = spark.sql(q)
+  private def root = spark.conf.get("spark.sql.catalog.mw.root")
+
+  private def dataShards(dir: java.io.File): Set[String] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.flatMap { f =>
+        if (f.isDirectory && !f.getName.startsWith("_")) walk(f)
+        else if (f.isFile && f.getName.endsWith(".jsonl.gz")) Seq(f)
+        else Nil
+      }
+    walk(dir).map(f => dir.toPath.relativize(f.toPath).toString).toSet
+  }
+
+  private def sidecars(dir: java.io.File): Seq[java.io.File] = {
+    val d = new java.io.File(dir, "_deletes")
+    if (!d.exists()) Nil
+    else {
+      def walk(x: java.io.File): Seq[java.io.File] =
+        x.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      walk(d).filter(_.getName.endsWith(".deletes.json"))
+    }
+  }
+
+  test("MOR DELETE writes a sidecar and rewrites zero data shards") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.ns")
+    sql("""CREATE TABLE mw.ns.d (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.ns.d VALUES (1, 10), (2, 20), (3, 30)")
+    sql("INSERT INTO mw.ns.d VALUES (4, 40), (5, 50)")
+    val dir = new java.io.File(s"$root/ns/d")
+    val before = dataShards(dir)
+    sql("DELETE FROM mw.ns.d WHERE k = 2 OR k = 5")
+    assert(dataShards(dir) == before, "DELETE must rewrite zero data shards")
+    assert(sidecars(dir).size == 2, "one sidecar per affected shard")
+    assert(sql("SELECT k FROM mw.ns.d ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    // COUNT(*) pushdown path must apply deletes too
+    assert(sql("SELECT count(*) FROM mw.ns.d").head.getLong(0) == 3L)
+  }
+
+  test("MOR MERGE: update+insert via sidecar + append shard only") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.m")
+    sql("""CREATE TABLE mw.m.t (k BIGINT, amt BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.m.t VALUES (1, 10), (2, 20), (3, 30)")
+    sql("CREATE TABLE mw.m.src (k BIGINT, amt BIGINT)")
+    sql("INSERT INTO mw.m.src VALUES (2, 222), (9, 900)")
+    val dir = new java.io.File(s"$root/m/t")
+    val before = dataShards(dir)
+    sql("""MERGE INTO mw.m.t t USING mw.m.src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+          |WHEN NOT MATCHED THEN INSERT (k, amt) VALUES (s.k, s.amt)""".stripMargin)
+    val after = dataShards(dir)
+    assert((before -- after).isEmpty, "no pre-existing shard rewritten")
+    assert((after -- before).nonEmpty, "update/insert rows land as new shards")
+    assert(sidecars(dir).nonEmpty, "matched row's old copy deleted by position")
+    assert(sql("SELECT k, amt FROM mw.m.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 222L), (3L, 30L), (9L, 900L)))
+    sql("DROP TABLE mw.m.src")
+  }
+
+  test("MOR table matches its COW twin across interleaved MERGE/DELETE waves") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.tw")
+    for ((name, mode) <- Seq(("mor", "merge-on-read"), ("cow", "copy-on-write"))) {
+      sql(s"""CREATE TABLE mw.tw.$name (k BIGINT, grp STRING, amt BIGINT)
+             |PARTITIONED BY (grp)
+             |TBLPROPERTIES ('graft.row-level.mode'='$mode')""".stripMargin)
+      sql(s"""INSERT INTO mw.tw.$name VALUES
+             |  (1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'b', 40),
+             |  (5, 'c', 50), (6, 'c', 60)""".stripMargin)
+    }
+    sql("CREATE TABLE mw.tw.w1 (k BIGINT, amt BIGINT)")
+    sql("INSERT INTO mw.tw.w1 VALUES (2, 200), (4, 400), (7, 700)")
+    sql("CREATE TABLE mw.tw.w2 (k BIGINT, amt BIGINT)")
+    sql("INSERT INTO mw.tw.w2 VALUES (7, 777), (1, 111), (8, 800)")
+    for (t <- Seq("mor", "cow")) {
+      sql(s"""MERGE INTO mw.tw.$t t USING mw.tw.w1 s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+             |WHEN NOT MATCHED THEN INSERT (k, grp, amt) VALUES (s.k, 'new', s.amt)""".stripMargin)
+      sql(s"DELETE FROM mw.tw.$t WHERE k = 3 OR k = 7")
+      sql(s"""MERGE INTO mw.tw.$t t USING mw.tw.w2 s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+             |WHEN NOT MATCHED THEN INSERT (k, grp, amt) VALUES (s.k, 'new', s.amt)""".stripMargin)
+      sql(s"UPDATE mw.tw.$t SET amt = amt + 1 WHERE grp = 'c'")
+    }
+    def snap(t: String) = sql(
+      s"SELECT k, grp, amt FROM mw.tw.$t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val (m, c) = (snap("mor"), snap("cow"))
+    assert(m == c, s"mor=$m cow=$c")
+    assert(m.map(_._1) == Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L))
+    // and the MOR side did it all without touching its original shards
+    assert(sidecars(new java.io.File(s"$root/tw/mor")).nonEmpty)
+    sql("DROP TABLE mw.tw.w1"); sql("DROP TABLE mw.tw.w2")
+  }
+
+  test("CALL compact retires sidecars without changing answers") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.cp")
+    sql("""CREATE TABLE mw.cp.t (k BIGINT, grp STRING, amt BIGINT)
+          |PARTITIONED BY (grp)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("""INSERT INTO mw.cp.t VALUES (1, 'a', 10), (2, 'a', 20),
+          |  (3, 'b', 30), (4, 'b', 40)""".stripMargin)
+    sql("DELETE FROM mw.cp.t WHERE k = 1 OR k = 4")
+    val dir = new java.io.File(s"$root/cp/t")
+    assert(sidecars(dir).nonEmpty)
+    val before = sql("SELECT k, grp, amt FROM mw.cp.t ORDER BY k").collect().toSeq
+    // compact qualifies dirs by sidecar presence, not just shard count
+    sql("CALL mw.system.compact('cp.t', max_shards => 1000)")
+    assert(sidecars(dir).isEmpty, "compaction must consume the sidecars")
+    assert(!new java.io.File(dir, "_deletes").exists(),
+      "_deletes scaffolding removed once empty")
+    val after = sql("SELECT k, grp, amt FROM mw.cp.t ORDER BY k").collect().toSeq
+    assert(after == before)
+    assert(sql("SELECT count(*) FROM mw.cp.t").head.getLong(0) == 2L)
+  }
+
+  test("compact retires sidecars on an UNPARTITIONED (root-shard) table") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.cr")
+    sql("""CREATE TABLE mw.cr.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.cr.t VALUES (1, 10), (2, 20), (3, 30)")
+    sql("INSERT INTO mw.cr.t VALUES (4, 40)")
+    sql("DELETE FROM mw.cr.t WHERE k = 2")
+    val dir = new java.io.File(s"$root/cr/t")
+    assert(sidecars(dir).nonEmpty)
+    sql("CALL mw.system.compact('cr.t', max_shards => 1000)")
+    assert(sidecars(dir).isEmpty)
+    assert(sql("SELECT k FROM mw.cr.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    // idempotent follow-up: nothing left to compact
+    val again = sql("CALL mw.system.compact('cr.t', max_shards => 1000)").collect()
+    assert(again.isEmpty)
+  }
+
+  test("UPDATE that moves a row across partitions; columnar read applies deletes") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.mv")
+    sql("""CREATE TABLE mw.mv.t (k BIGINT, grp STRING, amt BIGINT)
+          |PARTITIONED BY (grp)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.mv.t VALUES (1, 'a', 10), (2, 'b', 20)")
+    sql("UPDATE mw.mv.t SET grp = 'z' WHERE k = 1")
+    assert(sql("SELECT grp FROM mw.mv.t WHERE k = 1").head.getString(0) == "z")
+    assert(new java.io.File(s"$root/mv/t/grp=z").exists(),
+      "moved row lands in its new partition directory")
+    // columnar path shares the sidecar application
+    val tdir = s"$root/mv/t"
+    val cols = spark.read.format("graft-jsonl")
+      .schema("k BIGINT, grp STRING, amt BIGINT")
+      .option("columnar", "true").load(tdir)
+    assert(cols.count() == 2L)
+    assert(cols.where("k = 1").head.getString(1) == "z")
+  }
+
+  test("streaming read of a MOR table applies sidecars present at planning") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.st")
+    sql("""CREATE TABLE mw.st.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.st.t VALUES (1, 10), (2, 20), (3, 30)")
+    sql("DELETE FROM mw.st.t WHERE k = 2")
+    val tdir = s"$root/st/t"
+    val stream = spark.readStream.format("graft-jsonl")
+      .schema("k BIGINT, v BIGINT").load(tdir)
+    val q = stream.writeStream.format("memory")
+      .queryName("mor_stream").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = sql("SELECT k FROM mor_stream ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L), s"got $got")
+  }
+
+  test("mode is a persisted property; ALTER flips it; bad values refused") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.pp")
+    sql("CREATE TABLE mw.pp.t (k BIGINT, v BIGINT)")
+    sql("INSERT INTO mw.pp.t VALUES (1, 10), (2, 20)")
+    val dir = new java.io.File(s"$root/pp/t")
+    // default mode is copy-on-write: DELETE rewrites the shard
+    val before = dataShards(dir)
+    sql("DELETE FROM mw.pp.t WHERE k = 1")
+    assert(dataShards(dir) != before, "COW rewrites")
+    assert(sidecars(dir).isEmpty)
+    sql("""ALTER TABLE mw.pp.t SET TBLPROPERTIES
+          |('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.pp.t VALUES (3, 30)")
+    val mid = dataShards(dir)
+    sql("DELETE FROM mw.pp.t WHERE k = 2")
+    assert(dataShards(dir) == mid, "MOR after the flip: zero rewrites")
+    assert(sidecars(dir).nonEmpty)
+    assert(sql("SELECT k FROM mw.pp.t").collect().map(_.getLong(0)).toSeq
+      == Seq(3L))
+    // survives a fresh catalog instance (property is in the spec file)
+    spark.catalog.clearCache()
+    assert(sql("SHOW TBLPROPERTIES mw.pp.t").collect()
+      .exists(r => r.getString(0) == "graft.row-level.mode" &&
+        r.getString(1) == "merge-on-read"))
+    val e = intercept[Exception] {
+      sql("ALTER TABLE mw.pp.t SET TBLPROPERTIES ('graft.row-level.mode'='bogus')")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("COW rewrite on a table carrying sidecars consumes them") {
+    // tables can flip modes; a COW group rewrite must apply existing
+    // sidecars through its scan AND retire them with the replaced
+    // shards (the staged replacement already reflects the deletes)
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.x")
+    sql("""CREATE TABLE mw.x.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    // ONE shard: a shard whose every live row the rewrite touches is
+    // replaced (and must take its sidecar along); a shard left with no
+    // matching rows is never scanned and rightly KEEPS its sidecar
+    sql("""INSERT INTO mw.x.t SELECT /*+ REPARTITION(1) */ *
+          |FROM VALUES (1L, 10L), (2L, 20L), (3L, 30L) AS v(k, v)""".stripMargin)
+    sql("DELETE FROM mw.x.t WHERE k = 2")
+    assert(sidecars(new java.io.File(s"$root/x/t")).nonEmpty)
+    sql("""ALTER TABLE mw.x.t SET TBLPROPERTIES
+          |('graft.row-level.mode'='copy-on-write')""".stripMargin)
+    sql("UPDATE mw.x.t SET v = v * 2 WHERE k >= 1")
+    assert(sidecars(new java.io.File(s"$root/x/t")).isEmpty,
+      "COW rewrite retires the replaced shards' sidecars")
+    assert(sql("SELECT k, v FROM mw.x.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 20L), (3L, 60L)))
+  }
+}
