@@ -704,6 +704,52 @@ object WarehouseQueries {
       |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM m2 GROUP BY p ORDER BY p""".stripMargin
 
+  // ---------------------------------------------------------------- q205
+  /** A persisted SQL VIEW in the v2 catalog under the oracle gate:
+    * `CREATE VIEW` routed through [[graft.sql.GraftViewSqlParser]]
+    * (vanilla Spark 4.1 refuses view DDL on non-session catalogs),
+    * the aggregate read back THROUGH the view by
+    * [[graft.sql.GraftViewSubstitution]] — stored SQL text parsed,
+    * creation-context re-qualified, column aliases re-applied — and
+    * DuckDB recomputing the same aggregate relationally. Built once
+    * per (JVM, sf). */
+  private val viewRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def viewRouted(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_vw_${math.abs(dir.hashCode).toString}"
+    val root = viewRoots.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-view").toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dsv2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", r)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      s.sql(s"""CREATE TABLE $cat.wh.orders_s
+               |  (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)"""
+        .stripMargin)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 2 === 0)
+        .writeTo(s"$cat.wh.orders_s").append()
+      s.sql(
+        s"""CREATE VIEW $cat.wh.big_orders (prio, n, total) AS
+           |SELECT o_orderpriority, COUNT(*),
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |FROM $cat.wh.orders_s
+           |WHERE o_totalprice > 1000
+           |GROUP BY o_orderpriority""".stripMargin)
+      r
+    })
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"SELECT prio, n, total FROM $cat.wh.big_orders ORDER BY prio")
+  }
+
+  val viewRoutedSql: String =
+    """SELECT o_orderpriority AS prio, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice > 1000
+      |GROUP BY 1 ORDER BY prio""".stripMargin
+
   // ---------------------------------------------------------------- q203
   /** Catalog FUNCTIONS under the oracle gate: a SQL-text query calling
     * `graft_fn.system.word_ngrams` / `coerce_numeric` — the DSv2
@@ -934,6 +980,7 @@ object WarehouseQueries {
     "q199_catalog_evolution" -> (catalogEvolution _),
     "q202_sql_merge" -> (sqlMerge _),
     "q204_merge_on_read" -> (sqlMergeOnRead _),
+    "q205_view_routed" -> (viewRouted _),
     "q203_catalog_fn_ngrams" -> (catalogFnNgrams _),
     "q188_spj_doc_join" -> (spjDocJoin _),
     "q193_catalog_sql_roundtrip" -> (catalogSqlRoundtrip _),
@@ -958,6 +1005,7 @@ object WarehouseQueries {
     "q199_catalog_evolution" -> catalogEvolutionSql,
     "q202_sql_merge" -> sqlMergeSql,
     "q204_merge_on_read" -> sqlMergeOnReadSql,
+    "q205_view_routed" -> viewRoutedSql,
     "q203_catalog_fn_ngrams" -> catalogFnNgramsSql,
     "q188_spj_doc_join" -> spjDocJoinSql,
     "q193_catalog_sql_roundtrip" -> catalogSqlRoundtripSql,

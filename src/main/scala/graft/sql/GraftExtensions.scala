@@ -71,6 +71,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hdr_histogram"),
       new ExpressionInfo(classOf[HdrHistogram].getName, "hdr_histogram"),
       (children: Seq[Expression]) => HdrHistogram(children.head)))
+    // v2 view-catalog SQL routing (vanilla 4.1 throws
+    // MISSING_CATALOG_ABILITY for view DDL on non-session catalogs):
+    // DDL is intercepted at PARSE time, reads by a resolution rule —
+    // see GraftViewSupport
+    ext.injectParser((session, delegate) =>
+      new GraftViewSqlParser(session, delegate))
+    ext.injectResolutionRule(session => GraftViewSubstitution(session))
     // conf-gated (spark.graft.rangeJoin.bucketWidth): rewrites non-equi
     // interval joins to bucketed equi joins — see RangeJoinRule
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))
