@@ -783,6 +783,72 @@ object WarehouseQueries {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** Catalog AGGREGATE functions under the oracle gate — the
+    * [[graft.sources.dsv2.GraftSqlFunctions]] `AggregateFunction`
+    * face: `graft_fn.system.kmv_sketch` / `hdr_histogram` aggregated
+    * per language over the corpus (Spark plans the bound V2 aggregate
+    * as a V2Aggregator with map-side partials), reduced to scalars —
+    * sketch size, the k-th smallest distinct hash, bucket count,
+    * modal bucket count, total count — that DuckDB recomputes
+    * relationally (same md5-prefix hash as q116; the HDR bucket
+    * function re-expressed with integer `bin()` arithmetic, no
+    * floating log). */
+  def catalogAggFns(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_fn", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fn.root",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(
+      """WITH agg AS (
+        |  SELECT lang,
+        |    graft_fn.system.kmv_sketch(
+        |      CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)
+        |        AS BIGINT), 32) AS s,
+        |    graft_fn.system.hdr_histogram(n_chars) AS hh
+        |  FROM documents GROUP BY lang)
+        |SELECT lang,
+        |  CAST(size(s) AS BIGINT) AS sketch_n,
+        |  element_at(s, size(s)) AS kth_hash,
+        |  CAST(size(hh) AS BIGINT) AS n_buckets,
+        |  CAST(array_max(transform(hh, x -> x.cnt)) AS BIGINT) AS max_cnt,
+        |  CAST(aggregate(transform(hh, x -> x.cnt), 0L, (a, b) -> a + b)
+        |    AS BIGINT) AS n_rows
+        |FROM agg ORDER BY lang""".stripMargin)
+  }
+
+  val catalogAggFnsSql: String =
+    """WITH hv AS (
+      |  SELECT DISTINCT lang,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |      AS h
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT lang, h,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS nd
+      |  FROM hv),
+      |kmv AS (
+      |  SELECT lang, CAST(LEAST(nd, 32) AS BIGINT) AS sketch_n,
+      |    h AS kth_hash
+      |  FROM ranked WHERE rn = LEAST(nd, 32)),
+      |bucketed AS (
+      |  SELECT lang,
+      |    CASE WHEN n_chars < 16 THEN n_chars
+      |         ELSE (length(bin(n_chars)) - 1) * 16 +
+      |              ((n_chars >> (length(bin(n_chars)) - 5)) & 15)
+      |    END AS bucket
+      |  FROM documents),
+      |hdr AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_rows
+      |  FROM (SELECT lang, bucket, COUNT(*) AS cnt
+      |        FROM bucketed GROUP BY lang, bucket)
+      |  GROUP BY lang)
+      |SELECT lang, sketch_n, kth_hash, n_buckets, max_cnt, n_rows
+      |FROM kmv JOIN hdr USING (lang) ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q188
   /** Storage-partitioned join through the DSv2 connector: two
     * lang-partitioned `graft-jsonl` layouts (corpus facts + per-lang
@@ -982,6 +1048,7 @@ object WarehouseQueries {
     "q204_merge_on_read" -> (sqlMergeOnRead _),
     "q205_view_routed" -> (viewRouted _),
     "q203_catalog_fn_ngrams" -> (catalogFnNgrams _),
+    "q206_catalog_agg_fns" -> (catalogAggFns _),
     "q188_spj_doc_join" -> (spjDocJoin _),
     "q193_catalog_sql_roundtrip" -> (catalogSqlRoundtrip _),
     "q94_profile_orders" -> (profileOrders _),
@@ -1007,6 +1074,7 @@ object WarehouseQueries {
     "q204_merge_on_read" -> sqlMergeOnReadSql,
     "q205_view_routed" -> viewRoutedSql,
     "q203_catalog_fn_ngrams" -> catalogFnNgramsSql,
+    "q206_catalog_agg_fns" -> catalogAggFnsSql,
     "q188_spj_doc_join" -> spjDocJoinSql,
     "q193_catalog_sql_roundtrip" -> catalogSqlRoundtripSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,

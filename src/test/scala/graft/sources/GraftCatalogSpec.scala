@@ -359,6 +359,38 @@ class GraftCatalogSpec extends AnyFunSuite {
       .exists(_.endsWith("py_to_json")))
   }
 
+  test("catalog AGGREGATE functions: kmv_sketch / hdr_histogram parity") {
+    // the FunctionCatalog's AggregateFunction face: Spark plans the
+    // bound function as a V2Aggregator (map-side partials + merge),
+    // and the result must match the session-registered
+    // TypedImperativeAggregate expressions bit for bit
+    spark.range(0, 1000).selectExpr("id % 7 AS g",
+      "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12), 16, 10) AS BIGINT) AS h",
+      "id * id AS v")
+      .createOrReplaceTempView("aggfn_in")
+    val viaCat = sql("""SELECT g, wh.system.kmv_sketch(h, 16) AS s
+                       |FROM aggfn_in GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val viaExpr = sql("""SELECT g, kmv_sketch(h, 16) AS s
+                        |FROM aggfn_in GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(viaCat.toSeq == viaExpr.toSeq)
+    assert(viaCat.forall(_._2.length == 16))
+    val hCat = sql("""SELECT g, wh.system.hdr_histogram(v) AS hh
+                     |FROM aggfn_in GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          (x.getLong(0), x.getLong(1), x.getLong(2)))))
+    val hExpr = sql("""SELECT g, hdr_histogram(v) AS hh
+                      |FROM aggfn_in GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          (x.getLong(0), x.getLong(1), x.getLong(2)))))
+    assert(hCat.toSeq == hExpr.toSeq)
+    // counts conserve: every row lands in exactly one bucket
+    assert(hCat.map(_._2.map(_._3).sum).sum == 1000L)
+  }
+
   test("TRUNCATE TABLE drops data, keeps the table and its stream log") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.tr")
     sql("CREATE TABLE wh.tr.t (k BIGINT, lang STRING) PARTITIONED BY (lang)")
