@@ -45,6 +45,12 @@ object Native {
   def squaredL2(x: Column, y: Column): Column =
     c(SquaredL2(e(x), e(y)))
 
+  /** Allocation-free |A ∩ B| over SORTED string arrays (see
+    * [[SortedIntersectSize]]; produce inputs with
+    * `sort_array(array_distinct(...))`). */
+  def sortedIntersectSize(x: Column, y: Column): Column =
+    c(SortedIntersectSize(e(x), e(y)))
+
   /** Bounded top-k-per-group aggregate (see [[TopKBy]]). */
   def topKBy(ord: Column, payload: Column, k: Int): Column =
     c(TopKBy(e(ord), e(payload), k).toAggregateExpression())

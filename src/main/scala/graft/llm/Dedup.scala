@@ -400,8 +400,20 @@ object Dedup {
     * within a language. The exact |lena-lenb| <= lenTol predicate is
     * re-applied post-join to trim bucket-edge false candidates. */
   def jaccardPairs(docs: DataFrame, threshold: Double, lenTol: Int = 5): DataFrame = {
+    // The repartition is a MATERIALIZATION BARRIER, not a distribution
+    // choice: without an exchange between the tokenizing projection and
+    // the pair join, whole-stage codegen binds `w` as a deferred
+    // expression inside the join's match loop and re-tokenizes per
+    // CANDIDATE PAIR — measured 43 s of the 58 s q61 spent at sf1 (vs
+    // one tokenization per doc after the barrier). Both join sides
+    // derive from this one frame, so ReuseExchange ships the tokenized
+    // corpus through a single shuffle.
+    // sorted: the verify tier counts intersections with the
+    // allocation-free merge scan (SortedIntersectSize) instead of
+    // per-pair hash sets
     val ws = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-      array_distinct(split(col("text"), " ")).as("w"))
+      sort_array(array_distinct(split(col("text"), " "))).as("w"))
+      .repartition(col("doc_id"))
     val a = ws.select(col("doc_id").as("a"), col("lang"),
         col("n_chars").as("lena"), col("w").as("wa"))
       .withColumn("lb", floor(col("lena") / lenTol))
@@ -413,7 +425,8 @@ object Dedup {
         floor(col("lenb") / lenTol) + 1)))
     a.join(b, Seq("lang", "lb"))
       .filter(col("a") < col("b") && abs(col("lena") - col("lenb")) <= lenTol)
-      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("inter", graft.functions.Native.sortedIntersectSize(
+        col("wa"), col("wb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("wa")) + size(col("wb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -474,7 +487,7 @@ object Dedup {
     require(p > 0 && q > p, s"threshold p/q=$p/$q must lie in (0,1)")
     import org.apache.spark.sql.expressions.Window
     val ws = materialize(docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("w")))
+      sort_array(array_distinct(split(col("text"), " "))).as("w")))
     val tok = ws.select(col("doc_id"), size(col("w")).as("sz"),
       explode(col("w")).as("tok"))
     val dfs = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -520,7 +533,8 @@ object Dedup {
       .join(ws.select(col("doc_id").as("a"), col("w").as("wa")), Seq("a"))
       .join(ws.select(col("doc_id").as("b"), col("w").as("wb")), Seq("b"))
       .withColumn("inter_sz",
-        size(array_intersect(col("wa"), col("wb"))).cast("long"))
+        graft.functions.Native.sortedIntersectSize(col("wa"), col("wb"))
+          .cast("long"))
       .withColumn("union_sz",
         (size(col("wa")) + size(col("wb"))).cast("long") - col("inter_sz"))
       .filter(col("inter_sz") * q >= col("union_sz") * p)
@@ -601,11 +615,12 @@ object Dedup {
     * the docs' distinct word sets, linear in candidates. */
   def verifyPairs(docs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
     val ws = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("w"))
+      sort_array(array_distinct(split(col("text"), " "))).as("w"))
     pairs
       .join(ws.select(col("doc_id").as("a"), col("w").as("wa")), Seq("a"))
       .join(ws.select(col("doc_id").as("b"), col("w").as("wb")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("inter", graft.functions.Native.sortedIntersectSize(
+        col("wa"), col("wb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("wa")) + size(col("wb")) - col("inter")))
       .filter(col("jaccard") >= threshold)

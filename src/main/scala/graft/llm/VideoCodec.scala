@@ -3,9 +3,11 @@ package graft.llm
 /** Pure-JVM video codec for the multimodal tier: YUV4MPEG2 (`.y4m`),
   * the uncompressed interchange format codec tooling speaks — an
   * ASCII stream header (`YUV4MPEG2 W<w> H<h> F<num>:<den> ...`),
-  * then `FRAME\n`-delimited raw planar frames. 4:2:0 (`C420`-family)
-  * and 4:4:4 supported; the luma plane is all the analysis tiers
-  * read, so chroma is measured but skipped.
+  * then `FRAME\n`-delimited raw planar frames. 4:2:0 (`C420`-family),
+  * 4:2:2 (broadcast tooling's default), 4:4:4, and `Cmono` supported;
+  * the luma plane is all the analysis tiers read, so chroma is
+  * measured but skipped — a subsampling mode only changes the
+  * per-frame SKIP length.
   *
   * This completes the image ([[ImageCodec]]) / audio ([[AudioCodec]])
   * / video triple with the same posture: a REAL format a
@@ -55,7 +57,11 @@ object VideoCodec {
       while (eol < bytes.length && bytes(eol) != '\n') eol += 1
       if (eol >= bytes.length) return None
       val header = new String(bytes, i, eol - i, "US-ASCII")
-      var w = 0; var h = 0; var fn = 30; var fd = 1; var c420 = true
+      var w = 0; var h = 0; var fn = 30; var fd = 1
+      // chroma samples per luma sample, in 1/4 units: 420 -> two
+      // quarter-size planes (+2), 422 -> two half-size planes (+4),
+      // 444 -> two full planes (+8), mono -> none (0)
+      var chromaQuarters = 2
       header.trim.split(" ").filter(_.nonEmpty).foreach { tag =>
         tag.charAt(0) match {
           case 'W' => w = tag.substring(1).toInt
@@ -65,21 +71,25 @@ object VideoCodec {
             fn = a.toInt; fd = b.toInt
           case 'C' =>
             val sub = tag.substring(1)
-            if (sub.startsWith("420")) c420 = true
-            else if (sub == "444") c420 = false
-            else return None // 422/mono &c.: refuse rather than misread
+            if (sub.startsWith("420")) chromaQuarters = 2
+            else if (sub == "422") chromaQuarters = 4
+            else if (sub == "444") chromaQuarters = 8
+            else if (sub == "mono") chromaQuarters = 0
+            else return None // 411/alpha &c.: refuse rather than misread
           case _ => () // I/A/X tags: irrelevant to the luma plane
         }
       }
       if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
-      if (c420 && ((w % 2) != 0 || (h % 2) != 0)) return None
+      // subsampled axes must divide evenly or the plane sizes are lies
+      if (chromaQuarters == 2 && ((w % 2) != 0 || (h % 2) != 0)) return None
+      if (chromaQuarters == 4 && (w % 2) != 0) return None
       // Long math: header-claimed dimensions that overflow Int would
       // wrap frameLen negative, defeat the truncation check below, and
       // either loop forever (off stops advancing) or attempt a multi-GB
       // allocation whose OutOfMemoryError the Exception catch does not
       // convert to None — same hardening as ImageCodec's PNM/BMP paths
       val lumaLenL = w.toLong * h
-      val frameLenL = if (c420) lumaLenL + lumaLenL / 2 else lumaLenL * 3
+      val frameLenL = lumaLenL + lumaLenL * chromaQuarters / 4
       if (frameLenL > bytes.length) return None // no frame could fit
       val lumaLen = lumaLenL.toInt
       val frameLen = frameLenL.toInt

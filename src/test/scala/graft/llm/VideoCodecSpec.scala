@@ -20,18 +20,30 @@ class VideoCodecSpec extends AnyFunSuite {
     sampled.foreach(f => assert(f.luma.toSeq === frames(f.index).toSeq))
   }
 
-  test("4:4:4 streams parse; unsupported subsampling refuses") {
+  test("4:4:4 / 4:2:2 / mono streams parse; unsupported subsampling refuses") {
     val (w, h) = (4, 2)
     val luma = grad(w, h, 0)
-    // hand-build a C444 stream: luma + two full chroma planes
-    val header = s"YUV4MPEG2 W$w H$h F30:1 C444\n".getBytes("US-ASCII")
-    val frame = "FRAME\n".getBytes("US-ASCII") ++
-      luma.map(_.toByte) ++ Array.fill(w * h * 2)(128.toByte)
-    val b444 = header ++ frame
-    val (meta, fs) = VideoCodec.sampleFrames(b444, 1).get
-    assert(meta.nFrames === 1 && fs.head.luma.toSeq === luma.toSeq)
-    val b422 = s"YUV4MPEG2 W$w H$h F30:1 C422\n".getBytes("US-ASCII") ++ frame
-    assert(VideoCodec.sampleFrames(b422, 1).isEmpty)
+    def stream(c: String, chromaBytesPerFrame: Int, frames: Int = 1): Array[Byte] =
+      s"YUV4MPEG2 W$w H$h F30:1 C$c\n".getBytes("US-ASCII") ++
+        Array.fill(frames)("FRAME\n".getBytes("US-ASCII") ++
+          luma.map(_.toByte) ++
+          Array.fill(chromaBytesPerFrame)(128.toByte)).flatten
+    // a subsampling mode only changes the per-frame skip length — the
+    // luma plane must come back identical under every supported C tag
+    for ((c, chroma) <- Seq(("444", w * h * 2), ("422", w * h),
+                            ("420jpeg", w * h / 2), ("mono", 0))) {
+      val (meta, fs) = VideoCodec.sampleFrames(stream(c, chroma, frames = 2), 1)
+        .getOrElse(fail(s"C$c refused"))
+      assert(meta.nFrames === 2, s"C$c")
+      assert(fs.map(_.index) === Seq(0, 1), s"C$c")
+      fs.foreach(f => assert(f.luma.toSeq === luma.toSeq, s"C$c"))
+    }
+    // 4:1:1 (and other exotica) stay refused rather than misread
+    assert(VideoCodec.sampleFrames(stream("411", w * h / 2), 1).isEmpty)
+    // 4:2:2 with odd width: the half-width chroma plane size is a lie
+    val odd = s"YUV4MPEG2 W3 H2 F30:1 C422\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ Array.fill(12)(7.toByte)
+    assert(VideoCodec.sampleFrames(odd, 1).isEmpty)
   }
 
   test("malformed and truncated streams decode to None, never throw") {
