@@ -315,6 +315,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     v
   }
 
+  /** Atomic replace — one staged-file + rename publish, never
+    * drop-then-create (the interface default), so a crash mid-replace
+    * can never lose the view: readers see either the old or the new
+    * definition. */
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident
+    if (!orCreate && !viewExists(ident)) throw new NoSuchViewException(ident)
+    if (!fs.exists(nsDir(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val v = GraftView(ident.name, info.sql, info.currentCatalog,
+      info.currentNamespace, info.schema, info.queryColumnNames,
+      info.columnAliases, info.columnComments, info.properties)
+    writeView(ident, v)
+    v
+  }
+
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
     val v = readView(ident)
     val props = new java.util.HashMap[String, String](v.props)

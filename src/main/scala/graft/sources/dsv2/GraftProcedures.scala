@@ -276,14 +276,20 @@ object GraftProcedures {
         // crashed streaming commits also leak dot-files into the epoch
         // log (`.N.inprogress` / `.N.tmp`); past the horizon they can
         // only be leftovers — a LIVE epoch's marker is seconds old.
-        // A stale `.N.inprogress` is load-bearing: it is what makes a
-        // restarted query's replay of epoch N sweep the prior attempt's
-        // partially-published shards. Dropping the marker alone would
+        // A stale `.N.inprogress` is load-bearing ONLY while the epoch's
+        // durable log record is absent: it is what makes a restarted
+        // query's replay of epoch N sweep the prior attempt's
+        // partially-published shards. Dropping such a marker alone would
         // silently re-open that duplicate-rows window, so the expire
         // COMPLETES the cleanup the marker guards — destination shards
         // carrying that epoch's `-<queryId>-eN.jsonl.gz` suffix are
         // swept first, then the marker goes (the replay then publishes
         // into a clean slate, marker or no marker).
+        // If the epoch's log record EXISTS, the epoch committed — the
+        // marker is a leftover from a crash between the log rename and
+        // the marker delete (commit() also retires it on replay, but a
+        // never-restarted query leaves it forever). Those shards are
+        // LIVE committed data: delete only the marker, never the shards.
         val logRoot = new Path(table, "_graft_stream_log")
         val Inprogress = """\.(\d+)\.inprogress""".r
         val fromLog =
@@ -294,7 +300,7 @@ object GraftProcedures {
                 st.getModificationTime < horizon
             }
             val orphanEpochs = stale.map(_.getPath.getName).collect {
-              case Inprogress(e) => e
+              case Inprogress(e) if !fs.exists(new Path(q.getPath, e)) => e
             }
             if (orphanEpochs.nonEmpty) {
               val markers = orphanEpochs

@@ -1406,7 +1406,11 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
     if (f.exists(epochLog(epochId))) {
       // epoch already durably committed (e.g. driver died AFTER the log
       // rename but before the checkpoint commit-log write): re-commit
-      // must be a pure no-op beyond dropping the retry's staging
+      // must be a pure no-op beyond dropping the retry's staging — and
+      // retiring a leftover in-progress marker (the crash window is
+      // between the log rename and the marker delete below). Leaving it
+      // would present `marker + committed log` to expire_staging forever.
+      f.delete(new Path(logDir, s".$epochId.inprogress"), false)
       cleanupEpoch(f, epochId)
       return
     }

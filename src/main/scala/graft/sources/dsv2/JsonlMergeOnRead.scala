@@ -46,11 +46,40 @@ import org.apache.spark.sql.types.StructType
   *
   * Crash posture: the delta commit publishes insert shards first,
   * then sidecars. Both are pure ADDITIONS (nothing is deleted or
-  * overwritten destructively), so a crash mid-commit can leave the
-  * operation partially applied — extra rows, or deletes without their
-  * replacement rows landed — but can never lose pre-existing data;
-  * re-running the statement converges. Sidecar publication itself is
-  * atomic per file (tmp + rename-overwrite).
+  * overwritten destructively), so a crash mid-commit can never lose
+  * PRE-EXISTING data — but it CAN leave the operation half-applied
+  * with a duplicate-row window: an UPDATE/MERGE whose inserts landed
+  * before the crash but whose delete sidecars did not leaves BOTH the
+  * old and the new copy of each affected row visible. Re-running the
+  * same MERGE then sees two target rows matching one source key
+  * (cardinality violation) or double-applies an accumulating update —
+  * recovery is NOT a blind re-run: first remove one copy (a DELETE on
+  * the old `(_shard,_pos)` ids, or a keyed dedup), then re-issue.
+  * Sidecar publication itself is atomic per file (tmp +
+  * rename-overwrite; see [[JsonlDeletes.append]] for the
+  * no-FileContext fallback's `.bak` discipline).
+  *
+  * Concurrency contract: row-level operations are SINGLE-WRITER per
+  * table, enforced — the delta commit takes `_rlo_lock` (atomic
+  * create-if-absent) for the whole publish and a second concurrent
+  * row-level commit REFUSES with
+  * [[ConcurrentRowLevelOperationException]] rather than silently
+  * losing deletes to the sidecar read-modify-write race. A lock left
+  * by a crashed driver expires after `graft.rlo.lock.stale.ms`
+  * (default 15 min) and is broken by the next writer. (Iceberg solves
+  * the same race with optimistic metadata CAS + retry; a refusal is
+  * the honest equivalent for a filesystem-only layout.)
+  *
+  * Versioning boundary: MOR tables are NOT versioned — sidecars are
+  * live mutable state of ONE current table, outside
+  * [[graft.warehouse.VersionedTable]]'s snapshot/time-travel story
+  * (whose `v=N/` parquet snapshots are a different layout entirely).
+  * The two COMPOSE by materialization only: publishing
+  * `spark.read.format("graft-jsonl").load(table)` through
+  * `VersionedTable.publish` captures the post-delete state as an
+  * immutable snapshot; the sidecars themselves never ship. There is
+  * no `VERSION AS OF` for a MOR table's own history — a reader racing
+  * a MOR commit sees per-file additions, not a snapshot.
   *
   * Reference anchor: the reference's keyed upsert loads
   * (dags/utils/etl.py:214-262, `load_type="upsert"`) rewrite whole
@@ -86,6 +115,7 @@ object JsonlDeletes {
     val dir = new Path(root, DirName)
     if (!fs.exists(dir)) return Map.empty
     val out = Map.newBuilder[String, String]
+    val baks = Map.newBuilder[String, String]
     def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
       if (st.isDirectory) walk(st.getPath)
       else if (st.getPath.getName.endsWith(Suffix)) {
@@ -93,10 +123,18 @@ object JsonlDeletes {
           .stripPrefix(DirName + "/").stripSuffix(Suffix)
         out += fs.makeQualified(new Path(root, rel)).toString ->
           st.getPath.toString
+      } else if (st.getPath.getName.endsWith(Suffix + BakSuffix)) {
+        // fallback-publish crash survivor — used only when the primary
+        // sidecar is absent (see append): deletes stay applied
+        val rel = relOf(fs, root, st.getPath)
+          .stripPrefix(DirName + "/").stripSuffix(Suffix + BakSuffix)
+        baks += fs.makeQualified(new Path(root, rel)).toString ->
+          st.getPath.toString
       }
     }
     walk(dir)
-    out.result()
+    val primary = out.result()
+    baks.result().filterNot { case (k, _) => primary.contains(k) } ++ primary
   }
 
   /** Deleted line ordinals recorded in `sidecar` (sorted on write;
@@ -126,15 +164,30 @@ object JsonlDeletes {
     bs
   }
 
+  /** `.bak` twin of a sidecar — the non-atomic publish fallback's
+    * safety net (see [[append]]): readers prefer it only when the
+    * primary is missing. */
+  def bakFor(sc: Path): Path = new Path(sc.getParent, sc.getName + BakSuffix)
+  val BakSuffix = ".bak"
+
   /** Union-merge `positions` into the shard's sidecar and publish the
-    * result atomically (tmp file + rename-overwrite; the non-atomic
-    * fallback keeps the tmp as the recovery copy). Idempotent — a
-    * replayed commit re-unions the same positions. */
+    * result atomically (tmp file + rename-overwrite). On filesystems
+    * without FileContext the fallback never deletes the live sidecar
+    * before its replacement is in place: the old file is renamed aside
+    * to `.bak`, the tmp renamed in, then the `.bak` dropped — a crash
+    * at any point leaves either the primary or the `.bak` readable
+    * (readers and [[index]] fall back to the `.bak` when the primary
+    * is missing), so recorded deletes are never resurrected.
+    * Idempotent — a replayed commit re-unions the same positions. */
   def append(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
              root: Path, shard: Path, positions: Array[Long]): Unit = {
     if (positions.isEmpty) return
     val sc = sidecarFor(fs, root, shard)
-    val existing = if (fs.exists(sc)) read(fs, sc) else Array.empty[Long]
+    val bak = bakFor(sc)
+    val existing =
+      if (fs.exists(sc)) read(fs, sc)
+      else if (fs.exists(bak)) read(fs, bak) // crashed fallback publish
+      else Array.empty[Long]
     val merged = (existing ++ positions).distinct.sorted
     fs.mkdirs(sc.getParent)
     val tmp = new Path(sc.getParent, s".${sc.getName}.tmp")
@@ -145,14 +198,72 @@ object JsonlDeletes {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
       fc.rename(fs.makeQualified(tmp), fs.makeQualified(sc),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      fs.delete(bak, false) // stale twin from an earlier fallback crash
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (fs.exists(sc)) fs.delete(sc, false)
+        fs.delete(bak, false) // any survivor is ⊆ merged — safe to drop
+        if (fs.exists(sc) && !fs.rename(sc, bak))
+          throw new java.io.IOException(
+            s"delete sidecar backup rename failed for $sc")
         if (!fs.rename(tmp, sc))
           throw new java.io.IOException(
-            s"delete sidecar publish failed for $sc; recover from $tmp")
+            s"delete sidecar publish failed for $sc; recover from $tmp or $bak")
+        fs.delete(bak, false)
     }
   }
+}
+
+/** A second row-level operation tried to commit while another holds
+  * the table's `_rlo_lock` — refused loudly instead of racing the
+  * sidecar read-modify-write (which would silently lose deletes). */
+final class ConcurrentRowLevelOperationException(table: String, holder: String)
+    extends RuntimeException(
+      s"concurrent row-level operation on $table refused: _rlo_lock held " +
+        s"by $holder; retry after it completes (a crashed holder's lock " +
+        "expires after graft.rlo.lock.stale.ms, default 15 min)")
+
+/** Table-level commit mutex for row-level operations: an `_rlo_lock`
+  * file created with overwrite=false (atomic create-if-absent on
+  * local/HDFS semantics) holding the writer's queryId. Stale locks —
+  * mtime older than `graft.rlo.lock.stale.ms` — are broken, covering
+  * drivers that died holding it. */
+object RowLevelLock {
+  val FileName = "_rlo_lock"
+  val StaleMsKey = "graft.rlo.lock.stale.ms"
+  val DefaultStaleMs: Long = 15L * 60 * 1000
+
+  def acquire(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+              table: Path, queryId: String): Path = {
+    val lock = new Path(table, FileName)
+    val staleMs = conf.getLong(StaleMsKey, DefaultStaleMs)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        out.write(queryId.getBytes(StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch {
+        case _: java.io.IOException if fs.exists(lock) => false
+      }
+    if (tryCreate()) return lock
+    val st = try Some(fs.getFileStatus(lock))
+             catch { case _: java.io.FileNotFoundException => None }
+    val stale = st.forall(
+      _.getModificationTime < System.currentTimeMillis() - staleMs)
+    if (stale) {
+      fs.delete(lock, false) // break the dead holder's lock, then retry
+      if (tryCreate()) return lock
+    }
+    val holder =
+      try {
+        val in = fs.open(lock)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: Exception => "<unknown>" }
+    throw new ConcurrentRowLevelOperationException(table.toString, holder)
+  }
+
+  def release(fs: FileSystem, lock: Path): Unit = fs.delete(lock, false)
 }
 
 /** One SQL MERGE/UPDATE/DELETE against a merge-on-read table: Spark's
@@ -241,19 +352,26 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
     val f = fs
     val dest = new Path(path)
     f.mkdirs(dest)
-    val msgs = messages.map(_.asInstanceOf[JsonlDeltaCommitMessage])
-    msgs.flatMap(_.staged).foreach { case (stagedFile, relDir) =>
-      val s = new Path(stagedFile)
-      val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
-      f.mkdirs(destDir)
-      if (!f.rename(s, new Path(destDir, s.getName)))
-        throw new java.io.IOException(s"delta commit rename failed for $s")
-    }
-    msgs.flatMap(_.deletes.toSeq)
-      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toArray)
-      .foreach { case (shard, positions) =>
-        JsonlDeletes.append(f, conf.value, dest, new Path(shard), positions)
+    // single-writer enforcement: the whole publish (insert renames +
+    // sidecar read-modify-writes) runs under the table's _rlo_lock; a
+    // concurrent row-level commit refuses with a named error instead
+    // of losing deletes to the sidecar merge race
+    val lock = RowLevelLock.acquire(f, conf.value, dest, queryId)
+    try {
+      val msgs = messages.map(_.asInstanceOf[JsonlDeltaCommitMessage])
+      msgs.flatMap(_.staged).foreach { case (stagedFile, relDir) =>
+        val s = new Path(stagedFile)
+        val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
+        f.mkdirs(destDir)
+        if (!f.rename(s, new Path(destDir, s.getName)))
+          throw new java.io.IOException(s"delta commit rename failed for $s")
       }
+      msgs.flatMap(_.deletes.toSeq)
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toArray)
+        .foreach { case (shard, positions) =>
+          JsonlDeletes.append(f, conf.value, dest, new Path(shard), positions)
+        }
+    } finally RowLevelLock.release(f, lock)
     cleanupStaging(f)
   }
 

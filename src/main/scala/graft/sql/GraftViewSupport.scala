@@ -53,13 +53,17 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
     catch { case _: Exception => false }
 
   /** `cat.ns….name` → (catalog, ident) when `cat` is a GraftCatalog;
-    * bare names route through the CURRENT catalog when that is one. */
+    * bare names route through the CURRENT catalog when that is one.
+    * A leading part naming ANY other registered catalog (e.g.
+    * `spark_catalog.default.v` while `USE wh`) is explicitly qualified
+    * elsewhere — never hijacked into the current graft catalog. */
   private def graftIdent(parts: Seq[String]): Option[(String, Identifier)] =
     if (parts.length >= 2 && isGraft(parts.head))
       Some((parts.head,
         Identifier.of(parts.tail.init.toArray, parts.last)))
     else if (catalogManager.currentCatalog.isInstanceOf[GraftCatalog] &&
-             !session.sessionState.catalog.isTempView(parts))
+             !session.sessionState.catalog.isTempView(parts) &&
+             (parts.length == 1 || !catalogManager.isCatalogRegistered(parts.head)))
       Some((catalogManager.currentCatalog.name,
         if (parts.length == 1)
           Identifier.of(catalogManager.currentNamespace, parts.head)
@@ -155,12 +159,21 @@ final case class GraftCreateViewCommand(
       else org.apache.spark.sql.types.StructType(
         analyzed.schema.fields.zip(aliases).map { case (f, a) => f.copy(name = a) })
     val allProps = new java.util.HashMap[String, String]()
+    if (mustExist && exists) {
+      // ALTER VIEW ... AS replaces only the query (Spark semantics):
+      // the existing properties and comment carry forward; the declared
+      // column-alias list does NOT (the new query defines the output).
+      cat.loadView(ident).properties.forEach((k, v) => allProps.put(k, v))
+    }
     props.foreach { case (k, v) => allProps.put(k, v) }
     comment.foreach(c => allProps.put(ViewCatalog.PROP_COMMENT, c))
-    if (exists) cat.dropView(ident)
-    cat.createView(new ViewInfo(ident, originalText,
+    val info = new ViewInfo(ident, originalText,
       cm.currentCatalog.name, cm.currentNamespace, schema,
-      queryCols.toArray, aliases, comments, allProps))
+      queryCols.toArray, aliases, comments, allProps)
+    // replaceView is a single atomic publish in GraftCatalog — a crash
+    // mid-replace leaves either the old or the new definition, never
+    // neither (the drop-then-create it supersedes had a loss window)
+    if (exists) cat.replaceView(info, false) else cat.createView(info)
     Nil
   }
 }
@@ -218,7 +231,9 @@ final case class GraftViewSubstitution(session: SparkSession)
     val candidates: Seq[(String, Seq[String])] =
       (if (parts.length >= 2) Seq((parts.head, parts.tail)) else Nil) ++
         (if (catalogManager.currentCatalog.isInstanceOf[GraftCatalog] &&
-             !session.sessionState.catalog.isTempView(parts))
+             !session.sessionState.catalog.isTempView(parts) &&
+             (parts.length == 1 ||
+               !catalogManager.isCatalogRegistered(parts.head)))
            Seq((catalogManager.currentCatalog.name,
              if (parts.length == 1) catalogManager.currentNamespace.toSeq ++ parts
              else parts))

@@ -34,6 +34,13 @@ import java.nio.charset.StandardCharsets
   * the write path — on HDFS-like stores directly, or fronted by this
   * pointer when the store lacks atomic rename.
   *
+  * Merge-on-read boundary: a `graft-jsonl` table in merge-on-read
+  * mode ([[graft.sources.dsv2.JsonlDeletes]]) keeps live mutable
+  * delete sidecars — that state is NOT versioned here and never ships
+  * into a snapshot. To version a MOR table, materialize a READ of it
+  * (deletes applied) through [[publish]]; the snapshot is then
+  * self-contained parquet with no sidecar dependency.
+  *
   * Reference behavior mirrored: the reference replaces whole BigQuery
   * tables per load (dags/utils/common/data_helper.py:60-74,
   * WRITE_TRUNCATE) with no history; this keeps the replace semantics

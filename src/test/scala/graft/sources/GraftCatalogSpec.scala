@@ -519,6 +519,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.exp2.t")
   }
 
+  test("expire_staging never sweeps a COMMITTED epoch's shards") {
+    // Crash window: the streaming commit renamed the durable epoch log
+    // into place but died before deleting its `.N.inprogress` marker.
+    // marker + committed-log is then persistent (a never-restarted
+    // query retires nothing), and a naive expire that treats every
+    // stale marker as an orphan would delete COMMITTED data that the
+    // replay short-circuit guarantees is never republished. The expire
+    // must delete only the marker and leave the epoch's shards alone.
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.exp3")
+    sql("CREATE TABLE wh.exp3.t (k BIGINT)")
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val tdir = new java.io.File(s"$root/exp3/t")
+    val committed = new java.io.File(tdir, "part-00000-3-qc-e4.jsonl.gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(committed))
+    gz.write("{\"k\":7}\n".getBytes("UTF-8")); gz.close()
+    val logDir = new java.io.File(tdir, "_graft_stream_log/qc")
+    logDir.mkdirs()
+    new java.io.File(logDir, "4").createNewFile() // durable epoch record
+    val marker = new java.io.File(logDir, ".4.inprogress")
+    marker.createNewFile()
+    val old = System.currentTimeMillis() - 3600L * 1000
+    marker.setLastModified(old)
+    sql("CALL wh.system.expire_staging('exp3.t', age_minutes => 30)")
+    assert(!marker.exists(), "leftover marker of a committed epoch retired")
+    assert(committed.exists(), "committed epoch's shard must survive expire")
+    assert(sql("SELECT k FROM wh.exp3.t").collect().map(_.getLong(0)).toSeq
+      == Seq(7L))
+    sql("DROP TABLE wh.exp3.t")
+  }
+
   test("row-level COW refuses when a prior crash left _cow_trash") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.trash")
     sql("CREATE TABLE wh.trash.t (k BIGINT, v BIGINT)")

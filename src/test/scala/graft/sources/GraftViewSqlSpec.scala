@@ -77,6 +77,46 @@ class GraftViewSqlSpec extends AnyFunSuite {
     sql("DROP VIEW vw.ns.av")
   }
 
+  test("ALTER VIEW AS preserves properties and comment (replaces only the query)") {
+    sql("""CREATE VIEW vw.ns.props
+          |COMMENT 'kept across alter'
+          |TBLPROPERTIES ('owner'='etl', 'tier'='gold')
+          |AS SELECT k FROM vw.ns.t""".stripMargin)
+    sql("ALTER VIEW vw.ns.props AS SELECT k, v FROM vw.ns.t WHERE k <= 2")
+    // query replaced…
+    assert(sql("SELECT count(*) FROM vw.ns.props").head.getLong(0) == 2L)
+    // …but properties and comment carried forward (Spark's ALTER VIEW AS
+    // semantics), and the replace is one atomic publish, not drop+create
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
+    val cat = spark.sessionState.catalogManager.catalog("vw")
+      .asInstanceOf[ViewCatalog]
+    val view = cat.loadView(Identifier.of(Array("ns"), "props"))
+    assert(view.properties.get("owner") == "etl", view.properties.toString)
+    assert(view.properties.get("tier") == "gold")
+    assert(view.properties.get(ViewCatalog.PROP_COMMENT) == "kept across alter")
+    sql("DROP VIEW vw.ns.props")
+  }
+
+  test("explicitly-qualified other-catalog view DDL is not hijacked under USE") {
+    // while the CURRENT catalog is the graft one, a statement fully
+    // qualified with another registered catalog must reach that catalog
+    // — not be swallowed as namespace ['spark_catalog','default'] here
+    val prev = spark.catalog.currentCatalog()
+    try {
+      sql("USE vw")
+      sql("CREATE OR REPLACE VIEW spark_catalog.default.hj AS SELECT 7 AS x")
+      assert(sql("SELECT x FROM spark_catalog.default.hj").head.getInt(0) == 7)
+      // nothing leaked into the graft catalog's file tree
+      val root = spark.conf.get("spark.sql.catalog.vw.root")
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      assert(!walk(new java.io.File(root))
+        .exists(_.getName.contains("hj")), "view file hijacked into graft root")
+      sql("DROP VIEW spark_catalog.default.hj")
+    } finally sql(s"USE $prev")
+  }
+
   test("SHOW VIEWS lists the namespace's persisted views") {
     sql("CREATE VIEW vw.ns.sv1 AS SELECT 1 AS one")
     sql("CREATE VIEW vw.ns.sv2 AS SELECT 2 AS two")

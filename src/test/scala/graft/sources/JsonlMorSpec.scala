@@ -230,6 +230,63 @@ class JsonlMorSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("concurrent row-level commit refuses while _rlo_lock is held; stale lock broken") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.lk")
+    sql("""CREATE TABLE mw.lk.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.lk.t VALUES (1, 10), (2, 20), (3, 30)")
+    val dir = new java.io.File(s"$root/lk/t")
+    // another writer mid-commit: a FRESH lock
+    val lock = new java.io.File(dir, "_rlo_lock")
+    val w = new java.io.FileWriter(lock); w.write("other-writer-q7"); w.close()
+    val e = intercept[Exception] { sql("DELETE FROM mw.lk.t WHERE k = 2") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("_rlo_lock") &&
+      m.contains("other-writer-q7")), e.toString)
+    // no delete leaked through the refusal
+    assert(sql("SELECT count(*) FROM mw.lk.t").head.getLong(0) == 3L)
+    // a crashed holder's lock goes stale and the next writer breaks it
+    lock.setLastModified(System.currentTimeMillis() - 3600L * 1000)
+    sql("DELETE FROM mw.lk.t WHERE k = 2")
+    assert(sql("SELECT k FROM mw.lk.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(!lock.exists(), "lock released after the commit")
+  }
+
+  test("sidecar .bak survivor: deletes stay applied and re-merge on next append") {
+    // The no-FileContext publish fallback renames the live sidecar
+    // aside to .bak before renaming its replacement in. Simulate the
+    // crash between the two renames: primary gone, .bak present —
+    // index() must fall back to the .bak (deletes stay applied) and
+    // the next append must union it in rather than starting empty.
+    import org.apache.hadoop.fs.Path
+    import graft.sources.dsv2.JsonlDeletes
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.bk")
+    sql("""CREATE TABLE mw.bk.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.bk.t SELECT /*+ REPARTITION(1) */ * FROM VALUES " +
+      "(1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L) AS v(k, v)")
+    sql("DELETE FROM mw.bk.t WHERE k = 2")
+    val dir = new java.io.File(s"$root/bk/t")
+    val sc = sidecars(dir).head
+    val bak = new java.io.File(sc.getParentFile, sc.getName + ".bak")
+    assert(sc.renameTo(bak), "simulate crash: primary replaced by .bak")
+    val rootP = new Path(dir.toString)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val idx = JsonlDeletes.index(fs, rootP)
+    assert(idx.values.toSeq == Seq(bak.toString) ||
+      idx.values.exists(_.endsWith(".bak")), s"index must surface the .bak: $idx")
+    assert(sql("SELECT k FROM mw.bk.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L), "deletes stay applied via .bak")
+    // the next row-level op merges the .bak contents, not an empty set
+    sql("DELETE FROM mw.bk.t WHERE k = 4")
+    assert(sql("SELECT k FROM mw.bk.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L), "k=2 not resurrected")
+    val idx2 = JsonlDeletes.index(fs, rootP)
+    assert(idx2.values.forall(!_.endsWith(".bak")), "primary republished")
+  }
+
   test("COW rewrite on a table carrying sidecars consumes them") {
     // tables can flip modes; a COW group rewrite must apply existing
     // sidecars through its scan AND retire them with the replaced
