@@ -71,12 +71,12 @@ object Bench {
     // (q76 6.3s in r4, q55 5.4s in r5 — both sub-second isolated).
     // The min rides along as the noise floor: a median far above its
     // min flags residual interference rather than a real regression.
-    val timings: Seq[(String, Option[(Double, Double)])] = names.map { n =>
+    val timings: Seq[(String, Option[(Double, Double, Double)])] = names.map { n =>
       System.gc()
       Thread.sleep(100L)
       val runs = (1 to reps).flatMap(_ => timeOne(n))
       n -> (if (runs.isEmpty) None
-            else Some((runs.sorted.apply(runs.size / 2), runs.min)))
+            else Some((runs.sorted.apply(runs.size / 2), runs.min, runs.max)))
     }
 
     // locale-safe number text + full control-char escaping (same
@@ -90,14 +90,20 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = timings.collect { case (k, Some((med, _))) => q(k) + ":" + num(med) }
+    val qs = timings.collect { case (k, Some((med, _, _))) => q(k) + ":" + num(med) }
       .mkString("{", ",", "}")
-    val qsMin = timings.collect { case (k, Some((_, mn))) => q(k) + ":" + num(mn) }
+    val qsMin = timings.collect { case (k, Some((_, mn, _))) => q(k) + ":" + num(mn) }
       .mkString("{", ",", "}")
+    // per-query spread (max - min over the reps): the variance witness
+    // — a round-over-round median swing SMALLER than the query's own
+    // spread is harness noise, not a regression (the r9 verdict burned
+    // an investigation on exactly that ambiguity)
+    val qsSpread = timings.collect { case (k, Some((_, mn, mx))) =>
+      q(k) + ":" + num(mx - mn) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
     val total = num(timings.flatMap(_._2.map(_._1)).sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}"""
     println(line)
     // the driver's per-round artifact keeps only a 2000-char TAIL of
     // stdout, hiding ~2/3 of the suite's timings — persist the same

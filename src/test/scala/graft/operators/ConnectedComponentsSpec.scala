@@ -42,18 +42,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(lgot === Map(7L -> 7L, 8L -> 8L))
   }
 
-  test("a long path converges via closure jumping; insufficient maxIter fails loudly") {
-    // ordered ids: neighbor-min forms ONE tree per component, so the
-    // in-round jump closure collapses the whole 200-chain in round 1
-    // (localSolveEdgeLimit = 0 forces the distributed loop under test)
+  test("a long path converges in a bounded round count; insufficient maxIter fails loudly") {
+    // HIGH-DIAMETER adversary: a 200-node chain (diameter 199). The
+    // large-star/small-star alternation must collapse it in O(log n)
+    // rounds — a per-round-constant-progress scheme would need ~n
+    // rounds and trip maxIter. (localSolveEdgeLimit = 0 forces the
+    // distributed loop under test.)
     val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
     val got = ConnectedComponents(path, numPartitions = 4,
       localSolveEdgeLimit = 0).collect()
     assert(got.length === 200 && got.forall(_.getLong(1) === 1L))
-    // zigzag ids (adjacent pairs swapped along the chain) split every
-    // round's labels into many small trees -> ~log2(n) contraction
-    // rounds, so a 64-chain still converges by default but maxIter=1
-    // must fail loudly instead of returning partial clusters
+    val pathRounds = ConnectedComponents.lastRounds
+    assert(pathRounds <= 2 * 8 + 2, // 2·⌈log2 200⌉ + slack
+      s"200-chain took $pathRounds rounds — round count not log-bounded")
+    // zigzag ids (adjacent pairs swapped along the chain) defeat
+    // monotone-id shortcuts; still converges within the log bound but
+    // maxIter=1 must fail loudly instead of returning partial clusters
     val zig = (0L until 63L).map { p =>
       def id(pos: Long) = if (pos % 2 == 0) pos + 2 else pos // 2,1,4,3,6,5...
       (id(p), id(p + 1))
@@ -61,10 +65,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val zgot = ConnectedComponents(zig, numPartitions = 4,
       localSolveEdgeLimit = 0).collect()
     assert(zgot.length === 64 && zgot.forall(_.getLong(1) === 1L))
+    assert(ConnectedComponents.lastRounds <= 2 * 6 + 2,
+      s"64-zigzag took ${ConnectedComponents.lastRounds} rounds")
     intercept[IllegalArgumentException] {
       ConnectedComponents(zig, maxIter = 1, numPartitions = 4,
         localSolveEdgeLimit = 0)
     }
+  }
+
+  test("round count grows logarithmically with chain length") {
+    // doubling the diameter must add ~constant rounds, not double them
+    def roundsFor(n: Long): Int = {
+      val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+      val out = ConnectedComponents(chain, numPartitions = 4,
+        localSolveEdgeLimit = 0).collect()
+      assert(out.length === n && out.forall(_.getLong(1) === 1L), s"n=$n")
+      ConnectedComponents.lastRounds
+    }
+    val r64 = roundsFor(64)
+    val r256 = roundsFor(256)
+    assert(r256 <= r64 + 5,
+      s"4x the diameter cost ${r256 - r64} extra rounds (64: $r64, 256: $r256)" +
+        " — contraction is not halving the chain per round")
   }
 
   test("distributed rounds + driver end-game compose on a mixed graph") {
