@@ -947,6 +947,63 @@ object WarehouseQueries {
       |FROM documents WHERE lang IS NULL OR lang <> 'zh'
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+  /** The file-skipping index CONSULTED BY CATALOG-TABLE SCANS
+    * ([[graft.sources.dsv2.JsonlSkipIndex]] wired into `JsonlScan`
+    * planning — q179's sibling, but through pure SQL on a catalog
+    * table instead of the parquet helper API): orders CTAS'd
+    * range-clustered on `o_orderkey` into a `graft-jsonl` catalog
+    * table (8 shards, contiguous key ranges),
+    * `CALL build_skip_index(columns/bloom_columns => o_orderkey)`,
+    * then two probes — a key-range slice (min/max skipping) and a
+    * max-key point lookup (bloom + range). Plan-guarded in-query:
+    * both probes must open strictly fewer shards than the table
+    * holds; the oracle pins that pruning never costs rows. */
+  private val skipCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def skipIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = skipCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whsk", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whsk.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q207").toString)
+      c.sql("CREATE NAMESPACE whsk.sk")
+      c.sql(
+        s"""CREATE TABLE whsk.sk.orders AS
+           |SELECT /*+ REPARTITION_BY_RANGE(8, o_orderkey) */
+           |  o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("""CALL whsk.system.build_skip_index('sk.orders',
+              |columns => 'o_orderkey', bloom_columns => 'o_orderkey')""".stripMargin)
+      c
+    })
+    // probe keys derive from the data (scalar max — one driver row by
+    // contract, q179's discipline)
+    val hit = child.sql("SELECT MAX(o_orderkey) AS m FROM whsk.sk.orders")
+      .head.getLong(0)
+    val slice = child.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM whsk.sk.orders WHERE o_orderkey <= 640""".stripMargin)
+    val point = child.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus
+         |FROM whsk.sk.orders WHERE o_orderkey = $hit""".stripMargin)
+    val (ns, np) = (slice.rdd.getNumPartitions, point.rdd.getNumPartitions)
+    require(ns >= 1 && ns < 8,
+      s"skip index did not prune the range probe: $ns of 8 shards planned")
+    require(np == 1,
+      s"skip index did not prune the point probe to one shard: $np planned")
+    slice.unionByName(point).orderBy(col("o_orderkey"))
+  }
+
+  val skipIndexProbeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE o_orderkey <= 640
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Oracle recomputes the joined answer straight from the parquet —
     * the exact-average threshold is reproducible because the sums stay
     * far inside double's integer range. */
@@ -1051,6 +1108,7 @@ object WarehouseQueries {
     "q206_catalog_agg_fns" -> (catalogAggFns _),
     "q188_spj_doc_join" -> (spjDocJoin _),
     "q193_catalog_sql_roundtrip" -> (catalogSqlRoundtrip _),
+    "q207_skip_index_probe" -> (skipIndexProbe _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1077,6 +1135,7 @@ object WarehouseQueries {
     "q206_catalog_agg_fns" -> catalogAggFnsSql,
     "q188_spj_doc_join" -> spjDocJoinSql,
     "q193_catalog_sql_roundtrip" -> catalogSqlRoundtripSql,
+    "q207_skip_index_probe" -> skipIndexProbeSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -421,7 +421,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ------------------------------------------------------ procedures
 
-  private val procedureNames = Seq("table_stats", "compact", "expire_staging")
+  private val procedureNames =
+    Seq("table_stats", "compact", "expire_staging", "build_skip_index")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))

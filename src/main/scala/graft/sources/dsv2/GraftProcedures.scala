@@ -41,6 +41,8 @@ object GraftProcedures {
     StructField("shards_after", IntegerType)))
   private val expireSchema = StructType(Seq(
     StructField("removed_attempts", IntegerType)))
+  private val skipIndexSchema = StructType(Seq(
+    StructField("indexed_shards", IntegerType)))
 
   private def utf8(s: String) = UTF8String.fromString(s)
 
@@ -86,6 +88,7 @@ object GraftProcedures {
         case "table_stats" => tableStats(catalog)
         case "compact" => compact(catalog)
         case "expire_staging" => expireStaging(catalog)
+        case "build_skip_index" => buildSkipIndex(catalog)
         case other => throw new IllegalArgumentException(
           s"unknown graft procedure $other")
       }
@@ -251,6 +254,48 @@ object GraftProcedures {
         fs.delete(staging, true)
         result(compactSchema, after.toSeq.map { case (rel, b, a) =>
           new GenericInternalRow(Array[Any](utf8(rel), b, a)): InternalRow })
+      }
+    }
+
+  /** `build_skip_index(table, columns, bloom_columns, bloom_items,
+    * bloom_bits)`: one distributed aggregate over the table grouped by
+    * the `_shard` metadata column → per-shard min/max/null stats for
+    * `columns` (comma-separated) and per-shard bloom filters for
+    * `bloom_columns`, published atomically as `_skip/index.json`.
+    * Every subsequent [[JsonlScan]] of the table consults it after
+    * partition pruning — see [[JsonlSkipIndex]] for the staleness
+    * contract (appends/compactions since the build are always read;
+    * rebuilding is the maintenance cadence, like OPTIMIZE + stats). */
+  private def buildSkipIndex(catalog: GraftCatalog): BoundProcedure =
+    new Bound("build_skip_index", tableParam,
+      ProcedureParameter.in("columns", StringType)
+        .comment("comma-separated columns to min/max index").build(),
+      ProcedureParameter.in("bloom_columns", StringType).defaultValue("''")
+        .comment("comma-separated columns to bloom index").build(),
+      ProcedureParameter.in("bloom_items", IntegerType)
+        .defaultValue((1 << 20).toString)
+        .comment("expected distinct items per shard").build(),
+      ProcedureParameter.in("bloom_bits", IntegerType)
+        .defaultValue((1 << 23).toString)
+        .comment("bloom filter bits per shard").build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tableName = input.getUTF8String(0).toString
+        val (fs, table) = catalog.resolveTableDir(tableName)
+        def split(i: Int): Seq[String] =
+          if (input.isNullAt(i)) Seq.empty
+          else input.getUTF8String(i).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val cols = split(1)
+        val bloomCols = split(2)
+        require(cols.nonEmpty || bloomCols.nonEmpty,
+          "build_skip_index: no columns given")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ref = (catalog.name +: tableName.split("\\.").toSeq)
+          .map(p => s"`$p`").mkString(".")
+        val n = JsonlSkipIndex.build(spark, fs, table, ref, cols, bloomCols,
+          input.getInt(3).toLong, input.getInt(4).toLong)
+        result(skipIndexSchema,
+          Seq(new GenericInternalRow(Array[Any](n))))
       }
     }
 

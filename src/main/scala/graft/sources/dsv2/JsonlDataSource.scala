@@ -797,6 +797,19 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     case _ => true
   }
 
+  /** The table's file-skipping index ([[JsonlSkipIndex]]), loaded once
+    * per scan — one existence probe when the table has none. Consulted
+    * AFTER partition pruning: a shard whose indexed [min, max] range
+    * (or bloom filter, for point predicates) proves the pushed filters
+    * can't match is never planned into a partition — the file-open
+    * -level skip partition dirs can't express. Conservative on
+    * staleness by construction (unseen shards always read). */
+  private lazy val skipIndex: Map[String, JsonlSkipIndex.ShardEntry] = {
+    val p = new Path(path)
+    JsonlSkipIndex.load(p.getFileSystem(JsonlHadoopConf.fromSession().value),
+      p, dataSchema)
+  }
+
   private def prunedShards()
       : Seq[(String, Long, Map[String, Option[String]])] =
     layout.filter { case (f, _, pv) =>
@@ -805,7 +818,10 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
           .forall(JsonlPartitionPruning.admits(_, k, v, dataSchema))
       } && runtimeFilters
         .filter(_.references.sameElements(Array("_shard")))
-        .forall(shardAdmitted(f, _))
+        .forall(shardAdmitted(f, _)) &&
+      (skipIndex.isEmpty ||
+        JsonlSkipIndex.admits(skipIndex, f,
+          (pushed ++ runtimeFilters).toSeq, dataSchema))
     }
 
   /** Hive-style one-level partition layout (`lang=en/part-*.jsonl.gz`,

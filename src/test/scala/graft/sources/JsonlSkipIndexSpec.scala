@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** [[graft.sources.dsv2.JsonlSkipIndex]] wired into [[graft.sources.dsv2.JsonlScan]]
+  * planning: after `CALL build_skip_index`, a selective probe on an
+  * indexed catalog table must PLAN fewer input partitions (= open
+  * fewer shards) while returning byte-identical rows; staleness
+  * (appends after the build) must only ever cost skipping. */
+class JsonlSkipIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.sk", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.sk.root",
+      java.nio.file.Files.createTempDirectory("graft-skip").toString)
+    s
+  }
+  private def sql(q: String) = spark.sql(q)
+  private def shardsPlanned(q: String): Int = sql(q).rdd.getNumPartitions
+
+  test("min/max index prunes point and range probes; rows identical; appends stay visible") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.ns")
+    sql("CREATE TABLE sk.ns.t (k BIGINT, v BIGINT)")
+    // four shards with disjoint, clustered k ranges
+    for (base <- Seq(0L, 100L, 200L, 300L))
+      sql(s"""INSERT INTO sk.ns.t SELECT /*+ REPARTITION(1) */
+             |  id + $base AS k, (id + $base) * 10 AS v
+             |FROM range(0, 100)""".stripMargin)
+    val point = "SELECT k, v FROM sk.ns.t WHERE k = 250"
+    val range = "SELECT k, v FROM sk.ns.t WHERE k >= 350"
+    val lower = "SELECT k, v FROM sk.ns.t WHERE k < 150"
+    assert(shardsPlanned(point) == 4, "without an index every shard opens")
+    val n = sql("CALL sk.system.build_skip_index('ns.t', columns => 'k')")
+      .head.getInt(0)
+    assert(n == 4, s"indexed $n shards")
+    // point probe: one shard's [200, 299] range admits
+    assert(shardsPlanned(point) == 1)
+    assert(sql(point).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((250L, 2500L)))
+    // range probes prune by [min, max] overlap
+    assert(shardsPlanned(range) == 1)
+    assert(sql(range).head.getLong(0) >= 350L)
+    assert(shardsPlanned(lower) == 2)
+    assert(sql(lower).count() == 150L)
+    // a probe outside every range opens ZERO shards
+    assert(shardsPlanned("SELECT k FROM sk.ns.t WHERE k = 5000") == 0)
+    assert(sql("SELECT k FROM sk.ns.t WHERE k = 5000").count() == 0L)
+    // COUNT(*) pushdown shares prunedShards — and stays correct
+    assert(sql("SELECT count(*) FROM sk.ns.t WHERE k >= 350").head.getLong(0)
+      == 50L)
+    // staleness: a shard appended AFTER the build is index-unseen and
+    // must always be read — the duplicate k=250 lands in the answer
+    sql("INSERT INTO sk.ns.t SELECT /*+ REPARTITION(1) */ 250L AS k, 999L AS v")
+    assert(shardsPlanned(point) == 2, "indexed shard + unseen shard")
+    assert(sql(point).collect().map(_.getLong(1)).sorted.toSeq
+      == Seq(999L, 2500L))
+    // ...even when the probe misses every INDEXED range
+    assert(shardsPlanned("SELECT k FROM sk.ns.t WHERE k = 5000") == 1)
+  }
+
+  test("bloom tier prunes scattered keys that min/max cannot") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.bl")
+    sql("CREATE TABLE sk.bl.t (k BIGINT, v BIGINT)")
+    // two shards whose k sets INTERLEAVE (evens / odds over the same
+    // span): both [min, max] ranges cover every probe — range skipping
+    // is useless by construction, only the bloom can prune
+    sql("""INSERT INTO sk.bl.t SELECT /*+ REPARTITION(1) */
+          |  id * 2 AS k, id AS v FROM range(0, 1000)""".stripMargin)
+    sql("""INSERT INTO sk.bl.t SELECT /*+ REPARTITION(1) */
+          |  id * 2 + 1 AS k, id AS v FROM range(0, 1000)""".stripMargin)
+    sql("""CALL sk.system.build_skip_index('bl.t', columns => 'k',
+          |bloom_columns => 'k')""".stripMargin)
+    val even = "SELECT k, v FROM sk.bl.t WHERE k = 500"
+    val odd = "SELECT k, v FROM sk.bl.t WHERE k = 501"
+    assert(shardsPlanned(even) == 1, "even key lives in one shard")
+    assert(shardsPlanned(odd) == 1, "odd key lives in the other")
+    assert(sql(even).head.getLong(1) == 250L)
+    assert(sql(odd).head.getLong(1) == 250L)
+    // absent key inside both ranges: blooms reject, zero shards open
+    assert(shardsPlanned("SELECT k FROM sk.bl.t WHERE k = 2001") == 0)
+    assert(sql("SELECT k FROM sk.bl.t WHERE k = 2001").count() == 0L)
+    // IN probes take any-member semantics
+    assert(shardsPlanned("SELECT k FROM sk.bl.t WHERE k IN (500, 2001)") == 1)
+  }
+
+  test("null-aware pruning and MOR deletes stay conservative") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.nl")
+    sql("""CREATE TABLE sk.nl.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO sk.nl.t SELECT /*+ REPARTITION(1) */ id AS k, id AS v FROM range(0, 10)")
+    sql("""INSERT INTO sk.nl.t SELECT /*+ REPARTITION(1) */
+          |  CAST(NULL AS BIGINT) AS k, id AS v FROM range(0, 5)""".stripMargin)
+    sql("CALL sk.system.build_skip_index('nl.t', columns => 'k')")
+    // IS NOT NULL prunes the all-null shard; IS NULL prunes the other
+    assert(shardsPlanned("SELECT v FROM sk.nl.t WHERE k IS NOT NULL") == 1)
+    assert(sql("SELECT v FROM sk.nl.t WHERE k IS NOT NULL").count() == 10L)
+    assert(shardsPlanned("SELECT v FROM sk.nl.t WHERE k IS NULL") == 1)
+    assert(sql("SELECT v FROM sk.nl.t WHERE k IS NULL").count() == 5L)
+    // MOR delete AFTER the build: stats are now wider than the data —
+    // sound (deletes only narrow), and the probe applies the sidecar
+    sql("DELETE FROM sk.nl.t WHERE k = 3")
+    assert(sql("SELECT v FROM sk.nl.t WHERE k IS NOT NULL").count() == 9L)
+    assert(sql("SELECT k FROM sk.nl.t WHERE k = 3").count() == 0L)
+  }
+}
