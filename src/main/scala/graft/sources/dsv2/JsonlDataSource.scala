@@ -92,7 +92,8 @@ class JsonlTable(tableSchema: StructType, path: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols)
+    new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols,
+      JsonlSkipIndex.skipColsOf(props))
 
   /** Drop every data entry under the table root, keeping metadata
     * (`_`/`.`-prefixed — table spec, stream log): the shared wipe
@@ -172,9 +173,11 @@ class JsonlTable(tableSchema: StructType, path: String,
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
         props.getOrElse(JsonlTable.RowLevelModeProp, "copy-on-write") match {
           case "copy-on-write" =>
-            new JsonlRowLevelOperation(info.command(), tableSchema, path, partCols)
+            new JsonlRowLevelOperation(info.command(), tableSchema, path,
+              partCols, JsonlSkipIndex.skipColsOf(props))
           case "merge-on-read" =>
-            new JsonlMorRowLevelOperation(info.command(), tableSchema, path, partCols)
+            new JsonlMorRowLevelOperation(info.command(), tableSchema, path,
+              partCols, JsonlSkipIndex.skipColsOf(props))
           case other => throw new IllegalArgumentException(
             s"graft-jsonl: unknown ${JsonlTable.RowLevelModeProp} '$other' " +
               "(expected copy-on-write or merge-on-read)")
@@ -1208,7 +1211,8 @@ object JsonlPartitionPruning {
   * callers needing snapshot-atomic publish layer
   * [[graft.warehouse.VersionedTable]] on top, exactly as with parquet. */
 final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
-                              partCols: Seq[String] = Nil)
+                              partCols: Seq[String] = Nil,
+                              skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -1251,10 +1255,10 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
           // dynamic overwrite of an UNPARTITIONED table replaces its
           // single implicit partition — the whole table
           new JsonlBatchWrite(schema, path, queryId, doTruncate || doDynamic,
-            Nil)
+            Nil, skipCols = skipCols)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new JsonlStreamingWrite(schema, path, queryId, Nil)
+          new JsonlStreamingWrite(schema, path, queryId, Nil, skipCols)
       }
     else
       // hive-layout write: ask Spark to CLUSTER rows by the partition
@@ -1278,10 +1282,10 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
             .toArray
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
           new JsonlBatchWrite(schema, path, queryId, doTruncate, partCols,
-            doDynamic, overwriteFilters)
+            doDynamic, overwriteFilters, skipCols = skipCols)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new JsonlStreamingWrite(schema, path, queryId, partCols)
+          new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols)
       }
 }
 
@@ -1308,7 +1312,8 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
   *     partition dirs the operation emptied. */
 final class JsonlRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    tableSchema: StructType, path: String, partCols: Seq[String])
+    tableSchema: StructType, path: String, partCols: Seq[String],
+    skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   @volatile private var scannedShards: Seq[String] = Nil
@@ -1337,7 +1342,7 @@ final class JsonlRowLevelOperation(
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
               new JsonlBatchWrite(wInfo.schema(), path, wInfo.queryId(),
                 truncate = false, Nil,
-                replaceShards = () => scannedShards)
+                replaceShards = () => scannedShards, skipCols = skipCols)
           }
         else
           new org.apache.spark.sql.connector.write.Write
@@ -1356,7 +1361,7 @@ final class JsonlRowLevelOperation(
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
               new JsonlBatchWrite(wInfo.schema(), path, wInfo.queryId(),
                 truncate = false, partCols,
-                replaceShards = () => scannedShards)
+                replaceShards = () => scannedShards, skipCols = skipCols)
           }
     }
 }
@@ -1398,7 +1403,8 @@ final class JsonlRowLevelScanBuilder(dataSchema: StructType, path: String,
   * dir immediately consumable by [[JsonlMicroBatchStream]] — stream →
   * table → stream composes. */
 final class JsonlStreamingWrite(schema: StructType, path: String,
-                                queryId: String, partCols: Seq[String])
+                                queryId: String, partCols: Seq[String],
+                                skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1413,7 +1419,8 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
-    new JsonlStreamingWriterFactory(schema, path, queryId, partCols, conf)
+    new JsonlStreamingWriterFactory(schema, path, queryId, partCols, conf,
+      skipCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
@@ -1452,7 +1459,7 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
         .foreach(p => f.delete(p, false))
     }
     f.create(inprog, true).close()
-    messages.flatMap { case JsonlCommitMessage(s) => s }.foreach {
+    messages.flatMap { case JsonlCommitMessage(s, _) => s }.foreach {
       case (stagedFile, relDir) =>
         val s = new Path(stagedFile)
         val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
@@ -1461,6 +1468,15 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
         if (!f.rename(s, target))
           throw new java.io.IOException(s"epoch $epochId commit failed for $s")
     }
+    // write-time skip stats for this epoch's shards (graft.skip.columns)
+    JsonlSkipIndex.mergeEntries(f, dest, messages.flatMap {
+      case JsonlCommitMessage(s, st) => s.flatMap { case (stagedFile, relDir) =>
+        st.get(stagedFile).map { ws =>
+          val name = new Path(stagedFile).getName
+          (if (relDir.isEmpty) name else s"$relDir/$name") -> ws
+        }
+      }
+    }.toSeq)
     // durable epoch record, atomically renamed into place: any future
     // commit() of this epoch short-circuits above
     val tmp = new Path(logDir, s".$epochId.tmp")
@@ -1497,28 +1513,33 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
   * Serializable class (the StreamingWrite itself stays driver-only). */
 final class JsonlStreamingWriterFactory(schema: StructType, path: String,
                                         queryId: String, partCols: Seq[String],
-                                        conf: JsonlHadoopConf)
+                                        conf: JsonlHadoopConf,
+                                        skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new JsonlDataWriter(schema, path, s"$queryId-e$epochId",
-        partitionId, taskId, conf)
+        partitionId, taskId, conf, skipCols)
     else
       new JsonlPartitionedDataWriter(schema, path, s"$queryId-e$epochId",
-        partitionId, taskId, conf, partCols)
+        partitionId, taskId, conf, partCols, skipCols)
 }
 
 /** Staged shard(s) of one task: (staged path, partition-relative dir —
-  * "" for a flat table). */
-final case class JsonlCommitMessage(staged: Seq[(String, String)])
+  * "" for a flat table), plus the writer-computed per-file skip stats
+  * (keyed by staged path; empty unless `graft.skip.columns` is set —
+  * see [[JsonlSkipIndex.ColumnsProperty]]). */
+final case class JsonlCommitMessage(staged: Seq[(String, String)],
+    stats: Map[String, JsonlSkipIndex.ShardWriteStats] = Map.empty)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
                             truncate: Boolean, partCols: Seq[String],
                             dynamicOverwrite: Boolean = false,
                             overwriteFilters: Array[Filter] = null,
-                            replaceShards: () => Seq[String] = null)
+                            replaceShards: () => Seq[String] = null,
+                            skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1527,7 +1548,7 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(schema, path, queryId, conf, partCols)
+    new JsonlWriterFactory(schema, path, queryId, conf, partCols, skipCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
@@ -1540,7 +1561,7 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }.foreach(st => f.delete(st.getPath, true))
-    val staged = messages.flatMap { case JsonlCommitMessage(s) => s }
+    val staged = messages.flatMap { case JsonlCommitMessage(s, _) => s }
     if (replaceShards != null) {
       // group copy-on-write commit: the scanned shards ARE the replaced
       // set. A driver crash between removing them and publishing the
@@ -1622,6 +1643,20 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       if (!f.rename(s, new Path(destDir, s.getName)))
         throw new java.io.IOException(s"commit rename failed for $s")
     }
+    // write-time skip stats (graft.skip.columns): each writer tracked
+    // its files' min/max/nulls as rows streamed through; fold them into
+    // the index now that the shards are published, keyed by the shard's
+    // table-relative path. A crash before this point only leaves the
+    // new shards index-unseen — scanned conservatively.
+    val writeStats = messages.flatMap {
+      case JsonlCommitMessage(s, st) => s.flatMap { case (stagedFile, relDir) =>
+        st.get(stagedFile).map { ws =>
+          val name = new Path(stagedFile).getName
+          (if (relDir.isEmpty) name else s"$relDir/$name") -> ws
+        }
+      }
+    }
+    JsonlSkipIndex.mergeEntries(f, dest, writeStats.toSeq)
     if (replaceShards != null) {
       // every replacement landed — the table holds the new copy of each
       // affected group, so the trashed originals are now dead weight
@@ -1655,15 +1690,17 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
 
 final class JsonlWriterFactory(schema: StructType, path: String,
                                queryId: String, conf: JsonlHadoopConf,
-                               partCols: Seq[String] = Nil)
+                               partCols: Seq[String] = Nil,
+                               skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (partCols.isEmpty)
-      new JsonlDataWriter(schema, path, queryId, partitionId, taskId, conf)
+      new JsonlDataWriter(schema, path, queryId, partitionId, taskId, conf,
+        skipCols)
     else
       new JsonlPartitionedDataWriter(schema, path, queryId, partitionId,
-        taskId, conf, partCols)
+        taskId, conf, partCols, skipCols)
 }
 
 /** Routes clustered+sorted rows into `k=v/` hive dirs: one staged file
@@ -1675,7 +1712,8 @@ final class JsonlWriterFactory(schema: StructType, path: String,
 final class JsonlPartitionedDataWriter(schema: StructType, path: String,
                                        queryId: String, partitionId: Int,
                                        taskId: Long, conf: JsonlHadoopConf,
-                                       partCols: Seq[String])
+                                       partCols: Seq[String],
+                                       skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val partIdx: Seq[Int] = partCols.map(schema.fieldIndex)
@@ -1686,6 +1724,13 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
   private var out: java.io.BufferedWriter = _
   private var staged: List[(String, String)] = Nil
   private var fileSeq = 0
+  private val tracker = new JsonlSkipIndex.ShardStatsTracker(schema, skipCols)
+  private var stats = Map.empty[String, JsonlSkipIndex.ShardWriteStats]
+  private def snapshotCurrent(): Unit =
+    if (tracker.active && out != null) {
+      stats += staged.head._1 -> tracker.snapshot()
+      tracker.reset()
+    }
 
   private def escape(v: String): String = JsonlLayout.escapePathName(v)
 
@@ -1704,6 +1749,7 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
     }
 
   private def roll(key: Seq[Option[String]]): Unit = {
+    snapshotCurrent() // per-FILE stats: the closing file's counters
     if (out != null) out.close()
     currentKey = key
     val relDir = partCols.zip(key).map { case (c, v) =>
@@ -1722,6 +1768,7 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
   override def write(row: InternalRow): Unit = {
     val key = keyOf(row)
     if (currentKey == null || key != currentKey) roll(key)
+    if (tracker.active) tracker.update(row)
     val node = mapper.createObjectNode()
     dataIdx.foreach { i =>
       val f = schema.fields(i)
@@ -1741,8 +1788,9 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    snapshotCurrent()
     if (out != null) out.close()
-    JsonlCommitMessage(staged.reverse)
+    JsonlCommitMessage(staged.reverse, stats)
   }
 
   override def abort(): Unit = {
@@ -1764,7 +1812,8 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
   * committers put a job UUID in every part file name. */
 final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
                             partitionId: Int, taskId: Long,
-                            conf: JsonlHadoopConf)
+                            conf: JsonlHadoopConf,
+                            skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val staged = new Path(path,
@@ -1776,8 +1825,10 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
       StandardCharsets.UTF_8))
   }
   private val mapper = new ObjectMapper()
+  private val tracker = new JsonlSkipIndex.ShardStatsTracker(schema, skipCols)
 
   override def write(row: InternalRow): Unit = {
+    if (tracker.active) tracker.update(row)
     val node = mapper.createObjectNode()
     var i = 0
     while (i < schema.length) {
@@ -1800,7 +1851,9 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
-    JsonlCommitMessage(Seq((staged.toString, "")))
+    JsonlCommitMessage(Seq((staged.toString, "")),
+      if (tracker.active) Map(staged.toString -> tracker.snapshot())
+      else Map.empty)
   }
 
   override def abort(): Unit = {

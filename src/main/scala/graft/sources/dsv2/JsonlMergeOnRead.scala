@@ -283,7 +283,8 @@ object RowLevelLock {
   * partition instead of group-rewriting it. */
 final class JsonlMorRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    tableSchema: StructType, path: String, partCols: Seq[String])
+    tableSchema: StructType, path: String, partCols: Seq[String],
+    skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.read.ScanBuilder
@@ -319,16 +320,19 @@ final class JsonlMorRowLevelOperation(
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new JsonlDeltaWrite(info.schema(),
-          info.rowIdSchema().orElse(null), path, info.queryId(), partCols)
+          info.rowIdSchema().orElse(null), path, info.queryId(), partCols,
+          skipCols)
     }
 }
 
 final class JsonlDeltaWrite(rowSchema: StructType, rowIdSchema: StructType,
                             path: String, queryId: String,
-                            partCols: Seq[String])
+                            partCols: Seq[String],
+                            skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
-    new JsonlDeltaBatchWrite(rowSchema, rowIdSchema, path, queryId, partCols)
+    new JsonlDeltaBatchWrite(rowSchema, rowIdSchema, path, queryId, partCols,
+      skipCols)
 }
 
 /** Commit protocol for one delta write: insert shards publish first
@@ -337,7 +341,8 @@ final class JsonlDeltaWrite(rowSchema: StructType, rowIdSchema: StructType,
   * [[JsonlDeletes]] for the crash posture. */
 final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
                                  path: String, queryId: String,
-                                 partCols: Seq[String])
+                                 partCols: Seq[String],
+                                 skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -346,7 +351,7 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DeltaWriterFactory = new JsonlDeltaWriterFactory(
-    rowSchema, rowIdSchema, path, queryId, conf, partCols)
+    rowSchema, rowIdSchema, path, queryId, conf, partCols, skipCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
@@ -366,6 +371,15 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
         if (!f.rename(s, new Path(destDir, s.getName)))
           throw new java.io.IOException(s"delta commit rename failed for $s")
       }
+      // write-time skip stats for the insert shards (graft.skip.columns)
+      JsonlSkipIndex.mergeEntries(f, dest, msgs.flatMap { m =>
+        m.staged.flatMap { case (stagedFile, relDir) =>
+          m.stats.get(stagedFile).map { ws =>
+            val name = new Path(stagedFile).getName
+            (if (relDir.isEmpty) name else s"$relDir/$name") -> ws
+          }
+        }
+      }.toSeq)
       msgs.flatMap(_.deletes.toSeq)
         .groupBy(_._1).view.mapValues(_.flatMap(_._2).toArray)
         .foreach { case (shard, positions) =>
@@ -390,12 +404,13 @@ final class JsonlDeltaWriterFactory(rowSchema: StructType,
                                     rowIdSchema: StructType,
                                     path: String, queryId: String,
                                     conf: JsonlHadoopConf,
-                                    partCols: Seq[String])
+                                    partCols: Seq[String],
+                                    skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new JsonlDeltaWriter(rowSchema, rowIdSchema, path, queryId,
-      partitionId, taskId, conf, partCols)
+      partitionId, taskId, conf, partCols, skipCols)
 }
 
 /** Executor-side delta writer: inserts stream through the ordinary
@@ -405,7 +420,8 @@ final class JsonlDeltaWriterFactory(rowSchema: StructType,
 final class JsonlDeltaWriter(rowSchema: StructType, rowIdSchema: StructType,
                              path: String, queryId: String,
                              partitionId: Int, taskId: Long,
-                             conf: JsonlHadoopConf, partCols: Seq[String])
+                             conf: JsonlHadoopConf, partCols: Seq[String],
+                             skipCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   // LAZY: a pure DELETE's write schema carries no row columns (there
@@ -414,10 +430,11 @@ final class JsonlDeltaWriter(rowSchema: StructType, rowIdSchema: StructType,
   // row actually arrives
   private lazy val inserts: org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (partCols.isEmpty)
-      new JsonlDataWriter(rowSchema, path, queryId, partitionId, taskId, conf)
+      new JsonlDataWriter(rowSchema, path, queryId, partitionId, taskId, conf,
+        skipCols)
     else
       new JsonlPartitionedDataWriter(rowSchema, path, queryId,
-        partitionId, taskId, conf, partCols)
+        partitionId, taskId, conf, partCols, skipCols)
   private var insertsUsed = false
 
   // rowId projection order follows the declared rowId() array, but
@@ -445,11 +462,11 @@ final class JsonlDeltaWriter(rowSchema: StructType, rowIdSchema: StructType,
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    val staged =
-      if (insertsUsed) inserts.commit().asInstanceOf[JsonlCommitMessage].staged
-      else Seq.empty
-    JsonlDeltaCommitMessage(staged,
-      deletes.view.mapValues(_.toArray).toMap)
+    val inner =
+      if (insertsUsed) inserts.commit().asInstanceOf[JsonlCommitMessage]
+      else JsonlCommitMessage(Seq.empty)
+    JsonlDeltaCommitMessage(inner.staged,
+      deletes.view.mapValues(_.toArray).toMap, inner.stats)
   }
 
   override def abort(): Unit = if (insertsUsed) inserts.abort()
@@ -460,5 +477,6 @@ final class JsonlDeltaWriter(rowSchema: StructType, rowIdSchema: StructType,
   * the qualified shard path the rows were read from. */
 final case class JsonlDeltaCommitMessage(
     staged: Seq[(String, String)],
-    deletes: Map[String, Array[Long]])
+    deletes: Map[String, Array[Long]],
+    stats: Map[String, JsonlSkipIndex.ShardWriteStats] = Map.empty)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage

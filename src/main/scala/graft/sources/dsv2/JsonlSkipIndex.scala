@@ -46,6 +46,25 @@ object JsonlSkipIndex {
   val DirName = "_skip"
   val FileName = "index.json"
 
+  /** Table property listing columns whose per-shard min/max/null stats
+    * are maintained BY THE WRITERS at write time (Iceberg's
+    * per-data-file stats, re-expressed): with
+    * `graft.skip.columns = 'k,ts'` set, every batch INSERT, streaming
+    * epoch, and merge-on-read insert tracks the listed columns as rows
+    * stream through (an O(cols) compare per row, zero extra passes)
+    * and the job commit folds the new shards' entries into
+    * `_skip/index.json` — appended data is skippable IMMEDIATELY, no
+    * `CALL build_skip_index` staleness window. Bloom filters stay
+    * CALL-built (a per-writer sketch would put megabytes on every
+    * commit message). Concurrent writers race the index
+    * read-modify-write benignly: a lost entry is an index-unseen
+    * shard, which scans conservatively. */
+  val ColumnsProperty = "graft.skip.columns"
+
+  def skipColsOf(props: Map[String, String]): Seq[String] =
+    props.get(ColumnsProperty).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   def indexFile(table: Path): Path = new Path(new Path(table, DirName), FileName)
 
   /** One shard's index entry. `stats` maps column → (min, max, nulls)
@@ -127,6 +146,143 @@ object JsonlSkipIndex {
           throw new java.io.IOException(s"skip index publish failed for $mf")
     }
     rows.length
+  }
+
+  // -------------------------------------------------- write-time stats
+
+  /** One staged file's writer-computed stats: row count plus
+    * (min, max, nulls) per tracked column — min/max already as plain
+    * JVM values (UTF8Strings converted), so the message serializes. */
+  final case class ShardWriteStats(nRows: Long,
+      cols: Map[String, (Any, Any, Long)]) extends Serializable
+
+  /** Streams per-row updates into per-file min/max/null counters for
+    * the tracked columns (those of `skipCols` present in the write
+    * schema with an indexable type). One instance per writer; for
+    * rolling writers, [[snapshot]] + [[reset]] at each file boundary.
+    * String min/max compare as UTF8String (Spark's aggregate order)
+    * and are CLONED on retention — an InternalRow's UTF8String may
+    * point into a reused buffer. */
+  final class ShardStatsTracker(schema: StructType, skipCols: Seq[String])
+      extends Serializable {
+    private val tracked: Array[(String, Int, DataType)] = skipCols.flatMap { c =>
+      schema.fields.zipWithIndex.collectFirst {
+        case (f, i) if f.name == c && indexable(f.dataType) =>
+          (c, i, f.dataType)
+      }
+    }.toArray
+    def active: Boolean = tracked.nonEmpty
+    private var n = 0L
+    private val mins = Array.fill[Any](tracked.length)(null)
+    private val maxs = Array.fill[Any](tracked.length)(null)
+    private val nulls = Array.fill[Long](tracked.length)(0L)
+
+    def update(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      n += 1
+      var j = 0
+      while (j < tracked.length) {
+        val (_, i, dt) = tracked(j)
+        if (row.isNullAt(i)) nulls(j) += 1
+        else {
+          val v: Any = dt match {
+            case LongType => row.getLong(i)
+            case IntegerType => row.getInt(i)
+            case DoubleType => row.getDouble(i)
+            case BooleanType => row.getBoolean(i)
+            case StringType => row.getUTF8String(i).clone()
+            case _ => null
+          }
+          if (v != null) {
+            if (mins(j) == null || lt(v, mins(j), dt)) mins(j) = v
+            if (maxs(j) == null || lt(maxs(j), v, dt)) maxs(j) = v
+          }
+        }
+        j += 1
+      }
+    }
+
+    private def lt(a: Any, b: Any, dt: DataType): Boolean = dt match {
+      case StringType => a.asInstanceOf[UTF8String]
+        .compareTo(b.asInstanceOf[UTF8String]) < 0
+      case LongType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case DoubleType => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+      case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+      case _ => false
+    }
+
+    private def plain(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case other => other
+    }
+
+    def snapshot(): ShardWriteStats =
+      ShardWriteStats(n, tracked.indices.map { j =>
+        tracked(j)._1 -> ((plain(mins(j)), plain(maxs(j)), nulls(j)))
+      }.toMap)
+
+    def reset(): Unit = {
+      n = 0L
+      var j = 0
+      while (j < tracked.length) {
+        mins(j) = null; maxs(j) = null; nulls(j) = 0L; j += 1
+      }
+    }
+  }
+
+  private def indexable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+    case _ => false
+  }
+
+  /** Fold writer-computed entries (keyed by table-RELATIVE shard path)
+    * into the index, creating it if absent — same atomic publish as
+    * [[build]]. A read-modify-write: safe under the single-writer-per
+    * -commit contract, and a racing loss only un-indexes a shard
+    * (conservative). */
+  def mergeEntries(fs: FileSystem, table: Path,
+                   entries: Seq[(String, ShardWriteStats)]): Unit = {
+    if (entries.isEmpty) return
+    val mf = indexFile(table)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root: com.fasterxml.jackson.databind.node.ObjectNode =
+      if (fs.exists(mf)) {
+        val in = fs.open(mf)
+        val bytes = try in.readAllBytes() finally in.close()
+        mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      } else mapper.createObjectNode()
+    val shardsNode =
+      if (root.has("shards"))
+        root.get("shards").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else root.putObject("shards")
+    entries.foreach { case (rel, st) =>
+      val e = shardsNode.putObject(rel)
+      e.put("n", st.nRows)
+      val sn = e.putObject("stats")
+      st.cols.foreach { case (c, (mn, mx, nn)) =>
+        val cn = sn.putObject(c)
+        cn.put("nn", nn)
+        putScalar(cn, "min", mn)
+        putScalar(cn, "max", mx)
+      }
+    }
+    fs.mkdirs(mf.getParent)
+    val tmp = new Path(mf.getParent, s".$FileName.tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(mf),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(mf, false)
+        if (!fs.rename(tmp, mf))
+          throw new java.io.IOException(s"skip index publish failed for $mf")
+    }
   }
 
   private def putScalar(n: com.fasterxml.jackson.databind.node.ObjectNode,

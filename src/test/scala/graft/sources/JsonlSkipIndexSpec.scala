@@ -85,6 +85,82 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
     assert(shardsPlanned("SELECT k FROM sk.bl.t WHERE k IN (500, 2001)") == 1)
   }
 
+  test("graft.skip.columns: writers maintain the index at write time — no CALL, no staleness") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.wt")
+    sql("""CREATE TABLE sk.wt.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    for (base <- Seq(0L, 100L, 200L))
+      sql(s"""INSERT INTO sk.wt.t SELECT /*+ REPARTITION(1) */
+             |  id + $base AS k, id AS v FROM range(0, 100)""".stripMargin)
+    // NO build_skip_index call — the inserts themselves indexed the shards
+    assert(shardsPlanned("SELECT k FROM sk.wt.t WHERE k = 250") == 1)
+    assert(sql("SELECT k FROM sk.wt.t WHERE k = 250").count() == 1L)
+    assert(shardsPlanned("SELECT k FROM sk.wt.t WHERE k = 5000") == 0)
+    // an append is indexed BY ITS OWN COMMIT: the out-of-range probe
+    // still opens zero shards (no unseen-shard staleness window)
+    sql("INSERT INTO sk.wt.t SELECT /*+ REPARTITION(1) */ id + 300 AS k, id AS v FROM range(0, 100)")
+    assert(shardsPlanned("SELECT k FROM sk.wt.t WHERE k = 5000") == 0)
+    assert(shardsPlanned("SELECT k FROM sk.wt.t WHERE k = 350") == 1)
+    assert(sql("SELECT k FROM sk.wt.t WHERE k = 350").count() == 1L)
+  }
+
+  test("write-time stats flow through partitioned, COW-rewrite, and MOR-insert writers") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.wp")
+    // partitioned: per-FILE stats on the rolling writer
+    sql("""CREATE TABLE sk.wp.p (k BIGINT, grp STRING)
+          |PARTITIONED BY (grp)
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    sql("""INSERT INTO sk.wp.p
+          |SELECT id AS k, CASE WHEN id < 500 THEN 'a' ELSE 'b' END AS grp
+          |FROM range(0, 1000)""".stripMargin)
+    // grp='a' holds k<500 only: the k-probe prunes WITHIN the partition
+    // dirs (both dirs admit by partition value; only a's shard range matches)
+    assert(shardsPlanned("SELECT k FROM sk.wp.p WHERE k = 100") == 1)
+    assert(sql("SELECT k FROM sk.wp.p WHERE k = 100").count() == 1L)
+    // MOR: MERGE-inserted rows land in an indexed shard
+    sql("""CREATE TABLE sk.wp.m (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.skip.columns'='k',
+          |               'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO sk.wp.m SELECT /*+ REPARTITION(1) */ id AS k, id AS v FROM range(0, 100)")
+    sql("CREATE TABLE sk.wp.src (k BIGINT, v BIGINT)")
+    sql("INSERT INTO sk.wp.src VALUES (5000, 1), (6000, 2)")
+    sql("""MERGE INTO sk.wp.m t USING sk.wp.src s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(shardsPlanned("SELECT k FROM sk.wp.m WHERE k = 5000") == 1,
+      "MOR insert shard indexed by its delta commit")
+    assert(shardsPlanned("SELECT k FROM sk.wp.m WHERE k = 7000") == 0)
+    // COW: an UPDATE's replacement shards re-index through the rewrite
+    sql("""CREATE TABLE sk.wp.c (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    sql("INSERT INTO sk.wp.c SELECT /*+ REPARTITION(1) */ id AS k, id AS v FROM range(0, 100)")
+    sql("UPDATE sk.wp.c SET v = v + 1 WHERE k >= 0")
+    assert(shardsPlanned("SELECT k FROM sk.wp.c WHERE k = 50") == 1)
+    assert(shardsPlanned("SELECT k FROM sk.wp.c WHERE k = 500") == 0,
+      "replacement shard's write-time stats present after COW rewrite")
+    sql("DROP TABLE sk.wp.src")
+  }
+
+  test("write-time stats through the streaming sink") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.st")
+    sql("""CREATE TABLE sk.st.sink (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    val src = java.nio.file.Files.createTempDirectory("graft-skip-stream").toString
+    spark.range(0, 50).selectExpr("id AS k", "id AS v")
+      .write.format("graft-jsonl").mode("append").save(src)
+    val q = spark.readStream.format("graft-jsonl")
+      .schema("k BIGINT, v BIGINT").load(src)
+      .writeStream.format("graft-jsonl")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-skip-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("sk.st.sink")
+    q.awaitTermination(60000)
+    assert(sql("SELECT count(*) FROM sk.st.sink").head.getLong(0) == 50L)
+    assert(shardsPlanned("SELECT k FROM sk.st.sink WHERE k = 5000") == 0,
+      "epoch commit indexed the streamed shards")
+    assert(sql("SELECT k FROM sk.st.sink WHERE k = 25").count() == 1L)
+  }
+
   test("null-aware pruning and MOR deletes stay conservative") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.nl")
     sql("""CREATE TABLE sk.nl.t (k BIGINT, v BIGINT)
