@@ -962,8 +962,11 @@ object WarehouseQueries {
   private val skipCatalogs =
     new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
 
-  def skipIndexProbe(s: SparkSession, dir: String): DataFrame = {
-    val child = skipCatalogs.computeIfAbsent(dir, _ => {
+  /** The q207/q208 shared fixture: orders range-clustered on
+    * `o_orderkey` into an 8-shard catalog table with a min/max + bloom
+    * skip index built over the key. */
+  private def skipCatalog(s: SparkSession, dir: String): SparkSession =
+    skipCatalogs.computeIfAbsent(dir, _ => {
       val c = s.newSession()
       c.conf.set("spark.sql.catalog.whsk", "graft.sources.dsv2.GraftCatalog")
       c.conf.set("spark.sql.catalog.whsk.root",
@@ -978,6 +981,9 @@ object WarehouseQueries {
               |columns => 'o_orderkey', bloom_columns => 'o_orderkey')""".stripMargin)
       c
     })
+
+  def skipIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = skipCatalog(s, dir)
     // probe keys derive from the data (scalar max — one driver row by
     // contract, q179's discipline)
     val hit = child.sql("SELECT MAX(o_orderkey) AS m FROM whsk.sk.orders")
@@ -1003,6 +1009,34 @@ object WarehouseQueries {
       |SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
       |WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q208
+  /** MIN/MAX/COUNT aggregate pushdown answered FROM the skip index
+    * (q207's fixture): every shard of the clustered catalog table is
+    * indexed and sidecar-free and the aggregate carries no filters,
+    * so `JsonlScan` plans one index-derived partial per shard and the
+    * query opens ZERO data files — the metadata-only aggregate a
+    * 100 TB `SELECT MIN(ts), MAX(ts), COUNT(*)` health probe needs.
+    * Plan-guarded in-query (PushedAggregation must show all three);
+    * `JsonlSkipIndexSpec` proves the no-file-open claim by corrupting
+    * shards; the oracle pins the values against a DuckDB full scan. */
+  def skipIndexAgg(s: SparkSession, dir: String): DataFrame = {
+    val child = skipCatalog(s, dir)
+    val df = child.sql(
+      """SELECT MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM whsk.sk.orders""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains(
+      "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]"),
+      s"aggregate not pushed:\n$plan")
+    df
+  }
+
+  val skipIndexAggSql: String =
+    """SELECT MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders""".stripMargin
 
   /** Oracle recomputes the joined answer straight from the parquet —
     * the exact-average threshold is reproducible because the sums stay
@@ -1109,6 +1143,7 @@ object WarehouseQueries {
     "q188_spj_doc_join" -> (spjDocJoin _),
     "q193_catalog_sql_roundtrip" -> (catalogSqlRoundtrip _),
     "q207_skip_index_probe" -> (skipIndexProbe _),
+    "q208_skip_index_agg" -> (skipIndexAgg _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1136,6 +1171,7 @@ object WarehouseQueries {
     "q188_spj_doc_join" -> spjDocJoinSql,
     "q193_catalog_sql_roundtrip" -> catalogSqlRoundtripSql,
     "q207_skip_index_probe" -> skipIndexProbeSql,
+    "q208_skip_index_agg" -> skipIndexAggSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

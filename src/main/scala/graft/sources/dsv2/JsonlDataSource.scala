@@ -421,7 +421,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
-  private var countColumns: Int = 0
+  private var aggSpecs: Seq[(String, String)] = Nil
   private var limit: Int = -1
 
   /** LIMIT pushdown: each shard's reader stops after `limit` rows
@@ -432,19 +432,39 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed(): Boolean = true
 
-  /** Partial COUNT(*) pushdown (see [[JsonlCountReaderFactory]]):
-    * accepted only for ungrouped all-`CountStar` aggregations — the
-    * one shape a line-oriented source can answer without reading any
-    * column. Complete pushdown stays false: each shard reports a
-    * partial, Spark sums. */
+  /** Partial COUNT(*) / MIN / MAX pushdown (see
+    * [[JsonlAggReaderFactory]]): accepted for ungrouped aggregations
+    * built purely from `CountStar`, `Min(col)`, and `Max(col)` over
+    * indexable-typed columns. Complete pushdown stays false: each
+    * shard reports ONE partial row, Spark merges. The payoff tiers:
+    * COUNT(*) ships |shards| longs instead of rows; MIN/MAX drain the
+    * row reader per shard — unless the shard's skip-index entry
+    * ([[JsonlSkipIndex]]) already answers, in which case the partial
+    * is emitted WITHOUT OPENING THE FILE: `SELECT MIN(k), MAX(k),
+    * COUNT(*)` over a fully-indexed, sidecar-free, filterless table
+    * is a metadata-only read. */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions().nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0)).filter(colOk)
+      case _ => None
+    }
     val funcs = agg.aggregateExpressions()
-    val ok = agg.groupByExpressions().isEmpty && funcs.nonEmpty &&
-      funcs.forall(_.isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar])
-    if (ok) countColumns = funcs.length
-    ok
+    if (funcs.isEmpty) return false
+    val specs = funcs.flatMap {
+      case _: CountStar => Some(("count", ""))
+      case m: Min => colOf(m.column).map(("min", _))
+      case m: Max => colOf(m.column).map(("max", _))
+      case _ => None
+    }
+    if (specs.length != funcs.length) return false
+    aggSpecs = specs.toSeq
+    true
   }
 
   private def supportedType(dt: DataType): Boolean = dt match {
@@ -476,7 +496,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
     required = requiredSchema
   override def build(): Scan =
     new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar,
-      countColumns, limit, spj)
+      aggSpecs, limit, spj)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -641,7 +661,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       pushed: Array[Filter], path: String,
                       maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs,
                       columnar: Boolean = false,
-                      countColumns: Int = 0,
+                      aggSpecs: Seq[(String, String)] = Nil,
                       limit: Int = -1,
                       spj: Boolean = false,
                       recordShardsTo: JsonlRowLevelOperation = null)
@@ -649,7 +669,9 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
-  private def countMode: Boolean = countColumns > 0
+  private def aggMode: Boolean = aggSpecs.nonEmpty
+  private def minMaxCols: Seq[String] =
+    aggSpecs.collect { case (op, c) if op != "count" => c }.distinct
 
   // ------------------------------------------- storage-partitioned join
   //
@@ -686,7 +708,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     }
   }
 
-  private def spjActive: Boolean = spj && !countMode && spjKeys.nonEmpty
+  private def spjActive: Boolean = spj && !aggMode && spjKeys.nonEmpty
 
   private def catalystKey(v: String, dt: DataType): Any = dt match {
     case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(v)
@@ -755,15 +777,21 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
   override def readSchema(): StructType =
-    if (countMode)
-      StructType((0 until countColumns).map(_ =>
-        org.apache.spark.sql.types.StructField("count(*)",
-          LongType, nullable = false)))
+    if (aggMode)
+      StructType(aggSpecs.map {
+        case ("count", _) => org.apache.spark.sql.types.StructField(
+          "count(*)", LongType, nullable = false)
+        case (op, c) => org.apache.spark.sql.types.StructField(
+          s"$op($c)", dataSchema(c).dataType)
+      })
     else required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-jsonl $path, PushedFilters: [${pushed.mkString(", ")}], " +
-      (if (countMode) "PushedAggregation: [COUNT(*)], " else "") +
+      (if (aggMode) s"PushedAggregation: [${aggSpecs.map {
+        case ("count", _) => "COUNT(*)"
+        case (op, c) => s"${op.toUpperCase}($c)" }.mkString(", ")}], "
+       else "") +
       (if (limit >= 0) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${readSchema().simpleString}"
 
@@ -858,13 +886,35 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
       .map { case (f, _, pv) =>
         JsonlInputPartition(f, pv,
           if (spjActive) keyRowOf(pv) else null,
-          sidecars.getOrElse(f, null)): InputPartition }
+          sidecars.getOrElse(f, null),
+          indexAnsweredPartial(f, sidecars)): InputPartition }
       .toArray
   }
 
+  /** In aggregate-pushdown mode, the shard's partial answer straight
+    * from its skip-index entry — ONLY when that is provably the same
+    * answer a row drain would produce: no pushed row filters, no
+    * position-delete sidecar (deletes narrow the true range/count),
+    * and the entry carries stats for every MIN/MAX column. Null
+    * otherwise (the reader drains rows). Plain JVM values; the reader
+    * converts (String -> UTF8String) when emitting. */
+  private def indexAnsweredPartial(
+      f: String, sidecars: Map[String, String]): Seq[Any] =
+    if (!aggMode || pushed.nonEmpty || runtimeFilters.nonEmpty ||
+        sidecars.contains(f)) null
+    else skipIndex.get(f) match {
+      case Some(e) if minMaxCols.forall(e.stats.contains) =>
+        aggSpecs.map {
+          case ("count", _) => e.nRows
+          case ("min", c) => e.stats(c)._1
+          case ("max", c) => e.stats(c)._2
+        }
+      case _ => null
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    if (countMode)
-      new JsonlCountReaderFactory(countColumns, pushed, dataSchema,
+    if (aggMode)
+      new JsonlAggReaderFactory(aggSpecs, pushed, dataSchema,
         JsonlHadoopConf.fromSession())
     else
       new JsonlReaderFactory(required, pushed, dataSchema,
@@ -872,49 +922,77 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(!countMode,
+    require(!aggMode,
       "aggregate pushdown is a batch-only planning path") // never taken: V2ScanRelationPushDown is batch-only
     new JsonlMicroBatchStream(path, dataSchema, required, pushed, maxFileAgeMs)
   }
 }
 
-/** COUNT(*) pushdown readers: each partition drains the ordinary row
-  * reader — so pushed filters, declared-type null semantics, and
-  * partition-value injection count EXACTLY the rows a plain scan
-  * would emit — but materializes zero columns and ships ONE row per
-  * shard (the partial count) instead of the shard's rows. Spark's
-  * planner sums the partials (partial pushdown contract:
-  * `supportCompletePushDown` = false). At 100 TB a bare
-  * `COUNT(*) FROM corpus` moves |shards| longs through the exchange
-  * instead of every row. */
-final class JsonlCountReaderFactory(countColumns: Int, pushed: Array[Filter],
-                                    dataSchema: StructType,
-                                    conf: JsonlHadoopConf)
+/** COUNT(*)/MIN/MAX pushdown readers: each partition ships ONE
+  * partial row. When the planner attached an index-answered partial
+  * (`JsonlInputPartition.agg` — see `indexAnsweredPartial`), the
+  * reader emits it WITHOUT opening the shard: the metadata-only
+  * aggregate path. Otherwise it drains the ordinary row reader — so
+  * pushed filters, declared-type null semantics, sidecar deletes, and
+  * partition-value injection see EXACTLY the rows a plain scan would
+  * emit — folding them through a [[JsonlSkipIndex.ShardStatsTracker]]
+  * (the same min/max orderings as the index build). Spark merges the
+  * partials (partial pushdown contract: `supportCompletePushDown` =
+  * false). At 100 TB a bare `COUNT(*) FROM corpus` moves |shards|
+  * longs instead of every row, and MIN/MAX over an indexed table
+  * moves |shards| rows while opening ZERO files. */
+final class JsonlAggReaderFactory(specs: Seq[(String, String)],
+                                  pushed: Array[Filter],
+                                  dataSchema: StructType,
+                                  conf: JsonlHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
-    new JsonlCountReader(countColumns,
-      new JsonlPartitionReader(p.file, StructType(Nil), pushed, p.partValues,
+    val cols = specs.collect { case (op, c) if op != "count" => c }.distinct
+    val required = StructType(cols.map(c => dataSchema(c)))
+    new JsonlAggReader(specs, required,
+      if (p.agg != null) p.agg
+      else null,
+      new JsonlPartitionReader(p.file, required, pushed, p.partValues,
         dataSchema, conf, deletesPath = p.deletes))
   }
 }
 
-final class JsonlCountReader(countColumns: Int,
-                             rows: JsonlPartitionReader)
+final class JsonlAggReader(specs: Seq[(String, String)],
+                           required: StructType,
+                           precomputed: Seq[Any],
+                           rows: => JsonlPartitionReader)
     extends PartitionReader[InternalRow] {
   private var emitted = false
-  private var count = 0L
+  private var opened: JsonlPartitionReader = null
+
+  private def toCatalyst(v: Any): Any = v match {
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case other => other
+  }
+
+  private def compute(): Seq[Any] =
+    if (precomputed != null) precomputed
+    else {
+      val tracker = new JsonlSkipIndex.ShardStatsTracker(
+        required, required.fieldNames.toSeq)
+      opened = rows
+      while (opened.next()) tracker.update(opened.get())
+      val st = tracker.snapshot()
+      specs.map {
+        case ("count", _) => st.nRows
+        case ("min", c) => st.cols(c)._1
+        case ("max", c) => st.cols(c)._2
+      }
+    }
+
   override def next(): Boolean =
     if (emitted) false
-    else {
-      while (rows.next()) count += 1
-      emitted = true
-      true
-    }
+    else { emitted = true; true }
   override def get(): InternalRow =
     org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-      Seq.fill(countColumns)(count))
-  override def close(): Unit = rows.close()
+      compute().map(toCatalyst))
+  override def close(): Unit = if (opened != null) opened.close()
 }
 
 /** Micro-batch streaming over a JSONL drop directory with O(1)-class
@@ -1110,7 +1188,8 @@ final case class JsonlInputPartition(
     file: String,
     partValues: Map[String, Option[String]] = Map.empty,
     key: org.apache.spark.sql.catalyst.InternalRow = null,
-    deletes: String = null)
+    deletes: String = null,
+    agg: Seq[Any] = null)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Non-null exactly when the scan reported KeyGroupedPartitioning

@@ -206,7 +206,10 @@ object JsonlSkipIndex {
         .compareTo(b.asInstanceOf[UTF8String]) < 0
       case LongType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
       case IntegerType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
-      case DoubleType => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+      // Double.compare, not `<`: NaN must order GREATEST (Spark's
+      // aggregate ordering) or a NaN row silently vanishes from max
+      case DoubleType => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double]) < 0
       case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
       case _ => false
     }

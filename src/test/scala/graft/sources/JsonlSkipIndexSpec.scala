@@ -161,6 +161,66 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
     assert(sql("SELECT k FROM sk.st.sink WHERE k = 25").count() == 1L)
   }
 
+  test("MIN/MAX/COUNT pushdown answers from the index without opening files") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.ag")
+    sql("""CREATE TABLE sk.ag.t (k BIGINT, s STRING)
+          |TBLPROPERTIES ('graft.skip.columns'='k,s')""".stripMargin)
+    sql("""INSERT INTO sk.ag.t SELECT /*+ REPARTITION(1) */
+          |  id AS k, concat('v', lpad(CAST(id AS STRING), 4, '0')) AS s
+          |FROM range(0, 100)""".stripMargin)
+    sql("""INSERT INTO sk.ag.t SELECT /*+ REPARTITION(1) */
+          |  id + 500 AS k, concat('w', CAST(id AS STRING)) AS s
+          |FROM range(0, 100)""".stripMargin)
+    val agg = "SELECT MIN(k) AS mn, MAX(k) AS mx, COUNT(*) AS n, " +
+      "MIN(s) AS smn, MAX(s) AS smx FROM sk.ag.t"
+    val plan = sql(agg).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [MIN(k), MAX(k), COUNT(*), " +
+      "MIN(s), MAX(s)]"), plan)
+    val r = sql(agg).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (0L, 599L, 200L))
+    assert((r.getString(3), r.getString(4)) == ("v0000", "w99"))
+    // the decisive witness: corrupt every data shard — an index-answered
+    // aggregate never opens them, a row drain would die on the garbage
+    val root = spark.conf.get("spark.sql.catalog.sk.root")
+    def shards(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory && !f.getName.startsWith("_")) shards(f)
+        else if (f.isFile && f.getName.endsWith(".jsonl.gz")) Seq(f) else Nil)
+    shards(new java.io.File(s"$root/ag/t")).foreach { f =>
+      val w = new java.io.FileOutputStream(f)
+      w.write("not gzip".getBytes("UTF-8")); w.close()
+    }
+    val r2 = sql(agg).head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == (0L, 599L, 200L),
+      "metadata-only aggregate must not touch shard bytes")
+    // a pushed filter disables the index answer (partials must reflect
+    // the filter) — the drain path then reads the (corrupted) shards
+    intercept[Exception] {
+      sql("SELECT MIN(k) AS mn FROM sk.ag.t WHERE k > 10").collect()
+    }
+  }
+
+  test("agg pushdown drains rows when filters, deletes, or unindexed shards demand it") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.ad")
+    sql("""CREATE TABLE sk.ad.t (k BIGINT, v DOUBLE)
+          |TBLPROPERTIES ('graft.skip.columns'='k',
+          |               'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("""INSERT INTO sk.ad.t SELECT /*+ REPARTITION(1) */
+          |  id AS k, CAST(id AS DOUBLE) / 4 AS v FROM range(0, 100)""".stripMargin)
+    // filtered aggregate: partials must respect the filter
+    val f = sql("SELECT MIN(k) AS mn, MAX(k) AS mx, COUNT(*) AS n " +
+      "FROM sk.ad.t WHERE k >= 10 AND k < 20").head
+    assert((f.getLong(0), f.getLong(1), f.getLong(2)) == (10L, 19L, 10L))
+    // v is NOT in graft.skip.columns: aggregate still accepted, drains
+    val u = sql("SELECT MIN(v) AS mn, MAX(v) AS mx FROM sk.ad.t").head
+    assert((u.getDouble(0), u.getDouble(1)) == (0.0d, 24.75d))
+    // a MOR delete adds a sidecar: the index answer (stale range) must
+    // be bypassed — min/count reflect the deletes
+    sql("DELETE FROM sk.ad.t WHERE k < 5")
+    val d = sql("SELECT MIN(k) AS mn, COUNT(*) AS n FROM sk.ad.t").head
+    assert((d.getLong(0), d.getLong(1)) == (5L, 95L))
+  }
+
   test("null-aware pruning and MOR deletes stay conservative") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.nl")
     sql("""CREATE TABLE sk.nl.t (k BIGINT, v BIGINT)
