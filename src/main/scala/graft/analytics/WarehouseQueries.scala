@@ -1038,6 +1038,48 @@ object WarehouseQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+  /** `CALL cluster_table` under the oracle gate: orders CTAS'd
+    * HASH-repartitioned (every shard spans the whole `o_orderkey`
+    * space — the layout on which a skip index prunes NOTHING), then
+    * sort-rewritten by the procedure into range-clustered shards with
+    * the index rebuilt, and probed with the q207 key-range slice.
+    * Plan-guarded in-query: the probe must open strictly fewer shards
+    * than the table holds — only possible because the rewrite
+    * physically reordered the rows; the oracle pins that the rewrite
+    * changed no answer. The cluster→stats→skip ladder end-to-end. */
+  private val clusterCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def clusterTableProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = clusterCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whcl", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whcl.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q209").toString)
+      c.sql("CREATE NAMESPACE whcl.cl")
+      c.sql(
+        s"""CREATE TABLE whcl.cl.orders AS
+           |SELECT /*+ REPARTITION(8) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("""CALL whcl.system.cluster_table('cl.orders',
+              |columns => 'o_orderkey', target_shards => 8)""".stripMargin)
+      c
+    })
+    val probe = child.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM whcl.cl.orders WHERE o_orderkey <= 640
+        |ORDER BY o_orderkey""".stripMargin)
+    val planned = probe.rdd.getNumPartitions
+    require(planned >= 1 && planned < 8,
+      s"cluster_table did not make the probe skippable: $planned of 8 shards")
+    probe
+  }
+
+  val clusterTableProbeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE o_orderkey <= 640 ORDER BY o_orderkey""".stripMargin
+
   /** Oracle recomputes the joined answer straight from the parquet —
     * the exact-average threshold is reproducible because the sums stay
     * far inside double's integer range. */
@@ -1144,6 +1186,7 @@ object WarehouseQueries {
     "q193_catalog_sql_roundtrip" -> (catalogSqlRoundtrip _),
     "q207_skip_index_probe" -> (skipIndexProbe _),
     "q208_skip_index_agg" -> (skipIndexAgg _),
+    "q209_cluster_table_probe" -> (clusterTableProbe _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1172,6 +1215,7 @@ object WarehouseQueries {
     "q193_catalog_sql_roundtrip" -> catalogSqlRoundtripSql,
     "q207_skip_index_probe" -> skipIndexProbeSql,
     "q208_skip_index_agg" -> skipIndexAggSql,
+    "q209_cluster_table_probe" -> clusterTableProbeSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -422,7 +422,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ------------------------------------------------------ procedures
 
   private val procedureNames =
-    Seq("table_stats", "compact", "expire_staging", "build_skip_index")
+    Seq("table_stats", "compact", "expire_staging", "build_skip_index",
+      "cluster_table")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
@@ -89,6 +90,7 @@ object GraftProcedures {
         case "compact" => compact(catalog)
         case "expire_staging" => expireStaging(catalog)
         case "build_skip_index" => buildSkipIndex(catalog)
+        case "cluster_table" => clusterTable(catalog)
         case other => throw new IllegalArgumentException(
           s"unknown graft procedure $other")
       }
@@ -254,6 +256,101 @@ object GraftProcedures {
         fs.delete(staging, true)
         result(compactSchema, after.toSeq.map { case (rel, b, a) =>
           new GenericInternalRow(Array[Any](utf8(rel), b, a)): InternalRow })
+      }
+    }
+
+  /** `cluster_table(table, columns, target_shards)`: sort-rewrite of
+    * an UNPARTITIONED table — rows range-repartitioned and sorted on
+    * `columns` into `target_shards` shards, then swapped in with the
+    * compact trash protocol — so each rewritten shard covers a
+    * contiguous key range and the skip index ([[JsonlSkipIndex]])
+    * actually prunes: the OPTIMIZE + cluster step of the
+    * cluster→stats→skip ladder (Delta's OPTIMIZE ZORDER shape; one
+    * sort dimension here — multi-column Z-order stays with the
+    * parquet-side [[graft.operators.ZOrder]]). The rewrite reads
+    * through the ordinary scan, so merge-on-read sidecars are applied
+    * and then retired with the shards they indexed. The skip index is
+    * rebuilt for `columns` (plus the table's `graft.skip.columns`)
+    * after the swap. Partitioned tables refuse — their partition dirs
+    * are the primary clustering; cluster within a partition by
+    * compacting instead. Single-maintenance-writer contract, same as
+    * `compact`: the table-level `_rlo_lock` blocks row-level
+    * operations for the duration, concurrent APPENDS during the
+    * rewrite are the caller's responsibility to quiesce. */
+  private def clusterTable(catalog: GraftCatalog): BoundProcedure =
+    new Bound("cluster_table", tableParam,
+      ProcedureParameter.in("columns", StringType)
+        .comment("comma-separated sort columns").build(),
+      ProcedureParameter.in("target_shards", IntegerType).defaultValue("8")
+        .comment("number of range-clustered output shards").build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tableName = input.getUTF8String(0).toString
+        val (fs, table) = catalog.resolveTableDir(tableName)
+        val cols = input.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "cluster_table: no columns given")
+        val nShards = math.max(1, input.getInt(2))
+        val layout = JsonlLayout.discoverFull(fs, table)
+        require(layout.forall(_._4.isEmpty),
+          s"cluster_table: $tableName is partitioned — partition dirs are " +
+            "the primary clustering; compact within partitions instead")
+        val staging = new Path(table, "_cluster_staging")
+        val trash = new Path(table, "_cluster_trash")
+        require(!fs.exists(trash) && !fs.exists(staging),
+          s"$trash or $staging exists: a previous cluster_table crashed " +
+            "mid-swap; recover before clustering again")
+        val before = layout.map(_._1)
+        if (before.isEmpty)
+          return result(compactSchema, Nil)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val conf = JsonlHadoopConf.fromSession()
+        val ref = (catalog.name +: tableName.split("\\.").toSeq)
+          .map(p => s"`$p`").mkString(".")
+        val lock = RowLevelLock.acquire(fs, conf.value, table,
+          s"cluster_table-${java.util.UUID.randomUUID}")
+        try {
+          import org.apache.spark.sql.functions.col
+          // read through the table scan (sidecars applied), range-
+          // cluster + sort, stage under the invisible _ dir — the
+          // path-based v2 write lands attempt-unique shard names that
+          // cannot collide with the live ones when they move up
+          spark.table(ref)
+            .repartitionByRange(nShards, cols.map(col): _*)
+            .sortWithinPartitions(cols.map(col): _*)
+            .write.format("graft-jsonl").mode("append")
+            .save(staging.toString)
+          // swap: originals (the PRE-rewrite snapshot — appends racing
+          // the rewrite stay untouched in the root) -> trash, staged
+          // shards up, consumed sidecars + stale index out, trash last
+          fs.mkdirs(trash)
+          before.foreach { p =>
+            if (fs.exists(p))
+              require(fs.rename(p, new Path(trash, p.getName)),
+                s"swap-out failed for $p")
+          }
+          val delRoot = new Path(table, JsonlDeletes.DirName)
+          if (fs.exists(delRoot))
+            require(fs.rename(delRoot, new Path(trash, JsonlDeletes.DirName)),
+              s"swap-out failed for $delRoot")
+          val staged = JsonlLayout.discover(fs, staging).map(_._1)
+          staged.foreach { p =>
+            require(fs.rename(p, new Path(table, p.getName)),
+              s"swap-in failed for $p")
+          }
+          fs.delete(staging, true)
+          fs.delete(trash, true)
+          // the old index describes trashed shards: rebuild for the
+          // cluster columns plus any write-time-maintained ones
+          fs.delete(new Path(table, JsonlSkipIndex.DirName), true)
+          val tableProps = scala.jdk.CollectionConverters.MapHasAsScala(
+            catalog.loadTable(Identifier.of(
+              tableName.split("\\.").init, tableName.split("\\.").last))
+              .properties()).asScala.toMap
+          val idxCols = (cols ++ JsonlSkipIndex.skipColsOf(tableProps)).distinct
+          JsonlSkipIndex.build(spark, fs, table, ref, idxCols, Nil, 0L, 0L)
+        } finally RowLevelLock.release(fs, lock)
+        result(compactSchema, Seq(new GenericInternalRow(
+          Array[Any](utf8(""), before.size, nShards)): InternalRow))
       }
     }
 

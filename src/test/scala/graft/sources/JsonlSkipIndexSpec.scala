@@ -221,6 +221,39 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
     assert((d.getLong(0), d.getLong(1)) == (5L, 95L))
   }
 
+  test("CALL cluster_table: sort-rewrite makes an unclustered table skippable") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.cl")
+    sql("""CREATE TABLE sk.cl.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    // four shards whose k sets interleave mod 4: every shard spans the
+    // whole key space, so even a fresh index prunes nothing
+    for (m <- 0 to 3)
+      sql(s"""INSERT INTO sk.cl.t SELECT /*+ REPARTITION(1) */
+             |  id * 4 + $m AS k, id AS v FROM range(0, 250)""".stripMargin)
+    sql("DELETE FROM sk.cl.t WHERE k = 17") // a sidecar to retire
+    sql("CALL sk.system.build_skip_index('cl.t', columns => 'k')")
+    val probe = "SELECT k, v FROM sk.cl.t WHERE k >= 900"
+    assert(shardsPlanned(probe) == 4, "interleaved layout: index prunes nothing")
+    val expect = sql(probe).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    sql("CALL sk.system.cluster_table('cl.t', columns => 'k', target_shards => 4)")
+    assert(shardsPlanned(probe) == 1,
+      "after clustering, the range probe opens one shard")
+    assert(sql(probe).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq == expect.toSeq, "clustering must not change answers")
+    assert(sql("SELECT count(*) FROM sk.cl.t").head.getLong(0) == 999L)
+    assert(sql("SELECT k FROM sk.cl.t WHERE k = 17").count() == 0L,
+      "retired sidecar's delete stays applied (folded into the rewrite)")
+    assert(!new java.io.File(
+      s"${spark.conf.get("spark.sql.catalog.sk.root")}/cl/t/_deletes").exists(),
+      "consumed sidecars dropped with the shards they indexed")
+    // a partitioned table refuses
+    sql("""CREATE TABLE sk.cl.p (k BIGINT, g STRING) PARTITIONED BY (g)""")
+    sql("INSERT INTO sk.cl.p VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      sql("CALL sk.system.cluster_table('cl.p', columns => 'k')") }
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+  }
+
   test("null-aware pruning and MOR deletes stay conservative") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.nl")
     sql("""CREATE TABLE sk.nl.t (k BIGINT, v BIGINT)
