@@ -265,9 +265,11 @@ object GraftProcedures {
     * compact trash protocol — so each rewritten shard covers a
     * contiguous key range and the skip index ([[JsonlSkipIndex]])
     * actually prunes: the OPTIMIZE + cluster step of the
-    * cluster→stats→skip ladder (Delta's OPTIMIZE ZORDER shape; one
-    * sort dimension here — multi-column Z-order stays with the
-    * parquet-side [[graft.operators.ZOrder]]). The rewrite reads
+    * cluster→stats→skip ladder (Delta's OPTIMIZE ZORDER shape).
+    * `zorder => true` interleaves ≥2 numeric columns on the Morton
+    * curve ([[graft.operators.ZOrder.zValue]], the same codegen'd
+    * bit-interleave the parquet helper uses) so probes on ANY of the
+    * columns prune, not just the first sort key. The rewrite reads
     * through the ordinary scan, so merge-on-read sidecars are applied
     * and then retired with the shards they indexed. The skip index is
     * rebuilt for `columns` (plus the table's `graft.skip.columns`)
@@ -282,7 +284,10 @@ object GraftProcedures {
       ProcedureParameter.in("columns", StringType)
         .comment("comma-separated sort columns").build(),
       ProcedureParameter.in("target_shards", IntegerType).defaultValue("8")
-        .comment("number of range-clustered output shards").build()) {
+        .comment("number of range-clustered output shards").build(),
+      ProcedureParameter.in("zorder", BooleanType).defaultValue("false")
+        .comment("interleave >=2 numeric columns (Morton curve) so " +
+          "probes on ANY of them prune").build()) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val tableName = input.getUTF8String(0).toString
         val (fs, table) = catalog.resolveTableDir(tableName)
@@ -309,14 +314,43 @@ object GraftProcedures {
         val lock = RowLevelLock.acquire(fs, conf.value, table,
           s"cluster_table-${java.util.UUID.randomUUID}")
         try {
-          import org.apache.spark.sql.functions.col
-          // read through the table scan (sidecars applied), range-
-          // cluster + sort, stage under the invisible _ dir — the
-          // path-based v2 write lands attempt-unique shard names that
-          // cannot collide with the live ones when they move up
-          spark.table(ref)
-            .repartitionByRange(nShards, cols.map(col): _*)
-            .sortWithinPartitions(cols.map(col): _*)
+          import org.apache.spark.sql.functions.{col, max, min}
+          // read through the table scan (sidecars applied), cluster +
+          // sort, stage under the invisible _ dir — the path-based v2
+          // write lands attempt-unique shard names that cannot collide
+          // with the live ones when they move up
+          val base = spark.table(ref)
+          val zorder = !input.isNullAt(3) && input.getBoolean(3)
+          val clustered =
+            if (!zorder)
+              base.repartitionByRange(nShards, cols.map(col): _*)
+                .sortWithinPartitions(cols.map(col): _*)
+            else {
+              // Morton-curve layout ([[graft.operators.ZOrder]]): a
+              // lexicographic sort clusters the FIRST column only;
+              // interleaving rank-normalized bits keeps every
+              // participating column's per-shard [min, max] narrow, so
+              // the skip index prunes on ANY of them
+              require(cols.size >= 2,
+                "cluster_table: zorder needs >= 2 columns")
+              val bounds = base.select(cols.flatMap(c =>
+                Seq(min(col(c).cast("double")),
+                  max(col(c).cast("double")))): _*).head()
+              val ranges = cols.indices.map { i =>
+                (Option(bounds.get(2 * i)).fold(0.0)(_.asInstanceOf[Double]),
+                  Option(bounds.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double]))
+              }
+              val z = graft.operators.ZOrder.zValue(
+                cols.zip(ranges).map { case (c, r) => (col(c), r) },
+                bitsPerCol = math.min(16, 63 / cols.size))
+              val zCol = Iterator.from(0).map(i => s"__z$i")
+                .find(!base.columns.contains(_)).get
+              base.withColumn(zCol, z)
+                .repartitionByRange(nShards, col(zCol))
+                .sortWithinPartitions(col(zCol))
+                .drop(zCol)
+            }
+          clustered
             .write.format("graft-jsonl").mode("append")
             .save(staging.toString)
           // swap: originals (the PRE-rewrite snapshot — appends racing

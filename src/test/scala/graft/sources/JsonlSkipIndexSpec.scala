@@ -254,6 +254,33 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitioned"), e.getMessage)
   }
 
+  test("cluster_table zorder: probes on EITHER interleaved column prune") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.zo")
+    sql("CREATE TABLE sk.zo.t (x BIGINT, y BIGINT, v BIGINT)")
+    // a 64x64 grid in row-major order: a plain sort on x leaves every
+    // shard spanning ALL of y — only the Morton layout narrows both
+    sql("""INSERT INTO sk.zo.t
+          |SELECT id DIV 64 AS x, id % 64 AS y, id AS v
+          |FROM range(0, 4096)""".stripMargin)
+    sql("""CALL sk.system.cluster_table('zo.t', columns => 'x,y',
+          |target_shards => 16, zorder => true)""".stripMargin)
+    val px = "SELECT v FROM sk.zo.t WHERE x = 10"
+    val py = "SELECT v FROM sk.zo.t WHERE y = 10"
+    val (nx, ny) = (shardsPlanned(px), shardsPlanned(py))
+    assert(nx < 16 && nx >= 1, s"x probe planned $nx of 16")
+    assert(ny < 16 && ny >= 1, s"y probe planned $ny of 16 — a plain " +
+      "lexicographic sort would leave y unprunable")
+    assert(sql(px).count() == 64L && sql(py).count() == 64L)
+    // contrast: the same data plainly sorted on x,y prunes x but NOT y
+    sql("CREATE TABLE sk.zo.p (x BIGINT, y BIGINT, v BIGINT)")
+    sql("INSERT INTO sk.zo.p SELECT x, y, v FROM sk.zo.t")
+    sql("""CALL sk.system.cluster_table('zo.p', columns => 'x,y',
+          |target_shards => 16)""".stripMargin)
+    assert(shardsPlanned("SELECT v FROM sk.zo.p WHERE x = 10") < 16)
+    assert(shardsPlanned("SELECT v FROM sk.zo.p WHERE y = 10") == 16,
+      "lexicographic layout: every shard spans all of y")
+  }
+
   test("null-aware pruning and MOR deletes stay conservative") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.nl")
     sql("""CREATE TABLE sk.nl.t (k BIGINT, v BIGINT)
