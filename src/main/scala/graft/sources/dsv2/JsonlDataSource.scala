@@ -799,16 +799,33 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * reads (partition-pruned shard byte sizes summed) — feeds AQE and
     * join-strategy decisions: a `lang=en` slice of a corpus reports
     * its own bytes, not the table's, so a small slice broadcast-joins
-    * instead of shuffling at 100 TB. Row count is left unset (JSONL
-    * has no footer metadata; a bytes/row guess would be noise). */
+    * instead of shuffling at 100 TB. Row count comes from the skip
+    * index when it is EXACT for this scan — every pruned shard
+    * indexed, none carrying a delete sidecar, no row filters pushed —
+    * which is what a footerless format can offer CBO without a
+    * bytes/row guess; anything less leaves it unset (a wrong row
+    * count misleads join reordering worse than no row count). */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val bytes = prunedShards().map(_._2).sum
+    val shards = prunedShards()
+    val bytes = shards.map(_._2).sum
+    val rows: java.util.OptionalLong =
+      if (pushed.isEmpty && runtimeFilters.isEmpty && skipIndex.nonEmpty) {
+        val sidecars = {
+          val p = new Path(path)
+          JsonlDeletes.index(
+            p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
+        }
+        if (shards.forall { case (f, _, _) =>
+              skipIndex.contains(f) && !sidecars.contains(f) })
+          java.util.OptionalLong.of(
+            shards.map { case (f, _, _) => skipIndex(f).nRows }.sum)
+        else java.util.OptionalLong.empty()
+      } else java.util.OptionalLong.empty()
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
 

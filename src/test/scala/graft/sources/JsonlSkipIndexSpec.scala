@@ -281,6 +281,21 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
       "lexicographic layout: every shard spans all of y")
   }
 
+  test("exact row counts from the index flow into planner statistics") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.rs")
+    sql("""CREATE TABLE sk.rs.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.skip.columns'='k',
+          |               'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO sk.rs.t SELECT /*+ REPARTITION(2) */ id AS k, id AS v FROM range(0, 1000)")
+    def rowStat: Option[BigInt] =
+      spark.table("sk.rs.t").queryExecution.optimizedPlan.stats.rowCount
+    assert(rowStat.contains(BigInt(1000)),
+      s"fully-indexed sidecar-free table must report exact rows, got $rowStat")
+    // a sidecar makes the index count an overcount: stat must withdraw
+    sql("DELETE FROM sk.rs.t WHERE k = 7")
+    assert(rowStat.isEmpty, s"sidecar present: rowCount must be unset, got $rowStat")
+  }
+
   test("null-aware pruning and MOR deletes stay conservative") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.nl")
     sql("""CREATE TABLE sk.nl.t (k BIGINT, v BIGINT)
