@@ -1080,6 +1080,52 @@ object WarehouseQueries {
     """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
       |WHERE o_orderkey <= 640 ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q210
+  /** Snapshots + SQL time travel under the oracle gate
+    * ([[graft.sources.dsv2.JsonlSnapshots]]): orders CTAS'd into a
+    * catalog table, `CALL snapshot(tag => 'base')`, then a row-level
+    * DELETE that copy-on-write REWRITES every shard holding 'F' rows
+    * — the exact operation that would destroy a naive snapshot's
+    * files (retention moves them under `_snapshots/retained/`). The
+    * query reads the same table TWICE — `VERSION AS OF 'base'` and
+    * live — and DuckDB reproduces both sides from the parquet with
+    * and without the delete predicate: time travel is exactly "the
+    * data as it was", not approximately. */
+  private val snapCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def snapshotTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val child = snapCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whsn", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whsn.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q210").toString)
+      c.sql("CREATE NAMESPACE whsn.sn")
+      c.sql(
+        s"""CREATE TABLE whsn.sn.orders AS
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("CALL whsn.system.snapshot('sn.orders', tag => 'base')")
+      c.sql("DELETE FROM whsn.sn.orders WHERE o_orderstatus = 'F'")
+      c
+    })
+    child.sql(
+      """SELECT 'base' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM whsn.sn.orders VERSION AS OF 'base' GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'live' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM whsn.sn.orders GROUP BY o_orderstatus
+        |ORDER BY src, o_orderstatus""".stripMargin)
+  }
+
+  val snapshotTimeTravelSql: String =
+    """SELECT 'base' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'live' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
+      |ORDER BY src, o_orderstatus""".stripMargin
+
   /** Oracle recomputes the joined answer straight from the parquet —
     * the exact-average threshold is reproducible because the sums stay
     * far inside double's integer range. */
@@ -1187,6 +1233,7 @@ object WarehouseQueries {
     "q207_skip_index_probe" -> (skipIndexProbe _),
     "q208_skip_index_agg" -> (skipIndexAgg _),
     "q209_cluster_table_probe" -> (clusterTableProbe _),
+    "q210_snapshot_time_travel" -> (snapshotTimeTravel _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1216,6 +1263,7 @@ object WarehouseQueries {
     "q207_skip_index_probe" -> skipIndexProbeSql,
     "q208_skip_index_agg" -> skipIndexAggSql,
     "q209_cluster_table_probe" -> clusterTableProbeSql,
+    "q210_snapshot_time_travel" -> snapshotTimeTravelSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -92,6 +92,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new JsonlTable(schema, dir.toString, partCols, props)
   }
 
+  /** SQL time travel — `SELECT ... FROM t VERSION AS OF <id|'tag'>`:
+    * a read-only [[JsonlTable]] planned from the snapshot manifest
+    * (pinned shard set + embedded position deletes + the schema as of
+    * the snapshot). See [[JsonlSnapshots]]. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    val mf = metaFile(dir)
+    if (!fs.exists(mf)) throw new NoSuchTableException(ident)
+    val (schema, partCols, props) = readMeta(mf)
+    new JsonlTable(schema, dir.toString, partCols, props,
+      JsonlSnapshots.load(fs, dir, version))
+  }
+
+  /** `TIMESTAMP AS OF`: the latest snapshot at or before the instant
+    * (Spark hands microseconds). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    val mf = metaFile(dir)
+    if (!fs.exists(mf)) throw new NoSuchTableException(ident)
+    val (schema, partCols, props) = readMeta(mf)
+    new JsonlTable(schema, dir.toString, partCols, props,
+      JsonlSnapshots.loadAt(fs, dir, timestamp))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -423,7 +447,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private val procedureNames =
     Seq("table_stats", "compact", "expire_staging", "build_skip_index",
-      "cluster_table")
+      "cluster_table", "snapshot", "snapshots", "expire_snapshots")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))

@@ -44,6 +44,15 @@ object GraftProcedures {
     StructField("removed_attempts", IntegerType)))
   private val skipIndexSchema = StructType(Seq(
     StructField("indexed_shards", IntegerType)))
+  private val snapshotSchema = StructType(Seq(
+    StructField("version", LongType), StructField("tag", StringType),
+    StructField("shards", IntegerType)))
+  private val snapshotsSchema = StructType(Seq(
+    StructField("version", LongType), StructField("tag", StringType),
+    StructField("created_ms", LongType), StructField("shards", IntegerType)))
+  private val expireSnapshotsSchema = StructType(Seq(
+    StructField("manifests_removed", IntegerType),
+    StructField("retained_files_removed", IntegerType)))
 
   private def utf8(s: String) = UTF8String.fromString(s)
 
@@ -91,6 +100,9 @@ object GraftProcedures {
         case "expire_staging" => expireStaging(catalog)
         case "build_skip_index" => buildSkipIndex(catalog)
         case "cluster_table" => clusterTable(catalog)
+        case "snapshot" => snapshotProc(catalog)
+        case "snapshots" => snapshotsProc(catalog)
+        case "expire_snapshots" => expireSnapshotsProc(catalog)
         case other => throw new IllegalArgumentException(
           s"unknown graft procedure $other")
       }
@@ -252,6 +264,14 @@ object GraftProcedures {
           fs.exists(d) && fs.listStatus(d).forall(st =>
             st.isDirectory && emptyTree(st.getPath))
         if (emptyTree(delRoot)) fs.delete(delRoot, true)
+        // snapshot retention: trashed originals a manifest references
+        // move under _snapshots/retained/ (the trash mirrors the
+        // table-relative layout, with "__root__" for root shards)
+        JsonlSnapshots.retainFromTrash(fs, table, trash, pp => {
+          val r = fs.makeQualified(trash).toUri
+            .relativize(fs.makeQualified(pp).toUri).getPath
+          if (r.startsWith("__root__/")) r.stripPrefix("__root__/") else r
+        })
         fs.delete(trash, true)
         fs.delete(staging, true)
         result(compactSchema, after.toSeq.map { case (rel, b, a) =>
@@ -372,6 +392,8 @@ object GraftProcedures {
               s"swap-in failed for $p")
           }
           fs.delete(staging, true)
+          JsonlSnapshots.retainFromTrash(fs, table, trash,
+            pp => pp.getName) // unpartitioned: rel is the file name
           fs.delete(trash, true)
           // the old index describes trashed shards: rebuild for the
           // cluster columns plus any write-time-maintained ones
@@ -385,6 +407,49 @@ object GraftProcedures {
         } finally RowLevelLock.release(fs, lock)
         result(compactSchema, Seq(new GenericInternalRow(
           Array[Any](utf8(""), before.size, nShards)): InternalRow))
+      }
+    }
+
+  /** `snapshot(table, tag)`: pin the table's current state as the
+    * next version — see [[JsonlSnapshots]] for the full contract
+    * (manifest-only, zero data bytes copied; destructive operations
+    * retain referenced shards; reads via `VERSION AS OF`). */
+  private def snapshotProc(catalog: GraftCatalog): BoundProcedure =
+    new Bound("snapshot", tableParam,
+      ProcedureParameter.in("tag", StringType).defaultValue("''")
+        .comment("optional name usable in VERSION AS OF").build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tableName = input.getUTF8String(0).toString
+        val (fs, table) = catalog.resolveTableDir(tableName)
+        val tag = Option(input.getUTF8String(1)).map(_.toString)
+          .filter(_.nonEmpty)
+        val schema = catalog.loadTable(Identifier.of(
+          tableName.split("\\.").init, tableName.split("\\.").last)).schema()
+        val m = JsonlSnapshots.create(fs, table, tag, schema)
+        result(snapshotSchema, Seq(new GenericInternalRow(Array[Any](
+          m.id, m.tag.map(utf8).orNull, m.shards.size)): InternalRow))
+      }
+    }
+
+  private def snapshotsProc(catalog: GraftCatalog): BoundProcedure =
+    new Bound("snapshots", tableParam) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (fs, table) = catalog.resolveTableDir(input.getUTF8String(0).toString)
+        result(snapshotsSchema, JsonlSnapshots.list(fs, table).map { m =>
+          new GenericInternalRow(Array[Any](m.id, m.tag.map(utf8).orNull,
+            m.createdMs, m.shards.size)): InternalRow })
+      }
+    }
+
+  private def expireSnapshotsProc(catalog: GraftCatalog): BoundProcedure =
+    new Bound("expire_snapshots", tableParam,
+      ProcedureParameter.in("keep_last", IntegerType).defaultValue("1")
+        .comment("newest manifests to keep").build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (fs, table) = catalog.resolveTableDir(input.getUTF8String(0).toString)
+        val (mfs, files) = JsonlSnapshots.expire(fs, table, input.getInt(1))
+        result(expireSnapshotsSchema, Seq(new GenericInternalRow(
+          Array[Any](mfs, files)): InternalRow))
       }
     }
 

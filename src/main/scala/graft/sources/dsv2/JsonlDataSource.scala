@@ -62,7 +62,8 @@ object JsonlTable {
 
 class JsonlTable(tableSchema: StructType, path: String,
                  partCols: Seq[String] = Nil,
-                 props: Map[String, String] = Map.empty)
+                 props: Map[String, String] = Map.empty,
+                 snapshot: JsonlSnapshots.Manifest = null)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -71,8 +72,13 @@ class JsonlTable(tableSchema: StructType, path: String,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
   require(path != null, "graft-jsonl requires a path (use .load/.save(path))")
-  override def name(): String = s"graft-jsonl `$path`"
-  override def schema(): StructType = tableSchema
+  override def name(): String =
+    if (snapshot == null) s"graft-jsonl `$path`"
+    else s"graft-jsonl `$path` @v${snapshot.id}"
+  /** Snapshot reads serve the schema AS OF the snapshot — a later
+    * ADD COLUMN must not change what version N answers. */
+  override def schema(): StructType =
+    if (snapshot == null) tableSchema else snapshot.schema
   override def properties(): java.util.Map[String, String] = props.asJava
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
@@ -85,15 +91,19 @@ class JsonlTable(tableSchema: StructType, path: String,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlScanBuilder(tableSchema, path,
+    new JsonlScanBuilder(schema(), path,
       options.getLong("maxFileAgeMs", JsonlMicroBatchStream.DefaultMaxFileAgeMs),
       options.getBoolean("columnar", false),
-      options.getBoolean("spj", false))
+      options.getBoolean("spj", false),
+      snapshot)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(snapshot == null,
+      s"graft-jsonl: ${name()} is a snapshot — snapshots are read-only")
     new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols,
       JsonlSkipIndex.skipColsOf(props))
+  }
 
   /** Drop every data entry under the table root, keeping metadata
     * (`_`/`.`-prefixed — table spec, stream log): the shared wipe
@@ -101,15 +111,40 @@ class JsonlTable(tableSchema: StructType, path: String,
   private def dropAllData(): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(JsonlHadoopConf.fromSession().value)
-    if (fs.exists(p))
+    if (fs.exists(p)) {
+      // snapshot retention: a shard a live manifest references moves
+      // under _snapshots/retained/ instead of dying with the truncate
+      val referenced = JsonlSnapshots.referencedRels(fs, p)
+      val qualified = fs.makeQualified(p).toUri
+      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) {
+          walk(st.getPath)
+          if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
+        } else if (JsonlLayout.isShard(st.getPath.getName)) {
+          val rel = qualified
+            .relativize(fs.makeQualified(st.getPath).toUri).getPath
+          JsonlSnapshots.discardShard(fs, p, st.getPath, rel, referenced)
+        } else fs.delete(st.getPath, false)
+      }
       fs.listStatus(p).filter { st =>
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
-      }.foreach(st => fs.delete(st.getPath, true))
+      }.foreach { st =>
+        if (st.isDirectory) {
+          walk(st.getPath)
+          if (fs.exists(st.getPath) && fs.listStatus(st.getPath).isEmpty)
+            fs.delete(st.getPath, false)
+        } else if (JsonlLayout.isShard(st.getPath.getName))
+          JsonlSnapshots.discardShard(fs, p, st.getPath,
+            st.getPath.getName, referenced)
+        else fs.delete(st.getPath, false)
+      }
+    }
     // position-delete sidecars index rows of the shards just dropped —
     // they go with them (shard names are attempt-unique so a stale
     // sidecar could never match a future shard, but an empty table
-    // should be EMPTY)
+    // should be EMPTY; snapshots embed their ordinals, so no snapshot
+    // depends on the live sidecar files)
     fs.delete(new Path(path, JsonlDeletes.DirName), true)
   }
 
@@ -168,7 +203,9 @@ class JsonlTable(tableSchema: StructType, path: String,
   // MERGE then writes sidecars + new rows and rewrites ZERO shards.
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(snapshot == null,
+      s"graft-jsonl: ${name()} is a snapshot — snapshots are read-only")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
         props.getOrElse(JsonlTable.RowLevelModeProp, "copy-on-write") match {
@@ -183,6 +220,7 @@ class JsonlTable(tableSchema: StructType, path: String,
               "(expected copy-on-write or merge-on-read)")
         }
     }
+  }
 
   // --------------------------------------------- partition management
   //
@@ -259,6 +297,22 @@ class JsonlTable(tableSchema: StructType, path: String,
     val fs = pmFs
     val dir = identDir(ident)
     if (!fs.exists(dir)) return false
+    // snapshot retention before the dir goes
+    val tRoot = new Path(path)
+    val referenced = JsonlSnapshots.referencedRels(fs, tRoot)
+    if (referenced.nonEmpty) {
+      val qualified = fs.makeQualified(tRoot).toUri
+      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (JsonlLayout.isShard(st.getPath.getName)) {
+          val rel = qualified
+            .relativize(fs.makeQualified(st.getPath).toUri).getPath
+          if (referenced.contains(rel))
+            JsonlSnapshots.discardShard(fs, tRoot, st.getPath, rel, referenced)
+        }
+      }
+      walk(dir)
+    }
     fs.delete(dir, true)
     // sidecars of the dropped partition's shards go with it
     val rel = fs.makeQualified(new Path(path)).toUri
@@ -336,8 +390,15 @@ class JsonlTable(tableSchema: StructType, path: String,
     if (!fs.exists(dir))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
         name(), ident, partitionSchema())
+    val tRoot = new Path(path)
+    val referenced = JsonlSnapshots.referencedRels(fs, tRoot)
+    val qualified = fs.makeQualified(tRoot).toUri
     fs.listStatus(dir).filter(st => st.isFile && JsonlLayout.isShard(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, false))
+      .foreach { st =>
+        val rel = qualified
+          .relativize(fs.makeQualified(st.getPath).toUri).getPath
+        JsonlSnapshots.discardShard(fs, tRoot, st.getPath, rel, referenced)
+      }
     true
   }
 
@@ -383,6 +444,7 @@ class JsonlTable(tableSchema: StructType, path: String,
       throw new UnsupportedOperationException(
         s"graft-jsonl DELETE: ${uncovered.size} shard(s) outside the " +
           s"partition layout for ${refs.mkString(",")} (e.g. ${uncovered.head._1})")
+    val deleteReferenced = JsonlSnapshots.referencedRels(fs, p)
     layout
       .filter { case (_, pv) =>
         effective.forall(f =>
@@ -390,9 +452,12 @@ class JsonlTable(tableSchema: StructType, path: String,
             JsonlPartitionPruning.admits(f, k, v, tableSchema) })
       }
       .foreach { case (shard, _) =>
-        fs.delete(shard, false)
+        val rel = fs.makeQualified(p).toUri
+          .relativize(fs.makeQualified(shard).toUri).getPath
+        JsonlSnapshots.discardShard(fs, p, shard, rel, deleteReferenced)
         // a sidecar indexing a dropped shard is dead weight (it can
-        // never match a future shard name) — sweep it with the shard
+        // never match a future shard name; snapshots embed ordinals) —
+        // sweep it with the shard
         fs.delete(JsonlDeletes.sidecarFor(fs, p, shard), false)
       }
     // drop now-empty partition dirs so the value disappears from the
@@ -413,7 +478,8 @@ class JsonlTable(tableSchema: StructType, path: String,
 final class JsonlScanBuilder(dataSchema: StructType, path: String,
                              maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs,
                              columnar: Boolean = false,
-                             spj: Boolean = false)
+                             spj: Boolean = false,
+                             snapshot: JsonlSnapshots.Manifest = null)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -496,7 +562,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
     required = requiredSchema
   override def build(): Scan =
     new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar,
-      aggSpecs, limit, spj)
+      aggSpecs, limit, spj, snapshot = snapshot)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -664,7 +730,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       aggSpecs: Seq[(String, String)] = Nil,
                       limit: Int = -1,
                       spj: Boolean = false,
-                      recordShardsTo: JsonlRowLevelOperation = null)
+                      recordShardsTo: JsonlRowLevelOperation = null,
+                      snapshot: JsonlSnapshots.Manifest = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -753,13 +820,27 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   /** The layout's partition keys, from one listing of the table —
     * cached per scan (a scan is per-query; staleness across queries is
     * the same contract as any listing). */
-  private lazy val layout: Seq[(String, Long, Map[String, Option[String]])] = {
+  private lazy val layout: Seq[(String, Long, Map[String, Option[String]])] =
+    if (snapshot != null) pinned.map { case (f, len, pv, _) => (f, len, pv) }
+    else {
+      val p = new Path(path)
+      val conf = JsonlHadoopConf.fromSession()
+      val fs = p.getFileSystem(conf.value)
+      JsonlLayout.discoverFull(fs, p)
+        .map { case (f, _, len, pv) => (f.toString, len, pv) }
+    }
+
+  /** Snapshot mode: the manifest IS the layout — live discovery,
+    * live sidecars, and the live skip index are all ignored; deletes
+    * ride in as the ordinals pinned at snapshot time. */
+  private lazy val pinned
+      : Seq[(String, Long, Map[String, Option[String]], Array[Long])] = {
     val p = new Path(path)
-    val conf = JsonlHadoopConf.fromSession()
-    val fs = p.getFileSystem(conf.value)
-    JsonlLayout.discoverFull(fs, p)
-      .map { case (f, _, len, pv) => (f.toString, len, pv) }
+    JsonlSnapshots.pinnedLayout(
+      p.getFileSystem(JsonlHadoopConf.fromSession().value), p, snapshot)
   }
+  private lazy val pinnedDeletes: Map[String, Array[Long]] =
+    pinned.collect { case (f, _, _, d) if d.nonEmpty => f -> d }.toMap
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
@@ -852,11 +933,13 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * can't match is never planned into a partition — the file-open
     * -level skip partition dirs can't express. Conservative on
     * staleness by construction (unseen shards always read). */
-  private lazy val skipIndex: Map[String, JsonlSkipIndex.ShardEntry] = {
-    val p = new Path(path)
-    JsonlSkipIndex.load(p.getFileSystem(JsonlHadoopConf.fromSession().value),
-      p, dataSchema)
-  }
+  private lazy val skipIndex: Map[String, JsonlSkipIndex.ShardEntry] =
+    if (snapshot != null) Map.empty // live stats describe live shards only
+    else {
+      val p = new Path(path)
+      JsonlSkipIndex.load(p.getFileSystem(JsonlHadoopConf.fromSession().value),
+        p, dataSchema)
+    }
 
   private def prunedShards()
       : Seq[(String, Long, Map[String, Option[String]])] =
@@ -895,16 +978,20 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     // probe when the table has none) maps each shard to its position-
     // delete sidecar; readers of any flavor — row, columnar, COUNT(*)
     // pushdown, and the row-level rewrite's own scan — then apply it
-    val sidecars = {
-      val p = new Path(path)
-      JsonlDeletes.index(p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
-    }
+    val sidecars =
+      if (snapshot != null) Map.empty[String, String] // ordinals are pinned
+      else {
+        val p = new Path(path)
+        JsonlDeletes.index(p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
+      }
     shards
       .map { case (f, _, pv) =>
         JsonlInputPartition(f, pv,
           if (spjActive) keyRowOf(pv) else null,
           sidecars.getOrElse(f, null),
-          indexAnsweredPartial(f, sidecars)): InputPartition }
+          indexAnsweredPartial(f, sidecars),
+          if (snapshot != null) pinnedDeletes.getOrElse(f, null) else null)
+          : InputPartition }
       .toArray
   }
 
@@ -941,6 +1028,9 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!aggMode,
       "aggregate pushdown is a batch-only planning path") // never taken: V2ScanRelationPushDown is batch-only
+    require(snapshot == null,
+      "graft-jsonl: streaming from a snapshot is not supported — a " +
+        "snapshot is a fixed set, stream the live table instead")
     new JsonlMicroBatchStream(path, dataSchema, required, pushed, maxFileAgeMs)
   }
 }
@@ -971,7 +1061,8 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
       if (p.agg != null) p.agg
       else null,
       new JsonlPartitionReader(p.file, required, pushed, p.partValues,
-        dataSchema, conf, deletesPath = p.deletes))
+        dataSchema, conf, deletesPath = p.deletes,
+        deletePositions = p.deletePositions))
   }
 }
 
@@ -1206,7 +1297,8 @@ final case class JsonlInputPartition(
     partValues: Map[String, Option[String]] = Map.empty,
     key: org.apache.spark.sql.catalyst.InternalRow = null,
     deletes: String = null,
-    agg: Seq[Any] = null)
+    agg: Seq[Any] = null,
+    deletePositions: Array[Long] = null)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Non-null exactly when the scan reported KeyGroupedPartitioning
@@ -1650,13 +1742,37 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     val f = fs
     val dest = new Path(path)
     f.mkdirs(dest)
+    val commitReferenced = JsonlSnapshots.referencedRels(f, dest)
+    val destUri0 = f.makeQualified(dest).toUri
+    def discardTree(start: org.apache.hadoop.fs.FileStatus): Unit = {
+      def relOf(pp: Path) =
+        destUri0.relativize(f.makeQualified(pp).toUri).getPath
+      def walk(d: Path): Unit = f.listStatus(d).foreach { st =>
+        if (st.isDirectory) {
+          walk(st.getPath)
+          if (f.listStatus(st.getPath).isEmpty) f.delete(st.getPath, false)
+        } else if (JsonlLayout.isShard(st.getPath.getName))
+          JsonlSnapshots.discardShard(f, dest, st.getPath,
+            relOf(st.getPath), commitReferenced)
+        else f.delete(st.getPath, false)
+      }
+      if (start.isDirectory) {
+        walk(start.getPath)
+        if (f.exists(start.getPath) && f.listStatus(start.getPath).isEmpty)
+          f.delete(start.getPath, false)
+      } else if (JsonlLayout.isShard(start.getPath.getName))
+        JsonlSnapshots.discardShard(f, dest, start.getPath,
+          relOf(start.getPath), commitReferenced)
+      else f.delete(start.getPath, false)
+    }
     if (truncate)
       // recursive: a previously PARTITIONED table (lang=*/ dirs) must
-      // truncate too, not throw or silently survive beside new shards
+      // truncate too, not throw or silently survive beside new shards;
+      // shards a snapshot references retire to _snapshots/retained/
       f.listStatus(dest).filter { st =>
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
-      }.foreach(st => f.delete(st.getPath, true))
+      }.foreach(discardTree)
     val staged = messages.flatMap { case JsonlCommitMessage(s, _) => s }
     if (replaceShards != null) {
       // group copy-on-write commit: the scanned shards ARE the replaced
@@ -1720,7 +1836,11 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
             pv.forall { case (k, v) =>
               JsonlPartitionPruning.admits(fl, k, v, schema) })
         }
-        .foreach { case (shard, _) => f.delete(shard, false) }
+        .foreach { case (shard, _) =>
+          JsonlSnapshots.discardShard(f, dest, shard,
+            destUri0.relativize(f.makeQualified(shard).toUri).getPath,
+            commitReferenced)
+        }
     }
     if (dynamicOverwrite)
       // replace exactly the partition values the write produced: old
@@ -1730,7 +1850,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         if (f.exists(d))
           f.listStatus(d).filter(st => st.isFile &&
             JsonlLayout.isShard(st.getPath.getName))
-            .foreach(st => f.delete(st.getPath, false))
+            .foreach(st => JsonlSnapshots.discardShard(f, dest, st.getPath,
+              s"$relDir/${st.getPath.getName}", commitReferenced))
       }
     staged.foreach { case (stagedFile, relDir) =>
       val s = new Path(stagedFile)
@@ -1755,8 +1876,14 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     JsonlSkipIndex.mergeEntries(f, dest, writeStats.toSeq)
     if (replaceShards != null) {
       // every replacement landed — the table holds the new copy of each
-      // affected group, so the trashed originals are now dead weight
-      f.delete(new Path(dest, "_cow_trash"), true)
+      // affected group, so the trashed originals are dead weight UNLESS
+      // a snapshot references them (the trash mirrors the table-relative
+      // layout, so the rel path is direct)
+      val cowTrash = new Path(dest, "_cow_trash")
+      JsonlSnapshots.retainFromTrash(f, dest, cowTrash, pp =>
+        f.makeQualified(cowTrash).toUri
+          .relativize(f.makeQualified(pp).toUri).getPath)
+      f.delete(cowTrash, true)
       // an operation that emptied a whole partition leaves a bare dir:
       // prune it so the value leaves the layout (deleteWhere contract)
       def prune(dir: Path): Boolean = {
@@ -1970,13 +2097,13 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlPartitionReader(p.file, required, pushed, p.partValues,
-      dataSchema, conf, limit, p.deletes)
+      dataSchema, conf, limit, p.deletes, p.deletePositions)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlColumnarReader(p.file, required, pushed, p.partValues,
-      dataSchema, conf, limit, p.deletes)
+      dataSchema, conf, limit, p.deletes, p.deletePositions)
   }
 }
 
@@ -1992,7 +2119,8 @@ final class JsonlPartitionReader(file: String, required: StructType,
                                  dataSchema: StructType,
                                  conf: JsonlHadoopConf,
                                  limit: Int = -1,
-                                 deletesPath: String = null)
+                                 deletesPath: String = null,
+                                 deletePositions: Array[Long] = null)
     extends PartitionReader[InternalRow] {
 
   // pushed LIMIT: stop reading (and parsing) this shard once `limit`
@@ -2006,7 +2134,14 @@ final class JsonlPartitionReader(file: String, required: StructType,
   // `_pos` row-id value the delta write records, so the two can never
   // disagree.
   private val deleted: java.util.BitSet =
-    if (deletesPath == null) null else JsonlDeletes.readBitSet(conf, deletesPath)
+    if (deletePositions != null) {
+      // snapshot reads carry the ordinals EMBEDDED (pinned at snapshot
+      // time — the live sidecar may have grown since)
+      val bs = new java.util.BitSet()
+      deletePositions.foreach(pos => bs.set(pos.toInt))
+      bs
+    } else if (deletesPath == null) null
+    else JsonlDeletes.readBitSet(conf, deletesPath)
   private var lineNo: Long = -1L
   private var currentPos: Long = -1L
 
@@ -2194,13 +2329,14 @@ final class JsonlColumnarReader(file: String, required: StructType,
                                 dataSchema: StructType,
                                 conf: JsonlHadoopConf,
                                 limit: Int = -1,
-                                deletesPath: String = null)
+                                deletesPath: String = null,
+                                deletePositions: Array[Long] = null)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val rows = new JsonlPartitionReader(file, required, pushed,
-    partValues, dataSchema, conf, limit, deletesPath)
+    partValues, dataSchema, conf, limit, deletesPath, deletePositions)
   private val capacity = 4096
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, required)

@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Named snapshots + SQL time travel ([[graft.sources.dsv2.JsonlSnapshots]]):
+  * `CALL snapshot` pins a manifest, `VERSION AS OF` serves it, and
+  * every destructive path retains referenced shards — a snapshot must
+  * answer byte-identically FOREVER, across MOR deletes, COW rewrites,
+  * compaction, clustering, truncation, and schema evolution. */
+class JsonlSnapshotsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.sn", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.sn.root",
+      java.nio.file.Files.createTempDirectory("graft-snap").toString)
+    s
+  }
+  private def sql(q: String) = spark.sql(q)
+  private def rows(q: String): Seq[(Long, Long)] =
+    sql(q).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  test("snapshot lifecycle: versions, tags, TIMESTAMP AS OF, live divergence") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.ns")
+    sql("""CREATE TABLE sn.ns.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO sn.ns.t VALUES (1, 10), (2, 20), (3, 30)")
+    val s1 = sql("CALL sn.system.snapshot('ns.t', tag => 'raw')").head
+    assert(s1.getLong(0) == 1L && s1.getString(1) == "raw")
+    val tsAfterV1 = System.currentTimeMillis()
+    // mutate: append + MOR delete; live diverges, v1 must not
+    sql("INSERT INTO sn.ns.t VALUES (4, 40)")
+    sql("DELETE FROM sn.ns.t WHERE k = 2")
+    assert(sql("CALL sn.system.snapshot('ns.t')").head.getLong(0) == 2L)
+    assert(rows("SELECT k, v FROM sn.ns.t") == Seq((1L, 10L), (3L, 30L), (4L, 40L)))
+    val v1 = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+    assert(rows("SELECT k, v FROM sn.ns.t VERSION AS OF 1") == v1)
+    assert(rows("SELECT k, v FROM sn.ns.t VERSION AS OF 'raw'") == v1)
+    assert(rows("SELECT k, v FROM sn.ns.t VERSION AS OF 2") ==
+      Seq((1L, 10L), (3L, 30L), (4L, 40L)))
+    // TIMESTAMP AS OF between the two snapshots resolves to v1
+    val ts = new java.sql.Timestamp(tsAfterV1).toString
+    assert(rows(s"SELECT k, v FROM sn.ns.t TIMESTAMP AS OF '$ts'") == v1)
+    // listing + unknown version refusal
+    val listed = sql("CALL sn.system.snapshots('ns.t')").collect()
+    assert(listed.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val e = intercept[Exception] {
+      sql("SELECT * FROM sn.ns.t VERSION AS OF 99").collect() }
+    assert(e.getMessage.contains("99"), e.getMessage)
+  }
+
+  test("snapshots survive COW rewrites, compaction, clustering, truncate") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.rt")
+    sql("CREATE TABLE sn.rt.t (k BIGINT, v BIGINT)")
+    sql("INSERT INTO sn.rt.t SELECT /*+ REPARTITION(2) */ id AS k, id * 10 AS v FROM range(0, 100)")
+    sql("CALL sn.system.snapshot('rt.t', tag => 'frozen')")
+    val want = (0L until 100L).map(i => (i, i * 10)).toSeq
+    def frozen = rows("SELECT k, v FROM sn.rt.t VERSION AS OF 'frozen'")
+    // COW UPDATE rewrites every matched shard — originals retained
+    sql("UPDATE sn.rt.t SET v = v + 1 WHERE k >= 0")
+    assert(frozen == want, "snapshot must survive the COW rewrite")
+    // compact rewrites the live layout
+    sql("CALL sn.system.compact('rt.t', max_shards => 1)")
+    assert(frozen == want, "snapshot must survive compaction")
+    // cluster_table sort-rewrites it
+    sql("CALL sn.system.cluster_table('rt.t', columns => 'k', target_shards => 2)")
+    assert(frozen == want, "snapshot must survive clustering")
+    // truncate empties the live table; the snapshot keeps answering
+    sql("TRUNCATE TABLE sn.rt.t")
+    assert(sql("SELECT count(*) FROM sn.rt.t").head.getLong(0) == 0L)
+    assert(frozen == want, "snapshot must survive TRUNCATE")
+    // live mutations all landed correctly too
+  }
+
+  test("snapshot pins the schema across ADD COLUMN; embedded deletes pin MOR state") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.sc")
+    sql("""CREATE TABLE sn.sc.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO sn.sc.t SELECT /*+ REPARTITION(1) */ id AS k, id AS v FROM range(0, 10)")
+    sql("DELETE FROM sn.sc.t WHERE k = 5") // sidecar BEFORE the snapshot
+    sql("CALL sn.system.snapshot('sc.t', tag => 'pre')")
+    // post-snapshot MOR delete grows the LIVE sidecar of the SAME shard:
+    // the snapshot embedded its ordinals and must not see k=7 vanish
+    sql("DELETE FROM sn.sc.t WHERE k = 7")
+    assert(sql("SELECT k FROM sn.sc.t VERSION AS OF 'pre'").collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L until 10L).filterNot(_ == 5L))
+    // ADD COLUMN after the snapshot: v1 serves the OLD schema
+    sql("ALTER TABLE sn.sc.t ADD COLUMN extra STRING")
+    assert(sql("SELECT * FROM sn.sc.t VERSION AS OF 'pre'").columns.toSeq
+      == Seq("k", "v"), "snapshot schema pinned")
+    assert(sql("SELECT * FROM sn.sc.t").columns.toSeq == Seq("k", "v", "extra"))
+  }
+
+  test("expire_snapshots drops history and reclaims retained shards") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.ex")
+    sql("CREATE TABLE sn.ex.t (k BIGINT, v BIGINT)")
+    sql("INSERT INTO sn.ex.t SELECT /*+ REPARTITION(1) */ id AS k, id AS v FROM range(0, 50)")
+    sql("CALL sn.system.snapshot('ex.t', tag => 'old')")
+    sql("UPDATE sn.ex.t SET v = v + 1 WHERE k >= 0") // COW: originals retained
+    sql("CALL sn.system.snapshot('ex.t', tag => 'new')")
+    val root = spark.conf.get("spark.sql.catalog.sn.root")
+    val retained = new java.io.File(s"$root/ex/t/_snapshots/retained")
+    assert(retained.exists() && retained.listFiles().nonEmpty,
+      "COW originals must be retained while 'old' references them")
+    val r = sql("CALL sn.system.expire_snapshots('ex.t', keep_last => 1)").head
+    assert(r.getInt(0) == 1, "one manifest removed")
+    assert(r.getInt(1) >= 1, "old retained shards reclaimed")
+    intercept[Exception] {
+      sql("SELECT * FROM sn.ex.t VERSION AS OF 'old'").collect() }
+    // the surviving snapshot still answers
+    assert(sql("SELECT count(*) FROM sn.ex.t VERSION AS OF 'new'")
+      .head.getLong(0) == 50L)
+    assert(!retained.exists() || retained.listFiles().isEmpty ||
+      retained.listFiles().forall(_.isDirectory),
+      "no orphaned retained files for the expired snapshot")
+  }
+
+  test("partition DROP and DELETE WHERE retain; snapshot of partitioned table") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.pt")
+    sql("""CREATE TABLE sn.pt.t (k BIGINT, g STRING)
+          |PARTITIONED BY (g)""".stripMargin)
+    sql("INSERT INTO sn.pt.t VALUES (1, 'a'), (2, 'a'), (3, 'b'), (4, 'b')")
+    sql("CALL sn.system.snapshot('pt.t', tag => 'both')")
+    sql("DELETE FROM sn.pt.t WHERE g = 'b'") // metadata dir drop
+    assert(sql("SELECT count(*) FROM sn.pt.t").head.getLong(0) == 2L)
+    val got = sql("SELECT k, g FROM sn.pt.t VERSION AS OF 'both'").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")),
+      "partition-dropped shards retained; partition values resolve from rel path")
+  }
+
+  test("snapshots are read-only; streaming a snapshot refuses") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.ro")
+    sql("CREATE TABLE sn.ro.t (k BIGINT, v BIGINT)")
+    sql("INSERT INTO sn.ro.t VALUES (1, 10)")
+    sql("CALL sn.system.snapshot('ro.t')")
+    import graft.sources.dsv2.{GraftCatalog, JsonlTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("sn")
+      .asInstanceOf[GraftCatalog]
+    val snap = cat.loadTable(Identifier.of(Array("ro"), "t"), "1")
+      .asInstanceOf[JsonlTable]
+    val e = intercept[IllegalArgumentException] {
+      snap.newWriteBuilder(null) }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+  }
+}
