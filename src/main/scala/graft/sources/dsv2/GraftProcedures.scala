@@ -546,9 +546,17 @@ object GraftProcedures {
             if (orphanEpochs.nonEmpty) {
               val markers = orphanEpochs
                 .map(e => s"-${q.getPath.getName}-e$e.jsonl.gz").toSet
+              // a snapshot taken between the partial publish and this
+              // expire may reference the orphans — retain, don't drop
+              val referenced = JsonlSnapshots.referencedRels(fs, table)
+              val qualified = fs.makeQualified(table).toUri
               JsonlLayout.discover(fs, table).map(_._1)
                 .filter(p => markers.exists(p.getName.endsWith))
-                .foreach(p => fs.delete(p, false))
+                .foreach { p =>
+                  val rel = qualified
+                    .relativize(fs.makeQualified(p).toUri).getPath
+                  JsonlSnapshots.discardShard(fs, table, p, rel, referenced)
+                }
             }
             stale.foreach(st => fs.delete(st.getPath, false))
             stale.length

@@ -1642,9 +1642,16 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
       .foldLeft(Long.MinValue)(math.max)
     if (f.exists(inprog) || epochId <= maxLogged) {
       val marker = epochMarker(epochId)
+      // replay sweep of the prior attempt's partials: a snapshot taken
+      // while they were visible may reference them — retain, not drop
+      val referenced = JsonlSnapshots.referencedRels(f, dest)
+      val qualified = f.makeQualified(dest).toUri
       JsonlLayout.discover(f, dest)
         .map(_._1).filter(_.getName.endsWith(marker))
-        .foreach(p => f.delete(p, false))
+        .foreach { p =>
+          val rel = qualified.relativize(f.makeQualified(p).toUri).getPath
+          JsonlSnapshots.discardShard(f, dest, p, rel, referenced)
+        }
     }
     f.create(inprog, true).close()
     messages.flatMap { case JsonlCommitMessage(s, _) => s }.foreach {
