@@ -27,7 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     recovered — never silent data loss);
   *   - `expire_staging(table, age_minutes)`: drops `_staging/` write
   *     attempts older than the horizon (crashed writers leak them; a
-  *     LIVE writer younger than the horizon is untouchable).
+  *     LIVE writer younger than the horizon is untouchable);
+  *   - `build_skip_index(table, columns, bloom_columns, ...)` /
+  *     `cluster_table(table, columns, target_shards, zorder)`: the
+  *     stats→skip and cluster steps of the file-skipping ladder
+  *     ([[JsonlSkipIndex]]);
+  *   - `snapshot(table, tag)` / `snapshots(table)` /
+  *     `expire_snapshots(table, keep_last)`: named snapshots + SQL
+  *     time travel ([[JsonlSnapshots]]).
   *
   * Results come back as rows (LocalScan), so `CALL` composes with the
   * rest of SQL tooling. */
