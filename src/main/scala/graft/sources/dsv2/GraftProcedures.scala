@@ -177,6 +177,12 @@ object GraftProcedures {
         if (todo.isEmpty) return result(compactSchema, Nil)
         val spark = org.apache.spark.sql.SparkSession.active
         val conf = JsonlHadoopConf.fromSession()
+        // single-maintenance-writer: the rewrite + swap holds the same
+        // _rlo_lock as row-level commits, cluster_table, and snapshot,
+        // so none can race the window where a dir is mid-swap
+        val rloLock = RowLevelLock.acquire(fs, conf.value, table,
+          s"compact-${java.util.UUID.randomUUID}")
+        try {
         val tableStr = table.toString
         val stagingStr = staging.toString
         // one task per oversized dir: line-level concatenation of its
@@ -283,6 +289,7 @@ object GraftProcedures {
         fs.delete(staging, true)
         result(compactSchema, after.toSeq.map { case (rel, b, a) =>
           new GenericInternalRow(Array[Any](utf8(rel), b, a)): InternalRow })
+        } finally RowLevelLock.release(fs, rloLock)
       }
     }
 
@@ -432,7 +439,14 @@ object GraftProcedures {
           .filter(_.nonEmpty)
         val schema = catalog.loadTable(Identifier.of(
           tableName.split("\\.").init, tableName.split("\\.").last)).schema()
-        val m = JsonlSnapshots.create(fs, table, tag, schema)
+        // pin under the _rlo_lock: a snapshot racing a COW swap or a
+        // compaction would otherwise capture the mid-swap hole
+        val conf = JsonlHadoopConf.fromSession()
+        val lock = RowLevelLock.acquire(fs, conf.value, table,
+          s"snapshot-${java.util.UUID.randomUUID}")
+        val m =
+          try JsonlSnapshots.create(fs, table, tag, schema)
+          finally RowLevelLock.release(fs, lock)
         result(snapshotSchema, Seq(new GenericInternalRow(Array[Any](
           m.id, m.tag.map(utf8).orNull, m.shards.size)): InternalRow))
       }

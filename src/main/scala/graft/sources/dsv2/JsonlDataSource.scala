@@ -1781,6 +1781,16 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         !n.startsWith("_") && !n.startsWith(".")
       }.foreach(discardTree)
     val staged = messages.flatMap { case JsonlCommitMessage(s, _) => s }
+    // single-writer enforcement for the GROUP rewrite, same contract as
+    // the merge-on-read delta commit: the whole trash-move + publish
+    // runs under _rlo_lock, so a concurrent row-level operation (or a
+    // CALL snapshot/compact/cluster_table, which also take it) can
+    // neither race the swap nor pin the mid-swap hole
+    val rloLock =
+      if (replaceShards != null)
+        RowLevelLock.acquire(f, conf.value, dest, queryId)
+      else null
+    try {
     if (replaceShards != null) {
       // group copy-on-write commit: the scanned shards ARE the replaced
       // set. A driver crash between removing them and publishing the
@@ -1902,6 +1912,9 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         else false
       }
       prune(dest)
+    }
+    } finally {
+      if (rloLock != null) RowLevelLock.release(f, rloLock)
     }
     cleanupStaging(f)
   }

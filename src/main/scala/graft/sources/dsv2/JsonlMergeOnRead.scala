@@ -60,15 +60,19 @@ import org.apache.spark.sql.types.StructType
   * no-FileContext fallback's `.bak` discipline).
   *
   * Concurrency contract: row-level operations are SINGLE-WRITER per
-  * table, enforced — the delta commit takes `_rlo_lock` (atomic
-  * create-if-absent) for the whole publish and a second concurrent
-  * row-level commit REFUSES with
-  * [[ConcurrentRowLevelOperationException]] rather than silently
-  * losing deletes to the sidecar read-modify-write race. A lock left
-  * by a crashed driver expires after `graft.rlo.lock.stale.ms`
-  * (default 15 min) and is broken by the next writer. (Iceberg solves
-  * the same race with optimistic metadata CAS + retry; a refusal is
-  * the honest equivalent for a filesystem-only layout.)
+  * table, enforced — BOTH delta (merge-on-read) and group (copy-on-
+  * write) commits take `_rlo_lock` (atomic create-if-absent) for the
+  * whole publish, as do `CALL compact` / `cluster_table` (their swaps
+  * expose a mid-swap window) and `CALL snapshot` (which would
+  * otherwise pin that window as a hole). A second concurrent holder
+  * REFUSES with [[ConcurrentRowLevelOperationException]] rather than
+  * silently losing deletes to the sidecar read-modify-write race or
+  * racing a shard swap. A lock left by a crashed driver expires after
+  * `graft.rlo.lock.stale.ms` (default 15 min) and is broken by the
+  * next writer. (Iceberg solves the same race with optimistic
+  * metadata CAS + retry; a refusal is the honest equivalent for a
+  * filesystem-only layout.) Plain INSERTs stay lock-free — they are
+  * pure additions with attempt-unique names.
   *
   * Versioning boundary: MOR tables are NOT versioned — sidecars are
   * live mutable state of ONE current table, outside

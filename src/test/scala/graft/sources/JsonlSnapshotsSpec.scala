@@ -130,6 +130,29 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
       "partition-dropped shards retained; partition values resolve from rel path")
   }
 
+  test("COW commits, compact, and snapshot all honor the single-writer lock") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.lk")
+    sql("CREATE TABLE sn.lk.t (k BIGINT, v BIGINT)")
+    sql("INSERT INTO sn.lk.t VALUES (1, 10), (2, 20)")
+    val root = spark.conf.get("spark.sql.catalog.sn.root")
+    val lock = new java.io.File(s"$root/lk/t/_rlo_lock")
+    val w = new java.io.FileWriter(lock); w.write("other-writer"); w.close()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // a COW UPDATE refuses while the lock is held...
+    val e1 = intercept[Exception] { sql("UPDATE sn.lk.t SET v = 0 WHERE k = 1") }
+    assert(msgs(e1).exists(_.contains("_rlo_lock")), e1.toString)
+    // ...as does CALL snapshot (it would pin a mid-swap hole otherwise)
+    val e2 = intercept[Exception] { sql("CALL sn.system.snapshot('lk.t')") }
+    assert(msgs(e2).exists(_.contains("_rlo_lock")), e2.toString)
+    // stale lock breaks; both proceed and release
+    lock.setLastModified(System.currentTimeMillis() - 3600L * 1000)
+    sql("UPDATE sn.lk.t SET v = 0 WHERE k = 1")
+    assert(!lock.exists(), "lock released after the COW commit")
+    sql("CALL sn.system.snapshot('lk.t')")
+    assert(sql("SELECT count(*) FROM sn.lk.t VERSION AS OF 1").head.getLong(0) == 2L)
+  }
+
   test("snapshots are read-only; streaming a snapshot refuses") {
     sql("CREATE NAMESPACE IF NOT EXISTS sn.ro")
     sql("CREATE TABLE sn.ro.t (k BIGINT, v BIGINT)")
