@@ -63,10 +63,13 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Alternation rounds the last `apply` ran (0 when the driver
-    * end-game short-circuited the loop). Test instrumentation — the
-    * round-bound specs assert the O(log n) behavior against it. */
-  @volatile private[graft] var lastRounds: Int = 0
+  /** Result of [[applyWithRounds]]: the (id, component) frame plus
+    * the alternation rounds the loop ran (0 when the driver end-game
+    * short-circuited it). The round count rides the result instead of
+    * a shared mutable on this object so concurrent `apply` calls
+    * (parallel bench/test queries in one JVM) can't clobber each
+    * other's instrumentation. */
+  final case class Result(components: DataFrame, rounds: Int)
 
   /** `edges(a, b)` undirected; returns `(id, component)` for every id
     * appearing in an edge, `component` = min id reachable. Throws if
@@ -90,7 +93,16 @@ object ConnectedComponents {
   def apply(edges: DataFrame, maxIter: Int = 50,
             numPartitions: Int = 0,
             broadcastNodeLimit: Long = 4L << 20,
-            localSolveEdgeLimit: Long = 1L << 20): DataFrame = {
+            localSolveEdgeLimit: Long = 1L << 20): DataFrame =
+    applyWithRounds(edges, maxIter, numPartitions, broadcastNodeLimit,
+      localSolveEdgeLimit).components
+
+  /** As [[apply]], also reporting the alternation round count — the
+    * round-bound specs assert the O(log n) contraction against it. */
+  def applyWithRounds(edges: DataFrame, maxIter: Int = 50,
+            numPartitions: Int = 0,
+            broadcastNodeLimit: Long = 4L << 20,
+            localSolveEdgeLimit: Long = 1L << 20): Result = {
     val part: DataFrame => DataFrame =
       if (numPartitions > 0) _.repartition(numPartitions) else identity
     // tuned child session for the loop body (see scaladoc)
@@ -188,7 +200,6 @@ object ConnectedComponents {
       e = sm; eCk = smCk; sig = ssig
       rounds += 1
     }
-    lastRounds = rounds
     require(stable || sig.cnt <= localSolveEdgeLimit,
       s"connected components did not converge in $maxIter rounds — raise maxIter")
     // Final mapping. Converged: the frontier IS the star set — each
@@ -204,10 +215,12 @@ object ConnectedComponents {
           .map(r => (r.getLong(0), r.getLong(1))))
         broadcast(sess.createDataFrame(sol.toSeq).toDF("id", "comp"))
       } else e.select(col("src").as("id"), col("dst").as("comp"))
-    e0.select(col("src").as("id"))
-      .unionAll(e0.select(col("dst").as("id"))).distinct()
-      .join(comp, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+    Result(
+      e0.select(col("src").as("id"))
+        .unionAll(e0.select(col("dst").as("id"))).distinct()
+        .join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("component")),
+      rounds)
   }
 
   /** Driver-side union-find with path compression; roots are the

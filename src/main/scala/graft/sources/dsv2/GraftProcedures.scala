@@ -157,6 +157,17 @@ object GraftProcedures {
         // former `<table>__compact_*` sibling paths
         val staging = new Path(table, "_compact_staging")
         val trash = new Path(table, "_compact_trash")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val conf = JsonlHadoopConf.fromSession()
+        // single-maintenance-writer: the rewrite + swap holds the same
+        // _rlo_lock as row-level commits, cluster_table, and snapshot,
+        // so none can race the window where a dir is mid-swap
+        val rloLock = RowLevelLock.acquire(fs, conf.value, table,
+          s"compact-${java.util.UUID.randomUUID}")
+        try {
+        // discovery runs INSIDE the lock: a COW/MOR commit landing
+        // between listing the shards and the swap would retire (or
+        // re-sidecar) shards the plan still names
         require(!fs.exists(trash) && !fs.exists(staging),
           s"$trash or $staging exists: a previous compaction crashed " +
             "mid-swap; recover before compacting again")
@@ -175,14 +186,6 @@ object GraftProcedures {
               shards.exists(s => sidecars.contains(s._1.toString)) }
           .toSeq.sortBy(_._1)
         if (todo.isEmpty) return result(compactSchema, Nil)
-        val spark = org.apache.spark.sql.SparkSession.active
-        val conf = JsonlHadoopConf.fromSession()
-        // single-maintenance-writer: the rewrite + swap holds the same
-        // _rlo_lock as row-level commits, cluster_table, and snapshot,
-        // so none can race the window where a dir is mid-swap
-        val rloLock = RowLevelLock.acquire(fs, conf.value, table,
-          s"compact-${java.util.UUID.randomUUID}")
-        try {
         val tableStr = table.toString
         val stagingStr = staging.toString
         // one task per oversized dir: line-level concatenation of its
@@ -329,18 +332,8 @@ object GraftProcedures {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "cluster_table: no columns given")
         val nShards = math.max(1, input.getInt(2))
-        val layout = JsonlLayout.discoverFull(fs, table)
-        require(layout.forall(_._4.isEmpty),
-          s"cluster_table: $tableName is partitioned — partition dirs are " +
-            "the primary clustering; compact within partitions instead")
         val staging = new Path(table, "_cluster_staging")
         val trash = new Path(table, "_cluster_trash")
-        require(!fs.exists(trash) && !fs.exists(staging),
-          s"$trash or $staging exists: a previous cluster_table crashed " +
-            "mid-swap; recover before clustering again")
-        val before = layout.map(_._1)
-        if (before.isEmpty)
-          return result(compactSchema, Nil)
         val spark = org.apache.spark.sql.SparkSession.active
         val conf = JsonlHadoopConf.fromSession()
         val ref = (catalog.name +: tableName.split("\\.").toSeq)
@@ -348,6 +341,21 @@ object GraftProcedures {
         val lock = RowLevelLock.acquire(fs, conf.value, table,
           s"cluster_table-${java.util.UUID.randomUUID}")
         try {
+          // discovery runs INSIDE the lock: a row-level/COW commit
+          // landing between discoverFull and the swap would publish
+          // shards the rewrite scan reads but `before` doesn't list —
+          // the swap would leave them live beside the rewrite's copy
+          // of their rows (silent duplicates)
+          require(!fs.exists(trash) && !fs.exists(staging),
+            s"$trash or $staging exists: a previous cluster_table crashed " +
+              "mid-swap; recover before clustering again")
+          val layout = JsonlLayout.discoverFull(fs, table)
+          require(layout.forall(_._4.isEmpty),
+            s"cluster_table: $tableName is partitioned — partition dirs are " +
+              "the primary clustering; compact within partitions instead")
+          val before = layout.map(_._1)
+          if (before.isEmpty)
+            return result(compactSchema, Nil)
           import org.apache.spark.sql.functions.{col, max, min}
           // read through the table scan (sidecars applied), cluster +
           // sort, stage under the invisible _ dir — the path-based v2
@@ -418,9 +426,9 @@ object GraftProcedures {
               .properties()).asScala.toMap
           val idxCols = (cols ++ JsonlSkipIndex.skipColsOf(tableProps)).distinct
           JsonlSkipIndex.build(spark, fs, table, ref, idxCols, Nil, 0L, 0L)
+          result(compactSchema, Seq(new GenericInternalRow(
+            Array[Any](utf8(""), before.size, nShards)): InternalRow))
         } finally RowLevelLock.release(fs, lock)
-        result(compactSchema, Seq(new GenericInternalRow(
-          Array[Any](utf8(""), before.size, nShards)): InternalRow))
       }
     }
 

@@ -110,7 +110,16 @@ class JsonlTable(tableSchema: StructType, path: String,
     * behind SQL `TRUNCATE TABLE` and the unconditional `DELETE FROM`. */
   private def dropAllData(): Unit = {
     val p = new Path(path)
-    val fs = p.getFileSystem(JsonlHadoopConf.fromSession().value)
+    val hconf = JsonlHadoopConf.fromSession().value
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) return
+    // destructive: serialize against row-level commits and CALL
+    // snapshot, the same contract as the overwrite branches of
+    // JsonlBatchWrite.commit — a snapshot must never pin a
+    // half-truncated table
+    val rloLease = RowLevelLock.acquire(fs, hconf, p,
+      s"truncate-${java.util.UUID.randomUUID}")
+    try {
     if (fs.exists(p)) {
       // snapshot retention: a shard a live manifest references moves
       // under _snapshots/retained/ instead of dying with the truncate
@@ -146,6 +155,7 @@ class JsonlTable(tableSchema: StructType, path: String,
     // should be EMPTY; snapshots embed their ordinals, so no snapshot
     // depends on the live sidecar files)
     fs.delete(new Path(path, JsonlDeletes.DirName), true)
+    } finally RowLevelLock.release(fs, rloLease)
   }
 
   /** SQL `TRUNCATE TABLE`: the statement form of [[dropAllData]]. */
@@ -391,14 +401,20 @@ class JsonlTable(tableSchema: StructType, path: String,
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
         name(), ident, partitionSchema())
     val tRoot = new Path(path)
-    val referenced = JsonlSnapshots.referencedRels(fs, tRoot)
-    val qualified = fs.makeQualified(tRoot).toUri
-    fs.listStatus(dir).filter(st => st.isFile && JsonlLayout.isShard(st.getPath.getName))
-      .foreach { st =>
-        val rel = qualified
-          .relativize(fs.makeQualified(st.getPath).toUri).getPath
-        JsonlSnapshots.discardShard(fs, tRoot, st.getPath, rel, referenced)
-      }
+    // destructive on live shards: same _rlo_lock contract as TRUNCATE
+    val rloLease = RowLevelLock.acquire(fs,
+      JsonlHadoopConf.fromSession().value, tRoot,
+      s"truncate-partition-${java.util.UUID.randomUUID}")
+    try {
+      val referenced = JsonlSnapshots.referencedRels(fs, tRoot)
+      val qualified = fs.makeQualified(tRoot).toUri
+      fs.listStatus(dir).filter(st => st.isFile && JsonlLayout.isShard(st.getPath.getName))
+        .foreach { st =>
+          val rel = qualified
+            .relativize(fs.makeQualified(st.getPath).toUri).getPath
+          JsonlSnapshots.discardShard(fs, tRoot, st.getPath, rel, referenced)
+        }
+    } finally RowLevelLock.release(fs, rloLease)
     true
   }
 
@@ -433,6 +449,14 @@ class JsonlTable(tableSchema: StructType, path: String,
       dropAllData()
       return
     }
+    // destructive on live shards: discovery AND the drop run under
+    // _rlo_lock (same contract as the overwrite branches), so a
+    // racing MOR commit can't re-sidecar a shard mid-drop and a CALL
+    // snapshot can't pin a half-deleted layout
+    val rloLease = RowLevelLock.acquire(fs,
+      JsonlHadoopConf.fromSession().value, p,
+      s"delete-where-${java.util.UUID.randomUUID}")
+    try {
     val layout = JsonlLayout.discover(fs, p)
     // every shard must pin every referenced column, or the delete
     // cannot be whole-partition (a root-level appended shard may hold
@@ -472,6 +496,7 @@ class JsonlTable(tableSchema: StructType, path: String,
       else false
     }
     prune(p)
+    } finally RowLevelLock.release(fs, rloLease)
   }
 }
 
@@ -1749,6 +1774,24 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     val f = fs
     val dest = new Path(path)
     f.mkdirs(dest)
+    val staged = messages.flatMap { case JsonlCommitMessage(s, _) => s }
+    // single-writer enforcement for every DESTRUCTIVE commit — COW
+    // group rewrite, TRUNCATE, static/dynamic INSERT OVERWRITE — same
+    // contract as the merge-on-read delta commit: the whole
+    // discard + publish runs under _rlo_lock, so a concurrent
+    // row-level operation can't race the swap on the shards being
+    // retired, and a CALL snapshot (which also takes the lock) can't
+    // pin a half-overwritten table. Plain appends stay lockless:
+    // their only mutation is an atomic rename into the layout.
+    val destructive = replaceShards != null || truncate ||
+      overwriteFilters != null || dynamicOverwrite
+    val rloLease =
+      if (destructive) RowLevelLock.acquire(f, conf.value, dest, queryId)
+      else null
+    try {
+    // the snapshot-referenced set is read INSIDE the lock: a CALL
+    // snapshot serializes against this commit, so the set can't grow
+    // between reading it and discarding shards it should have retained
     val commitReferenced = JsonlSnapshots.referencedRels(f, dest)
     val destUri0 = f.makeQualified(dest).toUri
     def discardTree(start: org.apache.hadoop.fs.FileStatus): Unit = {
@@ -1780,17 +1823,6 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }.foreach(discardTree)
-    val staged = messages.flatMap { case JsonlCommitMessage(s, _) => s }
-    // single-writer enforcement for the GROUP rewrite, same contract as
-    // the merge-on-read delta commit: the whole trash-move + publish
-    // runs under _rlo_lock, so a concurrent row-level operation (or a
-    // CALL snapshot/compact/cluster_table, which also take it) can
-    // neither race the swap nor pin the mid-swap hole
-    val rloLock =
-      if (replaceShards != null)
-        RowLevelLock.acquire(f, conf.value, dest, queryId)
-      else null
-    try {
     if (replaceShards != null) {
       // group copy-on-write commit: the scanned shards ARE the replaced
       // set. A driver crash between removing them and publishing the
@@ -1914,7 +1946,7 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       prune(dest)
     }
     } finally {
-      if (rloLock != null) RowLevelLock.release(f, rloLock)
+      if (rloLease != null) RowLevelLock.release(f, rloLease)
     }
     cleanupStaging(f)
   }

@@ -224,50 +224,171 @@ final class ConcurrentRowLevelOperationException(table: String, holder: String)
     extends RuntimeException(
       s"concurrent row-level operation on $table refused: _rlo_lock held " +
         s"by $holder; retry after it completes (a crashed holder's lock " +
-        "expires after graft.rlo.lock.stale.ms, default 15 min)")
+        "expires after graft.rlo.lock.stale.ms, default 15 min; set " +
+        "graft.rlo.lock.acquire.wait.ms to retry with backoff instead " +
+        "of failing fast)")
 
 /** Table-level commit mutex for row-level operations: an `_rlo_lock`
-  * file created with overwrite=false (atomic create-if-absent on
-  * local/HDFS semantics) holding the writer's queryId. Stale locks —
-  * mtime older than `graft.rlo.lock.stale.ms` — are broken, covering
-  * drivers that died holding it. */
+  * file created atomically if absent (O_EXCL locally, create(_,
+  * overwrite=false) on HDFS-like filesystems — see [[atomicCreate]])
+  * holding a unique lease token.
+  *
+  * Liveness and safety contracts:
+  *   - STALE BREAK UNDER A CLAIM: a lock whose mtime is older than
+  *     `graft.rlo.lock.stale.ms` is broken only by the holder of an
+  *     exclusive `_rlo_lock.break` claim (atomic create-if-absent).
+  *     Naive delete-then-create lets breaker B delete breaker A's
+  *     FRESH lock; even rename-to-unique is unsafe, because B's
+  *     staleness verdict comes from a stat of the OLD file while the
+  *     rename grabs whatever sits at the path NOW. The claim closes
+  *     both: create(lock, overwrite=false) can never succeed while
+  *     the dead file still occupies the path, so a fresh lock can
+  *     only appear after the claim holder's delete — re-statting
+  *     under the claim is authoritative, and nobody else ever
+  *     removes the file.
+  *   - HEARTBEAT: the holder refreshes the lock's mtime every
+  *     staleMs/3 from a daemon timer, so a legitimately long
+  *     operation (compact / cluster_table at scale) never goes stale
+  *     under the writers it is excluding. The beat re-reads the file
+  *     first and stops itself if the token no longer matches.
+  *   - VERIFIED RELEASE: release() deletes the lock only if it still
+  *     holds this lease's token; if the lock was broken and
+  *     re-acquired, deleting it would reopen the lost-delete race the
+  *     lock exists to prevent.
+  *   - BOUNDED WAIT: with `graft.rlo.lock.acquire.wait.ms` > 0,
+  *     contention retries with exponential backoff (via
+  *     [[graft.sources.Retry]]) until the budget is spent — the knob
+  *     a streaming foreachBatch MERGE sets so a concurrent
+  *     `CALL compact` delays the batch instead of failing it. */
 object RowLevelLock {
   val FileName = "_rlo_lock"
   val StaleMsKey = "graft.rlo.lock.stale.ms"
   val DefaultStaleMs: Long = 15L * 60 * 1000
+  val AcquireWaitMsKey = "graft.rlo.lock.acquire.wait.ms"
+  private val RetryDelayMs = 100L
+  private val RetryCapMs = 2000L
 
-  def acquire(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
-              table: Path, queryId: String): Path = {
-    val lock = new Path(table, FileName)
-    val staleMs = conf.getLong(StaleMsKey, DefaultStaleMs)
-    def tryCreate(): Boolean =
+  /** A held lock. `token` is the unique lease id written into the
+    * file; release/heartbeat verify it so a broken-and-reacquired
+    * lock is never deleted or refreshed by the previous holder. */
+  final class Lease private[RowLevelLock] (
+      val path: Path, val token: String,
+      timer: java.util.Timer) {
+    private[RowLevelLock] def cancelHeartbeat(): Unit = timer.cancel()
+  }
+
+  private def readToken(fs: FileSystem, lock: Path): String =
+    try {
+      val in = fs.open(lock)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    } catch { case _: Exception => "<unknown>" }
+
+  /** Atomic create-if-absent. RawLocalFileSystem.create(overwrite =
+    * false) is CHECK-then-create — two racing writers can both "win"
+    * on a local (or local-mode test) table — so `file:` paths go
+    * through O_EXCL (CREATE_NEW); fs.create(_, false) stays the
+    * primitive for HDFS-like filesystems, where it IS atomic on the
+    * namenode. */
+  private def atomicCreate(fs: FileSystem, p: Path,
+                           content: Array[Byte]): Boolean =
+    if ("file" == fs.getUri.getScheme)
       try {
-        val out = fs.create(lock, false)
-        out.write(queryId.getBytes(StandardCharsets.UTF_8))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath),
+          content,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.io.IOException => false }
+    else
+      try {
+        val out = fs.create(p, false)
+        out.write(content)
         out.close()
         true
       } catch {
-        case _: java.io.IOException if fs.exists(lock) => false
+        case _: java.io.IOException if fs.exists(p) => false
       }
-    if (tryCreate()) return lock
+
+  def acquire(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+              table: Path, queryId: String): Lease = {
+    val staleMs = conf.getLong(StaleMsKey, DefaultStaleMs)
+    val waitMs = conf.getLong(AcquireWaitMsKey, 0L)
+    if (waitMs <= 0) return acquireOnce(fs, table, queryId, staleMs)
+    // how many backoff steps fit in the wait budget (100ms doubling,
+    // capped at 2s — lock hold times are commit-protocol scale, so
+    // sub-second reaction matters more than politeness)
+    var total = 0L; var n = 0; var d = RetryDelayMs
+    while (total < waitMs) { total += d; n += 1; d = math.min(d * 2, RetryCapMs) }
+    graft.sources.Retry.withBackoff(
+      retries = n, delayMs = RetryDelayMs, maxDelayMs = RetryCapMs) {
+      acquireOnce(fs, table, queryId, staleMs)
+    }
+  }
+
+  private def acquireOnce(fs: FileSystem, table: Path, queryId: String,
+                          staleMs: Long): Lease = {
+    val lock = new Path(table, FileName)
+    val token = s"$queryId#${java.util.UUID.randomUUID()}"
+    def tryCreate(): Boolean =
+      atomicCreate(fs, lock, token.getBytes(StandardCharsets.UTF_8))
+    def won(): Lease = {
+      val timer = new java.util.Timer("graft-rlo-lock-heartbeat", true)
+      val period = math.max(staleMs / 3, 1000L)
+      timer.scheduleAtFixedRate(new java.util.TimerTask {
+        override def run(): Unit =
+          try {
+            if (readToken(fs, lock) == token)
+              fs.setTimes(lock, System.currentTimeMillis(), -1)
+            else timer.cancel() // lock broken + re-acquired: not ours
+          } catch { case scala.util.control.NonFatal(_) => }
+      }, period, period)
+      new Lease(lock, token, timer)
+    }
+    if (tryCreate()) return won()
     val st = try Some(fs.getFileStatus(lock))
              catch { case _: java.io.FileNotFoundException => None }
     val stale = st.forall(
       _.getModificationTime < System.currentTimeMillis() - staleMs)
     if (stale) {
-      fs.delete(lock, false) // break the dead holder's lock, then retry
-      if (tryCreate()) return lock
+      // break the dead holder's lock under an exclusive breaker CLAIM
+      // (see the object scaladoc): of N concurrent breakers exactly
+      // one creates the claim; only that one may delete the dead
+      // file, after re-verifying staleness — authoritative, because a
+      // fresh lock cannot be created while the dead file occupies the
+      // path. A claim whose own mtime is stale belongs to a breaker
+      // that died mid-break; it falls to the same verdict.
+      val claim = new Path(table, s"$FileName.break")
+      val claimSt = try Some(fs.getFileStatus(claim))
+                    catch { case _: java.io.FileNotFoundException => None }
+      if (claimSt.exists(
+          _.getModificationTime < System.currentTimeMillis() - staleMs))
+        fs.delete(claim, false)
+      val gotClaim = atomicCreate(fs, claim, Array.emptyByteArray)
+      if (gotClaim) {
+        try {
+          val st2 = try Some(fs.getFileStatus(lock))
+                    catch { case _: java.io.FileNotFoundException => None }
+          if (st2.exists(
+              _.getModificationTime < System.currentTimeMillis() - staleMs))
+            fs.delete(lock, false)
+        } finally fs.delete(claim, false)
+        if (tryCreate()) return won()
+      }
     }
-    val holder =
-      try {
-        val in = fs.open(lock)
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
-      } catch { case _: Exception => "<unknown>" }
-    throw new ConcurrentRowLevelOperationException(table.toString, holder)
+    throw new ConcurrentRowLevelOperationException(
+      table.toString, readToken(fs, lock))
   }
 
-  def release(fs: FileSystem, lock: Path): Unit = fs.delete(lock, false)
+  def release(fs: FileSystem, lease: Lease): Unit = {
+    lease.cancelHeartbeat()
+    // verify-then-delete: if our lock went stale and another writer
+    // broke + re-acquired it, the file now holds THEIR token — leave
+    // it, or we'd strip their exclusivity mid-commit
+    if (readToken(fs, lease.path) == lease.token)
+      fs.delete(lease.path, false)
+  }
 }
 
 /** One SQL MERGE/UPDATE/DELETE against a merge-on-read table: Spark's

@@ -49,12 +49,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // rounds and trip maxIter. (localSolveEdgeLimit = 0 forces the
     // distributed loop under test.)
     val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = ConnectedComponents(path, numPartitions = 4,
-      localSolveEdgeLimit = 0).collect()
+    val res = ConnectedComponents.applyWithRounds(path, numPartitions = 4,
+      localSolveEdgeLimit = 0)
+    val got = res.components.collect()
     assert(got.length === 200 && got.forall(_.getLong(1) === 1L))
-    val pathRounds = ConnectedComponents.lastRounds
-    assert(pathRounds <= 2 * 8 + 2, // 2·⌈log2 200⌉ + slack
-      s"200-chain took $pathRounds rounds — round count not log-bounded")
+    assert(res.rounds <= 2 * 8 + 2, // 2·⌈log2 200⌉ + slack
+      s"200-chain took ${res.rounds} rounds — round count not log-bounded")
     // zigzag ids (adjacent pairs swapped along the chain) defeat
     // monotone-id shortcuts; still converges within the log bound but
     // maxIter=1 must fail loudly instead of returning partial clusters
@@ -62,11 +62,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       def id(pos: Long) = if (pos % 2 == 0) pos + 2 else pos // 2,1,4,3,6,5...
       (id(p), id(p + 1))
     }.toDF("a", "b")
-    val zgot = ConnectedComponents(zig, numPartitions = 4,
-      localSolveEdgeLimit = 0).collect()
+    val zres = ConnectedComponents.applyWithRounds(zig, numPartitions = 4,
+      localSolveEdgeLimit = 0)
+    val zgot = zres.components.collect()
     assert(zgot.length === 64 && zgot.forall(_.getLong(1) === 1L))
-    assert(ConnectedComponents.lastRounds <= 2 * 6 + 2,
-      s"64-zigzag took ${ConnectedComponents.lastRounds} rounds")
+    assert(zres.rounds <= 2 * 6 + 2,
+      s"64-zigzag took ${zres.rounds} rounds")
     intercept[IllegalArgumentException] {
       ConnectedComponents(zig, maxIter = 1, numPartitions = 4,
         localSolveEdgeLimit = 0)
@@ -77,10 +78,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // doubling the diameter must add ~constant rounds, not double them
     def roundsFor(n: Long): Int = {
       val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
-      val out = ConnectedComponents(chain, numPartitions = 4,
-        localSolveEdgeLimit = 0).collect()
+      val res = ConnectedComponents.applyWithRounds(chain, numPartitions = 4,
+        localSolveEdgeLimit = 0)
+      val out = res.components.collect()
       assert(out.length === n && out.forall(_.getLong(1) === 1L), s"n=$n")
-      ConnectedComponents.lastRounds
+      res.rounds
     }
     val r64 = roundsFor(64)
     val r256 = roundsFor(256)

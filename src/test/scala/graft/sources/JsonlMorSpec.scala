@@ -254,6 +254,137 @@ class JsonlMorSpec extends AnyFunSuite {
     assert(!lock.exists(), "lock released after the commit")
   }
 
+  test("release verifies ownership: a broken-and-reacquired lock is not deleted") {
+    import graft.sources.dsv2.RowLevelLock
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("rlo-verify").toFile
+    val table = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = table.getFileSystem(conf)
+    val a = RowLevelLock.acquire(fs, conf, table, "writer-a")
+    // writer A stalls past staleness; writer B breaks the lock and
+    // takes its own — from here the table is B's critical section
+    val lockFile = new java.io.File(dir, RowLevelLock.FileName)
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    val b = RowLevelLock.acquire(fs, conf, table, "writer-b")
+    // A's deferred release must NOT strip B's exclusivity mid-commit:
+    // the naive delete here reopens the exact lost-delete race
+    RowLevelLock.release(fs, a)
+    assert(lockFile.exists(), "A's release deleted B's lock")
+    val held = new String(java.nio.file.Files.readAllBytes(lockFile.toPath))
+    assert(held.startsWith("writer-b#"), held)
+    RowLevelLock.release(fs, b)
+    assert(!lockFile.exists(), "B's own release removes it")
+  }
+
+  test("two stale-lock breakers: exactly one wins, no fresh lock clobbered") {
+    import graft.sources.dsv2.RowLevelLock
+    // the delete-then-create protocol fails this: breaker B's delete
+    // can remove breaker A's FRESH lock. Rename-to-unique cannot —
+    // only one rename of the stale file succeeds. Race many rounds.
+    val conf = new org.apache.hadoop.conf.Configuration()
+    (1 to 20).foreach { round =>
+      val dir = java.nio.file.Files.createTempDirectory(s"rlo-race$round").toFile
+      val table = new org.apache.hadoop.fs.Path(dir.toString)
+      val fs = table.getFileSystem(conf)
+      val lockFile = new java.io.File(dir, RowLevelLock.FileName)
+      val w = new java.io.FileWriter(lockFile); w.write("dead-holder"); w.close()
+      assert(lockFile.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val leases = new java.util.concurrent.ConcurrentLinkedQueue[RowLevelLock.Lease]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 4).map { i =>
+        val t = new Thread(() => {
+          gate.await()
+          try {
+            val l = RowLevelLock.acquire(fs, conf, table, s"breaker-$i")
+            winners.incrementAndGet(); leases.add(l)
+          } catch {
+            case _: graft.sources.dsv2.ConcurrentRowLevelOperationException => ()
+          }
+        })
+        t.start(); t
+      }
+      gate.countDown(); threads.foreach(_.join(30000))
+      assert(winners.get() == 1,
+        s"round $round: ${winners.get()} breakers all think they hold the lock")
+      assert(lockFile.exists(), s"round $round: winner's lock missing")
+      leases.forEach(l => RowLevelLock.release(fs, l))
+    }
+  }
+
+  test("heartbeat keeps a long-running holder's lock from going stale") {
+    import graft.sources.dsv2.RowLevelLock
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setLong(RowLevelLock.StaleMsKey, 2500L) // heartbeat ≈ every 1s
+    val dir = java.nio.file.Files.createTempDirectory("rlo-beat").toFile
+    val table = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = table.getFileSystem(conf)
+    val a = RowLevelLock.acquire(fs, conf, table, "long-op")
+    try {
+      // without the heartbeat the lock is stale after 2.5s and the
+      // contender below would break it — losing A's exclusivity while
+      // A is still mid-compact
+      Thread.sleep(4000)
+      val e = intercept[graft.sources.dsv2.ConcurrentRowLevelOperationException] {
+        RowLevelLock.acquire(fs, conf, table, "contender")
+      }
+      assert(e.getMessage.contains("long-op"), e.getMessage)
+    } finally RowLevelLock.release(fs, a)
+    assert(!new java.io.File(dir, RowLevelLock.FileName).exists())
+  }
+
+  test("INSERT OVERWRITE and TRUNCATE commits take _rlo_lock (snapshot can't pin a half-overwrite)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.lk3")
+    sql("CREATE TABLE mw.lk3.t (k BIGINT, v BIGINT)")
+    sql("INSERT INTO mw.lk3.t VALUES (1, 10), (2, 20)")
+    val dir = new java.io.File(s"$root/lk3/t")
+    val lock = new java.io.File(dir, "_rlo_lock")
+    def hold(): Unit = {
+      val w = new java.io.FileWriter(lock); w.write("snapshot-in-flight"); w.close()
+      ()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    hold()
+    val e = intercept[Exception] {
+      sql("INSERT OVERWRITE TABLE mw.lk3.t VALUES (9, 90)")
+    }
+    assert(msgs(e).exists(_.contains("_rlo_lock")), e.toString)
+    // the refused overwrite left the table intact — no partial discard
+    assert(sql("SELECT k FROM mw.lk3.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val e2 = intercept[Exception] { sql("TRUNCATE TABLE mw.lk3.t") }
+    assert(msgs(e2).exists(_.contains("_rlo_lock")), e2.toString)
+    assert(sql("SELECT count(*) FROM mw.lk3.t").head.getLong(0) == 2L)
+    assert(lock.delete())
+    sql("INSERT OVERWRITE TABLE mw.lk3.t VALUES (9, 90)")
+    assert(sql("SELECT k FROM mw.lk3.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    assert(!lock.exists(), "overwrite released its lock")
+  }
+
+  test("contending writer with acquire.wait.ms succeeds once the holder releases") {
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.lk2")
+    sql("""CREATE TABLE mw.lk2.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.lk2.t VALUES (1, 10), (2, 20), (3, 30)")
+    val dir = new java.io.File(s"$root/lk2/t")
+    val lock = new java.io.File(dir, "_rlo_lock")
+    val w = new java.io.FileWriter(lock); w.write("compact-in-flight"); w.close()
+    // the streaming-foreachBatch posture: delay the batch behind the
+    // maintenance op instead of failing it
+    spark.conf.set("graft.rlo.lock.acquire.wait.ms", "20000")
+    try {
+      val releaser = new Thread(() => { Thread.sleep(1500); lock.delete(); () })
+      releaser.start()
+      sql("DELETE FROM mw.lk2.t WHERE k = 2") // retries under the hood
+      releaser.join()
+      assert(sql("SELECT k FROM mw.lk2.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      assert(!lock.exists(), "lock released after the commit")
+    } finally spark.conf.unset("graft.rlo.lock.acquire.wait.ms")
+  }
+
   test("sidecar .bak survivor: deletes stay applied and re-merge on next append") {
     // The no-FileContext publish fallback renames the live sidecar
     // aside to .bak before renaming its replacement in. Simulate the
