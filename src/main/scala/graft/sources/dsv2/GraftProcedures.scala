@@ -273,6 +273,12 @@ object GraftProcedures {
             fs.delete(new Path(new Path(table, JsonlDeletes.DirName), rel), true)
           }
         }
+        // the rewritten dirs' old shards left the layout and the new
+        // compact-* shards are unindexed (the rewrite is line I/O, no
+        // stats pass) — drop those dirs' manifests so the index never
+        // accumulates entries for dead shards; `CALL build_skip_index`
+        // re-covers the compacted output
+        JsonlSkipIndex.removeDirs(fs, table, after.map(_._1).toSeq)
         // the _deletes tree may now be empty scaffolding — drop it so
         // future plans pay a single existence probe again
         val delRoot = new Path(table, JsonlDeletes.DirName)

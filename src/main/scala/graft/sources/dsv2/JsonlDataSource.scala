@@ -155,6 +155,8 @@ class JsonlTable(tableSchema: StructType, path: String,
     // should be EMPTY; snapshots embed their ordinals, so no snapshot
     // depends on the live sidecar files)
     fs.delete(new Path(path, JsonlDeletes.DirName), true)
+    // the index described the dropped shards — it goes with them
+    JsonlSkipIndex.dropAll(fs, p)
     } finally RowLevelLock.release(fs, rloLease)
   }
 
@@ -414,6 +416,8 @@ class JsonlTable(tableSchema: StructType, path: String,
             .relativize(fs.makeQualified(st.getPath).toUri).getPath
           JsonlSnapshots.discardShard(fs, tRoot, st.getPath, rel, referenced)
         }
+      JsonlSkipIndex.removeDirs(fs, tRoot, Seq(qualified
+        .relativize(fs.makeQualified(dir).toUri).getPath))
     } finally RowLevelLock.release(fs, rloLease)
     true
   }
@@ -469,13 +473,13 @@ class JsonlTable(tableSchema: StructType, path: String,
         s"graft-jsonl DELETE: ${uncovered.size} shard(s) outside the " +
           s"partition layout for ${refs.mkString(",")} (e.g. ${uncovered.head._1})")
     val deleteReferenced = JsonlSnapshots.referencedRels(fs, p)
-    layout
+    val deletedRels = layout
       .filter { case (_, pv) =>
         effective.forall(f =>
           pv.forall { case (k, v) =>
             JsonlPartitionPruning.admits(f, k, v, tableSchema) })
       }
-      .foreach { case (shard, _) =>
+      .map { case (shard, _) =>
         val rel = fs.makeQualified(p).toUri
           .relativize(fs.makeQualified(shard).toUri).getPath
         JsonlSnapshots.discardShard(fs, p, shard, rel, deleteReferenced)
@@ -483,7 +487,9 @@ class JsonlTable(tableSchema: StructType, path: String,
         // never match a future shard name; snapshots embed ordinals) —
         // sweep it with the shard
         fs.delete(JsonlDeletes.sidecarFor(fs, p, shard), false)
+        rel
       }
+    JsonlSkipIndex.removeEntries(fs, p, deletedRels.toSeq)
     // drop now-empty partition dirs so the value disappears from the
     // layout (and from SPJ partition listings)
     def prune(dir: Path): Boolean = { // returns "dir is now empty"
@@ -922,10 +928,10 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
           JsonlDeletes.index(
             p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
         }
-        if (shards.forall { case (f, _, _) =>
-              skipIndex.contains(f) && !sidecars.contains(f) })
-          java.util.OptionalLong.of(
-            shards.map { case (f, _, _) => skipIndex(f).nRows }.sum)
+        val entries = shards.map { case (f, _, _) => (f, skipIndex.get(f)) }
+        if (entries.forall { case (f, e) =>
+              e.isDefined && !sidecars.contains(f) })
+          java.util.OptionalLong.of(entries.map(_._2.get.nRows).sum)
         else java.util.OptionalLong.empty()
       } else java.util.OptionalLong.empty()
     new org.apache.spark.sql.connector.read.Statistics {
@@ -951,18 +957,20 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     case _ => true
   }
 
-  /** The table's file-skipping index ([[JsonlSkipIndex]]), loaded once
-    * per scan — one existence probe when the table has none. Consulted
+  /** The table's file-skipping index ([[JsonlSkipIndex]]), opened once
+    * per scan — one existence probe + one small manifest-LIST read
+    * when the table has one; per-partition manifests parse lazily,
+    * only for partitions that survive partition pruning. Consulted
     * AFTER partition pruning: a shard whose indexed [min, max] range
     * (or bloom filter, for point predicates) proves the pushed filters
     * can't match is never planned into a partition — the file-open
     * -level skip partition dirs can't express. Conservative on
     * staleness by construction (unseen shards always read). */
-  private lazy val skipIndex: Map[String, JsonlSkipIndex.ShardEntry] =
-    if (snapshot != null) Map.empty // live stats describe live shards only
+  private lazy val skipIndex: JsonlSkipIndex.Index =
+    if (snapshot != null) JsonlSkipIndex.empty
     else {
       val p = new Path(path)
-      JsonlSkipIndex.load(p.getFileSystem(JsonlHadoopConf.fromSession().value),
+      JsonlSkipIndex.open(p.getFileSystem(JsonlHadoopConf.fromSession().value),
         p, dataSchema)
     }
 
@@ -1823,6 +1831,10 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }.foreach(discardTree)
+    if (truncate)
+      // every indexed shard just died; the staged shards' write-time
+      // stats re-seed the index below
+      JsonlSkipIndex.dropAll(f, dest)
     if (replaceShards != null) {
       // group copy-on-write commit: the scanned shards ARE the replaced
       // set. A driver crash between removing them and publishing the
@@ -1840,7 +1852,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
             "copy of its groups; move its shards back into the table and " +
             "delete the trash dir before retrying")
       val destUri = f.makeQualified(dest).toUri
-      replaceShards().map(new Path(_)).filter(f.exists).foreach { p =>
+      val trashedRels = replaceShards().map(new Path(_)).filter(f.exists)
+        .map { p =>
         // keep the partition-relative layout inside the trash: one
         // task's shard name repeats across `k=v/` dirs, so a flat move
         // could collide — and recovery stays a plain move-back
@@ -1860,7 +1873,11 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
           if (!f.rename(sc, st))
             throw new java.io.IOException(s"COW trash move failed for $sc")
         }
+        rel
       }
+      // the trashed originals' index entries die with them (the staged
+      // replacements re-enter via their write-time stats below)
+      JsonlSkipIndex.removeEntries(f, dest, trashedRels)
     }
     if (overwriteFilters != null) {
       // static partition overwrite: drop every shard the predicate
@@ -1879,22 +1896,24 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
             s"the partition layout for ${refs.mkString(",")} " +
             s"(e.g. ${uncovered.head._1}) — compact the table into the hive " +
             "layout first, or use dynamic partition overwrite")
-      layout
+      val overwrittenRels = layout
         .filter { case (_, pv) =>
           overwriteFilters.forall(fl =>
             pv.forall { case (k, v) =>
               JsonlPartitionPruning.admits(fl, k, v, schema) })
         }
-        .foreach { case (shard, _) =>
-          JsonlSnapshots.discardShard(f, dest, shard,
-            destUri0.relativize(f.makeQualified(shard).toUri).getPath,
-            commitReferenced)
+        .map { case (shard, _) =>
+          val rel = destUri0.relativize(f.makeQualified(shard).toUri).getPath
+          JsonlSnapshots.discardShard(f, dest, shard, rel, commitReferenced)
+          rel
         }
+      JsonlSkipIndex.removeEntries(f, dest, overwrittenRels)
     }
-    if (dynamicOverwrite)
+    if (dynamicOverwrite) {
       // replace exactly the partition values the write produced: old
       // shards of a touched dir go, untouched dirs stay byte-identical
-      staged.map(_._2).distinct.filter(_.nonEmpty).foreach { relDir =>
+      val touchedDirs = staged.map(_._2).distinct.filter(_.nonEmpty)
+      touchedDirs.foreach { relDir =>
         val d = new Path(dest, relDir)
         if (f.exists(d))
           f.listStatus(d).filter(st => st.isFile &&
@@ -1902,6 +1921,10 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
             .foreach(st => JsonlSnapshots.discardShard(f, dest, st.getPath,
               s"$relDir/${st.getPath.getName}", commitReferenced))
       }
+      // whole-dir replacement: drop each touched partition's manifest
+      // in one list update instead of per-shard edits
+      JsonlSkipIndex.removeDirs(f, dest, touchedDirs.toSeq)
+    }
     staged.foreach { case (stagedFile, relDir) =>
       val s = new Path(stagedFile)
       val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)

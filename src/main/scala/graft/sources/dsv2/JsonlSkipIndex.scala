@@ -2,6 +2,8 @@ package graft.sources.dsv2
 
 import java.nio.charset.StandardCharsets
 
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, count, lit, max, min}
@@ -19,31 +21,51 @@ import org.apache.spark.unsafe.types.UTF8String
   * footers, so without this tier a selective probe on an indexed
   * column opens every post-partition-prune shard.
   *
-  * Layout: ONE JSON file `<table>/_skip/index.json` (underscore dir —
-  * invisible to data discovery), holding per-shard entries keyed by
-  * table-relative shard path: row count, null count + min/max per
-  * indexed column (JSON scalars, interpreted against the table
-  * schema), and an optional base64 bloom filter per bloom column
-  * (Spark's own BloomFilter sketch over `xxhash64(col)`, the
-  * [[graft.functions.Native.bloomAgg]] / `xxhash64Of` pair). The
-  * index is shard-count-sized — the same metadata grain as the
-  * directory listing the driver already holds for planning — and is
-  * built by ONE distributed aggregate over the table grouped on the
-  * `_shard` metadata column (`CALL wh.system.build_skip_index(...)`),
-  * published atomically (tmp + rename).
+  * Layout (Iceberg's split-manifest shape, re-expressed): under
+  * `<table>/_skip/` (underscore dir — invisible to data discovery),
+  *   - `manifests.json` — the manifest LIST: partition-relative dir
+  *     ("" for root shards) → manifest file name. Tiny: one line per
+  *     partition, no per-shard data.
+  *   - `m_<hash>.json` — one manifest PER PARTITION DIR, holding that
+  *     partition's per-shard entries keyed by table-relative shard
+  *     path: row count, null count + min/max per indexed column (JSON
+  *     scalars, interpreted against the table schema), and an
+  *     optional base64 bloom filter per bloom column (Spark's own
+  *     BloomFilter sketch over `xxhash64(col)`, the
+  *     [[graft.functions.Native.bloomAgg]] / `xxhash64Of` pair).
+  *
+  * Why split: a monolithic file made every scan parse EVERY shard's
+  * entry (driver-hostile with per-shard blooms at 100 TB-class shard
+  * counts) and serialized commits touching disjoint partitions
+  * through one read-modify-write. Split, scan planning parses the
+  * list plus only the manifests of partitions that SURVIVE partition
+  * pruning ([[Index]] loads lazily per dir), and a commit touching
+  * one partition rewrites one manifest. The list is rewritten only
+  * when a NEW partition appears; a lost list update is self-healing —
+  * the manifest file name is deterministic per dir, so the next write
+  * to that dir re-merges into the same file and re-lists it.
   *
   * Staleness is conservative in every direction, so the index can
   * only ever cost skipping, never correctness:
   *   - shards ABSENT from the index (appended, or compaction outputs,
   *     since the last build) are always read;
-  *   - index entries for shards no longer in the layout are ignored;
+  *   - index entries for shards no longer in the layout are ignored
+  *     for admission (and PRUNED by the destructive commit paths via
+  *     [[removeEntries]]/[[removeDirs]], so the index tracks the live
+  *     layout instead of growing O(shards-ever));
   *   - merge-on-read deletes only REMOVE rows, so a shard's true
   *     range is a subset of its indexed range — admits stay sound;
   *   - filters on non-indexed columns, null stats, and filter shapes
   *     the index doesn't understand admit unconditionally.
+  *
+  * A pre-split single-file `_skip/index.json` is migrated into the
+  * split layout by the first write that touches the index, and read
+  * as-is (whole) until then.
   */
 object JsonlSkipIndex {
   val DirName = "_skip"
+  val ListFileName = "manifests.json"
+  /** Pre-split single-file layout; read-compatible, migrated on write. */
   val FileName = "index.json"
 
   /** Table property listing columns whose per-shard min/max/null stats
@@ -52,11 +74,11 @@ object JsonlSkipIndex {
     * `graft.skip.columns = 'k,ts'` set, every batch INSERT, streaming
     * epoch, and merge-on-read insert tracks the listed columns as rows
     * stream through (an O(cols) compare per row, zero extra passes)
-    * and the job commit folds the new shards' entries into
-    * `_skip/index.json` — appended data is skippable IMMEDIATELY, no
+    * and the job commit folds the new shards' entries into their
+    * partition's manifest — appended data is skippable IMMEDIATELY, no
     * `CALL build_skip_index` staleness window. Bloom filters stay
     * CALL-built (a per-writer sketch would put megabytes on every
-    * commit message). Concurrent writers race the index
+    * commit message). Concurrent writers race a manifest
     * read-modify-write benignly: a lost entry is an index-unseen
     * shard, which scans conservatively. */
   val ColumnsProperty = "graft.skip.columns"
@@ -65,7 +87,27 @@ object JsonlSkipIndex {
     props.get(ColumnsProperty).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
-  def indexFile(table: Path): Path = new Path(new Path(table, DirName), FileName)
+  def indexDir(table: Path): Path = new Path(table, DirName)
+  def listFile(table: Path): Path = new Path(indexDir(table), ListFileName)
+  def legacyFile(table: Path): Path = new Path(indexDir(table), FileName)
+
+  /** Partition-relative dir of a table-relative shard path:
+    * `lang=en/part-1.jsonl.gz` → `lang=en`; root shards → "". */
+  def dirOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** Deterministic manifest file name for a partition dir — content
+    * hash of the KEY, not the data, so every writer that touches the
+    * dir converges on the same file (the self-healing list property).
+    * 16 hex chars of SHA-1: collision needs ~2^32 distinct partition
+    * dirs in one table. */
+  def manifestFileName(dirKey: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dirKey.getBytes(StandardCharsets.UTF_8))
+    "m_" + d.take(8).map(b => f"$b%02x").mkString + ".json"
+  }
 
   /** One shard's index entry. `stats` maps column → (min, max, nulls)
     * with min/max already decoded to the column's runtime type;
@@ -74,13 +116,108 @@ object JsonlSkipIndex {
       stats: Map[String, (Any, Any, Long)],
       blooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
 
+  // --------------------------------------------------------- json io
+
+  private def mapper = new ObjectMapper()
+
+  private def readNode(fs: FileSystem, p: Path): Option[ObjectNode] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      Some(mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+        .asInstanceOf[ObjectNode])
+    }
+
+  /** Atomic publish: tmp + rename-overwrite (FileContext where the
+    * filesystem offers it, delete+rename where not). */
+  private def publish(fs: FileSystem, target: Path, root: JsonNode): Unit = {
+    fs.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"skip index publish failed for $target")
+    }
+  }
+
+  private def loadList(fs: FileSystem, table: Path): Map[String, String] =
+    readNode(fs, listFile(table)).map { root =>
+      val dirs = root.get("dirs")
+      if (dirs == null) Map.empty[String, String]
+      else {
+        val b = Map.newBuilder[String, String]
+        dirs.properties().forEach(e => b += e.getKey -> e.getValue.asText)
+        b.result()
+      }
+    }.getOrElse(Map.empty)
+
+  private def publishList(fs: FileSystem, table: Path,
+                          list: Map[String, String]): Unit = {
+    val root = mapper.createObjectNode()
+    val dirs = root.putObject("dirs")
+    list.toSeq.sortBy(_._1).foreach { case (k, v) => dirs.put(k, v) }
+    publish(fs, listFile(table), root)
+  }
+
+  /** `shards` object of a manifest (or legacy index) file. */
+  private def shardsNodeOf(root: ObjectNode): ObjectNode =
+    if (root.has("shards")) root.get("shards").asInstanceOf[ObjectNode]
+    else root.putObject("shards")
+
+  /** Fold a pre-split `index.json` into the split layout; idempotent,
+    * called by every write path before it touches manifests. The
+    * single-writer-per-commit lock contract covers the multi-file
+    * rewrite the same way it covers the data swap. */
+  private def migrateLegacy(fs: FileSystem, table: Path): Unit = {
+    val legacy = legacyFile(table)
+    readNode(fs, legacy).foreach { root =>
+      val shards = root.get("shards")
+      if (shards != null) {
+        val byDir = scala.collection.mutable.Map.empty[String, ObjectNode]
+        shards.properties().forEach { e =>
+          val node = byDir.getOrElseUpdate(dirOf(e.getKey),
+            mapper.createObjectNode())
+          shardsNodeOf(node).set(e.getKey, e.getValue)
+          ()
+        }
+        var list = loadList(fs, table)
+        byDir.foreach { case (key, fresh) =>
+          val file = list.getOrElse(key, manifestFileName(key))
+          val target = new Path(indexDir(table), file)
+          val merged = readNode(fs, target).getOrElse(mapper.createObjectNode())
+          val into = shardsNodeOf(merged)
+          shardsNodeOf(fresh).properties().forEach(e =>
+            into.set[JsonNode](e.getKey, e.getValue))
+          merged.put("dir", key)
+          publish(fs, target, merged)
+          list += key -> file
+        }
+        publishList(fs, table, list)
+      }
+      fs.delete(legacy, false)
+    }
+  }
+
   // ------------------------------------------------------------ build
 
   /** Build + atomically publish the index: one distributed aggregate
     * over the catalog table `tableRef` (a `cat.ns.t` SQL reference),
     * grouped by the `_shard` metadata column. `cols` get min/max/null
     * stats; `bloomCols` additionally get a per-shard bloom filter
-    * (sized `bloomBits`). Returns the number of indexed shards. */
+    * (sized `bloomBits`). Every partition's manifest is rewritten
+    * fresh and orphaned manifest files dropped — a full rebuild, the
+    * one index operation that is table-scale by definition. Returns
+    * the number of indexed shards. */
   def build(spark: SparkSession, fs: FileSystem, table: Path,
             tableRef: String, cols: Seq[String], bloomCols: Seq[String],
             bloomItems: Long, bloomBits: Long): Int = {
@@ -99,9 +236,6 @@ object JsonlSkipIndex {
     val rows = df.select(col("_shard") +: all.map(col): _*)
       .groupBy(col("_shard")).agg(aggs.head, aggs.tail: _*)
       .collect() // shard-count grain: metadata scale, same as a listing
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.createObjectNode()
-    val shardsNode = root.putObject("shards")
     val qualified = fs.makeQualified(table)
     def rel(p: String): String = {
       val r = qualified.toUri.relativize(
@@ -109,42 +243,43 @@ object JsonlSkipIndex {
       require(!r.startsWith("/"), s"shard $p outside table $table")
       r
     }
-    rows.foreach { r =>
-      val e = shardsNode.putObject(rel(r.getAs[String]("_shard")))
-      e.put("n", r.getAs[Long]("__n"))
-      val st = e.putObject("stats")
-      cols.foreach { c =>
-        val cn = st.putObject(c)
-        cn.put("nn", r.getAs[Long](s"__nn_$c"))
-        putScalar(cn, "min", r.getAs[Any](s"__min_$c"))
-        putScalar(cn, "max", r.getAs[Any](s"__max_$c"))
-      }
-      if (bloomCols.nonEmpty) {
-        val bl = e.putObject("bloom")
-        bloomCols.foreach { c =>
-          val bytes = r.getAs[Array[Byte]](s"__bloom_$c")
-          if (bytes != null)
-            bl.put(c, java.util.Base64.getEncoder.encodeToString(bytes))
+    val byDir = rows.groupBy(r => dirOf(rel(r.getAs[String]("_shard"))))
+    val list = byDir.keys.map(k => k -> manifestFileName(k)).toMap
+    byDir.foreach { case (key, dirRows) =>
+      val root = mapper.createObjectNode()
+      root.put("dir", key)
+      val shardsNode = root.putObject("shards")
+      dirRows.foreach { r =>
+        val e = shardsNode.putObject(rel(r.getAs[String]("_shard")))
+        e.put("n", r.getAs[Long]("__n"))
+        val st = e.putObject("stats")
+        cols.foreach { c =>
+          val cn = st.putObject(c)
+          cn.put("nn", r.getAs[Long](s"__nn_$c"))
+          putScalar(cn, "min", r.getAs[Any](s"__min_$c"))
+          putScalar(cn, "max", r.getAs[Any](s"__max_$c"))
+        }
+        if (bloomCols.nonEmpty) {
+          val bl = e.putObject("bloom")
+          bloomCols.foreach { c =>
+            val bytes = r.getAs[Array[Byte]](s"__bloom_$c")
+            if (bytes != null)
+              bl.put(c, java.util.Base64.getEncoder.encodeToString(bytes))
+          }
         }
       }
+      publish(fs, new Path(indexDir(table), list(key)), root)
     }
-    val mf = indexFile(table)
-    fs.mkdirs(mf.getParent)
-    val tmp = new Path(mf.getParent, s".$FileName.tmp")
-    val out = fs.create(tmp, true)
-    out.write(mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
-    out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri, fs.getConf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(mf),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        fs.delete(mf, false)
-        if (!fs.rename(tmp, mf))
-          throw new java.io.IOException(s"skip index publish failed for $mf")
-    }
+    publishList(fs, table, list)
+    // a rebuild supersedes everything: pre-split file and manifests of
+    // partitions that no longer exist (crash before this sweep leaves
+    // unlisted files — ignored by readers, swept by the next build)
+    val keep = list.values.toSet + ListFileName
+    if (fs.exists(indexDir(table)))
+      fs.listStatus(indexDir(table))
+        .filter(st => st.isFile && !keep.contains(st.getPath.getName) &&
+          !st.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, false))
     rows.length
   }
 
@@ -239,57 +374,93 @@ object JsonlSkipIndex {
   }
 
   /** Fold writer-computed entries (keyed by table-RELATIVE shard path)
-    * into the index, creating it if absent — same atomic publish as
-    * [[build]]. A read-modify-write: safe under the single-writer-per
-    * -commit contract, and a racing loss only un-indexes a shard
-    * (conservative). */
+    * into their partitions' manifests, creating manifests (and list
+    * entries) as partitions appear. Touches ONLY the manifests of the
+    * partitions the commit wrote — a one-partition append rewrites one
+    * manifest, not the table's index. A read-modify-write per
+    * manifest: safe under the single-writer-per-commit contract, and a
+    * racing loss only un-indexes a shard (conservative). */
   def mergeEntries(fs: FileSystem, table: Path,
                    entries: Seq[(String, ShardWriteStats)]): Unit = {
     if (entries.isEmpty) return
-    val mf = indexFile(table)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root: com.fasterxml.jackson.databind.node.ObjectNode =
-      if (fs.exists(mf)) {
-        val in = fs.open(mf)
-        val bytes = try in.readAllBytes() finally in.close()
-        mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      } else mapper.createObjectNode()
-    val shardsNode =
-      if (root.has("shards"))
-        root.get("shards").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      else root.putObject("shards")
-    entries.foreach { case (rel, st) =>
-      val e = shardsNode.putObject(rel)
-      e.put("n", st.nRows)
-      val sn = e.putObject("stats")
-      st.cols.foreach { case (c, (mn, mx, nn)) =>
-        val cn = sn.putObject(c)
-        cn.put("nn", nn)
-        putScalar(cn, "min", mn)
-        putScalar(cn, "max", mx)
-      }
+    migrateLegacy(fs, table)
+    var list = loadList(fs, table)
+    var listChanged = false
+    entries.groupBy { case (rel, _) => dirOf(rel) }.foreach {
+      case (key, dirEntries) =>
+        val file = list.getOrElse(key, {
+          listChanged = true
+          manifestFileName(key)
+        })
+        val target = new Path(indexDir(table), file)
+        val root = readNode(fs, target).getOrElse(mapper.createObjectNode())
+        root.put("dir", key)
+        val shardsNode = shardsNodeOf(root)
+        dirEntries.foreach { case (rel, st) =>
+          val e = shardsNode.putObject(rel)
+          e.put("n", st.nRows)
+          val sn = e.putObject("stats")
+          st.cols.foreach { case (c, (mn, mx, nn)) =>
+            val cn = sn.putObject(c)
+            cn.put("nn", nn)
+            putScalar(cn, "min", mn)
+            putScalar(cn, "max", mx)
+          }
+        }
+        publish(fs, target, root)
+        list += key -> file
     }
-    fs.mkdirs(mf.getParent)
-    val tmp = new Path(mf.getParent, s".$FileName.tmp")
-    val out = fs.create(tmp, true)
-    out.write(mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
-    out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri, fs.getConf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(mf),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        fs.delete(mf, false)
-        if (!fs.rename(tmp, mf))
-          throw new java.io.IOException(s"skip index publish failed for $mf")
-    }
+    if (listChanged) publishList(fs, table, list)
   }
 
-  private def putScalar(n: com.fasterxml.jackson.databind.node.ObjectNode,
-                        field: String, v: Any): Unit = v match {
+  /** Drop the entries of retired shards (keyed by table-RELATIVE
+    * path) — called by the destructive commit paths (COW swap,
+    * static/dynamic overwrite, compact) with the exact shard set they
+    * discarded, so the index tracks the live layout instead of
+    * growing without bound on churny tables. A manifest left empty is
+    * deleted and unlisted. */
+  def removeEntries(fs: FileSystem, table: Path, rels: Seq[String]): Unit = {
+    if (rels.isEmpty) return
+    migrateLegacy(fs, table)
+    var list = loadList(fs, table)
+    var listChanged = false
+    rels.groupBy(dirOf).foreach { case (key, dirRels) =>
+      list.get(key).foreach { file =>
+        val target = new Path(indexDir(table), file)
+        readNode(fs, target).foreach { root =>
+          val shardsNode = shardsNodeOf(root)
+          dirRels.foreach(shardsNode.remove)
+          if (shardsNode.isEmpty) {
+            fs.delete(target, false)
+            list -= key
+            listChanged = true
+          } else publish(fs, target, root)
+        }
+      }
+    }
+    if (listChanged) publishList(fs, table, list)
+  }
+
+  /** Drop whole partitions' manifests — the O(1)-per-partition form
+    * of [[removeEntries]] for partition-grain deletes (TRUNCATE
+    * PARTITION, partition-dir DELETE WHERE). */
+  def removeDirs(fs: FileSystem, table: Path, dirs: Seq[String]): Unit = {
+    if (dirs.isEmpty) return
+    migrateLegacy(fs, table)
+    val list = loadList(fs, table)
+    val hit = dirs.filter(list.contains)
+    if (hit.isEmpty) return
+    hit.foreach(k => fs.delete(new Path(indexDir(table), list(k)), false))
+    publishList(fs, table, list -- hit)
+  }
+
+  /** Drop the whole index — TRUNCATE-class wipes. */
+  def dropAll(fs: FileSystem, table: Path): Unit = {
+    fs.delete(indexDir(table), true)
+    ()
+  }
+
+  private def putScalar(n: ObjectNode, field: String, v: Any): Unit = v match {
     case null => n.putNull(field)
     case b: Boolean => n.put(field, b)
     case i: Int => n.put(field, i)
@@ -302,17 +473,71 @@ object JsonlSkipIndex {
 
   // ------------------------------------------------------------- load
 
-  /** Load the index for `table`, keyed by QUALIFIED shard path string
-    * (the form [[JsonlScan]]'s layout uses). Returns empty when no
-    * index exists — the no-index fast path is one existence probe. */
-  def load(fs: FileSystem, table: Path, schema: StructType)
-      : Map[String, ShardEntry] = {
-    val mf = indexFile(table)
-    if (!fs.exists(mf)) return Map.empty
-    val in = fs.open(mf)
-    val bytes = try in.readAllBytes() finally in.close()
-    val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(new String(bytes, StandardCharsets.UTF_8))
+  /** Lazily loading view of the index: the manifest list is read
+    * up-front (one small file — or the whole pre-split file, for a
+    * table not yet migrated); each partition's manifest parses only
+    * when the FIRST shard of that partition is actually probed. Scan
+    * planning consults entries after partition pruning, so a
+    * partition-pruned probe never parses the other partitions'
+    * manifests — planning cost follows the pruned partition count,
+    * not the table's shard count. */
+  final class Index private[JsonlSkipIndex] (
+      fs: FileSystem, table: Path, schema: StructType,
+      list: Map[String, String], legacy: Map[String, ShardEntry]) {
+    private lazy val tableUri = fs.makeQualified(table).toUri
+    private val cache =
+      scala.collection.mutable.Map.empty[String, Map[String, ShardEntry]]
+
+    def isEmpty: Boolean = list.isEmpty && legacy.isEmpty
+    def nonEmpty: Boolean = !isEmpty
+
+    /** Manifests parsed so far — spec instrumentation for the
+      * "pruned probe touches one manifest" contract. */
+    private[graft] def manifestsTouched: Int = cache.size
+
+    /** Entry for a QUALIFIED shard path (the form [[JsonlScan]]'s
+      * layout carries), loading at most the one manifest of the
+      * shard's partition dir. */
+    def get(shard: String): Option[ShardEntry] = {
+      if (isEmpty) return None
+      if (legacy.nonEmpty) return legacy.get(shard)
+      val rel = tableUri.relativize(new Path(shard).toUri).getPath
+      if (rel.startsWith("/")) return None // outside the table
+      val key = dirOf(rel)
+      list.get(key).flatMap { file =>
+        cache.getOrElseUpdate(key,
+          loadManifest(fs, table, file, schema)).get(shard)
+      }
+    }
+
+    def contains(shard: String): Boolean = get(shard).isDefined
+  }
+
+  /** The no-index index — snapshot scans use it (live stats describe
+    * live shards only). */
+  def empty: Index = new Index(null, null, null, Map.empty, Map.empty)
+
+  /** Open the index for `table`. One existence probe + one small list
+    * read when the table has an index; entries load per-partition on
+    * demand (see [[Index]]). */
+  def open(fs: FileSystem, table: Path, schema: StructType): Index = {
+    val list = loadList(fs, table)
+    val legacy =
+      if (list.nonEmpty) Map.empty[String, ShardEntry]
+      else readNode(fs, legacyFile(table))
+        .map(parseShards(_, fs, table, schema)).getOrElse(Map.empty)
+    new Index(fs, table, schema, list, legacy)
+  }
+
+  private def loadManifest(fs: FileSystem, table: Path, file: String,
+                           schema: StructType): Map[String, ShardEntry] =
+    readNode(fs, new Path(indexDir(table), file))
+      .map(parseShards(_, fs, table, schema)).getOrElse(Map.empty)
+
+  /** Parse a manifest (or pre-split index) root into entries keyed by
+    * QUALIFIED shard path string. */
+  private def parseShards(root: ObjectNode, fs: FileSystem, table: Path,
+                          schema: StructType): Map[String, ShardEntry] = {
     val shards = root.get("shards")
     if (shards == null) return Map.empty
     val out = Map.newBuilder[String, ShardEntry]
@@ -343,8 +568,7 @@ object JsonlSkipIndex {
     out.result()
   }
 
-  private def decode(n: com.fasterxml.jackson.databind.JsonNode,
-                     dt: DataType): Any =
+  private def decode(n: JsonNode, dt: DataType): Any =
     if (n == null || n.isNull) null
     else dt match {
       case LongType => n.asLong
@@ -361,7 +585,7 @@ object JsonlSkipIndex {
   /** Can `shard` (qualified path) contain a row matching ALL of
     * `filters`? Conservative: anything unknown admits. The caller
     * intersects this with partition pruning. */
-  def admits(index: Map[String, ShardEntry], shard: String,
+  def admits(index: Index, shard: String,
              filters: Seq[Filter], schema: StructType): Boolean =
     index.get(shard) match {
       case None => true // appended / compacted since the build

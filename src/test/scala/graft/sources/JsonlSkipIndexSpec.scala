@@ -315,4 +315,111 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
     assert(sql("SELECT v FROM sk.nl.t WHERE k IS NOT NULL").count() == 9L)
     assert(sql("SELECT k FROM sk.nl.t WHERE k = 3").count() == 0L)
   }
+
+  private def root = spark.conf.get("spark.sql.catalog.sk.root")
+  private def skipFiles(table: String): Map[String, Array[Byte]] = {
+    val d = new java.io.File(s"$root/$table/_skip")
+    if (!d.exists()) Map.empty
+    else d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+  }
+
+  test("split manifests: a one-partition append rewrites ONE manifest; pruned probes parse only surviving partitions'") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.sp")
+    sql("""CREATE TABLE sk.sp.t (k BIGINT, v BIGINT, lang STRING)
+          |PARTITIONED BY (lang)
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    for (lang <- Seq("en", "fr", "de"))
+      sql(s"""INSERT INTO sk.sp.t SELECT /*+ REPARTITION(1) */
+             |  id AS k, id AS v, '$lang' AS lang FROM range(0, 100)""".stripMargin)
+    val files0 = skipFiles("sp/t")
+    // one manifest list + one manifest per partition dir
+    assert(files0.contains("manifests.json"), files0.keys.toSeq.toString)
+    assert(files0.size == 4, s"expected 3 manifests + list, got ${files0.keys}")
+    // a commit touching ONLY lang=fr must rewrite only fr's manifest
+    sql("""INSERT INTO sk.sp.t SELECT /*+ REPARTITION(1) */
+          |  id + 1000 AS k, id AS v, 'fr' AS lang FROM range(0, 50)""".stripMargin)
+    val files1 = skipFiles("sp/t")
+    val changed = files1.keys.filter(k =>
+      !files0.get(k).exists(_.sameElements(files1(k)))).toSet
+    assert(changed == Set(
+      graft.sources.dsv2.JsonlSkipIndex.manifestFileName("lang=fr")),
+      s"one-partition append rewrote $changed")
+    // planning a lang-pruned probe parses only that partition's
+    // manifest: corrupt the OTHER partitions' manifests — a query that
+    // never needs them must not notice
+    for (other <- Seq("lang=en", "lang=de")) {
+      val mf = new java.io.File(s"$root/sp/t/_skip/" +
+        graft.sources.dsv2.JsonlSkipIndex.manifestFileName(other))
+      val w = new java.io.FileWriter(mf); w.write("NOT JSON"); w.close()
+    }
+    val pruned = "SELECT k, v FROM sk.sp.t WHERE lang = 'fr' AND k = 1004"
+    assert(shardsPlanned(pruned) == 1, "fr probe prunes to the write-stat shard")
+    assert(sql(pruned).head.getLong(1) == 4L)
+    // and the Index handle itself reports one manifest parsed
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val table = new org.apache.hadoop.fs.Path(s"$root/sp/t")
+    val idx = graft.sources.dsv2.JsonlSkipIndex.open(fs, table,
+      spark.table("sk.sp.t").schema)
+    val frShard = new java.io.File(s"$root/sp/t/lang=fr").listFiles()
+      .filter(f => f.getName.endsWith(".jsonl.gz")).head
+    assert(idx.get(fs.makeQualified(
+      new org.apache.hadoop.fs.Path(frShard.toString)).toString).isDefined)
+    assert(idx.manifestsTouched == 1, "probing one partition parsed one manifest")
+  }
+
+  test("destructive paths prune dead index entries; legacy single-file index migrates") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.rm")
+    sql("""CREATE TABLE sk.rm.t (k BIGINT, v BIGINT, lang STRING)
+          |PARTITIONED BY (lang)
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    for (lang <- Seq("en", "fr"))
+      sql(s"""INSERT INTO sk.rm.t SELECT /*+ REPARTITION(1) */
+             |  id AS k, id AS v, '$lang' AS lang FROM range(0, 100)""".stripMargin)
+    def listedDirs: Set[String] = {
+      val lf = new java.io.File(s"$root/rm/t/_skip/manifests.json")
+      if (!lf.exists()) Set.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(lf.toPath))
+        val b = Set.newBuilder[String]
+        node.get("dirs").properties().forEach(e => b += e.getKey)
+        b.result()
+      }
+    }
+    assert(listedDirs == Set("lang=en", "lang=fr"))
+    // partition-grain DELETE drops the partition's manifest + listing
+    sql("DELETE FROM sk.rm.t WHERE lang = 'fr'")
+    assert(listedDirs == Set("lang=en"))
+    assert(!new java.io.File(s"$root/rm/t/_skip/" +
+      graft.sources.dsv2.JsonlSkipIndex.manifestFileName("lang=fr")).exists())
+    // INSERT OVERWRITE of a partition replaces its entries, not the
+    // table's index: en's manifest now holds exactly the new shard
+    sql("""INSERT OVERWRITE sk.rm.t PARTITION (lang = 'en')
+          |SELECT /*+ REPARTITION(1) */ id + 500 AS k, id AS v
+          |FROM range(0, 10)""".stripMargin)
+    assert(shardsPlanned("SELECT k FROM sk.rm.t WHERE k = 5") == 0,
+      "old en entries gone, new shard's stats say k >= 500")
+    assert(sql("SELECT count(*) FROM sk.rm.t WHERE k = 505").head.getLong(0) == 1L)
+    // TRUNCATE wipes the index with the data
+    sql("TRUNCATE TABLE sk.rm.t")
+    assert(!new java.io.File(s"$root/rm/t/_skip").exists())
+    // legacy migration: a pre-split index.json folds into the split
+    // layout on the next write-time merge and the old file disappears
+    sql("""INSERT INTO sk.rm.t SELECT /*+ REPARTITION(1) */
+          |  id AS k, id AS v, 'en' AS lang FROM range(0, 10)""".stripMargin)
+    val skipDir = new java.io.File(s"$root/rm/t/_skip")
+    val legacy = new java.io.File(skipDir, "index.json")
+    // fabricate a legacy file carrying a bogus-but-well-formed entry
+    val w = new java.io.FileWriter(legacy)
+    w.write("""{"shards":{"lang=xx/ghost.jsonl.gz":{"n":1,"stats":{"k":{"nn":0,"min":1,"max":1}}}}}""")
+    w.close()
+    sql("""INSERT INTO sk.rm.t SELECT /*+ REPARTITION(1) */
+          |  id + 100 AS k, id AS v, 'en' AS lang FROM range(0, 10)""".stripMargin)
+    assert(!legacy.exists(), "legacy index.json migrated away")
+    assert(listedDirs.contains("lang=xx"), "legacy entries survive migration")
+    assert(listedDirs.contains("lang=en"))
+    assert(sql("SELECT count(*) FROM sk.rm.t WHERE k = 105").head.getLong(0) == 1L)
+  }
 }
