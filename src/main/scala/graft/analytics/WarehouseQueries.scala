@@ -1126,6 +1126,54 @@ object WarehouseQueries {
       |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
       |ORDER BY src, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  /** `CALL cluster_table` on a PARTITIONED fact table (q209's sibling
+    * one rung up): orders CTAS'd partitioned by `o_orderstatus` with
+    * 4 hash-spread shards PER DIR (every shard spans the whole key
+    * space — within-dir skipping prunes nothing), then sort-rewritten
+    * by the procedure — one range shuffle on (partition col, key),
+    * per-dir swap — so each dir's shards become range-disjoint and
+    * the rebuilt index prunes WITHIN the surviving partition.
+    * Plan-guarded in-query: a status+key probe must open strictly
+    * fewer shards than the dir held before the rewrite — partition
+    * pruning alone cannot get there; the oracle pins that the rewrite
+    * changed no answer. */
+  private val clusterPartCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def clusterPartitionedProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = clusterPartCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whcp", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whcp.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q211").toString)
+      c.sql("CREATE NAMESPACE whcp.cp")
+      c.sql(
+        s"""CREATE TABLE whcp.cp.orders
+           |PARTITIONED BY (o_orderstatus) AS
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("""CALL whcp.system.cluster_table('cp.orders',
+              |columns => 'o_orderkey', target_shards => 6)""".stripMargin)
+      c
+    })
+    val probe = child.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM whcp.cp.orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey <= 640
+        |ORDER BY o_orderkey""".stripMargin)
+    val planned = probe.rdd.getNumPartitions
+    require(planned >= 1 && planned < 4,
+      s"partitioned cluster_table did not make the within-dir probe " +
+        s"skippable: $planned of the dir's pre-rewrite 4 shards planned")
+    probe
+  }
+
+  val clusterPartitionedProbeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE o_orderstatus = 'F' AND o_orderkey <= 640
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Oracle recomputes the joined answer straight from the parquet —
     * the exact-average threshold is reproducible because the sums stay
     * far inside double's integer range. */
@@ -1234,6 +1282,7 @@ object WarehouseQueries {
     "q208_skip_index_agg" -> (skipIndexAgg _),
     "q209_cluster_table_probe" -> (clusterTableProbe _),
     "q210_snapshot_time_travel" -> (snapshotTimeTravel _),
+    "q211_cluster_partitioned" -> (clusterPartitionedProbe _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1264,6 +1313,7 @@ object WarehouseQueries {
     "q208_skip_index_agg" -> skipIndexAggSql,
     "q209_cluster_table_probe" -> clusterTableProbeSql,
     "q210_snapshot_time_travel" -> snapshotTimeTravelSql,
+    "q211_cluster_partitioned" -> clusterPartitionedProbeSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -302,26 +302,37 @@ object GraftProcedures {
       }
     }
 
-  /** `cluster_table(table, columns, target_shards)`: sort-rewrite of
-    * an UNPARTITIONED table — rows range-repartitioned and sorted on
-    * `columns` into `target_shards` shards, then swapped in with the
-    * compact trash protocol — so each rewritten shard covers a
-    * contiguous key range and the skip index ([[JsonlSkipIndex]])
-    * actually prunes: the OPTIMIZE + cluster step of the
-    * cluster→stats→skip ladder (Delta's OPTIMIZE ZORDER shape).
-    * `zorder => true` interleaves ≥2 numeric columns on the Morton
-    * curve ([[graft.operators.ZOrder.zValue]], the same codegen'd
+  /** `cluster_table(table, columns, target_shards)`: sort-rewrite —
+    * rows range-repartitioned and sorted on `columns` into
+    * `target_shards` shards, then swapped in with the compact trash
+    * protocol — so each rewritten shard covers a contiguous key range
+    * and the skip index ([[JsonlSkipIndex]]) actually prunes: the
+    * OPTIMIZE + cluster step of the cluster→stats→skip ladder
+    * (Delta's OPTIMIZE ZORDER shape). `zorder => true` interleaves
+    * ≥2 numeric columns on the Morton curve
+    * ([[graft.operators.ZOrder.zValue]], the same codegen'd
     * bit-interleave the parquet helper uses) so probes on ANY of the
     * columns prune, not just the first sort key. The rewrite reads
     * through the ordinary scan, so merge-on-read sidecars are applied
     * and then retired with the shards they indexed. The skip index is
     * rebuilt for `columns` (plus the table's `graft.skip.columns`)
-    * after the swap. Partitioned tables refuse — their partition dirs
-    * are the primary clustering; cluster within a partition by
-    * compacting instead. Single-maintenance-writer contract, same as
-    * `compact`: the table-level `_rlo_lock` blocks row-level
-    * operations for the duration, concurrent APPENDS during the
-    * rewrite are the caller's responsibility to quiesce. */
+    * after the swap.
+    *
+    * PARTITIONED tables cluster WITHIN each partition dir: one
+    * distributed job range-shuffles on (partition cols, sort keys) —
+    * the partition-col prefix keeps each output task inside one dir's
+    * key range, so within every dir the rewritten shards are
+    * range-disjoint — and the partitioned staging write routes rows
+    * into `k=v/` staging dirs that then dir-swap with the live ones
+    * (per-partition trash + snapshot retention, O(partitions)
+    * metadata, no per-partition jobs). `target_shards` is the TOTAL
+    * output task count; size it ≈ partitions × shards-per-partition.
+    * Root shards beside a partitioned layout refuse (their rows
+    * aren't dir-addressable — compact into the hive layout first).
+    * Single-maintenance-writer contract, same as `compact`: the
+    * table-level `_rlo_lock` blocks row-level operations for the
+    * duration, concurrent APPENDS during the rewrite are the caller's
+    * responsibility to quiesce. */
   private def clusterTable(catalog: GraftCatalog): BoundProcedure =
     new Bound("cluster_table", tableParam,
       ProcedureParameter.in("columns", StringType)
@@ -356,23 +367,44 @@ object GraftProcedures {
             s"$trash or $staging exists: a previous cluster_table crashed " +
               "mid-swap; recover before clustering again")
           val layout = JsonlLayout.discoverFull(fs, table)
-          require(layout.forall(_._4.isEmpty),
-            s"cluster_table: $tableName is partitioned — partition dirs are " +
-              "the primary clustering; compact within partitions instead")
           val before = layout.map(_._1)
           if (before.isEmpty)
             return result(compactSchema, Nil)
+          val ident = Identifier.of(
+            tableName.split("\\.").init, tableName.split("\\.").last)
+          val tbl = catalog.loadTable(ident)
+          val partCols = tbl.partitioning().toSeq.collect {
+            case t if t.name == "identity" && t.references.length == 1 =>
+              t.references()(0).fieldNames().mkString(".")
+          }
+          val partitioned = partCols.nonEmpty
+          if (partitioned) {
+            // a root shard's rows aren't dir-addressable: the per-dir
+            // swap below could not retire them, leaving their rows
+            // live beside the rewrite's copy — refuse, as overwrite
+            // and partition-DELETE do
+            val uncovered = layout.filter(_._4.isEmpty)
+            require(uncovered.isEmpty,
+              s"cluster_table: ${uncovered.size} shard(s) of $tableName sit " +
+                s"outside the partition layout (e.g. ${uncovered.headOption
+                  .map(_._1).getOrElse("")}) — compact into the hive " +
+                "layout first")
+          }
           import org.apache.spark.sql.functions.{col, max, min}
           // read through the table scan (sidecars applied), cluster +
           // sort, stage under the invisible _ dir — the path-based v2
           // write lands attempt-unique shard names that cannot collide
-          // with the live ones when they move up
+          // with the live ones when they move up. Partitioned: the
+          // partition-col prefix of the range keys keeps each output
+          // task inside one dir's key range, and the partitionBy
+          // staging write routes rows into `k=v/` staging dirs.
           val base = spark.table(ref)
+          val prefix = partCols.map(col)
           val zorder = !input.isNullAt(3) && input.getBoolean(3)
           val clustered =
             if (!zorder)
-              base.repartitionByRange(nShards, cols.map(col): _*)
-                .sortWithinPartitions(cols.map(col): _*)
+              base.repartitionByRange(nShards, (prefix ++ cols.map(col)): _*)
+                .sortWithinPartitions((prefix ++ cols.map(col)): _*)
             else {
               // Morton-curve layout ([[graft.operators.ZOrder]]): a
               // lexicographic sort clusters the FIRST column only;
@@ -394,46 +426,88 @@ object GraftProcedures {
               val zCol = Iterator.from(0).map(i => s"__z$i")
                 .find(!base.columns.contains(_)).get
               base.withColumn(zCol, z)
-                .repartitionByRange(nShards, col(zCol))
-                .sortWithinPartitions(col(zCol))
+                .repartitionByRange(nShards, (prefix :+ col(zCol)): _*)
+                .sortWithinPartitions((prefix :+ col(zCol)): _*)
                 .drop(zCol)
             }
-          clustered
-            .write.format("graft-jsonl").mode("append")
+          val w = clustered.write.format("graft-jsonl").mode("append")
+          (if (partitioned) w.partitionBy(partCols: _*) else w)
             .save(staging.toString)
           // swap: originals (the PRE-rewrite snapshot — appends racing
-          // the rewrite stay untouched in the root) -> trash, staged
-          // shards up, consumed sidecars + stale index out, trash last
+          // the rewrite stay untouched) -> trash, staged shards up,
+          // consumed sidecars + stale index out, trash last
           fs.mkdirs(trash)
-          before.foreach { p =>
-            if (fs.exists(p))
-              require(fs.rename(p, new Path(trash, p.getName)),
-                s"swap-out failed for $p")
-          }
-          val delRoot = new Path(table, JsonlDeletes.DirName)
-          if (fs.exists(delRoot))
-            require(fs.rename(delRoot, new Path(trash, JsonlDeletes.DirName)),
-              s"swap-out failed for $delRoot")
-          val staged = JsonlLayout.discover(fs, staging).map(_._1)
-          staged.foreach { p =>
-            require(fs.rename(p, new Path(table, p.getName)),
-              s"swap-in failed for $p")
-          }
+          val tUri = fs.makeQualified(table).toUri
+          def relOf(p: Path): String =
+            tUri.relativize(fs.makeQualified(p).toUri).getPath
+          val resultRows: Seq[InternalRow] =
+            if (!partitioned) {
+              before.foreach { p =>
+                if (fs.exists(p))
+                  require(fs.rename(p, new Path(trash, p.getName)),
+                    s"swap-out failed for $p")
+              }
+              val delRoot = new Path(table, JsonlDeletes.DirName)
+              if (fs.exists(delRoot))
+                require(fs.rename(delRoot, new Path(trash, JsonlDeletes.DirName)),
+                  s"swap-out failed for $delRoot")
+              val staged = JsonlLayout.discover(fs, staging).map(_._1)
+              staged.foreach { p =>
+                require(fs.rename(p, new Path(table, p.getName)),
+                  s"swap-in failed for $p")
+              }
+              Seq(new GenericInternalRow(
+                Array[Any](utf8(""), before.size, staged.size)): InternalRow)
+            } else {
+              // per-partition dir swap, O(partitions) metadata: each
+              // live leaf dir -> trash/rel, staged/rel -> live. A dir
+              // whose every row was sidecar-deleted produces no staged
+              // replacement — the partition value leaves the layout,
+              // exactly as a full rewrite should
+              val byDir = layout.groupBy(e => JsonlSkipIndex.dirOf(relOf(e._1)))
+              val rows = byDir.toSeq.sortBy(_._1).map { case (rel, dirShards) =>
+                val live = new Path(table, rel)
+                val t = new Path(trash, rel)
+                fs.mkdirs(t.getParent)
+                require(fs.rename(live, t), s"swap-out failed for $live")
+                val stagedDir = new Path(staging, rel)
+                var after = 0
+                if (fs.exists(stagedDir)) {
+                  fs.mkdirs(live.getParent)
+                  require(fs.rename(stagedDir, live),
+                    s"swap-in failed for $stagedDir")
+                  after = fs.listStatus(live).count(st =>
+                    st.isFile && JsonlLayout.isShard(st.getPath.getName))
+                }
+                // the dir's consumed sidecars retire with its shards
+                fs.delete(new Path(new Path(table, JsonlDeletes.DirName), rel),
+                  true)
+                new GenericInternalRow(
+                  Array[Any](utf8(rel), dirShards.size, after)): InternalRow
+              }
+              // the _deletes tree may now be empty scaffolding — drop
+              // it so future plans pay a single existence probe again
+              val delRoot = new Path(table, JsonlDeletes.DirName)
+              def emptyTree(d: Path): Boolean =
+                fs.exists(d) && fs.listStatus(d).forall(st =>
+                  st.isDirectory && emptyTree(st.getPath))
+              if (emptyTree(delRoot)) fs.delete(delRoot, true)
+              rows
+            }
           fs.delete(staging, true)
-          JsonlSnapshots.retainFromTrash(fs, table, trash,
-            pp => pp.getName) // unpartitioned: rel is the file name
+          JsonlSnapshots.retainFromTrash(fs, table, trash, pp =>
+            if (partitioned) relOf(pp).stripPrefix(
+              relOf(trash) + "/") // trash mirrors the table-relative layout
+            else pp.getName) // unpartitioned: rel is the file name
           fs.delete(trash, true)
           // the old index describes trashed shards: rebuild for the
           // cluster columns plus any write-time-maintained ones
           fs.delete(new Path(table, JsonlSkipIndex.DirName), true)
           val tableProps = scala.jdk.CollectionConverters.MapHasAsScala(
-            catalog.loadTable(Identifier.of(
-              tableName.split("\\.").init, tableName.split("\\.").last))
-              .properties()).asScala.toMap
+            tbl.properties()).asScala.toMap
           val idxCols = (cols ++ JsonlSkipIndex.skipColsOf(tableProps)).distinct
           JsonlSkipIndex.build(spark, fs, table, ref, idxCols, Nil, 0L, 0L)
-          result(compactSchema, Seq(new GenericInternalRow(
-            Array[Any](utf8(""), before.size, nShards)): InternalRow))
+          result(compactSchema, resultRows)
         } finally RowLevelLock.release(fs, lock)
       }
     }

@@ -50,7 +50,14 @@ class JsonlDataSource extends TableProvider with DataSourceRegister {
     graft.sources.JsonlCorpus.docSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
+    // a path-based save honors .partitionBy(...): identity transforms
+    // become the hive-style dir routing the catalog path also uses
+    // (values ride the dirs, not the JSON lines)
     new JsonlTable(schema, properties.get("path"),
+      partCols = partitioning.toSeq.collect {
+        case t if t.name == "identity" && t.references.length == 1 =>
+          t.references()(0).fieldNames().mkString(".")
+      },
       props = properties.asScala.toMap)
 }
 

@@ -246,12 +246,57 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(
       s"${spark.conf.get("spark.sql.catalog.sk.root")}/cl/t/_deletes").exists(),
       "consumed sidecars dropped with the shards they indexed")
-    // a partitioned table refuses
-    sql("""CREATE TABLE sk.cl.p (k BIGINT, g STRING) PARTITIONED BY (g)""")
-    sql("INSERT INTO sk.cl.p VALUES (1, 'a')")
+  }
+
+  test("cluster_table on a PARTITIONED table: within-dir clustering, sidecars retired, snapshots survive") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.cp")
+    sql("""CREATE TABLE sk.cp.t (k BIGINT, v BIGINT, g STRING)
+          |PARTITIONED BY (g)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    // per partition: four shards whose k sets interleave mod 4 — the
+    // within-dir layout the rewrite must fix
+    for (g <- Seq("a", "b"); m <- 0 to 3)
+      sql(s"""INSERT INTO sk.cp.t SELECT /*+ REPARTITION(1) */
+             |  id * 4 + $m AS k, id AS v, '$g' AS g
+             |FROM range(0, 250)""".stripMargin)
+    sql("DELETE FROM sk.cp.t WHERE k = 17 AND g = 'a'") // sidecar to retire
+    sql("CALL sk.system.snapshot('cp.t', tag => 'precluster')")
+    sql("CALL sk.system.build_skip_index('cp.t', columns => 'k')")
+    val probe = "SELECT k, v FROM sk.cp.t WHERE g = 'a' AND k >= 900"
+    assert(shardsPlanned(probe) == 4,
+      "interleaved within-dir layout: partition pruning alone leaves 4 shards")
+    val expect = sql(probe).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val out = sql(
+      "CALL sk.system.cluster_table('cp.t', columns => 'k', target_shards => 8)")
+      .collect()
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("g=a", "g=b"),
+      "one result row per rewritten partition dir")
+    assert(out.forall(_.getInt(1) == 4), "each dir had 4 shards before")
+    // within-dir range probe now opens a fraction of the dir's shards
+    assert(shardsPlanned(probe) <= 2, s"planned ${shardsPlanned(probe)}")
+    assert(sql(probe).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq == expect.toSeq, "clustering must not change answers")
+    assert(sql("SELECT count(*) FROM sk.cp.t").head.getLong(0) == 1999L)
+    assert(sql("SELECT k FROM sk.cp.t WHERE k = 17 AND g = 'a'").count() == 0L,
+      "retired sidecar's delete stays applied (folded into the rewrite)")
+    assert(!new java.io.File(s"$root/cp/t/_deletes").exists(),
+      "consumed sidecars dropped with the shards they indexed")
+    // the pre-cluster snapshot still answers: its shards retired to
+    // _snapshots/retained/ instead of dying with the swap
+    assert(sql("""SELECT count(*) FROM sk.cp.t VERSION AS OF 'precluster'""")
+      .head.getLong(0) == 1999L)
+    assert(sql("""SELECT count(*) FROM sk.cp.t VERSION AS OF 'precluster'
+                 |WHERE g = 'a' AND k = 16""".stripMargin).head.getLong(0) == 1L)
+    // root shards beside a partitioned layout refuse (not silently
+    // left beside the rewrite)
+    sql("""CREATE TABLE sk.cp.r (k BIGINT, g STRING) PARTITIONED BY (g)""")
+    sql("INSERT INTO sk.cp.r VALUES (1, 'a')")
+    val rootShard = new java.io.File(s"$root/cp/r/orphan.jsonl")
+    val w = new java.io.FileWriter(rootShard)
+    w.write("""{"k":2,"g":"b"}""" + "\n"); w.close()
     val e = intercept[Exception] {
-      sql("CALL sk.system.cluster_table('cl.p', columns => 'k')") }
-    assert(e.getMessage.contains("partitioned"), e.getMessage)
+      sql("CALL sk.system.cluster_table('cp.r', columns => 'k')") }
+    assert(e.getMessage.contains("outside the partition layout"), e.getMessage)
   }
 
   test("cluster_table zorder: probes on EITHER interleaved column prune") {
