@@ -1174,6 +1174,69 @@ object WarehouseQueries {
       |WHERE o_orderstatus = 'F' AND o_orderkey <= 640
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+  /** Snapshot CDC ([[graft.sources.dsv2.JsonlChangeFeed]]): a
+    * merge-on-read orders table, snapshot 'v1', then one appended
+    * batch (keys shifted +10M) and one MOR DELETE of the original 'F'
+    * rows (the key guard spares the batch), snapshot 'v2' — the
+    * change feed between v1 and v2 must be EXACTLY "the batch
+    * inserted, the original F rows deleted", recovered from the
+    * manifest diff (added shards + delete-ordinal deltas) with zero
+    * row comparison. Guarded
+    * in-query: `CALL table_changes` (the metadata-grain summary of
+    * the same diff) must report added shards and delta-deletes but
+    * ZERO removed shards — MOR deletes must not retire files. The
+    * oracle recomputes both sides from the parquet. */
+  private val cdcCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def snapshotChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val child = cdcCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whcd", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whcd.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q212").toString)
+      c.sql("CREATE NAMESPACE whcd.cd")
+      c.sql(
+        s"""CREATE TABLE whcd.cd.orders
+           |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read') AS
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("CALL whcd.system.snapshot('cd.orders', tag => 'v1')")
+      c.sql(
+        s"""INSERT INTO whcd.cd.orders
+           |SELECT /*+ REPARTITION(2) */
+           |  o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("""DELETE FROM whcd.cd.orders
+              |WHERE o_orderstatus = 'F' AND o_orderkey <= 10000000""".stripMargin)
+      c.sql("CALL whcd.system.snapshot('cd.orders', tag => 'v2')")
+      c
+    })
+    val summary = child.sql(
+      "CALL whcd.system.table_changes('cd.orders', 'v1', 'v2')").collect()
+    val kinds = summary.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    require(kinds.getOrElse("added", 0) >= 1 &&
+      kinds.getOrElse("delta_deletes", 0) >= 1 &&
+      kinds.getOrElse("removed", 0) == 0,
+      s"MOR CDC summary wrong shape: $kinds — MOR deletes must not " +
+        "retire shards, the append must add them")
+    val catalog = child.sessionState.catalogManager.catalog("whcd")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    graft.sources.dsv2.JsonlChangeFeed
+      .between(child, catalog, "cd.orders", "v1", Some("v2"))
+      .orderBy(col("_change"), col("o_orderkey"))
+  }
+
+  val snapshotChangeFeedSql: String =
+    """SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+      |  'insert' AS _change
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, 'delete' AS _change
+      |FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY _change, o_orderkey""".stripMargin
+
   /** Oracle recomputes the joined answer straight from the parquet —
     * the exact-average threshold is reproducible because the sums stay
     * far inside double's integer range. */
@@ -1283,6 +1346,7 @@ object WarehouseQueries {
     "q209_cluster_table_probe" -> (clusterTableProbe _),
     "q210_snapshot_time_travel" -> (snapshotTimeTravel _),
     "q211_cluster_partitioned" -> (clusterPartitionedProbe _),
+    "q212_snapshot_change_feed" -> (snapshotChangeFeed _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1314,6 +1378,7 @@ object WarehouseQueries {
     "q209_cluster_table_probe" -> clusterTableProbeSql,
     "q210_snapshot_time_travel" -> snapshotTimeTravelSql,
     "q211_cluster_partitioned" -> clusterPartitionedProbeSql,
+    "q212_snapshot_change_feed" -> snapshotChangeFeedSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -447,7 +447,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private val procedureNames =
     Seq("table_stats", "compact", "expire_staging", "build_skip_index",
-      "cluster_table", "snapshot", "snapshots", "expire_snapshots")
+      "cluster_table", "snapshot", "snapshots", "expire_snapshots",
+      "table_changes")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))

@@ -60,6 +60,9 @@ object GraftProcedures {
   private val expireSnapshotsSchema = StructType(Seq(
     StructField("manifests_removed", IntegerType),
     StructField("retained_files_removed", IntegerType)))
+  private val tableChangesSchema = StructType(Seq(
+    StructField("kind", StringType), StructField("shard", StringType),
+    StructField("bytes", LongType), StructField("ordinals", LongType)))
 
   private def utf8(s: String) = UTF8String.fromString(s)
 
@@ -110,6 +113,7 @@ object GraftProcedures {
         case "snapshot" => snapshotProc(catalog)
         case "snapshots" => snapshotsProc(catalog)
         case "expire_snapshots" => expireSnapshotsProc(catalog)
+        case "table_changes" => tableChangesProc(catalog)
         case other => throw new IllegalArgumentException(
           s"unknown graft procedure $other")
       }
@@ -509,6 +513,48 @@ object GraftProcedures {
           JsonlSkipIndex.build(spark, fs, table, ref, idxCols, Nil, 0L, 0L)
           result(compactSchema, resultRows)
         } finally RowLevelLock.release(fs, lock)
+      }
+    }
+
+  /** `table_changes(table, from, to)`: the shard-grain manifest diff
+    * between two snapshots (`to` defaults to the LIVE state) — one
+    * row per added shard, removed shard, and common shard whose
+    * embedded delete-ordinal set grew, entirely from metadata (zero
+    * data I/O). The row-level feed over the same diff is
+    * [[JsonlChangeFeed.between]]; this CALL is the cheap "what moved"
+    * probe and the input a sync job sizes itself with. */
+  private def tableChangesProc(catalog: GraftCatalog): BoundProcedure =
+    new Bound("table_changes", tableParam,
+      ProcedureParameter.in("from", StringType)
+        .comment("snapshot version id or tag (the older endpoint)").build(),
+      ProcedureParameter.in("to", StringType).defaultValue("''")
+        .comment("snapshot version id or tag; empty = live state").build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tableName = input.getUTF8String(0).toString
+        val (fs, table) = catalog.resolveTableDir(tableName)
+        val from = input.getUTF8String(1).toString
+        val to = Option(input.getUTF8String(2)).map(_.toString)
+          .filter(_.nonEmpty)
+        val m1 = JsonlSnapshots.load(fs, table, from)
+        val m2 = to.map(JsonlSnapshots.load(fs, table, _)).getOrElse {
+          val ident = Identifier.of(
+            tableName.split("\\.").init, tableName.split("\\.").last)
+          JsonlSnapshots.current(fs, table,
+            catalog.loadTable(ident).schema())
+        }
+        val d = JsonlChangeFeed.diff(m1, m2)
+        val rows =
+          d.added.toSeq.sorted.map(rel => new GenericInternalRow(Array[Any](
+            utf8("added"), utf8(rel), m2.shards(rel).len,
+            m2.shards(rel).deletes.length.toLong)): InternalRow) ++
+          d.removed.toSeq.sorted.map(rel => new GenericInternalRow(Array[Any](
+            utf8("removed"), utf8(rel), m1.shards(rel).len,
+            m1.shards(rel).deletes.length.toLong)): InternalRow) ++
+          d.deltaDeletes.toSeq.sortBy(_._1).map { case (rel, ords) =>
+            new GenericInternalRow(Array[Any](
+              utf8("delta_deletes"), utf8(rel), m1.shards(rel).len,
+              ords.length.toLong)): InternalRow }
+        result(tableChangesSchema, rows)
       }
     }
 

@@ -84,6 +84,15 @@ object JsonlSnapshots {
     tag.foreach(t => require(!existing.exists(_.tag.contains(t)),
       s"snapshot tag '$t' already exists"))
     val id = existing.lastOption.fold(1L)(_.id + 1L)
+    val m = current(fs, table, schema).copy(id = id, tag = tag)
+    write(fs, manifestFile(table, id), m)
+    m
+  }
+
+  /** The table's LIVE state as an unwritten pseudo-manifest (id -1) —
+    * what `create` would pin, without pinning it. The change feed
+    * uses it as the implicit `to` endpoint. */
+  def current(fs: FileSystem, table: Path, schema: StructType): Manifest = {
     val sidecars = JsonlDeletes.index(fs, table)
     val shards = JsonlLayout.discoverFull(fs, table).map {
       case (p, _, len, _) =>
@@ -92,9 +101,7 @@ object JsonlSnapshots {
           .getOrElse(Array.empty[Long])
         relOf(fs, table, p) -> ShardRef(len, deletes)
     }.toMap
-    val m = Manifest(id, tag, System.currentTimeMillis(), schema.json, shards)
-    write(fs, manifestFile(table, id), m)
-    m
+    Manifest(-1L, None, System.currentTimeMillis(), schema.json, shards)
   }
 
   /** Resolve `VERSION AS OF <version>`: a numeric id or a tag. */

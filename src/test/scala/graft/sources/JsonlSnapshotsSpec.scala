@@ -153,6 +153,59 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM sn.lk.t VERSION AS OF 1").head.getLong(0) == 2L)
   }
 
+  test("change feed: MOR delta-deletes, COW rewrite churn, net mode, live endpoint") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    def catalog = spark.sessionState.catalogManager.catalog("sn")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    def feed(t: String, from: String, to: Option[String], net: Boolean = false) =
+      JsonlChangeFeed.between(spark, catalog, t, from, to, net)
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"),
+          r.getAs[String]("_change"))).sorted.toSeq
+
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.cf")
+    // MOR: an append adds shards, a DELETE only grows ordinal sets
+    sql("""CREATE TABLE sn.cf.m (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO sn.cf.m VALUES (1, 10), (2, 20), (3, 30)")
+    sql("CALL sn.system.snapshot('cf.m', tag => 'a')")
+    sql("INSERT INTO sn.cf.m VALUES (4, 40)")
+    sql("DELETE FROM sn.cf.m WHERE k = 2")
+    sql("CALL sn.system.snapshot('cf.m', tag => 'b')")
+    assert(feed("cf.m", "a", Some("b")) ==
+      Seq((2L, 20L, "delete"), (4L, 40L, "insert")))
+    // summary agrees, metadata-only: no removed shards under MOR
+    val sum = sql("CALL sn.system.table_changes('cf.m', 'a', 'b')").collect()
+    assert(sum.exists(_.getString(0) == "added") &&
+      sum.exists(r => r.getString(0) == "delta_deletes" && r.getLong(3) == 1L) &&
+      !sum.exists(_.getString(0) == "removed"), sum.mkString(";"))
+    // live endpoint: changes since 'b' without pinning a snapshot
+    sql("INSERT INTO sn.cf.m VALUES (5, 50)")
+    assert(feed("cf.m", "b", None) == Seq((5L, 50L, "insert")))
+    // forward-only: swapped endpoints refuse
+    val e = intercept[IllegalArgumentException] {
+      JsonlChangeFeed.between(spark, catalog, "cf.m", "b", Some("a")) }
+    assert(e.getMessage.contains("forward-only"), e.getMessage)
+
+    // COW: the same logical delete REWRITES every shard holding a
+    // doomed row — shard-grain CDC reports the rewritten survivors as
+    // delete+insert pairs; net mode must cancel exactly those
+    sql("CREATE TABLE sn.cf.c (k BIGINT, v BIGINT)")
+    sql("INSERT INTO sn.cf.c VALUES (1, 10), (2, 20), (3, 30)")
+    sql("CALL sn.system.snapshot('cf.c', tag => 'a')")
+    sql("DELETE FROM sn.cf.c WHERE k = 2")
+    sql("CALL sn.system.snapshot('cf.c', tag => 'b')")
+    val raw = feed("cf.c", "a", Some("b"))
+    assert(raw.contains((2L, 20L, "delete")), raw.toString)
+    assert(raw.count(_._1 == 1L) == 2 || raw.count(_._1 == 1L) == 0,
+      s"a rewritten survivor appears as a delete+insert PAIR or not at all: $raw")
+    assert(feed("cf.c", "a", Some("b"), net = true) ==
+      Seq((2L, 20L, "delete")), "net mode cancels rewrite churn")
+    // the COW summary names the retired and replacement shards
+    val csum = sql("CALL sn.system.table_changes('cf.c', 'a', 'b')").collect()
+    assert(csum.exists(_.getString(0) == "removed") &&
+      csum.exists(_.getString(0) == "added"), csum.mkString(";"))
+  }
+
   test("snapshots are read-only; streaming a snapshot refuses") {
     sql("CREATE NAMESPACE IF NOT EXISTS sn.ro")
     sql("CREATE TABLE sn.ro.t (k BIGINT, v BIGINT)")
