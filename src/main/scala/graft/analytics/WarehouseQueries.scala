@@ -1228,6 +1228,54 @@ object WarehouseQueries {
       .orderBy(col("_change"), col("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------- q213
+  /** RENAME COLUMN as metadata-only schema evolution under the oracle
+    * gate: orders CTAS'd, `o_custkey` renamed to `cust_id` (zero data
+    * rewrite — generation-1 shards keep the old JSON key), a second
+    * generation appended under the new key, then one aggregate over
+    * BOTH generations filtered and grouped by the new name. The
+    * read-time alias fallback ([[graft.sources.dsv2.JsonlTable.AliasesKey]])
+    * must make the old shards answer under the new name — in the
+    * filter, the aggregate, and the group — or half the rows vanish
+    * and the oracle (which recomputes the doubled union from parquet)
+    * catches it. */
+  private val renameCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def columnRenameTwoGen(s: SparkSession, dir: String): DataFrame = {
+    val child = renameCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whrn", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whrn.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q213").toString)
+      c.sql("CREATE NAMESPACE whrn.rn")
+      c.sql(
+        s"""CREATE TABLE whrn.rn.orders AS
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("ALTER TABLE whrn.rn.orders RENAME COLUMN o_custkey TO cust_id")
+      c.sql(
+        s"""INSERT INTO whrn.rn.orders
+           |SELECT /*+ REPARTITION(2) */
+           |  o_orderkey + 10000000 AS o_orderkey, o_custkey AS cust_id,
+           |  o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c
+    })
+    child.sql(
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cust_id) AS BIGINT) AS sum_cust
+        |FROM whrn.rn.orders
+        |WHERE cust_id IS NOT NULL
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val columnRenameTwoGenSql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) * 2 AS BIGINT) AS n,
+      |  CAST(SUM(o_custkey) * 2 AS BIGINT) AS sum_cust
+      |FROM orders WHERE o_custkey IS NOT NULL
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val snapshotChangeFeedSql: String =
     """SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
       |  'insert' AS _change
@@ -1347,6 +1395,7 @@ object WarehouseQueries {
     "q210_snapshot_time_travel" -> (snapshotTimeTravel _),
     "q211_cluster_partitioned" -> (clusterPartitionedProbe _),
     "q212_snapshot_change_feed" -> (snapshotChangeFeed _),
+    "q213_column_rename" -> (columnRenameTwoGen _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1379,6 +1428,7 @@ object WarehouseQueries {
     "q210_snapshot_time_travel" -> snapshotTimeTravelSql,
     "q211_cluster_partitioned" -> clusterPartitionedProbeSql,
     "q212_snapshot_change_feed" -> snapshotChangeFeedSql,
+    "q213_column_rename" -> columnRenameTwoGenSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

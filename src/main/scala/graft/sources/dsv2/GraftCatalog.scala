@@ -203,6 +203,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new UnsupportedOperationException(
           s"graft catalog: type changes are refused (coerce-on-write " +
             s"posture) — ${single(t.fieldNames, "type change")} keeps its type")
+      case r: TableChange.RenameColumn =>
+        // metadata-only rename: no data rewrite — the field records its
+        // former JSON keys (newest first) and readers fall back through
+        // them for pre-rename shards ([[JsonlTable.AliasesKey]]).
+        // DROP COLUMN stays refused: a dropped name re-ADDed later
+        // would resurrect old shards' values under the new column.
+        val name = single(r.fieldNames, "RENAME COLUMN")
+        val newName = r.newName
+        require(schema.fieldNames.contains(name),
+          s"no column $name to rename")
+        require(!schema.fieldNames.contains(newName),
+          s"column $newName already exists")
+        require(!partCols.contains(name),
+          s"graft catalog: cannot rename partition column $name — the " +
+            "k=v directory layout pins its name; rewrite the table instead")
+        schema = StructType(schema.fields.map { fl =>
+          if (fl.name != name) fl
+          else {
+            val prior = JsonlTable.aliasesOf(fl)
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(fl.metadata)
+              .putStringArray(JsonlTable.AliasesKey,
+                (name +: prior).distinct.toArray)
+              .build()
+            fl.copy(name = newName, metadata = md)
+          }
+        })
+        // write-time skip stats keyed on the old name keep flowing
+        // under the new one
+        props = props.map {
+          case (k, v) if k == JsonlSkipIndex.ColumnsProperty =>
+            k -> v.split(",").map(_.trim)
+              .map(c => if (c == name) newName else c).mkString(",")
+          case kv => kv
+        }
       case sp: TableChange.SetProperty =>
         require(sp.property.startsWith("graft."),
           s"graft catalog: only graft.* table properties are stored, " +

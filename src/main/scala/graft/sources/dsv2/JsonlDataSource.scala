@@ -65,6 +65,23 @@ object JsonlTable {
   /** Row-level operation mode: `copy-on-write` (default — group
     * rewrite) or `merge-on-read` (position-delete sidecars). */
   val RowLevelModeProp = "graft.row-level.mode"
+
+  /** StructField-metadata key carrying a renamed column's FORMER JSON
+    * keys (newest first) — RENAME COLUMN is a metadata edit, not a
+    * data rewrite, so shards written before the rename still hold the
+    * old key and the reader falls back through this list (Iceberg's
+    * field-id indirection, re-expressed as name aliases for a
+    * name-keyed format). Rides inside the schema JSON, so it reaches
+    * every reader with zero extra plumbing and survives the catalog
+    * round-trip. */
+  val AliasesKey = "graft.aliases"
+
+  /** The former-names list of a field ([[AliasesKey]]), empty when
+    * never renamed. */
+  def aliasesOf(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(AliasesKey))
+      f.metadata.getStringArray(AliasesKey).toSeq
+    else Nil
 }
 
 class JsonlTable(tableSchema: StructType, path: String,
@@ -2260,6 +2277,15 @@ final class JsonlPartitionReader(file: String, required: StructType,
     n
   }
 
+  // RENAME COLUMN aliasing: shards written before a rename hold the
+  // old JSON key; the field's schema metadata lists its former names
+  // (newest first) and the lookup falls back through them. The NEW
+  // key wins when a line carries both.
+  private val aliasOf: Map[String, Seq[String]] =
+    dataSchema.fields.iterator
+      .map(f => f.name -> JsonlTable.aliasesOf(f))
+      .filter(_._2.nonEmpty).toMap
+
   // A value that fails the declared-type check is null HERE, not just
   // at materialize: pushed IsNull/IsNotNull/comparisons claim full
   // evaluation (they are not re-checked post-scan), so the filter view
@@ -2267,7 +2293,10 @@ final class JsonlPartitionReader(file: String, required: StructType,
   private def field(node: JsonNode, name: String): JsonNode = {
     if (nullPartCols.contains(name)) return null
     val p = partNode.get(name)
-    val v = if (p != null) p else node.get(name)
+    var v = if (p != null) p else node.get(name)
+    if (v == null && aliasOf.nonEmpty)
+      aliasOf.get(name).foreach(_.iterator
+        .map(node.get).find(_ != null).foreach(v = _))
     if (v == null || v.isNull) return null
     declaredType.get(name) match {
       case Some(LongType | IntegerType | DoubleType) => if (v.isNumber) v else null

@@ -207,6 +207,57 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE wh.evo.t")
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only, old shards answer under the new name") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.rn")
+    sql("""CREATE TABLE wh.rn.t (k BIGINT, score DOUBLE, lang STRING)
+          |PARTITIONED BY (lang)
+          |TBLPROPERTIES ('graft.skip.columns'='score')""".stripMargin)
+    sql("INSERT INTO wh.rn.t VALUES (1, 0.5, 'en'), (2, 0.9, 'en')")
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val gen1Bytes = {
+      val d = new java.io.File(s"$root/rn/t/lang=en")
+      d.listFiles().filter(_.getName.endsWith(".jsonl.gz")).map(_.length).sum
+    }
+    sql("ALTER TABLE wh.rn.t RENAME COLUMN score TO quality")
+    // zero data rewrite: the generation-1 shards are byte-identical
+    val gen1After = {
+      val d = new java.io.File(s"$root/rn/t/lang=en")
+      d.listFiles().filter(_.getName.endsWith(".jsonl.gz")).map(_.length).sum
+    }
+    assert(gen1After == gen1Bytes, "rename must not rewrite data")
+    // old shards (old JSON key) answer under the NEW name — select,
+    // filter, aggregate
+    assert(sql("SELECT k, quality FROM wh.rn.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 0.5), (2L, 0.9)))
+    assert(sql("SELECT k FROM wh.rn.t WHERE quality > 0.7").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // generation-2 shards write the new key; both generations answer
+    sql("INSERT INTO wh.rn.t VALUES (3, 0.1, 'en')")
+    assert(sql("SELECT SUM(CAST(quality * 10 AS BIGINT)) FROM wh.rn.t")
+      .head.getLong(0) == 15L)
+    // chained rename: both former keys alias
+    sql("ALTER TABLE wh.rn.t RENAME COLUMN quality TO q2")
+    assert(sql("SELECT k FROM wh.rn.t WHERE q2 <= 0.5 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // durability: a fresh session sees the rename map (schema json)
+    assert(sql("DESCRIBE wh.rn.t").collect()
+      .exists(r => r.getString(0) == "q2"))
+    // a MOR/COW rewrite converges old shards to the new key
+    sql("DELETE FROM wh.rn.t WHERE k = 2")
+    assert(sql("SELECT k FROM wh.rn.t WHERE q2 IS NOT NULL ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // refused: renaming a partition column (dirs pin it), DROP COLUMN
+    val e1 = intercept[Exception](
+      sql("ALTER TABLE wh.rn.t RENAME COLUMN lang TO language"))
+    assert(msgs(e1).exists(_.contains("partition column")), e1.toString)
+    val e2 = intercept[Exception](sql("ALTER TABLE wh.rn.t DROP COLUMN q2"))
+    assert(e2.getMessage != null)
+    sql("DROP TABLE wh.rn.t")
+  }
+
   test("SHOW PARTITIONS / ADD PARTITION / DROP PARTITION are directory ops") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.pm")
     sql("CREATE TABLE wh.pm.t (k BIGINT, lang STRING) PARTITIONED BY (lang)")
