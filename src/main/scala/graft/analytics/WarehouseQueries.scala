@@ -1066,14 +1066,19 @@ object WarehouseQueries {
               |columns => 'o_orderkey', target_shards => 8)""".stripMargin)
       c
     })
-    val probe = child.sql(
+    // plan-guard on the SORT-FREE probe: an ORDER BY adds an exchange
+    // whose (AQE-coalesced) partition count would pass regardless of
+    // scan pruning
+    val planned = child.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM whcl.cl.orders WHERE o_orderkey <= 640""".stripMargin)
+      .rdd.getNumPartitions
+    require(planned >= 1 && planned < 8,
+      s"cluster_table did not make the probe skippable: $planned of 8 shards")
+    child.sql(
       """SELECT o_orderkey, o_custkey, o_orderstatus
         |FROM whcl.cl.orders WHERE o_orderkey <= 640
         |ORDER BY o_orderkey""".stripMargin)
-    val planned = probe.rdd.getNumPartitions
-    require(planned >= 1 && planned < 8,
-      s"cluster_table did not make the probe skippable: $planned of 8 shards")
-    probe
   }
 
   val clusterTableProbeSql: String =
@@ -1157,16 +1162,22 @@ object WarehouseQueries {
               |columns => 'o_orderkey', target_shards => 6)""".stripMargin)
       c
     })
-    val probe = child.sql(
+    // plan-guard on the SORT-FREE probe: an ORDER BY adds an exchange
+    // whose (AQE-coalesced) partition count would pass regardless of
+    // scan pruning
+    val planned = child.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM whcp.cp.orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey <= 640""".stripMargin)
+      .rdd.getNumPartitions
+    require(planned >= 1 && planned < 4,
+      s"partitioned cluster_table did not make the within-dir probe " +
+        s"skippable: $planned of the dir's pre-rewrite 4 shards planned")
+    child.sql(
       """SELECT o_orderkey, o_custkey, o_orderstatus
         |FROM whcp.cp.orders
         |WHERE o_orderstatus = 'F' AND o_orderkey <= 640
         |ORDER BY o_orderkey""".stripMargin)
-    val planned = probe.rdd.getNumPartitions
-    require(planned >= 1 && planned < 4,
-      s"partitioned cluster_table did not make the within-dir probe " +
-        s"skippable: $planned of the dir's pre-rewrite 4 shards planned")
-    probe
   }
 
   val clusterPartitionedProbeSql: String =
@@ -1275,6 +1286,62 @@ object WarehouseQueries {
       |  CAST(SUM(o_custkey) * 2 AS BIGINT) AS sum_cust
       |FROM orders WHERE o_custkey IS NOT NULL
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+  /** Write-time clustering ([[graft.sources.dsv2.JsonlTable.WriteOrderProp]]):
+    * an orders table declared `graft.write.order = 'o_orderkey'` +
+    * `graft.skip.columns = 'o_orderkey'`, filled by a plain
+    * hash-scattered INSERT — the write's REQUIRED range distribution
+    * re-shuffles the rows, so the landed shards are range-disjoint
+    * and their write-time stats prune immediately: q209's clustered
+    * layout with ZERO maintenance CALLs ever issued. Plan-guarded
+    * in-query (the probe must open a strict subset of the shards);
+    * the oracle pins that declarative clustering changed no answer. */
+  private val writeOrderCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def writeOrderProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = writeOrderCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whwo", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whwo.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q214").toString)
+      // sf0.01 orders ≈ small: keep AQE from rightly coalescing the
+      // whole insert into one shard, so the plan guard can SEE the
+      // multi-shard range layout (at corpus scale coalescing to the
+      // advisory size is the desired behavior)
+      c.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      c.conf.set("spark.sql.shuffle.partitions", "8")
+      c.sql("CREATE NAMESPACE whwo.wo")
+      c.sql("""CREATE TABLE whwo.wo.orders
+              |  (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+              |TBLPROPERTIES ('graft.write.order'='o_orderkey',
+              |  'graft.skip.columns'='o_orderkey')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whwo.wo.orders
+           |SELECT o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c
+    })
+    val total = child.sql("SELECT o_orderkey FROM whwo.wo.orders")
+      .rdd.getNumPartitions
+    // plan-guard on the SORT-FREE probe: an ORDER BY adds an exchange
+    // whose partition count reflects the shuffle, not the scan
+    val planned = child.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM whwo.wo.orders WHERE o_orderkey <= 640""".stripMargin)
+      .rdd.getNumPartitions
+    require(total >= 4 && planned >= 1 && planned < total,
+      s"write-order layout did not prune: $planned of $total shards planned")
+    child.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM whwo.wo.orders WHERE o_orderkey <= 640
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val writeOrderProbeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE o_orderkey <= 640 ORDER BY o_orderkey""".stripMargin
 
   val snapshotChangeFeedSql: String =
     """SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
@@ -1396,6 +1463,7 @@ object WarehouseQueries {
     "q211_cluster_partitioned" -> (clusterPartitionedProbe _),
     "q212_snapshot_change_feed" -> (snapshotChangeFeed _),
     "q213_column_rename" -> (columnRenameTwoGen _),
+    "q214_write_order_probe" -> (writeOrderProbe _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1429,6 +1497,7 @@ object WarehouseQueries {
     "q211_cluster_partitioned" -> clusterPartitionedProbeSql,
     "q212_snapshot_change_feed" -> snapshotChangeFeedSql,
     "q213_column_rename" -> columnRenameTwoGenSql,
+    "q214_write_order_probe" -> writeOrderProbeSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

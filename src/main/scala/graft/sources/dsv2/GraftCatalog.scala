@@ -230,10 +230,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             fl.copy(name = newName, metadata = md)
           }
         })
-        // write-time skip stats keyed on the old name keep flowing
+        // column-list properties keyed on the old name keep working
         // under the new one
         props = props.map {
-          case (k, v) if k == JsonlSkipIndex.ColumnsProperty =>
+          case (k, v) if k == JsonlSkipIndex.ColumnsProperty ||
+              k == JsonlTable.WriteOrderProp =>
             k -> v.split(",").map(_.trim)
               .map(c => if (c == name) newName else c).mkString(",")
           case kv => kv
@@ -246,6 +247,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(sp.value == "copy-on-write" || sp.value == "merge-on-read",
             s"${JsonlTable.RowLevelModeProp} must be copy-on-write or " +
               s"merge-on-read, got '${sp.value}'")
+        if (sp.property == JsonlTable.WriteOrderProp)
+          sp.value.split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
+            require(schema.fieldNames.contains(c),
+              s"${JsonlTable.WriteOrderProp}: no column $c in the table"))
         props = props + (sp.property -> sp.value)
       case rp: TableChange.RemoveProperty =>
         props = props - rp.property

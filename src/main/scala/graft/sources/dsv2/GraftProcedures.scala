@@ -195,22 +195,26 @@ object GraftProcedures {
         // one task per oversized dir: line-level concatenation of its
         // shards into ceil(bytes/target) gzip files — no parse, rows
         // bit-identical, memory O(1) per task (plus one bitset per
-        // sidecar-carrying shard)
+        // sidecar-carrying shard). Output GROUPS (and names) are
+        // assigned on the DRIVER so the post-swap index synthesis
+        // below knows exactly which inputs each output concatenates.
         val plan = todo.map { case (rel, shards) =>
-          (rel, shards.map { case (p, len) =>
-            (p.toString, len, sidecars.getOrElse(p.toString, null)) }) }
+          val withSc = shards.map { case (p, len) =>
+            (p.toString, len, sidecars.getOrElse(p.toString, null)) }
+          val totalBytes = withSc.map(_._2).sum
+          val nOut = math.max(1, math.ceil(
+            totalBytes.toDouble / targetBytes).toInt)
+          val groups = withSc.grouped(
+            math.max(1, math.ceil(withSc.size.toDouble / nOut).toInt)).toSeq
+          (rel, groups.zipWithIndex.map { case (g, i) =>
+            (f"compact-$i%05d-${java.util.UUID.randomUUID}.jsonl.gz", g) })
+        }
         val after = spark.sparkContext
           .parallelize(plan, math.max(1, plan.size))
-          .map { case (rel, shards) =>
+          .map { case (rel, namedGroups) =>
             val f = new Path(tableStr).getFileSystem(conf.value)
-            val totalBytes = shards.map(_._2).sum
-            val nOut = math.max(1, math.ceil(
-              totalBytes.toDouble / targetBytes).toInt)
-            val groups = shards.grouped(
-              math.max(1, math.ceil(shards.size.toDouble / nOut).toInt)).toSeq
-            groups.zipWithIndex.foreach { case (group, i) =>
-              val outPath = new Path(s"$stagingStr/$rel",
-                f"compact-$i%05d-${java.util.UUID.randomUUID}.jsonl.gz")
+            namedGroups.foreach { case (outName, group) =>
+              val outPath = new Path(s"$stagingStr/$rel", outName)
               val out = new java.util.zip.GZIPOutputStream(f.create(outPath, true))
               group.foreach { case (shard, _, sc) =>
                 val deleted =
@@ -238,8 +242,33 @@ object GraftProcedures {
               }
               out.close()
             }
-            (rel, shards.size, groups.size)
+            (rel, namedGroups.map(_._2.size).sum, namedGroups.size)
           }.collect()
+        // metadata-only index carry-over: each output's entry folds
+        // its inputs' entries (range union, Σ rows − dropped deleted
+        // lines) — computed BEFORE the swap retires the inputs, merged
+        // AFTER it; a group with any unindexed input stays unindexed
+        val tblSchema = catalog.loadTable(Identifier.of(
+          input.getUTF8String(0).toString.split("\\.").init,
+          input.getUTF8String(0).toString.split("\\.").last)).schema()
+        val preIdx = JsonlSkipIndex.open(fs, table, tblSchema)
+        val synthesized: Seq[(String, JsonlSkipIndex.ShardWriteStats)] =
+          plan.flatMap { case (rel, namedGroups) =>
+            namedGroups.flatMap { case (outName, group) =>
+              val entries = group.flatMap { case (shard, _, _) =>
+                preIdx.get(fs.makeQualified(new Path(shard)).toString) }
+              if (entries.size != group.size) None
+              else {
+                val dropped = group.iterator.map { case (_, _, sc) =>
+                  if (sc == null) 0L
+                  else JsonlDeletes.read(fs, new Path(sc)).distinct.length.toLong
+                }.sum
+                JsonlSkipIndex.foldForConcat(entries, dropped, tblSchema)
+                  .map(st =>
+                    (if (rel.isEmpty) outName else s"$rel/$outName") -> st)
+              }
+            }
+          }
         // swap: partition dir -> trash, staged dir -> partition dir,
         // then drop trash — crash between the renames leaves the trash
         // copy and the require above refuses the next run. The table
@@ -247,7 +276,8 @@ object GraftProcedures {
         // per-file through the same trash. Consumed sidecars drop
         // last: a crash before that leaves orphans keyed by old shard
         // names, which no reader will ever match.
-        val byRel = plan.toMap
+        val byRel = plan.map { case (rel, namedGroups) =>
+          rel -> namedGroups.flatMap(_._2) }.toMap
         after.foreach { case (rel, _, _) =>
           if (rel.isEmpty) {
             val t = new Path(trash, "__root__")
@@ -277,12 +307,14 @@ object GraftProcedures {
             fs.delete(new Path(new Path(table, JsonlDeletes.DirName), rel), true)
           }
         }
-        // the rewritten dirs' old shards left the layout and the new
-        // compact-* shards are unindexed (the rewrite is line I/O, no
-        // stats pass) — drop those dirs' manifests so the index never
-        // accumulates entries for dead shards; `CALL build_skip_index`
-        // re-covers the compacted output
+        // the rewritten dirs' old shards left the layout — drop their
+        // manifests, then merge the DRIVER-SYNTHESIZED entries for the
+        // outputs (fold of the consumed inputs' entries: range union,
+        // exact row count) so a fully-indexed dir stays skippable
+        // through compaction with zero re-scan; groups with unindexed
+        // inputs stay unindexed until the next `CALL build_skip_index`
         JsonlSkipIndex.removeDirs(fs, table, after.map(_._1).toSeq)
+        JsonlSkipIndex.mergeEntries(fs, table, synthesized)
         // the _deletes tree may now be empty scaffolding — drop it so
         // future plans pay a single existence probe again
         val delRoot = new Path(table, JsonlDeletes.DirName)

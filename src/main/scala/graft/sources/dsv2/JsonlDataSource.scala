@@ -82,6 +82,21 @@ object JsonlTable {
     if (f.metadata.contains(AliasesKey))
       f.metadata.getStringArray(AliasesKey).toSeq
     else Nil
+
+  /** Table property declaring the table's WRITE-TIME clustering: with
+    * `graft.write.order = 'k,ts'`, every batch INSERT/OVERWRITE asks
+    * Spark for a RANGE distribution + within-task sort on those
+    * columns (partition columns prefixed on a partitioned table), so
+    * plain appends land range-disjoint shards whose write-time skip
+    * stats ([[JsonlSkipIndex.ColumnsProperty]]) prune immediately —
+    * Delta's liquid-clustering idea at its simplest: `CALL
+    * cluster_table` becomes periodic maintenance for accumulated
+    * small shards, not a prerequisite for skipping. */
+  val WriteOrderProp = "graft.write.order"
+
+  def writeOrderOf(props: Map[String, String]): Seq[String] =
+    props.get(WriteOrderProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 }
 
 class JsonlTable(tableSchema: StructType, path: String,
@@ -126,7 +141,7 @@ class JsonlTable(tableSchema: StructType, path: String,
     require(snapshot == null,
       s"graft-jsonl: ${name()} is a snapshot — snapshots are read-only")
     new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols,
-      JsonlSkipIndex.skipColsOf(props))
+      JsonlSkipIndex.skipColsOf(props), JsonlTable.writeOrderOf(props))
   }
 
   /** Drop every data entry under the table root, keeping metadata
@@ -1064,7 +1079,11 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     if (!aggMode || pushed.nonEmpty || runtimeFilters.nonEmpty ||
         sidecars.contains(f)) null
     else skipIndex.get(f) match {
-      case Some(e) if minMaxCols.forall(e.stats.contains) =>
+      // a compaction-synthesized (approx) entry keeps an EXACT row
+      // count but possibly-wide min/max: COUNT may answer from it,
+      // MIN/MAX must drain rows
+      case Some(e) if minMaxCols.forall(e.stats.contains) &&
+          (e.exact || minMaxCols.isEmpty) =>
         aggSpecs.map {
           case ("count", _) => e.nRows
           case ("min", c) => e.stats(c)._1
@@ -1457,7 +1476,8 @@ object JsonlPartitionPruning {
   * [[graft.warehouse.VersionedTable]] on top, exactly as with parquet. */
 final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
                               partCols: Seq[String] = Nil,
-                              skipCols: Seq[String] = Nil)
+                              skipCols: Seq[String] = Nil,
+                              writeOrder: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -1493,8 +1513,13 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     doDynamic = true; this
   }
-  override def build(): org.apache.spark.sql.connector.write.Write =
-    if (partCols.isEmpty)
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    // write-time clustering ([[JsonlTable.WriteOrderProp]]): order
+    // columns present in the write schema participate (a MERGE's
+    // projected schema always carries the table columns; defensive
+    // filter keeps an evolved-away name from failing the write)
+    val order = writeOrder.filter(schema.fieldNames.contains)
+    if (partCols.isEmpty && order.isEmpty)
       new org.apache.spark.sql.connector.write.Write {
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
           // dynamic overwrite of an UNPARTITIONED table replaces its
@@ -1511,27 +1536,45 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
       // exactly ONE open file at a time and closes it on key change —
       // bounded memory however many partition values a task sees (the
       // Iceberg/Delta write shape; without it a task interleaving k
-      // values needs k open encoders)
+      // values needs k open encoders). With `graft.write.order` the
+      // distribution upgrades to RANGE over (partition cols, order
+      // cols): each task covers a contiguous key slice — still one
+      // open file at a time — and the landed shards are
+      // range-disjoint on the order columns, so their write-time skip
+      // stats prune from the first append.
       new org.apache.spark.sql.connector.write.Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-        override def requiredDistribution()
-            : org.apache.spark.sql.connector.distributions.Distribution =
-          org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            partCols.map(c => Expressions.identity(c)
-              : org.apache.spark.sql.connector.expressions.Expression).toArray)
-        override def requiredOrdering()
+        private def sortOrders
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          partCols.map(c =>
+          (partCols ++ order).map(c =>
             Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
             .toArray
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (order.nonEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions
+              .ordered(sortOrders)
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              partCols.map(c => Expressions.identity(c)
+                : org.apache.spark.sql.connector.expressions.Expression).toArray)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          sortOrders
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-          new JsonlBatchWrite(schema, path, queryId, doTruncate, partCols,
-            doDynamic, overwriteFilters, skipCols = skipCols)
+          // dynamic overwrite of an UNPARTITIONED table (reachable
+          // here via graft.write.order) replaces its single implicit
+          // partition — the whole table, exactly as the no-order path
+          new JsonlBatchWrite(schema, path, queryId,
+            doTruncate || (doDynamic && partCols.isEmpty), partCols,
+            doDynamic && partCols.nonEmpty, overwriteFilters,
+            skipCols = skipCols)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols)
       }
+  }
 }
 
 /** One SQL MERGE/UPDATE/DELETE rewrite: Spark uses a single operation

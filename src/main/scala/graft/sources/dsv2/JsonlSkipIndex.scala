@@ -111,10 +111,16 @@ object JsonlSkipIndex {
 
   /** One shard's index entry. `stats` maps column → (min, max, nulls)
     * with min/max already decoded to the column's runtime type;
-    * `blooms` maps column → deserialized filter. */
+    * `blooms` maps column → deserialized filter. `exact = false`
+    * marks an entry SYNTHESIZED by compaction from inputs that
+    * carried position deletes: its row count is exact and its
+    * [min, max] ranges are sound SUPERSETS of the truth (deletes only
+    * remove rows), but min/max/null-count must not be served as
+    * ANSWERS — range admission only. */
   final case class ShardEntry(nRows: Long,
       stats: Map[String, (Any, Any, Long)],
-      blooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+      blooms: Map[String, org.apache.spark.util.sketch.BloomFilter],
+      exact: Boolean = true)
 
   // --------------------------------------------------------- json io
 
@@ -287,9 +293,12 @@ object JsonlSkipIndex {
 
   /** One staged file's writer-computed stats: row count plus
     * (min, max, nulls) per tracked column — min/max already as plain
-    * JVM values (UTF8Strings converted), so the message serializes. */
+    * JVM values (UTF8Strings converted), so the message serializes.
+    * `exact = false` only on compaction-synthesized entries (see
+    * [[ShardEntry.exact]]). */
   final case class ShardWriteStats(nRows: Long,
-      cols: Map[String, (Any, Any, Long)]) extends Serializable
+      cols: Map[String, (Any, Any, Long)],
+      exact: Boolean = true) extends Serializable
 
   /** Streams per-row updates into per-file min/max/null counters for
     * the tracked columns (those of `skipCols` present in the write
@@ -399,6 +408,7 @@ object JsonlSkipIndex {
         dirEntries.foreach { case (rel, st) =>
           val e = shardsNode.putObject(rel)
           e.put("n", st.nRows)
+          if (!st.exact) e.put("approx", true)
           val sn = e.putObject("stats")
           st.cols.foreach { case (c, (mn, mx, nn)) =>
             val cn = sn.putObject(c)
@@ -411,6 +421,39 @@ object JsonlSkipIndex {
         list += key -> file
     }
     if (listChanged) publishList(fs, table, list)
+  }
+
+  /** Fold the index entries of shards a compaction CONCATENATES into
+    * the entry of the output shard — metadata only, no re-scan: the
+    * output's range is the union of the inputs' ranges, its row count
+    * is Σ inputs − the position-deleted lines the rewrite dropped
+    * (exact: graft writers emit one line per row and `_pos` counts
+    * physical lines). With any deletes the min/max may be WIDER than
+    * the surviving rows — still sound for range admission, never for
+    * answers — so the folded entry is marked approx; with none it is
+    * exact and full-powered. Returns None when any input lacks an
+    * entry or carries no foldable column (the output simply stays
+    * unindexed — conservative). Blooms don't fold (sketch params may
+    * differ); `CALL build_skip_index` re-covers them. */
+  def foldForConcat(inputs: Seq[ShardEntry], deletedRows: Long,
+                    schema: StructType): Option[ShardWriteStats] = {
+    if (inputs.isEmpty) return None
+    val cols = inputs.map(_.stats.keySet).reduce(_ & _)
+    if (cols.isEmpty) return None
+    val stats = cols.iterator.flatMap { c =>
+      schema.fields.find(_.name == c).map(_.dataType).map { dt =>
+        val mins = inputs.flatMap(e => Option(e.stats(c)._1))
+        val maxs = inputs.flatMap(e => Option(e.stats(c)._2))
+        val mn = if (mins.isEmpty) null
+                 else mins.reduce((a, b) => if (cmp(a, b, dt) <= 0) a else b)
+        val mx = if (maxs.isEmpty) null
+                 else maxs.reduce((a, b) => if (cmp(a, b, dt) >= 0) a else b)
+        c -> ((mn, mx, inputs.map(_.stats(c)._3).sum))
+      }
+    }.toMap
+    Some(ShardWriteStats(
+      inputs.map(_.nRows).sum - deletedRows, stats,
+      exact = deletedRows == 0 && inputs.forall(_.exact)))
   }
 
   /** Drop the entries of retired shards (keyed by table-RELATIVE
@@ -563,7 +606,8 @@ object JsonlSkipIndex {
       }
       out += fs.makeQualified(new Path(table, e.getKey)).toString ->
         ShardEntry(if (node.has("n")) node.get("n").asLong else 0L,
-          stats.result(), blooms.result())
+          stats.result(), blooms.result(),
+          exact = !(node.has("approx") && node.get("approx").asBoolean))
     }
     out.result()
   }
@@ -657,15 +701,20 @@ object JsonlSkipIndex {
       case GreaterThanOrEqual(c, v) => rangeAdmits(c, v)((_, vsMax) => vsMax <= 0)
       case LessThan(c, v) => rangeAdmits(c, v)((vsMin, _) => vsMin > 0)
       case LessThanOrEqual(c, v) => rangeAdmits(c, v)((vsMin, _) => vsMin >= 0)
+      // IsNull stays sound on approx entries: folded nn == 0 means no
+      // INPUT ever held a null and deletes cannot add one; nn > 0
+      // merely admits. IsNotNull's all-null claim is the unsound one
+      // — deletes may have removed exactly the non-null rows, so a
+      // folded nn ≥ nRows proves nothing; approx entries admit.
       case IsNull(c) => statsOf(c) match {
         case Some(((_, _, nn), _)) => nn > 0
         case None => true
       }
-      case IsNotNull(c) => statsOf(c) match {
+      case IsNotNull(c) => !e.exact || (statsOf(c) match {
         // all-null shard for c: no non-null row can match
         case Some(((_, _, nn), _)) => nn < e.nRows
         case None => true
-      }
+      })
       case _ => true
     }
   }

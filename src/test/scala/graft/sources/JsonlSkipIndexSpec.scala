@@ -248,6 +248,110 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
       "consumed sidecars dropped with the shards they indexed")
   }
 
+  test("graft.write.order: plain INSERTs land range-clustered shards that prune immediately") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.wo")
+    sql("""CREATE TABLE sk.wo.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.write.order'='k', 'graft.skip.columns'='k')""".stripMargin)
+    // one scattered insert: the write's REQUIRED range distribution
+    // re-shuffles rows so landed shards are range-disjoint on k, and
+    // write-time stats make them skippable with ZERO maintenance
+    // CALLs. (AQE would rightly coalesce 20k tiny rows into ONE shard
+    // — the at-scale behavior; pin the partition count so the test
+    // sees a multi-shard layout.)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      sql("""INSERT INTO sk.wo.t
+            |SELECT CAST(hash(id) % 10000 AS BIGINT) + 10000 AS k, id AS v
+            |FROM range(0, 20000)""".stripMargin)
+    } finally
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val total = shardsPlanned("SELECT k, v FROM sk.wo.t")
+    assert(total >= 4, s"expected several shards, got $total")
+    val probe = "SELECT k, v FROM sk.wo.t WHERE k >= 19500"
+    val planned = shardsPlanned(probe)
+    assert(planned >= 1 && planned <= math.max(1, total / 2),
+      s"write-order shards not range-disjoint: $planned of $total planned")
+    assert(sql(probe).collect().forall(_.getLong(0) >= 19500))
+    assert(sql("SELECT count(*) FROM sk.wo.t").head.getLong(0) == 20000L)
+    // partitioned + order: range prefix on partition cols keeps the
+    // within-dir slices disjoint too
+    sql("""CREATE TABLE sk.wo.p (k BIGINT, g STRING) PARTITIONED BY (g)
+          |TBLPROPERTIES ('graft.write.order'='k', 'graft.skip.columns'='k')""".stripMargin)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      sql("""INSERT INTO sk.wo.p
+            |SELECT CAST(hash(id) % 10000 AS BIGINT) + 10000 AS k,
+            |  CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+            |FROM range(0, 20000)""".stripMargin)
+    } finally
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val dirTotal = shardsPlanned("SELECT k FROM sk.wo.p WHERE g = 'a'")
+    val dirPlanned = shardsPlanned(
+      "SELECT k FROM sk.wo.p WHERE g = 'a' AND k >= 19500")
+    assert(dirTotal >= 2 && dirPlanned < dirTotal,
+      s"within-dir write-order pruning: $dirPlanned of $dirTotal")
+    // property validation: unknown order column refuses at ALTER
+    val e = intercept[Exception] {
+      sql("ALTER TABLE sk.wo.t SET TBLPROPERTIES ('graft.write.order'='nope')")
+    }
+    assert(e.getMessage.contains("no column"), e.getMessage)
+  }
+
+  test("compact folds consumed entries into its outputs: skippable with zero re-scan") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.cf")
+    // EXACT case: a partitioned dir of 8 indexed shards, no deletes —
+    // compaction synthesizes exact entries; MIN/MAX/COUNT still
+    // answer from metadata (proved by corrupting the data files)
+    sql("""CREATE TABLE sk.cf.t (k BIGINT, g STRING) PARTITIONED BY (g)
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    for (b <- 0 until 8)
+      sql(s"""INSERT INTO sk.cf.t SELECT /*+ REPARTITION(1) */
+             |  id + ${b * 100} AS k, 'a' AS g FROM range(0, 100)""".stripMargin)
+    sql("CALL sk.system.compact('cf.t', max_shards => 4)")
+    val dir = new java.io.File(s"$root/cf/t/g=a")
+    val outs = dir.listFiles().filter(_.getName.startsWith("compact-"))
+    assert(outs.nonEmpty, "dir was compacted")
+    // range probe prunes into the compacted outputs via folded stats
+    val planned = shardsPlanned("SELECT k FROM sk.cf.t WHERE g='a' AND k < 100")
+    assert(planned < outs.length || outs.length == 1,
+      s"folded entries prune: $planned of ${outs.length}")
+    // metadata-only aggregate: corrupt the data — the answer survives
+    outs.foreach { f =>
+      val w = new java.io.FileWriter(f); w.write("CORRUPT"); w.close()
+    }
+    val agg = sql(
+      """SELECT MIN(k) AS mn, MAX(k) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM sk.cf.t""".stripMargin).head
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) == (0L, 799L, 800L),
+      "exact folded entries answer MIN/MAX/COUNT without opening files")
+
+    // APPROX case: deletes folded through compaction — COUNT stays
+    // exact (answerable), MIN/MAX must drain rows (the deleted min
+    // would otherwise resurface from the stale folded range)
+    sql("""CREATE TABLE sk.cf.m (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read',
+          |  'graft.skip.columns'='k')""".stripMargin)
+    sql("""INSERT INTO sk.cf.m SELECT /*+ REPARTITION(1) */
+          |  id AS k, id AS v FROM range(0, 100)""".stripMargin)
+    sql("""INSERT INTO sk.cf.m SELECT /*+ REPARTITION(1) */
+          |  id + 100 AS k, id AS v FROM range(0, 100)""".stripMargin)
+    sql("DELETE FROM sk.cf.m WHERE k = 0") // the minimum dies
+    sql("CALL sk.system.compact('cf.m', max_shards => 1)")
+    assert(!new java.io.File(s"$root/cf/m/_deletes").exists(),
+      "sidecars consumed by the compaction")
+    val m = sql(
+      """SELECT MIN(k) AS mn, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM sk.cf.m""".stripMargin).head
+    assert((m.getLong(0), m.getLong(1)) == (1L, 199L),
+      s"approx entry: MIN drains rows (not the stale 0), COUNT exact — got $m")
+    // a COUNT alone may answer from the approx entry — its row count
+    // is exact by construction (sum of inputs minus dropped lines)
+    assert(sql("SELECT COUNT(*) FROM sk.cf.m").head.getLong(0) == 199L)
+    // and the folded range still prunes probes
+    assert(shardsPlanned("SELECT k FROM sk.cf.m WHERE k > 500") == 0,
+      "folded [0,199] range prunes an out-of-range probe")
+  }
+
   test("cluster_table on a PARTITIONED table: within-dir clustering, sidecars retired, snapshots survive") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.cp")
     sql("""CREATE TABLE sk.cp.t (k BIGINT, v BIGINT, g STRING)
