@@ -1343,6 +1343,48 @@ object WarehouseQueries {
     """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
       |WHERE o_orderkey <= 640 ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+  /** Nested + temporal columns in the connector under the oracle gate
+    * ([[graft.sources.dsv2.JsonlJson]]): events CTAS'd into a catalog
+    * table as (STRUCT<etype, uid>, TIMESTAMP_NTZ, value) — the write
+    * encodes the struct as a JSON object and the timestamp as epoch
+    * micros; the read reassembles Catalyst values — then a daily
+    * rollup that groups BY A NESTED FIELD and a date_format over the
+    * round-tripped timestamp. DuckDB recomputes from the flat parquet:
+    * any drift in micros, struct field routing, or null passthrough
+    * hash-fails. */
+  private val nestedCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def nestedEventsRollup(s: SparkSession, dir: String): DataFrame = {
+    val child = nestedCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whnt", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whnt.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q215").toString)
+      c.sql("CREATE NAMESPACE whnt.nt")
+      graft.core.Tables.events(c, dir)
+        .selectExpr(
+          "named_struct('etype', event_type, 'uid', user_id) AS ev",
+          "CAST(ts AS TIMESTAMP_NTZ) AS ts", "value")
+        .createOrReplaceTempView("q215_src")
+      c.sql("CREATE TABLE whnt.nt.events AS SELECT * FROM q215_src")
+      c
+    })
+    child.sql(
+      """SELECT ev.etype AS event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ev.uid) AS BIGINT) AS uid_sum
+        |FROM whnt.nt.events
+        |GROUP BY ev.etype, date_format(ts, 'yyyy-MM-dd')
+        |ORDER BY event_type, day""".stripMargin)
+  }
+
+  val nestedEventsRollupSql: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum
+      |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+      |ORDER BY event_type, day""".stripMargin
+
   val snapshotChangeFeedSql: String =
     """SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
       |  'insert' AS _change
@@ -1464,6 +1506,7 @@ object WarehouseQueries {
     "q212_snapshot_change_feed" -> (snapshotChangeFeed _),
     "q213_column_rename" -> (columnRenameTwoGen _),
     "q214_write_order_probe" -> (writeOrderProbe _),
+    "q215_nested_events_rollup" -> (nestedEventsRollup _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1498,6 +1541,7 @@ object WarehouseQueries {
     "q212_snapshot_change_feed" -> snapshotChangeFeedSql,
     "q213_column_rename" -> columnRenameTwoGenSql,
     "q214_write_order_probe" -> writeOrderProbeSql,
+    "q215_nested_events_rollup" -> nestedEventsRollupSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -2138,15 +2138,8 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
     dataIdx.foreach { i =>
       val f = schema.fields(i)
       if (row.isNullAt(i)) node.putNull(f.name)
-      else f.dataType match {
-        case LongType => node.put(f.name, row.getLong(i))
-        case IntegerType => node.put(f.name, row.getInt(i))
-        case DoubleType => node.put(f.name, row.getDouble(i))
-        case BooleanType => node.put(f.name, row.getBoolean(i))
-        case StringType => node.put(f.name, row.getUTF8String(i).toString)
-        case dt => throw new UnsupportedOperationException(
-          s"graft-jsonl write: unsupported type $dt for field ${f.name}")
-      }
+      else node.set[JsonNode](f.name, JsonlJson.encode(
+        mapper.getNodeFactory, row, i, f.dataType))
     }
     out.write(mapper.writeValueAsString(node))
     out.write("\n")
@@ -2199,15 +2192,8 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
     while (i < schema.length) {
       val f = schema.fields(i)
       if (row.isNullAt(i)) node.putNull(f.name)
-      else f.dataType match {
-        case LongType => node.put(f.name, row.getLong(i))
-        case IntegerType => node.put(f.name, row.getInt(i))
-        case DoubleType => node.put(f.name, row.getDouble(i))
-        case BooleanType => node.put(f.name, row.getBoolean(i))
-        case StringType => node.put(f.name, row.getUTF8String(i).toString)
-        case dt => throw new UnsupportedOperationException(
-          s"graft-jsonl write: unsupported type $dt for field ${f.name}")
-      }
+      else node.set[JsonNode](f.name, JsonlJson.encode(
+        mapper.getNodeFactory, row, i, f.dataType))
       i += 1
     }
     out.write(mapper.writeValueAsString(node))
@@ -2229,13 +2215,157 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
   override def close(): Unit = ()
 }
 
+/** JSON ↔ Catalyst value conversion for the full supported type
+  * lattice: the five scalars, TIMESTAMP[_NTZ] (epoch MICROS as a JSON
+  * number on write; number or ISO-8601 text on read), DATE (epoch
+  * days / `yyyy-MM-dd`), and arbitrarily nested
+  * ARRAY / STRUCT / MAP<STRING, _> (JSON arrays/objects — the shapes
+  * an LLM corpus's metadata column actually holds). Decode is
+  * type-checked at every level: a mismatched value reads as SQL null,
+  * never a crash, matching the scalar readers' contract. Encode
+  * refuses unsupported types loudly (never silently drops a column).
+  * Pushed filters stay restricted to top-level scalars
+  * ([[JsonlScanBuilder]]); everything else is residual, so filter
+  * pushdown never has to understand these values. */
+private[dsv2] object JsonlJson {
+  import com.fasterxml.jackson.databind.node.JsonNodeFactory
+  import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, DateTimeUtils, GenericArrayData}
+
+  /** Field `i` of `g` (declared `dt`) as a JSON node; caller handles
+    * the null check. */
+  def encode(nf: JsonNodeFactory, g: SpecializedGetters, i: Int,
+             dt: DataType): JsonNode = dt match {
+    case LongType => nf.numberNode(g.getLong(i))
+    case IntegerType => nf.numberNode(g.getInt(i))
+    case DoubleType => nf.numberNode(g.getDouble(i))
+    case BooleanType => nf.booleanNode(g.getBoolean(i))
+    case StringType => nf.textNode(g.getUTF8String(i).toString)
+    // epoch micros fit a JSON number exactly (|micros| < 2^53 until
+    // year ~2255) — bit-exact round-trip, no timezone re-parse
+    case TimestampType | TimestampNTZType => nf.numberNode(g.getLong(i))
+    case DateType => nf.numberNode(g.getInt(i))
+    case st: StructType =>
+      val r = g.getStruct(i, st.length)
+      val o = nf.objectNode()
+      var j = 0
+      while (j < st.length) {
+        val f = st.fields(j)
+        if (r.isNullAt(j)) o.putNull(f.name)
+        else o.set[JsonNode](f.name, encode(nf, r, j, f.dataType))
+        j += 1
+      }
+      o
+    case at: ArrayType =>
+      val arr = g.getArray(i)
+      val a = nf.arrayNode()
+      var j = 0
+      while (j < arr.numElements()) {
+        if (arr.isNullAt(j)) a.addNull()
+        else a.add(encode(nf, arr, j, at.elementType))
+        j += 1
+      }
+      a
+    case mt: MapType if mt.keyType == StringType =>
+      val m = g.getMap(i)
+      val ks = m.keyArray(); val vs = m.valueArray()
+      val o = nf.objectNode()
+      var j = 0
+      while (j < m.numElements()) {
+        val k = ks.getUTF8String(j).toString
+        if (vs.isNullAt(j)) o.putNull(k)
+        else o.set[JsonNode](k, encode(nf, vs, j, mt.valueType))
+        j += 1
+      }
+      o
+    case other => throw new UnsupportedOperationException(
+      s"graft-jsonl write: unsupported type $other")
+  }
+
+  /** A parsed JSON value as the Catalyst representation of `dt`;
+    * null on any type mismatch (SQL-null, the scalar readers'
+    * posture). */
+  def decode(v: JsonNode, dt: DataType): Any =
+    if (v == null || v.isNull) null
+    else dt match {
+      case LongType => if (v.isNumber) java.lang.Long.valueOf(v.asLong) else null
+      case IntegerType => if (v.isNumber) java.lang.Integer.valueOf(v.asInt) else null
+      case DoubleType => if (v.isNumber) java.lang.Double.valueOf(v.asDouble) else null
+      case BooleanType => if (v.isBoolean) java.lang.Boolean.valueOf(v.asBoolean) else null
+      case StringType => if (v.isTextual) UTF8String.fromString(v.asText) else null
+      case TimestampType =>
+        if (v.isNumber) java.lang.Long.valueOf(v.asLong)
+        else if (v.isTextual)
+          DateTimeUtils.stringToTimestamp(UTF8String.fromString(v.asText),
+            java.time.ZoneOffset.UTC).map(java.lang.Long.valueOf).orNull
+        else null
+      case TimestampNTZType =>
+        if (v.isNumber) java.lang.Long.valueOf(v.asLong)
+        else if (v.isTextual)
+          DateTimeUtils.stringToTimestampWithoutTimeZone(
+            UTF8String.fromString(v.asText)).map(java.lang.Long.valueOf).orNull
+        else null
+      case DateType =>
+        if (v.isNumber) java.lang.Integer.valueOf(v.asInt)
+        else if (v.isTextual)
+          DateTimeUtils.stringToDate(UTF8String.fromString(v.asText))
+            .map(java.lang.Integer.valueOf).orNull
+        else null
+      case st: StructType =>
+        if (!v.isObject) null
+        else {
+          val r = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(st.length)
+          var j = 0
+          while (j < st.length) {
+            r.update(j, decode(v.get(st.fields(j).name), st.fields(j).dataType))
+            j += 1
+          }
+          r
+        }
+      case at: ArrayType =>
+        if (!v.isArray) null
+        else {
+          val out = new Array[Any](v.size())
+          var j = 0
+          while (j < v.size()) { out(j) = decode(v.get(j), at.elementType); j += 1 }
+          new GenericArrayData(out)
+        }
+      case mt: MapType if mt.keyType == StringType =>
+        if (!v.isObject) null
+        else {
+          val ks = Array.newBuilder[Any]
+          val vs = Array.newBuilder[Any]
+          v.properties().forEach { e =>
+            ks += UTF8String.fromString(e.getKey)
+            vs += decode(e.getValue, mt.valueType)
+          }
+          ArrayBasedMapData(ks.result(), vs.result())
+        }
+      case _ => null
+    }
+
+  /** Only these types take the vectorized copy in
+    * [[JsonlColumnarReader]]; nested values fall back to the row
+    * path. */
+  def columnarCompatible(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | BooleanType | StringType |
+         TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+}
+
 final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
                                dataSchema: StructType,
                                conf: JsonlHadoopConf,
                                columnar: Boolean = false,
                                limit: Int = -1)
     extends PartitionReaderFactory {
-  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    // nested values have no vectorized copy here — their scans take
+    // the (composed, identical-semantics) row path
+    columnar && required.fields.forall(f =>
+      JsonlJson.columnarCompatible(f.dataType))
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlPartitionReader(p.file, required, pushed, p.partValues,
@@ -2427,6 +2557,12 @@ final class JsonlPartitionReader(file: String, required: StructType,
         case BooleanType if v.isBoolean => r.setBoolean(i, v.asBoolean)
         case StringType if v.isTextual =>
           r.update(i, UTF8String.fromString(v.asText))
+        case dt @ (TimestampType | TimestampNTZType | DateType |
+                   _: StructType | _: ArrayType | _: MapType) =>
+          // temporal + nested: the shared decoder (type-checked at
+          // every level; mismatch -> SQL null)
+          val d = JsonlJson.decode(v, dt)
+          if (d == null) r.setNullAt(i) else r.update(i, d)
         case _ => r.setNullAt(i) // type mismatch -> SQL null, not a crash
       }
       i += 1
@@ -2507,14 +2643,15 @@ final class JsonlColumnarReader(file: String, required: StructType,
         val v = vectors(c)
         if (r.isNullAt(c)) v.putNull(n)
         else required.fields(c).dataType match {
-          case LongType => v.putLong(n, r.getLong(c))
-          case IntegerType => v.putInt(n, r.getInt(c))
+          case LongType | TimestampType | TimestampNTZType =>
+            v.putLong(n, r.getLong(c))
+          case IntegerType | DateType => v.putInt(n, r.getInt(c))
           case DoubleType => v.putDouble(n, r.getDouble(c))
           case BooleanType => v.putBoolean(n, r.getBoolean(c))
           case StringType =>
             val b = r.getUTF8String(c).getBytes
             v.putByteArray(n, b, 0, b.length)
-          case _ => v.putNull(n)
+          case _ => v.putNull(n) // unreachable: factory gates columnar
         }
         c += 1
       }
