@@ -1385,6 +1385,78 @@ object WarehouseQueries {
       |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
       |ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------- q216
+  /** Temporal data skipping end-to-end, composing two round-11 tiers:
+    * events landed into a catalog table declared
+    * `graft.write.order = 'ts'` + `graft.skip.columns = 'ts'` — one
+    * plain INSERT range-shuffles on the TIMESTAMP, so the shards are
+    * time-disjoint with write-time micros stats — then a
+    * `WHERE ts >= <literal>` probe. The temporal predicate is NEVER
+    * pushed into the reader (its three-valued evaluation is
+    * scalar-only); it rides the PRUNE-ONLY channel into skip-index
+    * admission, so the scan opens only the shards whose [min, max]
+    * micros overlap — `.explain` shows PruneFilters, not a pushed
+    * claim. Plan-guarded; DuckDB recomputes the window from the raw
+    * parquet. */
+  private val temporalCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def temporalSkipProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = temporalCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whts", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whts.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q216").toString)
+      c.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      c.conf.set("spark.sql.shuffle.partitions", "8")
+      c.sql("CREATE NAMESPACE whts.ts")
+      c.sql("""CREATE TABLE whts.ts.events
+              |  (event_id BIGINT, ts TIMESTAMP_NTZ, event_type STRING,
+              |   user_id BIGINT)
+              |TBLPROPERTIES ('graft.write.order'='ts',
+              |  'graft.skip.columns'='ts')""".stripMargin)
+      graft.core.Tables.events(c, dir)
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+          "event_type", "user_id")
+        .createOrReplaceTempView("q216_src")
+      c.sql("INSERT INTO whts.ts.events SELECT * FROM q216_src")
+      c
+    })
+    // probe bound derived from the data (one scalar row, q179's
+    // discipline): the last ~eighth of the time range
+    val hi = child.sql(
+      """SELECT date_format(timestampadd(HOUR, -72, MAX(ts)),
+        |  'yyyy-MM-dd HH:mm:ss') FROM whts.ts.events""".stripMargin)
+      .head.getString(0)
+    val total = child.sql("SELECT event_id FROM whts.ts.events")
+      .rdd.getNumPartitions
+    val guard = child.sql(
+      s"""SELECT event_id, ts, event_type, user_id
+         |FROM whts.ts.events
+         |WHERE ts >= TIMESTAMP_NTZ'$hi'""".stripMargin)
+    val planned = guard.rdd.getNumPartitions
+    require(total >= 4 && planned >= 1 && planned < total,
+      s"temporal skipping did not prune: $planned of $total shards planned")
+    val plan = guard.queryExecution.executedPlan.toString
+    require(plan.contains("PruneFilters"),
+      s"temporal predicate must ride the prune-only channel:\n$plan")
+    child.sql(
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(user_id) AS BIGINT) AS uid_sum
+         |FROM whts.ts.events
+         |WHERE ts >= TIMESTAMP_NTZ'$hi'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val temporalSkipProbeSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS uid_sum
+      |FROM events
+      |WHERE date_trunc('second', ts) >=
+      |  (SELECT date_trunc('second', MAX(date_trunc('second', ts)))
+      |     - INTERVAL 72 HOUR FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val snapshotChangeFeedSql: String =
     """SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
       |  'insert' AS _change
@@ -1507,6 +1579,7 @@ object WarehouseQueries {
     "q213_column_rename" -> (columnRenameTwoGen _),
     "q214_write_order_probe" -> (writeOrderProbe _),
     "q215_nested_events_rollup" -> (nestedEventsRollup _),
+    "q216_temporal_skip_probe" -> (temporalSkipProbe _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1542,6 +1615,7 @@ object WarehouseQueries {
     "q213_column_rename" -> columnRenameTwoGenSql,
     "q214_write_order_probe" -> writeOrderProbeSql,
     "q215_nested_events_rollup" -> nestedEventsRollupSql,
+    "q216_temporal_skip_probe" -> temporalSkipProbeSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -557,6 +557,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pruneOnly: Array[Filter] = Array.empty
   private var aggSpecs: Seq[(String, String)] = Nil
   private var limit: Int = -1
 
@@ -610,21 +611,40 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
   private def colOk(name: String): Boolean =
     dataSchema.fields.exists(f => f.name == name && supportedType(f.dataType))
 
-  private def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => colOk(a)
-    case In(a, _) => colOk(a)
-    case IsNull(a) => colOk(a)
-    case IsNotNull(a) => colOk(a)
-    case GreaterThan(a, _) => colOk(a)
-    case GreaterThanOrEqual(a, _) => colOk(a)
-    case LessThan(a, _) => colOk(a)
-    case LessThanOrEqual(a, _) => colOk(a)
-    case _ => false
+  /** The single-column filter shapes the scan understands (pushdown
+    * and skip-index admission share them). */
+  private def shapeCol(f: Filter): Option[String] = f match {
+    case EqualTo(a, _) => Some(a)
+    case In(a, _) => Some(a)
+    case IsNull(a) => Some(a)
+    case IsNotNull(a) => Some(a)
+    case GreaterThan(a, _) => Some(a)
+    case GreaterThanOrEqual(a, _) => Some(a)
+    case LessThan(a, _) => Some(a)
+    case LessThanOrEqual(a, _) => Some(a)
+    case _ => None
   }
+
+  private def supported(f: Filter): Boolean = shapeCol(f).exists(colOk)
+
+  /** PRUNE-ONLY filters: shapes on temporal columns. Never claimed as
+    * pushed (the reader's three-valued evaluation covers scalars
+    * only, and a half-evaluated claim loses rows) — returned as
+    * residual for Spark to re-check — but still handed to the
+    * skip-index admission, where the per-shard [min, max] micros/days
+    * prune shards the predicate can't match. `WHERE ts >= X` skips at
+    * file-open grain without the reader ever parsing a timestamp. */
+  private def pruneOnlySupported(f: Filter): Boolean =
+    shapeCol(f).exists(name => dataSchema.fields.exists(fl =>
+      fl.name == name && (fl.dataType match {
+        case TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      })))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(supported)
     pushed = sup
+    pruneOnly = unsup.filter(pruneOnlySupported)
     unsup
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -632,7 +652,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
     required = requiredSchema
   override def build(): Scan =
     new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar,
-      aggSpecs, limit, spj, snapshot = snapshot)
+      aggSpecs, limit, spj, snapshot = snapshot, pruneOnly = pruneOnly)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -801,7 +821,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       limit: Int = -1,
                       spj: Boolean = false,
                       recordShardsTo: JsonlRowLevelOperation = null,
-                      snapshot: JsonlSnapshots.Manifest = null)
+                      snapshot: JsonlSnapshots.Manifest = null,
+                      pruneOnly: Array[Filter] = Array.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -939,6 +960,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-jsonl $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (pruneOnly.nonEmpty)
+        s"PruneFilters: [${pruneOnly.mkString(", ")}], " else "") +
       (if (aggMode) s"PushedAggregation: [${aggSpecs.map {
         case ("count", _) => "COUNT(*)"
         case (op, c) => s"${op.toUpperCase}($c)" }.mkString(", ")}], "
@@ -1024,7 +1047,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
         .forall(shardAdmitted(f, _)) &&
       (skipIndex.isEmpty ||
         JsonlSkipIndex.admits(skipIndex, f,
-          (pushed ++ runtimeFilters).toSeq, dataSchema))
+          (pushed ++ pruneOnly ++ runtimeFilters).toSeq, dataSchema))
     }
 
   /** Hive-style one-level partition layout (`lang=en/part-*.jsonl.gz`,
@@ -1076,8 +1099,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * converts (String -> UTF8String) when emitting. */
   private def indexAnsweredPartial(
       f: String, sidecars: Map[String, String]): Seq[Any] =
-    if (!aggMode || pushed.nonEmpty || runtimeFilters.nonEmpty ||
-        sidecars.contains(f)) null
+    if (!aggMode || pushed.nonEmpty || pruneOnly.nonEmpty ||
+        runtimeFilters.nonEmpty || sidecars.contains(f)) null
     else skipIndex.get(f) match {
       // a compaction-synthesized (approx) entry keeps an EXACT row
       // count but possibly-wide min/max: COUNT may answer from it,

@@ -232,6 +232,11 @@ object JsonlSkipIndex {
     val all = (cols ++ bloomCols).distinct
     all.foreach(c => require(schema.fieldNames.contains(c),
       s"skip index: no column $c in $tableRef"))
+    bloomCols.foreach(c => require(
+      schema.fields.find(_.name == c).forall(f => scalarBloomType(f.dataType)),
+      s"skip index: bloom_columns supports scalar types only, $c is not — " +
+        "temporal columns get [min, max] range skipping (the useful tier " +
+        "for time); list it under columns instead"))
     val aggs =
       (count(lit(1)).as("__n") +:
         cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"),
@@ -262,8 +267,19 @@ object JsonlSkipIndex {
         cols.foreach { c =>
           val cn = st.putObject(c)
           cn.put("nn", r.getAs[Long](s"__nn_$c"))
-          putScalar(cn, "min", r.getAs[Any](s"__min_$c"))
-          putScalar(cn, "max", r.getAs[Any](s"__max_$c"))
+          // temporal aggregates come back as external java.sql /
+          // java.time objects — store the Catalyst integer the
+          // write-time tracker also uses
+          val norm: Any => Any =
+            schema.fields.find(_.name == c).map(_.dataType) match {
+              case Some(TimestampType | TimestampNTZType) =>
+                v => if (v == null) null else microsOf(v)
+              case Some(DateType) =>
+                v => if (v == null) null else daysOf(v).toInt
+              case _ => identity
+            }
+          putScalar(cn, "min", norm(r.getAs[Any](s"__min_$c")))
+          putScalar(cn, "max", norm(r.getAs[Any](s"__max_$c")))
         }
         if (bloomCols.nonEmpty) {
           val bl = e.putObject("bloom")
@@ -329,8 +345,8 @@ object JsonlSkipIndex {
         if (row.isNullAt(i)) nulls(j) += 1
         else {
           val v: Any = dt match {
-            case LongType => row.getLong(i)
-            case IntegerType => row.getInt(i)
+            case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+            case IntegerType | DateType => row.getInt(i)
             case DoubleType => row.getDouble(i)
             case BooleanType => row.getBoolean(i)
             case StringType => row.getUTF8String(i).clone()
@@ -348,8 +364,9 @@ object JsonlSkipIndex {
     private def lt(a: Any, b: Any, dt: DataType): Boolean = dt match {
       case StringType => a.asInstanceOf[UTF8String]
         .compareTo(b.asInstanceOf[UTF8String]) < 0
-      case LongType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
-      case IntegerType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case LongType | TimestampType | TimestampNTZType =>
+        a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType | DateType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
       // Double.compare, not `<`: NaN must order GREATEST (Spark's
       // aggregate ordering) or a NaN row silently vanishes from max
       case DoubleType => java.lang.Double.compare(
@@ -379,6 +396,10 @@ object JsonlSkipIndex {
 
   private def indexable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+    // temporal columns index by their Catalyst integers (epoch micros
+    // / epoch days) — `WHERE ts >= X` is THE canonical skipping
+    // predicate on an event corpus
+    case TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
 
@@ -615,8 +636,8 @@ object JsonlSkipIndex {
   private def decode(n: JsonNode, dt: DataType): Any =
     if (n == null || n.isNull) null
     else dt match {
-      case LongType => n.asLong
-      case IntegerType => n.asInt
+      case LongType | TimestampType | TimestampNTZType => n.asLong
+      case IntegerType | DateType => n.asInt
       case DoubleType => n.asDouble
       case FloatType => n.asDouble.toFloat
       case BooleanType => n.asBoolean
@@ -648,11 +669,38 @@ object JsonlSkipIndex {
       java.lang.Double.compare(dblOf(a), dblOf(b))
     case BooleanType => java.lang.Boolean.compare(
       a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    // stats hold Catalyst integers; a probe literal arrives as the
+    // external java.sql/java.time object — normalize both sides
+    case TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(microsOf(a), microsOf(b))
+    case DateType => java.lang.Long.compare(daysOf(a), daysOf(b))
     case _ => 0
   }
   private def longOf(a: Any): Long = a match {
     case l: Long => l; case i: Int => i.toLong
     case s: Short => s.toLong; case b: Byte => b.toLong
+    case other => other.toString.toLong
+  }
+  /** Epoch micros of a timestamp in ANY of its external runtime
+    * forms (datetime-java8-API flag decides which one filters carry)
+    * or its Catalyst long. */
+  private[dsv2] def microsOf(a: Any): Long = a match {
+    case l: Long => l
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    case ldt: java.time.LocalDateTime =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(ldt)
+    case other => other.toString.toLong
+  }
+  /** Epoch days of a date in any external runtime form or its
+    * Catalyst int. */
+  private[dsv2] def daysOf(a: Any): Long = a match {
+    case i: Int => i.toLong
+    case d: java.sql.Date =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+    case ld: java.time.LocalDate => ld.toEpochDay
     case other => other.toString.toLong
   }
   private def dblOf(a: Any): Double = a match {
@@ -669,6 +717,11 @@ object JsonlSkipIndex {
     case (_: Double | _: Float | _: Long | _: Int,
       DoubleType | FloatType) => true
     case (_: Boolean, BooleanType) => true
+    case (_: java.sql.Timestamp | _: java.time.Instant |
+          _: java.time.LocalDateTime | _: Long,
+      TimestampType | TimestampNTZType) => true
+    case (_: java.sql.Date | _: java.time.LocalDate | _: Int,
+      DateType) => true
     case _ => false
   }
 
@@ -685,7 +738,11 @@ object JsonlSkipIndex {
       }
     def bloomAdmits(c: String, v: Any): Boolean =
       (e.blooms.get(c), schema.fields.find(_.name == c)) match {
-        case (Some(b), Some(fd)) if v != null && comparable(v, fd.dataType) =>
+        // bloom probing stays scalar-only: xxhash64Of's contract
+        // covers the five scalar types; temporal probes fall through
+        // to range admission (which is the useful tier for time)
+        case (Some(b), Some(fd)) if v != null && comparable(v, fd.dataType) &&
+            scalarBloomType(fd.dataType) =>
           b.mightContainLong(
             graft.functions.Native.xxhash64Of(castFor(v, fd.dataType), fd.dataType))
         case _ => true
@@ -717,6 +774,12 @@ object JsonlSkipIndex {
       })
       case _ => true
     }
+  }
+
+  private def scalarBloomType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | StringType |
+         BooleanType => true
+    case _ => false
   }
 
   /** The bloom insert hashed the COLUMN's type; a probe literal of a

@@ -297,6 +297,47 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no column"), e.getMessage)
   }
 
+  test("temporal skipping: ts/date ranges prune via the PRUNE-ONLY channel, filters stay residual") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.ts")
+    sql("""CREATE TABLE sk.ts.t (ts TIMESTAMP_NTZ, d DATE, v BIGINT)
+          |TBLPROPERTIES ('graft.skip.columns'='ts,d')""".stripMargin)
+    // four shards, one day each — write-time micros/days stats
+    for (day <- 1 to 4)
+      sql(s"""INSERT INTO sk.ts.t SELECT /*+ REPARTITION(1) */
+             |  TIMESTAMP_NTZ'2024-03-0$day 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+             |  DATE'2024-03-0$day' AS d, id AS v
+             |FROM range(0, 100)""".stripMargin)
+    val probe =
+      "SELECT v FROM sk.ts.t WHERE ts >= TIMESTAMP_NTZ'2024-03-04 00:00:00'"
+    assert(shardsPlanned(probe) == 1,
+      s"ts range probe planned ${shardsPlanned(probe)} of 4 shards")
+    assert(sql(probe).count() == 100L)
+    val dprobe = "SELECT v FROM sk.ts.t WHERE d < DATE'2024-03-02'"
+    assert(shardsPlanned(dprobe) == 1)
+    assert(sql(dprobe).count() == 100L)
+    // the temporal predicate is NEVER claimed as pushed (the reader's
+    // evaluation covers scalars only) — it shows as a prune filter
+    // and Spark re-evaluates it above the scan
+    val desc = sql(probe).queryExecution.executedPlan.toString
+    assert(desc.contains("PruneFilters"), desc)
+    assert(!desc.replaceAll("(?s)PruneFilters: \\[[^\\]]*\\]", "")
+      .matches("(?s).*PushedFilters: \\[[^\\]]*ts[^\\]]*\\].*"),
+      s"temporal filter must not be claimed as pushed:\n$desc")
+    // sub-day boundary: rows straddle inside a shard — residual
+    // evaluation keeps the answer exact while the index prunes shards
+    val half =
+      "SELECT v FROM sk.ts.t WHERE ts >= TIMESTAMP_NTZ'2024-03-04 00:00:50'"
+    assert(shardsPlanned(half) == 1 && sql(half).count() == 50L)
+    // CALL build over temporal columns + a scalar bloom refusal
+    sql("CALL sk.system.build_skip_index('ts.t', columns => 'ts,d')")
+    assert(shardsPlanned(probe) == 1 && sql(probe).count() == 100L)
+    val e = intercept[Exception] {
+      sql("""CALL sk.system.build_skip_index('ts.t', columns => 'ts',
+            |bloom_columns => 'ts')""".stripMargin)
+    }
+    assert(e.getMessage.contains("scalar types only"), e.getMessage)
+  }
+
   test("compact folds consumed entries into its outputs: skippable with zero re-scan") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.cf")
     // EXACT case: a partitioned dir of 8 indexed shards, no deletes —
