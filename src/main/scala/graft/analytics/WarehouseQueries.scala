@@ -1466,6 +1466,28 @@ object WarehouseQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY _change, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+  /** The change feed through the DSv2 SOURCE
+    * ([[graft.sources.dsv2.JsonlChangesSource]], the batch face of
+    * the streaming CDC tail): q212's fixture read as
+    * `format("graft-jsonl-changes").option(fromVersion/toVersion)` —
+    * insert/delete rows planned straight from the manifest diff, the
+    * ordinal-delta deletes recovered INSIDE the reader by emitting
+    * only the delta positions (no join at all on this surface). Must
+    * match the same DuckDB recompute q212 matches. */
+  def changesSourceWindow(s: SparkSession, dir: String): DataFrame = {
+    snapshotChangeFeed(s, dir) // shared fixture: build it if q217 runs first
+    val child = cdcCatalogs.get(dir)
+    val tableDir = s"${child.conf.get("spark.sql.catalog.whcd.root")}/cd/orders"
+    child.read.format("graft-jsonl-changes")
+      .option("fromVersion", 1).option("toVersion", 2).load(tableDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("_change"))
+      .orderBy(col("_change"), col("o_orderkey"))
+  }
+
+  val changesSourceWindowSql: String = snapshotChangeFeedSql
+
   /** Oracle recomputes the joined answer straight from the parquet —
     * the exact-average threshold is reproducible because the sums stay
     * far inside double's integer range. */
@@ -1580,6 +1602,7 @@ object WarehouseQueries {
     "q214_write_order_probe" -> (writeOrderProbe _),
     "q215_nested_events_rollup" -> (nestedEventsRollup _),
     "q216_temporal_skip_probe" -> (temporalSkipProbe _),
+    "q217_changes_source_window" -> (changesSourceWindow _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1616,6 +1639,7 @@ object WarehouseQueries {
     "q214_write_order_probe" -> writeOrderProbeSql,
     "q215_nested_events_rollup" -> nestedEventsRollupSql,
     "q216_temporal_skip_probe" -> temporalSkipProbeSql,
+    "q217_changes_source_window" -> changesSourceWindowSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

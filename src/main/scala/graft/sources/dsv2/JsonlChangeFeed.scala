@@ -126,4 +126,16 @@ object JsonlChangeFeed {
       .unionByName(delOut.withColumn("_change", lit("delete")),
         allowMissingColumns = true)
   }
+
+  /** The STREAMING face: tail the table's snapshots — each micro-batch
+    * is one (or more) snapshot's manifest diff, `CALL snapshot` is the
+    * publish point. `startVersion` = resume point (0 replays full
+    * history). See [[JsonlChangesSource]]. */
+  def stream(spark: SparkSession, catalog: GraftCatalog, tableName: String,
+             startVersion: Long = 0L): DataFrame = {
+    val (_, table) = catalog.resolveTableDir(tableName)
+    spark.readStream.format("graft-jsonl-changes")
+      .option("startVersion", startVersion)
+      .load(table.toString)
+  }
 }

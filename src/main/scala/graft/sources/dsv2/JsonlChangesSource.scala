@@ -1,0 +1,214 @@
+package graft.sources.dsv2
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** STREAMING (and batch) change-data feed over a `graft-jsonl`
+  * table's snapshots — Delta CDF's `readStream` shape for this
+  * catalog:
+  *
+  * {{{
+  *   spark.readStream.format("graft-jsonl-changes")
+  *     .option("startVersion", 2)        // resume point; 0 = full history
+  *     .load(tableDir)                   // or JsonlChangeFeed.stream(...)
+  * }}}
+  *
+  * Each micro-batch is the MANIFEST DIFF between consecutive
+  * snapshot versions (the same diff [[JsonlChangeFeed]] serves in
+  * batch): added shards' rows arrive as `_change = 'insert'`, removed
+  * shards' rows (as the older manifest pinned them) as `'delete'`,
+  * and merge-on-read ordinal deltas as `'delete'` rows recovered BY
+  * POSITION — the reader emits only the delta ordinals, zero row
+  * comparison. Offsets are snapshot ids, so `CALL snapshot` IS the
+  * publish point: the stream sleeps until a new version is pinned,
+  * then wakes with exactly that version's changes — checkpointed,
+  * restartable, replayable from any retained version. Expired
+  * manifests fail the replay LOUDLY (the offset names a version that
+  * no longer exists) rather than silently skipping history.
+  *
+  * Batch mode reads one window: `fromVersion` (default 0 = empty) →
+  * `toVersion` (default: latest snapshot).
+  *
+  * Schema: the table's columns plus `_change STRING` — read from the
+  * table's `_graft_table.json` when present (catalog tables), else
+  * the corpus default, else user-supplied. */
+class JsonlChangesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jsonl-changes"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def tableSchemaOf(options: CaseInsensitiveStringMap): StructType = {
+    val path = new Path(options.get("path"))
+    val fs = path.getFileSystem(JsonlHadoopConf.fromSession().value)
+    val meta = new Path(path, "_graft_table.json")
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, StandardCharsets.UTF_8))
+      org.apache.spark.sql.types.DataType.fromJson(
+        node.get("schema").asText).asInstanceOf[StructType]
+    } else graft.sources.JsonlCorpus.docSchema
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(tableSchemaOf(options).fields :+
+      StructField("_change", StringType, nullable = false))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new JsonlChangesTable(schema, properties.get("path"),
+      properties.asScala.toMap)
+}
+
+final class JsonlChangesTable(schema0: StructType, path: String,
+                              props: Map[String, String])
+    extends Table with SupportsRead {
+  require(path != null,
+    "graft-jsonl-changes requires a path (the table directory)")
+  override def name(): String = s"graft-jsonl-changes `$path`"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Set.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new JsonlChangesScan(schema0, path,
+      options.getLong("fromVersion", 0L),
+      Option(options.get("toVersion")).map(_.toLong),
+      options.getLong("startVersion", 0L))
+}
+
+final class JsonlChangesScan(schema: StructType, path: String,
+                             fromVersion: Long, toVersion: Option[Long],
+                             startVersion: Long)
+    extends Scan with Batch {
+  private val conf = JsonlHadoopConf.fromSession()
+  // the data columns the reader materializes come from the TABLE
+  // schema; `_change` rides in as a virtual field
+  private val tableSchema =
+    StructType(schema.fields.filterNot(_.name == "_change"))
+
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft-jsonl-changes $path [v$fromVersion -> " +
+      s"${toVersion.fold("live")(v => s"v$v")}]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(conf.value)
+    val m1 = JsonlChangesScan.manifestAt(fs, table, fromVersion, tableSchema)
+    val m2 = toVersion match {
+      case Some(v) => JsonlChangesScan.manifestAt(fs, table, v, tableSchema)
+      case None => JsonlSnapshots.list(fs, table).lastOption
+        .getOrElse(JsonlSnapshots.current(fs, table, tableSchema))
+    }
+    JsonlChangesScan.diffPartitions(fs, table, m1, m2)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(schema, Array.empty, tableSchema, conf)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new JsonlChangesMicroBatchStream(tableSchema, path, startVersion)
+}
+
+object JsonlChangesScan {
+  /** Manifest of version `v`; 0 = the empty pre-history manifest. A
+    * missing version throws loudly — replaying an expired snapshot
+    * must never silently skip its changes. */
+  def manifestAt(fs: FileSystem, table: Path, v: Long,
+                 schema: StructType): JsonlSnapshots.Manifest =
+    if (v == 0L)
+      JsonlSnapshots.Manifest(0L, None, 0L, schema.json, Map.empty)
+    else JsonlSnapshots.load(fs, table, v.toString)
+
+  /** The shard-grain diff as concrete reader work: added shards emit
+    * their live rows (the TO manifest's ordinals excluded) as
+    * inserts; removed shards emit the rows the FROM manifest pinned
+    * as deletes; common shards with grown ordinal sets emit exactly
+    * the rows AT the new ordinals as deletes. */
+  def diffPartitions(fs: FileSystem, table: Path,
+                     m1: JsonlSnapshots.Manifest,
+                     m2: JsonlSnapshots.Manifest): Array[InputPartition] = {
+    val d = JsonlChangeFeed.diff(m1, m2)
+    def pvOf(rel: String): Map[String, Option[String]] =
+      rel.split("/").init.collect {
+        case seg if seg.contains("=") =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> (if (v == JsonlLayout.NullPartition) None
+                else Some(JsonlLayout.unescapePathName(v)))
+      }.toMap
+    def resolve(rel: String): String =
+      fs.makeQualified(JsonlSnapshots.resolve(fs, table, rel)).toString
+    val added = d.added.toSeq.sorted.map { rel =>
+      JsonlInputPartition(resolve(rel), pvOf(rel),
+        deletePositions = m2.shards(rel).deletes,
+        changeKind = "insert"): InputPartition
+    }
+    val removed = d.removed.toSeq.sorted.map { rel =>
+      JsonlInputPartition(resolve(rel), pvOf(rel),
+        deletePositions = m1.shards(rel).deletes,
+        changeKind = "delete"): InputPartition
+    }
+    val delta = d.deltaDeletes.toSeq.sortBy(_._1).map { case (rel, ords) =>
+      JsonlInputPartition(resolve(rel), pvOf(rel),
+        changeKind = "delete", keepPositions = ords): InputPartition
+    }
+    (added ++ removed ++ delta).toArray
+  }
+}
+
+/** Snapshot-id offsets: offset N = "every change up to and including
+  * snapshot N has been emitted". */
+final case class JsonlVersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+final class JsonlChangesMicroBatchStream(tableSchema: StructType,
+                                         path: String, startVersion: Long)
+    extends MicroBatchStream {
+  private val conf = JsonlHadoopConf.fromSession()
+
+  override def initialOffset(): Offset = JsonlVersionOffset(startVersion)
+  override def deserializeOffset(json: String): Offset =
+    JsonlVersionOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(conf.value)
+    JsonlVersionOffset(JsonlSnapshots.list(fs, table).lastOption
+      .fold(startVersion)(m => math.max(m.id, startVersion)))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[JsonlVersionOffset].v
+    val e = end.asInstanceOf[JsonlVersionOffset].v
+    if (e <= s) return Array.empty
+    val table = new Path(path)
+    val fs = table.getFileSystem(conf.value)
+    JsonlChangesScan.diffPartitions(fs, table,
+      JsonlChangesScan.manifestAt(fs, table, s, tableSchema),
+      JsonlChangesScan.manifestAt(fs, table, e, tableSchema))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(
+      StructType(tableSchema.fields :+
+        StructField("_change", StringType, nullable = false)),
+      Array.empty, tableSchema, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1397,7 +1397,12 @@ final case class JsonlInputPartition(
     key: org.apache.spark.sql.catalyst.InternalRow = null,
     deletes: String = null,
     agg: Seq[Any] = null,
-    deletePositions: Array[Long] = null)
+    deletePositions: Array[Long] = null,
+    // change-feed reads ([[JsonlChangesSource]]): the `_change` value
+    // injected into every row of this shard, and — for ordinal-delta
+    // pieces — the ONLY line positions to emit
+    changeKind: String = null,
+    keepPositions: Array[Long] = null)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Non-null exactly when the scan reported KeyGroupedPartitioning
@@ -2392,7 +2397,8 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlPartitionReader(p.file, required, pushed, p.partValues,
-      dataSchema, conf, limit, p.deletes, p.deletePositions)
+      dataSchema, conf, limit, p.deletes, p.deletePositions,
+      p.changeKind, p.keepPositions)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -2415,8 +2421,20 @@ final class JsonlPartitionReader(file: String, required: StructType,
                                  conf: JsonlHadoopConf,
                                  limit: Int = -1,
                                  deletesPath: String = null,
-                                 deletePositions: Array[Long] = null)
+                                 deletePositions: Array[Long] = null,
+                                 changeKind: String = null,
+                                 keepPositions: Array[Long] = null)
     extends PartitionReader[InternalRow] {
+
+  // change-feed ordinal-delta piece: emit ONLY the listed positions
+  // (the rows a merge-on-read delete removed between two snapshots)
+  private val kept: java.util.BitSet =
+    if (keepPositions == null) null
+    else {
+      val bs = new java.util.BitSet()
+      keepPositions.foreach(pos => bs.set(pos.toInt))
+      bs
+    }
 
   // pushed LIMIT: stop reading (and parsing) this shard once `limit`
   // post-filter rows have been emitted; -1 = unbounded
@@ -2470,6 +2488,8 @@ final class JsonlPartitionReader(file: String, required: StructType,
     // `_shard` metadata column: provenance, injected exactly like a
     // partition value (only consulted when the read schema asks)
     n.put("_shard", file)
+    // change-feed reads: the `_change` column rides in the same way
+    if (changeKind != null) n.put("_change", changeKind)
     n
   }
 
@@ -2599,8 +2619,9 @@ final class JsonlPartitionReader(file: String, required: StructType,
     var line = reader.readLine()
     while (line != null) {
       lineNo += 1
-      val dropped = deleted != null && lineNo <= Int.MaxValue &&
-        deleted.get(lineNo.toInt)
+      val dropped = (deleted != null && lineNo <= Int.MaxValue &&
+        deleted.get(lineNo.toInt)) ||
+        (kept != null && (lineNo > Int.MaxValue || !kept.get(lineNo.toInt)))
       if (!dropped && line.nonEmpty) {
         val node =
           try mapper.readTree(line)

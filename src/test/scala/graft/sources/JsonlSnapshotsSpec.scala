@@ -206,6 +206,77 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
       csum.exists(_.getString(0) == "added"), csum.mkString(";"))
   }
 
+  test("streaming change feed: snapshots are publish points, checkpoint restart resumes") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    import scala.jdk.CollectionConverters._
+    val catalog = spark.sessionState.catalogManager.catalog("sn")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.cs")
+    sql("""CREATE TABLE sn.cs.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO sn.cs.t VALUES (1, 10), (2, 20), (3, 30)")
+    sql("CALL sn.system.snapshot('cs.t')") // v1
+    val ckpt = java.nio.file.Files.createTempDirectory("cf-ckpt").toString
+    // foreachBatch: the one test sink that supports checkpoint
+    // RECOVERY (the memory sink refuses to resume)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    def sinkTo(b: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)])(
+        df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      df.select("k", "v", "_change").collect().foreach(r =>
+        b.add((r.getLong(0), r.getLong(1), r.getString(2))))
+    def collected: Seq[(Long, Long, String)] =
+      buf.iterator().asScala.toSeq.sorted
+    val q = JsonlChangeFeed.stream(spark, catalog, "cs.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(sinkTo(buf) _).start()
+    try {
+      q.processAllAvailable()
+      assert(collected == Seq((1L, 10L, "insert"), (2L, 20L, "insert"),
+        (3L, 30L, "insert")), "v1's full content replays as inserts")
+      // changes WITHOUT a snapshot are not yet published to the feed
+      sql("INSERT INTO sn.cs.t VALUES (4, 40)")
+      sql("DELETE FROM sn.cs.t WHERE k = 2")
+      q.processAllAvailable()
+      assert(collected.size == 3, "no new snapshot -> no new batch")
+      // CALL snapshot IS the publish point
+      sql("CALL sn.system.snapshot('cs.t')") // v2
+      q.processAllAvailable()
+      assert(collected == Seq((1L, 10L, "insert"), (2L, 20L, "delete"),
+        (2L, 20L, "insert"), (3L, 30L, "insert"), (4L, 40L, "insert")),
+        s"v2 batch = the appended row + the MOR ordinal-delta delete: $collected")
+    } finally q.stop()
+    // restart from the checkpoint: only post-v2 changes arrive
+    sql("INSERT INTO sn.cs.t VALUES (5, 50)")
+    sql("CALL sn.system.snapshot('cs.t')") // v3
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    val q2 = JsonlChangeFeed.stream(spark, catalog, "cs.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(sinkTo(buf2) _).start()
+    try {
+      q2.processAllAvailable()
+      val resumed = buf2.iterator().asScala.toSeq.sorted
+      assert(resumed == Seq((5L, 50L, "insert")),
+        s"checkpointed restart replays nothing before v2: $resumed")
+    } finally q2.stop()
+    // startVersion skips history without a checkpoint
+    val q3 = JsonlChangeFeed.stream(spark, catalog, "cs.t", startVersion = 2)
+      .writeStream.format("memory").queryName("cf_mem3")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cf-ckpt3").toString).start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.sql("SELECT k FROM cf_mem3").collect()
+        .map(_.getLong(0)).toSeq == Seq(5L))
+    } finally q3.stop()
+    // the BATCH face reads one version window through the same source
+    val dir = s"${spark.conf.get("spark.sql.catalog.sn.root")}/cs/t"
+    val win = spark.read.format("graft-jsonl-changes")
+      .option("fromVersion", 1).option("toVersion", 2).load(dir)
+      .select("k", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(win == Seq((2L, "delete"), (4L, "insert")), win.toString)
+  }
+
   test("snapshots are read-only; streaming a snapshot refuses") {
     sql("CREATE NAMESPACE IF NOT EXISTS sn.ro")
     sql("CREATE TABLE sn.ro.t (k BIGINT, v BIGINT)")
