@@ -65,8 +65,13 @@ object JsonlChangeFeed {
               from: String, to: Option[String] = None,
               net: Boolean = false): DataFrame = {
     val (fs, table) = catalog.resolveTableDir(tableName)
+    // interpolated identifiers/literals are ESCAPED: a tag holding a
+    // quote (or a table part holding a backtick) must stay data, not
+    // become SQL
+    def ident(p: String): String = "`" + p.replace("`", "``") + "`"
+    def strLit(v: String): String = "'" + v.replace("'", "''") + "'"
     val ref = (catalog.name +: tableName.split("\\.").toSeq)
-      .map(p => s"`$p`").mkString(".")
+      .map(ident).mkString(".")
     val m1 = JsonlSnapshots.load(fs, table, from)
     val m2 = to.map(JsonlSnapshots.load(fs, table, _)).getOrElse {
       val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
@@ -83,7 +88,7 @@ object JsonlChangeFeed {
       fs.makeQualified(JsonlSnapshots.resolve(fs, table, rel)).toString
     def read(version: Option[String]): DataFrame = version match {
       case Some(v) =>
-        spark.sql(s"SELECT _shard, _pos, * FROM $ref VERSION AS OF '$v'")
+        spark.sql(s"SELECT _shard, _pos, * FROM $ref VERSION AS OF ${strLit(v)}")
       case None => spark.sql(s"SELECT _shard, _pos, * FROM $ref")
     }
     val toRead = read(to)

@@ -2312,8 +2312,14 @@ private[dsv2] object JsonlJson {
 
   /** A parsed JSON value as the Catalyst representation of `dt`;
     * null on any type mismatch (SQL-null, the scalar readers'
-    * posture). */
+    * posture). Zone-less callers (tests, tools) parse textual zoned
+    * timestamps as UTC; the readers pass the SESSION time zone so an
+    * externally-authored ISO text timestamp materializes exactly as
+    * Spark's own string→timestamp cast would read it. */
   def decode(v: JsonNode, dt: DataType): Any =
+    decode(v, dt, java.time.ZoneOffset.UTC)
+
+  def decode(v: JsonNode, dt: DataType, zone: java.time.ZoneId): Any =
     if (v == null || v.isNull) null
     else dt match {
       case LongType => if (v.isNumber) java.lang.Long.valueOf(v.asLong) else null
@@ -2325,7 +2331,7 @@ private[dsv2] object JsonlJson {
         if (v.isNumber) java.lang.Long.valueOf(v.asLong)
         else if (v.isTextual)
           DateTimeUtils.stringToTimestamp(UTF8String.fromString(v.asText),
-            java.time.ZoneOffset.UTC).map(java.lang.Long.valueOf).orNull
+            zone).map(java.lang.Long.valueOf).orNull
         else null
       case TimestampNTZType =>
         if (v.isNumber) java.lang.Long.valueOf(v.asLong)
@@ -2346,7 +2352,8 @@ private[dsv2] object JsonlJson {
             .GenericInternalRow(st.length)
           var j = 0
           while (j < st.length) {
-            r.update(j, decode(v.get(st.fields(j).name), st.fields(j).dataType))
+            r.update(j,
+              decode(v.get(st.fields(j).name), st.fields(j).dataType, zone))
             j += 1
           }
           r
@@ -2356,7 +2363,9 @@ private[dsv2] object JsonlJson {
         else {
           val out = new Array[Any](v.size())
           var j = 0
-          while (j < v.size()) { out(j) = decode(v.get(j), at.elementType); j += 1 }
+          while (j < v.size()) {
+            out(j) = decode(v.get(j), at.elementType, zone); j += 1
+          }
           new GenericArrayData(out)
         }
       case mt: MapType if mt.keyType == StringType =>
@@ -2366,7 +2375,7 @@ private[dsv2] object JsonlJson {
           val vs = Array.newBuilder[Any]
           v.properties().forEach { e =>
             ks += UTF8String.fromString(e.getKey)
-            vs += decode(e.getValue, mt.valueType)
+            vs += decode(e.getValue, mt.valueType, zone)
           }
           ArrayBasedMapData(ks.result(), vs.result())
         }
@@ -2525,6 +2534,16 @@ final class JsonlPartitionReader(file: String, required: StructType,
   private val declaredType: Map[String, DataType] =
     dataSchema.fields.map(f => f.name -> f.dataType).toMap
 
+  // session time zone for TEXTUAL zoned-timestamp values in
+  // externally-authored JSONL (graft writers emit epoch-micros
+  // numbers): must match Spark's own string→timestamp semantics.
+  // newHadoopConf() copies every SET SQL conf into the carrier; the
+  // unset default is the JVM zone, same as SQLConf's.
+  private val sessionZone: java.time.ZoneId =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+      conf.value.get("spark.sql.session.timeZone",
+        java.time.ZoneId.systemDefault().getId))
+
   // three-valued compare collapsed to match/no-match (null never matches).
   // The DECLARED column type drives coercion so a pushed filter sees
   // exactly the value materialize() would produce: a fractional JSON
@@ -2604,7 +2623,7 @@ final class JsonlPartitionReader(file: String, required: StructType,
                    _: StructType | _: ArrayType | _: MapType) =>
           // temporal + nested: the shared decoder (type-checked at
           // every level; mismatch -> SQL null)
-          val d = JsonlJson.decode(v, dt)
+          val d = JsonlJson.decode(v, dt, sessionZone)
           if (d == null) r.setNullAt(i) else r.update(i, d)
         case _ => r.setNullAt(i) // type mismatch -> SQL null, not a crash
       }

@@ -236,16 +236,22 @@ final class ConcurrentRowLevelOperationException(table: String, holder: String)
   * Liveness and safety contracts:
   *   - STALE BREAK UNDER A CLAIM: a lock whose mtime is older than
   *     `graft.rlo.lock.stale.ms` is broken only by the holder of an
-  *     exclusive `_rlo_lock.break` claim (atomic create-if-absent).
-  *     Naive delete-then-create lets breaker B delete breaker A's
-  *     FRESH lock; even rename-to-unique is unsafe, because B's
-  *     staleness verdict comes from a stat of the OLD file while the
-  *     rename grabs whatever sits at the path NOW. The claim closes
-  *     both: create(lock, overwrite=false) can never succeed while
-  *     the dead file still occupies the path, so a fresh lock can
-  *     only appear after the claim holder's delete — re-statting
-  *     under the claim is authoritative, and nobody else ever
-  *     removes the file.
+  *     exclusive `_rlo_lock.break` claim (atomic create-if-absent,
+  *     holding the breaker's unique token). Naive delete-then-create
+  *     lets breaker B delete breaker A's FRESH lock; even
+  *     rename-to-unique is unsafe, because B's staleness verdict
+  *     comes from a stat of the OLD file while the rename grabs
+  *     whatever sits at the path NOW. The claim closes both:
+  *     create(lock, overwrite=false) can never succeed while the
+  *     dead file still occupies the path, so a fresh lock can only
+  *     appear after the claim holder's delete. Claim OWNERSHIP is
+  *     token-verified — read back after the create, re-read before
+  *     the lock delete and before the claim release — so a breaker
+  *     whose claim was removed by a third party acting on a stale
+  *     stat of a DEAD claim stands down instead of double-entering;
+  *     stale DEAD claims themselves (a breaker crashed mid-break)
+  *     are removed only after a double re-stat taken immediately
+  *     before the delete.
   *   - HEARTBEAT: the holder refreshes the lock's mtime every
   *     staleMs/3 from a daemon timer, so a legitimately long
   *     operation (compact / cluster_table at scale) never goes stale
@@ -354,26 +360,40 @@ object RowLevelLock {
     if (stale) {
       // break the dead holder's lock under an exclusive breaker CLAIM
       // (see the object scaladoc): of N concurrent breakers exactly
-      // one creates the claim; only that one may delete the dead
-      // file, after re-verifying staleness — authoritative, because a
-      // fresh lock cannot be created while the dead file occupies the
-      // path. A claim whose own mtime is stale belongs to a breaker
-      // that died mid-break; it falls to the same verdict.
+      // one OWNS the claim — ownership is a unique token written into
+      // the claim file and verified by READ-BACK after the create (the
+      // same verified-release pattern the lock itself uses), so a
+      // breaker whose claim was deleted out from under it (by another
+      // breaker acting on a stale stat of a DEAD claim) stands down
+      // instead of double-entering the break section. A claim whose
+      // own mtime is stale belongs to a breaker that died mid-break;
+      // its verdict is re-taken immediately before the delete to
+      // shrink the stat→delete window to adjacent calls.
       val claim = new Path(table, s"$FileName.break")
-      val claimSt = try Some(fs.getFileStatus(claim))
-                    catch { case _: java.io.FileNotFoundException => None }
-      if (claimSt.exists(
-          _.getModificationTime < System.currentTimeMillis() - staleMs))
-        fs.delete(claim, false)
-      val gotClaim = atomicCreate(fs, claim, Array.emptyByteArray)
+      val claimToken = s"$token/break"
+      def claimStale(): Boolean =
+        (try Some(fs.getFileStatus(claim))
+         catch { case _: java.io.FileNotFoundException => None })
+          .exists(_.getModificationTime < System.currentTimeMillis() - staleMs)
+      if (claimStale() && claimStale()) fs.delete(claim, false)
+      val gotClaim =
+        atomicCreate(fs, claim, claimToken.getBytes(StandardCharsets.UTF_8)) &&
+          readToken(fs, claim) == claimToken
       if (gotClaim) {
         try {
           val st2 = try Some(fs.getFileStatus(lock))
                     catch { case _: java.io.FileNotFoundException => None }
+          // final ownership check right before the only destructive
+          // step: if the claim no longer holds our token, another
+          // breaker owns the break — touching the lock now could
+          // delete THEIR freshly re-acquired lock
           if (st2.exists(
-              _.getModificationTime < System.currentTimeMillis() - staleMs))
+              _.getModificationTime < System.currentTimeMillis() - staleMs) &&
+              readToken(fs, claim) == claimToken)
             fs.delete(lock, false)
-        } finally fs.delete(claim, false)
+        } finally {
+          if (readToken(fs, claim) == claimToken) fs.delete(claim, false)
+        }
         if (tryCreate()) return won()
       }
     }

@@ -126,20 +126,30 @@ object JsonlSkipIndex {
 
   private def mapper = new ObjectMapper()
 
+  /** A manifest that doesn't exist OR doesn't parse reads as absent:
+    * the index is advisory (an unseen shard scans conservatively), so
+    * a torn/truncated file — e.g. a crash mid-publish on a filesystem
+    * without atomic overwrite-rename — must cost skipping for its
+    * partition, never fail every scan of the table at planning. */
   private def readNode(fs: FileSystem, p: Path): Option[ObjectNode] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val bytes = try in.readAllBytes() finally in.close()
-      Some(mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+      try Some(mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
         .asInstanceOf[ObjectNode])
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** Atomic publish: tmp + rename-overwrite (FileContext where the
-    * filesystem offers it, delete+rename where not). */
+    * filesystem offers it, delete+rename where not). The tmp name is
+    * attempt-unique: two lockless appenders to the SAME manifest (the
+    * documented benign race) must never interleave create/write/rename
+    * on one tmp path — a shared name can publish a torn file. */
   private def publish(fs: FileSystem, target: Path, root: JsonNode): Unit = {
     fs.mkdirs(target.getParent)
-    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     out.write(mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
     out.close()
