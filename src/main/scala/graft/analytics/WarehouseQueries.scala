@@ -1488,6 +1488,60 @@ object WarehouseQueries {
 
   val changesSourceWindowSql: String = snapshotChangeFeedSql
 
+  // ---------------------------------------------------------------- q218
+  /** Auto-snapshot-on-commit ([[graft.sources.dsv2.JsonlTable.AutoSnapshotProp]])
+    * under the oracle gate: an orders table declared
+    * `graft.snapshot.auto = 'true'`, filled by THREE plain INSERT
+    * waves (keys shifted +10M/+20M/+30M) with zero `CALL snapshot`
+    * ever issued — each commit pins its own version, so the CDC
+    * source can replay per-commit windows. Guarded in-query: exactly
+    * three versions exist; the result reads each (v-1, v] window
+    * through `graft-jsonl-changes` tagged by version, and the oracle
+    * recomputes all three waves from the parquet — a netted or
+    * missing pin shifts rows across windows and hash-fails. */
+  private val autoSnapCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def autoSnapshotFeed(s: SparkSession, dir: String): DataFrame = {
+    val child = autoSnapCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whas", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whas.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q218").toString)
+      c.sql("CREATE NAMESPACE whas.asf")
+      c.sql("""CREATE TABLE whas.asf.orders
+              |  (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+              |TBLPROPERTIES ('graft.snapshot.auto'='true')""".stripMargin)
+      for (w <- 1 to 3)
+        c.sql(
+          s"""INSERT INTO whas.asf.orders
+             |SELECT o_orderkey + ${w * 10000000L} AS o_orderkey, o_custkey,
+             |  o_orderstatus
+             |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c
+    })
+    val pinned = child.sql("CALL whas.system.snapshots('asf.orders')")
+      .collect().map(_.getLong(0)).toSeq
+    require(pinned == Seq(1L, 2L, 3L),
+      s"graft.snapshot.auto must pin one version per INSERT commit, " +
+        s"got versions $pinned")
+    val tableDir = s"${child.conf.get("spark.sql.catalog.whas.root")}/asf/orders"
+    (1 to 3).map { v =>
+      child.read.format("graft-jsonl-changes")
+        .option("fromVersion", v - 1).option("toVersion", v).load(tableDir)
+        .select(lit(v.toLong).as("v"), col("o_orderkey"), col("o_custkey"),
+          col("_change"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("v"), col("o_orderkey"))
+  }
+
+  val autoSnapshotFeedSql: String =
+    """SELECT CAST(w.v AS BIGINT) AS v,
+      |  o.o_orderkey + w.v * 10000000 AS o_orderkey, o.o_custkey,
+      |  'insert' AS _change
+      |FROM orders o CROSS JOIN (VALUES (1), (2), (3)) AS w(v)
+      |ORDER BY v, o_orderkey""".stripMargin
+
   /** Oracle recomputes the joined answer straight from the parquet —
     * the exact-average threshold is reproducible because the sums stay
     * far inside double's integer range. */
@@ -1603,6 +1657,7 @@ object WarehouseQueries {
     "q215_nested_events_rollup" -> (nestedEventsRollup _),
     "q216_temporal_skip_probe" -> (temporalSkipProbe _),
     "q217_changes_source_window" -> (changesSourceWindow _),
+    "q218_auto_snapshot_feed" -> (autoSnapshotFeed _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1640,6 +1695,7 @@ object WarehouseQueries {
     "q215_nested_events_rollup" -> nestedEventsRollupSql,
     "q216_temporal_skip_probe" -> temporalSkipProbeSql,
     "q217_changes_source_window" -> changesSourceWindowSql,
+    "q218_auto_snapshot_feed" -> autoSnapshotFeedSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -25,7 +25,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Each micro-batch is the MANIFEST DIFF between consecutive
   * snapshot versions (the same diff [[JsonlChangeFeed]] serves in
-  * batch): added shards' rows arrive as `_change = 'insert'`, removed
+  * batch) — admission-controlled to ONE snapshot per micro-batch by
+  * default, so a catch-up/restart replays per-commit granularity
+  * rather than netting the window (`maxVersionsPerBatch` raises the
+  * step for consumers that prefer netted catch-up): added
   * shards' rows (as the older manifest pinned them) as `'delete'`,
   * and merge-on-read ordinal deltas as `'delete'` rows recovered BY
   * POSITION — the reader emits only the delta ordinals, zero row
@@ -84,12 +87,14 @@ final class JsonlChangesTable(schema0: StructType, path: String,
     () => new JsonlChangesScan(schema0, path,
       options.getLong("fromVersion", 0L),
       Option(options.get("toVersion")).map(_.toLong),
-      options.getLong("startVersion", 0L))
+      options.getLong("startVersion", 0L),
+      options.getInt("maxVersionsPerBatch", 1))
 }
 
 final class JsonlChangesScan(schema: StructType, path: String,
                              fromVersion: Long, toVersion: Option[Long],
-                             startVersion: Long)
+                             startVersion: Long,
+                             maxVersionsPerBatch: Int = 1)
     extends Scan with Batch {
   private val conf = JsonlHadoopConf.fromSession()
   // the data columns the reader materializes come from the TABLE
@@ -120,7 +125,8 @@ final class JsonlChangesScan(schema: StructType, path: String,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new JsonlChangesMicroBatchStream(tableSchema, path, startVersion)
+    new JsonlChangesMicroBatchStream(tableSchema, path, startVersion,
+      maxVersionsPerBatch)
 }
 
 object JsonlChangesScan {
@@ -176,20 +182,50 @@ final case class JsonlVersionOffset(v: Long) extends Offset {
 }
 
 final class JsonlChangesMicroBatchStream(tableSchema: StructType,
-                                         path: String, startVersion: Long)
-    extends MicroBatchStream {
+                                         path: String, startVersion: Long,
+                                         maxVersionsPerBatch: Int = 1)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
   private val conf = JsonlHadoopConf.fromSession()
 
   override def initialOffset(): Offset = JsonlVersionOffset(startVersion)
   override def deserializeOffset(json: String): Offset =
     JsonlVersionOffset(json.toLong)
 
+  /** Legacy (admission-control-unaware) face: the newest snapshot.
+    * Spark calls the two-argument form below when
+    * SupportsAdmissionControl is present, so this stays only as the
+    * honest "how far behind am I" answer. */
   override def latestOffset(): Offset = {
     val table = new Path(path)
     val fs = table.getFileSystem(conf.value)
     JsonlVersionOffset(JsonlSnapshots.list(fs, table).lastOption
       .fold(startVersion)(m => math.max(m.id, startVersion)))
   }
+
+  /** Admission control: advance at most `maxVersionsPerBatch` PINNED
+    * snapshots past `start` (default 1) — a catch-up or restart
+    * replays history one micro-batch PER SNAPSHOT, per-commit CDF
+    * granularity, instead of netting the whole window into one diff
+    * (where a shard added and removed inside the window would emit
+    * nothing). Snapshot ids advance along the RETAINED manifest list,
+    * so ids expired by `expire_snapshots` net into the first
+    * surviving window — the same "can't replay expired history"
+    * posture as any CDF; an offset naming an expired id still fails
+    * loudly at plan time ([[JsonlChangesScan.manifestAt]]). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[JsonlVersionOffset].v
+    val table = new Path(path)
+    val fs = table.getFileSystem(conf.value)
+    val ahead = JsonlSnapshots.list(fs, table).iterator
+      .map(_.id).filter(_ > s).take(math.max(1, maxVersionsPerBatch)).toSeq
+    JsonlVersionOffset(ahead.lastOption.getOrElse(s))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {

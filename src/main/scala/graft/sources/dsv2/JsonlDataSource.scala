@@ -97,6 +97,19 @@ object JsonlTable {
   def writeOrderOf(props: Map[String, String]): Seq[String] =
     props.get(WriteOrderProp).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Table property: with `graft.snapshot.auto = 'true'`, every
+    * committed write (batch INSERT/OVERWRITE, streaming epoch,
+    * copy-on-write group rewrite, merge-on-read delta) PINS a snapshot
+    * version — `CALL snapshot` becomes implicit per commit, so the
+    * change-data feed ([[JsonlChangesSource]]) tails plain INSERT
+    * traffic with per-commit granularity. See
+    * [[JsonlSnapshots.autoPin]] for the locking contract;
+    * `CALL expire_snapshots` bounds the history. */
+  val AutoSnapshotProp = "graft.snapshot.auto"
+
+  def autoSnapshotOf(props: Map[String, String]): Boolean =
+    props.get(AutoSnapshotProp).exists(_.trim.equalsIgnoreCase("true"))
 }
 
 class JsonlTable(tableSchema: StructType, path: String,
@@ -141,7 +154,8 @@ class JsonlTable(tableSchema: StructType, path: String,
     require(snapshot == null,
       s"graft-jsonl: ${name()} is a snapshot — snapshots are read-only")
     new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols,
-      JsonlSkipIndex.skipColsOf(props), JsonlTable.writeOrderOf(props))
+      JsonlSkipIndex.skipColsOf(props), JsonlTable.writeOrderOf(props),
+      JsonlTable.autoSnapshotOf(props))
   }
 
   /** Drop every data entry under the table root, keeping metadata
@@ -262,10 +276,12 @@ class JsonlTable(tableSchema: StructType, path: String,
         props.getOrElse(JsonlTable.RowLevelModeProp, "copy-on-write") match {
           case "copy-on-write" =>
             new JsonlRowLevelOperation(info.command(), tableSchema, path,
-              partCols, JsonlSkipIndex.skipColsOf(props))
+              partCols, JsonlSkipIndex.skipColsOf(props),
+              JsonlTable.autoSnapshotOf(props))
           case "merge-on-read" =>
             new JsonlMorRowLevelOperation(info.command(), tableSchema, path,
-              partCols, JsonlSkipIndex.skipColsOf(props))
+              partCols, JsonlSkipIndex.skipColsOf(props),
+              JsonlTable.autoSnapshotOf(props))
           case other => throw new IllegalArgumentException(
             s"graft-jsonl: unknown ${JsonlTable.RowLevelModeProp} '$other' " +
               "(expected copy-on-write or merge-on-read)")
@@ -1505,7 +1521,8 @@ object JsonlPartitionPruning {
 final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
                               partCols: Seq[String] = Nil,
                               skipCols: Seq[String] = Nil,
-                              writeOrder: Seq[String] = Nil)
+                              writeOrder: Seq[String] = Nil,
+                              autoSnapshot: Boolean = false)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -1553,10 +1570,11 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
           // dynamic overwrite of an UNPARTITIONED table replaces its
           // single implicit partition — the whole table
           new JsonlBatchWrite(schema, path, queryId, doTruncate || doDynamic,
-            Nil, skipCols = skipCols)
+            Nil, skipCols = skipCols, autoSnapshot = autoSnapshot)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new JsonlStreamingWrite(schema, path, queryId, Nil, skipCols)
+          new JsonlStreamingWrite(schema, path, queryId, Nil, skipCols,
+            autoSnapshot)
       }
     else
       // hive-layout write: ask Spark to CLUSTER rows by the partition
@@ -1597,10 +1615,11 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
           new JsonlBatchWrite(schema, path, queryId,
             doTruncate || (doDynamic && partCols.isEmpty), partCols,
             doDynamic && partCols.nonEmpty, overwriteFilters,
-            skipCols = skipCols)
+            skipCols = skipCols, autoSnapshot = autoSnapshot)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols)
+          new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols,
+            autoSnapshot)
       }
   }
 }
@@ -1629,7 +1648,7 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
 final class JsonlRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType, path: String, partCols: Seq[String],
-    skipCols: Seq[String] = Nil)
+    skipCols: Seq[String] = Nil, autoSnapshot: Boolean = false)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   @volatile private var scannedShards: Seq[String] = Nil
@@ -1658,7 +1677,8 @@ final class JsonlRowLevelOperation(
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
               new JsonlBatchWrite(wInfo.schema(), path, wInfo.queryId(),
                 truncate = false, Nil,
-                replaceShards = () => scannedShards, skipCols = skipCols)
+                replaceShards = () => scannedShards, skipCols = skipCols,
+                autoSnapshot = autoSnapshot)
           }
         else
           new org.apache.spark.sql.connector.write.Write
@@ -1677,7 +1697,8 @@ final class JsonlRowLevelOperation(
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
               new JsonlBatchWrite(wInfo.schema(), path, wInfo.queryId(),
                 truncate = false, partCols,
-                replaceShards = () => scannedShards, skipCols = skipCols)
+                replaceShards = () => scannedShards, skipCols = skipCols,
+                autoSnapshot = autoSnapshot)
           }
     }
 }
@@ -1720,7 +1741,8 @@ final class JsonlRowLevelScanBuilder(dataSchema: StructType, path: String,
   * table → stream composes. */
 final class JsonlStreamingWrite(schema: StructType, path: String,
                                 queryId: String, partCols: Seq[String],
-                                skipCols: Seq[String] = Nil)
+                                skipCols: Seq[String] = Nil,
+                                autoSnapshot: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1809,6 +1831,13 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
     if (!f.rename(tmp, epochLog(epochId)) && !f.exists(epochLog(epochId)))
       throw new java.io.IOException(s"epoch $epochId log write failed")
     f.delete(inprog, false)
+    // auto-snapshot per epoch: pinned AFTER the durable log record, so
+    // a replayed epoch (which short-circuits above) never double-pins;
+    // a crash between the log write and this pin folds the epoch into
+    // the NEXT pin — version granularity degrades, rows never differ
+    if (autoSnapshot)
+      JsonlSnapshots.autoPin(f, conf.value, dest, schema,
+        epochQueryId(epochId), alreadyLocked = false)
     // retention: only the LATEST epoch can ever re-execute (the
     // checkpoint commit log serializes epochs), so old records are
     // dead weight — keep a generous window, drop the rest
@@ -1862,7 +1891,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
                             dynamicOverwrite: Boolean = false,
                             overwriteFilters: Array[Filter] = null,
                             replaceShards: () => Seq[String] = null,
-                            skipCols: Seq[String] = Nil)
+                            skipCols: Seq[String] = Nil,
+                            autoSnapshot: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1888,9 +1918,19 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     // their only mutation is an atomic rename into the layout.
     val destructive = replaceShards != null || truncate ||
       overwriteFilters != null || dynamicOverwrite
-    val rloLease =
-      if (destructive) RowLevelLock.acquire(f, conf.value, dest, queryId)
-      else null
+    // DYNAMIC partition overwrite replaces exactly the dirs the write
+    // produced — lock just those scopes, so overwrites of disjoint
+    // partitions commit in parallel; every other destructive shape
+    // (and auto-snapshot's table-wide version pin) is table-wide
+    val scopes: Seq[String] =
+      if (dynamicOverwrite && replaceShards == null && !truncate &&
+          overwriteFilters == null && partCols.nonEmpty && !autoSnapshot)
+        staged.map(_._2).distinct.toSeq
+      else Nil
+    val rloLeases: Seq[RowLevelLock.Lease] =
+      if (destructive)
+        RowLevelLock.acquireScoped(f, conf.value, dest, queryId, scopes)
+      else Nil
     try {
     // the snapshot-referenced set is read INSIDE the lock: a CALL
     // snapshot serializes against this commit, so the set can't grow
@@ -2063,9 +2103,13 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       }
       prune(dest)
     }
-    } finally {
-      if (rloLease != null) RowLevelLock.release(f, rloLease)
-    }
+    // auto-snapshot (graft.snapshot.auto): pin a version for THIS
+    // commit — inline while the destructive paths still hold the
+    // lock; a lock-free plain append serializes just the pin
+    if (autoSnapshot)
+      JsonlSnapshots.autoPin(f, conf.value, dest, schema, queryId,
+        alreadyLocked = rloLeases.nonEmpty)
+    } finally RowLevelLock.releaseAll(f, rloLeases)
     cleanupStaging(f)
   }
 

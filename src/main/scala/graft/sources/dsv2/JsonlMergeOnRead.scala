@@ -60,14 +60,18 @@ import org.apache.spark.sql.types.StructType
   * no-FileContext fallback's `.bak` discipline).
   *
   * Concurrency contract: row-level operations are SINGLE-WRITER per
-  * table, enforced — BOTH delta (merge-on-read) and group (copy-on-
-  * write) commits take `_rlo_lock` (atomic create-if-absent) for the
-  * whole publish, as do `CALL compact` / `cluster_table` (their swaps
-  * expose a mid-swap window) and `CALL snapshot` (which would
-  * otherwise pin that window as a hole). A second concurrent holder
-  * REFUSES with [[ConcurrentRowLevelOperationException]] rather than
-  * silently losing deletes to the sidecar read-modify-write race or
-  * racing a shard swap. A lock left by a crashed driver expires after
+  * LOCK SCOPE — group (copy-on-write) commits, `CALL compact` /
+  * `cluster_table` (their swaps expose a mid-swap window) and
+  * `CALL snapshot` (which would otherwise pin that window as a hole)
+  * take the TABLE `_rlo_lock` (atomic create-if-absent) for the whole
+  * publish; delta (merge-on-read) commits and dynamic partition
+  * overwrites on a PARTITIONED table lock only the partition dirs
+  * they touch ([[RowLevelLock.acquireScoped]]), so partition-disjoint
+  * trickle updates commit in parallel while any table-wide holder
+  * still excludes them all. A second concurrent holder of a shared
+  * scope REFUSES with [[ConcurrentRowLevelOperationException]] rather
+  * than silently losing deletes to the sidecar read-modify-write race
+  * or racing a shard swap. A lock left by a crashed driver expires after
   * `graft.rlo.lock.stale.ms` (default 15 min) and is broken by the
   * next writer. (Iceberg solves the same race with optimistic
   * metadata CAS + retry; a refusal is the honest equivalent for a
@@ -215,6 +219,40 @@ object JsonlDeletes {
         fs.delete(bak, false)
     }
   }
+
+  /** One commit's sidecar publishes, BATCHED: distinct shards write
+    * distinct sidecar files, so the per-shard read-modify-writes are
+    * independent and run on a bounded pool instead of serially — a
+    * wide MOR DELETE touching S shards costs ~S/threads sidecar
+    * round-trips of wall-clock, not S (the round-11 bench showed the
+    * serial loop dominating `mor_delete` at 320 shards). Failures
+    * propagate: the commit must not report success with a sidecar
+    * unpublished. Runs under the caller's `_rlo_lock`, same as the
+    * serial form. */
+  def appendAll(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                root: Path, byShard: Map[String, Array[Long]]): Unit = {
+    val work = byShard.filter(_._2.nonEmpty)
+    if (work.isEmpty) return
+    if (work.size == 1) {
+      val (shard, pos) = work.head
+      append(fs, conf, root, new Path(shard), pos)
+      return
+    }
+    val threads = math.min(16, work.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = work.toSeq.map { case (shard, pos) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            append(fs, conf, root, new Path(shard), pos)
+        })
+      }
+      futures.foreach(_.get()) // rethrows the first task failure
+    } catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    } finally pool.shutdown()
+  }
 }
 
 /** A second row-level operation tried to commit while another holds
@@ -271,6 +309,14 @@ object RowLevelLock {
   val StaleMsKey = "graft.rlo.lock.stale.ms"
   val DefaultStaleMs: Long = 15L * 60 * 1000
   val AcquireWaitMsKey = "graft.rlo.lock.acquire.wait.ms"
+  /** How long a TABLE-level acquire waits for in-flight PARTITION
+    * locks to drain (they exit fast by protocol: either their commit
+    * completes — commit-protocol scale — or they see the table lock
+    * and stand down). */
+  val DrainMsKey = "graft.rlo.lock.drain.ms"
+  val DefaultDrainMs: Long = 30L * 1000
+  /** Directory of partition-scoped lock files (see [[acquireScoped]]). */
+  val ScopedDirName = "_rlo_locks"
   private val RetryDelayMs = 100L
   private val RetryCapMs = 2000L
 
@@ -317,25 +363,125 @@ object RowLevelLock {
         case _: java.io.IOException if fs.exists(p) => false
       }
 
-  def acquire(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
-              table: Path, queryId: String): Lease = {
-    val staleMs = conf.getLong(StaleMsKey, DefaultStaleMs)
-    val waitMs = conf.getLong(AcquireWaitMsKey, 0L)
-    if (waitMs <= 0) return acquireOnce(fs, table, queryId, staleMs)
+  /** Retry `body` with backoff until the `waitMs` budget is spent
+    * (0 = fail fast). */
+  private def withWait[T](waitMs: Long)(body: => T): T = {
+    if (waitMs <= 0) return body
     // how many backoff steps fit in the wait budget (100ms doubling,
     // capped at 2s — lock hold times are commit-protocol scale, so
     // sub-second reaction matters more than politeness)
     var total = 0L; var n = 0; var d = RetryDelayMs
     while (total < waitMs) { total += d; n += 1; d = math.min(d * 2, RetryCapMs) }
     graft.sources.Retry.withBackoff(
-      retries = n, delayMs = RetryDelayMs, maxDelayMs = RetryCapMs) {
-      acquireOnce(fs, table, queryId, staleMs)
+      retries = n, delayMs = RetryDelayMs, maxDelayMs = RetryCapMs)(body)
+  }
+
+  /** TABLE-level lock: excludes every other writer — scoped holders
+    * included (in-flight partition locks drain first; they exit fast
+    * by protocol, since a scoped acquirer that sees this lock stands
+    * down, and crashed ones break at staleness). */
+  def acquire(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+              table: Path, queryId: String): Lease = {
+    val staleMs = conf.getLong(StaleMsKey, DefaultStaleMs)
+    withWait(conf.getLong(AcquireWaitMsKey, 0L)) {
+      val lease = acquireAt(fs, new Path(table, FileName), table.toString,
+        queryId, staleMs)
+      try { drainScoped(fs, conf, table, staleMs); lease }
+      catch { case t: Throwable => release(fs, lease); throw t }
     }
   }
 
-  private def acquireOnce(fs: FileSystem, table: Path, queryId: String,
-                          staleMs: Long): Lease = {
-    val lock = new Path(table, FileName)
+  /** PARTITION-scoped locks, for operations whose mutations stay
+    * inside known partition dirs (merge-on-read delta commits, dynamic
+    * partition overwrite): one lock file per scope under
+    * `_rlo_locks/`, acquired in sorted order (no ABBA deadlock among
+    * scoped writers), then the table lock is checked — a live
+    * table-level holder excludes us (we stand down; it is waiting for
+    * exactly these locks to drain, so the protocol is deadlock-free).
+    * Two scoped writers on DISJOINT partitions both proceed; on a
+    * shared partition one refuses, same contract as the table lock.
+    * Empty/unknown scopes (unpartitioned table, root shards) take the
+    * table lock. */
+  def acquireScoped(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                    table: Path, queryId: String,
+                    scopes: Seq[String]): Seq[Lease] = {
+    if (scopes.isEmpty || scopes.contains(""))
+      return Seq(acquire(fs, conf, table, queryId))
+    val staleMs = conf.getLong(StaleMsKey, DefaultStaleMs)
+    withWait(conf.getLong(AcquireWaitMsKey, 0L)) {
+      val dir = new Path(table, ScopedDirName)
+      fs.mkdirs(dir)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Lease]
+      try {
+        scopes.distinct.sorted.foreach { scope =>
+          got += acquireAt(fs, new Path(dir, scopeLockName(scope)),
+            s"$table partition [$scope]", queryId, staleMs)
+        }
+        // table-level exclusion AFTER the scoped acquisitions: a live
+        // table holder either predates us (we must yield) or is
+        // already draining our fresh locks (yielding unblocks it)
+        val tl = new Path(table, FileName)
+        val st = try Some(fs.getFileStatus(tl))
+                 catch { case _: java.io.FileNotFoundException => None }
+        if (st.exists(
+            _.getModificationTime >= System.currentTimeMillis() - staleMs))
+          throw new ConcurrentRowLevelOperationException(
+            table.toString, readToken(fs, tl))
+        got.toSeq
+      } catch {
+        case t: Throwable => got.foreach(release(fs, _)); throw t
+      }
+    }
+  }
+
+  def releaseAll(fs: FileSystem, leases: Seq[Lease]): Unit =
+    leases.foreach(release(fs, _))
+
+  /** Deterministic lock-file name for a partition scope (hash of the
+    * partition-relative dir — path separators and escapes stay out of
+    * the lock names). */
+  def scopeLockName(scope: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(scope.getBytes(StandardCharsets.UTF_8))
+    "p_" + d.take(8).map(b => f"$b%02x").mkString + ".lock"
+  }
+
+  /** Wait for in-flight partition locks to clear (holder of the table
+    * lock only). Crashed holders' stale locks break via the same
+    * claim machinery; live ones get `graft.rlo.lock.drain.ms`
+    * (default 30 s) to finish or stand down before this acquire
+    * refuses. */
+  private def drainScoped(fs: FileSystem,
+                          conf: org.apache.hadoop.conf.Configuration,
+                          table: Path, staleMs: Long): Unit = {
+    val dir = new Path(table, ScopedDirName)
+    if (!fs.exists(dir)) return
+    val deadline = System.currentTimeMillis() +
+      conf.getLong(DrainMsKey, DefaultDrainMs)
+    while (true) {
+      val live = fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".lock"))
+      if (live.isEmpty) return
+      val (fresh, stale) = live.partition(
+        _.getModificationTime >= System.currentTimeMillis() - staleMs)
+      // a stale scoped lock = crashed partition commit: break it by
+      // acquiring (claim protocol included) and releasing
+      stale.foreach { st =>
+        try release(fs, acquireAt(fs, st.getPath, st.getPath.toString,
+          "drain", staleMs))
+        catch { case _: ConcurrentRowLevelOperationException => () }
+      }
+      if (fresh.nonEmpty) {
+        if (System.currentTimeMillis() > deadline)
+          throw new ConcurrentRowLevelOperationException(table.toString,
+            readToken(fs, fresh.head.getPath))
+        Thread.sleep(50)
+      }
+    }
+  }
+
+  private def acquireAt(fs: FileSystem, lock: Path, what: String,
+                        queryId: String, staleMs: Long): Lease = {
     val token = s"$queryId#${java.util.UUID.randomUUID()}"
     def tryCreate(): Boolean =
       atomicCreate(fs, lock, token.getBytes(StandardCharsets.UTF_8))
@@ -369,7 +515,7 @@ object RowLevelLock {
       // own mtime is stale belongs to a breaker that died mid-break;
       // its verdict is re-taken immediately before the delete to
       // shrink the stat→delete window to adjacent calls.
-      val claim = new Path(table, s"$FileName.break")
+      val claim = new Path(lock.getParent, s"${lock.getName}.break")
       val claimToken = s"$token/break"
       def claimStale(): Boolean =
         (try Some(fs.getFileStatus(claim))
@@ -398,7 +544,7 @@ object RowLevelLock {
       }
     }
     throw new ConcurrentRowLevelOperationException(
-      table.toString, readToken(fs, lock))
+      what, readToken(fs, lock))
   }
 
   def release(fs: FileSystem, lease: Lease): Unit = {
@@ -429,7 +575,7 @@ object RowLevelLock {
 final class JsonlMorRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType, path: String, partCols: Seq[String],
-    skipCols: Seq[String] = Nil)
+    skipCols: Seq[String] = Nil, autoSnapshot: Boolean = false)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.read.ScanBuilder
@@ -466,18 +612,19 @@ final class JsonlMorRowLevelOperation(
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new JsonlDeltaWrite(info.schema(),
           info.rowIdSchema().orElse(null), path, info.queryId(), partCols,
-          skipCols)
+          skipCols, autoSnapshot)
     }
 }
 
 final class JsonlDeltaWrite(rowSchema: StructType, rowIdSchema: StructType,
                             path: String, queryId: String,
                             partCols: Seq[String],
-                            skipCols: Seq[String] = Nil)
+                            skipCols: Seq[String] = Nil,
+                            autoSnapshot: Boolean = false)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
     new JsonlDeltaBatchWrite(rowSchema, rowIdSchema, path, queryId, partCols,
-      skipCols)
+      skipCols, autoSnapshot)
 }
 
 /** Commit protocol for one delta write: insert shards publish first
@@ -487,7 +634,8 @@ final class JsonlDeltaWrite(rowSchema: StructType, rowIdSchema: StructType,
 final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
                                  path: String, queryId: String,
                                  partCols: Seq[String],
-                                 skipCols: Seq[String] = Nil)
+                                 skipCols: Seq[String] = Nil,
+                                 autoSnapshot: Boolean = false)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -502,13 +650,30 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
     val f = fs
     val dest = new Path(path)
     f.mkdirs(dest)
+    val msgs = messages.map(_.asInstanceOf[JsonlDeltaCommitMessage])
     // single-writer enforcement: the whole publish (insert renames +
-    // sidecar read-modify-writes) runs under the table's _rlo_lock; a
-    // concurrent row-level commit refuses with a named error instead
-    // of losing deletes to the sidecar merge race
-    val lock = RowLevelLock.acquire(f, conf.value, dest, queryId)
+    // sidecar read-modify-writes) runs under the table's lock — SCOPED
+    // to the touched partition dirs when every mutation stays inside
+    // known dirs, so partition-disjoint MOR commits proceed in
+    // parallel; anything table-wide (unpartitioned, root shards,
+    // auto-snapshot's version-id assignment) takes the table lock. A
+    // concurrent holder of a shared scope refuses with a named error
+    // instead of losing deletes to the sidecar merge race.
+    val scopes: Seq[String] =
+      if (partCols.isEmpty || autoSnapshot) Nil
+      else {
+        val destUri = f.makeQualified(dest).toUri
+        val insertDirs = msgs.toSeq.flatMap(_.staged).map(_._2)
+        val deleteDirs = msgs.toSeq.flatMap(_.deletes.keys).map { shard =>
+          val rel = destUri
+            .relativize(f.makeQualified(new Path(shard)).toUri).getPath
+          val i = rel.lastIndexOf('/')
+          if (rel.startsWith("/") || i < 0) "" else rel.substring(0, i)
+        }
+        (insertDirs ++ deleteDirs).distinct
+      }
+    val locks = RowLevelLock.acquireScoped(f, conf.value, dest, queryId, scopes)
     try {
-      val msgs = messages.map(_.asInstanceOf[JsonlDeltaCommitMessage])
       msgs.flatMap(_.staged).foreach { case (stagedFile, relDir) =>
         val s = new Path(stagedFile)
         val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
@@ -525,12 +690,16 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
           }
         }
       }.toSeq)
-      msgs.flatMap(_.deletes.toSeq)
-        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toArray)
-        .foreach { case (shard, positions) =>
-          JsonlDeletes.append(f, conf.value, dest, new Path(shard), positions)
-        }
-    } finally RowLevelLock.release(f, lock)
+      JsonlDeletes.appendAll(f, conf.value, dest,
+        msgs.flatMap(_.deletes.toSeq)
+          .groupBy(_._1).view.mapValues(_.flatMap(_._2).toArray).toMap)
+      // auto-snapshot (graft.snapshot.auto): pin THIS delta commit as
+      // a version while still holding the lock — the change feed then
+      // sees the MERGE/UPDATE/DELETE as its own CDC batch
+      if (autoSnapshot)
+        JsonlSnapshots.autoPin(f, conf.value, dest, rowSchema, queryId,
+          alreadyLocked = true)
+    } finally RowLevelLock.releaseAll(f, locks)
     cleanupStaging(f)
   }
 

@@ -89,6 +89,49 @@ object JsonlSnapshots {
     m
   }
 
+  /** The CATALOG schema of `table` when its `_graft_table.json` spec
+    * exists (the schema auto-pinned manifests must embed — the write
+    * schema of one INSERT can be narrower than the table), else
+    * `fallback` (path-based tables carry no spec). */
+  def tableSchemaOf(fs: FileSystem, table: Path,
+                    fallback: StructType): StructType = {
+    val meta = new Path(table, "_graft_table.json")
+    if (!fs.exists(meta)) return fallback
+    try {
+      val in = fs.open(meta)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, StandardCharsets.UTF_8))
+      DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType]
+    } catch { case scala.util.control.NonFatal(_) => fallback }
+  }
+
+  /** Auto-snapshot-on-commit (`graft.snapshot.auto = true`): pin a
+    * version right after a committed write, so the CDC feed
+    * ([[JsonlChangesSource]]) can tail plain INSERT traffic without a
+    * manual `CALL snapshot`. Version-id assignment is list-read +
+    * max+1, so the pin itself serializes under the table `_rlo_lock`:
+    * a commit already HOLDING the lock (overwrites, COW, MOR delta)
+    * pins inline; a lock-free plain append acquires it just for the
+    * pin, WAITING (default 30 s, overridable via
+    * `graft.rlo.lock.acquire.wait.ms`) instead of failing a commit
+    * whose data already landed. `CALL expire_snapshots(keep_last)`
+    * bounds the history this grows. */
+  def autoPin(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+              table: Path, fallbackSchema: StructType, queryId: String,
+              alreadyLocked: Boolean): Manifest = {
+    val schema = tableSchemaOf(fs, table, fallbackSchema)
+    if (alreadyLocked) create(fs, table, None, schema)
+    else {
+      val c = new org.apache.hadoop.conf.Configuration(conf)
+      if (c.get(RowLevelLock.AcquireWaitMsKey) == null)
+        c.setLong(RowLevelLock.AcquireWaitMsKey, 30000L)
+      val lease = RowLevelLock.acquire(fs, c, table, s"autosnap-$queryId")
+      try create(fs, table, None, schema)
+      finally RowLevelLock.release(fs, lease)
+    }
+  }
+
   /** The table's LIVE state as an unwritten pseudo-manifest (id -1) —
     * what `create` would pin, without pinning it. The change feed
     * uses it as the implicit `to` endpoint. */

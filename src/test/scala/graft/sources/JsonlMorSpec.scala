@@ -441,4 +441,47 @@ class JsonlMorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 20L), (3L, 60L)))
   }
+
+  test("partition-scoped locks: disjoint MOR deletes coexist, table-wide ops exclude") {
+    import graft.sources.dsv2.{ConcurrentRowLevelOperationException, RowLevelLock}
+    import org.apache.hadoop.fs.Path
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.ps")
+    sql("""CREATE TABLE mw.ps.t (k BIGINT, p BIGINT)
+          |PARTITIONED BY (p)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.ps.t VALUES (1, 1), (2, 1), (3, 2), (4, 2), (5, 3)")
+    val table = new Path(s"$root/ps/t")
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(hconf)
+    // disjoint partition scopes coexist; a shared scope refuses
+    val a = RowLevelLock.acquireScoped(fs, hconf, table, "qa", Seq("p=1"))
+    val b = RowLevelLock.acquireScoped(fs, hconf, table, "qb", Seq("p=2"))
+    intercept[ConcurrentRowLevelOperationException] {
+      RowLevelLock.acquireScoped(fs, hconf, table, "qc", Seq("p=2", "p=3"))
+    }
+    // a table-wide acquire drains; with live scoped holders it refuses
+    // after the (shortened) drain budget
+    val dconf = new org.apache.hadoop.conf.Configuration(hconf)
+    dconf.setLong(RowLevelLock.DrainMsKey, 300L)
+    intercept[ConcurrentRowLevelOperationException] {
+      RowLevelLock.acquire(fs, dconf, table, "qd")
+    }
+    RowLevelLock.releaseAll(fs, b)
+    // end-to-end: with p=1 still held by "another writer", a MOR
+    // delete confined to p=2 commits WITHOUT retry or wait...
+    sql("DELETE FROM mw.ps.t WHERE p = 2 AND k = 3")
+    assert(sql("SELECT k FROM mw.ps.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 5L))
+    // ...while one touching p=1 refuses on the shared scope
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] { sql("DELETE FROM mw.ps.t WHERE p = 1 AND k = 1") }
+    assert(msgs(e).exists(_.contains("concurrent row-level")), e.toString)
+    RowLevelLock.releaseAll(fs, a)
+    sql("DELETE FROM mw.ps.t WHERE p = 1 AND k = 1")
+    assert(sql("SELECT k FROM mw.ps.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 4L, 5L))
+    // all scopes clear: the table-wide path (CALL snapshot) proceeds
+    assert(sql("CALL mw.system.snapshot('ps.t')").head.getLong(0) == 1L)
+  }
 }

@@ -277,6 +277,90 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
     assert(win == Seq((2L, "delete"), (4L, "insert")), win.toString)
   }
 
+  test("per-version admission control: catch-up replays one batch per snapshot") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    import scala.jdk.CollectionConverters._
+    val catalog = spark.sessionState.catalogManager.catalog("sn")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.ac")
+    sql("""CREATE TABLE sn.ac.t (k BIGINT, v BIGINT, p BIGINT)
+          |PARTITIONED BY (p)""".stripMargin)
+    // three versions pinned while NO stream is running — including an
+    // add-then-remove across v2→v3: the p=2 shard lands in v2 and its
+    // partition is dropped before v3, so a NETTED 0→3 diff would emit
+    // nothing for it and per-commit history would be silently lost
+    sql("INSERT INTO sn.ac.t VALUES (1, 10, 1), (2, 20, 1)")
+    sql("CALL sn.system.snapshot('ac.t')") // v1
+    sql("INSERT INTO sn.ac.t VALUES (3, 30, 2)")
+    sql("CALL sn.system.snapshot('ac.t')") // v2
+    sql("DELETE FROM sn.ac.t WHERE p = 2") // metadata dir drop: shard removed
+    sql("CALL sn.system.snapshot('ac.t')") // v3
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Seq[(Long, String)])]()
+    val q = JsonlChangeFeed.stream(spark, catalog, "ac.t")
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ac-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rs = df.select("k", "_change").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        if (rs.nonEmpty) batches.add((id, rs))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.iterator().asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(got == Seq(
+      Seq((1L, "insert"), (2L, "insert")), // = v0→v1 diff alone
+      Seq((3L, "insert")),                 // = v1→v2 diff alone
+      Seq((3L, "delete"))),                // = v2→v3 diff alone
+      s"catch-up must replay one micro-batch PER SNAPSHOT: $got")
+  }
+
+  test("auto-snapshot on commit: plain INSERTs publish to the change feed") {
+    import graft.sources.dsv2.{JsonlChangeFeed, JsonlSnapshots}
+    import scala.jdk.CollectionConverters._
+    val catalog = spark.sessionState.catalogManager.catalog("sn")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.au")
+    sql("""CREATE TABLE sn.au.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.snapshot.auto'='true',
+          |  'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO sn.au.t VALUES (1, 10)") // pins v1
+    sql("INSERT INTO sn.au.t VALUES (2, 20)") // pins v2
+    sql("INSERT INTO sn.au.t VALUES (3, 30)") // pins v3
+    val root = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.catalog.sn.root")}/au/t")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(1L, 2L, 3L),
+      "each plain INSERT must pin its own version")
+    // the streaming feed tails the INSERT traffic with no CALL ever
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      Seq[(Long, String)]]()
+    val q = JsonlChangeFeed.stream(spark, catalog, "au.t")
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("au-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rs = df.select("k", "_change").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        if (rs.nonEmpty) batches.add(rs)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.iterator().asScala.toSeq == Seq(
+        Seq((1L, "insert")), Seq((2L, "insert")), Seq((3L, "insert"))),
+        "three INSERTs -> three single-insert batches")
+      // a MOR delta commit auto-pins too (v4), while HOLDING the lock
+      sql("DELETE FROM sn.au.t WHERE k = 2")
+      q.processAllAvailable()
+      assert(batches.iterator().asScala.toSeq.last == Seq((2L, "delete")),
+        "the MOR delete publishes as its own CDC batch")
+    } finally q.stop()
+    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(1L, 2L, 3L, 4L))
+    // history stays bounded the usual way
+    sql("CALL sn.system.expire_snapshots('au.t', keep_last => 1)")
+    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(4L))
+  }
+
   test("snapshots are read-only; streaming a snapshot refuses") {
     sql("CREATE NAMESPACE IF NOT EXISTS sn.ro")
     sql("CREATE TABLE sn.ro.t (k BIGINT, v BIGINT)")
