@@ -1466,6 +1466,125 @@ object WarehouseQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY _change, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q220
+  /** Nested-leaf data skipping end-to-end (q216's temporal probe one
+    * structural rung up): events landed as (STRUCT<etype, uid>, value)
+    * with `graft.skip.columns = 'ev.uid'` — the INSERT's ORDER BY
+    * range-partitions the rows so shards are uid-disjoint, and the
+    * write-time trackers walk the struct — then a `WHERE ev.uid <= X`
+    * probe. Nested predicates are never pushed into the reader; they
+    * ride the PRUNE-ONLY channel into skip-index admission
+    * ([[graft.sources.dsv2.JsonlSkipIndex.leafField]]), so the scan
+    * opens only the shards whose [min, max] uid overlaps.
+    * Plan-guarded (strict shard subset + PruneFilters in the plan);
+    * DuckDB recomputes the slice from the flat parquet. */
+  private val nestedSkipCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def nestedSkipProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = nestedSkipCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whnk", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whnk.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q220").toString)
+      c.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      c.conf.set("spark.sql.shuffle.partitions", "8")
+      c.sql("CREATE NAMESPACE whnk.nk")
+      c.sql("""CREATE TABLE whnk.nk.events
+              |  (ev STRUCT<etype: STRING, uid: BIGINT>, value DOUBLE)
+              |TBLPROPERTIES ('graft.skip.columns'='ev.uid')""".stripMargin)
+      graft.core.Tables.events(c, dir)
+        .selectExpr("named_struct('etype', event_type, 'uid', user_id) AS ev",
+          "value")
+        .createOrReplaceTempView("q220_src")
+      // the ORDER BY range-shuffles on the nested leaf: landed shards
+      // are uid-disjoint, so their write-time stats prune immediately
+      c.sql("INSERT INTO whnk.nk.events SELECT * FROM q220_src ORDER BY ev.uid")
+      c
+    })
+    val bound = child.sql(
+      "SELECT CAST(FLOOR(MAX(ev.uid) / 8) AS BIGINT) FROM whnk.nk.events")
+      .head.getLong(0)
+    val total = child.sql("SELECT value FROM whnk.nk.events")
+      .rdd.getNumPartitions
+    val guard = child.sql(
+      s"SELECT ev, value FROM whnk.nk.events WHERE ev.uid <= $bound")
+    val planned = guard.rdd.getNumPartitions
+    require(total >= 4 && planned >= 1 && planned < total,
+      s"nested-leaf skipping did not prune: $planned of $total shards planned")
+    val plan = guard.queryExecution.executedPlan.toString
+    require(plan.contains("PruneFilters"),
+      s"nested predicate must ride the prune-only channel:\n$plan")
+    child.sql(
+      s"""SELECT ev.etype AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(ev.uid) AS BIGINT) AS uid_sum
+         |FROM whnk.nk.events
+         |WHERE ev.uid <= $bound
+         |GROUP BY ev.etype ORDER BY event_type""".stripMargin)
+  }
+
+  val nestedSkipProbeSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS uid_sum
+      |FROM events
+      |WHERE user_id <= (SELECT CAST(FLOOR(MAX(user_id) / 8) AS BIGINT)
+      |                  FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q219
+  /** DROP COLUMN via tombstoned keys
+    * ([[graft.sources.dsv2.JsonlTable.TombstonedKeysProp]]) under the
+    * oracle gate, over a THREE-generation table: gen-1 carries
+    * `o_custkey` (JSON key `o_custkey`), the column is DROPPED
+    * (metadata-only — gen-1 shards keep the dead key), gen-2 lands
+    * without it, the name is re-ADDed (bound to a fresh physical key)
+    * and gen-3 lands values shifted +1000. COUNT(o_custkey) /
+    * SUM(o_custkey) must see ONLY gen-3 — a resurrection of gen-1's
+    * dead values shifts both and hash-fails against the DuckDB
+    * recompute. */
+  private val dropColCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def dropColumnThreeGen(s: SparkSession, dir: String): DataFrame = {
+    val child = dropColCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whdc", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whdc.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q219").toString)
+      c.sql("CREATE NAMESPACE whdc.dc")
+      c.sql(
+        s"""CREATE TABLE whdc.dc.orders AS
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("ALTER TABLE whdc.dc.orders DROP COLUMN o_custkey")
+      c.sql(
+        s"""INSERT INTO whdc.dc.orders
+           |SELECT /*+ REPARTITION(2) */
+           |  o_orderkey + 10000000 AS o_orderkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("ALTER TABLE whdc.dc.orders ADD COLUMN o_custkey BIGINT")
+      c.sql(
+        s"""INSERT INTO whdc.dc.orders
+           |SELECT /*+ REPARTITION(2) */
+           |  o_orderkey + 20000000 AS o_orderkey, o_orderstatus,
+           |  o_custkey + 1000 AS o_custkey
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c
+    })
+    child.sql(
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM whdc.dc.orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val dropColumnThreeGenSql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) * 3 AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  CAST(SUM(o_custkey + 1000) AS BIGINT) AS sum_cust
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- q217
   /** The change feed through the DSv2 SOURCE
     * ([[graft.sources.dsv2.JsonlChangesSource]], the batch face of
@@ -1658,6 +1777,8 @@ object WarehouseQueries {
     "q216_temporal_skip_probe" -> (temporalSkipProbe _),
     "q217_changes_source_window" -> (changesSourceWindow _),
     "q218_auto_snapshot_feed" -> (autoSnapshotFeed _),
+    "q219_drop_column_three_gen" -> (dropColumnThreeGen _),
+    "q220_nested_skip_probe" -> (nestedSkipProbe _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1696,6 +1817,8 @@ object WarehouseQueries {
     "q216_temporal_skip_probe" -> temporalSkipProbeSql,
     "q217_changes_source_window" -> changesSourceWindowSql,
     "q218_auto_snapshot_feed" -> autoSnapshotFeedSql,
+    "q219_drop_column_three_gen" -> dropColumnThreeGenSql,
+    "q220_nested_skip_probe" -> nestedSkipProbeSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -178,6 +178,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         var f = org.apache.spark.sql.types.StructField(
           name, add.dataType, nullable = true)
         if (add.comment != null) f = f.withComment(add.comment)
+        // re-ADD of a DROPPED name: bind the new column to a FRESH
+        // physical JSON key, so old shards' values for the dead column
+        // read as null instead of resurrecting under the new one
+        val tombstoned = JsonlTable.tombstonedKeysOf(props)
+        if (tombstoned.contains(name)) {
+          val taken = tombstoned ++
+            schema.fields.map(JsonlTable.physicalKeyOf)
+          val fresh = Iterator.from(2).map(n => s"${name}__$n")
+            .find(k => !taken.contains(k)).get
+          f = f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(JsonlTable.PhysicalKeyMeta, fresh).build())
+        }
         schema = add.position() match {
           case null => StructType(schema.fields :+ f)
           case _: TableChange.First => StructType(f +: schema.fields)
@@ -206,9 +220,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RenameColumn =>
         // metadata-only rename: no data rewrite — the field records its
         // former JSON keys (newest first) and readers fall back through
-        // them for pre-rename shards ([[JsonlTable.AliasesKey]]).
-        // DROP COLUMN stays refused: a dropped name re-ADDed later
-        // would resurrect old shards' values under the new column.
+        // them for pre-rename shards ([[JsonlTable.AliasesKey]]). A
+        // field with a PHYSICAL key keeps it (its data key never
+        // changes, so no alias is needed); an unkeyed field renamed
+        // ONTO a tombstoned name additionally binds a fresh physical
+        // key so new writes never revive the dead key.
         val name = single(r.fieldNames, "RENAME COLUMN")
         val newName = r.newName
         require(schema.fieldNames.contains(name),
@@ -218,16 +234,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!partCols.contains(name),
           s"graft catalog: cannot rename partition column $name — the " +
             "k=v directory layout pins its name; rewrite the table instead")
+        val tombstonedNow = JsonlTable.tombstonedKeysOf(props)
         schema = StructType(schema.fields.map { fl =>
           if (fl.name != name) fl
+          else if (fl.metadata.contains(JsonlTable.PhysicalKeyMeta))
+            fl.copy(name = newName) // data key pinned by graft.key
           else {
             val prior = JsonlTable.aliasesOf(fl)
-            val md = new org.apache.spark.sql.types.MetadataBuilder()
+            val b = new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(fl.metadata)
               .putStringArray(JsonlTable.AliasesKey,
                 (name +: prior).distinct.toArray)
-              .build()
-            fl.copy(name = newName, metadata = md)
+            if (tombstonedNow.contains(newName)) {
+              val taken = tombstonedNow ++
+                schema.fields.map(JsonlTable.physicalKeyOf)
+              val fresh = Iterator.from(2).map(n => s"${newName}__$n")
+                .find(k => !taken.contains(k)).get
+              b.putString(JsonlTable.PhysicalKeyMeta, fresh)
+            }
+            fl.copy(name = newName, metadata = b.build())
           }
         })
         // column-list properties keyed on the old name keep working
@@ -238,6 +263,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             k -> v.split(",").map(_.trim)
               .map(c => if (c == name) newName else c).mkString(",")
           case kv => kv
+        }
+      case d: TableChange.DeleteColumn =>
+        // DROP COLUMN: metadata-only — the field leaves the schema and
+        // its JSON key (plus every rename alias, which old shards may
+        // still carry) is TOMBSTONED in the table properties, so a
+        // later ADD COLUMN of the same name binds to a fresh key and
+        // can never resurrect the dropped values.
+        val name = single(d.fieldNames, "DROP COLUMN")
+        val fl = schema.fields.find(_.name == name).getOrElse {
+          if (d.ifExists()) null
+          else throw new IllegalArgumentException(s"no column $name to drop")
+        }
+        if (fl != null) {
+          require(!partCols.contains(name),
+            s"graft catalog: cannot drop partition column $name — the " +
+              "k=v directory layout pins it; rewrite the table instead")
+          require(schema.fields.length > 1,
+            s"graft catalog: cannot drop the only column $name")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          val dead = (JsonlTable.physicalKeyOf(fl) +: JsonlTable.aliasesOf(fl))
+            .distinct
+          val all = (JsonlTable.tombstonedKeysOf(props) ++ dead).toSeq.sorted
+          props = props + (JsonlTable.TombstonedKeysProp -> all.mkString(","))
+          // column-list properties drop the dead name
+          props = props.map {
+            case (k, v) if k == JsonlSkipIndex.ColumnsProperty ||
+                k == JsonlTable.WriteOrderProp =>
+              k -> v.split(",").map(_.trim)
+                .filter(c => c.nonEmpty && c != name).mkString(",")
+            case kv => kv
+          }.filter { case (k, v) =>
+            v.nonEmpty || (k != JsonlSkipIndex.ColumnsProperty &&
+              k != JsonlTable.WriteOrderProp)
+          }
         }
       case sp: TableChange.SetProperty =>
         require(sp.property.startsWith("graft."),

@@ -98,6 +98,53 @@ object JsonlTable {
     props.get(WriteOrderProp).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  /** StructField-metadata key carrying a field's PHYSICAL JSON key
+    * when it differs from the display name — the indirection DROP +
+    * re-ADD needs: a dropped column's key is TOMBSTONED
+    * ([[TombstonedKeysProp]]), and a later ADD COLUMN under the same
+    * name binds to a FRESH key (`name__2`, `name__3`, …), so old
+    * shards' values for the dropped column can never resurrect under
+    * the re-added one (they yield null, exactly like any
+    * schema-on-read ADD). Writers emit the physical key; readers look
+    * it up FIRST, before the rename-alias fallback. Rides in the
+    * schema JSON like [[AliasesKey]]. */
+  val PhysicalKeyMeta = "graft.key"
+
+  /** Table property accumulating the JSON keys of DROPPED columns
+    * (comma-separated): dead keys a future column must never bind to. */
+  val TombstonedKeysProp = "graft.tombstoned.keys"
+
+  def physicalKeyOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKeyMeta))
+      f.metadata.getString(PhysicalKeyMeta)
+    else f.name
+
+  /** Physical key of display-name `name` in `schema` (the name itself
+    * when absent/unkeyed). */
+  def physicalKeyOf(schema: StructType, name: String): String =
+    schema.fields.find(_.name == name).map(physicalKeyOf).getOrElse(name)
+
+  def tombstonedKeysOf(props: Map[String, String]): Set[String] =
+    props.get(TombstonedKeysProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+
+  /** Re-graft per-field connector metadata (physical key, rename
+    * aliases) from the TABLE schema onto a write/query schema: Spark's
+    * output resolution (`info.schema()`) builds the write schema from
+    * the QUERY's attributes, which can silently drop the table
+    * fields' metadata — and a writer that loses `graft.key` would
+    * emit a re-added column under its TOMBSTONED key. Matched by
+    * name; query-only columns (none, after resolution) pass through. */
+  def withFieldMeta(tableSchema: StructType, writeSchema: StructType)
+      : StructType =
+    StructType(writeSchema.fields.map { f =>
+      tableSchema.fields.find(_.name == f.name) match {
+        case Some(tf) if tf.metadata != f.metadata =>
+          f.copy(metadata = tf.metadata)
+        case _ => f
+      }
+    })
+
   /** Table property: with `graft.snapshot.auto = 'true'`, every
     * committed write (batch INSERT/OVERWRITE, streaming epoch,
     * copy-on-write group rewrite, merge-on-read delta) PINS a snapshot
@@ -153,7 +200,9 @@ class JsonlTable(tableSchema: StructType, path: String,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(snapshot == null,
       s"graft-jsonl: ${name()} is a snapshot — snapshots are read-only")
-    new JsonlWriteBuilder(info.schema(), path, info.queryId(), partCols,
+    new JsonlWriteBuilder(
+      JsonlTable.withFieldMeta(schema(), info.schema()), path,
+      info.queryId(), partCols,
       JsonlSkipIndex.skipColsOf(props), JsonlTable.writeOrderOf(props),
       JsonlTable.autoSnapshotOf(props))
   }
@@ -643,19 +692,28 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
 
   private def supported(f: Filter): Boolean = shapeCol(f).exists(colOk)
 
-  /** PRUNE-ONLY filters: shapes on temporal columns. Never claimed as
-    * pushed (the reader's three-valued evaluation covers scalars
-    * only, and a half-evaluated claim loses rows) — returned as
-    * residual for Spark to re-check — but still handed to the
-    * skip-index admission, where the per-shard [min, max] micros/days
-    * prune shards the predicate can't match. `WHERE ts >= X` skips at
-    * file-open grain without the reader ever parsing a timestamp. */
+  /** PRUNE-ONLY filters: shapes on temporal columns, and on DOTTED
+    * STRUCT LEAVES (`meta.source = 'x'` — Spark pushes nested
+    * predicates to DSv2 with the dotted name). Never claimed as
+    * pushed (the reader's three-valued evaluation covers top-level
+    * scalars only, and a half-evaluated claim loses rows) — returned
+    * as residual for Spark to re-check — but still handed to the
+    * skip-index admission, where the per-shard [min, max] (micros /
+    * days / scalars) prunes shards the predicate can't match at
+    * file-open grain. */
   private def pruneOnlySupported(f: Filter): Boolean =
-    shapeCol(f).exists(name => dataSchema.fields.exists(fl =>
-      fl.name == name && (fl.dataType match {
-        case TimestampType | TimestampNTZType | DateType => true
-        case _ => false
-      })))
+    shapeCol(f).exists { name =>
+      dataSchema.fields.find(_.name == name) match {
+        case Some(fl) => fl.dataType match {
+          case TimestampType | TimestampNTZType | DateType => true
+          case _ => false
+        }
+        case None =>
+          // dotted struct leaf of any indexable type: admission-only
+          name.contains(".") && JsonlSkipIndex.leafField(dataSchema, name)
+            .exists(lf => JsonlSkipIndex.indexable(lf.dataType))
+      }
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(supported)
@@ -844,8 +902,11 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private def aggMode: Boolean = aggSpecs.nonEmpty
+  // skip-index stats are keyed by the PHYSICAL key (name unless the
+  // column was re-added after a drop)
   private def minMaxCols: Seq[String] =
-    aggSpecs.collect { case (op, c) if op != "count" => c }.distinct
+    aggSpecs.collect { case (op, c) if op != "count" =>
+      JsonlTable.physicalKeyOf(dataSchema, c) }.distinct
 
   // ------------------------------------------- storage-partitioned join
   //
@@ -1125,8 +1186,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
           (e.exact || minMaxCols.isEmpty) =>
         aggSpecs.map {
           case ("count", _) => e.nRows
-          case ("min", c) => e.stats(c)._1
-          case ("max", c) => e.stats(c)._2
+          case ("min", c) => e.stats(JsonlTable.physicalKeyOf(dataSchema, c))._1
+          case ("max", c) => e.stats(JsonlTable.physicalKeyOf(dataSchema, c))._2
         }
       case _ => null
     }
@@ -1204,8 +1265,8 @@ final class JsonlAggReader(specs: Seq[(String, String)],
       val st = tracker.snapshot()
       specs.map {
         case ("count", _) => st.nRows
-        case ("min", c) => st.cols(c)._1
-        case ("max", c) => st.cols(c)._2
+        case ("min", c) => st.cols(JsonlTable.physicalKeyOf(required, c))._1
+        case ("max", c) => st.cols(JsonlTable.physicalKeyOf(required, c))._2
       }
     }
 
@@ -1675,8 +1736,9 @@ final class JsonlRowLevelOperation(
         if (partCols.isEmpty)
           new org.apache.spark.sql.connector.write.Write {
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-              new JsonlBatchWrite(wInfo.schema(), path, wInfo.queryId(),
-                truncate = false, Nil,
+              new JsonlBatchWrite(
+                JsonlTable.withFieldMeta(tableSchema, wInfo.schema()), path,
+                wInfo.queryId(), truncate = false, Nil,
                 replaceShards = () => scannedShards, skipCols = skipCols,
                 autoSnapshot = autoSnapshot)
           }
@@ -1695,8 +1757,9 @@ final class JsonlRowLevelOperation(
                 Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
                 .toArray
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-              new JsonlBatchWrite(wInfo.schema(), path, wInfo.queryId(),
-                truncate = false, partCols,
+              new JsonlBatchWrite(
+                JsonlTable.withFieldMeta(tableSchema, wInfo.schema()), path,
+                wInfo.queryId(), truncate = false, partCols,
                 replaceShards = () => scannedShards, skipCols = skipCols,
                 autoSnapshot = autoSnapshot)
           }
@@ -2209,8 +2272,9 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
     val node = mapper.createObjectNode()
     dataIdx.foreach { i =>
       val f = schema.fields(i)
-      if (row.isNullAt(i)) node.putNull(f.name)
-      else node.set[JsonNode](f.name, JsonlJson.encode(
+      val key = JsonlTable.physicalKeyOf(f)
+      if (row.isNullAt(i)) node.putNull(key)
+      else node.set[JsonNode](key, JsonlJson.encode(
         mapper.getNodeFactory, row, i, f.dataType))
     }
     out.write(mapper.writeValueAsString(node))
@@ -2263,8 +2327,9 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
     var i = 0
     while (i < schema.length) {
       val f = schema.fields(i)
-      if (row.isNullAt(i)) node.putNull(f.name)
-      else node.set[JsonNode](f.name, JsonlJson.encode(
+      val key = JsonlTable.physicalKeyOf(f)
+      if (row.isNullAt(i)) node.putNull(key)
+      else node.set[JsonNode](key, JsonlJson.encode(
         mapper.getNodeFactory, row, i, f.dataType))
       i += 1
     }
@@ -2559,10 +2624,16 @@ final class JsonlPartitionReader(file: String, required: StructType,
   // at materialize: pushed IsNull/IsNotNull/comparisons claim full
   // evaluation (they are not re-checked post-scan), so the filter view
   // of a field and its materialized value must never disagree.
+  // DROP + re-ADD indirection: a re-added column reads its FRESH
+  // physical key, so old shards' tombstoned values stay invisible
+  private val physKey: Map[String, String] = dataSchema.fields.iterator
+    .map(f => f.name -> JsonlTable.physicalKeyOf(f))
+    .filter(kv => kv._2 != kv._1).toMap
+
   private def field(node: JsonNode, name: String): JsonNode = {
     if (nullPartCols.contains(name)) return null
     val p = partNode.get(name)
-    var v = if (p != null) p else node.get(name)
+    var v = if (p != null) p else node.get(physKey.getOrElse(name, name))
     if (v == null && aliasOf.nonEmpty)
       aliasOf.get(name).foreach(_.iterator
         .map(node.get).find(_ != null).foreach(v = _))

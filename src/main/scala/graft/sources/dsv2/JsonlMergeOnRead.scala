@@ -610,7 +610,8 @@ final class JsonlMorRowLevelOperation(
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-        new JsonlDeltaWrite(info.schema(),
+        new JsonlDeltaWrite(
+          JsonlTable.withFieldMeta(tableSchema, info.schema()),
           info.rowIdSchema().orElse(null), path, info.queryId(), partCols,
           skipCols, autoSnapshot)
     }

@@ -87,6 +87,43 @@ object JsonlSkipIndex {
     props.get(ColumnsProperty).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  /** Resolve a skip column that may be a DOTTED STRUCT LEAF
+    * (`meta.source`): a literal top-level field of that name wins
+    * (JSON keys can contain dots); otherwise the path walks nested
+    * StructTypes to the leaf. None when the path doesn't resolve. */
+  def leafField(schema: StructType, name: String)
+      : Option[StructField] =
+    schema.fields.find(_.name == name).orElse {
+      val parts = name.split("\\.")
+      if (parts.length < 2) None
+      else {
+        var cur: DataType = schema
+        var f: Option[StructField] = None
+        parts.foreach { p =>
+          f = cur match {
+            case st: StructType => st.fields.find(_.name == p)
+            case _ => None
+          }
+          cur = f.map(_.dataType).getOrElse(NullType)
+        }
+        f
+      }
+    }
+
+  /** The key an entry's stats are stored under: the PHYSICAL key for a
+    * top-level column (see [[JsonlTable.PhysicalKeyMeta]]); for a
+    * dotted leaf, the top segment's physical key + the nested path
+    * (nested fields are never re-keyed). */
+  def storageKeyOf(schema: StructType, name: String): String =
+    schema.fields.find(_.name == name) match {
+      case Some(f) => JsonlTable.physicalKeyOf(f)
+      case None =>
+        val i = name.indexOf('.')
+        if (i < 0) name
+        else JsonlTable.physicalKeyOf(schema, name.substring(0, i)) +
+          name.substring(i)
+    }
+
   def indexDir(table: Path): Path = new Path(table, DirName)
   def listFile(table: Path): Path = new Path(indexDir(table), ListFileName)
   def legacyFile(table: Path): Path = new Path(indexDir(table), FileName)
@@ -240,21 +277,27 @@ object JsonlSkipIndex {
     val df = spark.table(tableRef)
     val schema = df.schema
     val all = (cols ++ bloomCols).distinct
-    all.foreach(c => require(schema.fieldNames.contains(c),
-      s"skip index: no column $c in $tableRef"))
+    all.foreach(c => require(leafField(schema, c).isDefined,
+      s"skip index: no column (or struct leaf) $c in $tableRef"))
     bloomCols.foreach(c => require(
-      schema.fields.find(_.name == c).forall(f => scalarBloomType(f.dataType)),
+      leafField(schema, c).forall(f => scalarBloomType(f.dataType)),
       s"skip index: bloom_columns supports scalar types only, $c is not — " +
         "temporal columns get [min, max] range skipping (the useful tier " +
         "for time); list it under columns instead"))
+    // project every (possibly dotted) column under a positional alias
+    // FIRST — selecting `meta.uid` yields a column named `uid`, so the
+    // aggregates must reference the alias, not re-resolve the path
+    val aliasOf: Map[String, String] =
+      all.zipWithIndex.map { case (c, i) => c -> s"__c$i" }.toMap
     val aggs =
       (count(lit(1)).as("__n") +:
-        cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"),
-          max(col(c)).as(s"__max_$c"),
-          count(lit(1)).minus(count(col(c))).as(s"__nn_$c")))) ++
+        cols.flatMap(c => Seq(min(col(aliasOf(c))).as(s"__min_$c"),
+          max(col(aliasOf(c))).as(s"__max_$c"),
+          count(lit(1)).minus(count(col(aliasOf(c)))).as(s"__nn_$c")))) ++
         bloomCols.map(c => graft.functions.Native
-          .bloomAgg(col(c), bloomItems, bloomBits).as(s"__bloom_$c"))
-    val rows = df.select(col("_shard") +: all.map(col): _*)
+          .bloomAgg(col(aliasOf(c)), bloomItems, bloomBits).as(s"__bloom_$c"))
+    val rows = df
+      .select(col("_shard") +: all.map(c => col(c).as(aliasOf(c))): _*)
       .groupBy(col("_shard")).agg(aggs.head, aggs.tail: _*)
       .collect() // shard-count grain: metadata scale, same as a listing
     val qualified = fs.makeQualified(table)
@@ -275,13 +318,13 @@ object JsonlSkipIndex {
         e.put("n", r.getAs[Long]("__n"))
         val st = e.putObject("stats")
         cols.foreach { c =>
-          val cn = st.putObject(c)
+          val cn = st.putObject(storageKeyOf(schema, c))
           cn.put("nn", r.getAs[Long](s"__nn_$c"))
           // temporal aggregates come back as external java.sql /
           // java.time objects — store the Catalyst integer the
           // write-time tracker also uses
           val norm: Any => Any =
-            schema.fields.find(_.name == c).map(_.dataType) match {
+            leafField(schema, c).map(_.dataType) match {
               case Some(TimestampType | TimestampNTZType) =>
                 v => if (v == null) null else microsOf(v)
               case Some(DateType) =>
@@ -296,7 +339,8 @@ object JsonlSkipIndex {
           bloomCols.foreach { c =>
             val bytes = r.getAs[Array[Byte]](s"__bloom_$c")
             if (bytes != null)
-              bl.put(c, java.util.Base64.getEncoder.encodeToString(bytes))
+              bl.put(storageKeyOf(schema, c),
+                java.util.Base64.getEncoder.encodeToString(bytes))
           }
         }
       }
@@ -335,12 +379,44 @@ object JsonlSkipIndex {
     * point into a reused buffer. */
   final class ShardStatsTracker(schema: StructType, skipCols: Seq[String])
       extends Serializable {
-    private val tracked: Array[(String, Int, DataType)] = skipCols.flatMap { c =>
-      schema.fields.zipWithIndex.collectFirst {
-        case (f, i) if f.name == c && indexable(f.dataType) =>
-          (c, i, f.dataType)
-      }
-    }.toArray
+    // entries are keyed by the column's PHYSICAL key (its JSON key):
+    // stats of a column dropped and re-added under the same display
+    // name must never answer for the new one. A dotted name tracks a
+    // STRUCT LEAF: the access path walks (ordinal, struct width)
+    // steps; a null at ANY level counts as a null leaf.
+    private val tracked: Array[(String, Int, Array[(Int, Int)], DataType)] =
+      skipCols.flatMap { c =>
+        val topName = schema.fields.find(_.name == c)
+          .map(_.name).getOrElse(c.split("\\.")(0))
+        schema.fields.zipWithIndex.collectFirst {
+          case (f, i) if f.name == topName &&
+              (f.name == c || c.startsWith(f.name + ".")) =>
+            if (f.name == c) {
+              if (indexable(f.dataType))
+                Some((JsonlTable.physicalKeyOf(f), i,
+                  Array.empty[(Int, Int)], f.dataType))
+              else None
+            } else {
+              // nested leaf: resolve the remaining path inside structs
+              val rest = c.substring(f.name.length + 1).split("\\.")
+              var cur = f.dataType
+              val steps = Array.newBuilder[(Int, Int)]
+              var ok = true
+              rest.foreach { p =>
+                cur match {
+                  case st: StructType =>
+                    val j = st.fields.indexWhere(_.name == p)
+                    if (j < 0) ok = false
+                    else { steps += ((j, st.length)); cur = st.fields(j).dataType }
+                  case _ => ok = false
+                }
+              }
+              if (ok && indexable(cur))
+                Some((storageKeyOf(schema, c), i, steps.result(), cur))
+              else None
+            }
+        }.flatten
+      }.toArray
     def active: Boolean = tracked.nonEmpty
     private var n = 0L
     private val mins = Array.fill[Any](tracked.length)(null)
@@ -351,15 +427,27 @@ object JsonlSkipIndex {
       n += 1
       var j = 0
       while (j < tracked.length) {
-        val (_, i, dt) = tracked(j)
-        if (row.isNullAt(i)) nulls(j) += 1
+        val (_, top, steps, dt) = tracked(j)
+        var g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters = row
+        var i = top
+        var k = 0
+        var isNull = g.isNullAt(i)
+        while (!isNull && k < steps.length) {
+          // descend one struct level; width rides in the step
+          val prevWidth = steps(k)._2
+          g = g.getStruct(i, prevWidth)
+          i = steps(k)._1
+          isNull = g.isNullAt(i)
+          k += 1
+        }
+        if (isNull) nulls(j) += 1
         else {
           val v: Any = dt match {
-            case LongType | TimestampType | TimestampNTZType => row.getLong(i)
-            case IntegerType | DateType => row.getInt(i)
-            case DoubleType => row.getDouble(i)
-            case BooleanType => row.getBoolean(i)
-            case StringType => row.getUTF8String(i).clone()
+            case LongType | TimestampType | TimestampNTZType => g.getLong(i)
+            case IntegerType | DateType => g.getInt(i)
+            case DoubleType => g.getDouble(i)
+            case BooleanType => g.getBoolean(i)
+            case StringType => g.getUTF8String(i).clone()
             case _ => null
           }
           if (v != null) {
@@ -404,7 +492,7 @@ object JsonlSkipIndex {
     }
   }
 
-  private def indexable(dt: DataType): Boolean = dt match {
+  private[dsv2] def indexable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | BooleanType | StringType => true
     // temporal columns index by their Catalyst integers (epoch micros
     // / epoch days) — `WHERE ts >= X` is THE canonical skipping
@@ -472,7 +560,7 @@ object JsonlSkipIndex {
     val cols = inputs.map(_.stats.keySet).reduce(_ & _)
     if (cols.isEmpty) return None
     val stats = cols.iterator.flatMap { c =>
-      schema.fields.find(_.name == c).map(_.dataType).map { dt =>
+      fieldByStorageKey(schema, c).map(_.dataType).map { dt =>
         val mins = inputs.flatMap(e => Option(e.stats(c)._1))
         val maxs = inputs.flatMap(e => Option(e.stats(c)._2))
         val mn = if (mins.isEmpty) null
@@ -620,8 +708,8 @@ object JsonlSkipIndex {
       val stats = Map.newBuilder[String, (Any, Any, Long)]
       val st = node.get("stats")
       if (st != null) st.properties().forEach { ce =>
-        val c = ce.getKey
-        schema.fields.find(_.name == c).foreach { f =>
+        val c = ce.getKey // the PHYSICAL (storage) key, possibly dotted
+        fieldByStorageKey(schema, c).foreach { f =>
           val cn = ce.getValue
           stats += c -> (decode(cn.get("min"), f.dataType),
             decode(cn.get("max"), f.dataType),
@@ -642,6 +730,20 @@ object JsonlSkipIndex {
     }
     out.result()
   }
+
+  /** Inverse of [[storageKeyOf]]: the LEAF field a stored stats key
+    * describes — a top-level field whose physical key matches, else a
+    * dotted walk whose top segment matches by physical key. */
+  private def fieldByStorageKey(schema: StructType,
+                                key: String): Option[StructField] =
+    schema.fields.find(f => JsonlTable.physicalKeyOf(f) == key).orElse {
+      val i = key.indexOf('.')
+      if (i < 0) None
+      else schema.fields
+        .find(f => JsonlTable.physicalKeyOf(f) == key.substring(0, i))
+        .map(f => f.name + key.substring(i))
+        .flatMap(leafField(schema, _))
+    }
 
   private def decode(n: JsonNode, dt: DataType): Any =
     if (n == null || n.isNull) null
@@ -736,9 +838,12 @@ object JsonlSkipIndex {
   }
 
   private def admitsOne(e: ShardEntry, f: Filter, schema: StructType): Boolean = {
+    // filters name columns by DISPLAY name (possibly a dotted struct
+    // leaf); entries key stats/blooms by the PHYSICAL key — resolve
+    // through the schema field
     def statsOf(c: String): Option[((Any, Any, Long), DataType)] =
-      e.stats.get(c).flatMap(s =>
-        schema.fields.find(_.name == c).map(fd => (s, fd.dataType)))
+      leafField(schema, c).flatMap(fd =>
+        e.stats.get(storageKeyOf(schema, c)).map(st => (st, fd.dataType)))
     def rangeAdmits(c: String, v: Any)(ok: (Int, Int) => Boolean): Boolean =
       statsOf(c) match {
         case Some(((mn, mx, _), dt))
@@ -747,7 +852,8 @@ object JsonlSkipIndex {
         case _ => true
       }
     def bloomAdmits(c: String, v: Any): Boolean =
-      (e.blooms.get(c), schema.fields.find(_.name == c)) match {
+      (leafField(schema, c).flatMap(_ => e.blooms.get(storageKeyOf(schema, c))),
+       leafField(schema, c)) match {
         // bloom probing stays scalar-only: xxhash64Of's contract
         // covers the five scalar types; temporal probes fall through
         // to range admission (which is the useful tier for time)

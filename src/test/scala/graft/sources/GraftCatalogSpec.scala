@@ -249,12 +249,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DELETE FROM wh.rn.t WHERE k = 2")
     assert(sql("SELECT k FROM wh.rn.t WHERE q2 IS NOT NULL ORDER BY k")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
-    // refused: renaming a partition column (dirs pin it), DROP COLUMN
+    // refused: renaming a partition column (dirs pin it)
     val e1 = intercept[Exception](
       sql("ALTER TABLE wh.rn.t RENAME COLUMN lang TO language"))
     assert(msgs(e1).exists(_.contains("partition column")), e1.toString)
-    val e2 = intercept[Exception](sql("ALTER TABLE wh.rn.t DROP COLUMN q2"))
-    assert(e2.getMessage != null)
+    // DROP COLUMN of the twice-renamed field tombstones its key AND
+    // both aliases (see the DROP COLUMN lifecycle test)
+    sql("ALTER TABLE wh.rn.t DROP COLUMN q2")
+    assert(!sql("SELECT * FROM wh.rn.t").columns.contains("q2"))
     sql("DROP TABLE wh.rn.t")
   }
 
@@ -650,5 +652,59 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1))).toSeq ==
       Seq((1, "en"), (2, "de")))
     sql("DROP TABLE wh.ctas.by_lang")
+  }
+
+  test("DROP COLUMN tombstones the key: a re-ADDed name reads null for old shards") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.dc")
+    sql("CREATE TABLE wh.dc.t (k BIGINT, score BIGINT)")
+    sql("INSERT INTO wh.dc.t VALUES (1, 100), (2, 200)") // gen-1: key 'score'
+    sql("ALTER TABLE wh.dc.t DROP COLUMN score")
+    assert(sql("SELECT * FROM wh.dc.t").columns.toSeq == Seq("k"),
+      "dropped column leaves the schema")
+    sql("INSERT INTO wh.dc.t VALUES (3)") // gen-2: no score at all
+    // re-ADD under the SAME name: binds to a fresh physical key —
+    // gen-1 shards still hold JSON key 'score' but must read as null
+    sql("ALTER TABLE wh.dc.t ADD COLUMN score BIGINT")
+    sql("INSERT INTO wh.dc.t VALUES (4, 900)") // gen-3: fresh key
+    val got = sql("SELECT k, score FROM wh.dc.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq((1L, -1L), (2L, -1L), (3L, -1L), (4L, 900L)),
+      s"old 'score' values must NOT resurrect under the re-added column: $got")
+    // filters agree with materialization (pushed IS NULL / comparisons)
+    assert(sql("SELECT k FROM wh.dc.t WHERE score IS NULL ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(sql("SELECT k FROM wh.dc.t WHERE score = 900").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+    // drop the RE-ADDED column too: its fresh key tombstones as well,
+    // and a third ADD binds yet another key
+    sql("ALTER TABLE wh.dc.t DROP COLUMN score")
+    sql("ALTER TABLE wh.dc.t ADD COLUMN score BIGINT")
+    sql("INSERT INTO wh.dc.t VALUES (5, 55)")
+    val got3 = sql("SELECT k, score FROM wh.dc.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got3 == Seq((1L, -1L), (2L, -1L), (3L, -1L), (4L, -1L), (5L, 55L)),
+      s"second-generation drop must tombstone the fresh key too: $got3")
+    // rename of a physical-keyed column is pure metadata (key pinned)
+    sql("ALTER TABLE wh.dc.t RENAME COLUMN score TO points")
+    assert(sql("SELECT k FROM wh.dc.t WHERE points = 55").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+    // dropping a RENAMED column tombstones its aliases too: re-adding
+    // the OLD name must not resurrect pre-rename shards' values
+    sql("CREATE TABLE wh.dc.r (k BIGINT, v BIGINT)")
+    sql("INSERT INTO wh.dc.r VALUES (1, 11)") // key 'v'
+    sql("ALTER TABLE wh.dc.r RENAME COLUMN v TO w") // alias remembers 'v'
+    sql("ALTER TABLE wh.dc.r DROP COLUMN w") // tombstones 'w' AND 'v'
+    sql("ALTER TABLE wh.dc.r ADD COLUMN v BIGINT")
+    val gotR = sql("SELECT k, v FROM wh.dc.r").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(gotR == Seq((1L, -1L)),
+      s"re-added 'v' must not read the pre-rename shard's 'v' key: $gotR")
+    // refusals: partition columns and the last column stay undroppable
+    sql("CREATE TABLE wh.dc.p (k BIGINT, p STRING) PARTITIONED BY (p)")
+    val e1 = intercept[Exception] { sql("ALTER TABLE wh.dc.p DROP COLUMN p") }
+    assert(e1.getMessage.contains("partition column"), e1.getMessage)
+    sql("ALTER TABLE wh.dc.p DROP COLUMN k")
+    val e2 = intercept[Exception] { sql("ALTER TABLE wh.dc.p DROP COLUMN p") }
+    assert(e2.getMessage != null, e2.toString)
   }
 }

@@ -612,4 +612,45 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
     assert(listedDirs.contains("lang=en"))
     assert(sql("SELECT count(*) FROM sk.rm.t WHERE k = 105").head.getLong(0) == 1L)
   }
+  test("nested skip stats: dotted struct leaves prune via the prune-only channel") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.nst")
+    sql("""CREATE TABLE sk.nst.t
+          |  (meta STRUCT<source: STRING, uid: BIGINT>, v BIGINT)
+          |TBLPROPERTIES ('graft.skip.columns'='meta.uid,meta.source')""".stripMargin)
+    // four shards with disjoint uid ranges and per-shard sources —
+    // write-time trackers walk the struct, no CALL ever issued
+    for ((base, src) <- Seq((0L, "a"), (100L, "b"), (200L, "c"), (300L, "d")))
+      sql(s"""INSERT INTO sk.nst.t SELECT /*+ REPARTITION(1) */
+             |  named_struct('source', '$src', 'uid', id + $base) AS meta,
+             |  id AS v
+             |FROM range(0, 100)""".stripMargin)
+    // range probe on the nested LEAF prunes at file-open grain
+    val range = "SELECT v FROM sk.nst.t WHERE meta.uid >= 350"
+    assert(shardsPlanned(range) == 1, "nested range must prune to one shard")
+    assert(sql(range).count() == 50L)
+    // point probe on the nested string leaf
+    val point = "SELECT v FROM sk.nst.t WHERE meta.source = 'c'"
+    assert(shardsPlanned(point) == 1, "nested point must prune to one shard")
+    assert(sql(point).count() == 100L)
+    // the predicate rides the PRUNE-ONLY channel: shown as
+    // PruneFilters, never claimed as pushed (Spark re-checks)
+    val plan = sql(point).queryExecution.executedPlan.toString
+    assert(plan.contains("PruneFilters"), plan)
+    // rows stay exact: residual evaluation catches what stats admit
+    assert(sql("SELECT v FROM sk.nst.t WHERE meta.uid = 250 AND meta.source = 'c'")
+      .count() == 1L)
+    assert(sql("SELECT v FROM sk.nst.t WHERE meta.uid = 250 AND meta.source = 'a'")
+      .count() == 0L)
+    // null structs count as null leaves (conservative, never wrong)
+    sql("INSERT INTO sk.nst.t SELECT /*+ REPARTITION(1) */ " +
+      "CAST(NULL AS STRUCT<source: STRING, uid: BIGINT>) AS meta, 1L AS v")
+    assert(sql("SELECT count(*) FROM sk.nst.t WHERE meta.uid IS NULL")
+      .head.getLong(0) == 1L)
+    // CALL build_skip_index accepts dotted leaves too (full rebuild)
+    val n = sql("CALL sk.system.build_skip_index('nst.t', columns => 'meta.uid')")
+      .head.getInt(0)
+    assert(n == 5)
+    assert(shardsPlanned(range) == 1)
+  }
+
 }
