@@ -1466,6 +1466,65 @@ object WarehouseQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY _change, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+  /** `CALL rollback_to_snapshot` under the oracle gate
+    * ([[graft.sources.dsv2.JsonlSnapshots.rollback]]): a merge-on-read
+    * orders table snapshotted at 'base', then mutated BOTH ways — a
+    * MOR DELETE of the 'F' rows (sidecar growth) and an appended +10M
+    * batch — snapshotted again at 'mut', and rolled back to 'base'.
+    * The live table must answer byte-identically to the PRISTINE
+    * orders (the delete un-happens via sidecar rebuild from embedded
+    * ordinals, the append leaves via retain-or-delete), which is
+    * exactly what DuckDB recomputes; guarded in-query that the 'mut'
+    * snapshot still answers AFTER the rollback (its shards retained —
+    * rolling forward stays possible). */
+  private val rollbackCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def rollbackSnapshotProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = rollbackCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whrb", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whrb.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q221").toString)
+      c.sql("CREATE NAMESPACE whrb.rb")
+      c.sql(
+        s"""CREATE TABLE whrb.rb.orders
+           |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read') AS
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("CALL whrb.system.snapshot('rb.orders', tag => 'base')")
+      c.sql("""DELETE FROM whrb.rb.orders
+              |WHERE o_orderstatus = 'F' AND o_orderkey <= 10000000""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whrb.rb.orders
+           |SELECT /*+ REPARTITION(2) */
+           |  o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("CALL whrb.system.snapshot('rb.orders', tag => 'mut')")
+      val mutated = c.sql("SELECT COUNT(*) FROM whrb.rb.orders").head.getLong(0)
+      c.sql("CALL whrb.system.rollback_to_snapshot('rb.orders', " +
+        "version => 'base')").collect()
+      // the newer snapshot must survive the rollback byte-identically
+      val mutAfter = c.sql(
+        "SELECT COUNT(*) FROM whrb.rb.orders VERSION AS OF 'mut'")
+        .head.getLong(0)
+      require(mutAfter == mutated,
+        s"rollback must not destroy the newer snapshot: $mutAfter != $mutated")
+      c
+    })
+    child.sql(
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM whrb.rb.orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val rollbackSnapshotProbeSql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- q220
   /** Nested-leaf data skipping end-to-end (q216's temporal probe one
     * structural rung up): events landed as (STRUCT<etype, uid>, value)
@@ -1779,6 +1838,7 @@ object WarehouseQueries {
     "q218_auto_snapshot_feed" -> (autoSnapshotFeed _),
     "q219_drop_column_three_gen" -> (dropColumnThreeGen _),
     "q220_nested_skip_probe" -> (nestedSkipProbe _),
+    "q221_rollback_snapshot" -> (rollbackSnapshotProbe _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1819,6 +1879,7 @@ object WarehouseQueries {
     "q218_auto_snapshot_feed" -> autoSnapshotFeedSql,
     "q219_drop_column_three_gen" -> dropColumnThreeGenSql,
     "q220_nested_skip_probe" -> nestedSkipProbeSql,
+    "q221_rollback_snapshot" -> rollbackSnapshotProbeSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

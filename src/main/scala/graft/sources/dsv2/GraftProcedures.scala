@@ -63,6 +63,10 @@ object GraftProcedures {
   private val tableChangesSchema = StructType(Seq(
     StructField("kind", StringType), StructField("shard", StringType),
     StructField("bytes", LongType), StructField("ordinals", LongType)))
+  private val rollbackSchema = StructType(Seq(
+    StructField("version", LongType),
+    StructField("shards_removed", IntegerType),
+    StructField("shards_restored", IntegerType)))
 
   private def utf8(s: String) = UTF8String.fromString(s)
 
@@ -114,6 +118,7 @@ object GraftProcedures {
         case "snapshots" => snapshotsProc(catalog)
         case "expire_snapshots" => expireSnapshotsProc(catalog)
         case "table_changes" => tableChangesProc(catalog)
+        case "rollback_to_snapshot" => rollbackProc(catalog)
         case other => throw new IllegalArgumentException(
           s"unknown graft procedure $other")
       }
@@ -615,6 +620,34 @@ object GraftProcedures {
           finally RowLevelLock.release(fs, lock)
         result(snapshotSchema, Seq(new GenericInternalRow(Array[Any](
           m.id, m.tag.map(utf8).orNull, m.shards.size)): InternalRow))
+      }
+    }
+
+  /** `rollback_to_snapshot(table, version)`: restore the LIVE table to
+    * the pinned version (id or tag) — appended shards leave (retained
+    * while any manifest references them), retired shards move back
+    * from `retained/`, and merge-on-read sidecars rebuild from the
+    * manifest's embedded ordinals. Rolling FORWARD again is the same
+    * CALL with a newer version (post-rollback manifests stay listed —
+    * Iceberg's rollback semantics; `expire_snapshots` bounds history).
+    * Runs under the table `_rlo_lock` like every layout-wide swap. */
+  private def rollbackProc(catalog: GraftCatalog): BoundProcedure =
+    new Bound("rollback_to_snapshot", tableParam,
+      ProcedureParameter.in("version", StringType)
+        .comment("snapshot version id or tag to restore").build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tableName = input.getUTF8String(0).toString
+        val (fs, table) = catalog.resolveTableDir(tableName)
+        val m = JsonlSnapshots.load(fs, table,
+          input.getUTF8String(1).toString)
+        val conf = JsonlHadoopConf.fromSession()
+        val lock = RowLevelLock.acquire(fs, conf.value, table,
+          s"rollback-${java.util.UUID.randomUUID}")
+        val (removed, restored) =
+          try JsonlSnapshots.rollback(fs, table, m)
+          finally RowLevelLock.release(fs, lock)
+        result(rollbackSchema, Seq(new GenericInternalRow(
+          Array[Any](m.id, removed, restored)): InternalRow))
       }
     }
 

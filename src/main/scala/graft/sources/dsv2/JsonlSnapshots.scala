@@ -220,6 +220,78 @@ object JsonlSnapshots {
     walk(trash)
   }
 
+  /** Restore the LIVE table to exactly what manifest `m` pinned —
+    * Iceberg's rollback, re-expressed for this layout. Caller holds
+    * the table `_rlo_lock`.
+    *
+    *   - live shards NOT in `m` leave through [[discardShard]]
+    *     (retained when any manifest — e.g. a post-`m` snapshot —
+    *     references them, so rollback never destroys the future:
+    *     rolling FORWARD again is the same operation);
+    *   - `m`'s shards missing from the live layout move back from
+    *     `retained/` (bytes immutable + attempt-unique names, so the
+    *     retained copy IS the pinned content; other manifests
+    *     referencing the same rel resolve to the live file);
+    *   - the `_deletes/` sidecar tree is rebuilt from `m`'s EMBEDDED
+    *     ordinals — post-`m` merge-on-read deletes un-happen, pre-`m`
+    *     ones re-materialize.
+    *
+    * The skip index drops entries of shards that left; restored shards
+    * scan index-unseen (conservative) until the next build. Manifests
+    * NEWER than `m` stay listed (Iceberg semantics: rollback moves the
+    * live state, `expire_snapshots` bounds history). Returns (shards
+    * removed from live, shards restored). */
+  def rollback(fs: FileSystem, table: Path, m: Manifest): (Int, Int) = {
+    require(m.id > 0, "rollback needs a PINNED snapshot")
+    for (trash <- Seq("_cow_trash", "_compact_trash", "_compact_staging"))
+      require(!fs.exists(new Path(table, trash)),
+        s"rollback refused: $table/$trash exists — a previous operation " +
+          "crashed mid-swap; recover it first")
+    val referenced = referencedRels(fs, table)
+    val qualified = fs.makeQualified(table).toUri
+    // pass 1: live shards not pinned by m leave (retain-or-delete)
+    val removedRels = JsonlLayout.discoverFull(fs, table).flatMap {
+      case (p, _, _, _) =>
+        val rel = qualified.relativize(fs.makeQualified(p).toUri).getPath
+        if (m.shards.contains(rel)) None
+        else { discardShard(fs, table, p, rel, referenced); Some(rel) }
+    }
+    JsonlSkipIndex.removeEntries(fs, table, removedRels)
+    // pass 2: pinned shards missing from live move back from retained/
+    var restored = 0
+    m.shards.keysIterator.foreach { rel =>
+      val live = new Path(table, rel)
+      if (!fs.exists(live)) {
+        val kept = new Path(retainedRoot(table), rel)
+        require(fs.exists(kept),
+          s"rollback: snapshot shard $rel missing from both the table " +
+            "and retained/ — was it deleted outside the connector?")
+        fs.mkdirs(live.getParent)
+        if (!fs.rename(kept, live))
+          throw new java.io.IOException(s"rollback restore failed for $rel")
+        restored += 1
+      }
+    }
+    // prune emptied partition dirs so dropped values leave the layout
+    def prune(dir: Path): Boolean = {
+      if (!fs.getFileStatus(dir).isDirectory) return false
+      val remaining = fs.listStatus(dir).filterNot { st =>
+        st.isDirectory && st.getPath.getName.contains("=") && prune(st.getPath)
+      }
+      if (remaining.isEmpty && dir != table) { fs.delete(dir, false); true }
+      else false
+    }
+    prune(table)
+    // pass 3: sidecar state = exactly m's embedded ordinals
+    fs.delete(new Path(table, JsonlDeletes.DirName), true)
+    m.shards.foreach { case (rel, ref) =>
+      if (ref.deletes.nonEmpty)
+        JsonlDeletes.append(fs, fs.getConf, table, new Path(table, rel),
+          ref.deletes)
+    }
+    (removedRels.size, restored)
+  }
+
   /** Drop all but the newest `keepLast` manifests, then every retained
     * file no surviving manifest references. Returns (manifests
     * removed, retained files removed). */

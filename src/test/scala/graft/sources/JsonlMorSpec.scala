@@ -442,6 +442,60 @@ class JsonlMorSpec extends AnyFunSuite {
       Seq((1L, 20L), (3L, 60L)))
   }
 
+  test("scoped lock race: never two concurrent holders of one scope; disjoint scopes overlap") {
+    import graft.sources.dsv2.{ConcurrentRowLevelOperationException, RowLevelLock}
+    import java.util.concurrent.CountDownLatch
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.hadoop.fs.Path
+    val table = new Path(
+      java.nio.file.Files.createTempDirectory("graft-scoped-race").toString)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(hconf)
+    fs.mkdirs(table)
+    // SHARED scope: of 4 simultaneous acquirers at most one holds at a
+    // time, across 10 rounds (winners may be 1..4 per round as earlier
+    // winners release — exclusivity is the invariant, not the count)
+    val cur = new AtomicInteger(0)
+    val maxConcurrent = new AtomicInteger(0)
+    val wonTotal = new AtomicInteger(0)
+    for (_ <- 1 to 10) {
+      val go = new CountDownLatch(1)
+      val ts = (1 to 4).map { i =>
+        new Thread(() => {
+          go.await()
+          try {
+            val l = RowLevelLock.acquireScoped(fs, hconf, table,
+              s"racer-$i", Seq("p=9"))
+            val c = cur.incrementAndGet()
+            maxConcurrent.updateAndGet(m => math.max(m, c))
+            wonTotal.incrementAndGet()
+            Thread.sleep(5)
+            cur.decrementAndGet()
+            RowLevelLock.releaseAll(fs, l)
+          } catch { case _: ConcurrentRowLevelOperationException => () }
+        })
+      }
+      ts.foreach(_.start()); go.countDown(); ts.foreach(_.join())
+    }
+    assert(wonTotal.get >= 10, s"every round must produce a winner: ${wonTotal.get}")
+    assert(maxConcurrent.get == 1,
+      s"two holders of one scope overlapped: ${maxConcurrent.get}")
+    // DISJOINT scopes: both acquirers hold simultaneously
+    val both = new CountDownLatch(2)
+    val overlapped = new AtomicInteger(0)
+    val ds = Seq("p=1", "p=2").map { scope =>
+      new Thread(() => {
+        val l = RowLevelLock.acquireScoped(fs, hconf, table, scope, Seq(scope))
+        both.countDown()
+        if (both.await(5, java.util.concurrent.TimeUnit.SECONDS))
+          overlapped.incrementAndGet()
+        RowLevelLock.releaseAll(fs, l)
+      })
+    }
+    ds.foreach(_.start()); ds.foreach(_.join())
+    assert(overlapped.get == 2, "disjoint scopes must hold concurrently")
+  }
+
   test("partition-scoped locks: disjoint MOR deletes coexist, table-wide ops exclude") {
     import graft.sources.dsv2.{ConcurrentRowLevelOperationException, RowLevelLock}
     import org.apache.hadoop.fs.Path

@@ -277,6 +277,44 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
     assert(win == Seq((2L, "delete"), (4L, "insert")), win.toString)
   }
 
+  test("rollback_to_snapshot restores live state in BOTH directions") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.rb")
+    sql("""CREATE TABLE sn.rb.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO sn.rb.t VALUES (1, 10), (2, 20), (3, 30)")
+    sql("CALL sn.system.snapshot('rb.t', tag => 'base')") // v1
+    sql("DELETE FROM sn.rb.t WHERE k = 2") // MOR sidecar grows
+    sql("INSERT INTO sn.rb.t VALUES (4, 40)") // appended shard
+    sql("CALL sn.system.snapshot('rb.t', tag => 'mut')") // v2
+    def live = rows("SELECT k, v FROM sn.rb.t")
+    assert(live == Seq((1L, 10L), (3L, 30L), (4L, 40L)))
+    // roll BACK: the delete un-happens, the append leaves (retained —
+    // v2 references it)
+    val r1 = sql("CALL sn.system.rollback_to_snapshot('rb.t', version => 'base')").head
+    assert(r1.getLong(0) == 1L && r1.getInt(1) == 1 && r1.getInt(2) == 0,
+      s"one appended shard removed, none restored: $r1")
+    assert(live == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(rows("SELECT k, v FROM sn.rb.t VERSION AS OF 'mut'") ==
+      Seq((1L, 10L), (3L, 30L), (4L, 40L)),
+      "the post-rollback snapshot must keep answering (its shard retained)")
+    // roll FORWARD: the same CALL with the newer version — the
+    // retained shard moves back, the sidecar re-materializes
+    val r2 = sql("CALL sn.system.rollback_to_snapshot('rb.t', version => 'mut')").head
+    assert(r2.getInt(2) == 1, s"the retained shard restores: $r2")
+    assert(live == Seq((1L, 10L), (3L, 30L), (4L, 40L)))
+    // and back again — both manifests stay replayable
+    sql("CALL sn.system.rollback_to_snapshot('rb.t', version => 'base')")
+    assert(live == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // post-rollback writes compose normally
+    sql("INSERT INTO sn.rb.t VALUES (5, 50)")
+    assert(live == Seq((1L, 10L), (2L, 20L), (3L, 30L), (5L, 50L)))
+    // unknown version refuses loudly
+    intercept[Exception] {
+      sql("CALL sn.system.rollback_to_snapshot('rb.t', version => 'nope')")
+        .collect()
+    }
+  }
+
   test("per-version admission control: catch-up replays one batch per snapshot") {
     import graft.sources.dsv2.JsonlChangeFeed
     import scala.jdk.CollectionConverters._
