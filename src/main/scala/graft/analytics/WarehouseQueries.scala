@@ -1466,6 +1466,65 @@ object WarehouseQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY _change, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+  /** CDC-driven INCREMENTAL AGGREGATE MAINTENANCE — the reason a
+    * change feed exists at 100 TB: a per-status (count, sum) rollup
+    * maintained by applying ONLY the v1→v2 change feed (inserts +1,
+    * deletes −1, both count and measure) on top of the aggregate AS OF
+    * v1 — the base table is never rescanned. Reuses q212's fixture
+    * (appended +10M batch, MOR delete of the original 'F' rows);
+    * guarded in-query that the incrementally-maintained rollup equals
+    * the direct live aggregate row-for-row; the oracle recomputes the
+    * mutated state from the raw parquet. */
+  def cdcIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    snapshotChangeFeed(s, dir) // build/reuse the shared q212 fixture
+    val child = cdcCatalogs.get(dir)
+    val catalog = child.sessionState.catalogManager.catalog("whcd")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    val base = child.sql(
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM whcd.cd.orders VERSION AS OF 'v1'
+        |GROUP BY o_orderstatus""".stripMargin)
+    val delta = graft.sources.dsv2.JsonlChangeFeed
+      .between(child, catalog, "cd.orders", "v1", Some("v2"))
+      .select(col("o_orderstatus"),
+        when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+          .as("sign"),
+        col("o_custkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("sign")).as("n"),
+        sum(col("sign") * col("o_custkey")).as("sum_cust"))
+    val maintained = base.unionByName(delta)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sum_cust")).cast("long").as("sum_cust"))
+      .where(col("n") > 0)
+      .orderBy(col("o_orderstatus"))
+    // incremental == direct: the maintained rollup must equal a full
+    // aggregate of the LIVE table (which the oracle independently pins)
+    val direct = child.sql(
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM whcd.cd.orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    val (m, d) = (maintained.collect().toSeq, direct.collect().toSeq)
+    require(m.map(_.toSeq) == d.map(_.toSeq),
+      s"incrementally maintained rollup diverged from the live aggregate:" +
+        s"\n  maintained: $m\n  direct:     $d")
+    maintained
+  }
+
+  val cdcIncrementalAggSql: String =
+    """WITH live AS (
+      |  SELECT o_custkey, o_orderstatus FROM orders
+      |  WHERE o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderstatus FROM orders)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+      |FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- q221
   /** `CALL rollback_to_snapshot` under the oracle gate
     * ([[graft.sources.dsv2.JsonlSnapshots.rollback]]): a merge-on-read
@@ -1839,6 +1898,7 @@ object WarehouseQueries {
     "q219_drop_column_three_gen" -> (dropColumnThreeGen _),
     "q220_nested_skip_probe" -> (nestedSkipProbe _),
     "q221_rollback_snapshot" -> (rollbackSnapshotProbe _),
+    "q222_cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1880,6 +1940,7 @@ object WarehouseQueries {
     "q219_drop_column_three_gen" -> dropColumnThreeGenSql,
     "q220_nested_skip_probe" -> nestedSkipProbeSql,
     "q221_rollback_snapshot" -> rollbackSnapshotProbeSql,
+    "q222_cdc_incremental_agg" -> cdcIncrementalAggSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -34,11 +34,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Snapshots are immutable once written and shard names are
   * attempt-unique, so a retained file can never collide with a live
   * one. Manifest size is O(shards + embedded delete ordinals) —
-  * metadata scale; the snapshot itself copies ZERO data bytes. The
-  * deliberate non-goal (documented, not hidden): snapshots are
-  * explicit CALLs, not per-commit — between snapshots there is no
+  * metadata scale; the snapshot itself copies ZERO data bytes.
+  * Snapshots are explicit CALLs by default; a table declaring
+  * `graft.snapshot.auto = 'true'` ([[JsonlTable.AutoSnapshotProp]])
+  * pins one per committed write instead ([[autoPin]]), giving the
+  * change feed per-commit granularity. Between pins there is no
   * finer-grained history, and reads of the LIVE table keep the
-  * per-file-rename visibility contract. */
+  * per-file-rename visibility contract. `CALL rollback_to_snapshot`
+  * ([[rollback]]) restores the live table to any pinned version, in
+  * either direction. */
 object JsonlSnapshots {
   val DirName = "_snapshots"
   val RetainedName = "retained"
