@@ -85,14 +85,14 @@ final class JsonlChangesTable(schema0: StructType, path: String,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new JsonlChangesScan(schema0, path,
-      options.getLong("fromVersion", 0L),
-      Option(options.get("toVersion")).map(_.toLong),
+      Option(options.get("fromVersion")).getOrElse("0"),
+      Option(options.get("toVersion")),
       options.getLong("startVersion", 0L),
       options.getInt("maxVersionsPerBatch", 1))
 }
 
 final class JsonlChangesScan(schema: StructType, path: String,
-                             fromVersion: Long, toVersion: Option[Long],
+                             fromVersion: String, toVersion: Option[String],
                              startVersion: Long,
                              maxVersionsPerBatch: Int = 1)
     extends Scan with Batch {
@@ -111,12 +111,20 @@ final class JsonlChangesScan(schema: StructType, path: String,
   override def planInputPartitions(): Array[InputPartition] = {
     val table = new Path(path)
     val fs = table.getFileSystem(conf.value)
-    val m1 = JsonlChangesScan.manifestAt(fs, table, fromVersion, tableSchema)
+    // endpoints accept a numeric id OR a snapshot tag ("0" = the
+    // empty pre-history manifest, so fromVersion=0 replays everything)
+    def at(v: String): JsonlSnapshots.Manifest =
+      if (v == "0") JsonlChangesScan.manifestAt(fs, table, 0L, tableSchema)
+      else JsonlSnapshots.load(fs, table, v)
+    val m1 = at(fromVersion)
     val m2 = toVersion match {
-      case Some(v) => JsonlChangesScan.manifestAt(fs, table, v, tableSchema)
+      case Some(v) => at(v)
       case None => JsonlSnapshots.list(fs, table).lastOption
         .getOrElse(JsonlSnapshots.current(fs, table, tableSchema))
     }
+    require(m2.id < 0 || m1.id <= m2.id,
+      s"graft-jsonl-changes: fromVersion=v${m1.id} is newer than " +
+        s"toVersion=v${m2.id} — swap the endpoints (the feed is forward-only)")
     JsonlChangesScan.diffPartitions(fs, table, m1, m2)
   }
 

@@ -313,6 +313,19 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
       sql("CALL sn.system.rollback_to_snapshot('rb.t', version => 'nope')")
         .collect()
     }
+    // the changes source accepts snapshot TAGS as window endpoints
+    val dirRb = s"${spark.conf.get("spark.sql.catalog.sn.root")}/rb/t"
+    val win = spark.read.format("graft-jsonl-changes")
+      .option("fromVersion", "base").option("toVersion", "mut").load(dirRb)
+      .select("k", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(win == Seq((2L, "delete"), (4L, "insert")), win.toString)
+    // forward-only: swapped endpoints refuse
+    intercept[Exception] {
+      spark.read.format("graft-jsonl-changes")
+        .option("fromVersion", "mut").option("toVersion", "base").load(dirRb)
+        .collect()
+    }
   }
 
   test("per-version admission control: catch-up replays one batch per snapshot") {
