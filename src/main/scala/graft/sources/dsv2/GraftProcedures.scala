@@ -154,25 +154,44 @@ object GraftProcedures {
       ProcedureParameter.in("max_shards", IntegerType).defaultValue("8")
         .comment("rewrite dirs holding more shards than this").build(),
       ProcedureParameter.in("target_mb", IntegerType).defaultValue("64")
-        .comment("target compacted shard size").build()) {
+        .comment("target compacted shard size").build(),
+      ProcedureParameter.in("partition", StringType).defaultValue("''")
+        .comment("partition-relative dir to compact ALONE under its " +
+          "scoped lock (concurrent with other partitions' commits); " +
+          "'' = whole table under the table lock").build()) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val (fs, table) = catalog.resolveTableDir(input.getUTF8String(0).toString)
         val maxShards = input.getInt(1)
         val targetBytes = input.getInt(2).toLong << 20
+        // PARTITION-scoped mode: compact one hot partition of a huge
+        // table without excluding writers of the other partitions —
+        // the swap holds only that dir's scoped lock (table-wide
+        // holders still drain it), and the staging/trash dirs carry
+        // the scope hash so concurrent partition compacts never share
+        // swap state
+        val scope = Option(input.getUTF8String(3)).map(_.toString)
+          .filter(_.nonEmpty)
+        scope.foreach(sc => require(
+          sc.split("/").forall(_.contains("=")),
+          s"compact partition must be a partition-relative dir " +
+            s"(k=v[/k2=v2...]), got '$sc'"))
+        val suffix =
+          scope.fold("")(sc =>
+            "_" + RowLevelLock.scopeLockName(sc).stripSuffix(".lock"))
         // underscore-prefixed dirs INSIDE the table directory: readers
         // never descend into non-`k=v` dirs, and namespace discovery
         // never looks inside a table dir — so neither shows up as a
         // phantom namespace mid-run (or after a crash), unlike the
         // former `<table>__compact_*` sibling paths
-        val staging = new Path(table, "_compact_staging")
-        val trash = new Path(table, "_compact_trash")
+        val staging = new Path(table, s"_compact_staging$suffix")
+        val trash = new Path(table, s"_compact_trash$suffix")
         val spark = org.apache.spark.sql.SparkSession.active
         val conf = JsonlHadoopConf.fromSession()
-        // single-maintenance-writer: the rewrite + swap holds the same
-        // _rlo_lock as row-level commits, cluster_table, and snapshot,
-        // so none can race the window where a dir is mid-swap
-        val rloLock = RowLevelLock.acquire(fs, conf.value, table,
-          s"compact-${java.util.UUID.randomUUID}")
+        // single-maintenance-writer PER SCOPE: the rewrite + swap holds
+        // the same lock tier as row-level commits, cluster_table, and
+        // snapshot, so none can race the window where a dir is mid-swap
+        val rloLocks = RowLevelLock.acquireScoped(fs, conf.value, table,
+          s"compact-${java.util.UUID.randomUUID}", scope.toSeq)
         try {
         // discovery runs INSIDE the lock: a COW/MOR commit landing
         // between listing the shards and the swap would retire (or
@@ -180,6 +199,13 @@ object GraftProcedures {
         require(!fs.exists(trash) && !fs.exists(staging),
           s"$trash or $staging exists: a previous compaction crashed " +
             "mid-swap; recover before compacting again")
+        // a TABLE-wide crashed swap holds the only copy of ITS dirs —
+        // a scoped run must refuse too (its partition may be in there)
+        if (scope.nonEmpty)
+          require(!fs.exists(new Path(table, "_compact_trash")) &&
+            !fs.exists(new Path(table, "_compact_staging")),
+            s"$table has a crashed table-wide compaction swap; recover " +
+              "it before partition-scoped compaction")
         // merge-on-read integration: compaction is where position-
         // delete sidecars are RETIRED — deleted lines are dropped from
         // the rewritten shards (still pure line I/O: the sidecar is
@@ -191,8 +217,9 @@ object GraftProcedures {
         val sidecars = JsonlDeletes.index(fs, table)
         val todo = shardsByDir(fs, table)
           .filter { case (rel, shards) =>
-            (rel.nonEmpty && shards.size > maxShards) ||
-              shards.exists(s => sidecars.contains(s._1.toString)) }
+            scope.forall(_ == rel) &&
+              ((rel.nonEmpty && shards.size > maxShards) ||
+                shards.exists(s => sidecars.contains(s._1.toString))) }
           .toSeq.sortBy(_._1)
         if (todo.isEmpty) return result(compactSchema, Nil)
         val tableStr = table.toString
@@ -321,8 +348,11 @@ object GraftProcedures {
         JsonlSkipIndex.removeDirs(fs, table, after.map(_._1).toSeq)
         JsonlSkipIndex.mergeEntries(fs, table, synthesized)
         // the _deletes tree may now be empty scaffolding — drop it so
-        // future plans pay a single existence probe again
-        val delRoot = new Path(table, JsonlDeletes.DirName)
+        // future plans pay a single existence probe again. SCOPED runs
+        // must not touch other partitions' subtrees: a concurrent MOR
+        // commit elsewhere may be publishing a sidecar this instant
+        val delRoot = scope.fold(new Path(table, JsonlDeletes.DirName))(
+          sc => new Path(table, s"${JsonlDeletes.DirName}/$sc"))
         def emptyTree(d: Path): Boolean =
           fs.exists(d) && fs.listStatus(d).forall(st =>
             st.isDirectory && emptyTree(st.getPath))
@@ -339,7 +369,7 @@ object GraftProcedures {
         fs.delete(staging, true)
         result(compactSchema, after.toSeq.map { case (rel, b, a) =>
           new GenericInternalRow(Array[Any](utf8(rel), b, a)): InternalRow })
-        } finally RowLevelLock.release(fs, rloLock)
+        } finally RowLevelLock.releaseAll(fs, rloLocks)
       }
     }
 

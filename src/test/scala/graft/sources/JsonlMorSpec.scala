@@ -442,6 +442,60 @@ class JsonlMorSpec extends AnyFunSuite {
       Seq((1L, 20L), (3L, 60L)))
   }
 
+  test("partition-scoped compact: one dir swaps under its own lock, others untouched") {
+    import graft.sources.dsv2.RowLevelLock
+    import org.apache.hadoop.fs.Path
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.pc")
+    sql("""CREATE TABLE mw.pc.t (k BIGINT, p BIGINT)
+          |PARTITIONED BY (p)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    for (i <- 1 to 10)
+      sql(s"INSERT INTO mw.pc.t VALUES ($i, 1), (${i + 100}, 2)")
+    sql("DELETE FROM mw.pc.t WHERE k = 3") // sidecar in p=1
+    val dir = new java.io.File(s"$root/pc/t")
+    def shardsIn(rel: String): Int =
+      new java.io.File(dir, rel).listFiles()
+        .count(_.getName.endsWith(".jsonl.gz"))
+    assert(shardsIn("p=1") == 10 && shardsIn("p=2") == 10)
+    val p2Files = new java.io.File(dir, "p=2").listFiles().map(_.getName).toSet
+    // with p=2 HELD by another writer, a scoped compact of p=1 proceeds
+    val table = new Path(s"$root/pc/t")
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val held = RowLevelLock.acquireScoped(fs,
+      spark.sessionState.newHadoopConf(), table, "other", Seq("p=2"))
+    val res = sql("""CALL mw.system.compact('pc.t', max_shards => 2,
+                    |partition => 'p=1')""".stripMargin).collect()
+    assert(res.map(_.getString(0)).toSeq == Seq("p=1"), res.mkString(","))
+    assert(shardsIn("p=1") == 1, "p=1 compacts to one shard")
+    assert(new java.io.File(dir, "p=2").listFiles().map(_.getName).toSet
+      == p2Files, "p=2 byte-untouched")
+    // rows exact; the sidecar retired with the rewrite
+    assert(sql("SELECT k FROM mw.pc.t WHERE p = 1 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == (1L to 10L).filterNot(_ == 3L))
+    // the scoped run clears ITS OWN _deletes subtree only (another
+    // partition's MOR commit may be publishing a sidecar this instant)
+    assert(!new java.io.File(dir, "_deletes/p=1").exists())
+    // compacting the HELD partition refuses on the shared scope
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      sql("CALL mw.system.compact('pc.t', max_shards => 2, partition => 'p=2')")
+        .collect()
+    }
+    assert(msgs(e).exists(_.contains("concurrent row-level")), e.toString)
+    RowLevelLock.releaseAll(fs, held)
+    sql("CALL mw.system.compact('pc.t', max_shards => 2, partition => 'p=2')")
+      .collect()
+    assert(shardsIn("p=2") == 1)
+    assert(sql("SELECT k FROM mw.pc.t WHERE p = 2 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == (101L to 110L))
+    // a non-partition arg refuses loudly
+    val e2 = intercept[Exception] {
+      sql("CALL mw.system.compact('pc.t', partition => 'nope')").collect()
+    }
+    assert(msgs(e2).exists(_.contains("partition-relative")), e2.toString)
+  }
+
   test("scoped lock race: never two concurrent holders of one scope; disjoint scopes overlap") {
     import graft.sources.dsv2.{ConcurrentRowLevelOperationException, RowLevelLock}
     import java.util.concurrent.CountDownLatch
