@@ -412,6 +412,47 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
     assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(4L))
   }
 
+  test("CDC apply: the changes stream drives a downstream MERGE mirror") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    val catalog = spark.sessionState.catalogManager.catalog("sn")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.cdc")
+    // upstream auto-pins per commit; downstream is an ordinary MOR table
+    sql("""CREATE TABLE sn.cdc.up (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.snapshot.auto'='true',
+          |  'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("""CREATE TABLE sn.cdc.dn (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    val q = JsonlChangeFeed.stream(spark, catalog, "cdc.up")
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-apply").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the canonical CDC-apply MERGE: per-version micro-batches
+        // (admission control) make each batch's per-key change
+        // unambiguous — an insert and its later delete never net
+        df.createOrReplaceTempView("up_changes")
+        df.sparkSession.sql(
+          """MERGE INTO sn.cdc.dn t USING up_changes c ON t.k = c.k
+            |WHEN MATCHED AND c._change = 'delete' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET t.v = c.v
+            |WHEN NOT MATCHED AND c._change = 'insert' THEN
+            |  INSERT (k, v) VALUES (c.k, c.v)""".stripMargin)
+        ()
+      }.start()
+    def mirror: Seq[(Long, Long)] = rows("SELECT k, v FROM sn.cdc.dn")
+    try {
+      sql("INSERT INTO sn.cdc.up VALUES (1, 10), (2, 20)") // pins v1
+      q.processAllAvailable()
+      assert(mirror == Seq((1L, 10L), (2L, 20L)))
+      sql("INSERT INTO sn.cdc.up VALUES (3, 30)") // pins v2
+      sql("DELETE FROM sn.cdc.up WHERE k = 1") // MOR delta, pins v3
+      q.processAllAvailable()
+      assert(mirror == Seq((2L, 20L), (3L, 30L)),
+        s"downstream must mirror upstream after insert+delete: $mirror")
+      assert(mirror == rows("SELECT k, v FROM sn.cdc.up"))
+    } finally q.stop()
+  }
+
   test("snapshots are read-only; streaming a snapshot refuses") {
     sql("CREATE NAMESPACE IF NOT EXISTS sn.ro")
     sql("CREATE TABLE sn.ro.t (k BIGINT, v BIGINT)")
