@@ -256,12 +256,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
         })
         // column-list properties keyed on the old name keep working
-        // under the new one
+        // under the new one (dotted skip entries rooted at the renamed
+        // field follow it too)
         props = props.map {
           case (k, v) if k == JsonlSkipIndex.ColumnsProperty ||
               k == JsonlTable.WriteOrderProp =>
-            k -> v.split(",").map(_.trim)
-              .map(c => if (c == name) newName else c).mkString(",")
+            k -> v.split(",").map(_.trim).map { c =>
+              if (c == name) newName
+              else if (c.startsWith(name + "."))
+                newName + c.substring(name.length)
+              else c
+            }.mkString(",")
           case kv => kv
         }
       case d: TableChange.DeleteColumn =>
@@ -286,12 +291,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             .distinct
           val all = (JsonlTable.tombstonedKeysOf(props) ++ dead).toSeq.sorted
           props = props + (JsonlTable.TombstonedKeysProp -> all.mkString(","))
-          // column-list properties drop the dead name
+          // column-list properties drop the dead name (and any dotted
+          // skip entries rooted at it)
           props = props.map {
             case (k, v) if k == JsonlSkipIndex.ColumnsProperty ||
                 k == JsonlTable.WriteOrderProp =>
               k -> v.split(",").map(_.trim)
-                .filter(c => c.nonEmpty && c != name).mkString(",")
+                .filter(c => c.nonEmpty && c != name &&
+                  !c.startsWith(name + ".")).mkString(",")
             case kv => kv
           }.filter { case (k, v) =>
             v.nonEmpty || (k != JsonlSkipIndex.ColumnsProperty &&

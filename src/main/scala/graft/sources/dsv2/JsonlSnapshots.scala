@@ -119,20 +119,31 @@ object JsonlSnapshots {
     * pins inline; a lock-free plain append acquires it just for the
     * pin, WAITING (default 30 s, overridable via
     * `graft.rlo.lock.acquire.wait.ms`) instead of failing a commit
-    * whose data already landed. `CALL expire_snapshots(keep_last)`
-    * bounds the history this grows. */
+    * whose data already landed — and if the budget runs out under a
+    * long-running maintenance holder, the pin is SKIPPED rather than
+    * failing the landed commit: the next successful pin nets this
+    * commit's changes into its window (the same granularity
+    * degradation as a crash between a streaming epoch's log record
+    * and its pin — rows are never lost, version boundaries coarsen).
+    * `CALL expire_snapshots(keep_last)` bounds the history this
+    * grows. */
   def autoPin(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
               table: Path, fallbackSchema: StructType, queryId: String,
-              alreadyLocked: Boolean): Manifest = {
+              alreadyLocked: Boolean): Option[Manifest] = {
     val schema = tableSchemaOf(fs, table, fallbackSchema)
-    if (alreadyLocked) create(fs, table, None, schema)
+    if (alreadyLocked) Some(create(fs, table, None, schema))
     else {
       val c = new org.apache.hadoop.conf.Configuration(conf)
       if (c.get(RowLevelLock.AcquireWaitMsKey) == null)
         c.setLong(RowLevelLock.AcquireWaitMsKey, 30000L)
-      val lease = RowLevelLock.acquire(fs, c, table, s"autosnap-$queryId")
-      try create(fs, table, None, schema)
-      finally RowLevelLock.release(fs, lease)
+      val lease =
+        try RowLevelLock.acquire(fs, c, table, s"autosnap-$queryId")
+        catch { case _: ConcurrentRowLevelOperationException => null }
+      if (lease == null) None
+      else {
+        try Some(create(fs, table, None, schema))
+        finally RowLevelLock.release(fs, lease)
+      }
     }
   }
 

@@ -407,9 +407,29 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
         "the MOR delete publishes as its own CDC batch")
     } finally q.stop()
     assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(1L, 2L, 3L, 4L))
+    // a pin blocked past its wait budget SKIPS instead of failing the
+    // landed commit; the next pin nets both commits into one window
+    val lock = new java.io.File(
+      s"${spark.conf.get("spark.sql.catalog.sn.root")}/au/t/_rlo_lock")
+    val w = new java.io.FileWriter(lock); w.write("long-compact"); w.close()
+    spark.conf.set("graft.rlo.lock.acquire.wait.ms", "200")
+    try sql("INSERT INTO sn.au.t VALUES (6, 60)") // lands, pin skipped
+    finally spark.conf.unset("graft.rlo.lock.acquire.wait.ms")
+    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(1L, 2L, 3L, 4L),
+      "blocked pin must skip, not fail the commit")
+    assert(sql("SELECT count(*) FROM sn.au.t").head.getLong(0) == 3L,
+      "the row landed")
+    assert(lock.delete())
+    sql("INSERT INTO sn.au.t VALUES (7, 70)") // pins v5 = rows 6 AND 7
+    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(1L, 2L, 3L, 4L, 5L))
+    val netted = spark.read.format("graft-jsonl-changes")
+      .option("fromVersion", 4).option("toVersion", 5)
+      .load(s"${spark.conf.get("spark.sql.catalog.sn.root")}/au/t")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(netted == Seq(6L, 7L), s"the next pin nets both commits: $netted")
     // history stays bounded the usual way
     sql("CALL sn.system.expire_snapshots('au.t', keep_last => 1)")
-    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(4L))
+    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(5L))
   }
 
   test("CDC apply: the changes stream drives a downstream MERGE mirror") {
