@@ -620,6 +620,10 @@ object GraftProcedures {
           d.deltaDeletes.toSeq.sortBy(_._1).map { case (rel, ords) =>
             new GenericInternalRow(Array[Any](
               utf8("delta_deletes"), utf8(rel), m1.shards(rel).len,
+              ords.length.toLong)): InternalRow } ++
+          d.deltaRestores.toSeq.sortBy(_._1).map { case (rel, ords) =>
+            new GenericInternalRow(Array[Any](
+              utf8("delta_restores"), utf8(rel), m2.shards(rel).len,
               ords.length.toLong)): InternalRow }
         result(tableChangesSchema, rows)
       }

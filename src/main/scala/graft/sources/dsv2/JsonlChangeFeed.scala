@@ -42,20 +42,31 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
 object JsonlChangeFeed {
 
   /** The shard-grain manifest diff: (added, removed, common-shard
-    * delta-delete pairs rel → new ordinals). */
+    * delta-delete pairs rel → GROWN ordinals, delta-restore pairs
+    * rel → SHRUNK ordinals). A shrunk ordinal set means rows came
+    * BACK — `CALL rollback_to_snapshot` rebuilds sidecars from an
+    * older manifest's embedded ordinals — and the feed reports them
+    * as inserts, or a CDC replay would lose the resurrection. */
   final case class Diff(added: Set[String], removed: Set[String],
-                        deltaDeletes: Map[String, Array[Long]])
+                        deltaDeletes: Map[String, Array[Long]],
+                        deltaRestores: Map[String, Array[Long]])
 
   def diff(m1: JsonlSnapshots.Manifest,
            m2: JsonlSnapshots.Manifest): Diff = {
     val added = m2.shards.keySet -- m1.shards.keySet
     val removed = m1.shards.keySet -- m2.shards.keySet
-    val delta = (m1.shards.keySet & m2.shards.keySet).iterator.flatMap { rel =>
+    val common = (m1.shards.keySet & m2.shards.keySet).toSeq
+    val delta = common.iterator.flatMap { rel =>
       val d1 = m1.shards(rel).deletes.toSet
       val fresh = m2.shards(rel).deletes.filterNot(d1)
       if (fresh.isEmpty) None else Some(rel -> fresh)
     }.toMap
-    Diff(added, removed, delta)
+    val restores = common.iterator.flatMap { rel =>
+      val d2 = m2.shards(rel).deletes.toSet
+      val back = m1.shards(rel).deletes.filterNot(d2)
+      if (back.isEmpty) None else Some(rel -> back)
+    }.toMap
+    Diff(added, removed, delta, restores)
   }
 
   /** Rows inserted/deleted between snapshot `from` and snapshot `to`
@@ -72,12 +83,19 @@ object JsonlChangeFeed {
     def strLit(v: String): String = "'" + v.replace("'", "''") + "'"
     val ref = (catalog.name +: tableName.split("\\.").toSeq)
       .map(ident).mkString(".")
-    val m1 = JsonlSnapshots.load(fs, table, from)
     val m2 = to.map(JsonlSnapshots.load(fs, table, _)).getOrElse {
       val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
         tableName.split("\\.").init, tableName.split("\\.").last)
       JsonlSnapshots.current(fs, table, catalog.loadTable(ident).schema())
     }
+    // from = "0" is the EMPTY pre-history endpoint (the streaming
+    // source's fromVersion=0): the whole `to` content replays as
+    // inserts — the window chain 0→v1→…→vN then reconstructs any
+    // version by replay
+    val m1 =
+      if (from == "0")
+        JsonlSnapshots.Manifest(0L, None, 0L, m2.schemaJson, Map.empty)
+      else JsonlSnapshots.load(fs, table, from)
     require(m2.id < 0 || m1.id <= m2.id,
       s"table_changes: from=v${m1.id} is newer than to=v${m2.id} — " +
         "swap the endpoints (the feed is forward-only)")
@@ -92,9 +110,25 @@ object JsonlChangeFeed {
       case None => spark.sql(s"SELECT _shard, _pos, * FROM $ref")
     }
     val toRead = read(to)
-    val fromRead = read(Some(from))
+    val fromRead =
+      if (m1.id == 0L) toRead.where(lit(false)) // empty pre-history
+      else read(Some(from))
+    // ordinal-delta RESTORES (rollback shrank a sidecar): the rows at
+    // the shrunk ordinals are live again — present exactly once in the
+    // to-side read, recovered positionally like the deletes below
+    val restoredRows =
+      if (d.deltaRestores.isEmpty) toRead.where(lit(false))
+      else {
+        val pairs = d.deltaRestores.toSeq.flatMap { case (rel, ords) =>
+          val q = qualify(rel); ords.map(o => (q, o))
+        }
+        import spark.implicits._
+        toRead.join(broadcast(pairs.toDF("_shard", "_pos")),
+          Seq("_shard", "_pos"), "left_semi")
+      }
     val inserted = toRead
       .where(col("_shard").isin(d.added.toSeq.map(qualify): _*))
+      .unionByName(restoredRows)
     val removedRows = fromRead
       .where(col("_shard").isin(d.removed.toSeq.map(qualify): _*))
     val deltaRows =

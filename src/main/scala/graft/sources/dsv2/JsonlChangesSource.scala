@@ -179,7 +179,13 @@ object JsonlChangesScan {
       JsonlInputPartition(resolve(rel), pvOf(rel),
         changeKind = "delete", keepPositions = ords): InputPartition
     }
-    (added ++ removed ++ delta).toArray
+    // shrunk ordinal sets (rollback resurrected rows): emitted as
+    // inserts, exactly the restored positions
+    val restored = d.deltaRestores.toSeq.sortBy(_._1).map { case (rel, ords) =>
+      JsonlInputPartition(resolve(rel), pvOf(rel),
+        changeKind = "insert", keepPositions = ords): InputPartition
+    }
+    (added ++ removed ++ delta ++ restored).toArray
   }
 }
 

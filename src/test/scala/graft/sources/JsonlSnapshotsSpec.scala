@@ -473,6 +473,71 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("property: random mutation histories — snapshots immutable, CDC replay exact") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    for (seed <- Seq(7, 23, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val ns = s"pp$seed"
+      sql(s"CREATE NAMESPACE IF NOT EXISTS sn.$ns")
+      sql(s"""CREATE TABLE sn.$ns.t (k BIGINT, v BIGINT)
+             |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+      var nextK = 0L
+      def live: Seq[(Long, Long)] = rows(s"SELECT k, v FROM sn.$ns.t")
+      var pinned = Vector.empty[(Long, Seq[(Long, Long)])] // (version, rows)
+      def pin(): Unit = {
+        val id = sql(s"CALL sn.system.snapshot('$ns.t')").head.getLong(0)
+        pinned :+= (id, live)
+      }
+      sql(s"INSERT INTO sn.$ns.t VALUES (0, 0), (1, 10)"); nextK = 2
+      pin()
+      for (_ <- 1 to 14) rnd.nextInt(6) match {
+        case 0 | 1 => // append a small batch
+          val vals = (0 until 1 + rnd.nextInt(3))
+            .map { _ => val k = nextK; nextK += 1; s"($k, ${k * 10})" }
+          sql(s"INSERT INTO sn.$ns.t VALUES ${vals.mkString(", ")}")
+        case 2 => // MOR delete of a random live key
+          val ks = live.map(_._1)
+          if (ks.nonEmpty)
+            sql(s"DELETE FROM sn.$ns.t WHERE k = ${ks(rnd.nextInt(ks.size))}")
+        case 3 => pin()
+        case 4 => // compact folds sidecars into rewritten shards
+          sql(s"CALL sn.system.compact('$ns.t', max_shards => 2)").collect()
+        case 5 => // rollback to a random pinned version (then keep going)
+          if (pinned.nonEmpty) {
+            val (id, want) = pinned(rnd.nextInt(pinned.size))
+            sql(s"CALL sn.system.rollback_to_snapshot('$ns.t', " +
+              s"version => '$id')").collect()
+            assert(live == want, s"seed=$seed rollback to v$id diverged")
+          }
+      }
+      pin() // terminal version
+      // 1) every snapshot still answers exactly what it pinned
+      pinned.foreach { case (id, want) =>
+        assert(rows(s"SELECT k, v FROM sn.$ns.t VERSION AS OF $id") == want,
+          s"seed=$seed: snapshot v$id mutated")
+      }
+      // 2) replaying consecutive CDC windows from v0 reproduces the
+      // terminal state exactly, whatever compaction/rollback happened
+      val catalog = spark.sessionState.catalogManager.catalog("sn")
+        .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+      val ids = pinned.map(_._1)
+      var state = Map.empty[(Long, Long), Int] // multiset of rows
+      (0L +: ids).zip(ids).foreach { case (from, to) =>
+        JsonlChangeFeed.between(spark, catalog, s"$ns.t",
+          from.toString, Some(to.toString))
+          .select("k", "v", "_change").collect().foreach { r =>
+            val key = (r.getLong(0), r.getLong(1))
+            val d = if (r.getString(2) == "insert") 1 else -1
+            state = state + (key -> (state.getOrElse(key, 0) + d))
+          }
+      }
+      val replayed = state.filter(_._2 > 0)
+        .flatMap { case (kv, n) => Seq.fill(n)(kv) }.toSeq.sorted
+      assert(replayed == pinned.last._2,
+        s"seed=$seed: CDC replay diverged from the terminal snapshot")
+    }
+  }
+
   test("snapshots are read-only; streaming a snapshot refuses") {
     sql("CREATE NAMESPACE IF NOT EXISTS sn.ro")
     sql("CREATE TABLE sn.ro.t (k BIGINT, v BIGINT)")
