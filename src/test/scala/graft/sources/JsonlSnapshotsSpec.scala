@@ -490,7 +490,7 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
       }
       sql(s"INSERT INTO sn.$ns.t VALUES (0, 0), (1, 10)"); nextK = 2
       pin()
-      for (_ <- 1 to 14) rnd.nextInt(6) match {
+      for (_ <- 1 to 16) rnd.nextInt(7) match {
         case 0 | 1 => // append a small batch
           val vals = (0 until 1 + rnd.nextInt(3))
             .map { _ => val k = nextK; nextK += 1; s"($k, ${k * 10})" }
@@ -509,6 +509,9 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
               s"version => '$id')").collect()
             assert(live == want, s"seed=$seed rollback to v$id diverged")
           }
+        case 6 => // sort-rewrite replaces the whole layout (retention)
+          sql(s"CALL sn.system.cluster_table('$ns.t', " +
+            "columns => 'k', target_shards => 2)").collect()
       }
       pin() // terminal version
       // 1) every snapshot still answers exactly what it pinned
