@@ -541,6 +541,87 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: partitioned-table histories — dir drops, overwrites, scoped compaction") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val ns = s"pq$seed"
+      sql(s"CREATE NAMESPACE IF NOT EXISTS sn.$ns")
+      sql(s"""CREATE TABLE sn.$ns.t (k BIGINT, v BIGINT, p BIGINT)
+             |PARTITIONED BY (p)
+             |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+      var nextK = 0L
+      def live: Seq[(Long, Long)] =
+        sql(s"SELECT k, p FROM sn.$ns.t").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      var pinned = Vector.empty[(Long, Seq[(Long, Long)])]
+      def pin(): Unit = {
+        val id = sql(s"CALL sn.system.snapshot('$ns.t')").head.getLong(0)
+        pinned :+= (id, live)
+      }
+      def insertInto(parts: Seq[Long]): Unit = {
+        val vals = parts.map { pp =>
+          val k = nextK; nextK += 1; s"($k, ${k * 10}, $pp)"
+        }
+        sql(s"INSERT INTO sn.$ns.t VALUES ${vals.mkString(", ")}")
+      }
+      insertInto(Seq(1L, 2L, 3L)); pin()
+      for (_ <- 1 to 16) rnd.nextInt(8) match {
+        case 0 | 1 => insertInto((0 until 1 + rnd.nextInt(2))
+          .map(_ => 1L + rnd.nextInt(3)))
+        case 2 => // MOR row-level delete (non-partition predicate)
+          val ks = live.map(_._1)
+          if (ks.nonEmpty)
+            sql(s"DELETE FROM sn.$ns.t WHERE k = ${ks(rnd.nextInt(ks.size))}")
+        case 3 => // metadata-only partition drop
+          val ps = live.map(_._2).distinct
+          if (ps.size > 1)
+            sql(s"DELETE FROM sn.$ns.t WHERE p = ${ps(rnd.nextInt(ps.size))}")
+        case 4 => pin()
+        case 5 => // dynamic overwrite of exactly one partition
+          val pp = 1L + rnd.nextInt(3)
+          val k = nextK; nextK += 1
+          sql(s"""INSERT INTO sn.$ns.t
+                 |REPLACE WHERE p = $pp
+                 |SELECT $k AS k, ${k * 10} AS v, $pp AS p""".stripMargin)
+        case 6 => // partition-scoped compact of a random dir
+          sql(s"CALL sn.system.compact('$ns.t', max_shards => 2, " +
+            s"partition => 'p=${1 + rnd.nextInt(3)}')").collect()
+        case 7 => // rollback (restores dropped dirs from retained/)
+          if (pinned.nonEmpty) {
+            val (id, want) = pinned(rnd.nextInt(pinned.size))
+            sql(s"CALL sn.system.rollback_to_snapshot('$ns.t', " +
+              s"version => '$id')").collect()
+            assert(live == want, s"seed=$seed rollback to v$id diverged")
+          }
+      }
+      pin()
+      pinned.foreach { case (id, want) =>
+        val got = sql(s"SELECT k, p FROM sn.$ns.t VERSION AS OF $id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got == want, s"seed=$seed: snapshot v$id mutated")
+      }
+      // chained CDC windows from 0 reconstruct the terminal state
+      val catalog = spark.sessionState.catalogManager.catalog("sn")
+        .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+      val ids = pinned.map(_._1)
+      var state = Map.empty[(Long, Long), Int]
+      (0L +: ids).zip(ids).foreach { case (from, to) =>
+        JsonlChangeFeed.between(spark, catalog, s"$ns.t",
+          from.toString, Some(to.toString))
+          .select("k", "p", "_change").collect().foreach { r =>
+            val key = (r.getLong(0), r.getLong(1))
+            val d = if (r.getString(2) == "insert") 1 else -1
+            state = state + (key -> (state.getOrElse(key, 0) + d))
+          }
+      }
+      val replayed = state.filter(_._2 > 0)
+        .flatMap { case (kv, n) => Seq.fill(n)(kv) }.toSeq.sorted
+      assert(replayed == pinned.last._2,
+        s"seed=$seed: partitioned CDC replay diverged")
+    }
+  }
+
   test("snapshots are read-only; streaming a snapshot refuses") {
     sql("CREATE NAMESPACE IF NOT EXISTS sn.ro")
     sql("CREATE TABLE sn.ro.t (k BIGINT, v BIGINT)")
