@@ -1466,6 +1466,61 @@ object WarehouseQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY _change, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q223
+  /** CDC across a ROLLBACK under the oracle gate: a merge-on-read
+    * orders table pins v1, a MOR DELETE of the 'F' rows grows the
+    * sidecars (v2), then `rollback_to_snapshot` to v1 SHRINKS them
+    * back and v3 pins the restored state. The v2→v3 feed must be
+    * EXACTLY the resurrected 'F' rows as inserts — the shrunk-ordinal
+    * restore tier of the manifest diff
+    * ([[graft.sources.dsv2.JsonlChangeFeed.Diff.deltaRestores]]);
+    * before round 12's fix this window was silently empty and replay
+    * lost the resurrection. Guarded in-query: `table_changes` reports
+    * delta_restores and ZERO added/removed shards (rollback of a pure
+    * sidecar mutation moves no files). */
+  private val restoreCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def cdcRollbackRestores(s: SparkSession, dir: String): DataFrame = {
+    val child = restoreCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whrr", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whrr.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q223").toString)
+      c.sql("CREATE NAMESPACE whrr.rr")
+      c.sql(
+        s"""CREATE TABLE whrr.rr.orders
+           |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read') AS
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("CALL whrr.system.snapshot('rr.orders', tag => 'v1')")
+      c.sql("DELETE FROM whrr.rr.orders WHERE o_orderstatus = 'F'")
+      c.sql("CALL whrr.system.snapshot('rr.orders', tag => 'v2')")
+      c.sql("CALL whrr.system.rollback_to_snapshot('rr.orders', " +
+        "version => 'v1')").collect()
+      c.sql("CALL whrr.system.snapshot('rr.orders', tag => 'v3')")
+      c
+    })
+    val kinds = child.sql(
+      "CALL whrr.system.table_changes('rr.orders', 'v2', 'v3')").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    require(kinds.getOrElse("delta_restores", 0) >= 1 &&
+      kinds.getOrElse("added", 0) == 0 && kinds.getOrElse("removed", 0) == 0,
+      s"rollback of a sidecar mutation must surface ONLY restores: $kinds")
+    val catalog = child.sessionState.catalogManager.catalog("whrr")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    graft.sources.dsv2.JsonlChangeFeed
+      .between(child, catalog, "rr.orders", "v2", Some("v3"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("_change"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val cdcRollbackRestoresSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, 'insert' AS _change
+      |FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q222
   /** CDC-driven INCREMENTAL AGGREGATE MAINTENANCE — the reason a
     * change feed exists at 100 TB: a per-status (count, sum) rollup
@@ -1899,6 +1954,7 @@ object WarehouseQueries {
     "q220_nested_skip_probe" -> (nestedSkipProbe _),
     "q221_rollback_snapshot" -> (rollbackSnapshotProbe _),
     "q222_cdc_incremental_agg" -> (cdcIncrementalAgg _),
+    "q223_cdc_rollback_restores" -> (cdcRollbackRestores _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1941,6 +1997,7 @@ object WarehouseQueries {
     "q220_nested_skip_probe" -> nestedSkipProbeSql,
     "q221_rollback_snapshot" -> rollbackSnapshotProbeSql,
     "q222_cdc_incremental_agg" -> cdcIncrementalAggSql,
+    "q223_cdc_rollback_restores" -> cdcRollbackRestoresSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,
