@@ -189,6 +189,13 @@ object JsonlChangesScan {
   }
 }
 
+object JsonlChangesMicroBatchStream {
+  /** The source's default ReadLimit: per-version pacing (see
+    * [[JsonlChangesMicroBatchStream.latestOffset]]). */
+  case object PerVersionPacing
+      extends org.apache.spark.sql.connector.read.streaming.ReadLimit
+}
+
 /** Snapshot-id offsets: offset N = "every change up to and including
   * snapshot N has been emitted". */
 final case class JsonlVersionOffset(v: Long) extends Offset {
@@ -199,10 +206,26 @@ final class JsonlChangesMicroBatchStream(tableSchema: StructType,
                                          path: String, startVersion: Long,
                                          maxVersionsPerBatch: Int = 1)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
-  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit}
 
   private val conf = JsonlHadoopConf.fromSession()
+
+  // Trigger.AvailableNow: the terminal snapshot id captured when the
+  // run starts — batches keep their per-version granularity but never
+  // advance past it, and the query stops once the offset reaches it
+  // (the FileStreamSource maxFilesPerTrigger + AvailableNow shape).
+  // Implemented HERE so Spark does not wrap the stream in
+  // AvailableNowDataStreamWrapper, which would net the whole run into
+  // one batch (its latestOffset always answers the captured target).
+  @volatile private var availableNowCap: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(conf.value)
+    availableNowCap = JsonlSnapshots.list(fs, table).lastOption
+      .fold(startVersion)(m => math.max(m.id, startVersion))
+  }
 
   override def initialOffset(): Offset = JsonlVersionOffset(startVersion)
   override def deserializeOffset(json: String): Offset =
@@ -224,21 +247,34 @@ final class JsonlChangesMicroBatchStream(tableSchema: StructType,
     * replays history one micro-batch PER SNAPSHOT, per-commit CDF
     * granularity, instead of netting the whole window into one diff
     * (where a shard added and removed inside the window would emit
-    * nothing). Snapshot ids advance along the RETAINED manifest list,
-    * so ids expired by `expire_snapshots` net into the first
-    * surviving window — the same "can't replay expired history"
-    * posture as any CDF; an offset naming an expired id still fails
-    * loudly at plan time ([[JsonlChangesScan.manifestAt]]). */
+    * nothing). An EXPLICIT ReadAllAvailable limit (how the engine asks
+    * for "everything", e.g. capturing an AvailableNow target) nets to
+    * the newest snapshot instead. Snapshot ids advance along the
+    * RETAINED manifest list, so ids expired by `expire_snapshots` net
+    * into the first surviving window — the same "can't replay expired
+    * history" posture as any CDF; an offset naming an expired id
+    * still fails loudly at plan time
+    * ([[JsonlChangesScan.manifestAt]]). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[JsonlVersionOffset].v
     val table = new Path(path)
     val fs = table.getFileSystem(conf.value)
-    val ahead = JsonlSnapshots.list(fs, table).iterator
-      .map(_.id).filter(_ > s).take(math.max(1, maxVersionsPerBatch)).toSeq
-    JsonlVersionOffset(ahead.lastOption.getOrElse(s))
+    val ahead0 = JsonlSnapshots.list(fs, table).iterator
+      .map(_.id).filter(_ > s).toSeq
+    val ahead =
+      if (availableNowCap >= 0) ahead0.filter(_ <= availableNowCap)
+      else ahead0
+    val next = limit match {
+      case _: ReadAllAvailable => ahead.lastOption
+      case _ => ahead.take(math.max(1, maxVersionsPerBatch)).lastOption
+    }
+    JsonlVersionOffset(next.getOrElse(s))
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** A marker limit meaning "this source's own pacing" — deliberately
+    * NOT ReadAllAvailable, which would net every trigger. */
+  override def getDefaultReadLimit: ReadLimit =
+    JsonlChangesMicroBatchStream.PerVersionPacing
   override def reportLatestOffset(): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset)

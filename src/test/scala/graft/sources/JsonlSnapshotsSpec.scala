@@ -622,6 +622,51 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("Trigger.AvailableNow drains per-version batches then stops; maxVersionsPerBatch nets") {
+    import scala.jdk.CollectionConverters._
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.an")
+    sql("""CREATE TABLE sn.an.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.snapshot.auto'='true')""".stripMargin)
+    sql("INSERT INTO sn.an.t VALUES (1, 10)") // v1
+    sql("INSERT INTO sn.an.t VALUES (2, 20)") // v2
+    sql("INSERT INTO sn.an.t VALUES (3, 30)") // v3
+    val dir = s"${spark.conf.get("spark.sql.catalog.sn.root")}/an/t"
+    // AvailableNow: processes everything pinned SO FAR as per-version
+    // micro-batches, then terminates on its own
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("graft-jsonl-changes").load(dir)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("an-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = df.select("k").collect().map(_.getLong(0)).sorted.toSeq
+        if (ks.nonEmpty) batches.add(ks)
+        ()
+      }.start()
+    assert(q.awaitTermination(60000), "AvailableNow must stop by itself")
+    assert(batches.iterator().asScala.toSeq ==
+      Seq(Seq(1L), Seq(2L), Seq(3L)),
+      s"one batch per pinned version: ${batches.iterator().asScala.toSeq}")
+    // maxVersionsPerBatch > 1: a catch-up consumer that PREFERS netted
+    // windows gets them
+    val netted = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q2 = spark.readStream.format("graft-jsonl-changes")
+      .option("maxVersionsPerBatch", 10).load(dir)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("an-ckpt2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = df.select("k").collect().map(_.getLong(0)).sorted.toSeq
+        if (ks.nonEmpty) netted.add(ks)
+        ()
+      }.start()
+    assert(q2.awaitTermination(60000))
+    assert(netted.iterator().asScala.toSeq == Seq(Seq(1L, 2L, 3L)),
+      s"maxVersionsPerBatch=10 nets the window: ${netted.iterator().asScala.toSeq}")
+  }
+
   test("snapshots are read-only; streaming a snapshot refuses") {
     sql("CREATE NAMESPACE IF NOT EXISTS sn.ro")
     sql("CREATE TABLE sn.ro.t (k BIGINT, v BIGINT)")
