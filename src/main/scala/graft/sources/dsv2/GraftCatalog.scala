@@ -178,15 +178,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         var f = org.apache.spark.sql.types.StructField(
           name, add.dataType, nullable = true)
         if (add.comment != null) f = f.withComment(add.comment)
-        // re-ADD of a DROPPED name: bind the new column to a FRESH
-        // physical JSON key, so old shards' values for the dead column
-        // read as null instead of resurrecting under the new one
+        // the new column's STORAGE key must not collide with any key
+        // old or new shards already carry for some OTHER meaning: a
+        // tombstoned key (re-ADD of a DROPPED name), an existing
+        // field's physical key (e.g. ADD COLUMN a__2 after a
+        // dropped-and-re-added `a` was bound to a__2 — two schema
+        // columns would alias one JSON key and writes collide), or a
+        // rename alias another field still reads through. In every
+        // such case bind the new column to a FRESH physical key.
         val tombstoned = JsonlTable.tombstonedKeysOf(props)
-        if (tombstoned.contains(name)) {
-          val taken = tombstoned ++
-            schema.fields.map(JsonlTable.physicalKeyOf)
+        val occupied = tombstoned ++
+          schema.fields.map(JsonlTable.physicalKeyOf) ++
+          schema.fields.flatMap(JsonlTable.aliasesOf)
+        if (occupied.contains(name)) {
           val fresh = Iterator.from(2).map(n => s"${name}__$n")
-            .find(k => !taken.contains(k)).get
+            .find(k => !occupied.contains(k)).get
           f = f.copy(metadata =
             new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
@@ -235,6 +241,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: cannot rename partition column $name — the " +
             "k=v directory layout pins its name; rewrite the table instead")
         val tombstonedNow = JsonlTable.tombstonedKeysOf(props)
+        // storage keys the new display name must not silently alias:
+        // tombstoned keys, plus OTHER fields' physical keys and rename
+        // aliases (the renamed field's OWN former keys are fine — they
+        // hold its own values). An unkeyed field renamed onto one of
+        // these binds a fresh physical key so its reads/writes never
+        // touch the foreign key.
+        val occupiedNow = tombstonedNow ++
+          schema.fields.filterNot(_.name == name).flatMap(o =>
+            JsonlTable.physicalKeyOf(o) +: JsonlTable.aliasesOf(o))
         schema = StructType(schema.fields.map { fl =>
           if (fl.name != name) fl
           else if (fl.metadata.contains(JsonlTable.PhysicalKeyMeta))
@@ -245,8 +260,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .withMetadata(fl.metadata)
               .putStringArray(JsonlTable.AliasesKey,
                 (name +: prior).distinct.toArray)
-            if (tombstonedNow.contains(newName)) {
-              val taken = tombstonedNow ++
+            if (occupiedNow.contains(newName)) {
+              val taken = occupiedNow ++
                 schema.fields.map(JsonlTable.physicalKeyOf)
               val fresh = Iterator.from(2).map(n => s"${newName}__$n")
                 .find(k => !taken.contains(k)).get

@@ -196,16 +196,12 @@ object GraftProcedures {
         // discovery runs INSIDE the lock: a COW/MOR commit landing
         // between listing the shards and the swap would retire (or
         // re-sidecar) shards the plan still names
-        require(!fs.exists(trash) && !fs.exists(staging),
-          s"$trash or $staging exists: a previous compaction crashed " +
-            "mid-swap; recover before compacting again")
-        // a TABLE-wide crashed swap holds the only copy of ITS dirs —
-        // a scoped run must refuse too (its partition may be in there)
-        if (scope.nonEmpty)
-          require(!fs.exists(new Path(table, "_compact_trash")) &&
-            !fs.exists(new Path(table, "_compact_staging")),
-            s"$table has a crashed table-wide compaction swap; recover " +
-              "it before partition-scoped compaction")
+        // glob-based: a crashed swap of ANY kind — table-wide, another
+        // scope's suffixed dirs, COW, cluster — can hold the only copy
+        // of shards this run would walk or retire; refuse on all of
+        // them (this run's own staging/trash names don't exist yet, so
+        // the glob is a pure pre-check)
+        JsonlSnapshots.requireNoCrashedSwaps(fs, table, "compact")
         // merge-on-read integration: compaction is where position-
         // delete sidecars are RETIRED — deleted lines are dropped from
         // the rewritten shards (still pure line I/O: the sidecar is
@@ -434,9 +430,7 @@ object GraftProcedures {
           // shards the rewrite scan reads but `before` doesn't list —
           // the swap would leave them live beside the rewrite's copy
           // of their rows (silent duplicates)
-          require(!fs.exists(trash) && !fs.exists(staging),
-            s"$trash or $staging exists: a previous cluster_table crashed " +
-              "mid-swap; recover before clustering again")
+          JsonlSnapshots.requireNoCrashedSwaps(fs, table, "cluster_table")
           val layout = JsonlLayout.discoverFull(fs, table)
           val before = layout.map(_._1)
           if (before.isEmpty)

@@ -247,7 +247,16 @@ object JsonlDeletes {
             append(fs, conf, root, new Path(shard), pos)
         })
       }
-      futures.foreach(_.get()) // rethrows the first task failure
+      try futures.foreach(_.get()) // rethrows the first task failure
+      catch {
+        case t: Throwable =>
+          // the caller's finally releases the _rlo_lock — no queued or
+          // running sidecar read-modify-write may survive past that, or
+          // a subsequent writer races the stragglers and loses deletes
+          pool.shutdownNow()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          throw t
+      }
     } catch {
       case e: java.util.concurrent.ExecutionException =>
         throw Option(e.getCause).getOrElse(e)

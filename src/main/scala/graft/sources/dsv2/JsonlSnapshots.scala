@@ -219,6 +219,23 @@ object JsonlSnapshots {
       }
     } else fs.delete(shard, false)
 
+  /** Refuse to operate over ANY crashed swap tree. Covers table-wide
+    * AND partition-scoped names (a scoped compaction's
+    * `_compact_trash_p_<hash>` / `_compact_staging_p_<hash>` — the
+    * glob catches every suffix): a crashed trash dir can hold the only
+    * copy of its shards, and a crashed staging dir marks a partition
+    * whose live listing is mid-swap, so rollback / compact /
+    * cluster_table proceeding over it would lose or duplicate rows. */
+  def requireNoCrashedSwaps(fs: FileSystem, table: Path, op: String): Unit = {
+    val crashed = Seq("_cow_trash", "_compact_trash*", "_compact_staging*",
+      "_cluster_trash", "_cluster_staging").flatMap { pat =>
+      Option(fs.globStatus(new Path(table, pat))).toSeq.flatten.map(_.getPath)
+    }
+    require(crashed.isEmpty,
+      s"$op refused: crashed swap dir(s) ${crashed.mkString(", ")} exist " +
+        s"under $table — a previous operation died mid-swap; recover first")
+  }
+
   /** Sweep a trash tree about to be dropped: every data shard whose
     * table-relative path (per `relInTrash`) is referenced moves to
     * retained/ first. */
@@ -258,10 +275,15 @@ object JsonlSnapshots {
     * removed from live, shards restored). */
   def rollback(fs: FileSystem, table: Path, m: Manifest): (Int, Int) = {
     require(m.id > 0, "rollback needs a PINNED snapshot")
-    for (trash <- Seq("_cow_trash", "_compact_trash", "_compact_staging"))
-      require(!fs.exists(new Path(table, trash)),
-        s"rollback refused: $table/$trash exists — a previous operation " +
-          "crashed mid-swap; recover it first")
+    requireNoCrashedSwaps(fs, table, "rollback")
+    // pre-rollback sidecar state, read BEFORE pass 3 wipes `_deletes/`:
+    // a COMMON shard whose ordinal set changes gets a different visible
+    // row set, so its skip-index entry (built over the delete-filtered
+    // read) would wrongly prune or answer COUNT/MIN/MAX afterwards
+    val preDeletes: Map[String, Array[Long]] =
+      JsonlDeletes.index(fs, table).map { case (shard, sc) =>
+        shard -> JsonlDeletes.read(fs, new Path(sc))
+      }
     val referenced = referencedRels(fs, table)
     val qualified = fs.makeQualified(table).toUri
     // pass 1: live shards not pinned by m leave (retain-or-delete)
@@ -271,9 +293,9 @@ object JsonlSnapshots {
         if (m.shards.contains(rel)) None
         else { discardShard(fs, table, p, rel, referenced); Some(rel) }
     }
-    JsonlSkipIndex.removeEntries(fs, table, removedRels)
     // pass 2: pinned shards missing from live move back from retained/
     var restored = 0
+    val restoredRels = Seq.newBuilder[String]
     m.shards.keysIterator.foreach { rel =>
       val live = new Path(table, rel)
       if (!fs.exists(live)) {
@@ -285,8 +307,23 @@ object JsonlSnapshots {
         if (!fs.rename(kept, live))
           throw new java.io.IOException(s"rollback restore failed for $rel")
         restored += 1
+        restoredRels += rel
       }
     }
+    // skip-index invalidation: shards that LEFT, shards RESTORED
+    // (conservative — scan index-unseen until the next build, per the
+    // docstring's contract), and common shards whose sidecar ordinal
+    // set pass 3 is about to change (their entries were computed over
+    // a different visible row set)
+    val changedRels = m.shards.iterator.collect {
+      case (rel, ref)
+          if !preDeletes.getOrElse(
+              fs.makeQualified(new Path(table, rel)).toString,
+              Array.empty[Long]).toSet.equals(ref.deletes.toSet) =>
+        rel
+    }.toSeq
+    JsonlSkipIndex.removeEntries(fs, table,
+      (removedRels ++ restoredRels.result() ++ changedRels).distinct)
     // prune emptied partition dirs so dropped values leave the layout
     def prune(dir: Path): Boolean = {
       if (!fs.getFileStatus(dir).isDirectory) return false

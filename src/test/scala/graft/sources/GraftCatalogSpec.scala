@@ -707,4 +707,47 @@ class GraftCatalogSpec extends AnyFunSuite {
     val e2 = intercept[Exception] { sql("ALTER TABLE wh.dc.p DROP COLUMN p") }
     assert(e2.getMessage != null, e2.toString)
   }
+
+  test("ADD/RENAME onto an occupied PHYSICAL key binds a fresh key, never aliases") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.pk")
+    // drop-and-re-add binds column `a` to physical key a__2
+    sql("CREATE TABLE wh.pk.t (k BIGINT, a BIGINT)")
+    sql("INSERT INTO wh.pk.t VALUES (1, 10)")
+    sql("ALTER TABLE wh.pk.t DROP COLUMN a")
+    sql("ALTER TABLE wh.pk.t ADD COLUMN a BIGINT")
+    // ADD COLUMN whose DISPLAY name equals that physical key: the new
+    // column must get its OWN storage key — without the guard both
+    // columns write/read JSON key a__2 and values collide
+    sql("ALTER TABLE wh.pk.t ADD COLUMN a__2 BIGINT")
+    sql("INSERT INTO wh.pk.t VALUES (2, 20, 200)")
+    val got = sql("SELECT k, a, a__2 FROM wh.pk.t WHERE k = 2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 20L, 200L)),
+      s"columns a and a__2 must hold independent values: $got")
+    // same discipline for RENAME: an unkeyed column renamed ONTO an
+    // occupied physical key binds a fresh key instead of stealing it
+    sql("CREATE TABLE wh.pk.r (k BIGINT, a BIGINT, c BIGINT)")
+    sql("INSERT INTO wh.pk.r VALUES (1, 10, 30)")
+    sql("ALTER TABLE wh.pk.r DROP COLUMN a")
+    sql("ALTER TABLE wh.pk.r ADD COLUMN a BIGINT") // a -> physical a__2
+    sql("ALTER TABLE wh.pk.r RENAME COLUMN c TO a__2")
+    sql("INSERT INTO wh.pk.r VALUES (2, 40, 50)") // (k, c-as-a__2, a)
+    val gotR = sql("SELECT k, a, a__2 FROM wh.pk.r ORDER BY k").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(gotR == Seq((1L, -1L, 30L), (2L, 50L, 40L)),
+      s"renamed column must keep its own storage, not column a's: $gotR")
+    // ADD onto another field's rename ALIAS: must not read its history
+    sql("CREATE TABLE wh.pk.al (k BIGINT, v BIGINT)")
+    sql("INSERT INTO wh.pk.al VALUES (1, 11)") // old shards carry key 'v'
+    sql("ALTER TABLE wh.pk.al RENAME COLUMN v TO w") // w reads through alias v
+    sql("ALTER TABLE wh.pk.al ADD COLUMN v BIGINT") // fresh key, NOT 'v'
+    val gotA = sql("SELECT k, w, v FROM wh.pk.al").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(gotA == Seq((1L, 11L, -1L)),
+      s"new column v must not read w's pre-rename values: $gotA")
+  }
 }

@@ -277,6 +277,65 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
     assert(win == Seq((2L, "delete"), (4L, "insert")), win.toString)
   }
 
+  test("rollback invalidates skip-index entries of shards whose sidecars change") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.si")
+    sql("""CREATE TABLE sn.si.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO sn.si.t SELECT /*+ REPARTITION(1) */ id AS k, id AS v FROM range(0, 10)")
+    sql("CALL sn.system.snapshot('si.t', tag => 'full')") // v1: no deletes
+    sql("DELETE FROM sn.si.t WHERE k >= 5") // sidecar: ordinals 5..9
+    sql("CALL sn.system.snapshot('si.t', tag => 'cut')") // v2: deletes embedded
+    // index built over the DELETE-FILTERED read: entry says max(k)=4
+    sql("CALL sn.system.build_skip_index('si.t', columns => 'k')")
+    assert(sql("SELECT count(*) FROM sn.si.t WHERE k = 7").head.getLong(0) == 0L)
+    // rollback RESURRECTS rows 5..9 on the SAME (common) shard — its
+    // stale entry must be dropped, or k=7 is wrongly pruned and
+    // COUNT/MAX answer from the index without opening the file
+    sql("CALL sn.system.rollback_to_snapshot('si.t', version => 'full')")
+    assert(sql("SELECT k FROM sn.si.t WHERE k = 7").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L),
+      "resurrected row must not be pruned by the pre-rollback index entry")
+    assert(sql("SELECT count(*), max(k) FROM sn.si.t").head match {
+      case r => r.getLong(0) == 10L && r.getLong(1) == 9L
+    }, "agg pushdown must not answer from the stale entry")
+    // the other direction: entry built over the FULL shard, rollback
+    // forward to the deleted state — max(k) must shrink to 4
+    sql("CALL sn.system.build_skip_index('si.t', columns => 'k')")
+    sql("CALL sn.system.rollback_to_snapshot('si.t', version => 'cut')")
+    assert(sql("SELECT count(*), max(k) FROM sn.si.t").head match {
+      case r => r.getLong(0) == 5L && r.getLong(1) == 4L
+    }, "rolling forward over a grown sidecar must drop the entry too")
+    assert(sql("SELECT count(*) FROM sn.si.t WHERE k = 7").head.getLong(0) == 0L)
+  }
+
+  test("maintenance refuses over crashed PARTITION-SCOPED compaction swap dirs") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.crsw")
+    sql("""CREATE TABLE sn.crsw.t (k BIGINT, p STRING) PARTITIONED BY (p)""")
+    sql("INSERT INTO sn.crsw.t VALUES (1, 'a'), (2, 'b')")
+    sql("CALL sn.system.snapshot('crsw.t', tag => 'ok')")
+    val root = spark.conf.get("spark.sql.catalog.sn.root")
+    // simulate a scoped compaction that died mid-swap: its suffixed
+    // trash dir holds the only copy of that partition's shards
+    val trash = new java.io.File(s"$root/crsw/t/_compact_trash_p_deadbeef")
+    assert(trash.mkdirs())
+    try {
+      val e1 = intercept[Exception] {
+        sql("CALL sn.system.compact('crsw.t', max_shards => 1)").collect() }
+      assert(e1.getMessage.contains("_compact_trash_p_deadbeef"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        sql("CALL sn.system.rollback_to_snapshot('crsw.t', version => 'ok')")
+          .collect() }
+      assert(e2.getMessage.contains("_compact_trash_p_deadbeef"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        sql("CALL sn.system.cluster_table('crsw.t', columns => 'k')").collect() }
+      assert(e3.getMessage.contains("_compact_trash_p_deadbeef"), e3.getMessage)
+    } finally trash.delete()
+    // recovered: all three proceed
+    sql("CALL sn.system.rollback_to_snapshot('crsw.t', version => 'ok')")
+    sql("CALL sn.system.compact('crsw.t', max_shards => 1)")
+    assert(rows("SELECT k, 0L FROM sn.crsw.t").map(_._1) == Seq(1L, 2L))
+  }
+
   test("rollback_to_snapshot restores live state in BOTH directions") {
     sql("CREATE NAMESPACE IF NOT EXISTS sn.rb")
     sql("""CREATE TABLE sn.rb.t (k BIGINT, v BIGINT)
