@@ -332,7 +332,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           sp.value.split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
             require(schema.fieldNames.contains(c),
               s"${JsonlTable.WriteOrderProp}: no column $c in the table"))
+        val wasAuto = JsonlTable.autoSnapshotOf(props)
         props = props + (sp.property -> sp.value)
+        // enabling auto-snapshot starts a DELTA-PIN chain: every later
+        // commit rebases the previous manifest over its own changes.
+        // Commits made while auto was OFF are in no manifest — pin a
+        // full-listing BASE now so the chain starts complete (else a
+        // rollback to a post-enable version would discard those live
+        // shards as "not pinned")
+        if (sp.property == JsonlTable.AutoSnapshotProp && !wasAuto &&
+            JsonlTable.autoSnapshotOf(props)) {
+          writeMeta(mf, schema, partCols, props) // pin sees the new props
+          JsonlSnapshots.create(fs, dir, None, schema)
+        }
       case rp: TableChange.RemoveProperty =>
         props = props - rp.property
       case other =>

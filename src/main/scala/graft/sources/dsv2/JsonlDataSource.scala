@@ -1897,10 +1897,19 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
     // auto-snapshot per epoch: pinned AFTER the durable log record, so
     // a replayed epoch (which short-circuits above) never double-pins;
     // a crash between the log write and this pin folds the epoch into
-    // the NEXT pin — version granularity degrades, rows never differ
-    if (autoSnapshot)
+    // the NEXT pin — version granularity degrades, rows never differ.
+    // The pin is a lock-free DELTA rebase (this epoch's shards over
+    // the previous manifest): no table listing, no lock acquisition.
+    if (autoSnapshot) {
+      val added = messages.flatMap { case JsonlCommitMessage(s, _) => s }
+        .map { case (stagedFile, relDir) =>
+          val name = new Path(stagedFile).getName
+          val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+          rel -> f.getFileStatus(new Path(dest, rel)).getLen
+        }.toMap
       JsonlSnapshots.autoPin(f, conf.value, dest, schema,
-        epochQueryId(epochId), alreadyLocked = false)
+        Some(JsonlSnapshots.PinDelta(added, Map.empty, Set.empty)))
+    }
     // retention: only the LATEST epoch can ever re-execute (the
     // checkpoint commit log serializes epochs), so old records are
     // dead weight — keep a generous window, drop the rest
@@ -2167,11 +2176,24 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       prune(dest)
     }
     // auto-snapshot (graft.snapshot.auto): pin a version for THIS
-    // commit — inline while the destructive paths still hold the
-    // lock; a lock-free plain append serializes just the pin
-    if (autoSnapshot)
-      JsonlSnapshots.autoPin(f, conf.value, dest, schema, queryId,
-        alreadyLocked = rloLeases.nonEmpty)
+    // commit, lock-free (claim-CAS id assignment). A plain append
+    // knows its exact delta — the pin rebases the previous manifest,
+    // no table listing; destructive paths (truncate / COW / overwrite)
+    // have diffuse removed-sets and pin a full listing, which their
+    // table lock already serializes against other destructive ops
+    if (autoSnapshot) {
+      val plainAppend = !truncate && replaceShards == null &&
+        overwriteFilters == null && !dynamicOverwrite
+      val delta =
+        if (!plainAppend) None
+        else Some(JsonlSnapshots.PinDelta(
+          staged.map { case (stagedFile, relDir) =>
+            val name = new Path(stagedFile).getName
+            val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+            rel -> f.getFileStatus(new Path(dest, rel)).getLen
+          }.toMap, Map.empty, Set.empty))
+      JsonlSnapshots.autoPin(f, conf.value, dest, schema, delta)
+    }
     } finally RowLevelLock.releaseAll(f, rloLeases)
     cleanupStaging(f)
   }

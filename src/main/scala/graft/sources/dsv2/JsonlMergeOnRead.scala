@@ -351,8 +351,8 @@ object RowLevelLock {
     * through O_EXCL (CREATE_NEW); fs.create(_, false) stays the
     * primitive for HDFS-like filesystems, where it IS atomic on the
     * namenode. */
-  private def atomicCreate(fs: FileSystem, p: Path,
-                           content: Array[Byte]): Boolean =
+  private[dsv2] def atomicCreate(fs: FileSystem, p: Path,
+                                 content: Array[Byte]): Boolean =
     if ("file" == fs.getUri.getScheme)
       try {
         java.nio.file.Files.write(
@@ -670,7 +670,7 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
     // concurrent holder of a shared scope refuses with a named error
     // instead of losing deletes to the sidecar merge race.
     val scopes: Seq[String] =
-      if (partCols.isEmpty || autoSnapshot) Nil
+      if (partCols.isEmpty) Nil
       else {
         val destUri = f.makeQualified(dest).toUri
         val insertDirs = msgs.toSeq.flatMap(_.staged).map(_._2)
@@ -704,11 +704,30 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
         msgs.flatMap(_.deletes.toSeq)
           .groupBy(_._1).view.mapValues(_.flatMap(_._2).toArray).toMap)
       // auto-snapshot (graft.snapshot.auto): pin THIS delta commit as
-      // a version while still holding the lock — the change feed then
-      // sees the MERGE/UPDATE/DELETE as its own CDC batch
-      if (autoSnapshot)
-        JsonlSnapshots.autoPin(f, conf.value, dest, rowSchema, queryId,
-          alreadyLocked = true)
+      // a version — the change feed sees the MERGE/UPDATE/DELETE as
+      // its own CDC batch. The pin is a lock-free claim-CAS rebase of
+      // the commit's exact delta (insert shards + new delete
+      // ordinals), INSIDE the scoped locks so same-partition pins
+      // order with their sidecar state; partition-disjoint writers'
+      // pins serialize only at the milliseconds-long claim window,
+      // never at the table lock
+      if (autoSnapshot) {
+        val destUri = f.makeQualified(dest).toUri
+        val added = msgs.toSeq.flatMap(_.staged)
+          .map { case (stagedFile, relDir) =>
+            val name = new Path(stagedFile).getName
+            val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+            rel -> f.getFileStatus(new Path(dest, rel)).getLen
+          }.toMap
+        val ords = msgs.toSeq.flatMap(_.deletes.toSeq)
+          .groupBy(_._1).map { case (shard, xs) =>
+            destUri.relativize(
+              f.makeQualified(new Path(shard)).toUri).getPath ->
+              xs.flatMap(_._2).toArray
+          }
+        JsonlSnapshots.autoPin(f, conf.value, dest, rowSchema,
+          Some(JsonlSnapshots.PinDelta(added, ords, Set.empty)))
+      }
     } finally RowLevelLock.releaseAll(f, locks)
     cleanupStaging(f)
   }

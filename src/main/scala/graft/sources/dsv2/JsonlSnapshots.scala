@@ -47,7 +47,23 @@ object JsonlSnapshots {
   val DirName = "_snapshots"
   val RetainedName = "retained"
 
+  /** How long a pin CLAIM (`v<N>.claim`) may sit unpublished before
+    * other pinners break it: the claim→publish critical section is a
+    * manifest read + write (milliseconds), so a minute-old claim means
+    * a crashed pinner. Netted, never lost: the breaker repairs with a
+    * FULL LISTING, which includes the crashed commit's landed data. */
+  val ClaimStaleMsKey = "graft.snapshot.claim.stale.ms"
+  val DefaultClaimStaleMs = 60000L
+
   final case class ShardRef(len: Long, deletes: Array[Long])
+
+  /** One commit's effect on the live layout, for lock-free rebase
+    * pinning ([[casPin]]): rel paths added (with byte length), NEW
+    * position-delete ordinals unioned into shards' sidecars, and rel
+    * paths leaving the live set. */
+  final case class PinDelta(added: Map[String, Long],
+                            deleteOrdinals: Map[String, Array[Long]],
+                            removed: Set[String])
   final case class Manifest(id: Long, tag: Option[String], createdMs: Long,
                             schemaJson: String,
                             shards: Map[String, ShardRef]) {
@@ -59,7 +75,10 @@ object JsonlSnapshots {
   def retainedRoot(table: Path): Path = new Path(dir(table), RetainedName)
   private def manifestFile(table: Path, id: Long): Path =
     new Path(dir(table), s"v$id.json")
+  private def claimFile(table: Path, id: Long): Path =
+    new Path(dir(table), s"v$id.claim")
   private val ManifestName = """v(\d+)\.json""".r
+  private val ClaimName = """v(\d+)\.claim""".r
 
   private def relOf(fs: FileSystem, root: Path, p: Path): String = {
     val rel = fs.makeQualified(root).toUri
@@ -81,16 +100,154 @@ object JsonlSnapshots {
     }.sortBy(_.id)
   }
 
-  /** Snapshot the table's CURRENT state as version max+1. */
+  /** Snapshot the table's CURRENT state as version max+1, through the
+    * lock-free claim protocol (content listed INSIDE the claim
+    * window, so concurrent delta pins order consistently). */
   def create(fs: FileSystem, table: Path, tag: Option[String],
-             schema: StructType): Manifest = {
-    val existing = list(fs, table)
-    tag.foreach(t => require(!existing.exists(_.tag.contains(t)),
-      s"snapshot tag '$t' already exists"))
-    val id = existing.lastOption.fold(1L)(_.id + 1L)
-    val m = current(fs, table, schema).copy(id = id, tag = tag)
-    write(fs, manifestFile(table, id), m)
-    m
+             schema: StructType): Manifest =
+    pin(fs, fs.getConf, table, schema, tag, None).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot of $table stood down: its pin claim was stale-broken " +
+          "by a concurrent pinner (the pin stalled past " +
+          s"$ClaimStaleMsKey) — the table state was netted into that " +
+          "pinner's repair version; retry to pin a dedicated version"))
+
+  // ------------------------------------------------- lock-free pins
+  //
+  // Version-id assignment is a CAS on the atomic creation of
+  // `_snapshots/v<N>.claim` (O_EXCL locally, create(overwrite=false)
+  // on HDFS — RowLevelLock.atomicCreate): the claim IS the commit
+  // point for the id, so pins never take the table `_rlo_lock` and a
+  // landed commit can never silently skip its pin. Publication
+  // serializes by id: a claim holder waits for every LOWER claim to
+  // resolve (publish, or go stale → broken + repaired), then bases its
+  // content on the highest published manifest — so manifest content is
+  // totally ordered even though data commits run fully concurrently.
+  //
+  // Crash accounting: a pinner that dies between claim and publish
+  // leaves a stale claim; the next pinner breaks it after
+  // `graft.snapshot.claim.stale.ms` (default 60 s — the critical
+  // section is a manifest read+write, milliseconds) and REPAIRS by
+  // pinning a FULL LISTING instead of a delta, which includes the
+  // crashed commit's landed data: its changes net into the repair
+  // version (rows never lost, version boundaries coarsen — the same
+  // documented degradation as a crash between a streaming epoch's log
+  // record and its pin). The broken id stays a hole; readers walk the
+  // RETAINED manifest list, which `expire_snapshots` already holes.
+  // A stalled-but-alive holder re-verifies its claim token before AND
+  // after the publish rename and stands down (un-publishes) if broken.
+
+  /** (published manifest ids, unresolved claim ids) from NAMES only —
+    * a per-commit pin must not pay O(#manifests) JSON reads. */
+  private def idsOf(fs: FileSystem, table: Path): (Seq[Long], Seq[Long]) = {
+    val d = dir(table)
+    if (!fs.exists(d)) return (Nil, Nil)
+    val pub = Seq.newBuilder[Long]; val cl = Seq.newBuilder[Long]
+    fs.listStatus(d).foreach(st => st.getPath.getName match {
+      case ManifestName(n) if st.isFile => pub += n.toLong
+      case ClaimName(n) if st.isFile => cl += n.toLong
+      case _ => ()
+    })
+    (pub.result(), cl.result())
+  }
+
+  private def claimOwned(fs: FileSystem, cf: Path, token: String): Boolean =
+    try {
+      val in = fs.open(cf)
+      val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      s == token
+    } catch { case _: java.io.IOException => false }
+
+  /** Rebase `base` over one commit's delta; None when the delta names
+    * a shard the chain doesn't know (pre-chain history — the caller
+    * repairs with a full listing). */
+  private def applyDelta(base: Map[String, ShardRef], d: PinDelta)
+      : Option[Map[String, ShardRef]] = {
+    var m = base -- d.removed
+    d.added.foreach { case (rel, len) => m += rel -> ShardRef(len, Array.empty) }
+    var ok = true
+    d.deleteOrdinals.foreach { case (rel, ords) =>
+      m.get(rel) match {
+        case Some(ref) =>
+          m += rel -> ref.copy(deletes = (ref.deletes ++ ords).distinct.sorted)
+        case None => ok = false
+      }
+    }
+    if (ok) Some(m) else None
+  }
+
+  /** The pin core. Returns None ONLY when this pin's claim was
+    * stale-broken by a concurrent pinner (which then repaired with a
+    * full listing that nets this commit's changes). */
+  private def pin(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                  table: Path, schema: StructType, tag: Option[String],
+                  delta: Option[PinDelta]): Option[Manifest] = {
+    val staleMs =
+      if (conf == null) DefaultClaimStaleMs
+      else conf.getLong(ClaimStaleMsKey, DefaultClaimStaleMs)
+    fs.mkdirs(dir(table))
+    val token = java.util.UUID.randomUUID().toString
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      val (published, claims) = idsOf(fs, table)
+      val id = (published ++ claims).foldLeft(0L)(math.max) + 1L
+      val cf = claimFile(table, id)
+      if (RowLevelLock.atomicCreate(fs, cf,
+            token.getBytes(StandardCharsets.UTF_8))) {
+        try {
+          // every lower claim must resolve before we read our base:
+          // a pending lower pin publishing AFTER we compute would make
+          // manifest content non-monotone with ids
+          var repaired = false
+          var waiting = true
+          while (waiting) {
+            val d = dir(table)
+            val sts = fs.listStatus(d)
+            val pubNow = sts.iterator.map(_.getPath.getName).collect {
+              case ManifestName(n) => n.toLong }.toSet
+            val unresolved = sts.filter { st =>
+              st.getPath.getName match {
+                case ClaimName(n) => n.toLong < id && !pubNow(n.toLong)
+                case _ => false
+              }
+            }
+            if (unresolved.isEmpty) waiting = false
+            else {
+              val now = System.currentTimeMillis()
+              val stale = unresolved.filter(st =>
+                now - st.getModificationTime > staleMs)
+              stale.foreach { st =>
+                if (fs.delete(st.getPath, false)) repaired = true }
+              if (stale.length < unresolved.length) Thread.sleep(25L)
+            }
+          }
+          val prevId = idsOf(fs, table)._1.filter(_ < id)
+            .foldLeft(0L)(math.max)
+          tag.foreach(t => require(!list(fs, table).exists(_.tag.contains(t)),
+            s"snapshot tag '$t' already exists"))
+          val shards: Map[String, ShardRef] = delta match {
+            case Some(dl) if !repaired && prevId > 0L =>
+              applyDelta(read(fs, manifestFile(table, prevId)).shards, dl)
+                .getOrElse(current(fs, table, schema).shards)
+            case _ => current(fs, table, schema).shards
+          }
+          val m = Manifest(id, tag, System.currentTimeMillis(),
+            schema.json, shards)
+          if (!claimOwned(fs, cf, token)) return None
+          write(fs, manifestFile(table, id), m)
+          if (!claimOwned(fs, cf, token)) {
+            fs.delete(manifestFile(table, id), false) // un-publish
+            return None
+          }
+          return Some(m)
+        } finally if (claimOwned(fs, cf, token)) fs.delete(cf, false)
+      }
+      // lost the CAS — another pin claimed this id; re-list and retry
+    }
+    throw new IllegalStateException(
+      s"snapshot pin on $table: 1000 claim collisions — livelocked pinner?")
   }
 
   /** The CATALOG schema of `table` when its `_graft_table.json` spec
@@ -113,38 +270,21 @@ object JsonlSnapshots {
   /** Auto-snapshot-on-commit (`graft.snapshot.auto = true`): pin a
     * version right after a committed write, so the CDC feed
     * ([[JsonlChangesSource]]) can tail plain INSERT traffic without a
-    * manual `CALL snapshot`. Version-id assignment is list-read +
-    * max+1, so the pin itself serializes under the table `_rlo_lock`:
-    * a commit already HOLDING the lock (overwrites, COW, MOR delta)
-    * pins inline; a lock-free plain append acquires it just for the
-    * pin, WAITING (default 30 s, overridable via
-    * `graft.rlo.lock.acquire.wait.ms`) instead of failing a commit
-    * whose data already landed — and if the budget runs out under a
-    * long-running maintenance holder, the pin is SKIPPED rather than
-    * failing the landed commit: the next successful pin nets this
-    * commit's changes into its window (the same granularity
-    * degradation as a crash between a streaming epoch's log record
-    * and its pin — rows are never lost, version boundaries coarsen).
-    * `CALL expire_snapshots(keep_last)` bounds the history this
-    * grows. */
+    * manual `CALL snapshot`. LOCK-FREE: version-id assignment is the
+    * atomic creation of `v<N>.claim` (see [[pin]]), so partition-
+    * disjoint writers on an auto-snapshot table commit fully
+    * concurrently and EVERY landed commit gets a pin — there is no
+    * contention budget and no silent skip. A commit that knows its
+    * own layout delta passes it and pays O(manifest) — the previous
+    * version rebased over the delta, no table listing; `delta = None`
+    * (destructive paths whose removed-set is diffuse: truncate,
+    * overwrite sweeps) pins a full listing. `CALL
+    * expire_snapshots(keep_last)` bounds the history this grows. */
   def autoPin(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
-              table: Path, fallbackSchema: StructType, queryId: String,
-              alreadyLocked: Boolean): Option[Manifest] = {
+              table: Path, fallbackSchema: StructType,
+              delta: Option[PinDelta]): Option[Manifest] = {
     val schema = tableSchemaOf(fs, table, fallbackSchema)
-    if (alreadyLocked) Some(create(fs, table, None, schema))
-    else {
-      val c = new org.apache.hadoop.conf.Configuration(conf)
-      if (c.get(RowLevelLock.AcquireWaitMsKey) == null)
-        c.setLong(RowLevelLock.AcquireWaitMsKey, 30000L)
-      val lease =
-        try RowLevelLock.acquire(fs, c, table, s"autosnap-$queryId")
-        catch { case _: ConcurrentRowLevelOperationException => null }
-      if (lease == null) None
-      else {
-        try Some(create(fs, table, None, schema))
-        finally RowLevelLock.release(fs, lease)
-      }
-    }
+    pin(fs, conf, table, schema, None, delta)
   }
 
   /** The table's LIVE state as an unwritten pseudo-manifest (id -1) —

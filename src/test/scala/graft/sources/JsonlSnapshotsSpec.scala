@@ -466,29 +466,98 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
         "the MOR delete publishes as its own CDC batch")
     } finally q.stop()
     assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(1L, 2L, 3L, 4L))
-    // a pin blocked past its wait budget SKIPS instead of failing the
-    // landed commit; the next pin nets both commits into one window
+    // LOCK-FREE pins: a held table _rlo_lock (a long-running compact,
+    // say) neither blocks nor skips the pin — version-id assignment is
+    // the claim-file CAS, so the landed commit ALWAYS gets its version
     val lock = new java.io.File(
       s"${spark.conf.get("spark.sql.catalog.sn.root")}/au/t/_rlo_lock")
     val w = new java.io.FileWriter(lock); w.write("long-compact"); w.close()
-    spark.conf.set("graft.rlo.lock.acquire.wait.ms", "200")
-    try sql("INSERT INTO sn.au.t VALUES (6, 60)") // lands, pin skipped
-    finally spark.conf.unset("graft.rlo.lock.acquire.wait.ms")
-    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(1L, 2L, 3L, 4L),
-      "blocked pin must skip, not fail the commit")
-    assert(sql("SELECT count(*) FROM sn.au.t").head.getLong(0) == 3L,
-      "the row landed")
-    assert(lock.delete())
-    sql("INSERT INTO sn.au.t VALUES (7, 70)") // pins v5 = rows 6 AND 7
-    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(1L, 2L, 3L, 4L, 5L))
-    val netted = spark.read.format("graft-jsonl-changes")
-      .option("fromVersion", 4).option("toVersion", 5)
+    try sql("INSERT INTO sn.au.t VALUES (6, 60)") // lands AND pins v5
+    finally { assert(lock.delete()) }
+    assert(JsonlSnapshots.list(fs, root).map(_.id) ==
+      Seq(1L, 2L, 3L, 4L, 5L),
+      "a held table lock must not skip or serialize the pin")
+    assert(sql("SELECT count(*) FROM sn.au.t").head.getLong(0) == 3L)
+    // a CRASHED pinner (claim without a manifest, older than the
+    // stale budget) is broken by the next pin, which REPAIRS with a
+    // full listing: the id stays a hole, no data is lost
+    val claim = new java.io.File(
+      s"${spark.conf.get("spark.sql.catalog.sn.root")}/au/t/_snapshots/v6.claim")
+    val cw = new java.io.FileWriter(claim); cw.write("dead-pinner"); cw.close()
+    assert(claim.setLastModified(System.currentTimeMillis() - 120000L))
+    sql("INSERT INTO sn.au.t VALUES (7, 70)") // breaks v6, repairs at v7
+    assert(!claim.exists(), "the stale claim must be broken")
+    assert(JsonlSnapshots.list(fs, root).map(_.id) ==
+      Seq(1L, 2L, 3L, 4L, 5L, 7L),
+      "the broken id stays a hole; the repair pin publishes above it")
+    val win = spark.read.format("graft-jsonl-changes")
+      .option("fromVersion", 5).option("toVersion", 7)
       .load(s"${spark.conf.get("spark.sql.catalog.sn.root")}/au/t")
       .select("k").collect().map(_.getLong(0)).sorted.toSeq
-    assert(netted == Seq(6L, 7L), s"the next pin nets both commits: $netted")
+    assert(win == Seq(7L), s"the repair version carries the commit: $win")
     // history stays bounded the usual way
     sql("CALL sn.system.expire_snapshots('au.t', keep_last => 1)")
-    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(5L))
+    assert(JsonlSnapshots.list(fs, root).map(_.id) == Seq(7L))
+  }
+
+  test("parallel partition-disjoint MOR deltas: dense CAS pins, no table lock") {
+    import graft.sources.dsv2.JsonlSnapshots
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.par")
+    sql("""CREATE TABLE sn.par.t (k BIGINT, v BIGINT, p STRING)
+          |PARTITIONED BY (p)
+          |TBLPROPERTIES ('graft.snapshot.auto'='true',
+          |  'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("""INSERT INTO sn.par.t
+          |SELECT id AS k, id AS v, concat('p', CAST(id % 4 AS STRING)) AS p
+          |FROM range(0, 40)""".stripMargin)
+    val root = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.catalog.sn.root")}/par/t")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v0 = JsonlSnapshots.list(fs, root).map(_.id).max
+    // 4 concurrent MOR DELETEs, one per partition: scoped locks let
+    // them commit in parallel; the claim CAS assigns each its own
+    // version — NO pin is skipped, NO table lock is taken
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val fs4 = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            sql(s"DELETE FROM sn.par.t WHERE p = 'p$i' AND k < ${8 + i}")
+            ()
+          }
+        })
+      }
+      fs4.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val manifests = JsonlSnapshots.list(fs, root)
+    assert(manifests.map(_.id) == (1L to v0 + 4L),
+      s"4 commits -> 4 dense pins: ${manifests.map(_.id)}")
+    // expected live rows: partition i lost k < 8+i (k%4==i)
+    val want = (0L until 40L).filterNot(k => k < 8 + (k % 4)).toSeq.sorted
+    assert(sql("SELECT k FROM sn.par.t").collect().map(_.getLong(0))
+      .sorted.toSeq == want)
+    // each consecutive manifest diff is EXACTLY one commit's delta:
+    // same shard set (MOR — no shards added/removed), one partition's
+    // sidecar ordinals grown
+    manifests.sliding(2).foreach { case Seq(a, b) =>
+      if (a.id >= v0) {
+        assert(a.shards.keySet == b.shards.keySet,
+          s"v${a.id}->v${b.id}: MOR delta must not add/remove shards")
+        val changed = b.shards.filter { case (rel, ref) =>
+          !a.shards(rel).deletes.sameElements(ref.deletes) }
+        val dirs = changed.keys.map(_.split("/").head).toSet
+        assert(dirs.size == 1,
+          s"v${a.id}->v${b.id}: one commit's pin must carry exactly its " +
+            s"own partition's deletes, got $dirs")
+      }
+      case _ => ()
+    }
+    // and the final version's embedded state equals the live table
+    val last = manifests.last
+    val embedded = last.shards.valuesIterator.map(_.deletes.length).sum
+    val wantDeleted = (0L until 40L).count(k => k < 8 + (k % 4))
+    assert(embedded == wantDeleted,
+      s"all 4 commits' ordinals embedded: $embedded != $wantDeleted")
   }
 
   test("CDC apply: the changes stream drives a downstream MERGE mirror") {
