@@ -1758,6 +1758,64 @@ object WarehouseQueries {
       |  CAST(SUM(o_custkey + 1000) AS BIGINT) AS sum_cust
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+  /** Type-WIDENING evolution ([[graft.sources.dsv2.GraftCatalog]]
+    * `UpdateColumnType`) under the oracle gate, over a TWO-generation
+    * table: gen-1 lands `o_custkey` as INT and `o_total` as
+    * DECIMAL(12,2); both columns widen (BIGINT / DECIMAL(18,2));
+    * gen-2 lands values only the widened types can hold (keys shifted
+    * +3e9 — past INT range — and totals shifted +1e11). SUM/COUNT
+    * across both generations must match DuckDB's recompute: an
+    * INT-era shard misparsed through BIGINT, or a text decimal
+    * reparsed at the wrong precision, shifts the sums and
+    * hash-fails. */
+  private val widenCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def typeWidenTwoGen(s: SparkSession, dir: String): DataFrame = {
+    val child = widenCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whwd", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whwd.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q224").toString)
+      c.sql("CREATE NAMESPACE whwd.wd")
+      c.sql(
+        s"""CREATE TABLE whwd.wd.orders AS
+           |SELECT /*+ REPARTITION(4) */ o_orderkey,
+           |  CAST(o_custkey AS INT) AS o_custkey,
+           |  CAST(o_totalprice AS DECIMAL(12,2)) AS o_total,
+           |  o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("ALTER TABLE whwd.wd.orders ALTER COLUMN o_custkey TYPE BIGINT")
+      c.sql("ALTER TABLE whwd.wd.orders ALTER COLUMN o_total TYPE DECIMAL(18,2)")
+      c.sql(
+        s"""INSERT INTO whwd.wd.orders
+           |SELECT /*+ REPARTITION(2) */
+           |  o_orderkey + 10000000 AS o_orderkey,
+           |  CAST(o_custkey AS BIGINT) + 3000000000 AS o_custkey,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) +
+           |    CAST(100000000000.00 AS DECIMAL(18,2)) AS o_total,
+           |  o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c
+    })
+    child.sql(
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(SUM(o_total) AS DOUBLE) AS sum_total
+        |FROM whwd.wd.orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val typeWidenTwoGenSql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) * 2 AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_custkey AS BIGINT)) * 2
+      |    + COUNT(*) * 3000000000 AS BIGINT) AS sum_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 2
+      |    + COUNT(*) * CAST(100000000000.00 AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS sum_total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- q217
   /** The change feed through the DSv2 SOURCE
     * ([[graft.sources.dsv2.JsonlChangesSource]], the batch face of
@@ -1955,6 +2013,7 @@ object WarehouseQueries {
     "q221_rollback_snapshot" -> (rollbackSnapshotProbe _),
     "q222_cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "q223_cdc_rollback_restores" -> (cdcRollbackRestores _),
+    "q224_type_widen_two_gen" -> (typeWidenTwoGen _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -1998,6 +2057,7 @@ object WarehouseQueries {
     "q221_rollback_snapshot" -> rollbackSnapshotProbeSql,
     "q222_cdc_incremental_agg" -> cdcIncrementalAggSql,
     "q223_cdc_rollback_restores" -> cdcRollbackRestoresSql,
+    "q224_type_widen_two_gen" -> typeWidenTwoGenSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

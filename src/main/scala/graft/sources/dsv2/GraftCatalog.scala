@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DSv2 `TableCatalog` over a directory tree of `graft-jsonl`
@@ -220,9 +220,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         schema = StructType(schema.fields.map(fl =>
           if (fl.name == name) fl.copy(nullable = true) else fl))
       case t: TableChange.UpdateColumnType =>
-        throw new UnsupportedOperationException(
-          s"graft catalog: type changes are refused (coerce-on-write " +
-            s"posture) — ${single(t.fieldNames, "type change")} keeps its type")
+        // WIDENING is metadata-safe in a schema-on-read JSON layout:
+        // the stored scalars are typed by the SCHEMA at parse time, so
+        // INT-era values read correctly through BIGINT (same JSON
+        // number). Anything else — narrowing, cross-family,
+        // scale-changing — silently reinterprets old data and stays
+        // refused (coerce-on-write posture).
+        val name = single(t.fieldNames, "type change")
+        val fl = schema.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no column $name to re-type"))
+        def widens(a: DataType, b: DataType): Boolean = (a, b) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case (da: DecimalType, db: DecimalType) =>
+            db.scale == da.scale && db.precision > da.precision
+          case _ => false
+        }
+        if (!widens(fl.dataType, t.newDataType()))
+          throw new UnsupportedOperationException(
+            s"graft catalog: only WIDENING type changes are supported " +
+              s"(TINYINT→SMALLINT→INT→BIGINT, FLOAT→DOUBLE, " +
+              s"DECIMAL(p,s)→DECIMAL(p+k,s)) — ${fl.dataType.simpleString} " +
+              s"→ ${t.newDataType().simpleString} on $name would " +
+              "reinterpret stored values")
+        schema = StructType(schema.fields.map(f0 =>
+          if (f0.name == name) f0.copy(dataType = t.newDataType()) else f0))
+        // bloom sketches hash by TYPE (xxhash64 of an int != of the
+        // same value as long): drop this column's blooms; its min/max
+        // entries re-decode through the widened type on the next read
+        JsonlSkipIndex.dropBlooms(fs, dir, JsonlTable.physicalKeyOf(fl))
       case r: TableChange.RenameColumn =>
         // metadata-only rename: no data rewrite — the field records its
         // former JSON keys (newest first) and readers fall back through

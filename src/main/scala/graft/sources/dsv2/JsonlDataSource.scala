@@ -2400,6 +2400,18 @@ private[dsv2] object JsonlJson {
     case DoubleType => nf.numberNode(g.getDouble(i))
     case BooleanType => nf.booleanNode(g.getBoolean(i))
     case StringType => nf.textNode(g.getUTF8String(i).toString)
+    // narrow numerics round-trip as plain JSON numbers; filters on
+    // them stay RESIDUAL (supportedType excludes them) so the pushed-
+    // filter contract never evaluates these
+    case FloatType => nf.numberNode(g.getFloat(i))
+    case ShortType => nf.numberNode(g.getShort(i).toInt)
+    case ByteType => nf.numberNode(g.getByte(i).toInt)
+    // decimals as TEXT: a JSON double would corrupt > 2^53 scaled
+    // values; the declared (p, s) re-types on read, so widening
+    // DECIMAL(p,s) -> DECIMAL(p+k,s) reparses old shards exactly
+    case dt: DecimalType =>
+      nf.textNode(g.getDecimal(i, dt.precision, dt.scale)
+        .toJavaBigDecimal.toPlainString)
     // epoch micros fit a JSON number exactly (|micros| < 2^53 until
     // year ~2255) — bit-exact round-trip, no timezone re-parse
     case TimestampType | TimestampNTZType => nf.numberNode(g.getLong(i))
@@ -2458,6 +2470,20 @@ private[dsv2] object JsonlJson {
       case DoubleType => if (v.isNumber) java.lang.Double.valueOf(v.asDouble) else null
       case BooleanType => if (v.isBoolean) java.lang.Boolean.valueOf(v.asBoolean) else null
       case StringType => if (v.isTextual) UTF8String.fromString(v.asText) else null
+      case FloatType =>
+        if (v.isNumber) java.lang.Float.valueOf(v.asDouble.toFloat) else null
+      case ShortType =>
+        if (v.isNumber) java.lang.Short.valueOf(v.asInt.toShort) else null
+      case ByteType =>
+        if (v.isNumber) java.lang.Byte.valueOf(v.asInt.toByte) else null
+      case dtt: DecimalType =>
+        // text (the writer's form) or number (externally-authored)
+        if (!v.isTextual && !v.isNumber) null
+        else try {
+          val d = org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(v.asText))
+          if (d.changePrecision(dtt.precision, dtt.scale)) d else null
+        } catch { case _: NumberFormatException => null }
       case TimestampType =>
         if (v.isNumber) java.lang.Long.valueOf(v.asLong)
         else if (v.isTextual)
@@ -2757,9 +2783,10 @@ final class JsonlPartitionReader(file: String, required: StructType,
         case StringType if v.isTextual =>
           r.update(i, UTF8String.fromString(v.asText))
         case dt @ (TimestampType | TimestampNTZType | DateType |
+                   FloatType | ShortType | ByteType | _: DecimalType |
                    _: StructType | _: ArrayType | _: MapType) =>
-          // temporal + nested: the shared decoder (type-checked at
-          // every level; mismatch -> SQL null)
+          // temporal + narrow-numeric + nested: the shared decoder
+          // (type-checked at every level; mismatch -> SQL null)
           val d = JsonlJson.decode(v, dt, sessionZone)
           if (d == null) r.setNullAt(i) else r.update(i, d)
         case _ => r.setNullAt(i) // type mismatch -> SQL null, not a crash

@@ -603,6 +603,31 @@ object JsonlSkipIndex {
     if (listChanged) publishList(fs, table, list)
   }
 
+  /** Drop one column's BLOOM sketches from every manifest, keeping
+    * its min/max/null stats — called by type-widening evolution:
+    * blooms hash by TYPE (`xxhash64Of(int) != xxhash64Of(long)` for
+    * the same value), so a probe through the widened type would miss
+    * present values and prune wrongly; the min/max scalars re-decode
+    * through the widened type on the next read (JSON numbers
+    * reparse). `key` is the column's STORAGE key. */
+  def dropBlooms(fs: FileSystem, table: Path, key: String): Unit = {
+    migrateLegacy(fs, table)
+    loadList(fs, table).foreach { case (_, file) =>
+      val target = new Path(indexDir(table), file)
+      readNode(fs, target).foreach { root =>
+        var changed = false
+        shardsNodeOf(root).properties().forEach { e =>
+          val bl = e.getValue.get("bloom")
+          if (bl != null && bl.has(key)) {
+            bl.asInstanceOf[ObjectNode].remove(key)
+            changed = true
+          }
+        }
+        if (changed) publish(fs, target, root)
+      }
+    }
+  }
+
   /** Drop whole partitions' manifests — the O(1)-per-partition form
     * of [[removeEntries]] for partition-grain deletes (TRUNCATE
     * PARTITION, partition-dir DELETE WHERE). */

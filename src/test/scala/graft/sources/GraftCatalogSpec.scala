@@ -193,12 +193,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       .exists(r => r.getString(0) == "score" && r.getString(1) == "double"))
     // comment + relax-nullability are metadata-only and accepted
     sql("ALTER TABLE wh.evo.t ALTER COLUMN score COMMENT 'updated'")
-    // refused surface: type changes and NOT NULL tightening
+    // refused surface: non-widening type changes and NOT NULL tightening
     val e1 = intercept[Exception](
       sql("ALTER TABLE wh.evo.t ALTER COLUMN score TYPE STRING"))
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e1).exists(_.contains("type changes are refused")))
+    assert(msgs(e1).exists(m => m.contains("WIDENING") ||
+      m.contains("NOT_SUPPORTED_CHANGE_COLUMN")))
     // Spark's analyzer refuses the tightening before it reaches the
     // catalog (the catalog-side guard stays as defense-in-depth)
     val e2 = intercept[Exception](
@@ -706,6 +707,54 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("ALTER TABLE wh.dc.p DROP COLUMN k")
     val e2 = intercept[Exception] { sql("ALTER TABLE wh.dc.p DROP COLUMN p") }
     assert(e2.getMessage != null, e2.toString)
+  }
+
+  test("ALTER COLUMN TYPE widening: old shards reparse; narrowing refused; blooms dropped") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.wd")
+    sql("""CREATE TABLE wh.wd.t (k INT, v FLOAT, d DECIMAL(5,2))
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    sql("INSERT INTO wh.wd.t VALUES (1, CAST(1.5 AS FLOAT), 123.45)")
+    sql("ALTER TABLE wh.wd.t ALTER COLUMN k TYPE BIGINT")
+    sql("ALTER TABLE wh.wd.t ALTER COLUMN v TYPE DOUBLE")
+    sql("ALTER TABLE wh.wd.t ALTER COLUMN d TYPE DECIMAL(10,2)")
+    // a value only the widened types can hold
+    sql("INSERT INTO wh.wd.t VALUES (2147483648, 2.5, 12345678.90)")
+    val df = sql("SELECT k, v, d FROM wh.wd.t ORDER BY k")
+    assert(df.schema.map(_.dataType.simpleString) ==
+      Seq("bigint", "double", "decimal(10,2)"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDecimal(2).toPlainString)).toSeq
+    assert(got == Seq((1L, 1.5, "123.45"),
+      (2147483648L, 2.5, "12345678.90")),
+      s"old INT/FLOAT/DECIMAL(5,2) shards must reparse exactly: $got")
+    // skip stats written in the INT era still prune through BIGINT
+    assert(sql("SELECT k FROM wh.wd.t WHERE k = 1").rdd.getNumPartitions == 1,
+      "write-time INT-era stats must keep pruning through the widened type")
+    // refusals: narrowing, cross-family, scale change
+    for (bad <- Seq("ALTER TABLE wh.wd.t ALTER COLUMN k TYPE INT",
+                    "ALTER TABLE wh.wd.t ALTER COLUMN v TYPE STRING",
+                    "ALTER TABLE wh.wd.t ALTER COLUMN d TYPE DECIMAL(10,4)")) {
+      val e = intercept[Exception] { sql(bad) }
+      // Spark's analyzer refuses obvious narrowing itself
+      // (NOT_SUPPORTED_CHANGE_COLUMN); anything it lets through must
+      // hit the catalog's widening gate
+      assert(e.getMessage.contains("WIDENING") ||
+        e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+        s"$bad: ${e.getMessage}")
+    }
+    // bloom sketches hash by type — widening must DROP them, or the
+    // scattered-key probe would wrongly prune shards that hold the key
+    sql("CREATE TABLE wh.wd.b (k INT, v INT)")
+    for (base <- Seq(0, 1000))
+      sql(s"""INSERT INTO wh.wd.b SELECT /*+ REPARTITION(1) */
+             |  CAST(id * 7 + $base AS INT) AS k, CAST(id AS INT) AS v
+             |FROM range(0, 100)""".stripMargin)
+    sql("""CALL wh.system.build_skip_index('wd.b', columns => 'k',
+          |  bloom_columns => 'k')""".stripMargin)
+    sql("ALTER TABLE wh.wd.b ALTER COLUMN k TYPE BIGINT")
+    assert(sql("SELECT v FROM wh.wd.b WHERE k = 1007").collect()
+      .map(_.getInt(0)).toSeq == Seq(1),
+      "an INT-era bloom probed through BIGINT must not hide the row")
   }
 
   test("ADD/RENAME onto an occupied PHYSICAL key binds a fresh key, never aliases") {
