@@ -1816,6 +1816,58 @@ object WarehouseQueries {
       |    AS sum_total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q225
+  /** Typed CDC over a COPY-ON-WRITE update window
+    * ([[graft.sources.dsv2.JsonlChangeFeed.typeChanges]]) under the
+    * oracle gate: an orders table in COW mode, snapshot v1, ONE
+    * UPDATE touching `o_orderkey % 97 = 0` rows (which rewrites whole
+    * shard groups — the raw manifest diff reports EVERY row of those
+    * groups as delete+insert), snapshot v2. The keyed typed window
+    * must be exactly the update pairs: churn rows cancel, each
+    * updated key surfaces as update_preimage (old values) +
+    * update_postimage (new values). A leaked churn row, lost pair, or
+    * mis-paired key changes the row set and hash-fails against
+    * DuckDB's recompute. */
+  private val cowCdcCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def cowTypedWindow(s: SparkSession, dir: String): DataFrame = {
+    val child = cowCdcCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whcw", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whcw.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q225").toString)
+      c.sql("CREATE NAMESPACE whcw.cw")
+      c.sql(
+        s"""CREATE TABLE whcw.cw.orders AS
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("CALL whcw.system.snapshot('cw.orders', tag => 'v1')")
+      c.sql(
+        """UPDATE whcw.cw.orders SET o_custkey = o_custkey + 1000000
+          |WHERE o_orderkey % 97 = 0""".stripMargin)
+      c.sql("CALL whcw.system.snapshot('cw.orders', tag => 'v2')")
+      c
+    })
+    val catalog = child.sessionState.catalogManager.catalog("whcw")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    graft.sources.dsv2.JsonlChangeFeed
+      .between(child, catalog, "cw.orders", from = "v1", to = Some("v2"),
+        keyCols = Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("_change"))
+      .orderBy(col("_change"), col("o_orderkey"))
+  }
+
+  val cowTypedWindowSql: String =
+    """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+      |  'update_preimage' AS _change
+      |FROM orders WHERE o_orderkey % 97 = 0
+      |UNION ALL
+      |SELECT o_orderkey, CAST(o_custkey + 1000000 AS BIGINT) AS o_custkey,
+      |  'update_postimage' AS _change
+      |FROM orders WHERE o_orderkey % 97 = 0
+      |ORDER BY _change, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q217
   /** The change feed through the DSv2 SOURCE
     * ([[graft.sources.dsv2.JsonlChangesSource]], the batch face of
@@ -2014,6 +2066,7 @@ object WarehouseQueries {
     "q222_cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "q223_cdc_rollback_restores" -> (cdcRollbackRestores _),
     "q224_type_widen_two_gen" -> (typeWidenTwoGen _),
+    "q225_cow_typed_window" -> (cowTypedWindow _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -2058,6 +2111,7 @@ object WarehouseQueries {
     "q222_cdc_incremental_agg" -> cdcIncrementalAggSql,
     "q223_cdc_rollback_restores" -> cdcRollbackRestoresSql,
     "q224_type_widen_two_gen" -> typeWidenTwoGenSql,
+    "q225_cow_typed_window" -> cowTypedWindowSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

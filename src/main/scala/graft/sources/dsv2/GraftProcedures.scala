@@ -695,7 +695,16 @@ object GraftProcedures {
         .comment("newest manifests to keep").build()) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val (fs, table) = catalog.resolveTableDir(input.getUTF8String(0).toString)
-        val (mfs, files) = JsonlSnapshots.expire(fs, table, input.getInt(1))
+        // expire deletes retained/ files a CONCURRENT rollback may be
+        // renaming back into the live tree (and drops manifests a
+        // rollback is reading) — same single-maintenance-writer tier
+        // as rollback/compact/cluster, so the interleaving serializes
+        val conf = JsonlHadoopConf.fromSession()
+        val lock = RowLevelLock.acquire(fs, conf.value, table,
+          s"expire-${java.util.UUID.randomUUID}")
+        val (mfs, files) =
+          try JsonlSnapshots.expire(fs, table, input.getInt(1))
+          finally RowLevelLock.release(fs, lock)
         result(expireSnapshotsSchema, Seq(new GenericInternalRow(
           Array[Any](mfs, files)): InternalRow))
       }

@@ -69,12 +69,59 @@ object JsonlChangeFeed {
     Diff(added, removed, delta, restores)
   }
 
+  /** Re-type a ONE-WINDOW change set (insert/delete rows from
+    * [[between]], or one streaming micro-batch of
+    * [[JsonlChangesSource]]) into Delta-CDF-style semantics using the
+    * table's logical key — the transform that makes CDC-apply correct
+    * over a COPY-ON-WRITE upstream:
+    *
+    *   - rewrite churn (an identical row on both sides — COW re-lands
+    *     untouched rows of a rewritten group) CANCELS (multiset-exact
+    *     `exceptAll`, over the window's rows only);
+    *   - a key present on BOTH remaining sides is an update:
+    *     `update_preimage` (the old values) + `update_postimage` (the
+    *     new values);
+    *   - the rest stay `insert` / `delete`.
+    *
+    * A keyed MERGE apply then feeds on `_change != 'update_preimage'`
+    * and sees EXACTLY ONE source row per key — no cardinality
+    * violation, no corrupted mirror. Requires the key to be unique
+    * per side within the window (the same premise the MERGE itself
+    * needs); a multi-version window nets intermediate states first
+    * ([[between]] endpoints, or `maxVersionsPerBatch` netting). */
+  def typeChanges(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "typeChanges needs at least one key column")
+    val cols = changes.columns.filterNot(_ == "_change").toSeq
+    val ins = changes.where(col("_change") === "insert").drop("_change")
+    val del = changes.where(col("_change") === "delete").drop("_change")
+    val d = del.exceptAll(ins).withColumn("_d", lit(1)).alias("d")
+    val i = ins.exceptAll(del).withColumn("_i", lit(1)).alias("i")
+    val cond = keyCols.map(k => col(s"d.$k") <=> col(s"i.$k")).reduce(_ && _)
+    val j = d.join(i, cond, "full_outer")
+    val both = col("d._d") === 1 && col("i._i") === 1
+    def side(p: String) = cols.map(c => col(s"$p.$c"))
+    j.where(both).select(side("d"): _*)
+      .withColumn("_change", lit("update_preimage"))
+      .unionByName(j.where(both).select(side("i"): _*)
+        .withColumn("_change", lit("update_postimage")))
+      .unionByName(j.where(col("d._d").isNull).select(side("i"): _*)
+        .withColumn("_change", lit("insert")))
+      .unionByName(j.where(col("i._i").isNull).select(side("d"): _*)
+        .withColumn("_change", lit("delete")))
+  }
+
   /** Rows inserted/deleted between snapshot `from` and snapshot `to`
     * (or the LIVE state when `to` is None). `net = true` cancels
-    * rewrite-identical delete+insert pairs (COW churn). */
+    * rewrite-identical delete+insert pairs (COW churn); `keyCols`
+    * additionally pairs cross-side keys into
+    * update_preimage/update_postimage ([[typeChanges]]). */
   def between(spark: SparkSession, catalog: GraftCatalog, tableName: String,
               from: String, to: Option[String] = None,
-              net: Boolean = false): DataFrame = {
+              net: Boolean = false,
+              keyCols: Seq[String] = Nil): DataFrame = {
+    if (keyCols.nonEmpty)
+      return typeChanges(
+        between(spark, catalog, tableName, from, to, net = false), keyCols)
     val (fs, table) = catalog.resolveTableDir(tableName)
     // interpolated identifiers/literals are ESCAPED: a tag holding a
     // quote (or a table part holding a backtick) must stay data, not

@@ -601,6 +601,69 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC apply over a COPY-ON-WRITE upstream: typeChanges keys the churn") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    val catalog = spark.sessionState.catalogManager.catalog("sn")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.cdcw")
+    // upstream is COW: an UPDATE rewrites whole shard groups, so the
+    // raw manifest diff reports every row of a rewritten group as
+    // delete+insert — same-key pairs inside ONE version, which the
+    // canonical MERGE would reject (duplicate source keys) or
+    // mis-apply. typeChanges() cancels the churn and types the rest.
+    sql("""CREATE TABLE sn.cdcw.up (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.snapshot.auto'='true')""".stripMargin)
+    sql("""CREATE TABLE sn.cdcw.dn (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    val q = JsonlChangeFeed.stream(spark, catalog, "cdcw.up")
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdcw-apply").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val typed = JsonlChangeFeed.typeChanges(df, Seq("k"))
+          .where(org.apache.spark.sql.functions.col("_change")
+            =!= "update_preimage")
+        typed.createOrReplaceTempView("up_changes")
+        typed.sparkSession.sql(
+          """MERGE INTO sn.cdcw.dn t USING up_changes c ON t.k = c.k
+            |WHEN MATCHED AND c._change = 'delete' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET t.v = c.v
+            |WHEN NOT MATCHED AND c._change != 'delete' THEN
+            |  INSERT (k, v) VALUES (c.k, c.v)""".stripMargin)
+        ()
+      }.start()
+    def mirror: Seq[(Long, Long)] = rows("SELECT k, v FROM sn.cdcw.dn")
+    try {
+      sql("""INSERT INTO sn.cdcw.up
+            |SELECT /*+ REPARTITION(1) */ id AS k, id * 10 AS v
+            |FROM range(0, 8)""".stripMargin) // one shard, pins v1
+      q.processAllAvailable()
+      assert(mirror == (0L until 8L).map(k => (k, k * 10)))
+      // COW UPDATE of 2 rows rewrites the WHOLE 8-row shard: raw diff
+      // = 8 deletes + 8 inserts; typed = 2 update pairs only
+      sql("UPDATE sn.cdcw.up SET v = v + 1 WHERE k IN (2, 5)") // pins v2
+      q.processAllAvailable()
+      assert(mirror == (0L until 8L).map(k =>
+        (k, if (k == 2 || k == 5) k * 10 + 1 else k * 10)),
+        s"COW churn must not corrupt the mirror: $mirror")
+      // mixed wave: COW delete (rewrites the group minus the row) +
+      // appended insert in separate commits
+      sql("DELETE FROM sn.cdcw.up WHERE k = 3") // pins v3
+      sql("INSERT INTO sn.cdcw.up VALUES (100, 1000)") // pins v4
+      q.processAllAvailable()
+      assert(mirror == rows("SELECT k, v FROM sn.cdcw.up"),
+        s"mirror must equal upstream after COW delete + insert: $mirror")
+    } finally q.stop()
+    // the typed batch face answers the same window directly
+    val typed = JsonlChangeFeed.between(spark, catalog, "cdcw.up",
+      from = "1", to = Some("2"), keyCols = Seq("k"))
+      .select("k", "v", "_change").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(typed == Seq((2L, 20L, "update_preimage"),
+      (2L, 21L, "update_postimage"), (5L, 50L, "update_preimage"),
+      (5L, 51L, "update_postimage")),
+      s"an 8-row rewrite types to exactly two update pairs: $typed")
+  }
+
   test("property: random mutation histories — snapshots immutable, CDC replay exact") {
     import graft.sources.dsv2.JsonlChangeFeed
     for (seed <- Seq(7, 23, 61)) {
@@ -618,7 +681,7 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
       }
       sql(s"INSERT INTO sn.$ns.t VALUES (0, 0), (1, 10)"); nextK = 2
       pin()
-      for (_ <- 1 to 16) rnd.nextInt(7) match {
+      for (_ <- 1 to 16) rnd.nextInt(8) match {
         case 0 | 1 => // append a small batch
           val vals = (0 until 1 + rnd.nextInt(3))
             .map { _ => val k = nextK; nextK += 1; s"($k, ${k * 10})" }
@@ -640,6 +703,15 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
         case 6 => // sort-rewrite replaces the whole layout (retention)
           sql(s"CALL sn.system.cluster_table('$ns.t', " +
             "columns => 'k', target_shards => 2)").collect()
+        case 7 => // expire between rollbacks: retained files a later
+          // rollback needs must survive exactly as long as a manifest
+          // references them — the model drops expired pins
+          val keep = 1 + rnd.nextInt(3)
+          sql(s"CALL sn.system.expire_snapshots('$ns.t', " +
+            s"keep_last => $keep)").collect()
+          val left = sql(s"CALL sn.system.snapshots('$ns.t')").collect()
+            .map(_.getLong(0)).toSet
+          pinned = pinned.filter(p => left.contains(p._1))
       }
       pin() // terminal version
       // 1) every snapshot still answers exactly what it pinned
@@ -667,6 +739,62 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
       assert(replayed == pinned.last._2,
         s"seed=$seed: CDC replay diverged from the terminal snapshot")
     }
+  }
+
+  test("expire_snapshots serializes with rollback: no retained shard lost") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.exr")
+    sql("CREATE TABLE sn.exr.t (k BIGINT, v BIGINT)")
+    var model = Vector.empty[(Long, Seq[(Long, Long)])]
+    for (w <- 0 until 6) {
+      // each wave REPLACES the table (retention path: old shards move
+      // to retained/ under the previous manifests)
+      sql(s"""INSERT OVERWRITE sn.exr.t
+             |SELECT /*+ REPARTITION(2) */ id AS k, id * 10 + $w AS v
+             |FROM range(0, 20)""".stripMargin)
+      val id = sql("CALL sn.system.snapshot('exr.t')").head.getLong(0)
+      model :+= (id, rows("SELECT k, v FROM sn.exr.t"))
+    }
+    // rollback and expire race repeatedly; the table lock serializes
+    // them (expire deletes retained files a rollback renames back)
+    spark.conf.set("graft.rlo.lock.acquire.wait.ms", "20000")
+    try {
+      val rnd = new scala.util.Random(5)
+      for (_ <- 1 to 4) {
+        val target = model(rnd.nextInt(model.size))._1
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val fRb = pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            try sql("CALL sn.system.rollback_to_snapshot('exr.t', " +
+              s"version => '$target')").collect()
+            catch { // the racing expire may drop the target first
+              case e: Exception if e.getMessage != null &&
+                e.getMessage.contains("no snapshot") => ()
+            }
+            ()
+          }
+        })
+        val fEx = pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            sql("CALL sn.system.expire_snapshots('exr.t', keep_last => 3)")
+              .collect()
+            ()
+          }
+        })
+        fRb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        fEx.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        pool.shutdown()
+        val left = sql("CALL sn.system.snapshots('exr.t')").collect()
+          .map(_.getLong(0)).toSet
+        model = model.filter(p => left.contains(p._1))
+        // the invariant the lock protects: every surviving manifest
+        // still answers exactly what it pinned — a lost retained
+        // shard fails the read loudly or changes the rows
+        model.foreach { case (id, want) =>
+          assert(rows(s"SELECT k, v FROM sn.exr.t VERSION AS OF $id") == want,
+            s"snapshot v$id diverged after expire-vs-rollback race")
+        }
+      }
+    } finally spark.conf.unset("graft.rlo.lock.acquire.wait.ms")
   }
 
   test("property: partitioned-table histories — dir drops, overwrites, scoped compaction") {
