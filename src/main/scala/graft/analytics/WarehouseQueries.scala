@@ -1868,6 +1868,56 @@ object WarehouseQueries {
       |FROM orders WHERE o_orderkey % 97 = 0
       |ORDER BY _change, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+  /** Partition-spec EVOLUTION (`CALL evolve_partitioning`,
+    * [[graft.sources.dsv2.GraftCatalog.evolvePartitioning]]) under
+    * the oracle gate: gen-1 lands under `o_orderstatus=`, the spec
+    * evolves to `o_orderstatus,o_prio`, gen-2 (keys +10M) lands under
+    * the two-level layout. A filtered probe over BOTH generations —
+    * gen-1 resolves `o_prio` from the JSON body, gen-2 from the path;
+    * per-shard pruning admits each generation by its OWN dirs — must
+    * match DuckDB's recompute of the two waves. */
+  private val partEvoCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def partitionEvolutionProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = partEvoCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whpe", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whpe.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q226").toString)
+      c.sql("CREATE NAMESPACE whpe.pe")
+      c.sql(
+        s"""CREATE TABLE whpe.pe.orders
+           |PARTITIONED BY (o_orderstatus) AS
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey,
+           |  substr(o_orderpriority, 1, 1) AS o_prio, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("""CALL whpe.system.evolve_partitioning('pe.orders',
+              |  columns => 'o_orderstatus,o_prio')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whpe.pe.orders
+           |SELECT /*+ REPARTITION(2) */ o_orderkey + 10000000 AS o_orderkey,
+           |  o_custkey, substr(o_orderpriority, 1, 1) AS o_prio,
+           |  o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c
+    })
+    child.sql(
+      """SELECT o_prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM whpe.pe.orders
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_prio ORDER BY o_prio""".stripMargin)
+  }
+
+  val partitionEvolutionProbeSql: String =
+    """SELECT substr(o_orderpriority, 1, 1) AS o_prio,
+      |  CAST(COUNT(*) * 2 AS BIGINT) AS n,
+      |  CAST(SUM(o_orderkey) * 2 + COUNT(*) * 10000000 AS BIGINT) AS sum_key
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q217
   /** The change feed through the DSv2 SOURCE
     * ([[graft.sources.dsv2.JsonlChangesSource]], the batch face of
@@ -2067,6 +2117,7 @@ object WarehouseQueries {
     "q223_cdc_rollback_restores" -> (cdcRollbackRestores _),
     "q224_type_widen_two_gen" -> (typeWidenTwoGen _),
     "q225_cow_typed_window" -> (cowTypedWindow _),
+    "q226_partition_evolution" -> (partitionEvolutionProbe _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -2112,6 +2163,7 @@ object WarehouseQueries {
     "q223_cdc_rollback_restores" -> cdcRollbackRestoresSql,
     "q224_type_widen_two_gen" -> typeWidenTwoGenSql,
     "q225_cow_typed_window" -> cowTypedWindowSql,
+    "q226_partition_evolution" -> partitionEvolutionProbeSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

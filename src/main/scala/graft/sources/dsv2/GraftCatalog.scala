@@ -609,7 +609,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val procedureNames =
     Seq("table_stats", "compact", "expire_staging", "build_skip_index",
       "cluster_table", "snapshot", "snapshots", "expire_snapshots",
-      "table_changes", "rollback_to_snapshot")
+      "table_changes", "rollback_to_snapshot", "evolve_partitioning")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
@@ -633,6 +633,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ident = Identifier.of(parts.init, parts.last)
     require(tableExists(ident), s"no such table $qualified in catalog $name")
     (fs, tableDir(ident))
+  }
+
+  /** Iceberg-style partition-spec EVOLUTION: future writes land under
+    * `newCols`; existing dirs stay readable and prunable (readers
+    * resolve partition values per SHARD — path segments first, JSON
+    * body fallback — so a mixed layout answers correctly). The other
+    * specs still PRESENT in the live layout are recorded in
+    * [[JsonlTable.LegacySpecsProp]]; deriving them from the layout
+    * (not from history) means a full rewrite followed by a re-CALL
+    * yields an empty legacy set and restores single-generation
+    * behaviors (keyed partitioning report, dynamic overwrite).
+    * Returns the legacy specs recorded. Caller holds the table
+    * `_rlo_lock`. */
+  private[dsv2] def evolvePartitioning(qualified: String,
+                                       newCols: Seq[String]): Seq[String] = {
+    val (tfs, dir) = resolveTableDir(qualified)
+    val mf = metaFile(dir)
+    val (schema, _, props0) = readMeta(mf)
+    newCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"evolve_partitioning: no top-level column $c in the table"))
+    // the specs ACTUALLY present, from each live shard's dir segments
+    // (order-significant); root shards contribute the empty spec
+    val qUri = tfs.makeQualified(dir).toUri
+    val present = JsonlLayout.discoverFull(tfs, dir).map { case (p, _, _, _) =>
+      val rel = qUri.relativize(tfs.makeQualified(p).toUri).getPath
+      rel.split("/").init.filter(_.contains("="))
+        .map(_.split("=", 2)(0)).mkString(",")
+    }.toSet
+    val legacy = (present - newCols.mkString(",")).toSeq.sorted
+    val props =
+      if (legacy.isEmpty) props0 - JsonlTable.LegacySpecsProp
+      else props0 + (JsonlTable.LegacySpecsProp -> legacy.mkString(";"))
+    writeMeta(mf, schema, newCols, props)
+    legacy
   }
 
   // ------------------------------------------------------- metadata

@@ -67,6 +67,9 @@ object GraftProcedures {
     StructField("version", LongType),
     StructField("shards_removed", IntegerType),
     StructField("shards_restored", IntegerType)))
+  private val evolveSchema = StructType(Seq(
+    StructField("new_spec", StringType),
+    StructField("legacy_specs", StringType)))
 
   private def utf8(s: String) = UTF8String.fromString(s)
 
@@ -119,6 +122,7 @@ object GraftProcedures {
         case "expire_snapshots" => expireSnapshotsProc(catalog)
         case "table_changes" => tableChangesProc(catalog)
         case "rollback_to_snapshot" => rollbackProc(catalog)
+        case "evolve_partitioning" => evolvePartitioningProc(catalog)
         case other => throw new IllegalArgumentException(
           s"unknown graft procedure $other")
       }
@@ -676,6 +680,37 @@ object GraftProcedures {
           finally RowLevelLock.release(fs, lock)
         result(rollbackSchema, Seq(new GenericInternalRow(
           Array[Any](m.id, removed, restored)): InternalRow))
+      }
+    }
+
+  /** `evolve_partitioning(table, columns)`: Iceberg-style partition
+    * spec evolution — future writes land under the new identity spec,
+    * existing dirs stay readable/prunable per shard, and the OTHER
+    * specs still present in the layout are recorded as legacy
+    * ([[GraftCatalog.evolvePartitioning]]). A full rewrite + re-CALL
+    * clears the legacy set. */
+  private def evolvePartitioningProc(catalog: GraftCatalog): BoundProcedure =
+    new Bound("evolve_partitioning", tableParam,
+      ProcedureParameter.in("columns", StringType).defaultValue("''")
+        .comment("new identity partition columns for future writes; " +
+          "'' = unpartitioned").build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tableName = input.getUTF8String(0).toString
+        val (fs, table) = catalog.resolveTableDir(tableName)
+        val newCols = Option(input.getUTF8String(1)).map(_.toString)
+          .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        // the spec flip + layout derivation must not race a writer
+        // mid-commit (its shards land after discovery): same tier as
+        // the other layout-wide maintenance ops
+        val conf = JsonlHadoopConf.fromSession()
+        val lock = RowLevelLock.acquire(fs, conf.value, table,
+          s"evolve-${java.util.UUID.randomUUID}")
+        val legacy =
+          try catalog.evolvePartitioning(tableName, newCols)
+          finally RowLevelLock.release(fs, lock)
+        result(evolveSchema, Seq(new GenericInternalRow(Array[Any](
+          utf8(newCols.mkString(",")),
+          utf8(legacy.mkString(";")))): InternalRow))
       }
     }
 

@@ -157,6 +157,24 @@ object JsonlTable {
 
   def autoSnapshotOf(props: Map[String, String]): Boolean =
     props.get(AutoSnapshotProp).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Partition-spec EVOLUTION marker (`CALL evolve_partitioning`):
+    * the semicolon-joined list of OTHER specs still present in the
+    * live layout. While non-empty the table is multi-generation:
+    * dynamic partition overwrite refuses (replacing the touched
+    * NEW-layout dirs would leave an old generation's copy of the same
+    * logical partition live beside the overwrite), and the SPJ
+    * path-read opt-in must not be used (old-generation shards don't
+    * pin the current spec's columns). Reads, appends, static
+    * partition overwrite, row-level ops, compact, and snapshots are
+    * generation-agnostic — every reader resolves partition values
+    * per SHARD (path segments first, JSON body fallback), and
+    * per-shard pruning admits a shard unless its OWN path contradicts
+    * the filter. */
+  val LegacySpecsProp = "graft.partition.legacy.specs"
+
+  def legacySpecsOf(props: Map[String, String]): Seq[String] =
+    props.get(LegacySpecsProp).map(_.split(";").toSeq).getOrElse(Nil)
 }
 
 class JsonlTable(tableSchema: StructType, path: String,
@@ -181,6 +199,13 @@ class JsonlTable(tableSchema: StructType, path: String,
   override def properties(): java.util.Map[String, String] = props.asJava
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    // reported for the CURRENT spec even on a multi-generation layout
+    // (partition evolution): Spark uses these transforms for INSERT
+    // PARTITION validation and partition management, not for keyed
+    // co-location — SPJ is a separate path-read opt-in
+    // (`.option("spj", true)`), which a multi-generation layout must
+    // not use until unified (old-generation shards don't pin the
+    // current spec's columns)
     partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
       .toArray
   override def capabilities(): java.util.Set[TableCapability] =
@@ -204,7 +229,8 @@ class JsonlTable(tableSchema: StructType, path: String,
       JsonlTable.withFieldMeta(schema(), info.schema()), path,
       info.queryId(), partCols,
       JsonlSkipIndex.skipColsOf(props), JsonlTable.writeOrderOf(props),
-      JsonlTable.autoSnapshotOf(props))
+      JsonlTable.autoSnapshotOf(props),
+      multiGeneration = props.contains(JsonlTable.LegacySpecsProp))
   }
 
   /** Drop every data entry under the table root, keeping metadata
@@ -1583,7 +1609,8 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
                               partCols: Seq[String] = Nil,
                               skipCols: Seq[String] = Nil,
                               writeOrder: Seq[String] = Nil,
-                              autoSnapshot: Boolean = false)
+                              autoSnapshot: Boolean = false,
+                              multiGeneration: Boolean = false)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -1617,6 +1644,14 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
     * partition swap). */
   override def overwriteDynamicPartitions()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (multiGeneration)
+      throw new UnsupportedOperationException(
+        "graft-jsonl dynamic partition overwrite refused on a " +
+          "multi-generation layout (partition evolution): replacing the " +
+          "touched current-spec dirs would leave an OLD generation's copy " +
+          "of the same logical partition live beside the overwrite — " +
+          "rewrite the table (INSERT OVERWRITE the whole table) and " +
+          "re-CALL evolve_partitioning to unify the layout first")
     doDynamic = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write = {

@@ -757,6 +757,63 @@ class GraftCatalogSpec extends AnyFunSuite {
       "an INT-era bloom probed through BIGINT must not hide the row")
   }
 
+  test("evolve_partitioning: two-layout lifecycle — read, prune, refuse, unify") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.pe")
+    sql("""CREATE TABLE wh.pe.t (k BIGINT, lang STRING, dt STRING)
+          |PARTITIONED BY (lang)""".stripMargin)
+    sql("""INSERT INTO wh.pe.t SELECT /*+ REPARTITION(1) */ * FROM VALUES
+          |  (1L, 'en', 'd1'), (2L, 'de', 'd1') AS v(k, lang, dt)""".stripMargin)
+    val r = sql("CALL wh.system.evolve_partitioning('pe.t', " +
+      "columns => 'lang,dt')").head
+    assert(r.getString(0) == "lang,dt" && r.getString(1) == "lang",
+      s"old spec recorded as legacy: $r")
+    sql("""INSERT INTO wh.pe.t SELECT /*+ REPARTITION(1) */ * FROM VALUES
+          |  (3L, 'en', 'd2'), (4L, 'fr', 'd2') AS v(k, lang, dt)""".stripMargin)
+    // mixed generations answer: gen-1 resolves dt from the JSON body,
+    // gen-2 from the path; lang from the path in both
+    val got = sql("SELECT k, lang, dt FROM wh.pe.t ORDER BY k").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSeq
+    assert(got == Seq((1L, "en", "d1"), (2L, "de", "d1"),
+      (3L, "en", "d2"), (4L, "fr", "d2")), got.toString)
+    // partition pruning per shard: lang prunes BOTH generations;
+    // dt prunes gen-2 dirs and conservatively keeps gen-1 shards
+    def planned(q: String): Int = sql(q).rdd.getNumPartitions
+    assert(planned("SELECT k FROM wh.pe.t WHERE lang = 'fr'") == 1)
+    assert(planned("SELECT k FROM wh.pe.t WHERE lang = 'de'") == 1)
+    assert(planned("SELECT k FROM wh.pe.t WHERE dt = 'd1'") == 2,
+      "gen-1 shards (no dt= segment) stay; gen-2 d2 dirs prune")
+    // dynamic partition overwrite refuses on a multi-generation layout
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception] {
+        sql("INSERT OVERWRITE TABLE wh.pe.t VALUES (9L, 'en', 'd9')") }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("multi-generation")), msgs(e).toString)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    // static overwrite of one lang partition replaces BOTH generations
+    sql("INSERT OVERWRITE TABLE wh.pe.t PARTITION (lang = 'en') " +
+      "SELECT 10L AS k, 'd3' AS dt")
+    val en = sql("SELECT k FROM wh.pe.t WHERE lang = 'en'").collect()
+      .map(_.getLong(0)).toSeq
+    assert(en == Seq(10L), s"old-generation en rows must be replaced: $en")
+    // unify: full rewrite lands everything under the current spec;
+    // re-CALL derives an EMPTY legacy set and restores keyed behaviors
+    sql("CREATE TABLE wh.pe.stage AS SELECT k, lang, dt FROM wh.pe.t")
+    sql("INSERT OVERWRITE TABLE wh.pe.t SELECT k, lang, dt FROM wh.pe.stage")
+    val r2 = sql("CALL wh.system.evolve_partitioning('pe.t', " +
+      "columns => 'lang,dt')").head
+    assert(r2.getString(1) == "", s"post-rewrite legacy must be empty: $r2")
+    val props = sql("SHOW TBLPROPERTIES wh.pe.t").collect()
+      .map(_.getString(0)).toSet
+    assert(!props.contains("graft.partition.legacy.specs"))
+    assert(sql("SELECT k FROM wh.pe.t").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 4L, 10L),
+      "rows preserved across the unifying rewrite (en was overwritten)")
+    sql("DROP TABLE wh.pe.stage")
+  }
+
   test("ADD/RENAME onto an occupied PHYSICAL key binds a fresh key, never aliases") {
     sql("CREATE NAMESPACE IF NOT EXISTS wh.pk")
     // drop-and-re-add binds column `a` to physical key a__2
