@@ -68,6 +68,51 @@ object MaintBench {
     timed("compact") {
       c.sql("CALL mb.system.compact('m.orders', max_shards => 4)").collect()
     }
+    // equality-delete upsert tier ([[graft.sources.dsv2.JsonlEqDeletes]]):
+    // the per-batch cost of a keyed upsert WAVE is O(|batch|) — one key
+    // file + stamped inserts, the target never scanned — versus a MERGE
+    // of the same delta, which pays the target-side group scan/rewrite.
+    // Compare the two rows at SPARK_GRAFT_MAINT_SHARDS=32 vs 320: the
+    // wave stays flat, the MERGE scales with the target.
+    c.sql(
+      """CREATE TABLE mb.m.uptarget
+        |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+        |TBLPROPERTIES ('graft.upsert.keys'='o_orderkey')""".stripMargin)
+    c.sql(
+      s"""INSERT INTO mb.m.uptarget
+         |SELECT /*+ REPARTITION($nShards) */
+         |  o_orderkey, o_custkey, o_orderstatus
+         |FROM parquet.`$sfDir/orders.parquet`""".stripMargin)
+    c.sql(
+      """CREATE TABLE mb.m.mtarget
+        |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+        |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    c.sql(
+      s"""INSERT INTO mb.m.mtarget
+         |SELECT /*+ REPARTITION($nShards) */
+         |  o_orderkey, o_custkey, o_orderstatus
+         |FROM parquet.`$sfDir/orders.parquet`""".stripMargin)
+    val deltaSql =
+      s"""SELECT o_orderkey, o_custkey + 1 AS o_custkey, o_orderstatus
+         |FROM parquet.`$sfDir/orders.parquet`
+         |WHERE o_orderkey % 997 = 0""".stripMargin
+    timed("eq_upsert_batch") {
+      c.sql(s"INSERT INTO mb.m.uptarget $deltaSql")
+    }
+    timed("merge_upsert_batch") {
+      c.sql(
+        s"""MERGE INTO mb.m.mtarget t USING ($deltaSql) s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET t.o_custkey = s.o_custkey
+           |WHEN NOT MATCHED THEN INSERT
+           |  (o_orderkey, o_custkey, o_orderstatus)
+           |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus)"""
+          .stripMargin)
+    }
+    timed("eq_compact_reconcile") {
+      c.sql(s"CALL mb.system.compact('m.uptarget', max_shards => $nShards)")
+        .collect()
+    }
     val total = math.rint(timings.values.sum * 1000) / 1e3
     val q = timings.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     // one JSON line, Bench's shape, so the same tooling parses it

@@ -1918,6 +1918,62 @@ object WarehouseQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q227
+  /** EQUALITY-delete upsert tier ([[graft.sources.dsv2.JsonlEqDeletes]])
+    * under the oracle gate: an orders table declaring
+    * `graft.upsert.keys = 'o_orderkey'` takes THREE plain-INSERT
+    * waves — the full table, then keys `% 5 = 0` re-landed with
+    * custkeys +1e6, then keys `% 7 = 0` with +5e6 — each wave
+    * O(|batch|): one key file + stamped shards, the target never
+    * scanned. The grouped aggregate over the visible state must match
+    * DuckDB's recompute of last-wave-wins; a leaked hidden row or an
+    * over-deleted key shifts the sums and hash-fails. */
+  private val upsertCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def upsertWaves(s: SparkSession, dir: String): DataFrame = {
+    val child = upsertCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whup", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whup.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q227").toString)
+      c.sql("CREATE NAMESPACE whup.up")
+      c.sql(
+        """CREATE TABLE whup.up.orders
+          |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+          |TBLPROPERTIES ('graft.upsert.keys'='o_orderkey')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whup.up.orders
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whup.up.orders
+           |SELECT /*+ REPARTITION(2) */ o_orderkey,
+           |  o_custkey + 1000000 AS o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 5 = 0"""
+          .stripMargin)
+      c.sql(
+        s"""INSERT INTO whup.up.orders
+           |SELECT /*+ REPARTITION(2) */ o_orderkey,
+           |  o_custkey + 5000000 AS o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 7 = 0"""
+          .stripMargin)
+      c
+    })
+    child.sql(
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM whup.up.orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val upsertWavesSql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 5000000
+      |                WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+      |                ELSE o_custkey END) AS BIGINT) AS sum_cust
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- q217
   /** The change feed through the DSv2 SOURCE
     * ([[graft.sources.dsv2.JsonlChangesSource]], the batch face of
@@ -2118,6 +2174,7 @@ object WarehouseQueries {
     "q224_type_widen_two_gen" -> (typeWidenTwoGen _),
     "q225_cow_typed_window" -> (cowTypedWindow _),
     "q226_partition_evolution" -> (partitionEvolutionProbe _),
+    "q227_upsert_waves" -> (upsertWaves _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -2164,6 +2221,7 @@ object WarehouseQueries {
     "q224_type_widen_two_gen" -> typeWidenTwoGenSql,
     "q225_cow_typed_window" -> cowTypedWindowSql,
     "q226_partition_evolution" -> partitionEvolutionProbeSql,
+    "q227_upsert_waves" -> upsertWavesSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

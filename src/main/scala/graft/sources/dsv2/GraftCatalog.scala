@@ -139,8 +139,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(v == "copy-on-write" || v == "merge-on-read",
         s"${JsonlTable.RowLevelModeProp} must be copy-on-write or " +
           s"merge-on-read, got '$v'"))
+    validateUpsertKeys(schema, props)
     writeMeta(metaFile(dir), schema, partCols, props)
     new JsonlTable(schema, dir.toString, partCols, props)
+  }
+
+  /** `graft.upsert.keys` contract ([[JsonlEqDeletes]]): key columns
+    * exist with BIGINT/INT/STRING types (the canonical key rendering
+    * must agree between writer rows and reader JSON), and the tier is
+    * incompatible with auto-snapshot (manifests don't embed equality
+    * state). */
+  private def validateUpsertKeys(schema: StructType,
+                                 props: Map[String, String]): Unit = {
+    val keys = JsonlTable.upsertKeysOf(props)
+    if (keys.isEmpty) return
+    keys.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(throw
+        new IllegalArgumentException(
+          s"${JsonlTable.UpsertKeysProp}: no column $c in the table"))
+      require(f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == org.apache.spark.sql.types.StringType,
+        s"${JsonlTable.UpsertKeysProp}: $c must be BIGINT/INT/STRING, " +
+          s"got ${f.dataType.simpleString}")
+    }
+    require(!JsonlTable.autoSnapshotOf(props),
+      s"${JsonlTable.UpsertKeysProp} and ${JsonlTable.AutoSnapshotProp} " +
+        "are incompatible: snapshot manifests do not embed " +
+        "equality-delete state")
   }
 
   /** Schema evolution, limited to what the JSONL layout makes SAFE
@@ -362,6 +387,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"${JsonlTable.WriteOrderProp}: no column $c in the table"))
         val wasAuto = JsonlTable.autoSnapshotOf(props)
         props = props + (sp.property -> sp.value)
+        if (sp.property == JsonlTable.UpsertKeysProp ||
+            sp.property == JsonlTable.AutoSnapshotProp)
+          validateUpsertKeys(schema, props)
         // enabling auto-snapshot starts a DELTA-PIN chain: every later
         // commit rebases the previous manifest over its own changes.
         // Commits made while auto was OFF are in no manifest — pin a

@@ -215,11 +215,20 @@ object GraftProcedures {
         // skips because the root can't be dir-swapped — it takes the
         // per-file swap below).
         val sidecars = JsonlDeletes.index(fs, table)
+        // equality-delete reconcile ([[JsonlEqDeletes]]): dirs holding
+        // shards EXPOSED to pending equality deletes (name stamp <
+        // current max sequence) rewrite too — hidden rows drop, the
+        // outputs re-stamp at the max sequence, and key files no live
+        // shard is exposed to retire below
+        val (eqMap, eqMax, eqCols) = JsonlEqDeletes.index(fs, table)
+        def exposed(name: String): Boolean =
+          eqMax > 0L && JsonlEqDeletes.shardSeqOf(name) < eqMax
         val todo = shardsByDir(fs, table)
           .filter { case (rel, shards) =>
             scope.forall(_ == rel) &&
               ((rel.nonEmpty && shards.size > maxShards) ||
-                shards.exists(s => sidecars.contains(s._1.toString))) }
+                shards.exists(s => sidecars.contains(s._1.toString)) ||
+                shards.exists(s => exposed(s._1.getName))) }
           .toSeq.sortBy(_._1)
         if (todo.isEmpty) return result(compactSchema, Nil)
         val tableStr = table.toString
@@ -230,16 +239,33 @@ object GraftProcedures {
         // sidecar-carrying shard). Output GROUPS (and names) are
         // assigned on the DRIVER so the post-swap index synthesis
         // below knows exactly which inputs each output concatenates.
+        // reader context for the equality filter: per key column its
+        // STORAGE key, rename aliases, and type (the canonical tuple
+        // rendering must match the writers')
+        val eqTblSchema = catalog.loadTable(Identifier.of(
+          input.getUTF8String(0).toString.split("\\.").init,
+          input.getUTF8String(0).toString.split("\\.").last)).schema()
+        val keySpecs: Seq[(String, String, Seq[String],
+            org.apache.spark.sql.types.DataType)] =
+          eqCols.map { c =>
+            val fl = eqTblSchema.fields.find(_.name == c).getOrElse(
+              throw new IllegalStateException(s"upsert key $c left the schema"))
+            (c, JsonlTable.physicalKeyOf(fl), JsonlTable.aliasesOf(fl),
+              fl.dataType)
+          }
         val plan = todo.map { case (rel, shards) =>
           val withSc = shards.map { case (p, len) =>
-            (p.toString, len, sidecars.getOrElse(p.toString, null)) }
+            (p.toString, len, sidecars.getOrElse(p.toString, null),
+              exposed(p.getName)) }
           val totalBytes = withSc.map(_._2).sum
           val nOut = math.max(1, math.ceil(
             totalBytes.toDouble / targetBytes).toInt)
           val groups = withSc.grouped(
             math.max(1, math.ceil(withSc.size.toDouble / nOut).toInt)).toSeq
           (rel, groups.zipWithIndex.map { case (g, i) =>
-            (f"compact-$i%05d-${java.util.UUID.randomUUID}.jsonl.gz", g) })
+            (JsonlEqDeletes.stampName(
+              f"compact-$i%05d-${java.util.UUID.randomUUID}.jsonl.gz", eqMax),
+              g) })
         }
         val after = spark.sparkContext
           .parallelize(plan, math.max(1, plan.size))
@@ -248,11 +274,19 @@ object GraftProcedures {
             namedGroups.foreach { case (outName, group) =>
               val outPath = new Path(s"$stagingStr/$rel", outName)
               val out = new java.util.zip.GZIPOutputStream(f.create(outPath, true))
-              group.foreach { case (shard, _, sc) =>
+              group.foreach { case (shard, _, sc, exp) =>
                 val deleted =
                   if (sc == null) null
                   else JsonlDeletes.readBitSet(conf, sc)
                 val p = new Path(shard)
+                // equality filter context for an EXPOSED shard: its
+                // stamp, and partition-path values for key columns the
+                // JSON body omits
+                val shardSeq = JsonlEqDeletes.shardSeqOf(p.getName)
+                val pv: Map[String, Option[String]] =
+                  if (!exp || keySpecs.isEmpty) Map.empty
+                  else JsonlLayout.partValuesFromPath(p)
+                val jm = new com.fasterxml.jackson.databind.ObjectMapper()
                 val in = f.open(p)
                 val stream =
                   if (shard.endsWith(".gz")) new java.util.zip.GZIPInputStream(in)
@@ -265,8 +299,41 @@ object GraftProcedures {
                   lineNo += 1
                   if (deleted == null || lineNo > Int.MaxValue ||
                       !deleted.get(lineNo.toInt)) {
-                    out.write(line.getBytes(StandardCharsets.UTF_8))
-                    out.write('\n')
+                    val hidden = exp && keySpecs.nonEmpty && line.nonEmpty && {
+                      val node =
+                        try jm.readTree(line)
+                        catch { case _: Exception => null }
+                      node != null && node.isObject && {
+                        val nf = jm.getNodeFactory
+                        val nodes = keySpecs.map { case (c, sk, als, _) =>
+                          if (pv.contains(c))
+                            pv(c).map(v => nf.textNode(v)
+                              : com.fasterxml.jackson.databind.JsonNode).orNull
+                          else {
+                            var v: com.fasterxml.jackson.databind.JsonNode =
+                              node.get(sk)
+                            if (v == null)
+                              als.iterator.map(node.get).find(_ != null)
+                                .foreach(v = _)
+                            v
+                          }
+                        }
+                        // partition values ride as TEXT nodes; render
+                        // through StringType so "42" stays "42" (the
+                        // writer rendered the same digits)
+                        val dts = keySpecs.zip(nodes).map {
+                          case ((c, _, _, dt), _) if pv.contains(c) =>
+                            org.apache.spark.sql.types.StringType
+                          case ((_, _, _, dt), _) => dt
+                        }
+                        val key = JsonlEqDeletes.renderNodes(nodes, dts)
+                        eqMap.get(key).exists(_ > shardSeq)
+                      }
+                    }
+                    if (!hidden) {
+                      out.write(line.getBytes(StandardCharsets.UTF_8))
+                      out.write('\n')
+                    }
                   }
                   line = reader.readLine()
                 }
@@ -287,11 +354,13 @@ object GraftProcedures {
         val synthesized: Seq[(String, JsonlSkipIndex.ShardWriteStats)] =
           plan.flatMap { case (rel, namedGroups) =>
             namedGroups.flatMap { case (outName, group) =>
-              val entries = group.flatMap { case (shard, _, _) =>
+              val entries = group.flatMap { case (shard, _, _, _) =>
                 preIdx.get(fs.makeQualified(new Path(shard)).toString) }
-              if (entries.size != group.size) None
+              // an equality-filtered input drops an unknown row count:
+              // its group stays unindexed until the next build
+              if (entries.size != group.size || group.exists(_._4)) None
               else {
-                val dropped = group.iterator.map { case (_, _, sc) =>
+                val dropped = group.iterator.map { case (_, _, sc, _) =>
                   if (sc == null) 0L
                   else JsonlDeletes.read(fs, new Path(sc)).distinct.length.toLong
                 }.sum
@@ -314,7 +383,7 @@ object GraftProcedures {
           if (rel.isEmpty) {
             val t = new Path(trash, "__root__")
             fs.mkdirs(t)
-            byRel(rel).foreach { case (shard, _, _) =>
+            byRel(rel).foreach { case (shard, _, _, _) =>
               val p = new Path(shard)
               require(fs.rename(p, new Path(t, p.getName)),
                 s"swap-out failed for $p")
@@ -325,7 +394,7 @@ object GraftProcedures {
                 require(fs.rename(st.getPath, new Path(table, st.getPath.getName)),
                   s"swap-in failed for ${st.getPath}")
               }
-            byRel(rel).foreach { case (_, _, sc) =>
+            byRel(rel).foreach { case (_, _, sc, _) =>
               if (sc != null) fs.delete(new Path(sc), false)
             }
           } else {
@@ -367,6 +436,19 @@ object GraftProcedures {
         })
         fs.delete(trash, true)
         fs.delete(staging, true)
+        // equality-delete retirement: a key file with sequence S is
+        // needed only while some live shard's stamp is < S; after the
+        // rewrite re-stamped the exposed shards, drop what no shard
+        // is exposed to (global rule — a scoped run retires only what
+        // the rest of the layout also outgrew)
+        if (eqMax > 0L) {
+          val live = JsonlLayout.discoverFull(fs, table)
+          val minLive =
+            if (live.isEmpty) Long.MaxValue
+            else live.iterator.map { case (pp, _, _, _) =>
+              JsonlEqDeletes.shardSeqOf(pp.getName) }.min
+          JsonlEqDeletes.retire(fs, table, minLive)
+        }
         result(compactSchema, after.toSeq.map { case (rel, b, a) =>
           new GenericInternalRow(Array[Any](utf8(rel), b, a)): InternalRow })
         } finally RowLevelLock.releaseAll(fs, rloLocks)
@@ -435,6 +517,11 @@ object GraftProcedures {
           // the swap would leave them live beside the rewrite's copy
           // of their rows (silent duplicates)
           JsonlSnapshots.requireNoCrashedSwaps(fs, table, "cluster_table")
+          require(!JsonlEqDeletes.hasPending(fs, table),
+            s"cluster_table refused: $table has pending equality " +
+              s"deletes (${JsonlEqDeletes.DirName}/) — CALL compact to " +
+              "reconcile them first (the sort-rewrite would land " +
+              "unstamped shards exposed to past waves)")
           val layout = JsonlLayout.discoverFull(fs, table)
           val before = layout.map(_._1)
           if (before.isEmpty)

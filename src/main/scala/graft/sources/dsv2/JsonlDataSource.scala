@@ -175,6 +175,17 @@ object JsonlTable {
 
   def legacySpecsOf(props: Map[String, String]): Seq[String] =
     props.get(LegacySpecsProp).map(_.split(";").toSeq).getOrElse(Nil)
+
+  /** Equality-delete upsert tier ([[JsonlEqDeletes]]): comma-separated
+    * key columns. When set, every plain APPEND commit is an upsert
+    * wave — one key file + stamped insert shards, O(|batch|), no
+    * target scan. Validated at CREATE/ALTER (columns exist, types
+    * BIGINT/INT/STRING, incompatible with `graft.snapshot.auto`). */
+  val UpsertKeysProp = "graft.upsert.keys"
+
+  def upsertKeysOf(props: Map[String, String]): Seq[String] =
+    props.get(UpsertKeysProp).map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil)
 }
 
 class JsonlTable(tableSchema: StructType, path: String,
@@ -230,7 +241,8 @@ class JsonlTable(tableSchema: StructType, path: String,
       info.queryId(), partCols,
       JsonlSkipIndex.skipColsOf(props), JsonlTable.writeOrderOf(props),
       JsonlTable.autoSnapshotOf(props),
-      multiGeneration = props.contains(JsonlTable.LegacySpecsProp))
+      multiGeneration = props.contains(JsonlTable.LegacySpecsProp),
+      upsertKeys = JsonlTable.upsertKeysOf(props))
   }
 
   /** Drop every data entry under the table root, keeping metadata
@@ -928,6 +940,18 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private def aggMode: Boolean = aggSpecs.nonEmpty
+
+  // equality-delete state ([[JsonlEqDeletes]]): loaded once per plan —
+  // empty with ONE existence probe when the tier is unused. Snapshots
+  // refuse coexistence with equality deletes, so pinned reads skip it.
+  private lazy val eqState: (Map[String, Long], Long, Seq[String]) =
+    if (snapshot != null) (Map.empty, 0L, Nil)
+    else {
+      val p = new Path(path)
+      JsonlEqDeletes.index(
+        p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
+    }
+
   // skip-index stats are keyed by the PHYSICAL key (name unless the
   // column was re-added after a drop)
   private def minMaxCols: Seq[String] =
@@ -1203,7 +1227,10 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   private def indexAnsweredPartial(
       f: String, sidecars: Map[String, String]): Seq[Any] =
     if (!aggMode || pushed.nonEmpty || pruneOnly.nonEmpty ||
-        runtimeFilters.nonEmpty || sidecars.contains(f)) null
+        runtimeFilters.nonEmpty || sidecars.contains(f) ||
+        // pending equality deletes may hide rows of this shard: the
+        // entry's count/range no longer answers exactly
+        eqState._2 > JsonlEqDeletes.shardSeqOf(new Path(f).getName)) null
     else skipIndex.get(f) match {
       // a compaction-synthesized (approx) entry keeps an EXACT row
       // count but possibly-wide min/max: COUNT may answer from it,
@@ -1221,10 +1248,11 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     if (aggMode)
       new JsonlAggReaderFactory(aggSpecs, pushed, dataSchema,
-        JsonlHadoopConf.fromSession())
+        JsonlHadoopConf.fromSession(), eqState._1, eqState._3)
     else
       new JsonlReaderFactory(required, pushed, dataSchema,
-        JsonlHadoopConf.fromSession(), columnar, limit)
+        JsonlHadoopConf.fromSession(), columnar, limit,
+        eqState._1, eqState._3)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1253,7 +1281,9 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
 final class JsonlAggReaderFactory(specs: Seq[(String, String)],
                                   pushed: Array[Filter],
                                   dataSchema: StructType,
-                                  conf: JsonlHadoopConf)
+                                  conf: JsonlHadoopConf,
+                                  eqDeletes: Map[String, Long] = Map.empty,
+                                  eqCols: Seq[String] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
@@ -1264,7 +1294,8 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
       else null,
       new JsonlPartitionReader(p.file, required, pushed, p.partValues,
         dataSchema, conf, deletesPath = p.deletes,
-        deletePositions = p.deletePositions))
+        deletePositions = p.deletePositions,
+        eqDeletes = eqDeletes, eqCols = eqCols))
   }
 }
 
@@ -1430,8 +1461,16 @@ final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed, dataSchema, conf)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // equality deletes as of THIS batch's planning: late-arriving
+    // waves apply to later batches only (a streaming scan of an
+    // upsert table reads each shard once — the usual CDC caveat)
+    val p = new Path(path)
+    val (eqMap, _, eqCols) =
+      JsonlEqDeletes.index(p.getFileSystem(conf.value), p)
+    new JsonlReaderFactory(required, pushed, dataSchema, conf,
+      eqDeletes = eqMap, eqCols = eqCols)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -1610,7 +1649,8 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
                               skipCols: Seq[String] = Nil,
                               writeOrder: Seq[String] = Nil,
                               autoSnapshot: Boolean = false,
-                              multiGeneration: Boolean = false)
+                              multiGeneration: Boolean = false,
+                              upsertKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -1666,11 +1706,12 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
           // dynamic overwrite of an UNPARTITIONED table replaces its
           // single implicit partition — the whole table
           new JsonlBatchWrite(schema, path, queryId, doTruncate || doDynamic,
-            Nil, skipCols = skipCols, autoSnapshot = autoSnapshot)
+            Nil, skipCols = skipCols, autoSnapshot = autoSnapshot,
+            upsertKeys = upsertKeys)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, Nil, skipCols,
-            autoSnapshot)
+            autoSnapshot, upsertKeys)
       }
     else
       // hive-layout write: ask Spark to CLUSTER rows by the partition
@@ -1711,11 +1752,12 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
           new JsonlBatchWrite(schema, path, queryId,
             doTruncate || (doDynamic && partCols.isEmpty), partCols,
             doDynamic && partCols.nonEmpty, overwriteFilters,
-            skipCols = skipCols, autoSnapshot = autoSnapshot)
+            skipCols = skipCols, autoSnapshot = autoSnapshot,
+            upsertKeys = upsertKeys)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols,
-            autoSnapshot)
+            autoSnapshot, upsertKeys)
       }
   }
 }
@@ -1840,7 +1882,8 @@ final class JsonlRowLevelScanBuilder(dataSchema: StructType, path: String,
 final class JsonlStreamingWrite(schema: StructType, path: String,
                                 queryId: String, partCols: Seq[String],
                                 skipCols: Seq[String] = Nil,
-                                autoSnapshot: Boolean = false)
+                                autoSnapshot: Boolean = false,
+                                upsertKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1856,7 +1899,7 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
     new JsonlStreamingWriterFactory(schema, path, queryId, partCols, conf,
-      skipCols)
+      skipCols, upsertKeys)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
@@ -1890,32 +1933,58 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
       .foldLeft(Long.MinValue)(math.max)
     if (f.exists(inprog) || epochId <= maxLogged) {
       val marker = epochMarker(epochId)
+      // a prior attempt's shards may carry an equality-delete stamp
+      // between the epoch marker and the extension — match both forms
+      val stampedRe = (".*" + java.util.regex.Pattern.quote(
+        marker.stripSuffix(".jsonl.gz")) + "-eqs\\d+\\.jsonl\\.gz$").r
       // replay sweep of the prior attempt's partials: a snapshot taken
       // while they were visible may reference them — retain, not drop
       val referenced = JsonlSnapshots.referencedRels(f, dest)
       val qualified = f.makeQualified(dest).toUri
       JsonlLayout.discover(f, dest)
-        .map(_._1).filter(_.getName.endsWith(marker))
+        .map(_._1).filter(pp => pp.getName.endsWith(marker) ||
+          stampedRe.matches(pp.getName))
         .foreach { p =>
           val rel = qualified.relativize(f.makeQualified(p).toUri).getPath
           JsonlSnapshots.discardShard(f, dest, p, rel, referenced)
         }
     }
     f.create(inprog, true).close()
-    messages.flatMap { case JsonlCommitMessage(s, _) => s }.foreach {
+    // equality-delete upsert tier: an epoch on a graft.upsert.keys
+    // table is an upsert WAVE — key file first, stamped inserts after
+    // (same protocol and crash posture as the batch commit; an epoch
+    // replay re-claims a fresh sequence and republishes, idempotent)
+    val staged0 = messages.flatMap { case JsonlCommitMessage(s, _, _) => s }
+    val wave = upsertKeys.nonEmpty && staged0.nonEmpty
+    val stampSeq: Long =
+      if (!wave) JsonlEqDeletes.currentSeq(f, dest)
+      else {
+        val seq = JsonlEqDeletes.claimNext(f, dest,
+          conf.value.getLong(JsonlSnapshots.ClaimStaleMsKey,
+            JsonlSnapshots.DefaultClaimStaleMs))
+        try {
+          val keys = messages.iterator.flatMap {
+            case m: JsonlCommitMessage => m.upsertKeys }.toSet
+          JsonlEqDeletes.publish(f, dest, seq, upsertKeys, keys)
+        } finally JsonlEqDeletes.releaseClaim(f, dest, seq)
+        seq
+      }
+    staged0.foreach {
       case (stagedFile, relDir) =>
         val s = new Path(stagedFile)
         val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
         f.mkdirs(destDir)
-        val target = new Path(destDir, s.getName)
+        val target =
+          new Path(destDir, JsonlEqDeletes.stampName(s.getName, stampSeq))
         if (!f.rename(s, target))
           throw new java.io.IOException(s"epoch $epochId commit failed for $s")
     }
     // write-time skip stats for this epoch's shards (graft.skip.columns)
     JsonlSkipIndex.mergeEntries(f, dest, messages.flatMap {
-      case JsonlCommitMessage(s, st) => s.flatMap { case (stagedFile, relDir) =>
+      case JsonlCommitMessage(s, st, _) => s.flatMap { case (stagedFile, relDir) =>
         st.get(stagedFile).map { ws =>
-          val name = new Path(stagedFile).getName
+          val name =
+            JsonlEqDeletes.stampName(new Path(stagedFile).getName, stampSeq)
           (if (relDir.isEmpty) name else s"$relDir/$name") -> ws
         }
       }
@@ -1936,9 +2005,10 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
     // The pin is a lock-free DELTA rebase (this epoch's shards over
     // the previous manifest): no table listing, no lock acquisition.
     if (autoSnapshot) {
-      val added = messages.flatMap { case JsonlCommitMessage(s, _) => s }
+      val added = staged0
         .map { case (stagedFile, relDir) =>
-          val name = new Path(stagedFile).getName
+          val name =
+            JsonlEqDeletes.stampName(new Path(stagedFile).getName, stampSeq)
           val rel = if (relDir.isEmpty) name else s"$relDir/$name"
           rel -> f.getFileStatus(new Path(dest, rel)).getLen
         }.toMap
@@ -1973,16 +2043,17 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
 final class JsonlStreamingWriterFactory(schema: StructType, path: String,
                                         queryId: String, partCols: Seq[String],
                                         conf: JsonlHadoopConf,
-                                        skipCols: Seq[String] = Nil)
+                                        skipCols: Seq[String] = Nil,
+                                        upsertKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new JsonlDataWriter(schema, path, s"$queryId-e$epochId",
-        partitionId, taskId, conf, skipCols)
+        partitionId, taskId, conf, skipCols, upsertKeys)
     else
       new JsonlPartitionedDataWriter(schema, path, s"$queryId-e$epochId",
-        partitionId, taskId, conf, partCols, skipCols)
+        partitionId, taskId, conf, partCols, skipCols, upsertKeys)
 }
 
 /** Staged shard(s) of one task: (staged path, partition-relative dir —
@@ -1990,7 +2061,10 @@ final class JsonlStreamingWriterFactory(schema: StructType, path: String,
   * (keyed by staged path; empty unless `graft.skip.columns` is set —
   * see [[JsonlSkipIndex.ColumnsProperty]]). */
 final case class JsonlCommitMessage(staged: Seq[(String, String)],
-    stats: Map[String, JsonlSkipIndex.ShardWriteStats] = Map.empty)
+    stats: Map[String, JsonlSkipIndex.ShardWriteStats] = Map.empty,
+    // equality-delete upsert waves ([[JsonlEqDeletes]]): the task's
+    // distinct rendered key tuples; empty unless graft.upsert.keys
+    upsertKeys: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
@@ -1999,7 +2073,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
                             overwriteFilters: Array[Filter] = null,
                             replaceShards: () => Seq[String] = null,
                             skipCols: Seq[String] = Nil,
-                            autoSnapshot: Boolean = false)
+                            autoSnapshot: Boolean = false,
+                            upsertKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -2008,13 +2083,16 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(schema, path, queryId, conf, partCols, skipCols)
+    new JsonlWriterFactory(schema, path, queryId, conf, partCols, skipCols,
+      if (truncate || dynamicOverwrite || overwriteFilters != null ||
+          replaceShards != null) Nil
+      else upsertKeys)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
     val dest = new Path(path)
     f.mkdirs(dest)
-    val staged = messages.flatMap { case JsonlCommitMessage(s, _) => s }
+    val staged = messages.flatMap { case JsonlCommitMessage(s, _, _) => s }
     // single-writer enforcement for every DESTRUCTIVE commit — COW
     // group rewrite, TRUNCATE, static/dynamic INSERT OVERWRITE — same
     // contract as the merge-on-read delta commit: the whole
@@ -2167,11 +2245,39 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       // in one list update instead of per-shard edits
       JsonlSkipIndex.removeDirs(f, dest, touchedDirs.toSeq)
     }
+    // ------------- equality-delete upsert tier ([[JsonlEqDeletes]])
+    // a plain APPEND on a table declaring graft.upsert.keys is an
+    // upsert WAVE: claim the next sequence, publish the batch's key
+    // file FIRST (crash between = keys deleted + inserts absent until
+    // the batch retries, which republishes both), then land the
+    // insert shards STAMPED with the sequence — the wave's own rows
+    // exempt, everything older subject. Every OTHER commit stamps at
+    // the current max sequence so rewritten/overwritten rows are
+    // never hidden by past waves.
+    // snapshots compose: a pinned scan is equality-blind and shows
+    // the PIN-TIME state (pins refuse while deletes are pending, so a
+    // manifest never coexists with unreconciled waves it can't see);
+    // rollback likewise refuses until a reconcile
+    val wave = upsertKeys.nonEmpty && !destructive && staged.nonEmpty
+    val stampSeq: Long =
+      if (!wave) JsonlEqDeletes.currentSeq(f, dest)
+      else {
+        val seq = JsonlEqDeletes.claimNext(f, dest,
+          conf.value.getLong(JsonlSnapshots.ClaimStaleMsKey,
+            JsonlSnapshots.DefaultClaimStaleMs))
+        try {
+          val keys = messages.iterator.flatMap {
+            case m: JsonlCommitMessage => m.upsertKeys }.toSet
+          JsonlEqDeletes.publish(f, dest, seq, upsertKeys, keys)
+        } finally JsonlEqDeletes.releaseClaim(f, dest, seq)
+        seq
+      }
     staged.foreach { case (stagedFile, relDir) =>
       val s = new Path(stagedFile)
       val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
       f.mkdirs(destDir)
-      if (!f.rename(s, new Path(destDir, s.getName)))
+      if (!f.rename(s,
+          new Path(destDir, JsonlEqDeletes.stampName(s.getName, stampSeq))))
         throw new java.io.IOException(s"commit rename failed for $s")
     }
     // write-time skip stats (graft.skip.columns): each writer tracked
@@ -2180,9 +2286,10 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     // table-relative path. A crash before this point only leaves the
     // new shards index-unseen — scanned conservatively.
     val writeStats = messages.flatMap {
-      case JsonlCommitMessage(s, st) => s.flatMap { case (stagedFile, relDir) =>
+      case JsonlCommitMessage(s, st, _) => s.flatMap { case (stagedFile, relDir) =>
         st.get(stagedFile).map { ws =>
-          val name = new Path(stagedFile).getName
+          val name =
+            JsonlEqDeletes.stampName(new Path(stagedFile).getName, stampSeq)
           (if (relDir.isEmpty) name else s"$relDir/$name") -> ws
         }
       }
@@ -2223,7 +2330,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         if (!plainAppend) None
         else Some(JsonlSnapshots.PinDelta(
           staged.map { case (stagedFile, relDir) =>
-            val name = new Path(stagedFile).getName
+            val name =
+              JsonlEqDeletes.stampName(new Path(stagedFile).getName, stampSeq)
             val rel = if (relDir.isEmpty) name else s"$relDir/$name"
             rel -> f.getFileStatus(new Path(dest, rel)).getLen
           }.toMap, Map.empty, Set.empty))
@@ -2248,16 +2356,17 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
 final class JsonlWriterFactory(schema: StructType, path: String,
                                queryId: String, conf: JsonlHadoopConf,
                                partCols: Seq[String] = Nil,
-                               skipCols: Seq[String] = Nil)
+                               skipCols: Seq[String] = Nil,
+                               upsertKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new JsonlDataWriter(schema, path, queryId, partitionId, taskId, conf,
-        skipCols)
+        skipCols, upsertKeys)
     else
       new JsonlPartitionedDataWriter(schema, path, queryId, partitionId,
-        taskId, conf, partCols, skipCols)
+        taskId, conf, partCols, skipCols, upsertKeys)
 }
 
 /** Routes clustered+sorted rows into `k=v/` hive dirs: one staged file
@@ -2270,8 +2379,13 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
                                        queryId: String, partitionId: Int,
                                        taskId: Long, conf: JsonlHadoopConf,
                                        partCols: Seq[String],
-                                       skipCols: Seq[String] = Nil)
+                                       skipCols: Seq[String] = Nil,
+                                       upsertKeyCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val upsertIdx: Seq[Int] =
+    upsertKeyCols.filter(schema.fieldNames.contains).map(schema.fieldIndex)
+  private val upsertKeys = scala.collection.mutable.HashSet.empty[String]
 
   private val partIdx: Seq[Int] = partCols.map(schema.fieldIndex)
   private val dataIdx: Seq[Int] =
@@ -2326,6 +2440,8 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
     val key = keyOf(row)
     if (currentKey == null || key != currentKey) roll(key)
     if (tracker.active) tracker.update(row)
+    if (upsertIdx.nonEmpty)
+      upsertKeys += JsonlEqDeletes.renderRow(row, schema, upsertIdx)
     val node = mapper.createObjectNode()
     dataIdx.foreach { i =>
       val f = schema.fields(i)
@@ -2341,7 +2457,7 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     snapshotCurrent()
     if (out != null) out.close()
-    JsonlCommitMessage(staged.reverse, stats)
+    JsonlCommitMessage(staged.reverse, stats, upsertKeys.toSet)
   }
 
   override def abort(): Unit = {
@@ -2364,8 +2480,13 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
 final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
                             partitionId: Int, taskId: Long,
                             conf: JsonlHadoopConf,
-                            skipCols: Seq[String] = Nil)
+                            skipCols: Seq[String] = Nil,
+                            upsertKeyCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val upsertIdx: Seq[Int] =
+    upsertKeyCols.filter(schema.fieldNames.contains).map(schema.fieldIndex)
+  private val upsertKeys = scala.collection.mutable.HashSet.empty[String]
 
   private val staged = new Path(path,
     f"_staging/$queryId/part-$partitionId%05d-$taskId-$queryId.jsonl.gz")
@@ -2380,6 +2501,8 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
 
   override def write(row: InternalRow): Unit = {
     if (tracker.active) tracker.update(row)
+    if (upsertIdx.nonEmpty)
+      upsertKeys += JsonlEqDeletes.renderRow(row, schema, upsertIdx)
     val node = mapper.createObjectNode()
     var i = 0
     while (i < schema.length) {
@@ -2398,7 +2521,8 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
     out.close()
     JsonlCommitMessage(Seq((staged.toString, "")),
       if (tracker.active) Map(staged.toString -> tracker.snapshot())
-      else Map.empty)
+      else Map.empty,
+      upsertKeys.toSet)
   }
 
   override def abort(): Unit = {
@@ -2588,7 +2712,9 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
                                dataSchema: StructType,
                                conf: JsonlHadoopConf,
                                columnar: Boolean = false,
-                               limit: Int = -1)
+                               limit: Int = -1,
+                               eqDeletes: Map[String, Long] = Map.empty,
+                               eqCols: Seq[String] = Nil)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean =
     // nested values have no vectorized copy here — their scans take
@@ -2599,13 +2725,14 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlPartitionReader(p.file, required, pushed, p.partValues,
       dataSchema, conf, limit, p.deletes, p.deletePositions,
-      p.changeKind, p.keepPositions)
+      p.changeKind, p.keepPositions, eqDeletes, eqCols)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlColumnarReader(p.file, required, pushed, p.partValues,
-      dataSchema, conf, limit, p.deletes, p.deletePositions)
+      dataSchema, conf, limit, p.deletes, p.deletePositions,
+      eqDeletes, eqCols)
   }
 }
 
@@ -2624,8 +2751,26 @@ final class JsonlPartitionReader(file: String, required: StructType,
                                  deletesPath: String = null,
                                  deletePositions: Array[Long] = null,
                                  changeKind: String = null,
-                                 keepPositions: Array[Long] = null)
+                                 keepPositions: Array[Long] = null,
+                                 eqDeletes: Map[String, Long] = Map.empty,
+                                 eqCols: Seq[String] = Nil)
     extends PartitionReader[InternalRow] {
+
+  // equality-delete tier ([[JsonlEqDeletes]]): a key tuple named by a
+  // delete with sequence > this shard's name stamp is hidden. Inert
+  // (one boolean) unless the table has pending equality deletes that
+  // can reach this shard.
+  private val eqShardSeq: Long =
+    JsonlEqDeletes.shardSeqOf(new Path(file).getName)
+  private val eqActive: Boolean = eqCols.nonEmpty && eqDeletes.nonEmpty &&
+    eqDeletes.valuesIterator.max > eqShardSeq
+  private lazy val eqDts: Seq[DataType] =
+    eqCols.map(c => dataSchema(dataSchema.fieldIndex(c)).dataType)
+  private def eqHidden(node: JsonNode): Boolean =
+    eqActive && {
+      val key = JsonlEqDeletes.renderNodes(eqCols.map(field(node, _)), eqDts)
+      eqDeletes.get(key).exists(_ > eqShardSeq)
+    }
 
   // change-feed ordinal-delta piece: emit ONLY the listed positions
   // (the rows a merge-on-read delete removed between two snapshots)
@@ -2844,7 +2989,8 @@ final class JsonlPartitionReader(file: String, required: StructType,
         val node =
           try mapper.readTree(line)
           catch { case _: Exception => null } // malformed: skip (clean-path scan)
-        if (node != null && node.isObject && pushed.forall(matches(node, _))) {
+        if (node != null && node.isObject && !eqHidden(node) &&
+            pushed.forall(matches(node, _))) {
           currentPos = lineNo
           row = materialize(node)
           emittedRows += 1
@@ -2882,13 +3028,16 @@ final class JsonlColumnarReader(file: String, required: StructType,
                                 conf: JsonlHadoopConf,
                                 limit: Int = -1,
                                 deletesPath: String = null,
-                                deletePositions: Array[Long] = null)
+                                deletePositions: Array[Long] = null,
+                                eqDeletes: Map[String, Long] = Map.empty,
+                                eqCols: Seq[String] = Nil)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val rows = new JsonlPartitionReader(file, required, pushed,
-    partValues, dataSchema, conf, limit, deletesPath, deletePositions)
+    partValues, dataSchema, conf, limit, deletesPath, deletePositions,
+    eqDeletes = eqDeletes, eqCols = eqCols)
   private val capacity = 4096
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, required)

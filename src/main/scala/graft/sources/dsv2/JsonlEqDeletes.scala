@@ -1,0 +1,279 @@
+package graft.sources.dsv2
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** EQUALITY-delete tier for `graft-jsonl` tables — Iceberg v2's
+  * equality deletes re-expressed for this layout, the piece that makes
+  * a keyed streaming upsert sink O(|delta|) instead of O(target):
+  *
+  *   - a table declaring `graft.upsert.keys = 'k'`
+  *     ([[JsonlTable.UpsertKeysProp]]) turns every plain APPEND commit
+  *     into an upsert wave: the commit publishes ONE key file
+  *     `_eq_deletes/s<SEQ>.json` holding the batch's distinct key
+  *     tuples (collected by the writer tasks as rows stream through —
+  *     the target is never scanned, never locked), then lands its
+  *     insert shards stamped `-eqs<SEQ>` in the shard NAME;
+  *   - an equality delete with sequence S hides every matching-key row
+  *     in shards whose stamp is < S (unstamped legacy shards read as
+  *     0); the wave's own inserts carry stamp S, so they are exempt —
+  *     exactly Iceberg's sequence-number rule, with the sequence
+  *     carried in the file name instead of manifest metadata;
+  *   - readers apply the rule per ROW: the planner loads the key→maxSeq
+  *     map once (driver, O(pending keys)), ships it with the reader
+  *     factory, and the row reader drops matches after position-delete
+  *     filtering — pushed filters and aggregates see exactly the
+  *     upserted state;
+  *   - `CALL compact` RECONCILES: shards exposed to pending deletes are
+  *     rewritten without the hidden rows and re-stamped at the current
+  *     max sequence; key files no live shard is exposed to are
+  *     retired. Reader-side memory is bounded by compaction cadence,
+  *     like Iceberg's delete-file compaction.
+  *
+  * SEQUENCE ASSIGNMENT is the same claim-CAS as snapshot pins: atomic
+  * creation of `s<SEQ>.claim` wins the number (retry on collision), the
+  * key file publishes via tmp+rename, the claim drops. A crashed wave
+  * leaves a stale claim (cleaned by the next wave after
+  * [[JsonlSnapshots.DefaultClaimStaleMs]]) and possibly a published key
+  * file without its inserts — the upsert retry re-publishes both
+  * (idempotent: same keys, new sequence).
+  *
+  * COEXISTENCE: the tier composes with position deletes (MOR), COW
+  * rewrites, and overwrites — every writer stamps new shards at the
+  * table's current max sequence, so rewritten/appended rows are never
+  * hidden by PAST waves. It does NOT compose with snapshots yet: pins
+  * refuse while `_eq_deletes/` exists and upsert-keyed tables refuse
+  * auto-snapshot (a manifest doesn't embed equality state). */
+object JsonlEqDeletes {
+  val DirName = "_eq_deletes"
+
+  private val FileName = """s(\d+)\.json""".r
+  private val ClaimName = """s(\d+)\.claim""".r
+  /** Shard-name stamp: `...-eqs<SEQ>.jsonl[.gz]`. */
+  private val Stamp = """-eqs(\d+)\.jsonl(\.gz)?$""".r
+
+  /** Rendered-tuple separator (and the null marker) — \u0001 can't
+    * appear in a JSON-decoded scalar rendering. */
+  private val Sep = "\u0001"
+  private val NullMark = "\u0000"
+
+  def dir(table: Path): Path = new Path(table, DirName)
+  private def keyFile(table: Path, seq: Long): Path =
+    new Path(dir(table), s"s$seq.json")
+  private def claimFile(table: Path, seq: Long): Path =
+    new Path(dir(table), s"s$seq.claim")
+
+  /** Sequence high-water mark, surviving full retirement: shard
+    * stamps outlive the key files they were exempt from, so a LATER
+    * wave's sequence must never regress below an old stamp (the rule
+    * `stamp < seq` would exempt pre-wave shards). Written by
+    * [[retire]], read by [[claimNext]]. */
+  private def hwmFile(table: Path): Path = new Path(dir(table), "hwm")
+
+  private def readHwm(fs: FileSystem, table: Path): Long =
+    try {
+      val in = fs.open(hwmFile(table))
+      val bytes = try in.readAllBytes() finally in.close()
+      new String(bytes, StandardCharsets.UTF_8).trim.toLong
+    } catch { case _: Exception => 0L }
+
+  /** Any UNRECONCILED key file present? The refusal predicate for
+    * surfaces that can't see equality state (snapshot pins, rollback,
+    * cluster_table) — a fully reconciled table (stamps + hwm only)
+    * composes with all of them. */
+  def hasPending(fs: FileSystem, table: Path): Boolean = {
+    val d = dir(table)
+    fs.exists(d) && fs.listStatus(d).exists(st =>
+      FileName.findFirstMatchIn(st.getPath.getName).isDefined)
+  }
+
+  /** The sequence stamped into a shard name; 0 for unstamped. */
+  def shardSeqOf(name: String): Long =
+    Stamp.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(0L)
+
+  /** `part-....jsonl.gz` → `part-...-eqs<seq>.jsonl.gz` (identity for
+    * seq 0 or an already-stamped name). */
+  def stampName(name: String, seq: Long): String =
+    if (seq <= 0L || Stamp.findFirstMatchIn(name).isDefined) name
+    else if (name.endsWith(".jsonl.gz"))
+      name.stripSuffix(".jsonl.gz") + s"-eqs$seq.jsonl.gz"
+    else if (name.endsWith(".jsonl"))
+      name.stripSuffix(".jsonl") + s"-eqs$seq.jsonl"
+    else name
+
+  /** (published max seq, claim max seq) from NAMES only; (0, 0) with a
+    * single existence probe when the tier was never used. */
+  def maxSeqs(fs: FileSystem, table: Path): (Long, Long) = {
+    val d = dir(table)
+    if (!fs.exists(d)) return (0L, 0L)
+    var pub = 0L; var cl = 0L
+    fs.listStatus(d).foreach(st => st.getPath.getName match {
+      case FileName(n) => pub = math.max(pub, n.toLong)
+      case ClaimName(n) => cl = math.max(cl, n.toLong)
+      case _ => ()
+    })
+    (pub, cl)
+  }
+
+  /** Current published max sequence — what NEW shards stamp. */
+  def currentSeq(fs: FileSystem, table: Path): Long = maxSeqs(fs, table)._1
+
+  /** Claim the next sequence (CAS on the claim file; stale claims from
+    * crashed waves are broken after `staleMs`). */
+  def claimNext(fs: FileSystem, table: Path, staleMs: Long): Long = {
+    fs.mkdirs(dir(table))
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      val d = dir(table)
+      val now = System.currentTimeMillis()
+      var maxAll = readHwm(fs, table)
+      fs.listStatus(d).foreach { st =>
+        st.getPath.getName match {
+          case FileName(n) => maxAll = math.max(maxAll, n.toLong)
+          case ClaimName(n) =>
+            // a claim without its key file, older than the budget, is
+            // a crashed wave: clean it so the numbering can't stall
+            if (!fs.exists(keyFile(table, n.toLong)) &&
+                now - st.getModificationTime > staleMs)
+              fs.delete(st.getPath, false)
+            else maxAll = math.max(maxAll, n.toLong)
+          case _ => ()
+        }
+      }
+      val seq = maxAll + 1L
+      if (RowLevelLock.atomicCreate(fs, claimFile(table, seq),
+          Array.emptyByteArray)) return seq
+    }
+    throw new IllegalStateException(
+      s"equality-delete sequence claim on $table: 1000 collisions")
+  }
+
+  def releaseClaim(fs: FileSystem, table: Path, seq: Long): Unit = {
+    fs.delete(claimFile(table, seq), false)
+    ()
+  }
+
+  /** Publish wave `seq`'s key file (tmp + rename — readers never see a
+    * torn file). `keys` are RENDERED tuples ([[renderParts]]). */
+  def publish(fs: FileSystem, table: Path, seq: Long, cols: Seq[String],
+              keys: Iterable[String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("seq", seq)
+    val cn = root.putArray("cols"); cols.foreach(cn.add)
+    val kn = root.putArray("keys"); keys.toSeq.sorted.foreach(kn.add)
+    val target = keyFile(table, seq)
+    fs.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"equality-delete publish failed: $target")
+  }
+
+  /** The reader-side state: (rendered key tuple → highest delete
+    * sequence naming it, published max sequence, key columns). Empty
+    * map when the tier is unused (one existence probe). Key files are
+    * required to agree on `cols` — the property is validated at
+    * CREATE/ALTER and waves read it from table metadata. */
+  def index(fs: FileSystem, table: Path): (Map[String, Long], Long, Seq[String]) = {
+    val d = dir(table)
+    if (!fs.exists(d)) return (Map.empty, 0L, Nil)
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var maxSeq = 0L
+    var cols: Seq[String] = Nil
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    fs.listStatus(d).foreach(st => st.getPath.getName match {
+      case FileName(n) =>
+        val seq = n.toLong
+        maxSeq = math.max(maxSeq, seq)
+        val in = fs.open(st.getPath)
+        val bytes = try in.readAllBytes() finally in.close()
+        val node = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+        val cs = (0 until node.get("cols").size)
+          .map(node.get("cols").get(_).asText)
+        require(cols.isEmpty || cols == cs,
+          s"equality-delete key files disagree on key columns: $cols vs $cs")
+        cols = cs
+        val ks = node.get("keys")
+        (0 until ks.size).foreach { i =>
+          val k = ks.get(i).asText
+          m.get(k) match {
+            case Some(s0) if s0 >= seq => ()
+            case _ => m.update(k, seq)
+          }
+        }
+      case _ => ()
+    })
+    (m.toMap, maxSeq, cols)
+  }
+
+  /** Retire key files no live shard is exposed to: file S is needed
+    * iff some live shard's stamp is < S. Returns files removed. */
+  def retire(fs: FileSystem, table: Path, minLiveShardSeq: Long): Int = {
+    val d = dir(table)
+    if (!fs.exists(d)) return 0
+    // preserve the numbering before files go: live shard stamps
+    // persist, so the next wave's sequence must clear them
+    val maxSeq = maxSeqs(fs, table)._1
+    if (maxSeq > readHwm(fs, table)) {
+      val tmp = new Path(d, ".hwm.tmp")
+      val out = fs.create(tmp, true)
+      out.write(maxSeq.toString.getBytes(StandardCharsets.UTF_8))
+      out.close()
+      fs.delete(hwmFile(table), false)
+      if (!fs.rename(tmp, hwmFile(table)))
+        throw new java.io.IOException(s"hwm publish failed for $table")
+    }
+    var removed = 0
+    fs.listStatus(d).foreach(st => st.getPath.getName match {
+      case FileName(n) if n.toLong <= minLiveShardSeq =>
+        fs.delete(st.getPath, false); removed += 1
+      case _ => ()
+    })
+    removed
+  }
+
+  /** Canonical rendering of one key part (None = SQL null). The same
+    * text must come out of an `InternalRow` at write and a parsed
+    * `JsonNode` at read — key column types are restricted to
+    * BIGINT/INT/STRING at property validation for exactly this. */
+  def renderParts(parts: Seq[Option[String]]): String =
+    parts.map(_.getOrElse(NullMark)).mkString(Sep)
+
+  /** Writer-side rendering: key tuple of `row` at field indexes
+    * `idx`. */
+  def renderRow(row: org.apache.spark.sql.catalyst.InternalRow,
+                schema: org.apache.spark.sql.types.StructType,
+                idx: Seq[Int]): String = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    renderParts(idx.map { i =>
+      if (row.isNullAt(i)) None
+      else Some(schema.fields(i).dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case StringType => row.getUTF8String(i).toString
+        case dt => throw new UnsupportedOperationException(
+          s"graft.upsert.keys supports BIGINT/INT/STRING, got $dt")
+      })
+    })
+  }
+
+  /** Reader-side rendering: the same tuple from parsed JSON values
+    * (each already resolved through physical keys / partition-path
+    * injection by the caller). */
+  def renderNodes(nodes: Seq[com.fasterxml.jackson.databind.JsonNode],
+                  dts: Seq[org.apache.spark.sql.types.DataType]): String = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    renderParts(nodes.zip(dts).map {
+      case (n, _) if n == null || n.isNull => None
+      case (n, LongType) => if (n.isNumber) Some(n.asLong.toString) else None
+      case (n, IntegerType) => if (n.isNumber) Some(n.asInt.toString) else None
+      case (n, StringType) => if (n.isTextual) Some(n.asText) else None
+      case _ => None
+    })
+  }
+}

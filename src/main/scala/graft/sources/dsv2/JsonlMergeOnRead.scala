@@ -684,18 +684,24 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
       }
     val locks = RowLevelLock.acquireScoped(f, conf.value, dest, queryId, scopes)
     try {
+      // equality-delete tier: MERGE-inserted rows on a table with eq
+      // history stamp at the CURRENT max sequence, or past waves
+      // would hide them (JsonlEqDeletes sequence rule); 0 → identity
+      val stampSeq = JsonlEqDeletes.currentSeq(f, dest)
       msgs.flatMap(_.staged).foreach { case (stagedFile, relDir) =>
         val s = new Path(stagedFile)
         val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
         f.mkdirs(destDir)
-        if (!f.rename(s, new Path(destDir, s.getName)))
+        if (!f.rename(s,
+            new Path(destDir, JsonlEqDeletes.stampName(s.getName, stampSeq))))
           throw new java.io.IOException(s"delta commit rename failed for $s")
       }
       // write-time skip stats for the insert shards (graft.skip.columns)
       JsonlSkipIndex.mergeEntries(f, dest, msgs.flatMap { m =>
         m.staged.flatMap { case (stagedFile, relDir) =>
           m.stats.get(stagedFile).map { ws =>
-            val name = new Path(stagedFile).getName
+            val name =
+              JsonlEqDeletes.stampName(new Path(stagedFile).getName, stampSeq)
             (if (relDir.isEmpty) name else s"$relDir/$name") -> ws
           }
         }
@@ -715,7 +721,8 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
         val destUri = f.makeQualified(dest).toUri
         val added = msgs.toSeq.flatMap(_.staged)
           .map { case (stagedFile, relDir) =>
-            val name = new Path(stagedFile).getName
+            val name =
+              JsonlEqDeletes.stampName(new Path(stagedFile).getName, stampSeq)
             val rel = if (relDir.isEmpty) name else s"$relDir/$name"
             rel -> f.getFileStatus(new Path(dest, rel)).getLen
           }.toMap

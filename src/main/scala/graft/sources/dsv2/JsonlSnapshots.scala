@@ -186,6 +186,13 @@ object JsonlSnapshots {
     val staleMs =
       if (conf == null) DefaultClaimStaleMs
       else conf.getLong(ClaimStaleMsKey, DefaultClaimStaleMs)
+    // manifests pin shard sets + position ordinals but NOT equality-
+    // delete state — a snapshot of a table with pending equality
+    // deletes would resurrect upserted-away rows under VERSION AS OF
+    require(!JsonlEqDeletes.hasPending(fs, table),
+      s"snapshot refused: $table has pending equality deletes " +
+        s"(${JsonlEqDeletes.DirName}/) — CALL compact to reconcile them " +
+        "into the layout first")
     fs.mkdirs(dir(table))
     val token = java.util.UUID.randomUUID().toString
     var attempts = 0
@@ -416,6 +423,12 @@ object JsonlSnapshots {
   def rollback(fs: FileSystem, table: Path, m: Manifest): (Int, Int) = {
     require(m.id > 0, "rollback needs a PINNED snapshot")
     requireNoCrashedSwaps(fs, table, "rollback")
+    // manifests predate any equality-delete activity (pins refuse
+    // while _eq_deletes/ exists) — restoring their unstamped shards
+    // under pending waves would wrongly hide restored rows
+    require(!JsonlEqDeletes.hasPending(fs, table),
+      s"rollback refused: $table has pending equality deletes " +
+        s"(${JsonlEqDeletes.DirName}/) — CALL compact to reconcile first")
     // pre-rollback sidecar state, read BEFORE pass 3 wipes `_deletes/`:
     // a COMMON shard whose ordinal set changes gets a different visible
     // row set, so its skip-index entry (built over the delete-filtered

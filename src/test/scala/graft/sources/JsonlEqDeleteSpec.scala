@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Equality-delete upsert tier ([[graft.sources.dsv2.JsonlEqDeletes]]):
+  * a `graft.upsert.keys` table turns plain APPENDs into O(|batch|)
+  * upsert waves — key file + stamped inserts, NO target scan — whose
+  * visible state must match a MERGE-maintained twin exactly, survive
+  * compaction reconcile, and refuse the surfaces it can't compose
+  * with (snapshots, cluster, rollback). */
+class JsonlEqDeleteSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.eq", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.eq.root",
+      java.nio.file.Files.createTempDirectory("graft-eq").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS eq.ns")
+    s
+  }
+  private def sql(q: String) = spark.sql(q)
+  private def rows(q: String): Seq[(Long, Long)] =
+    sql(q).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  test("upsert waves match the MERGE-maintained twin; no target scan artifacts") {
+    sql("""CREATE TABLE eq.ns.up (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    sql("""CREATE TABLE eq.ns.tw (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    def wave(values: Seq[(Long, Long)]): Unit = {
+      val vs = values.map { case (k, v) => s"($k, $v)" }.mkString(", ")
+      sql(s"INSERT INTO eq.ns.up VALUES $vs") // upsert wave: O(|batch|)
+      sql(s"""MERGE INTO eq.ns.tw t
+             |USING (SELECT * FROM VALUES $vs AS s(k, v)) s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET t.v = s.v
+             |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+        .stripMargin)
+      assert(rows("SELECT k, v FROM eq.ns.up") ==
+        rows("SELECT k, v FROM eq.ns.tw"),
+        s"upsert tier diverged from the MERGE twin after wave $vs")
+    }
+    wave((0L until 10L).map(k => (k, k * 10)))
+    wave((5L until 15L).map(k => (k, k * 100))) // overlaps 5..9
+    wave(Seq((0L, 1L), (7L, 2L), (20L, 3L)))
+    // aggregates see the upserted state (index-answered paths are
+    // gated off while equality deletes are pending)
+    assert(sql("SELECT count(*), max(v) FROM eq.ns.up").head match {
+      case r => r.getLong(0) == 16L && r.getLong(1) == 1400L
+    })
+    // filters compose: the hidden generation never leaks through a
+    // pushed point probe
+    assert(sql("SELECT v FROM eq.ns.up WHERE k = 7").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // row-level ops compose: a MOR position delete on top of waves
+    sql("ALTER TABLE eq.ns.up SET TBLPROPERTIES " +
+      "('graft.row-level.mode'='merge-on-read')")
+    sql("DELETE FROM eq.ns.up WHERE k = 20")
+    sql("DELETE FROM eq.ns.tw WHERE k = 20")
+    assert(rows("SELECT k, v FROM eq.ns.up") ==
+      rows("SELECT k, v FROM eq.ns.tw"))
+  }
+
+  test("compact reconciles: hidden rows drop, key files retire, waves continue") {
+    sql("""CREATE TABLE eq.ns.rc (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    sql("INSERT INTO eq.ns.rc SELECT id AS k, id AS v FROM range(0, 100)")
+    sql("INSERT INTO eq.ns.rc SELECT id AS k, id + 1000 AS v FROM range(0, 50)")
+    val before = rows("SELECT k, v FROM eq.ns.rc")
+    assert(before.size == 100 &&
+      before.count(_._2 >= 1000L) == 50, before.take(5).toString)
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    val eqDir = new java.io.File(s"$root/ns/rc/_eq_deletes")
+    assert(eqDir.exists(), "waves must have published key files")
+    sql("CALL eq.system.compact('ns.rc', max_shards => 1)").collect()
+    assert(!eqDir.listFiles().exists(_.getName.endsWith(".json")),
+      "compact must retire key files once no live shard is exposed " +
+        "(only the sequence high-water mark stays)")
+    assert(rows("SELECT k, v FROM eq.ns.rc") == before,
+      "reconcile must preserve the visible state exactly")
+    // the reconciled layout carries no hidden rows: a raw line count
+    // equals the visible count
+    assert(sql("SELECT count(*) FROM eq.ns.rc").head.getLong(0) == 100L)
+    // waves keep working after reconcile (sequence numbering resumes)
+    sql("INSERT INTO eq.ns.rc VALUES (0, 9999)")
+    assert(sql("SELECT v FROM eq.ns.rc WHERE k = 0").collect()
+      .map(_.getLong(0)).toSeq == Seq(9999L))
+  }
+
+  test("partitioned upsert: a key MOVES partition and the old row hides") {
+    sql("""CREATE TABLE eq.ns.pt (k BIGINT, v BIGINT, p STRING)
+          |PARTITIONED BY (p)
+          |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    sql("INSERT INTO eq.ns.pt VALUES (1, 10, 'a'), (2, 20, 'a'), (3, 30, 'b')")
+    sql("INSERT INTO eq.ns.pt VALUES (1, 11, 'b')") // k=1 moves a -> b
+    val got = sql("SELECT k, v, p FROM eq.ns.pt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 11L, "b"), (2L, 20L, "a"), (3L, 30L, "b")),
+      s"the old partition's copy of a moved key must hide: $got")
+    // partition pruning composes: probing the OLD partition alone
+    // shows no ghost of the moved key
+    assert(sql("SELECT k FROM eq.ns.pt WHERE p = 'a'").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L))
+  }
+
+  test("streaming upsert sink: per-epoch waves through writeStream.toTable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    sql("""CREATE TABLE eq.ns.st (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDS().toDF("k", "v").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("eq-st").toString)
+      .trigger(Trigger.AvailableNow())
+    mem.addData((1L, 10L), (2L, 20L))
+    val q1 = q.toTable("eq.ns.st"); q1.awaitTermination(); q1.stop()
+    mem.addData((2L, 21L), (3L, 30L)) // epoch 2 upserts k=2
+    val q2 = q.toTable("eq.ns.st"); q2.awaitTermination(); q2.stop()
+    assert(rows("SELECT k, v FROM eq.ns.st") ==
+      Seq((1L, 10L), (2L, 21L), (3L, 30L)),
+      "each epoch must be an upsert wave")
+  }
+
+  test("refusals: snapshots, cluster_table, rollback, auto-snapshot combos") {
+    sql("""CREATE TABLE eq.ns.rf (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    sql("INSERT INTO eq.ns.rf VALUES (1, 10)")
+    val e1 = intercept[Exception] {
+      sql("CALL eq.system.snapshot('ns.rf')").collect() }
+    assert(e1.getMessage.contains("equality deletes"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      sql("CALL eq.system.cluster_table('ns.rf', columns => 'k')").collect() }
+    assert(e2.getMessage.contains("equality"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      sql("ALTER TABLE eq.ns.rf SET TBLPROPERTIES " +
+        "('graft.snapshot.auto'='true')") }
+    assert(e3.getMessage.contains("incompatible"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      sql("""CREATE TABLE eq.ns.bad (k DOUBLE, v BIGINT)
+            |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin) }
+    assert(e4.getMessage.contains("BIGINT/INT/STRING"), e4.getMessage)
+    // snapshots COMPOSE: pinned scans are equality-blind and show the
+    // pin-time state (pins refuse while deletes are pending, so a
+    // manifest never coexists with waves it can't see)
+    sql("CREATE TABLE eq.ns.sn (k BIGINT, v BIGINT)")
+    sql("INSERT INTO eq.ns.sn VALUES (1, 10)")
+    sql("CALL eq.system.snapshot('ns.sn', tag => 'pre')")
+    sql("ALTER TABLE eq.ns.sn SET TBLPROPERTIES ('graft.upsert.keys'='k')")
+    sql("INSERT INTO eq.ns.sn VALUES (1, 11)") // wave hides the old row
+    assert(rows("SELECT k, v FROM eq.ns.sn") == Seq((1L, 11L)))
+    assert(rows("SELECT k, v FROM eq.ns.sn VERSION AS OF 'pre'") ==
+      Seq((1L, 10L)), "time travel shows the PIN-TIME state")
+    // rollback refuses while pending; after a reconcile it restores
+    val e5 = intercept[Exception] {
+      sql("CALL eq.system.rollback_to_snapshot('ns.sn', version => 'pre')")
+        .collect() }
+    assert(e5.getMessage.contains("equality"), e5.getMessage)
+    sql("CALL eq.system.compact('ns.sn', max_shards => 1)").collect()
+    sql("CALL eq.system.rollback_to_snapshot('ns.sn', version => 'pre')")
+    assert(rows("SELECT k, v FROM eq.ns.sn") == Seq((1L, 10L)))
+    // a NEW wave after the rollback still outranks the restored shard
+    // (the hwm keeps sequences monotonic)
+    sql("INSERT INTO eq.ns.sn VALUES (1, 12)")
+    assert(rows("SELECT k, v FROM eq.ns.sn") == Seq((1L, 12L)))
+  }
+}
