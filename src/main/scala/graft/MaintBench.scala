@@ -113,6 +113,56 @@ object MaintBench {
       c.sql(s"CALL mb.system.compact('m.uptarget', max_shards => $nShards)")
         .collect()
     }
+    // concurrent-writer scenario: partition-disjoint MOR deltas hold
+    // SCOPED locks (round 12) and pin versions via claim-CAS (round
+    // 13), so four deletes on four partitions should take ~one
+    // delete's wall-clock, not four — and a partition-scoped compact
+    // coexists with writers of the other partitions. Serial vs
+    // parallel wall times put a number on the scoped-lock win.
+    c.sql(
+      """CREATE TABLE mb.m.pt
+        |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        | p BIGINT) PARTITIONED BY (p)
+        |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    c.sql(
+      s"""INSERT INTO mb.m.pt
+         |SELECT o_orderkey, o_custkey, o_orderstatus,
+         |  o_orderkey % 4 AS p
+         |FROM parquet.`$sfDir/orders.parquet`""".stripMargin)
+    def scopedDelete(i: Int, shift: Int): Unit = {
+      c.sql(s"DELETE FROM mb.m.pt WHERE p = $i AND o_orderkey % 13 = $shift")
+      ()
+    }
+    timed("mor_scoped_serial") {
+      (0 until 4).foreach(i => scopedDelete(i, 1))
+    }
+    timed("mor_scoped_parallel") {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val fs4 = (0 until 4).map(i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = scopedDelete(i, 2)
+          }))
+        fs4.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    timed("scoped_compact_under_writers") {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val fc = pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            c.sql("CALL mb.system.compact('m.pt', max_shards => 1, " +
+              "partition => 'p=0')").collect()
+            ()
+          }
+        })
+        val fs3 = (1 until 4).map(i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = scopedDelete(i, 3)
+          }))
+        (fs3 :+ fc).foreach(_.get())
+      } finally pool.shutdown()
+    }
     val total = math.rint(timings.values.sum * 1000) / 1e3
     val q = timings.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     // one JSON line, Bench's shape, so the same tooling parses it

@@ -1245,14 +1245,20 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
       case _ => null
     }
 
+  private def eqBroadcast
+      : org.apache.spark.broadcast.Broadcast[Map[String, Long]] =
+    if (eqState._1.isEmpty) null
+    else org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(eqState._1)
+
   override def createReaderFactory(): PartitionReaderFactory =
     if (aggMode)
       new JsonlAggReaderFactory(aggSpecs, pushed, dataSchema,
-        JsonlHadoopConf.fromSession(), eqState._1, eqState._3)
+        JsonlHadoopConf.fromSession(), eqBroadcast, eqState._3)
     else
       new JsonlReaderFactory(required, pushed, dataSchema,
         JsonlHadoopConf.fromSession(), columnar, limit,
-        eqState._1, eqState._3)
+        eqBroadcast, eqState._3)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1282,9 +1288,11 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
                                   pushed: Array[Filter],
                                   dataSchema: StructType,
                                   conf: JsonlHadoopConf,
-                                  eqDeletes: Map[String, Long] = Map.empty,
+                                  eqDeletes: org.apache.spark.broadcast.Broadcast[Map[String, Long]] = null,
                                   eqCols: Seq[String] = Nil)
     extends PartitionReaderFactory {
+  private def eqMap: Map[String, Long] =
+    if (eqDeletes == null) Map.empty else eqDeletes.value
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     val cols = specs.collect { case (op, c) if op != "count" => c }.distinct
@@ -1295,7 +1303,7 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
       new JsonlPartitionReader(p.file, required, pushed, p.partValues,
         dataSchema, conf, deletesPath = p.deletes,
         deletePositions = p.deletePositions,
-        eqDeletes = eqDeletes, eqCols = eqCols))
+        eqDeletes = eqMap, eqCols = eqCols))
   }
 }
 
@@ -1468,8 +1476,12 @@ final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
     val p = new Path(path)
     val (eqMap, _, eqCols) =
       JsonlEqDeletes.index(p.getFileSystem(conf.value), p)
+    val bc =
+      if (eqMap.isEmpty) null
+      else org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(eqMap)
     new JsonlReaderFactory(required, pushed, dataSchema, conf,
-      eqDeletes = eqMap, eqCols = eqCols)
+      eqDeletes = bc, eqCols = eqCols)
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -2713,9 +2725,15 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
                                conf: JsonlHadoopConf,
                                columnar: Boolean = false,
                                limit: Int = -1,
-                               eqDeletes: Map[String, Long] = Map.empty,
+                               // BROADCAST, not a closure field: the
+                               // key map can be O(pending upserts) and
+                               // must ship once per executor, not once
+                               // per task
+                               eqDeletes: org.apache.spark.broadcast.Broadcast[Map[String, Long]] = null,
                                eqCols: Seq[String] = Nil)
     extends PartitionReaderFactory {
+  private def eqMap: Map[String, Long] =
+    if (eqDeletes == null) Map.empty else eqDeletes.value
   override def supportColumnarReads(partition: InputPartition): Boolean =
     // nested values have no vectorized copy here — their scans take
     // the (composed, identical-semantics) row path
@@ -2725,14 +2743,14 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlPartitionReader(p.file, required, pushed, p.partValues,
       dataSchema, conf, limit, p.deletes, p.deletePositions,
-      p.changeKind, p.keepPositions, eqDeletes, eqCols)
+      p.changeKind, p.keepPositions, eqMap, eqCols)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlColumnarReader(p.file, required, pushed, p.partValues,
       dataSchema, conf, limit, p.deletes, p.deletePositions,
-      eqDeletes, eqCols)
+      eqMap, eqCols)
   }
 }
 
@@ -2766,9 +2784,24 @@ final class JsonlPartitionReader(file: String, required: StructType,
     eqDeletes.valuesIterator.max > eqShardSeq
   private lazy val eqDts: Seq[DataType] =
     eqCols.map(c => dataSchema(dataSchema.fieldIndex(c)).dataType)
+  // single-column fast path: no per-row Seq/Option churn on the
+  // dominant shape (one BIGINT/STRING key over millions of rows)
+  private lazy val eqOneCol: String = if (eqCols.length == 1) eqCols.head else null
+  private lazy val eqOneDt: DataType = eqDts.head
   private def eqHidden(node: JsonNode): Boolean =
     eqActive && {
-      val key = JsonlEqDeletes.renderNodes(eqCols.map(field(node, _)), eqDts)
+      val key =
+        if (eqOneCol != null) {
+          val v = field(node, eqOneCol)
+          if (v == null || v.isNull) "\u0000"
+          else eqOneDt match {
+            case LongType => if (v.isNumber) v.asLong.toString else "\u0000"
+            case IntegerType => if (v.isNumber) v.asInt.toString else "\u0000"
+            case StringType => if (v.isTextual) v.asText else "\u0000"
+            case _ => "\u0000"
+          }
+        } else
+          JsonlEqDeletes.renderNodes(eqCols.map(field(node, _)), eqDts)
       eqDeletes.get(key).exists(_ > eqShardSeq)
     }
 

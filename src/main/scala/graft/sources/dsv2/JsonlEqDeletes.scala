@@ -42,9 +42,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * COEXISTENCE: the tier composes with position deletes (MOR), COW
   * rewrites, and overwrites — every writer stamps new shards at the
   * table's current max sequence, so rewritten/appended rows are never
-  * hidden by PAST waves. It does NOT compose with snapshots yet: pins
-  * refuse while `_eq_deletes/` exists and upsert-keyed tables refuse
-  * auto-snapshot (a manifest doesn't embed equality state). */
+  * hidden by PAST waves. Snapshots compose through the PENDING rule:
+  * pins, rollback, and cluster_table refuse while unreconciled key
+  * files exist (a manifest doesn't embed equality state), and a
+  * reconciled table snapshots normally — pinned scans are
+  * equality-blind, which is exactly the pin-time state. Auto-snapshot
+  * stays incompatible (every wave would leave the pin pending). */
 object JsonlEqDeletes {
   val DirName = "_eq_deletes"
 
