@@ -124,6 +124,54 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
       "each epoch must be an upsert wave")
   }
 
+  test("CDC-apply into an upsert target: per-batch cost is O(delta), no MERGE") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    val catalog = spark.sessionState.catalogManager.catalog("eq")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    sql("CREATE NAMESPACE IF NOT EXISTS eq.ca")
+    // upstream: auto-snapshot MOR table (per-commit CDC); downstream:
+    // an UPSERT-keyed mirror — inserts/updates apply as plain INSERT
+    // waves (one key file + stamped shards, zero target I/O), deletes
+    // as a keyed MOR DELETE. No MERGE, no target-side group scan.
+    sql("""CREATE TABLE eq.ca.up (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.snapshot.auto'='true',
+          |  'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("""CREATE TABLE eq.ca.dn (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k',
+          |  'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    val q = JsonlChangeFeed.stream(spark, catalog, "ca.up")
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("eq-cdc").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = df.sparkSession
+        import org.apache.spark.sql.functions.col
+        df.cache()
+        val upserts = df.where(col("_change") === "insert").drop("_change")
+        if (!upserts.isEmpty)
+          upserts.writeTo("eq.ca.dn").append() // one wave, O(|batch|)
+        val dels = df.where(col("_change") === "delete")
+          .select("k").collect().map(_.getLong(0))
+        if (dels.nonEmpty)
+          s.sql(s"DELETE FROM eq.ca.dn WHERE k IN (${dels.mkString(",")})")
+        df.unpersist()
+        ()
+      }.start()
+    def mirror: Seq[(Long, Long)] = rows("SELECT k, v FROM eq.ca.dn")
+    try {
+      sql("INSERT INTO eq.ca.up VALUES (1, 10), (2, 20)")
+      q.processAllAvailable()
+      assert(mirror == Seq((1L, 10L), (2L, 20L)))
+      sql("INSERT INTO eq.ca.up VALUES (3, 30)")
+      sql("DELETE FROM eq.ca.up WHERE k = 1") // MOR delta upstream
+      q.processAllAvailable()
+      assert(mirror == Seq((2L, 20L), (3L, 30L)), mirror.toString)
+      assert(mirror == rows("SELECT k, v FROM eq.ca.up"))
+    } finally q.stop()
+    // the mirror reconciles like any upsert table
+    sql("CALL eq.system.compact('ca.dn', max_shards => 1)").collect()
+    assert(mirror == rows("SELECT k, v FROM eq.ca.up"))
+  }
+
   test("refusals: snapshots, cluster_table, rollback, auto-snapshot combos") {
     sql("""CREATE TABLE eq.ns.rf (k BIGINT, v BIGINT)
           |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
