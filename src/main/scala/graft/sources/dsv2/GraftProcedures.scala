@@ -223,22 +223,6 @@ object GraftProcedures {
         val (eqMap, eqMax, eqCols) = JsonlEqDeletes.index(fs, table)
         def exposed(name: String): Boolean =
           eqMax > 0L && JsonlEqDeletes.shardSeqOf(name) < eqMax
-        val todo = shardsByDir(fs, table)
-          .filter { case (rel, shards) =>
-            scope.forall(_ == rel) &&
-              ((rel.nonEmpty && shards.size > maxShards) ||
-                shards.exists(s => sidecars.contains(s._1.toString)) ||
-                shards.exists(s => exposed(s._1.getName))) }
-          .toSeq.sortBy(_._1)
-        if (todo.isEmpty) return result(compactSchema, Nil)
-        val tableStr = table.toString
-        val stagingStr = staging.toString
-        // one task per oversized dir: line-level concatenation of its
-        // shards into ceil(bytes/target) gzip files — no parse, rows
-        // bit-identical, memory O(1) per task (plus one bitset per
-        // sidecar-carrying shard). Output GROUPS (and names) are
-        // assigned on the DRIVER so the post-swap index synthesis
-        // below knows exactly which inputs each output concatenates.
         // reader context for the equality filter: per key column its
         // STORAGE key, rename aliases, and type (the canonical tuple
         // rendering must match the writers')
@@ -253,6 +237,110 @@ object GraftProcedures {
             (c, JsonlTable.physicalKeyOf(fl), JsonlTable.aliasesOf(fl),
               fl.dataType)
           }
+        // SKIP-RANGE fast path for the reconcile: an exposed shard
+        // whose skip-index [min, max] on a single numeric key excludes
+        // EVERY pending key holds no hidden rows — it only needs
+        // RE-STAMPING (a rename), not a rewrite. Sound for approx
+        // entries too (their range is a superset of the truth).
+        // Manifest-referenced shards keep their names (snapshots
+        // resolve by rel) and fall back to the rewrite path.
+        val eqKeyPairs: Array[(Long, Long)] = // (key value, delete seq)
+          if (eqMax == 0L || keySpecs.size != 1 ||
+              !(keySpecs.head._4 == LongType ||
+                keySpecs.head._4 == IntegerType)) null
+          else {
+            val parsed = eqMap.iterator.map { case (k, sq) =>
+              scala.util.Try(k.toLong).toOption.map((_, sq)) }.toArray
+            if (parsed.contains(None)) null // a null/odd key: no fast path
+            else parsed.map(_.get)
+          }
+        val preIdxEq =
+          if (eqKeyPairs == null) null
+          else JsonlSkipIndex.open(fs, table, eqTblSchema)
+        // only keys whose delete sequence OUTRANKS the shard's stamp
+        // can hide its rows (a wave's own keys always overlap its own
+        // shard's range — they must not defeat the fast path)
+        val eqKeyCache = scala.collection.mutable.Map.empty[Long, Array[Long]]
+        def keysAbove(stamp: Long): Array[Long] =
+          eqKeyCache.getOrElseUpdate(stamp,
+            eqKeyPairs.iterator.filter(_._2 > stamp).map(_._1).toArray.sorted)
+        def rangeClear(qshard: String, stamp: Long): Boolean =
+          eqKeyPairs != null && {
+            val keys = keysAbove(stamp)
+            keys.isEmpty || (preIdxEq.get(qshard) match {
+              case Some(e) => e.stats.get(keySpecs.head._2) match {
+                case Some((mn, mx, _)) if mn != null && mx != null =>
+                  val mnL = mn.asInstanceOf[Number].longValue()
+                  val mxL = mx.asInstanceOf[Number].longValue()
+                  val i = java.util.Arrays.binarySearch(keys, mnL)
+                  val lo = if (i >= 0) i else -i - 1
+                  lo >= keys.length || keys(lo) > mxL
+                case _ => false
+              }
+              case _ => false
+            })
+          }
+        val referencedRelsEq =
+          if (eqMax == 0L) Set.empty[String]
+          else JsonlSnapshots.referencedRels(fs, table)
+        val qualifiedTbl = fs.makeQualified(table).toUri
+        val renameStamps =
+          scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+        val todo = shardsByDir(fs, table)
+          .filter { case (rel, shards) =>
+            scope.forall(_ == rel) && {
+              val oversized = rel.nonEmpty && shards.size > maxShards
+              val hasSc = shards.exists(s => sidecars.contains(s._1.toString))
+              val exposedShards = shards.filter(s => exposed(s._1.getName))
+              if (oversized || hasSc) true
+              else if (exposedShards.isEmpty) false
+              else {
+                val allClear = exposedShards.forall { case (p, _) =>
+                  val r = qualifiedTbl
+                    .relativize(fs.makeQualified(p).toUri).getPath
+                  !referencedRelsEq.contains(r) &&
+                    rangeClear(fs.makeQualified(p).toString,
+                      JsonlEqDeletes.shardSeqOf(p.getName))
+                }
+                if (allClear)
+                  exposedShards.foreach { case (p, _) =>
+                    val n = JsonlEqDeletes.stampName(p.getName, eqMax)
+                    if (n != p.getName)
+                      renameStamps += ((p, new Path(p.getParent, n)))
+                  }
+                !allClear
+              }
+            }
+          }
+          .toSeq.sortBy(_._1)
+        // execute the rename-stamps (inside the lock): same bytes, new
+        // name carrying the current sequence — the skip entries re-key
+        if (renameStamps.nonEmpty) {
+          val rel2 = renameStamps.map { case (o, n) =>
+            require(fs.rename(o, n), s"eq re-stamp rename failed for $o")
+            (qualifiedTbl.relativize(fs.makeQualified(o).toUri).getPath,
+              qualifiedTbl.relativize(fs.makeQualified(n).toUri).getPath)
+          }
+          JsonlSkipIndex.renameEntries(fs, table, rel2.toSeq)
+        }
+        def retireOutgrown(): Unit = if (eqMax > 0L) {
+          val live = JsonlLayout.discoverFull(fs, table)
+          val minLive =
+            if (live.isEmpty) Long.MaxValue
+            else live.iterator.map { case (pp, _, _, _) =>
+              JsonlEqDeletes.shardSeqOf(pp.getName) }.min
+          JsonlEqDeletes.retire(fs, table, minLive)
+          ()
+        }
+        if (todo.isEmpty) { retireOutgrown(); return result(compactSchema, Nil) }
+        val tableStr = table.toString
+        val stagingStr = staging.toString
+        // one task per oversized dir: line-level concatenation of its
+        // shards into ceil(bytes/target) gzip files — no parse, rows
+        // bit-identical, memory O(1) per task (plus one bitset per
+        // sidecar-carrying shard). Output GROUPS (and names) are
+        // assigned on the DRIVER so the post-swap index synthesis
+        // below knows exactly which inputs each output concatenates.
         val plan = todo.map { case (rel, shards) =>
           val withSc = shards.map { case (p, len) =>
             (p.toString, len, sidecars.getOrElse(p.toString, null),
@@ -441,14 +529,7 @@ object GraftProcedures {
         // rewrite re-stamped the exposed shards, drop what no shard
         // is exposed to (global rule — a scoped run retires only what
         // the rest of the layout also outgrew)
-        if (eqMax > 0L) {
-          val live = JsonlLayout.discoverFull(fs, table)
-          val minLive =
-            if (live.isEmpty) Long.MaxValue
-            else live.iterator.map { case (pp, _, _, _) =>
-              JsonlEqDeletes.shardSeqOf(pp.getName) }.min
-          JsonlEqDeletes.retire(fs, table, minLive)
-        }
+        retireOutgrown()
         result(compactSchema, after.toSeq.map { case (rel, b, a) =>
           new GenericInternalRow(Array[Any](utf8(rel), b, a)): InternalRow })
         } finally RowLevelLock.releaseAll(fs, rloLocks)

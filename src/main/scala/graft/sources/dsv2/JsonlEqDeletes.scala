@@ -96,14 +96,22 @@ object JsonlEqDeletes {
     Stamp.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(0L)
 
   /** `part-....jsonl.gz` → `part-...-eqs<seq>.jsonl.gz` (identity for
-    * seq 0 or an already-stamped name). */
-  def stampName(name: String, seq: Long): String =
-    if (seq <= 0L || Stamp.findFirstMatchIn(name).isDefined) name
-    else if (name.endsWith(".jsonl.gz"))
-      name.stripSuffix(".jsonl.gz") + s"-eqs$seq.jsonl.gz"
-    else if (name.endsWith(".jsonl"))
-      name.stripSuffix(".jsonl") + s"-eqs$seq.jsonl"
+    * seq 0; an existing stamp is REPLACED — the reconcile fast path
+    * re-stamps shards in place). */
+  def stampName(name: String, seq: Long): String = {
+    if (seq <= 0L) return name
+    val stripped = Stamp.findFirstMatchIn(name) match {
+      case Some(m) =>
+        name.substring(0, m.start) + ".jsonl" +
+          Option(m.group(2)).getOrElse("")
+      case None => name
+    }
+    if (stripped.endsWith(".jsonl.gz"))
+      stripped.stripSuffix(".jsonl.gz") + s"-eqs$seq.jsonl.gz"
+    else if (stripped.endsWith(".jsonl"))
+      stripped.stripSuffix(".jsonl") + s"-eqs$seq.jsonl"
     else name
+  }
 
   /** (published max seq, claim max seq) from NAMES only; (0, 0) with a
     * single existence probe when the tier was never used. */

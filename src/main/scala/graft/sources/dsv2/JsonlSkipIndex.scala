@@ -603,6 +603,34 @@ object JsonlSkipIndex {
     if (listChanged) publishList(fs, table, list)
   }
 
+  /** Re-key entries for shards renamed IN PLACE (equality-delete
+    * re-stamping: same bytes, new name) — the stats stay valid, only
+    * the key changes, so the dir keeps pruning without a re-scan. */
+  def renameEntries(fs: FileSystem, table: Path,
+                    renames: Seq[(String, String)]): Unit = {
+    if (renames.isEmpty) return
+    migrateLegacy(fs, table)
+    val list = loadList(fs, table)
+    renames.groupBy(r => dirOf(r._1)).foreach { case (key, rs) =>
+      list.get(key).foreach { file =>
+        val target = new Path(indexDir(table), file)
+        readNode(fs, target).foreach { root =>
+          val shardsNode = shardsNodeOf(root)
+          var changed = false
+          rs.foreach { case (o, n) =>
+            val v = shardsNode.get(o)
+            if (v != null) {
+              shardsNode.remove(o)
+              shardsNode.set[JsonNode](n, v)
+              changed = true
+            }
+          }
+          if (changed) publish(fs, target, root)
+        }
+      }
+    }
+  }
+
   /** Drop one column's BLOOM sketches from every manifest, keeping
     * its min/max/null stats — called by type-widening evolution:
     * blooms hash by TYPE (`xxhash64Of(int) != xxhash64Of(long)` for

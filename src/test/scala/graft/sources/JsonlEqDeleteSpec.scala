@@ -87,6 +87,41 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(9999L))
   }
 
+  test("reconcile fast path: range-clear shards re-stamp by RENAME, not rewrite") {
+    sql("""CREATE TABLE eq.ns.fp (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k',
+          |  'graft.skip.columns'='k')""".stripMargin)
+    sql("""INSERT INTO eq.ns.fp SELECT /*+ REPARTITION(1) */
+          |  id AS k, id AS v FROM range(0, 100)""".stripMargin) // stamp s1
+    sql("INSERT INTO eq.ns.fp VALUES (1000, 1), (1001, 2)") // wave s2
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    val dir = new java.io.File(s"$root/ns/fp")
+    def shards = dir.listFiles().filter(_.getName.endsWith(".jsonl.gz"))
+      .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
+    val before = shards
+    val bigShard = before.maxBy(_._2) // the 100-row range shard
+    assert(bigShard._1.contains("-eqs1."), before.toString)
+    // high threshold: nothing is oversized, no sidecars — the ONLY
+    // reason to touch the 100-row shard is eq exposure, and its
+    // write-time [0, 99] range excludes keys 1000/1001 → rename only
+    sql("CALL eq.system.compact('ns.fp', max_shards => 100)").collect()
+    val after = shards
+    val restamped = after.maxBy(_._2)
+    assert(restamped._1 == bigShard._1.replace("-eqs1.", "-eqs2."),
+      s"range-clear shard must re-stamp in place: $before -> $after")
+    assert(restamped._2 == bigShard._2,
+      "same byte length — a rename, not a rewrite")
+    assert(!new java.io.File(s"$root/ns/fp/_eq_deletes").listFiles()
+      .exists(_.getName.endsWith(".json")),
+      "re-stamping alone must let the key files retire")
+    // rows and skip-index pruning survive the re-key
+    assert(sql("SELECT count(*) FROM eq.ns.fp").head.getLong(0) == 102L)
+    assert(sql("SELECT v FROM eq.ns.fp WHERE k = 5").rdd.getNumPartitions == 1,
+      "the renamed shard's skip entry must keep pruning")
+    assert(sql("SELECT v FROM eq.ns.fp WHERE k = 5").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("partitioned upsert: a key MOVES partition and the old row hides") {
     sql("""CREATE TABLE eq.ns.pt (k BIGINT, v BIGINT, p STRING)
           |PARTITIONED BY (p)
