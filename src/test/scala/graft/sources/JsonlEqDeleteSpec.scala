@@ -207,6 +207,38 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     assert(mirror == rows("SELECT k, v FROM eq.ca.up"))
   }
 
+  test("concurrent upsert waves: claim-CAS sequences stay dense, no lost wave") {
+    sql("""CREATE TABLE eq.ns.cw (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    sql("INSERT INTO eq.ns.cw SELECT id AS k, id AS v FROM range(0, 8)") // s1
+    // 4 concurrent waves with DISJOINT keys (order-independent final
+    // state): each replaces one base key and inserts one new key
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val fs4 = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            sql(s"INSERT INTO eq.ns.cw VALUES ($i, ${100 + i}), " +
+              s"(${100 + i}, $i)")
+            ()
+          }
+        })
+      }
+      fs4.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val want = ((0L until 8L).map(k =>
+      (k, if (k < 4) 100 + k else k)) ++
+      (0L until 4L).map(i => (100 + i, i))).sorted
+    assert(rows("SELECT k, v FROM eq.ns.cw") == want,
+      "4 racing waves must each land exactly once")
+    // sequences dense: the claim CAS never reuses or skips a number
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    val seqs = new java.io.File(s"$root/ns/cw/_eq_deletes").listFiles()
+      .map(_.getName).collect { case n if n.matches("s\\d+\\.json") =>
+        n.stripPrefix("s").stripSuffix(".json").toLong }.sorted.toSeq
+    assert(seqs == (1L to 5L), s"5 waves -> sequences 1..5: $seqs")
+  }
+
   test("refusals: snapshots, cluster_table, rollback, auto-snapshot combos") {
     sql("""CREATE TABLE eq.ns.rf (k BIGINT, v BIGINT)
           |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
