@@ -105,6 +105,16 @@ object Bench {
     val total = num(timings.flatMap(_._2.map(_._1)).sum)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}"""
     println(line)
+    // the driver's per-round artifact keeps only a ~2000-char TAIL of
+    // stdout: the full line above loses its HEAD there and parses as
+    // null (the round-12 BENCH_r12.json symptom). Emit a COMPACT,
+    // self-contained JSON line LAST — headline numbers + the slowest
+    // queries — that fits the tail window whole; the committed
+    // artifact below carries every timing
+    val slowest = timings.collect { case (k, Some((med, _, _))) => (k, med) }
+      .toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => q(k) + ":" + num(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)},"n_queries":${timings.count(_._2.isDefined)},"note":"slowest 15 shown; full per-query data in BENCH_FULL.json"}""")
     // the driver's per-round artifact keeps only a 2000-char TAIL of
     // stdout, hiding ~2/3 of the suite's timings — persist the same
     // JSON line as a committed file so every timing is reviewable
