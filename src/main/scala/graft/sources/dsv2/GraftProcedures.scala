@@ -244,16 +244,10 @@ object GraftProcedures {
         // entries too (their range is a superset of the truth).
         // Manifest-referenced shards keep their names (snapshots
         // resolve by rel) and fall back to the rewrite path.
-        val eqKeyPairs: Array[(Long, Long)] = // (key value, delete seq)
-          if (eqMax == 0L || keySpecs.size != 1 ||
-              !(keySpecs.head._4 == LongType ||
-                keySpecs.head._4 == IntegerType)) null
-          else {
-            val parsed = eqMap.iterator.map { case (k, sq) =>
-              scala.util.Try(k.toLong).toOption.map((_, sq)) }.toArray
-            if (parsed.contains(None)) null // a null/odd key: no fast path
-            else parsed.map(_.get)
-          }
+        val eqKeyPairs: Array[(Long, Long)] =
+          if (eqMax == 0L) null
+          else JsonlEqDeletes.numericKeyPairs(eqMap, keySpecs.map(_._1),
+            keySpecs.map(_._4))
         val preIdxEq =
           if (eqKeyPairs == null) null
           else JsonlSkipIndex.open(fs, table, eqTblSchema)
@@ -263,18 +257,16 @@ object GraftProcedures {
         val eqKeyCache = scala.collection.mutable.Map.empty[Long, Array[Long]]
         def keysAbove(stamp: Long): Array[Long] =
           eqKeyCache.getOrElseUpdate(stamp,
-            eqKeyPairs.iterator.filter(_._2 > stamp).map(_._1).toArray.sorted)
+            JsonlEqDeletes.sortedKeysAbove(eqKeyPairs, stamp))
         def rangeClear(qshard: String, stamp: Long): Boolean =
           eqKeyPairs != null && {
             val keys = keysAbove(stamp)
             keys.isEmpty || (preIdxEq.get(qshard) match {
               case Some(e) => e.stats.get(keySpecs.head._2) match {
                 case Some((mn, mx, _)) if mn != null && mx != null =>
-                  val mnL = mn.asInstanceOf[Number].longValue()
-                  val mxL = mx.asInstanceOf[Number].longValue()
-                  val i = java.util.Arrays.binarySearch(keys, mnL)
-                  val lo = if (i >= 0) i else -i - 1
-                  lo >= keys.length || keys(lo) > mxL
+                  JsonlEqDeletes.rangeClear(keys,
+                    mn.asInstanceOf[Number].longValue(),
+                    mx.asInstanceOf[Number].longValue())
                 case _ => false
               }
               case _ => false

@@ -1186,6 +1186,39 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * value is injected into rows by the reader (it is not stored in
     * the JSON lines; the `__HIVE_DEFAULT_PARTITION__` sentinel maps
     * back to null). Flat directories keep the original behavior. */
+  // equality skip-range exemption: per shard, can ANY pending key
+  // outranking its stamp fall in its skip-index key range? Exempt
+  // shards skip the per-row check (and index-answered aggregates stay
+  // available for them) — on clustered upsert tables this bounds scan
+  // cost to the shards actually near the pending keys.
+  private lazy val eqPairs: Array[(Long, Long)] =
+    if (eqState._2 == 0L) null
+    else JsonlEqDeletes.numericKeyPairs(eqState._1, eqState._3,
+      eqState._3.map(c => dataSchema(dataSchema.fieldIndex(c)).dataType))
+  private lazy val eqKeyStorage: String =
+    if (eqPairs == null) null
+    else JsonlTable.physicalKeyOf(dataSchema, eqState._3.head)
+  private lazy val eqKeysByStamp =
+    scala.collection.mutable.Map.empty[Long, Array[Long]]
+  private def eqExemptOf(f: String): Boolean =
+    eqState._2 > 0L && eqPairs != null && {
+      val stamp = JsonlEqDeletes.shardSeqOf(new Path(f).getName)
+      stamp >= eqState._2 || {
+        val keys = eqKeysByStamp.getOrElseUpdate(stamp,
+          JsonlEqDeletes.sortedKeysAbove(eqPairs, stamp))
+        keys.isEmpty || (skipIndex.get(f) match {
+          case Some(e) => e.stats.get(eqKeyStorage) match {
+            case Some((mn, mx, _)) if mn != null && mx != null =>
+              JsonlEqDeletes.rangeClear(keys,
+                mn.asInstanceOf[Number].longValue(),
+                mx.asInstanceOf[Number].longValue())
+            case _ => false
+          }
+          case None => false
+        })
+      }
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val shards = prunedShards()
     // group-scoped copy-on-write (MERGE/UPDATE/DELETE rewrites): the
@@ -1212,7 +1245,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
           if (spjActive) keyRowOf(pv) else null,
           sidecars.getOrElse(f, null),
           indexAnsweredPartial(f, sidecars),
-          if (snapshot != null) pinnedDeletes.getOrElse(f, null) else null)
+          if (snapshot != null) pinnedDeletes.getOrElse(f, null) else null,
+          eqExempt = eqExemptOf(f))
           : InputPartition }
       .toArray
   }
@@ -1229,8 +1263,10 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     if (!aggMode || pushed.nonEmpty || pruneOnly.nonEmpty ||
         runtimeFilters.nonEmpty || sidecars.contains(f) ||
         // pending equality deletes may hide rows of this shard: the
-        // entry's count/range no longer answers exactly
-        eqState._2 > JsonlEqDeletes.shardSeqOf(new Path(f).getName)) null
+        // entry's count/range no longer answers exactly — unless the
+        // skip-range exemption proves none of them can touch it
+        (eqState._2 > JsonlEqDeletes.shardSeqOf(new Path(f).getName) &&
+          !eqExemptOf(f))) null
     else skipIndex.get(f) match {
       // a compaction-synthesized (approx) entry keeps an EXACT row
       // count but possibly-wide min/max: COUNT may answer from it,
@@ -1303,7 +1339,7 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
       new JsonlPartitionReader(p.file, required, pushed, p.partValues,
         dataSchema, conf, deletesPath = p.deletes,
         deletePositions = p.deletePositions,
-        eqDeletes = eqMap, eqCols = eqCols))
+        eqDeletes = if (p.eqExempt) Map.empty else eqMap, eqCols = eqCols))
   }
 }
 
@@ -1556,7 +1592,11 @@ final case class JsonlInputPartition(
     // injected into every row of this shard, and — for ordinal-delta
     // pieces — the ONLY line positions to emit
     changeKind: String = null,
-    keepPositions: Array[Long] = null)
+    keepPositions: Array[Long] = null,
+    // equality-delete skip-range exemption ([[JsonlEqDeletes]]): the
+    // planner proved no pending key outranking this shard's stamp
+    // falls in its key range — the reader skips the per-row check
+    eqExempt: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Non-null exactly when the scan reported KeyGroupedPartitioning
@@ -2743,14 +2783,15 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlPartitionReader(p.file, required, pushed, p.partValues,
       dataSchema, conf, limit, p.deletes, p.deletePositions,
-      p.changeKind, p.keepPositions, eqMap, eqCols)
+      p.changeKind, p.keepPositions,
+      if (p.eqExempt) Map.empty else eqMap, eqCols)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     new JsonlColumnarReader(p.file, required, pushed, p.partValues,
       dataSchema, conf, limit, p.deletes, p.deletePositions,
-      eqMap, eqCols)
+      if (p.eqExempt) Map.empty else eqMap, eqCols)
   }
 }
 

@@ -248,6 +248,42 @@ object JsonlEqDeletes {
     removed
   }
 
+  // ------------------------------------------- skip-range fast path
+  //
+  // For a SINGLE numeric key, a shard whose skip-index [min, max]
+  // excludes every pending key that OUTRANKS its stamp provably holds
+  // no hidden rows: shard files are immutable in this layout, so an
+  // entry's range is always a superset of the truth (approx entries
+  // are wider — still sound). The scan uses this to skip the per-row
+  // check entirely; compact uses it to re-stamp by rename instead of
+  // rewriting.
+
+  /** (key value, delete sequence) pairs, or null when the fast path
+    * doesn't apply (multi-column key, string key, or any
+    * null/unparsable tuple). */
+  def numericKeyPairs(eqMap: Map[String, Long], cols: Seq[String],
+                      dts: Seq[org.apache.spark.sql.types.DataType])
+      : Array[(Long, Long)] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (cols.size != 1 ||
+        !(dts.head == LongType || dts.head == IntegerType)) return null
+    val parsed = eqMap.iterator.map { case (k, sq) =>
+      scala.util.Try(k.toLong).toOption.map((_, sq)) }.toArray
+    if (parsed.contains(None)) null else parsed.map(_.get)
+  }
+
+  /** Sorted key values whose delete sequence outranks `stamp` —
+    * callers cache per distinct stamp (few per table). */
+  def sortedKeysAbove(pairs: Array[(Long, Long)], stamp: Long): Array[Long] =
+    pairs.iterator.filter(_._2 > stamp).map(_._1).toArray.sorted
+
+  /** Does `[mn, mx]` contain none of `sorted`? */
+  def rangeClear(sorted: Array[Long], mn: Long, mx: Long): Boolean = {
+    val i = java.util.Arrays.binarySearch(sorted, mn)
+    val lo = if (i >= 0) i else -i - 1
+    lo >= sorted.length || sorted(lo) > mx
+  }
+
   /** Canonical rendering of one key part (None = SQL null). The same
     * text must come out of an `InternalRow` at write and a parsed
     * `JsonNode` at read — key column types are restricted to

@@ -207,6 +207,30 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     assert(mirror == rows("SELECT k, v FROM eq.ca.up"))
   }
 
+  test("scan-time skip-range exemption: range-clear shards keep index answers") {
+    sql("""CREATE TABLE eq.ns.ex (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k',
+          |  'graft.skip.columns'='k')""".stripMargin)
+    sql("""INSERT INTO eq.ns.ex SELECT /*+ REPARTITION(1) */
+          |  id AS k, id AS v FROM range(0, 100)""".stripMargin) // s1, [0,99]
+    sql("INSERT INTO eq.ns.ex VALUES (1000, 1), (1001, 2)") // wave s2
+    assert(sql("SELECT count(*) FROM eq.ns.ex").head.getLong(0) == 102L)
+    assert(sql("SELECT v FROM eq.ns.ex WHERE k = 5").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+    // the witness: corrupt every shard — COUNT(*) must still answer
+    // from the index, which requires the s1 shard's exposure to be
+    // PROVABLY moot (its [0,99] range excludes keys 1000/1001); a
+    // non-exempt plan would drain the shard and die on the garbage
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    new java.io.File(s"$root/ns/ex").listFiles()
+      .filter(_.getName.endsWith(".jsonl.gz")).foreach { f =>
+        val w = new java.io.FileOutputStream(f)
+        w.write("not gzip".getBytes("UTF-8")); w.close()
+      }
+    assert(sql("SELECT count(*) FROM eq.ns.ex").head.getLong(0) == 102L,
+      "a range-clear exposed shard must keep its index-answered count")
+  }
+
   test("concurrent upsert waves: claim-CAS sequences stay dense, no lost wave") {
     sql("""CREATE TABLE eq.ns.cw (k BIGINT, v BIGINT)
           |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
