@@ -263,6 +263,57 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     assert(seqs == (1L to 5L), s"5 waves -> sequences 1..5: $seqs")
   }
 
+  test("property: random wave/delete/compact histories match the MERGE twin") {
+    for (seed <- Seq(17, 43)) {
+      val rnd = new scala.util.Random(seed)
+      val up = s"eq.ns.su$seed"; val tw = s"eq.ns.st$seed"
+      sql(s"""CREATE TABLE $up (k BIGINT, v BIGINT)
+             |TBLPROPERTIES ('graft.upsert.keys'='k',
+             |  'graft.row-level.mode'='merge-on-read',
+             |  'graft.skip.columns'='k')""".stripMargin)
+      sql(s"""CREATE TABLE $tw (k BIGINT, v BIGINT)
+             |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')"""
+        .stripMargin)
+      var nextV = 0L
+      def check(op: String): Unit =
+        assert(rows(s"SELECT k, v FROM $up") == rows(s"SELECT k, v FROM $tw"),
+          s"seed=$seed diverged after $op")
+      for (step <- 1 to 12) rnd.nextInt(6) match {
+        case 0 | 1 | 2 => // upsert wave of 1-4 random keys
+          val vals = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            nextV += 1; s"(${rnd.nextInt(20)}, $nextV)"
+          }.distinct
+          // dedupe by key within the wave (a wave needs unique keys,
+          // same premise as MERGE)
+          val byKey = vals.map(v => v.drop(1).dropRight(1).split(", "))
+            .map(a => a(0) -> a(1)).toMap
+          val vs = byKey.map { case (k, v) => s"($k, $v)" }.mkString(", ")
+          sql(s"INSERT INTO $up VALUES $vs")
+          sql(s"""MERGE INTO $tw t
+                 |USING (SELECT * FROM VALUES $vs AS s(k, v)) s ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                 |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+            .stripMargin)
+          check(s"wave $vs")
+        case 3 => // MOR row-level delete of a random key on BOTH
+          val k = rnd.nextInt(20)
+          sql(s"DELETE FROM $up WHERE k = $k")
+          sql(s"DELETE FROM $tw WHERE k = $k")
+          check(s"delete k=$k")
+        case 4 => // reconcile the upsert side only — invisible to reads
+          sql(s"CALL eq.system.compact('${up.stripPrefix("eq.")}', " +
+            "max_shards => 2)").collect()
+          check("compact reconcile")
+        case 5 => // plain aggregate parity (exercises agg pushdown gates)
+          val a = sql(s"SELECT count(*), sum(v) FROM $up").head
+          val b = sql(s"SELECT count(*), sum(v) FROM $tw").head
+          assert(a.getLong(0) == b.getLong(0) &&
+            (a.isNullAt(1) && b.isNullAt(1) || a.getLong(1) == b.getLong(1)),
+            s"seed=$seed agg diverged at step $step")
+      }
+    }
+  }
+
   test("refusals: snapshots, cluster_table, rollback, auto-snapshot combos") {
     sql("""CREATE TABLE eq.ns.rf (k BIGINT, v BIGINT)
           |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
