@@ -1974,6 +1974,66 @@ object WarehouseQueries {
       |                ELSE o_custkey END) AS BIGINT) AS sum_cust
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q228
+  /** STRING-keyed corpus upsert — the LLM-ingest shape of the
+    * equality-delete tier ([[graft.sources.dsv2.JsonlEqDeletes]]):
+    * documents keyed by a `doc://source/id` URI, three ingest waves
+    * (full corpus, a metadata refresh of every 10th doc, a re-crawl
+    * of the German slice — which overrides the refresh where they
+    * overlap). Each wave is one O(|batch|) plain INSERT: one key file
+    * + stamped shards, the corpus never rescanned. The per-language
+    * rollup of the visible state must match DuckDB's last-wave-wins
+    * recompute. */
+  private val corpusUpsertCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def corpusUpsertWaves(s: SparkSession, dir: String): DataFrame = {
+    val child = corpusUpsertCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whcu", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whcu.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q228").toString)
+      c.sql("CREATE NAMESPACE whcu.cu")
+      c.sql(
+        """CREATE TABLE whcu.cu.docs
+          |(uri STRING, lang STRING, n_chars BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='uri')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whcu.cu.docs
+           |SELECT /*+ REPARTITION(4) */
+           |  concat('doc://', source, '/', CAST(doc_id AS STRING)) AS uri,
+           |  lang, n_chars
+           |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whcu.cu.docs
+           |SELECT /*+ REPARTITION(2) */
+           |  concat('doc://', source, '/', CAST(doc_id AS STRING)) AS uri,
+           |  lang, n_chars + 1000 AS n_chars
+           |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 10 = 0"""
+          .stripMargin)
+      c.sql(
+        s"""INSERT INTO whcu.cu.docs
+           |SELECT /*+ REPARTITION(2) */
+           |  concat('doc://', source, '/', CAST(doc_id AS STRING)) AS uri,
+           |  lang, n_chars + 5000 AS n_chars
+           |FROM parquet.`$dir/documents.parquet` WHERE lang = 'de'"""
+          .stripMargin)
+      c
+    })
+    child.sql(
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM whcu.cu.docs
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val corpusUpsertWavesSql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN lang = 'de' THEN n_chars + 5000
+      |                WHEN doc_id % 10 = 0 THEN n_chars + 1000
+      |                ELSE n_chars END) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q217
   /** The change feed through the DSv2 SOURCE
     * ([[graft.sources.dsv2.JsonlChangesSource]], the batch face of
@@ -2175,6 +2235,7 @@ object WarehouseQueries {
     "q225_cow_typed_window" -> (cowTypedWindow _),
     "q226_partition_evolution" -> (partitionEvolutionProbe _),
     "q227_upsert_waves" -> (upsertWaves _),
+    "q228_corpus_upsert_string_key" -> (corpusUpsertWaves _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -2222,6 +2283,7 @@ object WarehouseQueries {
     "q225_cow_typed_window" -> cowTypedWindowSql,
     "q226_partition_evolution" -> partitionEvolutionProbeSql,
     "q227_upsert_waves" -> upsertWavesSql,
+    "q228_corpus_upsert_string_key" -> corpusUpsertWavesSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -244,29 +244,22 @@ object GraftProcedures {
         // entries too (their range is a superset of the truth).
         // Manifest-referenced shards keep their names (snapshots
         // resolve by rel) and fall back to the rewrite path.
-        val eqKeyPairs: Array[(Long, Long)] =
+        val eqProbe: JsonlEqDeletes.RangeProbe =
           if (eqMax == 0L) null
-          else JsonlEqDeletes.numericKeyPairs(eqMap, keySpecs.map(_._1),
+          else JsonlEqDeletes.rangeProbe(eqMap, keySpecs.map(_._1),
             keySpecs.map(_._4))
         val preIdxEq =
-          if (eqKeyPairs == null) null
+          if (eqProbe == null) null
           else JsonlSkipIndex.open(fs, table, eqTblSchema)
         // only keys whose delete sequence OUTRANKS the shard's stamp
         // can hide its rows (a wave's own keys always overlap its own
         // shard's range — they must not defeat the fast path)
-        val eqKeyCache = scala.collection.mutable.Map.empty[Long, Array[Long]]
-        def keysAbove(stamp: Long): Array[Long] =
-          eqKeyCache.getOrElseUpdate(stamp,
-            JsonlEqDeletes.sortedKeysAbove(eqKeyPairs, stamp))
         def rangeClear(qshard: String, stamp: Long): Boolean =
-          eqKeyPairs != null && {
-            val keys = keysAbove(stamp)
-            keys.isEmpty || (preIdxEq.get(qshard) match {
+          eqProbe != null && {
+            eqProbe.exhausted(stamp) || (preIdxEq.get(qshard) match {
               case Some(e) => e.stats.get(keySpecs.head._2) match {
                 case Some((mn, mx, _)) if mn != null && mx != null =>
-                  JsonlEqDeletes.rangeClear(keys,
-                    mn.asInstanceOf[Number].longValue(),
-                    mx.asInstanceOf[Number].longValue())
+                  eqProbe.clear(stamp, mn, mx)
                 case _ => false
               }
               case _ => false

@@ -1191,32 +1191,25 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   // shards skip the per-row check (and index-answered aggregates stay
   // available for them) — on clustered upsert tables this bounds scan
   // cost to the shards actually near the pending keys.
-  private lazy val eqPairs: Array[(Long, Long)] =
+  private lazy val eqProbe: JsonlEqDeletes.RangeProbe =
     if (eqState._2 == 0L) null
-    else JsonlEqDeletes.numericKeyPairs(eqState._1, eqState._3,
+    else JsonlEqDeletes.rangeProbe(eqState._1, eqState._3,
       eqState._3.map(c => dataSchema(dataSchema.fieldIndex(c)).dataType))
   private lazy val eqKeyStorage: String =
-    if (eqPairs == null) null
+    if (eqProbe == null) null
     else JsonlTable.physicalKeyOf(dataSchema, eqState._3.head)
-  private lazy val eqKeysByStamp =
-    scala.collection.mutable.Map.empty[Long, Array[Long]]
   private def eqExemptOf(f: String): Boolean =
-    eqState._2 > 0L && eqPairs != null && {
+    eqState._2 > 0L && eqProbe != null && {
       val stamp = JsonlEqDeletes.shardSeqOf(new Path(f).getName)
-      stamp >= eqState._2 || {
-        val keys = eqKeysByStamp.getOrElseUpdate(stamp,
-          JsonlEqDeletes.sortedKeysAbove(eqPairs, stamp))
-        keys.isEmpty || (skipIndex.get(f) match {
+      stamp >= eqState._2 || eqProbe.exhausted(stamp) ||
+        (skipIndex.get(f) match {
           case Some(e) => e.stats.get(eqKeyStorage) match {
             case Some((mn, mx, _)) if mn != null && mx != null =>
-              JsonlEqDeletes.rangeClear(keys,
-                mn.asInstanceOf[Number].longValue(),
-                mx.asInstanceOf[Number].longValue())
+              eqProbe.clear(stamp, mn, mx)
             case _ => false
           }
           case None => false
         })
-      }
     }
 
   override def planInputPartitions(): Array[InputPartition] = {

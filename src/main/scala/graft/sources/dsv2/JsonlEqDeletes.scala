@@ -258,30 +258,69 @@ object JsonlEqDeletes {
   // check entirely; compact uses it to re-stamp by rename instead of
   // rewriting.
 
-  /** (key value, delete sequence) pairs, or null when the fast path
-    * doesn't apply (multi-column key, string key, or any
-    * null/unparsable tuple). */
-  def numericKeyPairs(eqMap: Map[String, Long], cols: Seq[String],
-                      dts: Seq[org.apache.spark.sql.types.DataType])
-      : Array[(Long, Long)] = {
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    if (cols.size != 1 ||
-        !(dts.head == LongType || dts.head == IntegerType)) return null
-    val parsed = eqMap.iterator.map { case (k, sq) =>
-      scala.util.Try(k.toLong).toOption.map((_, sq)) }.toArray
-    if (parsed.contains(None)) null else parsed.map(_.get)
+  /** Type-erased per-table probe: sorted pending-key arrays per
+    * distinct stamp (few per table), ordered EXACTLY as the skip
+    * entries' min/max decode orders — natural for BIGINT/INT, UTF8
+    * binary for STRING (Spark's aggregate string order, which the
+    * index build used). */
+  final class RangeProbe(pairs: Array[(AnyRef, Long)],
+                         cmp: java.util.Comparator[AnyRef],
+                         conv: Any => AnyRef) {
+    private val cache = scala.collection.mutable.Map.empty[Long, Array[AnyRef]]
+    private def keysAbove(stamp: Long): Array[AnyRef] =
+      cache.getOrElseUpdate(stamp, {
+        val a = pairs.iterator.filter(_._2 > stamp).map(_._1).toArray
+        java.util.Arrays.sort(a, cmp)
+        a
+      })
+    /** No pending key outranking `stamp` at all? */
+    def exhausted(stamp: Long): Boolean = keysAbove(stamp).isEmpty
+    /** No pending key outranking `stamp` inside the entry range
+      * [mn, mx] (entry-decoded values)? */
+    def clear(stamp: Long, mn: Any, mx: Any): Boolean = {
+      val keys = keysAbove(stamp)
+      keys.isEmpty || {
+        val i = java.util.Arrays.binarySearch(keys, conv(mn), cmp)
+        val lo = if (i >= 0) i else -i - 1
+        lo >= keys.length || cmp.compare(keys(lo), conv(mx)) > 0
+      }
+    }
   }
 
-  /** Sorted key values whose delete sequence outranks `stamp` —
-    * callers cache per distinct stamp (few per table). */
-  def sortedKeysAbove(pairs: Array[(Long, Long)], stamp: Long): Array[Long] =
-    pairs.iterator.filter(_._2 > stamp).map(_._1).toArray.sorted
-
-  /** Does `[mn, mx]` contain none of `sorted`? */
-  def rangeClear(sorted: Array[Long], mn: Long, mx: Long): Boolean = {
-    val i = java.util.Arrays.binarySearch(sorted, mn)
-    val lo = if (i >= 0) i else -i - 1
-    lo >= sorted.length || sorted(lo) > mx
+  /** Build the probe for a single-column key map; null when the fast
+    * path doesn't apply (multi-column key, unsupported type, or an
+    * unparsable/null tuple in the map). */
+  def rangeProbe(eqMap: Map[String, Long], cols: Seq[String],
+                 dts: Seq[org.apache.spark.sql.types.DataType]): RangeProbe = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    if (cols.size != 1) return null
+    dts.head match {
+      case LongType | IntegerType =>
+        val parsed = eqMap.iterator.map { case (k, sq) =>
+          scala.util.Try(k.toLong).toOption
+            .map(v => (java.lang.Long.valueOf(v): AnyRef, sq)) }.toArray
+        if (parsed.contains(None)) null
+        else new RangeProbe(parsed.map(_.get),
+          (a: AnyRef, b: AnyRef) => java.lang.Long.compare(
+            a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long]),
+          v => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue()))
+      case StringType =>
+        // the null-tuple rendering (the NullMark control char) is
+        // indistinguishable from a real such key — stand down if
+        // present (over-conservative)
+        if (eqMap.contains(NullMark)) null
+        else new RangeProbe(
+          eqMap.iterator.map { case (k, sq) =>
+            (org.apache.spark.unsafe.types.UTF8String.fromString(k)
+              : AnyRef, sq) }.toArray,
+          (a: AnyRef, b: AnyRef) =>
+            a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              .compareTo(
+                b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]),
+          v => org.apache.spark.unsafe.types.UTF8String
+            .fromString(v.asInstanceOf[String]))
+      case _ => null
+    }
   }
 
   /** Canonical rendering of one key part (None = SQL null). The same

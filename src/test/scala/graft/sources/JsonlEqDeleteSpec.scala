@@ -231,6 +231,46 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
       "a range-clear exposed shard must keep its index-answered count")
   }
 
+  test("string-key upsert (doc-id shape): exemption and rename reconcile") {
+    // scan-time exemption with a STRING key (UTF8 binary order — the
+    // order the skip entries' min/max used)
+    sql("""CREATE TABLE eq.ns.sd1 (uri STRING, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='uri',
+          |  'graft.skip.columns'='uri')""".stripMargin)
+    sql("""INSERT INTO eq.ns.sd1 SELECT /*+ REPARTITION(1) */
+          |  concat('doc-', lpad(CAST(id AS STRING), 4, '0')) AS uri,
+          |  id AS v FROM range(0, 100)""".stripMargin) // [doc-0000, doc-0099]
+    sql("INSERT INTO eq.ns.sd1 VALUES ('zzz-1', 1), ('zzz-2', 2)") // wave s2
+    assert(sql("SELECT count(*) FROM eq.ns.sd1").head.getLong(0) == 102L)
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    new java.io.File(s"$root/ns/sd1").listFiles()
+      .filter(_.getName.endsWith(".jsonl.gz")).foreach { f =>
+        val w = new java.io.FileOutputStream(f)
+        w.write("not gzip".getBytes("UTF-8")); w.close()
+      }
+    assert(sql("SELECT count(*) FROM eq.ns.sd1").head.getLong(0) == 102L,
+      "a range-clear string-keyed shard must keep its index answer")
+    // reconcile rename fast path for the string key
+    sql("""CREATE TABLE eq.ns.sd2 (uri STRING, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='uri',
+          |  'graft.skip.columns'='uri')""".stripMargin)
+    sql("""INSERT INTO eq.ns.sd2 SELECT /*+ REPARTITION(1) */
+          |  concat('doc-', lpad(CAST(id AS STRING), 4, '0')) AS uri,
+          |  id AS v FROM range(0, 50)""".stripMargin)
+    sql("INSERT INTO eq.ns.sd2 VALUES ('zzz-9', 9)")
+    val dir2 = new java.io.File(s"$root/ns/sd2")
+    def shards = dir2.listFiles().filter(_.getName.endsWith(".jsonl.gz"))
+      .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
+    val big = shards.maxBy(_._2)
+    sql("CALL eq.system.compact('ns.sd2', max_shards => 100)").collect()
+    val big2 = shards.maxBy(_._2)
+    assert(big2._1 == big._1.replace("-eqs1.", "-eqs2.") &&
+      big2._2 == big._2,
+      s"string range-clear shard must re-stamp by rename: $big -> $big2")
+    assert(sql("SELECT v FROM eq.ns.sd2 WHERE uri = 'doc-0007'").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("concurrent upsert waves: claim-CAS sequences stay dense, no lost wave") {
     sql("""CREATE TABLE eq.ns.cw (k BIGINT, v BIGINT)
           |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
