@@ -150,8 +150,9 @@ object JsonlTable {
     * copy-on-write group rewrite, merge-on-read delta) PINS a snapshot
     * version — `CALL snapshot` becomes implicit per commit, so the
     * change-data feed ([[JsonlChangesSource]]) tails plain INSERT
-    * traffic with per-commit granularity. See
-    * [[JsonlSnapshots.autoPin]] for the locking contract;
+    * traffic with per-commit granularity. Pins are LOCK-FREE
+    * (claim-CAS version assignment — see [[JsonlSnapshots.autoPin]]),
+    * so no commit blocks, serializes, or skips on their account;
     * `CALL expire_snapshots` bounds the history. */
   val AutoSnapshotProp = "graft.snapshot.auto"
 
@@ -2150,12 +2151,14 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       overwriteFilters != null || dynamicOverwrite
     // DYNAMIC partition overwrite replaces exactly the dirs the write
     // produced — lock just those scopes, so overwrites of disjoint
-    // partitions commit in parallel; every other destructive shape
-    // (and auto-snapshot's table-wide version pin) is table-wide
+    // partitions commit in parallel (auto-snapshot no longer forces
+    // the table lock: pins are claim-CAS and this commit pins its own
+    // DELTA, so concurrent scoped writers' pins stay exact); every
+    // other destructive shape is table-wide
+    val scopedDynamic = dynamicOverwrite && replaceShards == null &&
+      !truncate && overwriteFilters == null && partCols.nonEmpty
     val scopes: Seq[String] =
-      if (dynamicOverwrite && replaceShards == null && !truncate &&
-          overwriteFilters == null && partCols.nonEmpty && !autoSnapshot)
-        staged.map(_._2).distinct.toSeq
+      if (scopedDynamic) staged.map(_._2).distinct.toSeq
       else Nil
     val rloLeases: Seq[RowLevelLock.Lease] =
       if (destructive)
@@ -2274,6 +2277,7 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         }
       JsonlSkipIndex.removeEntries(f, dest, overwrittenRels)
     }
+    val dynRemoved = Seq.newBuilder[String]
     if (dynamicOverwrite) {
       // replace exactly the partition values the write produced: old
       // shards of a touched dir go, untouched dirs stay byte-identical
@@ -2283,8 +2287,12 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         if (f.exists(d))
           f.listStatus(d).filter(st => st.isFile &&
             JsonlLayout.isShard(st.getPath.getName))
-            .foreach(st => JsonlSnapshots.discardShard(f, dest, st.getPath,
-              s"$relDir/${st.getPath.getName}", commitReferenced))
+            .foreach { st =>
+              val rel = s"$relDir/${st.getPath.getName}"
+              JsonlSnapshots.discardShard(f, dest, st.getPath, rel,
+                commitReferenced)
+              dynRemoved += rel
+            }
       }
       // whole-dir replacement: drop each touched partition's manifest
       // in one list update instead of per-shard edits
@@ -2371,15 +2379,26 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     if (autoSnapshot) {
       val plainAppend = !truncate && replaceShards == null &&
         overwriteFilters == null && !dynamicOverwrite
+      def addedRels: Map[String, Long] =
+        staged.map { case (stagedFile, relDir) =>
+          val name =
+            JsonlEqDeletes.stampName(new Path(stagedFile).getName, stampSeq)
+          val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+          rel -> f.getFileStatus(new Path(dest, rel)).getLen
+        }.toMap
+      // plain appends AND partition-scoped dynamic overwrites know
+      // their exact delta (adds, plus the touched dirs' discarded
+      // shards) — their pins rebase, so disjoint-partition writers'
+      // concurrent pins never capture each other's mid-swap windows;
+      // diffuse destructive shapes pin a full listing under the table
+      // lock as before
       val delta =
-        if (!plainAppend) None
-        else Some(JsonlSnapshots.PinDelta(
-          staged.map { case (stagedFile, relDir) =>
-            val name =
-              JsonlEqDeletes.stampName(new Path(stagedFile).getName, stampSeq)
-            val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-            rel -> f.getFileStatus(new Path(dest, rel)).getLen
-          }.toMap, Map.empty, Set.empty))
+        if (plainAppend)
+          Some(JsonlSnapshots.PinDelta(addedRels, Map.empty, Set.empty))
+        else if (scopedDynamic)
+          Some(JsonlSnapshots.PinDelta(addedRels, Map.empty,
+            dynRemoved.result().toSet))
+        else None
       JsonlSnapshots.autoPin(f, conf.value, dest, schema, delta)
     }
     } finally RowLevelLock.releaseAll(f, rloLeases)

@@ -665,10 +665,11 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
     // sidecar read-modify-writes) runs under the table's lock — SCOPED
     // to the touched partition dirs when every mutation stays inside
     // known dirs, so partition-disjoint MOR commits proceed in
-    // parallel; anything table-wide (unpartitioned, root shards,
-    // auto-snapshot's version-id assignment) takes the table lock. A
-    // concurrent holder of a shared scope refuses with a named error
-    // instead of losing deletes to the sidecar merge race.
+    // parallel; unpartitioned/root-shard mutations take the table
+    // lock (auto-snapshot pins are lock-free claim-CAS and impose
+    // nothing here). A concurrent holder of a shared scope refuses
+    // with a named error instead of losing deletes to the sidecar
+    // merge race.
     val scopes: Seq[String] =
       if (partCols.isEmpty) Nil
       else {

@@ -783,6 +783,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(planned("SELECT k FROM wh.pe.t WHERE dt = 'd1'") == 2,
       "gen-1 shards (no dt= segment) stay; gen-2 d2 dirs prune")
     // dynamic partition overwrite refuses on a multi-generation layout
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       val e = intercept[Exception] {
@@ -791,7 +792,11 @@ class GraftCatalogSpec extends AnyFunSuite {
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains("multi-generation")), msgs(e).toString)
     } finally
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // STATIC mode for the rest: the partition overwrite and the
+    // unifying whole-table rewrite must not plan as dynamic
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
     // static overwrite of one lang partition replaces BOTH generations
     sql("INSERT OVERWRITE TABLE wh.pe.t PARTITION (lang = 'en') " +
       "SELECT 10L AS k, 'd3' AS dt")
@@ -802,6 +807,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     // re-CALL derives an EMPTY legacy set and restores keyed behaviors
     sql("CREATE TABLE wh.pe.stage AS SELECT k, lang, dt FROM wh.pe.t")
     sql("INSERT OVERWRITE TABLE wh.pe.t SELECT k, lang, dt FROM wh.pe.stage")
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     val r2 = sql("CALL wh.system.evolve_partitioning('pe.t', " +
       "columns => 'lang,dt')").head
     assert(r2.getString(1) == "", s"post-rewrite legacy must be empty: $r2")

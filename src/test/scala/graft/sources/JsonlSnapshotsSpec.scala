@@ -560,6 +560,56 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
       s"all 4 commits' ordinals embedded: $embedded != $wantDeleted")
   }
 
+  test("parallel dynamic overwrites on an auto-snapshot table: scoped locks, delta pins") {
+    import graft.sources.dsv2.JsonlSnapshots
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.dyo")
+    sql("""CREATE TABLE sn.dyo.t (k BIGINT, v BIGINT, p STRING)
+          |PARTITIONED BY (p)
+          |TBLPROPERTIES ('graft.snapshot.auto'='true')""".stripMargin)
+    sql("INSERT INTO sn.dyo.t VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // two DISJOINT-partition dynamic overwrites race: scoped locks
+      // (no table lock even with auto-snapshot) + claim-CAS DELTA pins
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fs2 = Seq("a", "b").map { part =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              sql(s"INSERT OVERWRITE TABLE sn.dyo.t VALUES " +
+                s"(${part.head.toInt}L, 99L, '$part')")
+              ()
+            }
+          })
+        }
+        fs2.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    val got = sql("SELECT k, v, p FROM sn.dyo.t ORDER BY p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((97L, 99L, "a"), (98L, 99L, "b"), (3L, 30L, "c")),
+      s"each overwrite replaces exactly its partition: $got")
+    // both commits pinned (v1 insert + v2/v3 overwrites), and each
+    // overwrite's manifest diff touches ONLY its own partition
+    val root = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.catalog.sn.root")}/dyo/t")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifests = JsonlSnapshots.list(fs, root)
+    assert(manifests.map(_.id) == Seq(1L, 2L, 3L),
+      s"3 commits -> 3 dense pins: ${manifests.map(_.id)}")
+    manifests.sliding(2).foreach {
+      case Seq(m1, m2) =>
+        val touched = ((m2.shards.keySet -- m1.shards.keySet) ++
+          (m1.shards.keySet -- m2.shards.keySet))
+          .map(_.split("/").head)
+        assert(touched.size == 1,
+          s"v${m1.id}->v${m2.id} must touch one partition, got $touched")
+      case _ => ()
+    }
+  }
+
   test("CDC apply: the changes stream drives a downstream MERGE mirror") {
     import graft.sources.dsv2.JsonlChangeFeed
     val catalog = spark.sessionState.catalogManager.catalog("sn")
