@@ -293,6 +293,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!partCols.contains(name),
           s"graft catalog: cannot rename partition column $name — the " +
             "k=v directory layout pins its name; rewrite the table instead")
+        // a graft.upsert.keys column may be renamed — the property is
+        // rewritten below so future waves keep working — but NOT while
+        // published key files still name the old column: readers
+        // resolve key-file cols against the live schema
+        // (fieldIndex), so a pending wave would throw on every scan
+        // and its deletes could silently stop applying
+        if (JsonlTable.upsertKeysOf(props).contains(name))
+          require(!JsonlEqDeletes.hasPending(fs, dir),
+            s"graft catalog: cannot rename upsert key column $name while " +
+              s"pending equality deletes exist (${JsonlEqDeletes.DirName}/)" +
+              " — CALL compact to reconcile them first")
         val tombstonedNow = JsonlTable.tombstonedKeysOf(props)
         // storage keys the new display name must not silently alias:
         // tombstoned keys, plus OTHER fields' physical keys and rename
@@ -325,8 +336,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         })
         // column-list properties keyed on the old name keep working
         // under the new one (dotted skip entries rooted at the renamed
-        // field follow it too)
+        // field follow it too); graft.upsert.keys follows the rename in
+        // the same metadata write, so there is no window where writers'
+        // upsertIdx filter silently drops the key (which would degrade
+        // waves to plain appends)
         props = props.map {
+          case (k, v) if k == JsonlTable.UpsertKeysProp =>
+            k -> v.split(",").map(_.trim)
+              .map(c => if (c == name) newName else c).mkString(",")
           case (k, v) if k == JsonlSkipIndex.ColumnsProperty ||
               k == JsonlTable.WriteOrderProp =>
             k -> v.split(",").map(_.trim).map { c =>
@@ -352,6 +369,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!partCols.contains(name),
             s"graft catalog: cannot drop partition column $name — the " +
               "k=v directory layout pins it; rewrite the table instead")
+          // mirroring the partition guard: dropping an upsert key
+          // column would leave graft.upsert.keys naming a vanished
+          // field — writers would silently publish empty key sets
+          // (waves degrade to appends) and any published key file
+          // would crash every scan on fieldIndex
+          require(!JsonlTable.upsertKeysOf(props).contains(name),
+            s"graft catalog: cannot drop upsert key column $name — " +
+              s"unset ${JsonlTable.UpsertKeysProp} first (after " +
+              "CALL compact if waves are pending)")
           require(schema.fields.length > 1,
             s"graft catalog: cannot drop the only column $name")
           schema = StructType(schema.fields.filterNot(_.name == name))

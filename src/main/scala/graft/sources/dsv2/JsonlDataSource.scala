@@ -1997,24 +1997,19 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
     }
     f.create(inprog, true).close()
     // equality-delete upsert tier: an epoch on a graft.upsert.keys
-    // table is an upsert WAVE — key file first, stamped inserts after
-    // (same protocol and crash posture as the batch commit; an epoch
-    // replay re-claims a fresh sequence and republishes, idempotent)
+    // table is an upsert WAVE — stamped inserts first, key file LAST
+    // (the wave's atomic commit point; same protocol and crash posture
+    // as the batch commit: a crash mid-wave shows transient duplicates,
+    // never deletes-without-inserts, and the epoch replay sweeps the
+    // orphan shards by marker then re-claims a fresh sequence)
     val staged0 = messages.flatMap { case JsonlCommitMessage(s, _, _) => s }
     val wave = upsertKeys.nonEmpty && staged0.nonEmpty
     val stampSeq: Long =
       if (!wave) JsonlEqDeletes.currentSeq(f, dest)
-      else {
-        val seq = JsonlEqDeletes.claimNext(f, dest,
-          conf.value.getLong(JsonlSnapshots.ClaimStaleMsKey,
-            JsonlSnapshots.DefaultClaimStaleMs))
-        try {
-          val keys = messages.iterator.flatMap {
-            case m: JsonlCommitMessage => m.upsertKeys }.toSet
-          JsonlEqDeletes.publish(f, dest, seq, upsertKeys, keys)
-        } finally JsonlEqDeletes.releaseClaim(f, dest, seq)
-        seq
-      }
+      else JsonlEqDeletes.claimNext(f, dest,
+        conf.value.getLong(JsonlSnapshots.ClaimStaleMsKey,
+          JsonlSnapshots.DefaultClaimStaleMs))
+    try {
     staged0.foreach {
       case (stagedFile, relDir) =>
         val s = new Path(stagedFile)
@@ -2035,6 +2030,12 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
         }
       }
     }.toSeq)
+    if (wave) {
+      val keys = messages.iterator.flatMap {
+        case m: JsonlCommitMessage => m.upsertKeys }.toSet
+      JsonlEqDeletes.publish(f, dest, stampSeq, upsertKeys, keys)
+    }
+    } finally if (wave) JsonlEqDeletes.releaseClaim(f, dest, stampSeq)
     // durable epoch record, atomically renamed into place: any future
     // commit() of this epoch short-circuits above
     val tmp = new Path(logDir, s".$epochId.tmp")
@@ -2078,9 +2079,15 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
 
   private def cleanupEpoch(f: org.apache.hadoop.fs.FileSystem, epochId: Long): Unit = {
     f.delete(new Path(path, s"_staging/${epochQueryId(epochId)}"), true)
-    val parent = new Path(path, "_staging")
-    if (f.exists(parent) && f.listStatus(parent).isEmpty)
-      f.delete(parent, false)
+    // best-effort parent sweep, same contract as the batch path's
+    // cleanupStaging: runs AFTER the epoch log is durable, so it must
+    // never throw (the exists/isEmpty probe races concurrent writers'
+    // own staging subdirs on a shared table)
+    try {
+      val parent = new Path(path, "_staging")
+      if (f.exists(parent) && f.listStatus(parent).isEmpty)
+        f.delete(parent, false)
+    } catch { case _: java.io.IOException => () }
   }
 }
 
@@ -2300,13 +2307,18 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     }
     // ------------- equality-delete upsert tier ([[JsonlEqDeletes]])
     // a plain APPEND on a table declaring graft.upsert.keys is an
-    // upsert WAVE: claim the next sequence, publish the batch's key
-    // file FIRST (crash between = keys deleted + inserts absent until
-    // the batch retries, which republishes both), then land the
-    // insert shards STAMPED with the sequence — the wave's own rows
-    // exempt, everything older subject. Every OTHER commit stamps at
-    // the current max sequence so rewritten/overwritten rows are
-    // never hidden by past waves.
+    // upsert WAVE: claim the next sequence, land the insert shards
+    // STAMPED with it, then publish the batch's key file LAST — the
+    // key file is the wave's atomic commit point. A crash before it
+    // leaves the stamped inserts visible WITHOUT their deletes:
+    // transient duplicates, healed by the retry's own higher-sequence
+    // wave over the same keys (which hides both the old rows and the
+    // orphaned first-attempt inserts) — never the inverse window where
+    // matched target rows vanish without replacements. The wave's own
+    // rows are exempt from its deletes (stamp == seq), everything
+    // older subject. Every OTHER commit stamps at the current max
+    // sequence so rewritten/overwritten rows are never hidden by past
+    // waves.
     // snapshots compose: a pinned scan is equality-blind and shows
     // the PIN-TIME state (pins refuse while deletes are pending, so a
     // manifest never coexists with unreconciled waves it can't see);
@@ -2314,17 +2326,10 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     val wave = upsertKeys.nonEmpty && !destructive && staged.nonEmpty
     val stampSeq: Long =
       if (!wave) JsonlEqDeletes.currentSeq(f, dest)
-      else {
-        val seq = JsonlEqDeletes.claimNext(f, dest,
-          conf.value.getLong(JsonlSnapshots.ClaimStaleMsKey,
-            JsonlSnapshots.DefaultClaimStaleMs))
-        try {
-          val keys = messages.iterator.flatMap {
-            case m: JsonlCommitMessage => m.upsertKeys }.toSet
-          JsonlEqDeletes.publish(f, dest, seq, upsertKeys, keys)
-        } finally JsonlEqDeletes.releaseClaim(f, dest, seq)
-        seq
-      }
+      else JsonlEqDeletes.claimNext(f, dest,
+        conf.value.getLong(JsonlSnapshots.ClaimStaleMsKey,
+          JsonlSnapshots.DefaultClaimStaleMs))
+    try {
     staged.foreach { case (stagedFile, relDir) =>
       val s = new Path(stagedFile)
       val destDir = if (relDir.isEmpty) dest else new Path(dest, relDir)
@@ -2348,6 +2353,15 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       }
     }
     JsonlSkipIndex.mergeEntries(f, dest, writeStats.toSeq)
+    if (wave) {
+      val keys = messages.iterator.flatMap {
+        case m: JsonlCommitMessage => m.upsertKeys }.toSet
+      JsonlEqDeletes.publish(f, dest, stampSeq, upsertKeys, keys)
+    }
+    // a failed wave tombstones its sequence in releaseClaim (the key
+    // file is absent), so orphan stamped shards can never be exempted
+    // from a reassigned number's deletes
+    } finally if (wave) JsonlEqDeletes.releaseClaim(f, dest, stampSeq)
     if (replaceShards != null) {
       // every replacement landed — the table holds the new copy of each
       // affected group, so the trashed originals are dead weight UNLESS
@@ -2410,10 +2424,21 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
 
   private def cleanupStaging(f: org.apache.hadoop.fs.FileSystem): Unit = {
     f.delete(stagingDir, true)
-    // drop the _staging parent too once no concurrent write holds it
-    val parent = stagingDir.getParent
-    if (f.exists(parent) && f.listStatus(parent).isEmpty)
-      f.delete(parent, false)
+    // drop the _staging parent too once no concurrent write holds it.
+    // STRICTLY best-effort: by the time commit() reaches here the data,
+    // skip stats, and pin have all landed and the lock is released — a
+    // throw would report a COMMITTED write as failed, and a framework
+    // retry of a plain append would then double-apply it. The
+    // exists/isEmpty probe races concurrent writers creating or
+    // dropping their own staging subdirs (local-FS delete throws on a
+    // dir that empties mid-call), so swallow everything: a leftover
+    // empty `_staging` dir is invisible to readers (`_` prefix) and
+    // the next commit's sweep gets another chance.
+    try {
+      val parent = stagingDir.getParent
+      if (f.exists(parent) && f.listStatus(parent).isEmpty)
+        f.delete(parent, false)
+    } catch { case _: java.io.IOException => () }
   }
 }
 

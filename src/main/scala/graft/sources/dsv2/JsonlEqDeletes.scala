@@ -33,11 +33,28 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * SEQUENCE ASSIGNMENT is the same claim-CAS as snapshot pins: atomic
   * creation of `s<SEQ>.claim` wins the number (retry on collision), the
-  * key file publishes via tmp+rename, the claim drops. A crashed wave
-  * leaves a stale claim (cleaned by the next wave after
-  * [[JsonlSnapshots.DefaultClaimStaleMs]]) and possibly a published key
-  * file without its inserts — the upsert retry re-publishes both
-  * (idempotent: same keys, new sequence).
+  * key file publishes via tmp+rename, the claim drops. Sequences are
+  * NEVER reused: a stale claim (crashed wave) is renamed — atomically —
+  * to a `s<SEQ>.dropped` tombstone after
+  * [[JsonlSnapshots.DefaultClaimStaleMs]], and claim assignment counts
+  * published files, live claims, AND tombstones, so at every instant
+  * the number stays occupied under one of the three names. A stalled
+  * wave that outlives its claim therefore still owns a unique sequence
+  * and simply completes late — there is no same-sequence overwrite to
+  * guard against. Tombstones are folded into the hwm (and removed) by
+  * [[retire]].
+  *
+  * THE KEY FILE IS THE WAVE'S COMMIT POINT, published LAST — after
+  * every insert shard has renamed in ([[JsonlBatchWrite.commit]] /
+  * the streaming epoch commit). A crash mid-wave leaves the wave's
+  * stamped inserts visible WITHOUT their deletes: transient duplicates
+  * (old row + new row), never loss — and the retry's own wave, at a
+  * strictly higher sequence over the same keys, hides both the old
+  * rows and the orphaned first-attempt inserts, converging to
+  * exactly-once. (The inverse order — deletes before inserts — would
+  * make a crash silently vanish matched target rows, which is why it
+  * is forbidden here; same discipline as `MergeUpsert`'s
+  * `_MERGE_MANIFEST`.)
   *
   * COEXISTENCE: the tier composes with position deletes (MOR), COW
   * rewrites, and overwrites — every writer stamps new shards at the
@@ -53,6 +70,12 @@ object JsonlEqDeletes {
 
   private val FileName = """s(\d+)\.json""".r
   private val ClaimName = """s(\d+)\.claim""".r
+  /** Tombstone of a crashed wave's claim: keeps its sequence number
+    * occupied forever (until [[retire]] folds it into the hwm), so a
+    * sequence can never be reassigned while orphan shards stamped with
+    * it exist — reassignment would exempt those orphans from the new
+    * wave's deletes. */
+  private val DroppedName = """s(\d+)\.dropped""".r
   /** Shard-name stamp: `...-eqs<SEQ>.jsonl[.gz]`. */
   private val Stamp = """-eqs(\d+)\.jsonl(\.gz)?$""".r
 
@@ -66,6 +89,8 @@ object JsonlEqDeletes {
     new Path(dir(table), s"s$seq.json")
   private def claimFile(table: Path, seq: Long): Path =
     new Path(dir(table), s"s$seq.claim")
+  private def droppedFile(table: Path, seq: Long): Path =
+    new Path(dir(table), s"s$seq.dropped")
 
   /** Sequence high-water mark, surviving full retirement: shard
     * stamps outlive the key files they were exempt from, so a LATER
@@ -113,8 +138,9 @@ object JsonlEqDeletes {
     else name
   }
 
-  /** (published max seq, claim max seq) from NAMES only; (0, 0) with a
-    * single existence probe when the tier was never used. */
+  /** (published max seq, claim/tombstone max seq) from NAMES only;
+    * (0, 0) with a single existence probe when the tier was never
+    * used. */
   def maxSeqs(fs: FileSystem, table: Path): (Long, Long) = {
     val d = dir(table)
     if (!fs.exists(d)) return (0L, 0L)
@@ -122,6 +148,7 @@ object JsonlEqDeletes {
     fs.listStatus(d).foreach(st => st.getPath.getName match {
       case FileName(n) => pub = math.max(pub, n.toLong)
       case ClaimName(n) => cl = math.max(cl, n.toLong)
+      case DroppedName(n) => cl = math.max(cl, n.toLong)
       case _ => ()
     })
     (pub, cl)
@@ -130,8 +157,14 @@ object JsonlEqDeletes {
   /** Current published max sequence — what NEW shards stamp. */
   def currentSeq(fs: FileSystem, table: Path): Long = maxSeqs(fs, table)._1
 
-  /** Claim the next sequence (CAS on the claim file; stale claims from
-    * crashed waves are broken after `staleMs`). */
+  /** Claim the next sequence (CAS on the claim file). A stale claim
+    * from a crashed wave is TOMBSTONED (atomic rename to `.dropped`) —
+    * never deleted — so its number stays occupied at every instant and
+    * can never be reassigned to a different wave (orphan shards
+    * stamped with it would be wrongly exempt from the new wave's
+    * deletes). The sequence is therefore monotone across crashes; a
+    * stalled-but-alive wave keeps sole ownership of its number and
+    * just publishes late. */
   def claimNext(fs: FileSystem, table: Path, staleMs: Long): Long = {
     fs.mkdirs(dir(table))
     var attempts = 0
@@ -143,13 +176,15 @@ object JsonlEqDeletes {
       fs.listStatus(d).foreach { st =>
         st.getPath.getName match {
           case FileName(n) => maxAll = math.max(maxAll, n.toLong)
+          case DroppedName(n) => maxAll = math.max(maxAll, n.toLong)
           case ClaimName(n) =>
+            maxAll = math.max(maxAll, n.toLong)
             // a claim without its key file, older than the budget, is
-            // a crashed wave: clean it so the numbering can't stall
+            // a crashed wave: tombstone it so its holder (if secretly
+            // alive) sees the break and the number can't stall others
             if (!fs.exists(keyFile(table, n.toLong)) &&
                 now - st.getModificationTime > staleMs)
-              fs.delete(st.getPath, false)
-            else maxAll = math.max(maxAll, n.toLong)
+              fs.rename(st.getPath, droppedFile(table, n.toLong))
           case _ => ()
         }
       }
@@ -161,8 +196,15 @@ object JsonlEqDeletes {
       s"equality-delete sequence claim on $table: 1000 collisions")
   }
 
+  /** Release wave `seq`'s claim. If the wave never published its key
+    * file (a failed commit — rename threw mid-wave, or the publish
+    * itself failed), the claim becomes a tombstone instead: stamped
+    * orphan shards may exist, so the number must stay retired. */
   def releaseClaim(fs: FileSystem, table: Path, seq: Long): Unit = {
-    fs.delete(claimFile(table, seq), false)
+    if (fs.exists(keyFile(table, seq)))
+      fs.delete(claimFile(table, seq), false)
+    else
+      fs.rename(claimFile(table, seq), droppedFile(table, seq))
     ()
   }
 
@@ -223,26 +265,42 @@ object JsonlEqDeletes {
   }
 
   /** Retire key files no live shard is exposed to: file S is needed
-    * iff some live shard's stamp is < S. Returns files removed. */
+    * iff some live shard's stamp is < S. Crashed-wave tombstones are
+    * folded into the hwm and removed with them. Returns files
+    * removed. */
   def retire(fs: FileSystem, table: Path, minLiveShardSeq: Long): Int = {
     val d = dir(table)
     if (!fs.exists(d)) return 0
     // preserve the numbering before files go: live shard stamps
-    // persist, so the next wave's sequence must clear them
-    val maxSeq = maxSeqs(fs, table)._1
+    // persist, so the next wave's sequence must clear them. Tombstoned
+    // (dropped) sequences fold in too — their claim-ordering role ends
+    // once the hwm covers them.
+    val maxSeq = maxSeqs(fs, table) match { case (p, c) => math.max(p, c) }
     if (maxSeq > readHwm(fs, table)) {
       val tmp = new Path(d, ".hwm.tmp")
       val out = fs.create(tmp, true)
       out.write(maxSeq.toString.getBytes(StandardCharsets.UTF_8))
       out.close()
-      fs.delete(hwmFile(table), false)
-      if (!fs.rename(tmp, hwmFile(table)))
-        throw new java.io.IOException(s"hwm publish failed for $table")
+      // ATOMIC overwrite-rename (the VersionedTable `_LATEST` pattern):
+      // delete-then-rename would open a window where a crash leaves NO
+      // hwm while the key files below are already gone — claimNext
+      // could then hand out a sequence below live shard stamps, and
+      // that wave's deletes (`stamp < seq`) would silently miss
+      // older-stamped shards. FileContext.rename(OVERWRITE) is the
+      // POSIX/HDFS atomic replace; the old hwm stays readable until
+      // the instant the new one is.
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(tmp.toUri, fs.getConf)
+        .rename(tmp, hwmFile(table),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     var removed = 0
     fs.listStatus(d).foreach(st => st.getPath.getName match {
       case FileName(n) if n.toLong <= minLiveShardSeq =>
         fs.delete(st.getPath, false); removed += 1
+      // every tombstone is covered by the hwm just written — its
+      // reassignment guard lives on there
+      case DroppedName(_) => fs.delete(st.getPath, false)
       case _ => ()
     })
     removed

@@ -236,7 +236,16 @@ object JsonlSnapshots {
             s"snapshot tag '$t' already exists"))
           val shards: Map[String, ShardRef] = delta match {
             case Some(dl) if !repaired && prevId > 0L =>
-              applyDelta(read(fs, manifestFile(table, prevId)).shards, dl)
+              // prevId race with a stand-down: a stale-broken holder
+              // can transiently publish manifest vK and un-publish it
+              // when its post-write claimOwned check fails — a read
+              // that sampled ids in that window sees K but no file.
+              // Fall back to a full listing (same as the applyDelta
+              // mismatch fallback) instead of failing a commit whose
+              // data already landed.
+              (try Some(read(fs, manifestFile(table, prevId)).shards)
+               catch { case _: java.io.FileNotFoundException => None })
+                .flatMap(applyDelta(_, dl))
                 .getOrElse(current(fs, table, schema).shards)
             case _ => current(fs, table, schema).shards
           }

@@ -396,4 +396,126 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     sql("INSERT INTO eq.ns.sn VALUES (1, 12)")
     assert(rows("SELECT k, v FROM eq.ns.sn") == Seq((1L, 12L)))
   }
+
+  test("torn wave (crash before key publish): duplicates not loss; retry converges") {
+    import graft.sources.dsv2.JsonlEqDeletes
+    import org.apache.hadoop.fs.Path
+    sql("""CREATE TABLE eq.ns.tw2 (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    sql("INSERT INTO eq.ns.tw2 VALUES (1, 10), (2, 20)") // wave s1
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    val table = new java.io.File(s"$root/ns/tw2")
+    // fabricate the post-crash state of wave s2 upserting k=1: the
+    // stamped insert shard RENAMED IN, the key file NOT yet published
+    // (the commit point publishes LAST), the claim left behind stale
+    val orphan = new java.io.File(table, "part-crash-0-1-eqs2.jsonl.gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(orphan))
+    gz.write("{\"k\":1,\"v\":11}\n".getBytes("UTF-8")); gz.close()
+    val eqDir = new java.io.File(table, "_eq_deletes")
+    val claim = new java.io.File(eqDir, "s2.claim")
+    claim.createNewFile()
+    claim.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000L)
+    // (a) the torn window shows TRANSIENT DUPLICATES — never a lost
+    // row: both versions of k=1 are visible, k=2 untouched
+    assert(rows("SELECT k, v FROM eq.ns.tw2").sorted ==
+      Seq((1L, 10L), (1L, 11L), (2L, 20L)),
+      "crash before key publish must never hide matched target rows")
+    // (b) the retry wave converges to exactly-once: its sequence is
+    // claimed ABOVE the crashed wave's (the stale claim tombstones,
+    // never reassigns), so its deletes hide the old row AND the
+    // orphaned first-attempt insert
+    sql("INSERT INTO eq.ns.tw2 VALUES (1, 11)")
+    assert(rows("SELECT k, v FROM eq.ns.tw2") == Seq((1L, 11L), (2L, 20L)),
+      "the retry's higher-sequence wave must hide the orphan too")
+    val fs = new Path(table.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new Path(table.toString, "_eq_deletes"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names.contains("s3.json") && names.contains("s2.dropped") &&
+      !names.contains("s2.json") && !names.contains("s2.claim"),
+      s"crashed seq must tombstone, retry must claim past it: $names")
+    // (c) compact reconciles the mess away entirely
+    sql("CALL eq.system.compact('ns.tw2', max_shards => 1)").collect()
+    assert(rows("SELECT k, v FROM eq.ns.tw2") == Seq((1L, 11L), (2L, 20L)))
+    assert(sql("SELECT count(*) FROM eq.ns.tw2").head.getLong(0) == 2L,
+      "reconcile must drop the orphan's hidden copy")
+  }
+
+  test("claim protocol: failed waves tombstone, sequences never reassign") {
+    import graft.sources.dsv2.JsonlEqDeletes
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("eq-claims").toString
+    val table = new Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staleMs = 60000L
+    // wave 1 fails before publish: releaseClaim must tombstone, and
+    // the number must never be handed out again
+    val s1 = JsonlEqDeletes.claimNext(fs, table, staleMs)
+    assert(s1 == 1L)
+    JsonlEqDeletes.releaseClaim(fs, table, s1) // no key file -> dropped
+    val s2 = JsonlEqDeletes.claimNext(fs, table, staleMs)
+    assert(s2 == 2L, "a failed wave's sequence must not be reassigned")
+    JsonlEqDeletes.publish(fs, table, s2, Seq("k"), Seq("7"))
+    JsonlEqDeletes.releaseClaim(fs, table, s2) // key file -> claim drops
+    val names0 = fs.listStatus(JsonlEqDeletes.dir(table))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names0 == Seq("s1.dropped", "s2.json"), names0.toString)
+    // retire folds BOTH the published max and the tombstones into the
+    // hwm atomically, then removes them — numbering still never
+    // regresses
+    assert(JsonlEqDeletes.retire(fs, table, minLiveShardSeq = 2L) == 1)
+    val names1 = fs.listStatus(JsonlEqDeletes.dir(table))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names1 == Seq("hwm"), names1.toString)
+    assert(JsonlEqDeletes.claimNext(fs, table, staleMs) == 3L,
+      "hwm must carry the numbering past retired files AND tombstones")
+  }
+
+  test("soak: 20 rounds of racing waves — commit never throws post-publish") {
+    // regression for the _staging parent-sweep TOCTOU: concurrent
+    // writers create/drop their own staging subdirs under the shared
+    // `_staging` parent; the best-effort sweep must never surface an
+    // IOException out of a commit whose data already landed
+    sql("""CREATE TABLE eq.ns.soak (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      for (round <- 0 until 20) {
+        val fs3 = (0 until 3).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              sql(s"INSERT INTO eq.ns.soak VALUES (${round * 3 + i}, $round)")
+              ()
+            }
+          })
+        }
+        fs3.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      }
+    } finally pool.shutdown()
+    assert(sql("SELECT count(*) FROM eq.ns.soak").head.getLong(0) == 60L,
+      "every racing wave must land exactly once")
+  }
+
+  test("upsert key columns: DROP refused, RENAME follows the property") {
+    sql("""CREATE TABLE eq.ns.alk (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    sql("INSERT INTO eq.ns.alk VALUES (1, 10)")
+    val e1 = intercept[Exception] { sql("ALTER TABLE eq.ns.alk DROP COLUMN k") }
+    assert(e1.getMessage.contains("upsert key"), e1.getMessage)
+    // RENAME while waves are pending is refused (published key files
+    // name the old column)
+    val e2 = intercept[Exception] {
+      sql("ALTER TABLE eq.ns.alk RENAME COLUMN k TO kk") }
+    assert(e2.getMessage.contains("pending equality deletes"), e2.getMessage)
+    // after a reconcile the rename goes through AND the property
+    // follows, so later waves still upsert
+    sql("CALL eq.system.compact('ns.alk', max_shards => 1)").collect()
+    sql("ALTER TABLE eq.ns.alk RENAME COLUMN k TO kk")
+    assert(sql("SHOW TBLPROPERTIES eq.ns.alk (graft.upsert.keys)")
+      .head.getString(1) == "kk")
+    sql("INSERT INTO eq.ns.alk VALUES (1, 11)") // still a wave, on kk
+    assert(rows("SELECT kk, v FROM eq.ns.alk") == Seq((1L, 11L)),
+      "waves must keep upserting through the renamed key")
+  }
 }
