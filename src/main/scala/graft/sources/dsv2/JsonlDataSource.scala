@@ -1959,6 +1959,16 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
       // between the log rename and the marker delete below). Leaving it
       // would present `marker + committed log` to expire_staging forever.
       f.delete(new Path(logDir, s".$epochId.inprogress"), false)
+      // heal the crash window between the epoch log rename and the
+      // auto-pin: an unconsumed intent marker means this committed
+      // epoch's shards are in no manifest, and a delta chain would
+      // never fold them in — pin a full listing NOW (the replay knows
+      // the epoch is durable)
+      if (autoSnapshot &&
+          JsonlSnapshots.hasIntent(f, dest, epochQueryId(epochId))) {
+        JsonlSnapshots.autoPin(f, conf.value, dest, schema, None)
+        JsonlSnapshots.clearIntent(f, dest, epochQueryId(epochId))
+      }
       cleanupEpoch(f, epochId)
       return
     }
@@ -2036,6 +2046,14 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
       JsonlEqDeletes.publish(f, dest, stampSeq, upsertKeys, keys)
     }
     } finally if (wave) JsonlEqDeletes.releaseClaim(f, dest, stampSeq)
+    // intent marker BEFORE the durable commit point: a crash between
+    // the log rename and the auto-pin would otherwise leave this
+    // epoch's shards in no manifest forever (delta pins rebase the
+    // previous manifest — they'd never be folded in, and a rollback
+    // would delete them). The replay branch above and any later pin's
+    // stale-intent repair both consume it.
+    if (autoSnapshot)
+      JsonlSnapshots.recordIntent(f, dest, epochQueryId(epochId))
     // durable epoch record, atomically renamed into place: any future
     // commit() of this epoch short-circuits above
     val tmp = new Path(logDir, s".$epochId.tmp")
@@ -2047,10 +2065,12 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
     f.delete(inprog, false)
     // auto-snapshot per epoch: pinned AFTER the durable log record, so
     // a replayed epoch (which short-circuits above) never double-pins;
-    // a crash between the log write and this pin folds the epoch into
-    // the NEXT pin — version granularity degrades, rows never differ.
-    // The pin is a lock-free DELTA rebase (this epoch's shards over
-    // the previous manifest): no table listing, no lock acquisition.
+    // a crash between the log write and this pin is healed by the
+    // intent marker (replay pins a full listing; a stale marker makes
+    // the next pinner repair likewise) — version granularity degrades,
+    // rows never differ and never unpin. The pin is a lock-free DELTA
+    // rebase (this epoch's shards over the previous manifest): no
+    // table listing, no lock acquisition.
     if (autoSnapshot) {
       val added = staged0
         .map { case (stagedFile, relDir) =>
@@ -2061,6 +2081,7 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
         }.toMap
       JsonlSnapshots.autoPin(f, conf.value, dest, schema,
         Some(JsonlSnapshots.PinDelta(added, Map.empty, Set.empty)))
+      JsonlSnapshots.clearIntent(f, dest, epochQueryId(epochId))
     }
     // retention: only the LATEST epoch can ever re-execute (the
     // checkpoint commit log serializes epochs), so old records are
@@ -2172,6 +2193,12 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
         RowLevelLock.acquireScoped(f, conf.value, dest, queryId, scopes)
       else Nil
     try {
+    // intent marker before the first mutation: if this commit dies
+    // after its renames but before its auto-pin, its shards are live
+    // in NO manifest — a delta-pin chain would never fold them in and
+    // a rollback would delete them. The next pin's stale-intent repair
+    // (full listing) consumes the marker; success consumes it below.
+    if (autoSnapshot) JsonlSnapshots.recordIntent(f, dest, queryId)
     // the snapshot-referenced set is read INSIDE the lock: a CALL
     // snapshot serializes against this commit, so the set can't grow
     // between reading it and discarding shards it should have retained
@@ -2414,6 +2441,7 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
             dynRemoved.result().toSet))
         else None
       JsonlSnapshots.autoPin(f, conf.value, dest, schema, delta)
+      JsonlSnapshots.clearIntent(f, dest, queryId)
     }
     } finally RowLevelLock.releaseAll(f, rloLeases)
     cleanupStaging(f)

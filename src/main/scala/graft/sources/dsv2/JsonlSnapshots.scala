@@ -151,6 +151,33 @@ object JsonlSnapshots {
     (pub.result(), cl.result())
   }
 
+  // ------------------------------------------- crashed-commit intents
+  //
+  // Delta pins rebase the PREVIOUS manifest, so a commit that crashes
+  // between its durable commit point (epoch log rename / batch shard
+  // renames) and its autoPin leaves shards that are live but in NO
+  // manifest — and no later delta pin would ever pick them up (a
+  // rollback would even delete them as unreferenced). Auto-snapshot
+  // commits therefore record an INTENT marker (`_snapshots/.intent.<id>`)
+  // before their first mutation and consume it right after their pin;
+  // any pin that finds a marker older than the claim-stale budget
+  // knows a commit landed data without its pin and repairs by basing
+  // on a FULL LISTING (which includes the crashed commit's shards),
+  // consuming the marker only after the repair manifest is published.
+
+  def intentFile(table: Path, id: String): Path =
+    new Path(dir(table), s".intent.$id")
+  def recordIntent(fs: FileSystem, table: Path, id: String): Unit = {
+    fs.mkdirs(dir(table))
+    fs.create(intentFile(table, id), true).close()
+  }
+  def clearIntent(fs: FileSystem, table: Path, id: String): Unit = {
+    fs.delete(intentFile(table, id), false)
+    ()
+  }
+  def hasIntent(fs: FileSystem, table: Path, id: String): Boolean =
+    fs.exists(intentFile(table, id))
+
   private def claimOwned(fs: FileSystem, cf: Path, token: String): Boolean =
     try {
       val in = fs.open(cf)
@@ -232,6 +259,21 @@ object JsonlSnapshots {
           }
           val prevId = idsOf(fs, table)._1.filter(_ < id)
             .foldLeft(0L)(math.max)
+          // stale intent markers = commits that landed data but died
+          // before their pin: their shards are in no manifest, so a
+          // delta rebase would never see them — repair with a full
+          // listing and consume the markers AFTER publishing (a
+          // stand-down must leave them for the next pinner). Young
+          // markers are concurrent in-flight commits: benign, their
+          // own pins are coming.
+          val staleIntents: Seq[Path] = {
+            val nowI = System.currentTimeMillis()
+            fs.listStatus(dir(table)).iterator.filter { st =>
+              st.getPath.getName.startsWith(".intent.") &&
+                nowI - st.getModificationTime > staleMs
+            }.map(_.getPath).toSeq
+          }
+          if (staleIntents.nonEmpty) repaired = true
           tag.foreach(t => require(!list(fs, table).exists(_.tag.contains(t)),
             s"snapshot tag '$t' already exists"))
           val shards: Map[String, ShardRef] = delta match {
@@ -257,6 +299,10 @@ object JsonlSnapshots {
             fs.delete(manifestFile(table, id), false) // un-publish
             return None
           }
+          // the repair manifest is durable — the crashed commits'
+          // shards it folded in are now referenced; their markers
+          // are consumed
+          staleIntents.foreach(p => fs.delete(p, false))
           return Some(m)
         } finally if (claimOwned(fs, cf, token)) fs.delete(cf, false)
       }
@@ -432,6 +478,21 @@ object JsonlSnapshots {
   def rollback(fs: FileSystem, table: Path, m: Manifest): (Int, Int) = {
     require(m.id > 0, "rollback needs a PINNED snapshot")
     requireNoCrashedSwaps(fs, table, "rollback")
+    // a STALE intent marker is a commit that landed shards but died
+    // before its pin: those shards are in NO manifest, so pass 1 would
+    // DELETE them unrecoverably (retained/ only keeps manifest-
+    // referenced shards). Repair first — any pin folds them in.
+    val staleMs = fs.getConf.getLong(ClaimStaleMsKey, DefaultClaimStaleMs)
+    val nowR = System.currentTimeMillis()
+    val crashed = fs.listStatus(dir(table)).filter { st =>
+      st.getPath.getName.startsWith(".intent.") &&
+        nowR - st.getModificationTime > staleMs
+    }
+    require(crashed.isEmpty,
+      s"rollback refused: crashed auto-snapshot commit(s) left intent " +
+        s"marker(s) ${crashed.map(_.getPath.getName).mkString(", ")} under " +
+        s"$table — their shards are pinned by no manifest and rollback " +
+        "would delete them; CALL snapshot first to fold them in")
     // manifests predate any equality-delete activity (pins refuse
     // while _eq_deletes/ exists) — restoring their unstamped shards
     // under pending waves would wrongly hide restored rows

@@ -988,4 +988,47 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
       snap.newWriteBuilder(null) }
     assert(e.getMessage.contains("read-only"), e.getMessage)
   }
+
+  test("crashed commit's intent marker: next pin repairs with a full listing") {
+    import graft.sources.dsv2.JsonlSnapshots
+    import org.apache.hadoop.fs.Path
+    sql("CREATE NAMESPACE IF NOT EXISTS sn.ic")
+    sql("""CREATE TABLE sn.ic.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.snapshot.auto'='true')""".stripMargin)
+    sql("INSERT INTO sn.ic.t VALUES (1, 10)") // delta pin v2 (v1 = base)
+    val root = spark.conf.get("spark.sql.catalog.sn.root")
+    val table = new java.io.File(s"$root/ic/t")
+    // fabricate the crash window the ADVICE names: a commit whose
+    // shard RENAMED IN durably but which died before its auto-pin —
+    // live shard, no manifest references it, stale intent marker left
+    val orphan = new java.io.File(table, "part-crashed-0-7.jsonl.gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(orphan))
+    gz.write("{\"k\":9,\"v\":90}\n".getBytes("UTF-8")); gz.close()
+    val marker = new java.io.File(table, "_snapshots/.intent.crashed-q")
+    marker.createNewFile()
+    marker.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000L)
+    // rollback refuses while the unpinned shard is at risk
+    val e = intercept[Exception] {
+      sql("CALL sn.system.rollback_to_snapshot('ic.t', version => '1')")
+        .collect() }
+    assert(e.getMessage.contains("intent"), e.getMessage)
+    // the next pin — here another delta-pinning INSERT — must detect
+    // the stale marker, base on a FULL listing (folding the crashed
+    // commit's shard in), and consume the marker
+    sql("INSERT INTO sn.ic.t VALUES (2, 20)")
+    assert(!marker.exists(),
+      "the repairing pin must consume the stale intent marker")
+    val fs = new Path(table.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = JsonlSnapshots.list(fs, new Path(table.toString)).last
+    assert(latest.shards.keySet.contains("part-crashed-0-7.jsonl.gz"),
+      s"repair pin must fold the crashed commit's shard in: " +
+        s"${latest.shards.keySet}")
+    // rollback to the repair version now retains everything
+    sql(s"CALL sn.system.rollback_to_snapshot('ic.t', " +
+      s"version => '${latest.id}')").collect()
+    assert(rows("SELECT k, v FROM sn.ic.t") ==
+      Seq((1L, 10L), (2L, 20L), (9L, 90L)))
+  }
 }
