@@ -2034,6 +2034,116 @@ object WarehouseQueries {
       |                ELSE n_chars END) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q229
+  /** The upsert tier COMPOSED with snapshots + CDC
+    * ([[graft.sources.dsv2.JsonlSnapshots.Manifest]] `eqFiles`): the
+    * q228 corpus shape on an AUTO-SNAPSHOT table — every wave pins a
+    * version whose manifest embeds the pending key files. The result
+    * stitches four reads of the one table:
+    *
+    *   - `VERSION AS OF 2` (after the metadata-refresh wave, before
+    *     the German re-crawl) — the pinned scan must apply the
+    *     pin-time equality state;
+    *   - the live state (all three waves);
+    *   - the v2→v3 change window typed by the upsert key
+    *     ([[graft.sources.dsv2.JsonlChangeFeed.between]]) — the
+    *     re-crawl surfaces as update_preimage/update_postimage pairs
+    *     (the preimages recovered from COMMON shards by the fresh-key
+    *     broadcast join, never a table diff).
+    *
+    * DuckDB recomputes every phase from the raw parquet with
+    * last-wave-wins CASE arithmetic — a pinned scan that ignored the
+    * equality state, or a window that missed the hidden preimages,
+    * hash-fails. */
+  private val upsertTtCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def upsertTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val child = upsertTtCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whtm", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whtm.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q229").toString)
+      c.sql("CREATE NAMESPACE whtm.tt")
+      c.sql(
+        """CREATE TABLE whtm.tt.docs
+          |(uri STRING, lang STRING, n_chars BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='uri',
+          |  'graft.snapshot.auto'='true')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whtm.tt.docs
+           |SELECT /*+ REPARTITION(4) */
+           |  concat('doc://', source, '/', CAST(doc_id AS STRING)) AS uri,
+           |  lang, n_chars
+           |FROM parquet.`$dir/documents.parquet`""".stripMargin) // wave -> v1
+      c.sql(
+        s"""INSERT INTO whtm.tt.docs
+           |SELECT /*+ REPARTITION(2) */
+           |  concat('doc://', source, '/', CAST(doc_id AS STRING)) AS uri,
+           |  lang, n_chars + 1000 AS n_chars
+           |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 10 = 0"""
+          .stripMargin) // wave -> v2
+      c.sql(
+        s"""INSERT INTO whtm.tt.docs
+           |SELECT /*+ REPARTITION(2) */
+           |  concat('doc://', source, '/', CAST(doc_id AS STRING)) AS uri,
+           |  lang, n_chars + 5000 AS n_chars
+           |FROM parquet.`$dir/documents.parquet` WHERE lang = 'de'"""
+          .stripMargin) // wave -> v3
+      c
+    })
+    def rollup(src: String, phase: String): DataFrame = child.sql(
+      s"""SELECT '$phase' AS phase, lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM $src GROUP BY lang""".stripMargin)
+    val cat = child.sessionState.catalogManager.catalog("whtm")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    val window = graft.sources.dsv2.JsonlChangeFeed
+      .between(child, cat, "tt.docs", "2", Some("3"), keyCols = Seq("uri"))
+      .select(
+        expr("""CASE _change WHEN 'update_preimage' THEN 'delta_pre'
+               |  WHEN 'update_postimage' THEN 'delta_post'
+               |  ELSE concat('delta_', _change) END""".stripMargin)
+          .as("phase"),
+        col("lang"), col("n_chars"))
+      .groupBy(col("phase"), col("lang"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+    rollup("whtm.tt.docs VERSION AS OF 2", "v2")
+      .unionByName(rollup("whtm.tt.docs", "live"))
+      .unionByName(window)
+      .orderBy(col("phase"), col("lang"))
+  }
+
+  val upsertTimeTravelSql: String =
+    """WITH v2 AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+      |                  ELSE n_chars END) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY lang
+      |), live AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN lang = 'de' THEN n_chars + 5000
+      |                  WHEN doc_id % 10 = 0 THEN n_chars + 1000
+      |                  ELSE n_chars END) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY lang
+      |), pre AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+      |                  ELSE n_chars END) AS BIGINT) AS sum_chars
+      |  FROM documents WHERE lang = 'de' GROUP BY lang
+      |), post AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(n_chars + 5000) AS BIGINT) AS sum_chars
+      |  FROM documents WHERE lang = 'de' GROUP BY lang
+      |)
+      |SELECT * FROM (
+      |  SELECT 'v2' AS phase, lang, n, sum_chars FROM v2
+      |  UNION ALL SELECT 'live' AS phase, lang, n, sum_chars FROM live
+      |  UNION ALL SELECT 'delta_pre' AS phase, lang, n, sum_chars FROM pre
+      |  UNION ALL SELECT 'delta_post' AS phase, lang, n, sum_chars FROM post
+      |) ORDER BY phase, lang""".stripMargin
+
   // ---------------------------------------------------------------- q217
   /** The change feed through the DSv2 SOURCE
     * ([[graft.sources.dsv2.JsonlChangesSource]], the batch face of
@@ -2236,6 +2346,7 @@ object WarehouseQueries {
     "q226_partition_evolution" -> (partitionEvolutionProbe _),
     "q227_upsert_waves" -> (upsertWaves _),
     "q228_corpus_upsert_string_key" -> (corpusUpsertWaves _),
+    "q229_upsert_time_travel" -> (upsertTimeTravel _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -2284,6 +2395,7 @@ object WarehouseQueries {
     "q226_partition_evolution" -> partitionEvolutionProbeSql,
     "q227_upsert_waves" -> upsertWavesSql,
     "q228_corpus_upsert_string_key" -> corpusUpsertWavesSql,
+    "q229_upsert_time_travel" -> upsertTimeTravelSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -146,9 +146,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `graft.upsert.keys` contract ([[JsonlEqDeletes]]): key columns
     * exist with BIGINT/INT/STRING types (the canonical key rendering
-    * must agree between writer rows and reader JSON), and the tier is
-    * incompatible with auto-snapshot (manifests don't embed equality
-    * state). */
+    * must agree between writer rows and reader JSON). Composes with
+    * auto-snapshot: manifests embed the pending key files, so every
+    * wave pins a version that serves the upserted state. */
   private def validateUpsertKeys(schema: StructType,
                                  props: Map[String, String]): Unit = {
     val keys = JsonlTable.upsertKeysOf(props)
@@ -162,10 +162,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"${JsonlTable.UpsertKeysProp}: $c must be BIGINT/INT/STRING, " +
           s"got ${f.dataType.simpleString}")
     }
-    require(!JsonlTable.autoSnapshotOf(props),
-      s"${JsonlTable.UpsertKeysProp} and ${JsonlTable.AutoSnapshotProp} " +
-        "are incompatible: snapshot manifests do not embed " +
-        "equality-delete state")
   }
 
   /** Schema evolution, limited to what the JSONL layout makes SAFE

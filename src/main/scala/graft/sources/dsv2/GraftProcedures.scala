@@ -314,7 +314,11 @@ object GraftProcedures {
             if (live.isEmpty) Long.MaxValue
             else live.iterator.map { case (pp, _, _, _) =>
               JsonlEqDeletes.shardSeqOf(pp.getName) }.min
-          JsonlEqDeletes.retire(fs, table, minLive)
+          // key files a snapshot manifest embedded move to retained/
+          // instead of deleting — pinned scans keep resolving them
+          JsonlEqDeletes.retire(fs, table, minLive,
+            JsonlSnapshots.referencedEqNames(fs, table),
+            JsonlSnapshots.retainedRoot(table))
           ()
         }
         if (todo.isEmpty) { retireOutgrown(); return result(compactSchema, Nil) }

@@ -193,9 +193,49 @@ object JsonlChangeFeed {
           broadcast(pairs.toDF("_shard", "_pos")),
           Seq("_shard", "_pos"), "left_semi")
       }
+    // equality-delete windows ([[JsonlEqDeletes]]): rows the window's
+    // NEW waves hid are the upsert's delete records (the preimage
+    // side). Recovered from the from-side read — which is already
+    // m1-equality-aware, so pre-window-hidden rows can't re-emit — by
+    // a broadcast join against the fresh key files' keys, restricted
+    // to COMMON shards whose stamp the fresh sequences outrank. The
+    // key set is driver-small by the eq-tier's contract (bounded by
+    // compaction cadence); the join broadcasts it, never the corpus.
+    val eqNewNames = m2.eqFiles.filterNot(m1.eqFiles.toSet)
+    val eqCommon = (m1.shards.keySet & m2.shards.keySet).toSeq
+    val eqDeltaRows =
+      if (eqNewNames.isEmpty || eqCommon.isEmpty) fromRead.where(lit(false))
+      else {
+        import org.apache.spark.sql.functions.{coalesce, regexp_extract}
+        val (freshMap, _, eqCols) = JsonlEqDeletes.indexFiles(fs,
+          eqNewNames.map(JsonlSnapshots.resolveEq(fs, table, _)))
+        val dts = eqCols.map(c => m2.schema(c).dataType)
+        val keyRows = freshMap.toSeq.map { case (k, sq) =>
+          org.apache.spark.sql.Row.fromSeq(
+            JsonlEqDeletes.parseRendered(k, dts) :+ sq)
+        }
+        val keySchema = org.apache.spark.sql.types.StructType(
+          eqCols.zip(dts).map { case (c, dt) =>
+            org.apache.spark.sql.types.StructField(s"_eqk_$c", dt) } :+
+            org.apache.spark.sql.types.StructField("_eqseq",
+              org.apache.spark.sql.types.LongType, nullable = false))
+        val keysDf = spark.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(keyRows).asJava),
+          keySchema)
+        val stampCol = coalesce(
+          regexp_extract(col("_shard"), "-eqs(\\d+)\\.jsonl", 1)
+            .cast("long"), lit(0L))
+        val cond = eqCols.map(c => col(c) <=> col(s"_eqk_$c")).reduce(_ && _)
+        fromRead.where(col("_shard").isin(eqCommon.map(qualify): _*))
+          .join(broadcast(keysDf), cond, "inner")
+          .where(stampCol < col("_eqseq"))
+          .drop(keySchema.fieldNames.toSeq: _*)
+      }
     val ins = inserted.drop("_shard", "_pos")
     val del = removedRows.drop("_shard", "_pos")
       .unionByName(deltaRows.drop("_shard", "_pos"))
+      .unionByName(eqDeltaRows.drop("_shard", "_pos"))
     val (insOut, delOut) =
       if (!net) (ins, del)
       else {

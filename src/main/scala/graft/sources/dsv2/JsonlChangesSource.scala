@@ -108,7 +108,12 @@ final class JsonlChangesScan(schema: StructType, path: String,
       s"${toVersion.fold("live")(v => s"v$v")}]"
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // the batch window's endpoints are fixed at scan construction, so
+  // the manifests — and the window's equality-delete context — are
+  // computed once and shared by planning and the reader factory
+  private lazy val window
+      : (JsonlSnapshots.Manifest, JsonlSnapshots.Manifest,
+         JsonlChangesScan.EqWindow) = {
     val table = new Path(path)
     val fs = table.getFileSystem(conf.value)
     // endpoints accept a numeric id OR a snapshot tag ("0" = the
@@ -125,11 +130,18 @@ final class JsonlChangesScan(schema: StructType, path: String,
     require(m2.id < 0 || m1.id <= m2.id,
       s"graft-jsonl-changes: fromVersion=v${m1.id} is newer than " +
         s"toVersion=v${m2.id} — swap the endpoints (the feed is forward-only)")
-    JsonlChangesScan.diffPartitions(fs, table, m1, m2)
+    (m1, m2, JsonlChangesScan.eqWindowOf(fs, table, m1, m2))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(conf.value)
+    val (m1, m2, eq) = window
+    JsonlChangesScan.diffPartitions(fs, table, m1, m2, tableSchema, eq)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(schema, Array.empty, tableSchema, conf)
+    JsonlChangesScan.readerFactory(schema, tableSchema, conf, window._3)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
@@ -147,14 +159,64 @@ object JsonlChangesScan {
       JsonlSnapshots.Manifest(0L, None, 0L, schema.json, Map.empty)
     else JsonlSnapshots.load(fs, table, v.toString)
 
+  /** One window's equality-delete context: the FROM endpoint's key
+    * map (what was already hidden before the window), the TO
+    * endpoint's (what the window's end hides — filters added-shard
+    * rows in netted windows), and the `fresh` map of keys the
+    * window's NEW key files name — the emit set whose matching
+    * pre-window rows are the delete records an upsert wave
+    * produces. */
+  final case class EqWindow(from: Map[String, Long],
+                            to: Map[String, Long],
+                            fresh: Map[String, Long],
+                            cols: Seq[String]) {
+    def isEmpty: Boolean = from.isEmpty && to.isEmpty && fresh.isEmpty
+  }
+  val EmptyEqWindow: EqWindow = EqWindow(Map.empty, Map.empty, Map.empty, Nil)
+
+  def eqWindowOf(fs: FileSystem, table: Path,
+                 m1: JsonlSnapshots.Manifest,
+                 m2: JsonlSnapshots.Manifest): EqWindow = {
+    if (m1.eqFiles.isEmpty && m2.eqFiles.isEmpty) return EmptyEqWindow
+    def load(names: Seq[String]): (Map[String, Long], Long, Seq[String]) =
+      if (names.isEmpty) (Map.empty, 0L, Nil)
+      else JsonlEqDeletes.indexFiles(fs,
+        names.map(JsonlSnapshots.resolveEq(fs, table, _)))
+    val (fromM, _, cols1) = load(m1.eqFiles)
+    val (toM, _, cols2) = load(m2.eqFiles)
+    val (freshM, _, _) = load(m2.eqFiles.filterNot(m1.eqFiles.toSet))
+    EqWindow(fromM, toM, freshM, if (cols2.nonEmpty) cols2 else cols1)
+  }
+
+  /** The reader factory for change windows: per-partition `eqKind`
+    * picks which endpoint's equality state filters visibility, and
+    * emit-mode partitions surface exactly the rows the window's new
+    * waves hide. Maps ship per-executor via broadcast. */
+  def readerFactory(readSchema: StructType, tableSchema: StructType,
+                    conf: JsonlHadoopConf, eq: EqWindow)
+      : PartitionReaderFactory = {
+    def bc(m: Map[String, Long])
+        : org.apache.spark.broadcast.Broadcast[Map[String, Long]] =
+      if (m.isEmpty) null
+      else org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(m)
+    new JsonlChangesReaderFactory(readSchema, tableSchema, conf,
+      bc(eq.from), bc(eq.to), bc(eq.fresh), eq.cols)
+  }
+
   /** The shard-grain diff as concrete reader work: added shards emit
     * their live rows (the TO manifest's ordinals excluded) as
     * inserts; removed shards emit the rows the FROM manifest pinned
     * as deletes; common shards with grown ordinal sets emit exactly
-    * the rows AT the new ordinals as deletes. */
+    * the rows AT the new ordinals as deletes; and common shards a NEW
+    * equality key file outranks emit their matching still-visible
+    * rows as deletes (the upsert's preimage side). The emit set is
+    * pruned by the skip index — a shard whose key range excludes
+    * every fresh key never opens. */
   def diffPartitions(fs: FileSystem, table: Path,
                      m1: JsonlSnapshots.Manifest,
-                     m2: JsonlSnapshots.Manifest): Array[InputPartition] = {
+                     m2: JsonlSnapshots.Manifest,
+                     schema: StructType,
+                     eq: EqWindow): Array[InputPartition] = {
     val d = JsonlChangeFeed.diff(m1, m2)
     def pvOf(rel: String): Map[String, Option[String]] =
       rel.split("/").init.collect {
@@ -165,27 +227,98 @@ object JsonlChangesScan {
       }.toMap
     def resolve(rel: String): String =
       fs.makeQualified(JsonlSnapshots.resolve(fs, table, rel)).toString
+    val eqActive = !eq.isEmpty
     val added = d.added.toSeq.sorted.map { rel =>
       JsonlInputPartition(resolve(rel), pvOf(rel),
         deletePositions = m2.shards(rel).deletes,
-        changeKind = "insert"): InputPartition
+        changeKind = "insert",
+        eqKind = if (eqActive) "to" else null): InputPartition
     }
     val removed = d.removed.toSeq.sorted.map { rel =>
       JsonlInputPartition(resolve(rel), pvOf(rel),
         deletePositions = m1.shards(rel).deletes,
-        changeKind = "delete"): InputPartition
+        changeKind = "delete",
+        eqKind = if (eqActive) "from" else null): InputPartition
     }
     val delta = d.deltaDeletes.toSeq.sortBy(_._1).map { case (rel, ords) =>
       JsonlInputPartition(resolve(rel), pvOf(rel),
-        changeKind = "delete", keepPositions = ords): InputPartition
+        changeKind = "delete", keepPositions = ords,
+        eqKind = if (eqActive) "from" else null): InputPartition
     }
     // shrunk ordinal sets (rollback resurrected rows): emitted as
     // inserts, exactly the restored positions
     val restored = d.deltaRestores.toSeq.sortBy(_._1).map { case (rel, ords) =>
       JsonlInputPartition(resolve(rel), pvOf(rel),
-        changeKind = "insert", keepPositions = ords): InputPartition
+        changeKind = "insert", keepPositions = ords,
+        eqKind = if (eqActive) "to" else null): InputPartition
     }
-    (added ++ removed ++ delta ++ restored).toArray
+    // equality-delta deletes: a common shard whose stamp a fresh key
+    // file outranks may hold rows the window's waves hid. MOR-deleted
+    // ordinals of EITHER endpoint are excluded (those rows are not
+    // upsert preimages: pre-window deletes were never visible, and
+    // in-window deletes already emit through the ordinal-delta
+    // partitions above).
+    val emit: Seq[InputPartition] =
+      if (eq.fresh.isEmpty) Nil
+      else {
+        val freshMax = eq.fresh.valuesIterator.max
+        val dts = eq.cols.map(c => schema(c).dataType)
+        val probe = JsonlEqDeletes.rangeProbe(eq.fresh, eq.cols, dts)
+        val skipIdx =
+          if (probe == null) null else JsonlSkipIndex.open(fs, table, schema)
+        val keyStorage =
+          if (probe == null) null
+          else JsonlTable.physicalKeyOf(schema, eq.cols.head)
+        (m1.shards.keySet & m2.shards.keySet).toSeq.sorted.flatMap { rel =>
+          val stamp = JsonlEqDeletes.shardSeqOf(
+            rel.substring(rel.lastIndexOf('/') + 1))
+          val skippable = stamp >= freshMax ||
+            (probe != null && (probe.exhausted(stamp) || {
+              skipIdx.get(fs.makeQualified(new Path(table, rel)).toString)
+                match {
+                case Some(e) => e.stats.get(keyStorage) match {
+                  case Some((mn, mx, _)) if mn != null && mx != null =>
+                    probe.clear(stamp, mn, mx)
+                  case _ => false
+                }
+                case None => false
+              }
+            }))
+          if (skippable) None
+          else Some(JsonlInputPartition(resolve(rel), pvOf(rel),
+            deletePositions = (m1.shards(rel).deletes ++
+              m2.shards(rel).deletes).distinct,
+            changeKind = "delete", eqKind = "emit"): InputPartition)
+        }
+      }
+    (added ++ removed ++ delta ++ restored ++ emit).toArray
+  }
+}
+
+/** Reader factory for change windows ([[JsonlChangesScan.readerFactory]]):
+  * routes each partition's `eqKind` to the right endpoint map and
+  * arms emit-mode for the eq-delta partitions. */
+final class JsonlChangesReaderFactory(
+    readSchema: StructType, tableSchema: StructType, conf: JsonlHadoopConf,
+    eqFrom: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
+    eqTo: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
+    eqFresh: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
+    eqCols: Seq[String]) extends PartitionReaderFactory {
+  private def m(b: org.apache.spark.broadcast.Broadcast[Map[String, Long]])
+      : Map[String, Long] = if (b == null) Map.empty else b.value
+  override def createReader(partition: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[JsonlInputPartition]
+    val hide = p.eqKind match {
+      case "from" | "emit" => m(eqFrom)
+      case "to" => m(eqTo)
+      case _ => Map.empty[String, Long]
+    }
+    new JsonlPartitionReader(p.file, readSchema, Array.empty, p.partValues,
+      tableSchema, conf, -1, p.deletes, p.deletePositions, p.changeKind,
+      p.keepPositions, hide, if (p.eqKind == null) Nil else eqCols,
+      if (p.eqKind == "emit") m(eqFresh) else Map.empty)
   }
 }
 
@@ -277,6 +410,12 @@ final class JsonlChangesMicroBatchStream(tableSchema: StructType,
     JsonlChangesMicroBatchStream.PerVersionPacing
   override def reportLatestOffset(): Offset = latestOffset()
 
+  // the equality context of the batch JUST planned: createReaderFactory
+  // is called after planInputPartitions for each micro-batch (same
+  // contract the listing cache in JsonlMicroBatchStream relies on)
+  @volatile private var lastEq: JsonlChangesScan.EqWindow =
+    JsonlChangesScan.EmptyEqWindow
+
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val s = start.asInstanceOf[JsonlVersionOffset].v
@@ -284,16 +423,18 @@ final class JsonlChangesMicroBatchStream(tableSchema: StructType,
     if (e <= s) return Array.empty
     val table = new Path(path)
     val fs = table.getFileSystem(conf.value)
-    JsonlChangesScan.diffPartitions(fs, table,
-      JsonlChangesScan.manifestAt(fs, table, s, tableSchema),
-      JsonlChangesScan.manifestAt(fs, table, e, tableSchema))
+    val m1 = JsonlChangesScan.manifestAt(fs, table, s, tableSchema)
+    val m2 = JsonlChangesScan.manifestAt(fs, table, e, tableSchema)
+    val eq = JsonlChangesScan.eqWindowOf(fs, table, m1, m2)
+    lastEq = eq
+    JsonlChangesScan.diffPartitions(fs, table, m1, m2, tableSchema, eq)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(
+    JsonlChangesScan.readerFactory(
       StructType(tableSchema.fields :+
         StructField("_change", StringType, nullable = false)),
-      Array.empty, tableSchema, conf)
+      tableSchema, conf, lastEq)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

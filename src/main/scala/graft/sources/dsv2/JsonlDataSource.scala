@@ -943,11 +943,20 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   private def aggMode: Boolean = aggSpecs.nonEmpty
 
   // equality-delete state ([[JsonlEqDeletes]]): loaded once per plan —
-  // empty with ONE existence probe when the tier is unused. Snapshots
-  // refuse coexistence with equality deletes, so pinned reads skip it.
+  // empty with ONE existence probe when the tier is unused. A PINNED
+  // scan loads exactly the key files its manifest embedded (resolved
+  // live-first, then retained/), so VERSION AS OF an upsert table
+  // serves the upserted state as of the pin.
   private lazy val eqState: (Map[String, Long], Long, Seq[String]) =
-    if (snapshot != null) (Map.empty, 0L, Nil)
-    else {
+    if (snapshot != null) {
+      if (snapshot.eqFiles.isEmpty) (Map.empty, 0L, Nil)
+      else {
+        val p = new Path(path)
+        val fs = p.getFileSystem(JsonlHadoopConf.fromSession().value)
+        JsonlEqDeletes.indexFiles(fs,
+          snapshot.eqFiles.map(JsonlSnapshots.resolveEq(fs, p, _)))
+      }
+    } else {
       val p = new Path(path)
       JsonlEqDeletes.index(
         p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
@@ -1590,7 +1599,13 @@ final case class JsonlInputPartition(
     // equality-delete skip-range exemption ([[JsonlEqDeletes]]): the
     // planner proved no pending key outranking this shard's stamp
     // falls in its key range — the reader skips the per-row check
-    eqExempt: Boolean = false)
+    eqExempt: Boolean = false,
+    // change-feed equality plumbing ([[JsonlChangesReaderFactory]]):
+    // which endpoint's equality state filters this shard's visibility
+    // ("from" | "to" | null = none), and whether the reader is in
+    // emit-only mode (surface exactly the rows the window's new waves
+    // hide — the upsert's delete records)
+    eqKind: String = null)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Non-null exactly when the scan reported KeyGroupedPartitioning
@@ -2080,7 +2095,8 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
           rel -> f.getFileStatus(new Path(dest, rel)).getLen
         }.toMap
       JsonlSnapshots.autoPin(f, conf.value, dest, schema,
-        Some(JsonlSnapshots.PinDelta(added, Map.empty, Set.empty)))
+        Some(JsonlSnapshots.PinDelta(added, Map.empty, Set.empty,
+          eqAdded = if (wave) Seq(s"s$stampSeq.json") else Nil)))
       JsonlSnapshots.clearIntent(f, dest, epochQueryId(epochId))
     }
     // retention: only the LATEST epoch can ever re-execute (the
@@ -2346,10 +2362,10 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     // older subject. Every OTHER commit stamps at the current max
     // sequence so rewritten/overwritten rows are never hidden by past
     // waves.
-    // snapshots compose: a pinned scan is equality-blind and shows
-    // the PIN-TIME state (pins refuse while deletes are pending, so a
-    // manifest never coexists with unreconciled waves it can't see);
-    // rollback likewise refuses until a reconcile
+    // snapshots compose: manifests embed the key files pending at pin
+    // time (and this wave's delta pin adds its own), so a pinned scan
+    // applies the same equality rule and serves the upserted pin-time
+    // state; rollback restores the pinned equality set with the shards
     val wave = upsertKeys.nonEmpty && !destructive && staged.nonEmpty
     val stampSeq: Long =
       if (!wave) JsonlEqDeletes.currentSeq(f, dest)
@@ -2435,7 +2451,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       // lock as before
       val delta =
         if (plainAppend)
-          Some(JsonlSnapshots.PinDelta(addedRels, Map.empty, Set.empty))
+          Some(JsonlSnapshots.PinDelta(addedRels, Map.empty, Set.empty,
+            eqAdded = if (wave) Seq(s"s$stampSeq.json") else Nil))
         else if (scopedDynamic)
           Some(JsonlSnapshots.PinDelta(addedRels, Map.empty,
             dynRemoved.result().toSet))
@@ -2877,7 +2894,8 @@ final class JsonlPartitionReader(file: String, required: StructType,
                                  changeKind: String = null,
                                  keepPositions: Array[Long] = null,
                                  eqDeletes: Map[String, Long] = Map.empty,
-                                 eqCols: Seq[String] = Nil)
+                                 eqCols: Seq[String] = Nil,
+                                 eqEmit: Map[String, Long] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // equality-delete tier ([[JsonlEqDeletes]]): a key tuple named by a
@@ -2888,28 +2906,33 @@ final class JsonlPartitionReader(file: String, required: StructType,
     JsonlEqDeletes.shardSeqOf(new Path(file).getName)
   private val eqActive: Boolean = eqCols.nonEmpty && eqDeletes.nonEmpty &&
     eqDeletes.valuesIterator.max > eqShardSeq
+  // change-feed eq-delta recovery: when `eqEmit` is set the reader
+  // emits ONLY the rows a window's NEW waves hide - visible before the
+  // window per `eqDeletes`, named by an added key file whose sequence
+  // outranks this shard's stamp. These are the delete records an
+  // upsert produces.
+  private val eqEmitActive: Boolean = eqCols.nonEmpty && eqEmit.nonEmpty
   private lazy val eqDts: Seq[DataType] =
     eqCols.map(c => dataSchema(dataSchema.fieldIndex(c)).dataType)
   // single-column fast path: no per-row Seq/Option churn on the
   // dominant shape (one BIGINT/STRING key over millions of rows)
   private lazy val eqOneCol: String = if (eqCols.length == 1) eqCols.head else null
   private lazy val eqOneDt: DataType = eqDts.head
+  private def eqKeyOf(node: JsonNode): String =
+    if (eqOneCol != null) {
+      val v = field(node, eqOneCol)
+      if (v == null || v.isNull) "\u0000"
+      else eqOneDt match {
+        case LongType => if (v.isNumber) v.asLong.toString else "\u0000"
+        case IntegerType => if (v.isNumber) v.asInt.toString else "\u0000"
+        case StringType => if (v.isTextual) v.asText else "\u0000"
+        case _ => "\u0000"
+      }
+    } else
+      JsonlEqDeletes.renderNodes(eqCols.map(field(node, _)), eqDts)
   private def eqHidden(node: JsonNode): Boolean =
-    eqActive && {
-      val key =
-        if (eqOneCol != null) {
-          val v = field(node, eqOneCol)
-          if (v == null || v.isNull) "\u0000"
-          else eqOneDt match {
-            case LongType => if (v.isNumber) v.asLong.toString else "\u0000"
-            case IntegerType => if (v.isNumber) v.asInt.toString else "\u0000"
-            case StringType => if (v.isTextual) v.asText else "\u0000"
-            case _ => "\u0000"
-          }
-        } else
-          JsonlEqDeletes.renderNodes(eqCols.map(field(node, _)), eqDts)
-      eqDeletes.get(key).exists(_ > eqShardSeq)
-    }
+    (eqActive && eqDeletes.get(eqKeyOf(node)).exists(_ > eqShardSeq)) ||
+      (eqEmitActive && !eqEmit.get(eqKeyOf(node)).exists(_ > eqShardSeq))
 
   // change-feed ordinal-delta piece: emit ONLY the listed positions
   // (the rows a merge-on-read delete removed between two snapshots)

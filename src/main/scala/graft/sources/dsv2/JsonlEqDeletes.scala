@@ -59,12 +59,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * COEXISTENCE: the tier composes with position deletes (MOR), COW
   * rewrites, and overwrites — every writer stamps new shards at the
   * table's current max sequence, so rewritten/appended rows are never
-  * hidden by PAST waves. Snapshots compose through the PENDING rule:
-  * pins, rollback, and cluster_table refuse while unreconciled key
-  * files exist (a manifest doesn't embed equality state), and a
-  * reconciled table snapshots normally — pinned scans are
-  * equality-blind, which is exactly the pin-time state. Auto-snapshot
-  * stays incompatible (every wave would leave the pin pending). */
+  * hidden by PAST waves. Snapshots compose DIRECTLY: a manifest embeds
+  * the key files pending at pin time ([[JsonlSnapshots.Manifest]]
+  * `eqFiles`), pinned scans load exactly those (live-first, retained/
+  * fallback — `CALL compact`'s retirement retains manifest-referenced
+  * key files like shards), rollback restores the pinned equality set,
+  * and auto-snapshot waves pin their own key file as part of their
+  * delta. cluster_table still refuses while waves are pending
+  * (compact first). */
 object JsonlEqDeletes {
   val DirName = "_eq_deletes"
 
@@ -235,40 +237,75 @@ object JsonlEqDeletes {
   def index(fs: FileSystem, table: Path): (Map[String, Long], Long, Seq[String]) = {
     val d = dir(table)
     if (!fs.exists(d)) return (Map.empty, 0L, Nil)
+    indexFiles(fs, fs.listStatus(d).toSeq.collect {
+      case st if FileName.findFirstMatchIn(st.getPath.getName).isDefined =>
+        st.getPath
+    })
+  }
+
+  /** [[index]] over an EXPLICIT set of key files — how a pinned scan
+    * loads the equality state a manifest embedded (the files resolve
+    * live-first, then `_snapshots/retained/`; names — and so
+    * sequences — survive retention). */
+  def indexFiles(fs: FileSystem, files: Seq[Path])
+      : (Map[String, Long], Long, Seq[String]) = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
     var maxSeq = 0L
     var cols: Seq[String] = Nil
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    fs.listStatus(d).foreach(st => st.getPath.getName match {
-      case FileName(n) =>
-        val seq = n.toLong
-        maxSeq = math.max(maxSeq, seq)
-        val in = fs.open(st.getPath)
-        val bytes = try in.readAllBytes() finally in.close()
-        val node = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
-        val cs = (0 until node.get("cols").size)
-          .map(node.get("cols").get(_).asText)
-        require(cols.isEmpty || cols == cs,
-          s"equality-delete key files disagree on key columns: $cols vs $cs")
-        cols = cs
-        val ks = node.get("keys")
-        (0 until ks.size).foreach { i =>
-          val k = ks.get(i).asText
-          m.get(k) match {
-            case Some(s0) if s0 >= seq => ()
-            case _ => m.update(k, seq)
-          }
+    files.foreach { p =>
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+      val seq = node.get("seq").asLong
+      maxSeq = math.max(maxSeq, seq)
+      val cs = (0 until node.get("cols").size)
+        .map(node.get("cols").get(_).asText)
+      require(cols.isEmpty || cols == cs,
+        s"equality-delete key files disagree on key columns: $cols vs $cs")
+      cols = cs
+      val ks = node.get("keys")
+      (0 until ks.size).foreach { i =>
+        val k = ks.get(i).asText
+        m.get(k) match {
+          case Some(s0) if s0 >= seq => ()
+          case _ => m.update(k, seq)
         }
-      case _ => ()
-    })
+      }
+    }
     (m.toMap, maxSeq, cols)
+  }
+
+  /** Names (`s<N>.json`) of the key files currently PENDING — what a
+    * full-listing snapshot pin embeds. Empty with one existence
+    * probe when the tier is unused. */
+  def pendingNames(fs: FileSystem, table: Path): Seq[String] = {
+    val d = dir(table)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toSeq.collect {
+      case st if FileName.findFirstMatchIn(st.getPath.getName).isDefined =>
+        st.getPath.getName
+    }.sorted
+  }
+
+  /** The sequence a key file NAME carries. */
+  def seqOfName(name: String): Long = name match {
+    case FileName(n) => n.toLong
+    case _ => throw new IllegalArgumentException(
+      s"not an equality-delete key file name: $name")
   }
 
   /** Retire key files no live shard is exposed to: file S is needed
     * iff some live shard's stamp is < S. Crashed-wave tombstones are
-    * folded into the hwm and removed with them. Returns files
-    * removed. */
-  def retire(fs: FileSystem, table: Path, minLiveShardSeq: Long): Int = {
+    * folded into the hwm and removed with them. A retiring key file a
+    * snapshot manifest references MOVES to `retainedRoot/_eq_deletes/`
+    * instead (the same retain-or-delete discipline as shards), so
+    * pinned scans keep resolving the equality state they embedded.
+    * Returns files removed (retained ones count — they left the live
+    * pending set). */
+  def retire(fs: FileSystem, table: Path, minLiveShardSeq: Long,
+             referenced: Set[String] = Set.empty,
+             retainedRoot: Path = null): Int = {
     val d = dir(table)
     if (!fs.exists(d)) return 0
     // preserve the numbering before files go: live shard stamps
@@ -297,7 +334,18 @@ object JsonlEqDeletes {
     var removed = 0
     fs.listStatus(d).foreach(st => st.getPath.getName match {
       case FileName(n) if n.toLong <= minLiveShardSeq =>
-        fs.delete(st.getPath, false); removed += 1
+        val name = st.getPath.getName
+        if (referenced.contains(name) && retainedRoot != null) {
+          val kept = new Path(new Path(retainedRoot, DirName), name)
+          if (fs.exists(kept)) fs.delete(st.getPath, false)
+          else {
+            fs.mkdirs(kept.getParent)
+            if (!fs.rename(st.getPath, kept))
+              throw new java.io.IOException(
+                s"equality-delete retention failed for $name")
+          }
+        } else fs.delete(st.getPath, false)
+        removed += 1
       // every tombstone is covered by the hwm just written — its
       // reassignment guard lives on there
       case DroppedName(_) => fs.delete(st.getPath, false)
@@ -387,6 +435,25 @@ object JsonlEqDeletes {
     * BIGINT/INT/STRING at property validation for exactly this. */
   def renderParts(parts: Seq[Option[String]]): String =
     parts.map(_.getOrElse(NullMark)).mkString(Sep)
+
+  /** Inverse of [[renderParts]] into TYPED values (null for the null
+    * mark) — how the change feed turns a key file back into join
+    * rows. */
+  def parseRendered(key: String,
+                    dts: Seq[org.apache.spark.sql.types.DataType]): Seq[Any] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val parts = key.split(Sep, -1)
+    require(parts.length == dts.length,
+      s"rendered key arity ${parts.length} != ${dts.length}")
+    parts.toSeq.zip(dts).map {
+      case (NullMark, _) => null
+      case (p, LongType) => p.toLong
+      case (p, IntegerType) => p.toInt
+      case (p, StringType) => p
+      case (_, dt) => throw new UnsupportedOperationException(
+        s"graft.upsert.keys supports BIGINT/INT/STRING, got $dt")
+    }
+  }
 
   /** Writer-side rendering: key tuple of `row` at field indexes
     * `idx`. */

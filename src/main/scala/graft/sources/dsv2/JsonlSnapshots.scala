@@ -55,18 +55,38 @@ object JsonlSnapshots {
   val ClaimStaleMsKey = "graft.snapshot.claim.stale.ms"
   val DefaultClaimStaleMs = 60000L
 
+  /** Longest equality-delete chain a DELTA pin may carry before it
+    * falls back to a full listing: on a pure streaming-upsert table
+    * every epoch adds one key file to the rebased chain and the chain
+    * shards never re-stamp (the chain never sees compacted layouts),
+    * so without a bound the manifests — and every pinned scan's key
+    * load — would grow one file per epoch forever. The full-listing
+    * rebase resets the chain to the live pending set, which compaction
+    * cadence bounds. */
+  val MaxDeltaEqChain = 8
+
   final case class ShardRef(len: Long, deletes: Array[Long])
 
   /** One commit's effect on the live layout, for lock-free rebase
     * pinning ([[casPin]]): rel paths added (with byte length), NEW
-    * position-delete ordinals unioned into shards' sidecars, and rel
-    * paths leaving the live set. */
+    * position-delete ordinals unioned into shards' sidecars, rel
+    * paths leaving the live set, and equality-delete key files the
+    * commit published (an upsert wave's `s<N>.json`). */
   final case class PinDelta(added: Map[String, Long],
                             deleteOrdinals: Map[String, Array[Long]],
-                            removed: Set[String])
+                            removed: Set[String],
+                            eqAdded: Seq[String] = Nil)
+
+  /** A pinned version: the shard set (with embedded position-delete
+    * ordinals) PLUS the equality-delete key files pending at pin time
+    * (`eqFiles`, names under `_eq_deletes/`) — so a snapshot of an
+    * upsert table serves the upserted state, not the raw shard
+    * union. The eq rule needs nothing else: shard stamps ride in the
+    * shard NAMES the manifest already keys on. */
   final case class Manifest(id: Long, tag: Option[String], createdMs: Long,
                             schemaJson: String,
-                            shards: Map[String, ShardRef]) {
+                            shards: Map[String, ShardRef],
+                            eqFiles: Seq[String] = Nil) {
     def schema: StructType =
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
@@ -213,13 +233,6 @@ object JsonlSnapshots {
     val staleMs =
       if (conf == null) DefaultClaimStaleMs
       else conf.getLong(ClaimStaleMsKey, DefaultClaimStaleMs)
-    // manifests pin shard sets + position ordinals but NOT equality-
-    // delete state — a snapshot of a table with pending equality
-    // deletes would resurrect upserted-away rows under VERSION AS OF
-    require(!JsonlEqDeletes.hasPending(fs, table),
-      s"snapshot refused: $table has pending equality deletes " +
-        s"(${JsonlEqDeletes.DirName}/) — CALL compact to reconcile them " +
-        "into the layout first")
     fs.mkdirs(dir(table))
     val token = java.util.UUID.randomUUID().toString
     var attempts = 0
@@ -276,7 +289,8 @@ object JsonlSnapshots {
           if (staleIntents.nonEmpty) repaired = true
           tag.foreach(t => require(!list(fs, table).exists(_.tag.contains(t)),
             s"snapshot tag '$t' already exists"))
-          val shards: Map[String, ShardRef] = delta match {
+          val (shards: Map[String, ShardRef], eqFiles: Seq[String]) =
+            delta match {
             case Some(dl) if !repaired && prevId > 0L =>
               // prevId race with a stand-down: a stale-broken holder
               // can transiently publish manifest vK and un-publish it
@@ -285,14 +299,35 @@ object JsonlSnapshots {
               // Fall back to a full listing (same as the applyDelta
               // mismatch fallback) instead of failing a commit whose
               // data already landed.
-              (try Some(read(fs, manifestFile(table, prevId)).shards)
-               catch { case _: java.io.FileNotFoundException => None })
-                .flatMap(applyDelta(_, dl))
-                .getOrElse(current(fs, table, schema).shards)
-            case _ => current(fs, table, schema).shards
+              val base =
+                try Some(read(fs, manifestFile(table, prevId)))
+                catch { case _: java.io.FileNotFoundException => None }
+              base.flatMap(b => applyDelta(b.shards, dl).map { sh =>
+                // rebase the equality chain too, pruning files no
+                // shard of THIS manifest is exposed to (stamp >= seq
+                // everywhere — post-compact deltas collapse the list);
+                // a chain that still accumulates past the bound falls
+                // back to a full listing, which resets it to the live
+                // pending set
+                val merged = (b.eqFiles ++ dl.eqAdded).distinct
+                val minStamp =
+                  if (sh.isEmpty) Long.MaxValue
+                  else sh.keysIterator.map(r =>
+                    JsonlEqDeletes.shardSeqOf(
+                      r.substring(r.lastIndexOf('/') + 1))).min
+                (sh, merged.filter(n =>
+                  JsonlEqDeletes.seqOfName(n) > minStamp))
+              }).filter(_._2.size <= MaxDeltaEqChain)
+                .getOrElse {
+                  val c = current(fs, table, schema)
+                  (c.shards, c.eqFiles)
+                }
+            case _ =>
+              val c = current(fs, table, schema)
+              (c.shards, c.eqFiles)
           }
           val m = Manifest(id, tag, System.currentTimeMillis(),
-            schema.json, shards)
+            schema.json, shards, eqFiles)
           if (!claimOwned(fs, cf, token)) return None
           write(fs, manifestFile(table, id), m)
           if (!claimOwned(fs, cf, token)) {
@@ -353,6 +388,15 @@ object JsonlSnapshots {
     * what `create` would pin, without pinning it. The change feed
     * uses it as the implicit `to` endpoint. */
   def current(fs: FileSystem, table: Path, schema: StructType): Manifest = {
+    // equality state FIRST, shards second: a key file publishes LAST
+    // in its wave ([[JsonlEqDeletes]]), so every key file this listing
+    // sees already has all its insert shards renamed in — the shard
+    // listing below can never miss them, and the pinned view can never
+    // show a wave's deletes without its inserts. (The inverse race — a
+    // wave landing inserts between the two listings without its key
+    // file here — pins the same transient-duplicate state a live
+    // reader saw at that instant.)
+    val eqFiles = JsonlEqDeletes.pendingNames(fs, table)
     val sidecars = JsonlDeletes.index(fs, table)
     val shards = JsonlLayout.discoverFull(fs, table).map {
       case (p, _, len, _) =>
@@ -361,7 +405,8 @@ object JsonlSnapshots {
           .getOrElse(Array.empty[Long])
         relOf(fs, table, p) -> ShardRef(len, deletes)
     }.toMap
-    Manifest(-1L, None, System.currentTimeMillis(), schema.json, shards)
+    Manifest(-1L, None, System.currentTimeMillis(), schema.json, shards,
+      eqFiles)
   }
 
   /** Resolve `VERSION AS OF <version>`: a numeric id or a tag. */
@@ -389,6 +434,28 @@ object JsonlSnapshots {
     * destructive paths must not destroy. One load per operation. */
   def referencedRels(fs: FileSystem, table: Path): Set[String] =
     list(fs, table).iterator.flatMap(_.shards.keysIterator).toSet
+
+  /** Every equality-delete key file NAME any live manifest references
+    * — what `CALL compact`'s retirement must retain instead of
+    * delete. */
+  def referencedEqNames(fs: FileSystem, table: Path): Set[String] =
+    list(fs, table).iterator.flatMap(_.eqFiles.iterator).toSet
+
+  /** A manifest's equality key file's CURRENT location: live
+    * `_eq_deletes/`, else the retained copy. */
+  def resolveEq(fs: FileSystem, table: Path, name: String): Path = {
+    val live = new Path(JsonlEqDeletes.dir(table), name)
+    if (fs.exists(live)) live
+    else {
+      val kept = new Path(
+        new Path(retainedRoot(table), JsonlEqDeletes.DirName), name)
+      require(fs.exists(kept),
+        s"snapshot equality-delete file $name missing from both " +
+          s"${JsonlEqDeletes.dir(table)} and retained/ — was it deleted " +
+          "outside the connector?")
+      kept
+    }
+  }
 
   /** A manifest shard's CURRENT location: live position, else the
     * retained copy. */
@@ -493,12 +560,6 @@ object JsonlSnapshots {
         s"marker(s) ${crashed.map(_.getPath.getName).mkString(", ")} under " +
         s"$table — their shards are pinned by no manifest and rollback " +
         "would delete them; CALL snapshot first to fold them in")
-    // manifests predate any equality-delete activity (pins refuse
-    // while _eq_deletes/ exists) — restoring their unstamped shards
-    // under pending waves would wrongly hide restored rows
-    require(!JsonlEqDeletes.hasPending(fs, table),
-      s"rollback refused: $table has pending equality deletes " +
-        s"(${JsonlEqDeletes.DirName}/) — CALL compact to reconcile first")
     // pre-rollback sidecar state, read BEFORE pass 3 wipes `_deletes/`:
     // a COMMON shard whose ordinal set changes gets a different visible
     // row set, so its skip-index entry (built over the delete-filtered
@@ -564,6 +625,41 @@ object JsonlSnapshots {
         JsonlDeletes.append(fs, fs.getConf, table, new Path(table, rel),
           ref.deletes)
     }
+    // pass 4: equality-delete state = exactly m's pinned key files
+    // (the same retain-or-restore protocol as shards — names are
+    // sequence-unique and the files immutable). Claims, tombstones,
+    // and the hwm stay: sequence numbering never regresses, so waves
+    // after the rollback still outrank every restored stamp.
+    val referencedEq = referencedEqNames(fs, table)
+    JsonlEqDeletes.pendingNames(fs, table)
+      .filterNot(m.eqFiles.contains).foreach { name =>
+        val live = new Path(JsonlEqDeletes.dir(table), name)
+        if (referencedEq.contains(name)) {
+          val kept = new Path(
+            new Path(retainedRoot(table), JsonlEqDeletes.DirName), name)
+          if (fs.exists(kept)) fs.delete(live, false)
+          else {
+            fs.mkdirs(kept.getParent)
+            if (!fs.rename(live, kept))
+              throw new java.io.IOException(
+                s"rollback equality-delete retention failed for $name")
+          }
+        } else fs.delete(live, false)
+      }
+    m.eqFiles.foreach { name =>
+      val live = new Path(JsonlEqDeletes.dir(table), name)
+      if (!fs.exists(live)) {
+        val kept = new Path(
+          new Path(retainedRoot(table), JsonlEqDeletes.DirName), name)
+        require(fs.exists(kept),
+          s"rollback: snapshot equality-delete file $name missing from " +
+            "both the table and retained/ — was it deleted outside the " +
+            "connector?")
+        fs.mkdirs(live.getParent)
+        if (!fs.rename(kept, live))
+          throw new java.io.IOException(s"rollback restore failed for $name")
+      }
+    }
     (removedRels.size, restored)
   }
 
@@ -575,7 +671,11 @@ object JsonlSnapshots {
     val (keep, drop) = all.splitAt(math.max(0, all.size - math.max(0, keepLast)))
       match { case (d, k) => (k, d) }
     drop.foreach(m => fs.delete(manifestFile(table, m.id), false))
-    val still = keep.iterator.flatMap(_.shards.keysIterator).toSet
+    // the survivor set covers shard rels AND retained equality key
+    // files (kept under retained/_eq_deletes/<name>)
+    val still = keep.iterator.flatMap(_.shards.keysIterator).toSet ++
+      keep.iterator.flatMap(_.eqFiles.iterator)
+        .map(n => s"${JsonlEqDeletes.DirName}/$n").toSet
     val root = retainedRoot(table)
     var removed = 0
     def walk(d: Path): Unit = if (fs.exists(d))
@@ -613,6 +713,10 @@ object JsonlSnapshots {
         ref.deletes.foreach(a.add)
       }
     }
+    if (m.eqFiles.nonEmpty) {
+      val en = root.putArray("eq")
+      m.eqFiles.sorted.foreach(en.add)
+    }
     fs.mkdirs(mf.getParent)
     val tmp = new Path(mf.getParent, s".${mf.getName}.tmp")
     val out = fs.create(tmp, true)
@@ -635,10 +739,12 @@ object JsonlSnapshots {
         else (0 until del.size).map(i => del.get(i).asLong).toArray
       shards += e.getKey -> ShardRef(e.getValue.get("len").asLong, ds)
     }
+    val eq = Option(node.get("eq")).map(en =>
+      (0 until en.size).map(en.get(_).asText)).getOrElse(Nil)
     Manifest(node.get("id").asLong,
       Option(node.get("tag")).map(_.asText),
       node.get("createdMs").asLong, node.get("schema").asText,
-      shards.result())
+      shards.result(), eq)
   }
 
   /** The pinned layout a snapshot scan plans from: (resolved physical

@@ -354,47 +354,148 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     }
   }
 
-  test("refusals: snapshots, cluster_table, rollback, auto-snapshot combos") {
+  test("snapshots compose with pending waves: pins embed the equality state") {
     sql("""CREATE TABLE eq.ns.rf (k BIGINT, v BIGINT)
           |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
-    sql("INSERT INTO eq.ns.rf VALUES (1, 10)")
-    val e1 = intercept[Exception] {
-      sql("CALL eq.system.snapshot('ns.rf')").collect() }
-    assert(e1.getMessage.contains("equality deletes"), e1.getMessage)
+    sql("INSERT INTO eq.ns.rf VALUES (1, 10), (2, 20)") // wave s1
+    sql("INSERT INTO eq.ns.rf VALUES (1, 11)")          // wave s2 hides (1,10)
+    // a pin WITH pending waves serves the upserted pin-time state
+    sql("CALL eq.system.snapshot('ns.rf', tag => 'mid')").collect()
+    sql("INSERT INTO eq.ns.rf VALUES (2, 21), (3, 30)") // wave s3, post-pin
+    assert(rows("SELECT k, v FROM eq.ns.rf") ==
+      Seq((1L, 11L), (2L, 21L), (3L, 30L)))
+    assert(rows("SELECT k, v FROM eq.ns.rf VERSION AS OF 'mid'") ==
+      Seq((1L, 11L), (2L, 20L)),
+      "a pinned scan must apply the pin-time equality state")
+    // compact reconciles the LIVE table; the pin keeps answering the
+    // same rows (its shards AND key files retire to retained/)
+    sql("CALL eq.system.compact('ns.rf', max_shards => 1)").collect()
+    assert(rows("SELECT k, v FROM eq.ns.rf VERSION AS OF 'mid'") ==
+      Seq((1L, 11L), (2L, 20L)),
+      "retirement must retain manifest-referenced key files")
+    // rollback restores the pinned equality state with the shards
+    sql("CALL eq.system.rollback_to_snapshot('ns.rf', version => 'mid')")
+      .collect()
+    assert(rows("SELECT k, v FROM eq.ns.rf") == Seq((1L, 11L), (2L, 20L)))
+    // a NEW wave after the rollback still outranks every restored
+    // stamp (hwm keeps sequences monotonic)
+    sql("INSERT INTO eq.ns.rf VALUES (1, 12)")
+    assert(rows("SELECT k, v FROM eq.ns.rf") == Seq((1L, 12L), (2L, 20L)))
+    // cluster_table still refuses while waves are pending
     val e2 = intercept[Exception] {
       sql("CALL eq.system.cluster_table('ns.rf', columns => 'k')").collect() }
     assert(e2.getMessage.contains("equality"), e2.getMessage)
-    val e3 = intercept[Exception] {
-      sql("ALTER TABLE eq.ns.rf SET TBLPROPERTIES " +
-        "('graft.snapshot.auto'='true')") }
-    assert(e3.getMessage.contains("incompatible"), e3.getMessage)
+    // key-type validation is unchanged
     val e4 = intercept[Exception] {
       sql("""CREATE TABLE eq.ns.bad (k DOUBLE, v BIGINT)
             |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin) }
     assert(e4.getMessage.contains("BIGINT/INT/STRING"), e4.getMessage)
-    // snapshots COMPOSE: pinned scans are equality-blind and show the
-    // pin-time state (pins refuse while deletes are pending, so a
-    // manifest never coexists with waves it can't see)
-    sql("CREATE TABLE eq.ns.sn (k BIGINT, v BIGINT)")
-    sql("INSERT INTO eq.ns.sn VALUES (1, 10)")
-    sql("CALL eq.system.snapshot('ns.sn', tag => 'pre')")
-    sql("ALTER TABLE eq.ns.sn SET TBLPROPERTIES ('graft.upsert.keys'='k')")
-    sql("INSERT INTO eq.ns.sn VALUES (1, 11)") // wave hides the old row
-    assert(rows("SELECT k, v FROM eq.ns.sn") == Seq((1L, 11L)))
-    assert(rows("SELECT k, v FROM eq.ns.sn VERSION AS OF 'pre'") ==
-      Seq((1L, 10L)), "time travel shows the PIN-TIME state")
-    // rollback refuses while pending; after a reconcile it restores
-    val e5 = intercept[Exception] {
-      sql("CALL eq.system.rollback_to_snapshot('ns.sn', version => 'pre')")
-        .collect() }
-    assert(e5.getMessage.contains("equality"), e5.getMessage)
-    sql("CALL eq.system.compact('ns.sn', max_shards => 1)").collect()
-    sql("CALL eq.system.rollback_to_snapshot('ns.sn', version => 'pre')")
-    assert(rows("SELECT k, v FROM eq.ns.sn") == Seq((1L, 10L)))
-    // a NEW wave after the rollback still outranks the restored shard
-    // (the hwm keeps sequences monotonic)
-    sql("INSERT INTO eq.ns.sn VALUES (1, 12)")
-    assert(rows("SELECT k, v FROM eq.ns.sn") == Seq((1L, 12L)))
+  }
+
+  test("auto-snapshot upsert table: every wave pins a time-travelable version") {
+    sql("""CREATE TABLE eq.ns.av (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k',
+          |  'graft.snapshot.auto'='true')""".stripMargin)
+    sql("INSERT INTO eq.ns.av VALUES (1, 10), (2, 20)") // wave s1 -> v1
+    sql("INSERT INTO eq.ns.av VALUES (1, 11)")          // wave s2 -> v2
+    sql("INSERT INTO eq.ns.av VALUES (2, 21), (3, 30)") // wave s3 -> v3
+    assert(rows("SELECT k, v FROM eq.ns.av") ==
+      Seq((1L, 11L), (2L, 21L), (3L, 30L)))
+    // each auto-pinned version serves ITS wave's upserted state
+    assert(rows("SELECT k, v FROM eq.ns.av VERSION AS OF 1") ==
+      Seq((1L, 10L), (2L, 20L)))
+    assert(rows("SELECT k, v FROM eq.ns.av VERSION AS OF 2") ==
+      Seq((1L, 11L), (2L, 20L)),
+      "the mid-wave version must hide the superseded row")
+    assert(rows("SELECT k, v FROM eq.ns.av VERSION AS OF 3") ==
+      Seq((1L, 11L), (2L, 21L), (3L, 30L)))
+    // versions stay correct across a reconcile
+    sql("CALL eq.system.compact('ns.av', max_shards => 1)").collect()
+    assert(rows("SELECT k, v FROM eq.ns.av VERSION AS OF 2") ==
+      Seq((1L, 11L), (2L, 20L)))
+    assert(rows("SELECT k, v FROM eq.ns.av") ==
+      Seq((1L, 11L), (2L, 21L), (3L, 30L)))
+  }
+
+  test("change feed across waves: preimage deletes pair with postimage inserts") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    val catalog = spark.sessionState.catalogManager.catalog("eq")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    sql("CREATE NAMESPACE IF NOT EXISTS eq.cf")
+    sql("""CREATE TABLE eq.cf.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k',
+          |  'graft.snapshot.auto'='true')""".stripMargin)
+    sql("INSERT INTO eq.cf.t VALUES (1, 10), (2, 20)") // wave s1 -> v1
+    sql("INSERT INTO eq.cf.t VALUES (1, 11), (3, 30)") // wave s2 -> v2
+    // raw window: the wave's inserts AND the hidden preimage
+    val raw = JsonlChangeFeed.between(spark, catalog, "cf.t", "1", Some("2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(raw == Seq((1L, 10L, "delete"), (1L, 11L, "insert"),
+      (3L, 30L, "insert")),
+      s"an upsert window must emit the superseded row as a delete: $raw")
+    // keyed typing pairs them into update pre/post images
+    val typed = JsonlChangeFeed.between(spark, catalog, "cf.t", "1",
+      Some("2"), keyCols = Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(typed == Seq((1L, 10L, "update_preimage"),
+      (1L, 11L, "update_postimage"), (3L, 30L, "insert")), typed.toString)
+    // the window stays replayable after a reconcile (retained key
+    // files + retained shards keep both endpoints resolvable)
+    sql("CALL eq.system.compact('cf.t', max_shards => 1)").collect()
+    val raw2 = JsonlChangeFeed.between(spark, catalog, "cf.t", "1", Some("2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(raw2 == raw, s"reconcile must not rewrite history: $raw2")
+  }
+
+  test("streaming CDC across waves drives an exact keyed mirror") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    val catalog = spark.sessionState.catalogManager.catalog("eq")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    sql("CREATE NAMESPACE IF NOT EXISTS eq.cs")
+    sql("""CREATE TABLE eq.cs.up (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k',
+          |  'graft.snapshot.auto'='true',
+          |  'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("""CREATE TABLE eq.cs.dn (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    val q = JsonlChangeFeed.stream(spark, catalog, "cs.up")
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("eq-cs").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // a wave window holds delete(old)+insert(new) for the same key
+        // — typeChanges collapses them so the MERGE sees one source
+        // row per key
+        val typed = JsonlChangeFeed.typeChanges(df, Seq("k"))
+          .where(org.apache.spark.sql.functions.col("_change") =!=
+            "update_preimage")
+        typed.createOrReplaceTempView("up_waves")
+        typed.sparkSession.sql(
+          """MERGE INTO eq.cs.dn t USING up_waves c ON t.k = c.k
+            |WHEN MATCHED AND c._change = 'delete' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET t.v = c.v
+            |WHEN NOT MATCHED AND c._change != 'delete' THEN
+            |  INSERT (k, v) VALUES (c.k, c.v)""".stripMargin)
+        ()
+      }.start()
+    def mirror: Seq[(Long, Long)] = rows("SELECT k, v FROM eq.cs.dn")
+    try {
+      sql("INSERT INTO eq.cs.up VALUES (1, 10), (2, 20)") // wave -> v1
+      q.processAllAvailable()
+      assert(mirror == Seq((1L, 10L), (2L, 20L)))
+      sql("INSERT INTO eq.cs.up VALUES (1, 11), (3, 30)") // wave -> v2
+      q.processAllAvailable()
+      assert(mirror == Seq((1L, 11L), (2L, 20L), (3L, 30L)),
+        s"the wave's upsert must flow through as an update: $mirror")
+      sql("DELETE FROM eq.cs.up WHERE k = 2") // MOR delta -> v3
+      sql("INSERT INTO eq.cs.up VALUES (3, 31)") // wave -> v4
+      q.processAllAvailable()
+      assert(mirror == rows("SELECT k, v FROM eq.cs.up"),
+        s"mirror diverged: $mirror vs upstream")
+      assert(mirror == Seq((1L, 11L), (3L, 31L)))
+    } finally q.stop()
   }
 
   test("torn wave (crash before key publish): duplicates not loss; retry converges") {
