@@ -113,6 +113,39 @@ object MaintBench {
       c.sql(s"CALL mb.system.compact('m.uptarget', max_shards => $nShards)")
         .collect()
     }
+    // bounded reader-side equality state (round 14): 5M pending keys is
+    // ~60 MB of key files — over graft.upsert.pending.broadcast.max.bytes,
+    // so the scan plans the EXECUTOR-DIRECT path (the driver holds no
+    // key map, each executor builds the shared index once). The rows
+    // time the scan under that state and the compact that reconciles
+    // it; driver memory stays flat regardless of pending volume.
+    locally {
+      import graft.sources.dsv2.JsonlEqDeletes
+      val table = new org.apache.hadoop.fs.Path(
+        c.conf.get("spark.sql.catalog.mb.root") + "/m/uptarget")
+      val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      timed("eq_pending_5m_publish") {
+        var w = 0L
+        while (w < 5) {
+          val seq = JsonlEqDeletes.claimNext(fs, table, 60000L)
+          JsonlEqDeletes.publish(fs, table, seq, Seq("o_orderkey"),
+            (0L until 1000000L).view
+              .map(k => (10000000000L + w * 1000000L + k).toString).to(Iterable))
+          JsonlEqDeletes.releaseClaim(fs, table, seq)
+          w += 1
+        }
+      }
+      timed("eq_pending_5m_scan") {
+        c.sql("SELECT count(*), max(o_custkey) FROM mb.m.uptarget").collect()
+      }
+      timed("eq_pending_5m_point") {
+        c.sql("SELECT * FROM mb.m.uptarget WHERE o_orderkey = 1").collect()
+      }
+      timed("eq_pending_5m_compact") {
+        c.sql(s"CALL mb.system.compact('m.uptarget', max_shards => $nShards)")
+          .collect()
+      }
+    }
     // concurrent-writer scenario: partition-disjoint MOR deltas hold
     // SCOPED locks (round 12) and pin versions via claim-CAS (round
     // 13), so four deletes on four partitions should take ~one

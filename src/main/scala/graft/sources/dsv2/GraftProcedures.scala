@@ -220,15 +220,33 @@ object GraftProcedures {
         // current max sequence) rewrite too — hidden rows drop, the
         // outputs re-stamp at the max sequence, and key files no live
         // shard is exposed to retire below
-        val (eqMap, eqMax, eqCols) = JsonlEqDeletes.index(fs, table)
+        // byte-capped plan (JsonlEqDeletes.planTable): under the
+        // broadcast cap the driver holds the map (and the rangeClear
+        // probe below is available); over it the map stays empty on
+        // the driver and rewrite TASKS load the shared executor index
+        // from the key files — compact reconciles arbitrarily large
+        // pending state with bounded driver memory.
+        val eqPlan = JsonlEqDeletes.planTable(fs, table, conf.value)
+        val eqMap = eqPlan.map
+        val eqMax = eqPlan.maxSeq
+        val eqTaskFiles = eqPlan.files
         def exposed(name: String): Boolean =
           eqMax > 0L && JsonlEqDeletes.shardSeqOf(name) < eqMax
         // reader context for the equality filter: per key column its
         // STORAGE key, rename aliases, and type (the canonical tuple
         // rendering must match the writers')
-        val eqTblSchema = catalog.loadTable(Identifier.of(
+        val eqTbl = catalog.loadTable(Identifier.of(
           input.getUTF8String(0).toString.split("\\.").init,
-          input.getUTF8String(0).toString.split("\\.").last)).schema()
+          input.getUTF8String(0).toString.split("\\.").last))
+        val eqTblSchema = eqTbl.schema()
+        // over-cap the plan carries no cols (the driver read no file)
+        // — the table property is authoritative
+        val eqCols: Seq[String] =
+          if (eqPlan.isEmpty) Nil
+          else if (eqPlan.cols.nonEmpty) eqPlan.cols
+          else JsonlTable.upsertKeysOf(
+            scala.jdk.CollectionConverters.MapHasAsScala(
+              eqTbl.properties).asScala.toMap)
         val keySpecs: Seq[(String, String, Seq[String],
             org.apache.spark.sql.types.DataType)] =
           eqCols.map { c =>
@@ -244,8 +262,12 @@ object GraftProcedures {
         // entries too (their range is a superset of the truth).
         // Manifest-referenced shards keep their names (snapshots
         // resolve by rel) and fall back to the rewrite path.
+        // over-cap (eqMap empty, keys live only on executors) the
+        // probe MUST be null: an empty-map probe would answer
+        // "exhausted" for every stamp and re-stamp exposed shards by
+        // rename without dropping their hidden rows
         val eqProbe: JsonlEqDeletes.RangeProbe =
-          if (eqMax == 0L) null
+          if (eqMax == 0L || eqMap.isEmpty) null
           else JsonlEqDeletes.rangeProbe(eqMap, keySpecs.map(_._1),
             keySpecs.map(_._4))
         val preIdxEq =
@@ -348,6 +370,11 @@ object GraftProcedures {
           .parallelize(plan, math.max(1, plan.size))
           .map { case (rel, namedGroups) =>
             val f = new Path(tableStr).getFileSystem(conf.value)
+            // over-cap equality state: one shared load per executor
+            val taskEqMap: Map[String, Long] =
+              if (eqTaskFiles.isEmpty) eqMap
+              else JsonlEqDeletes.ExecutorIndexCache
+                .get(conf.value, eqTaskFiles)._1
             namedGroups.foreach { case (outName, group) =>
               val outPath = new Path(s"$stagingStr/$rel", outName)
               val out = new java.util.zip.GZIPOutputStream(f.create(outPath, true))
@@ -404,7 +431,7 @@ object GraftProcedures {
                           case ((_, _, _, dt), _) => dt
                         }
                         val key = JsonlEqDeletes.renderNodes(nodes, dts)
-                        eqMap.get(key).exists(_ > shardSeq)
+                        taskEqMap.get(key).exists(_ > shardSeq)
                       }
                     }
                     if (!hidden) {

@@ -942,24 +942,31 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private def aggMode: Boolean = aggSpecs.nonEmpty
 
-  // equality-delete state ([[JsonlEqDeletes]]): loaded once per plan —
-  // empty with ONE existence probe when the tier is unused. A PINNED
-  // scan loads exactly the key files its manifest embedded (resolved
-  // live-first, then retained/), so VERSION AS OF an upsert table
-  // serves the upserted state as of the pin.
-  private lazy val eqState: (Map[String, Long], Long, Seq[String]) =
+  // equality-delete state ([[JsonlEqDeletes]]): planned once per scan —
+  // empty with ONE existence probe when the tier is unused, driver-map
+  // under the broadcast byte cap, executor-direct file loading over it
+  // (the driver never materializes a key), loud refusal past the
+  // refuse threshold. A PINNED scan plans exactly the key files its
+  // manifest embedded (resolved live-first, then retained/), so
+  // VERSION AS OF an upsert table serves the upserted state as of the
+  // pin.
+  private lazy val eqState: JsonlEqDeletes.ReadPlan =
     if (snapshot != null) {
-      if (snapshot.eqFiles.isEmpty) (Map.empty, 0L, Nil)
+      if (snapshot.eqFiles.isEmpty) JsonlEqDeletes.EmptyReadPlan
       else {
         val p = new Path(path)
-        val fs = p.getFileSystem(JsonlHadoopConf.fromSession().value)
-        JsonlEqDeletes.indexFiles(fs,
-          snapshot.eqFiles.map(JsonlSnapshots.resolveEq(fs, p, _)))
+        val conf = JsonlHadoopConf.fromSession().value
+        val fs = p.getFileSystem(conf)
+        JsonlEqDeletes.planFiles(fs,
+          snapshot.eqFiles.map { n =>
+            val f = JsonlSnapshots.resolveEq(fs, p, n)
+            (f, fs.getFileStatus(f).getLen)
+          }, conf)
       }
     } else {
       val p = new Path(path)
-      JsonlEqDeletes.index(
-        p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
+      val conf = JsonlHadoopConf.fromSession().value
+      JsonlEqDeletes.planTable(p.getFileSystem(conf), p, conf)
     }
 
   // skip-index stats are keyed by the PHYSICAL key (name unless the
@@ -1202,24 +1209,28 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   // available for them) — on clustered upsert tables this bounds scan
   // cost to the shards actually near the pending keys.
   private lazy val eqProbe: JsonlEqDeletes.RangeProbe =
-    if (eqState._2 == 0L) null
-    else JsonlEqDeletes.rangeProbe(eqState._1, eqState._3,
-      eqState._3.map(c => dataSchema(dataSchema.fieldIndex(c)).dataType))
+    if (eqState.isEmpty || eqState.map.isEmpty) null
+    else JsonlEqDeletes.rangeProbe(eqState.map, eqState.cols,
+      eqState.cols.map(c => dataSchema(dataSchema.fieldIndex(c)).dataType))
   private lazy val eqKeyStorage: String =
     if (eqProbe == null) null
-    else JsonlTable.physicalKeyOf(dataSchema, eqState._3.head)
+    else JsonlTable.physicalKeyOf(dataSchema, eqState.cols.head)
   private def eqExemptOf(f: String): Boolean =
-    eqState._2 > 0L && eqProbe != null && {
+    !eqState.isEmpty && {
       val stamp = JsonlEqDeletes.shardSeqOf(new Path(f).getName)
-      stamp >= eqState._2 || eqProbe.exhausted(stamp) ||
-        (skipIndex.get(f) match {
-          case Some(e) => e.stats.get(eqKeyStorage) match {
-            case Some((mn, mx, _)) if mn != null && mx != null =>
-              eqProbe.clear(stamp, mn, mx)
-            case _ => false
-          }
-          case None => false
-        })
+      // the stamp exemption needs no key values, so it survives the
+      // executor-direct (over-cap) path; the range probe is
+      // broadcast-path only (it needs the values on the driver)
+      stamp >= eqState.maxSeq || (eqProbe != null &&
+        (eqProbe.exhausted(stamp) ||
+          (skipIndex.get(f) match {
+            case Some(e) => e.stats.get(eqKeyStorage) match {
+              case Some((mn, mx, _)) if mn != null && mx != null =>
+                eqProbe.clear(stamp, mn, mx)
+              case _ => false
+            }
+            case None => false
+          })))
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1268,7 +1279,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
         // pending equality deletes may hide rows of this shard: the
         // entry's count/range no longer answers exactly — unless the
         // skip-range exemption proves none of them can touch it
-        (eqState._2 > JsonlEqDeletes.shardSeqOf(new Path(f).getName) &&
+        (eqState.maxSeq > JsonlEqDeletes.shardSeqOf(new Path(f).getName) &&
           !eqExemptOf(f))) null
     else skipIndex.get(f) match {
       // a compaction-synthesized (approx) entry keeps an EXACT row
@@ -1286,18 +1297,19 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
 
   private def eqBroadcast
       : org.apache.spark.broadcast.Broadcast[Map[String, Long]] =
-    if (eqState._1.isEmpty) null
+    if (eqState.map.isEmpty) null
     else org.apache.spark.sql.SparkSession.active.sparkContext
-      .broadcast(eqState._1)
+      .broadcast(eqState.map)
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (aggMode)
       new JsonlAggReaderFactory(aggSpecs, pushed, dataSchema,
-        JsonlHadoopConf.fromSession(), eqBroadcast, eqState._3)
+        JsonlHadoopConf.fromSession(), eqBroadcast, eqState.cols,
+        eqState.files)
     else
       new JsonlReaderFactory(required, pushed, dataSchema,
         JsonlHadoopConf.fromSession(), columnar, limit,
-        eqBroadcast, eqState._3)
+        eqBroadcast, eqState.cols, eqState.files)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1328,21 +1340,30 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
                                   dataSchema: StructType,
                                   conf: JsonlHadoopConf,
                                   eqDeletes: org.apache.spark.broadcast.Broadcast[Map[String, Long]] = null,
-                                  eqCols: Seq[String] = Nil)
+                                  eqCols: Seq[String] = Nil,
+                                  eqFiles: Seq[String] = Nil)
     extends PartitionReaderFactory {
-  private def eqMap: Map[String, Long] =
-    if (eqDeletes == null) Map.empty else eqDeletes.value
+  // over-cap executor-direct path: the map is built once per executor
+  // from the key files ([[JsonlEqDeletes.ExecutorIndexCache]])
+  private def eqResolved: (Map[String, Long], Seq[String]) =
+    if (eqFiles.nonEmpty) {
+      val (m, _, cols) =
+        JsonlEqDeletes.ExecutorIndexCache.get(conf.value, eqFiles)
+      (m, cols)
+    } else
+      (if (eqDeletes == null) Map.empty else eqDeletes.value, eqCols)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     val cols = specs.collect { case (op, c) if op != "count" => c }.distinct
     val required = StructType(cols.map(c => dataSchema(c)))
+    val (eqMap, eqC) = if (p.eqExempt) (Map.empty[String, Long], Nil) else eqResolved
     new JsonlAggReader(specs, required,
       if (p.agg != null) p.agg
       else null,
       new JsonlPartitionReader(p.file, required, pushed, p.partValues,
         dataSchema, conf, deletesPath = p.deletes,
         deletePositions = p.deletePositions,
-        eqDeletes = if (p.eqExempt) Map.empty else eqMap, eqCols = eqCols))
+        eqDeletes = eqMap, eqCols = eqC))
   }
 }
 
@@ -1511,16 +1532,18 @@ final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     // equality deletes as of THIS batch's planning: late-arriving
     // waves apply to later batches only (a streaming scan of an
-    // upsert table reads each shard once — the usual CDC caveat)
+    // upsert table reads each shard once — the usual CDC caveat).
+    // Same byte-capped plan as the batch scan: broadcast under the
+    // cap, executor-direct key file loading over it.
     val p = new Path(path)
-    val (eqMap, _, eqCols) =
-      JsonlEqDeletes.index(p.getFileSystem(conf.value), p)
+    val plan = JsonlEqDeletes.planTable(p.getFileSystem(conf.value), p,
+      conf.value)
     val bc =
-      if (eqMap.isEmpty) null
+      if (plan.map.isEmpty) null
       else org.apache.spark.sql.SparkSession.active.sparkContext
-        .broadcast(eqMap)
+        .broadcast(plan.map)
     new JsonlReaderFactory(required, pushed, dataSchema, conf,
-      eqDeletes = bc, eqCols = eqCols)
+      eqDeletes = bc, eqCols = plan.cols, eqFiles = plan.files)
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -2852,10 +2875,20 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
                                // must ship once per executor, not once
                                // per task
                                eqDeletes: org.apache.spark.broadcast.Broadcast[Map[String, Long]] = null,
-                               eqCols: Seq[String] = Nil)
+                               eqCols: Seq[String] = Nil,
+                               // over-cap executor-direct path: key
+                               // file paths instead of a map — each
+                               // executor builds the shared index once
+                               // ([[JsonlEqDeletes.ExecutorIndexCache]])
+                               eqFiles: Seq[String] = Nil)
     extends PartitionReaderFactory {
-  private def eqMap: Map[String, Long] =
-    if (eqDeletes == null) Map.empty else eqDeletes.value
+  private def eqResolved: (Map[String, Long], Seq[String]) =
+    if (eqFiles.nonEmpty) {
+      val (m, _, cols) =
+        JsonlEqDeletes.ExecutorIndexCache.get(conf.value, eqFiles)
+      (m, cols)
+    } else
+      (if (eqDeletes == null) Map.empty else eqDeletes.value, eqCols)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     // nested values have no vectorized copy here — their scans take
     // the (composed, identical-semantics) row path
@@ -2863,17 +2896,18 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
       JsonlJson.columnarCompatible(f.dataType))
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
+    val (eqMap, eqC) = if (p.eqExempt) (Map.empty[String, Long], Nil) else eqResolved
     new JsonlPartitionReader(p.file, required, pushed, p.partValues,
       dataSchema, conf, limit, p.deletes, p.deletePositions,
-      p.changeKind, p.keepPositions,
-      if (p.eqExempt) Map.empty else eqMap, eqCols)
+      p.changeKind, p.keepPositions, eqMap, eqC)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
+    val (eqMap, eqC) = if (p.eqExempt) (Map.empty[String, Long], Nil) else eqResolved
     new JsonlColumnarReader(p.file, required, pushed, p.partValues,
       dataSchema, conf, limit, p.deletes, p.deletePositions,
-      if (p.eqExempt) Map.empty else eqMap, eqCols)
+      eqMap, eqC)
   }
 }
 

@@ -276,6 +276,99 @@ object JsonlEqDeletes {
     (m.toMap, maxSeq, cols)
   }
 
+  // ----------------------------------------- bounded reader-side state
+  //
+  // The scan's equality state is O(pending keys) between compactions.
+  // Unbounded, that is a driver OOM at 100 TB with a lagging
+  // compactor, so the PLAN decides by pending BYTES (free, from the
+  // directory listing):
+  //   - under `graft.upsert.pending.broadcast.max.bytes` (default
+  //     32 MB): the driver loads the key map and broadcasts it — the
+  //     fast path, and the only one where the skip-range exemption
+  //     probe (driver-side, needs the values) is available;
+  //   - over it: the driver ships ONLY the key file paths; each
+  //     executor builds the map once ([[ExecutorIndexCache]],
+  //     soft-referenced, shared by every task on the executor) — the
+  //     driver never materializes a single key;
+  //   - over `graft.upsert.pending.refuse.bytes` (default 8 GB) the
+  //     scan refuses LOUDLY naming `CALL compact` — the alternative is
+  //     a silent executor OOM.
+
+  val BroadcastMaxBytesKey = "graft.upsert.pending.broadcast.max.bytes"
+  val DefaultBroadcastMaxBytes: Long = 32L * 1024 * 1024
+  val RefuseBytesKey = "graft.upsert.pending.refuse.bytes"
+  val DefaultRefuseBytes: Long = 8L * 1024 * 1024 * 1024
+
+  /** What a scan needs of the equality tier: the driver-loaded map
+    * (empty when the executor-direct path is on), the max pending
+    * sequence, the key columns (empty on the executor-direct path —
+    * readers learn them from the files), and the key file paths for
+    * executor-direct loading (empty on the broadcast path). */
+  final case class ReadPlan(map: Map[String, Long], maxSeq: Long,
+                            cols: Seq[String], files: Seq[String]) {
+    def isEmpty: Boolean = maxSeq == 0L
+  }
+  val EmptyReadPlan: ReadPlan = ReadPlan(Map.empty, 0L, Nil, Nil)
+
+  /** The live table's read plan (one listing; [[EmptyReadPlan]] with
+    * one existence probe when the tier is unused). */
+  def planTable(fs: FileSystem, table: Path,
+                conf: org.apache.hadoop.conf.Configuration): ReadPlan = {
+    val d = dir(table)
+    if (!fs.exists(d)) return EmptyReadPlan
+    val sts = fs.listStatus(d).filter(st =>
+      FileName.findFirstMatchIn(st.getPath.getName).isDefined)
+    if (sts.isEmpty) return EmptyReadPlan
+    planFiles(fs, sts.map(st => (st.getPath, st.getLen)).toSeq, conf)
+  }
+
+  /** Read plan over an EXPLICIT file set (a pinned scan's manifest
+    * refs, already resolved). */
+  def planFiles(fs: FileSystem, files: Seq[(Path, Long)],
+                conf: org.apache.hadoop.conf.Configuration): ReadPlan = {
+    if (files.isEmpty) return EmptyReadPlan
+    val bytes = files.iterator.map(_._2).sum
+    val refuse = conf.getLong(RefuseBytesKey, DefaultRefuseBytes)
+    require(bytes <= refuse,
+      s"graft-jsonl scan refused: $bytes bytes of pending equality-delete " +
+        s"keys exceed $RefuseBytesKey=$refuse — CALL compact to reconcile " +
+        "the upsert waves into the layout (or raise the threshold)")
+    val cap = conf.getLong(BroadcastMaxBytesKey, DefaultBroadcastMaxBytes)
+    if (bytes <= cap) {
+      val (m, mx, cols) = indexFiles(fs, files.map(_._1))
+      ReadPlan(m, mx, cols, Nil)
+    } else
+      ReadPlan(Map.empty,
+        files.iterator.map(f => seqOfName(f._1.getName)).max, Nil,
+        files.map(_._1.toString))
+  }
+
+  /** Executor-side shared index for the over-cap path: built once per
+    * (executor, file set) and soft-referenced so memory pressure can
+    * reclaim it. File paths are a sound cache key — names are
+    * sequence-unique and the files immutable. */
+  object ExecutorIndexCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.ref.SoftReference[(Map[String, Long], Long, Seq[String])]]()
+    def get(conf: org.apache.hadoop.conf.Configuration, files: Seq[String])
+        : (Map[String, Long], Long, Seq[String]) = {
+      val key = files.sorted.mkString("|")
+      val ref = cache.get(key)
+      val hit = if (ref == null) null else ref.get()
+      if (hit != null) return hit
+      cache.synchronized {
+        val ref2 = cache.get(key)
+        val hit2 = if (ref2 == null) null else ref2.get()
+        if (hit2 != null) return hit2
+        val paths = files.map(new Path(_))
+        val v = indexFiles(paths.head.getFileSystem(conf), paths)
+        cache.put(key,
+          new java.lang.ref.SoftReference((v._1, v._2, v._3)))
+        v
+      }
+    }
+  }
+
   /** Names (`s<N>.json`) of the key files currently PENDING — what a
     * full-listing snapshot pin embeds. Empty with one existence
     * probe when the tier is unused. */

@@ -598,6 +598,48 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
       "every racing wave must land exactly once")
   }
 
+  test("over-cap pending state: executor-direct load matches broadcast; refusal") {
+    sql("""CREATE TABLE eq.ns.cap (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k',
+          |  'graft.skip.columns'='k')""".stripMargin)
+    sql("INSERT INTO eq.ns.cap SELECT id AS k, id AS v FROM range(0, 200)")
+    sql("INSERT INTO eq.ns.cap SELECT id AS k, id + 9000 AS v FROM range(0, 80)")
+    sql("INSERT INTO eq.ns.cap VALUES (5, 1), (500, 2)")
+    val broadcastPath = rows("SELECT k, v FROM eq.ns.cap")
+    val aggB = sql("SELECT count(*), max(v) FROM eq.ns.cap").head
+    val pointB = rows("SELECT k, v FROM eq.ns.cap WHERE k = 5")
+    try {
+      // 1-byte cap: every scan takes the executor-direct path (the
+      // driver ships file paths, executors build the shared index)
+      spark.conf.set("graft.upsert.pending.broadcast.max.bytes", "1")
+      assert(rows("SELECT k, v FROM eq.ns.cap") == broadcastPath,
+        "executor-direct equality state must match the broadcast path")
+      val aggE = sql("SELECT count(*), max(v) FROM eq.ns.cap").head
+      assert(aggE.getLong(0) == aggB.getLong(0) &&
+        aggE.getLong(1) == aggB.getLong(1))
+      assert(rows("SELECT k, v FROM eq.ns.cap WHERE k = 5") == pointB)
+      // compact reconciles through the same executor-direct path (its
+      // rewrite tasks load the shared index; the driver-side range
+      // probe is simply unavailable — conservative, not wrong)
+      sql("CALL eq.system.compact('ns.cap', max_shards => 1)").collect()
+      assert(rows("SELECT k, v FROM eq.ns.cap") == broadcastPath,
+        "over-cap compact must reconcile to the same visible rows")
+      val root = spark.conf.get("spark.sql.catalog.eq.root")
+      assert(!new java.io.File(s"$root/ns/cap/_eq_deletes").listFiles()
+        .exists(_.getName.endsWith(".json")),
+        "over-cap compact must still retire the key files")
+      // past the refusal threshold the scan names the way out
+      sql("INSERT INTO eq.ns.cap VALUES (5, 3)") // fresh pending wave
+      spark.conf.set("graft.upsert.pending.refuse.bytes", "1")
+      val e = intercept[Exception] {
+        sql("SELECT count(*) FROM eq.ns.cap").collect() }
+      assert(e.getMessage.contains("CALL compact"), e.getMessage)
+    } finally {
+      spark.conf.unset("graft.upsert.pending.broadcast.max.bytes")
+      spark.conf.unset("graft.upsert.pending.refuse.bytes")
+    }
+  }
+
   test("upsert key columns: DROP refused, RENAME follows the property") {
     sql("""CREATE TABLE eq.ns.alk (k BIGINT, v BIGINT)
           |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
