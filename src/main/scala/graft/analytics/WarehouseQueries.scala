@@ -2144,6 +2144,63 @@ object WarehouseQueries {
       |  UNION ALL SELECT 'delta_post' AS phase, lang, n, sum_chars FROM post
       |) ORDER BY phase, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+  /** Composite (DATE, BIGINT) upsert key — the `(source, day)`
+    * re-crawl shape ([[graft.sources.dsv2.JsonlEqDeletes]] temporal
+    * key rendering): orders keyed by (o_orderdate, o_orderkey), a
+    * full load then an O(|delta|) re-crawl wave of 1995-03 bumping
+    * the value. DATE keys render as epoch DAYS (the stored JSON
+    * number), composite tuples join on the full key while the
+    * skip-range exemption prunes by the LEADING column. The
+    * per-month rollup of the visible state must match DuckDB's
+    * last-wave-wins recompute. */
+  private val dateKeyCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def dateKeyUpsert(s: SparkSession, dir: String): DataFrame = {
+    val child = dateKeyCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whdk", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whdk.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q230").toString)
+      c.sql("CREATE NAMESPACE whdk.dk")
+      c.sql(
+        """CREATE TABLE whdk.dk.orders (day DATE, k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='day,k',
+          |  'graft.skip.columns'='day')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whdk.dk.orders
+           |SELECT /*+ REPARTITION(4) */
+           |  o_orderdate AS day, o_orderkey AS k, o_custkey AS v
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whdk.dk.orders
+           |SELECT /*+ REPARTITION(2) */
+           |  o_orderdate AS day, o_orderkey AS k,
+           |  o_custkey + 1000000 AS v
+           |FROM parquet.`$dir/orders.parquet`
+           |WHERE o_orderdate >= DATE'1995-03-01'
+           |  AND o_orderdate < DATE'1995-04-01'""".stripMargin)
+      c
+    })
+    child.sql(
+      """SELECT CAST(year(day) AS BIGINT) AS y,
+        |  CAST(month(day) AS BIGINT) AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv
+        |FROM whdk.dk.orders
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val dateKeyUpsertSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN o_orderdate >= DATE '1995-03-01'
+      |                 AND o_orderdate < DATE '1995-04-01'
+      |                THEN o_custkey + 1000000 ELSE o_custkey END)
+      |       AS BIGINT) AS sv
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q217
   /** The change feed through the DSv2 SOURCE
     * ([[graft.sources.dsv2.JsonlChangesSource]], the batch face of
@@ -2347,6 +2404,7 @@ object WarehouseQueries {
     "q227_upsert_waves" -> (upsertWaves _),
     "q228_corpus_upsert_string_key" -> (corpusUpsertWaves _),
     "q229_upsert_time_travel" -> (upsertTimeTravel _),
+    "q230_date_key_upsert" -> (dateKeyUpsert _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -2396,6 +2454,7 @@ object WarehouseQueries {
     "q227_upsert_waves" -> upsertWavesSql,
     "q228_corpus_upsert_string_key" -> corpusUpsertWavesSql,
     "q229_upsert_time_travel" -> upsertTimeTravelSql,
+    "q230_date_key_upsert" -> dateKeyUpsertSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -157,10 +157,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val f = schema.fields.find(_.name == c).getOrElse(throw
         new IllegalArgumentException(
           s"${JsonlTable.UpsertKeysProp}: no column $c in the table"))
+      import org.apache.spark.sql.types.{DateType, StringType,
+        TimestampNTZType, TimestampType}
       require(f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == org.apache.spark.sql.types.StringType,
-        s"${JsonlTable.UpsertKeysProp}: $c must be BIGINT/INT/STRING, " +
-          s"got ${f.dataType.simpleString}")
+        f.dataType == StringType || f.dataType == DateType ||
+        f.dataType == TimestampType || f.dataType == TimestampNTZType,
+        s"${JsonlTable.UpsertKeysProp}: $c must be " +
+          "BIGINT/INT/STRING/DATE/TIMESTAMP, got " +
+          f.dataType.simpleString)
     }
   }
 

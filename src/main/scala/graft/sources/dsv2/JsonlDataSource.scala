@@ -2949,9 +2949,14 @@ final class JsonlPartitionReader(file: String, required: StructType,
   private lazy val eqDts: Seq[DataType] =
     eqCols.map(c => dataSchema(dataSchema.fieldIndex(c)).dataType)
   // single-column fast path: no per-row Seq/Option churn on the
-  // dominant shape (one BIGINT/STRING key over millions of rows)
-  private lazy val eqOneCol: String = if (eqCols.length == 1) eqCols.head else null
+  // dominant shape (one BIGINT/STRING key over millions of rows).
+  // Temporal keys take the general renderNodes path (textual epoch
+  // fallbacks live there).
   private lazy val eqOneDt: DataType = eqDts.head
+  private lazy val eqOneCol: String =
+    if (eqCols.length == 1 && (eqOneDt == LongType ||
+        eqOneDt == IntegerType || eqOneDt == StringType)) eqCols.head
+    else null
   private def eqKeyOf(node: JsonNode): String =
     if (eqOneCol != null) {
       val v = field(node, eqOneCol)

@@ -486,16 +486,34 @@ object JsonlEqDeletes {
     }
   }
 
-  /** Build the probe for a single-column key map; null when the fast
-    * path doesn't apply (multi-column key, unsupported type, or an
-    * unparsable/null tuple in the map). */
+  /** Build the probe over the key's LEADING column; null when the
+    * fast path doesn't apply (unsupported leading type, or an
+    * unparsable/null leading part in the map). For a composite key
+    * the probe is sound on the leading column alone: a shard whose
+    * leading-column range excludes a tuple's leading value cannot
+    * hold a row matching the full tuple. DATE/TIMESTAMP keys ride
+    * the numeric branch — their renderings are epoch integers, and
+    * the skip entries' min/max decode as the same numbers. */
   def rangeProbe(eqMap: Map[String, Long], cols: Seq[String],
                  dts: Seq[org.apache.spark.sql.types.DataType]): RangeProbe = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    if (cols.size != 1) return null
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+      StringType, TimestampNTZType, TimestampType}
+    if (cols.isEmpty) return null
+    // leading part of each tuple, folded to its highest sequence
+    val leading = scala.collection.mutable.HashMap.empty[String, Long]
+    eqMap.foreach { case (k, sq) =>
+      val lead = if (cols.size == 1) k else k.split(Sep, -1).head
+      leading.get(lead) match {
+        case Some(s0) if s0 >= sq => ()
+        case _ => leading.update(lead, sq)
+      }
+    }
+    // a null leading part is invisible to min/max ranges — stand down
+    if (leading.contains(NullMark)) return null
     dts.head match {
-      case LongType | IntegerType =>
-        val parsed = eqMap.iterator.map { case (k, sq) =>
+      case LongType | IntegerType | DateType | TimestampType |
+           TimestampNTZType =>
+        val parsed = leading.iterator.map { case (k, sq) =>
           scala.util.Try(k.toLong).toOption
             .map(v => (java.lang.Long.valueOf(v): AnyRef, sq)) }.toArray
         if (parsed.contains(None)) null
@@ -504,12 +522,8 @@ object JsonlEqDeletes {
             a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long]),
           v => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue()))
       case StringType =>
-        // the null-tuple rendering (the NullMark control char) is
-        // indistinguishable from a real such key — stand down if
-        // present (over-conservative)
-        if (eqMap.contains(NullMark)) null
-        else new RangeProbe(
-          eqMap.iterator.map { case (k, sq) =>
+        new RangeProbe(
+          leading.iterator.map { case (k, sq) =>
             (org.apache.spark.unsafe.types.UTF8String.fromString(k)
               : AnyRef, sq) }.toArray,
           (a: AnyRef, b: AnyRef) =>
@@ -534,7 +548,9 @@ object JsonlEqDeletes {
     * rows. */
   def parseRendered(key: String,
                     dts: Seq[org.apache.spark.sql.types.DataType]): Seq[Any] = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+      StringType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     val parts = key.split(Sep, -1)
     require(parts.length == dts.length,
       s"rendered key arity ${parts.length} != ${dts.length}")
@@ -543,40 +559,75 @@ object JsonlEqDeletes {
       case (p, LongType) => p.toLong
       case (p, IntegerType) => p.toInt
       case (p, StringType) => p
+      // EXTERNAL row types (the values feed createDataFrame)
+      case (p, DateType) => DateTimeUtils.toJavaDate(p.toInt)
+      case (p, TimestampType) => DateTimeUtils.toJavaTimestamp(p.toLong)
+      case (p, TimestampNTZType) => DateTimeUtils.microsToLocalDateTime(p.toLong)
       case (_, dt) => throw new UnsupportedOperationException(
-        s"graft.upsert.keys supports BIGINT/INT/STRING, got $dt")
+        s"graft.upsert.keys supports BIGINT/INT/STRING/DATE/TIMESTAMP, got $dt")
     }
   }
 
   /** Writer-side rendering: key tuple of `row` at field indexes
-    * `idx`. */
+    * `idx`. DATE renders as epoch DAYS, TIMESTAMP/TIMESTAMP_NTZ as
+    * epoch MICROS — the exact integers the JSONL writer stores, so
+    * the reader-side rendering agrees byte-for-byte. */
   def renderRow(row: org.apache.spark.sql.catalyst.InternalRow,
                 schema: org.apache.spark.sql.types.StructType,
                 idx: Seq[Int]): String = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+      StringType, TimestampNTZType, TimestampType}
     renderParts(idx.map { i =>
       if (row.isNullAt(i)) None
       else Some(schema.fields(i).dataType match {
         case LongType => row.getLong(i).toString
         case IntegerType => row.getInt(i).toString
         case StringType => row.getUTF8String(i).toString
+        case DateType => row.getInt(i).toString
+        case TimestampType | TimestampNTZType => row.getLong(i).toString
         case dt => throw new UnsupportedOperationException(
-          s"graft.upsert.keys supports BIGINT/INT/STRING, got $dt")
+          "graft.upsert.keys supports BIGINT/INT/STRING/DATE/TIMESTAMP, " +
+            s"got $dt")
       })
     })
   }
 
   /** Reader-side rendering: the same tuple from parsed JSON values
     * (each already resolved through physical keys / partition-path
-    * injection by the caller). */
+    * injection by the caller). Connector-written temporal values are
+    * epoch numbers; externally-authored ISO text parses through the
+    * same zone-free conversions the scan's materializer uses (zoned
+    * textual TIMESTAMPs parse as UTC — write epoch micros, or use
+    * TIMESTAMP_NTZ/DATE keys, for foreign data). */
   def renderNodes(nodes: Seq[com.fasterxml.jackson.databind.JsonNode],
                   dts: Seq[org.apache.spark.sql.types.DataType]): String = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+      StringType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.unsafe.types.UTF8String
     renderParts(nodes.zip(dts).map {
       case (n, _) if n == null || n.isNull => None
       case (n, LongType) => if (n.isNumber) Some(n.asLong.toString) else None
       case (n, IntegerType) => if (n.isNumber) Some(n.asInt.toString) else None
       case (n, StringType) => if (n.isTextual) Some(n.asText) else None
+      case (n, DateType) =>
+        if (n.isNumber) Some(n.asInt.toString)
+        else if (n.isTextual)
+          DateTimeUtils.stringToDate(UTF8String.fromString(n.asText))
+            .map(_.toString)
+        else None
+      case (n, TimestampNTZType) =>
+        if (n.isNumber) Some(n.asLong.toString)
+        else if (n.isTextual)
+          DateTimeUtils.stringToTimestampWithoutTimeZone(
+            UTF8String.fromString(n.asText)).map(_.toString)
+        else None
+      case (n, TimestampType) =>
+        if (n.isNumber) Some(n.asLong.toString)
+        else if (n.isTextual)
+          DateTimeUtils.stringToTimestamp(UTF8String.fromString(n.asText),
+            java.time.ZoneOffset.UTC).map(_.toString)
+        else None
       case _ => None
     })
   }

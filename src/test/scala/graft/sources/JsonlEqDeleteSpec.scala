@@ -640,6 +640,66 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     }
   }
 
+  test("DATE and TIMESTAMP upsert keys: epoch rendering round-trips") {
+    sql("""CREATE TABLE eq.ns.dk (d DATE, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='d')""".stripMargin)
+    sql("INSERT INTO eq.ns.dk VALUES (DATE'2024-01-01', 1), " +
+      "(DATE'2024-01-02', 2)")
+    sql("INSERT INTO eq.ns.dk VALUES (DATE'2024-01-01', 10)") // re-crawl day
+    def drows: Seq[(String, Long)] =
+      sql("SELECT CAST(d AS STRING), v FROM eq.ns.dk").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(drows == Seq(("2024-01-01", 10L), ("2024-01-02", 2L)))
+    sql("CALL eq.system.compact('ns.dk', max_shards => 1)").collect()
+    assert(drows == Seq(("2024-01-01", 10L), ("2024-01-02", 2L)))
+    sql("""CREATE TABLE eq.ns.tsk (t TIMESTAMP_NTZ, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='t')""".stripMargin)
+    sql("INSERT INTO eq.ns.tsk VALUES " +
+      "(TIMESTAMP_NTZ'2024-01-01 00:00:00', 1), " +
+      "(TIMESTAMP_NTZ'2024-01-01 01:00:00', 2)")
+    sql("INSERT INTO eq.ns.tsk VALUES " +
+      "(TIMESTAMP_NTZ'2024-01-01 01:00:00', 20)")
+    assert(sql("SELECT sum(v) FROM eq.ns.tsk").head.getLong(0) == 21L)
+  }
+
+  test("composite key: leading-column exemption, rename reconcile") {
+    sql("""CREATE TABLE eq.ns.ck (d DATE, k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='d,k',
+          |  'graft.skip.columns'='d')""".stripMargin)
+    sql("""INSERT INTO eq.ns.ck SELECT /*+ REPARTITION(1) */
+          |  date_add(DATE'2024-01-01', CAST(id % 90 AS INT)) AS d,
+          |  id AS k, id AS v FROM range(0, 100)""".stripMargin) // s1
+    // the wave's leading DATE values sit entirely OUTSIDE the first
+    // shard's [2024-01-01, 2024-03-30] range
+    sql("INSERT INTO eq.ns.ck VALUES (DATE'2025-06-01', 1, 5), " +
+      "(DATE'2025-06-02', 2, 6)") // wave s2
+    assert(sql("SELECT count(*) FROM eq.ns.ck").head.getLong(0) == 102L)
+    // reconcile: the big shard is range-clear on the LEADING column
+    // (the wave's d values sit past its max) — compact must re-stamp
+    // it by rename, not rewrite
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    val dir = new java.io.File(s"$root/ns/ck")
+    def shards = dir.listFiles().filter(_.getName.endsWith(".jsonl.gz"))
+      .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
+    val big = shards.maxBy(_._2)
+    sql("CALL eq.system.compact('ns.ck', max_shards => 100)").collect()
+    val big2 = shards.maxBy(_._2)
+    assert(big2._1 == big._1.replace("-eqs1.", "-eqs2.") &&
+      big2._2 == big._2,
+      s"leading-column range-clear shard must re-stamp by rename: " +
+        s"$big -> $big2")
+    assert(sql("SELECT count(*) FROM eq.ns.ck").head.getLong(0) == 102L)
+    // a composite upsert that REPLACES: same (d, k) tuple
+    sql("INSERT INTO eq.ns.ck VALUES (DATE'2025-06-01', 1, 50)") // wave s3
+    assert(sql("SELECT v FROM eq.ns.ck WHERE k = 1 AND d >= DATE'2025-01-01'")
+      .collect().map(_.getLong(0)).toSeq == Seq(50L),
+      "the composite tuple must upsert, not duplicate")
+    // ...while (2024-01-02, 1) — same k, different leading d — stays
+    assert(sql("SELECT count(*) FROM eq.ns.ck WHERE k = 1")
+      .head.getLong(0) == 2L)
+    assert(sql("SELECT count(*) FROM eq.ns.ck").head.getLong(0) == 102L)
+  }
+
   test("upsert key columns: DROP refused, RENAME follows the property") {
     sql("""CREATE TABLE eq.ns.alk (k BIGINT, v BIGINT)
           |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
