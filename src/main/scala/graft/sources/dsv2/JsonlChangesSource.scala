@@ -130,7 +130,7 @@ final class JsonlChangesScan(schema: StructType, path: String,
     require(m2.id < 0 || m1.id <= m2.id,
       s"graft-jsonl-changes: fromVersion=v${m1.id} is newer than " +
         s"toVersion=v${m2.id} — swap the endpoints (the feed is forward-only)")
-    (m1, m2, JsonlChangesScan.eqWindowOf(fs, table, m1, m2))
+    (m1, m2, JsonlChangesScan.eqWindowOf(fs, conf.value, table, m1, m2))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -164,28 +164,63 @@ object JsonlChangesScan {
     * endpoint's (what the window's end hides — filters added-shard
     * rows in netted windows), and the `fresh` map of keys the
     * window's NEW key files name — the emit set whose matching
-    * pre-window rows are the delete records an upsert wave
-    * produces. */
+    * pre-window rows are the delete records an upsert wave produces.
+    * The endpoint maps obey the same byte cap as table scans
+    * ([[JsonlEqDeletes.BroadcastMaxBytesKey]]): over it they stay
+    * empty on the driver and `fromFiles`/`toFiles` carry the resolved
+    * key file paths for executor-direct loading. `fresh` is always
+    * driver-loaded — it is window-delta-sized (one wave per
+    * per-version batch), and the emit-partition pruning probe and the
+    * batch feed's broadcast join need its values. */
   final case class EqWindow(from: Map[String, Long],
                             to: Map[String, Long],
                             fresh: Map[String, Long],
-                            cols: Seq[String]) {
-    def isEmpty: Boolean = from.isEmpty && to.isEmpty && fresh.isEmpty
+                            cols: Seq[String],
+                            fromFiles: Seq[String] = Nil,
+                            toFiles: Seq[String] = Nil) {
+    def isEmpty: Boolean = from.isEmpty && to.isEmpty && fresh.isEmpty &&
+      fromFiles.isEmpty && toFiles.isEmpty
   }
   val EmptyEqWindow: EqWindow = EqWindow(Map.empty, Map.empty, Map.empty, Nil)
 
-  def eqWindowOf(fs: FileSystem, table: Path,
+  def eqWindowOf(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                 table: Path,
                  m1: JsonlSnapshots.Manifest,
                  m2: JsonlSnapshots.Manifest): EqWindow = {
     if (m1.eqFiles.isEmpty && m2.eqFiles.isEmpty) return EmptyEqWindow
-    def load(names: Seq[String]): (Map[String, Long], Long, Seq[String]) =
-      if (names.isEmpty) (Map.empty, 0L, Nil)
-      else JsonlEqDeletes.indexFiles(fs,
-        names.map(JsonlSnapshots.resolveEq(fs, table, _)))
-    val (fromM, _, cols1) = load(m1.eqFiles)
-    val (toM, _, cols2) = load(m2.eqFiles)
-    val (freshM, _, _) = load(m2.eqFiles.filterNot(m1.eqFiles.toSet))
-    EqWindow(fromM, toM, freshM, if (cols2.nonEmpty) cols2 else cols1)
+    val cap = conf.getLong(JsonlEqDeletes.BroadcastMaxBytesKey,
+      JsonlEqDeletes.DefaultBroadcastMaxBytes)
+    def resolve(names: Seq[String]): Seq[Path] =
+      names.map(JsonlSnapshots.resolveEq(fs, table, _))
+    def load(paths: Seq[Path]): (Map[String, Long], Long, Seq[String]) =
+      if (paths.isEmpty) (Map.empty, 0L, Nil)
+      else JsonlEqDeletes.indexFiles(fs, paths)
+    def bytes(paths: Seq[Path]): Long =
+      paths.iterator.map(p => fs.getFileStatus(p).getLen).sum
+    val fromP = resolve(m1.eqFiles)
+    val toP = resolve(m2.eqFiles)
+    val (freshM, _, colsF) =
+      load(resolve(m2.eqFiles.filterNot(m1.eqFiles.toSet)))
+    val overCap = bytes(fromP) > cap || bytes(toP) > cap
+    if (!overCap) {
+      val (fromM, _, cols1) = load(fromP)
+      val (toM, _, cols2) = load(toP)
+      EqWindow(fromM, toM, freshM,
+        if (cols2.nonEmpty) cols2 else if (cols1.nonEmpty) cols1 else colsF)
+    } else {
+      // executor-direct: readers resolve the maps from the files via
+      // the shared per-executor cache; cols come from the fresh load
+      // or one smallest-file read
+      val cols =
+        if (colsF.nonEmpty) colsF
+        else {
+          val smallest = (fromP ++ toP)
+            .minBy(p => fs.getFileStatus(p).getLen)
+          JsonlEqDeletes.indexFiles(fs, Seq(smallest))._3
+        }
+      EqWindow(Map.empty, Map.empty, freshM, cols,
+        fromP.map(_.toString), toP.map(_.toString))
+    }
   }
 
   /** The reader factory for change windows: per-partition `eqKind`
@@ -200,7 +235,8 @@ object JsonlChangesScan {
       if (m.isEmpty) null
       else org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(m)
     new JsonlChangesReaderFactory(readSchema, tableSchema, conf,
-      bc(eq.from), bc(eq.to), bc(eq.fresh), eq.cols)
+      bc(eq.from), bc(eq.to), bc(eq.fresh), eq.cols,
+      eq.fromFiles, eq.toFiles)
   }
 
   /** The shard-grain diff as concrete reader work: added shards emit
@@ -303,22 +339,30 @@ final class JsonlChangesReaderFactory(
     eqFrom: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
     eqTo: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
     eqFresh: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
-    eqCols: Seq[String]) extends PartitionReaderFactory {
-  private def m(b: org.apache.spark.broadcast.Broadcast[Map[String, Long]])
-      : Map[String, Long] = if (b == null) Map.empty else b.value
+    eqCols: Seq[String],
+    eqFromFiles: Seq[String] = Nil,
+    eqToFiles: Seq[String] = Nil) extends PartitionReaderFactory {
+  private def m(b: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
+                files: Seq[String]): Map[String, Long] =
+    if (b != null) b.value
+    else if (files.nonEmpty)
+      JsonlEqDeletes.ExecutorIndexCache.get(conf.value, files)._1
+    else Map.empty
   override def createReader(partition: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     val hide = p.eqKind match {
-      case "from" | "emit" => m(eqFrom)
-      case "to" => m(eqTo)
+      case "from" | "emit" => m(eqFrom, eqFromFiles)
+      case "to" => m(eqTo, eqToFiles)
       case _ => Map.empty[String, Long]
     }
     new JsonlPartitionReader(p.file, readSchema, Array.empty, p.partValues,
       tableSchema, conf, -1, p.deletes, p.deletePositions, p.changeKind,
       p.keepPositions, hide, if (p.eqKind == null) Nil else eqCols,
-      if (p.eqKind == "emit") m(eqFresh) else Map.empty)
+      if (p.eqKind == "emit")
+        (if (eqFresh == null) Map.empty[String, Long] else eqFresh.value)
+      else Map.empty)
   }
 }
 
@@ -425,7 +469,7 @@ final class JsonlChangesMicroBatchStream(tableSchema: StructType,
     val fs = table.getFileSystem(conf.value)
     val m1 = JsonlChangesScan.manifestAt(fs, table, s, tableSchema)
     val m2 = JsonlChangesScan.manifestAt(fs, table, e, tableSchema)
-    val eq = JsonlChangesScan.eqWindowOf(fs, table, m1, m2)
+    val eq = JsonlChangesScan.eqWindowOf(fs, conf.value, table, m1, m2)
     lastEq = eq
     JsonlChangesScan.diffPartitions(fs, table, m1, m2, tableSchema, eq)
   }

@@ -2957,6 +2957,8 @@ final class JsonlPartitionReader(file: String, required: StructType,
     if (eqCols.length == 1 && (eqOneDt == LongType ||
         eqOneDt == IntegerType || eqOneDt == StringType)) eqCols.head
     else null
+  private lazy val eqColsArr: Array[String] = eqCols.toArray
+  private lazy val eqDtsArr: Array[DataType] = eqDts.toArray
   private def eqKeyOf(node: JsonNode): String =
     if (eqOneCol != null) {
       val v = field(node, eqOneCol)
@@ -2967,8 +2969,23 @@ final class JsonlPartitionReader(file: String, required: StructType,
         case StringType => if (v.isTextual) v.asText else "\u0000"
         case _ => "\u0000"
       }
-    } else
-      JsonlEqDeletes.renderNodes(eqCols.map(field(node, _)), eqDts)
+    } else if (eqColsArr.length == 1)
+      // single temporal key: one part, no separator, no Seq
+      JsonlEqDeletes.renderNode1(field(node, eqColsArr(0)), eqDtsArr(0))
+    else {
+      // composite key hot path: build the tuple in one pass — the
+      // zip/map/mkString form allocates several collections PER ROW,
+      // which dominated a 10x-scale composite-key scan
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < eqColsArr.length) {
+        if (i > 0) sb.append('\u0001')
+        sb.append(JsonlEqDeletes.renderNode1(field(node, eqColsArr(i)),
+          eqDtsArr(i)))
+        i += 1
+      }
+      sb.toString
+    }
   private def eqHidden(node: JsonNode): Boolean =
     (eqActive && eqDeletes.get(eqKeyOf(node)).exists(_ > eqShardSeq)) ||
       (eqEmitActive && !eqEmit.get(eqKeyOf(node)).exists(_ > eqShardSeq))

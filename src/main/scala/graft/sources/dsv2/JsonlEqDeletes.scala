@@ -599,36 +599,44 @@ object JsonlEqDeletes {
     * same zone-free conversions the scan's materializer uses (zoned
     * textual TIMESTAMPs parse as UTC — write epoch micros, or use
     * TIMESTAMP_NTZ/DATE keys, for foreign data). */
-  def renderNodes(nodes: Seq[com.fasterxml.jackson.databind.JsonNode],
-                  dts: Seq[org.apache.spark.sql.types.DataType]): String = {
+  /** One key part's canonical text ([[NullMark]] for null or a type
+    * mismatch) — the hot-path unit [[renderNodes]] composes, exposed
+    * so per-row readers can build the tuple without Seq churn. */
+  def renderNode1(n: com.fasterxml.jackson.databind.JsonNode,
+                  dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
       StringType, TimestampNTZType, TimestampType}
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     import org.apache.spark.unsafe.types.UTF8String
-    renderParts(nodes.zip(dts).map {
-      case (n, _) if n == null || n.isNull => None
-      case (n, LongType) => if (n.isNumber) Some(n.asLong.toString) else None
-      case (n, IntegerType) => if (n.isNumber) Some(n.asInt.toString) else None
-      case (n, StringType) => if (n.isTextual) Some(n.asText) else None
-      case (n, DateType) =>
-        if (n.isNumber) Some(n.asInt.toString)
+    if (n == null || n.isNull) return NullMark
+    dt match {
+      case LongType => if (n.isNumber) n.asLong.toString else NullMark
+      case IntegerType => if (n.isNumber) n.asInt.toString else NullMark
+      case StringType => if (n.isTextual) n.asText else NullMark
+      case DateType =>
+        if (n.isNumber) n.asInt.toString
         else if (n.isTextual)
           DateTimeUtils.stringToDate(UTF8String.fromString(n.asText))
-            .map(_.toString)
-        else None
-      case (n, TimestampNTZType) =>
-        if (n.isNumber) Some(n.asLong.toString)
+            .map(_.toString).getOrElse(NullMark)
+        else NullMark
+      case TimestampNTZType =>
+        if (n.isNumber) n.asLong.toString
         else if (n.isTextual)
           DateTimeUtils.stringToTimestampWithoutTimeZone(
-            UTF8String.fromString(n.asText)).map(_.toString)
-        else None
-      case (n, TimestampType) =>
-        if (n.isNumber) Some(n.asLong.toString)
+            UTF8String.fromString(n.asText))
+            .map(_.toString).getOrElse(NullMark)
+        else NullMark
+      case TimestampType =>
+        if (n.isNumber) n.asLong.toString
         else if (n.isTextual)
           DateTimeUtils.stringToTimestamp(UTF8String.fromString(n.asText),
-            java.time.ZoneOffset.UTC).map(_.toString)
-        else None
-      case _ => None
-    })
+            java.time.ZoneOffset.UTC).map(_.toString).getOrElse(NullMark)
+        else NullMark
+      case _ => NullMark
+    }
   }
+
+  def renderNodes(nodes: Seq[com.fasterxml.jackson.databind.JsonNode],
+                  dts: Seq[org.apache.spark.sql.types.DataType]): String =
+    nodes.zip(dts).map { case (n, dt) => renderNode1(n, dt) }.mkString(Sep)
 }
