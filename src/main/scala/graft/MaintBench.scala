@@ -146,6 +146,22 @@ object MaintBench {
           .collect()
       }
     }
+    // auto-snapshot upsert waves (round 14 composition): each wave's
+    // pin is a DELTA rebase — O(manifest), no table listing — so the
+    // per-wave premium over plain waves should stay a small constant
+    c.sql("""CREATE TABLE mb.m.wnp (k BIGINT, v BIGINT)
+            |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    c.sql("""CREATE TABLE mb.m.wap (k BIGINT, v BIGINT)
+            |TBLPROPERTIES ('graft.upsert.keys'='k',
+            |  'graft.snapshot.auto'='true')""".stripMargin)
+    timed("eq_waves_plain_x20") {
+      (0 until 20).foreach(i =>
+        c.sql(s"INSERT INTO mb.m.wnp VALUES ($i, $i), (${i + 100}, $i)"))
+    }
+    timed("eq_waves_autopin_x20") {
+      (0 until 20).foreach(i =>
+        c.sql(s"INSERT INTO mb.m.wap VALUES ($i, $i), (${i + 100}, $i)"))
+    }
     // concurrent-writer scenario: partition-disjoint MOR deltas hold
     // SCOPED locks (round 12) and pin versions via claim-CAS (round
     // 13), so four deletes on four partitions should take ~one

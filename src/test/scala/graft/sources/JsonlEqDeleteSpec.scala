@@ -498,6 +498,109 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("property: random wave/delete/compact/snapshot/rollback histories compose") {
+    import graft.sources.dsv2.JsonlChangeFeed
+    val catalog = spark.sessionState.catalogManager.catalog("eq")
+      .asInstanceOf[graft.sources.dsv2.GraftCatalog]
+    for (seed <- Seq(11, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val up = s"eq.ns.pz$seed"; val tw = s"eq.ns.pw$seed"
+      sql(s"""CREATE TABLE $up (k BIGINT, v BIGINT)
+             |TBLPROPERTIES ('graft.upsert.keys'='k',
+             |  'graft.row-level.mode'='merge-on-read',
+             |  'graft.skip.columns'='k')""".stripMargin)
+      sql(s"""CREATE TABLE $tw (k BIGINT, v BIGINT)
+             |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')"""
+        .stripMargin)
+      var nextV = 0L
+      val pinned = scala.collection.mutable.LinkedHashMap[Long, Seq[(Long, Long)]]()
+      def upRows: Seq[(Long, Long)] = rows(s"SELECT k, v FROM $up")
+      def twRows: Seq[(Long, Long)] = rows(s"SELECT k, v FROM $tw")
+      def check(op: String): Unit =
+        assert(upRows == twRows, s"seed=$seed diverged after $op")
+      for (step <- 1 to 16) rnd.nextInt(10) match {
+        case 0 | 1 | 2 => // upsert wave of 1-4 random keys
+          val byKey = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            nextV += 1; (rnd.nextInt(20), nextV)
+          }.toMap
+          val vs = byKey.map { case (k, v) => s"($k, $v)" }.mkString(", ")
+          sql(s"INSERT INTO $up VALUES $vs")
+          sql(s"""MERGE INTO $tw t
+                 |USING (SELECT * FROM VALUES $vs AS s(k, v)) s ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                 |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+            .stripMargin)
+          check(s"wave $vs")
+        case 3 => // MOR row-level delete on BOTH
+          val k = rnd.nextInt(20)
+          sql(s"DELETE FROM $up WHERE k = $k")
+          sql(s"DELETE FROM $tw WHERE k = $k")
+          check(s"delete k=$k")
+        case 4 => // reconcile — invisible to reads AND to pinned views
+          sql(s"CALL eq.system.compact('${up.stripPrefix("eq.")}', " +
+            "max_shards => 2)").collect()
+          check("compact")
+        case 5 | 6 => // pin a version mid-whatever (waves may be pending)
+          val id = sql(s"CALL eq.system.snapshot('${up.stripPrefix("eq.")}')")
+            .head.getLong(0)
+          pinned(id) = twRows
+          check(s"snapshot v$id")
+        case 7 => // time travel: a random earlier pin answers exactly
+          if (pinned.nonEmpty) {
+            val (id, want) = pinned.toSeq(rnd.nextInt(pinned.size))
+            assert(rows(s"SELECT k, v FROM $up VERSION AS OF $id") == want,
+              s"seed=$seed VERSION AS OF $id drifted at step $step")
+          }
+        case 8 => // rollback to a random pin; resync the twin
+          if (pinned.nonEmpty) {
+            val (id, want) = pinned.toSeq(rnd.nextInt(pinned.size))
+            sql(s"CALL eq.system.rollback_to_snapshot(" +
+              s"'${up.stripPrefix("eq.")}', version => '$id')").collect()
+            sql(s"TRUNCATE TABLE $tw")
+            if (want.nonEmpty)
+              sql(s"INSERT INTO $tw VALUES " +
+                want.map { case (k, v) => s"($k, $v)" }.mkString(", "))
+            check(s"rollback to v$id")
+          }
+        case 9 => // aggregate parity (agg-pushdown gates under eq state)
+          val a = sql(s"SELECT count(*), sum(v) FROM $up").head
+          val b = sql(s"SELECT count(*), sum(v) FROM $tw").head
+          assert(a.getLong(0) == b.getLong(0) &&
+            (a.isNullAt(1) && b.isNullAt(1) || a.getLong(1) == b.getLong(1)),
+            s"seed=$seed agg diverged at step $step")
+      }
+      // every pin still answers exactly at the end (retention held
+      // through compacts and rollbacks)
+      pinned.foreach { case (id, want) =>
+        assert(rows(s"SELECT k, v FROM $up VERSION AS OF $id") == want,
+          s"seed=$seed final VERSION AS OF $id drifted")
+      }
+      // every consecutive pin window REPLAYS: pinned(v_i) + window
+      // changes (as a multiset) == pinned(v_j) — the CDC exactness
+      // property across waves, MOR deletes, compacts, and rollbacks
+      val ids = pinned.keys.toSeq.sorted
+      ids.zip(ids.drop(1)).foreach { case (i, j) =>
+        val ch = JsonlChangeFeed.between(spark, catalog,
+          up.stripPrefix("eq."), i.toString, Some(j.toString))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        val bag = scala.collection.mutable.Map.empty[(Long, Long), Int]
+          .withDefaultValue(0)
+        pinned(i).foreach(r => bag(r) += 1)
+        ch.foreach {
+          case (k, v, "insert") => bag((k, v)) += 1
+          case (k, v, "delete") => bag((k, v)) -= 1
+          case other => fail(s"unexpected change kind $other")
+        }
+        val replayed = bag.toSeq.filter(_._2 != 0)
+        assert(replayed.forall(_._2 > 0) &&
+          replayed.flatMap { case (r, n) => Seq.fill(n)(r) }.sorted ==
+            pinned(j).sorted,
+          s"seed=$seed window v$i->v$j does not replay: " +
+            s"changes=${ch.toSeq.sorted} from=${pinned(i)} to=${pinned(j)}")
+      }
+    }
+  }
+
   test("torn wave (crash before key publish): duplicates not loss; retry converges") {
     import graft.sources.dsv2.JsonlEqDeletes
     import org.apache.hadoop.fs.Path
