@@ -614,11 +614,13 @@ object GraftProcedures {
           // the swap would leave them live beside the rewrite's copy
           // of their rows (silent duplicates)
           JsonlSnapshots.requireNoCrashedSwaps(fs, table, "cluster_table")
-          require(!JsonlEqDeletes.hasPending(fs, table),
-            s"cluster_table refused: $table has pending equality " +
-              s"deletes (${JsonlEqDeletes.DirName}/) — CALL compact to " +
-              "reconcile them first (the sort-rewrite would land " +
-              "unstamped shards exposed to past waves)")
+          // pending equality deletes COMPOSE: the rewrite reads
+          // through the eq-aware scan (hidden rows already dropped),
+          // its outputs stamp at the current max sequence (so past
+          // waves can never hide them and concurrent later waves
+          // correctly outrank them), and retirement runs after the
+          // swap — a cluster_table IS a reconcile
+          val eqMaxCl = JsonlEqDeletes.currentSeq(fs, table)
           val layout = JsonlLayout.discoverFull(fs, table)
           val before = layout.map(_._1)
           if (before.isEmpty)
@@ -686,6 +688,17 @@ object GraftProcedures {
           val w = clustered.write.format("graft-jsonl").mode("append")
           (if (partitioned) w.partitionBy(partCols: _*) else w)
             .save(staging.toString)
+          // stamp the staged outputs IN STAGING (before any swap, so
+          // both branches' renames carry the stamped names): the
+          // rewrite's rows reflect every delete <= eqMaxCl, so they
+          // must be exempt from exactly those sequences
+          if (eqMaxCl > 0L)
+            JsonlLayout.discover(fs, staging).map(_._1).foreach { p =>
+              val n = JsonlEqDeletes.stampName(p.getName, eqMaxCl)
+              if (n != p.getName)
+                require(fs.rename(p, new Path(p.getParent, n)),
+                  s"cluster_table: eq stamp rename failed for $p")
+            }
           // swap: originals (the PRE-rewrite snapshot — appends racing
           // the rewrite stay untouched) -> trash, staged shards up,
           // consumed sidecars + stale index out, trash last
@@ -760,6 +773,20 @@ object GraftProcedures {
             tbl.properties()).asScala.toMap
           val idxCols = (cols ++ JsonlSkipIndex.skipColsOf(tableProps)).distinct
           JsonlSkipIndex.build(spark, fs, table, ref, idxCols, Nil, 0L, 0L)
+          // the rewrite reconciled every delete <= eqMaxCl: retire key
+          // files no live shard is exposed to (a wave that landed
+          // mid-rewrite keeps its higher-sequence file — its stamps
+          // hold the minimum down)
+          if (eqMaxCl > 0L) {
+            val live = JsonlLayout.discoverFull(fs, table)
+            val minLive =
+              if (live.isEmpty) Long.MaxValue
+              else live.iterator.map { case (pp, _, _, _) =>
+                JsonlEqDeletes.shardSeqOf(pp.getName) }.min
+            JsonlEqDeletes.retire(fs, table, minLive,
+              JsonlSnapshots.referencedEqNames(fs, table),
+              JsonlSnapshots.retainedRoot(table))
+          }
           result(compactSchema, resultRows)
         } finally RowLevelLock.release(fs, lock)
       }
@@ -854,14 +881,19 @@ object GraftProcedures {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val tableName = input.getUTF8String(0).toString
         val (fs, table) = catalog.resolveTableDir(tableName)
-        val m = JsonlSnapshots.load(fs, table,
-          input.getUTF8String(1).toString)
         val conf = JsonlHadoopConf.fromSession()
         val lock = RowLevelLock.acquire(fs, conf.value, table,
           s"rollback-${java.util.UUID.randomUUID}")
-        val (removed, restored) =
-          try JsonlSnapshots.rollback(fs, table, m)
-          finally RowLevelLock.release(fs, lock)
+        // the target resolves INSIDE the lock: a concurrent
+        // expire_snapshots (also lock-holding) can no longer delete
+        // the manifest between resolution and the restore
+        val (m, removed, restored) =
+          try {
+            val m0 = JsonlSnapshots.load(fs, table,
+              input.getUTF8String(1).toString)
+            val (rm, rs) = JsonlSnapshots.rollback(fs, table, m0)
+            (m0, rm, rs)
+          } finally RowLevelLock.release(fs, lock)
         result(rollbackSchema, Seq(new GenericInternalRow(
           Array[Any](m.id, removed, restored)): InternalRow))
       }

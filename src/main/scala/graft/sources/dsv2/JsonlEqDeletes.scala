@@ -65,8 +65,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * fallback — `CALL compact`'s retirement retains manifest-referenced
   * key files like shards), rollback restores the pinned equality set,
   * and auto-snapshot waves pin their own key file as part of their
-  * delta. cluster_table still refuses while waves are pending
-  * (compact first). */
+  * delta. cluster_table composes too: its rewrite reads through the
+  * eq-aware scan, stamps outputs at the current max sequence, and
+  * retires afterwards — a sort-rewrite IS a reconcile. */
 object JsonlEqDeletes {
   val DirName = "_eq_deletes"
 

@@ -114,7 +114,13 @@ object JsonlSnapshots {
     if (!fs.exists(d)) return Nil
     fs.listStatus(d).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case ManifestName(_) if st.isFile => Some(read(fs, st.getPath))
+        case ManifestName(_) if st.isFile =>
+          // a manifest deleted between the listing and the read is a
+          // concurrent expire_snapshots landing — as-if already
+          // expired, exactly the state the caller would have seen a
+          // moment later
+          try Some(read(fs, st.getPath))
+          catch { case _: java.io.FileNotFoundException => None }
         case _ => None
       }
     }.sortBy(_.id)

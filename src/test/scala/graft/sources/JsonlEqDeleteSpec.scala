@@ -381,10 +381,20 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     // stamp (hwm keeps sequences monotonic)
     sql("INSERT INTO eq.ns.rf VALUES (1, 12)")
     assert(rows("SELECT k, v FROM eq.ns.rf") == Seq((1L, 12L), (2L, 20L)))
-    // cluster_table still refuses while waves are pending
-    val e2 = intercept[Exception] {
-      sql("CALL eq.system.cluster_table('ns.rf', columns => 'k')").collect() }
-    assert(e2.getMessage.contains("equality"), e2.getMessage)
+    // cluster_table composes with the pending wave: the sort-rewrite
+    // reconciles (hidden rows drop, key files retire) and pinned
+    // views keep answering through retention
+    sql("CALL eq.system.cluster_table('ns.rf', columns => 'k')").collect()
+    assert(rows("SELECT k, v FROM eq.ns.rf") == Seq((1L, 12L), (2L, 20L)),
+      "cluster under a pending wave must preserve the upserted state")
+    val eqDirRf = new java.io.File(
+      s"${spark.conf.get("spark.sql.catalog.eq.root")}/ns/rf/_eq_deletes")
+    assert(!eqDirRf.exists() ||
+      !eqDirRf.listFiles().exists(_.getName.endsWith(".json")),
+      "the sort-rewrite is a reconcile: key files must retire")
+    assert(rows("SELECT k, v FROM eq.ns.rf VERSION AS OF 'mid'") ==
+      Seq((1L, 11L), (2L, 20L)),
+      "pinned views must survive the cluster rewrite")
     // key-type validation is unchanged
     val e4 = intercept[Exception] {
       sql("""CREATE TABLE eq.ns.bad (k DOUBLE, v BIGINT)
@@ -599,6 +609,36 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
             s"changes=${ch.toSeq.sorted} from=${pinned(i)} to=${pinned(j)}")
       }
     }
+  }
+
+  test("CDC emit partitions prune by skip range: clear common shards never open") {
+    sql("""CREATE TABLE eq.ns.pr (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k',
+          |  'graft.skip.columns'='k')""".stripMargin)
+    sql("""INSERT INTO eq.ns.pr SELECT /*+ REPARTITION(1) */
+          |  id AS k, id AS v FROM range(0, 100)""".stripMargin) // s1 [0,99]
+    sql("CALL eq.system.snapshot('ns.pr')").collect() // v1
+    sql("INSERT INTO eq.ns.pr VALUES (1000, 1), (1001, 2)") // wave s2
+    sql("CALL eq.system.snapshot('ns.pr')").collect() // v2
+    // the wave's keys sit OUTSIDE the common shard's [0,99] range, so
+    // the window's emit partitions must prune it — witness: corrupt
+    // every pre-wave shard; the window still answers (only the added
+    // shard is read)
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    new java.io.File(s"$root/ns/pr").listFiles()
+      .filter(f => f.getName.endsWith(".jsonl.gz") &&
+        f.getName.contains("-eqs1."))
+      .foreach { f =>
+        val w = new java.io.FileOutputStream(f)
+        w.write("not gzip".getBytes("UTF-8")); w.close()
+      }
+    val tableDir = s"$root/ns/pr"
+    val ch = spark.read.format("graft-jsonl-changes")
+      .option("fromVersion", 1).option("toVersion", 2).load(tableDir)
+      .select("k", "v", "_change").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(ch == Seq((1000L, 1L, "insert"), (1001L, 2L, "insert")),
+      s"a range-clear common shard must never open for the window: $ch")
   }
 
   test("torn wave (crash before key publish): duplicates not loss; retry converges") {
