@@ -663,7 +663,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val procedureNames =
     Seq("table_stats", "compact", "expire_staging", "build_skip_index",
       "cluster_table", "snapshot", "snapshots", "expire_snapshots",
-      "table_changes", "rollback_to_snapshot", "evolve_partitioning")
+      "table_changes", "rollback_to_snapshot", "evolve_partitioning",
+      "maintenance_stats")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))

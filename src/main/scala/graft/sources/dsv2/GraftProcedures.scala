@@ -123,6 +123,7 @@ object GraftProcedures {
         case "table_changes" => tableChangesProc(catalog)
         case "rollback_to_snapshot" => rollbackProc(catalog)
         case "evolve_partitioning" => evolvePartitioningProc(catalog)
+        case "maintenance_stats" => maintenanceStats(catalog)
         case other => throw new IllegalArgumentException(
           s"unknown graft procedure $other")
       }
@@ -150,6 +151,93 @@ object GraftProcedures {
               shards.map(_._2).sum)): InternalRow
         }
         result(statsSchema, rows)
+      }
+    }
+
+  private val maintSchema = StructType(Seq(
+    StructField("metric", StringType), StructField("value", LongType),
+    StructField("detail", StringType)))
+
+  /** `maintenance_stats(table)`: the 100 TB operator's one-pass
+    * health dashboard — live layout, merge-on-read debt, pending
+    * equality-delete (upsert) state and how many shards it exposes,
+    * snapshot/retention footprint, and CRASH RESIDUE (stale wave
+    * claims/tombstones, unconsumed pin-intent markers) — all from
+    * metadata listings, zero data I/O, no locks. The final
+    * `recommend` rows name the `CALL`s that would retire the debt, so
+    * a scheduler can size maintenance from this one probe. */
+  private def maintenanceStats(catalog: GraftCatalog): BoundProcedure =
+    new Bound("maintenance_stats", tableParam) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (fs, table) = catalog.resolveTableDir(
+          input.getUTF8String(0).toString)
+        val out = Seq.newBuilder[InternalRow]
+        def row(metric: String, value: Long, detail: String = ""): Unit =
+          out += new GenericInternalRow(
+            Array[Any](utf8(metric), value, utf8(detail)))
+        val layout = JsonlLayout.discoverFull(fs, table)
+        row("live_shards", layout.size)
+        row("live_bytes", layout.iterator.map(_._3).sum)
+        // merge-on-read debt: sidecar files and the hidden ordinals
+        // the next compact retires
+        val sidecars = JsonlDeletes.index(fs, table)
+        row("mor_sidecars", sidecars.size)
+        row("mor_deleted_rows", sidecars.valuesIterator
+          .map(sc => JsonlDeletes.read(fs, new Path(sc)).length.toLong).sum)
+        // equality-delete (upsert) debt: pending bytes drive the scan
+        // plan (broadcast vs executor-direct vs refuse), exposure
+        // counts the shards per-row checks can reach
+        val eqDir = JsonlEqDeletes.dir(table)
+        var eqFiles = 0L; var eqBytes = 0L
+        var staleClaims = 0L; var tombstones = 0L
+        if (fs.exists(eqDir)) fs.listStatus(eqDir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.endsWith(".json") && !n.startsWith(".")) {
+            eqFiles += 1; eqBytes += st.getLen
+          } else if (n.endsWith(".claim")) staleClaims += 1
+          else if (n.endsWith(".dropped")) tombstones += 1
+        }
+        val eqMax = JsonlEqDeletes.currentSeq(fs, table)
+        row("eq_pending_files", eqFiles)
+        row("eq_pending_bytes", eqBytes)
+        val exposed =
+          if (eqMax == 0L) 0L
+          else layout.count { case (p, _, _, _) =>
+            JsonlEqDeletes.shardSeqOf(p.getName) < eqMax }.toLong
+        row("eq_exposed_shards", exposed)
+        row("eq_wave_claims", staleClaims,
+          if (staleClaims > 0) "in-flight or crashed waves" else "")
+        row("eq_tombstones", tombstones,
+          if (tombstones > 0) "crashed waves (sequences retired)" else "")
+        // snapshot footprint + crash residue
+        val manifests = JsonlSnapshots.list(fs, table)
+        row("snapshots", manifests.size)
+        val retained = JsonlSnapshots.retainedRoot(table)
+        var retainedFiles = 0L; var retainedBytes = 0L
+        def walk(d: Path): Unit = if (fs.exists(d))
+          fs.listStatus(d).foreach { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else { retainedFiles += 1; retainedBytes += st.getLen }
+          }
+        walk(retained)
+        row("retained_files", retainedFiles)
+        row("retained_bytes", retainedBytes)
+        val snapDir = JsonlSnapshots.dir(table)
+        val intents =
+          if (!fs.exists(snapDir)) 0L
+          else fs.listStatus(snapDir)
+            .count(_.getPath.getName.startsWith(".intent.")).toLong
+        row("pin_intents", intents,
+          if (intents > 0) "in-flight or crashed auto-snapshot commits" else "")
+        // recommendations, debt-ranked: each names the CALL that
+        // retires it
+        if (eqFiles > 0 || sidecars.nonEmpty)
+          row("recommend", exposed + sidecars.size,
+            "CALL compact — reconcile upsert waves / retire MOR sidecars")
+        if (manifests.size > 16)
+          row("recommend", manifests.size.toLong,
+            "CALL expire_snapshots(keep_last => ...) — bound history")
+        result(maintSchema, out.result())
       }
     }
 

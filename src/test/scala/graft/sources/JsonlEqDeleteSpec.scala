@@ -641,6 +641,40 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
       s"a range-clear common shard must never open for the window: $ch")
   }
 
+  test("maintenance_stats: one metadata pass surfaces upsert debt + crash residue") {
+    sql("""CREATE TABLE eq.ns.ms (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k',
+          |  'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO eq.ns.ms SELECT id AS k, id AS v FROM range(0, 50)")
+    sql("INSERT INTO eq.ns.ms VALUES (1, 100)") // wave 2 exposes wave 1
+    sql("DELETE FROM eq.ns.ms WHERE k = 5")     // MOR sidecar debt
+    // crash residue: a tombstoned wave + an unconsumed pin intent
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    new java.io.File(s"$root/ns/ms/_eq_deletes/s9.dropped").createNewFile()
+    val snapDir = new java.io.File(s"$root/ns/ms/_snapshots")
+    snapDir.mkdirs()
+    new java.io.File(snapDir, ".intent.crashed").createNewFile()
+    val m = sql("CALL eq.system.maintenance_stats('ns.ms')").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(m("eq_pending_files")._1 == 2L, m.toString)
+    assert(m("eq_pending_bytes")._1 > 0L)
+    assert(m("eq_exposed_shards")._1 >= 1L, m.toString)
+    assert(m("eq_tombstones")._1 == 1L)
+    assert(m("pin_intents")._1 == 1L)
+    assert(m("mor_sidecars")._1 == 1L && m("mor_deleted_rows")._1 == 1L)
+    assert(m("recommend")._2.contains("CALL compact"), m.toString)
+    // the dashboard is read-only: nothing changed
+    assert(sql("SELECT count(*) FROM eq.ns.ms").head.getLong(0) == 49L)
+    // post-compact the debt rows zero out (residue cleaned too)
+    new java.io.File(snapDir, ".intent.crashed").delete()
+    sql("CALL eq.system.compact('ns.ms', max_shards => 1)").collect()
+    val m2 = sql("CALL eq.system.maintenance_stats('ns.ms')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2("eq_pending_files") == 0L && m2("eq_exposed_shards") == 0L &&
+      m2("eq_tombstones") == 0L && m2("mor_sidecars") == 0L &&
+      !m2.contains("recommend"), m2.toString)
+  }
+
   test("torn wave (crash before key publish): duplicates not loss; retry converges") {
     import graft.sources.dsv2.JsonlEqDeletes
     import org.apache.hadoop.fs.Path
