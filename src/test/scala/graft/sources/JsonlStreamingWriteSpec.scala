@@ -113,6 +113,59 @@ class JsonlStreamingWriteSpec extends AnyFunSuite {
     assert(!new java.io.File(logDir, ".3.inprogress").exists())
   }
 
+  test("upsert-wave epoch crash before key publish: replay sweeps stamped partials") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.dsv2.JsonlEqDeletes
+    val dir = tmp("jsonl-wave-crash")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id long, v string")
+    val w = new graft.sources.dsv2.JsonlStreamingWrite(schema, dir, "q-uw",
+      Nil, upsertKeys = Seq("id"))
+    def stage(epochQ: String, taskId: Long, v: String)
+        : graft.sources.dsv2.JsonlCommitMessage = {
+      val dw = new graft.sources.dsv2.JsonlDataWriter(schema, dir, epochQ,
+        0, taskId, graft.sources.dsv2.JsonlHadoopConf.fromSession(),
+        Nil, Seq("id"))
+      dw.write(InternalRow(9L, UTF8String.fromString(v)))
+      dw.commit().asInstanceOf[graft.sources.dsv2.JsonlCommitMessage]
+    }
+    // epoch 1 commits normally: wave s1 inserts the key's first version
+    w.commit(1L, Array(stage("q-uw-e1", 7L, "x")))
+    def read = spark.read.format("graft-jsonl")
+      .schema("id long, v string").load(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(read == Seq((9L, "x")))
+    // epoch 3 attempt 1: claimed s2, renamed its STAMPED insert shard
+    // in, died BEFORE the key file published (the commit point is
+    // last) — fabricate exactly that state
+    val m1 = stage("q-uw-e3", 42L, "y")
+    val logDir = new java.io.File(s"$dir/_graft_stream_log/q-uw")
+    logDir.mkdirs()
+    new java.io.File(logDir, ".3.inprogress").createNewFile()
+    val (stagedPath, _) = m1.staged.head
+    val stagedName = new java.io.File(stagedPath).getName
+    assert(new java.io.File(stagedPath).renameTo(new java.io.File(dir,
+      JsonlEqDeletes.stampName(stagedName, 2L))))
+    new java.io.File(s"$dir/_eq_deletes/s2.claim").createNewFile()
+    // the torn window shows duplicates, never loss
+    assert(read.sorted == Seq((9L, "x"), (9L, "y")))
+    // the replay (new task id, so a different shard name an
+    // exists-check could never see) must sweep the STAMPED partial by
+    // its epoch marker, land its own wave, and publish the key file
+    val m2 = stage("q-uw-e3", 99L, "y")
+    w.commit(3L, Array(m2))
+    assert(read == Seq((9L, "y")),
+      "the replayed wave must supersede epoch 1's version exactly once")
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.gz")).map(_.getName)
+    assert(shards.count(_.contains("-q-uw-e3")) == 1 &&
+      shards.exists(n => n.contains("-99-") && n.contains("-eqs3.")),
+      s"attempt-1 stamped partial must be swept: ${shards.toSeq}")
+    assert(new java.io.File(s"$dir/_eq_deletes/s3.json").exists(),
+      "the replay wave publishes its own key file at a fresh sequence")
+    assert(!new java.io.File(s"$dir/_eq_deletes/s2.json").exists())
+  }
+
   test("streaming into a partitioned catalog table routes to hive dirs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
