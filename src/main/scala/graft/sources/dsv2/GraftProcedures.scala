@@ -427,7 +427,6 @@ object GraftProcedures {
           // key files a snapshot manifest embedded move to retained/
           // instead of deleting — pinned scans keep resolving them
           JsonlEqDeletes.retire(fs, table, minLive,
-            JsonlSnapshots.referencedEqNames(fs, table),
             JsonlSnapshots.retainedRoot(table))
           ()
         }
@@ -787,6 +786,29 @@ object GraftProcedures {
                 require(fs.rename(p, new Path(p.getParent, n)),
                   s"cluster_table: eq stamp rename failed for $p")
             }
+          // ABORT if an upsert wave raced the rewrite: a wave whose
+          // inserts were listed into `before` but whose key file
+          // published after eqMaxCl was read would have its only
+          // surviving copies stamped eqMaxCl < its sequence — hidden
+          // by its own deletes after the swap. Tombstone stale claims
+          // (their late publish now stands down), then any published
+          // sequence movement or FRESH in-flight claim fails the run
+          // BEFORE the swap: staging drops, the table is untouched,
+          // the caller retries. A wave claiming after this check
+          // renames after `before` was listed — its shards survive
+          // the swap untouched.
+          val staleMsCl = conf.value.getLong(JsonlSnapshots.ClaimStaleMsKey,
+            JsonlSnapshots.DefaultClaimStaleMs)
+          val freshClaims =
+            JsonlEqDeletes.breakStaleClaims(fs, table, staleMsCl)
+          if (JsonlEqDeletes.currentSeq(fs, table) != eqMaxCl ||
+              freshClaims > 0) {
+            fs.delete(staging, true)
+            throw new IllegalStateException(
+              s"cluster_table aborted: upsert wave(s) landed or are in " +
+                s"flight during the rewrite of $tableName — retry when " +
+                "the writers quiesce (the table is untouched)")
+          }
           // swap: originals (the PRE-rewrite snapshot — appends racing
           // the rewrite stay untouched) -> trash, staged shards up,
           // consumed sidecars + stale index out, trash last
@@ -872,7 +894,6 @@ object GraftProcedures {
               else live.iterator.map { case (pp, _, _, _) =>
                 JsonlEqDeletes.shardSeqOf(pp.getName) }.min
             JsonlEqDeletes.retire(fs, table, minLive,
-              JsonlSnapshots.referencedEqNames(fs, table),
               JsonlSnapshots.retainedRoot(table))
           }
           result(compactSchema, resultRows)
@@ -1157,8 +1178,32 @@ object GraftProcedures {
             stale.foreach(st => fs.delete(st.getPath, false))
             stale.length
           }.sum
+        // crashed auto-snapshot commits leak pin-intent markers, which
+        // correctly force every later pin to a full listing and block
+        // rollback (the crashed commit's shards are in no manifest).
+        // Past the horizon — the caller's dead-writer assertion, the
+        // same contract staging attempts expire under — reclaim them:
+        // FIRST fold the landed shards into a full-listing pin so they
+        // become manifest-referenced, THEN drop the markers.
+        val snapDir = JsonlSnapshots.dir(table)
+        val staleIntents =
+          if (!fs.exists(snapDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else fs.listStatus(snapDir).filter(st =>
+            st.getPath.getName.startsWith(".intent.") &&
+              st.getModificationTime < horizon)
+        val fromIntents =
+          if (staleIntents.isEmpty) 0
+          else {
+            val parts = input.getUTF8String(0).toString.split("\\.")
+            val schema = catalog
+              .loadTable(Identifier.of(parts.init, parts.last)).schema()
+            JsonlSnapshots.create(fs, table, None, schema)
+            staleIntents.foreach(st => fs.delete(st.getPath, false))
+            staleIntents.length
+          }
         result(expireSchema,
-          Seq(new GenericInternalRow(Array[Any](fromStaging + fromLog))))
+          Seq(new GenericInternalRow(
+            Array[Any](fromStaging + fromLog + fromIntents))))
       }
     }
 }

@@ -227,7 +227,25 @@ object JsonlChangeFeed {
           regexp_extract(col("_shard"), "-eqs(\\d+)\\.jsonl", 1)
             .cast("long"), lit(0L))
         val cond = eqCols.map(c => col(c) <=> col(s"_eqk_$c")).reduce(_ && _)
-        fromRead.where(col("_shard").isin(eqCommon.map(qualify): _*))
+        // rows MOR-deleted IN-WINDOW already emit through deltaRows —
+        // exclude their (shard, pos) ids here or a key both
+        // positionally deleted and re-upserted in one window would
+        // emit its delete twice (the partition path passes both
+        // endpoints' ordinals to its emit partitions for the same
+        // reason)
+        val fromCommon0 = fromRead
+          .where(col("_shard").isin(eqCommon.map(qualify): _*))
+        val fromCommon =
+          if (d.deltaDeletes.isEmpty) fromCommon0
+          else {
+            val exPairs = d.deltaDeletes.toSeq.flatMap { case (rel, ords) =>
+              val q = qualify(rel); ords.map(o => (q, o))
+            }
+            import spark.implicits._
+            fromCommon0.join(broadcast(exPairs.toDF("_shard", "_pos")),
+              Seq("_shard", "_pos"), "left_anti")
+          }
+        fromCommon
           .join(broadcast(keysDf), cond, "inner")
           .where(stampCol < col("_eqseq"))
           .drop(keySchema.fieldNames.toSeq: _*)

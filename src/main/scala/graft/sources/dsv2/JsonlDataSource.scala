@@ -2026,6 +2026,21 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
       .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
       .foldLeft(Long.MinValue)(math.max)
     if (f.exists(inprog) || epochId <= maxLogged) {
+      // roll back the prior attempt's WAVE first: its key file carries
+      // this epoch's tag, and it must go BEFORE its inserts are swept —
+      // the inverse order would transiently (or, crashing again,
+      // durably) serve the wave's deletes without its inserts, the
+      // exact state the publish-last protocol forbids. Deleting the
+      // key file first merely re-opens the transient-duplicates
+      // window, which this replay is about to close anyway.
+      if (upsertKeys.nonEmpty) {
+        val eqd = JsonlEqDeletes.dir(dest)
+        if (f.exists(eqd)) {
+          val tagSuffix = s"-${epochQueryId(epochId)}.json"
+          f.listStatus(eqd).filter(_.getPath.getName.endsWith(tagSuffix))
+            .foreach(st => f.delete(st.getPath, false))
+        }
+      }
       val marker = epochMarker(epochId)
       // a prior attempt's shards may carry an equality-delete stamp
       // between the epoch marker and the extension — match both forms
@@ -2081,9 +2096,13 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
     if (wave) {
       val keys = messages.iterator.flatMap {
         case m: JsonlCommitMessage => m.upsertKeys }.toSet
-      JsonlEqDeletes.publish(f, dest, stampSeq, upsertKeys, keys)
+      // the key file carries THIS EPOCH'S TAG so a crash-replay can
+      // roll the whole wave back (key file + marker-swept inserts)
+      JsonlEqDeletes.publish(f, dest, stampSeq, upsertKeys, keys,
+        epochQueryId(epochId))
     }
-    } finally if (wave) JsonlEqDeletes.releaseClaim(f, dest, stampSeq)
+    } finally if (wave)
+      JsonlEqDeletes.releaseClaim(f, dest, stampSeq, epochQueryId(epochId))
     // intent marker BEFORE the durable commit point: a crash between
     // the log rename and the auto-pin would otherwise leave this
     // epoch's shards in no manifest forever (delta pins rebase the
@@ -2987,8 +3006,12 @@ final class JsonlPartitionReader(file: String, required: StructType,
       sb.toString
     }
   private def eqHidden(node: JsonNode): Boolean =
-    (eqActive && eqDeletes.get(eqKeyOf(node)).exists(_ > eqShardSeq)) ||
-      (eqEmitActive && !eqEmit.get(eqKeyOf(node)).exists(_ > eqShardSeq))
+    if (!eqActive && !eqEmitActive) false
+    else {
+      val key = eqKeyOf(node) // rendered ONCE per row (emit mode needs both maps)
+      (eqActive && eqDeletes.get(key).exists(_ > eqShardSeq)) ||
+        (eqEmitActive && !eqEmit.get(key).exists(_ > eqShardSeq))
+    }
 
   // change-feed ordinal-delta piece: emit ONLY the listed positions
   // (the rows a merge-on-read delete removed between two snapshots)

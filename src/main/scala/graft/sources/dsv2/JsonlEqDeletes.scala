@@ -71,7 +71,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object JsonlEqDeletes {
   val DirName = "_eq_deletes"
 
-  private val FileName = """s(\d+)\.json""".r
+  /** Key file names are `s<SEQ>.json` or `s<SEQ>-<tag>.json`: the
+    * optional WRITER TAG lets a streaming epoch replay find and roll
+    * back its crashed prior attempt's key file (the inserts are swept
+    * by the shard-name epoch marker; sweeping the inserts while
+    * leaving the key file would create the deletes-without-inserts
+    * state the publish-last protocol forbids). */
+  private val FileName = """s(\d+)(?:-[^.]+)?\.json""".r
   private val ClaimName = """s(\d+)\.claim""".r
   /** Tombstone of a crashed wave's claim: keeps its sequence number
     * occupied forever (until [[retire]] folds it into the hwm), so a
@@ -88,8 +94,9 @@ object JsonlEqDeletes {
   private val NullMark = "\u0000"
 
   def dir(table: Path): Path = new Path(table, DirName)
-  private def keyFile(table: Path, seq: Long): Path =
-    new Path(dir(table), s"s$seq.json")
+  private def keyFile(table: Path, seq: Long, tag: String = null): Path =
+    new Path(dir(table),
+      if (tag == null) s"s$seq.json" else s"s$seq-$tag.json")
   private def claimFile(table: Path, seq: Long): Path =
     new Path(dir(table), s"s$seq.claim")
   private def droppedFile(table: Path, seq: Long): Path =
@@ -176,7 +183,13 @@ object JsonlEqDeletes {
       val d = dir(table)
       val now = System.currentTimeMillis()
       var maxAll = readHwm(fs, table)
-      fs.listStatus(d).foreach { st =>
+      // one listing: published sequences first (key files may carry a
+      // writer tag, so per-claim existence probes can't see them),
+      // then claims judged against that set
+      val sts = fs.listStatus(d)
+      val published = sts.iterator.map(_.getPath.getName).collect {
+        case FileName(n) => n.toLong }.toSet
+      sts.foreach { st =>
         st.getPath.getName match {
           case FileName(n) => maxAll = math.max(maxAll, n.toLong)
           case DroppedName(n) => maxAll = math.max(maxAll, n.toLong)
@@ -184,8 +197,9 @@ object JsonlEqDeletes {
             maxAll = math.max(maxAll, n.toLong)
             // a claim without its key file, older than the budget, is
             // a crashed wave: tombstone it so its holder (if secretly
-            // alive) sees the break and the number can't stall others
-            if (!fs.exists(keyFile(table, n.toLong)) &&
+            // alive) stands down at publish and the number can't
+            // stall others
+            if (!published(n.toLong) &&
                 now - st.getModificationTime > staleMs)
               fs.rename(st.getPath, droppedFile(table, n.toLong))
           case _ => ()
@@ -203,24 +217,60 @@ object JsonlEqDeletes {
     * file (a failed commit — rename threw mid-wave, or the publish
     * itself failed), the claim becomes a tombstone instead: stamped
     * orphan shards may exist, so the number must stay retired. */
-  def releaseClaim(fs: FileSystem, table: Path, seq: Long): Unit = {
-    if (fs.exists(keyFile(table, seq)))
+  def releaseClaim(fs: FileSystem, table: Path, seq: Long,
+                   tag: String = null): Unit = {
+    if (fs.exists(keyFile(table, seq, tag)))
       fs.delete(claimFile(table, seq), false)
     else
       fs.rename(claimFile(table, seq), droppedFile(table, seq))
     ()
   }
 
+  /** Tombstone stale claims (same rule as [[claimNext]]) and return
+    * how many FRESH (in-flight) wave claims remain — maintenance that
+    * cannot tolerate a wave racing its swap (cluster_table) refuses
+    * while any exist. */
+  def breakStaleClaims(fs: FileSystem, table: Path, staleMs: Long): Int = {
+    val d = dir(table)
+    if (!fs.exists(d)) return 0
+    val now = System.currentTimeMillis()
+    val sts = fs.listStatus(d)
+    val published = sts.iterator.map(_.getPath.getName).collect {
+      case FileName(n) => n.toLong }.toSet
+    var fresh = 0
+    sts.foreach(st => st.getPath.getName match {
+      case ClaimName(n) =>
+        if (!published(n.toLong) &&
+            now - st.getModificationTime > staleMs)
+          fs.rename(st.getPath, droppedFile(table, n.toLong))
+        else fresh += 1
+      case _ => ()
+    })
+    fresh
+  }
+
   /** Publish wave `seq`'s key file (tmp + rename — readers never see a
-    * torn file). `keys` are RENDERED tuples ([[renderParts]]). */
+    * torn file). `keys` are RENDERED tuples ([[renderParts]]). STANDS
+    * DOWN (throws) if the wave's claim was stale-broken: a tombstoned
+    * sequence means maintenance (compact/cluster) may have already
+    * reconciled past this wave — its shards re-stamped at or above
+    * `seq` — so a late publish would hit nothing and leave the wave's
+    * old/new row pairs as permanent duplicates. Failing loudly makes
+    * the framework/user retry at a fresh sequence, which converges. */
   def publish(fs: FileSystem, table: Path, seq: Long, cols: Seq[String],
-              keys: Iterable[String]): Unit = {
+              keys: Iterable[String], tag: String = null): Unit = {
+    def owned: Boolean = fs.exists(claimFile(table, seq))
+    def standDown(): Nothing = throw new IllegalStateException(
+      s"equality-delete wave $seq on $table stood down: its claim was " +
+        "stale-broken (the wave outlived " +
+        s"${JsonlSnapshots.ClaimStaleMsKey}) — retry the write")
+    if (!owned) standDown()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("seq", seq)
     val cn = root.putArray("cols"); cols.foreach(cn.add)
     val kn = root.putArray("keys"); keys.toSeq.sorted.foreach(kn.add)
-    val target = keyFile(table, seq)
+    val target = keyFile(table, seq, tag)
     fs.mkdirs(target.getParent)
     val tmp = new Path(target.getParent, s".${target.getName}.tmp")
     val out = fs.create(tmp, true)
@@ -228,6 +278,10 @@ object JsonlEqDeletes {
     out.close()
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"equality-delete publish failed: $target")
+    if (!owned) { // broken mid-publish: un-publish, stand down
+      fs.delete(target, false)
+      standDown()
+    }
   }
 
   /** The reader-side state: (rendered key tuple → highest delete
@@ -354,18 +408,19 @@ object JsonlEqDeletes {
     def get(conf: org.apache.hadoop.conf.Configuration, files: Seq[String])
         : (Map[String, Long], Long, Seq[String]) = {
       val key = files.sorted.mkString("|")
-      val ref = cache.get(key)
-      val hit = if (ref == null) null else ref.get()
-      if (hit != null) return hit
-      cache.synchronized {
-        val ref2 = cache.get(key)
-        val hit2 = if (ref2 == null) null else ref2.get()
-        if (hit2 != null) return hit2
+      // computeIfAbsent locks only this key's bin, so concurrent scans
+      // of DIFFERENT tables load in parallel; a cleared SoftReference's
+      // entry is removed (keys never accumulate) and recomputed
+      val ref = cache.computeIfAbsent(key, _ => {
         val paths = files.map(new Path(_))
-        val v = indexFiles(paths.head.getFileSystem(conf), paths)
-        cache.put(key,
-          new java.lang.ref.SoftReference((v._1, v._2, v._3)))
-        v
+        new java.lang.ref.SoftReference(
+          indexFiles(paths.head.getFileSystem(conf), paths))
+      })
+      val hit = ref.get()
+      if (hit != null) hit
+      else {
+        cache.remove(key, ref)
+        get(conf, files)
       }
     }
   }
@@ -391,14 +446,16 @@ object JsonlEqDeletes {
 
   /** Retire key files no live shard is exposed to: file S is needed
     * iff some live shard's stamp is < S. Crashed-wave tombstones are
-    * folded into the hwm and removed with them. A retiring key file a
-    * snapshot manifest references MOVES to `retainedRoot/_eq_deletes/`
-    * instead (the same retain-or-delete discipline as shards), so
-    * pinned scans keep resolving the equality state they embedded.
-    * Returns files removed (retained ones count — they left the live
-    * pending set). */
+    * folded into the hwm and removed with them. When `retainedRoot` is
+    * given, EVERY retiring key file
+    * moves to `retainedRoot/_eq_deletes/` instead of deleting — not
+    * just manifest-referenced ones: a lock-free wave's delta auto-pin
+    * may be about to reference a key file no published manifest names
+    * yet, and a hard delete here would leave that manifest
+    * unresolvable forever. `expire_snapshots` reclaims retained files
+    * no surviving manifest references. Returns files removed (retained
+    * ones count — they left the live pending set). */
   def retire(fs: FileSystem, table: Path, minLiveShardSeq: Long,
-             referenced: Set[String] = Set.empty,
              retainedRoot: Path = null): Int = {
     val d = dir(table)
     if (!fs.exists(d)) return 0
@@ -429,7 +486,7 @@ object JsonlEqDeletes {
     fs.listStatus(d).foreach(st => st.getPath.getName match {
       case FileName(n) if n.toLong <= minLiveShardSeq =>
         val name = st.getPath.getName
-        if (referenced.contains(name) && retainedRoot != null) {
+        if (retainedRoot != null) {
           val kept = new Path(new Path(retainedRoot, DirName), name)
           if (fs.exists(kept)) fs.delete(st.getPath, false)
           else {
@@ -500,10 +557,18 @@ object JsonlEqDeletes {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
       StringType, TimestampNTZType, TimestampType}
     if (cols.isEmpty) return null
-    // leading part of each tuple, folded to its highest sequence
+    // leading part of each tuple, folded to its highest sequence.
+    // Writers refuse separator characters inside STRING key values,
+    // but legacy/foreign key files might carry them — a tuple whose
+    // part count disagrees with the key arity is ambiguous to split,
+    // so stand down entirely (conservative, never wrong).
     val leading = scala.collection.mutable.HashMap.empty[String, Long]
-    eqMap.foreach { case (k, sq) =>
-      val lead = if (cols.size == 1) k else k.split(Sep, -1).head
+    val it = eqMap.iterator
+    while (it.hasNext) {
+      val (k, sq) = it.next()
+      val parts = k.split(Sep, -1)
+      if (parts.length != cols.size) return null
+      val lead = parts(0)
       leading.get(lead) match {
         case Some(s0) if s0 >= sq => ()
         case _ => leading.update(lead, sq)
@@ -583,7 +648,22 @@ object JsonlEqDeletes {
       else Some(schema.fields(i).dataType match {
         case LongType => row.getLong(i).toString
         case IntegerType => row.getInt(i).toString
-        case StringType => row.getUTF8String(i).toString
+        case StringType =>
+          val v = row.getUTF8String(i).toString
+          // the rendering joins parts with U+0001 and marks null with
+          // U+0000 UNESCAPED: a key value containing them would make
+          // distinct tuples render identically (one silently hiding
+          // the other) — refuse loudly at the write
+          var j = 0
+          while (j < v.length) {
+            if (v.charAt(j) <= '\u0002')
+              throw new UnsupportedOperationException(
+                "graft.upsert.keys: key values must not contain control " +
+                  s"characters U+0000..U+0002 (column " +
+                  s"${schema.fields(i).name})")
+            j += 1
+          }
+          v
         case DateType => row.getInt(i).toString
         case TimestampType | TimestampNTZType => row.getLong(i).toString
         case dt => throw new UnsupportedOperationException(

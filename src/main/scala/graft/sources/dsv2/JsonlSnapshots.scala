@@ -279,20 +279,24 @@ object JsonlSnapshots {
           val prevId = idsOf(fs, table)._1.filter(_ < id)
             .foldLeft(0L)(math.max)
           // stale intent markers = commits that landed data but died
-          // before their pin: their shards are in no manifest, so a
-          // delta rebase would never see them — repair with a full
-          // listing and consume the markers AFTER publishing (a
-          // stand-down must leave them for the next pinner). Young
-          // markers are concurrent in-flight commits: benign, their
-          // own pins are coming.
-          val staleIntents: Seq[Path] = {
+          // before their pin (or are still mid-flight past the
+          // budget): their shards may be in no manifest, so a delta
+          // rebase would never see them — repair with a FULL LISTING.
+          // Markers are NEVER consumed here: age alone cannot prove
+          // the owner dead, and consuming a live slow commit's marker
+          // would re-open the unpinned-crash window its later renames
+          // depend on. Only the owner clears its marker (success or
+          // replay); a crashed owner's marker keeps every later pin
+          // full-listing (correct, merely slower) until
+          // `CALL expire_staging` reclaims it under an explicit age.
+          val staleIntents: Boolean = {
             val nowI = System.currentTimeMillis()
-            fs.listStatus(dir(table)).iterator.filter { st =>
+            fs.listStatus(dir(table)).exists { st =>
               st.getPath.getName.startsWith(".intent.") &&
                 nowI - st.getModificationTime > staleMs
-            }.map(_.getPath).toSeq
+            }
           }
-          if (staleIntents.nonEmpty) repaired = true
+          if (staleIntents) repaired = true
           tag.foreach(t => require(!list(fs, table).exists(_.tag.contains(t)),
             s"snapshot tag '$t' already exists"))
           val (shards: Map[String, ShardRef], eqFiles: Seq[String]) =
@@ -324,6 +328,15 @@ object JsonlSnapshots {
                 (sh, merged.filter(n =>
                   JsonlEqDeletes.seqOfName(n) > minStamp))
               }).filter(_._2.size <= MaxDeltaEqChain)
+                // every inherited eq ref must still resolve (live or
+                // retained) — a maintenance retire racing this pin
+                // could have removed one; fall back to a full listing
+                // rather than publish a manifest that can never scan
+                .filter(_._2.forall(n =>
+                  fs.exists(new Path(JsonlEqDeletes.dir(table), n)) ||
+                    fs.exists(new Path(
+                      new Path(retainedRoot(table), JsonlEqDeletes.DirName),
+                      n))))
                 .getOrElse {
                   val c = current(fs, table, schema)
                   (c.shards, c.eqFiles)
@@ -340,10 +353,6 @@ object JsonlSnapshots {
             fs.delete(manifestFile(table, id), false) // un-publish
             return None
           }
-          // the repair manifest is durable — the crashed commits'
-          // shards it folded in are now referenced; their markers
-          // are consumed
-          staleIntents.foreach(p => fs.delete(p, false))
           return Some(m)
         } finally if (claimOwned(fs, cf, token)) fs.delete(cf, false)
       }
@@ -565,7 +574,8 @@ object JsonlSnapshots {
       s"rollback refused: crashed auto-snapshot commit(s) left intent " +
         s"marker(s) ${crashed.map(_.getPath.getName).mkString(", ")} under " +
         s"$table — their shards are pinned by no manifest and rollback " +
-        "would delete them; CALL snapshot first to fold them in")
+        "would delete them; CALL expire_staging (which pins a full " +
+        "listing, then reclaims the markers) first")
     // pre-rollback sidecar state, read BEFORE pass 3 wipes `_deletes/`:
     // a COMMON shard whose ordinal set changes gets a different visible
     // row set, so its skip-index entry (built over the delete-filtered
@@ -636,21 +646,21 @@ object JsonlSnapshots {
     // sequence-unique and the files immutable). Claims, tombstones,
     // and the hwm stay: sequence numbering never regresses, so waves
     // after the rollback still outrank every restored stamp.
-    val referencedEq = referencedEqNames(fs, table)
     JsonlEqDeletes.pendingNames(fs, table)
       .filterNot(m.eqFiles.contains).foreach { name =>
+        // retain-ALWAYS, not retain-if-referenced: a lock-free wave's
+        // delta pin may be about to reference a key file no published
+        // manifest names yet; expire reclaims unreferenced ones later
         val live = new Path(JsonlEqDeletes.dir(table), name)
-        if (referencedEq.contains(name)) {
-          val kept = new Path(
-            new Path(retainedRoot(table), JsonlEqDeletes.DirName), name)
-          if (fs.exists(kept)) fs.delete(live, false)
-          else {
-            fs.mkdirs(kept.getParent)
-            if (!fs.rename(live, kept))
-              throw new java.io.IOException(
-                s"rollback equality-delete retention failed for $name")
-          }
-        } else fs.delete(live, false)
+        val kept = new Path(
+          new Path(retainedRoot(table), JsonlEqDeletes.DirName), name)
+        if (fs.exists(kept)) fs.delete(live, false)
+        else {
+          fs.mkdirs(kept.getParent)
+          if (!fs.rename(live, kept))
+            throw new java.io.IOException(
+              s"rollback equality-delete retention failed for $name")
+        }
       }
     m.eqFiles.foreach { name =>
       val live = new Path(JsonlEqDeletes.dir(table), name)

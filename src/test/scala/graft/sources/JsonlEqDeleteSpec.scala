@@ -877,6 +877,35 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM eq.ns.ck").head.getLong(0) == 102L)
   }
 
+  test("guards: control-char key values refuse; cluster aborts on in-flight waves") {
+    sql("""CREATE TABLE eq.ns.gd (k STRING, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
+    // a STRING key holding the tuple separator would make distinct
+    // tuples render identically — the write refuses loudly
+    val e = intercept[Exception] {
+      sql("INSERT INTO eq.ns.gd VALUES (concat('a', char(1), 'b'), 1)") }
+    def chain(t: Throwable): String = {
+      var cur: Throwable = t; val sb = new StringBuilder
+      while (cur != null) { sb.append(cur.getMessage).append('|'); cur = cur.getCause }
+      sb.toString
+    }
+    assert(chain(e).contains("control characters"), chain(e))
+    sql("INSERT INTO eq.ns.gd VALUES ('a', 1)") // wave s1
+    // cluster_table aborts rather than swap under an IN-FLIGHT wave (a
+    // fresh claim): its key file could publish after the rewrite read
+    // its inserts, and the swap would strand the only copy
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    val claim = new java.io.File(s"$root/ns/gd/_eq_deletes/s9.claim")
+    claim.createNewFile()
+    val e2 = intercept[Exception] {
+      sql("CALL eq.system.cluster_table('ns.gd', columns => 'k')").collect() }
+    assert(e2.getMessage.contains("in flight") ||
+      chain(e2).contains("in flight"), chain(e2))
+    claim.delete()
+    sql("CALL eq.system.cluster_table('ns.gd', columns => 'k')").collect()
+    assert(rows("SELECT v, v FROM eq.ns.gd").size == 1)
+  }
+
   test("upsert key columns: DROP refused, RENAME follows the property") {
     sql("""CREATE TABLE eq.ns.alk (k BIGINT, v BIGINT)
           |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)

@@ -1014,20 +1014,33 @@ class JsonlSnapshotsSpec extends AnyFunSuite {
         .collect() }
     assert(e.getMessage.contains("intent"), e.getMessage)
     // the next pin — here another delta-pinning INSERT — must detect
-    // the stale marker, base on a FULL listing (folding the crashed
-    // commit's shard in), and consume the marker
+    // the stale marker and base on a FULL listing (folding the crashed
+    // commit's shard in). The marker is NOT consumed: age alone cannot
+    // prove the owner dead, so only the owner — or an explicit
+    // expire_staging under its dead-writer horizon — may clear it.
     sql("INSERT INTO sn.ic.t VALUES (2, 20)")
-    assert(!marker.exists(),
-      "the repairing pin must consume the stale intent marker")
+    assert(marker.exists(),
+      "a repairing pin must never consume a foreign intent marker")
     val fs = new Path(table.toString)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest = JsonlSnapshots.list(fs, new Path(table.toString)).last
     assert(latest.shards.keySet.contains("part-crashed-0-7.jsonl.gz"),
       s"repair pin must fold the crashed commit's shard in: " +
         s"${latest.shards.keySet}")
-    // rollback to the repair version now retains everything
+    // rollback still refuses while the marker stands (the owner could
+    // be alive and renaming more shards); expire_staging reclaims it
+    // under the caller's dead-writer assertion — pinning a full
+    // listing first — and then rollback works
+    val e2 = intercept[Exception] {
+      sql(s"CALL sn.system.rollback_to_snapshot('ic.t', " +
+        s"version => '${latest.id}')").collect() }
+    assert(e2.getMessage.contains("expire_staging"), e2.getMessage)
+    sql("CALL sn.system.expire_staging('ic.t', age_minutes => 1)").collect()
+    assert(!marker.exists(),
+      "expire_staging must reclaim the stale marker after folding")
+    val target = JsonlSnapshots.list(fs, new Path(table.toString)).last
     sql(s"CALL sn.system.rollback_to_snapshot('ic.t', " +
-      s"version => '${latest.id}')").collect()
+      s"version => '${target.id}')").collect()
     assert(rows("SELECT k, v FROM sn.ic.t") ==
       Seq((1L, 10L), (2L, 20L), (9L, 90L)))
   }

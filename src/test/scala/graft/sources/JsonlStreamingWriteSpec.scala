@@ -161,9 +161,68 @@ class JsonlStreamingWriteSpec extends AnyFunSuite {
     assert(shards.count(_.contains("-q-uw-e3")) == 1 &&
       shards.exists(n => n.contains("-99-") && n.contains("-eqs3.")),
       s"attempt-1 stamped partial must be swept: ${shards.toSeq}")
-    assert(new java.io.File(s"$dir/_eq_deletes/s3.json").exists(),
-      "the replay wave publishes its own key file at a fresh sequence")
-    assert(!new java.io.File(s"$dir/_eq_deletes/s2.json").exists())
+    // streaming key files carry the EPOCH TAG so a later replay can
+    // roll a crashed wave fully back (key file + inserts together)
+    val eqNames = new java.io.File(s"$dir/_eq_deletes").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).sorted.toSeq
+    assert(eqNames.exists(n => n.startsWith("s3-") && n.contains("q-uw-e3")),
+      s"the replay wave publishes its tagged key file: $eqNames")
+    assert(!eqNames.exists(_.startsWith("s2")), eqNames.toString)
+  }
+
+  test("replay of a FULLY-published wave rolls its key file back with the inserts") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.dsv2.JsonlEqDeletes
+    val dir = tmp("jsonl-wave-crash2")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id long, v string")
+    val w = new graft.sources.dsv2.JsonlStreamingWrite(schema, dir, "q-uw2",
+      Nil, upsertKeys = Seq("id"))
+    def stage(epochQ: String, taskId: Long, v: String)
+        : graft.sources.dsv2.JsonlCommitMessage = {
+      val dw = new graft.sources.dsv2.JsonlDataWriter(schema, dir, epochQ,
+        0, taskId, graft.sources.dsv2.JsonlHadoopConf.fromSession(),
+        Nil, Seq("id"))
+      dw.write(InternalRow(9L, UTF8String.fromString(v)))
+      dw.commit().asInstanceOf[graft.sources.dsv2.JsonlCommitMessage]
+    }
+    w.commit(1L, Array(stage("q-uw2-e1", 7L, "x"))) // wave s1
+    // epoch 3 attempt 1 got ALL the way through its wave — inserts
+    // renamed AND key file published — then died before the epoch log
+    // rename. The replay must roll the WHOLE wave back (key file
+    // FIRST, or the swept inserts would leave deletes-without-inserts)
+    // before re-running.
+    val m1 = stage("q-uw2-e3", 42L, "y")
+    val logDir = new java.io.File(s"$dir/_graft_stream_log/q-uw2")
+    logDir.mkdirs()
+    new java.io.File(logDir, ".3.inprogress").createNewFile()
+    val (stagedPath, _) = m1.staged.head
+    val stagedName = new java.io.File(stagedPath).getName
+    assert(new java.io.File(stagedPath).renameTo(new java.io.File(dir,
+      JsonlEqDeletes.stampName(stagedName, 2L))))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new java.io.File(s"$dir/_eq_deletes").mkdirs()
+    new java.io.File(s"$dir/_eq_deletes/s2.claim").createNewFile()
+    JsonlEqDeletes.publish(fs, new org.apache.hadoop.fs.Path(dir), 2L,
+      Seq("id"), Seq("9"), "q-uw2-e3")
+    new java.io.File(s"$dir/_eq_deletes/s2.claim").delete()
+    def read = spark.read.format("graft-jsonl")
+      .schema("id long, v string").load(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val m2 = stage("q-uw2-e3", 99L, "y")
+    w.commit(3L, Array(m2))
+    assert(read == Seq((9L, "y")),
+      "the replay must converge to exactly-once across the full wave")
+    // the crashed attempt's key file was rolled back BEFORE its
+    // inserts were swept; the retry then owns whatever sequence it
+    // claims (re-claiming the fully-rolled-back number is sound —
+    // nothing stamped with it survives) and publishes exactly one
+    // tagged key file for this epoch
+    val eqNames = new java.io.File(s"$dir/_eq_deletes").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).sorted.toSeq
+    assert(eqNames.count(_.endsWith("-q-uw2-e3.json")) == 1,
+      s"exactly the retry's key file must remain for the epoch: $eqNames")
   }
 
   test("streaming into a partitioned catalog table routes to hive dirs") {
