@@ -486,7 +486,12 @@ object JsonlEqDeletes {
     fs.listStatus(d).foreach(st => st.getPath.getName match {
       case FileName(n) if n.toLong <= minLiveShardSeq =>
         val name = st.getPath.getName
-        if (retainedRoot != null) {
+        // retain only when the snapshot machinery exists (_snapshots/
+        // present): a never-snapshotted table would otherwise grow
+        // retained files nothing ever expires. A racing FIRST pin on
+        // such a table survives the hard delete through pin-time ref
+        // validation (missing ref -> full-listing fallback).
+        if (retainedRoot != null && fs.exists(retainedRoot.getParent)) {
           val kept = new Path(new Path(retainedRoot, DirName), name)
           if (fs.exists(kept)) fs.delete(st.getPath, false)
           else {
