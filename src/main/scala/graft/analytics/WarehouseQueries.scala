@@ -2201,6 +2201,65 @@ object WarehouseQueries {
       |       AS BIGINT) AS sv
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q231
+  /** Metadata-only PARTITION-column rename (round 14,
+    * [[graft.sources.dsv2.JsonlTable.PartAliasesKey]]): an orders
+    * table partitioned by status, one generation written, the column
+    * renamed `status → state` with ZERO data movement, then a second
+    * generation inserted under the new segment name. The rollup over
+    * BOTH generations — old `status=X` dirs and new `state=X` dirs,
+    * values resolved from the path and pruned through the rename
+    * alias — must match DuckDB's doubled recompute. Guarded in-query:
+    * both dir generations must actually exist on disk. */
+  private val partRenameCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def partitionRenameProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = partRenameCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-cat-q231").toString
+      c.conf.set("spark.sql.catalog.whpr", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whpr.root", root)
+      c.sql("CREATE NAMESPACE whpr.pr")
+      c.sql("""CREATE TABLE whpr.pr.orders
+              |  (o_orderkey BIGINT, o_custkey BIGINT, status STRING)
+              |PARTITIONED BY (status)""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whpr.pr.orders
+           |SELECT /*+ REPARTITION(4) */
+           |  o_orderkey, o_custkey, o_orderstatus AS status
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("ALTER TABLE whpr.pr.orders RENAME COLUMN status TO state")
+      c.sql(
+        s"""INSERT INTO whpr.pr.orders
+           |SELECT /*+ REPARTITION(4) */
+           |  o_orderkey + 10000000 AS o_orderkey, o_custkey,
+           |  o_orderstatus AS state
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      // both generations must be on disk, or this probe proves nothing
+      val dirs = new java.io.File(s"$root/pr/orders").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")).toSet
+      require(dirs.exists(_.startsWith("status=")) &&
+        dirs.exists(_.startsWith("state=")),
+        s"q231 needs pre- AND post-rename dir generations, got $dirs")
+      c
+    })
+    child.sql(
+      """SELECT state, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sc
+        |FROM whpr.pr.orders WHERE state <> 'X'
+        |GROUP BY state ORDER BY state""".stripMargin)
+  }
+
+  val partitionRenameProbeSql: String =
+    """SELECT o_orderstatus AS state,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS n,
+      |  2 * CAST(SUM(o_custkey) AS BIGINT) AS sc
+      |FROM orders WHERE o_orderstatus <> 'X'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q217
   /** The change feed through the DSv2 SOURCE
     * ([[graft.sources.dsv2.JsonlChangesSource]], the batch face of
@@ -2405,6 +2464,7 @@ object WarehouseQueries {
     "q228_corpus_upsert_string_key" -> (corpusUpsertWaves _),
     "q229_upsert_time_travel" -> (upsertTimeTravel _),
     "q230_date_key_upsert" -> (dateKeyUpsert _),
+    "q231_partition_rename" -> (partitionRenameProbe _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -2455,6 +2515,7 @@ object WarehouseQueries {
     "q228_corpus_upsert_string_key" -> corpusUpsertWavesSql,
     "q229_upsert_time_travel" -> upsertTimeTravelSql,
     "q230_date_key_upsert" -> dateKeyUpsertSql,
+    "q231_partition_rename" -> partitionRenameProbeSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

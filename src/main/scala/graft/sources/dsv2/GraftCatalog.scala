@@ -197,6 +197,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val name = single(add.fieldNames, "ADD COLUMN")
         if (schema.fieldNames.contains(name))
           throw new IllegalArgumentException(s"column $name already exists")
+        // directory-segment namespace guard: `name=v` dirs of a RENAMED
+        // partition column would resolve as the new column's values
+        require(!JsonlTable.partAliasNames(schema).contains(name),
+          s"graft catalog: cannot add column $name — it is the former " +
+            "name of a renamed partition column whose directories still " +
+            "use it; rewrite + CALL evolve_partitioning to unify first")
         if (!add.isNullable) throw new UnsupportedOperationException(
           "graft catalog: new columns must be nullable — existing shards " +
             "hold no values for them")
@@ -290,9 +296,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"no column $name to rename")
         require(!schema.fieldNames.contains(newName),
           s"column $newName already exists")
-        require(!partCols.contains(name),
-          s"graft catalog: cannot rename partition column $name — the " +
-            "k=v directory layout pins its name; rewrite the table instead")
+        // the directory-segment namespace must stay unambiguous: a new
+        // display name equal to ANOTHER column's pre-rename partition
+        // alias would make `newName=v` dirs unresolvable (they hold the
+        // other column's values). Re-taking one of this field's OWN
+        // former names is fine — the old dirs hold its own values.
+        locally {
+          val foreign = schema.fields.filterNot(_.name == name)
+            .flatMap(JsonlTable.partAliasesOf).toSet
+          require(!foreign.contains(newName),
+            s"graft catalog: cannot rename to $newName — it is the former " +
+              "name of a renamed partition column whose directories still " +
+              "use it; rewrite + CALL evolve_partitioning to unify first")
+        }
         // a graft.upsert.keys column may be renamed — the property is
         // rewritten below so future waves keep working — but NOT while
         // published key files still name the old column: readers
@@ -334,6 +350,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             fl.copy(name = newName, metadata = b.build())
           }
         })
+        // PARTITION column rename is metadata-only too: the k=v dirs
+        // written so far keep the old segment name, and every segment
+        // parse canonicalizes through [[JsonlTable.PartAliasesKey]]
+        // (pruning, value injection, SPJ, partition-predicate deletes,
+        // dynamic overwrite's alias-variant sweep all fold it). New
+        // writes land under the new name; a full rewrite + CALL
+        // evolve_partitioning retires the alias.
+        // a LEGACY-generation partition column (evolved out of the
+        // current spec, old dirs still keyed by it) needs the same
+        // alias — its values live only in those dir names
+        val dirKeyed = partCols.contains(name) ||
+          JsonlTable.legacySpecsOf(props)
+            .exists(_.split(",").contains(name))
+        if (dirKeyed) {
+          schema = StructType(schema.fields.map { fl =>
+            if (fl.name != newName) fl
+            else {
+              val prior = JsonlTable.partAliasesOf(fl)
+              val upd = (name +: prior).distinct.filterNot(_ == newName)
+              val b = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(fl.metadata)
+              if (upd.isEmpty) b.remove(JsonlTable.PartAliasesKey)
+              else b.putStringArray(JsonlTable.PartAliasesKey, upd.toArray)
+              fl.copy(metadata = b.build())
+            }
+          })
+          partCols = partCols.map(c => if (c == name) newName else c)
+          // legacy partition specs name columns too — follow the rename
+          // so multi-generation bookkeeping keeps matching the layout
+          props = props.map {
+            case (k, v) if k == JsonlTable.LegacySpecsProp =>
+              k -> v.split(";").map(_.split(",").map(c =>
+                if (c == name) newName else c).mkString(",")).mkString(";")
+            case kv => kv
+          }
+        }
         // column-list properties keyed on the old name keep working
         // under the new one (dotted skip entries rooted at the renamed
         // field follow it too); graft.upsert.keys follows the rename in
@@ -369,6 +421,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!partCols.contains(name),
             s"graft catalog: cannot drop partition column $name — the " +
               "k=v directory layout pins it; rewrite the table instead")
+          // a field whose (former) names still key live dirs can't go
+          // either: dropping it discards the alias map, and a later
+          // ADD COLUMN under one of those names would resurrect the
+          // dir-path values as the new column's
+          require(JsonlTable.partAliasesOf(fl).isEmpty &&
+            !JsonlTable.legacySpecsOf(props)
+              .exists(_.split(",").contains(name)),
+            s"graft catalog: cannot drop column $name — old partition " +
+              "directories are still keyed by it (or a former name of " +
+              "it); rewrite + CALL evolve_partitioning to unify first")
           // mirroring the partition guard: dropping an upsert key
           // column would leave graft.upsert.keys naming a vanished
           // field — writers would silently publish empty key sets
@@ -705,17 +767,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                        newCols: Seq[String]): Seq[String] = {
     val (tfs, dir) = resolveTableDir(qualified)
     val mf = metaFile(dir)
-    val (schema, _, props0) = readMeta(mf)
-    newCols.foreach(c => require(schema.fieldNames.contains(c),
+    val (schema0, _, props0) = readMeta(mf)
+    newCols.foreach(c => require(schema0.fieldNames.contains(c),
       s"evolve_partitioning: no top-level column $c in the table"))
     // the specs ACTUALLY present, from each live shard's dir segments
-    // (order-significant); root shards contribute the empty spec
+    // (order-significant, canonicalized through partition-rename
+    // aliases — a pre-rename dir is the SAME spec under its old name);
+    // root shards contribute the empty spec
+    val segAliases = JsonlTable.segmentAliasesOf(schema0)
     val qUri = tfs.makeQualified(dir).toUri
+    val rawSegNames = scala.collection.mutable.HashSet.empty[String]
     val present = JsonlLayout.discoverFull(tfs, dir).map { case (p, _, _, _) =>
       val rel = qUri.relativize(tfs.makeQualified(p).toUri).getPath
       rel.split("/").init.filter(_.contains("="))
-        .map(_.split("=", 2)(0)).mkString(",")
+        .map { seg =>
+          val k = seg.split("=", 2)(0)
+          rawSegNames += k
+          segAliases.getOrElse(k, k)
+        }.mkString(",")
     }.toSet
+    // partition-rename aliases no live dir still uses are dead
+    // metadata: prune them so the old display names leave the
+    // ADD/RENAME reserved namespace (this is the documented
+    // full-rewrite + re-CALL unification path)
+    val schema = StructType(schema0.fields.map { f =>
+      val live = JsonlTable.partAliasesOf(f).filter(rawSegNames.contains)
+      if (live == JsonlTable.partAliasesOf(f)) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        if (live.isEmpty) b.remove(JsonlTable.PartAliasesKey)
+        else b.putStringArray(JsonlTable.PartAliasesKey, live.toArray)
+        f.copy(metadata = b.build())
+      }
+    })
     val legacy = (present - newCols.mkString(",")).toSeq.sorted
     val props =
       if (legacy.isEmpty) props0 - JsonlTable.LegacySpecsProp

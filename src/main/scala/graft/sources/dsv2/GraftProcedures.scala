@@ -433,6 +433,10 @@ object GraftProcedures {
         if (todo.isEmpty) { retireOutgrown(); return result(compactSchema, Nil) }
         val tableStr = table.toString
         val stagingStr = staging.toString
+        // partition-column rename: executor tasks resolving key-column
+        // values from partition paths must fold pre-rename dir names
+        val segAliases: Map[String, String] =
+          JsonlTable.segmentAliasesOf(eqTblSchema)
         // one task per oversized dir: line-level concatenation of its
         // shards into ceil(bytes/target) gzip files — no parse, rows
         // bit-identical, memory O(1) per task (plus one bitset per
@@ -476,7 +480,7 @@ object GraftProcedures {
                 val shardSeq = JsonlEqDeletes.shardSeqOf(p.getName)
                 val pv: Map[String, Option[String]] =
                   if (!exp || keySpecs.isEmpty) Map.empty
-                  else JsonlLayout.partValuesFromPath(p)
+                  else JsonlLayout.partValuesFromPath(p, segAliases)
                 val jm = new com.fasterxml.jackson.databind.ObjectMapper()
                 val in = f.open(p)
                 val stream =

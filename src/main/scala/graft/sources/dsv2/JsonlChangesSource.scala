@@ -254,13 +254,9 @@ object JsonlChangesScan {
                      schema: StructType,
                      eq: EqWindow): Array[InputPartition] = {
     val d = JsonlChangeFeed.diff(m1, m2)
+    val segAliases = JsonlTable.segmentAliasesOf(schema)
     def pvOf(rel: String): Map[String, Option[String]] =
-      rel.split("/").init.collect {
-        case seg if seg.contains("=") =>
-          val Array(k, v) = seg.split("=", 2)
-          k -> (if (v == JsonlLayout.NullPartition) None
-                else Some(JsonlLayout.unescapePathName(v)))
-      }.toMap
+      JsonlLayout.partValuesFromRel(rel, segAliases)
     def resolve(rel: String): String =
       fs.makeQualified(JsonlSnapshots.resolve(fs, table, rel)).toString
     val eqActive = !eq.isEmpty

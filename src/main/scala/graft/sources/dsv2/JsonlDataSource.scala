@@ -83,6 +83,38 @@ object JsonlTable {
       f.metadata.getStringArray(AliasesKey).toSeq
     else Nil
 
+  /** StructField-metadata key carrying a PARTITION column's former
+    * DISPLAY names (newest first). Directory segments are a separate
+    * key namespace from JSON body keys: `k=v` dir names always use the
+    * DISPLAY name at write time (never [[PhysicalKeyMeta]]), so a
+    * metadata-only RENAME of a partition column records the old name
+    * HERE and every segment parse canonicalizes old-named dirs to the
+    * current column ([[segmentAliasesOf]]) — pre-rename directories
+    * stay readable AND prunable with zero rewrite, exactly like the
+    * body-key aliasing of [[AliasesKey]]. A full rewrite followed by
+    * `CALL evolve_partitioning` prunes aliases no live dir uses. */
+  val PartAliasesKey = "graft.part.aliases"
+
+  /** Former display names of a (current or former) partition column
+    * ([[PartAliasesKey]]), empty when never renamed as one. */
+  def partAliasesOf(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(PartAliasesKey))
+      f.metadata.getStringArray(PartAliasesKey).toSeq
+    else Nil
+
+  /** Directory-segment canonicalization map: former partition-column
+    * display name → current name, across all fields. ADD/RENAME refuse
+    * a new display name that matches any live partition alias, so keys
+    * here never shadow a current field name. */
+  def segmentAliasesOf(schema: StructType): Map[String, String] =
+    schema.fields.iterator.flatMap(f =>
+      partAliasesOf(f).iterator.map(_ -> f.name)).toMap
+
+  /** All live partition aliases (the display names [[segmentAliasesOf]]
+    * would fold) — the namespace ADD/RENAME COLUMN must keep clear. */
+  def partAliasNames(schema: StructType): Set[String] =
+    schema.fields.iterator.flatMap(partAliasesOf(_).iterator).toSet
+
   /** Table property declaring the table's WRITE-TIME clustering: with
     * `graft.write.order = 'k,ts'`, every batch INSERT/OVERWRITE asks
     * Spark for a RANGE distribution + within-task sort on those
@@ -201,6 +233,15 @@ class JsonlTable(tableSchema: StructType, path: String,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
   require(path != null, "graft-jsonl requires a path (use .load/.save(path))")
+  // partition-column rename support: segment canonicalization (former
+  // dir-segment name → current column) and its reverse (current column
+  // → former names) for the ops that must SWEEP old-named dirs
+  private lazy val segAliases: Map[String, String] =
+    JsonlTable.segmentAliasesOf(schema())
+  private lazy val segAliasesRev: Map[String, Seq[String]] =
+    schema().fields.iterator
+      .map(f => f.name -> JsonlTable.partAliasesOf(f))
+      .filter(_._2.nonEmpty).toMap
   override def name(): String =
     if (snapshot == null) s"graft-jsonl `$path`"
     else s"graft-jsonl `$path` @v${snapshot.id}"
@@ -429,6 +470,18 @@ class JsonlTable(tableSchema: StructType, path: String,
     new Path(path, rel)
   }
 
+  /** Every directory this logical partition may live under: the
+    * current-name dir plus pre-rename variants
+    * ([[JsonlLayout.aliasVariantDirs]]). Drop/truncate/exists operate
+    * on the logical partition, so they sweep all of them; creates
+    * target the head (current names) only. */
+  private def identDirs(ident: InternalRow): Seq[Path] = {
+    val rel = partCols.zip(identValues(ident)).map { case (c, v) =>
+      s"$c=${v.map(JsonlLayout.escapePathName).getOrElse(JsonlLayout.NullPartition)}"
+    }.mkString("/")
+    JsonlLayout.aliasVariantDirs(rel, segAliasesRev).map(new Path(path, _))
+  }
+
   private def pmFs = new Path(path)
     .getFileSystem(JsonlHadoopConf.fromSession().value)
 
@@ -440,53 +493,59 @@ class JsonlTable(tableSchema: StructType, path: String,
       throw new UnsupportedOperationException(
         "graft-jsonl: partition properties have no storage in the layout")
     val fs = pmFs
-    val dir = identDir(ident)
-    if (fs.exists(dir))
+    if (identDirs(ident).exists(fs.exists))
       throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
         name(), ident, partitionSchema())
-    fs.mkdirs(dir)
+    fs.mkdirs(identDir(ident))
   }
 
   override def dropPartition(ident: InternalRow): Boolean = {
     if (partCols.isEmpty) return false
     val fs = pmFs
-    val dir = identDir(ident)
-    if (!fs.exists(dir)) return false
-    // snapshot retention before the dir goes
+    // the logical partition may span a current-name dir AND pre-rename
+    // variants — dropping it sweeps every one
+    val dirs = identDirs(ident).filter(fs.exists)
+    if (dirs.isEmpty) return false
     val tRoot = new Path(path)
-    val referenced = JsonlSnapshots.referencedRels(fs, tRoot)
-    if (referenced.nonEmpty) {
-      val qualified = fs.makeQualified(tRoot).toUri
-      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (JsonlLayout.isShard(st.getPath.getName)) {
-          val rel = qualified
-            .relativize(fs.makeQualified(st.getPath).toUri).getPath
-          if (referenced.contains(rel))
-            JsonlSnapshots.discardShard(fs, tRoot, st.getPath, rel, referenced)
+    dirs.foreach { dir =>
+      // snapshot retention before the dir goes
+      val referenced = JsonlSnapshots.referencedRels(fs, tRoot)
+      if (referenced.nonEmpty) {
+        val qualified = fs.makeQualified(tRoot).toUri
+        def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (JsonlLayout.isShard(st.getPath.getName)) {
+            val rel = qualified
+              .relativize(fs.makeQualified(st.getPath).toUri).getPath
+            if (referenced.contains(rel))
+              JsonlSnapshots.discardShard(fs, tRoot, st.getPath, rel, referenced)
+          }
         }
+        walk(dir)
       }
-      walk(dir)
-    }
-    fs.delete(dir, true)
-    // sidecars of the dropped partition's shards go with it
-    val rel = fs.makeQualified(new Path(path)).toUri
-      .relativize(fs.makeQualified(dir).toUri).getPath
-    if (!rel.startsWith("/"))
-      fs.delete(new Path(new Path(path, JsonlDeletes.DirName), rel), true)
-    // prune now-empty ancestors so intermediate values leave the layout
-    var parent = dir.getParent
-    val root = new Path(path)
-    while (parent != null && parent != root &&
-      fs.exists(parent) && fs.listStatus(parent).isEmpty) {
-      fs.delete(parent, false)
-      parent = parent.getParent
+      fs.delete(dir, true)
+      // sidecars of the dropped partition's shards go with it
+      val rel = fs.makeQualified(new Path(path)).toUri
+        .relativize(fs.makeQualified(dir).toUri).getPath
+      if (!rel.startsWith("/"))
+        fs.delete(new Path(new Path(path, JsonlDeletes.DirName), rel), true)
+      // prune now-empty ancestors so intermediate values leave the layout
+      var parent = dir.getParent
+      val root = new Path(path)
+      while (parent != null && parent != root &&
+        fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+        fs.delete(parent, false)
+        parent = parent.getParent
+      }
     }
     true
   }
 
   override def partitionExists(ident: InternalRow): Boolean =
-    partCols.nonEmpty && pmFs.exists(identDir(ident))
+    partCols.nonEmpty && {
+      val fs = pmFs
+      identDirs(ident).exists(fs.exists)
+    }
 
   override def replacePartitionMetadata(
       ident: InternalRow, properties: java.util.Map[String, String]): Unit =
@@ -519,7 +578,8 @@ class JsonlTable(tableSchema: StructType, path: String,
       fs.listStatus(dir).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .flatMap { d =>
-          val Array(k, v) = d.getPath.getName.split("=", 2)
+          val Array(k0, v) = d.getPath.getName.split("=", 2)
+          val k = segAliases.getOrElse(k0, k0) // pre-rename dir names
           if (k != partCols(depth)) Nil
           else walk(d.getPath, depth + 1, acc + (k ->
             (if (v == JsonlLayout.NullPartition) None
@@ -528,6 +588,9 @@ class JsonlTable(tableSchema: StructType, path: String,
     }
     walk(root, 0, Map.empty)
       .filter(pv => wanted.forall { case (k, v) => pv.get(k).contains(v) })
+      // a logical partition may live under BOTH a current-name dir and
+      // a pre-rename variant — one identifier, not two
+      .distinct
       .map { pv =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           ps.fields.map { f =>
@@ -541,8 +604,8 @@ class JsonlTable(tableSchema: StructType, path: String,
 
   override def truncatePartition(ident: InternalRow): Boolean = {
     val fs = pmFs
-    val dir = identDir(ident)
-    if (!fs.exists(dir))
+    val dirs = identDirs(ident).filter(fs.exists)
+    if (dirs.isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
         name(), ident, partitionSchema())
     val tRoot = new Path(path)
@@ -553,13 +616,15 @@ class JsonlTable(tableSchema: StructType, path: String,
     try {
       val referenced = JsonlSnapshots.referencedRels(fs, tRoot)
       val qualified = fs.makeQualified(tRoot).toUri
-      fs.listStatus(dir).filter(st => st.isFile && JsonlLayout.isShard(st.getPath.getName))
-        .foreach { st =>
-          val rel = qualified
-            .relativize(fs.makeQualified(st.getPath).toUri).getPath
-          JsonlSnapshots.discardShard(fs, tRoot, st.getPath, rel, referenced)
-        }
-      JsonlSkipIndex.removeDirs(fs, tRoot, Seq(qualified
+      dirs.foreach { dir =>
+        fs.listStatus(dir).filter(st => st.isFile && JsonlLayout.isShard(st.getPath.getName))
+          .foreach { st =>
+            val rel = qualified
+              .relativize(fs.makeQualified(st.getPath).toUri).getPath
+            JsonlSnapshots.discardShard(fs, tRoot, st.getPath, rel, referenced)
+          }
+      }
+      JsonlSkipIndex.removeDirs(fs, tRoot, dirs.map(dir => qualified
         .relativize(fs.makeQualified(dir).toUri).getPath))
     } finally RowLevelLock.release(fs, rloLease)
     true
@@ -604,7 +669,7 @@ class JsonlTable(tableSchema: StructType, path: String,
       JsonlHadoopConf.fromSession().value, p,
       s"delete-where-${java.util.UUID.randomUUID}")
     try {
-    val layout = JsonlLayout.discover(fs, p)
+    val layout = JsonlLayout.discover(fs, p, segAliases)
     // every shard must pin every referenced column, or the delete
     // cannot be whole-partition (a root-level appended shard may hold
     // ANY key value in its rows) — refuse loudly rather than delete
@@ -869,21 +934,28 @@ object JsonlLayout {
     * must surface both populations (appended shards carry their
     * values in the JSON lines themselves). Uses the FileStatus from
     * listing — no per-entry re-stat. */
-  def discover(fs: org.apache.hadoop.fs.FileSystem, root: Path)
+  def discover(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+               aliases: Map[String, String] = Map.empty)
       : Seq[(Path, Map[String, Option[String]])] =
-    discoverFull(fs, root).map { case (p, _, _, pv) => (p, pv) }
+    discoverFull(fs, root, aliases).map { case (p, _, _, pv) => (p, pv) }
 
   /** [[discover]] plus each shard's modification time — the streaming
     * source's watermark input. One value per listing entry; no
     * per-file re-stat. */
-  def discoverStatus(fs: org.apache.hadoop.fs.FileSystem, root: Path)
+  def discoverStatus(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                     aliases: Map[String, String] = Map.empty)
       : Seq[(Path, Long, Map[String, Option[String]])] =
-    discoverFull(fs, root).map { case (p, m, _, pv) => (p, m, pv) }
+    discoverFull(fs, root, aliases).map { case (p, m, _, pv) => (p, m, pv) }
 
   /** Full listing: (path, mtime, length, partition values) per shard —
     * length feeds [[JsonlScan]]'s `estimateStatistics`. All values
-    * come from the single `listStatus` pass. */
-  def discoverFull(fs: org.apache.hadoop.fs.FileSystem, root: Path)
+    * come from the single `listStatus` pass. `aliases` canonicalizes
+    * directory-segment keys written before a partition-column RENAME
+    * ([[JsonlTable.segmentAliasesOf]]): an `old=v` dir reads as the
+    * current column, so pruning, value injection, SPJ grouping, and
+    * partition-predicate deletes all see one key namespace. */
+  def discoverFull(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                   aliases: Map[String, String] = Map.empty)
       : Seq[(Path, Long, Long, Map[String, Option[String]])] = {
     if (!fs.exists(root)) return Seq.empty
     val rootStatus = fs.getFileStatus(root)
@@ -900,7 +972,8 @@ object JsonlLayout {
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .sortBy(_.getPath.getName).toSeq
         .flatMap { d =>
-          val Array(k, v) = d.getPath.getName.split("=", 2)
+          val Array(k0, v) = d.getPath.getName.split("=", 2)
+          val k = if (aliases.isEmpty) k0 else aliases.getOrElse(k0, k0)
           val value =
             if (v == NullPartition) None else Some(unescapePathName(v))
           walk(d.getPath, pv + (k -> value))
@@ -914,15 +987,50 @@ object JsonlLayout {
     * names alone — the streaming restart path, where the discovery
     * map is gone but the path still encodes the layout. Walks up
     * while directories look like `k=v`. */
-  def partValuesFromPath(file: Path): Map[String, Option[String]] = {
+  def partValuesFromPath(file: Path,
+                         aliases: Map[String, String] = Map.empty)
+      : Map[String, Option[String]] = {
     var pv = Map.empty[String, Option[String]]
     var dir = file.getParent
     while (dir != null && dir.getName.contains("=")) {
-      val Array(k, v) = dir.getName.split("=", 2)
+      val Array(k0, v) = dir.getName.split("=", 2)
+      val k = if (aliases.isEmpty) k0 else aliases.getOrElse(k0, k0)
       pv += k -> (if (v == NullPartition) None else Some(unescapePathName(v)))
       dir = dir.getParent
     }
     pv
+  }
+
+  /** Partition values from a TABLE-RELATIVE shard path (the manifest /
+    * change-feed grain) — same segment parse and alias fold as
+    * [[partValuesFromPath]], over a rel string. */
+  def partValuesFromRel(rel: String,
+                        aliases: Map[String, String] = Map.empty)
+      : Map[String, Option[String]] =
+    rel.split("/").init.collect {
+      case seg if seg.contains("=") =>
+        val Array(k0, v) = seg.split("=", 2)
+        val k = if (aliases.isEmpty) k0 else aliases.getOrElse(k0, k0)
+        k -> (if (v == NullPartition) None
+              else Some(unescapePathName(v)))
+    }.toMap
+
+  /** Every directory a logical partition dir `relDir` (current display
+    * names) may live under across partition-column renames: the
+    * cartesian expansion of each segment's name over `reverse`
+    * (current name → former names). Head is `relDir` itself; the tail
+    * is the pre-rename variants a dir-replacing write must also
+    * sweep. */
+  def aliasVariantDirs(relDir: String,
+                       reverse: Map[String, Seq[String]]): Seq[String] = {
+    if (reverse.isEmpty || relDir.isEmpty) return Seq(relDir)
+    val segs = relDir.split("/").toSeq.map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      (k +: reverse.getOrElse(k, Nil)).map(n => s"$n=$v")
+    }
+    segs.foldLeft(Seq("")) { (acc, alts) =>
+      acc.flatMap(pre => alts.map(a => if (pre.isEmpty) a else s"$pre/$a"))
+    }
   }
 }
 
@@ -1052,6 +1160,13 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   // opens the joined slice's shards only.
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
 
+  // segment canonicalization from the SCHEMA THIS SCAN READS WITH: a
+  // pinned scan uses the pin-time schema (whose partition column may
+  // still bear the old name — its dirs then parse directly), a live
+  // scan folds pre-rename dirs into the current column
+  private lazy val scanSegAliases: Map[String, String] =
+    JsonlTable.segmentAliasesOf(dataSchema)
+
   /** The layout's partition keys, from one listing of the table —
     * cached per scan (a scan is per-query; staleness across queries is
     * the same contract as any listing). */
@@ -1061,7 +1176,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
       val p = new Path(path)
       val conf = JsonlHadoopConf.fromSession()
       val fs = p.getFileSystem(conf.value)
-      JsonlLayout.discoverFull(fs, p)
+      JsonlLayout.discoverFull(fs, p, scanSegAliases)
         .map { case (f, _, len, pv) => (f.toString, len, pv) }
     }
 
@@ -1072,7 +1187,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
       : Seq[(String, Long, Map[String, Option[String]], Array[Long])] = {
     val p = new Path(path)
     JsonlSnapshots.pinnedLayout(
-      p.getFileSystem(JsonlHadoopConf.fromSession().value), p, snapshot)
+      p.getFileSystem(JsonlHadoopConf.fromSession().value), p, snapshot,
+      scanSegAliases)
   }
   private lazy val pinnedDeletes: Map[String, Array[Long]] =
     pinned.collect { case (f, _, _, d) if d.nonEmpty => f -> d }.toMap
@@ -1437,10 +1553,13 @@ final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
   @transient private var partsByFile =
     Map.empty[String, Map[String, Option[String]]]
 
+  private lazy val streamSegAliases: Map[String, String] =
+    JsonlTable.segmentAliasesOf(dataSchema)
+
   private def listing(): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
-    val discovered = JsonlLayout.discoverStatus(fs, p)
+    val discovered = JsonlLayout.discoverStatus(fs, p, streamSegAliases)
     partsByFile = discovered.map { case (f, _, pv) => f.toString -> pv }.toMap
     discovered.map { case (f, m, _) => (f.toString, m) }.sortBy(_._1)
   }
@@ -1448,7 +1567,7 @@ final class JsonlMicroBatchStream(path: String, dataSchema: StructType,
   private def partValuesOf(file: String): Map[String, Option[String]] =
     partsByFile.getOrElse(file,
       // restart path: derive from the ancestor directory names
-      JsonlLayout.partValuesFromPath(new Path(file)))
+      JsonlLayout.partValuesFromPath(new Path(file), streamSegAliases))
 
   private def seen(off: Offset, file: String, mtime: Long): Boolean = off match {
     case JsonlWatermarkOffset(w, recent) => mtime < w || recent.contains(file)
@@ -2343,7 +2462,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       // static partition overwrite: drop every shard the predicate
       // selects (decidability pre-checked by the builder), then land
       // the staged shards — whether or not the new data touches them
-      val layout = JsonlLayout.discover(f, dest)
+      val layout =
+        JsonlLayout.discover(f, dest, JsonlTable.segmentAliasesOf(schema))
       // mirror deleteWhere: a shard that doesn't pin every referenced
       // column (root-appended, values only in its JSON lines) may hold
       // matching rows the directory drop can't see — skipping it would
@@ -2372,8 +2492,16 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     val dynRemoved = Seq.newBuilder[String]
     if (dynamicOverwrite) {
       // replace exactly the partition values the write produced: old
-      // shards of a touched dir go, untouched dirs stay byte-identical
+      // shards of a touched dir go, untouched dirs stay byte-identical.
+      // After a partition-column RENAME the same logical value may also
+      // live under a pre-rename dir name — expand each touched dir to
+      // its alias variants so the replacement can't leave the old
+      // generation's copy live beside the overwrite
+      val segRev: Map[String, Seq[String]] = schema.fields.iterator
+        .map(fl => fl.name -> JsonlTable.partAliasesOf(fl))
+        .filter(_._2.nonEmpty).toMap
       val touchedDirs = staged.map(_._2).distinct.filter(_.nonEmpty)
+        .flatMap(JsonlLayout.aliasVariantDirs(_, segRev)).distinct
       touchedDirs.foreach { relDir =>
         val d = new Path(dest, relDir)
         if (f.exists(d))

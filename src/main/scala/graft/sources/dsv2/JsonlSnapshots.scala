@@ -767,15 +767,11 @@ object JsonlSnapshots {
     * path, byte length, partition values parsed from the REL path —
     * a retained shard keeps its original partition identity, not its
     * `_snapshots/retained/...` location, embedded delete ordinals). */
-  def pinnedLayout(fs: FileSystem, table: Path, m: Manifest)
+  def pinnedLayout(fs: FileSystem, table: Path, m: Manifest,
+                   segAliases: Map[String, String] = Map.empty)
       : Seq[(String, Long, Map[String, Option[String]], Array[Long])] =
     m.shards.toSeq.sortBy(_._1).map { case (rel, ref) =>
-      val pv: Map[String, Option[String]] = rel.split("/").init.collect {
-        case seg if seg.contains("=") =>
-          val Array(k, v) = seg.split("=", 2)
-          k -> (if (v == JsonlLayout.NullPartition) None
-                else Some(JsonlLayout.unescapePathName(v)))
-      }.toMap
+      val pv = JsonlLayout.partValuesFromRel(rel, segAliases)
       (fs.makeQualified(resolve(fs, table, rel)).toString, ref.len, pv,
         ref.deletes)
     }

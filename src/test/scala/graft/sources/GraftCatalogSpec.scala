@@ -250,10 +250,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DELETE FROM wh.rn.t WHERE k = 2")
     assert(sql("SELECT k FROM wh.rn.t WHERE q2 IS NOT NULL ORDER BY k")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
-    // refused: renaming a partition column (dirs pin it)
-    val e1 = intercept[Exception](
-      sql("ALTER TABLE wh.rn.t RENAME COLUMN lang TO language"))
-    assert(msgs(e1).exists(_.contains("partition column")), e1.toString)
+    // partition columns rename metadata-only too (round 14): old
+    // `lang=` dirs answer under the new name — full lifecycle in the
+    // dedicated partition-rename tests below
+    sql("ALTER TABLE wh.rn.t RENAME COLUMN lang TO language")
+    assert(sql("SELECT k FROM wh.rn.t WHERE language = 'en' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
     // DROP COLUMN of the twice-renamed field tombstones its key AND
     // both aliases (see the DROP COLUMN lifecycle test)
     sql("ALTER TABLE wh.rn.t DROP COLUMN q2")
@@ -862,5 +864,105 @@ class GraftCatalogSpec extends AnyFunSuite {
         if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
     assert(gotA == Seq((1L, 11L, -1L)),
       s"new column v must not read w's pre-rename values: $gotA")
+  }
+
+  test("RENAME COLUMN on a partition column: metadata-only, old dirs " +
+      "read, prune, overwrite, and unify") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.pr")
+    sql("""CREATE TABLE wh.pr.t (k BIGINT, lang STRING)
+          |PARTITIONED BY (lang)""".stripMargin)
+    sql("""INSERT INTO wh.pr.t SELECT /*+ REPARTITION(1) */ * FROM VALUES
+          |  (1L, 'en'), (2L, 'de'), (3L, 'fr') AS v(k, lang)""".stripMargin)
+    sql("ALTER TABLE wh.pr.t RENAME COLUMN lang TO language")
+    // old lang= dirs answer under the new name, values from the path
+    val got = sql("SELECT k, language FROM wh.pr.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "en"), (2L, "de"), (3L, "fr")), got.toString)
+    // pruning on the NEW name reaches pre-rename dirs
+    def planned(q: String): Int = sql(q).rdd.getNumPartitions
+    assert(planned("SELECT k FROM wh.pr.t WHERE language = 'de'") == 1,
+      "a filter on the renamed column must prune old-named dirs")
+    // new writes land under the new segment name; mixed layout reads
+    sql("INSERT INTO wh.pr.t SELECT /*+ REPARTITION(1) */ * FROM VALUES " +
+      "(4L, 'en') AS v(k, language)")
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val dirs = new java.io.File(s"$root/pr/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_"))
+      .sorted.toSeq
+    assert(dirs == Seq("lang=de", "lang=en", "lang=fr", "language=en"),
+      dirs.toString)
+    assert(sql("SELECT k FROM wh.pr.t WHERE language = 'en'").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+    // SHOW PARTITIONS: one logical row per value, both generations
+    val parts = sql("SHOW PARTITIONS wh.pr.t").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("language=de", "language=en", "language=fr"),
+      parts.toString)
+    // dynamic overwrite sweeps the alias-variant dir too — no stale
+    // pre-rename copy may survive beside the replacement
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE TABLE wh.pr.t VALUES (10L, 'en')")
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    assert(sql("SELECT k FROM wh.pr.t WHERE language = 'en'").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L),
+      "both en dirs must be replaced by the dynamic overwrite")
+    // partition-predicate DELETE drops the OLD-named dir as a dir op
+    sql("DELETE FROM wh.pr.t WHERE language = 'de'")
+    assert(sql("SELECT COUNT(*) FROM wh.pr.t WHERE language = 'de'")
+      .head.getLong(0) == 0L)
+    // the former name is reserved while its dirs may persist
+    val eAdd = intercept[Exception] {
+      sql("ALTER TABLE wh.pr.t ADD COLUMN lang STRING") }
+    assert(eAdd.getMessage.contains("former name"), eAdd.getMessage)
+    sql("ALTER TABLE wh.pr.t ADD COLUMN extra STRING")
+    val eRen = intercept[Exception] {
+      sql("ALTER TABLE wh.pr.t RENAME COLUMN extra TO lang") }
+    assert(eRen.getMessage.contains("former name"), eRen.getMessage)
+    // ALTER TABLE DROP PARTITION sweeps the pre-rename dir
+    sql("ALTER TABLE wh.pr.t DROP IF EXISTS PARTITION (language = 'fr')")
+    assert(sql("SELECT COUNT(*) FROM wh.pr.t WHERE language = 'fr'")
+      .head.getLong(0) == 0L)
+    // unify: full rewrite + re-CALL evolve_partitioning prunes the
+    // alias; the old display name is then free again
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      sql("CREATE TABLE wh.pr.stage AS SELECT k, language FROM wh.pr.t")
+      sql("INSERT OVERWRITE TABLE wh.pr.t SELECT k, language, " +
+        "CAST(NULL AS STRING) AS extra FROM wh.pr.stage")
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    sql("CALL wh.system.evolve_partitioning('pr.t', columns => 'language')")
+    sql("ALTER TABLE wh.pr.t ADD COLUMN lang STRING") // no longer reserved
+    assert(sql("SELECT k FROM wh.pr.t").collect().map(_.getLong(0))
+      .toSeq == Seq(10L))
+    sql("DROP TABLE wh.pr.stage")
+  }
+
+  test("partition rename composes with snapshots: pre-rename pins " +
+      "answer under the pin-time schema") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.prs")
+    sql("""CREATE TABLE wh.prs.t (k BIGINT, lang STRING)
+          |PARTITIONED BY (lang)""".stripMargin)
+    sql("INSERT INTO wh.prs.t SELECT /*+ REPARTITION(1) */ * FROM VALUES " +
+      "(1L, 'en'), (2L, 'de') AS v(k, lang)")
+    sql("CALL wh.system.snapshot('prs.t')")
+    sql("ALTER TABLE wh.prs.t RENAME COLUMN lang TO language")
+    sql("INSERT INTO wh.prs.t SELECT /*+ REPARTITION(1) */ * FROM VALUES " +
+      "(3L, 'en') AS v(k, language)")
+    // live reads: both generations under the new name
+    assert(sql("SELECT k FROM wh.prs.t WHERE language = 'en'").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // the pre-rename pin serves the pin-time schema AND values
+    val v1 = sql("SELECT k, lang FROM wh.prs.t VERSION AS OF 1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v1 == Seq((1L, "en"), (2L, "de")), v1.toString)
+    // a post-rename pin answers under the new name across generations
+    sql("CALL wh.system.snapshot('prs.t')")
+    val v2 = sql(
+      "SELECT k, language FROM wh.prs.t VERSION AS OF 2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v2 == Seq((1L, "en"), (2L, "de"), (3L, "en")), v2.toString)
   }
 }
