@@ -1047,7 +1047,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   private def aggMode: Boolean = aggSpecs.nonEmpty
 
   // equality-delete state ([[JsonlEqDeletes]]): planned once per scan —
@@ -1146,6 +1147,29 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         prunedShards().size)
+
+  /** Per-partition ordering report ([[SupportsReportOrdering]]): under
+    * key grouping every output partition holds exactly ONE partition
+    * value, so its rows are trivially sorted by the grouping keys —
+    * whatever the file contents. Reporting it lets EnsureRequirements
+    * drop BOTH local sorts of a storage-partitioned sort-merge join:
+    * the co-located join becomes a pure zero-shuffle, zero-sort merge
+    * (the clustered-layout endgame at 100 TB — neither corpus-scale
+    * side is ever sorted OR moved). Only keys the read schema retains
+    * are reported (Spark resolves the sort refs against the relation
+    * output; a pruned column would fail resolution). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (!spjActive) Array.empty
+    else {
+      val out = readSchema().fieldNames.toSet
+      val keys = spjKeys.takeWhile { case (n, _) => out.contains(n) }
+      keys.map { case (n, _) =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(n),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      }.toArray
+    }
 
   // ------------------------------------------------- runtime filtering
   //

@@ -207,7 +207,29 @@ object JsonlEqDeletes {
       }
       val seq = maxAll + 1L
       if (RowLevelLock.atomicCreate(fs, claimFile(table, seq),
-          Array.emptyByteArray)) return seq
+          Array.emptyByteArray)) {
+        // GHOST-claim re-verify: a full claim→publish→release cycle of
+        // this same sequence may have run entirely between our listing
+        // and the create — release DELETES the claim file, so the
+        // O_EXCL create succeeds on history it never saw, and two
+        // waves would publish the same key file (witnessed: the racing
+        // -wave soak's rename-onto-existing-target failure). The key
+        // file / tombstone is the durable evidence; if either exists
+        // the claim is a ghost — drop it (no shard is stamped yet) and
+        // re-list.
+        // (the hwm re-read closes the retire race: retire covers a key
+        // file with the hwm BEFORE removing it, so one of the two
+        // checks always sees a consumed sequence)
+        val taken = readHwm(fs, table) >= seq ||
+          fs.listStatus(d).exists(st =>
+            st.getPath.getName match {
+              case FileName(n) => n.toLong == seq
+              case DroppedName(n) => n.toLong == seq
+              case _ => false
+            })
+        if (!taken) return seq
+        fs.delete(claimFile(table, seq), false)
+      }
     }
     throw new IllegalStateException(
       s"equality-delete sequence claim on $table: 1000 collisions")
@@ -276,8 +298,13 @@ object JsonlEqDeletes {
     val out = fs.create(tmp, true)
     out.write(mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
     out.close()
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"equality-delete publish failed: $target")
+    if (!fs.rename(tmp, target)) {
+      val diag = s"tmp=${fs.exists(tmp)} target=${fs.exists(target)} " +
+        s"parent=${fs.exists(target.getParent)} " +
+        s"claim=${fs.exists(claimFile(table, seq))}"
+      throw new java.io.IOException(
+        s"equality-delete publish failed: $target ($diag)")
+    }
     if (!owned) { // broken mid-publish: un-publish, stand down
       fs.delete(target, false)
       standDown()

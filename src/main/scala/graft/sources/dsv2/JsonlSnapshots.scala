@@ -249,7 +249,21 @@ object JsonlSnapshots {
       val cf = claimFile(table, id)
       if (RowLevelLock.atomicCreate(fs, cf,
             token.getBytes(StandardCharsets.UTF_8))) {
-        try {
+        // GHOST-claim re-verify (same hole as JsonlEqDeletes.claimNext,
+        // witnessed there by the racing-wave soak): a full
+        // claim→publish→release cycle of this same id can run entirely
+        // between our idsOf listing and the create — release deletes
+        // the claim, so the O_EXCL create succeeds on history it never
+        // saw, and a DELTA pin would then overwrite the published
+        // manifest v<id> from a pre-dated base (dropping the other
+        // commit's shards from the chain; a later rollback would
+        // delete them). Published ids are the durable evidence: while
+        // we hold a live claim no higher manifest can publish (later
+        // pinners wait on us), so any published id >= ours proves the
+        // claim is a ghost — drop it and re-list.
+        if (idsOf(fs, table)._1.exists(_ >= id)) {
+          fs.delete(cf, false)
+        } else try {
           // every lower claim must resolve before we read our base:
           // a pending lower pin publishing AFTER we compute would make
           // manifest content non-monotone with ids

@@ -102,6 +102,67 @@ class JsonlSpjSpec extends AnyFunSuite {
       Seq(("de", 2L), ("fr", 2L)))
   }
 
+  test("reported ordering drops the merge join's sorts (Spark keeps a " +
+      "sort only where grouping coalesced files)") {
+    // key grouping makes every output partition single-valued on lang,
+    // so the scan reports per-partition ordering on it
+    // (SupportsReportOrdering). The dims side is one file per value —
+    // its SortExec disappears. The facts side groups 3 files per value
+    // and Spark conservatively re-sorts the concatenation (it cannot
+    // know the reported order is constant within each group).
+    val joined = readFacts(spj = true).hint("merge")
+      .join(readDims(spj = true), Seq("lang"))
+      .select(col("lang"), (col("v") * col("mult")).as("scaled"))
+    val plan = planOf(joined)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert("Sort \\[".r.findAllIn(plan).size == 1,
+      s"exactly the multi-file side may keep a local sort:\n$plan")
+    val got = joined.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val want = Seq("de" -> 15L, "de" -> 45L, "en" -> 20L, "en" -> 40L,
+      "en" -> 60L, "en" -> 80L, "fr" -> 35L, "fr" -> 45L)
+    assert(got == want)
+  }
+
+  test("compacted layout: co-partitioned merge join with ZERO sorts") {
+    // one shard per partition value on both sides (the post-compact /
+    // post-cluster_table shape) — nothing is grouped, both reported
+    // orderings hold, and the join is a pure zero-shuffle zero-sort
+    // merge of the co-located layouts
+    val r2 = java.nio.file.Files.createTempDirectory("graft-spj-one").toString
+    val facts1 = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (5L, "de", 5L), (7L, "fr", 7L))
+      .toDF("id", "lang", "v")
+    JsonlCorpus.write(facts1.coalesce(1), s"$r2/facts",
+      partitionCol = Some("lang"), compression = "none")
+    val dims1 = Seq(("en", 2L), ("de", 3L), ("fr", 5L)).toDF("lang", "mult")
+    JsonlCorpus.write(dims1.coalesce(1), s"$r2/dims",
+      partitionCol = Some("lang"), compression = "none")
+    val f = spark.read.format("graft-jsonl").schema(factSchema)
+      .option("spj", "true").load(s"$r2/facts")
+    val d = spark.read.format("graft-jsonl").schema(dimSchema)
+      .option("spj", "true").load(s"$r2/dims")
+    val joined = f.hint("merge").join(d, Seq("lang"))
+      .select(col("lang"), (col("v") * col("mult")).as("scaled"))
+    val plan = planOf(joined)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Sort ["),
+      s"single-file-per-value sides must plan with no sorts at all:\n$plan")
+    val got = joined.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq("de" -> 15L, "en" -> 20L, "en" -> 40L, "fr" -> 35L))
+  }
+
+  test("ordering report survives column pruning of a reported key") {
+    // the scan only reports keys the read schema retains — a query
+    // that prunes lang away must still plan (no unresolved sort refs)
+    val df = readFacts(spj = true).select("v")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(5L, 7L, 9L, 10L, 15L, 20L, 30L, 40L))
+  }
+
   test("flat (unpartitioned) layout never reports key grouping") {
     val flat = java.nio.file.Files.createTempDirectory("graft-spj-flat").toString
     Seq((1L, "en", 2L)).toDF("id", "lang", "v").write
