@@ -56,6 +56,15 @@ object MaintBench {
                |columns => 'o_orderkey',
                |target_shards => $nShards)""".stripMargin).collect()
     }
+    // idempotent maintenance (round 14): the re-CALL sees disjoint
+    // per-shard ranges in the skip index and NO-OPS — the steady-state
+    // cost of a periodic cluster cadence on an in-shape table is
+    // metadata, not a re-sort of the data
+    timed("cluster_table_noop") {
+      c.sql(s"""CALL mb.system.cluster_table('m.orders',
+               |columns => 'o_orderkey',
+               |target_shards => $nShards)""".stripMargin).collect()
+    }
     timed("mor_delete") {
       c.sql("DELETE FROM mb.m.orders WHERE o_orderstatus = 'F'")
     }

@@ -736,6 +736,67 @@ object GraftProcedures {
                   .map(_._1).getOrElse("")}) — compact into the hive " +
                 "layout first")
           }
+          val zorder = !input.isNullAt(3) && input.getBoolean(3)
+          // ----- idempotent maintenance: NO-OP when already clustered.
+          // The clustered property IS file-level metadata — within
+          // every partition dir (the whole table when flat) the live
+          // shards' skip-index [min, max] ranges on the LEADING
+          // cluster column are pairwise non-overlapping (touching at a
+          // shared boundary value is fine: range repartitioning splits
+          // duplicate keys across files), the shard count is within
+          // target, and no merge-on-read sidecars or pending equality
+          // deletes await consolidation. Within-file row order never
+          // affects pruning (admission is per-file min/max), so a
+          // rewrite cannot improve the index — skip it. This is what
+          // keeps a periodic maintenance loop O(metadata) on tables
+          // that are already in shape, instead of re-sorting 100 TB
+          // every cadence. Z-order asks for a multi-column layout the
+          // leading-range check can't certify — it always rewrites.
+          val alreadyClustered: Boolean = !zorder &&
+            before.size <= nShards &&
+            JsonlDeletes.index(fs, table).isEmpty &&
+            JsonlEqDeletes.pendingNames(fs, table).isEmpty && {
+              val schemaCl = tbl.schema()
+              val leadKey = JsonlSkipIndex.storageKeyOf(schemaCl, cols.head)
+              schemaCl.fields.find(_.name == cols.head).map(_.dataType)
+                .exists { dt =>
+                  val idx = JsonlSkipIndex.open(fs, table, schemaCl)
+                  val qT = fs.makeQualified(table).toUri
+                  val byDir = layout.groupBy { case (p, _, _, _) =>
+                    JsonlSkipIndex.dirOf(
+                      qT.relativize(fs.makeQualified(p).toUri).getPath)
+                  }
+                  byDir.valuesIterator.forall { dirShards =>
+                    val ranges = dirShards.map { case (p, _, _, _) =>
+                      idx.get(fs.makeQualified(p).toString)
+                        .flatMap(_.stats.get(leadKey)) match {
+                        case Some((mn, mx, _)) if mn != null && mx != null =>
+                          (mn, mx)
+                        case _ => null // unindexed/all-null: rewrite
+                      }
+                    }
+                    ranges.forall(_ != null) && {
+                      val sorted = ranges
+                        .sortWith((a, b) => JsonlSkipIndex.cmp(a._1, b._1, dt) < 0)
+                      sorted.iterator.zip(sorted.iterator.drop(1)).forall {
+                        case ((_, mxA), (mnB, _)) =>
+                          JsonlSkipIndex.cmp(mxA, mnB, dt) <= 0
+                      }
+                    }
+                  }
+                }
+            }
+          if (alreadyClustered) {
+            val qT = fs.makeQualified(table).toUri
+            val rows = layout.groupBy { case (p, _, _, _) =>
+              JsonlSkipIndex.dirOf(
+                qT.relativize(fs.makeQualified(p).toUri).getPath)
+            }.toSeq.sortBy(_._1).map { case (rel, dirShards) =>
+              new GenericInternalRow(Array[Any](
+                utf8(rel), dirShards.size, dirShards.size)): InternalRow
+            }
+            return result(compactSchema, rows)
+          }
           import org.apache.spark.sql.functions.{col, max, min}
           // read through the table scan (sidecars applied), cluster +
           // sort, stage under the invisible _ dir — the path-based v2
@@ -746,7 +807,6 @@ object GraftProcedures {
           // staging write routes rows into `k=v/` staging dirs.
           val base = spark.table(ref)
           val prefix = partCols.map(col)
-          val zorder = !input.isNullAt(3) && input.getBoolean(3)
           val clustered =
             if (!zorder)
               base.repartitionByRange(nShards, (prefix ++ cols.map(col)): _*)

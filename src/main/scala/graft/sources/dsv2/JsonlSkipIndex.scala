@@ -822,7 +822,7 @@ object JsonlSkipIndex {
       case Some(e) => filters.forall(admitsOne(e, _, schema))
     }
 
-  private def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
+  private[dsv2] def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
     // string ordering MUST match Spark's min/max aggregate ordering
     // (UTF8String binary order, not UTF-16 code-unit order — they
     // differ beyond the BMP)

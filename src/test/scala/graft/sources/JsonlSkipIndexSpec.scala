@@ -248,6 +248,51 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
       "consumed sidecars dropped with the shards they indexed")
   }
 
+  test("cluster_table is idempotent: an already-clustered table no-ops") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.ci")
+    sql("""CREATE TABLE sk.ci.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    for (m <- 0 to 3)
+      sql(s"""INSERT INTO sk.ci.t SELECT /*+ REPARTITION(1) */
+             |  id * 4 + $m AS k, id AS v FROM range(0, 250)""".stripMargin)
+    val root = spark.conf.get("spark.sql.catalog.sk.root")
+    def listing(): Seq[(String, Long)] = new java.io.File(s"$root/ci/t")
+      .listFiles().filter(f => f.isFile && f.getName.endsWith(".jsonl.gz"))
+      .map(f => (f.getName, f.lastModified)).sorted.toSeq
+    sql("CALL sk.system.cluster_table('ci.t', columns => 'k', " +
+      "target_shards => 8)")
+    val afterFirst = listing()
+    // second CALL: ranges are disjoint, count within target, no
+    // sidecars/eq state — the rewrite must be SKIPPED (bytes and
+    // mtimes identical), and the result rows report before == after
+    val r = sql("CALL sk.system.cluster_table('ci.t', columns => 'k', " +
+      "target_shards => 8)").collect()
+    assert(listing() == afterFirst,
+      "already-clustered: the CALL must not rewrite a byte")
+    assert(r.nonEmpty && r.forall(x => x.getInt(1) == x.getInt(2)),
+      s"no-op rows must report before == after: ${r.mkString(",")}")
+    // an overlapping append breaks the property: the next CALL rewrites
+    sql("""INSERT INTO sk.ci.t SELECT /*+ REPARTITION(1) */
+          |  id * 4 AS k, id + 5000 AS v FROM range(0, 250)""".stripMargin)
+    sql("CALL sk.system.cluster_table('ci.t', columns => 'k', " +
+      "target_shards => 8)")
+    assert(listing().map(_._1).intersect(afterFirst.map(_._1)).isEmpty,
+      "overlapping append must force a real rewrite")
+    assert(sql("SELECT count(*) FROM sk.ci.t").head.getLong(0) == 1250L)
+    // a MOR sidecar also disqualifies the skip (cluster consolidates)
+    sql("ALTER TABLE sk.ci.t SET TBLPROPERTIES " +
+      "('graft.row-level.mode'='merge-on-read')")
+    sql("DELETE FROM sk.ci.t WHERE k = 8")
+    val beforeMor = listing()
+    sql("CALL sk.system.cluster_table('ci.t', columns => 'k', " +
+      "target_shards => 8)")
+    assert(listing().map(_._1).intersect(beforeMor.map(_._1)).isEmpty,
+      "pending sidecars must force the consolidating rewrite")
+    // k=8 existed in BOTH generations (original id=2,m=0 and the
+    // overlapping append's id=2) — the delete removed two rows
+    assert(sql("SELECT count(*) FROM sk.ci.t").head.getLong(0) == 1248L)
+  }
+
   test("graft.write.order: plain INSERTs land range-clustered shards that prune immediately") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.wo")
     sql("""CREATE TABLE sk.wo.t (k BIGINT, v BIGINT)
