@@ -272,7 +272,12 @@ class JsonlTable(tableSchema: StructType, path: String,
       options.getLong("maxFileAgeMs", JsonlMicroBatchStream.DefaultMaxFileAgeMs),
       options.getBoolean("columnar", false),
       options.getBoolean("spj", false),
-      snapshot)
+      snapshot,
+      // declared skip/cluster columns are runtime-filterable: a DPP-
+      // style IN filter from a broadcast dim prunes SHARDS through the
+      // skip index (min/max/bloom), not just partition dirs
+      runtimeSkipCols = (JsonlSkipIndex.skipColsOf(props) ++
+        JsonlTable.writeOrderOf(props)).distinct)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -718,7 +723,8 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
                              maxFileAgeMs: Long = JsonlMicroBatchStream.DefaultMaxFileAgeMs,
                              columnar: Boolean = false,
                              spj: Boolean = false,
-                             snapshot: JsonlSnapshots.Manifest = null)
+                             snapshot: JsonlSnapshots.Manifest = null,
+                             runtimeSkipCols: Seq[String] = Nil)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -830,7 +836,8 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
     required = requiredSchema
   override def build(): Scan =
     new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar,
-      aggSpecs, limit, spj, snapshot = snapshot, pruneOnly = pruneOnly)
+      aggSpecs, limit, spj, snapshot = snapshot, pruneOnly = pruneOnly,
+      runtimeSkipCols = runtimeSkipCols)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -1043,7 +1050,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       spj: Boolean = false,
                       recordShardsTo: JsonlRowLevelOperation = null,
                       snapshot: JsonlSnapshots.Manifest = null,
-                      pruneOnly: Array[Filter] = Array.empty)
+                      pruneOnly: Array[Filter] = Array.empty,
+                      runtimeSkipCols: Seq[String] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1220,12 +1228,25 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val base = layout.flatMap(_._3.keys).distinct
+    // declared skip/cluster columns (graft.skip.columns +
+    // graft.write.order) are runtime-filterable too: the dim side of a
+    // broadcast join keyed on a CLUSTERED column hands its key set
+    // here at execution time, and [[prunedShards]] admits each shard
+    // through the skip index (min/max ranges, blooms) — file-grain
+    // dynamic pruning on non-partition columns, the "join the corpus
+    // to this week's dims on doc_id" path at 100 TB. Top-level columns
+    // only (a dotted leaf is not addressable as a join key); pruning
+    // is advisory, so an unindexed shard simply stays admitted.
+    val skips = runtimeSkipCols.filter(c =>
+      !c.contains('.') && !base.contains(c) &&
+        dataSchema.fieldNames.contains(c))
     // row-level rewrites additionally group-filter on `_shard`: the
     // matching rows' shard set arrives as a runtime IN filter and
     // prunes the rewrite to exactly the files holding matches — the
     // difference between shard-scoped and whole-table copy-on-write
     // on unpartitioned (or coarsely partitioned) tables
-    val all = if (recordShardsTo != null) base :+ "_shard" else base
+    val all0 = base ++ skips
+    val all = if (recordShardsTo != null) all0 :+ "_shard" else all0
     all.map(
       org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }

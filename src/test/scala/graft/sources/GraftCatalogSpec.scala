@@ -964,5 +964,15 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT k, language FROM wh.prs.t VERSION AS OF 2 ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(v2 == Seq((1L, "en"), (2L, "de"), (3L, "en")), v2.toString)
+    // the change feed across the rename window resolves partition
+    // values of BOTH generations' rel paths under the post-rename
+    // schema (the v2 manifest's) — the inserted row arrives with its
+    // language value from its dir segment
+    val root = spark.conf.get("spark.sql.catalog.wh.root")
+    val changes = spark.read.format("graft-jsonl-changes")
+      .option("fromVersion", 1).option("toVersion", 2).load(s"$root/prs/t")
+      .collect().map(r => (r.getAs[Long]("k"),
+        r.getAs[String]("language"), r.getAs[String]("_change"))).toSeq
+    assert(changes == Seq((3L, "en", "insert")), changes.toString)
   }
 }

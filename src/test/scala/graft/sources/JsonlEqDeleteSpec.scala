@@ -927,4 +927,43 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     assert(rows("SELECT kk, v FROM eq.ns.alk") == Seq((1L, 11L)),
       "waves must keep upserting through the renamed key")
   }
+
+  test("upsert key that is ALSO a renamed partition column: scan and " +
+      "compact resolve old-dir key values through the alias") {
+    // the (source, id)-keyed re-crawl shape where `source` is the
+    // partition column AND a leading upsert key — then the column is
+    // renamed. Old `day=..` dirs hold the key's values ONLY in their
+    // path segments, so both the scan's per-row equality check and
+    // compact's executor rewrite must fold the pre-rename segment
+    // name through graft.part.aliases to render the same key tuples
+    // the new waves publish.
+    sql("""CREATE TABLE eq.ns.prk (day STRING, k BIGINT, v BIGINT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES ('graft.upsert.keys'='day,k',
+          |  'graft.skip.columns'='k')""".stripMargin)
+    sql("INSERT INTO eq.ns.prk VALUES ('a', 1, 10), ('a', 2, 20), " +
+      "('b', 1, 30)")
+    // key-column rename requires a reconciled tier first
+    sql("CALL eq.system.compact('ns.prk', max_shards => 8)")
+    sql("ALTER TABLE eq.ns.prk RENAME COLUMN day TO src")
+    // wave 2 under the NEW name: ('a', 1) and ('b', 1) must hide the
+    // old rows — whose `src` values live only in the old `day=` dirs
+    sql("INSERT INTO eq.ns.prk VALUES ('a', 1, 11), ('b', 1, 31)")
+    def state(): Seq[(String, Long, Long)] =
+      sql("SELECT src, k, v FROM eq.ns.prk ORDER BY src, k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(("a", 1L, 11L), ("a", 2L, 20L), ("b", 1L, 31L))
+    assert(state() == want, s"scan-side alias key resolution: ${state()}")
+    // compact's executor rewrite renders old-dir tuples the same way
+    sql("CALL eq.system.compact('ns.prk', max_shards => 8)")
+    assert(state() == want, s"post-reconcile: ${state()}")
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    assert(!new java.io.File(s"$root/ns/prk/_eq_deletes").exists() ||
+      new java.io.File(s"$root/ns/prk/_eq_deletes").listFiles()
+        .forall(f => !f.getName.endsWith(".json")),
+      "reconcile must retire the wave's key file")
+    // and the tier keeps working after full unification
+    sql("INSERT INTO eq.ns.prk VALUES ('a', 2, 21)")
+    assert(state() == Seq(("a", 1L, 11L), ("a", 2L, 21L), ("b", 1L, 31L)))
+  }
 }

@@ -248,6 +248,47 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
       "consumed sidecars dropped with the shards they indexed")
   }
 
+  test("runtime filtering reaches the skip index: a DPP-style IN on a " +
+      "clustered column prunes shards") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.rt")
+    sql("""CREATE TABLE sk.rt.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.write.order'='k',
+          |  'graft.skip.columns'='k')""".stripMargin)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try sql("""INSERT INTO sk.rt.t
+              |SELECT CAST(id AS BIGINT) AS k, id AS v
+              |FROM range(0, 20000)""".stripMargin)
+    finally
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val scan = sql("SELECT k, v FROM sk.rt.t")
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.head
+    val rtf = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    // the clustered column is advertised as runtime-filterable
+    assert(rtf.filterAttributes().map(_.describe()).toSeq == Seq("k"))
+    val batch = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+    val total = batch.planInputPartitions().length
+    assert(total >= 4, s"need a multi-shard clustered layout, got $total")
+    // the execution-time IN a broadcast dim would deliver: two point
+    // keys land in at most two range-disjoint shards
+    rtf.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(5L, 19999L))))
+    val pruned = batch.planInputPartitions().length
+    assert(pruned <= 2 && pruned >= 1,
+      s"skip-index runtime pruning must drop range-excluded shards: " +
+        s"$pruned of $total")
+    // end-to-end: the broadcast join is correct under the pruning
+    import spark.implicits._
+    val dim = Seq(5L, 19999L).toDF("k")
+    val joined = sql("SELECT k, v FROM sk.rt.t")
+      .join(org.apache.spark.sql.functions.broadcast(dim), "k")
+    assert(joined.collect().map(_.getLong(1)).sorted.toSeq ==
+      Seq(5L, 19999L))
+  }
+
   test("cluster_table is idempotent: an already-clustered table no-ops") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.ci")
     sql("""CREATE TABLE sk.ci.t (k BIGINT, v BIGINT)
