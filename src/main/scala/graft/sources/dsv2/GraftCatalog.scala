@@ -773,19 +773,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the specs ACTUALLY present, from each live shard's dir segments
     // (order-significant, canonicalized through partition-rename
     // aliases — a pre-rename dir is the SAME spec under its old name);
-    // root shards contribute the empty spec
+    // root shards contribute the empty spec. Snapshot-pinned rels
+    // count as present too: `rollback_to_snapshot` can restore any
+    // manifest-referenced dir into the live tree, so a spec (or an
+    // alias) it uses must survive this derivation until
+    // `expire_snapshots` releases the manifests — otherwise a rollback
+    // would resurrect dirs the metadata can no longer resolve
+    // (alias gone: the column reads null; legacy spec gone: dynamic
+    // overwrite stops refusing on a layout that is multi-generation
+    // again).
     val segAliases = JsonlTable.segmentAliasesOf(schema0)
     val qUri = tfs.makeQualified(dir).toUri
     val rawSegNames = scala.collection.mutable.HashSet.empty[String]
-    val present = JsonlLayout.discoverFull(tfs, dir).map { case (p, _, _, _) =>
-      val rel = qUri.relativize(tfs.makeQualified(p).toUri).getPath
+    def specOf(rel: String): String =
       rel.split("/").init.filter(_.contains("="))
         .map { seg =>
           val k = seg.split("=", 2)(0)
           rawSegNames += k
           segAliases.getOrElse(k, k)
         }.mkString(",")
-    }.toSet
+    val present =
+      JsonlLayout.discoverFull(tfs, dir).map { case (p, _, _, _) =>
+        specOf(qUri.relativize(tfs.makeQualified(p).toUri).getPath)
+      }.toSet ++
+        JsonlSnapshots.referencedRels(tfs, dir).map(specOf)
     // partition-rename aliases no live dir still uses are dead
     // metadata: prune them so the old display names leave the
     // ADD/RENAME reserved namespace (this is the documented

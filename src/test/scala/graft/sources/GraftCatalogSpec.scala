@@ -975,4 +975,40 @@ class GraftCatalogSpec extends AnyFunSuite {
         r.getAs[String]("language"), r.getAs[String]("_change"))).toSeq
     assert(changes == Seq((3L, "en", "insert")), changes.toString)
   }
+
+  test("evolve keeps a partition alias alive while a snapshot can " +
+      "still restore old-named dirs") {
+    sql("CREATE NAMESPACE IF NOT EXISTS wh.pra")
+    sql("""CREATE TABLE wh.pra.t (k BIGINT, lang STRING)
+          |PARTITIONED BY (lang)""".stripMargin)
+    sql("INSERT INTO wh.pra.t SELECT /*+ REPARTITION(1) */ * FROM VALUES " +
+      "(1L, 'en'), (2L, 'de') AS v(k, lang)")
+    sql("CALL wh.system.snapshot('pra.t')") // v1 pins lang= rels
+    sql("ALTER TABLE wh.pra.t RENAME COLUMN lang TO language")
+    // unify the LIVE layout: every live dir now uses the new name
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      sql("CREATE TABLE wh.pra.stage AS SELECT k, language FROM wh.pra.t")
+      sql("INSERT OVERWRITE TABLE wh.pra.t SELECT k, language FROM wh.pra.stage")
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // the re-CALL must NOT prune the alias: manifest v1 still
+    // references lang= dirs a rollback can restore
+    sql("CALL wh.system.evolve_partitioning('pra.t', columns => 'language')")
+    val eAdd = intercept[Exception] {
+      sql("ALTER TABLE wh.pra.t ADD COLUMN lang STRING") }
+    assert(eAdd.getMessage.contains("former name"),
+      s"alias must survive while v1 references lang= dirs: ${eAdd.getMessage}")
+    // rollback restores the old-named dirs — values resolve through
+    // the kept alias
+    sql("CALL wh.system.rollback_to_snapshot('pra.t', '1')")
+    val got = sql("SELECT k, language FROM wh.pra.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "en"), (2L, "de")), got.toString)
+    assert(sql("SELECT k FROM wh.pra.t WHERE language = 'de'").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L),
+      "pruning on the renamed column must reach the restored dirs")
+    sql("DROP TABLE wh.pra.stage")
+  }
 }
