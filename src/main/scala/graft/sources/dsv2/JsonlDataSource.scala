@@ -277,7 +277,8 @@ class JsonlTable(tableSchema: StructType, path: String,
       // style IN filter from a broadcast dim prunes SHARDS through the
       // skip index (min/max/bloom), not just partition dirs
       runtimeSkipCols = (JsonlSkipIndex.skipColsOf(props) ++
-        JsonlTable.writeOrderOf(props)).distinct)
+        JsonlTable.writeOrderOf(props)).distinct,
+      orderCols = JsonlTable.writeOrderOf(props))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -724,7 +725,8 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
                              columnar: Boolean = false,
                              spj: Boolean = false,
                              snapshot: JsonlSnapshots.Manifest = null,
-                             runtimeSkipCols: Seq[String] = Nil)
+                             runtimeSkipCols: Seq[String] = Nil,
+                             orderCols: Seq[String] = Nil)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -837,7 +839,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
   override def build(): Scan =
     new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar,
       aggSpecs, limit, spj, snapshot = snapshot, pruneOnly = pruneOnly,
-      runtimeSkipCols = runtimeSkipCols)
+      runtimeSkipCols = runtimeSkipCols, orderCols = orderCols)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -1051,7 +1053,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       recordShardsTo: JsonlRowLevelOperation = null,
                       snapshot: JsonlSnapshots.Manifest = null,
                       pruneOnly: Array[Filter] = Array.empty,
-                      runtimeSkipCols: Seq[String] = Nil)
+                      runtimeSkipCols: Seq[String] = Nil,
+                      orderCols: Seq[String] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1168,11 +1171,43 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * output; a pruned column would fail resolution). */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (!spjActive) Array.empty
+    if (aggMode) Array.empty
     else {
       val out = readSchema().fieldNames.toSet
-      val keys = spjKeys.takeWhile { case (n, _) => out.contains(n) }
-      keys.map { case (n, _) =>
+      val partKeys: Seq[String] =
+        if (spjActive) spjKeys.map(_._1) else Nil
+      // VERIFIED write-order extension: writers measured each file's
+      // lexicographic sortedness on the requested order columns and
+      // recorded the held prefix in its skip entry
+      // ([[JsonlSkipIndex.ShardStatsTracker]]). When EVERY planned
+      // shard is verified for the first m order columns — and, under
+      // key grouping, every group holds exactly ONE shard (Spark
+      // concatenates a group's files, which would break a row-level
+      // order but not the constant group key) — the scan's
+      // per-partition ordering extends past the grouping keys: on the
+      // post-cluster one-shard-per-value shape, a sort-merge join or
+      // a window over (group key, order col) plans with ZERO sorts.
+      val orderKeys: Seq[String] =
+        if (orderCols.isEmpty || snapshot != null || skipIndex.isEmpty) Nil
+        else {
+          val shards = prunedShards()
+          val singlePerGroup = !spjActive ||
+            shards.groupBy(_._3).valuesIterator.forall(_.size == 1)
+          if (shards.isEmpty || !singlePerGroup) Nil
+          else {
+            val storage =
+              orderCols.map(c => JsonlTable.physicalKeyOf(dataSchema, c))
+            val m = shards.iterator.map { case (f, _, _) =>
+              skipIndex.get(f) match {
+                case Some(e) =>
+                  storage.zip(e.sorted).takeWhile(p => p._1 == p._2).size
+                case None => 0
+              }
+            }.min
+            orderCols.take(m).filterNot(partKeys.contains)
+          }
+        }
+      (partKeys ++ orderKeys).takeWhile(out.contains).map { n =>
         org.apache.spark.sql.connector.expressions.Expressions.sort(
           org.apache.spark.sql.connector.expressions.Expressions.column(n),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
@@ -2001,11 +2036,14 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
             doTruncate || (doDynamic && partCols.isEmpty), partCols,
             doDynamic && partCols.nonEmpty, overwriteFilters,
             skipCols = skipCols, autoSnapshot = autoSnapshot,
-            upsertKeys = upsertKeys)
+            upsertKeys = upsertKeys,
+            // the requested within-task sort: writers VERIFY it per
+            // file and record the held prefix in the skip entry
+            orderCols = order)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols,
-            autoSnapshot, upsertKeys)
+            autoSnapshot, upsertKeys, order)
       }
   }
 }
@@ -2131,7 +2169,8 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
                                 queryId: String, partCols: Seq[String],
                                 skipCols: Seq[String] = Nil,
                                 autoSnapshot: Boolean = false,
-                                upsertKeys: Seq[String] = Nil)
+                                upsertKeys: Seq[String] = Nil,
+                                orderCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -2340,16 +2379,17 @@ final class JsonlStreamingWriterFactory(schema: StructType, path: String,
                                         queryId: String, partCols: Seq[String],
                                         conf: JsonlHadoopConf,
                                         skipCols: Seq[String] = Nil,
-                                        upsertKeys: Seq[String] = Nil)
+                                        upsertKeys: Seq[String] = Nil,
+                                        orderCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new JsonlDataWriter(schema, path, s"$queryId-e$epochId",
-        partitionId, taskId, conf, skipCols, upsertKeys)
+        partitionId, taskId, conf, skipCols, upsertKeys, orderCols)
     else
       new JsonlPartitionedDataWriter(schema, path, s"$queryId-e$epochId",
-        partitionId, taskId, conf, partCols, skipCols, upsertKeys)
+        partitionId, taskId, conf, partCols, skipCols, upsertKeys, orderCols)
 }
 
 /** Staged shard(s) of one task: (staged path, partition-relative dir —
@@ -2370,7 +2410,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
                             replaceShards: () => Seq[String] = null,
                             skipCols: Seq[String] = Nil,
                             autoSnapshot: Boolean = false,
-                            upsertKeys: Seq[String] = Nil)
+                            upsertKeys: Seq[String] = Nil,
+                            orderCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -2382,7 +2423,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     new JsonlWriterFactory(schema, path, queryId, conf, partCols, skipCols,
       if (truncate || dynamicOverwrite || overwriteFilters != null ||
           replaceShards != null) Nil
-      else upsertKeys)
+      else upsertKeys,
+      orderCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
@@ -2706,16 +2748,17 @@ final class JsonlWriterFactory(schema: StructType, path: String,
                                queryId: String, conf: JsonlHadoopConf,
                                partCols: Seq[String] = Nil,
                                skipCols: Seq[String] = Nil,
-                               upsertKeys: Seq[String] = Nil)
+                               upsertKeys: Seq[String] = Nil,
+                               orderCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new JsonlDataWriter(schema, path, queryId, partitionId, taskId, conf,
-        skipCols, upsertKeys)
+        skipCols, upsertKeys, orderCols)
     else
       new JsonlPartitionedDataWriter(schema, path, queryId, partitionId,
-        taskId, conf, partCols, skipCols, upsertKeys)
+        taskId, conf, partCols, skipCols, upsertKeys, orderCols)
 }
 
 /** Routes clustered+sorted rows into `k=v/` hive dirs: one staged file
@@ -2729,7 +2772,8 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
                                        taskId: Long, conf: JsonlHadoopConf,
                                        partCols: Seq[String],
                                        skipCols: Seq[String] = Nil,
-                                       upsertKeyCols: Seq[String] = Nil)
+                                       upsertKeyCols: Seq[String] = Nil,
+                                       orderCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val upsertIdx: Seq[Int] =
@@ -2744,7 +2788,8 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
   private var out: java.io.BufferedWriter = _
   private var staged: List[(String, String)] = Nil
   private var fileSeq = 0
-  private val tracker = new JsonlSkipIndex.ShardStatsTracker(schema, skipCols)
+  private val tracker =
+    new JsonlSkipIndex.ShardStatsTracker(schema, skipCols, orderCols)
   private var stats = Map.empty[String, JsonlSkipIndex.ShardWriteStats]
   private def snapshotCurrent(): Unit =
     if (tracker.active && out != null) {
@@ -2830,7 +2875,8 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
                             partitionId: Int, taskId: Long,
                             conf: JsonlHadoopConf,
                             skipCols: Seq[String] = Nil,
-                            upsertKeyCols: Seq[String] = Nil)
+                            upsertKeyCols: Seq[String] = Nil,
+                            orderCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val upsertIdx: Seq[Int] =
@@ -2846,7 +2892,8 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
       StandardCharsets.UTF_8))
   }
   private val mapper = new ObjectMapper()
-  private val tracker = new JsonlSkipIndex.ShardStatsTracker(schema, skipCols)
+  private val tracker =
+    new JsonlSkipIndex.ShardStatsTracker(schema, skipCols, orderCols)
 
   override def write(row: InternalRow): Unit = {
     if (tracker.active) tracker.update(row)

@@ -157,7 +157,8 @@ object JsonlSkipIndex {
   final case class ShardEntry(nRows: Long,
       stats: Map[String, (Any, Any, Long)],
       blooms: Map[String, org.apache.spark.util.sketch.BloomFilter],
-      exact: Boolean = true)
+      exact: Boolean = true,
+      sorted: Seq[String] = Nil)
 
   // --------------------------------------------------------- json io
 
@@ -368,7 +369,8 @@ object JsonlSkipIndex {
     * [[ShardEntry.exact]]). */
   final case class ShardWriteStats(nRows: Long,
       cols: Map[String, (Any, Any, Long)],
-      exact: Boolean = true) extends Serializable
+      exact: Boolean = true,
+      sorted: Seq[String] = Nil) extends Serializable
 
   /** Streams per-row updates into per-file min/max/null counters for
     * the tracked columns (those of `skipCols` present in the write
@@ -377,8 +379,74 @@ object JsonlSkipIndex {
     * String min/max compare as UTF8String (Spark's aggregate order)
     * and are CLONED on retention — an InternalRow's UTF8String may
     * point into a reused buffer. */
-  final class ShardStatsTracker(schema: StructType, skipCols: Seq[String])
+  final class ShardStatsTracker(schema: StructType, skipCols: Seq[String],
+                                orderCols: Seq[String] = Nil)
       extends Serializable {
+    // VERIFIED write-order sortedness: as rows stream through, compare
+    // each against the previous on the requested order tuple
+    // (lexicographic, per-column ASC NULLS FIRST — Spark's default
+    // sort) and keep the longest leading prefix that never decreased.
+    // The flag is MEASURED, not assumed from the requested sort: a
+    // writer fed out-of-order rows (a path write, a changed plan)
+    // records exactly what held. Top-level indexable columns only.
+    private val orderTracked: Array[(String, Int, DataType)] =
+      orderCols.iterator.map(c => schema.fields.zipWithIndex.collectFirst {
+        case (f, i) if f.name == c && indexable(f.dataType) =>
+          (JsonlTable.physicalKeyOf(f), i, f.dataType)
+      }).takeWhile(_.isDefined).map(_.get).toArray
+    private var sortedPrefix = orderTracked.length
+    private val prevVals = Array.fill[Any](orderTracked.length)(null)
+    private var havePrev = false
+
+    private def orderUpdate(
+        row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      var j = 0
+      var decided = false // first non-equal column decides the compare
+      while (j < sortedPrefix) {
+        val (_, i, dt) = orderTracked(j)
+        val v: Any =
+          if (row.isNullAt(i)) null
+          else dt match {
+            case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+            case IntegerType | DateType => row.getInt(i)
+            case DoubleType => row.getDouble(i)
+            case BooleanType => row.getBoolean(i)
+            case StringType => row.getUTF8String(i).clone()
+            case _ => null
+          }
+        if (havePrev && !decided) {
+          val p = prevVals(j)
+          val c =
+            if (p == null && v == null) 0
+            else if (p == null) -1 // nulls first: prev null <= any
+            else if (v == null) 1
+            else dt match { // catalyst-typed values (see update())
+              case StringType => p.asInstanceOf[UTF8String]
+                .compareTo(v.asInstanceOf[UTF8String])
+              case LongType | TimestampType | TimestampNTZType =>
+                java.lang.Long.compare(
+                  p.asInstanceOf[Long], v.asInstanceOf[Long])
+              case IntegerType | DateType => java.lang.Integer.compare(
+                p.asInstanceOf[Int], v.asInstanceOf[Int])
+              case DoubleType => java.lang.Double.compare(
+                p.asInstanceOf[Double], v.asInstanceOf[Double])
+              case BooleanType => java.lang.Boolean.compare(
+                p.asInstanceOf[Boolean], v.asInstanceOf[Boolean])
+              case _ => 0
+            }
+          if (c < 0) decided = true // strictly increasing: rest free
+          else if (c > 0) {
+            // decreased at column j: the verified prefix ends before it
+            sortedPrefix = j
+            // prevVals beyond j are stale but never read again
+          }
+          // c == 0: tie — the next column decides
+        }
+        if (j < sortedPrefix) prevVals(j) = v
+        j += 1
+      }
+      havePrev = true
+    }
     // entries are keyed by the column's PHYSICAL key (its JSON key):
     // stats of a column dropped and re-added under the same display
     // name must never answer for the new one. A dotted name tracks a
@@ -417,7 +485,7 @@ object JsonlSkipIndex {
             }
         }.flatten
       }.toArray
-    def active: Boolean = tracked.nonEmpty
+    def active: Boolean = tracked.nonEmpty || orderTracked.nonEmpty
     private var n = 0L
     private val mins = Array.fill[Any](tracked.length)(null)
     private val maxs = Array.fill[Any](tracked.length)(null)
@@ -425,6 +493,7 @@ object JsonlSkipIndex {
 
     def update(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
       n += 1
+      if (orderTracked.nonEmpty) orderUpdate(row)
       var j = 0
       while (j < tracked.length) {
         val (_, top, steps, dt) = tracked(j)
@@ -481,7 +550,8 @@ object JsonlSkipIndex {
     def snapshot(): ShardWriteStats =
       ShardWriteStats(n, tracked.indices.map { j =>
         tracked(j)._1 -> ((plain(mins(j)), plain(maxs(j)), nulls(j)))
-      }.toMap)
+      }.toMap,
+        sorted = orderTracked.take(sortedPrefix).map(_._1).toSeq)
 
     def reset(): Unit = {
       n = 0L
@@ -489,6 +559,9 @@ object JsonlSkipIndex {
       while (j < tracked.length) {
         mins(j) = null; maxs(j) = null; nulls(j) = 0L; j += 1
       }
+      sortedPrefix = orderTracked.length
+      java.util.Arrays.fill(prevVals.asInstanceOf[Array[AnyRef]], null)
+      havePrev = false
     }
   }
 
@@ -528,6 +601,10 @@ object JsonlSkipIndex {
           val e = shardsNode.putObject(rel)
           e.put("n", st.nRows)
           if (!st.exact) e.put("approx", true)
+          if (st.sorted.nonEmpty) {
+            val so = e.putArray("sorted")
+            st.sorted.foreach(so.add)
+          }
           val sn = e.putObject("stats")
           st.cols.foreach { case (c, (mn, mx, nn)) =>
             val cn = sn.putObject(c)
@@ -776,10 +853,18 @@ object JsonlSkipIndex {
         blooms += be.getKey -> org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(bytes))
       }
+      val sorted =
+        if (!node.has("sorted")) Nil
+        else {
+          val b = Seq.newBuilder[String]
+          node.get("sorted").forEach(n => b += n.asText)
+          b.result()
+        }
       out += fs.makeQualified(new Path(table, e.getKey)).toString ->
         ShardEntry(if (node.has("n")) node.get("n").asLong else 0L,
           stats.result(), blooms.result(),
-          exact = !(node.has("approx") && node.get("approx").asBoolean))
+          exact = !(node.has("approx") && node.get("approx").asBoolean),
+          sorted = sorted)
     }
     out.result()
   }

@@ -248,6 +248,85 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
       "consumed sidecars dropped with the shards they indexed")
   }
 
+  test("tracker MEASURES write-order sortedness; the verified prefix " +
+      "rides the index into zero-sort plans") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    def row(a: java.lang.Long, b: java.lang.Long) =
+      new GenericInternalRow(Array[Any](a, b))
+    // in order on (a, b): full prefix verified
+    val t1 = new graft.sources.dsv2.JsonlSkipIndex.ShardStatsTracker(
+      schema, Nil, Seq("a", "b"))
+    Seq(row(null, 5L), row(1L, 1L), row(1L, 2L), row(2L, 0L))
+      .foreach(t1.update)
+    assert(t1.snapshot().sorted == Seq("a", "b"), t1.snapshot().sorted)
+    // b regresses inside an `a` tie: prefix shrinks to (a)
+    val t2 = new graft.sources.dsv2.JsonlSkipIndex.ShardStatsTracker(
+      schema, Nil, Seq("a", "b"))
+    Seq(row(1L, 2L), row(1L, 1L), row(2L, 9L)).foreach(t2.update)
+    assert(t2.snapshot().sorted == Seq("a"), t2.snapshot().sorted)
+    // a regresses: nothing verified
+    val t3 = new graft.sources.dsv2.JsonlSkipIndex.ShardStatsTracker(
+      schema, Nil, Seq("a", "b"))
+    Seq(row(2L, 0L), row(1L, 0L)).foreach(t3.update)
+    assert(t3.snapshot().sorted == Nil, t3.snapshot().sorted)
+    // a null AFTER a value violates NULLS FIRST
+    val t4 = new graft.sources.dsv2.JsonlSkipIndex.ShardStatsTracker(
+      schema, Nil, Seq("a"))
+    Seq(row(1L, 0L), row(null, 0L)).foreach(t4.update)
+    assert(t4.snapshot().sorted == Nil, t4.snapshot().sorted)
+    // reset() re-arms the verification for the next rolled file
+    t3.reset()
+    Seq(row(1L, 0L), row(2L, 0L)).foreach(t3.update)
+    assert(t3.snapshot().sorted == Seq("a", "b"))
+  }
+
+  test("verified write-order + key grouping: a window over " +
+      "(partition key, order col) plans with zero sorts") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.so")
+    sql("""CREATE TABLE sk.so.t (lang STRING, k BIGINT, v BIGINT)
+          |PARTITIONED BY (lang)
+          |TBLPROPERTIES ('graft.write.order'='k',
+          |  'graft.skip.columns'='k')""".stripMargin)
+    // one task -> one verified-sorted file per lang dir
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try sql("""INSERT INTO sk.so.t SELECT * FROM VALUES
+              |  ('en', 3L, 30L), ('en', 1L, 10L), ('de', 2L, 20L),
+              |  ('en', 2L, 20L), ('de', 9L, 90L), ('fr', 5L, 50L)
+              |  AS v(lang, k, v)""".stripMargin)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val root = spark.conf.get("spark.sql.catalog.sk.root")
+    for (lang <- Seq("en", "de", "fr"))
+      assert(new java.io.File(s"$root/so/t/lang=$lang").listFiles()
+        .count(_.getName.endsWith(".jsonl.gz")) == 1,
+        s"need one shard per $lang dir for the grouped-ordering claim")
+    // the spj scan reports (lang, k) per-partition ordering: the
+    // window's required clustering is satisfied by the key grouping
+    // and its required sort by the reported ordering — no SortExec
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val df = spark.read.format("graft-jsonl")
+      .schema("lang string, k long, v long")
+      .option("spj", "true")
+      // a path read has no table spec — the declared write order rides
+      // as a read option (catalog reads pick it up from properties)
+      .option(graft.sources.dsv2.JsonlTable.WriteOrderProp, "k")
+      .load(s"$root/so/t")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("k")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ["),
+      s"verified ordering must satisfy the window's sort:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(got == Seq(("de", 2L, 1), ("de", 9L, 2), ("en", 1L, 1),
+      ("en", 2L, 2), ("en", 3L, 3), ("fr", 5L, 1)), got.toString)
+  }
+
   test("runtime filtering reaches the skip index: a DPP-style IN on a " +
       "clustered column prunes shards") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.rt")
