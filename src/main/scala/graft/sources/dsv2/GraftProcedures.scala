@@ -836,7 +836,21 @@ object GraftProcedures {
                 .sortWithinPartitions((prefix :+ col(zCol)): _*)
                 .drop(zCol)
             }
+          // the staging write measures its own stats: skip columns
+          // track min/max/nulls per staged file, and the VERIFY-ONLY
+          // order option records each file's held sort prefix without
+          // stacking a required distribution on the already-sorted
+          // plan — the flags transplant onto the swapped-in shards
+          // below (a scan-rebuild can't recover sortedness:
+          // aggregation is order-blind)
+          val tablePropsW = scala.jdk.CollectionConverters.MapHasAsScala(
+            tbl.properties()).asScala.toMap
+          val idxCols =
+            (cols ++ JsonlSkipIndex.skipColsOf(tablePropsW)).distinct
           val w = clustered.write.format("graft-jsonl").mode("append")
+            .option(JsonlSkipIndex.ColumnsProperty, idxCols.mkString(","))
+            .option(JsonlTable.VerifyOrderProp,
+              if (zorder) "" else cols.mkString(","))
           (if (partitioned) w.partitionBy(partCols: _*) else w)
             .save(staging.toString)
           // stamp the staged outputs IN STAGING (before any swap, so
@@ -934,6 +948,8 @@ object GraftProcedures {
               if (emptyTree(delRoot)) fs.delete(delRoot, true)
               rows
             }
+          val stagedEntries =
+            JsonlSkipIndex.entriesOf(fs, staging, tbl.schema())
           fs.delete(staging, true)
           JsonlSnapshots.retainFromTrash(fs, table, trash, pp =>
             if (partitioned) relOf(pp).stripPrefix(
@@ -941,12 +957,12 @@ object GraftProcedures {
             else pp.getName) // unpartitioned: rel is the file name
           fs.delete(trash, true)
           // the old index describes trashed shards: rebuild for the
-          // cluster columns plus any write-time-maintained ones
+          // cluster columns plus any write-time-maintained ones, then
+          // overlay the staging write's measured entries (same data,
+          // plus the verified-sorted prefix — see staging write above)
           fs.delete(new Path(table, JsonlSkipIndex.DirName), true)
-          val tableProps = scala.jdk.CollectionConverters.MapHasAsScala(
-            tbl.properties()).asScala.toMap
-          val idxCols = (cols ++ JsonlSkipIndex.skipColsOf(tableProps)).distinct
           JsonlSkipIndex.build(spark, fs, table, ref, idxCols, Nil, 0L, 0L)
+          JsonlSkipIndex.mergeEntries(fs, table, stagedEntries)
           // the rewrite reconciled every delete <= eqMaxCl: retire key
           // files no live shard is exposed to (a wave that landed
           // mid-rewrite keeps its higher-sequence file — its stamps

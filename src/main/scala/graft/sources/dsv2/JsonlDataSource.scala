@@ -130,6 +130,18 @@ object JsonlTable {
     props.get(WriteOrderProp).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  /** VERIFY-ONLY variant of [[WriteOrderProp]] (write option): the
+    * writers measure per-file sortedness on these columns and record
+    * the held prefix in the skip entries, but the write does NOT
+    * request a distribution/sort — for rewrites that already sort
+    * their plan themselves (`CALL cluster_table`'s staging write),
+    * where a required ordering would stack a redundant shuffle. */
+  val VerifyOrderProp = "graft.write.order.verify"
+
+  def verifyOrderOf(props: Map[String, String]): Seq[String] =
+    props.get(VerifyOrderProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   /** StructField-metadata key carrying a field's PHYSICAL JSON key
     * when it differs from the display name — the indirection DROP +
     * re-ADD needs: a dropped column's key is TOMBSTONED
@@ -277,8 +289,7 @@ class JsonlTable(tableSchema: StructType, path: String,
       // style IN filter from a broadcast dim prunes SHARDS through the
       // skip index (min/max/bloom), not just partition dirs
       runtimeSkipCols = (JsonlSkipIndex.skipColsOf(props) ++
-        JsonlTable.writeOrderOf(props)).distinct,
-      orderCols = JsonlTable.writeOrderOf(props))
+        JsonlTable.writeOrderOf(props)).distinct)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -290,7 +301,8 @@ class JsonlTable(tableSchema: StructType, path: String,
       JsonlSkipIndex.skipColsOf(props), JsonlTable.writeOrderOf(props),
       JsonlTable.autoSnapshotOf(props),
       multiGeneration = props.contains(JsonlTable.LegacySpecsProp),
-      upsertKeys = JsonlTable.upsertKeysOf(props))
+      upsertKeys = JsonlTable.upsertKeysOf(props),
+      verifyOrder = JsonlTable.verifyOrderOf(props))
   }
 
   /** Drop every data entry under the table root, keeping metadata
@@ -725,8 +737,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
                              columnar: Boolean = false,
                              spj: Boolean = false,
                              snapshot: JsonlSnapshots.Manifest = null,
-                             runtimeSkipCols: Seq[String] = Nil,
-                             orderCols: Seq[String] = Nil)
+                             runtimeSkipCols: Seq[String] = Nil)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -839,7 +850,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
   override def build(): Scan =
     new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar,
       aggSpecs, limit, spj, snapshot = snapshot, pruneOnly = pruneOnly,
-      runtimeSkipCols = runtimeSkipCols, orderCols = orderCols)
+      runtimeSkipCols = runtimeSkipCols)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -1053,8 +1064,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       recordShardsTo: JsonlRowLevelOperation = null,
                       snapshot: JsonlSnapshots.Manifest = null,
                       pruneOnly: Array[Filter] = Array.empty,
-                      runtimeSkipCols: Seq[String] = Nil,
-                      orderCols: Seq[String] = Nil)
+                      runtimeSkipCols: Seq[String] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1177,34 +1187,39 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
       val partKeys: Seq[String] =
         if (spjActive) spjKeys.map(_._1) else Nil
       // VERIFIED write-order extension: writers measured each file's
-      // lexicographic sortedness on the requested order columns and
-      // recorded the held prefix in its skip entry
-      // ([[JsonlSkipIndex.ShardStatsTracker]]). When EVERY planned
-      // shard is verified for the first m order columns — and, under
-      // key grouping, every group holds exactly ONE shard (Spark
-      // concatenates a group's files, which would break a row-level
-      // order but not the constant group key) — the scan's
-      // per-partition ordering extends past the grouping keys: on the
-      // post-cluster one-shard-per-value shape, a sort-merge join or
-      // a window over (group key, order col) plans with ZERO sorts.
+      // lexicographic sortedness ([[JsonlSkipIndex.ShardStatsTracker]])
+      // and recorded the held prefix in its skip entry — the entries
+      // are the ground truth, so the report derives the longest COMMON
+      // verified prefix across the planned shards (write.order tables,
+      // cluster_table-maintained layouts, and bare path reads all
+      // qualify without declaring anything on the read). Conditions:
+      // every planned shard verified, and under key grouping every
+      // group holds exactly ONE shard (Spark concatenates a group's
+      // files, which would break a row-level order but not the
+      // constant group key). On the post-cluster one-shard-per-value
+      // shape, a sort-merge join or a window over (group key, order
+      // col) then plans with ZERO sorts.
       val orderKeys: Seq[String] =
-        if (orderCols.isEmpty || snapshot != null || skipIndex.isEmpty) Nil
+        if (snapshot != null || skipIndex.isEmpty) Nil
         else {
           val shards = prunedShards()
           val singlePerGroup = !spjActive ||
             shards.groupBy(_._3).valuesIterator.forall(_.size == 1)
           if (shards.isEmpty || !singlePerGroup) Nil
           else {
-            val storage =
-              orderCols.map(c => JsonlTable.physicalKeyOf(dataSchema, c))
-            val m = shards.iterator.map { case (f, _, _) =>
-              skipIndex.get(f) match {
-                case Some(e) =>
-                  storage.zip(e.sorted).takeWhile(p => p._1 == p._2).size
-                case None => 0
-              }
-            }.min
-            orderCols.take(m).filterNot(partKeys.contains)
+            val prefixes = shards.map { case (f, _, _) =>
+              skipIndex.get(f).map(_.sorted).getOrElse(Nil)
+            }
+            val common = prefixes.reduce { (a, b) =>
+              a.zip(b).takeWhile(p => p._1 == p._2).map(_._1)
+            }
+            // storage keys → top-level display names (skip anything
+            // that no longer resolves, e.g. after a column drop)
+            common.iterator.map(k =>
+              dataSchema.fields.find(fl =>
+                JsonlTable.physicalKeyOf(fl) == k).map(_.name))
+              .takeWhile(_.isDefined).map(_.get)
+              .filterNot(partKeys.contains).toSeq
           }
         }
       (partKeys ++ orderKeys).takeWhile(out.contains).map { n =>
@@ -1933,7 +1948,8 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
                               writeOrder: Seq[String] = Nil,
                               autoSnapshot: Boolean = false,
                               multiGeneration: Boolean = false,
-                              upsertKeys: Seq[String] = Nil)
+                              upsertKeys: Seq[String] = Nil,
+                              verifyOrder: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -1983,18 +1999,43 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
     // projected schema always carries the table columns; defensive
     // filter keeps an evolved-away name from failing the write)
     val order = writeOrder.filter(schema.fieldNames.contains)
-    if (partCols.isEmpty && order.isEmpty)
+    // the tuple writers VERIFY per file (the required order, or the
+    // verify-only columns of a self-sorting rewrite)
+    val verified =
+      if (order.nonEmpty) order
+      else verifyOrder.filter(schema.fieldNames.contains)
+    if (verifyOrder.nonEmpty && order.isEmpty)
+      // self-sorting rewrite ([[JsonlTable.VerifyOrderProp]]): the
+      // caller's plan already distributes AND sorts — stacking a
+      // required clustered distribution here would make
+      // CollapseRepartition replace the caller's range partitioning
+      // with a plain hash and SCRAMBLE the within-file sort it came to
+      // have measured. No requirement: the writers route rows into
+      // partition dirs as delivered and record what actually held.
+      new org.apache.spark.sql.connector.write.Write {
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new JsonlBatchWrite(schema, path, queryId,
+            doTruncate || (doDynamic && partCols.isEmpty), partCols,
+            doDynamic && partCols.nonEmpty, overwriteFilters,
+            skipCols = skipCols, autoSnapshot = autoSnapshot,
+            upsertKeys = upsertKeys, orderCols = verified)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols,
+            autoSnapshot, upsertKeys, verified)
+      }
+    else if (partCols.isEmpty && order.isEmpty)
       new org.apache.spark.sql.connector.write.Write {
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
           // dynamic overwrite of an UNPARTITIONED table replaces its
           // single implicit partition — the whole table
           new JsonlBatchWrite(schema, path, queryId, doTruncate || doDynamic,
             Nil, skipCols = skipCols, autoSnapshot = autoSnapshot,
-            upsertKeys = upsertKeys)
+            upsertKeys = upsertKeys, orderCols = verified)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, Nil, skipCols,
-            autoSnapshot, upsertKeys)
+            autoSnapshot, upsertKeys, verified)
       }
     else
       // hive-layout write: ask Spark to CLUSTER rows by the partition
@@ -2039,11 +2080,11 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
             upsertKeys = upsertKeys,
             // the requested within-task sort: writers VERIFY it per
             // file and record the held prefix in the skip entry
-            orderCols = order)
+            orderCols = verified)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols,
-            autoSnapshot, upsertKeys, order)
+            autoSnapshot, upsertKeys, verified)
       }
   }
 }
@@ -2186,7 +2227,7 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
     new JsonlStreamingWriterFactory(schema, path, queryId, partCols, conf,
-      skipCols, upsertKeys)
+      skipCols, upsertKeys, orderCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = fs

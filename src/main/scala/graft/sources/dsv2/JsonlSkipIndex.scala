@@ -812,6 +812,25 @@ object JsonlSkipIndex {
   /** Open the index for `table`. One existence probe + one small list
     * read when the table has an index; entries load per-partition on
     * demand (see [[Index]]). */
+  /** Every entry under `root`'s index as (table-relative path →
+    * write-stats), ready to [[mergeEntries]] into ANOTHER root's index
+    * — how `CALL cluster_table` transplants its staging write's
+    * measured stats (incl. the verified-sorted prefix, which a
+    * scan-rebuild cannot recover: aggregation is order-blind) onto the
+    * swapped-in shards. Rel paths transfer because staging mirrors the
+    * table-relative layout. */
+  def entriesOf(fs: FileSystem, root: Path, schema: StructType)
+      : Seq[(String, ShardWriteStats)] = {
+    val list = loadList(fs, root)
+    val qualified = fs.makeQualified(root).toUri
+    list.valuesIterator.flatMap { file =>
+      loadManifest(fs, root, file, schema).iterator.map { case (q, e) =>
+        val rel = qualified.relativize(new Path(q).toUri).getPath
+        rel -> ShardWriteStats(e.nRows, e.stats, e.exact, e.sorted)
+      }
+    }.toSeq
+  }
+
   def open(fs: FileSystem, table: Path, schema: StructType): Index = {
     val list = loadList(fs, table)
     val legacy =

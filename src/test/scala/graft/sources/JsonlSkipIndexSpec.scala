@@ -308,12 +308,11 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
     // and its required sort by the reported ordering — no SortExec
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
+    // no read-side declaration needed: the report derives the common
+    // verified prefix from the skip entries themselves
     val df = spark.read.format("graft-jsonl")
       .schema("lang string, k long, v long")
       .option("spj", "true")
-      // a path read has no table spec — the declared write order rides
-      // as a read option (catalog reads pick it up from properties)
-      .option(graft.sources.dsv2.JsonlTable.WriteOrderProp, "k")
       .load(s"$root/so/t")
       .withColumn("rn",
         row_number().over(Window.partitionBy("lang").orderBy("k")))
@@ -325,6 +324,43 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).sorted.toSeq
     assert(got == Seq(("de", 2L, 1), ("de", 9L, 2), ("en", 1L, 1),
       ("en", 2L, 2), ("en", 3L, 3), ("fr", 5L, 1)), got.toString)
+  }
+
+  test("cluster_table transplants verified sortedness: the maintained " +
+      "layout gets zero-sort windows") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.cv")
+    sql("""CREATE TABLE sk.cv.t (lang STRING, k BIGINT, v BIGINT)
+          |PARTITIONED BY (lang)
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    // several UNSORTED shards per dir: nothing is verified at write
+    for (m <- 0 to 2)
+      sql(s"""INSERT INTO sk.cv.t SELECT /*+ REPARTITION(1) */ * FROM VALUES
+             |  ('en', ${9 - m}L, 1L), ('en', ${20 - m}L, 2L),
+             |  ('de', ${5 - m}L, 3L) AS v(lang, k, v)""".stripMargin)
+    sql("CALL sk.system.cluster_table('cv.t', columns => 'k', " +
+      "target_shards => 1)")
+    val root = spark.conf.get("spark.sql.catalog.sk.root")
+    for (lang <- Seq("en", "de"))
+      assert(new java.io.File(s"$root/cv/t/lang=$lang").listFiles()
+        .count(_.getName.endsWith(".jsonl.gz")) == 1,
+        s"expected the rewrite to land one shard per $lang dir")
+    // the staging write MEASURED the rewrite's sort and the transplant
+    // carried it into the rebuilt index: zero-sort window, no options
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val df = spark.read.format("graft-jsonl")
+      .schema("lang string, k long, v long")
+      .option("spj", "true").load(s"$root/cv/t")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("k")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ["),
+      s"cluster-maintained layout must plan the window sort-free:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(got == Seq(("de", 3L, 1), ("de", 4L, 2), ("de", 5L, 3),
+      ("en", 7L, 1), ("en", 8L, 2), ("en", 9L, 3),
+      ("en", 18L, 4), ("en", 19L, 5), ("en", 20L, 6)), got.toString)
   }
 
   test("runtime filtering reaches the skip index: a DPP-style IN on a " +
