@@ -229,6 +229,19 @@ object GraftProcedures {
             .count(_.getPath.getName.startsWith(".intent.")).toLong
         row("pin_intents", intents,
           if (intents > 0) "in-flight or crashed auto-snapshot commits" else "")
+        // clustering health: shards whose skip entry carries a
+        // VERIFIED sort prefix (write-time measured / cluster-table
+        // transplanted) — the inputs to zero-sort plans and to the
+        // idempotent cluster_table no-op
+        locally {
+          val schemaMs = JsonlSnapshots.tableSchemaOf(fs, table,
+            org.apache.spark.sql.types.StructType(Nil))
+          val idx = JsonlSkipIndex.open(fs, table, schemaMs)
+          row("sorted_shards", layout.count { case (p, _, _, _) =>
+            idx.get(fs.makeQualified(p).toString)
+              .exists(_.sorted.nonEmpty) }.toLong,
+            "live shards with a verified write-order prefix")
+        }
         // recommendations, debt-ranked: each names the CALL that
         // retires it
         if (eqFiles > 0 || sidecars.nonEmpty)

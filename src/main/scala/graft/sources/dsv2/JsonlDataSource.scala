@@ -1181,6 +1181,13 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * output; a pruned column would fail resolution). */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    reportedOrdering
+
+  // computed once per scan (the rule may consult it repeatedly), with
+  // an early exit the moment the common verified prefix dies — on an
+  // unverified layout the derivation touches ONE entry
+  private lazy val reportedOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     if (aggMode) Array.empty
     else {
       val out = readSchema().fieldNames.toSet
@@ -1207,11 +1214,14 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
             shards.groupBy(_._3).valuesIterator.forall(_.size == 1)
           if (shards.isEmpty || !singlePerGroup) Nil
           else {
-            val prefixes = shards.map { case (f, _, _) =>
-              skipIndex.get(f).map(_.sorted).getOrElse(Nil)
-            }
-            val common = prefixes.reduce { (a, b) =>
-              a.zip(b).takeWhile(p => p._1 == p._2).map(_._1)
+            var common: Seq[String] = null
+            val it = shards.iterator
+            while (it.hasNext && (common == null || common.nonEmpty)) {
+              val (f, _, _) = it.next()
+              val p = skipIndex.get(f).map(_.sorted).getOrElse(Nil)
+              common =
+                if (common == null) p
+                else common.zip(p).takeWhile(q => q._1 == q._2).map(_._1)
             }
             // storage keys → top-level display names (skip anything
             // that no longer resolves, e.g. after a column drop)
@@ -1391,19 +1401,34 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
         p, dataSchema)
     }
 
+  // memoized per runtime-filter SET: planning consults the pruned
+  // listing several times per scan (partitioning, ordering, SPJ keys,
+  // statistics, the partition plan itself) and each pass re-ran
+  // per-shard index admission; the result only changes when filter()
+  // delivers a new runtime array, so key the cache on its identity
+  @volatile private var prunedCache
+      : (Array[Filter], Seq[(String, Long, Map[String, Option[String]])]) =
+    null
+
   private def prunedShards()
-      : Seq[(String, Long, Map[String, Option[String]])] =
-    layout.filter { case (f, _, pv) =>
+      : Seq[(String, Long, Map[String, Option[String]])] = {
+    val rf = runtimeFilters
+    val c = prunedCache
+    if (c != null && (c._1 eq rf)) return c._2
+    val r = layout.filter { case (f, _, pv) =>
       pv.forall { case (k, v) =>
-        (pushed ++ runtimeFilters)
+        (pushed ++ rf)
           .forall(JsonlPartitionPruning.admits(_, k, v, dataSchema))
-      } && runtimeFilters
+      } && rf
         .filter(_.references.sameElements(Array("_shard")))
         .forall(shardAdmitted(f, _)) &&
       (skipIndex.isEmpty ||
         JsonlSkipIndex.admits(skipIndex, f,
-          (pushed ++ pruneOnly ++ runtimeFilters).toSeq, dataSchema))
+          (pushed ++ pruneOnly ++ rf).toSeq, dataSchema))
     }
+    prunedCache = (rf, r)
+    r
+  }
 
   /** Hive-style one-level partition layout (`lang=en/part-*.jsonl.gz`,
     * the shape [[graft.sources.JsonlCorpus.write]] produces with a

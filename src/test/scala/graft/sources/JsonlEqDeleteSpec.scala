@@ -662,6 +662,8 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     assert(m("eq_tombstones")._1 == 1L)
     assert(m("pin_intents")._1 == 1L)
     assert(m("mor_sidecars")._1 == 1L && m("mor_deleted_rows")._1 == 1L)
+    assert(m("sorted_shards")._1 == 0L,
+      "no write order declared: nothing verified-sorted")
     assert(m("recommend")._2.contains("CALL compact"), m.toString)
     // the dashboard is read-only: nothing changed
     assert(sql("SELECT count(*) FROM eq.ns.ms").head.getLong(0) == 49L)
