@@ -104,13 +104,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = num(timings.flatMap(_._2.map(_._1)).sum)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}"""
-    println(line)
     // the driver's per-round artifact keeps only a ~2000-char TAIL of
-    // stdout: the full line above loses its HEAD there and parses as
-    // null (the round-12 BENCH_r12.json symptom). Emit a COMPACT,
-    // self-contained JSON line LAST — headline numbers + the slowest
-    // queries — that fits the tail window whole; the committed
-    // artifact below carries every timing
+    // stdout AND parses it as one JSON document: the full per-query
+    // line exceeds the window (round-12..14 `parsed: null` symptom),
+    // and a second line alongside it still defeats the parse. Stdout
+    // therefore carries ONE compact, self-contained JSON line —
+    // headline numbers + the slowest queries — and nothing else; the
+    // committed BENCH_FULL.json artifact carries every timing.
     val slowest = timings.collect { case (k, Some((med, _, _))) => (k, med) }
       .toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => q(k) + ":" + num(v) }.mkString("{", ",", "}")

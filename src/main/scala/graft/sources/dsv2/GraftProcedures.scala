@@ -756,21 +756,40 @@ object GraftProcedures {
           // shards' skip-index [min, max] ranges on the LEADING
           // cluster column are pairwise non-overlapping (touching at a
           // shared boundary value is fine: range repartitioning splits
-          // duplicate keys across files), the shard count is within
+          // duplicate keys across files), every live shard's entry
+          // carries a VERIFIED-SORTED prefix covering the cluster
+          // columns (the no-op preserves the zero-sort SPJ/ordering
+          // plans, not just pruning — a range-disjoint-but-unsorted
+          // layout must fall through to the rewrite or re-CALLing
+          // could never establish them), the shard count is within
           // target, and no merge-on-read sidecars or pending equality
-          // deletes await consolidation. Within-file row order never
-          // affects pruning (admission is per-file min/max), so a
-          // rewrite cannot improve the index — skip it. This is what
-          // keeps a periodic maintenance loop O(metadata) on tables
-          // that are already in shape, instead of re-sorting 100 TB
-          // every cadence. Z-order asks for a multi-column layout the
-          // leading-range check can't certify — it always rewrites.
-          val alreadyClustered: Boolean = !zorder &&
-            before.size <= nShards &&
+          // deletes await consolidation. This is what keeps a periodic
+          // maintenance loop O(metadata) on tables that are already in
+          // shape, instead of re-sorting 100 TB every cadence.
+          // Z-order's multi-column interleave can't be certified from
+          // ranges — it no-ops on the LAYOUT CERTIFICATE instead: the
+          // spec + live-set fingerprint the last rewrite recorded
+          // ([[JsonlSkipIndex.writeClusterSpec]]); any append, wave,
+          // compact, or re-stamp since then changes the attempt-unique
+          // shard set and fails the match.
+          val qTfp = fs.makeQualified(table).toUri
+          val liveRels = before.map(p =>
+            qTfp.relativize(fs.makeQualified(p).toUri).getPath)
+          val noPendingState =
             JsonlDeletes.index(fs, table).isEmpty &&
-            JsonlEqDeletes.pendingNames(fs, table).isEmpty && {
+            JsonlEqDeletes.pendingNames(fs, table).isEmpty
+          val alreadyClustered: Boolean =
+            before.size <= nShards && noPendingState && {
+              if (zorder)
+                JsonlSkipIndex.readClusterSpec(fs, table).exists(sp =>
+                  sp.zorder && sp.cols == cols &&
+                    sp.fingerprint ==
+                      JsonlSkipIndex.layoutFingerprint(liveRels))
+              else {
               val schemaCl = tbl.schema()
               val leadKey = JsonlSkipIndex.storageKeyOf(schemaCl, cols.head)
+              val wantSorted =
+                cols.map(c => JsonlSkipIndex.storageKeyOf(schemaCl, c))
               schemaCl.fields.find(_.name == cols.head).map(_.dataType)
                 .exists { dt =>
                   val idx = JsonlSkipIndex.open(fs, table, schemaCl)
@@ -780,9 +799,13 @@ object GraftProcedures {
                       qT.relativize(fs.makeQualified(p).toUri).getPath)
                   }
                   byDir.valuesIterator.forall { dirShards =>
-                    val ranges = dirShards.map { case (p, _, _, _) =>
+                    val entries = dirShards.map { case (p, _, _, _) =>
                       idx.get(fs.makeQualified(p).toString)
-                        .flatMap(_.stats.get(leadKey)) match {
+                    }
+                    entries.forall(_.exists(e =>
+                      e.sorted.take(wantSorted.length) == wantSorted)) && {
+                    val ranges = entries.map {
+                      _.flatMap(_.stats.get(leadKey)) match {
                         case Some((mn, mx, _)) if mn != null && mx != null =>
                           (mn, mx)
                         case _ => null // unindexed/all-null: rewrite
@@ -796,8 +819,10 @@ object GraftProcedures {
                           JsonlSkipIndex.cmp(mxA, mnB, dt) <= 0
                       }
                     }
+                    }
                   }
                 }
+              }
             }
           if (alreadyClustered) {
             val qT = fs.makeQualified(table).toUri
@@ -961,8 +986,20 @@ object GraftProcedures {
               if (emptyTree(delRoot)) fs.delete(delRoot, true)
               rows
             }
+          // the staging skip index was written at staging-write time,
+          // BEFORE the eq stamp renames above — remap each entry's
+          // filename through the same stamp or the transplant would
+          // write ghost entries for pre-stamp names that no longer
+          // exist while the swapped-in stamped shards never receive
+          // their measured stats + verified-sorted flags
           val stagedEntries =
-            JsonlSkipIndex.entriesOf(fs, staging, tbl.schema())
+            JsonlSkipIndex.entriesOf(fs, staging, tbl.schema()).map {
+              case (rel, st) if eqMaxCl > 0L =>
+                val cut = rel.lastIndexOf('/') + 1
+                (rel.substring(0, cut) +
+                  JsonlEqDeletes.stampName(rel.substring(cut), eqMaxCl)) -> st
+              case e => e
+            }
           fs.delete(staging, true)
           JsonlSnapshots.retainFromTrash(fs, table, trash, pp =>
             if (partitioned) relOf(pp).stripPrefix(
@@ -980,15 +1017,26 @@ object GraftProcedures {
           // files no live shard is exposed to (a wave that landed
           // mid-rewrite keeps its higher-sequence file — its stamps
           // hold the minimum down)
+          val liveAfter = JsonlLayout.discoverFull(fs, table)
           if (eqMaxCl > 0L) {
-            val live = JsonlLayout.discoverFull(fs, table)
             val minLive =
-              if (live.isEmpty) Long.MaxValue
-              else live.iterator.map { case (pp, _, _, _) =>
+              if (liveAfter.isEmpty) Long.MaxValue
+              else liveAfter.iterator.map { case (pp, _, _, _) =>
                 JsonlEqDeletes.shardSeqOf(pp.getName) }.min
             JsonlEqDeletes.retire(fs, table, minLive,
               JsonlSnapshots.retainedRoot(table))
           }
+          // layout certificate: spec + fingerprint of the live set the
+          // rewrite produced — the z-order no-op witness (and a cheap
+          // staleness probe for maintenance reporting). Written LAST so
+          // a crash mid-swap can never leave a certificate describing a
+          // layout that was not fully published.
+          JsonlSkipIndex.writeClusterSpec(fs, table,
+            JsonlSkipIndex.ClusterSpec(cols, zorder, nShards,
+              JsonlSkipIndex.layoutFingerprint(liveAfter.map { case (pp, _, _, _) =>
+                fs.makeQualified(table).toUri
+                  .relativize(fs.makeQualified(pp).toUri).getPath
+              })))
           result(compactSchema, resultRows)
         } finally RowLevelLock.release(fs, lock)
       }

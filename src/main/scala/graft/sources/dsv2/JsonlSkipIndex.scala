@@ -752,6 +752,55 @@ object JsonlSkipIndex {
     ()
   }
 
+  // ------------------------------------------------- cluster spec
+  //
+  // `_skip/cluster.json`: the layout certificate `CALL cluster_table`
+  // writes after a successful rewrite — the cluster spec (columns +
+  // zorder flag + target shard count) plus a FINGERPRINT of the live
+  // shard set it produced (sha-256 over the sorted table-relative
+  // paths). A re-CALL with the same spec whose current live set still
+  // matches the fingerprint (and no sidecars / pending equality
+  // deletes) is provably a no-op: shard names are attempt-unique, so
+  // ANY append, upsert wave, compaction, or re-stamp since the rewrite
+  // changes the set and fails the match. This is what lets Z-ORDER
+  // layouts — whose multi-column interleave the leading-range check
+  // can't certify — join the idempotent-maintenance contract instead
+  // of re-sorting the table every cadence.
+
+  final case class ClusterSpec(cols: Seq[String], zorder: Boolean,
+                               nShards: Int, fingerprint: String)
+
+  private def clusterSpecFile(table: Path): Path =
+    new Path(indexDir(table), "cluster.json")
+
+  def layoutFingerprint(rels: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rels.sorted.foreach { r =>
+      md.update(r.getBytes(StandardCharsets.UTF_8)); md.update('\n'.toByte)
+    }
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  def writeClusterSpec(fs: FileSystem, table: Path,
+                       spec: ClusterSpec): Unit = {
+    val root = mapper.createObjectNode()
+    val ca = root.putArray("cols"); spec.cols.foreach(ca.add)
+    root.put("zorder", spec.zorder)
+    root.put("nShards", spec.nShards)
+    root.put("fingerprint", spec.fingerprint)
+    publish(fs, clusterSpecFile(table), root)
+  }
+
+  def readClusterSpec(fs: FileSystem, table: Path): Option[ClusterSpec] =
+    readNode(fs, clusterSpecFile(table)).flatMap { root =>
+      try {
+        val cols = (0 until root.get("cols").size)
+          .map(root.get("cols").get(_).asText)
+        Some(ClusterSpec(cols, root.get("zorder").asBoolean,
+          root.get("nShards").asInt, root.get("fingerprint").asText))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   private def putScalar(n: ObjectNode, field: String, v: Any): Unit = v match {
     case null => n.putNull(field)
     case b: Boolean => n.put(field, b)

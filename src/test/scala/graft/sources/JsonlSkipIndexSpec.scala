@@ -449,6 +449,98 @@ class JsonlSkipIndexSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM sk.ci.t").head.getLong(0) == 1248L)
   }
 
+  test("cluster_table zorder is idempotent via the layout certificate") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.zi")
+    sql("""CREATE TABLE sk.zi.t (x BIGINT, y BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.skip.columns'='x,y')""".stripMargin)
+    for (m <- 0 to 3)
+      sql(s"""INSERT INTO sk.zi.t SELECT /*+ REPARTITION(1) */
+             |  (id * 7 + $m) % 100 AS x, (id * 13 + $m) % 100 AS y, id AS v
+             |FROM range(0, 250)""".stripMargin)
+    val root = spark.conf.get("spark.sql.catalog.sk.root")
+    def listing(): Seq[(String, Long)] = new java.io.File(s"$root/zi/t")
+      .listFiles().filter(f => f.isFile && f.getName.endsWith(".jsonl.gz"))
+      .map(f => (f.getName, f.lastModified)).sorted.toSeq
+    sql("CALL sk.system.cluster_table('zi.t', columns => 'x,y', " +
+      "target_shards => 4, zorder => true)")
+    val afterFirst = listing()
+    // re-CALL with the SAME spec: the layout certificate (spec +
+    // live-set fingerprint) certifies the z-order layout — no re-sort
+    val r = sql("CALL sk.system.cluster_table('zi.t', columns => 'x,y', " +
+      "target_shards => 4, zorder => true)").collect()
+    assert(listing() == afterFirst,
+      "certified z-order layout: the re-CALL must not rewrite a byte")
+    assert(r.nonEmpty && r.forall(x => x.getInt(1) == x.getInt(2)),
+      s"no-op rows must report before == after: ${r.mkString(",")}")
+    // a DIFFERENT spec is not certified — it rewrites
+    sql("CALL sk.system.cluster_table('zi.t', columns => 'y,x', " +
+      "target_shards => 4, zorder => true)")
+    assert(listing().map(_._1).intersect(afterFirst.map(_._1)).isEmpty,
+      "a different z-order spec must force a rewrite")
+    // an append changes the attempt-unique live set: fingerprint
+    // mismatch, the next same-spec CALL consolidates
+    val afterSwap = listing()
+    sql("INSERT INTO sk.zi.t SELECT /*+ REPARTITION(1) */ 1L, 2L, 9999L")
+    sql("CALL sk.system.cluster_table('zi.t', columns => 'y,x', " +
+      "target_shards => 4, zorder => true)")
+    assert(listing().map(_._1).intersect(afterSwap.map(_._1)).isEmpty,
+      "an append must invalidate the certificate and force a rewrite")
+    assert(sql("SELECT count(*) FROM sk.zi.t").head.getLong(0) == 1001L)
+  }
+
+  test("cluster_table on an upsert table: sorted stats land on the " +
+      "STAMPED shards, no ghost index entries, and the re-CALL no-ops") {
+    sql("CREATE NAMESPACE IF NOT EXISTS sk.eqc")
+    sql("""CREATE TABLE sk.eqc.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='k',
+          |  'graft.skip.columns'='k')""".stripMargin)
+    sql("""INSERT INTO sk.eqc.t SELECT id AS k, id AS v
+          |FROM range(0, 500)""".stripMargin)
+    // a second wave: publishes key-file sequence >= 1, so the rewrite
+    // below runs with eqMaxCl > 0 and stamps its staged outputs
+    sql("""INSERT INTO sk.eqc.t SELECT id AS k, id + 1000 AS v
+          |FROM range(0, 250)""".stripMargin)
+    sql("CALL sk.system.cluster_table('eqc.t', columns => 'k', " +
+      "target_shards => 2)")
+    val root = spark.conf.get("spark.sql.catalog.sk.root")
+    val table = new org.apache.hadoop.fs.Path(s"$root/eqc/t")
+    val fs = table.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val live = new java.io.File(s"$root/eqc/t").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".jsonl.gz"))
+      .map(_.getName).toSeq
+    assert(live.nonEmpty && live.forall(_.contains("-eqs")),
+      s"rewrite outputs must carry the eq stamp: $live")
+    // the transplant must key the staged stats by the STAMPED names:
+    // every index entry points at a file that exists (no ghosts), and
+    // the live shards' entries carry the verified-sorted prefix
+    val schema = spark.table("sk.eqc.t").schema
+    val entries = graft.sources.dsv2.JsonlSkipIndex.entriesOf(fs, table, schema)
+    assert(entries.nonEmpty)
+    entries.foreach { case (rel, _) =>
+      assert(new java.io.File(s"$root/eqc/t/$rel").exists(),
+        s"ghost index entry for non-existent $rel")
+    }
+    val idx = graft.sources.dsv2.JsonlSkipIndex.open(fs, table, schema)
+    live.foreach { n =>
+      val e = idx.get(fs.makeQualified(new org.apache.hadoop.fs.Path(table, n)).toString)
+      assert(e.exists(_.sorted.contains("k")),
+        s"stamped shard $n lost its verified-sorted flag: $e")
+    }
+    // with the flags in place the re-CALL is certified a no-op
+    def listing(): Seq[(String, Long)] = new java.io.File(s"$root/eqc/t")
+      .listFiles().filter(f => f.isFile && f.getName.endsWith(".jsonl.gz"))
+      .map(f => (f.getName, f.lastModified)).sorted.toSeq
+    val before = listing()
+    sql("CALL sk.system.cluster_table('eqc.t', columns => 'k', " +
+      "target_shards => 2)")
+    assert(listing() == before,
+      "reconciled + sorted upsert table: the re-CALL must no-op")
+    // correctness: the upserted state survived the rewrite
+    assert(sql("SELECT count(*) FROM sk.eqc.t").head.getLong(0) == 500L)
+    assert(sql("SELECT v FROM sk.eqc.t WHERE k = 10").head.getLong(0) == 1010L)
+    assert(sql("SELECT v FROM sk.eqc.t WHERE k = 400").head.getLong(0) == 400L)
+  }
+
   test("graft.write.order: plain INSERTs land range-clustered shards that prune immediately") {
     sql("CREATE NAMESPACE IF NOT EXISTS sk.wo")
     sql("""CREATE TABLE sk.wo.t (k BIGINT, v BIGINT)
