@@ -2427,6 +2427,182 @@ object WarehouseQueries {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q232
+  /** The COLUMNAR at-rest tier under the oracle gate
+    * ([[graft.sources.dsv2.GraftParquetShard]]) — q207's probe on a
+    * `graft.format = 'parquet'` catalog table: orders range-clustered
+    * into 8 zstd parquet shards via `graft.write.order` (write-time
+    * skip stats, no maintenance CALL needed), then the same key-range
+    * slice + max-key point lookup. Plan-guarded in-query: both probes
+    * must open strictly fewer shards than the table holds — the skip
+    * manifests prune parquet files exactly as they prune JSONL ones,
+    * because every index layer is keyed by shard path, not by bytes.
+    * The oracle pins that pruning never costs rows. */
+  private val pqSkipCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def parquetSkipProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = pqSkipCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whpq", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whpq.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q232").toString)
+      // the write-order distribution re-shuffles the insert; at small
+      // SF AQE would rightly coalesce it to one shard — pin the
+      // partition count in this CHILD session so the fixture lands the
+      // multi-shard layout the plan guard needs (the at-scale layout)
+      c.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      c.sql("CREATE NAMESPACE whpq.pq")
+      c.sql(
+        """CREATE TABLE whpq.pq.orders
+          |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+          |TBLPROPERTIES ('graft.format'='parquet',
+          |  'graft.write.order'='o_orderkey',
+          |  'graft.skip.columns'='o_orderkey')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whpq.pq.orders
+           |SELECT /*+ REPARTITION_BY_RANGE(8, o_orderkey) */
+           |  o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c
+    })
+    val hit = child.sql("SELECT MAX(o_orderkey) AS m FROM whpq.pq.orders")
+      .head.getLong(0)
+    val slice = child.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM whpq.pq.orders WHERE o_orderkey <= 640""".stripMargin)
+    val point = child.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus
+         |FROM whpq.pq.orders WHERE o_orderkey = $hit""".stripMargin)
+    val total = child.sql("SELECT * FROM whpq.pq.orders").rdd.getNumPartitions
+    val (ns, np) = (slice.rdd.getNumPartitions, point.rdd.getNumPartitions)
+    require(total >= 4, s"expected a multi-shard parquet layout, got $total")
+    require(ns >= 1 && ns < total,
+      s"parquet skip pruning failed the range probe: $ns of $total planned")
+    require(np >= 1 && np < total,
+      s"parquet skip pruning failed the point probe: $np of $total planned")
+    slice.unionByName(point).orderBy(col("o_orderkey"))
+  }
+
+  val parquetSkipProbeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE o_orderkey <= 640
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q233
+  /** Snapshots, COW rewrite, time travel AND rollback on PARQUET
+    * shards (q210/q221's composition on the columnar tier): a parquet
+    * orders table pins 'base', a row-level DELETE copy-on-write
+    * REWRITES parquet shards (retention moves the originals under
+    * `_snapshots/retained/`), 'afterdel' pins the deleted state, then
+    * `rollback_to_snapshot('base')` restores the full table from
+    * retained parquet files. The query reads the LIVE (rolled-back)
+    * table and `VERSION AS OF 'afterdel'`; DuckDB reproduces both
+    * sides with and without the delete predicate — rollback and time
+    * travel are exactly "the data as it was" regardless of the shard
+    * format. */
+  private val pqSnapCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def parquetSnapshotRollback(s: SparkSession, dir: String): DataFrame = {
+    val child = pqSnapCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whpn", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whpn.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q233").toString)
+      c.sql("CREATE NAMESPACE whpn.pn")
+      c.sql(
+        """CREATE TABLE whpn.pn.orders
+          |(o_orderkey BIGINT, o_orderstatus STRING)
+          |TBLPROPERTIES ('graft.format'='parquet')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whpn.pn.orders
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("CALL whpn.system.snapshot('pn.orders', tag => 'base')")
+      c.sql("DELETE FROM whpn.pn.orders WHERE o_orderstatus = 'F'")
+      c.sql("CALL whpn.system.snapshot('pn.orders', tag => 'afterdel')")
+      c.sql("CALL whpn.system.rollback_to_snapshot('pn.orders', 'base')")
+      c
+    })
+    child.sql(
+      """SELECT 'deleted' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM whpn.pn.orders VERSION AS OF 'afterdel' GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'rolledback' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM whpn.pn.orders GROUP BY o_orderstatus
+        |ORDER BY src, o_orderstatus""".stripMargin)
+  }
+
+  val parquetSnapshotRollbackSql: String =
+    """SELECT 'deleted' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'rolledback' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY src, o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q234
+  /** Equality-delete upsert WAVES + `CALL compact` reconcile on the
+    * PARQUET tier (q227's shape, columnar): three plain-INSERT waves
+    * land stamped parquet shards with key files, then compact's
+    * ROWS-BASED rewrite (byte concat is a JSONL-only trick) drops the
+    * hidden rows, re-stamps, and retires the key files. The grouped
+    * aggregate over the post-compact state must match DuckDB's
+    * last-wave-wins recompute — a leaked hidden row, an over-deleted
+    * key, or a row lost by the parquet rewrite shifts the sums and
+    * hash-fails. */
+  private val pqUpsertCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def parquetUpsertWaves(s: SparkSession, dir: String): DataFrame = {
+    val child = pqUpsertCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whpu", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whpu.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q234").toString)
+      c.sql("CREATE NAMESPACE whpu.pu")
+      c.sql(
+        """CREATE TABLE whpu.pu.orders
+          |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+          |TBLPROPERTIES ('graft.format'='parquet',
+          |  'graft.upsert.keys'='o_orderkey')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whpu.pu.orders
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whpu.pu.orders
+           |SELECT /*+ REPARTITION(2) */ o_orderkey,
+           |  o_custkey + 1000000 AS o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 5 = 0"""
+          .stripMargin)
+      c.sql(
+        s"""INSERT INTO whpu.pu.orders
+           |SELECT /*+ REPARTITION(2) */ o_orderkey,
+           |  o_custkey + 5000000 AS o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 7 = 0"""
+          .stripMargin)
+      c.sql("CALL whpu.system.compact('pu.orders')")
+      c
+    })
+    child.sql(
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM whpu.pu.orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val parquetUpsertWavesSql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 5000000
+      |                WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+      |                ELSE o_custkey END) AS BIGINT) AS sum_cust
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_incremental_join_view" -> (incrementalJoinView _),
     "q107_constraint_audit" -> (constraintAudit _),
@@ -2465,6 +2641,9 @@ object WarehouseQueries {
     "q229_upsert_time_travel" -> (upsertTimeTravel _),
     "q230_date_key_upsert" -> (dateKeyUpsert _),
     "q231_partition_rename" -> (partitionRenameProbe _),
+    "q232_parquet_skip_probe" -> (parquetSkipProbe _),
+    "q233_parquet_snapshot_rollback" -> (parquetSnapshotRollback _),
+    "q234_parquet_upsert_waves" -> (parquetUpsertWaves _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -2516,6 +2695,9 @@ object WarehouseQueries {
     "q229_upsert_time_travel" -> upsertTimeTravelSql,
     "q230_date_key_upsert" -> dateKeyUpsertSql,
     "q231_partition_rename" -> partitionRenameProbeSql,
+    "q232_parquet_skip_probe" -> parquetSkipProbeSql,
+    "q233_parquet_snapshot_rollback" -> parquetSnapshotRollbackSql,
+    "q234_parquet_upsert_waves" -> parquetUpsertWavesSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

@@ -139,6 +139,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(v == "copy-on-write" || v == "merge-on-read",
         s"${JsonlTable.RowLevelModeProp} must be copy-on-write or " +
           s"merge-on-read, got '$v'"))
+    props.get(JsonlTable.FormatProp).foreach(v =>
+      require(JsonlTable.formatOf(props) == "jsonl" ||
+        JsonlTable.formatOf(props) == "parquet",
+        s"${JsonlTable.FormatProp} must be jsonl or parquet, got '$v'"))
     validateUpsertKeys(schema, props)
     writeMeta(metaFile(dir), schema, partCols, props)
     new JsonlTable(schema, dir.toString, partCols, props)
@@ -469,6 +473,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(sp.value == "copy-on-write" || sp.value == "merge-on-read",
             s"${JsonlTable.RowLevelModeProp} must be copy-on-write or " +
               s"merge-on-read, got '${sp.value}'")
+        // format CHANGE is allowed (readers dispatch per file; a full
+        // rewrite finishes the conversion) — only the value is checked
+        if (sp.property == JsonlTable.FormatProp) {
+          val v = sp.value.trim.toLowerCase(java.util.Locale.ROOT)
+          require(v == "jsonl" || v == "parquet",
+            s"${JsonlTable.FormatProp} must be jsonl or parquet, " +
+              s"got '${sp.value}'")
+        }
         if (sp.property == JsonlTable.WriteOrderProp)
           sp.value.split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
             require(schema.fieldNames.contains(c),

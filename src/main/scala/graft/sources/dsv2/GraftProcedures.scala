@@ -340,14 +340,17 @@ object GraftProcedures {
           input.getUTF8String(0).toString.split("\\.").init,
           input.getUTF8String(0).toString.split("\\.").last))
         val eqTblSchema = eqTbl.schema()
+        val eqTblProps = scala.jdk.CollectionConverters.MapHasAsScala(
+          eqTbl.properties).asScala.toMap
+        // outputs land in the TABLE's at-rest format — compact is also
+        // the conversion path after an ALTER of graft.format
+        val outFmt = JsonlTable.formatOf(eqTblProps)
         // over-cap the plan carries no cols (the driver read no file)
         // — the table property is authoritative
         val eqCols: Seq[String] =
           if (eqPlan.isEmpty) Nil
           else if (eqPlan.cols.nonEmpty) eqPlan.cols
-          else JsonlTable.upsertKeysOf(
-            scala.jdk.CollectionConverters.MapHasAsScala(
-              eqTbl.properties).asScala.toMap)
+          else JsonlTable.upsertKeysOf(eqTblProps)
         val keySpecs: Seq[(String, String, Seq[String],
             org.apache.spark.sql.types.DataType)] =
           eqCols.map { c =>
@@ -467,7 +470,8 @@ object GraftProcedures {
             math.max(1, math.ceil(withSc.size.toDouble / nOut).toInt)).toSeq
           (rel, groups.zipWithIndex.map { case (g, i) =>
             (JsonlEqDeletes.stampName(
-              f"compact-$i%05d-${java.util.UUID.randomUUID}.jsonl.gz", eqMax),
+              f"compact-$i%05d-${java.util.UUID.randomUUID}" +
+                ShardFileSink.extensionOf(outFmt), eqMax),
               g) })
         }
         val after = spark.sparkContext
@@ -481,6 +485,40 @@ object GraftProcedures {
                 .get(conf.value, eqTaskFiles)._1
             namedGroups.foreach { case (outName, group) =>
               val outPath = new Path(s"$stagingStr/$rel", outName)
+              // rows-based rewrite whenever parquet is involved on
+              // either side (byte-level concat is a JSONL-only trick):
+              // each input decodes through its format's shard reader —
+              // sidecar ordinals dropped, equality-hidden rows filtered
+              // by the reader's own stamp rule — and re-encodes through
+              // the table-format sink. The JSONL->JSONL path below
+              // stays pure line I/O (no parse, rows bit-identical).
+              val rowsMode = outFmt == "parquet" ||
+                group.exists(g => GraftParquetShard.isParquetName(g._1))
+              if (rowsMode) {
+                val sink = ShardFileSink(outFmt, outPath, eqTblSchema,
+                  eqTblSchema.fields.indices, conf)
+                group.foreach { case (shard, _, sc, exp) =>
+                  val p = new Path(shard)
+                  val pv = JsonlLayout.partValuesFromPath(p, segAliases)
+                  val eqM =
+                    if (exp && keySpecs.nonEmpty) taskEqMap
+                    else Map.empty[String, Long]
+                  val eqC = if (eqM.isEmpty) Nil else keySpecs.map(_._1)
+                  val rdr: org.apache.spark.sql.connector.read.PartitionReader[
+                      org.apache.spark.sql.catalyst.InternalRow] =
+                    if (GraftParquetShard.isParquetName(shard))
+                      new ParquetShardReader(shard, eqTblSchema, Array.empty,
+                        pv, eqTblSchema, conf, deletesPath = sc,
+                        eqDeletes = eqM, eqCols = eqC)
+                    else
+                      new JsonlPartitionReader(shard, eqTblSchema, Array.empty,
+                        pv, eqTblSchema, conf, deletesPath = sc,
+                        eqDeletes = eqM, eqCols = eqC)
+                  try while (rdr.next()) sink.write(rdr.get())
+                  finally rdr.close()
+                }
+                sink.close()
+              } else {
               val out = new java.util.zip.GZIPOutputStream(f.create(outPath, true))
               group.foreach { case (shard, _, sc, exp) =>
                 val deleted =
@@ -548,6 +586,7 @@ object GraftProcedures {
                 reader.close()
               }
               out.close()
+              }
             }
             (rel, namedGroups.map(_._2.size).sum, namedGroups.size)
           }.collect()
@@ -889,6 +928,12 @@ object GraftProcedures {
             .option(JsonlSkipIndex.ColumnsProperty, idxCols.mkString(","))
             .option(JsonlTable.VerifyOrderProp,
               if (zorder) "" else cols.mkString(","))
+            // the rewrite lands shards in the TABLE's at-rest format —
+            // this is also the conversion path after an ALTER of
+            // graft.format (the path-based staging write can't see the
+            // table spec, so the option carries it)
+            .option(JsonlTable.FormatProp,
+              JsonlTable.formatOf(tablePropsW))
           (if (partitioned) w.partitionBy(partCols: _*) else w)
             .save(staging.toString)
           // stamp the staged outputs IN STAGING (before any swap, so

@@ -224,7 +224,7 @@ object JsonlChangeFeed {
             scala.jdk.CollectionConverters.SeqHasAsJava(keyRows).asJava),
           keySchema)
         val stampCol = coalesce(
-          regexp_extract(col("_shard"), "-eqs(\\d+)\\.jsonl", 1)
+          regexp_extract(col("_shard"), "-eqs(\\d+)\\.(?:jsonl|parquet)", 1)
             .cast("long"), lit(0L))
         val cond = eqCols.map(c => col(c) <=> col(s"_eqk_$c")).reduce(_ && _)
         // rows MOR-deleted IN-WINDOW already emit through deltaRows —

@@ -353,12 +353,19 @@ final class JsonlChangesReaderFactory(
       case "to" => m(eqTo, eqToFiles)
       case _ => Map.empty[String, Long]
     }
-    new JsonlPartitionReader(p.file, readSchema, Array.empty, p.partValues,
-      tableSchema, conf, -1, p.deletes, p.deletePositions, p.changeKind,
-      p.keepPositions, hide, if (p.eqKind == null) Nil else eqCols,
+    val emit =
       if (p.eqKind == "emit")
         (if (eqFresh == null) Map.empty[String, Long] else eqFresh.value)
-      else Map.empty)
+      else Map.empty[String, Long]
+    val ec = if (p.eqKind == null) Nil else eqCols
+    if (GraftParquetShard.isParquetName(p.file))
+      new ParquetShardReader(p.file, readSchema, Array.empty, p.partValues,
+        tableSchema, conf, -1, p.deletes, p.deletePositions, p.changeKind,
+        p.keepPositions, hide, ec, emit)
+    else
+      new JsonlPartitionReader(p.file, readSchema, Array.empty, p.partValues,
+        tableSchema, conf, -1, p.deletes, p.deletePositions, p.changeKind,
+        p.keepPositions, hide, ec, emit)
   }
 }
 

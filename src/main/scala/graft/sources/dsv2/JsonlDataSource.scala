@@ -231,6 +231,21 @@ object JsonlTable {
   def upsertKeysOf(props: Map[String, String]): Seq[String] =
     props.get(UpsertKeysProp).map(_.split(",").map(_.trim)
       .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** At-rest shard format: `jsonl` (default — gzip line-JSON) or
+    * `parquet` (zstd columnar, [[GraftParquetShard]]). Names the WRITE
+    * side only: readers dispatch per file on the extension, so a table
+    * converted mid-life reads correctly while both populations
+    * coexist (full rewrite via `CALL compact` / `cluster_table`
+    * finishes a conversion). All connector metadata — skip index,
+    * snapshots, CDC, equality-delete waves, position-delete sidecars —
+    * is keyed by shard paths and row ordinals and carries over
+    * unchanged. */
+  val FormatProp = "graft.format"
+
+  def formatOf(props: Map[String, String]): String =
+    props.get(FormatProp).map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).getOrElse("jsonl")
 }
 
 class JsonlTable(tableSchema: StructType, path: String,
@@ -302,7 +317,8 @@ class JsonlTable(tableSchema: StructType, path: String,
       JsonlTable.autoSnapshotOf(props),
       multiGeneration = props.contains(JsonlTable.LegacySpecsProp),
       upsertKeys = JsonlTable.upsertKeysOf(props),
-      verifyOrder = JsonlTable.verifyOrderOf(props))
+      verifyOrder = JsonlTable.verifyOrderOf(props),
+      format = JsonlTable.formatOf(props))
   }
 
   /** Drop every data entry under the table root, keeping metadata
@@ -424,11 +440,13 @@ class JsonlTable(tableSchema: StructType, path: String,
           case "copy-on-write" =>
             new JsonlRowLevelOperation(info.command(), tableSchema, path,
               partCols, JsonlSkipIndex.skipColsOf(props),
-              JsonlTable.autoSnapshotOf(props))
+              JsonlTable.autoSnapshotOf(props),
+              JsonlTable.formatOf(props))
           case "merge-on-read" =>
             new JsonlMorRowLevelOperation(info.command(), tableSchema, path,
               partCols, JsonlSkipIndex.skipColsOf(props),
-              JsonlTable.autoSnapshotOf(props))
+              JsonlTable.autoSnapshotOf(props),
+              JsonlTable.formatOf(props))
           case other => throw new IllegalArgumentException(
             s"graft-jsonl: unknown ${JsonlTable.RowLevelModeProp} '$other' " +
               "(expected copy-on-write or merge-on-read)")
@@ -891,7 +909,8 @@ object JsonlLayout {
   def isShard(n: String): Boolean =
     !n.startsWith("_") && !n.startsWith(".") &&
       (n.endsWith(".json") || n.endsWith(".jsonl") ||
-        n.endsWith(".json.gz") || n.endsWith(".jsonl.gz"))
+        n.endsWith(".json.gz") || n.endsWith(".jsonl.gz") ||
+        n.endsWith(GraftParquetShard.Suffix))
 
   /** Spark-compatible dir-name escape: everything outside the safe
     * set becomes %XX over UTF-8 bytes — the exact inverse of
@@ -1596,20 +1615,26 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
     new JsonlAggReader(specs, required,
       if (p.agg != null) p.agg
       else null,
-      new JsonlPartitionReader(p.file, required, pushed, p.partValues,
-        dataSchema, conf, deletesPath = p.deletes,
-        deletePositions = p.deletePositions,
-        eqDeletes = eqMap, eqCols = eqC))
+      if (GraftParquetShard.isParquetName(p.file))
+        new ParquetShardReader(p.file, required, pushed, p.partValues,
+          dataSchema, conf, deletesPath = p.deletes,
+          deletePositions = p.deletePositions,
+          eqDeletes = eqMap, eqCols = eqC)
+      else
+        new JsonlPartitionReader(p.file, required, pushed, p.partValues,
+          dataSchema, conf, deletesPath = p.deletes,
+          deletePositions = p.deletePositions,
+          eqDeletes = eqMap, eqCols = eqC))
   }
 }
 
 final class JsonlAggReader(specs: Seq[(String, String)],
                            required: StructType,
                            precomputed: Seq[Any],
-                           rows: => JsonlPartitionReader)
+                           rows: => PartitionReader[InternalRow])
     extends PartitionReader[InternalRow] {
   private var emitted = false
-  private var opened: JsonlPartitionReader = null
+  private var opened: PartitionReader[InternalRow] = null
 
   private def toCatalyst(v: Any): Any = v match {
     case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -1974,7 +1999,8 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
                               autoSnapshot: Boolean = false,
                               multiGeneration: Boolean = false,
                               upsertKeys: Seq[String] = Nil,
-                              verifyOrder: Seq[String] = Nil)
+                              verifyOrder: Seq[String] = Nil,
+                              format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -2043,11 +2069,11 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
             doTruncate || (doDynamic && partCols.isEmpty), partCols,
             doDynamic && partCols.nonEmpty, overwriteFilters,
             skipCols = skipCols, autoSnapshot = autoSnapshot,
-            upsertKeys = upsertKeys, orderCols = verified)
+            upsertKeys = upsertKeys, orderCols = verified, format = format)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols,
-            autoSnapshot, upsertKeys, verified)
+            autoSnapshot, upsertKeys, verified, format)
       }
     else if (partCols.isEmpty && order.isEmpty)
       new org.apache.spark.sql.connector.write.Write {
@@ -2056,11 +2082,11 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
           // single implicit partition — the whole table
           new JsonlBatchWrite(schema, path, queryId, doTruncate || doDynamic,
             Nil, skipCols = skipCols, autoSnapshot = autoSnapshot,
-            upsertKeys = upsertKeys, orderCols = verified)
+            upsertKeys = upsertKeys, orderCols = verified, format = format)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, Nil, skipCols,
-            autoSnapshot, upsertKeys, verified)
+            autoSnapshot, upsertKeys, verified, format)
       }
     else
       // hive-layout write: ask Spark to CLUSTER rows by the partition
@@ -2105,11 +2131,11 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
             upsertKeys = upsertKeys,
             // the requested within-task sort: writers VERIFY it per
             // file and record the held prefix in the skip entry
-            orderCols = verified)
+            orderCols = verified, format = format)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols,
-            autoSnapshot, upsertKeys, verified)
+            autoSnapshot, upsertKeys, verified, format)
       }
   }
 }
@@ -2138,7 +2164,8 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
 final class JsonlRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType, path: String, partCols: Seq[String],
-    skipCols: Seq[String] = Nil, autoSnapshot: Boolean = false)
+    skipCols: Seq[String] = Nil, autoSnapshot: Boolean = false,
+    format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   @volatile private var scannedShards: Seq[String] = Nil
@@ -2169,7 +2196,7 @@ final class JsonlRowLevelOperation(
                 JsonlTable.withFieldMeta(tableSchema, wInfo.schema()), path,
                 wInfo.queryId(), truncate = false, Nil,
                 replaceShards = () => scannedShards, skipCols = skipCols,
-                autoSnapshot = autoSnapshot)
+                autoSnapshot = autoSnapshot, format = format)
           }
         else
           new org.apache.spark.sql.connector.write.Write
@@ -2190,7 +2217,7 @@ final class JsonlRowLevelOperation(
                 JsonlTable.withFieldMeta(tableSchema, wInfo.schema()), path,
                 wInfo.queryId(), truncate = false, partCols,
                 replaceShards = () => scannedShards, skipCols = skipCols,
-                autoSnapshot = autoSnapshot)
+                autoSnapshot = autoSnapshot, format = format)
           }
     }
 }
@@ -2236,7 +2263,8 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
                                 skipCols: Seq[String] = Nil,
                                 autoSnapshot: Boolean = false,
                                 upsertKeys: Seq[String] = Nil,
-                                orderCols: Seq[String] = Nil)
+                                orderCols: Seq[String] = Nil,
+                                format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -2245,14 +2273,20 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
   private def epochQueryId(epochId: Long) = s"$queryId-e$epochId"
   private def logDir = new Path(path, s"_graft_stream_log/$queryId")
   private def epochLog(epochId: Long) = new Path(logDir, epochId.toString)
-  /** Suffix every published shard of this epoch carries — derived from
-    * (queryId, epochId) only, never from task attempt ids. */
-  private def epochMarker(epochId: Long) = s"-${epochQueryId(epochId)}.jsonl.gz"
+  /** Marker every published shard of this epoch carries before its
+    * extension — derived from (queryId, epochId) only, never from task
+    * attempt ids. The extension varies by format (and a table may be
+    * converted mid-stream), so replay sweeps match on the marker
+    * followed by ANY shard extension. */
+  private def epochMarkerBase(epochId: Long) = s"-${epochQueryId(epochId)}"
+  private def epochShardRe(epochId: Long): scala.util.matching.Regex =
+    (".*" + java.util.regex.Pattern.quote(epochMarkerBase(epochId)) +
+      "(?:-eqs\\d+)?\\.(?:jsonl(?:\\.gz)?|json(?:\\.gz)?|parquet)$").r
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
     new JsonlStreamingWriterFactory(schema, path, queryId, partCols, conf,
-      skipCols, upsertKeys, orderCols)
+      skipCols, upsertKeys, orderCols, format)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
@@ -2310,18 +2344,16 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
             .foreach(st => f.delete(st.getPath, false))
         }
       }
-      val marker = epochMarker(epochId)
       // a prior attempt's shards may carry an equality-delete stamp
-      // between the epoch marker and the extension — match both forms
-      val stampedRe = (".*" + java.util.regex.Pattern.quote(
-        marker.stripSuffix(".jsonl.gz")) + "-eqs\\d+\\.jsonl\\.gz$").r
+      // between the epoch marker and the extension, and either shard
+      // format — the marker regex matches every form
+      val markerRe = epochShardRe(epochId)
       // replay sweep of the prior attempt's partials: a snapshot taken
       // while they were visible may reference them — retain, not drop
       val referenced = JsonlSnapshots.referencedRels(f, dest)
       val qualified = f.makeQualified(dest).toUri
       JsonlLayout.discover(f, dest)
-        .map(_._1).filter(pp => pp.getName.endsWith(marker) ||
-          stampedRe.matches(pp.getName))
+        .map(_._1).filter(pp => markerRe.matches(pp.getName))
         .foreach { p =>
           val rel = qualified.relativize(f.makeQualified(p).toUri).getPath
           JsonlSnapshots.discardShard(f, dest, p, rel, referenced)
@@ -2446,16 +2478,18 @@ final class JsonlStreamingWriterFactory(schema: StructType, path: String,
                                         conf: JsonlHadoopConf,
                                         skipCols: Seq[String] = Nil,
                                         upsertKeys: Seq[String] = Nil,
-                                        orderCols: Seq[String] = Nil)
+                                        orderCols: Seq[String] = Nil,
+                                        format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new JsonlDataWriter(schema, path, s"$queryId-e$epochId",
-        partitionId, taskId, conf, skipCols, upsertKeys, orderCols)
+        partitionId, taskId, conf, skipCols, upsertKeys, orderCols, format)
     else
       new JsonlPartitionedDataWriter(schema, path, s"$queryId-e$epochId",
-        partitionId, taskId, conf, partCols, skipCols, upsertKeys, orderCols)
+        partitionId, taskId, conf, partCols, skipCols, upsertKeys, orderCols,
+        format)
 }
 
 /** Staged shard(s) of one task: (staged path, partition-relative dir —
@@ -2477,7 +2511,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
                             skipCols: Seq[String] = Nil,
                             autoSnapshot: Boolean = false,
                             upsertKeys: Seq[String] = Nil,
-                            orderCols: Seq[String] = Nil)
+                            orderCols: Seq[String] = Nil,
+                            format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -2490,7 +2525,7 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
       if (truncate || dynamicOverwrite || overwriteFilters != null ||
           replaceShards != null) Nil
       else upsertKeys,
-      orderCols)
+      orderCols, format)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
@@ -2815,16 +2850,17 @@ final class JsonlWriterFactory(schema: StructType, path: String,
                                partCols: Seq[String] = Nil,
                                skipCols: Seq[String] = Nil,
                                upsertKeys: Seq[String] = Nil,
-                               orderCols: Seq[String] = Nil)
+                               orderCols: Seq[String] = Nil,
+                               format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new JsonlDataWriter(schema, path, queryId, partitionId, taskId, conf,
-        skipCols, upsertKeys, orderCols)
+        skipCols, upsertKeys, orderCols, format)
     else
       new JsonlPartitionedDataWriter(schema, path, queryId, partitionId,
-        taskId, conf, partCols, skipCols, upsertKeys, orderCols)
+        taskId, conf, partCols, skipCols, upsertKeys, orderCols, format)
 }
 
 /** Routes clustered+sorted rows into `k=v/` hive dirs: one staged file
@@ -2839,7 +2875,8 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
                                        partCols: Seq[String],
                                        skipCols: Seq[String] = Nil,
                                        upsertKeyCols: Seq[String] = Nil,
-                                       orderCols: Seq[String] = Nil)
+                                       orderCols: Seq[String] = Nil,
+                                       format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val upsertIdx: Seq[Int] =
@@ -2849,9 +2886,8 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
   private val partIdx: Seq[Int] = partCols.map(schema.fieldIndex)
   private val dataIdx: Seq[Int] =
     schema.fields.indices.filterNot(partIdx.contains)
-  private val mapper = new ObjectMapper()
   private var currentKey: Seq[Option[String]] = null
-  private var out: java.io.BufferedWriter = _
+  private var out: ShardFileSink = _
   private var staged: List[(String, String)] = Nil
   private var fileSeq = 0
   private val tracker =
@@ -2886,14 +2922,12 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
     val relDir = partCols.zip(key).map { case (c, v) =>
       s"$c=${v.map(escape).getOrElse(JsonlLayout.NullPartition)}"
     }.mkString("/")
+    val ext = ShardFileSink.extensionOf(format)
     val p = new Path(path,
-      f"_staging/$queryId/$relDir/part-$partitionId%05d-$taskId-$fileSeq-$queryId.jsonl.gz")
+      f"_staging/$queryId/$relDir/part-$partitionId%05d-$taskId-$fileSeq-$queryId$ext")
     fileSeq += 1
     staged ::= (p.toString, relDir)
-    val f = p.getFileSystem(conf.value)
-    out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      new java.util.zip.GZIPOutputStream(f.create(p, true)),
-      StandardCharsets.UTF_8))
+    out = ShardFileSink(format, p, schema, dataIdx, conf)
   }
 
   override def write(row: InternalRow): Unit = {
@@ -2902,16 +2936,7 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
     if (tracker.active) tracker.update(row)
     if (upsertIdx.nonEmpty)
       upsertKeys += JsonlEqDeletes.renderRow(row, schema, upsertIdx)
-    val node = mapper.createObjectNode()
-    dataIdx.foreach { i =>
-      val f = schema.fields(i)
-      val key = JsonlTable.physicalKeyOf(f)
-      if (row.isNullAt(i)) node.putNull(key)
-      else node.set[JsonNode](key, JsonlJson.encode(
-        mapper.getNodeFactory, row, i, f.dataType))
-    }
-    out.write(mapper.writeValueAsString(node))
-    out.write("\n")
+    out.write(row)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
@@ -2929,6 +2954,68 @@ final class JsonlPartitionedDataWriter(schema: StructType, path: String,
   override def close(): Unit = ()
 }
 
+/** Per-file row encoder behind both tuple writers — ONE open file at a
+  * time, rolled by the partitioned writer on key change. The JSONL
+  * sink streams gzip JSON lines keyed by physical storage keys; the
+  * parquet sink routes the same rows through Spark's own parquet
+  * writer ([[org.apache.spark.sql.graftbridge.ParquetShardIO]]) with a
+  * physical-key file schema, projecting partition columns OUT (values
+  * ride the `k=v` dirs in both formats). */
+private[dsv2] sealed trait ShardFileSink {
+  def write(row: InternalRow): Unit
+  def close(): Unit
+}
+
+private[dsv2] object ShardFileSink {
+  def extensionOf(format: String): String =
+    if (format == "parquet") GraftParquetShard.Suffix else ".jsonl.gz"
+
+  def apply(format: String, p: Path, schema: StructType,
+            indices: Seq[Int], conf: JsonlHadoopConf): ShardFileSink =
+    if (format == "parquet") new ParquetSink(p, schema, indices, conf)
+    else new JsonSink(p, schema, indices, conf)
+
+  private final class JsonSink(p: Path, schema: StructType,
+                               indices: Seq[Int], conf: JsonlHadoopConf)
+      extends ShardFileSink {
+    private val mapper = new ObjectMapper()
+    private val out = {
+      val f = p.getFileSystem(conf.value)
+      new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.util.zip.GZIPOutputStream(f.create(p, true)),
+        StandardCharsets.UTF_8))
+    }
+    override def write(row: InternalRow): Unit = {
+      val node = mapper.createObjectNode()
+      indices.foreach { i =>
+        val f = schema.fields(i)
+        val key = JsonlTable.physicalKeyOf(f)
+        if (row.isNullAt(i)) node.putNull(key)
+        else node.set[JsonNode](key, JsonlJson.encode(
+          mapper.getNodeFactory, row, i, f.dataType))
+      }
+      out.write(mapper.writeValueAsString(node))
+      out.write("\n")
+    }
+    override def close(): Unit = out.close()
+  }
+
+  private final class ParquetSink(p: Path, schema: StructType,
+                                  indices: Seq[Int], conf: JsonlHadoopConf)
+      extends ShardFileSink {
+    private val writer = org.apache.spark.sql.graftbridge.ParquetShardIO
+      .createWriter(p, GraftParquetShard.fileSchema(schema, indices),
+        conf.value, "zstd")
+    private val view = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      StructType(indices.map(schema.fields(_))), indices.toIndexedSeq)
+    override def write(row: InternalRow): Unit = {
+      view.project(row)
+      writer.write(view)
+    }
+    override def close(): Unit = writer.close()
+  }
+}
+
 /** Streams rows as gzip JSON lines into the attempt-unique staged
   * file. Field order follows the write schema; nulls are emitted as
   * JSON nulls (round-trips through the reader's null semantics).
@@ -2942,7 +3029,8 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
                             conf: JsonlHadoopConf,
                             skipCols: Seq[String] = Nil,
                             upsertKeyCols: Seq[String] = Nil,
-                            orderCols: Seq[String] = Nil)
+                            orderCols: Seq[String] = Nil,
+                            format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val upsertIdx: Seq[Int] =
@@ -2950,14 +3038,10 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
   private val upsertKeys = scala.collection.mutable.HashSet.empty[String]
 
   private val staged = new Path(path,
-    f"_staging/$queryId/part-$partitionId%05d-$taskId-$queryId.jsonl.gz")
-  private val out = {
-    val f = staged.getFileSystem(conf.value)
-    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      new java.util.zip.GZIPOutputStream(f.create(staged, true)),
-      StandardCharsets.UTF_8))
-  }
-  private val mapper = new ObjectMapper()
+    f"_staging/$queryId/part-$partitionId%05d-$taskId-$queryId" +
+      ShardFileSink.extensionOf(format))
+  private val out =
+    ShardFileSink(format, staged, schema, schema.fields.indices, conf)
   private val tracker =
     new JsonlSkipIndex.ShardStatsTracker(schema, skipCols, orderCols)
 
@@ -2965,18 +3049,7 @@ final class JsonlDataWriter(schema: StructType, path: String, queryId: String,
     if (tracker.active) tracker.update(row)
     if (upsertIdx.nonEmpty)
       upsertKeys += JsonlEqDeletes.renderRow(row, schema, upsertIdx)
-    val node = mapper.createObjectNode()
-    var i = 0
-    while (i < schema.length) {
-      val f = schema.fields(i)
-      val key = JsonlTable.physicalKeyOf(f)
-      if (row.isNullAt(i)) node.putNull(key)
-      else node.set[JsonNode](key, JsonlJson.encode(
-        mapper.getNodeFactory, row, i, f.dataType))
-      i += 1
-    }
-    out.write(mapper.writeValueAsString(node))
-    out.write("\n")
+    out.write(row)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
@@ -3202,18 +3275,20 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     val (eqMap, eqC) = if (p.eqExempt) (Map.empty[String, Long], Nil) else eqResolved
-    new JsonlPartitionReader(p.file, required, pushed, p.partValues,
-      dataSchema, conf, limit, p.deletes, p.deletePositions,
-      p.changeKind, p.keepPositions, eqMap, eqC)
+    // per-FILE format dispatch: a converted table serves both shard
+    // populations through one scan
+    if (GraftParquetShard.isParquetName(p.file))
+      new ParquetShardReader(p.file, required, pushed, p.partValues,
+        dataSchema, conf, limit, p.deletes, p.deletePositions,
+        p.changeKind, p.keepPositions, eqMap, eqC)
+    else
+      new JsonlPartitionReader(p.file, required, pushed, p.partValues,
+        dataSchema, conf, limit, p.deletes, p.deletePositions,
+        p.changeKind, p.keepPositions, eqMap, eqC)
   }
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[JsonlInputPartition]
-    val (eqMap, eqC) = if (p.eqExempt) (Map.empty[String, Long], Nil) else eqResolved
-    new JsonlColumnarReader(p.file, required, pushed, p.partValues,
-      dataSchema, conf, limit, p.deletes, p.deletePositions,
-      eqMap, eqC)
-  }
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new JsonlColumnarReader(createReader(partition), required)
 }
 
 /** Streams one shard line by line: parse (Jackson), evaluate pushed
@@ -3548,23 +3623,11 @@ final class JsonlPartitionReader(file: String, required: StructType,
   * ColumnarToRow re-materializes each string immediately — the shape
   * pays off for numeric-dominant schemas or downstream operators that
   * consume batches directly, so it ships measured and off. */
-final class JsonlColumnarReader(file: String, required: StructType,
-                                pushed: Array[Filter],
-                                partValues: Map[String, Option[String]],
-                                dataSchema: StructType,
-                                conf: JsonlHadoopConf,
-                                limit: Int = -1,
-                                deletesPath: String = null,
-                                deletePositions: Array[Long] = null,
-                                eqDeletes: Map[String, Long] = Map.empty,
-                                eqCols: Seq[String] = Nil)
+final class JsonlColumnarReader(rows: PartitionReader[InternalRow],
+                                required: StructType)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
-
-  private val rows = new JsonlPartitionReader(file, required, pushed,
-    partValues, dataSchema, conf, limit, deletesPath, deletePositions,
-    eqDeletes = eqDeletes, eqCols = eqCols)
   private val capacity = 4096
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, required)

@@ -85,8 +85,8 @@ object JsonlEqDeletes {
     * it exist — reassignment would exempt those orphans from the new
     * wave's deletes. */
   private val DroppedName = """s(\d+)\.dropped""".r
-  /** Shard-name stamp: `...-eqs<SEQ>.jsonl[.gz]`. */
-  private val Stamp = """-eqs(\d+)\.jsonl(\.gz)?$""".r
+  /** Shard-name stamp: `...-eqs<SEQ>.jsonl[.gz]` / `...-eqs<SEQ>.parquet`. */
+  private val Stamp = """-eqs(\d+)\.(jsonl(?:\.gz)?|parquet)$""".r
 
   /** Rendered-tuple separator (and the null marker) — \u0001 can't
     * appear in a JSON-decoded scalar rendering. */
@@ -130,21 +130,21 @@ object JsonlEqDeletes {
   def shardSeqOf(name: String): Long =
     Stamp.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(0L)
 
-  /** `part-....jsonl.gz` → `part-...-eqs<seq>.jsonl.gz` (identity for
-    * seq 0; an existing stamp is REPLACED — the reconcile fast path
-    * re-stamps shards in place). */
+  /** `part-....jsonl.gz` → `part-...-eqs<seq>.jsonl.gz` (same for
+    * `.parquet`; identity for seq 0; an existing stamp is REPLACED —
+    * the reconcile fast path re-stamps shards in place). */
   def stampName(name: String, seq: Long): String = {
     if (seq <= 0L) return name
     val stripped = Stamp.findFirstMatchIn(name) match {
-      case Some(m) =>
-        name.substring(0, m.start) + ".jsonl" +
-          Option(m.group(2)).getOrElse("")
+      case Some(m) => name.substring(0, m.start) + "." + m.group(2)
       case None => name
     }
     if (stripped.endsWith(".jsonl.gz"))
       stripped.stripSuffix(".jsonl.gz") + s"-eqs$seq.jsonl.gz"
     else if (stripped.endsWith(".jsonl"))
       stripped.stripSuffix(".jsonl") + s"-eqs$seq.jsonl"
+    else if (stripped.endsWith(".parquet"))
+      stripped.stripSuffix(".parquet") + s"-eqs$seq.parquet"
     else name
   }
 

@@ -584,7 +584,8 @@ object RowLevelLock {
 final class JsonlMorRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType, path: String, partCols: Seq[String],
-    skipCols: Seq[String] = Nil, autoSnapshot: Boolean = false)
+    skipCols: Seq[String] = Nil, autoSnapshot: Boolean = false,
+    format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.read.ScanBuilder
@@ -622,7 +623,7 @@ final class JsonlMorRowLevelOperation(
         new JsonlDeltaWrite(
           JsonlTable.withFieldMeta(tableSchema, info.schema()),
           info.rowIdSchema().orElse(null), path, info.queryId(), partCols,
-          skipCols, autoSnapshot)
+          skipCols, autoSnapshot, format)
     }
 }
 
@@ -630,11 +631,12 @@ final class JsonlDeltaWrite(rowSchema: StructType, rowIdSchema: StructType,
                             path: String, queryId: String,
                             partCols: Seq[String],
                             skipCols: Seq[String] = Nil,
-                            autoSnapshot: Boolean = false)
+                            autoSnapshot: Boolean = false,
+                            format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
     new JsonlDeltaBatchWrite(rowSchema, rowIdSchema, path, queryId, partCols,
-      skipCols, autoSnapshot)
+      skipCols, autoSnapshot, format)
 }
 
 /** Commit protocol for one delta write: insert shards publish first
@@ -645,7 +647,8 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
                                  path: String, queryId: String,
                                  partCols: Seq[String],
                                  skipCols: Seq[String] = Nil,
-                                 autoSnapshot: Boolean = false)
+                                 autoSnapshot: Boolean = false,
+                                 format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -654,7 +657,7 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DeltaWriterFactory = new JsonlDeltaWriterFactory(
-    rowSchema, rowIdSchema, path, queryId, conf, partCols, skipCols)
+    rowSchema, rowIdSchema, path, queryId, conf, partCols, skipCols, format)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
@@ -756,12 +759,13 @@ final class JsonlDeltaWriterFactory(rowSchema: StructType,
                                     path: String, queryId: String,
                                     conf: JsonlHadoopConf,
                                     partCols: Seq[String],
-                                    skipCols: Seq[String] = Nil)
+                                    skipCols: Seq[String] = Nil,
+                                    format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new JsonlDeltaWriter(rowSchema, rowIdSchema, path, queryId,
-      partitionId, taskId, conf, partCols, skipCols)
+      partitionId, taskId, conf, partCols, skipCols, format)
 }
 
 /** Executor-side delta writer: inserts stream through the ordinary
@@ -772,7 +776,8 @@ final class JsonlDeltaWriter(rowSchema: StructType, rowIdSchema: StructType,
                              path: String, queryId: String,
                              partitionId: Int, taskId: Long,
                              conf: JsonlHadoopConf, partCols: Seq[String],
-                             skipCols: Seq[String] = Nil)
+                             skipCols: Seq[String] = Nil,
+                             format: String = "jsonl")
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   // LAZY: a pure DELETE's write schema carries no row columns (there
@@ -782,10 +787,10 @@ final class JsonlDeltaWriter(rowSchema: StructType, rowIdSchema: StructType,
   private lazy val inserts: org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new JsonlDataWriter(rowSchema, path, queryId, partitionId, taskId, conf,
-        skipCols)
+        skipCols, format = format)
     else
       new JsonlPartitionedDataWriter(rowSchema, path, queryId,
-        partitionId, taskId, conf, partCols, skipCols)
+        partitionId, taskId, conf, partCols, skipCols, format = format)
   private var insertsUsed = false
 
   // rowId projection order follows the declared rowId() array, but

@@ -1,0 +1,231 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The columnar at-rest tier (`graft.format = 'parquet'`,
+  * [[graft.sources.dsv2.GraftParquetShard]]): parquet shards under the
+  * SAME connector metadata as the JSONL tier — hive dirs, skip index,
+  * snapshots, equality-delete upsert waves, merge-on-read position
+  * deletes, metadata-only renames — with readers dispatching per file
+  * so converted tables serve mixed populations through one scan. */
+class GraftParquetFormatSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.pq", "graft.sources.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.pq.root",
+      java.nio.file.Files.createTempDirectory("graft-pq").toString)
+    s
+  }
+  private def sql(q: String) = spark.sql(q)
+  private def shardsPlanned(q: String): Int = sql(q).rdd.getNumPartitions
+  private def root = spark.conf.get("spark.sql.catalog.pq.root")
+  private def listShards(rel: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+      else if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else Seq(f)
+    val d = new java.io.File(s"$root/$rel")
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.flatMap(walk).map(_.getName)
+  }
+
+  test("path write/read round-trip: parquet shards, pushdown, partitionBy, metadata cols") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq-path").toString
+    val df = (0L until 1000L)
+      .map(i => (i, s"doc$i", i * 1.5, i % 2 == 0, s"lang${i % 3}"))
+      .toDF("id", "title", "score", "flag", "lang")
+    df.write.format("graft-jsonl").option("graft.format", "parquet")
+      .partitionBy("lang").mode("append").save(dir)
+    val shards = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(_.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    }
+    assert(shards.nonEmpty && shards.forall(_.endsWith(".parquet")),
+      s"expected parquet shards, got $shards")
+    val back = spark.read.format("graft-jsonl")
+      .schema("id long, title string, score double, flag boolean, lang string")
+      .load(dir)
+    assert(back.count() == 1000L)
+    // pushed filter on a data column + partition pruning on the dir col
+    val sel = back.where(col("lang") === "lang1" && col("id") < 10)
+    assert(sel.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 10L).filter(i => i % 3 == 1))
+    // metadata columns ride like the JSONL tier's
+    val withMeta = back.select(col("id"), col("_shard"), col("_pos"))
+      .where(col("id") === 7L).head()
+    assert(withMeta.getString(1).endsWith(".parquet"))
+    assert(withMeta.getLong(2) >= 0L)
+  }
+
+  test("catalog table: results identical to the jsonl twin; aggregates push down") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.ns")
+    for (fmt <- Seq("jsonl", "parquet"))
+      sql(s"""CREATE TABLE pq.ns.t_$fmt (k BIGINT, v DOUBLE, s STRING)
+             |TBLPROPERTIES ('graft.format'='$fmt')""".stripMargin)
+    for (fmt <- Seq("jsonl", "parquet"))
+      sql(s"""INSERT INTO pq.ns.t_$fmt
+             |SELECT id AS k, id * 0.5 AS v,
+             |  concat('s', CAST(id % 100 AS STRING)) AS s
+             |FROM range(0, 5000)""".stripMargin)
+    assert(listShards("ns/t_parquet").forall(_.endsWith(".parquet")))
+    val a = sql("SELECT k, v, s FROM pq.ns.t_jsonl ORDER BY k").collect()
+    val b = sql("SELECT k, v, s FROM pq.ns.t_parquet ORDER BY k").collect()
+    assert(a.toSeq == b.toSeq, "parquet twin diverged from jsonl twin")
+    // MIN/MAX/COUNT partial pushdown composes with the parquet reader
+    val agg = sql(
+      "SELECT min(k), max(k), count(*) FROM pq.ns.t_parquet").head()
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) ==
+      (0L, 4999L, 5000L))
+  }
+
+  test("q207-style skip probe: write-order parquet shards prune on write-time stats") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.sk")
+    sql("""CREATE TABLE pq.sk.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.format'='parquet',
+          |  'graft.write.order'='k', 'graft.skip.columns'='k')""".stripMargin)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try sql("""INSERT INTO pq.sk.t
+              |SELECT CAST(hash(id) % 10000 AS BIGINT) + 10000 AS k, id AS v
+              |FROM range(0, 20000)""".stripMargin)
+    finally
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val total = shardsPlanned("SELECT k, v FROM pq.sk.t")
+    assert(total >= 4, s"expected several shards, got $total")
+    val probe = "SELECT k, v FROM pq.sk.t WHERE k >= 19500"
+    val planned = shardsPlanned(probe)
+    assert(planned >= 1 && planned <= math.max(1, total / 2),
+      s"parquet write-order shards not pruned: $planned of $total")
+    assert(sql(probe).collect().forall(_.getLong(0) >= 19500))
+    assert(sql("SELECT count(*) FROM pq.sk.t").head.getLong(0) == 20000L)
+  }
+
+  test("q210-style snapshots: pin, append, VERSION AS OF, rollback — on parquet shards") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.sn")
+    sql("""CREATE TABLE pq.sn.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.format'='parquet')""".stripMargin)
+    sql("INSERT INTO pq.sn.t SELECT id, id * 10 FROM range(0, 100)")
+    val v1 = sql("CALL pq.system.snapshot('sn.t')").head.getLong(0)
+    sql("INSERT INTO pq.sn.t SELECT id + 100, id FROM range(0, 50)")
+    assert(sql("SELECT count(*) FROM pq.sn.t").head.getLong(0) == 150L)
+    assert(sql(s"SELECT count(*) FROM pq.sn.t VERSION AS OF $v1")
+      .head.getLong(0) == 100L)
+    sql(s"CALL pq.system.rollback_to_snapshot('sn.t', $v1)")
+    assert(sql("SELECT count(*) FROM pq.sn.t").head.getLong(0) == 100L)
+    assert(sql("SELECT sum(v) FROM pq.sn.t").head.getLong(0) ==
+      (0L until 100L).map(_ * 10).sum)
+  }
+
+  test("q227-style upsert waves: parquet insert shards stamped, keys hide old rows, VERSION AS OF composes") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.up")
+    sql("""CREATE TABLE pq.up.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.format'='parquet',
+          |  'graft.upsert.keys'='k', 'graft.snapshot.auto'='true')""".stripMargin)
+    sql("INSERT INTO pq.up.t SELECT id, id FROM range(0, 1000)")
+    // wave 2 upserts the lower half
+    sql("INSERT INTO pq.up.t SELECT id, id + 5000 FROM range(0, 500)")
+    assert(sql("SELECT count(*) FROM pq.up.t").head.getLong(0) == 1000L)
+    assert(sql("SELECT v FROM pq.up.t WHERE k = 10").head.getLong(0) == 5010L)
+    assert(sql("SELECT v FROM pq.up.t WHERE k = 900").head.getLong(0) == 900L)
+    val stamped = listShards("up/t").filter(_.contains("-eqs"))
+    assert(stamped.nonEmpty && stamped.forall(_.endsWith(".parquet")),
+      s"wave shards must be eq-stamped parquet: ${listShards("up/t")}")
+    // auto-snapshot: the pre-wave version still serves pre-wave values
+    val vs = sql("CALL pq.system.snapshots('up.t')")
+      .collect().map(_.getLong(0)).sorted
+    assert(vs.length >= 2)
+    assert(sql(s"SELECT v FROM pq.up.t VERSION AS OF ${vs.head} WHERE k = 10")
+      .head.getLong(0) == 10L)
+    // reconcile: compact folds the wave in, count unchanged
+    sql("CALL pq.system.compact('up.t')")
+    assert(sql("SELECT count(*) FROM pq.up.t").head.getLong(0) == 1000L)
+    assert(sql("SELECT v FROM pq.up.t WHERE k = 10").head.getLong(0) == 5010L)
+  }
+
+  test("merge-on-read position deletes hide parquet rows by ordinal") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.mor")
+    sql("""CREATE TABLE pq.mor.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.format'='parquet',
+          |  'graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO pq.mor.t SELECT id, id * 2 FROM range(0, 1000)")
+    val before = listShards("mor/t")
+    sql("DELETE FROM pq.mor.t WHERE k % 10 = 3")
+    assert(listShards("mor/t") == before,
+      "merge-on-read DELETE must rewrite zero shards")
+    assert(sql("SELECT count(*) FROM pq.mor.t").head.getLong(0) == 900L)
+    assert(sql("SELECT count(*) FROM pq.mor.t WHERE k % 10 = 3")
+      .head.getLong(0) == 0L)
+    // UPDATE through the delta path: delete + re-insert
+    sql("UPDATE pq.mor.t SET v = 0 WHERE k = 4")
+    assert(sql("SELECT v FROM pq.mor.t WHERE k = 4").head.getLong(0) == 0L)
+  }
+
+  test("metadata-only RENAME COLUMN: pre-rename parquet shards read through the alias") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.rn")
+    sql("""CREATE TABLE pq.rn.t (old_name BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.format'='parquet')""".stripMargin)
+    sql("INSERT INTO pq.rn.t SELECT id, id FROM range(0, 100)")
+    sql("ALTER TABLE pq.rn.t RENAME COLUMN old_name TO new_name")
+    sql("INSERT INTO pq.rn.t SELECT id + 100, id FROM range(0, 50)")
+    // both populations answer under the new name
+    assert(sql("SELECT count(*) FROM pq.rn.t WHERE new_name >= 0")
+      .head.getLong(0) == 150L)
+    assert(sql("SELECT sum(new_name) FROM pq.rn.t").head.getLong(0) ==
+      (0L until 100L).sum + (100L until 150L).sum)
+  }
+
+  test("conversion: ALTER graft.format, mixed populations read, cluster_table finishes it") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.cv")
+    sql("""CREATE TABLE pq.cv.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.skip.columns'='k')""".stripMargin)
+    sql("INSERT INTO pq.cv.t SELECT id, id FROM range(0, 500)")
+    assert(listShards("cv/t").forall(_.endsWith(".jsonl.gz")))
+    sql("ALTER TABLE pq.cv.t SET TBLPROPERTIES ('graft.format'='parquet')")
+    sql("INSERT INTO pq.cv.t SELECT id + 500, id FROM range(0, 500)")
+    val mixed = listShards("cv/t")
+    assert(mixed.exists(_.endsWith(".jsonl.gz")) &&
+      mixed.exists(_.endsWith(".parquet")), s"expected mixed layout: $mixed")
+    assert(sql("SELECT count(*) FROM pq.cv.t").head.getLong(0) == 1000L)
+    assert(sql("SELECT sum(k) FROM pq.cv.t").head.getLong(0) ==
+      (0L until 1000L).sum)
+    // the rewrite lands everything in the table's current format
+    sql("CALL pq.system.cluster_table('cv.t', columns => 'k', " +
+      "target_shards => 2)")
+    val after = listShards("cv/t")
+    assert(after.nonEmpty && after.forall(_.endsWith(".parquet")),
+      s"cluster_table must finish the conversion: $after")
+    assert(sql("SELECT count(*) FROM pq.cv.t").head.getLong(0) == 1000L)
+    // and the converted layout prunes on the cluster column
+    val total = shardsPlanned("SELECT k, v FROM pq.cv.t")
+    val planned = shardsPlanned("SELECT k, v FROM pq.cv.t WHERE k >= 900")
+    assert(planned < total, s"pruning on converted layout: $planned/$total")
+  }
+
+  test("streaming sink: parquet epochs publish exactly-once") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.st")
+    sql("""CREATE TABLE pq.st.t (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.format'='parquet')""".stripMargin)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((1L, 10L), (2L, 20L))
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft-jsonl")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("pq-ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable("pq.st.t")
+    q.awaitTermination(60000)
+    assert(listShards("st/t").forall(_.endsWith(".parquet")),
+      s"streaming epochs must honor the table format: ${listShards("st/t")}")
+    assert(sql("SELECT count(*) FROM pq.st.t").head.getLong(0) == 2L)
+  }
+}
