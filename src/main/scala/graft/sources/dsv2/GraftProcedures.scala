@@ -242,6 +242,47 @@ object GraftProcedures {
               .exists(_.sorted.nonEmpty) }.toLong,
             "live shards with a verified write-order prefix")
         }
+        // partition-rename alias reservation: a former partition
+        // column name stays reserved (ADD/RENAME refuse it) while any
+        // LIVE dir still uses it OR any snapshot manifest references a
+        // rel under an old-named dir (rollback could restore those
+        // dirs). One row per alias, naming the pinning snapshot ids so
+        // an operator knows exactly what to expire (then rewrite +
+        // CALL evolve_partitioning) to release the name.
+        locally {
+          val schemaAl = JsonlSnapshots.tableSchemaOf(fs, table,
+            org.apache.spark.sql.types.StructType(Nil))
+          val aliases = schemaAl.fields.iterator.flatMap(f =>
+            JsonlTable.partAliasesOf(f).iterator.map(_ -> f.name)).toSeq
+          if (aliases.nonEmpty) {
+            val qT = fs.makeQualified(table).toUri
+            def segNames(rel: String): Set[String] =
+              rel.split("/").init.filter(_.contains("="))
+                .map(_.split("=", 2)(0)).toSet
+            val liveSegs = layout.iterator.map { case (p, _, _, _) =>
+              segNames(qT.relativize(fs.makeQualified(p).toUri).getPath)
+            }.foldLeft(Set.empty[String])(_ ++ _)
+            aliases.foreach { case (alias, current) =>
+              val liveDirs = liveSegs.contains(alias)
+              val pinning = manifests.filter(_.shards.keysIterator
+                .exists(rel => segNames(rel).contains(alias)))
+                .map(m => s"v${m.id}${m.tag.fold("")(t => s"($t)")}")
+              val detail =
+                (if (liveDirs) Seq("live dirs") else Nil) ++
+                  (if (pinning.nonEmpty)
+                    Seq(s"pinned by ${pinning.mkString(",")}") else Nil)
+              row(s"part_alias:$alias->$current",
+                pinning.size.toLong,
+                if (detail.isEmpty)
+                  "unused — rewrite + CALL evolve_partitioning releases it"
+                else detail.mkString("; "))
+              if (pinning.nonEmpty && !liveDirs)
+                row("recommend", pinning.size.toLong,
+                  s"CALL expire_snapshots — release partition alias " +
+                    s"'$alias' (pinned by ${pinning.mkString(",")})")
+            }
+          }
+        }
         // recommendations, debt-ranked: each names the CALL that
         // retires it
         if (eqFiles > 0 || sidecars.nonEmpty)
@@ -383,11 +424,10 @@ object GraftProcedures {
         def rangeClear(qshard: String, stamp: Long): Boolean =
           eqProbe != null && {
             eqProbe.exhausted(stamp) || (preIdxEq.get(qshard) match {
-              case Some(e) => e.stats.get(keySpecs.head._2) match {
-                case Some((mn, mx, _)) if mn != null && mx != null =>
-                  eqProbe.clear(stamp, mn, mx)
-                case _ => false
-              }
+              case Some(e) => eqProbe.clear(stamp, i =>
+                e.stats.get(keySpecs(i)._2).collect {
+                  case (mn, mx, _) if mn != null && mx != null => (mn, mx)
+                })
               case _ => false
             })
           }

@@ -298,9 +298,8 @@ object JsonlChangesScan {
         val probe = JsonlEqDeletes.rangeProbe(eq.fresh, eq.cols, dts)
         val skipIdx =
           if (probe == null) null else JsonlSkipIndex.open(fs, table, schema)
-        val keyStorage =
-          if (probe == null) null
-          else JsonlTable.physicalKeyOf(schema, eq.cols.head)
+        val keyStorages: Array[String] =
+          eq.cols.map(c => JsonlTable.physicalKeyOf(schema, c)).toArray
         (m1.shards.keySet & m2.shards.keySet).toSeq.sorted.flatMap { rel =>
           val stamp = JsonlEqDeletes.shardSeqOf(
             rel.substring(rel.lastIndexOf('/') + 1))
@@ -308,11 +307,10 @@ object JsonlChangesScan {
             (probe != null && (probe.exhausted(stamp) || {
               skipIdx.get(fs.makeQualified(new Path(table, rel)).toString)
                 match {
-                case Some(e) => e.stats.get(keyStorage) match {
-                  case Some((mn, mx, _)) if mn != null && mx != null =>
-                    probe.clear(stamp, mn, mx)
-                  case _ => false
-                }
+                case Some(e) => probe.clear(stamp, i =>
+                  e.stats.get(keyStorages(i)).collect {
+                    case (mn, mx, _) if mn != null && mx != null => (mn, mx)
+                  })
                 case None => false
               }
             }))

@@ -1467,23 +1467,24 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     if (eqState.isEmpty || eqState.map.isEmpty) null
     else JsonlEqDeletes.rangeProbe(eqState.map, eqState.cols,
       eqState.cols.map(c => dataSchema(dataSchema.fieldIndex(c)).dataType))
-  private lazy val eqKeyStorage: String =
-    if (eqProbe == null) null
-    else JsonlTable.physicalKeyOf(dataSchema, eqState.cols.head)
+  private lazy val eqKeyStorages: Array[String] =
+    eqState.cols.map(c => JsonlTable.physicalKeyOf(dataSchema, c)).toArray
   private def eqExemptOf(f: String): Boolean =
     !eqState.isEmpty && {
       val stamp = JsonlEqDeletes.shardSeqOf(new Path(f).getName)
       // the stamp exemption needs no key values, so it survives the
       // executor-direct (over-cap) path; the range probe is
-      // broadcast-path only (it needs the values on the driver)
+      // broadcast-path only (it needs the values on the driver).
+      // Full-tuple form: the entry's range on ANY eligible key column
+      // may exempt — composite keys with a low-cardinality leading
+      // column still clear on the other columns' ranges.
       stamp >= eqState.maxSeq || (eqProbe != null &&
         (eqProbe.exhausted(stamp) ||
           (skipIndex.get(f) match {
-            case Some(e) => e.stats.get(eqKeyStorage) match {
-              case Some((mn, mx, _)) if mn != null && mx != null =>
-                eqProbe.clear(stamp, mn, mx)
-              case _ => false
-            }
+            case Some(e) => eqProbe.clear(stamp, i =>
+              e.stats.get(eqKeyStorages(i)).collect {
+                case (mn, mx, _) if mn != null && mx != null => (mn, mx)
+              })
             case None => false
           })))
     }

@@ -206,8 +206,26 @@ object JsonlEqDeletes {
         }
       }
       val seq = maxAll + 1L
-      if (RowLevelLock.atomicCreate(fs, claimFile(table, seq),
-          Array.emptyByteArray)) {
+      // the claim carries a UNIQUE token: on filesystems without an
+      // atomic create-if-absent (object stores — witnessed by the
+      // ObjectStoreSemanticsSpec shim), two waves can both pass the
+      // create's existence check and "win" the same sequence with
+      // last-writer-wins content. The read-back below lets exactly one
+      // of them keep the number (the one whose token survived); the
+      // loser re-lists at the next sequence. The residual window —
+      // the loser overwriting between the winner's write and read-back
+      // — is microseconds and, if ever hit, still converges LOUDLY:
+      // publish's rename-onto-existing fails for the second wave and
+      // the stood-down retry lands at a fresh sequence.
+      val token = java.util.UUID.randomUUID().toString
+        .getBytes(StandardCharsets.UTF_8)
+      if (RowLevelLock.atomicCreate(fs, claimFile(table, seq), token)) {
+        val mine =
+          try {
+            val in = fs.open(claimFile(table, seq))
+            try java.util.Arrays.equals(in.readAllBytes(), token)
+            finally in.close()
+          } catch { case _: Exception => false }
         // GHOST-claim re-verify: a full claim→publish→release cycle of
         // this same sequence may have run entirely between our listing
         // and the create — release DELETES the claim file, so the
@@ -220,7 +238,7 @@ object JsonlEqDeletes {
         // (the hwm re-read closes the retire race: retire covers a key
         // file with the hwm BEFORE removing it, so one of the two
         // checks always sees a consumed sequence)
-        val taken = readHwm(fs, table) >= seq ||
+        val taken = !mine || readHwm(fs, table) >= seq ||
           fs.listStatus(d).exists(st =>
             st.getPath.getName match {
               case FileName(n) => n.toLong == seq
@@ -228,7 +246,9 @@ object JsonlEqDeletes {
               case _ => false
             })
         if (!taken) return seq
-        fs.delete(claimFile(table, seq), false)
+        // a lost token race must NOT delete the winner's claim; a
+        // ghost (both checks below the token one) is ours to drop
+        if (mine) fs.delete(claimFile(table, seq), false)
       }
     }
     throw new IllegalStateException(
@@ -503,11 +523,24 @@ object JsonlEqDeletes {
       // that wave's deletes (`stamp < seq`) would silently miss
       // older-stamped shards. FileContext.rename(OVERWRITE) is the
       // POSIX/HDFS atomic replace; the old hwm stays readable until
-      // the instant the new one is.
-      org.apache.hadoop.fs.FileContext
-        .getFileContext(tmp.toUri, fs.getConf)
-        .rename(tmp, hwmFile(table),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // the instant the new one is. Filesystems without FileContext
+      // support (object stores — witnessed by ObjectStoreSemanticsSpec,
+      // which crashed HERE before this fallback existed) fall back to
+      // that window, failing loudly (naming the tmp recovery copy)
+      // rather than proceeding hwm-less.
+      try
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(tmp.toUri, fs.getConf)
+          .rename(tmp, hwmFile(table),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (fs.exists(hwmFile(table))) fs.delete(hwmFile(table), false)
+          if (!fs.rename(tmp, hwmFile(table)))
+            throw new java.io.IOException(
+              s"equality-delete hwm publish failed for ${hwmFile(table)}; " +
+                s"recover from $tmp before the next wave claims")
+      }
     }
     var removed = 0
     fs.listStatus(d).foreach(st => st.getPath.getName match {
@@ -539,22 +572,27 @@ object JsonlEqDeletes {
 
   // ------------------------------------------- skip-range fast path
   //
-  // For a SINGLE numeric key, a shard whose skip-index [min, max]
-  // excludes every pending key that OUTRANKS its stamp provably holds
-  // no hidden rows: shard files are immutable in this layout, so an
-  // entry's range is always a superset of the truth (approx entries
-  // are wider — still sound). The scan uses this to skip the per-row
-  // check entirely; compact uses it to re-stamp by rename instead of
-  // rewriting.
+  // A shard whose skip-index [min, max] on ANY indexed key column
+  // excludes that column's part of every pending key that OUTRANKS its
+  // stamp provably holds no hidden rows: shard files are immutable in
+  // this layout, so an entry's range is always a superset of the truth
+  // (approx entries are wider — still sound), and a full-tuple match
+  // requires every part to match. The probe is therefore built over
+  // EVERY eligible key column, not just the leading one — a
+  // `(source, day)` key with a low-cardinality leading column still
+  // exempts shards whose day range misses the pending days. The scan
+  // uses this to skip the per-row check entirely; compact uses it to
+  // re-stamp by rename instead of rewriting.
 
-  /** Type-erased per-table probe: sorted pending-key arrays per
-    * distinct stamp (few per table), ordered EXACTLY as the skip
-    * entries' min/max decode orders — natural for BIGINT/INT, UTF8
-    * binary for STRING (Spark's aggregate string order, which the
-    * index build used). */
-  final class RangeProbe(pairs: Array[(AnyRef, Long)],
-                         cmp: java.util.Comparator[AnyRef],
-                         conv: Any => AnyRef) {
+  /** One key column's type-erased probe: sorted pending-part arrays
+    * per distinct stamp (few per table), ordered EXACTLY as the skip
+    * entries' min/max decode orders — natural for BIGINT/INT (and the
+    * epoch integers DATE/TIMESTAMP render to), UTF8 binary for STRING
+    * (Spark's aggregate string order, which the index build used). */
+  private[dsv2] final class ColProbe(val colIdx: Int,
+                                     pairs: Array[(AnyRef, Long)],
+                                     cmp: java.util.Comparator[AnyRef],
+                                     conv: Any => AnyRef) {
     private val cache = scala.collection.mutable.Map.empty[Long, Array[AnyRef]]
     private def keysAbove(stamp: Long): Array[AnyRef] =
       cache.getOrElseUpdate(stamp, {
@@ -562,10 +600,8 @@ object JsonlEqDeletes {
         java.util.Arrays.sort(a, cmp)
         a
       })
-    /** No pending key outranking `stamp` at all? */
-    def exhausted(stamp: Long): Boolean = keysAbove(stamp).isEmpty
-    /** No pending key outranking `stamp` inside the entry range
-      * [mn, mx] (entry-decoded values)? */
+    /** No outranking pending part inside the entry range [mn, mx]
+      * (entry-decoded values)? */
     def clear(stamp: Long, mn: Any, mx: Any): Boolean = {
       val keys = keysAbove(stamp)
       keys.isEmpty || {
@@ -576,62 +612,94 @@ object JsonlEqDeletes {
     }
   }
 
-  /** Build the probe over the key's LEADING column; null when the
-    * fast path doesn't apply (unsupported leading type, or an
-    * unparsable/null leading part in the map). For a composite key
-    * the probe is sound on the leading column alone: a shard whose
-    * leading-column range excludes a tuple's leading value cannot
-    * hold a row matching the full tuple. DATE/TIMESTAMP keys ride
-    * the numeric branch — their renderings are epoch integers, and
-    * the skip entries' min/max decode as the same numbers. */
+  /** The per-table probe over every eligible key column. A shard is
+    * `clear` when SOME column's available entry range excludes all of
+    * that column's outranking parts — sound for composite keys because
+    * a hidden row must match the full tuple. */
+  final class RangeProbe private[JsonlEqDeletes] (
+      cols: Array[ColProbe], maxSeqAll: Long) {
+    /** No pending key outranking `stamp` at all? */
+    def exhausted(stamp: Long): Boolean = maxSeqAll <= stamp
+    /** Column indices (into the key tuple) this probe can exempt on —
+      * callers feed their stats through `rangeOf` for these. */
+    private[dsv2] def eligible: Seq[Int] = cols.map(_.colIdx).toSeq
+    /** `rangeOf(i)` = the shard entry's decoded [min, max] on key
+      * column `i`, None when unindexed/all-null there. */
+    def clear(stamp: Long, rangeOf: Int => Option[(Any, Any)]): Boolean =
+      exhausted(stamp) || cols.exists { cp =>
+        rangeOf(cp.colIdx).exists { case (mn, mx) => cp.clear(stamp, mn, mx) }
+      }
+  }
+
+  /** Build the probe; null when the fast path doesn't apply anywhere
+    * (no eligible column, or ambiguous tuple splits). A column is
+    * eligible when its type is orderable against entry stats and no
+    * pending tuple has a null/unparsable part there. DATE/TIMESTAMP
+    * keys ride the numeric branch — their renderings are epoch
+    * integers, and the skip entries' min/max decode as the same
+    * numbers. */
   def rangeProbe(eqMap: Map[String, Long], cols: Seq[String],
                  dts: Seq[org.apache.spark.sql.types.DataType]): RangeProbe = {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
       StringType, TimestampNTZType, TimestampType}
     if (cols.isEmpty) return null
-    // leading part of each tuple, folded to its highest sequence.
+    // per-column distinct parts, each folded to its highest sequence.
     // Writers refuse separator characters inside STRING key values,
     // but legacy/foreign key files might carry them — a tuple whose
     // part count disagrees with the key arity is ambiguous to split,
     // so stand down entirely (conservative, never wrong).
-    val leading = scala.collection.mutable.HashMap.empty[String, Long]
+    val perCol = Array.fill(cols.size)(
+      scala.collection.mutable.HashMap.empty[String, Long])
+    var maxSeqAll = 0L
     val it = eqMap.iterator
     while (it.hasNext) {
       val (k, sq) = it.next()
+      if (sq > maxSeqAll) maxSeqAll = sq
       val parts = k.split(Sep, -1)
       if (parts.length != cols.size) return null
-      val lead = parts(0)
-      leading.get(lead) match {
-        case Some(s0) if s0 >= sq => ()
-        case _ => leading.update(lead, sq)
+      var i = 0
+      while (i < parts.length) {
+        val m = perCol(i)
+        val p = parts(i)
+        m.get(p) match {
+          case Some(s0) if s0 >= sq => ()
+          case _ => m.update(p, sq)
+        }
+        i += 1
       }
     }
-    // a null leading part is invisible to min/max ranges — stand down
-    if (leading.contains(NullMark)) return null
-    dts.head match {
-      case LongType | IntegerType | DateType | TimestampType |
-           TimestampNTZType =>
-        val parsed = leading.iterator.map { case (k, sq) =>
-          scala.util.Try(k.toLong).toOption
-            .map(v => (java.lang.Long.valueOf(v): AnyRef, sq)) }.toArray
-        if (parsed.contains(None)) null
-        else new RangeProbe(parsed.map(_.get),
-          (a: AnyRef, b: AnyRef) => java.lang.Long.compare(
-            a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long]),
-          v => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue()))
-      case StringType =>
-        new RangeProbe(
-          leading.iterator.map { case (k, sq) =>
-            (org.apache.spark.unsafe.types.UTF8String.fromString(k)
-              : AnyRef, sq) }.toArray,
-          (a: AnyRef, b: AnyRef) =>
-            a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-              .compareTo(
-                b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]),
-          v => org.apache.spark.unsafe.types.UTF8String
-            .fromString(v.asInstanceOf[String]))
-      case _ => null
+    val probes = cols.indices.flatMap { i =>
+      val m = perCol(i)
+      // a null part is invisible to min/max ranges — this column
+      // stands down (others may still exempt)
+      if (m.contains(NullMark)) None
+      else dts(i) match {
+        case LongType | IntegerType | DateType | TimestampType |
+             TimestampNTZType =>
+          val parsed = m.iterator.map { case (k, sq) =>
+            scala.util.Try(k.toLong).toOption
+              .map(v => (java.lang.Long.valueOf(v): AnyRef, sq)) }.toArray
+          if (parsed.contains(None)) None
+          else Some(new ColProbe(i, parsed.map(_.get),
+            (a: AnyRef, b: AnyRef) => java.lang.Long.compare(
+              a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long]),
+            v => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())))
+        case StringType =>
+          Some(new ColProbe(i,
+            m.iterator.map { case (k, sq) =>
+              (org.apache.spark.unsafe.types.UTF8String.fromString(k)
+                : AnyRef, sq) }.toArray,
+            (a: AnyRef, b: AnyRef) =>
+              a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                .compareTo(
+                  b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]),
+            v => org.apache.spark.unsafe.types.UTF8String
+              .fromString(v.asInstanceOf[String])))
+        case _ => None
+      }
     }
+    if (probes.isEmpty) null
+    else new RangeProbe(probes.toArray, maxSeqAll)
   }
 
   /** Canonical rendering of one key part (None = SQL null). The same

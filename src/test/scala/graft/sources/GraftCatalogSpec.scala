@@ -1000,6 +1000,19 @@ class GraftCatalogSpec extends AnyFunSuite {
       sql("ALTER TABLE wh.pra.t ADD COLUMN lang STRING") }
     assert(eAdd.getMessage.contains("former name"),
       s"alias must survive while v1 references lang= dirs: ${eAdd.getMessage}")
+    // maintenance_stats names the PINNING snapshot: the operator's
+    // answer to "what do I expire to release the name" — no live dir
+    // uses the alias (the rewrite unified them), only v1 pins it
+    val ms = sql("CALL wh.system.maintenance_stats('pra.t')").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val aliasRow = ms.find(_._1 == "part_alias:lang->language")
+    assert(aliasRow.exists(r => r._2 == 1L && r._3.contains("v1") &&
+      !r._3.contains("live dirs")),
+      s"alias row must name the pinning snapshot: ${aliasRow.toString}")
+    assert(ms.exists(r => r._1 == "recommend" &&
+      r._3.contains("release partition alias 'lang'") && r._3.contains("v1")),
+      s"expire recommendation must name the alias + snapshot: ${
+        ms.filter(_._1 == "recommend").mkString("; ")}")
     // rollback restores the old-named dirs — values resolve through
     // the kept alias
     sql("CALL wh.system.rollback_to_snapshot('pra.t', '1')")

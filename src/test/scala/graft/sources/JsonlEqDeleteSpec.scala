@@ -231,6 +231,55 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
       "a range-clear exposed shard must keep its index-answered count")
   }
 
+  test("full-tuple skip-range exemption: a low-cardinality LEADING key " +
+      "column still exempts on the other column's range") {
+    // composite key (source, day): every row shares source='web', so
+    // the leading column's range ['web','web'] can never exclude a
+    // pending ('web', ...) tuple — the exemption must come from the
+    // DAY column's range, which the full-tuple probe consults
+    sql("""CREATE TABLE eq.ns.ft (source STRING, day BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='source,day',
+          |  'graft.skip.columns'='source,day')""".stripMargin)
+    sql("""INSERT INTO eq.ns.ft SELECT /*+ REPARTITION(1) */
+          |  'web' AS source, id AS day, id AS v
+          |FROM range(0, 100)""".stripMargin) // s1: day in [0, 99]
+    sql("INSERT INTO eq.ns.ft VALUES ('web', 1000, 1), ('web', 1001, 2)")
+    assert(sql("SELECT count(*) FROM eq.ns.ft").head.getLong(0) == 102L)
+    // witness: corrupt every shard — COUNT(*) must still answer from
+    // the index, which requires the s1 shard's exposure to be PROVABLY
+    // moot via its day range [0,99] vs pending days 1000/1001 (the
+    // leading-column-only probe cannot get there; a non-exempt plan
+    // drains the shard and dies on the garbage)
+    val root = spark.conf.get("spark.sql.catalog.eq.root")
+    new java.io.File(s"$root/ns/ft").listFiles()
+      .filter(_.getName.endsWith(".jsonl.gz")).foreach { f =>
+        val w = new java.io.FileOutputStream(f)
+        w.write("not gzip".getBytes("UTF-8")); w.close()
+      }
+    assert(sql("SELECT count(*) FROM eq.ns.ft").head.getLong(0) == 102L,
+      "full-tuple range exemption must keep the index-answered count")
+    // compact's rename fast path rides the same probe: a fresh twin
+    // whose exposed shard is day-range-clear re-stamps by RENAME
+    sql("""CREATE TABLE eq.ns.ft2 (source STRING, day BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.upsert.keys'='source,day',
+          |  'graft.skip.columns'='source,day')""".stripMargin)
+    sql("""INSERT INTO eq.ns.ft2 SELECT /*+ REPARTITION(1) */
+          |  'web' AS source, id AS day, id AS v
+          |FROM range(0, 50)""".stripMargin)
+    sql("INSERT INTO eq.ns.ft2 VALUES ('web', 9000, 9)")
+    val dir2 = new java.io.File(s"$root/ns/ft2")
+    def shards = dir2.listFiles().filter(_.getName.endsWith(".jsonl.gz"))
+      .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
+    val big = shards.maxBy(_._2)
+    sql("CALL eq.system.compact('ns.ft2', max_shards => 100)").collect()
+    val big2 = shards.maxBy(_._2)
+    assert(big2._1 == big._1.replace("-eqs1.", "-eqs2.") &&
+      big2._2 == big._2,
+      s"day-range-clear composite shard must re-stamp by rename: " +
+        s"$big -> $big2")
+    assert(sql("SELECT count(*) FROM eq.ns.ft2").head.getLong(0) == 51L)
+  }
+
   test("string-key upsert (doc-id shape): exemption and rename reconcile") {
     // scan-time exemption with a STRING key (UTF8 binary order — the
     // order the skip entries' min/max used)
@@ -271,7 +320,7 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(7L))
   }
 
-  test("concurrent upsert waves: claim-CAS sequences stay dense, no lost wave") {
+  test("concurrent upsert waves: claim-CAS sequences stay dense, no lost wave", graft.SoakTag) {
     sql("""CREATE TABLE eq.ns.cw (k BIGINT, v BIGINT)
           |TBLPROPERTIES ('graft.upsert.keys'='k')""".stripMargin)
     sql("INSERT INTO eq.ns.cw SELECT id AS k, id AS v FROM range(0, 8)") // s1
@@ -303,7 +352,7 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     assert(seqs == (1L to 5L), s"5 waves -> sequences 1..5: $seqs")
   }
 
-  test("property: random wave/delete/compact histories match the MERGE twin") {
+  test("property: random wave/delete/compact histories match the MERGE twin", graft.SoakTag) {
     for (seed <- Seq(17, 43)) {
       val rnd = new scala.util.Random(seed)
       val up = s"eq.ns.su$seed"; val tw = s"eq.ns.st$seed"
@@ -508,7 +557,7 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("property: random wave/delete/compact/snapshot/rollback histories compose") {
+  test("property: random wave/delete/compact/snapshot/rollback histories compose", graft.SoakTag) {
     import graft.sources.dsv2.JsonlChangeFeed
     val catalog = spark.sessionState.catalogManager.catalog("eq")
       .asInstanceOf[graft.sources.dsv2.GraftCatalog]
@@ -752,7 +801,7 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
       "hwm must carry the numbering past retired files AND tombstones")
   }
 
-  test("soak: 20 rounds of racing waves — commit never throws post-publish") {
+  test("soak: 20 rounds of racing waves — commit never throws post-publish", graft.SoakTag) {
     // regression for the _staging parent-sweep TOCTOU: concurrent
     // writers create/drop their own staging subdirs under the shared
     // `_staging` parent; the best-effort sweep must never surface an
