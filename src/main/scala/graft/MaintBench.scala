@@ -221,6 +221,44 @@ object MaintBench {
         (fs3 :+ fc).foreach(_.get())
       } finally pool.shutdown()
     }
+    // at-rest format comparison (round 15): the SAME lineitem rows as
+    // gzip line-JSON vs zstd parquet twins under one catalog. The
+    // pruned-projection row is the columnar tier's reason to exist —
+    // 2 columns of an 11-column table decode ~2/11ths of a parquet
+    // shard but ALWAYS parse whole JSON lines — and the bytes row
+    // prices the at-rest footprint. Rows land in BASELINE.md.
+    for (fmt <- Seq("jsonl", "parquet")) {
+      timed(s"fmt_${fmt}_ingest") {
+        c.sql(
+          s"""CREATE TABLE mb.m.li_$fmt
+             |TBLPROPERTIES ('graft.format'='$fmt') AS
+             |SELECT /*+ REPARTITION($nShards) */ *
+             |FROM parquet.`$sfDir/lineitem.parquet`""".stripMargin)
+      }
+      timed(s"fmt_${fmt}_scan_full_agg") {
+        c.sql(
+          s"""SELECT l_returnflag, l_linestatus, count(*),
+             |  sum(l_quantity), sum(l_extendedprice),
+             |  avg(l_discount), max(l_shipdate)
+             |FROM mb.m.li_$fmt
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin).collect()
+      }
+      timed(s"fmt_${fmt}_scan_2col_projection") {
+        c.sql(s"SELECT sum(l_extendedprice * (1 - l_discount)) " +
+          s"FROM mb.m.li_$fmt").collect()
+      }
+      timed(s"fmt_${fmt}_scan_filtered") {
+        c.sql(s"SELECT count(*), sum(l_quantity) FROM mb.m.li_$fmt " +
+          "WHERE l_returnflag = 'A'").collect()
+      }
+      locally {
+        val d = new org.apache.hadoop.fs.Path(
+          c.conf.get("spark.sql.catalog.mb.root") + s"/m/li_$fmt")
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes = fs.getContentSummary(d).getLength
+        timings(s"fmt_${fmt}_bytes_mb") = math.rint(bytes / 1e4) / 1e2
+      }
+    }
     val total = math.rint(timings.values.sum * 1000) / 1e3
     val q = timings.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     // one JSON line, Bench's shape, so the same tooling parses it

@@ -276,7 +276,7 @@ class JsonlMorSpec extends AnyFunSuite {
     assert(!lockFile.exists(), "B's own release removes it")
   }
 
-  test("two stale-lock breakers: exactly one wins, no fresh lock clobbered") {
+  test("two stale-lock breakers: exactly one wins, no fresh lock clobbered", graft.SoakTag) {
     import graft.sources.dsv2.RowLevelLock
     // the delete-then-create protocol fails this: breaker B's delete
     // can remove breaker A's FRESH lock. Rename-to-unique cannot —
