@@ -113,25 +113,147 @@ final class ParquetShardReader(file: String, required: StructType,
 
   // rename-alias resolution: a shard written BEFORE a rename stores
   // the old key — resolve each wanted field to the name the FOOTER
-  // actually carries (one footer read, paid only when aliases exist)
+  // actually carries (one footer read, paid only when aliases exist
+  // or when row-group pruning wants column presence confirmed)
   private val fields: Seq[StructField] =
     wantedNames.map(n => dataSchema(dataSchema.fieldIndex(n)))
-  private val footerNames: Set[String] =
-    if (fields.forall(f => JsonlTable.aliasesOf(f).isEmpty)) null
-    else ParquetShardIO.footerFieldNames(new Path(file), conf.value)
-  private val readSchema: StructType = StructType(fields.map { f =>
+  private lazy val footerNames: Set[String] =
+    ParquetShardIO.footerFieldNames(new Path(file), conf.value)
+  private val needFooter: Boolean =
+    fields.exists(f => JsonlTable.aliasesOf(f).nonEmpty)
+  private def resolvedName(f: StructField): String = {
     val phys = JsonlTable.physicalKeyOf(f)
-    val name =
-      if (footerNames == null || footerNames.contains(phys)) phys
-      else JsonlTable.aliasesOf(f).find(footerNames.contains).getOrElse(phys)
-    StructField(name, f.dataType, nullable = true)
+    if (!needFooter || footerNames.contains(phys)) phys
+    else JsonlTable.aliasesOf(f).find(footerNames.contains).getOrElse(phys)
+  }
+  private val readSchema: StructType = StructType(fields.map { f =>
+    StructField(resolvedName(f), f.dataType, nullable = true)
   })
   // display name -> position in the read row
   private val readIdx: Map[String, Int] =
     wantedNames.zipWithIndex.toMap
 
+  // ROW-GROUP pruning from pushed filters — footer statistics skip
+  // whole groups before any page decodes. Skipping shifts row
+  // ordinals, so this arms ONLY when nothing position-sensitive is in
+  // play: no delete/keep ordinals (live sidecar or snapshot-pinned),
+  // no CDC kind, and `_pos` not projected. Equality-delete hiding is
+  // VALUE-based and composes fine. Filters translate only for columns
+  // the footer confirms present (parquet validates predicate columns
+  // against the file schema); untranslated shapes still evaluate
+  // row-level below — pruning is an overlay, never the answer.
+  private val rowGroupFilter
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
+    if (pushed.isEmpty || deletesPath != null || deletePositions != null ||
+        keepPositions != null || changeKind != null ||
+        required.fieldNames.contains("_pos")) None
+    else {
+      import org.apache.parquet.filter2.predicate.FilterApi
+      import org.apache.parquet.io.api.Binary
+      def pred(f: Filter)
+          : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+        val a = attrOf(f).getOrElse(return None)
+        if (partValues.contains(a)) return None // injected, not in file
+        val fl = dataSchema.fields.find(_.name == a).getOrElse(return None)
+        val name = resolvedName(fl)
+        if (!footerNames.contains(name)) return None
+        def whenNonNull[T](v: Any)(mk: Any => T): Option[T] =
+          if (v == null) None else Some(mk(v)) // SQL: null never matches
+        fl.dataType match {
+          case LongType =>
+            val c = FilterApi.longColumn(name)
+            def l(v: Any) = java.lang.Long.valueOf(
+              v.asInstanceOf[Number].longValue)
+            f match {
+              case EqualTo(_, v) => whenNonNull(v)(x => FilterApi.eq(c, l(x)))
+              case In(_, vs) if vs.length <= 16 =>
+                vs.flatMap(v => whenNonNull(v)(x => FilterApi.eq(c, l(x))
+                  : org.apache.parquet.filter2.predicate.FilterPredicate))
+                  .reduceOption(FilterApi.or)
+              case GreaterThan(_, v) => whenNonNull(v)(x => FilterApi.gt(c, l(x)))
+              case GreaterThanOrEqual(_, v) =>
+                whenNonNull(v)(x => FilterApi.gtEq(c, l(x)))
+              case LessThan(_, v) => whenNonNull(v)(x => FilterApi.lt(c, l(x)))
+              case LessThanOrEqual(_, v) =>
+                whenNonNull(v)(x => FilterApi.ltEq(c, l(x)))
+              case IsNull(_) => Some(FilterApi.eq(c, null.asInstanceOf[java.lang.Long]))
+              case IsNotNull(_) => Some(FilterApi.notEq(c, null.asInstanceOf[java.lang.Long]))
+              case _ => None
+            }
+          case IntegerType =>
+            val c = FilterApi.intColumn(name)
+            def i(v: Any) = java.lang.Integer.valueOf(
+              v.asInstanceOf[Number].intValue)
+            f match {
+              case EqualTo(_, v) => whenNonNull(v)(x => FilterApi.eq(c, i(x)))
+              case In(_, vs) if vs.length <= 16 =>
+                vs.flatMap(v => whenNonNull(v)(x => FilterApi.eq(c, i(x))
+                  : org.apache.parquet.filter2.predicate.FilterPredicate))
+                  .reduceOption(FilterApi.or)
+              case GreaterThan(_, v) => whenNonNull(v)(x => FilterApi.gt(c, i(x)))
+              case GreaterThanOrEqual(_, v) =>
+                whenNonNull(v)(x => FilterApi.gtEq(c, i(x)))
+              case LessThan(_, v) => whenNonNull(v)(x => FilterApi.lt(c, i(x)))
+              case LessThanOrEqual(_, v) =>
+                whenNonNull(v)(x => FilterApi.ltEq(c, i(x)))
+              case IsNull(_) => Some(FilterApi.eq(c, null.asInstanceOf[java.lang.Integer]))
+              case IsNotNull(_) => Some(FilterApi.notEq(c, null.asInstanceOf[java.lang.Integer]))
+              case _ => None
+            }
+          case DoubleType =>
+            val c = FilterApi.doubleColumn(name)
+            def d(v: Any) = java.lang.Double.valueOf(
+              v.asInstanceOf[Number].doubleValue)
+            f match {
+              case EqualTo(_, v) => whenNonNull(v)(x => FilterApi.eq(c, d(x)))
+              case GreaterThan(_, v) => whenNonNull(v)(x => FilterApi.gt(c, d(x)))
+              case GreaterThanOrEqual(_, v) =>
+                whenNonNull(v)(x => FilterApi.gtEq(c, d(x)))
+              case LessThan(_, v) => whenNonNull(v)(x => FilterApi.lt(c, d(x)))
+              case LessThanOrEqual(_, v) =>
+                whenNonNull(v)(x => FilterApi.ltEq(c, d(x)))
+              case IsNull(_) => Some(FilterApi.eq(c, null.asInstanceOf[java.lang.Double]))
+              case IsNotNull(_) => Some(FilterApi.notEq(c, null.asInstanceOf[java.lang.Double]))
+              case _ => None
+            }
+          case StringType =>
+            val c = FilterApi.binaryColumn(name)
+            def b(v: Any) = Binary.fromString(v.asInstanceOf[String])
+            f match {
+              case EqualTo(_, v) => whenNonNull(v)(x => FilterApi.eq(c, b(x)))
+              case In(_, vs) if vs.length <= 16 =>
+                vs.flatMap(v => whenNonNull(v)(x => FilterApi.eq(c, b(x))
+                  : org.apache.parquet.filter2.predicate.FilterPredicate))
+                  .reduceOption(FilterApi.or)
+              case GreaterThan(_, v) => whenNonNull(v)(x => FilterApi.gt(c, b(x)))
+              case GreaterThanOrEqual(_, v) =>
+                whenNonNull(v)(x => FilterApi.gtEq(c, b(x)))
+              case LessThan(_, v) => whenNonNull(v)(x => FilterApi.lt(c, b(x)))
+              case LessThanOrEqual(_, v) =>
+                whenNonNull(v)(x => FilterApi.ltEq(c, b(x)))
+              case IsNull(_) => Some(FilterApi.eq(c, null.asInstanceOf[Binary]))
+              case IsNotNull(_) => Some(FilterApi.notEq(c, null.asInstanceOf[Binary]))
+              case _ => None
+            }
+          case BooleanType =>
+            val c = FilterApi.booleanColumn(name)
+            f match {
+              case EqualTo(_, v) => whenNonNull(v)(x => FilterApi.eq(c,
+                java.lang.Boolean.valueOf(x.asInstanceOf[java.lang.Boolean])))
+              case IsNull(_) => Some(FilterApi.eq(c, null.asInstanceOf[java.lang.Boolean]))
+              case IsNotNull(_) => Some(FilterApi.notEq(c, null.asInstanceOf[java.lang.Boolean]))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      try pushed.toSeq.flatMap(pred(_)).reduceOption(FilterApi.and)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   private val reader =
-    ParquetShardIO.openReader(new Path(file), readSchema, conf.value)
+    ParquetShardIO.openReader(new Path(file), readSchema, conf.value,
+      rowGroupFilter)
 
   // ---- typed partition constants (declared type; unparseable -> null,
   // the JSONL readers' mismatch posture). A null partition value (the

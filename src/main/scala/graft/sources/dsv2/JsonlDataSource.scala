@@ -1608,6 +1608,79 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
       (m, cols)
     } else
       (if (eqDeletes == null) Map.empty else eqDeletes.value, eqCols)
+  /** Parquet footer-statistics partial: for an UNINDEXED parquet shard
+    * (the driver's skip-index path answered nothing) with no filters,
+    * no deletes, and no reachable equality state, COUNT comes from the
+    * footer row count and MIN/MAX from the folded row-group statistics
+    * — numeric/temporal columns only (binary stats can be truncated or
+    * dropped by writers, never served as answers), aliases and missing
+    * stats fall back to the row drain. `SELECT MIN(ts), MAX(ts),
+    * COUNT(*)` over a 100 TB parquet table is footer-only even before
+    * its first `CALL build_skip_index`. */
+  private def footerPartial(p: JsonlInputPartition): Seq[Any] = {
+    if (!GraftParquetShard.isParquetName(p.file) || pushed.nonEmpty ||
+        p.deletes != null || p.deletePositions != null) return null
+    val (eqMap, _) = if (p.eqExempt) (Map.empty[String, Long], Nil) else eqResolved
+    val stamp = JsonlEqDeletes.shardSeqOf(new Path(p.file).getName)
+    if (eqMap.nonEmpty && eqMap.valuesIterator.max > stamp) return null
+    val mm = specs.collect { case (op, c) if op != "count" => c }.distinct
+    // resolve each min/max column: partition-injected constant, or a
+    // numeric/temporal file column under its physical key (renamed
+    // columns with aliases bail to the drain — their stats may live
+    // under an old name)
+    val fileCols = Seq.newBuilder[String]
+    val resolve = mm.map { c =>
+      val fl = dataSchema.fields.find(_.name == c).getOrElse(return null)
+      if (p.partValues.contains(c)) {
+        val v: Any = p.partValues(c) match {
+          case Some(s) => try fl.dataType match {
+            case LongType => java.lang.Long.valueOf(s.toLong)
+            case IntegerType => java.lang.Integer.valueOf(s.toInt)
+            case DoubleType => java.lang.Double.valueOf(s.toDouble)
+            case _ => return null
+          } catch { case _: Exception => return null }
+          case None => null
+        }
+        c -> Left(v)
+      } else {
+        if (JsonlTable.aliasesOf(fl).nonEmpty) return null
+        fl.dataType match {
+          case LongType | IntegerType | DoubleType | DateType |
+               TimestampType | TimestampNTZType => ()
+          case _ => return null
+        }
+        val phys = JsonlTable.physicalKeyOf(fl)
+        fileCols += phys
+        c -> Right((phys, fl.dataType))
+      }
+    }.toMap
+    org.apache.spark.sql.graftbridge.ParquetShardIO.footerAgg(
+      new Path(p.file), conf.value, fileCols.result()) match {
+      case None => null
+      case Some((rows, stats)) =>
+        def typed(v: Any, dt: DataType): Any = v match {
+          case null => null
+          case n: Number => dt match {
+            case LongType | TimestampType | TimestampNTZType =>
+              java.lang.Long.valueOf(n.longValue)
+            case IntegerType | DateType => java.lang.Integer.valueOf(n.intValue)
+            case DoubleType => java.lang.Double.valueOf(n.doubleValue)
+            case _ => return null
+          }
+          case other => other
+        }
+        specs.map {
+          case ("count", _) => rows
+          case (op, c) => resolve(c) match {
+            case Left(const) => if (rows > 0) const else null
+            case Right((phys, dt)) =>
+              val (mn, mx) = stats(phys)
+              typed(if (op == "min") mn else mx, dt)
+          }
+        }
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     val cols = specs.collect { case (op, c) if op != "count" => c }.distinct
@@ -1615,7 +1688,7 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
     val (eqMap, eqC) = if (p.eqExempt) (Map.empty[String, Long], Nil) else eqResolved
     new JsonlAggReader(specs, required,
       if (p.agg != null) p.agg
-      else null,
+      else footerPartial(p),
       if (GraftParquetShard.isParquetName(p.file))
         new ParquetShardReader(p.file, required, pushed, p.partValues,
           dataSchema, conf, deletesPath = p.deletes,

@@ -67,6 +67,12 @@ object ParquetShardIO {
       .withConf(conf)
       .withCompressionCodec(
         CompressionCodecName.fromConf(codec.toUpperCase(java.util.Locale.ROOT)))
+      // row-group grain: parquet's default 128 MB; tunable per session
+      // (`graft.parquet.rowgroup.bytes` rides the session->Hadoop conf
+      // bridge) — smaller groups widen row-group pruning at the cost
+      // of encoding efficiency
+      .withRowGroupSize(conf.getLong("graft.parquet.rowgroup.bytes",
+        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong))
       .build()
   }
 
@@ -74,8 +80,18 @@ object ParquetShardIO {
     * `readSchema` (names must be storage keys as present in the file —
     * a requested column ABSENT from the file reads as null, Spark's
     * own schema-evolution posture, which also covers widened numeric
-    * types via the converter's type-promotion support). */
-  def openReader(file: Path, readSchema: StructType, base: Configuration)
+    * types via the converter's type-promotion support).
+    *
+    * `rowGroupFilter`, when set, prunes ROW GROUPS (and dictionary
+    * pages) by footer statistics before any page decodes — record-
+    * level assembly filtering stays OFF so surviving groups emit every
+    * row. CALLER CONTRACT: skipping whole groups SHIFTS row ordinals,
+    * so this must stay None whenever `_pos` semantics are live
+    * (position-delete sidecars, snapshot-pinned ordinals, CDC keep
+    * sets, or a `_pos` projection). */
+  def openReader(file: Path, readSchema: StructType, base: Configuration,
+                 rowGroupFilter: Option[org.apache.parquet.filter2.predicate
+                   .FilterPredicate] = None)
       : ParquetRecordReader[InternalRow] = {
     import org.apache.spark.sql.internal.SQLConf
     val conf = new Configuration(base)
@@ -94,6 +110,15 @@ object ParquetShardIO {
     conf.set(SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.key,
       "false")
     conf.set(SQLConf.VARIANT_ALLOW_READING_SHREDDED.key, "false")
+    rowGroupFilter.foreach { p =>
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p)
+      // statistics + dictionary row-group pruning only: record-level
+      // assembly filtering would change which rows a surviving group
+      // emits (the reader's own evaluation covers residuals exactly)
+      conf.setBoolean(
+        org.apache.parquet.hadoop.ParquetInputFormat.RECORD_FILTERING_ENABLED,
+        false)
+    }
     val support = new ParquetReadSupport(
       None, // convertTz: files carry UTC-normalized annotated micros
       false,
@@ -128,6 +153,87 @@ object ParquetShardIO {
   def footerRowCount(file: Path, conf: Configuration): Long = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try r.getRecordCount finally r.close()
+  }
+
+  /** Footer-statistics aggregate: (row count, per requested column its
+    * folded (min, max) across row groups) — None when any present
+    * column lacks statistics in some non-empty group (stats disabled /
+    * truncated-binary dropped), in which case the caller drains rows.
+    * NUMERIC/temporal primitives only by the caller's contract: binary
+    * (string) column-chunk statistics may be silently dropped or
+    * truncated by writers, so they are never served as answers. A
+    * column absent from the file folds to (null, null) — it reads as
+    * null. Raw JVM numbers come back; the caller re-types to the
+    * declared Catalyst type (a widened INT column yields Integers). */
+  def footerAgg(file: Path, conf: Configuration, cols: Seq[String])
+      : Option[(Long, Map[String, (Any, Any)])] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val rows = r.getRecordCount
+      val blocks = r.getFooter.getBlocks
+      val out = Map.newBuilder[String, (Any, Any)]
+      val it = cols.iterator
+      while (it.hasNext) {
+        val c = it.next()
+        var mn: Any = null
+        var mx: Any = null
+        var present = false
+        var b = 0
+        while (b < blocks.size()) {
+          val block = blocks.get(b)
+          if (block.getRowCount > 0) {
+            val chunks = block.getColumns
+            var i = 0
+            var found: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData =
+              null
+            while (i < chunks.size() && found == null) {
+              val ch = chunks.get(i)
+              if (ch.getPath.size() == 1 && ch.getPath.toDotString == c)
+                found = ch
+              i += 1
+            }
+            if (found != null) {
+              present = true
+              val st = found.getStatistics
+              if (st == null || st.isEmpty) return None // no stats: drain
+              if (st.hasNonNullValue) {
+                val (bm, bx) = (st.genericGetMin, st.genericGetMax)
+                def lt(a: Any, b0: Any): Option[Boolean] = (a, b0) match {
+                  case (x: Number, y: Number) =>
+                    Some(if (x.isInstanceOf[java.lang.Double] ||
+                        x.isInstanceOf[java.lang.Float] ||
+                        y.isInstanceOf[java.lang.Double] ||
+                        y.isInstanceOf[java.lang.Float])
+                      x.doubleValue < y.doubleValue
+                    else x.longValue < y.longValue)
+                  case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+                    Some(!x.booleanValue && y.booleanValue)
+                  case _ => None // unexpected stats type: drain
+                }
+                if (mn == null) mn = bm
+                else lt(bm, mn) match {
+                  case Some(true) => mn = bm
+                  case Some(false) => ()
+                  case None => return None
+                }
+                if (mx == null) mx = bx
+                else lt(mx, bx) match {
+                  case Some(true) => mx = bx
+                  case Some(false) => ()
+                  case None => return None
+                }
+              }
+            }
+          }
+          b += 1
+        }
+        // an absent column reads as null — (null, null) is its honest
+        // min/max; a present one answers from its folded stats
+        val _ = present
+        out += c -> ((mn, mx))
+      }
+      Some((rows, out.result()))
+    } finally r.close()
   }
 
   /** Copy a value out of a converter-owned row: parquet's record

@@ -207,6 +207,66 @@ class GraftParquetFormatSpec extends AnyFunSuite {
     assert(planned < total, s"pruning on converted layout: $planned/$total")
   }
 
+  test("row-group pruning: filtered scans stay exact on multi-group " +
+      "shards; _pos projection disarms it (ordinals never shift)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.rg")
+    spark.conf.set("graft.parquet.rowgroup.bytes", "4096")
+    try {
+      sql("""CREATE TABLE pq.rg.t (k BIGINT, s STRING)
+            |TBLPROPERTIES ('graft.format'='parquet')""".stripMargin)
+      sql("""INSERT INTO pq.rg.t SELECT /*+ REPARTITION(1) */
+            |  id AS k, concat('v', CAST(id AS STRING)) AS s
+            |FROM range(0, 20000)""".stripMargin)
+    } finally spark.conf.unset("graft.parquet.rowgroup.bytes")
+    // pushed filter prunes row groups inside the single shard; results
+    // must be exactly the matching rows
+    val hi = sql("SELECT k, s FROM pq.rg.t WHERE k > 19000")
+    assert(hi.count() == 999L)
+    assert(hi.collect().forall(_.getLong(0) > 19000L))
+    assert(sql("SELECT k FROM pq.rg.t WHERE s = 'v7'").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+    // _pos must reflect TRUE file ordinals even under a selective
+    // filter — the guard disarms group skipping when _pos is projected
+    val withPos = sql("SELECT k, _pos FROM pq.rg.t WHERE k > 19500")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(withPos.length == 499 && withPos.forall { case (k, pos) => pos == k },
+      s"_pos must equal the write ordinal: ${withPos.take(3).mkString(",")}")
+    // and MOR deletes (ordinal-keyed) stay exact on the multi-group shard
+    sql("ALTER TABLE pq.rg.t SET TBLPROPERTIES " +
+      "('graft.row-level.mode'='merge-on-read')")
+    sql("DELETE FROM pq.rg.t WHERE k = 19999")
+    assert(sql("SELECT count(*) FROM pq.rg.t WHERE k > 19000")
+      .head.getLong(0) == 998L)
+  }
+
+  test("footer-statistics aggregates: MIN/MAX/COUNT on an UNINDEXED " +
+      "parquet table answer without decoding a page") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.fa")
+    sql("""CREATE TABLE pq.fa.t (k BIGINT, d DOUBLE, s STRING)
+          |TBLPROPERTIES ('graft.format'='parquet')""".stripMargin)
+    sql("""INSERT INTO pq.fa.t SELECT /*+ REPARTITION(4) */
+          |  id AS k, id * 0.5 AS d, CAST(id AS STRING) AS s
+          |FROM range(0, 10000)""".stripMargin)
+    val df = sql("SELECT MIN(k) AS mn, MAX(d) AS mx, COUNT(*) AS n " +
+      "FROM pq.fa.t")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), plan)
+    // the witness: corrupt every shard's DATA pages (keep the footer —
+    // it lives at the file tail) — the aggregate must still answer,
+    // which is only possible footer-only
+    val dir = new java.io.File(s"$root/fa/t")
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      raf.seek(4) // past the PAR1 header magic
+      raf.write(Array.fill[Byte](64)(0x5a))
+      raf.close()
+    }
+    val row = df.head()
+    assert((row.getLong(0), row.getDouble(1), row.getLong(2)) ==
+      (0L, 4999.5, 10000L),
+      s"footer-only aggregate answered wrong: $row")
+  }
+
   test("streaming sink: parquet epochs publish exactly-once") {
     sql("CREATE NAMESPACE IF NOT EXISTS pq.st")
     sql("""CREATE TABLE pq.st.t (k BIGINT, v BIGINT)

@@ -117,4 +117,51 @@ class ParquetShardIOSpec extends AnyFunSuite {
     assert(r4.nextKeyValue())
     r4.close()
   }
+
+  test("row-group pruning skips groups by footer stats; record-level " +
+      "assembly stays off; footer aggregates fold across groups") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-rg").toString
+    val file = new Path(dir, "rg.parquet")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    val tiny = new Configuration(conf)
+    tiny.setLong("graft.parquet.rowgroup.bytes", 4096L)
+    val w = ParquetShardIO.createWriter(file, schema, tiny, "zstd")
+    (0L until 20000L).foreach(k => w.write(new GenericInternalRow(
+      Array[Any](k, UTF8String.fromString(s"v$k")))))
+    w.close()
+    // unfiltered: every row
+    val all = ParquetShardIO.openReader(file, schema, conf)
+    var n = 0L
+    while (all.nextKeyValue()) n += 1
+    all.close()
+    assert(n == 20000L)
+    // filtered: k > 19000 admits only the tail row group(s) — the
+    // reader emits FEWER than all rows (groups skipped whole) but AT
+    // LEAST every matching row (record-level filtering off: surviving
+    // groups emit everything, residual evaluation is the caller's)
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val pred = FilterApi.gt(FilterApi.longColumn("k"),
+      java.lang.Long.valueOf(19000L))
+    val pruned = ParquetShardIO.openReader(file, schema, conf, Some(pred))
+    var np = 0L
+    var matching = 0L
+    while (pruned.nextKeyValue()) {
+      np += 1
+      if (pruned.getCurrentValue.getLong(0) > 19000L) matching += 1
+    }
+    pruned.close()
+    assert(matching == 999L, s"pruning must never lose a matching row: $matching")
+    assert(np < 20000L,
+      s"multi-group file must skip statistics-excluded groups: $np of 20000")
+    assert(np >= 999L)
+    // footer aggregate folds min/max across ALL row groups
+    val agg = ParquetShardIO.footerAgg(file, conf, Seq("k"))
+    assert(agg.contains((20000L,
+      Map("k" -> ((java.lang.Long.valueOf(0L): Any,
+        java.lang.Long.valueOf(19999L): Any))))), agg.toString)
+    // absent column folds to (null, null); row count still exact
+    val agg2 = ParquetShardIO.footerAgg(file, conf, Seq("nope"))
+    assert(agg2.contains((20000L, Map("nope" -> ((null, null))))))
+  }
 }
