@@ -41,6 +41,89 @@ object GraftParquetShard {
     })
 }
 
+/** VECTORIZED parquet shard scan: [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
+  * straight from Spark's own vectorized column readers — the default
+  * for parquet partitions where EVERY row is emitted verbatim (no
+  * pushed filters, no delete/keep ordinals, no reachable equality
+  * state, no metadata columns), which is exactly the full-scan /
+  * aggregate shape that dominates at 100 TB. Partition-directory
+  * values ride as constant vectors; the batch view is permuted once
+  * to the projection's column order (the underlying reader appends
+  * partition columns last). Anything conditional takes
+  * [[ParquetShardReader]]'s row path instead. */
+final class ParquetVectorizedShardReader(file: String, required: StructType,
+                                         partValues: Map[String, Option[String]],
+                                         dataSchema: StructType,
+                                         conf: JsonlHadoopConf)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val fileFields: Seq[StructField] =
+    required.fields.toSeq.filterNot(f => partValues.contains(f.name))
+  private val partFields: Seq[StructField] =
+    required.fields.toSeq.filter(f => partValues.contains(f.name))
+
+  private lazy val footerTypes: Map[String, String] =
+    ParquetShardIO.footerFieldTypes(new Path(file), conf.value)
+  private val needFooter: Boolean =
+    fileFields.exists(f => JsonlTable.aliasesOf(f).nonEmpty)
+  private val readSchema: StructType = StructType(fileFields.map { f =>
+    val phys = JsonlTable.physicalKeyOf(f)
+    val name =
+      if (!needFooter || footerTypes.contains(phys)) phys
+      else JsonlTable.aliasesOf(f).find(footerTypes.contains).getOrElse(phys)
+    StructField(name, f.dataType, nullable = true)
+  })
+
+  private val partRow: InternalRow = {
+    val vals = partFields.map { f =>
+      partValues(f.name) match {
+        case None => null
+        case Some(s) => try f.dataType match {
+          case LongType => java.lang.Long.valueOf(s.toLong)
+          case IntegerType => java.lang.Integer.valueOf(s.toInt)
+          case DoubleType => java.lang.Double.valueOf(s.toDouble)
+          case BooleanType => java.lang.Boolean.valueOf(s.toBoolean)
+          case _ => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        } catch { case _: Exception => null }
+      }
+    }
+    new GenericInternalRow(vals.toArray[Any])
+  }
+
+  private val reader = ParquetShardIO.openVectorizedReader(
+    new Path(file), readSchema, conf.value,
+    StructType(partFields), partRow, 4096)
+
+  // the underlying batch lays out file columns then partition columns;
+  // permute ONCE into the projection's order (vectors are stable
+  // across batches — the reader reuses them)
+  private var view: ColumnarBatch = _
+  private def buildView(b: ColumnarBatch): ColumnarBatch = {
+    val byName = fileFields.map(_.name).zipWithIndex.toMap
+    val partByName = partFields.map(_.name).zipWithIndex.toMap
+    val cols: Array[ColumnVector] = required.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(i) => b.column(i)
+        case None => b.column(fileFields.length + partByName(f.name))
+      }
+    }
+    new ColumnarBatch(cols)
+  }
+
+  override def next(): Boolean = {
+    val has = reader.nextKeyValue()
+    if (has) {
+      val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      if (view == null) view = buildView(b)
+      view.setNumRows(b.numRows())
+    }
+    has
+  }
+  override def get(): ColumnarBatch = view
+  override def close(): Unit = reader.close()
+}
+
 /** One parquet shard as a [[PartitionReader]] with the SAME emission
   * semantics as [[JsonlPartitionReader]] — partition-directory value
   * injection, `_shard`/`_pos`/`_change` metadata columns, pushed-filter
@@ -117,8 +200,9 @@ final class ParquetShardReader(file: String, required: StructType,
   // or when row-group pruning wants column presence confirmed)
   private val fields: Seq[StructField] =
     wantedNames.map(n => dataSchema(dataSchema.fieldIndex(n)))
-  private lazy val footerNames: Set[String] =
-    ParquetShardIO.footerFieldNames(new Path(file), conf.value)
+  private lazy val footerTypes: Map[String, String] =
+    ParquetShardIO.footerFieldTypes(new Path(file), conf.value)
+  private lazy val footerNames: Set[String] = footerTypes.keySet
   private val needFooter: Boolean =
     fields.exists(f => JsonlTable.aliasesOf(f).nonEmpty)
   private def resolvedName(f: StructField): String = {
@@ -156,7 +240,19 @@ final class ParquetShardReader(file: String, required: StructType,
         if (partValues.contains(a)) return None // injected, not in file
         val fl = dataSchema.fields.find(_.name == a).getOrElse(return None)
         val name = resolvedName(fl)
-        if (!footerNames.contains(name)) return None
+        // the predicate is typed for the DECLARED Catalyst type; a
+        // shard written before a widening ALTER stores a narrower
+        // primitive and parquet's validation would reject the filter —
+        // translate only on an exact primitive match
+        val want = fl.dataType match {
+          case LongType => "INT64"
+          case IntegerType => "INT32"
+          case DoubleType => "DOUBLE"
+          case StringType => "BINARY"
+          case BooleanType => "BOOLEAN"
+          case _ => return None
+        }
+        if (!footerTypes.get(name).contains(want)) return None
         def whenNonNull[T](v: Any)(mk: Any => T): Option[T] =
           if (v == null) None else Some(mk(v)) // SQL: null never matches
         fl.dataType match {
@@ -330,7 +426,11 @@ final class ParquetShardReader(file: String, required: StructType,
         numCmp(i.intValue.toDouble, isIntegral = true, i.longValue, n)
       case (d: java.lang.Double, n: Number) =>
         numCmp(d.doubleValue, isIntegral = false, 0L, n)
-      case (s: UTF8String, t: String) => Some(s.toString.compareTo(t))
+      // UTF8 BYTE order — Spark's own string comparison (UTF8String)
+      // and DuckDB's agree on it; java.lang.String.compareTo is UTF-16
+      // code-unit order, which diverges for supplementary characters
+      case (s: UTF8String, t: String) =>
+        Some(s.compareTo(UTF8String.fromString(t)))
       case (b: java.lang.Boolean, t: java.lang.Boolean) =>
         Some(java.lang.Boolean.compare(b, t))
       case _ => None

@@ -1509,7 +1509,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
         val p = new Path(path)
         JsonlDeletes.index(p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
       }
-    shards
+    val parts = shards
       .map { case (f, _, pv) =>
         JsonlInputPartition(f, pv,
           if (spjActive) keyRowOf(pv) else null,
@@ -1519,7 +1519,32 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
           eqExempt = eqExemptOf(f))
           : InputPartition }
       .toArray
+    // TRUE vectorized parquet decode is a WHOLE-SCAN property (Spark
+    // refuses mixed row/columnar partition sets): armed when every
+    // planned partition is a parquet shard emitting all rows verbatim
+    // — no pushed filters (they claim full evaluation, which batches
+    // can't provide), no LIMIT, no delete/keep ordinals, no reachable
+    // equality state, no metadata columns. The full-scan/aggregate
+    // shape that dominates at 100 TB then decodes column-at-a-time
+    // into ColumnarBatches feeding the vectorized ColumnarToRow,
+    // instead of row-materializing every record at the scan edge.
+    allVectorizable = parts.nonEmpty && pushed.isEmpty && limit < 0 &&
+      !required.fields.exists(f =>
+        f.name == "_pos" || f.name == "_shard" || f.name == "_change") &&
+      parts.forall { ip =>
+        val p = ip.asInstanceOf[JsonlInputPartition]
+        GraftParquetShard.isParquetName(p.file) && p.deletes == null &&
+          p.deletePositions == null && p.keepPositions == null &&
+          p.changeKind == null && (p.eqExempt || eqState.isEmpty)
+      }
+    parts
   }
+
+  // set by planInputPartitions (always called before the reader
+  // factory is consulted for columnar support), read at factory
+  // construction; stays false until a plan proves every partition
+  // qualifies
+  @volatile private var allVectorizable: Boolean = false
 
   /** In aggregate-pushdown mode, the shard's partial answer straight
     * from its skip-index entry — ONLY when that is provably the same
@@ -1565,7 +1590,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     else
       new JsonlReaderFactory(required, pushed, dataSchema,
         JsonlHadoopConf.fromSession(), columnar, limit,
-        eqBroadcast, eqState.cols, eqState.files)
+        eqBroadcast, eqState.cols, eqState.files,
+        vectorized = allVectorizable)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -3332,7 +3358,12 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
                                // file paths instead of a map — each
                                // executor builds the shared index once
                                // ([[JsonlEqDeletes.ExecutorIndexCache]])
-                               eqFiles: Seq[String] = Nil)
+                               eqFiles: Seq[String] = Nil,
+                               // TRUE vectorized parquet decode for the
+                               // whole scan — set only when EVERY
+                               // planned partition emits all rows
+                               // verbatim (see JsonlScan.planInputPartitions)
+                               vectorized: Boolean = false)
     extends PartitionReaderFactory {
   private def eqResolved: (Map[String, Long], Seq[String]) =
     if (eqFiles.nonEmpty) {
@@ -3342,10 +3373,13 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
     } else
       (if (eqDeletes == null) Map.empty else eqDeletes.value, eqCols)
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    // nested values have no vectorized copy here — their scans take
-    // the (composed, identical-semantics) row path
-    columnar && required.fields.forall(f =>
-      JsonlJson.columnarCompatible(f.dataType))
+    // SCAN-LEVEL decision (Spark refuses mixed row/columnar partition
+    // sets): `vectorized` was computed by the scan over the WHOLE
+    // planned partition set. The opt-in row-wrap path stays available
+    // for JSONL scans; nested values have no vectorized copy there —
+    // those take the (composed, identical-semantics) row path.
+    vectorized || (columnar && required.fields.forall(f =>
+      JsonlJson.columnarCompatible(f.dataType)))
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlInputPartition]
     val (eqMap, eqC) = if (p.eqExempt) (Map.empty[String, Long], Nil) else eqResolved
@@ -3361,8 +3395,13 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
         p.changeKind, p.keepPositions, eqMap, eqC)
   }
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new JsonlColumnarReader(createReader(partition), required)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[JsonlInputPartition]
+    if (vectorized)
+      new ParquetVectorizedShardReader(p.file, required, p.partValues,
+        dataSchema, conf)
+    else new JsonlColumnarReader(createReader(partition), required)
+  }
 }
 
 /** Streams one shard line by line: parse (Jackson), evaluate pushed
@@ -3579,7 +3618,13 @@ final class JsonlPartitionReader(file: String, required: StructType,
       value match {
         case s: String =>
           if (v.isTextual && dt.forall(_ == StringType))
-            Some(v.asText.compareTo(s))
+            // UTF8 BYTE order, matching Spark's UTF8String comparison
+            // (and DuckDB's): String.compareTo is UTF-16 code-unit
+            // order, which diverges for supplementary characters —
+            // and a pushed filter claims FULL evaluation, so the
+            // reader's order must equal the engine's
+            Some(UTF8String.fromString(v.asText)
+              .compareTo(UTF8String.fromString(s)))
           else None
         case b: java.lang.Boolean =>
           if (v.isBoolean && dt.forall(_ == BooleanType))

@@ -89,14 +89,16 @@ object ParquetShardIO {
     * so this must stay None whenever `_pos` semantics are live
     * (position-delete sidecars, snapshot-pinned ordinals, CDC keep
     * sets, or a `_pos` projection). */
-  def openReader(file: Path, readSchema: StructType, base: Configuration,
-                 rowGroupFilter: Option[org.apache.parquet.filter2.predicate
-                   .FilterPredicate] = None)
-      : ParquetRecordReader[InternalRow] = {
+  private def readConf(base: Configuration, readSchema: StructType,
+                       rowGroupFilter: Option[org.apache.parquet.filter2
+                         .predicate.FilterPredicate]): Configuration = {
     import org.apache.spark.sql.internal.SQLConf
     val conf = new Configuration(base)
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
       readSchema.json)
+    // the vectorized reader resolves its ReadSupport by class name
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
     // every key ParquetToSparkSchemaConverter(conf) reads, pinned —
     // the shard reader runs on bare executors with no SQLConf to
     // supply defaults, and several entries are read unguarded
@@ -119,31 +121,86 @@ object ParquetShardIO {
         org.apache.parquet.hadoop.ParquetInputFormat.RECORD_FILTERING_ENABLED,
         false)
     }
+    conf
+  }
+
+  private def splitAndContext(file: Path, conf: Configuration)
+      : (org.apache.hadoop.mapreduce.lib.input.FileSplit,
+         org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl) = {
+    val fs = file.getFileSystem(conf)
+    (new org.apache.hadoop.mapreduce.lib.input.FileSplit(
+      file, 0, fs.getFileStatus(file).getLen, Array.empty[String]),
+      new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+  }
+
+  def openReader(file: Path, readSchema: StructType, base: Configuration,
+                 rowGroupFilter: Option[org.apache.parquet.filter2.predicate
+                   .FilterPredicate] = None)
+      : ParquetRecordReader[InternalRow] = {
+    val conf = readConf(base, readSchema, rowGroupFilter)
     val support = new ParquetReadSupport(
       None, // convertTz: files carry UTC-normalized annotated micros
       false,
       RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
       RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
     val reader = new ParquetRecordReader[InternalRow](support)
-    val fs = file.getFileSystem(conf)
-    val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
-      file, 0, fs.getFileStatus(file).getLen, Array.empty[String])
-    val context = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val (split, context) = splitAndContext(file, conf)
     reader.initialize(split, context)
     reader
   }
 
-  /** Top-level field names present in a shard's footer — the
-    * rename-alias resolution probe (one footer read; only paid when
-    * the schema carries aliases). */
-  def footerFieldNames(file: Path, conf: Configuration): Set[String] = {
+  /** VECTORIZED whole-file reader: Spark's own
+    * `VectorizedParquetRecordReader` emitting `ColumnarBatch`es —
+    * column-at-a-time page decode, the shape whole-stage codegen's
+    * vectorized ColumnarToRow consumes. Partition-directory values
+    * ride as CONSTANT vectors appended AFTER the file columns
+    * (`initBatch`); the caller permutes to its projection order.
+    * Used only on shards where every row is emitted verbatim (no
+    * pushed filters, no delete/keep ordinals, no reachable equality
+    * state, no metadata columns). */
+  def openVectorizedReader(file: Path, readSchema: StructType,
+                           base: Configuration,
+                           partSchema: StructType,
+                           partValues: InternalRow,
+                           capacity: Int)
+      : org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader = {
+    val conf = readConf(base, readSchema, None)
+    val vr = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, capacity)
+    // SpecificParquetRecordReaderBase casts to the OLD-api split
+    val fs = file.getFileSystem(conf)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      file, 0, fs.getFileStatus(file).getLen, Array.empty[String])
+    val context = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    vr.initialize(split, context)
+    vr.initBatch(partSchema, partValues)
+    vr.enableReturningBatches()
+    vr
+  }
+
+  /** Top-level field name → parquet PRIMITIVE type name present in a
+    * shard's footer (non-primitive fields map to "GROUP") — the
+    * rename-alias resolution probe AND the row-group-predicate type
+    * gate (a predicate typed for the DECLARED Catalyst type would fail
+    * parquet's validation on a shard written before a widening ALTER,
+    * e.g. longColumn over an INT32 chunk). One footer read. */
+  def footerFieldTypes(file: Path, conf: Configuration)
+      : Map[String, String] = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val fields = r.getFileMetaData.getSchema.getFields
-      val out = Set.newBuilder[String]
+      val out = Map.newBuilder[String, String]
       var i = 0
-      while (i < fields.size()) { out += fields.get(i).getName; i += 1 }
+      while (i < fields.size()) {
+        val f = fields.get(i)
+        out += f.getName -> (if (f.isPrimitive)
+          f.asPrimitiveType().getPrimitiveTypeName.name else "GROUP")
+        i += 1
+      }
       out.result()
     } finally r.close()
   }

@@ -98,7 +98,9 @@ class ParquetShardIOSpec extends AnyFunSuite {
 
     // footer probes
     assert(ParquetShardIO.footerRowCount(file, conf) == 101L)
-    assert(ParquetShardIO.footerFieldNames(file, conf).contains("dec"))
+    assert(ParquetShardIO.footerFieldTypes(file, conf).contains("dec"))
+    assert(ParquetShardIO.footerFieldTypes(file, conf).get("l")
+      .contains("INT64"))
 
     // type widening: a file written with INT reads through BIGINT
     // (the catalog's widening ALTER posture must hold for parquet)
