@@ -304,7 +304,8 @@ class JsonlTable(tableSchema: StructType, path: String,
       // style IN filter from a broadcast dim prunes SHARDS through the
       // skip index (min/max/bloom), not just partition dirs
       runtimeSkipCols = (JsonlSkipIndex.skipColsOf(props) ++
-        JsonlTable.writeOrderOf(props)).distinct)
+        JsonlTable.writeOrderOf(props)).distinct,
+      format = JsonlTable.formatOf(props))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -755,7 +756,8 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
                              columnar: Boolean = false,
                              spj: Boolean = false,
                              snapshot: JsonlSnapshots.Manifest = null,
-                             runtimeSkipCols: Seq[String] = Nil)
+                             runtimeSkipCols: Seq[String] = Nil,
+                             format: String = "jsonl")
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -856,11 +858,33 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
       }
     }
 
+  /** Row-filter pushdown — FORMAT-AWARE since round 16. JSONL-format
+    * tables claim the supported shapes (the line reader evaluates them
+    * exactly on the parsed tree, pre-materialization — the cheapest
+    * place for a row-wise format). PARQUET-format tables DECLINE every
+    * row filter: a claimed filter forces the scan onto the
+    * row-materializing reader (ColumnarBatches can't honor a claim of
+    * full evaluation), forfeiting the measured ~2-4× vectorized-decode
+    * win on exactly the `WHERE + aggregate` shape that dominates —
+    * Spark's own parquet source makes the same choice (FilterExec above
+    * vectorized batches). The declined shapes still do every
+    * pruning-grain job via the prune-only channel: partition-dir
+    * admission, skip-index shard admission (min/max/bloom at file-open
+    * grain), and parquet row-group skipping inside surviving shards
+    * ([[ParquetRowGroupFilter]]). A converted-mid-life table's leftover
+    * jsonl shards emit unfiltered rows for FilterExec — correct, and
+    * transitional until `CALL compact` finishes the conversion. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, unsup) = filters.partition(supported)
-    pushed = sup
-    pruneOnly = unsup.filter(pruneOnlySupported)
-    unsup
+    if (format == "parquet") {
+      pushed = Array.empty
+      pruneOnly = filters.filter(f => supported(f) || pruneOnlySupported(f))
+      filters
+    } else {
+      val (sup, unsup) = filters.partition(supported)
+      pushed = sup
+      pruneOnly = unsup.filter(pruneOnlySupported)
+      unsup
+    }
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -1375,8 +1399,12 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
             p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
         }
         val entries = shards.map { case (f, _, _) => (f, skipIndex.get(f)) }
+        // pending equality deletes hide rows the entries still count —
+        // exact only when no pending key can reach any planned shard
+        // (the same skip-range exemption the reader uses)
         if (entries.forall { case (f, e) =>
-              e.isDefined && !sidecars.contains(f) })
+              e.isDefined && !sidecars.contains(f) &&
+                (eqState.isEmpty || eqExemptOf(f)) })
           java.util.OptionalLong.of(entries.map(_._2.get.nRows).sum)
         else java.util.OptionalLong.empty()
       } else java.util.OptionalLong.empty()
@@ -1436,7 +1464,11 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     if (c != null && (c._1 eq rf)) return c._2
     val r = layout.filter { case (f, _, pv) =>
       pv.forall { case (k, v) =>
-        (pushed ++ rf)
+        // pruneOnly participates in DIR pruning too: declined filters
+        // (parquet-format tables) must still skip partition dirs at
+        // planning time — `admits` is conservative for shapes/types it
+        // can't decide, so the extra filters only ever narrow safely
+        (pushed ++ pruneOnly ++ rf)
           .forall(JsonlPartitionPruning.admits(_, k, v, dataSchema))
       } && rf
         .filter(_.references.sameElements(Array("_shard")))
@@ -1521,20 +1553,23 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
       .toArray
     // TRUE vectorized parquet decode is a WHOLE-SCAN property (Spark
     // refuses mixed row/columnar partition sets): armed when every
-    // planned partition is a parquet shard emitting all rows verbatim
-    // — no pushed filters (they claim full evaluation, which batches
-    // can't provide), no LIMIT, no delete/keep ordinals, no reachable
-    // equality state, no metadata columns. The full-scan/aggregate
-    // shape that dominates at 100 TB then decodes column-at-a-time
-    // into ColumnarBatches feeding the vectorized ColumnarToRow,
-    // instead of row-materializing every record at the scan edge.
+    // planned partition is a parquet shard emitting rows verbatim or
+    // under a position mask — no CLAIMED filters (parquet-format
+    // tables decline them, so filtered scans stay armed and FilterExec
+    // runs above the batches), no LIMIT, no reachable equality state,
+    // no metadata columns. Position-delete sidecars / pinned ordinals /
+    // keep sets no longer disarm: they apply as per-batch selection
+    // masks inside [[ParquetVectorizedShardReader]], so mutating
+    // corpora keep the columnar decode. The full-scan, aggregate, and
+    // WHERE+aggregate shapes that dominate at 100 TB all decode
+    // column-at-a-time into ColumnarBatches feeding the vectorized
+    // ColumnarToRow, instead of row-materializing at the scan edge.
     allVectorizable = parts.nonEmpty && pushed.isEmpty && limit < 0 &&
       !required.fields.exists(f =>
         f.name == "_pos" || f.name == "_shard" || f.name == "_change") &&
       parts.forall { ip =>
         val p = ip.asInstanceOf[JsonlInputPartition]
-        GraftParquetShard.isParquetName(p.file) && p.deletes == null &&
-          p.deletePositions == null && p.keepPositions == null &&
+        GraftParquetShard.isParquetName(p.file) &&
           p.changeKind == null && (p.eqExempt || eqState.isEmpty)
       }
     parts
@@ -1591,7 +1626,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
       new JsonlReaderFactory(required, pushed, dataSchema,
         JsonlHadoopConf.fromSession(), columnar, limit,
         eqBroadcast, eqState.cols, eqState.files,
-        vectorized = allVectorizable)
+        vectorized = allVectorizable, pruneFilters = pruneOnly)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -3362,8 +3397,13 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
                                // TRUE vectorized parquet decode for the
                                // whole scan — set only when EVERY
                                // planned partition emits all rows
-                               // verbatim (see JsonlScan.planInputPartitions)
-                               vectorized: Boolean = false)
+                               // verbatim-or-masked (see
+                               // JsonlScan.planInputPartitions)
+                               vectorized: Boolean = false,
+                               // DECLINED filters (parquet-format
+                               // tables): row-group pruning only —
+                               // FilterExec re-checks above the scan
+                               pruneFilters: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
   private def eqResolved: (Map[String, Long], Seq[String]) =
     if (eqFiles.nonEmpty) {
@@ -3388,7 +3428,8 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
     if (GraftParquetShard.isParquetName(p.file))
       new ParquetShardReader(p.file, required, pushed, p.partValues,
         dataSchema, conf, limit, p.deletes, p.deletePositions,
-        p.changeKind, p.keepPositions, eqMap, eqC)
+        p.changeKind, p.keepPositions, eqMap, eqC,
+        prune = pruneFilters)
     else
       new JsonlPartitionReader(p.file, required, pushed, p.partValues,
         dataSchema, conf, limit, p.deletes, p.deletePositions,
@@ -3399,7 +3440,8 @@ final class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
     val p = partition.asInstanceOf[JsonlInputPartition]
     if (vectorized)
       new ParquetVectorizedShardReader(p.file, required, p.partValues,
-        dataSchema, conf)
+        dataSchema, conf, prune = pruneFilters, deletesPath = p.deletes,
+        deletePositions = p.deletePositions, keepPositions = p.keepPositions)
     else new JsonlColumnarReader(createReader(partition), required)
   }
 }

@@ -156,17 +156,21 @@ object ParquetShardIO {
     * vectorized ColumnarToRow consumes. Partition-directory values
     * ride as CONSTANT vectors appended AFTER the file columns
     * (`initBatch`); the caller permutes to its projection order.
-    * Used only on shards where every row is emitted verbatim (no
-    * pushed filters, no delete/keep ordinals, no reachable equality
-    * state, no metadata columns). */
+    * Used only on shards where rows are emitted verbatim or under a
+    * caller-applied selection mask (no CLAIMED row filters, no
+    * reachable equality state, no metadata columns — declined filters
+    * ride as `rowGroupFilter`, statistics-only group skipping, and
+    * FilterExec re-checks above the batches). */
   def openVectorizedReader(file: Path, readSchema: StructType,
                            base: Configuration,
                            partSchema: StructType,
                            partValues: InternalRow,
-                           capacity: Int)
+                           capacity: Int,
+                           rowGroupFilter: Option[org.apache.parquet.filter2
+                             .predicate.FilterPredicate] = None)
       : org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader = {
-    val conf = readConf(base, readSchema, None)
+    val conf = readConf(base, readSchema, rowGroupFilter)
     val vr = new org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader(
         null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, capacity)
