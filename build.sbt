@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json-parses a ~2000-char TAIL of `sbt "runMain ..."`
+// stdout as ONE document. Two things defeat that with sbt defaults:
+// the logger's `[info] ` prefix on every forked-process line, and the
+// trailing `[success] Total time: ...` line. StdoutOutput passes the
+// forked JVM's stdout through VERBATIM (bare JSON at column 0);
+// showSuccess drops the trailer — so the bench summary line is the
+// LAST bare line on stdout, exactly what the parser needs.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

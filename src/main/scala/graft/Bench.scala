@@ -114,7 +114,22 @@ object Bench {
     val slowest = timings.collect { case (k, Some((med, _, _))) => (k, med) }
       .toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => q(k) + ":" + num(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)},"n_queries":${timings.count(_._2.isDefined)},"note":"slowest 15 shown; full per-query data in BENCH_FULL.json"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)},"n_queries":${timings.count(_._2.isDefined)},"note":"slowest 15 shown; full per-query data in BENCH_FULL.json"}"""
+    // 2500 leading newlines push every earlier stdout line (sbt's
+    // project-load banner rides stdout even with StdoutOutput) out of
+    // the driver's 2000-char tail window, so the window holds ONLY
+    // whitespace + this line — which strict json.loads accepts
+    // (leading whitespace is skipped) and line-wise parsers accept too
+    println("\n" * 2500 + summary)
+    // belt-and-braces for the driver parse (rounds 13-15 recorded
+    // `parsed: null`): the SAME summary goes to a file too, and
+    // build.sbt routes forked stdout through VERBATIM (StdoutOutput,
+    // showSuccess=false) so the line above is the last BARE line on
+    // stdout — no `[info] ` prefix, no `[success]` trailer
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"bench summary write failed: $e") }
     // the driver's per-round artifact keeps only a 2000-char TAIL of
     // stdout, hiding ~2/3 of the suite's timings — persist the same
     // JSON line as a committed file so every timing is reviewable
