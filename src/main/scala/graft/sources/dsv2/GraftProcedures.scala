@@ -535,8 +535,21 @@ object GraftProcedures {
               val rowsMode = outFmt == "parquet" ||
                 group.exists(g => GraftParquetShard.isParquetName(g._1))
               if (rowsMode) {
+                // format invariant: partition-column values ride in the
+                // k=v dirs, never in the file (the dataIdx pattern of
+                // JsonlPartitionedDataWriter) — project the dir's
+                // columns out of the rewritten shards too, or a compact
+                // of a partitioned table would bloat files with values
+                // readers mask anyway
+                val relPartCols: Set[String] = rel.split("/")
+                  .filter(_.contains("=")).map { seg =>
+                    val k = seg.split("=", 2)(0)
+                    segAliases.getOrElse(k, k)
+                  }.toSet
+                val dataIdx = eqTblSchema.fields.indices
+                  .filterNot(i => relPartCols.contains(eqTblSchema.fields(i).name))
                 val sink = ShardFileSink(outFmt, outPath, eqTblSchema,
-                  eqTblSchema.fields.indices, conf)
+                  dataIdx, conf)
                 group.foreach { case (shard, _, sc, exp) =>
                   val p = new Path(shard)
                   val pv = JsonlLayout.partValuesFromPath(p, segAliases)
@@ -1010,6 +1023,19 @@ object GraftProcedures {
                 s"flight during the rewrite of $tableName — retry when " +
                 "the writers quiesce (the table is untouched)")
           }
+          // certificate source: the EXACT shard set THIS rewrite
+          // publishes — staging-relative paths (names are final here:
+          // eq-stamped above, and the swap's renames preserve names)
+          // equal the table-relative published paths. Captured BEFORE
+          // the swap: a plain INSERT committing between the swap and a
+          // post-swap listing (appends don't hold RowLevelLock) must
+          // not fold into the fingerprint, or a later cluster CALL
+          // would no-op while certifying a layout containing a
+          // never-clustered shard.
+          val stagingUri = fs.makeQualified(staging).toUri
+          val publishedRels = JsonlLayout.discoverFull(fs, staging)
+            .map { case (pp, _, _, _) =>
+              stagingUri.relativize(fs.makeQualified(pp).toUri).getPath }
           // swap: originals (the PRE-rewrite snapshot — appends racing
           // the rewrite stay untouched) -> trash, staged shards up,
           // consumed sidecars + stale index out, trash last
@@ -1111,17 +1137,18 @@ object GraftProcedures {
             JsonlEqDeletes.retire(fs, table, minLive,
               JsonlSnapshots.retainedRoot(table))
           }
-          // layout certificate: spec + fingerprint of the live set the
-          // rewrite produced — the z-order no-op witness (and a cheap
-          // staleness probe for maintenance reporting). Written LAST so
-          // a crash mid-swap can never leave a certificate describing a
-          // layout that was not fully published.
+          // layout certificate: spec + fingerprint of the shard set the
+          // rewrite ITSELF published (captured from staging pre-swap,
+          // not a post-swap re-listing) — the z-order no-op witness
+          // (and a cheap staleness probe for maintenance reporting). A
+          // racing append therefore always shows as a fingerprint
+          // mismatch, so the next CALL re-clusters instead of wrongly
+          // certifying. Written LAST so a crash mid-swap can never
+          // leave a certificate describing a layout that was not fully
+          // published.
           JsonlSkipIndex.writeClusterSpec(fs, table,
             JsonlSkipIndex.ClusterSpec(cols, zorder, nShards,
-              JsonlSkipIndex.layoutFingerprint(liveAfter.map { case (pp, _, _, _) =>
-                fs.makeQualified(table).toUri
-                  .relativize(fs.makeQualified(pp).toUri).getPath
-              })))
+              JsonlSkipIndex.layoutFingerprint(publishedRels)))
           result(compactSchema, resultRows)
         } finally RowLevelLock.release(fs, lock)
       }

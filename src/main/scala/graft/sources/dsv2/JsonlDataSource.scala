@@ -2503,9 +2503,9 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
     // orphan shards by marker then re-claims a fresh sequence)
     val staged0 = messages.flatMap { case JsonlCommitMessage(s, _, _) => s }
     val wave = upsertKeys.nonEmpty && staged0.nonEmpty
-    val stampSeq: Long =
-      if (!wave) JsonlEqDeletes.currentSeq(f, dest)
-      else JsonlEqDeletes.claimNext(f, dest,
+    val (stampSeq, claimToken) =
+      if (!wave) (JsonlEqDeletes.currentSeq(f, dest), null: Array[Byte])
+      else JsonlEqDeletes.claimNextWithToken(f, dest,
         conf.value.getLong(JsonlSnapshots.ClaimStaleMsKey,
           JsonlSnapshots.DefaultClaimStaleMs))
     try {
@@ -2535,7 +2535,7 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
       // the key file carries THIS EPOCH'S TAG so a crash-replay can
       // roll the whole wave back (key file + marker-swept inserts)
       JsonlEqDeletes.publish(f, dest, stampSeq, upsertKeys, keys,
-        epochQueryId(epochId))
+        epochQueryId(epochId), token = claimToken)
     }
     } finally if (wave)
       JsonlEqDeletes.releaseClaim(f, dest, stampSeq, epochQueryId(epochId))
@@ -2860,9 +2860,9 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     // applies the same equality rule and serves the upserted pin-time
     // state; rollback restores the pinned equality set with the shards
     val wave = upsertKeys.nonEmpty && !destructive && staged.nonEmpty
-    val stampSeq: Long =
-      if (!wave) JsonlEqDeletes.currentSeq(f, dest)
-      else JsonlEqDeletes.claimNext(f, dest,
+    val (stampSeq, claimToken) =
+      if (!wave) (JsonlEqDeletes.currentSeq(f, dest), null: Array[Byte])
+      else JsonlEqDeletes.claimNextWithToken(f, dest,
         conf.value.getLong(JsonlSnapshots.ClaimStaleMsKey,
           JsonlSnapshots.DefaultClaimStaleMs))
     try {
@@ -2892,7 +2892,8 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
     if (wave) {
       val keys = messages.iterator.flatMap {
         case m: JsonlCommitMessage => m.upsertKeys }.toSet
-      JsonlEqDeletes.publish(f, dest, stampSeq, upsertKeys, keys)
+      JsonlEqDeletes.publish(f, dest, stampSeq, upsertKeys, keys,
+        token = claimToken)
     }
     // a failed wave tombstones its sequence in releaseClaim (the key
     // file is absent), so orphan stamped shards can never be exempted

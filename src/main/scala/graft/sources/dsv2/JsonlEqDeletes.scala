@@ -109,12 +109,27 @@ object JsonlEqDeletes {
     * [[retire]], read by [[claimNext]]. */
   private def hwmFile(table: Path): Path = new Path(dir(table), "hwm")
 
-  private def readHwm(fs: FileSystem, table: Path): Long =
-    try {
-      val in = fs.open(hwmFile(table))
-      val bytes = try in.readAllBytes() finally in.close()
-      new String(bytes, StandardCharsets.UTF_8).trim.toLong
-    } catch { case _: Exception => 0L }
+  private def hwmTmpFile(table: Path): Path = new Path(dir(table), ".hwm.tmp")
+
+  private def readHwm(fs: FileSystem, table: Path): Long = {
+    def parse(p: Path): Long =
+      try {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        new String(bytes, StandardCharsets.UTF_8).trim.toLong
+      } catch { case _: Exception => 0L }
+    // the tmp staging copy is AUTHORITATIVE when larger: the publish
+    // fallback for filesystems without FileContext atomic replace
+    // (object stores) deletes the old hwm before renaming the tmp into
+    // place, and a crash in that window would otherwise read as hwm=0
+    // — letting a later wave re-claim a retired sequence whose deletes
+    // then silently skip shards stamped at or above it. The tmp is
+    // fully written and closed BEFORE the old hwm is deleted, and hwm
+    // values are monotone, so max() is always sound (a torn read of a
+    // tmp still being written can only underreport, and the live hwm
+    // file still covers that instant).
+    math.max(parse(hwmFile(table)), parse(hwmTmpFile(table)))
+  }
 
   /** Any UNRECONCILED key file present? The refusal predicate for
     * surfaces that can't see equality state (snapshot pins, rollback,
@@ -175,7 +190,20 @@ object JsonlEqDeletes {
     * deletes). The sequence is therefore monotone across crashes; a
     * stalled-but-alive wave keeps sole ownership of its number and
     * just publishes late. */
-  def claimNext(fs: FileSystem, table: Path, staleMs: Long): Long = {
+  def claimNext(fs: FileSystem, table: Path, staleMs: Long): Long =
+    claimNextWithToken(fs, table, staleMs)._1
+
+  /** [[claimNext]] returning the claim's unique token too — callers
+    * thread it into [[publish]], which re-verifies the claim file
+    * still holds it IMMEDIATELY before (and after) publishing: the
+    * residual double-claim window on last-writer-wins object stores
+    * (both waves read back the same overwritten token) is then
+    * detected at publish time — exactly one wave's token survives in
+    * the claim file, the other stands down loudly — instead of relying
+    * on rename-onto-existing failing, which object stores don't
+    * guarantee. */
+  def claimNextWithToken(fs: FileSystem, table: Path, staleMs: Long)
+      : (Long, Array[Byte]) = {
     fs.mkdirs(dir(table))
     var attempts = 0
     while (attempts < 1000) {
@@ -245,7 +273,7 @@ object JsonlEqDeletes {
               case DroppedName(n) => n.toLong == seq
               case _ => false
             })
-        if (!taken) return seq
+        if (!taken) return (seq, token)
         // a lost token race must NOT delete the winner's claim; a
         // ghost (both checks below the token one) is ours to drop
         if (mine) fs.delete(claimFile(table, seq), false)
@@ -300,12 +328,26 @@ object JsonlEqDeletes {
     * old/new row pairs as permanent duplicates. Failing loudly makes
     * the framework/user retry at a fresh sequence, which converges. */
   def publish(fs: FileSystem, table: Path, seq: Long, cols: Seq[String],
-              keys: Iterable[String], tag: String = null): Unit = {
-    def owned: Boolean = fs.exists(claimFile(table, seq))
+              keys: Iterable[String], tag: String = null,
+              token: Array[Byte] = null): Unit = {
+    // with a token ([[claimNextWithToken]]) ownership means the claim
+    // file still holds OUR token — a surviving double-claim (object
+    // stores without O_EXCL: both waves' read-backs passed) is caught
+    // here, the overwritten wave stands down; without one (legacy
+    // callers) existence is the best available check
+    def owned: Boolean =
+      if (token == null) fs.exists(claimFile(table, seq))
+      else
+        try {
+          val in = fs.open(claimFile(table, seq))
+          try java.util.Arrays.equals(in.readAllBytes(), token)
+          finally in.close()
+        } catch { case _: Exception => false }
     def standDown(): Nothing = throw new IllegalStateException(
       s"equality-delete wave $seq on $table stood down: its claim was " +
-        "stale-broken (the wave outlived " +
-        s"${JsonlSnapshots.ClaimStaleMsKey}) — retry the write")
+        "stale-broken or overwritten by a racing claim (the wave " +
+        s"outlived ${JsonlSnapshots.ClaimStaleMsKey}, or the store " +
+        "lacks atomic create-if-absent) — retry the write")
     if (!owned) standDown()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -512,7 +554,7 @@ object JsonlEqDeletes {
     // once the hwm covers them.
     val maxSeq = maxSeqs(fs, table) match { case (p, c) => math.max(p, c) }
     if (maxSeq > readHwm(fs, table)) {
-      val tmp = new Path(d, ".hwm.tmp")
+      val tmp = hwmTmpFile(table)
       val out = fs.create(tmp, true)
       out.write(maxSeq.toString.getBytes(StandardCharsets.UTF_8))
       out.close()
@@ -526,8 +568,12 @@ object JsonlEqDeletes {
       // the instant the new one is. Filesystems without FileContext
       // support (object stores — witnessed by ObjectStoreSemanticsSpec,
       // which crashed HERE before this fallback existed) fall back to
-      // that window, failing loudly (naming the tmp recovery copy)
-      // rather than proceeding hwm-less.
+      // that window take delete-then-rename — which is CRASH-SAFE here
+      // because [[readHwm]] folds in the fully-written tmp copy: a
+      // crash between the delete and the rename leaves `.hwm.tmp` as
+      // the authoritative (larger) value, so no wave can re-claim a
+      // retired sequence. The rename-returns-false case still fails
+      // loudly (naming the tmp recovery copy) rather than proceeding.
       try
         org.apache.hadoop.fs.FileContext
           .getFileContext(tmp.toUri, fs.getConf)

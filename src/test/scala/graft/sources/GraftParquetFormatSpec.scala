@@ -520,6 +520,41 @@ class GraftParquetFormatSpec extends AnyFunSuite {
       .head.getLong(0) == 100L)
   }
 
+  test("compact rewrite of a PARTITIONED parquet table keeps partition " +
+      "columns OUT of the rewritten files (values ride the k=v dirs)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.cp")
+    sql("""CREATE TABLE pq.cp.t (lang STRING, k BIGINT, v DOUBLE)
+          |PARTITIONED BY (lang)
+          |TBLPROPERTIES ('graft.format'='parquet')""".stripMargin)
+    // partitioned writes cluster by the partition column: one shard
+    // per dir per INSERT — several INSERTs make the dirs oversized
+    for (b <- 0 until 4)
+      sql(s"""INSERT INTO pq.cp.t SELECT
+             |  CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, id, id * 0.5
+             |FROM range(${b * 500}, ${(b + 1) * 500})""".stripMargin)
+    sql("CALL pq.system.compact('cp.t', max_shards => 2)")
+    val rewritten = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+        else if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/cp/t"))
+        .filter(_.getName.startsWith("compact-"))
+    }
+    assert(rewritten.nonEmpty, "compact must have rewritten shards")
+    rewritten.foreach { f =>
+      val cols = spark.read.parquet(f.getAbsolutePath).columns.toSet
+      assert(!cols.contains("lang"),
+        s"partition column leaked into rewritten file ${f.getName}: $cols")
+      assert(cols == Set("k", "v"), s"unexpected file columns: $cols")
+    }
+    // the table still serves the dir-injected partition values
+    assert(sql("SELECT count(*) FROM pq.cp.t WHERE lang = 'en'")
+      .head.getLong(0) == 1000L)
+    assert(sql("SELECT sum(k) FROM pq.cp.t").head.getLong(0) ==
+      (0L until 2000L).sum)
+  }
+
   test("streaming sink: parquet epochs publish exactly-once") {
     sql("CREATE NAMESPACE IF NOT EXISTS pq.st")
     sql("""CREATE TABLE pq.st.t (k BIGINT, v BIGINT)

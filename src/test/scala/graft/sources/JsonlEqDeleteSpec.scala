@@ -801,6 +801,62 @@ class JsonlEqDeleteSpec extends AnyFunSuite {
       "hwm must carry the numbering past retired files AND tombstones")
   }
 
+  test("hwm crash window: a fully-written .hwm.tmp with no hwm file is " +
+      "authoritative — no retired sequence is ever re-claimed") {
+    import graft.sources.dsv2.JsonlEqDeletes
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("eq-hwm-crash").toString
+    val table = new Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the delete-then-rename fallback crashing between the
+    // delete and the rename (object stores without FileContext): the
+    // staged tmp holds the new hwm, the hwm file is GONE
+    val d = JsonlEqDeletes.dir(table)
+    fs.mkdirs(d)
+    val out = fs.create(new Path(d, ".hwm.tmp"), true)
+    out.write("7".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(!fs.exists(new Path(d, "hwm")))
+    // the next claim must clear the tmp's value, not restart at 1 —
+    // a re-claimed sequence <= 7 would be exempt from shards stamped
+    // at or above it (silently-skipped deletes)
+    assert(JsonlEqDeletes.claimNext(fs, table, 60000L) == 8L,
+      "tmp hwm copy must be authoritative in the crash window")
+  }
+
+  test("double-claim detection at publish: an overwritten claim token " +
+      "stands the overwritten wave down loudly") {
+    import graft.sources.dsv2.JsonlEqDeletes
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("eq-token").toString
+    val table = new Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (seq, token) = JsonlEqDeletes.claimNextWithToken(fs, table, 60000L)
+    assert(seq == 1L)
+    // a racing wave on a last-writer-wins store overwrites the claim
+    // AFTER our read-back passed (the residual window): simulate the
+    // overwrite directly
+    val claim = new Path(JsonlEqDeletes.dir(table), s"s$seq.claim")
+    val out = fs.create(claim, true)
+    out.write("racing-wave-token".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    // publish with OUR token must detect the foreign content and stand
+    // down (never last-writer-wins silently dropping a wave's deletes)
+    val e = intercept[IllegalStateException] {
+      JsonlEqDeletes.publish(fs, table, seq, Seq("k"), Seq("1"),
+        token = token)
+    }
+    assert(e.getMessage.contains("stood down"), e.getMessage)
+    assert(!fs.exists(new Path(JsonlEqDeletes.dir(table), "s1.json")),
+      "a stood-down wave must not leave a key file")
+    // the surviving claim holder publishes fine with its own token
+    JsonlEqDeletes.publish(fs, table, seq, Seq("k"), Seq("1"),
+      token = "racing-wave-token".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    assert(fs.exists(new Path(JsonlEqDeletes.dir(table), "s1.json")))
+  }
+
   test("soak: 20 rounds of racing waves — commit never throws post-publish", graft.SoakTag) {
     // regression for the _staging parent-sweep TOCTOU: concurrent
     // writers create/drop their own staging subdirs under the shared
