@@ -2603,6 +2603,157 @@ object WarehouseQueries {
       |                ELSE o_custkey END) AS BIGINT) AS sum_cust
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+  /** CATALOG-TABLE statistics for CBO (`CALL analyze_table`,
+    * [[graft.sources.dsv2.JsonlTableStats]]): two graft parquet tables
+    * are ANALYZEd — one distributed pass computing rows / NDV / nulls /
+    * min-max persisted into the table spec with a layout fingerprint —
+    * then a join over them plans in a CBO-enabled child session.
+    * Plan-guarded in-query: BOTH scan relations must report the EXACT
+    * ANALYZE row count through `estimateStatistics` (not byte-size
+    * guesses) and carry non-empty per-column stats with the join key's
+    * NDV — the statistics channel join reordering and broadcast
+    * decisions feed on at 100 TB. The oracle pins that the statistics
+    * path never changes results. */
+  private val cboStatsCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def cboStatsJoin(s: SparkSession, dir: String): DataFrame = {
+    val child = cboStatsCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whcb", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whcb.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q235").toString)
+      c.conf.set("spark.sql.cbo.enabled", "true")
+      c.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      c.sql("CREATE NAMESPACE whcb.cb")
+      c.sql(
+        """CREATE TABLE whcb.cb.customer
+          |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+          |TBLPROPERTIES ('graft.format'='parquet')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whcb.cb.customer
+           |SELECT /*+ REPARTITION(2) */ c_custkey, c_mktsegment, c_acctbal
+           |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      c.sql(
+        """CREATE TABLE whcb.cb.orders
+          |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+          |TBLPROPERTIES ('graft.format'='parquet')""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whcb.cb.orders
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_orderstatus
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("CALL whcb.system.analyze_table('cb.customer')")
+      c.sql("CALL whcb.system.analyze_table('cb.orders')")
+      c
+    })
+    val df = child.sql(
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM whcb.cb.customer JOIN whcb.cb.orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    // plan guard: every scan must report the EXACT analyze row count
+    // and non-empty column statistics (join-key NDV present)
+    val expected = Map(
+      "whcb.cb.customer" -> child.sql(
+        "SELECT count(*) FROM whcb.cb.customer").head.getLong(0),
+      "whcb.cb.orders" -> child.sql(
+        "SELECT count(*) FROM whcb.cb.orders").head.getLong(0))
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r
+    }
+    require(rels.size == 2, s"expected 2 v2 scans, got ${rels.size}")
+    val counts = rels.map(_.computeStats()).map { st =>
+      require(st.attributeStats.nonEmpty,
+        "CBO column statistics missing from a graft scan")
+      require(st.attributeStats.exists { case (a, cs) =>
+        (a.name == "c_custkey" || a.name == "o_custkey") &&
+          cs.distinctCount.isDefined },
+        "join-key NDV missing from the ANALYZE stats")
+      st.rowCount.getOrElse(sys.error("ANALYZE rowCount missing")).toLong
+    }.sorted
+    require(counts == expected.values.toSeq.sorted,
+      s"planned row counts $counts != exact ${expected.values.toSeq.sorted}")
+    df
+  }
+
+  val cboStatsJoinSql: String =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q236
+  /** One-CALL format conversion (`CALL convert_table`): a JSONL orders
+    * table pins snapshot 'pre', converts to parquet in a single CALL
+    * (format property + full rewrite under the compact lock / trash /
+    * snapshot-retention protocol + post-state assertion), then appends
+    * one more wave of rows. The query reads the LIVE converted table
+    * and `VERSION AS OF 'pre'`; the pre-conversion snapshot must keep
+    * answering from retained jsonl shards while the live table serves
+    * every row from parquet — guarded in-query by a live-layout
+    * extension sweep. */
+  private val convertCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def convertTableProbe(s: SparkSession, dir: String): DataFrame = {
+    val child = convertCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whcv", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whcv.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q236").toString)
+      c.sql("CREATE NAMESPACE whcv.cv")
+      c.sql(
+        """CREATE TABLE whcv.cv.orders
+          |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+          |""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whcv.cv.orders
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_orderstatus,
+           |  o_totalprice
+           |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0"""
+          .stripMargin)
+      c.sql("CALL whcv.system.snapshot('cv.orders', tag => 'pre')")
+      c.sql("CALL whcv.system.convert_table('cv.orders', format => 'parquet')")
+      c.sql(
+        s"""INSERT INTO whcv.cv.orders
+           |SELECT /*+ REPARTITION(2) */ o_orderkey, o_orderstatus,
+           |  o_totalprice
+           |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1"""
+          .stripMargin)
+      // live-layout guard: every live shard must be parquet (the
+      // conversion finished AND the post-conversion append honored the
+      // switched format)
+      val root = c.conf.get("spark.sql.catalog.whcv.root")
+      val bad = new java.io.File(s"$root/cv/orders").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".") && !f.getName.endsWith(".parquet"))
+      require(bad.isEmpty,
+        s"convert_table left non-parquet live shards: ${bad.toSeq}")
+      c
+    })
+    child.sql(
+      """SELECT 'live' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM whcv.cv.orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'pre' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM whcv.cv.orders VERSION AS OF 'pre' GROUP BY o_orderstatus
+        |ORDER BY src, o_orderstatus""".stripMargin)
+  }
+
+  val convertTableProbeSql: String =
+    """SELECT 'live' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'pre' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+      |ORDER BY src, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_incremental_join_view" -> (incrementalJoinView _),
     "q107_constraint_audit" -> (constraintAudit _),
@@ -2644,6 +2795,8 @@ object WarehouseQueries {
     "q232_parquet_skip_probe" -> (parquetSkipProbe _),
     "q233_parquet_snapshot_rollback" -> (parquetSnapshotRollback _),
     "q234_parquet_upsert_waves" -> (parquetUpsertWaves _),
+    "q235_cbo_stats_join" -> (cboStatsJoin _),
+    "q236_convert_table_probe" -> (convertTableProbe _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -2698,6 +2851,8 @@ object WarehouseQueries {
     "q232_parquet_skip_probe" -> parquetSkipProbeSql,
     "q233_parquet_snapshot_rollback" -> parquetSnapshotRollbackSql,
     "q234_parquet_upsert_waves" -> parquetUpsertWavesSql,
+    "q235_cbo_stats_join" -> cboStatsJoinSql,
+    "q236_convert_table_probe" -> convertTableProbeSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

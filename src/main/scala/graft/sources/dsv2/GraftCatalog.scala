@@ -738,7 +738,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Seq("table_stats", "compact", "expire_staging", "build_skip_index",
       "cluster_table", "snapshot", "snapshots", "expire_snapshots",
       "table_changes", "rollback_to_snapshot", "evolve_partitioning",
-      "maintenance_stats")
+      "maintenance_stats", "analyze_table", "convert_table")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
@@ -873,6 +873,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new java.io.IOException(
             s"metadata publish failed for $mf; recover from $tmp")
     }
+  }
+
+  /** Procedure-facing spec access (`analyze_table`, `convert_table`):
+    * read the current (schema, partCols, props) and atomically publish
+    * a props update. */
+  private[dsv2] def readTableMeta(qualified: String)
+      : (StructType, Seq[String], Map[String, String]) =
+    readMeta(metaFile(resolveTableDir(qualified)._2))
+
+  private[dsv2] def updateTableProps(qualified: String)(
+      f: Map[String, String] => Map[String, String]): Unit = {
+    val mf = metaFile(resolveTableDir(qualified)._2)
+    val (schema, partCols, props) = readMeta(mf)
+    writeMeta(mf, schema, partCols, f(props))
   }
 
   private def readMeta(mf: Path): (StructType, Seq[String], Map[String, String]) = {

@@ -124,6 +124,8 @@ object GraftProcedures {
         case "rollback_to_snapshot" => rollbackProc(catalog)
         case "evolve_partitioning" => evolvePartitioningProc(catalog)
         case "maintenance_stats" => maintenanceStats(catalog)
+        case "analyze_table" => analyzeTable(catalog)
+        case "convert_table" => convertTable(catalog)
         case other => throw new IllegalArgumentException(
           s"unknown graft procedure $other")
       }
@@ -295,7 +297,12 @@ object GraftProcedures {
       }
     }
 
-  private def compact(catalog: GraftCatalog): BoundProcedure =
+  /** `convert = true` ([[convertTable]]'s delegate): additionally
+    * rewrite every dir (the table root included) holding ANY shard not
+    * in the table's at-rest format — the one-CALL conversion finisher,
+    * under the same lock/trash/snapshot-retention protocol. */
+  private def compact(catalog: GraftCatalog,
+                      convert: Boolean = false): BoundProcedure =
     new Bound("compact", tableParam,
       ProcedureParameter.in("max_shards", IntegerType).defaultValue("8")
         .comment("rewrite dirs holding more shards than this").build(),
@@ -442,8 +449,14 @@ object GraftProcedures {
             scope.forall(_ == rel) && {
               val oversized = rel.nonEmpty && shards.size > maxShards
               val hasSc = shards.exists(s => sidecars.contains(s._1.toString))
+              // conversion sweep: any shard whose extension disagrees
+              // with the (just-updated) table format rewrites — root
+              // dir included (it per-file-swaps like the sidecar path)
+              val wrongFmt = convert && shards.exists { case (p, _) =>
+                GraftParquetShard.isParquetName(p.getName) !=
+                  (outFmt == "parquet") }
               val exposedShards = shards.filter(s => exposed(s._1.getName))
-              if (oversized || hasSc) true
+              if (oversized || hasSc || wrongFmt) true
               else if (exposedShards.isEmpty) false
               else {
                 val allClear = exposedShards.forall { case (p, _) =>
@@ -745,6 +758,159 @@ object GraftProcedures {
         result(compactSchema, after.toSeq.map { case (rel, b, a) =>
           new GenericInternalRow(Array[Any](utf8(rel), b, a)): InternalRow })
         } finally RowLevelLock.releaseAll(fs, rloLocks)
+      }
+    }
+
+  private val analyzeSchema = StructType(Seq(
+    StructField("column", StringType),
+    StructField("ndv", LongType),
+    StructField("nulls", LongType),
+    StructField("min", StringType),
+    StructField("max", StringType)))
+
+  /** `analyze_table(table, columns)`: ONE distributed aggregation pass
+    * computing row count + per-column NDV (HLL) / null count / min/max
+    * (numerics, dates, timestamps) / avg+max byte length (strings),
+    * persisted into the table spec ([[JsonlTable.StatsProp]]) together
+    * with the layout's content fingerprint. Every later scan serves
+    * them to Spark's CBO through `estimateStatistics` WHILE FRESH
+    * (fingerprint still matching — see [[JsonlTableStats]] for the
+    * staleness contract), so joins over graft catalog tables plan with
+    * real cardinalities instead of byte-size guesses. Ingest-wave
+    * cadence, the same maintenance class as compact. */
+  private def analyzeTable(catalog: GraftCatalog): BoundProcedure =
+    new Bound("analyze_table", tableParam,
+      ProcedureParameter.in("columns", StringType).defaultValue("''")
+        .comment("comma-separated columns; '' = every supported column")
+        .build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tableName = input.getUTF8String(0).toString
+        val colsArg = Option(input.getUTF8String(1)).map(_.toString.trim)
+          .getOrElse("")
+        val (fs, table) = catalog.resolveTableDir(tableName)
+        val (schema, _, _) = catalog.readTableMeta(tableName)
+        val wanted: Seq[StructField] =
+          if (colsArg.isEmpty)
+            schema.fields.toSeq.filter(f =>
+              JsonlTableStats.analyzable(f.dataType))
+          else colsArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            .map { c =>
+              val f = schema.fields.find(_.name == c).getOrElse(
+                throw new IllegalArgumentException(
+                  s"analyze_table: no column '$c' in $tableName"))
+              require(JsonlTableStats.analyzable(f.dataType),
+                s"analyze_table: ${f.dataType.simpleString} column '$c' " +
+                  "is not analyzable")
+              f
+            }
+        val spark = org.apache.spark.sql.SparkSession.active
+        // fingerprint BEFORE the scan: a write racing the aggregation
+        // makes the published stats immediately stale — detected, the
+        // conservative direction — rather than fresh-but-wrong
+        val fp = JsonlLayout.statsFingerprint(fs, table)
+        import org.apache.spark.sql.functions._
+        val df = spark.read.format("graft-jsonl").schema(schema)
+          .load(table.toString)
+        import org.apache.spark.sql.types.{DateType, StringType => SStr,
+          TimestampType => STs}
+        val aggs: Seq[org.apache.spark.sql.Column] =
+          Seq(count(lit(1)).as("__rows")) ++ wanted.flatMap { f =>
+            val c = col(f.name); val n = f.name
+            val base = Seq(
+              approx_count_distinct(c).as(s"__ndv__$n"),
+              sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls__$n"))
+            f.dataType match {
+              case LongType | IntegerType =>
+                base ++ Seq(min(c).cast("long").as(s"__min__$n"),
+                  max(c).cast("long").as(s"__max__$n"))
+              case org.apache.spark.sql.types.DoubleType =>
+                base ++ Seq(min(c).as(s"__min__$n"), max(c).as(s"__max__$n"))
+              case DateType => base ++ Seq(
+                datediff(min(c), lit("1970-01-01").cast("date"))
+                  .cast("long").as(s"__min__$n"),
+                datediff(max(c), lit("1970-01-01").cast("date"))
+                  .cast("long").as(s"__max__$n"))
+              case STs => base ++ Seq(
+                unix_micros(min(c)).as(s"__min__$n"),
+                unix_micros(max(c)).as(s"__max__$n"))
+              case SStr => base ++ Seq(
+                ceil(avg(octet_length(c))).cast("long").as(s"__avgLen__$n"),
+                max(octet_length(c)).cast("long").as(s"__maxLen__$n"))
+              case _ => base // boolean / ntz: ndv + nulls only
+            }
+          }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        def get(name: String): Option[Any] = {
+          val i = row.schema.fieldNames.indexOf(name)
+          if (i < 0 || row.isNullAt(i)) None else Some(row.get(i))
+        }
+        def getL(name: String): Option[Long] =
+          get(name).map(_.asInstanceOf[Number].longValue)
+        val rows = getL("__rows").getOrElse(0L)
+        val cols = wanted.map { f =>
+          val n = f.name
+          f.name -> JsonlTableStats.ColStat(
+            ndv = getL(s"__ndv__$n"), nulls = getL(s"__nulls__$n"),
+            min = get(s"__min__$n"), max = get(s"__max__$n"),
+            avgLen = getL(s"__avgLen__$n"), maxLen = getL(s"__maxLen__$n"))
+        }.toMap
+        val stats = JsonlTableStats.TableStats(rows, fp, cols)
+        catalog.updateTableProps(tableName)(
+          _ + (JsonlTable.StatsProp -> JsonlTableStats.toJson(stats)))
+        val out = Seq(new GenericInternalRow(Array[Any](
+          utf8("(table)"), rows, 0L, null, null)): InternalRow) ++
+          wanted.map { f =>
+            val c = cols(f.name)
+            new GenericInternalRow(Array[Any](utf8(f.name),
+              c.ndv.getOrElse(-1L), c.nulls.getOrElse(-1L),
+              c.min.map(v => utf8(v.toString)).orNull,
+              c.max.map(v => utf8(v.toString)).orNull)): InternalRow
+          }
+        result(analyzeSchema, out)
+      }
+    }
+
+  /** `convert_table(table, format)`: one-CALL at-rest-format
+    * conversion — points the table's `graft.format` at the target,
+    * then runs the compact rewrite in conversion mode (every dir
+    * holding a wrong-format shard rewrites, table root included) under
+    * the SAME lock / trash / snapshot-retention protocol, and asserts
+    * the post-state: every live shard in the target format. Snapshots
+    * pinned before the conversion keep answering (trashed originals a
+    * manifest references move to `_snapshots/retained/`), the skip
+    * index carries (compact synthesizes folded entries), and pending
+    * upsert waves reconcile — exactly the two-step
+    * `ALTER ... graft.format` + `CALL compact` path, minus the chance
+    * to forget the second step. */
+  private def convertTable(catalog: GraftCatalog): BoundProcedure =
+    new Bound("convert_table", tableParam,
+      ProcedureParameter.in("format", StringType).defaultValue("'parquet'")
+        .comment("target at-rest shard format: parquet or jsonl").build(),
+      ProcedureParameter.in("target_mb", IntegerType).defaultValue("64")
+        .comment("target rewritten shard size").build()) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tableName = input.getUTF8String(0).toString
+        val fmt = Option(input.getUTF8String(1))
+          .map(_.toString.trim.toLowerCase(java.util.Locale.ROOT))
+          .filter(_.nonEmpty).getOrElse("parquet")
+        require(fmt == "parquet" || fmt == "jsonl",
+          s"convert_table: format must be parquet or jsonl, got '$fmt'")
+        catalog.updateTableProps(tableName)(
+          _ + (JsonlTable.FormatProp -> fmt))
+        // delegate to compact in conversion mode; max_shards high so
+        // only wrong-format (and sidecar/exposed) dirs rewrite
+        val it = compact(catalog, convert = true).call(
+          new GenericInternalRow(Array[Any](utf8(tableName),
+            Int.MaxValue, input.getInt(2), utf8(""))))
+        val (fs, table) = catalog.resolveTableDir(tableName)
+        val bad = JsonlLayout.discoverFull(fs, table).filter {
+          case (p, _, _, _) =>
+            GraftParquetShard.isParquetName(p.getName) != (fmt == "parquet")
+        }
+        require(bad.isEmpty,
+          s"convert_table: ${bad.size} live shards still not $fmt after " +
+            s"the rewrite (first: ${bad.headOption.map(_._1).orNull})")
+        it
       }
     }
 

@@ -246,6 +246,16 @@ object JsonlTable {
   def formatOf(props: Map[String, String]): String =
     props.get(FormatProp).map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .filter(_.nonEmpty).getOrElse("jsonl")
+
+  /** ANALYZE output (`CALL analyze_table`): a JSON document in the
+    * table spec carrying row count, per-column NDV/null/min/max stats,
+    * and the content fingerprint of the layout it was computed over —
+    * served to Spark's CBO through `estimateStatistics` ONLY while the
+    * fingerprint still matches ([[JsonlLayout.statsFingerprint]]), the
+    * stale-stats conservatism rule: an appended shard, a new delete
+    * sidecar, or a pending upsert wave all invalidate rather than
+    * mislead join reordering. */
+  val StatsProp = "graft.stats"
 }
 
 class JsonlTable(tableSchema: StructType, path: String,
@@ -305,7 +315,8 @@ class JsonlTable(tableSchema: StructType, path: String,
       // skip index (min/max/bloom), not just partition dirs
       runtimeSkipCols = (JsonlSkipIndex.skipColsOf(props) ++
         JsonlTable.writeOrderOf(props)).distinct,
-      format = JsonlTable.formatOf(props))
+      format = JsonlTable.formatOf(props),
+      statsJson = props.getOrElse(JsonlTable.StatsProp, null))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -757,7 +768,8 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
                              spj: Boolean = false,
                              snapshot: JsonlSnapshots.Manifest = null,
                              runtimeSkipCols: Seq[String] = Nil,
-                             format: String = "jsonl")
+                             format: String = "jsonl",
+                             statsJson: String = null)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -892,7 +904,7 @@ final class JsonlScanBuilder(dataSchema: StructType, path: String,
   override def build(): Scan =
     new JsonlScan(dataSchema, required, pushed, path, maxFileAgeMs, columnar,
       aggSpecs, limit, spj, snapshot = snapshot, pruneOnly = pruneOnly,
-      runtimeSkipCols = runtimeSkipCols)
+      runtimeSkipCols = runtimeSkipCols, statsJson = statsJson)
 }
 
 /** Serializable carrier for the SESSION's Hadoop configuration —
@@ -1095,6 +1107,22 @@ object JsonlLayout {
       acc.flatMap(pre => alts.map(a => if (pre.isEmpty) a else s"$pre/$a"))
     }
   }
+
+  /** Content fingerprint for ANALYZE-stats freshness
+    * ([[JsonlTable.StatsProp]]): shard names (UUID-unique) + position-
+    * delete sidecar names + pending equality key-file names, hashed.
+    * Any change that can move row counts or column distributions —
+    * an append, a compaction swap, a MOR delete, an upsert wave —
+    * changes the set, so stale stats are DETECTED rather than served.
+    * Metadata-scale: one recursive listing + two `_`-dir probes. */
+  def statsFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                       root: Path): String = {
+    val shards = discoverFull(fs, root).map(_._1.getName)
+    val sidecars = JsonlDeletes.index(fs, root).values.toSeq
+      .map(p => new Path(p).getName)
+    val eq = JsonlEqDeletes.pendingNames(fs, root)
+    JsonlSkipIndex.layoutFingerprint(shards ++ sidecars ++ eq)
+  }
 }
 
 final class JsonlScan(dataSchema: StructType, required: StructType,
@@ -1107,7 +1135,8 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
                       recordShardsTo: JsonlRowLevelOperation = null,
                       snapshot: JsonlSnapshots.Manifest = null,
                       pruneOnly: Array[Filter] = Array.empty,
-                      runtimeSkipCols: Seq[String] = Nil)
+                      runtimeSkipCols: Seq[String] = Nil,
+                      statsJson: String = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1387,11 +1416,25 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
     * which is what a footerless format can offer CBO without a
     * bytes/row guess; anything less leaves it unset (a wrong row
     * count misleads join reordering worse than no row count). */
+  // ANALYZE stats ([[JsonlTableStats]], `CALL analyze_table`) — parsed
+  // once per scan, served ONLY while the live layout's content
+  // fingerprint still matches the one the stats were computed over
+  // (stale-stats conservatism: an append/delete/wave makes them
+  // invisible, never misleading). The freshness probe costs one
+  // recursive listing, paid only on tables that HAVE stats.
+  private lazy val freshAnalyzeStats: Option[JsonlTableStats.TableStats] =
+    if (statsJson == null || snapshot != null) None
+    else JsonlTableStats.fromJson(statsJson).filter { s =>
+      val p = new Path(path)
+      s.fingerprint == JsonlLayout.statsFingerprint(
+        p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
+    }
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val shards = prunedShards()
     val bytes = shards.map(_._2).sum
-    val rows: java.util.OptionalLong =
+    val rowsIdx: java.util.OptionalLong =
       if (pushed.isEmpty && runtimeFilters.isEmpty && skipIndex.nonEmpty) {
         val sidecars = {
           val p = new Path(path)
@@ -1408,10 +1451,50 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
           java.util.OptionalLong.of(entries.map(_._2.get.nRows).sum)
         else java.util.OptionalLong.empty()
       } else java.util.OptionalLong.empty()
+    // unfiltered scans on un-indexed tables: the ANALYZE row count is
+    // exact while fresh. Prune-only shapes (declined parquet filters,
+    // join-inferred IsNotNull) are fine as long as they provably
+    // pruned NOTHING — every listed shard planned means the scan emits
+    // exactly the analyzed rows (row-level filtering happens above).
+    val rows: java.util.OptionalLong =
+      if (rowsIdx.isPresent) rowsIdx
+      else if (pushed.isEmpty && runtimeFilters.isEmpty &&
+          (pruneOnly.isEmpty || shards.size == layout.size))
+        freshAnalyzeStats.map(s => java.util.OptionalLong.of(s.rows))
+          .getOrElse(java.util.OptionalLong.empty())
+      else java.util.OptionalLong.empty()
+    // column NDV/null/min/max for CBO join reordering and broadcast
+    // decisions. Served for scans with no claimed/runtime filters —
+    // prune-only shapes (declined parquet filters) may narrow the
+    // shard set, for which table-grain stats remain sound upper
+    // bounds, the direction CBO estimation degrades safely in.
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (pushed.nonEmpty || runtimeFilters.nonEmpty) java.util.Map.of()
+      else freshAnalyzeStats match {
+        case Some(s) =>
+          val m = new java.util.HashMap[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+          s.cols.foreach { case (name, c) =>
+            dataSchema.fields.find(_.name == name).foreach { fl =>
+              m.put(org.apache.spark.sql.connector.expressions.Expressions
+                .column(name),
+                new JsonlTableStats.GraftColumnStatistics(c, fl.dataType))
+            }
+          }
+          m
+        case None => java.util.Map.of()
+      }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 
