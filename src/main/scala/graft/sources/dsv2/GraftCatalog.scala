@@ -143,6 +143,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(JsonlTable.formatOf(props) == "jsonl" ||
         JsonlTable.formatOf(props) == "parquet",
         s"${JsonlTable.FormatProp} must be jsonl or parquet, got '$v'"))
+    JsonlTable.validateParquetCompression(props)
     validateUpsertKeys(schema, props)
     writeMeta(metaFile(dir), schema, partCols, props)
     new JsonlTable(schema, dir.toString, partCols, props)
@@ -486,6 +487,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             require(schema.fieldNames.contains(c),
               s"${JsonlTable.WriteOrderProp}: no column $c in the table"))
         val wasAuto = JsonlTable.autoSnapshotOf(props)
+        if (sp.property == JsonlTable.ParquetCompressionProp ||
+            sp.property == JsonlTable.ParquetCompressionLevelProp)
+          JsonlTable.validateParquetCompression(
+            props + (sp.property -> sp.value))
         props = props + (sp.property -> sp.value)
         if (sp.property == JsonlTable.UpsertKeysProp ||
             sp.property == JsonlTable.AutoSnapshotProp)

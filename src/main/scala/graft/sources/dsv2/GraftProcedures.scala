@@ -391,8 +391,11 @@ object GraftProcedures {
         val eqTblProps = scala.jdk.CollectionConverters.MapHasAsScala(
           eqTbl.properties).asScala.toMap
         // outputs land in the TABLE's at-rest format — compact is also
-        // the conversion path after an ALTER of graft.format
+        // the conversion path after an ALTER of graft.format — and
+        // honor the table's parquet compression properties
         val outFmt = JsonlTable.formatOf(eqTblProps)
+        val sinkConf = JsonlHadoopConf.fromSession(
+          JsonlTable.parquetWriteConf(eqTblProps))
         // over-cap the plan carries no cols (the driver read no file)
         // — the table property is authoritative
         val eqCols: Seq[String] =
@@ -562,7 +565,7 @@ object GraftProcedures {
                 val dataIdx = eqTblSchema.fields.indices
                   .filterNot(i => relPartCols.contains(eqTblSchema.fields(i).name))
                 val sink = ShardFileSink(outFmt, outPath, eqTblSchema,
-                  dataIdx, conf)
+                  dataIdx, sinkConf)
                 group.foreach { case (shard, _, sc, exp) =>
                   val p = new Path(shard)
                   val pv = JsonlLayout.partValuesFromPath(p, segAliases)
@@ -1153,7 +1156,9 @@ object GraftProcedures {
             // table spec, so the option carries it)
             .option(JsonlTable.FormatProp,
               JsonlTable.formatOf(tablePropsW))
-          (if (partitioned) w.partitionBy(partCols: _*) else w)
+          val wc = JsonlTable.parquetWriteConf(tablePropsW)
+            .foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+          (if (partitioned) wc.partitionBy(partCols: _*) else wc)
             .save(staging.toString)
           // stamp the staged outputs IN STAGING (before any swap, so
           // both branches' renames carry the stamped names): the

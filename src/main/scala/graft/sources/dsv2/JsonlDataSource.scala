@@ -256,6 +256,44 @@ object JsonlTable {
     * sidecar, or a pending upsert wave all invalidate rather than
     * mislead join reordering. */
   val StatsProp = "graft.stats"
+
+  /** Parquet write-path tuning (validated at CREATE/ALTER):
+    * `graft.parquet.compression` picks the codec — zstd (default,
+    * best bytes-at-rest), snappy/lz4 (cheapest CPU), gzip,
+    * uncompressed — and `graft.parquet.compression.level` tunes
+    * zstd's effort (1-22; parquet's own default is 3). Rendered as
+    * Hadoop-conf overrides riding the write's serialized conf
+    * ([[JsonlHadoopConf.fromSession]]), so every sink — batch,
+    * streaming epochs, COW/MOR rewrites, compact/convert — honors the
+    * table's setting without new plumbing. */
+  val ParquetCompressionProp = "graft.parquet.compression"
+  val ParquetCompressionLevelProp = "graft.parquet.compression.level"
+  val ParquetCodecs: Set[String] =
+    Set("zstd", "gzip", "snappy", "lz4", "uncompressed")
+
+  /** The Hadoop-conf override map a write derives from table props. */
+  def parquetWriteConf(props: Map[String, String]): Map[String, String] =
+    props.view.filterKeys(k => k == ParquetCompressionProp ||
+      k == ParquetCompressionLevelProp).toMap
+
+  def validateParquetCompression(props: Map[String, String]): Unit = {
+    props.get(ParquetCompressionProp).foreach { v =>
+      require(ParquetCodecs.contains(v.trim.toLowerCase(java.util.Locale.ROOT)),
+        s"$ParquetCompressionProp must be one of " +
+          s"${ParquetCodecs.toSeq.sorted.mkString(", ")}, got '$v'")
+    }
+    props.get(ParquetCompressionLevelProp).foreach { v =>
+      val l = try v.trim.toInt catch { case _: Exception =>
+        throw new IllegalArgumentException(
+          s"$ParquetCompressionLevelProp must be an integer, got '$v'") }
+      require(l >= 1 && l <= 22,
+        s"$ParquetCompressionLevelProp must be in [1, 22], got $l")
+      val codec = props.getOrElse(ParquetCompressionProp, "zstd")
+        .trim.toLowerCase(java.util.Locale.ROOT)
+      require(codec == "zstd",
+        s"$ParquetCompressionLevelProp applies to zstd only (codec is '$codec')")
+    }
+  }
 }
 
 class JsonlTable(tableSchema: StructType, path: String,
@@ -330,7 +368,8 @@ class JsonlTable(tableSchema: StructType, path: String,
       multiGeneration = props.contains(JsonlTable.LegacySpecsProp),
       upsertKeys = JsonlTable.upsertKeysOf(props),
       verifyOrder = JsonlTable.verifyOrderOf(props),
-      format = JsonlTable.formatOf(props))
+      format = JsonlTable.formatOf(props),
+      parquetConf = JsonlTable.parquetWriteConf(props))
   }
 
   /** Drop every data entry under the table root, keeping metadata
@@ -453,12 +492,14 @@ class JsonlTable(tableSchema: StructType, path: String,
             new JsonlRowLevelOperation(info.command(), tableSchema, path,
               partCols, JsonlSkipIndex.skipColsOf(props),
               JsonlTable.autoSnapshotOf(props),
-              JsonlTable.formatOf(props))
+              JsonlTable.formatOf(props),
+              JsonlTable.parquetWriteConf(props))
           case "merge-on-read" =>
             new JsonlMorRowLevelOperation(info.command(), tableSchema, path,
               partCols, JsonlSkipIndex.skipColsOf(props),
               JsonlTable.autoSnapshotOf(props),
-              JsonlTable.formatOf(props))
+              JsonlTable.formatOf(props),
+              JsonlTable.parquetWriteConf(props))
           case other => throw new IllegalArgumentException(
             s"graft-jsonl: unknown ${JsonlTable.RowLevelModeProp} '$other' " +
               "(expected copy-on-write or merge-on-read)")
@@ -926,13 +967,17 @@ object JsonlHadoopConf {
   /** Snapshot the active session's Hadoop conf (falls back to a plain
     * Configuration outside any session — tests constructing readers
     * directly). */
-  def fromSession(): JsonlHadoopConf = {
+  def fromSession(overrides: Map[String, String] = Map.empty)
+      : JsonlHadoopConf = {
     import scala.jdk.CollectionConverters._
     val c = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
+    // overrides land LAST (table properties outrank session conf) —
+    // the parquet write tuning rides the serialized conf so executor
+    // sinks see it with zero extra plumbing
     new JsonlHadoopConf(c.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toArray)
+      .map(e => e.getKey -> e.getValue).toArray ++ overrides.toArray)
   }
 }
 
@@ -2218,7 +2263,8 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
                               multiGeneration: Boolean = false,
                               upsertKeys: Seq[String] = Nil,
                               verifyOrder: Seq[String] = Nil,
-                              format: String = "jsonl")
+                              format: String = "jsonl",
+                              parquetConf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -2287,11 +2333,12 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
             doTruncate || (doDynamic && partCols.isEmpty), partCols,
             doDynamic && partCols.nonEmpty, overwriteFilters,
             skipCols = skipCols, autoSnapshot = autoSnapshot,
-            upsertKeys = upsertKeys, orderCols = verified, format = format)
+            upsertKeys = upsertKeys, orderCols = verified, format = format,
+            parquetConf = parquetConf)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols,
-            autoSnapshot, upsertKeys, verified, format)
+            autoSnapshot, upsertKeys, verified, format, parquetConf)
       }
     else if (partCols.isEmpty && order.isEmpty)
       new org.apache.spark.sql.connector.write.Write {
@@ -2300,11 +2347,12 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
           // single implicit partition — the whole table
           new JsonlBatchWrite(schema, path, queryId, doTruncate || doDynamic,
             Nil, skipCols = skipCols, autoSnapshot = autoSnapshot,
-            upsertKeys = upsertKeys, orderCols = verified, format = format)
+            upsertKeys = upsertKeys, orderCols = verified, format = format,
+            parquetConf = parquetConf)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, Nil, skipCols,
-            autoSnapshot, upsertKeys, verified, format)
+            autoSnapshot, upsertKeys, verified, format, parquetConf)
       }
     else
       // hive-layout write: ask Spark to CLUSTER rows by the partition
@@ -2349,11 +2397,12 @@ final class JsonlWriteBuilder(schema: StructType, path: String, queryId: String,
             upsertKeys = upsertKeys,
             // the requested within-task sort: writers VERIFY it per
             // file and record the held prefix in the skip entry
-            orderCols = verified, format = format)
+            orderCols = verified, format = format,
+            parquetConf = parquetConf)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JsonlStreamingWrite(schema, path, queryId, partCols, skipCols,
-            autoSnapshot, upsertKeys, verified, format)
+            autoSnapshot, upsertKeys, verified, format, parquetConf)
       }
   }
 }
@@ -2383,7 +2432,8 @@ final class JsonlRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType, path: String, partCols: Seq[String],
     skipCols: Seq[String] = Nil, autoSnapshot: Boolean = false,
-    format: String = "jsonl")
+    format: String = "jsonl",
+    parquetConf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   @volatile private var scannedShards: Seq[String] = Nil
@@ -2414,7 +2464,8 @@ final class JsonlRowLevelOperation(
                 JsonlTable.withFieldMeta(tableSchema, wInfo.schema()), path,
                 wInfo.queryId(), truncate = false, Nil,
                 replaceShards = () => scannedShards, skipCols = skipCols,
-                autoSnapshot = autoSnapshot, format = format)
+                autoSnapshot = autoSnapshot, format = format,
+                parquetConf = parquetConf)
           }
         else
           new org.apache.spark.sql.connector.write.Write
@@ -2435,7 +2486,8 @@ final class JsonlRowLevelOperation(
                 JsonlTable.withFieldMeta(tableSchema, wInfo.schema()), path,
                 wInfo.queryId(), truncate = false, partCols,
                 replaceShards = () => scannedShards, skipCols = skipCols,
-                autoSnapshot = autoSnapshot, format = format)
+                autoSnapshot = autoSnapshot, format = format,
+                parquetConf = parquetConf)
           }
     }
 }
@@ -2482,11 +2534,12 @@ final class JsonlStreamingWrite(schema: StructType, path: String,
                                 autoSnapshot: Boolean = false,
                                 upsertKeys: Seq[String] = Nil,
                                 orderCols: Seq[String] = Nil,
-                                format: String = "jsonl")
+                                format: String = "jsonl",
+                                parquetConf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
-  private val conf = JsonlHadoopConf.fromSession()
+  private val conf = JsonlHadoopConf.fromSession(parquetConf)
   private def fs = new Path(path).getFileSystem(conf.value)
   private def epochQueryId(epochId: Long) = s"$queryId-e$epochId"
   private def logDir = new Path(path, s"_graft_stream_log/$queryId")
@@ -2730,11 +2783,12 @@ final class JsonlBatchWrite(schema: StructType, path: String, queryId: String,
                             autoSnapshot: Boolean = false,
                             upsertKeys: Seq[String] = Nil,
                             orderCols: Seq[String] = Nil,
-                            format: String = "jsonl")
+                            format: String = "jsonl",
+                            parquetConf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
-  private val conf = JsonlHadoopConf.fromSession()
+  private val conf = JsonlHadoopConf.fromSession(parquetConf)
   private def fs = new Path(path).getFileSystem(conf.value)
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
@@ -3222,9 +3276,14 @@ private[dsv2] object ShardFileSink {
   private final class ParquetSink(p: Path, schema: StructType,
                                   indices: Seq[Int], conf: JsonlHadoopConf)
       extends ShardFileSink {
+    // codec + (zstd) level resolve from the carried conf: table
+    // properties ride as overrides ([[JsonlTable.parquetWriteConf]]),
+    // session conf fills in, zstd is the default
     private val writer = org.apache.spark.sql.graftbridge.ParquetShardIO
       .createWriter(p, GraftParquetShard.fileSchema(schema, indices),
-        conf.value, "zstd")
+        conf.value,
+        conf.value.get(JsonlTable.ParquetCompressionProp, "zstd"),
+        conf.value.getInt(JsonlTable.ParquetCompressionLevelProp, -1))
     private val view = org.apache.spark.sql.catalyst.ProjectingInternalRow(
       StructType(indices.map(schema.fields(_))), indices.toIndexedSeq)
     override def write(row: InternalRow): Unit = {

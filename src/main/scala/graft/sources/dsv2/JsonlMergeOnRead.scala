@@ -585,7 +585,8 @@ final class JsonlMorRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType, path: String, partCols: Seq[String],
     skipCols: Seq[String] = Nil, autoSnapshot: Boolean = false,
-    format: String = "jsonl")
+    format: String = "jsonl",
+    parquetConf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.read.ScanBuilder
@@ -623,7 +624,7 @@ final class JsonlMorRowLevelOperation(
         new JsonlDeltaWrite(
           JsonlTable.withFieldMeta(tableSchema, info.schema()),
           info.rowIdSchema().orElse(null), path, info.queryId(), partCols,
-          skipCols, autoSnapshot, format)
+          skipCols, autoSnapshot, format, parquetConf)
     }
 }
 
@@ -632,11 +633,12 @@ final class JsonlDeltaWrite(rowSchema: StructType, rowIdSchema: StructType,
                             partCols: Seq[String],
                             skipCols: Seq[String] = Nil,
                             autoSnapshot: Boolean = false,
-                            format: String = "jsonl")
+                            format: String = "jsonl",
+                            parquetConf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
     new JsonlDeltaBatchWrite(rowSchema, rowIdSchema, path, queryId, partCols,
-      skipCols, autoSnapshot, format)
+      skipCols, autoSnapshot, format, parquetConf)
 }
 
 /** Commit protocol for one delta write: insert shards publish first
@@ -648,11 +650,12 @@ final class JsonlDeltaBatchWrite(rowSchema: StructType, rowIdSchema: StructType,
                                  partCols: Seq[String],
                                  skipCols: Seq[String] = Nil,
                                  autoSnapshot: Boolean = false,
-                                 format: String = "jsonl")
+                                 format: String = "jsonl",
+                                 parquetConf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write._
 
-  private val conf = JsonlHadoopConf.fromSession()
+  private val conf = JsonlHadoopConf.fromSession(parquetConf)
   private def fs = new Path(path).getFileSystem(conf.value)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)

@@ -61,8 +61,14 @@ object ParquetShardIO {
     * storage keys (rename/drop indirection is resolved by the caller);
     * rows must match it positionally. */
   def createWriter(file: Path, fileSchema: StructType, base: Configuration,
-                   codec: String): ParquetWriter[InternalRow] = {
+                   codec: String,
+                   zstdLevel: Int = -1): ParquetWriter[InternalRow] = {
     val conf = writeConf(base, fileSchema)
+    // zstd effort knob (parquet's own key; its default is 3): lower =
+    // faster writes / larger files — the write-latency-vs-bytes
+    // trade-off `graft.parquet.compression.level` exposes per table
+    if (zstdLevel >= 0)
+      conf.setInt("parquet.compression.codec.zstd.level", zstdLevel)
     new RowBuilder(HadoopOutputFile.fromPath(file, conf))
       .withConf(conf)
       .withCompressionCodec(

@@ -555,6 +555,60 @@ class GraftParquetFormatSpec extends AnyFunSuite {
       (0L until 2000L).sum)
   }
 
+  test("graft.parquet.compression/level: table properties reach every " +
+      "sink (insert + compact rewrite); bad values refuse at DDL time") {
+    def codecOf(f: java.io.File): String = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration()))
+      try r.getFooter.getBlocks.get(0).getColumns.get(0).getCodec.name()
+      finally r.close()
+    }
+    def shardsOf(rel: String): Seq[java.io.File] =
+      new java.io.File(s"$root/$rel").listFiles().toSeq.filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    sql("CREATE NAMESPACE IF NOT EXISTS pq.cc")
+    sql("""CREATE TABLE pq.cc.snap (k BIGINT, s STRING)
+          |TBLPROPERTIES ('graft.format'='parquet',
+          |  'graft.parquet.compression'='snappy')""".stripMargin)
+    sql("INSERT INTO pq.cc.snap SELECT id, CAST(id AS STRING) FROM range(0, 1000)")
+    assert(shardsOf("cc/snap").nonEmpty)
+    shardsOf("cc/snap").foreach(f => assert(codecOf(f) == "SNAPPY",
+      s"${f.getName}: ${codecOf(f)}"))
+    // default stays zstd; level accepted for zstd
+    sql("""CREATE TABLE pq.cc.z (k BIGINT, s STRING)
+          |TBLPROPERTIES ('graft.format'='parquet',
+          |  'graft.parquet.compression'='zstd',
+          |  'graft.parquet.compression.level'='1')""".stripMargin)
+    sql("INSERT INTO pq.cc.z SELECT id, CAST(id AS STRING) FROM range(0, 1000)")
+    shardsOf("cc/z").foreach(f => assert(codecOf(f) == "ZSTD"))
+    // the compact/convert rewrite honors the property too: a jsonl
+    // table carrying the codec property converts into SNAPPY parquet
+    sql("""CREATE TABLE pq.cc.conv (k BIGINT, s STRING)
+          |TBLPROPERTIES ('graft.parquet.compression'='snappy')""".stripMargin)
+    sql("INSERT INTO pq.cc.conv SELECT id, 'y' FROM range(0, 1000)")
+    sql("CALL pq.system.convert_table('cc.conv', format => 'parquet')")
+    val rewritten = shardsOf("cc/conv").filter(_.getName.startsWith("compact-"))
+    assert(rewritten.nonEmpty, shardsOf("cc/conv").map(_.getName).toString)
+    rewritten.foreach(f => assert(codecOf(f) == "SNAPPY",
+      s"rewrite ignored the codec property: ${f.getName} ${codecOf(f)}"))
+    assert(sql("SELECT count(*) FROM pq.cc.conv").head.getLong(0) == 1000L)
+    // validation refuses bad values loudly
+    val e1 = intercept[Exception] { sql(
+      """CREATE TABLE pq.cc.bad (k BIGINT)
+        |TBLPROPERTIES ('graft.parquet.compression'='brotli')""".stripMargin) }
+    assert(e1.getMessage.contains("must be one of"), e1.getMessage)
+    val e2 = intercept[Exception] { sql(
+      "ALTER TABLE pq.cc.z SET TBLPROPERTIES " +
+        "('graft.parquet.compression.level'='99')") }
+    assert(e2.getMessage.contains("[1, 22]"), e2.getMessage)
+    val e3 = intercept[Exception] { sql(
+      "ALTER TABLE pq.cc.snap SET TBLPROPERTIES " +
+        "('graft.parquet.compression.level'='3')") }
+    assert(e3.getMessage.contains("zstd only"), e3.getMessage)
+  }
+
   test("streaming sink: parquet epochs publish exactly-once") {
     sql("CREATE NAMESPACE IF NOT EXISTS pq.st")
     sql("""CREATE TABLE pq.st.t (k BIGINT, v BIGINT)
