@@ -221,6 +221,69 @@ object MaintBench {
         (fs3 :+ fc).foreach(_.get())
       } finally pool.shutdown()
     }
+    // round-16 sf1 evidence rows (VERDICT r15 ask 8):
+    // (a) z-order layout certificate: the re-CALL of an unchanged
+    //     z-ordered table must NO-OP at metadata cost (certificate
+    //     fingerprint match), however big the data
+    c.sql(
+      s"""CREATE TABLE mb.m.zt
+         |TBLPROPERTIES ('graft.skip.columns'='o_orderkey,o_custkey') AS
+         |SELECT /*+ REPARTITION($nShards) */
+         |  o_orderkey, o_custkey, o_orderstatus
+         |FROM parquet.`$sfDir/orders.parquet`""".stripMargin)
+    timed("zorder_cluster") {
+      c.sql(s"""CALL mb.system.cluster_table('m.zt',
+               |columns => 'o_orderkey,o_custkey',
+               |target_shards => $nShards, zorder => true)""".stripMargin)
+        .collect()
+    }
+    timed("zorder_noop") {
+      c.sql(s"""CALL mb.system.cluster_table('m.zt',
+               |columns => 'o_orderkey,o_custkey',
+               |target_shards => $nShards, zorder => true)""".stripMargin)
+        .collect()
+    }
+    // (b) full-tuple skip-range exemption: a COMPOSITE upsert key with
+    //     a LOW-CARDINALITY leading column (the shape the r15 probe
+    //     widened for). After a narrow wave, a COUNT over the clustered
+    //     table must stay index-answered for range-clear shards — the
+    //     probe cost tracks the wave's reach, not the table size.
+    c.sql(
+      """CREATE TABLE mb.m.ck (src STRING, o_orderkey BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.upsert.keys'='src,o_orderkey',
+        |  'graft.write.order'='o_orderkey',
+        |  'graft.skip.columns'='o_orderkey')""".stripMargin)
+    // pin the multi-shard range layout (the at-scale shape): AQE would
+    // coalesce the ordered-distribution shuffle of this small fixture
+    // into ONE shard, making every probe a full drain of the table —
+    // the exemption's value is per-shard range disjointness
+    c.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try c.sql(
+      s"""INSERT INTO mb.m.ck
+         |SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END,
+         |  o_orderkey, o_custkey
+         |FROM parquet.`$sfDir/orders.parquet`""".stripMargin)
+    finally c.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    // reconcile the BASE wave (its own insert published |table| keys —
+    // scan cost tracks pending state by the documented compaction-
+    // cadence contract; the exemption row measures the steady state:
+    // compacted base + one small fresh wave)
+    c.sql(s"CALL mb.system.compact('m.ck', max_shards => $nShards)")
+    timed("eq_composite_wave") {
+      c.sql(
+        s"""INSERT INTO mb.m.ck
+           |SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END,
+           |  o_orderkey, o_custkey + 1
+           |FROM parquet.`$sfDir/orders.parquet` WHERE o_orderkey <= 640"""
+          .stripMargin)
+    }
+    timed("eq_composite_exempt_count") {
+      c.sql("SELECT count(*) FROM mb.m.ck").collect()
+    }
+    timed("eq_composite_exempt_agg") {
+      c.sql("SELECT min(o_orderkey), max(o_orderkey), count(*) " +
+        "FROM mb.m.ck").collect()
+    }
     // at-rest format comparison (round 15): the SAME lineitem rows as
     // gzip line-JSON vs zstd parquet twins under one catalog. The
     // pruned-projection row is the columnar tier's reason to exist —

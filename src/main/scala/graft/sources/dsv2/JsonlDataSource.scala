@@ -1649,16 +1649,11 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
           })))
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The partition set for the CURRENT runtime-filter state — pure
+    * (same inputs → same array), shared by [[planInputPartitions]] and
+    * the [[allVectorizable]] computation. */
+  private def buildPartitions(): Array[InputPartition] = {
     val shards = prunedShards()
-    // group-scoped copy-on-write (MERGE/UPDATE/DELETE rewrites): the
-    // shards this scan settles on — AFTER runtime group filtering —
-    // are exactly the groups the replacement write must swap out;
-    // record them on the shared operation (planInputPartitions runs
-    // on the driver, before any write task). Last plan wins: AQE may
-    // re-plan, and the final call reflects the final pruning.
-    if (recordShardsTo != null)
-      recordShardsTo.recordScannedShards(shards.map(_._1))
     // merge-on-read: one listing of `_deletes/` (a single existence
     // probe when the table has none) maps each shard to its position-
     // delete sidecar; readers of any flavor — row, columnar, COUNT(*)
@@ -1669,7 +1664,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
         val p = new Path(path)
         JsonlDeletes.index(p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
       }
-    val parts = shards
+    shards
       .map { case (f, _, pv) =>
         JsonlInputPartition(f, pv,
           if (spjActive) keyRowOf(pv) else null,
@@ -1679,20 +1674,44 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
           eqExempt = eqExemptOf(f))
           : InputPartition }
       .toArray
-    // TRUE vectorized parquet decode is a WHOLE-SCAN property (Spark
-    // refuses mixed row/columnar partition sets): armed when every
-    // planned partition is a parquet shard emitting rows verbatim or
-    // under a position mask — no CLAIMED filters (parquet-format
-    // tables decline them, so filtered scans stay armed and FilterExec
-    // runs above the batches), no LIMIT, no reachable equality state,
-    // no metadata columns. Position-delete sidecars / pinned ordinals /
-    // keep sets no longer disarm: they apply as per-batch selection
-    // masks inside [[ParquetVectorizedShardReader]], so mutating
-    // corpora keep the columnar decode. The full-scan, aggregate, and
-    // WHERE+aggregate shapes that dominate at 100 TB all decode
-    // column-at-a-time into ColumnarBatches feeding the vectorized
-    // ColumnarToRow, instead of row-materializing at the scan edge.
-    allVectorizable = parts.nonEmpty && pushed.isEmpty && limit < 0 &&
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = buildPartitions()
+    // group-scoped copy-on-write (MERGE/UPDATE/DELETE rewrites): the
+    // shards this scan settles on — AFTER runtime group filtering —
+    // are exactly the groups the replacement write must swap out;
+    // record them on the shared operation (planInputPartitions runs
+    // on the driver, before any write task). Last plan wins: AQE may
+    // re-plan, and the final call reflects the final pruning.
+    if (recordShardsTo != null)
+      recordShardsTo.recordScannedShards(
+        parts.map(_.asInstanceOf[JsonlInputPartition].file).toSeq)
+    parts
+  }
+
+  // TRUE vectorized parquet decode is a WHOLE-SCAN property (Spark
+  // refuses mixed row/columnar partition sets): armed when every
+  // planned partition is a parquet shard emitting rows verbatim or
+  // under a position mask — no CLAIMED filters (parquet-format
+  // tables decline them, so filtered scans stay armed and FilterExec
+  // runs above the batches), no LIMIT, no reachable equality state,
+  // no metadata columns. Position-delete sidecars / pinned ordinals /
+  // keep sets don't disarm: they apply as per-batch selection masks
+  // inside [[ParquetVectorizedShardReader]], so mutating corpora keep
+  // the columnar decode.
+  //
+  // A lazy val over ITS OWN partition build (round-16, retiring the
+  // r15 @volatile-ordering caveat): correctness no longer rests on
+  // Spark calling planInputPartitions before the factory is consulted
+  // — forcing this value computes a partition set itself (memoized
+  // prunedShards makes that cheap). Runtime filters only REMOVE
+  // shards, so a pre-runtime-filter evaluation can only be more
+  // conservative (row path), never wrongly columnar — the one
+  // direction that is always safe.
+  private lazy val allVectorizable: Boolean = {
+    val parts = buildPartitions()
+    parts.nonEmpty && pushed.isEmpty && limit < 0 &&
       !required.fields.exists(f =>
         f.name == "_pos" || f.name == "_shard" || f.name == "_change") &&
       parts.forall { ip =>
@@ -1700,14 +1719,7 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
         GraftParquetShard.isParquetName(p.file) &&
           p.changeKind == null && (p.eqExempt || eqState.isEmpty)
       }
-    parts
   }
-
-  // set by planInputPartitions (always called before the reader
-  // factory is consulted for columnar support), read at factory
-  // construction; stays false until a plan proves every partition
-  // qualifies
-  @volatile private var allVectorizable: Boolean = false
 
   /** In aggregate-pushdown mode, the shard's partial answer straight
     * from its skip-index entry — ONLY when that is provably the same
@@ -1719,13 +1731,27 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
   private def indexAnsweredPartial(
       f: String, sidecars: Map[String, String]): Seq[Any] =
     if (!aggMode || pushed.nonEmpty || pruneOnly.nonEmpty ||
-        runtimeFilters.nonEmpty || sidecars.contains(f) ||
+        runtimeFilters.nonEmpty ||
+        // a sidecar narrows the true range — MIN/MAX must drain; the
+        // COUNT-only shape subtracts it below instead of draining
+        (sidecars.contains(f) && !aggSpecs.forall(_._1 == "count")) ||
         // pending equality deletes may hide rows of this shard: the
         // entry's count/range no longer answers exactly — unless the
         // skip-range exemption proves none of them can touch it
         (eqState.maxSeq > JsonlEqDeletes.shardSeqOf(new Path(f).getName) &&
           !eqExemptOf(f))) null
     else skipIndex.get(f) match {
+      // COUNT(*) under merge-on-read (round 16): exact from the
+      // entry's row count minus the sidecar's DISTINCT deleted
+      // ordinals — a driver-side read of one small ordinal list per
+      // sidecar-bearing shard, so a bare count over a mutating 100 TB
+      // corpus stays metadata-only instead of draining deleted shards
+      case Some(e) if sidecars.contains(f) =>
+        val fs = new Path(path)
+          .getFileSystem(JsonlHadoopConf.fromSession().value)
+        val deleted = JsonlDeletes.read(fs, new Path(sidecars(f)))
+          .distinct.length
+        aggSpecs.map(_ => e.nRows - deleted)
       // a compaction-synthesized (approx) entry keeps an EXACT row
       // count but possibly-wide min/max: COUNT may answer from it,
       // MIN/MAX must drain rows
@@ -1807,8 +1833,20 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
     * COUNT(*)` over a 100 TB parquet table is footer-only even before
     * its first `CALL build_skip_index`. */
   private def footerPartial(p: JsonlInputPartition): Seq[Any] = {
+    val countOnly = specs.forall(_._1 == "count")
+    // deletes narrow the true min/max — those drain; the COUNT-only
+    // shape subtracts the sidecar's distinct ordinals from the footer
+    // row count instead (round 16: mutating corpora keep footer-only
+    // counts)
     if (!GraftParquetShard.isParquetName(p.file) || pushed.nonEmpty ||
-        p.deletes != null || p.deletePositions != null) return null
+        ((p.deletes != null || p.deletePositions != null) && !countOnly))
+      return null
+    val deletedCount: Long =
+      if (p.deletePositions != null) p.deletePositions.distinct.length.toLong
+      else if (p.deletes != null) {
+        val bs = JsonlDeletes.readBitSet(conf, p.deletes)
+        if (bs == null) 0L else bs.cardinality().toLong
+      } else 0L
     val (eqMap, _) = if (p.eqExempt) (Map.empty[String, Long], Nil) else eqResolved
     val stamp = JsonlEqDeletes.shardSeqOf(new Path(p.file).getName)
     if (eqMap.nonEmpty && eqMap.valuesIterator.max > stamp) return null
@@ -1859,7 +1897,7 @@ final class JsonlAggReaderFactory(specs: Seq[(String, String)],
           case other => other
         }
         specs.map {
-          case ("count", _) => rows
+          case ("count", _) => rows - deletedCount
           case (op, c) => resolve(c) match {
             case Left(const) => if (rows > 0) const else null
             case Right((phys, dt)) =>
