@@ -2744,6 +2744,76 @@ object WarehouseQueries {
         |ORDER BY src, o_orderstatus""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q237
+  /** STATS-PROVEN EAGER AGGREGATION ([[graft.plans.EagerAggregation]]):
+    * the Yan–Larson partial push-down of aggregates through a join,
+    * unlocked by `CALL analyze_table(..., unique_candidates =>
+    * 'c_custkey')` — an EXACT duplicate-free verification served while
+    * the table's content fingerprint stays fresh. The verbatim
+    * fact⋈dim aggregate (the q196-class SQL-text shape Catalyst can't
+    * pre-shrink itself) then plans with the fact pre-aggregated by
+    * join key BELOW the join — |distinct keys| rows through the join
+    * shuffle instead of |fact|, the rewrite that matters at 100 TB.
+    * Plan-guarded in-query: an Aggregate must sit UNDER the join in
+    * the optimized plan, and the rewrite must not survive with the
+    * premise withdrawn. The oracle pins exactness — a double-counted
+    * pre-merged group or a dropped null-key row shifts every sum. */
+  private val eagerAggCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def eagerAggJoin(s: SparkSession, dir: String): DataFrame = {
+    val child = eagerAggCatalogs.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.catalog.whea", "graft.sources.dsv2.GraftCatalog")
+      c.conf.set("spark.sql.catalog.whea.root",
+        java.nio.file.Files.createTempDirectory("graft-cat-q237").toString)
+      c.conf.set("spark.graft.eagerAgg.enabled", "true")
+      // the rewrite's cost guard stands down for broadcast-able dims;
+      // this row represents the AT-SCALE shape (both sides shuffle)
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.sql("CREATE NAMESPACE whea.ea")
+      c.sql(
+        """CREATE TABLE whea.ea.customer (c_custkey BIGINT,
+          |  c_mktsegment STRING)""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whea.ea.customer
+           |SELECT c_custkey, c_mktsegment
+           |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      c.sql(
+        """CREATE TABLE whea.ea.orders (o_orderkey BIGINT,
+          |  o_custkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+      c.sql(
+        s"""INSERT INTO whea.ea.orders
+           |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_totalprice
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      c.sql("CALL whea.system.analyze_table('ea.customer', " +
+        "unique_candidates => 'c_custkey')")
+      c
+    })
+    val df = child.sql(
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n, MAX(o_orderkey) AS max_ok
+        |FROM whea.ea.orders JOIN whea.ea.customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    // plan guard: the partial aggregate sits BELOW the join
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val pushed = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j.children.exists(
+        _.collectFirst { case a: Aggregate => a }.isDefined)
+    }.exists(identity)
+    require(pushed, "eager aggregation did not push below the join:\n" +
+      df.queryExecution.optimizedPlan)
+    df
+  }
+
+  val eagerAggJoinSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      |  CAST(COUNT(*) AS BIGINT) AS n, MAX(o_orderkey) AS max_ok
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val convertTableProbeSql: String =
     """SELECT 'live' AS src, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
@@ -2797,6 +2867,7 @@ object WarehouseQueries {
     "q234_parquet_upsert_waves" -> (parquetUpsertWaves _),
     "q235_cbo_stats_join" -> (cboStatsJoin _),
     "q236_convert_table_probe" -> (convertTableProbe _),
+    "q237_eager_agg_join" -> (eagerAggJoin _),
     "q94_profile_orders" -> (profileOrders _),
     "q97_pruned_shipdate_probe" -> (prunedShipdateProbe _),
     "q179_bloom_point_lookup" -> (bloomPointLookup _),
@@ -2853,6 +2924,7 @@ object WarehouseQueries {
     "q234_parquet_upsert_waves" -> parquetUpsertWavesSql,
     "q235_cbo_stats_join" -> cboStatsJoinSql,
     "q236_convert_table_probe" -> convertTableProbeSql,
+    "q237_eager_agg_join" -> eagerAggJoinSql,
     "q116_profile_orders_approx" -> profileOrdersApproxSql,
     "q94_profile_orders" -> profileOrdersSql,
     "q97_pruned_shipdate_probe" -> prunedShipdateProbeSql,

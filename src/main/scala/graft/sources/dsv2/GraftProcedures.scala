@@ -785,10 +785,18 @@ object GraftProcedures {
     new Bound("analyze_table", tableParam,
       ProcedureParameter.in("columns", StringType).defaultValue("''")
         .comment("comma-separated columns; '' = every supported column")
-        .build()) {
+        .build(),
+      ProcedureParameter.in("unique_candidates", StringType)
+        .defaultValue("''")
+        .comment("columns to EXACTLY verify duplicate-free over non-null " +
+          "values (one grouped pass each); a verified-unique fresh column " +
+          "unlocks the eager-aggregation rewrite " +
+          "(spark.graft.eagerAgg.enabled)").build()) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val tableName = input.getUTF8String(0).toString
         val colsArg = Option(input.getUTF8String(1)).map(_.toString.trim)
+          .getOrElse("")
+        val uniqueArg = Option(input.getUTF8String(2)).map(_.toString.trim)
           .getOrElse("")
         val (fs, table) = catalog.resolveTableDir(tableName)
         val (schema, _, _) = catalog.readTableMeta(tableName)
@@ -843,6 +851,19 @@ object GraftProcedures {
             }
           }
         val row = df.agg(aggs.head, aggs.tail: _*).head()
+        // EXACT uniqueness probes (opt-in, one grouped pass per
+        // candidate — offline cadence): duplicate-free over NON-NULL
+        // values, the premise the eager-aggregation join rewrite needs
+        // (null join keys never match, so null multiplicity is moot)
+        val uniqueCols: Set[String] = uniqueArg.split(",").map(_.trim)
+          .filter(_.nonEmpty).map { cn =>
+            require(schema.fieldNames.contains(cn),
+              s"analyze_table: unique_candidates column '$cn' not in $tableName")
+            val dup = df.filter(col(cn).isNotNull).groupBy(col(cn))
+              .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
+              .limit(1).collect()
+            cn -> dup.isEmpty
+          }.collect { case (cn, true) => cn }.toSet
         def get(name: String): Option[Any] = {
           val i = row.schema.fieldNames.indexOf(name)
           if (i < 0 || row.isNullAt(i)) None else Some(row.get(i))
@@ -850,12 +871,16 @@ object GraftProcedures {
         def getL(name: String): Option[Long] =
           get(name).map(_.asInstanceOf[Number].longValue)
         val rows = getL("__rows").getOrElse(0L)
-        val cols = wanted.map { f =>
+        val wantedAll = (wanted ++ uniqueCols
+          .filterNot(c => wanted.exists(_.name == c))
+          .map(c => schema.fields.find(_.name == c).get)).toSeq
+        val cols = wantedAll.map { f =>
           val n = f.name
           f.name -> JsonlTableStats.ColStat(
             ndv = getL(s"__ndv__$n"), nulls = getL(s"__nulls__$n"),
             min = get(s"__min__$n"), max = get(s"__max__$n"),
-            avgLen = getL(s"__avgLen__$n"), maxLen = getL(s"__maxLen__$n"))
+            avgLen = getL(s"__avgLen__$n"), maxLen = getL(s"__maxLen__$n"),
+            unique = uniqueCols.contains(n))
         }.toMap
         val stats = JsonlTableStats.TableStats(rows, fp, cols)
         catalog.updateTableProps(tableName)(

@@ -320,6 +320,31 @@ class JsonlTable(tableSchema: StructType, path: String,
   override def name(): String =
     if (snapshot == null) s"graft-jsonl `$path`"
     else s"graft-jsonl `$path` @v${snapshot.id}"
+  /** Columns EXACTLY verified duplicate-free by `CALL analyze_table`
+    * and still fingerprint-fresh — the table-shaped carrier of the
+    * eager-aggregation premise ([[graft.plans.EagerAggregation]] runs
+    * in the operator-optimization batch, before scan pushdown, so it
+    * sees tables, not scans). Probed at most once per table instance
+    * (loadTable is per-query); tables without a unique verification
+    * pay nothing. */
+  lazy val freshTableStats: Option[JsonlTableStats.TableStats] =
+    if (snapshot != null) None
+    else props.get(JsonlTable.StatsProp)
+      .flatMap(JsonlTableStats.fromJson).filter { s =>
+        val p = new Path(path)
+        s.fingerprint == JsonlLayout.statsFingerprint(
+          p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
+      }
+
+  lazy val freshUniqueColumns: Set[String] = {
+    // cheap pre-check before the fingerprint listing: tables whose
+    // stats carry no uniqueness verification pay nothing here
+    val parsed = props.get(JsonlTable.StatsProp)
+      .flatMap(JsonlTableStats.fromJson)
+    if (!parsed.exists(_.cols.exists(_._2.unique))) Set.empty
+    else freshTableStats.map(_.cols.collect {
+      case (n, c) if c.unique => n }.toSet).getOrElse(Set.empty)
+  }
   /** Snapshot reads serve the schema AS OF the snapshot — a later
     * ADD COLUMN must not change what version N answers. */
   override def schema(): StructType =
@@ -1474,6 +1499,15 @@ final class JsonlScan(dataSchema: StructType, required: StructType,
       s.fingerprint == JsonlLayout.statsFingerprint(
         p.getFileSystem(JsonlHadoopConf.fromSession().value), p)
     }
+
+  /** Columns EXACTLY verified duplicate-free by `CALL analyze_table`
+    * whose verification is still fingerprint-fresh — the soundness
+    * premise of [[graft.plans.EagerAggregation]]: fresh fingerprint ⟹
+    * data unchanged since the exact probe ⟹ uniqueness still holds.
+    * Empty on snapshots, stats-less tables, or any staleness. */
+  def freshUniqueColumns: Set[String] =
+    freshAnalyzeStats.map(_.cols.collect {
+      case (n, c) if c.unique => n }.toSet).getOrElse(Set.empty)
 
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {

@@ -31,7 +31,12 @@ object JsonlTableStats {
 
   final case class ColStat(ndv: Option[Long], nulls: Option[Long],
                            min: Option[Any], max: Option[Any],
-                           avgLen: Option[Long], maxLen: Option[Long])
+                           avgLen: Option[Long], maxLen: Option[Long],
+                           // EXACTLY verified duplicate-free over
+                           // non-null values (`unique_candidates`) —
+                           // fingerprint-fresh uniqueness is a sound
+                           // premise for the eager-aggregation rewrite
+                           unique: Boolean = false)
 
   final case class TableStats(rows: Long, fingerprint: String,
                               cols: Map[String, ColStat])
@@ -74,6 +79,7 @@ object JsonlTableStats {
       }
       c.avgLen.foreach(n.put("avgLen", _))
       c.maxLen.foreach(n.put("maxLen", _))
+      if (c.unique) n.put("unique", true)
     }
     mapper.writeValueAsString(root)
   }
@@ -93,7 +99,8 @@ object JsonlTableStats {
             case v if v.isNumber => java.lang.Long.valueOf(v.asLong)
           }
         cols += e.getKey -> ColStat(long("ndv"), long("nulls"),
-          num("min"), num("max"), long("avgLen"), long("maxLen"))
+          num("min"), num("max"), long("avgLen"), long("maxLen"),
+          unique = Option(c.get("unique")).exists(_.asBoolean(false)))
       }
       Some(TableStats(node.get("rows").asLong,
         node.get("fingerprint").asText, cols.result()))

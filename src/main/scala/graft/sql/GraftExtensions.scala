@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // conf-gated (spark.graft.mv.specs): serves matching fact-table
     // aggregates from registered materialized rollups — see MvRewriteRule
     ext.injectOptimizerRule(session => graft.plans.MvRewriteRule(session))
+    // stats-proven eager aggregation (partial agg pushed below a join
+    // whose dim key is ANALYZE-verified unique and fingerprint-fresh);
+    // opt-in per session: spark.graft.eagerAgg.enabled
+    ext.injectOptimizerRule(session => graft.plans.EagerAggregation(session))
     // conf-gated (spark.graft.rangeJoin.broadcast): plans small-interval
     // range joins as the binary-search broadcast physical operator
     ext.injectPlannerStrategy(session =>
