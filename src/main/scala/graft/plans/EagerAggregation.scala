@@ -125,7 +125,12 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
     aggExprs.foreach { ae =>
       if (ae.isDistinct || ae.filter.isDefined) return None
       ae.aggregateFunction match {
-        case Sum(e, _) if e.references.subsetOf(fact.outputSet) => ()
+        // LEGACY sums only: TRY/ANSI overflow semantics are not
+        // two-level-decomposable (a partial group's overflow-NULL
+        // would be silently skipped by the outer SUM where the
+        // single-level try_sum returns NULL for the whole group)
+        case Sum(e, ctx) if ctx.evalMode == EvalMode.LEGACY &&
+            e.references.subsetOf(fact.outputSet) => ()
         case Min(e) if e.references.subsetOf(fact.outputSet) => ()
         case Max(e) if e.references.subsetOf(fact.outputSet) => ()
         case Count(es) if es.forall(_.references.subsetOf(fact.outputSet)) => ()
@@ -137,7 +142,10 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
     val partialGroup: Seq[AttributeReference] = (factKey +: ga).distinct
     val pairs: Seq[(AggregateExpression, Alias)] = aggExprs.map { ae =>
       val pf = ae.aggregateFunction match {
-        case s: Sum => Sum(s.child)
+        // eval context carried over verbatim (admission pinned it
+        // LEGACY) — Sum(child) alone would re-derive the mode from
+        // the SESSION conf, changing overflow semantics under ANSI
+        case s: Sum => Sum(s.child, s.evalContext)
         case m: Min => Min(m.child)
         case m: Max => Max(m.child)
         case c: Count => Count(c.children)
@@ -156,11 +164,15 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
       case (ae, al) =>
         val attr = al.toAttribute
         val outer: Expression = ae.aggregateFunction match {
-          case _: Sum => retyped(Sum(attr).toAggregateExpression(), ae.dataType)
+          case s: Sum =>
+            retyped(Sum(attr, s.evalContext).toAggregateExpression(),
+              ae.dataType)
           case _: Min => retyped(Min(attr).toAggregateExpression(), ae.dataType)
           case _: Max => retyped(Max(attr).toAggregateExpression(), ae.dataType)
           case _: Count => Coalesce(Seq(
-            retyped(Sum(attr).toAggregateExpression(), LongType), Literal(0L)))
+            retyped(Sum(attr,
+              NumericEvalContext(EvalMode.LEGACY, allowDecimalPrecisionLoss = true))
+              .toAggregateExpression(), LongType), Literal(0L)))
         }
         ae -> outer
     }.toMap

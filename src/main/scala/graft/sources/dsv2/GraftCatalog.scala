@@ -191,6 +191,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     val mf = metaFile(dir)
     if (!fs.exists(mf)) throw new NoSuchTableException(ident)
+    // whole RMW under the spec lock — same serialization contract as
+    // updateTableProps (a props publish racing this ALTER would
+    // otherwise clobber whichever committed first)
+    withMetaLock(dir) {
     var (schema, partCols, props) = readMeta(mf)
     def single(fieldNames: Array[String], what: String): String = {
       if (fieldNames.length != 1) throw new UnsupportedOperationException(
@@ -514,6 +518,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     writeMeta(mf, schema, partCols, props)
     new JsonlTable(schema, dir.toString, partCols, props)
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -889,9 +894,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private[dsv2] def updateTableProps(qualified: String)(
       f: Map[String, String] => Map[String, String]): Unit = {
-    val mf = metaFile(resolveTableDir(qualified)._2)
-    val (schema, partCols, props) = readMeta(mf)
-    writeMeta(mf, schema, partCols, f(props))
+    val dir = resolveTableDir(qualified)._2
+    val mf = metaFile(dir)
+    // the read-modify-write runs under the spec lock: a concurrent
+    // ALTER / convert_table committed between the read and the publish
+    // would otherwise be silently overwritten with its pre-image
+    // (e.g. a format flip lost while converted shards are already
+    // parquet). The prior long work (analyze_table's distributed scan)
+    // happens OUTSIDE — only the millisecond-scale RMW holds the lock.
+    withMetaLock(dir) {
+      val (schema, partCols, props) = readMeta(mf)
+      writeMeta(mf, schema, partCols, f(props))
+    }
+  }
+
+  /** Spec-file RMW exclusion (see [[RowLevelLock.acquireMeta]]): every
+    * read→modify→write of the table meta file takes it, so ALTERs and
+    * procedure props publishes serialize instead of last-write-wins. */
+  private def withMetaLock[T](dir: Path)(body: => T): T = {
+    val lease = RowLevelLock.acquireMeta(fs, conf.value, dir,
+      java.util.UUID.randomUUID().toString)
+    try body finally RowLevelLock.release(fs, lease)
   }
 
   private def readMeta(mf: Path): (StructType, Seq[String], Map[String, String]) = {

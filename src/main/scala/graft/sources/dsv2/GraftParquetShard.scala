@@ -298,20 +298,26 @@ final class ParquetVectorizedShardReader(file: String, required: StructType,
 
   // ---- position-delete / keep-set mask state (merge-on-read,
   // snapshot-pinned ordinals, CDC keep pieces)
+  // ordinal-range guard matches JsonlDeletes.readBitSet: a pinned
+  // ordinal above Int.MaxValue would wrap negative in toInt and set a
+  // wrong bit (or throw inside BitSet) — refuse loudly instead
+  private def toBitSet(positions: Array[Long],
+                       what: String): java.util.BitSet = {
+    val bs = new java.util.BitSet()
+    positions.foreach { pos =>
+      require(pos >= 0 && pos <= Int.MaxValue,
+        s"$what ordinal $pos out of int range for $file")
+      bs.set(pos.toInt)
+    }
+    bs
+  }
   private val deleted: java.util.BitSet =
-    if (deletePositions != null) {
-      val bs = new java.util.BitSet()
-      deletePositions.foreach(pos => bs.set(pos.toInt))
-      bs
-    } else if (deletesPath == null) null
+    if (deletePositions != null) toBitSet(deletePositions, "delete")
+    else if (deletesPath == null) null
     else JsonlDeletes.readBitSet(conf, deletesPath)
   private val kept: java.util.BitSet =
     if (keepPositions == null) null
-    else {
-      val bs = new java.util.BitSet()
-      keepPositions.foreach(pos => bs.set(pos.toInt))
-      bs
-    }
+    else toBitSet(keepPositions, "keep")
   private val masking: Boolean = deleted != null || kept != null
 
   // row-group pruning from the DECLINED filters: footer statistics skip
@@ -434,20 +440,26 @@ final class ParquetShardReader(file: String, required: StructType,
     eqDeletes.valuesIterator.max > eqShardSeq
   private val eqEmitActive: Boolean = eqCols.nonEmpty && eqEmit.nonEmpty
 
+  // ordinal-range guard matches JsonlDeletes.readBitSet: a pinned
+  // ordinal above Int.MaxValue would wrap negative in toInt and set a
+  // wrong bit (or throw inside BitSet) — refuse loudly instead
+  private def toBitSet(positions: Array[Long],
+                       what: String): java.util.BitSet = {
+    val bs = new java.util.BitSet()
+    positions.foreach { pos =>
+      require(pos >= 0 && pos <= Int.MaxValue,
+        s"$what ordinal $pos out of int range for $file")
+      bs.set(pos.toInt)
+    }
+    bs
+  }
   private val deleted: java.util.BitSet =
-    if (deletePositions != null) {
-      val bs = new java.util.BitSet()
-      deletePositions.foreach(pos => bs.set(pos.toInt))
-      bs
-    } else if (deletesPath == null) null
+    if (deletePositions != null) toBitSet(deletePositions, "delete")
+    else if (deletesPath == null) null
     else JsonlDeletes.readBitSet(conf, deletesPath)
   private val kept: java.util.BitSet =
     if (keepPositions == null) null
-    else {
-      val bs = new java.util.BitSet()
-      keepPositions.foreach(pos => bs.set(pos.toInt))
-      bs
-    }
+    else toBitSet(keepPositions, "keep")
 
   // ---- the columns the FILE must supply: required data columns plus
   // filter/eq-key columns outside the projection. Partition-directory

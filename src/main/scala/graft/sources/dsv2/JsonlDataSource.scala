@@ -1188,8 +1188,14 @@ object JsonlLayout {
   def statsFingerprint(fs: org.apache.hadoop.fs.FileSystem,
                        root: Path): String = {
     val shards = discoverFull(fs, root).map(_._1.getName)
-    val sidecars = JsonlDeletes.index(fs, root).values.toSeq
-      .map(p => new Path(p).getName)
+    // sidecar CONTENT identity, not just names: JsonlDeletes.append
+    // union-merges new deleted ordinals into the SAME sidecar file, so
+    // a second MOR delete on an already-sidecar'd shard changes the
+    // bytes but not the name — length+mtime catch the rewrite
+    val sidecars = JsonlDeletes.index(fs, root).values.toSeq.map { p =>
+      val st = fs.getFileStatus(new Path(p))
+      s"${st.getPath.getName}@${st.getLen}:${st.getModificationTime}"
+    }
     val eq = JsonlEqDeletes.pendingNames(fs, root)
     JsonlSkipIndex.layoutFingerprint(shards ++ sidecars ++ eq)
   }

@@ -315,6 +315,8 @@ final class ConcurrentRowLevelOperationException(table: String, holder: String)
   *     `CALL compact` delays the batch instead of failing it. */
 object RowLevelLock {
   val FileName = "_rlo_lock"
+  /** Spec-file RMW lock (see [[acquireMeta]]). */
+  val MetaFileName = "_meta_lock"
   val StaleMsKey = "graft.rlo.lock.stale.ms"
   val DefaultStaleMs: Long = 15L * 60 * 1000
   val AcquireWaitMsKey = "graft.rlo.lock.acquire.wait.ms"
@@ -397,6 +399,23 @@ object RowLevelLock {
         queryId, staleMs)
       try { drainScoped(fs, conf, table, staleMs); lease }
       catch { case t: Throwable => release(fs, lease); throw t }
+    }
+  }
+
+  /** META-file lock: serializes read-modify-write cycles on a table's
+    * SPEC file (ALTER TABLE, analyze_table / convert_table props
+    * publishes) so a concurrent property change committed inside
+    * another writer's read→write window is never silently overwritten.
+    * Deliberately does NOT drain or exclude row-level DATA writers —
+    * data commits never rewrite the spec, so meta RMWs conflict only
+    * with each other. Same lease / stale-break / heartbeat machinery
+    * as the table lock, distinct file. */
+  def acquireMeta(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                  table: Path, queryId: String): Lease = {
+    val staleMs = conf.getLong(StaleMsKey, DefaultStaleMs)
+    withWait(conf.getLong(AcquireWaitMsKey, 0L)) {
+      acquireAt(fs, new Path(table, MetaFileName),
+        s"$table spec", queryId, staleMs)
     }
   }
 

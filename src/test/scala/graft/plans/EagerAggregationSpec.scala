@@ -106,6 +106,12 @@ class EagerAggregationSpec extends AnyFunSuite {
       val distinct = spark.sql("SELECT grp, COUNT(DISTINCT qty) AS d " +
         "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp")
       assert(!aggsBelowJoin(distinct), "pushed a distinct aggregate")
+      // TRY-mode SUM stands down: a partial group's overflow-NULL
+      // would be silently skipped by the outer SUM where single-level
+      // try_sum NULLs the whole group
+      val trySum = spark.sql("SELECT grp, TRY_SUM(qty) AS t " +
+        "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp")
+      assert(!aggsBelowJoin(trySum), "pushed a try_sum aggregate")
       // AVG is not in the supported fold set
       val avg = spark.sql("SELECT grp, AVG(qty) AS a FROM ea.ns.fact " +
         "JOIN ea.ns.dim ON fk = pk GROUP BY grp")

@@ -66,6 +66,48 @@ class AnalyzeConvertSpec extends AnyFunSuite {
       "a delete sidecar must invalidate the fingerprint")
   }
 
+  test("statsFingerprint: a SECOND MOR delete on an already-sidecar'd " +
+      "shard still stales (sidecar content identity, not just names)") {
+    sql("""CREATE TABLE ac.ns.ms (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO ac.ns.ms SELECT id, id FROM range(0, 1000)")
+    sql("DELETE FROM ac.ns.ms WHERE k < 10") // sidecar born
+    sql("CALL ac.system.analyze_table('ns.ms')")
+    assert(scanStats("SELECT * FROM ac.ns.ms").head.rowCount
+      .contains(BigInt(990)))
+    // the second delete union-merges into the SAME sidecar file — the
+    // shard and sidecar NAME sets are unchanged; only content moved
+    sql("DELETE FROM ac.ns.ms WHERE k >= 10 AND k < 30")
+    assert(scanStats("SELECT * FROM ac.ns.ms").head.rowCount.isEmpty,
+      "a sidecar rewrite (same name) must invalidate the fingerprint")
+    assert(sql("SELECT count(*) FROM ac.ns.ms").head.getLong(0) == 970L)
+  }
+
+  test("spec-file RMW takes the meta lock: a held lock refuses ALTER " +
+      "and the analyze publish; release restores both") {
+    import graft.sources.dsv2.RowLevelLock
+    sql("CREATE TABLE ac.ns.lk (k BIGINT)")
+    sql("INSERT INTO ac.ns.lk SELECT id FROM range(0, 10)")
+    val table = new org.apache.hadoop.fs.Path(s"$root/ns/lk")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(conf)
+    val lease = RowLevelLock.acquireMeta(fs, conf, table, "spec-holder")
+    try {
+      val e1 = intercept[Exception] {
+        sql("ALTER TABLE ac.ns.lk SET TBLPROPERTIES ('graft.format'='parquet')")
+      }
+      assert(e1.getMessage.contains("spec-holder"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        sql("CALL ac.system.analyze_table('ns.lk')").collect()
+      }
+      assert(e2.getMessage.contains("spec-holder"), e2.getMessage)
+    } finally RowLevelLock.release(fs, lease)
+    sql("ALTER TABLE ac.ns.lk SET TBLPROPERTIES ('graft.format'='parquet')")
+    sql("CALL ac.system.analyze_table('ns.lk')")
+    assert(scanStats("SELECT * FROM ac.ns.lk").head.rowCount
+      .contains(BigInt(10)))
+  }
+
   test("analyze_table: explicit column list; unknown column refuses") {
     sql("CREATE TABLE ac.ns.c (k BIGINT, s STRING)")
     sql("INSERT INTO ac.ns.c SELECT id, 'a' FROM range(0, 10)")
