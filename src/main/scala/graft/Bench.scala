@@ -29,6 +29,10 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // prove the star-schema dim keys, then enable eager aggregation
+    // for the suite session (see SuiteTuning)
+    SuiteTuning.enableEagerAgg(spark, sfDir)
+
     // SPARK_GRAFT_BENCH_ONLY=q59,q61 — iterate on a slice of the suite
     // locally; unset (the driver) runs everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -139,6 +143,21 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Exception =>
         System.err.println(s"bench artifact write failed: $e") }
+    // EVERY full-suite run additionally lands in its own
+    // BENCH_FULL_run<N>.json (N = first free integer), so no run can
+    // overwrite another — the round-16 drift analysis lost run 1 to
+    // exactly that and had to lean on summary lines. Slice runs
+    // (SPARK_GRAFT_BENCH_ONLY) skip this: partial timings would read
+    // as mysteriously-fast full runs.
+    if (only.isEmpty)
+      try {
+        val runFile = Iterator.from(1)
+          .map(i => java.nio.file.Paths.get(s"BENCH_FULL_run$i.json"))
+          .find(p => !java.nio.file.Files.exists(p)).get
+        java.nio.file.Files.write(runFile,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Exception =>
+        System.err.println(s"bench per-run artifact write failed: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

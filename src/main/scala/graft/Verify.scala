@@ -13,6 +13,9 @@ object Verify {
     // Fail fast on HUGEINT-prone oracle SQL before dumping anything —
     // see OracleLint (this class of bug cost gate rows in rounds 1 and 2).
     OracleLint.check(SparkEntry.oracleSql)
+    // prove the star-schema dim keys, then enable eager aggregation
+    // for the suite session (see SuiteTuning)
+    SuiteTuning.enableEagerAgg(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=q138,q141 — dump a slice while iterating
     // locally; unset (the driver) dumps everything

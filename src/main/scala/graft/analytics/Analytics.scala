@@ -558,6 +558,54 @@ object Analytics {
   def topCustomersSqlText(s: SparkSession, dir: String): DataFrame =
     sqlText(topCustomersSql, Seq("orders", "customer"))(s, dir)
 
+  // ---------------------------------------------------------------- q238
+  /** EAGER AGGREGATION ON THE DISTINCT SHAPE over EXTERNAL PARQUET —
+    * the round-17 extension of [[graft.plans.EagerAggregation]] closing
+    * the q196/q03 twin split with the optimizer instead of by hand:
+    * the verbatim q196 SQL (SUM + two COUNT(DISTINCT)s over a 3-way
+    * join), with orders.o_orderkey and customer.c_custkey EXACTLY
+    * verified duplicate-free through
+    * [[graft.operators.CatalogStats.verifyUnique]] (file-fingerprint
+    * freshness — any rewrite of the parquet withdraws the premise).
+    * The rule then pre-shrinks lineitem below the joins, so the
+    * multi-distinct Expand×3 runs over order-grain rows instead of
+    * fact-grain — the n+1-fold CPU cut that matters at 100 TB.
+    * Plan-guarded in-query: a partial aggregate must sit BELOW a join,
+    * and every Expand must sit above a pre-shrinking Aggregate (the
+    * unrewritten plan Expands directly over the fact-grain join).
+    * The oracle pins exactness — decimal partial sums are associative,
+    * so the two-level fold is bit-identical. */
+  private val eagerDistinctSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def eagerDistinctSqlText(s: SparkSession, dir: String): DataFrame = {
+    val child = eagerDistinctSessions.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.graft.eagerAgg.enabled", "true")
+      graft.operators.CatalogStats.verifyUnique(
+        c, s"$dir/orders.parquet", Seq("o_orderkey"))
+      graft.operators.CatalogStats.verifyUnique(
+        c, s"$dir/customer.parquet", Seq("c_custkey"))
+      c
+    })
+    Seq("lineitem", "orders", "customer")
+      .foreach(n => t(child, dir, n).createOrReplaceTempView(n))
+    val df = child.sql(segmentRevenueSql)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg,
+      Expand => LExpand, Join => LJoin}
+    val plan = df.queryExecution.optimizedPlan
+    val pushed = plan.collect { case j: LJoin =>
+      j.children.exists(_.collectFirst { case a: LAgg => a }.isDefined)
+    }.exists(identity)
+    require(pushed, "eager aggregation did not push below the join:\n" + plan)
+    val expandsShrunk = plan.collect { case e: LExpand =>
+      e.child.collectFirst { case a: LAgg => a }.isDefined
+    }.forall(identity)
+    require(expandsShrunk,
+      "a distinct Expand still runs over fact-grain rows:\n" + plan)
+    df
+  }
+
   // ---------------------------------------------------------------- q74
   /** TPC-H Q17 pattern — small-quantity revenue for one brand: items
     * ordered below 20% of their part's average order quantity.
@@ -1642,6 +1690,7 @@ object Analytics {
     "q196_segment_revenue_sqltext" -> (segmentRevenueSqlText _),
     "q197_nation_revenue_sqltext" -> (nationRevenueSqlText _),
     "q198_top_customers_sqltext" -> (topCustomersSqlText _),
+    "q238_eager_distinct_sqltext" -> (eagerDistinctSqlText _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1682,6 +1731,7 @@ object Analytics {
     "q73_nation_pair_volume" -> nationPairVolumeSql,
     "q195_pricing_summary_sqltext" -> pricingSummarySql,
     "q196_segment_revenue_sqltext" -> segmentRevenueSql,
+    "q238_eager_distinct_sqltext" -> segmentRevenueSql,
     "q197_nation_revenue_sqltext" -> nationRevenueSql,
     "q198_top_customers_sqltext" -> topCustomersSql,
     "q74_small_quantity_revenue" -> smallQuantityRevenueSql,

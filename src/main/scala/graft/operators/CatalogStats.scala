@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Cost-based-optimizer enablement: catalog registration + ANALYZE
   * stats + a CBO-tuned child session.
@@ -77,6 +78,96 @@ object CatalogStats {
       analyzed.merge(key, wanted, (a, b) => a ++ b)
     }
     db
+  }
+
+  // ------------------------------------------------- exact uniqueness
+  //
+  // EXTERNAL-PARQUET twin of the graft catalog's `analyze_table(...,
+  // unique_candidates => ...)` machinery: an EXACT duplicate-free
+  // verification of a column over a path-based parquet relation,
+  // served to [[graft.plans.EagerAggregation]] only while the file
+  // set's content fingerprint (name + length + mtime of every data
+  // file) still matches. Any rewrite/append/replace of the files
+  // changes the fingerprint and silently withdraws the premise — the
+  // same stale-stats conservatism the catalog tier applies. The probe
+  // is one grouped pass per column (offline / suite-setup cadence);
+  // the freshness check at plan time is one directory listing.
+
+  private case class UniqueEntry(fingerprint: String, cols: Set[String])
+  private val uniqueVerified =
+    new java.util.concurrent.ConcurrentHashMap[String, UniqueEntry]()
+
+  /** Canonical registry key for a relation's root paths: each path
+    * FS-qualified (a bare `/tmp/x` and Spark's reported `file:/tmp/x`
+    * must collide), then sorted (the order Spark reports multi-path
+    * relations in is not stable). */
+  def pathKey(spark: SparkSession, rootPaths: Seq[String]): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    rootPaths.map { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }.sorted.mkString(",")
+  }
+
+  /** Content fingerprint of the DATA files under `rootPaths`:
+    * relative name + length + mtime, order-insensitively hashed.
+    * Hidden/underscore entries (_SUCCESS, .crc) are layout noise. */
+  def filesFingerprint(spark: SparkSession, rootPaths: Seq[String]): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    rootPaths.foreach { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(conf)
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(d).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            if (st.isDirectory) walk(st.getPath)
+            else parts += s"$n:${st.getLen}:${st.getModificationTime}"
+          }
+        }
+      if (fs.isFile(p))
+        parts += s"${p.getName}:${fs.getFileStatus(p).getLen}:" +
+          s"${fs.getFileStatus(p).getModificationTime}"
+      else walk(p)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** EXACTLY verify `cols` duplicate-free over non-null values in the
+    * parquet relation at `path`, and remember the verdict under the
+    * current content fingerprint. Returns the verified subset.
+    * Re-verification after the files change is the caller's call —
+    * the registry itself only ever answers for the fingerprint it
+    * proved. */
+  def verifyUnique(spark: SparkSession, path: String,
+                   cols: Seq[String]): Set[String] = {
+    val fp = filesFingerprint(spark, Seq(path))
+    val key = pathKey(spark, Seq(path))
+    val prior = Option(uniqueVerified.get(key))
+      .filter(_.fingerprint == fp).map(_.cols).getOrElse(Set.empty)
+    val todo = cols.filterNot(prior.contains)
+    val fresh = todo.filter { c =>
+      spark.read.parquet(path).where(col(c).isNotNull)
+        .groupBy(col(c)).count().where(col("count") > 1L)
+        .limit(1).isEmpty
+    }.toSet
+    uniqueVerified.put(key, UniqueEntry(fp, prior ++ fresh))
+    prior ++ fresh
+  }
+
+  /** Verified-unique columns of the relation at `rootPaths`, IF its
+    * content fingerprint still matches the one proved. Empty set (no
+    * I/O beyond one listing, and none at all for never-verified
+    * relations) otherwise. */
+  def freshUniqueColumns(spark: SparkSession,
+                         rootPaths: Seq[String]): Set[String] = {
+    val e = uniqueVerified.get(pathKey(spark, rootPaths))
+    if (e == null) Set.empty
+    else if (filesFingerprint(spark, rootPaths) == e.fingerprint) e.cols
+    else Set.empty
   }
 
   /** Catalog row count the optimizer will plan with (None when the

@@ -7,9 +7,11 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.types.{LongType, DataType}
+import org.apache.spark.sql.types.{DataType, LongType}
 
+import graft.operators.CatalogStats
 import graft.sources.dsv2.{JsonlScan, JsonlTable}
 
 /** EAGER AGGREGATION (Yan–Larson partial push-down of aggregates
@@ -17,47 +19,74 @@ import graft.sources.dsv2.{JsonlScan, JsonlTable}
   *
   * {{{ Aggregate(G, aggs, fact ⋈ dim on fk = pk) }}}
   * rewrites to
-  * {{{ Aggregate(G, re-aggs, PartialAgg(fact by fk ∪ G∩fact) ⋈ dim) }}}
+  * {{{ Aggregate(G, re-aggs, PartialAgg(fact by fk ∪ G∩fact ∪ D∩fact) ⋈ dim) }}}
   *
   * pre-shrinking the fact side BEFORE the join shuffle — the rewrite
   * Catalyst cannot derive itself (OSS Spark has no aggregate
   * push-through-join), and exactly the hand optimization the
   * DataFrame-twin queries apply that their verbatim-SQL twins forfeit
   * (BASELINE.md round-16: the q196/q03 plan split). At 100 TB the win
-  * is the join's shuffle volume: |distinct fk| rows instead of |fact|.
+  * is the join's shuffle volume — |distinct fk| rows instead of
+  * |fact| — and, for multi-distinct aggregates, the Expand fan-out:
+  * Spark plans n≥2 distinct groups as Expand×(n+1) over its input, so
+  * pre-shrinking the input is an n+1-fold CPU cut on the whole
+  * aggregation path.
   *
   * SOUNDNESS. The rewrite is only correct when every fact row matches
   * AT MOST ONE dim row (a duplicated pk would multiply a pre-merged
   * group as a unit instead of per-row). No Spark constraint provides
   * that, so the premise comes from the engine's own ANALYZE machinery:
-  * `CALL analyze_table(..., unique_candidates => 'pk')` EXACTLY
-  * verifies the column duplicate-free over non-null values, and the
-  * verification is served through [[JsonlScan.freshUniqueColumns]]
-  * ONLY while the table's content fingerprint still matches — any
-  * append, delete, or upsert wave silently withdraws the premise and
-  * the rule stands down (the same stale-stats conservatism as the CBO
-  * stats). Null join keys never match on either shape, so null
-  * multiplicity on the pk is irrelevant.
+  *   - graft-catalog tables: `CALL analyze_table(...,
+  *     unique_candidates => 'pk')` EXACTLY verifies the column
+  *     duplicate-free, served through [[JsonlScan.freshUniqueColumns]]
+  *     ONLY while the table's content fingerprint matches;
+  *   - path-based parquet relations (temp views over external files —
+  *     the suite's SQL-text twins): [[CatalogStats.verifyUnique]] runs
+  *     the same exact probe and serves it through
+  *     [[CatalogStats.freshUniqueColumns]] under a file-set
+  *     fingerprint (name+length+mtime).
+  * Either channel silently withdraws the premise when content moves —
+  * the same stale-stats conservatism as the CBO stats. Null join keys
+  * never match on either shape, so null multiplicity on the pk is
+  * irrelevant.
   *
-  * Applicability (everything else stands down, untouched):
-  *   - INNER join, single equi-key, both sides attribute references;
-  *   - the dim side is (Filter/pass-through-Project over) a graft scan
-  *     whose join key is fingerprint-fresh verified-unique (filters
-  *     and projections preserve uniqueness — subsets stay unique);
-  *   - grouping expressions are plain attributes;
-  *   - every aggregate is a non-distinct, unfiltered SUM / MIN / MAX /
-  *     COUNT whose inputs come from the fact side (COUNT(*) included);
-  *   - the fact side is not itself an Aggregate (already pre-shrunk by
-  *     hand or by a previous pass).
+  * Aggregate classification (everything else stands down, untouched):
+  *   - PARTIALIZED: non-distinct, unfiltered SUM (LEGACY eval mode) /
+  *     MIN / MAX / COUNT whose inputs are fact-side (COUNT(*)
+  *     included) — computed per partial group below the join,
+  *     re-folded above (COUNT re-aggregates as SUM coalesced to 0;
+  *     two-level folds cast back when they widen the type).
+  *   - FREE: aggregates that are DUPLICATE-INSENSITIVE and therefore
+  *     survive the fact-side pre-grouping verbatim:
+  *       - any supported DISTINCT aggregate — its fact-side inputs
+  *         must be plain attributes (they join the pre-group key, so
+  *         their value sets per outer group are preserved exactly);
+  *         dim-side inputs are free as-is, being functionally
+  *         dependent on the join key, which is in the pre-group key;
+  *       - non-distinct MIN/MAX over dim-side inputs (same
+  *         functional-dependence argument).
+  *     Free aggregates are left untouched in the outer aggregate.
+  *   - anything else (AVG, filtered aggs, TRY/ANSI sums, non-distinct
+  *     SUM/COUNT over dim columns, inputs mixing the two sides):
+  *     stand down.
   *
-  * Typing: partial COUNT re-aggregates as SUM (coalesced to 0 to keep
-  * the non-null count contract); partial SUM/MIN/MAX re-aggregate with
-  * the same function, cast back to the original result type when the
-  * two-level fold widens it (decimal sums). Double sums change
-  * addition order — the same reordering Spark's own partial
-  * aggregation and AQE already perform.
+  * Applicability: INNER join, single equi-key, both sides attribute
+  * references; proven-unique dim key (above); plain-attribute
+  * groupings; the fact side not already an Aggregate.
   *
-  * Opt-in via `spark.graft.eagerAgg.enabled` (default false). */
+  * COST GUARD: a broadcast-able dim means the fact side never shuffles
+  * for the join — the pre-aggregation would ADD a shuffle instead of
+  * replacing one (measured 0.75x at bench scale), so the rule stands
+  * down... UNLESS the aggregate carries n≥2 distinct groups: those
+  * plan as Expand×(n+1) over the aggregate input REGARDLESS of join
+  * strategy, so pre-shrinking pays even under a broadcast join (the
+  * q196 shape: Expand×3 over fact-grain rows vs over |distinct
+  * fk|-grain rows). With a single distinct group Spark plans the
+  * no-Expand two-phase form and the plain broadcast economics apply.
+  *
+  * Opt-in via `spark.graft.eagerAgg.enabled` (default false; the
+  * Verify/Bench mains enable it on the suite session after verifying
+  * the star-schema dim keys). */
 case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
 
   import EagerAggregation.Done
@@ -100,47 +129,72 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
       if (uniqueOn(join.right, rk)) (join.left, lk, join.right, true)
       else if (uniqueOn(join.left, lk)) (join.right, rk, join.left, false)
       else return None
-    // COST GUARD: a broadcast-able dim means the fact side never
-    // shuffles for the join — the pre-aggregation would ADD a shuffle
-    // instead of replacing one (measured 0.75x at bench scale). The
-    // rewrite pays exactly when the join must shuffle: estimate the
-    // dim from its own fresh ANALYZE stats (present by construction —
-    // uniqueness verification implies stats) and stand down when it
-    // fits the broadcast threshold. threshold = -1 (never broadcast)
-    // always rewrites.
-    val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
-    if (threshold >= 0 && dimBytesEstimate(dim).forall(_ <= threshold))
-      return None
     if (fact.isInstanceOf[Aggregate]) return None // already pre-shrunk
     // plain-attribute groupings only
     val groupAttrs: Seq[AttributeReference] = groupings.map {
       case a: AttributeReference => a
       case _ => return None
     }
-    // every aggregate supported and fact-sided
+    val factSet = fact.outputSet
+    val dimSet = dim.outputSet
     val aggExprs: Seq[AggregateExpression] =
       results.flatMap(_.collect { case ae: AggregateExpression => ae })
         .distinct
     if (aggExprs.isEmpty) return None
+    // classify every aggregate (see scaladoc); bail on the first
+    // unsupported shape
+    val factDistinct =
+      scala.collection.mutable.LinkedHashSet.empty[AttributeReference]
+    val partialized =
+      scala.collection.mutable.ArrayBuffer.empty[AggregateExpression]
     aggExprs.foreach { ae =>
-      if (ae.isDistinct || ae.filter.isDefined) return None
-      ae.aggregateFunction match {
+      if (ae.filter.isDefined) return None
+      val fn = ae.aggregateFunction
+      val supported = fn match {
         // LEGACY sums only: TRY/ANSI overflow semantics are not
         // two-level-decomposable (a partial group's overflow-NULL
         // would be silently skipped by the outer SUM where the
-        // single-level try_sum returns NULL for the whole group)
-        case Sum(e, ctx) if ctx.evalMode == EvalMode.LEGACY &&
-            e.references.subsetOf(fact.outputSet) => ()
-        case Min(e) if e.references.subsetOf(fact.outputSet) => ()
-        case Max(e) if e.references.subsetOf(fact.outputSet) => ()
-        case Count(es) if es.forall(_.references.subsetOf(fact.outputSet)) => ()
+        // single-level try_sum NULLs the whole group), and a
+        // distinct TRY sum's dedup set is still value-exact, so the
+        // same conservatism applies uniformly
+        case s: Sum => s.evalContext.evalMode == EvalMode.LEGACY
+        case _: Min | _: Max | _: Count => true
+        case _ => false
+      }
+      if (!supported) return None
+      if (ae.isDistinct) {
+        fn.children.foreach {
+          case a: AttributeReference if factSet.contains(a) =>
+            factDistinct += a
+          case e if e.references.nonEmpty &&
+              e.references.subsetOf(dimSet) => ()
+          case e if e.foldable => ()
+          case _ => return None
+        }
+      } else fn match {
+        case f if f.children.forall(_.references.subsetOf(factSet)) =>
+          partialized += ae
+        case (_: Min | _: Max) if fn.references.subsetOf(dimSet) =>
+          () // duplicate-insensitive over fk-determined values: free
         case _ => return None
       }
     }
-    // the partial: fact grouped by (join key ∪ fact-side group attrs)
-    val ga = groupAttrs.filter(a => fact.outputSet.contains(a))
-    val partialGroup: Seq[AttributeReference] = (factKey +: ga).distinct
-    val pairs: Seq[(AggregateExpression, Alias)] = aggExprs.map { ae =>
+    // COST GUARD (see scaladoc): stand down for broadcast-able dims —
+    // except when n≥2 distinct groups make the Expand fan-out the
+    // dominant cost on either join strategy
+    val distinctGroups = aggExprs.filter(_.isDistinct)
+      .map(_.aggregateFunction.children.map(_.canonicalized).toSet)
+      .distinct.size
+    val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+    if (distinctGroups < 2 && threshold >= 0 &&
+        dimBytesEstimate(dim).forall(_ <= threshold))
+      return None
+    // the partial: fact grouped by (join key ∪ fact-side group attrs
+    // ∪ fact-side distinct inputs)
+    val ga = groupAttrs.filter(a => factSet.contains(a))
+    val partialGroup: Seq[AttributeReference] =
+      (factKey +: (ga ++ factDistinct.toSeq)).distinct
+    val pairs: Seq[(AggregateExpression, Alias)] = partialized.toSeq.map { ae =>
       val pf = ae.aggregateFunction match {
         // eval context carried over verbatim (admission pinned it
         // LEGACY) — Sum(child) alone would re-derive the mode from
@@ -157,7 +211,10 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
     val newJoin =
       if (factIsLeft) join.copy(left = partialAgg)
       else join.copy(right = partialAgg)
-    // outer re-aggregation, result types preserved
+    // outer re-aggregation, result types preserved; FREE aggregates
+    // (distinct / dim-side min-max) have no repl entry and pass
+    // through untouched — their inputs survive the pre-grouping by
+    // construction
     def retyped(e: Expression, want: DataType): Expression =
       if (e.dataType == want) e else Cast(e, want)
     val repl: Map[AggregateExpression, Expression] = pairs.map {
@@ -171,7 +228,8 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
           case _: Max => retyped(Max(attr).toAggregateExpression(), ae.dataType)
           case _: Count => Coalesce(Seq(
             retyped(Sum(attr,
-              NumericEvalContext(EvalMode.LEGACY, allowDecimalPrecisionLoss = true))
+              NumericEvalContext(EvalMode.LEGACY,
+                allowDecimalPrecisionLoss = true))
               .toAggregateExpression(), LongType), Literal(0L)))
         }
         ae -> outer
@@ -184,10 +242,14 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
     Some(out)
   }
 
-  /** Dim size estimate from its fresh ANALYZE stats: rows x a plain
-    * per-column width (string avgLen + offset, 8 for numerics).
-    * None when no table/stats found — treated as broadcast-able
-    * (stand down: without evidence the join shuffles, don't pay). */
+  /** Dim size estimate. Graft catalog tables: rows x a plain
+    * per-column width from their own fresh ANALYZE stats (string
+    * avgLen + offset, 8 for numerics); no fresh stats — treated as
+    * broadcast-able (stand down: without evidence the join shuffles,
+    * don't pay). Everything else (v1 file relations, temp views):
+    * the plan's own sizeInBytes — the SAME figure Spark's join
+    * selection uses for the broadcast decision, so the guard and the
+    * planner agree by construction. */
   private def dimBytesEstimate(p: LogicalPlan): Option[Long] = {
     @annotation.tailrec
     def tableOf(q: LogicalPlan): Option[JsonlTable] = q match {
@@ -199,59 +261,47 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => None
     }
-    for {
-      t <- tableOf(p)
-      stats <- t.freshTableStats
-    } yield {
-      val width = t.schema().fields.map { f =>
-        f.dataType match {
-          case org.apache.spark.sql.types.StringType =>
-            stats.cols.get(f.name).flatMap(_.avgLen).getOrElse(20L) + 8L
-          case org.apache.spark.sql.types.BooleanType => 1L
-          case _ => 8L
-        }
-      }.sum
-      stats.rows * width
-    }
-  }
-
-  /** The join-key attribute chases (pass-through Projects / Filters)
-    * down to a graft scan whose column is fingerprint-fresh
-    * verified-unique. Filters and pass-through projections PRESERVE
-    * uniqueness (a subset of distinct values is distinct). */
-  @annotation.tailrec
-  private def uniqueOn(p: LogicalPlan, attr: AttributeReference): Boolean =
-    p match {
-      case Filter(_, c) => uniqueOn(c, attr)
-      case Project(exprs, c) =>
-        exprs.find(_.toAttribute.exprId == attr.exprId) match {
-          case Some(a: AttributeReference) => uniqueOn(c, a)
-          case Some(Alias(a: AttributeReference, _)) => uniqueOn(c, a)
-          case _ => false
-        }
-      // the rule runs in the operator-optimization batch, BEFORE
-      // V2ScanRelationPushDown — the relation is still table-shaped;
-      // the scan-shaped match covers any later re-optimization pass
-      case r: DataSourceV2Relation =>
-        r.table match {
-          case t: JsonlTable if r.output.exists(_.exprId == attr.exprId) =>
-            t.freshUniqueColumns.contains(attr.name)
-          case _ => false
-        }
-      case r: DataSourceV2ScanRelation =>
-        r.scan match {
-          case js: JsonlScan if r.output.exists(_.exprId == attr.exprId) =>
-            js.freshUniqueColumns.contains(attr.name)
-          case _ => false
-        }
+    @annotation.tailrec
+    def isGraft(q: LogicalPlan): Boolean = q match {
+      case Filter(_, c) => isGraft(c)
+      case Project(_, c) => isGraft(c)
+      case r: DataSourceV2Relation => r.table.isInstanceOf[JsonlTable]
+      case r: DataSourceV2ScanRelation => r.scan.isInstanceOf[JsonlScan]
       case _ => false
     }
+    if (isGraft(p)) {
+      for {
+        t <- tableOf(p)
+        stats <- t.freshTableStats
+      } yield {
+        val width = t.schema().fields.map { f =>
+          f.dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              stats.cols.get(f.name).flatMap(_.avgLen).getOrElse(20L) + 8L
+            case org.apache.spark.sql.types.BooleanType => 1L
+            case _ => 8L
+          }
+        }.sum
+        stats.rows * width
+      }
+    } else Some(p.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
+  }
+
+  /** Delegates to the shared evidence ([[UniquenessEvidence.uniqueOn]]):
+    * graft-catalog ANALYZE channel + external-parquet CatalogStats
+    * channel, both fingerprint-fresh. */
+  private def uniqueOn(p: LogicalPlan, attr: AttributeReference): Boolean =
+    UniquenessEvidence.uniqueOn(session, p, attr)
 }
 
 object EagerAggregation {
   /** Re-entry guard: the rewrite's own output is Aggregate-over-Join
     * again; the tag stops the fixed-point optimizer from stacking
     * partials forever (and the structural fact-is-Aggregate check
-    * backs it up across plan copies that might drop tags). */
+    * backs it up across plan copies that might drop tags). The
+    * rewrite's own PARTIAL aggregate is deliberately NOT tagged — a
+    * deeper join under it may cascade (the q196 3-way shape pre-
+    * shrinks twice: lineitem by order key, then orders by customer
+    * key). */
   private[plans] val Done = TreeNodeTag[Boolean]("graft.eagerAgg.done")
 }

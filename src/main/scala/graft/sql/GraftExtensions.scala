@@ -88,6 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whose dim key is ANALYZE-verified unique and fingerprint-fresh);
     // opt-in per session: spark.graft.eagerAgg.enabled
     ext.injectOptimizerRule(session => graft.plans.EagerAggregation(session))
+    // same opt-in + evidence: COUNT/SUM(DISTINCT x) collapse to their
+    // non-distinct forms when x is PROVEN output-unique — composes
+    // with the eager-agg pre-shrink to eliminate the multi-distinct
+    // Expand entirely (see DistinctCollapse)
+    ext.injectOptimizerRule(session => graft.plans.DistinctCollapse(session))
     // conf-gated (spark.graft.rangeJoin.broadcast): plans small-interval
     // range joins as the binary-search broadcast physical operator
     ext.injectPlannerStrategy(session =>

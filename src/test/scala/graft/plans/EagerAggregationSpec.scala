@@ -95,17 +95,13 @@ class EagerAggregationSpec extends AnyFunSuite {
     }
   }
 
-  test("stand-downs: unverified key, distinct agg, unsupported agg, " +
-      "dim-side agg input, conf off") {
+  test("stand-downs: unverified key, unsupported agg, " +
+      "dim-side sum input, conf off") {
     withRule(on = true) {
       // join on the dim's UNVERIFIED column (w): no premise, no push
       val unverified = spark.sql("SELECT grp, SUM(qty) AS s FROM ea.ns.fact " +
         "JOIN ea.ns.dim ON fk = w GROUP BY grp")
       assert(!aggsBelowJoin(unverified), "pushed without a uniqueness proof")
-      // DISTINCT aggregates stand down
-      val distinct = spark.sql("SELECT grp, COUNT(DISTINCT qty) AS d " +
-        "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp")
-      assert(!aggsBelowJoin(distinct), "pushed a distinct aggregate")
       // TRY-mode SUM stands down: a partial group's overflow-NULL
       // would be silently skipped by the outer SUM where single-level
       // try_sum NULLs the whole group
@@ -116,10 +112,16 @@ class EagerAggregationSpec extends AnyFunSuite {
       val avg = spark.sql("SELECT grp, AVG(qty) AS a FROM ea.ns.fact " +
         "JOIN ea.ns.dim ON fk = pk GROUP BY grp")
       assert(!aggsBelowJoin(avg), "pushed an unsupported aggregate")
-      // aggregate over a DIM column: nothing to push fact-side
+      // non-distinct SUM over a DIM column is NOT duplicate-
+      // insensitive and cannot be partialized fact-side: stand down
       val dimAgg = spark.sql("SELECT seg, SUM(w) AS sw FROM ea.ns.fact " +
         "JOIN ea.ns.dim ON fk = pk GROUP BY seg")
-      assert(!aggsBelowJoin(dimAgg), "pushed a dim-side aggregate")
+      assert(!aggsBelowJoin(dimAgg), "pushed a dim-side sum")
+      // a distinct agg over a fact-side EXPRESSION has no attribute to
+      // carry through the pre-group key: stand down
+      val distinctExpr = spark.sql("SELECT grp, COUNT(DISTINCT qty + 1) " +
+        "AS d FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp")
+      assert(!aggsBelowJoin(distinctExpr), "pushed a distinct expression")
     }
     withRule(on = false) {
       assert(!aggsBelowJoin(spark.sql(q)), "rule ran while disabled")
@@ -227,6 +229,132 @@ class EagerAggregationSpec extends AnyFunSuite {
           |GROUP BY grp""".stripMargin)
       assert(!aggsBelowJoin(computed),
         "a computed key column must not inherit the proof")
+    }
+  }
+
+  test("DISTINCT aggregates push: fact-side inputs join the pre-group " +
+      "key, dim-side inputs ride the fk functional dependence — exact") {
+    val shapes = Seq(
+      // fact-side distinct attr + plain sum + count(*)
+      "SELECT grp, COUNT(DISTINCT qty) AS dq, SUM(qty) AS s, COUNT(*) AS n " +
+        "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp ORDER BY grp",
+      // distinct over the join key itself and over a DIM column
+      "SELECT seg, COUNT(DISTINCT fk) AS dk, COUNT(DISTINCT grp) AS dg, " +
+        "SUM(DISTINCT qty) AS sdq " +
+        "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY seg ORDER BY seg",
+      // multi-arg distinct mixing fact and dim sides
+      "SELECT COUNT(DISTINCT seg, grp) AS dsg, MAX(qty) AS mx " +
+        "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk")
+    for (qq <- shapes) {
+      val off = withRule(on = false)(spark.sql(qq).collect().toSeq)
+      withRule(on = true) {
+        val df = spark.sql(qq)
+        assert(aggsBelowJoin(df),
+          s"distinct shape did not push: $qq\n" +
+            df.queryExecution.optimizedPlan)
+        assert(df.collect().toSeq == off, s"distinct shape diverged: $qq")
+      }
+    }
+  }
+
+  test("dim-side MIN/MAX ride free (duplicate-insensitive over " +
+      "fk-determined values); the push still happens for the rest") {
+    val qq = "SELECT seg, SUM(qty) AS s, MIN(w) AS mnw, MAX(grp) AS mxg " +
+      "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY seg ORDER BY seg"
+    val off = withRule(on = false)(spark.sql(qq).collect().toSeq)
+    withRule(on = true) {
+      val df = spark.sql(qq)
+      assert(aggsBelowJoin(df), "dim-side min/max blocked the push")
+      assert(df.collect().toSeq == off, "dim-side min/max diverged")
+    }
+  }
+
+  test("n>=2 distinct groups BYPASS the broadcast cost guard (the " +
+      "Expand fan-out dominates either join strategy); n=1 does not") {
+    // default broadcast threshold — the ~650-row dim would broadcast
+    spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+    try {
+      val two = spark.sql("SELECT grp, COUNT(DISTINCT qty) AS a, " +
+        "COUNT(DISTINCT seg) AS b, SUM(price) AS s " +
+        "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp")
+      assert(aggsBelowJoin(two),
+        "two distinct groups must pre-shrink even under broadcast:\n" +
+          two.queryExecution.optimizedPlan)
+      val one = spark.sql("SELECT grp, COUNT(DISTINCT qty) AS a " +
+        "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp")
+      assert(!aggsBelowJoin(one),
+        "a single distinct group has no Expand — broadcast guard holds")
+      // exactness of the bypassed shape
+      val on = two.collect().toSeq
+      val off = withRule(on = false)(spark.sql(
+        "SELECT grp, COUNT(DISTINCT qty) AS a, COUNT(DISTINCT seg) AS b, " +
+          "SUM(price) AS s FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk " +
+          "GROUP BY grp").collect().toSeq)
+      assert(on.toSet == off.toSet, "bypassed shape diverged")
+    } finally spark.conf.unset("spark.graft.eagerAgg.enabled")
+  }
+
+  test("DistinctCollapse: a distinct over the pre-shrunk join key " +
+      "collapses to a plain count (no Expand); an unproven column " +
+      "keeps its distinct — both exact") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    def distincts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case a: Aggregate => a.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression if ae.isDistinct => ae })
+      }.flatten
+    // the pre-shrink groups the fact by fk alone -> fk output-unique
+    // after the N:1 join -> COUNT(DISTINCT fk) is a plain count
+    val provable = "SELECT grp, COUNT(DISTINCT fk) AS dk, SUM(qty) AS s " +
+      "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp ORDER BY grp"
+    // qty joins the pre-group key, so fk is NOT unique there and qty
+    // itself never was: the distinct must survive
+    val unprovable = "SELECT grp, COUNT(DISTINCT qty) AS dq, SUM(price) " +
+      "AS s FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp " +
+      "ORDER BY grp"
+    for ((qq, expect) <- Seq(provable -> 0, unprovable -> 1)) {
+      val off = withRule(on = false)(spark.sql(qq).collect().toSeq)
+      withRule(on = true) {
+        val df = spark.sql(qq)
+        assert(aggsBelowJoin(df), s"no push for: $qq")
+        assert(distincts(df).size == expect,
+          s"wrong surviving distincts for: $qq\n" +
+            df.queryExecution.optimizedPlan)
+        assert(df.collect().toSeq == off, s"diverged: $qq")
+      }
+    }
+  }
+
+  test("external parquet uniqueness: CatalogStats.verifyUnique proves a " +
+      "temp-view dim key; rewriting the files withdraws the premise") {
+    import graft.operators.CatalogStats
+    val dir = java.nio.file.Files.createTempDirectory("graft-ea-ext").toString
+    val dimPath = s"$dir/xdim.parquet"
+    spark.sql("SELECT id AS pk, concat('g', CAST(id % 5 AS STRING)) AS grp " +
+      "FROM range(0, 600)").write.parquet(dimPath)
+    spark.sql("SELECT CAST(id % 400 AS BIGINT) AS fk, id % 50 AS v " +
+      "FROM range(0, 8000)").write.parquet(s"$dir/xfact.parquet")
+    assert(CatalogStats.verifyUnique(spark, dimPath, Seq("pk")) == Set("pk"))
+    def q = {
+      spark.read.parquet(s"$dir/xfact.parquet").createOrReplaceTempView("xf")
+      spark.read.parquet(dimPath).createOrReplaceTempView("xd")
+      spark.sql("SELECT grp, SUM(v) AS s FROM xf JOIN xd ON fk = pk " +
+        "GROUP BY grp ORDER BY grp")
+    }
+    val off = withRule(on = false)(q.collect().toSeq)
+    withRule(on = true) {
+      assert(aggsBelowJoin(q), "verified external dim must push:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.collect().toSeq == off)
+      // rewrite the dim files — the fingerprint moves, AND pk 0 is now
+      // duplicated: exactly the hazard the withdrawal protects against
+      spark.sql("SELECT CAST(id - id % 2 AS BIGINT) AS pk, 'gX' AS grp " +
+        "FROM range(0, 10)").write.mode("overwrite").parquet(dimPath)
+      assert(!aggsBelowJoin(q),
+        "stale external uniqueness premise still pushed")
+      // re-verification against the duplicated key must refuse
+      assert(CatalogStats.verifyUnique(spark, dimPath, Seq("pk")).isEmpty,
+        "a duplicated key re-verified")
     }
   }
 }
