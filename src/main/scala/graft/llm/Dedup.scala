@@ -208,8 +208,17 @@ object Dedup {
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String, batch: DataFrame, k: Int = 8,
                         bands: Int = 4, shingle: Int = 3,
-                        minAgree: Int = 4): DataFrame =
+                        minAgree: Int = 4,
+                        corpus: DataFrame = null): DataFrame = {
+    // staleness defense (opt-in here, because the probe BATCH is by
+    // definition not the indexed corpus): an ingest pipeline that
+    // holds the admitted corpus passes it and gets the same
+    // refuse-on-mismatch contract as the ANN reads — an upserted /
+    // re-crawled corpus must re-index before admitting more waves
+    if (corpus != null)
+      IndexStamp.verify(spark, table, corpus, "dedupAgainstIndex")
     dedupAgainstIndexDf(spark.table(table), batch, k, bands, shingle, minAgree)
+  }
 
   /** [[dedupAgainstIndex]] over an index frame directly — the seam the
     * streaming ingester uses (its index lives as an epoch-partitioned

@@ -546,6 +546,52 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q239
+  /** INDEX STALENESS DEFENSE ([[graft.llm.IndexStamp]], round-17): the
+    * IVF index is built over a PARTIAL corpus crawl, the corpus is
+    * then re-crawled in place (every file rewritten), and the indexed
+    * read MUST refuse loudly — the corpus content fingerprint stamped
+    * on the index at build no longer matches, and a silent answer
+    * would miss every newly-crawled vector. The refusal is asserted
+    * in-query (q237-style guard); the index is then rebuilt over the
+    * CURRENT corpus and served. The oracle is the same exact IVF
+    * recomputation as q57 over the final corpus, so an answer computed
+    * from the stale v1 index would hash-fail the gate, not just lose
+    * recall. */
+  private val staleCorpusDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ivfStaleRebuild(s: SparkSession, dir: String): DataFrame = {
+    val tmp = staleCorpusDirs.computeIfAbsent(dir, _ =>
+      java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString)
+    val corpusPath = s"$tmp/corpus.parquet"
+    // v1: a partial crawl (keeps the stride-centroid ids — 100n ≡ 3
+    // (mod 7) only for n ≡ 5 (mod 7), so most cells keep their seed)
+    emb(s, dir).filter(col("vec_id") % 7 =!= 3)
+      .write.mode("overwrite").parquet(corpusPath)
+    Similarity.writeIvfIndex(s.read.parquet(corpusPath), "graft_ivf_stale",
+      nBuckets = 8, centStride = 100)
+    // the re-crawl: same path, every file rewritten, new ids appear
+    emb(s, dir).write.mode("overwrite").parquet(corpusPath)
+    val v2 = s.read.parquet(corpusPath)
+    val refused =
+      try {
+        Similarity.ivfTopKIndexed(s, "graft_ivf_stale", v2, knnQueryIds,
+          k = 5, nprobe = 2, centStride = 100).collect()
+        false
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("STALE") =>
+          true
+      }
+    require(refused,
+      "a stale IVF index read did not refuse after the corpus moved")
+    Similarity.writeIvfIndex(v2, "graft_ivf_stale", nBuckets = 8,
+      centStride = 100)
+    Similarity.ivfTopKIndexed(s, "graft_ivf_stale", v2, knnQueryIds,
+      k = 5, nprobe = 2, centStride = 100)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- q58
   /** int8 quantization summarized to scalars per vector (driver-hash
     * convention, as q50: list columns stay out of the gate output; the
@@ -1888,6 +1934,7 @@ object LlmQueries {
     "q55_simhash_neardup" -> (simhashNearDup _),
     "q56_heuristic_filter" -> (heuristicFilter _),
     "q57_ivf_topk_indexed" -> (ivfTopKIndexed _),
+    "q239_ivf_stale_rebuild" -> (ivfStaleRebuild _),
     "q58_quantize_embeddings" -> (quantizeEmbeddings _),
     "q59_repetition_metrics" -> (repetitionMetrics _),
     "q60_redact_pii" -> (redactPii _),
@@ -1955,6 +2002,7 @@ object LlmQueries {
     "q55_simhash_neardup" -> simhashNearDupSql,
     "q56_heuristic_filter" -> heuristicFilterSql,
     "q57_ivf_topk_indexed" -> ivfTopKSql,
+    "q239_ivf_stale_rebuild" -> ivfTopKSql,
     "q58_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q59_repetition_metrics" -> repetitionMetricsSql,
     "q60_redact_pii" -> redactPiiSql,

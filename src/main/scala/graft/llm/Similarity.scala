@@ -448,6 +448,8 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, table: String, embeddings: DataFrame,
                 queryIds: Seq[Long], k: Int, nprobe: Int = 2,
                 centStride: Long = 100, m: Int = 8): DataFrame = {
+    // staleness defense: the stored codes must describe THIS corpus
+    IndexStamp.verify(spark, table, embeddings, "ivfPqTopK")
     val (e, cents, sub) = pqParts(embeddings, m, centStride)
     val dtable = pqDistTable(e, cents, queryIds, m, sub)
       .withColumnRenamed("cent_id", "code")
@@ -487,6 +489,8 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, table: String,
                      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
                      nprobe: Int = 2, centStride: Long = 100): DataFrame = {
+    // staleness defense: the bucketed cells must describe THIS corpus
+    IndexStamp.verify(spark, table, embeddings, "ivfTopKIndexed")
     val probes = probeSet(embeddings, queryIds, nprobe, centStride)
     // one computation of the (scalar-sized) probe set, reused both as
     // the literal pruning predicate and as the broadcast join side

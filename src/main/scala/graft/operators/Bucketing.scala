@@ -14,12 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed+sorted catalog table. */
+  /** Persist `df` as a bucketed+sorted catalog table, stamped with the
+    * content fingerprint of `df`'s at-rest sources
+    * ([[graft.llm.IndexStamp]]) so derived-index readers can detect a
+    * corpus that moved after the build and refuse instead of silently
+    * answering stale. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    nBuckets: Int): Unit =
+                    nBuckets: Int): Unit = {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
+    graft.llm.IndexStamp.stamp(df.sparkSession, table, df)
+  }
 
   /** Join two same-bucketed tables on their bucket key — shuffle-free
     * when bucket counts match. */

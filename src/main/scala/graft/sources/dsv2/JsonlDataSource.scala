@@ -320,6 +320,10 @@ class JsonlTable(tableSchema: StructType, path: String,
   override def name(): String =
     if (snapshot == null) s"graft-jsonl `$path`"
     else s"graft-jsonl `$path` @v${snapshot.id}"
+  /** Table root, for content-identity hashing by readers that pin a
+    * derived artifact to this table's state (ANN index staleness —
+    * [[graft.llm.IndexStamp]]). */
+  private[graft] def tableDir: String = path
   /** Columns EXACTLY verified duplicate-free by `CALL analyze_table`
     * and still fingerprint-fresh — the table-shaped carrier of the
     * eager-aggregation premise ([[graft.plans.EagerAggregation]] runs
