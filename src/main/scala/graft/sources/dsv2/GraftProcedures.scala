@@ -355,6 +355,10 @@ object GraftProcedures {
         // them (this run's own staging/trash names don't exist yet, so
         // the glob is a pure pre-check)
         JsonlSnapshots.requireNoCrashedSwaps(fs, table, "compact")
+        // stats carry (entry capture BEFORE any mutation; exit hook
+        // re-stamps fresh stats under the post-maintenance fingerprint)
+        val statsDone = statsCarry(catalog,
+          input.getUTF8String(0).toString, fs, table)
         // merge-on-read integration: compaction is where position-
         // delete sidecars are RETIRED — deleted lines are dropped from
         // the rewritten shards (still pure line I/O: the sidecar is
@@ -502,7 +506,12 @@ object GraftProcedures {
             JsonlSnapshots.retainedRoot(table))
           ()
         }
-        if (todo.isEmpty) { retireOutgrown(); return result(compactSchema, Nil) }
+        if (todo.isEmpty) {
+          // re-stamps + key-file retirement still moved the
+          // fingerprint: carry the stats over them too
+          retireOutgrown(); statsDone()
+          return result(compactSchema, Nil)
+        }
         val tableStr = table.toString
         val stagingStr = staging.toString
         // partition-column rename: executor tasks resolving key-column
@@ -758,11 +767,60 @@ object GraftProcedures {
         // is exposed to (global rule — a scoped run retires only what
         // the rest of the layout also outgrew)
         retireOutgrown()
+        statsDone()
         result(compactSchema, after.toSeq.map { case (rel, b, a) =>
           new GenericInternalRow(Array[Any](utf8(rel), b, a)): InternalRow })
         } finally RowLevelLock.releaseAll(fs, rloLocks)
       }
     }
+
+  /** MAINTENANCE STATS CARRY-OVER: compaction / clustering /
+    * conversion / eq-delete reconciliation preserve the table's
+    * LOGICAL content — the live rows a scan serves are identical
+    * before and after — yet they move the content fingerprint, which
+    * withdraws ANALYZE stats and uniqueness verifications (correct
+    * conservatism for writes, wrong for maintenance: the table that
+    * JUST got maintained is exactly the one left planning without
+    * stats until a second ANALYZE). Protocol: capture whether the
+    * stats were FRESH at procedure entry (inside the lock, before any
+    * mutation); at exit, re-stamp the SAME stats — row count, column
+    * stats, uniqueness verifications — under the post-maintenance
+    * fingerprint. Stats already stale at entry are never revived
+    * (their values describe an unknown older layout), but when the
+    * post-maintenance layout is sidecar-free, eq-free, and fully
+    * skip-indexed, the row count alone refreshes for free from the
+    * index's exact per-shard counts. Returns the exit hook. */
+  private def statsCarry(catalog: GraftCatalog, tableName: String,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         table: Path): () => Unit = {
+    val prior = catalog.readTableMeta(tableName)._3
+      .get(JsonlTable.StatsProp).flatMap(JsonlTableStats.fromJson)
+    val wasFresh = prior.exists(
+      _.fingerprint == JsonlLayout.statsFingerprint(fs, table))
+    () => {
+      val fpAfter = JsonlLayout.statsFingerprint(fs, table)
+      if (wasFresh) {
+        val s = prior.get
+        if (s.fingerprint != fpAfter)
+          catalog.updateTableProps(tableName)(_ + (JsonlTable.StatsProp ->
+            JsonlTableStats.toJson(s.copy(fingerprint = fpAfter))))
+      } else if (prior.isDefined &&
+          JsonlDeletes.index(fs, table).isEmpty &&
+          JsonlEqDeletes.pendingNames(fs, table).isEmpty) {
+        // rows-only refresh: exact iff the index covers EVERY live
+        // shard (per-shard counts are exact by construction)
+        val schema = catalog.readTableMeta(tableName)._1
+        val entries = JsonlSkipIndex.entriesOf(fs, table, schema)
+        val live = JsonlLayout.discoverFull(fs, table)
+        val covered = entries.map(e => new Path(e._1).getName).toSet
+        if (live.nonEmpty && live.forall { case (p, _, _, _) =>
+            covered.contains(p.getName) })
+          catalog.updateTableProps(tableName)(_ + (JsonlTable.StatsProp ->
+            JsonlTableStats.toJson(JsonlTableStats.TableStats(
+              entries.map(_._2.nRows).sum, fpAfter, Map.empty))))
+      }
+    }
+  }
 
   private val analyzeSchema = StructType(Seq(
     StructField("column", StringType),
@@ -1004,6 +1062,9 @@ object GraftProcedures {
           // the swap would leave them live beside the rewrite's copy
           // of their rows (silent duplicates)
           JsonlSnapshots.requireNoCrashedSwaps(fs, table, "cluster_table")
+          // stats carry: a sort-rewrite preserves logical content
+          // exactly; fresh ANALYZE stats must survive it
+          val statsDone = statsCarry(catalog, tableName, fs, table)
           // pending equality deletes COMPOSE: the rewrite reads
           // through the eq-aware scan (hidden rows already dropped),
           // its outputs stamp at the current max sequence (so past
@@ -1345,6 +1406,7 @@ object GraftProcedures {
           JsonlSkipIndex.writeClusterSpec(fs, table,
             JsonlSkipIndex.ClusterSpec(cols, zorder, nShards,
               JsonlSkipIndex.layoutFingerprint(publishedRels)))
+          statsDone()
           result(compactSchema, resultRows)
         } finally RowLevelLock.release(fs, lock)
       }

@@ -83,6 +83,66 @@ class AnalyzeConvertSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM ac.ns.ms").head.getLong(0) == 970L)
   }
 
+  test("maintenance stats carry: fresh ANALYZE stats (uniqueness " +
+      "included) survive compact and cluster_table; stale stats are " +
+      "not revived but the row count refreshes from the skip index") {
+    import graft.sources.dsv2.{GraftCatalog, JsonlTable}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    sql("""CREATE TABLE ac.ns.mc (k BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read',
+          |  'graft.skip.columns'='k')""".stripMargin)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try sql("""INSERT INTO ac.ns.mc
+              |SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id * 2
+              |FROM range(0, 3000)""".stripMargin)
+    finally
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    sql("DELETE FROM ac.ns.mc WHERE k < 100") // MOR sidecar
+    sql("CALL ac.system.analyze_table('ns.mc', unique_candidates => 'k')")
+    def table(): JsonlTable = spark.sessionState.catalogManager
+      .catalog("ac").asInstanceOf[GraftCatalog]
+      .loadTable(Identifier.of(Array("ns"), "mc")).asInstanceOf[JsonlTable]
+    def rowStat(): Option[BigInt] =
+      scanStats("SELECT * FROM ac.ns.mc").head.rowCount
+    assert(rowStat().contains(BigInt(2900)))
+    assert(table().freshUniqueColumns == Set("k"))
+    // compact folds the sidecar and rewrites shards: the fingerprint
+    // moves, but content is preserved — stats and the uniqueness
+    // premise must CARRY, not withdraw
+    sql("CALL ac.system.compact('ns.mc', max_shards => 1)")
+    assert(rowStat().contains(BigInt(2900)),
+      "compact withdrew fresh ANALYZE stats")
+    assert(table().freshUniqueColumns == Set("k"),
+      "compact withdrew a fresh uniqueness verification")
+    assert(scanStats("SELECT * FROM ac.ns.mc").head.attributeStats.nonEmpty,
+      "compact dropped the column stats")
+    // cluster_table is a sort-rewrite: same carry
+    sql("CALL ac.system.cluster_table('ns.mc', 'k', target_shards => 2)")
+    assert(rowStat().contains(BigInt(2900)),
+      "cluster_table withdrew fresh ANALYZE stats")
+    assert(table().freshUniqueColumns == Set("k"),
+      "cluster_table withdrew a fresh uniqueness verification")
+    // a REAL write stales the ANALYZE stats (correct conservatism:
+    // column stats and the uniqueness claim go invisible; the row
+    // count channel stays exact through the skip index)
+    sql("INSERT INTO ac.ns.mc SELECT id + 10000, 0 FROM range(0, 50)")
+    assert(scanStats("SELECT * FROM ac.ns.mc").head.attributeStats.isEmpty,
+      "stale column stats served after an append")
+    assert(table().freshUniqueColumns.isEmpty,
+      "stale uniqueness claim served after an append")
+    // the next maintenance re-stamps a rows-only stats doc (exact from
+    // the skip index) but never revives the stale column stats or the
+    // uniqueness claim
+    sql("CALL ac.system.build_skip_index('ns.mc', 'k')")
+    sql("CALL ac.system.compact('ns.mc')")
+    assert(rowStat().contains(BigInt(2950)),
+      "row count did not refresh after maintenance")
+    assert(scanStats("SELECT * FROM ac.ns.mc").head.attributeStats.isEmpty,
+      "stale column stats were revived")
+    assert(table().freshUniqueColumns.isEmpty,
+      "a stale uniqueness claim was revived")
+  }
+
   test("spec-file RMW takes the meta lock: a held lock refuses ALTER " +
       "and the analyze publish; release restores both") {
     import graft.sources.dsv2.RowLevelLock
