@@ -558,6 +558,56 @@ object Analytics {
   def topCustomersSqlText(s: SparkSession, dir: String): DataFrame =
     sqlText(topCustomersSql, Seq("orders", "customer"))(s, dir)
 
+  // ---------------------------------------------------------------- q240
+  /** LEFT-OUTER EAGER AGGREGATION over external parquet — the
+    * reference's J5 fact-enrichment join writ large: a verbatim
+    * `orders LEFT JOIN customer` aggregate pre-shrinks the fact below
+    * the join because the dim key is verified-unique and the join
+    * PRESERVES the fact side (every partial group produces exactly one
+    * output row, matched or null-extended — null-extension is why FULL
+    * OUTER never rewrites). The dim is FILTERED so ~1/3 of orders
+    * genuinely null-extend into a NULL-segment group: the exact shape
+    * where a wrong fold double-counts or drops the unmatched rows, and
+    * the oracle pins every group including the NULL one. Runs with
+    * broadcast disabled (the at-scale posture, as q237): at 100 TB the
+    * enrichment dim shuffles and the pre-shrink pays in join-shuffle
+    * volume. */
+  private val eagerLeftOuterSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  val eagerLeftOuterSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n, MAX(o_orderkey) AS max_ok
+      |FROM orders LEFT JOIN
+      |  (SELECT c_custkey, c_mktsegment FROM customer
+      |   WHERE c_custkey % 3 <> 1) d
+      |  ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  def eagerLeftOuterSqlText(s: SparkSession, dir: String): DataFrame = {
+    val child = eagerLeftOuterSessions.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.graft.eagerAgg.enabled", "true")
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.CatalogStats.verifyUnique(
+        c, s"$dir/customer.parquet", Seq("c_custkey"))
+      c
+    })
+    Seq("orders", "customer")
+      .foreach(n => t(child, dir, n).createOrReplaceTempView(n))
+    val df = child.sql(eagerLeftOuterSql)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg,
+      Join => LJoin}
+    val plan = df.queryExecution.optimizedPlan
+    val pushed = plan.collect { case j: LJoin =>
+      j.children.exists(_.collectFirst { case a: LAgg => a }.isDefined)
+    }.exists(identity)
+    require(pushed,
+      "left-outer eager aggregation did not push below the join:\n" + plan)
+    df
+  }
+
   // ---------------------------------------------------------------- q238
   /** EAGER AGGREGATION ON THE DISTINCT SHAPE over EXTERNAL PARQUET —
     * the round-17 extension of [[graft.plans.EagerAggregation]] closing
@@ -1691,6 +1741,7 @@ object Analytics {
     "q197_nation_revenue_sqltext" -> (nationRevenueSqlText _),
     "q198_top_customers_sqltext" -> (topCustomersSqlText _),
     "q238_eager_distinct_sqltext" -> (eagerDistinctSqlText _),
+    "q240_eager_left_outer" -> (eagerLeftOuterSqlText _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1732,6 +1783,7 @@ object Analytics {
     "q195_pricing_summary_sqltext" -> pricingSummarySql,
     "q196_segment_revenue_sqltext" -> segmentRevenueSql,
     "q238_eager_distinct_sqltext" -> segmentRevenueSql,
+    "q240_eager_left_outer" -> eagerLeftOuterSql,
     "q197_nation_revenue_sqltext" -> nationRevenueSql,
     "q198_top_customers_sqltext" -> topCustomersSql,
     "q74_small_quantity_revenue" -> smallQuantityRevenueSql,

@@ -99,15 +99,31 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
       // Aggregate and the Join — accept and drop it (the rewrite's
       // partial aggregate re-prunes on the next fixed-point pass)
       case agg @ Aggregate(groupings, results,
-          join @ Join(_, _, Inner, Some(_), _), _)
-          if agg.getTagValue(Done).isEmpty =>
+          join @ Join(_, _, jt, Some(_), _), _)
+          if agg.getTagValue(Done).isEmpty && supportedJoin(jt) =>
         rewrite(agg, groupings, results, join).getOrElse(agg)
       case agg @ Aggregate(groupings, results,
-          Project(pl, join @ Join(_, _, Inner, Some(_), _)), _)
-          if agg.getTagValue(Done).isEmpty &&
+          Project(pl, join @ Join(_, _, jt, Some(_), _)), _)
+          if agg.getTagValue(Done).isEmpty && supportedJoin(jt) &&
             pl.forall(_.isInstanceOf[AttributeReference]) =>
         rewrite(agg, groupings, results, join).getOrElse(agg)
     }
+  }
+
+  /** INNER plus the fact-preserving outer joins. LEFT OUTER (the
+    * reference's own J5 fact-enrichment shape writ large) is exact
+    * under the SAME fold: with the dim key unique, every partial
+    * group produces exactly ONE join output row — matched, or
+    * null-extended (null-fk groups included: their collapsed partial
+    * counts re-aggregate to the original row count). FULL OUTER is
+    * NOT: a group of purely unmatched dim rows has no fact partial,
+    * so a COUNT(*) would fold to 0 instead of the dim-row count. */
+  private def supportedJoin(jt: org.apache.spark.sql.catalyst.plans.JoinType)
+      : Boolean = jt match {
+    case Inner => true
+    case org.apache.spark.sql.catalyst.plans.LeftOuter => true
+    case org.apache.spark.sql.catalyst.plans.RightOuter => true
+    case _ => false
   }
 
   private def rewrite(agg: Aggregate, groupings: Seq[Expression],
@@ -124,11 +140,23 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
         else return None
       case _ => return None
     }
-    // which side is the PROVEN-unique dim?
-    val (fact, factKey, dim, factIsLeft) =
-      if (uniqueOn(join.right, rk)) (join.left, lk, join.right, true)
-      else if (uniqueOn(join.left, lk)) (join.right, rk, join.left, false)
-      else return None
+    // which side is the PROVEN-unique dim? Outer joins additionally
+    // pin the orientation: only the PRESERVED side can be the fact
+    // (pre-aggregating the null-extending side would collapse dim
+    // rows the outer join must surface individually)
+    val (fact, factKey, dim, factIsLeft) = join.joinType match {
+      case Inner =>
+        if (uniqueOn(join.right, rk)) (join.left, lk, join.right, true)
+        else if (uniqueOn(join.left, lk)) (join.right, rk, join.left, false)
+        else return None
+      case org.apache.spark.sql.catalyst.plans.LeftOuter =>
+        if (uniqueOn(join.right, rk)) (join.left, lk, join.right, true)
+        else return None
+      case org.apache.spark.sql.catalyst.plans.RightOuter =>
+        if (uniqueOn(join.left, lk)) (join.right, rk, join.left, false)
+        else return None
+      case _ => return None
+    }
     if (fact.isInstanceOf[Aggregate]) return None // already pre-shrunk
     // plain-attribute groupings only
     val groupAttrs: Seq[AttributeReference] = groupings.map {

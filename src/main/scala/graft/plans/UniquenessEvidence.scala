@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -104,7 +104,10 @@ object UniquenessEvidence {
             funcDetermined(session, c, attr,
               attrs.filterNot(_.exprId == attr.exprId))
         }
-      case Join(l, r, Inner,
+      // outer joins included: null-extension introduces NULLs of the
+      // attr, never duplicate VALUES — and with both keys unique the
+      // row multiplicities are one-to-at-most-one in each direction
+      case Join(l, r, Inner | LeftOuter | RightOuter,
           Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
         val (lk, rk) =
           if (l.outputSet.contains(a) && r.outputSet.contains(b)) (a, b)

@@ -325,6 +325,44 @@ class EagerAggregationSpec extends AnyFunSuite {
     }
   }
 
+  test("LEFT OUTER eager aggregation: the fact-preserving enrichment " +
+      "join pre-shrinks exactly (null fks and dangling fks included); " +
+      "wrong orientation and FULL OUTER stand down") {
+    val shapes = Seq(
+      // plain sum/count over the enrichment join — null-fk fact rows
+      // survive null-extended, dangling fks survive unmatched
+      "SELECT grp, SUM(qty) AS s, COUNT(*) AS n FROM ea.ns.fact " +
+        "LEFT JOIN ea.ns.dim ON fk = pk GROUP BY grp ORDER BY grp",
+      // distinct aggs ride the same fold under LEFT OUTER
+      "SELECT seg, COUNT(DISTINCT fk) AS dk, COUNT(DISTINCT grp) AS dg " +
+        "FROM ea.ns.fact LEFT JOIN ea.ns.dim ON fk = pk GROUP BY seg " +
+        "ORDER BY seg",
+      // RIGHT OUTER with the dim on the left mirrors
+      "SELECT grp, SUM(qty) AS s FROM ea.ns.dim RIGHT JOIN ea.ns.fact " +
+        "ON fk = pk GROUP BY grp ORDER BY grp")
+    for (qq <- shapes) {
+      val off = withRule(on = false)(spark.sql(qq).collect().toSeq)
+      withRule(on = true) {
+        val df = spark.sql(qq)
+        assert(aggsBelowJoin(df), s"no push for: $qq\n" +
+          df.queryExecution.optimizedPlan)
+        assert(df.collect().toSeq == off, s"diverged: $qq")
+      }
+    }
+    withRule(on = true) {
+      // LEFT OUTER with the fact on the NULL-EXTENDING side: the
+      // pre-agg would collapse dim rows the join must surface — no
+      val wrongSide = spark.sql("SELECT grp, MAX(qty) AS m " +
+        "FROM ea.ns.dim LEFT JOIN ea.ns.fact ON fk = pk GROUP BY grp")
+      assert(!aggsBelowJoin(wrongSide), "pushed into a null-extending side")
+      // FULL OUTER: a purely-unmatched dim group's COUNT(*) would
+      // fold to 0 — never rewrite
+      val full = spark.sql("SELECT grp, COUNT(*) AS n FROM ea.ns.fact " +
+        "FULL JOIN ea.ns.dim ON fk = pk GROUP BY grp")
+      assert(!aggsBelowJoin(full), "pushed through a full outer join")
+    }
+  }
+
   test("external parquet uniqueness: CatalogStats.verifyUnique proves a " +
       "temp-view dim key; rewriting the files withdraws the premise") {
     import graft.operators.CatalogStats
