@@ -26,7 +26,7 @@ class EagerAggregationSpec extends AnyFunSuite {
             |       ELSE 'c' END,
             |  CASE WHEN id % 7 = 2 THEN NULL ELSE id % 97 END,
             |  id * 0.25
-            |FROM range(0, 20000)""".stripMargin)
+            |FROM range(0, 8000)""".stripMargin)
     // dim: unique pk 0..699 (some fact fks dangle: inner join drops)
     s.sql("CREATE TABLE ea.ns.dim (pk BIGINT, grp STRING, w BIGINT)")
     s.sql("""INSERT INTO ea.ns.dim SELECT id,
@@ -171,9 +171,9 @@ class EagerAggregationSpec extends AnyFunSuite {
   test("property: seeded random fact/dim populations — rewritten " +
       "results identical to the un-rewritten plan across shapes") {
     val rnd = new scala.util.Random(20260816L)
-    for (round <- 0 until 4) {
-      val nFact = 2000 + rnd.nextInt(3000)
-      val nDim = 50 + rnd.nextInt(400)
+    for (round <- 0 until 3) {
+      val nFact = 1200 + rnd.nextInt(1500)
+      val nDim = 50 + rnd.nextInt(250)
       val nullPct = rnd.nextInt(30)
       spark.sql(s"DROP TABLE IF EXISTS ea.ns.pf$round")
       spark.sql(s"DROP TABLE IF EXISTS ea.ns.pd$round")
