@@ -572,8 +572,23 @@ object Analytics {
     * broadcast disabled (the at-scale posture, as q237): at 100 TB the
     * enrichment dim shuffles and the pre-shrink pays in join-shuffle
     * volume. */
-  private val eagerLeftOuterSessions =
+  private val eagerAtScaleSessions =
     new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  /** Shared at-scale child for q240/q241: eager aggregation on,
+    * broadcast disabled (both sides shuffle — the 100 TB posture the
+    * rows represent), star dim keys exactly verified. */
+  private def eagerAtScaleSession(s: SparkSession, dir: String): SparkSession =
+    eagerAtScaleSessions.computeIfAbsent(dir, _ => {
+      val c = s.newSession()
+      c.conf.set("spark.graft.eagerAgg.enabled", "true")
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.CatalogStats.verifyUnique(
+        c, s"$dir/orders.parquet", Seq("o_orderkey"))
+      graft.operators.CatalogStats.verifyUnique(
+        c, s"$dir/customer.parquet", Seq("c_custkey"))
+      c
+    })
 
   val eagerLeftOuterSql: String =
     """SELECT c_mktsegment,
@@ -586,14 +601,7 @@ object Analytics {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   def eagerLeftOuterSqlText(s: SparkSession, dir: String): DataFrame = {
-    val child = eagerLeftOuterSessions.computeIfAbsent(dir, _ => {
-      val c = s.newSession()
-      c.conf.set("spark.graft.eagerAgg.enabled", "true")
-      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      graft.operators.CatalogStats.verifyUnique(
-        c, s"$dir/customer.parquet", Seq("c_custkey"))
-      c
-    })
+    val child = eagerAtScaleSession(s, dir)
     Seq("orders", "customer")
       .foreach(n => t(child, dir, n).createOrReplaceTempView(n))
     val df = child.sql(eagerLeftOuterSql)
@@ -605,6 +613,40 @@ object Analytics {
     }.exists(identity)
     require(pushed,
       "left-outer eager aggregation did not push below the join:\n" + plan)
+    df
+  }
+
+  // ---------------------------------------------------------------- q241
+  /** AVG THROUGH THE JOIN (round-17 extension): the verbatim
+    * fact⋈dim average decomposes as partial SUM (in Average's own
+    * DoubleType accumulator) + COUNT below the join and ONE division
+    * above — the same sum-then-divide Average itself performs, so the
+    * fold changes only addition order (the reordering partial
+    * aggregation already performs; here the values are integer-valued
+    * doubles, so even that is exact, and the oracle hash pins it).
+    * Decimal averages stand down in the rule. Plan-guarded: the
+    * partial aggregate must sit below the join. */
+  val eagerAvgSql: String =
+    """SELECT o_orderpriority,
+      |  AVG(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def eagerAvgSqlText(s: SparkSession, dir: String): DataFrame = {
+    val child = eagerAtScaleSession(s, dir)
+    Seq("lineitem", "orders")
+      .foreach(n => t(child, dir, n).createOrReplaceTempView(n))
+    val df = child.sql(eagerAvgSql)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg,
+      Join => LJoin}
+    val plan = df.queryExecution.optimizedPlan
+    val pushed = plan.collect { case j: LJoin =>
+      j.children.exists(_.collectFirst { case a: LAgg => a }.isDefined)
+    }.exists(identity)
+    require(pushed,
+      "AVG eager aggregation did not push below the join:\n" + plan)
     df
   }
 
@@ -1742,6 +1784,7 @@ object Analytics {
     "q198_top_customers_sqltext" -> (topCustomersSqlText _),
     "q238_eager_distinct_sqltext" -> (eagerDistinctSqlText _),
     "q240_eager_left_outer" -> (eagerLeftOuterSqlText _),
+    "q241_eager_avg_join" -> (eagerAvgSqlText _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1784,6 +1827,7 @@ object Analytics {
     "q196_segment_revenue_sqltext" -> segmentRevenueSql,
     "q238_eager_distinct_sqltext" -> segmentRevenueSql,
     "q240_eager_left_outer" -> eagerLeftOuterSql,
+    "q241_eager_avg_join" -> eagerAvgSql,
     "q197_nation_revenue_sqltext" -> nationRevenueSql,
     "q198_top_customers_sqltext" -> topCustomersSql,
     "q74_small_quantity_revenue" -> smallQuantityRevenueSql,

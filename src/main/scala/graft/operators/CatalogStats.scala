@@ -158,16 +158,38 @@ object CatalogStats {
     prior ++ fresh
   }
 
+  // plan-time freshness memo (`spark.graft.eagerAgg.fingerprint.ttl.ms`,
+  // default 0 = re-list on every probe): locally a listStatus is
+  // microseconds, but the fixed-point optimizer probes several times
+  // per query, and at object-store scale each probe is a real LIST
+  // call — a small TTL bounds both, at the cost of delaying staleness
+  // DETECTION (never soundness of what was proved) by at most the TTL
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
   /** Verified-unique columns of the relation at `rootPaths`, IF its
     * content fingerprint still matches the one proved. Empty set (no
-    * I/O beyond one listing, and none at all for never-verified
-    * relations) otherwise. */
+    * I/O beyond one listing — TTL-memoized when configured — and none
+    * at all for never-verified relations) otherwise. */
   def freshUniqueColumns(spark: SparkSession,
                          rootPaths: Seq[String]): Set[String] = {
-    val e = uniqueVerified.get(pathKey(spark, rootPaths))
-    if (e == null) Set.empty
-    else if (filesFingerprint(spark, rootPaths) == e.fingerprint) e.cols
-    else Set.empty
+    val key = pathKey(spark, rootPaths)
+    val e = uniqueVerified.get(key)
+    if (e == null) return Set.empty
+    val ttlMs =
+      try spark.conf.get("spark.graft.eagerAgg.fingerprint.ttl.ms", "0").toLong
+      catch { case _: NumberFormatException => 0L }
+    val now = System.nanoTime()
+    val cached = fpMemo.get(key)
+    val fp =
+      if (ttlMs > 0 && cached != null && (now - cached._2) / 1000000L < ttlMs)
+        cached._1
+      else {
+        val f = filesFingerprint(spark, rootPaths)
+        fpMemo.put(key, (f, now))
+        f
+      }
+    if (fp == e.fingerprint) e.cols else Set.empty
   }
 
   /** Catalog row count the optimizer will plan with (None when the

@@ -186,6 +186,16 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
         // distinct TRY sum's dedup set is still value-exact, so the
         // same conservatism applies uniformly
         case s: Sum => s.evalContext.evalMode == EvalMode.LEGACY
+        // AVG decomposes as partial SUM+COUNT below, ONE division
+        // above — the same sum-then-divide Spark's Average performs,
+        // over the same DoubleType accumulator (non-decimal Average
+        // sums in double), so the fold changes only addition order —
+        // the reordering partial aggregation already performs.
+        // Decimal averages are excluded: their precision/scale
+        // derivation through a two-level fold is not value-identical
+        case a: Average => a.evalMode == EvalMode.LEGACY &&
+          a.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          !a.child.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
         case _: Min | _: Max | _: Count => true
         case _ => false
       }
@@ -222,20 +232,30 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
     val ga = groupAttrs.filter(a => factSet.contains(a))
     val partialGroup: Seq[AttributeReference] =
       (factKey +: (ga ++ factDistinct.toSeq)).distinct
-    val pairs: Seq[(AggregateExpression, Alias)] = partialized.toSeq.map { ae =>
-      val pf = ae.aggregateFunction match {
-        // eval context carried over verbatim (admission pinned it
-        // LEGACY) — Sum(child) alone would re-derive the mode from
-        // the SESSION conf, changing overflow semantics under ANSI
-        case s: Sum => Sum(s.child, s.evalContext)
-        case m: Min => Min(m.child)
-        case m: Max => Max(m.child)
-        case c: Count => Count(c.children)
+    val pairs: Seq[(AggregateExpression, Seq[Alias])] =
+      partialized.toSeq.map { ae =>
+        val pfs: Seq[AggregateFunction] = ae.aggregateFunction match {
+          // eval context carried over verbatim (admission pinned it
+          // LEGACY) — Sum(child) alone would re-derive the mode from
+          // the SESSION conf, changing overflow semantics under ANSI
+          case s: Sum => Seq(Sum(s.child, s.evalContext))
+          case m: Min => Seq(Min(m.child))
+          case m: Max => Seq(Max(m.child))
+          case c: Count => Seq(Count(c.children))
+          // AVG: (sum in Average's own DoubleType accumulator, count
+          // of non-null inputs) — re-folded as one division above
+          case a: Average => Seq(
+            Sum(Cast(a.child, org.apache.spark.sql.types.DoubleType),
+              NumericEvalContext(EvalMode.LEGACY,
+                allowDecimalPrecisionLoss = true)),
+            Count(Seq(a.child)))
+        }
+        ae -> pfs.zipWithIndex.map { case (pf, i) =>
+          Alias(pf.toAggregateExpression(),
+            s"_eager_${ae.resultId.id}_$i")() }
       }
-      ae -> Alias(pf.toAggregateExpression(), s"_eager_${ae.resultId.id}")()
-    }
     val partialAgg = Aggregate(partialGroup,
-      partialGroup ++ pairs.map(_._2), fact)
+      partialGroup ++ pairs.flatMap(_._2), fact)
     val newJoin =
       if (factIsLeft) join.copy(left = partialAgg)
       else join.copy(right = partialAgg)
@@ -245,9 +265,11 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
     // construction
     def retyped(e: Expression, want: DataType): Expression =
       if (e.dataType == want) e else Cast(e, want)
+    val legacyCtx =
+      NumericEvalContext(EvalMode.LEGACY, allowDecimalPrecisionLoss = true)
     val repl: Map[AggregateExpression, Expression] = pairs.map {
-      case (ae, al) =>
-        val attr = al.toAttribute
+      case (ae, als) =>
+        val attr = als.head.toAttribute
         val outer: Expression = ae.aggregateFunction match {
           case s: Sum =>
             retyped(Sum(attr, s.evalContext).toAggregateExpression(),
@@ -255,10 +277,19 @@ case class EagerAggregation(session: SparkSession) extends Rule[LogicalPlan] {
           case _: Min => retyped(Min(attr).toAggregateExpression(), ae.dataType)
           case _: Max => retyped(Max(attr).toAggregateExpression(), ae.dataType)
           case _: Count => Coalesce(Seq(
-            retyped(Sum(attr,
-              NumericEvalContext(EvalMode.LEGACY,
-                allowDecimalPrecisionLoss = true))
-              .toAggregateExpression(), LongType), Literal(0L)))
+            retyped(Sum(attr, legacyCtx).toAggregateExpression(), LongType),
+            Literal(0L)))
+          // sum-of-sums / sum-of-counts, ONE division — exactly
+          // Average's own final sum/count evaluation; LEGACY double
+          // division returns NULL on count 0, matching Average's
+          // empty-group null
+          case _: Average =>
+            val cnt = als(1).toAttribute
+            retyped(Divide(
+              Sum(attr, legacyCtx).toAggregateExpression(),
+              Cast(Sum(cnt, legacyCtx).toAggregateExpression(),
+                org.apache.spark.sql.types.DoubleType),
+              legacyCtx), ae.dataType)
         }
         ae -> outer
     }.toMap

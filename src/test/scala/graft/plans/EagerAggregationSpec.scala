@@ -108,10 +108,11 @@ class EagerAggregationSpec extends AnyFunSuite {
       val trySum = spark.sql("SELECT grp, TRY_SUM(qty) AS t " +
         "FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp")
       assert(!aggsBelowJoin(trySum), "pushed a try_sum aggregate")
-      // AVG is not in the supported fold set
-      val avg = spark.sql("SELECT grp, AVG(qty) AS a FROM ea.ns.fact " +
-        "JOIN ea.ns.dim ON fk = pk GROUP BY grp")
-      assert(!aggsBelowJoin(avg), "pushed an unsupported aggregate")
+      // DECIMAL averages stand down: precision/scale derivation
+      // through a two-level fold is not value-identical
+      val avgDec = spark.sql("SELECT grp, AVG(CAST(price AS DECIMAL(14,4)))" +
+        " AS a FROM ea.ns.fact JOIN ea.ns.dim ON fk = pk GROUP BY grp")
+      assert(!aggsBelowJoin(avgDec), "pushed a decimal average")
       // non-distinct SUM over a DIM column is NOT duplicate-
       // insensitive and cannot be partialized fact-side: stand down
       val dimAgg = spark.sql("SELECT seg, SUM(w) AS sw FROM ea.ns.fact " +
@@ -229,6 +230,28 @@ class EagerAggregationSpec extends AnyFunSuite {
           |GROUP BY grp""".stripMargin)
       assert(!aggsBelowJoin(computed),
         "a computed key column must not inherit the proof")
+    }
+  }
+
+  test("AVG decomposes as partial sum+count below the join, one " +
+      "division above — exact for long and double inputs (all-null " +
+      "groups included)") {
+    val shapes = Seq(
+      "SELECT grp, AVG(qty) AS aq, COUNT(*) AS n FROM ea.ns.fact " +
+        "JOIN ea.ns.dim ON fk = pk GROUP BY grp ORDER BY grp",
+      "SELECT seg, AVG(price) AS ap, SUM(qty) AS s FROM ea.ns.fact " +
+        "JOIN ea.ns.dim ON fk = pk GROUP BY seg ORDER BY seg",
+      // LEFT OUTER + AVG over the enrichment shape
+      "SELECT grp, AVG(qty) AS aq FROM ea.ns.fact LEFT JOIN ea.ns.dim " +
+        "ON fk = pk GROUP BY grp ORDER BY grp")
+    for (qq <- shapes) {
+      val off = withRule(on = false)(spark.sql(qq).collect().toSeq)
+      withRule(on = true) {
+        val df = spark.sql(qq)
+        assert(aggsBelowJoin(df), s"AVG shape did not push: $qq\n" +
+          df.queryExecution.optimizedPlan)
+        assert(df.collect().toSeq == off, s"AVG diverged: $qq")
+      }
     }
   }
 
