@@ -37,5 +37,11 @@ object SuiteTuning {
           spark, s"$sfDir/$table.parquet", Seq(key))
       }
     spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+    // the fixed-point optimizer probes uniqueness freshness MANY times
+    // per query; without a TTL every probe re-lists the relation's
+    // files. The suite's testdata is immutable, so a 30 s memo costs
+    // nothing and keeps planning metadata-light — the same setting a
+    // production deployment would run with on object storage
+    spark.conf.set("spark.graft.eagerAgg.fingerprint.ttl.ms", "30000")
   }
 }

@@ -582,6 +582,7 @@ object Analytics {
     eagerAtScaleSessions.computeIfAbsent(dir, _ => {
       val c = s.newSession()
       c.conf.set("spark.graft.eagerAgg.enabled", "true")
+      c.conf.set("spark.graft.eagerAgg.fingerprint.ttl.ms", "30000")
       c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       graft.operators.CatalogStats.verifyUnique(
         c, s"$dir/orders.parquet", Seq("o_orderkey"))
@@ -674,6 +675,7 @@ object Analytics {
     val child = eagerDistinctSessions.computeIfAbsent(dir, _ => {
       val c = s.newSession()
       c.conf.set("spark.graft.eagerAgg.enabled", "true")
+      c.conf.set("spark.graft.eagerAgg.fingerprint.ttl.ms", "30000")
       graft.operators.CatalogStats.verifyUnique(
         c, s"$dir/orders.parquet", Seq("o_orderkey"))
       graft.operators.CatalogStats.verifyUnique(
