@@ -112,34 +112,43 @@ object MiningQueries {
     * the fixed 3-hop unroll is a pure function of the edge set (no
     * float accumulation order to disagree).
     *
-    * Shape: the edge list is the only corpus-scale table; each hop is
-    * one partial-aggregable shuffle keyed by the receiving side
-    * (scores merge by SUM — map-side combinable), degree tables join
-    * co-keyed with the edges. Fixed hop count = fixed plan depth; the
-    * supplier dim broadcasts onto the final ranking. */
+    * Shape (round 17): the edge list is the only corpus-scale table,
+    * and every hop is an aggregate of a PER-EDGE value over one side —
+    * so degrees and hop sums compute as WINDOW aggregates over the
+    * edge set itself, alternating partition keys (c, s, c, s). That
+    * turns the former shape — two degree-table builds + three
+    * join-per-hop legs over a localCheckpoint-pinned edge table (5
+    * sort-merge joins, 10 exchanges, one materialize) — into ONE
+    * linear pass: 4 exchanges, 0 joins, 0 checkpoint, identical exact
+    * integer arithmetic (same per-edge operands, same truncating
+    * `div`s, long addition is order-free). The final per-supplier fold
+    * is a plain partial-aggregable groupBy; the supplier dim
+    * broadcasts onto the ranking as before. At 100 TB each window
+    * partition holds one node's edges (spills gracefully; the
+    * join+groupBy shape shuffled the same per-node row groups), and
+    * the 6 edge-table shuffles this removes are the network cost that
+    * dominates at scale (guide §2.4: remove shuffles outright). */
   def bipartiteRank(s: SparkSession, dir: String,
                     materialize: DataFrame => DataFrame = identity): DataFrame = {
-    // the edge set feeds both degree tables and all three hops —
-    // `materialize` (`_.localCheckpoint()` in the registry) pins it so
-    // the orders⋈lineitem distinct runs ONCE, not once per consumer
+    // single-consumer linear chain — no materialize needed (kept in the
+    // signature for call-site compatibility; identity by default)
     val e = materialize(
       t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct())
-    val degc = e.groupBy(col("c")).agg(count(lit(1)).as("dc"))
-    val degs = e.groupBy(col("s")).agg(count(lit(1)).as("ds"))
-    val rs1 = e.join(degc, "c")
+    val wc = Window.partitionBy(col("c"))
+    val ws = Window.partitionBy(col("s"))
+    e.withColumn("dc", count(lit(1)).over(wc))
+      .withColumn("ds", count(lit(1)).over(ws))
+      .withColumn("rs1sum", sum(expr("1000000 div dc")).over(ws))
+      .withColumn("rs1", expr("150000 + (17 * rs1sum) div 20"))
+      .withColumn("rc1sum", sum(expr("rs1 div ds")).over(wc))
+      .withColumn("rc1", expr("150000 + (17 * rc1sum) div 20"))
       .groupBy(col("s"))
-      .agg(expr("150000 + (17 * sum(1000000 div dc)) div 20").as("r"))
-    val rc1 = e.join(rs1, "s").join(degs, "s")
-      .groupBy(col("c"))
-      .agg(expr("150000 + (17 * sum(r div ds)) div 20").as("r"))
-    val rs2 = e.join(rc1, "c").join(degc, "c")
-      .groupBy(col("s"))
-      .agg(expr("150000 + (17 * sum(r div dc)) div 20").as("r"))
-    rs2.join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+      .agg(expr("150000 + (17 * sum(rc1 div dc)) div 20").as("r"))
+      .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
         col("s") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("r").as("influence_micro"))
       .orderBy(col("influence_micro").desc, col("s_suppkey"))
@@ -1047,8 +1056,9 @@ object MiningQueries {
     "q145_revenue_cusum" -> (revenueCusum _),
     "q146_benford_audit" -> (benfordAudit _),
     "q138_histogram_quantiles" -> (histogramQuantiles _),
-    "q139_bipartite_rank" -> ((s: SparkSession, dir: String) =>
-      bipartiteRank(s, dir, materialize = _.localCheckpoint())),
+    // q139 is a single linear window chain since round 17 — no shared
+    // subtree left to pin, so no localCheckpoint
+    "q139_bipartite_rank" -> (bipartiteRank(_, _)),
     "q141_record_linkage" -> ((s: SparkSession, dir: String) =>
       recordLinkage(s, dir, materialize = _.localCheckpoint())),
     "q142_copurchase_lift" -> (copurchaseLift _),

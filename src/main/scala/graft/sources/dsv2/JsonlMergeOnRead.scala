@@ -654,7 +654,68 @@ final class JsonlDeltaWrite(rowSchema: StructType, rowIdSchema: StructType,
                             autoSnapshot: Boolean = false,
                             format: String = "jsonl",
                             parquetConf: Map[String, String] = Map.empty)
-    extends org.apache.spark.sql.connector.write.DeltaWrite {
+    extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+
+  // Cluster + sort the delta relation by the table's partition columns
+  // (when the write schema carries them — a pure DELETE's schema has no
+  // row columns to resolve against). The delta writer's insert path is
+  // the roll-on-key-change partitioned writer: ONE open file, closed
+  // whenever the partition value changes. Without a required ordering a
+  // MERGE's insert rows arrive in arbitrary partition order and the
+  // writer lands one shard per VALUE RUN — measured one file per row on
+  // a MERGE over a priority-partitioned table (~51k shards for ~51k
+  // inserted rows at sf0.1), each of which then costs a sidecar
+  // read-modify-write per later delete and a per-file move at compact.
+  // The clustered distribution + within-task sort is exactly what the
+  // ordinary insert path (JsonlWriteBuilder.build) already requires —
+  // this extends the same contract to MERGE/UPDATE row-level writes.
+  // Delete-only rows carry null partition columns and cluster together;
+  // they produce no files, only per-shard ordinal lists, so their
+  // placement is irrelevant. At scale the same property bounds shard
+  // count by (tasks x partition values seen), not inserted rows.
+  private def orderable: Seq[String] = {
+    val rowPart =
+      if (rowSchema == null) Nil
+      else partCols.filter(rowSchema.fieldNames.contains)
+    // no partition columns in the write schema = nothing to cluster
+    // FOR: a pure DELETE (or an unpartitioned table) emits no routed
+    // files, and its deletes are already naturally grouped by source
+    // shard (scan task == shard) — requiring a distribution there would
+    // ADD a shuffle of (shard, pos) pairs that buys nothing
+    if (rowPart.isEmpty) return Nil
+    // rowId columns (resolved by NAME from the declared rowId schema)
+    // ride along after the partition columns: inserts carry null rowIds
+    // (constant — does not disturb the partition clustering), while
+    // pure-DELETE rows carry null partition columns and would otherwise
+    // all hash to the single null cluster — a one-task delete stream on
+    // a delete-heavy MERGE. Spreading them by source shard keeps delete
+    // placement balanced AND groups each shard's ordinals in one task.
+    // _shard clusters; _pos joins only the ORDERING (clustering on a
+    // per-row-unique ordinal would scatter one shard's ordinals over
+    // every task — the opposite of grouping them)
+    val shardCol =
+      if (rowIdSchema == null) Nil
+      else rowIdSchema.fieldNames.find(_ == "_shard").toSeq
+    rowPart ++ shardCol
+  }
+  private def orderingCols: Seq[String] =
+    orderable ++ (if (rowIdSchema == null) Nil
+                  else rowIdSchema.fieldNames.find(_ == "_pos").toSeq)
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (orderable.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        orderable.map(c => Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    (if (orderable.isEmpty) Nil else orderingCols).map(c =>
+      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+      .toArray
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
     new JsonlDeltaBatchWrite(rowSchema, rowIdSchema, path, queryId, partCols,
       skipCols, autoSnapshot, format, parquetConf)

@@ -163,6 +163,37 @@ class JsonlMorSpec extends AnyFunSuite {
     assert(again.isEmpty)
   }
 
+  test("MERGE inserts cluster by partition: shards bounded by values, not rows") {
+    // the delta write requires a clustered distribution + within-task
+    // sort on the partition columns (JsonlDeltaWrite); without it the
+    // roll-on-key-change writer lands one shard per partition-value RUN
+    // — one file per row on interleaved input (measured ~51k shards for
+    // ~51k MERGE-inserted rows on a 5-value partition column)
+    sql("CREATE NAMESPACE IF NOT EXISTS mw.cl")
+    sql("""CREATE TABLE mw.cl.t (k BIGINT, grp STRING, amt BIGINT)
+          |PARTITIONED BY (grp)
+          |TBLPROPERTIES ('graft.row-level.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO mw.cl.t VALUES (900001, 'g0', 1), (900002, 'g1', 2)")
+    // 2000 source rows with partition values interleaved k % 5
+    spark.range(2000).selectExpr("id AS k", "concat('g', id % 5) AS grp",
+        "id * 7 AS amt")
+      .createOrReplaceTempView("mor_cluster_src")
+    val dir = new java.io.File(s"$root/cl/t")
+    val before = dataShards(dir)
+    sql("""MERGE INTO mw.cl.t t USING mor_cluster_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+          |WHEN NOT MATCHED THEN INSERT (k, grp, amt)
+          |  VALUES (s.k, s.grp, s.amt)""".stripMargin)
+    val fresh = dataShards(dir) -- before
+    assert(fresh.nonEmpty, "inserts must land new shards")
+    assert(fresh.size <= 40,
+      s"clustered MERGE inserts must bound shards by (tasks x partition " +
+        s"values), got ${fresh.size} for 2000 rows")
+    assert(sql("SELECT count(*) FROM mw.cl.t").head.getLong(0) == 2002L)
+    assert(sql("SELECT CAST(SUM(amt) AS BIGINT) FROM mw.cl.t WHERE k < 2000")
+      .head.getLong(0) == (0L until 2000L).map(_ * 7).sum)
+  }
+
   test("UPDATE that moves a row across partitions; columnar read applies deletes") {
     sql("CREATE NAMESPACE IF NOT EXISTS mw.mv")
     sql("""CREATE TABLE mw.mv.t (k BIGINT, grp STRING, amt BIGINT)
