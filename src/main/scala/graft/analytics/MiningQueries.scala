@@ -281,15 +281,30 @@ object MiningQueries {
     * map-side; the per-part support table joins by part key. The
     * 1-row N scalar is the only broadcast. */
   def copurchaseLift(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
+    // Round 17: the basket folds to ONE per-order sorted part set
+    // (collect_set dedups map-side exactly as the former distinct
+    // did), and pairs generate in-row from the sorted array (j > i ⇒
+    // part_a < part_b — the former self-join predicate). This removes
+    // the former (o, p) distinct exchange AND the self-join's re-
+    // shuffle by o (guide §2.4); order count and per-part supports
+    // read the same folded table, so its one exchange is shared by
+    // all three consumers via exchange reuse (the pair lambda sits
+    // ABOVE the exchange, where it cannot defeat reuse). Per-order
+    // fan-out is unchanged: m ≤ ~7 lines per order at any scale.
+    val ops = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val n = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
-    val supp = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
-    val pairs = op.alias("x")
-      .join(op.alias("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("part_a"), col("y.p").as("part_b"))
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+    val n = ops.agg(count(lit(1)).as("n_orders"))
+    val supp = ops.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = ops
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS part_a, y AS part_b))))""".stripMargin)).as("pr"))
+      .select(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 3)
     pairs
@@ -628,18 +643,34 @@ object MiningQueries {
     * both deterministic. */
   def supplierTriangles(s: SparkSession, dir: String,
                         materialize: DataFrame => DataFrame = identity): DataFrame = {
-    val os = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    // materialize hook (q139's discipline): the edge table feeds THREE
-    // join legs — without pinning, each leg replays the distinct +
-    // self-join + count (measured 42 s -> ~3 s at sf0.1). The edge set
-    // is node²-bounded (tiny next to the fact table), so the closing
-    // leg broadcasts.
+    // materialize hook (q139's former discipline): the edge table feeds
+    // THREE join legs — without pinning, each leg replays the edge
+    // build (measured 42 s -> ~3 s at sf0.1). The edge set is
+    // node²-bounded (tiny next to the fact table), so the closing leg
+    // broadcasts.
+    //
+    // Edge build (round 17): co-supplier pairs generate PER ORDER from
+    // a collect_set fold — one partial-aggregable shuffle keyed by
+    // order, then an in-row pair expansion (sorted set, j > i, so each
+    // unordered pair appears once with a < b — exactly the former
+    // `x.sk < y.sk` self-join predicate). The former shape paid a
+    // distinct shuffle on (ok, sk) PLUS a re-shuffle of both self-join
+    // sides by ok and the join sort; the fold reaches the same pair
+    // stream with one exchange and no join (guide §2.4). Fan-out is
+    // unchanged — Σ (lines-per-order choose 2), m ≤ ~7 — and the
+    // per-order set is bounded by lines per order at any scale.
     val e = materialize(
-      os.as("x").join(os.as("y"), col("x.ok") === col("y.ok") &&
-          col("x.sk") < col("y.sk"))
-        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("sk"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ss, (x, i) ->
+            |  transform(slice(ss, i + 2, size(ss)), y ->
+            |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 4)
         .select(col("a"), col("b")))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFu
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CoerceNumeric, PyLiteral, SimHashFingerprint, WordNgrams}
+
 
 /** The graft native scalar functions as Spark DSv2 CATALOG functions —
   * `SELECT wh.system.py_to_json(...)`, the FunctionCatalog face of the
@@ -39,17 +39,21 @@ object GraftSqlFunctions {
       Array(LongType), HdrHistogramAggFn)
     case "py_to_json" => unbound("py_to_json",
       "Python-literal text to canonical JSON (null on parse failure)",
-      Array(StringType), PyToJsonFn)
+      Array(StringType), PyToJsonJavaFn.INSTANCE)
     case "coerce_numeric" => unbound("coerce_numeric",
       "defensive numeric coercion: number text, or first numeric of a " +
         "Python-literal list/dict (null when nothing numeric)",
-      Array(StringType), CoerceNumericFn)
+      Array(StringType), CoerceNumericJavaFn.INSTANCE)
     case "word_ngrams" => unbound("word_ngrams",
       "sliding word n-grams of a space-tokenized string",
-      Array(StringType, IntegerType), WordNgramsFn)
+      // Java impl: its STATIC magic method plans as a codegen'd
+      // StaticInvoke; the Scala object's instance `invoke` made Janino
+      // refuse the generated call and every MutableProjection holding
+      // it fell back to interpreter mode (see WordNgramsJavaFn docs)
+      Array(StringType, IntegerType), WordNgramsJavaFn.INSTANCE)
     case "simhash_fingerprint" => unbound("simhash_fingerprint",
       "per-word md5 sign-vote simhash as a hex string",
-      Array(StringType, IntegerType), SimHashFn)
+      Array(StringType, IntegerType), SimHashJavaFn.INSTANCE)
     case other => throw new IllegalArgumentException(
       s"unknown graft function $other")
   }
@@ -72,42 +76,16 @@ object GraftSqlFunctions {
       }
     }
 
-  private object PyToJsonFn extends ScalarFunction[UTF8String] {
-    override def name(): String = "py_to_json"
-    override def inputTypes(): Array[DataType] = Array(StringType)
-    override def resultType(): DataType = StringType
-    override def isResultNullable: Boolean = true
-    // the MAGIC method: resolved reflectively by name+signature and
-    // planned as a codegen'd Invoke
-    def invoke(s: UTF8String): UTF8String =
-      if (s == null) null
-      else Option(PyLiteral.toJson(s.toString))
-        .map(UTF8String.fromString).orNull
-    override def produceResult(input: InternalRow): UTF8String =
-      invoke(input.getUTF8String(0))
-  }
-
-  private object CoerceNumericFn extends ScalarFunction[java.lang.Double] {
-    override def name(): String = "coerce_numeric"
-    override def inputTypes(): Array[DataType] = Array(StringType)
-    override def resultType(): DataType = DoubleType
-    override def isResultNullable: Boolean = true
-    def invoke(s: UTF8String): java.lang.Double = CoerceNumeric.coerce(s)
-    override def produceResult(input: InternalRow): java.lang.Double =
-      invoke(input.getUTF8String(0))
-  }
-
-  private object WordNgramsFn extends ScalarFunction[ArrayData] {
-    override def name(): String = "word_ngrams"
-    override def inputTypes(): Array[DataType] =
-      Array(StringType, IntegerType)
-    override def resultType(): DataType = ArrayType(StringType, false)
-    override def isResultNullable: Boolean = true
-    def invoke(s: UTF8String, n: Int): ArrayData =
-      if (s == null) null else WordNgrams.compute(s, n)
-    override def produceResult(input: InternalRow): ArrayData =
-      invoke(input.getUTF8String(0), input.getInt(1))
-  }
+  // The scalar functions live in Java ([[WordNgramsJavaFn]],
+  // [[PyToJsonJavaFn]], [[CoerceNumericJavaFn]], [[SimHashJavaFn]]):
+  // their STATIC magic methods plan as codegen'd StaticInvoke calls,
+  // where the former Scala objects' instance `invoke`s failed Janino
+  // compilation ("no applicable method" for the exact declared
+  // signature on the nested module class) and every MutableProjection
+  // holding one fell back to interpreter mode per task — paying the
+  // failed compile AND row-at-a-time interpretation on a corpus-scale
+  // scan. Each delegates to the same kernel as the session-registered
+  // Catalyst expression, so results are unchanged by construction.
 
   // ------------------------------------------------- aggregate functions
   //
@@ -222,15 +200,4 @@ object GraftSqlFunctions {
     }
   }
 
-  private object SimHashFn extends ScalarFunction[UTF8String] {
-    override def name(): String = "simhash_fingerprint"
-    override def inputTypes(): Array[DataType] =
-      Array(StringType, IntegerType)
-    override def resultType(): DataType = StringType
-    override def isResultNullable: Boolean = true
-    def invoke(s: UTF8String, bits: Int): UTF8String =
-      if (s == null) null else SimHashFingerprint.compute(s, bits)
-    override def produceResult(input: InternalRow): UTF8String =
-      invoke(input.getUTF8String(0), input.getInt(1))
-  }
 }
