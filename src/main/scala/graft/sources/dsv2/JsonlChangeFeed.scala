@@ -92,22 +92,41 @@ object JsonlChangeFeed {
   def typeChanges(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "typeChanges needs at least one key column")
     val cols = changes.columns.filterNot(_ == "_change").toSeq
-    val ins = changes.where(col("_change") === "insert").drop("_change")
-    val del = changes.where(col("_change") === "delete").drop("_change")
-    val d = del.exceptAll(ins).withColumn("_d", lit(1)).alias("d")
-    val i = ins.exceptAll(del).withColumn("_i", lit(1)).alias("i")
+    import org.apache.spark.sql.functions.{abs, array, explode, struct, sum, when}
+    // ONE netting aggregate replaces the former pair of `exceptAll`s:
+    // per row identity, net = inserts − deletes; |net| surviving copies
+    // land on the winning side — exactly exceptAll's multiset
+    // difference on each side (del.exceptAll(ins) keeps max(cd−ci, 0)
+    // copies ⇔ net < 0 here; symmetric for inserts), but the window's
+    // rows are scanned ONCE instead of once per exceptAll per side.
+    val netted = changes.groupBy(cols.map(col): _*)
+      .agg(sum(when(col("_change") === "insert", 1L).otherwise(0L)).as("__ci"),
+        sum(when(col("_change") === "delete", 1L).otherwise(0L)).as("__cd"))
+      .withColumn("__net", col("__ci") - col("__cd"))
+      .where(col("__net") =!= 0L)
+      // restore multiset multiplicity (a row net-inserted twice emits
+      // twice); |net| is 1 in every keyed-window case but the generic
+      // contract is bag-exact
+      .withColumn("__rep", explode(
+        org.apache.spark.sql.functions.sequence(lit(1L), abs(col("__net")))))
+      .select((cols.map(col) :+ col("__net")): _*)
+    val d = netted.where(col("__net") < 0L).drop("__net")
+      .withColumn("_d", lit(1)).alias("d")
+    val i = netted.where(col("__net") > 0L).drop("__net")
+      .withColumn("_i", lit(1)).alias("i")
     val cond = keyCols.map(k => col(s"d.$k") <=> col(s"i.$k")).reduce(_ && _)
     val j = d.join(i, cond, "full_outer")
     val both = col("d._d") === 1 && col("i._i") === 1
-    def side(p: String) = cols.map(c => col(s"$p.$c"))
-    j.where(both).select(side("d"): _*)
-      .withColumn("_change", lit("update_preimage"))
-      .unionByName(j.where(both).select(side("i"): _*)
-        .withColumn("_change", lit("update_postimage")))
-      .unionByName(j.where(col("d._d").isNull).select(side("i"): _*)
-        .withColumn("_change", lit("insert")))
-      .unionByName(j.where(col("i._i").isNull).select(side("d"): _*)
-        .withColumn("_change", lit("delete")))
+    def side(p: String, change: String) = struct(
+      (cols.map(c => col(s"$p.$c").as(c)) :+ lit(change).as("_change")): _*)
+    // ONE explode emits the 1–2 output rows per joined row — the former
+    // four filter branches each re-evaluated the join (and everything
+    // under it: the change-feed scans ran 4x per side per invocation)
+    j.select(explode(
+      when(both, array(side("d", "update_preimage"), side("i", "update_postimage")))
+        .when(col("d._d").isNull, array(side("i", "insert")))
+        .otherwise(array(side("d", "delete")))).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** Rows inserted/deleted between snapshot `from` and snapshot `to`
