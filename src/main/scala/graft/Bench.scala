@@ -65,7 +65,33 @@ object Bench {
       }
     }
 
-    names.foreach(timeOne(_)) // warmup pass, discarded
+    // warmup pass, untimed — but instrumented to ATTRIBUTE the
+    // per-query floor (round-17 verdict: low/high-core scaling ratios
+    // sit at ~1 because every query carries a non-parallel floor; this
+    // splits it): build = query-function call (includes any first-touch
+    // memoized fixture build), plan = analysis+optimization+physical
+    // planning of the exact sink plan the timed reps execute, exec =
+    // the warmup execution itself. Written to the full artifact as
+    // queries_build/queries_plan (addition-only fields; the timed
+    // methodology below is unchanged).
+    val buildSec = LinkedHashMap[String, Double]()
+    val planSec = LinkedHashMap[String, Double]()
+    names.foreach { name =>
+      try {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val t1 = System.nanoTime()
+        val sink = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+          .agg(sum("__h"))
+        sink.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        sink.head()
+        buildSec(name) = (t1 - t0) / 1e9
+        planSec(name) = (t2 - t1) / 1e9
+      } catch { case _: Throwable => () // reported from the timed runs
+      } finally spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     errors.clear()            // only report errors from timed runs
     // (median, min) per query. Between queries the JVM is SETTLED:
     // System.gc() forces the weak-ref processing the ContextCleaner
@@ -107,7 +133,12 @@ object Bench {
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
     val total = num(timings.flatMap(_._2.map(_._1)).sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}"""
+    // floor attribution from the instrumented warmup pass (see above)
+    val qsBuild = buildSec.map { case (k, v) => q(k) + ":" + num(v) }
+      .mkString("{", ",", "}")
+    val qsPlan = planSec.map { case (k, v) => q(k) + ":" + num(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"queries_build":$qsBuild,"queries_plan":$qsPlan,"errors":$errJson,"reps":$reps,"sf":${q(sfDir)}}"""
     // the driver's per-round artifact keeps only a ~2000-char TAIL of
     // stdout AND parses it as one JSON document: the full per-query
     // line exceeds the window (round-12..14 `parsed: null` symptom),
